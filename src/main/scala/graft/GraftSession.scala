@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session construction + the config pins every entry point shares.
+  *
+  * Scale posture: these values target local[32] testing but the shape is
+  * what matters at cluster scale — AQE on (runtime re-plan, skew-join
+  * splitting, partition coalescing), explicit shuffle parallelism, UTC,
+  * and non-ANSI semantics the lenient coercions depend on.
+  */
+object GraftSession {
+
+  /** Configs applied to every session (driver-created sessions included:
+    * Verify/Bench call this on an existing builder). */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    // Lenient coercions (graft.functions.Lenient) require null-on-failure
+    // casts and element_at(empty)->null; Spark 4 defaults ANSI on.
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Dim tables (region/nation/customer/supplier/part at these SFs) must
+    // broadcast; 64 MB leaves headroom at 100x fixture scale for the
+    // genuinely small dims while big joins stay sort-merge/shuffled-hash.
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.sql.parquet.compression.codec", "zstd")
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = tune(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Lenient scalar coercions reproducing the reference's `map_source`
+  * semantics (reference dump-es-parquet:112-183, SURVEY.md §1.4). All are
+  * pure `Column` combinators so they stay inside whole-stage codegen; every
+  * failure is non-fatal (null), matching the reference's log-and-null rule.
+  *
+  * IMPORTANT: these rely on non-ANSI cast semantics (bad parse -> null),
+  * so every session must pin spark.sql.ansi.enabled=false (Spark 4 flipped
+  * the default). GraftSession does this.
+  */
+object Lenient {
+
+  /** Epoch-magnitude heuristic (reference dump-es-parquet:149-160): an
+    * integer below 20_000_000_000 is epoch-seconds, otherwise epoch-millis.
+    * 2e10 seconds is year 2603, 2e10 millis is mid-1970 — no realistic
+    * overlap, per the reference's comment at :152-157.
+    */
+  val EpochBoundary: Long = 20000000000L
+
+  def epochToTimestamp(v: Column): Column =
+    when(v < EpochBoundary, timestamp_seconds(v))
+      .otherwise(timestamp_millis(v.cast("long")))
+
+  /** Full lenient timestamp: ISO-8601 string first (reference :145-148),
+    * then numeric epoch via the magnitude heuristic, else null (:161-162).
+    */
+  def lenientTimestamp(c: Column): Column = {
+    val s = c.cast("string")
+    val asLong = s.cast("long")
+    coalesce(
+      call_function("try_to_timestamp", s),
+      when(asLong.isNotNull, epochToTimestamp(asLong)))
+  }
+
+  /** Python `int(v)` falling back to `int(float(v))` (reference :163-170):
+    * "3" -> 3 directly; "3.7" -> 3 by parsing as double then truncating
+    * toward zero (Spark cast(double as long) truncates, matching Python).
+    * Unparseable -> null.
+    */
+  def lenientLong(c: Column): Column = {
+    val s = c.cast("string")
+    coalesce(s.cast("long"), s.cast("double").cast("long"))
+  }
+
+  /** Python `float(v)` else null (reference :171-175). */
+  def lenientDouble(c: Column): Column = c.cast("string").cast("double")
+
+  /** Python `str(v)` (reference :176-180); for object-typed fields the raw
+    * JSON must be preserved as a string — use to_json on struct inputs.
+    */
+  def lenientString(c: Column): Column = c.cast("string")
+
+  /** First-of-list scalarization (T2, reference :129-137): multi-valued
+    * field -> first element; empty list -> null, with non-ANSI element_at.
+    */
+  def firstOfList(c: Column): Column =
+    when(size(c) > 0, element_at(c, 1))
+}

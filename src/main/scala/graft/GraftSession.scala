@@ -11,13 +11,17 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Configs applied to every session (driver-created sessions included:
-    * Verify/Bench call this on an existing builder). */
+  /** Configs applied to every session — Verify and Bench wrap their
+    * builders with this, so the driver-contract entry points get the same
+    * pins as library-created sessions. */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     // Lenient coercions (graft.functions.Lenient) require null-on-failure
     // casts and element_at(empty)->null; Spark 4 defaults ANSI on.
     .config("spark.sql.ansi.enabled", "false")
+    // Parquet TIMESTAMP(NANOS) (events.ts fixture) is otherwise illegal in
+    // Spark; read it as raw nanos and let Tables.load convert to micros.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Fixture-table catalog: one parquet file per table under a scale-factor
   * directory (TESTDATA.md). Mirrors the reference's index-pattern table
@@ -13,8 +15,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as raw nanos
+    // under spark.sql.legacy.parquet.nanosAsLong (GraftSession); truncate
+    // to micros — the same truncation DuckDB applies reading nanos.
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   /** S1 analog: glob pattern -> matching table names ("*" wildcard only,
     * like ES index patterns). */

@@ -25,15 +25,16 @@ object Lenient {
     when(v < EpochBoundary, timestamp_seconds(v))
       .otherwise(timestamp_millis(v.cast("long")))
 
-  /** Full lenient timestamp: ISO-8601 string first (reference :145-148),
-    * then numeric epoch via the magnitude heuristic, else null (:161-162).
+  /** Full lenient timestamp: digits-only strings go through the epoch
+    * heuristic FIRST (the reference's `fromisoformat` rejects bare numbers
+    * like "2024", falling through to the epoch branch at :149-160, whereas
+    * Spark's try_to_timestamp would accept "2024" as year-2024); everything
+    * else tries ISO-8601 (:145-148), else null (:161-162).
     */
   def lenientTimestamp(c: Column): Column = {
     val s = c.cast("string")
-    val asLong = s.cast("long")
-    coalesce(
-      call_function("try_to_timestamp", s),
-      when(asLong.isNotNull, epochToTimestamp(asLong)))
+    when(s.rlike("^-?\\d+$"), epochToTimestamp(s.cast("long")))
+      .otherwise(call_function("try_to_timestamp", s))
   }
 
   /** Python `int(v)` falling back to `int(float(v))` (reference :163-170):

@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  /** Whitespace tokenization; collapses runs of spaces, drops empties. */
+  /** Whitespace tokenization; collapses any whitespace runs (matching the
+    * fingerprint normalization), drops empties. */
   def tokens(text: Column): Column =
-    filter(split(text, " +"), t => length(t) > 0)
+    filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** BPE-ish subword segmentation: letter runs, digit runs, single other
     * chars — the standard pre-tokenizer regex family. */
@@ -45,13 +46,19 @@ object Text {
   /** SimHash over the hex-nibble bits of each token's md5: bit i of the
     * result is the majority vote of bit 3 of hex digit i across tokens
     * (i.e. whether md5(tok)[i] >= '8'). 32-bit value as a long; built from
-    * arithmetic only, so the DuckDB oracle can reproduce it exactly. */
+    * arithmetic only, so the DuckDB oracle can reproduce it exactly.
+    *
+    * md5 is computed ONCE per token (transform), then the 32 bit-votes
+    * fold over the precomputed digests — not 32 re-hashes per token.
+    */
   def simhash(toks: Column): Column = {
+    val digests = transform(toks, t => md5(t))
+    val hexOnes = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val votes = (0 until 32).map { i =>
       val ones = aggregate(
-        toks, lit(0),
-        (acc, t) => acc + when(substring(md5(t), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(0))
-      when(ones * 2 > size(toks), lit(1L) * lit(1L << i)).otherwise(lit(0L))
+        digests, lit(0),
+        (acc, d) => acc + when(substring(d, i + 1, 1).isin(hexOnes: _*), 1).otherwise(0))
+      when(ones * 2 > size(toks), lit(1L << i)).otherwise(lit(0L))
     }
     votes.reduce(_ + _)
   }

@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The downstream-analytics surface the reference defers to DuckDB
+  * (reference README.md:99-103; SURVEY.md §2.2): joins, aggregations,
+  * windows, set ops, time buckets over the star schema + events.
+  *
+  * Scale notes (100 TB posture): every aggregation is a partial-agg
+  * shuffle on its group keys; dimension joins (region/nation/customer/
+  * supplier) broadcast under the session's 64 MB threshold so the fact
+  * table never shuffles for them; windows partition by their natural key
+  * (segment / user) so skew stays bounded by key cardinality.
+  *
+  * Oracle parity notes: double sums are rounded at 2 decimals (sums of
+  * money-like values; SURVEY §7.3 item 5); l_quantity is integral so its
+  * sums/avgs are exact in IEEE double regardless of order; counts are
+  * exact. Column names are aliased identically on both sides.
+  */
+object Analytics {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+
+  // -- q01: filter + project with computed column (P1/P2 pushdown shape) --
+  private val q01: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_quantity" > 45 && $"l_discount" <= 0.02)
+      .select($"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+  private val q01Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue
+      |FROM lineitem WHERE l_quantity > 45 AND l_discount <= 0.02""".stripMargin
+
+  // -- q02: global sort + top-n (P3 + limit) --
+  private val q02: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(100)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+  private val q02Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // -- q03: TPC-H Q1-style pricing summary --
+  private val q03: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc"),
+        avg($"l_quantity").as("avg_qty"),
+        count(lit(1)).as("cnt"))
+  }
+  private val q03Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+      |  avg(l_quantity) AS avg_qty,
+      |  count(*) AS cnt
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // -- q04: 4-way join + agg, revenue by nation (dims broadcast) --
+  private val q04: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+  private val q04Sql =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  // -- q05: window top-k per group --
+  private val q05: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    t(s, dir, "customer")
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+        row_number().over(w).cast("long").as("rn"))
+      .filter($"rn" <= 3)
+  }
+  private val q05Sql =
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer) WHERE rn <= 3""".stripMargin
+
+  // -- q06: distinct --
+  private val q06: Q = (s, dir) =>
+    t(s, dir, "orders").select("o_orderpriority", "o_orderstatus").distinct()
+  private val q06Sql =
+    "SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders"
+
+  // -- q07: date_trunc month buckets --
+  private val q07: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      // trunc() keeps DateType (date_trunc widens to timestamp; DuckDB's
+      // date_trunc over DATE stays DATE, so trunc is the parity form)
+      .groupBy(trunc($"o_orderdate", "month").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total"))
+  }
+  private val q07Sql =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // -- q08: rollup over region/nation --
+  private val q08: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_cust"), round(sum($"c_acctbal"), 2).as("acctbal"))
+  }
+  private val q08Sql =
+    """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+
+  // -- q09: EXCEPT (customers with no orders) --
+  private val q09: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "customer").select($"c_custkey")
+      .except(t(s, dir, "orders").select($"o_custkey".as("c_custkey")))
+  }
+  private val q09Sql =
+    "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders"
+
+  // -- q10: INTERSECT (nations having both customers and suppliers) --
+  private val q10: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "customer").select($"c_nationkey".as("nationkey"))
+      .intersect(t(s, dir, "supplier").select($"s_nationkey".as("nationkey")))
+  }
+  private val q10Sql =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin
+
+  // -- q11: JSON extraction + agg over events.props --
+  private val q11: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+  }
+  private val q11Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // -- q12: gap sessionization (30 min) over events --
+  private val q12: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val ms = unix_millis($"ts")
+    val gap = ms - lag(ms, 1).over(w)
+    t(s, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value",
+        when(gap.isNull || gap > 1800000L, 1L).otherwise(0L).as("ns"))
+      .select($"user_id", $"event_id", $"ts", $"value",
+        sum($"ns").over(w).as("session"))
+      .groupBy($"user_id", $"session")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis($"ts")).as("start_ms"),
+        max(unix_millis($"ts")).as("end_ms"),
+        round(sum($"value"), 2).as("total_value"))
+  }
+  private val q12Sql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session
+      |  FROM g)
+      |SELECT user_id, session, count(*) AS n_events,
+      |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+      |  round(sum(value), 2) AS total_value
+      |FROM s GROUP BY user_id, session""".stripMargin
+
+  // -- q13: hourly event-type buckets --
+  private val q13: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+  }
+  private val q13Sql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n, round(sum(value), 2) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q01_filter_project" -> q01,
+    "q02_sort_topn" -> q02,
+    "q03_agg_pricing" -> q03,
+    "q04_revenue_nation" -> q04,
+    "q05_topk_per_segment" -> q05,
+    "q06_distinct" -> q06,
+    "q07_orders_by_month" -> q07,
+    "q08_rollup_region_nation" -> q08,
+    "q09_except_no_orders" -> q09,
+    "q10_intersect_nations" -> q10,
+    "q11_json_props_agg" -> q11,
+    "q12_sessionize" -> q12,
+    "q13_hourly_buckets" -> q13,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_filter_project" -> q01Sql,
+    "q02_sort_topn" -> q02Sql,
+    "q03_agg_pricing" -> q03Sql,
+    "q04_revenue_nation" -> q04Sql,
+    "q05_topk_per_segment" -> q05Sql,
+    "q06_distinct" -> q06Sql,
+    "q07_orders_by_month" -> q07Sql,
+    "q08_rollup_region_nation" -> q08Sql,
+    "q09_except_no_orders" -> q09Sql,
+    "q10_intersect_nations" -> q10Sql,
+    "q11_json_props_agg" -> q11Sql,
+    "q12_sessionize" -> q12Sql,
+    "q13_hourly_buckets" -> q13Sql,
+  )
+}

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Lenient, Text}
+import graft.operators.{Coerce, Flatten}
+import graft.sources.EsMapping
+
+/** Registered queries exercising the reference-parity transform surface
+  * (SURVEY.md §1.4, §2.1 T1-T4, S2): lenient casts with the epoch
+  * heuristic, first-of-list scalarization, struct flatten naming, the
+  * ES-mapping -> StructType -> Coerce pipeline, and the multimodal binary
+  * column plumbing.
+  */
+object CoerceOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // -- q40: lenient long — int(v) falling back to int(float(v)) --
+  private val q40: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(
+      $"doc_id",
+      Lenient.lenientLong(concat($"n_chars".cast("string"), lit(".7"))).as("from_frac"),
+      Lenient.lenientLong(concat(lit("-"), $"n_chars".cast("string"), lit(".7"))).as("from_neg"),
+      Lenient.lenientLong($"n_chars".cast("string")).as("from_int"),
+      Lenient.lenientLong(concat(lit("x"), $"n_chars".cast("string"))).as("from_junk"))
+  }
+  private val q40Sql = {
+    // DuckDB TRY_CAST(varchar AS BIGINT) ROUNDS '157.7'->158; Python
+    // int(float(v)) truncates — gate the direct cast to integral strings.
+    def lenientLong(e: String) =
+      s"CASE WHEN regexp_matches($e, '^\\s*[-+]?\\d+\\s*$$') THEN TRY_CAST($e AS BIGINT) " +
+        s"ELSE CAST(trunc(TRY_CAST($e AS DOUBLE)) AS BIGINT) END"
+    s"""SELECT doc_id,
+       |  ${lenientLong("CAST(n_chars AS VARCHAR) || '.7'")} AS from_frac,
+       |  ${lenientLong("'-' || CAST(n_chars AS VARCHAR) || '.7'")} AS from_neg,
+       |  ${lenientLong("CAST(n_chars AS VARCHAR)")} AS from_int,
+       |  ${lenientLong("'x' || CAST(n_chars AS VARCHAR)")} AS from_junk
+       |FROM documents""".stripMargin
+  }
+
+  // -- q41: lenient timestamp — ISO branch + epoch-magnitude heuristic --
+  private val q41: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "events").select(
+      $"event_id",
+      Lenient.lenientTimestamp(($"event_id" + 1700000000L).cast("string")).as("ts_sec"),
+      Lenient.lenientTimestamp(($"event_id" + 1700000000000L).cast("string")).as("ts_ms"),
+      Lenient.lenientTimestamp(date_format($"ts", "yyyy-MM-dd'T'HH:mm:ss")).as("ts_iso"),
+      Lenient.lenientTimestamp(lit("not a time")).as("ts_junk"))
+  }
+  private val q41Sql =
+    """SELECT event_id,
+      |  make_timestamp(CAST(event_id + 1700000000 AS BIGINT) * 1000000) AS ts_sec,
+      |  make_timestamp(CAST(event_id + 1700000000000 AS BIGINT) * 1000) AS ts_ms,
+      |  TRY_CAST(strftime(ts, '%Y-%m-%dT%H:%M:%S') AS TIMESTAMP) AS ts_iso,
+      |  TRY_CAST('not a time' AS TIMESTAMP) AS ts_junk
+      |FROM events""".stripMargin
+
+  // -- q42: first-of-list scalarization (T2), empty list -> null --
+  private val q42: Q = (s, dir) => {
+    import s.implicits._
+    val tk = Text.tokens($"text")
+    Tables.load(s, dir, "documents").select(
+      $"doc_id",
+      Lenient.firstOfList(tk).as("first_tok"),
+      Lenient.firstOfList(filter(tk, t => length(t) > 100)).as("first_long"))
+  }
+  private val q42Sql =
+    """SELECT doc_id,
+      |  (list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0))[1] AS first_tok,
+      |  (list_filter(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0),
+      |               t -> len(t) > 100))[1] AS first_long
+      |FROM documents""".stripMargin
+
+  // -- q43: struct flatten naming parent_child (T3) --
+  private val q43: Q = (s, dir) => {
+    import s.implicits._
+    val nested = Tables.load(s, dir, "events").select(
+      $"event_id",
+      struct(
+        struct($"user_id".as("id"), $"event_type".as("type")).as("u"),
+        $"value".as("v")).as("payload"))
+    Flatten(nested)
+  }
+  private val q43Sql =
+    """SELECT event_id, user_id AS payload_u_id, event_type AS payload_u_type,
+      |  value AS payload_v
+      |FROM events""".stripMargin
+
+  // -- q44: S2 + T1 — ES mapping -> StructType -> lenient Coerce --
+  private val q44: Q = (s, dir) => {
+    import s.implicits._
+    val mapping =
+      """{"properties": {
+        |  "k":    {"type": "long"},
+        |  "tag":  {"type": "keyword"},
+        |  "seen": {"type": "date"}
+        |}}""".stripMargin
+    val (target, _) = EsMapping.toStructType(mapping)
+    // parse props as raw strings, then let Coerce apply the lenient rules
+    val raw = Tables.load(s, dir, "events").select(
+      $"event_id",
+      get_json_object($"props", "$.k").as("k"),
+      concat(lit("t"), get_json_object($"props", "$.k")).as("tag"),
+      ($"event_id" + 1700000000L).cast("string").as("seen"))
+    // target schema = event_id (passthrough) + the mapping-derived fields
+    val full = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType) +: target.fields.toSeq)
+    Coerce(full)(raw)
+  }
+  private val q44Sql =
+    """SELECT event_id,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  't' || json_extract_string(props, '$.k') AS tag,
+      |  make_timestamp(CAST(event_id + 1700000000 AS BIGINT) * 1000000) AS seen
+      |FROM events""".stripMargin
+
+  // -- q45: multimodal binary column plumbing --
+  private val q45: Q = (s, dir) => {
+    import s.implicits._
+    val payload = $"text".cast("binary")
+    Tables.load(s, dir, "documents").select(
+      $"doc_id",
+      octet_length(payload).cast("long").as("n_bytes"),
+      md5(payload).as("digest"),
+      (lit(64) + octet_length(payload) % 512).cast("long").as("fake_width"),
+      (lit(64) + (octet_length(payload) * 7) % 512).cast("long").as("fake_height"))
+  }
+  private val q45Sql =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS digest,
+      |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS fake_width,
+      |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS fake_height
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q40_lenient_long" -> q40,
+    "q41_lenient_timestamp" -> q41,
+    "q42_first_of_list" -> q42,
+    "q43_flatten" -> q43,
+    "q44_es_mapping_coerce" -> q44,
+    "q45_binary_meta" -> q45,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_lenient_long" -> q40Sql,
+    "q41_lenient_timestamp" -> q41Sql,
+    "q42_first_of_list" -> q42Sql,
+    "q43_flatten" -> q43Sql,
+    "q44_es_mapping_coerce" -> q44Sql,
+    "q45_binary_meta" -> q45Sql,
+  )
+}

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+
+/** LLM-data-pipeline text operators over `documents` (SURVEY.md §2.3):
+  * exact dedup, MinHash/LSH near-dup candidate generation, SimHash,
+  * token statistics, quality scoring, n-gram Jaccard, language ID.
+  *
+  * Everything is md5-based (graft.functions.Text) so the DuckDB oracle can
+  * reproduce results bit-for-bit; everything stays in codegen'd built-ins
+  * (no UDFs) and shuffles only on its group/join keys.
+  *
+  * Scale posture: the near-dup path is banded LSH — per-doc signatures,
+  * then a groupBy/join on (band, sig). At 100 TB that is a single shuffle
+  * on the signature key with bounded group sizes (the all-pairs O(n^2)
+  * form is confined to q27, a demo explicitly capped to a fixed id range;
+  * the LSH form is the production path).
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** DuckDB-side tokenization identical to Text.tokens. */
+  private val dTok = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
+  /** DuckDB-side n-shingles identical to Text.shingles(tk, n). */
+  private def dShingles(tk: String, n: Int): String =
+    s"CASE WHEN len($tk) >= $n THEN list_transform(range(1, len($tk) - $n + 2), " +
+      s"i -> array_to_string(list_slice($tk, i, i + ${n - 1}), ' ')) ELSE []::VARCHAR[] END"
+
+  // -- q20: exact dedup by normalized-text fingerprint --
+  private val q20: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    docs(s, dir)
+      .select($"doc_id", Text.fingerprint($"text").as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"fp")
+  }
+  private val q20Sql =
+    """SELECT doc_id, fp FROM (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |    row_number() OVER (
+      |      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      |      ORDER BY doc_id) AS rn
+      |  FROM documents) WHERE rn = 1""".stripMargin
+
+  /** Shared MinHash signature frame: doc_id, band (1..4), sig. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = Text.tokens($"text")
+    val sh = Text.shingles(tk, 5)
+    docs(s, dir)
+      .select($"doc_id",
+        posexplode(array((1 to 4).map(b => Text.minhash(sh, b)): _*)))
+      .select($"doc_id", ($"pos" + 1).as("band"), $"col".as("sig"))
+      .filter($"sig".isNotNull)
+  }
+  private def minhashSigsSql: String =
+    s"""SELECT doc_id, band,
+       |  list_aggregate(list_transform(sh, x -> md5(CAST(band AS VARCHAR) || '|' || x)), 'min') AS sig
+       |FROM (SELECT doc_id, ${dShingles(dTok, 5)} AS sh FROM documents),
+       |     (SELECT unnest([1, 2, 3, 4]) AS band)
+       |WHERE list_aggregate(list_transform(sh, x -> md5(CAST(band AS VARCHAR) || '|' || x)), 'min') IS NOT NULL""".stripMargin
+
+  // -- q21: MinHash band signatures (LSH) --
+  private val q21: Q = (s, dir) => minhashSigs(s, dir)
+  private val q21Sql = minhashSigsSql
+
+  // -- q22: near-dup candidate pairs via banded self-join on (band, sig) --
+  private val q22: Q = (s, dir) => {
+    import s.implicits._
+    val sigs = minhashSigs(s, dir)
+    val a = sigs.toDF("doc_a", "band", "sig")
+    val b = sigs.toDF("doc_b", "band", "sig")
+    a.join(b, Seq("band", "sig"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+      .distinct()
+  }
+  private val q22Sql =
+    s"""WITH sigs AS ($minhashSigsSql)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+       |WHERE a.doc_id < b.doc_id""".stripMargin
+
+  // -- q23: SimHash fingerprints --
+  private val q23: Q = (s, dir) => {
+    import s.implicits._
+    docs(s, dir).select($"doc_id", Text.simhash(Text.tokens($"text")).as("simhash"))
+  }
+  private val q23Sql = {
+    val hexOnes = "('8','9','a','b','c','d','e','f')"
+    val terms = (0 until 32).map { i =>
+      s"CASE WHEN 2 * len(list_filter(dg, d -> substring(d, ${i + 1}, 1) IN $hexOnes)) > n " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""SELECT doc_id, $terms AS simhash
+       |FROM (SELECT doc_id, list_transform($dTok, t -> md5(t)) AS dg, len($dTok) AS n
+       |      FROM documents)""".stripMargin
+  }
+
+  // -- q24: per-language token statistics --
+  private val q24: Q = (s, dir) => {
+    import s.implicits._
+    docs(s, dir)
+      .select($"lang", size(Text.tokens($"text")).as("n"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n").cast("long").as("n_tokens"),
+        min($"n").cast("long").as("min_tokens"),
+        max($"n").cast("long").as("max_tokens"))
+  }
+  private val q24Sql =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(len($dTok)) AS BIGINT) AS n_tokens,
+       |  min(len($dTok)) AS min_tokens, max(len($dTok)) AS max_tokens
+       |FROM documents GROUP BY lang""".stripMargin
+
+  // -- q25: per-doc quality signals (type-token ratio, stopword ratio) --
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val q25: Q = (s, dir) => {
+    import s.implicits._
+    val tk = Text.tokens($"text")
+    docs(s, dir).select(
+      $"doc_id",
+      size(tk).cast("long").as("n_tokens"),
+      size(array_distinct(tk)).cast("long").as("n_uniq"),
+      (size(filter(tk, t => t.isin(stopwords: _*))).cast("double") / size(tk)).as("stop_ratio"),
+      (size(array_distinct(tk)).cast("double") / size(tk)).as("ttr"))
+  }
+  private val q25Sql = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_uniq,
+       |  CAST(len(list_filter(tk, t -> t IN ($stopList))) AS DOUBLE) / len(tk) AS stop_ratio,
+       |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr
+       |FROM (SELECT doc_id, $dTok AS tk FROM documents)""".stripMargin
+  }
+
+  // -- q26: marker-word language ID heuristic --
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "una", "y"))
+  private val q26: Q = (s, dir) => {
+    import s.implicits._
+    val tk = Text.tokens($"text")
+    def score(ws: Seq[String]): Column = size(filter(tk, t => t.isin(ws: _*)))
+    val Seq(en, de, fr, es) = markers.map { case (_, ws) => score(ws) }
+    val pred = when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+    docs(s, dir).select($"doc_id", pred.as("pred"), $"lang",
+      (pred === $"lang").as("agree"))
+  }
+  private val q26Sql = {
+    def sc(ws: Seq[String]) =
+      s"len(list_filter(tk, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+    val Seq(en, de, fr, es) = markers.map { case (_, ws) => sc(ws) }
+    s"""SELECT doc_id,
+       |  CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+       |       WHEN $de >= $fr AND $de >= $es THEN 'de'
+       |       WHEN $fr >= $es THEN 'fr'
+       |       ELSE 'es' END AS pred,
+       |  lang,
+       |  (CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+       |        WHEN $de >= $fr AND $de >= $es THEN 'de'
+       |        WHEN $fr >= $es THEN 'fr'
+       |        ELSE 'es' END) = lang AS agree
+       |FROM (SELECT doc_id, lang, $dTok AS tk FROM documents)""".stripMargin
+  }
+
+  // -- q27: n-gram Jaccard similarity (all-pairs demo, capped id range) --
+  private val q27: Q = (s, dir) => {
+    import s.implicits._
+    val sh = array_distinct(Text.shingles(Text.tokens($"text"), 3))
+    val base = docs(s, dir).filter($"doc_id" < 200).select($"doc_id", sh.as("sh"))
+    val a = base.toDF("doc_a", "sh_a")
+    val b = base.toDF("doc_b", "sh_b")
+    a.join(b, $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b"))).as("jaccard"))
+      .filter($"jaccard" >= 0.2)
+  }
+  private val q27Sql =
+    s"""WITH s AS (
+       |  SELECT doc_id, list_distinct(${dShingles(dTok, 3)}) AS sh
+       |  FROM documents WHERE doc_id < 200)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q20_exact_dedup" -> q20,
+    "q21_minhash_sigs" -> q21,
+    "q22_neardup_pairs" -> q22,
+    "q23_simhash" -> q23,
+    "q24_token_stats" -> q24,
+    "q25_quality_signals" -> q25,
+    "q26_langid" -> q26,
+    "q27_ngram_jaccard" -> q27,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q20_exact_dedup" -> q20Sql,
+    "q21_minhash_sigs" -> q21Sql,
+    "q22_neardup_pairs" -> q22Sql,
+    "q23_simhash" -> q23Sql,
+    "q24_token_stats" -> q24Sql,
+    "q25_quality_signals" -> q25Sql,
+    "q26_langid" -> q26Sql,
+    "q27_ngram_jaccard" -> q27Sql,
+  )
+}

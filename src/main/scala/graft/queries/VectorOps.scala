@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Vectors
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.3):
+  * brute-force cosine top-k as the correctness baseline, and the
+  * LSH-bucketed variants as the scale path.
+  *
+  * Scale posture: the brute-force form broadcasts the (small) query set
+  * against the corpus — a map-side nested loop, no corpus shuffle — and
+  * the window top-k partitions by query id. The bucketed forms replace the
+  * all-pairs O(n^2) with a groupBy/join on the sign-LSH bucket key, i.e.
+  * one shuffle with expected group size n / 2^bits.
+  *
+  * Oracle parity: dot products are strict left-to-right double folds in
+  * both engines (Vectors.dot ~ list_aggregate(...,'sum')), so cosines are
+  * bit-identical and safe to sort/compare on.
+  */
+object VectorOps {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  /** DuckDB-side double dot product identical to Vectors.dot. */
+  private def dDot(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
+  private def dCos(a: String, b: String): String =
+    s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
+  /** DuckDB-side sign-LSH bucket identical to Vectors.signBucket(_, 8). */
+  private val dBucket =
+    "array_to_string(list_transform(list_slice(embedding, 1, 8), " +
+      "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+
+  // -- q30: brute-force cosine top-5 per query (vec_id < 10 as queries) --
+  private val q30: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    broadcast(q).join(e, $"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id",
+        Vectors.cosine($"q_emb", $"embedding").as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"q_id", $"vec_id", round($"cos", 6).as("cos"), $"rn")
+  }
+  private val q30Sql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < 10),
+       |p AS (SELECT q_id, vec_id, ${dCos("q_emb", "embedding")} AS cos
+       |      FROM q JOIN embeddings ON q_id <> vec_id)
+       |SELECT q_id, vec_id, round(cos, 6) AS cos, rn FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM p) WHERE rn <= 5""".stripMargin
+
+  // -- q31: sign-LSH bucket histogram (the ANN pre-partitioner) --
+  private val q31: Q = (s, dir) => {
+    import s.implicits._
+    emb(s, dir)
+      .select(Vectors.signBucket($"embedding", 8).as("bucket"), $"vec_id", $"label")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        count_distinct($"label").as("n_labels"),
+        min($"vec_id").as("min_vec"))
+  }
+  private val q31Sql =
+    s"""SELECT $dBucket AS bucket, count(*) AS n,
+       |  count(DISTINCT label) AS n_labels, min(vec_id) AS min_vec
+       |FROM embeddings GROUP BY 1""".stripMargin
+
+  // -- q32: embedding near-dup pairs within an LSH bucket (scale path) --
+  private val q32: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+      .select($"vec_id", $"embedding", Vectors.signBucket($"embedding", 8).as("bucket"))
+    val a = e.toDF("vec_a", "emb_a", "bucket")
+    val b = e.toDF("vec_b", "emb_b", "bucket")
+    a.join(b, Seq("bucket"))
+      .filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b",
+        Vectors.cosine($"emb_a", $"emb_b").as("cos"))
+      .filter($"cos" >= 0.3)
+      .select($"vec_a", $"vec_b", round($"cos", 6).as("cos"))
+  }
+  private val q32Sql =
+    s"""WITH e AS (SELECT vec_id, embedding, $dBucket AS bucket FROM embeddings)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${dCos("a.embedding", "b.embedding")} AS cos
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |WHERE cos >= 0.3""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q30_cosine_topk" -> q30,
+    "q31_lsh_buckets" -> q31,
+    "q32_embed_neardup" -> q32,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q30_cosine_topk" -> q30Sql,
+    "q31_lsh_buckets" -> q31Sql,
+    "q32_embed_neardup" -> q32Sql,
+  )
+}

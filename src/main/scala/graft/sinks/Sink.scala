@@ -1,0 +1,89 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** K1–K4 — the sink half of the dump pipeline (SURVEY.md §2.1).
+  *
+  *   - K1 size-bounded rotation (reference dump-es-parquet:284-295,307-308):
+  *     `maxRecordsPerFile` makes every task writer rotate files at the row
+  *     cap; Spark streams rows to files, so peak memory is a write buffer,
+  *     not a partition — strictly better than the reference's
+  *     accumulate-then-flush at 100 TB.
+  *   - K2 multi-format (parquet/ndjson/csv, reference :312-323) plus `text`
+  *     for the K3 raw passthrough.
+  *   - K3 raw JSON passthrough (reference :244-254,273-281): schema-free
+  *     `toJSON` -> text sink; survives inconsistent types by never building
+  *     a typed frame (README.md:56-58).
+  *   - K4 compression codecs gzip/zstd/none (reference :325-336) via writer
+  *     options; parquet compression is pinned zstd at the session level.
+  *
+  * File naming: the reference emits `{table}-{NNNN}.{ext}` with the number
+  * omitted for single-file output (:312-316). Spark's committer writes
+  * `part-*` names; `write` renames the committed files to the reference
+  * pattern afterwards (SURVEY §7.3: rename pass, don't fight the
+  * committer).
+  */
+object Sink {
+
+  case class Config(
+      format: String = "parquet",        // parquet | json | csv | text
+      compression: Option[String] = None, // gzip | zstd | none
+      maxRecordsPerFile: Long = 1000000,  // reference --max-partition-rows
+      header: Boolean = true)             // csv only
+
+  private def extension(c: Config): String = {
+    val base = c.format match {
+      case "json" => "ndjson" // reference's ndjson naming (README.md:16)
+      case "text" => "jsonl"
+      case f      => f
+    }
+    c.compression match {
+      case Some("gzip") => s"$base.gz"
+      case Some("zstd") => s"$base.zstd" // reference ext at :206-212
+      case _            => base
+    }
+  }
+
+  /** Write `df` under `dir` as `{table}-{NNNN}.{ext}` files; returns the
+    * final file paths. */
+  def write(df: DataFrame, dir: String, table: String, config: Config = Config()): Seq[String] = {
+    val w0 = df.write.mode("overwrite")
+      .option("maxRecordsPerFile", config.maxRecordsPerFile)
+    val w1 = config.compression match {
+      case Some(c) => w0.option("compression", c)
+      case None    => w0
+    }
+    val w2 = if (config.format == "csv") w1.option("header", config.header) else w1
+    w2.format(config.format).save(dir)
+    rename(df, dir, table, config)
+  }
+
+  /** K3 — raw JSON passthrough: no schema, no coercion; each row serialized
+    * as one JSON line (jsonl). */
+  def writeRawJson(df: DataFrame, dir: String, table: String,
+                   config: Config = Config(format = "text")): Seq[String] = {
+    val lines = df.toJSON.toDF("value")
+    write(lines, dir, table, config.copy(format = "text"))
+  }
+
+  /** Rename committer output `part-*` to `{table}-{NNNN}.{ext}`; single
+    * file drops the number (reference :312-316). */
+  private def rename(df: DataFrame, dir: String, table: String, config: Config): Seq[String] = {
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val path = new Path(dir)
+    val fs = path.getFileSystem(hconf)
+    val parts = fs.listStatus(path).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    val ext = extension(config)
+    parts.zipWithIndex.map { case (p, i) =>
+      val name =
+        if (parts.length == 1) s"$table.$ext"
+        else f"$table-$i%04d.$ext"
+      val dest = new Path(path, name)
+      fs.rename(p, dest)
+      dest.toString
+    }.toSeq
+  }
+}

@@ -21,9 +21,17 @@ object Lenient {
     */
   val EpochBoundary: Long = 20000000000L
 
+  /** Python datetime's representable range (year 1..9999): fromtimestamp
+    * outside it raises (reference catches -> warn/null at :161-162). Spark's
+    * timestamp_seconds/millis would instead throw on long overflow — gate
+    * the range so out-of-range epochs null like the reference.
+    */
+  val MinEpochSeconds: Long = -62135596800L    // 0001-01-01T00:00:00Z
+  val MaxEpochMillis: Long = 253402300799999L  // 9999-12-31T23:59:59.999Z
+
   def epochToTimestamp(v: Column): Column =
-    when(v < EpochBoundary, timestamp_seconds(v))
-      .otherwise(timestamp_millis(v.cast("long")))
+    when(v < EpochBoundary, when(v >= MinEpochSeconds, timestamp_seconds(v)))
+      .otherwise(when(v <= MaxEpochMillis, timestamp_millis(v.cast("long"))))
 
   /** Full lenient timestamp: digits-only strings go through the epoch
     * heuristic FIRST (the reference's `fromisoformat` rejects bare numbers

@@ -1,0 +1,25 @@
+package graft
+
+/** End-to-end smoke of the driver contract: entry() must run the real
+  * dump pipeline and return rows (the driver's t1 check). */
+class EntrySpec extends SparkSpec {
+
+  test("SparkEntry.entry returns rows from the dumped output") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    // flatten=true output of lineitem must keep the 11 flat columns
+    assert(df.columns.length == 11)
+  }
+
+  test("every query has either an oracle or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("all queries run green on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf()).count()
+      withClue(name)(assert(n >= 0))
+    }
+  }
+}

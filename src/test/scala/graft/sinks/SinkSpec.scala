@@ -1,0 +1,80 @@
+package graft.sinks
+
+import graft.{DumpJob, SparkSpec}
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** K1-K4 sink behavior: rotation, naming, formats, compression, raw
+  * passthrough (reference dump-es-parquet:284-295,312-336). */
+class SinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_sink").toString
+  private def names(dir: String): Seq[String] =
+    Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).filterNot(_.startsWith("_"))
+      .toSeq.sorted
+
+  test("K1: maxRecordsPerFile rotates files at the row cap") {
+    val dir = tmp()
+    val df = spark.range(100).coalesce(1).toDF("id")
+    val files = Sink.write(df, dir, "t", Sink.Config(maxRecordsPerFile = 30))
+    assert(files.length == 4) // 30+30+30+10
+    assert(names(dir) == Seq("t-0000.parquet", "t-0001.parquet", "t-0002.parquet", "t-0003.parquet"))
+  }
+
+  test("K2: single file drops the partition number (reference :312-316)") {
+    val dir = tmp()
+    Sink.write(spark.range(5).coalesce(1).toDF("id"), dir, "solo", Sink.Config())
+    assert(names(dir) == Seq("solo.parquet"))
+  }
+
+  test("K2: csv format with header round-trips") {
+    val dir = tmp()
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1)
+    Sink.write(df, dir, "t", Sink.Config(format = "csv"))
+    assert(names(dir) == Seq("t.csv"))
+    val back = spark.read.option("header", true).csv(dir)
+    assert(back.columns.toSeq == Seq("k", "v") && back.count() == 2)
+  }
+
+  test("K2/K4: json format names ndjson; gzip appends .gz (reference :206-212)") {
+    val dir = tmp()
+    val df = Seq((1, "a")).toDF("k", "v").coalesce(1)
+    Sink.write(df, dir, "t", Sink.Config(format = "json", compression = Some("gzip")))
+    assert(names(dir) == Seq("t.ndjson.gz"))
+  }
+
+  test("K3: raw JSON passthrough writes one JSON object per line, schema-free") {
+    val dir = tmp()
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1)
+    Sink.writeRawJson(df, dir, "t", Sink.Config(format = "text"))
+    assert(names(dir) == Seq("t.jsonl"))
+    val lines = spark.read.text(dir).as[String].collect().sorted
+    assert(lines.toSeq == Seq("""{"k":1,"v":"a"}""", """{"k":2,"v":"b"}"""))
+  }
+
+  test("DumpJob: per-table error isolation (reference :87-95)") {
+    val out = tmp()
+    // "documents" fixture lacks sf-dir? use a nonexistent src for one table:
+    // run over a pattern resolving to two tables from different dirs — the
+    // clean way: point at sf0.001 where all tables exist, then at a bogus
+    // dir where every read fails but each failure is isolated per table.
+    val ok = DumpJob.run(spark, sf(), out, DumpJob.Config(pattern = "region"))
+    assert(ok.forall(_.isInstanceOf[DumpJob.Written]))
+    val bad = DumpJob.run(spark, "/nonexistent", tmp(), DumpJob.Config(pattern = "*"))
+    assert(bad.nonEmpty && bad.forall(_.isInstanceOf[DumpJob.Failed]))
+  }
+
+  test("DumpJob: flatten + coerce compose in the pipeline") {
+    val out = tmp()
+    val results = DumpJob.run(spark, sf(), out,
+      DumpJob.Config(pattern = "nation", flatten = true,
+        sink = Sink.Config(format = "parquet")))
+    assert(results.collect { case DumpJob.Written(t, fs) => t -> fs.nonEmpty }
+      .toMap == Map("nation" -> true))
+    assert(spark.read.parquet(s"$out/nation").count() ==
+      spark.read.parquet(sf() + "/nation.parquet").count())
+  }
+}

@@ -12,6 +12,27 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT/codegen/class-loading for the operator families
+    // used below (agg, window, HOF/md5, parquet scan) should not be billed
+    // to whichever query happens to exercise them first.
+    try {
+      spark.range(1000000).selectExpr("sum(id) as s")
+        .write.format("noop").mode("overwrite").save()
+      spark.range(10000)
+        .selectExpr("id % 7 as k", "md5(cast(id as string)) as h",
+          "transform(sequence(0, 3), i -> i * id) as arr")
+        .selectExpr("k", "h", "aggregate(arr, 0L, (a, x) -> a + x) as s",
+          "row_number() over (partition by k order by h) as rn")
+        .where("rn <= 2")
+        .write.format("noop").mode("overwrite").save()
+      // First touch of a parquet file pays file-index/footer/codec init
+      // (~2s even for a 600 KB table) — warm every fixture table once so
+      // per-query times measure the operators, not cold IO setup.
+      Tables.names.foreach { t =>
+        try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces full computation of every column (count() would

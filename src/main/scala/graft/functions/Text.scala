@@ -38,28 +38,52 @@ object Text {
   def minhash(elems: Column, seed: Int): Column =
     array_min(transform(elems, e => md5(concat(lit(s"$seed|"), e))))
 
+  /** md5 digests of each element — the one-hash-pass base for the banded
+    * MinHash below. Materialize this ONCE in its own projection; the band
+    * extractors are then cheap substring folds over the digest array.
+    * (Higher-order functions are interpreted, not codegen'd, so an inlined
+    * digest expression would re-hash every element once per band.) */
+  def digests(elems: Column): Column = transform(elems, e => md5(e))
+
+  /** MinHash band `b` (1-based) from precomputed digests: min over the
+    * b-th disjoint 8-hex-char (32-bit) slice of each element's md5 — the
+    * standard "k independent min-hashes from one strong hash" construction
+    * (disjoint bit ranges => independent band functions), at 1 hash per
+    * element instead of `bands` hashes. Supports b in 1..4. */
+  def minhashBand(dg: Column, b: Int): Column = {
+    require(b >= 1 && b <= 4, s"md5 yields 4 disjoint 32-bit slices, got band $b")
+    array_min(transform(dg, d => substring(d, 1 + 8 * (b - 1), 8)))
+  }
+
   /** Document fingerprint: md5 of the lowercased, whitespace-normalized
     * text — the rolling-hash dedup key, exact under formatting noise. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
   /** SimHash over the hex-nibble bits of each token's md5: bit i of the
-    * result is the majority vote of bit 3 of hex digit i across tokens
-    * (i.e. whether md5(tok)[i] >= '8'). 32-bit value as a long; built from
-    * arithmetic only, so the DuckDB oracle can reproduce it exactly.
+    * result is the majority vote of bit 3 of hex digit i+1 across tokens
+    * (i.e. whether md5(tok)[i] >= '8' — hex chars 8,9,a-f sort above "8",
+    * so a plain string compare tests the top bit). 32-bit value as a long;
+    * arithmetic only, so the DuckDB oracle reproduces it exactly.
     *
-    * md5 is computed ONCE per token (transform), then the 32 bit-votes
-    * fold over the precomputed digests — not 32 re-hashes per token.
+    * Single fold: ONE md5 per token, then one aggregate accumulating all
+    * 32 bit-counters as an array (higher-order functions are interpreted,
+    * so 32 separate folds would re-hash every token 32 times).
     */
-  def simhash(toks: Column): Column = {
-    val digests = transform(toks, t => md5(t))
-    val hexOnes = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val votes = (0 until 32).map { i =>
-      val ones = aggregate(
-        digests, lit(0),
-        (acc, d) => acc + when(substring(d, i + 1, 1).isin(hexOnes: _*), 1).otherwise(0))
-      when(ones * 2 > size(toks), lit(1L << i)).otherwise(lit(0L))
-    }
-    votes.reduce(_ + _)
+  def simhash(toks: Column): Column = simhashFromDigests(digests(toks))
+
+  /** SimHash from precomputed per-token digests (see `digests`). */
+  def simhashFromDigests(dg: Column): Column = {
+    val idx = sequence(lit(1), lit(32))
+    val counts = aggregate(
+      dg,
+      array_repeat(lit(0), 32),
+      (acc, d) => zip_with(acc, idx,
+        (a, i) => a + when(call_function("substr", d, i, lit(1)) >= "8", 1).otherwise(0)))
+    val powers = array((0 until 32).map(i => lit(1L << i)): _*)
+    aggregate(
+      zip_with(counts, powers, (c, p) => when(c * 2 > size(dg), p).otherwise(0L)),
+      lit(0L),
+      (acc, v) => acc + v)
   }
 }

@@ -50,37 +50,53 @@ object TextOps {
       |      ORDER BY doc_id) AS rn
       |  FROM documents) WHERE rn = 1""".stripMargin
 
-  /** Shared MinHash signature frame: doc_id, band (1..4), sig. */
+  /** Shared MinHash signature frame: doc_id, band (1..4), sig.
+    *
+    * Two-stage projection on purpose: the digest array is materialized by
+    * its own project and referenced 4 times by the band extractors —
+    * Catalyst keeps the stages separate (CollapseProject won't duplicate a
+    * non-cheap alias), so every shingle is hashed exactly once. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tk = Text.tokens($"text")
-    val sh = Text.shingles(tk, 5)
     docs(s, dir)
+      // tokens staged separately: the shingle builder references its token
+      // input 3x (size guard, sequence bound, slice) and the slice runs
+      // once PER shingle — inlined, that would re-split the text ~n_shingle
+      // times per document (HOFs evaluate interpreted, no CSE).
+      .select($"doc_id", Text.tokens($"text").as("tk"))
+      .select($"doc_id", Text.digests(Text.shingles($"tk", 5)).as("dg"))
       .select($"doc_id",
-        posexplode(array((1 to 4).map(b => Text.minhash(sh, b)): _*)))
+        posexplode(array((1 to 4).map(b => Text.minhashBand($"dg", b)): _*)))
       .select($"doc_id", ($"pos" + 1).as("band"), $"col".as("sig"))
       .filter($"sig".isNotNull)
   }
   private def minhashSigsSql: String =
     s"""SELECT doc_id, band,
-       |  list_aggregate(list_transform(sh, x -> md5(CAST(band AS VARCHAR) || '|' || x)), 'min') AS sig
-       |FROM (SELECT doc_id, ${dShingles(dTok, 5)} AS sh FROM documents),
+       |  list_aggregate(list_transform(dg, d -> substring(d, 1 + 8 * (band - 1), 8)), 'min') AS sig
+       |FROM (SELECT doc_id, list_transform(${dShingles(dTok, 5)}, x -> md5(x)) AS dg FROM documents),
        |     (SELECT unnest([1, 2, 3, 4]) AS band)
-       |WHERE list_aggregate(list_transform(sh, x -> md5(CAST(band AS VARCHAR) || '|' || x)), 'min') IS NOT NULL""".stripMargin
+       |WHERE list_aggregate(list_transform(dg, d -> substring(d, 1 + 8 * (band - 1), 8)), 'min') IS NOT NULL""".stripMargin
 
   // -- q21: MinHash band signatures (LSH) --
   private val q21: Q = (s, dir) => minhashSigs(s, dir)
   private val q21Sql = minhashSigsSql
 
-  // -- q22: near-dup candidate pairs via banded self-join on (band, sig) --
+  // -- q22: near-dup candidate pairs via banded LSH bucket grouping --
+  // One shuffle (groupBy band+sig), pairs generated inside each bucket;
+  // the signature frame is computed ONCE (a self-join would compute it
+  // twice and shuffle both copies). Bucket sizes are LSH-bounded, so the
+  // collect_list stays small at any scale; skewed buckets (boilerplate
+  // dups) are exactly the docs a dedup wants to find anyway.
   private val q22: Q = (s, dir) => {
     import s.implicits._
-    val sigs = minhashSigs(s, dir)
-    val a = sigs.toDF("doc_a", "band", "sig")
-    val b = sigs.toDF("doc_b", "band", "sig")
-    a.join(b, Seq("band", "sig"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b")
+    minhashSigs(s, dir)
+      .groupBy($"band", $"sig")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(flatten(transform($"ids", (a, i) =>
+        transform(slice($"ids", i + 2, size($"ids")),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select($"p.doc_a", $"p.doc_b")
       .distinct()
   }
   private val q22Sql =
@@ -90,9 +106,14 @@ object TextOps {
        |WHERE a.doc_id < b.doc_id""".stripMargin
 
   // -- q23: SimHash fingerprints --
+  // Staged like q21: digests materialized once, the 32-bit fold runs over
+  // the precomputed array (HOFs are interpreted — an inlined digest
+  // expression would re-tokenize and re-hash per reference).
   private val q23: Q = (s, dir) => {
     import s.implicits._
-    docs(s, dir).select($"doc_id", Text.simhash(Text.tokens($"text")).as("simhash"))
+    docs(s, dir)
+      .select($"doc_id", Text.digests(Text.tokens($"text")).as("dg"))
+      .select($"doc_id", Text.simhashFromDigests($"dg").as("simhash"))
   }
   private val q23Sql = {
     val hexOnes = "('8','9','a','b','c','d','e','f')"
@@ -126,13 +147,15 @@ object TextOps {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
   private val q25: Q = (s, dir) => {
     import s.implicits._
-    val tk = Text.tokens($"text")
-    docs(s, dir).select(
-      $"doc_id",
-      size(tk).cast("long").as("n_tokens"),
-      size(array_distinct(tk)).cast("long").as("n_uniq"),
-      (size(filter(tk, t => t.isin(stopwords: _*))).cast("double") / size(tk)).as("stop_ratio"),
-      (size(array_distinct(tk)).cast("double") / size(tk)).as("ttr"))
+    val tk = $"tk"
+    docs(s, dir)
+      .select($"doc_id", Text.tokens($"text").as("tk")) // staged: 6 refs below
+      .select(
+        $"doc_id",
+        size(tk).cast("long").as("n_tokens"),
+        size(array_distinct(tk)).cast("long").as("n_uniq"),
+        (size(filter(tk, t => t.isin(stopwords: _*))).cast("double") / size(tk)).as("stop_ratio"),
+        (size(array_distinct(tk)).cast("double") / size(tk)).as("ttr"))
   }
   private val q25Sql = {
     val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -150,15 +173,15 @@ object TextOps {
     "es" -> Seq("el", "los", "una", "y"))
   private val q26: Q = (s, dir) => {
     import s.implicits._
-    val tk = Text.tokens($"text")
-    def score(ws: Seq[String]): Column = size(filter(tk, t => t.isin(ws: _*)))
+    def score(ws: Seq[String]): Column = size(filter($"tk", t => t.isin(ws: _*)))
     val Seq(en, de, fr, es) = markers.map { case (_, ws) => score(ws) }
     val pred = when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
       .otherwise("es")
-    docs(s, dir).select($"doc_id", pred.as("pred"), $"lang",
-      (pred === $"lang").as("agree"))
+    docs(s, dir)
+      .select($"doc_id", $"lang", Text.tokens($"text").as("tk")) // staged: 8 score refs
+      .select($"doc_id", pred.as("pred"), $"lang", (pred === $"lang").as("agree"))
   }
   private val q26Sql = {
     def sc(ws: Seq[String]) =
@@ -180,8 +203,9 @@ object TextOps {
   // -- q27: n-gram Jaccard similarity (all-pairs demo, capped id range) --
   private val q27: Q = (s, dir) => {
     import s.implicits._
-    val sh = array_distinct(Text.shingles(Text.tokens($"text"), 3))
-    val base = docs(s, dir).filter($"doc_id" < 200).select($"doc_id", sh.as("sh"))
+    val base = docs(s, dir).filter($"doc_id" < 200)
+      .select($"doc_id", Text.tokens($"text").as("tk")) // staged for the shingle slicer
+      .select($"doc_id", array_distinct(Text.shingles($"tk", 3)).as("sh"))
     val a = base.toDF("doc_a", "sh_a")
     val b = base.toDF("doc_b", "sh_b")
     a.join(b, $"doc_a" < $"doc_b")

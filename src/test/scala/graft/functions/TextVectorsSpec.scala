@@ -37,6 +37,17 @@ class TextVectorsSpec extends SparkSpec {
     assert(rows(0).getString(0) != rows(0).getString(1)) // different seeds differ
   }
 
+  test("minhashBand: disjoint md5 slices; equal sets share all bands") {
+    val df = Seq("x y z w v", "x y z w v").toDF("t")
+      .select(Text.digests(Text.shingles(Text.tokens($"t"), 2)).as("dg"))
+      .select((1 to 4).map(b => Text.minhashBand($"dg", b).as(s"b$b")): _*)
+    val rows = df.collect()
+    assert(rows(0) == rows(1))
+    val sigs = (0 until 4).map(rows(0).getString)
+    assert(sigs.distinct.length == 4)      // bands are different functions
+    assert(sigs.forall(_.length == 8))     // 32-bit hex slices
+  }
+
   test("simhash: deterministic, equal for equal token multisets, 32-bit range") {
     val hs = Seq("alpha beta gamma", "alpha beta gamma", "delta epsilon")
       .toDF("t").select(Text.simhash(Text.tokens($"t"))).as[Long].collect()

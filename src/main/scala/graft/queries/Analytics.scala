@@ -231,6 +231,89 @@ object Analytics {
       |  count(*) AS n, round(sum(value), 2) AS total
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // -- q14: T5 batch append — unionByName across differing column sets --
+  private val q14: Q = (s, dir) => {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val a = li.filter($"l_orderkey" % 3 === 0)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    val b = li.filter($"l_orderkey" % 3 === 1)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+    a.unionByName(b, allowMissingColumns = true)
+  }
+  private val q14Sql =
+    """SELECT l_orderkey, l_partkey, l_quantity, NULL::DOUBLE AS l_extendedprice
+      |FROM lineitem WHERE l_orderkey % 3 = 0
+      |UNION ALL
+      |SELECT l_orderkey, NULL::BIGINT AS l_partkey, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_orderkey % 3 = 1""".stripMargin
+
+  // -- q15: anti join — parts never ordered --
+  private val q15: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "part")
+      .join(t(s, dir, "lineitem"), $"p_partkey" === $"l_partkey", "left_anti")
+      .select($"p_partkey", $"p_name")
+  }
+  private val q15Sql =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)""".stripMargin
+
+  // -- q16: semi join — customers having at least one order --
+  private val q16: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_mktsegment")
+  }
+  private val q16Sql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin
+
+  // -- q17: left outer join + agg preserving zero-order customers --
+  private val q17: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"),
+        round(sum(coalesce($"o_totalprice", lit(0.0))), 2).as("total"))
+  }
+  private val q17Sql =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |  round(sum(coalesce(o_totalprice, 0)), 2) AS total
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey""".stripMargin
+
+  // -- q18: cube over order priority x status --
+  private val q18: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+  }
+  private val q18Sql =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin
+
+  // -- q19: running per-customer revenue (cumulative window) --
+  private val q19: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        round(sum($"o_totalprice").over(w), 2).as("running_total"))
+  }
+  private val q19Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  round(sum(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
@@ -245,6 +328,12 @@ object Analytics {
     "q11_json_props_agg" -> q11,
     "q12_sessionize" -> q12,
     "q13_hourly_buckets" -> q13,
+    "q14_union_append" -> q14,
+    "q15_anti_unordered_parts" -> q15,
+    "q16_semi_active_customers" -> q16,
+    "q17_leftjoin_order_counts" -> q17,
+    "q18_cube_priority_status" -> q18,
+    "q19_running_revenue" -> q19,
   )
 
   val oracle: Map[String, String] = Map(
@@ -261,5 +350,11 @@ object Analytics {
     "q11_json_props_agg" -> q11Sql,
     "q12_sessionize" -> q12Sql,
     "q13_hourly_buckets" -> q13Sql,
+    "q14_union_append" -> q14Sql,
+    "q15_anti_unordered_parts" -> q15Sql,
+    "q16_semi_active_customers" -> q16Sql,
+    "q17_leftjoin_order_counts" -> q17Sql,
+    "q18_cube_priority_status" -> q18Sql,
+    "q19_running_revenue" -> q19Sql,
   )
 }

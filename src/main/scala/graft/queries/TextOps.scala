@@ -225,6 +225,25 @@ object TextOps {
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
        |    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2""".stripMargin
 
+  // -- q28: BPE-ish subword frequency table (token counting for LLM prep) --
+  // explode + groupBy.count is the canonical distributed term-count: the
+  // map side pre-aggregates, so the shuffle carries (token, partial n),
+  // not the exploded rows.
+  private val q28: Q = (s, dir) => {
+    import s.implicits._
+    docs(s, dir)
+      .select(explode(Text.bpeTokens($"text")).as("tok"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok".asc)
+      .limit(50)
+  }
+  private val q28Sql =
+    """SELECT tok, count(*) AS n FROM (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS tok
+      |  FROM documents)
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -234,6 +253,7 @@ object TextOps {
     "q25_quality_signals" -> q25,
     "q26_langid" -> q26,
     "q27_ngram_jaccard" -> q27,
+    "q28_bpe_token_freq" -> q28,
   )
 
   val oracle: Map[String, String] = Map(
@@ -245,5 +265,6 @@ object TextOps {
     "q25_quality_signals" -> q25Sql,
     "q26_langid" -> q26Sql,
     "q27_ngram_jaccard" -> q27Sql,
+    "q28_bpe_token_freq" -> q28Sql,
   )
 }

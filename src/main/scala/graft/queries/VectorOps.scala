@@ -97,15 +97,45 @@ object VectorOps {
        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |WHERE cos >= 0.3""".stripMargin
 
+  // -- q33: IVF-style coarse quantizer — nearest-centroid assignment --
+  // The IVF scale path for ANN: a small centroid set broadcasts to every
+  // executor (map-side nested loop, no corpus shuffle), each vector gets
+  // its inverted-list id, and subsequent searches probe only matching
+  // lists. Centroids here are a deterministic sample (vec_id < 16) so the
+  // DuckDB oracle reproduces the assignment exactly; at scale they'd come
+  // from k-means, which only changes how the centroid frame is built.
+  private val q33: Q = (s, dir) => {
+    import s.implicits._
+    val c = emb(s, dir).filter($"vec_id" < 16)
+      .select($"vec_id".as("c_id"), $"embedding".as("c_emb"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"c_id".asc)
+    emb(s, dir).join(broadcast(c))
+      .select($"vec_id", $"c_id", Vectors.cosine($"embedding", $"c_emb").as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"c_id".as("centroid"), round($"cos", 6).as("cos"))
+  }
+  private val q33Sql =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |           FROM embeddings WHERE vec_id < 16),
+       |p AS (SELECT vec_id, c_id, ${dCos("embedding", "c_emb")} AS cos
+       |      FROM embeddings CROSS JOIN c)
+       |SELECT vec_id, c_id AS centroid, round(cos, 6) AS cos FROM (
+       |  SELECT vec_id, c_id, cos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+       |  FROM p) WHERE rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_cosine_topk" -> q30,
     "q31_lsh_buckets" -> q31,
     "q32_embed_neardup" -> q32,
+    "q33_ivf_assign" -> q33,
   )
 
   val oracle: Map[String, String] = Map(
     "q30_cosine_topk" -> q30Sql,
     "q31_lsh_buckets" -> q31Sql,
     "q32_embed_neardup" -> q32Sql,
+    "q33_ivf_assign" -> q33Sql,
   )
 }

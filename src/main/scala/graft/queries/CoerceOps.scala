@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{Lenient, Text}
-import graft.operators.{Coerce, Flatten}
+import graft.operators.{Coerce, Flatten, Multimodal}
 import graft.sources.EsMapping
 
 /** Registered queries exercising the reference-parity transform surface
@@ -137,6 +137,31 @@ object CoerceOps {
       |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS fake_height
       |FROM documents""".stripMargin
 
+  // -- q46: multimodal decode stage (mapPartitions, stub codec) --
+  // The features flow through the real per-partition decode path
+  // (Multimodal.imageFeatures); the stub codec derives dimensions from
+  // byte length, which is what makes the stage oracle-checkable. img_mean
+  // (computed from payload bytes) is not SQL-portable and is projected
+  // out here; MultimodalSpec asserts it in Scala.
+  private val q46: Q = (s, dir) => {
+    import s.implicits._
+    val bin = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    Multimodal.imageFeatures(bin, "payload")
+      .select($"doc_id",
+        $"img_width".cast("long").as("img_width"),
+        $"img_height".cast("long").as("img_height"),
+        $"img_channels".cast("long").as("img_channels"),
+        Multimodal.frameCount($"payload", 4096).as("n_frames"))
+  }
+  private val q46Sql =
+    """SELECT doc_id,
+      |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS img_width,
+      |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS img_height,
+      |  CAST(3 AS BIGINT) AS img_channels,
+      |  CAST(ceil(octet_length(encode(text)) / 4096.0) AS BIGINT) AS n_frames
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_lenient_long" -> q40,
     "q41_lenient_timestamp" -> q41,
@@ -144,6 +169,7 @@ object CoerceOps {
     "q43_flatten" -> q43,
     "q44_es_mapping_coerce" -> q44,
     "q45_binary_meta" -> q45,
+    "q46_multimodal_features" -> q46,
   )
 
   val oracle: Map[String, String] = Map(
@@ -153,5 +179,6 @@ object CoerceOps {
     "q43_flatten" -> q43Sql,
     "q44_es_mapping_coerce" -> q44Sql,
     "q45_binary_meta" -> q45Sql,
+    "q46_multimodal_features" -> q46Sql,
   )
 }

@@ -3,18 +3,27 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over ArrayType columns, built from codegen'd built-ins
-  * (zip_with/aggregate) — no UDFs, so the similarity operators stay inside
+/** Dense-vector math over ArrayType columns — no UDFs; the dot product is
+  * a native Catalyst expression with codegen (graft.functions.VecDot), so
+  * the similarity operators run as a tight primitive loop inside
   * whole-stage codegen and scale linearly with partition count.
   *
-  * Precision contract: elements are cast to double up front and the fold is
-  * a strict left-to-right double sum, so results are bit-reproducible for a
+  * Precision contract: elements are widened to double and the fold is a
+  * strict left-to-right double sum, so results are bit-reproducible for a
   * given element order (required for DuckDB-oracle hash parity).
   */
 object Vectors {
 
-  /** Sequential left-fold dot product of two equal-length numeric arrays. */
+  /** Sequential left-fold dot product of two equal-length numeric arrays
+    * (codegen'd VecDot; `dotComposable` is the built-ins-only fallback).
+    * Resolves through the function registry — sessions built via
+    * GraftSession have it injected; others call VecDot.ensureRegistered. */
   def dot(a: Column, b: Column): Column =
+    call_function(VecDot.name, a, b)
+
+  /** Same semantics from composable built-ins (interpreted HOFs) — kept as
+    * the portability fallback and as the differential-test witness. */
+  def dotComposable(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

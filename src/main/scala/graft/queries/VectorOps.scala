@@ -23,7 +23,10 @@ import graft.functions.Vectors
 object VectorOps {
 
   type Q = (SparkSession, String) => DataFrame
-  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+  private def emb(s: SparkSession, dir: String) = {
+    graft.functions.VecDot.ensureRegistered(s) // no-op on GraftSession-built sessions
+    Tables.load(s, dir, "embeddings")
+  }
 
   /** DuckDB-side double dot product identical to Vectors.dot. */
   private def dDot(a: String, b: String): String =

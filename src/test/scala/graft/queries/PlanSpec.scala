@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+/** Plan-shape assertions: the 100 TB properties each headline query
+  * relies on (scan pruning, filter pushdown, broadcast vs shuffle joins,
+  * bounded shuffle counts) pinned as regression tests. A wrong plan that
+  * still returns right answers at sf0.01 is exactly the bug class the
+  * oracle can't catch.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan
+
+  private def collectAll[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] = {
+    // AQE wraps subtrees; walk through the wrappers
+    val expanded = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    (p +: expanded).flatMap(_.collect(f))
+  }
+
+  private def scans(name: String): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    collectAll(plan(name)) { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+
+  test("q01: filter and projection reach the parquet scan") {
+    val Seq(scan) = scans("q01_filter_project")
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(l_quantity,45.0)"))
+    // only the referenced columns are read, not all 11
+    assert(scan.requiredSchema.fieldNames.toSet ==
+      Set("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"))
+  }
+
+  test("q04: all three dimension joins broadcast; no cartesian anywhere") {
+    val p = plan("q04_revenue_nation")
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 3, s"expected customer/nation/region to broadcast, got ${bhj.size}")
+    assert(collectAll(p) { case c if c.nodeName.contains("CartesianProduct") => c }.isEmpty)
+  }
+
+  test("q22: near-dup pairs stay within two shuffles (bucket group + distinct)") {
+    val p = plan("q22_neardup_pairs")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2, s"LSH path must not shuffle more than twice, got ${shuffles.size}")
+    assert(collectAll(p) { case j if j.nodeName.contains("SortMergeJoin") => j }.isEmpty,
+      "pair generation must come from bucket grouping, not a self-join")
+  }
+
+  test("q30: corpus is never shuffled — query set broadcasts") {
+    val p = plan("q30_cosine_topk")
+    assert(collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty
+      || collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty)
+    // the only exchange allowed is the window's partition-by-query shuffle
+    val shuffles = collectAll(p) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1, s"got ${shuffles.size} shuffles")
+  }
+
+  test("q27: the id cap is pushed into both scan sides") {
+    val pushed = scans("q27_ngram_jaccard").map(_.metadata("PushedFilters"))
+    assert(pushed.nonEmpty && pushed.forall(_.contains("LessThan(doc_id,200)")))
+  }
+
+  test("q03: aggregation is partial (map-side combine) before its shuffle") {
+    val s = plan("q03_agg_pricing").toString
+    assert(s.contains("HashAggregate"))
+    // partial + final pair means the shuffle carries pre-aggregated rows
+    assert("HashAggregate".r.findAllIn(s).size >= 2)
+  }
+}

@@ -21,7 +21,13 @@ object DumpJob {
       sink: Sink.Config = Sink.Config())
 
   sealed trait Result { def table: String }
-  case class Written(table: String, files: Seq[String]) extends Result
+
+  /** `warnings` is the reference's per-index "msg [N documents]" flush
+    * (dump-es-parquet:304-305): per target field, how many present input
+    * values the lenient coercion nulled. Empty when no schema was applied
+    * or nothing was lost. */
+  case class Written(table: String, files: Seq[String],
+                     warnings: Map[String, Long] = Map.empty) extends Result
   case class Failed(table: String, error: Throwable) extends Result
 
   def transform(df: DataFrame, config: Config): DataFrame = {
@@ -37,11 +43,23 @@ object DumpJob {
   def run(spark: SparkSession, srcDir: String, outDir: String, config: Config): Seq[Result] =
     Tables.resolve(config.pattern).map { table =>
       try {
-        val df = transform(Tables.load(spark, srcDir, table), config)
+        val raw = Tables.load(spark, srcDir, table)
+        val (coerced, obs) = config.schema match {
+          case Some(s) =>
+            val o = org.apache.spark.sql.Observation(s"graft_coerce_$table")
+            val (df, attached) = Coerce.withObservation(s, o)(raw)
+            (df, if (attached) Some(o) else None)
+          case None => (raw, None)
+        }
+        val df = if (config.flatten) Flatten(coerced) else coerced
         val files =
           if (config.rawJson) Sink.writeRawJson(df, s"$outDir/$table", table, config.sink)
           else Sink.write(df, s"$outDir/$table", table, config.sink)
-        Written(table, files)
+        // the write was the observed action, so get() returns immediately
+        val warnings = obs.map(_.get.collect {
+          case (k, v: Long) if v > 0 => k -> v
+        }).getOrElse(Map.empty)
+        Written(table, files, warnings)
       } catch {
         case e: Throwable => Failed(table, e)
       }

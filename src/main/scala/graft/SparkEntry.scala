@@ -20,7 +20,7 @@ object SparkEntry {
         pattern = "lineitem",
         flatten = true,
         sink = Sink.Config(format = "parquet", maxRecordsPerFile = 2000)))
-    val written = results.collect { case DumpJob.Written(_, files) => files }.flatten
+    val written = results.collect { case w: DumpJob.Written => w.files }.flatten
     require(written.nonEmpty, s"dump produced no files: $results")
     spark.read.parquet(s"$out/lineitem")
   }

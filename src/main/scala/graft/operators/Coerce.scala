@@ -81,7 +81,23 @@ object Coerce {
     * counters, flushed once per table). Read back via
     * `QueryExecution.observedMetrics` or a QueryExecutionListener.
     */
-  def withMetrics(target: StructType, metricName: String = "graft_coerce")(df: DataFrame): DataFrame = {
+  def withMetrics(target: StructType, metricName: String = "graft_coerce")(df: DataFrame): DataFrame =
+    build(target, df, w => cs => w.observe(metricName, cs.head, cs.tail: _*))
+
+  /** Like [[withMetrics]] but bound to an [[org.apache.spark.sql.Observation]]:
+    * the caller can block on `obs.get` after its action and read the
+    * counters directly (how DumpJob flushes per-table warnings). Returns
+    * the coerced frame and whether the observation was attached (no
+    * overlapping fields -> nothing to count -> `obs.get` would hang). */
+  def withObservation(target: StructType, obs: org.apache.spark.sql.Observation)(
+      df: DataFrame): (DataFrame, Boolean) = {
+    var attached = false
+    val out = build(target, df, w => cs => { attached = true; w.observe(obs, cs.head, cs.tail: _*) })
+    (out, attached)
+  }
+
+  private def build(target: StructType, df: DataFrame,
+                    attach: DataFrame => Seq[Column] => DataFrame): DataFrame = {
     val srcFields = df.schema.fields.map(f => f.name -> f).toMap
     // keep source and coerced columns side by side so the metrics can
     // compare "input present, output lost" per field, then project down
@@ -99,9 +115,7 @@ object Coerce {
                  col(s"`__coerced_${tf.name}`").isNull, 1L).otherwise(0L))
           .as(s"null_${tf.name}")
     }
-    val observed =
-      if (counters.isEmpty) wide
-      else wide.observe(metricName, counters.head, counters.tail: _*)
+    val observed = if (counters.isEmpty) wide else attach(wide)(counters)
     observed.select(target.fields.toSeq.map(tf =>
       col(s"`__coerced_${tf.name}`").as(tf.name)): _*)
   }

@@ -314,6 +314,24 @@ object Analytics {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
       |FROM orders""".stripMargin
 
+  // -- q34: salted two-phase aggregation over hot keys --
+  // l_returnflag has 3 distinct values, so a plain groupBy funnels 1/3 of
+  // the table through each of 3 reducers regardless of cluster size; the
+  // salted form (graft.operators.Skew) spreads each hot key over 16
+  // partial groups first. Results are exactly re-aggregable, so the
+  // oracle is the plain GROUP BY.
+  private val q34: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Skew.saltedSumCount(
+      t(s, dir, "lineitem"),
+      keys = Seq($"l_returnflag"), saltBy = $"l_orderkey", salts = 16,
+      value = $"l_quantity", sumAlias = "sum_qty", cntAlias = "n")
+      .select($"l_returnflag", $"sum_qty", $"n")
+  }
+  private val q34Sql =
+    """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
@@ -334,6 +352,7 @@ object Analytics {
     "q17_leftjoin_order_counts" -> q17,
     "q18_cube_priority_status" -> q18,
     "q19_running_revenue" -> q19,
+    "q34_salted_hotkey_agg" -> q34,
   )
 
   val oracle: Map[String, String] = Map(
@@ -356,5 +375,6 @@ object Analytics {
     "q17_leftjoin_order_counts" -> q17Sql,
     "q18_cube_priority_status" -> q18Sql,
     "q19_running_revenue" -> q19Sql,
+    "q34_salted_hotkey_agg" -> q34Sql,
   )
 }

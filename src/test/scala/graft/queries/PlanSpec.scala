@@ -64,6 +64,17 @@ class PlanSpec extends SparkSpec {
     assert(pushed.nonEmpty && pushed.forall(_.contains("LessThan(doc_id,200)")))
   }
 
+  test("q34: salted aggregation shuffles on (key, salt) first, then key") {
+    val p = plan("q34_salted_hotkey_agg")
+    // Catalyst renames the salt alias to _groupingexpression, so assert
+    // the shape: one exchange on (key, <salt expr>), one on key alone.
+    val parts = collectAll(p) { case e: ShuffleExchangeLike =>
+      e.outputPartitioning.asInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        .expressions.size
+    }
+    assert(parts.sorted == Seq(1, 2), s"expected (key,salt) then (key) exchanges, got $parts")
+  }
+
   test("q03: aggregation is partial (map-side combine) before its shuffle") {
     val s = plan("q03_agg_pricing").toString
     assert(s.contains("HashAggregate"))

@@ -72,9 +72,23 @@ class SinkSpec extends SparkSpec {
     val results = DumpJob.run(spark, sf(), out,
       DumpJob.Config(pattern = "nation", flatten = true,
         sink = Sink.Config(format = "parquet")))
-    assert(results.collect { case DumpJob.Written(t, fs) => t -> fs.nonEmpty }
+    assert(results.collect { case w: DumpJob.Written => w.table -> w.files.nonEmpty }
       .toMap == Map("nation" -> true))
     assert(spark.read.parquet(s"$out/nation").count() ==
       spark.read.parquet(sf() + "/nation.parquet").count())
+  }
+
+  test("DumpJob: coercion losses surface as per-table warnings (T6 flush)") {
+    import org.apache.spark.sql.types._
+    val out = tmp()
+    // nation's n_name (strings) cannot coerce to long -> every present
+    // value is counted lost; n_nationkey coerces cleanly -> no warning
+    val target = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", LongType)))
+    val results = DumpJob.run(spark, sf(), out,
+      DumpJob.Config(pattern = "nation", schema = Some(target)))
+    val Seq(w: DumpJob.Written) = results
+    val n = spark.read.parquet(sf() + "/nation.parquet").count()
+    assert(w.warnings == Map("null_n_name" -> n))
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.StructType
 import graft.operators.{Coerce, Flatten}
 import graft.sinks.Sink
@@ -15,10 +16,33 @@ object DumpJob {
 
   case class Config(
       pattern: String = "*",
+      query: Option[String] = None,      // P1, reference --query (SQL expr
+                                         // here; a live ES source would
+                                         // push a Lucene query string)
+      fields: Seq[String] = Nil,         // P2, reference --fields (globs)
+      sort: Seq[String] = Nil,           // P3, reference --sort field:dir
       schema: Option[StructType] = None, // None = schema-on-read passthrough
       flatten: Boolean = false,          // reference --flatten
       rawJson: Boolean = false,          // K3 passthrough mode
       sink: Sink.Config = Sink.Config())
+
+  /** P2 — expand field globs against actual columns, preserving table
+    * column order (the reference's `_source` wildcard filter,
+    * dump-es-parquet:69,386-387). */
+  def expandFields(all: Seq[String], globs: Seq[String]): Seq[String] = {
+    val rxs = globs.map(g => ("^" + java.util.regex.Pattern.quote(g)
+      .replace("*", "\\E.*\\Q") + "$").r)
+    all.filter(c => rxs.exists(_.findFirstIn(c).isDefined))
+  }
+
+  private def sortCols(sort: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    sort.map { s =>
+      s.split(":", 2) match {
+        case Array(f, "desc") => col(f).desc
+        case Array(f, _)      => col(f).asc
+        case Array(f)         => col(f).asc
+      }
+    }
 
   sealed trait Result { def table: String }
 
@@ -30,10 +54,23 @@ object DumpJob {
                      warnings: Map[String, Long] = Map.empty) extends Result
   case class Failed(table: String, error: Throwable) extends Result
 
+  /** The source-side pushdowns + transform chain (P1/P2 then T1/T3).
+    * Filter and projection sit directly over the scan, so Catalyst pushes
+    * them into the parquet reader (PushedFilters / ReadSchema); a live ES
+    * DSv2 source would translate them to query-string and _source params.
+    * Sort (P3) is applied at write time in [[run]], not here — a global
+    * orderBy is illegal in a streaming plan (StreamDump reuses this). */
   def transform(df: DataFrame, config: Config): DataFrame = {
+    val filtered = config.query.fold(df)(q => df.filter(expr(q)))
+    val projected =
+      if (config.fields.isEmpty) filtered
+      else {
+        val keep = expandFields(filtered.columns.toSeq, config.fields)
+        filtered.select(keep.map(c => col(s"`$c`")): _*)
+      }
     val coerced = config.schema match {
-      case Some(s) => Coerce.withMetrics(s)(df)
-      case None    => df
+      case Some(s) => Coerce.withMetrics(s)(projected)
+      case None    => projected
     }
     if (config.flatten) Flatten(coerced) else coerced
   }
@@ -43,7 +80,8 @@ object DumpJob {
   def run(spark: SparkSession, srcDir: String, outDir: String, config: Config): Seq[Result] =
     Tables.resolve(config.pattern).map { table =>
       try {
-        val raw = Tables.load(spark, srcDir, table)
+        val raw = transform(Tables.load(spark, srcDir, table),
+          config.copy(schema = None, flatten = false)) // P1/P2 only here
         val (coerced, obs) = config.schema match {
           case Some(s) =>
             val o = org.apache.spark.sql.Observation(s"graft_coerce_$table")
@@ -51,7 +89,10 @@ object DumpJob {
             (df, if (attached) Some(o) else None)
           case None => (raw, None)
         }
-        val df = if (config.flatten) Flatten(coerced) else coerced
+        val flat = if (config.flatten) Flatten(coerced) else coerced
+        // P3: output order is part of the dump contract (reference sorts
+        // source-side so scroll order is deterministic)
+        val df = if (config.sort.isEmpty) flat else flat.orderBy(sortCols(config.sort): _*)
         val files =
           if (config.rawJson) Sink.writeRawJson(df, s"$outDir/$table", table, config.sink)
           else Sink.write(df, s"$outDir/$table", table, config.sink)

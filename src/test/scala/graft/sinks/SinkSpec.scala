@@ -78,6 +78,24 @@ class SinkSpec extends SparkSpec {
       spark.read.parquet(sf() + "/nation.parquet").count())
   }
 
+  test("DumpJob: query/fields/sort pushdowns shape the dump (P1-P3)") {
+    val out = tmp()
+    val results = DumpJob.run(spark, sf(), out, DumpJob.Config(
+      pattern = "nation",
+      query = Some("n_regionkey >= 2"),
+      fields = Seq("n_n*"),           // glob: n_nationkey + n_name
+      sort = Seq("n_name:desc")))
+    assert(results.forall(_.isInstanceOf[DumpJob.Written]))
+    val back = spark.read.parquet(s"$out/nation")
+    assert(back.columns.toSeq == Seq("n_nationkey", "n_name"))
+    val src = spark.read.parquet(sf() + "/nation.parquet")
+      .filter("n_regionkey >= 2")
+    assert(back.count() == src.count())
+    // single output partition at this size -> file order is the sort order
+    val names = back.select("n_name").as[String].collect().toSeq
+    assert(names == names.sorted.reverse)
+  }
+
   test("DumpJob: coercion losses surface as per-table warnings (T6 flush)") {
     import org.apache.spark.sql.types._
     val out = tmp()

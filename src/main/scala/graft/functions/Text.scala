@@ -56,9 +56,23 @@ object Text {
   }
 
   /** Document fingerprint: md5 of the lowercased, whitespace-normalized
-    * text — the rolling-hash dedup key, exact under formatting noise. */
+    * text — the exact-dedup key, robust to formatting noise. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Rolling polynomial fingerprint over the token stream (Rabin-Karp
+    * family): h_i = (h_{i-1} * 31 + x_i) mod (2^31 - 1), where x_i is the
+    * leading 32 md5 bits of token i reduced mod the same prime. Order-
+    * sensitive (unlike the set-shaped MinHash), single sequential fold per
+    * document, empty doc -> 0. Every step stays far below long overflow,
+    * and the per-step mod makes the DuckDB oracle reproduce it exactly. */
+  val RollingMod: Long = 2147483647L
+
+  def rollingFingerprint(toks: Column): Column = {
+    val xs = transform(toks, t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long") % RollingMod)
+    aggregate(xs, lit(0L), (acc, x) => (acc * 31 + x) % RollingMod)
+  }
 
   /** SimHash over the hex-nibble bits of each token's md5: bit i of the
     * result is the majority vote of bit 3 of hex digit i+1 across tokens

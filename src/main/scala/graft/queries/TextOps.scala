@@ -244,6 +244,22 @@ object TextOps {
       |  FROM documents)
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin
 
+  // -- q29: rolling polynomial fingerprint (order-sensitive dedup key) --
+  private val q29: Q = (s, dir) => {
+    import s.implicits._
+    docs(s, dir)
+      .select($"doc_id", Text.tokens($"text").as("tk"))
+      .select($"doc_id", Text.rollingFingerprint($"tk").as("rfp"))
+  }
+  private val q29Sql =
+    s"""SELECT doc_id,
+       |  CASE WHEN len(tk) = 0 THEN 0
+       |       ELSE list_reduce(
+       |         list_transform(tk, t -> TRY_CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 2147483647),
+       |         (a, x) -> (a * 31 + x) % 2147483647)
+       |  END AS rfp
+       |FROM (SELECT doc_id, $dTok AS tk FROM documents)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -254,6 +270,7 @@ object TextOps {
     "q26_langid" -> q26,
     "q27_ngram_jaccard" -> q27,
     "q28_bpe_token_freq" -> q28,
+    "q29_rolling_fingerprint" -> q29,
   )
 
   val oracle: Map[String, String] = Map(
@@ -266,5 +283,6 @@ object TextOps {
     "q26_langid" -> q26Sql,
     "q27_ngram_jaccard" -> q27Sql,
     "q28_bpe_token_freq" -> q28Sql,
+    "q29_rolling_fingerprint" -> q29Sql,
   )
 }

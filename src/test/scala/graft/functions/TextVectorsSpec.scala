@@ -55,6 +55,15 @@ class TextVectorsSpec extends SparkSpec {
     assert(hs.forall(h => h >= 0 && h < (1L << 32)))
   }
 
+  test("rollingFingerprint: order-sensitive, deterministic, empty -> 0, in-range") {
+    val fps = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma", " ")
+      .toDF("t").select(Text.rollingFingerprint(Text.tokens($"t"))).as[Long].collect()
+    assert(fps(0) == fps(2))          // deterministic
+    assert(fps(0) != fps(1))          // order matters (unlike MinHash)
+    assert(fps(3) == 0L)              // empty token stream
+    assert(fps.forall(h => h >= 0 && h < Text.RollingMod))
+  }
+
   test("dot/norm/cosine: exact on known vectors") {
     val df = Seq((Seq(1f, 2f, 2f), Seq(2f, 4f, 4f))).toDF("a", "b")
     val r = df.select(

@@ -162,6 +162,22 @@ object CoerceOps {
       |  CAST(ceil(octet_length(encode(text)) / 4096.0) AS BIGINT) AS n_frames
       |FROM documents""".stripMargin
 
+  // -- q47: from_json over an EsMapping-derived schema (T1's structured
+  // JSON parse: PERMISSIVE mode nulls malformed docs instead of failing,
+  // the same log-and-null contract as the scalar coercions) --
+  private val q47: Q = (s, dir) => {
+    import s.implicits._
+    val (schema, _) = EsMapping.toStructType("""{"properties": {"k": {"type": "long"}}}""")
+    Tables.load(s, dir, "events")
+      .select($"event_id", from_json($"props", schema).as("p"))
+      .select($"event_id", $"p.k".as("k"), $"p".isNull.as("malformed"))
+  }
+  private val q47Sql =
+    """SELECT event_id,
+      |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  (TRY_CAST(props AS JSON) IS NULL) AS malformed
+      |FROM events""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_lenient_long" -> q40,
     "q41_lenient_timestamp" -> q41,
@@ -170,6 +186,7 @@ object CoerceOps {
     "q44_es_mapping_coerce" -> q44,
     "q45_binary_meta" -> q45,
     "q46_multimodal_features" -> q46,
+    "q47_from_json_schema" -> q47,
   )
 
   val oracle: Map[String, String] = Map(
@@ -180,5 +197,6 @@ object CoerceOps {
     "q44_es_mapping_coerce" -> q44Sql,
     "q45_binary_meta" -> q45Sql,
     "q46_multimodal_features" -> q46Sql,
+    "q47_from_json_schema" -> q47Sql,
   )
 }

@@ -15,9 +15,9 @@ object GraftSession {
     * builders with this, so the driver-contract entry points get the same
     * pins as library-created sessions. */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
-    // Custom codegen'd expressions (graft.functions.VecDot) register
-    // through the documented extensions hook.
-    .withExtensions(_.injectFunction(graft.functions.VecDot.description))
+    // Custom codegen'd expressions (VecDot, SimHash32, MinHashBands)
+    // register through the documented extensions hook.
+    .withExtensions(graft.functions.GraftFunctions.inject)
     .config("spark.sql.session.timeZone", "UTC")
     // Lenient coercions (graft.functions.Lenient) require null-on-failure
     // casts and element_at(empty)->null; Spark 4 defaults ANSI on.

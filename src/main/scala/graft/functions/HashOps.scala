@@ -1,0 +1,113 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-level kernels behind the native text-hash expressions (SimHash32,
+  * MinHashBands). Called from generated code via the object's static
+  * forwarders, so one MessageDigest drives a tight loop per row instead
+  * of one interpreted expression tree per token.
+  *
+  * Bit/byte semantics are pinned to the composable md5-hex forms in
+  * [[Text]] (and therefore to the DuckDB oracle): hex digit i of the
+  * digest >= '8' == the top bit of nibble i; band b compares the 8-hex-
+  * char (32-bit) slice starting at 8*b, which on raw bytes is bytes
+  * [4b, 4b+4) compared unsigned.
+  */
+object HashOps {
+
+  private val threadMd = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** SimHash over token md5s — bit i = majority of nibble i's top bit. */
+  def simhash32(toks: ArrayData): Long = {
+    val md = threadMd.get()
+    val n = toks.numElements()
+    val counts = new Array[Int](32)
+    var j = 0
+    while (j < n) {
+      if (!toks.isNullAt(j)) {
+        md.reset()
+        val d = md.digest(toks.getUTF8String(j).getBytes)
+        var i = 0
+        while (i < 32) {
+          val b = d(i >> 1)
+          val nib = if ((i & 1) == 0) (b >> 4) & 0xf else b & 0xf
+          if (nib >= 8) counts(i) += 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var r = 0L
+    var i = 0
+    while (i < 32) {
+      if (2L * counts(i) > n) r |= (1L << i)
+      i += 1
+    }
+    r
+  }
+
+  /** MinHash band signatures: word-shingles of `shingle` tokens joined by
+    * a single space, md5'd once, min per band over disjoint 4-byte digest
+    * slices (rendered as 8 lowercase hex chars, the composable format).
+    * Bands with no shingles (short docs) are null elements. */
+  def minhashBands(toks: ArrayData, shingle: Int, bands: Int): ArrayData = {
+    val n = toks.numElements()
+    val nsh = n - shingle + 1
+    val mins = new Array[Array[Byte]](bands) // per band: winning 4-byte slice
+    if (nsh > 0) {
+      val md = threadMd.get()
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < nsh) {
+        sb.setLength(0)
+        var k = 0
+        while (k < shingle) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + k).toString)
+          k += 1
+        }
+        md.reset()
+        val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+        var b = 0
+        while (b < bands) {
+          val off = 4 * b
+          if (mins(b) == null || compareUnsigned(d, off, mins(b)) < 0) {
+            val slice = new Array[Byte](4)
+            System.arraycopy(d, off, slice, 0, 4)
+            mins(b) = slice
+          }
+          b += 1
+        }
+        i += 1
+      }
+    }
+    val hex = "0123456789abcdef".toCharArray
+    new GenericArrayData(mins.map { m =>
+      if (m == null) null
+      else {
+        val out = new Array[Char](8)
+        var i = 0
+        while (i < 4) {
+          out(2 * i) = hex((m(i) >> 4) & 0xf)
+          out(2 * i + 1) = hex(m(i) & 0xf)
+          i += 1
+        }
+        UTF8String.fromString(new String(out))
+      }
+    }.asInstanceOf[Array[Any]])
+  }
+
+  private def compareUnsigned(d: Array[Byte], off: Int, min: Array[Byte]): Int = {
+    var i = 0
+    while (i < 4) {
+      val c = (d(off + i) & 0xff) - (min(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+}

@@ -86,6 +86,18 @@ object Text {
     */
   def simhash(toks: Column): Column = simhashFromDigests(digests(toks))
 
+  /** Native codegen'd SimHash (graft.functions.SimHash32): one static
+    * call per row. Value-identical to `simhash`; requires the function
+    * registered (GraftSession does; else GraftFunctions.ensureRegistered). */
+  def simhashNative(toks: Column): Column =
+    call_function(SimHash32.name, toks)
+
+  /** Native codegen'd MinHash band signatures: array of `bands` sigs from
+    * `shingle`-token shingles, null elements for short docs. Value-
+    * identical to `minhashBand(digests(shingles(tk, n)), b)` per band. */
+  def minhashBandsNative(toks: Column, shingle: Int, bands: Int): Column =
+    call_function(MinHashBands.name, toks, lit(shingle), lit(bands))
+
   /** SimHash from precomputed per-token digests (see `digests`). */
   def simhashFromDigests(dg: Column): Column = {
     val idx = sequence(lit(1), lit(32))

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd forms of the text-hash operators. The composable
+  * md5-hex versions in [[Text]] stay as the spec (and the DuckDB oracle
+  * mirrors them); these compile to a single static call per row
+  * (HashOps), removing the per-token interpreted-expression overhead that
+  * dominates SimHash/MinHash at scale. Differential tests pin native ==
+  * composable over the fixtures.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = SimHash32.name
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.simhash32(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simhash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash32 {
+  val name = "graft_simhash32"
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[SimHash32].getName, name),
+    (children: Seq[Expression]) => SimHash32(children.head))
+}
+
+/** array<string> tokens -> array of `bands` MinHash band signatures using
+  * `shingle`-token word shingles (null band elements for short docs). */
+case class MinHashBands(child: Expression, shingle: Int, bands: Int) extends UnaryExpression {
+  require(shingle >= 1 && bands >= 1 && bands <= 4,
+    "md5 yields 4 disjoint 32-bit band slices")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = MinHashBands.name
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.minhashBands(input.asInstanceOf[ArrayData], shingle, bands)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.minhashBands($c, $shingle, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashBands {
+  val name = "graft_minhash_bands"
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[MinHashBands].getName, name),
+    (children: Seq[Expression]) => {
+      def lit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$name: $what must be an integer literal, got $other")
+      }
+      MinHashBands(children.head, lit(children(1), "shingle size"), lit(children(2), "band count"))
+    })
+}

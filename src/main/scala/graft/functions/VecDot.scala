@@ -83,11 +83,7 @@ object VecDot {
     new ExpressionInfo(classOf[VecDot].getName, name),
     (children: Seq[Expression]) => VecDot(children(0), children(1)))
 
-  /** Idempotent per-session registration, for sessions not built through
-    * GraftSession.tune (which injects the function via extensions). */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = description
-    if (!spark.sessionState.functionRegistry.functionExists(id))
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  /** Idempotent per-session registration (delegates to the registry). */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftFunctions.ensureRegistered(spark)
 }

@@ -58,15 +58,14 @@ object TextOps {
     * non-cheap alias), so every shingle is hashed exactly once. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    // All four band signatures come from ONE native codegen'd call per
+    // document (shingle -> md5 once -> min per 32-bit digest slice);
+    // the composable staged form is kept in Text and pinned equal by
+    // TextVectorsSpec.
     docs(s, dir)
-      // tokens staged separately: the shingle builder references its token
-      // input 3x (size guard, sequence bound, slice) and the slice runs
-      // once PER shingle — inlined, that would re-split the text ~n_shingle
-      // times per document (HOFs evaluate interpreted, no CSE).
       .select($"doc_id", Text.tokens($"text").as("tk"))
-      .select($"doc_id", Text.digests(Text.shingles($"tk", 5)).as("dg"))
-      .select($"doc_id",
-        posexplode(array((1 to 4).map(b => Text.minhashBand($"dg", b)): _*)))
+      .select($"doc_id", posexplode(Text.minhashBandsNative($"tk", 5, 4)))
       .select($"doc_id", ($"pos" + 1).as("band"), $"col".as("sig"))
       .filter($"sig".isNotNull)
   }
@@ -105,15 +104,12 @@ object TextOps {
        |FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
        |WHERE a.doc_id < b.doc_id""".stripMargin
 
-  // -- q23: SimHash fingerprints --
-  // Staged like q21: digests materialized once, the 32-bit fold runs over
-  // the precomputed array (HOFs are interpreted — an inlined digest
-  // expression would re-tokenize and re-hash per reference).
+  // -- q23: SimHash fingerprints (native codegen'd expression) --
   private val q23: Q = (s, dir) => {
     import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
     docs(s, dir)
-      .select($"doc_id", Text.digests(Text.tokens($"text")).as("dg"))
-      .select($"doc_id", Text.simhashFromDigests($"dg").as("simhash"))
+      .select($"doc_id", Text.simhashNative(Text.tokens($"text")).as("simhash"))
   }
   private val q23Sql = {
     val hexOnes = "('8','9','a','b','c','d','e','f')"

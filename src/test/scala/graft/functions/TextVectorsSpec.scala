@@ -55,6 +55,27 @@ class TextVectorsSpec extends SparkSpec {
     assert(hs.forall(h => h >= 0 && h < (1L << 32)))
   }
 
+  test("differential: native SimHash32 equals the composable md5-hex fold over fixtures") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+      .select($"doc_id", Text.tokens($"text").as("tk"))
+    val diff = docs.select(
+      Text.simhashNative($"tk").as("native"),
+      Text.simhashFromDigests(Text.digests($"tk")).as("composed"))
+      .filter($"native" =!= $"composed")
+    assert(diff.count() == 0)
+  }
+
+  test("differential: native MinHashBands equals the composable band extractors") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+      .select($"doc_id", Text.tokens($"text").as("tk"))
+      .select($"doc_id", $"tk", Text.digests(Text.shingles($"tk", 5)).as("dg"))
+    val diff = docs.select(
+      Text.minhashBandsNative($"tk", 5, 4).as("native"),
+      array((1 to 4).map(b => Text.minhashBand($"dg", b)): _*).as("composed"))
+      .filter(to_json($"native") =!= to_json($"composed"))
+    assert(diff.count() == 0)
+  }
+
   test("rollingFingerprint: order-sensitive, deterministic, empty -> 0, in-range") {
     val fps = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma", " ")
       .toDF("t").select(Text.rollingFingerprint(Text.tokens($"t"))).as[Long].collect()

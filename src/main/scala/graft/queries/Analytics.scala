@@ -332,6 +332,44 @@ object Analytics {
     """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // -- q35: correlated scalar subquery (Catalyst decorrelates to a join) --
+  // Registered through the SQL surface on purpose: users of the library
+  // get spark.sql too, and the decorrelation rewrite (subquery -> agg +
+  // join) is exactly what makes this shape scale instead of re-running
+  // the inner query per row.
+  private val q35: Q = (s, dir) => {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders_v o
+      WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+                                FROM orders_v o2
+                                WHERE o2.o_custkey = o.o_custkey)""")
+  }
+  private val q35Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice)
+      |                          FROM orders o2
+      |                          WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
+  // -- q36: exact interpolated percentiles per group --
+  private val q36: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_quantity", lit(0.5)).as("med_qty"),
+        percentile($"l_quantity", lit(0.9)).as("p90_qty"),
+        round(percentile($"l_extendedprice", lit(0.25)), 2).as("p25_price"))
+  }
+  private val q36Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS med_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
@@ -353,6 +391,8 @@ object Analytics {
     "q18_cube_priority_status" -> q18,
     "q19_running_revenue" -> q19,
     "q34_salted_hotkey_agg" -> q34,
+    "q35_corr_subquery" -> q35,
+    "q36_percentiles" -> q36,
   )
 
   val oracle: Map[String, String] = Map(
@@ -376,5 +416,7 @@ object Analytics {
     "q18_cube_priority_status" -> q18Sql,
     "q19_running_revenue" -> q19Sql,
     "q34_salted_hotkey_agg" -> q34Sql,
+    "q35_corr_subquery" -> q35Sql,
+    "q36_percentiles" -> q36Sql,
   )
 }

@@ -33,4 +33,31 @@ class FlattenSpec extends SparkSpec {
     val df = Seq(1).toDF("weird.name")
     assert(Flatten(df).columns.toSeq == Seq("weird.name"))
   }
+
+  test("property: flatten names are the _-joined paths and leaves are preserved") {
+    import org.scalacheck.{Gen, rng}
+    val leaf = Gen.oneOf[DataType](IntegerType, StringType, DoubleType, BooleanType)
+    def genSchema(depth: Int, idx: Int): Gen[StructType] =
+      Gen.choose(1, 3).flatMap { width =>
+        Gen.sequence[Seq[StructField], StructField]((0 until width).map { i =>
+          val name = s"f${depth}_${idx}_$i"
+          if (depth == 0) leaf.map(StructField(name, _))
+          else Gen.frequency(
+            2 -> leaf.map(StructField(name, _)),
+            1 -> genSchema(depth - 1, i).map(StructField(name, _)))
+        }).map(fs => StructType(fs))
+      }
+    def leafPaths(s: StructType, prefix: String = ""): Seq[(String, DataType)] =
+      s.fields.toSeq.flatMap {
+        case StructField(n, st: StructType, _, _) => leafPaths(st, s"$prefix${n}_")
+        case StructField(n, dt, _, _) => Seq((s"$prefix$n", dt))
+      }
+    val schemas = Gen.listOfN(30, genSchema(3, 0))
+      .pureApply(Gen.Parameters.default, rng.Seed(7L))
+    schemas.foreach { s =>
+      val flat = Flatten.schema(s)
+      assert(flat.fields.toSeq.map(f => (f.name, f.dataType)) == leafPaths(s))
+      assert(flat.fields.forall(!_.dataType.isInstanceOf[StructType]))
+    }
+  }
 }

@@ -78,6 +78,21 @@ class SinkSpec extends SparkSpec {
       spark.read.parquet(sf() + "/nation.parquet").count())
   }
 
+  test("heterogeneous dumps read back with mergeSchema (reference's union_by_name)") {
+    // the reference's downstream contract is
+    // read_parquet('x-*.parquet', union_by_name=true) over dumps whose
+    // schemas drifted across indices (README.md:99-103); Spark's
+    // mergeSchema is the same semantic
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "old_col").write.parquet(s"$dir/t1")
+    Seq((2L, 3.5)).toDF("id", "new_col").write.parquet(s"$dir/t2")
+    val merged = spark.read.option("mergeSchema", true)
+      .parquet(s"$dir/t1", s"$dir/t2")
+    assert(merged.columns.toSet == Set("id", "old_col", "new_col"))
+    assert(merged.count() == 2)
+    assert(merged.filter($"old_col".isNull).count() == 1)
+  }
+
   test("DumpJob: query/fields/sort pushdowns shape the dump (P1-P3)") {
     val out = tmp()
     val results = DumpJob.run(spark, sf(), out, DumpJob.Config(

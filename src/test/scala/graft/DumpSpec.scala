@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** CLI surface: the reference's invocation shape drives the same pipeline. */
+class DumpSpec extends SparkSpec {
+
+  private def files(dir: String): Seq[String] =
+    Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      .toSeq.sorted
+
+  test("flag parser: values, booleans, positionals") {
+    val (flags, pos) = Dump.parse(List(
+      "nation", "--src", "/x", "--flatten", "--fields", "n_*", "--max-partition-rows", "7"))
+    assert(pos == List("nation"))
+    assert(flags == Map("src" -> "/x", "flatten" -> "true",
+      "fields" -> "n_*", "max-partition-rows" -> "7"))
+  }
+
+  test("reference-shaped invocation dumps with rotation, format, and pushdowns") {
+    val out = Files.createTempDirectory("dump_cli").toString
+    val results = Dump.execute(spark, Array(
+      "nation",
+      "--src", sf(), "--out", out,
+      "--output", "ndjson",
+      "--query", "n_regionkey < 2",
+      "--fields", "n_nationkey,n_name",
+      "--sort", "n_nationkey:asc",
+      "--max-partition-rows", "4"))
+    assert(results.forall(_.isInstanceOf[DumpJob.Written]))
+    // 10 rows at 4/file -> 3 ndjson files named {table}-NNNN.ndjson
+    assert(files(s"$out/nation") ==
+      Seq("nation-0000.ndjson", "nation-0001.ndjson", "nation-0002.ndjson"))
+    val back = spark.read.json(s"$out/nation")
+    assert(back.columns.sorted.toSeq == Seq("n_name", "n_nationkey"))
+    assert(back.count() ==
+      Tables.load(spark, sf(), "nation").filter("n_regionkey < 2").count())
+  }
+
+  test("glob pattern fans out to multiple tables, isolated per table") {
+    val out = Files.createTempDirectory("dump_cli2").toString
+    val results = Dump.execute(spark, Array(
+      "*ion", "--src", sf(), "--out", out)) // region + nation
+    assert(results.map(_.table).sorted == Seq("nation", "region"))
+    assert(results.forall(_.isInstanceOf[DumpJob.Written]))
+  }
+}

@@ -6,7 +6,8 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     // GraftSession.tune pins ansi=false/UTC/AQE — the lenient coercions
     // require null-on-failure casts (Spark 4 defaults ANSI on).
     val spark = GraftSession.tune(SparkSession.builder()

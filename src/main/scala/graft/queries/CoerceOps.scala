@@ -178,6 +178,28 @@ object CoerceOps {
       |  (TRY_CAST(props AS JSON) IS NULL) AS malformed
       |FROM events""".stripMargin
 
+  // -- q48: full S3 path — raw JSON dump read back through the DSv2
+  // source, with the reference's map_source coercion running inside the
+  // partition reader. The oracle sees only the original parquet table, so
+  // a hash match proves dump -> jsonl -> scan -> coerce is lossless. --
+  private val q48: Q = (s, dir) => {
+    import graft.{DumpJob, Tables}
+    import graft.sinks.Sink
+    val out = java.nio.file.Files.createTempDirectory("graft_q48").toString
+    DumpJob.run(s, dir, out, DumpJob.Config(
+      pattern = "supplier", rawJson = true, sink = Sink.Config(format = "text")))
+    val (schema, _) = EsMapping.toStructType(
+      """{"properties": {
+        |  "s_suppkey":   {"type": "long"},
+        |  "s_name":      {"type": "keyword"},
+        |  "s_nationkey": {"type": "long"},
+        |  "s_acctbal":   {"type": "double"}
+        |}}""".stripMargin)
+    s.read.format("graft-jsonl").schema(schema).load(s"$out/supplier")
+  }
+  private val q48Sql =
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+
   val queries: Map[String, Q] = Map(
     "q40_lenient_long" -> q40,
     "q41_lenient_timestamp" -> q41,
@@ -187,6 +209,7 @@ object CoerceOps {
     "q45_binary_meta" -> q45,
     "q46_multimodal_features" -> q46,
     "q47_from_json_schema" -> q47,
+    "q48_dsv2_jsonl_scan" -> q48,
   )
 
   val oracle: Map[String, String] = Map(
@@ -198,5 +221,6 @@ object CoerceOps {
     "q45_binary_meta" -> q45Sql,
     "q46_multimodal_features" -> q46Sql,
     "q47_from_json_schema" -> q47Sql,
+    "q48_dsv2_jsonl_scan" -> q48Sql,
   )
 }

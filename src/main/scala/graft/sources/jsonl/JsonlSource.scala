@@ -1,0 +1,156 @@
+package graft.sources.jsonl
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 source over raw JSON-lines dumps — the Spark shape of the
+  * reference's scroll reader (SURVEY §2.1 S3): each input file is one
+  * input partition (the sliced-scroll analog: independent readers, no
+  * coordination), each line is one `_source` document, and the
+  * document→row coercion (reference `map_source`, dump-es-parquet:112-183)
+  * runs INSIDE the partition reader against the fixed schema — unknown
+  * fields dropped, lists scalarized to first element, lenient numeric /
+  * timestamp semantics, log-and-null on failure.
+  *
+  * Pushdown: `SupportsPushDownRequiredColumns` prunes the coercion to the
+  * projected fields, so `select(a)` never parses or coerces `b` (the
+  * `_source` filter of the real ES search). File opens are wrapped in
+  * Retry.withBackoff (S4) — the seam where a live scroll's transport
+  * retries live.
+  *
+  * Usage: `spark.read.format("graft-jsonl").schema(st).load(path)`; with
+  * no schema, the first document's fields are read as strings
+  * (schema-on-read fallback, the reference's stdout-mode stance).
+  */
+class JsonlSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-jsonl"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    (single ++ multi).distinct
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // schema-on-read fallback: first document's top-level fields as strings
+    val mapper = new ObjectMapper()
+    val firstLine = paths(options).iterator.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(new Configuration())
+      JsonlSource.listFiles(fs, path).iterator.flatMap { f =>
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(f)))
+        try Option(in.readLine()) finally in.close()
+      }
+    }.find(_.nonEmpty)
+    firstLine match {
+      case Some(line) =>
+        val node = mapper.readTree(line)
+        StructType(node.properties().asScala.toSeq.map(e =>
+          org.apache.spark.sql.types.StructField(e.getKey,
+            org.apache.spark.sql.types.StringType)))
+      case None => new StructType()
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new JsonlTable(schema,
+      paths(new CaseInsensitiveStringMap(properties)))
+}
+
+object JsonlSource {
+  private[jsonl] def listFiles(fs: FileSystem, path: Path): Seq[Path] = {
+    val st = fs.getFileStatus(path)
+    if (st.isDirectory)
+      fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath)
+        .filterNot(p => p.getName.startsWith(".") || p.getName.startsWith("_"))
+        .sortBy(_.getName)
+    else Seq(path)
+  }
+}
+
+private[jsonl] class JsonlTable(schema: StructType, paths: Seq[String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_jsonl(${paths.mkString(",")})"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonlScanBuilder(schema, paths)
+}
+
+private[jsonl] class JsonlScanBuilder(full: StructType, paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new JsonlScan(required, paths)
+}
+
+private[jsonl] class JsonlScan(required: StructType, paths: Seq[String])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // one partition per file: the sliced-scroll analog — slices scale
+    // with the number of dump files, each reader independent
+    val conf = new Configuration()
+    paths.flatMap { p =>
+      val path = new Path(p)
+      JsonlSource.listFiles(path.getFileSystem(conf), path)
+    }.map(f => JsonlPartition(f.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonlReaderFactory(required)
+}
+
+private[jsonl] case class JsonlPartition(file: String) extends InputPartition
+
+private[jsonl] class JsonlReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new JsonlPartitionReader(required, partition.asInstanceOf[JsonlPartition].file)
+}
+
+private[jsonl] class JsonlPartitionReader(required: StructType, file: String)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  // S4: the open is the reader's network-ish call; a live scroll source
+  // would wrap every page fetch the same way
+  private val in = graft.sources.Retry.withBackoff(attempts = 3, backoffMs = 100) {
+    val path = new Path(file)
+    val fs = path.getFileSystem(new Configuration())
+    new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(path)))
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    val line = in.readLine()
+    if (line == null) false
+    else if (line.isEmpty) next()
+    else {
+      current = MapSource.coerce(mapper.readTree(line), required)
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,96 @@
+package graft.sources
+
+import graft.{DumpJob, SparkSpec, Tables}
+import graft.sinks.Sink
+import graft.sources.jsonl.MapSource
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.file.Files
+
+class JsonlSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  test("DSv2 round-trip: raw dump read back typed through in-reader coercion") {
+    val out = Files.createTempDirectory("jsonl_src").toString
+    DumpJob.run(spark, sf(), out, DumpJob.Config(
+      pattern = "nation", rawJson = true, sink = Sink.Config(format = "text")))
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", LongType)))
+    val back = spark.read.format("graft-jsonl").schema(schema).load(s"$out/nation")
+    val expected = Tables.load(spark, sf(), "nation")
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+    assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty)
+  }
+
+  test("column pruning reaches the reader (only projected fields coerced)") {
+    val out = Files.createTempDirectory("jsonl_prune").toString
+    DumpJob.run(spark, sf(), out, DumpJob.Config(
+      pattern = "region", rawJson = true, sink = Sink.Config(format = "text")))
+    val schema = StructType(Seq(
+      StructField("r_regionkey", LongType), StructField("r_name", StringType)))
+    val df = spark.read.format("graft-jsonl").schema(schema).load(s"$out/region")
+      .select($"r_name")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.head.scan.readSchema().fieldNames.toSeq == Seq("r_name"))
+    assert(df.as[String].collect().sorted.length == 5)
+  }
+
+  test("schema-on-read fallback infers string fields from the first document") {
+    val out = Files.createTempDirectory("jsonl_infer").toString
+    DumpJob.run(spark, sf(), out, DumpJob.Config(
+      pattern = "region", rawJson = true, sink = Sink.Config(format = "text")))
+    val df = spark.read.format("graft-jsonl").load(s"$out/region")
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    assert(df.columns.contains("r_name") && df.count() == 5)
+  }
+
+  test("map_source semantics: first-of-list, int(float), epoch heuristic, log-and-null") {
+    def c(json: String, dt: DataType): Any =
+      MapSource.coerceValue(mapper.readTree(json), dt)
+    assert(c("[7, 8]", LongType) == 7L)                        // first of list
+    assert(c("[]", LongType) == null)                          // empty -> null
+    assert(c("\"3.7\"", LongType) == 3L)                       // int(float("3.7"))
+    assert(c("\"-3.7\"", LongType) == -3L)                     // trunc toward zero
+    assert(c("\"x\"", LongType) == null)                       // unparseable
+    assert(c("19999999999", TimestampType) == 19999999999L * 1000000L) // seconds
+    assert(c("20000000001", TimestampType) == 20000000001L * 1000L)    // millis
+    assert(c("\"2024-03-01T12:30:00\"", TimestampType) ==
+      java.time.Instant.parse("2024-03-01T12:30:00Z").getEpochSecond * 1000000L)
+    assert(c("\"not a time\"", TimestampType) == null)
+    assert(c("""{"a": 1}""", StringType).toString == """{"a":1}""") // object -> raw JSON
+    assert(c("true", BooleanType) == true)
+    assert(c("\"true\"", BooleanType) == null)                 // bool is passthrough-only
+  }
+
+  test("differential: in-reader coercion agrees with the Column-based Lenient stage") {
+    // the same digit strings through both implementations
+    val samples = Seq("0", "3", "-3", "3.7", "-3.7", "x", "19999999999",
+      "20000000000", "2024", "2024-03-01T12:30:00", "not a time", "9" * 30)
+    val viaColumns = samples.toDF("v")
+      .select(graft.functions.Lenient.lenientLong($"v").as("l"),
+        graft.functions.Lenient.lenientTimestamp($"v").as("t"))
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)).map(_.toString)))
+    val viaReader = samples.map { s =>
+      val n = mapper.readTree(mapper.writeValueAsString(s)) // as JSON string node
+      val l = Option(MapSource.coerceValue(n, LongType))
+      val t = Option(MapSource.coerceValue(n, TimestampType)).map { micros =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          micros.asInstanceOf[Long] / 1000000L,
+          (micros.asInstanceOf[Long] % 1000000L) * 1000L)).toString
+      }
+      (l, t)
+    }
+    viaColumns.zip(viaReader).zip(samples).foreach { case ((a, b), s) =>
+      assert(a == b, s"mismatch for '$s': columns=$a reader=$b")
+    }
+  }
+}

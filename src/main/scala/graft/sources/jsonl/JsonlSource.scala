@@ -94,14 +94,31 @@ private[jsonl] class JsonlTable(schema: StructType, paths: Seq[String])
 }
 
 private[jsonl] class JsonlScanBuilder(full: StructType, paths: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new JsonlScan(required, paths)
+
+  /** P1 — the query-string analog: simple comparisons evaluate inside the
+    * reader, pre-emit, so filtered documents never cross the source
+    * boundary. Conservative contract: every filter is ALSO returned as
+    * residual, so Spark re-checks semantics (null ordering, collation)
+    * above the scan — the pushdown prunes IO/CPU, not correctness. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(RowFilter.supported)
+    filters // all residual: Spark re-evaluates above the scan
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = new JsonlScan(required, paths, pushed)
 }
 
-private[jsonl] class JsonlScan(required: StructType, paths: Seq[String])
+private[jsonl] class JsonlScan(required: StructType, paths: Seq[String],
+                               pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -117,18 +134,20 @@ private[jsonl] class JsonlScan(required: StructType, paths: Seq[String])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required)
+    new JsonlReaderFactory(required, pushed)
 }
 
 private[jsonl] case class JsonlPartition(file: String) extends InputPartition
 
-private[jsonl] class JsonlReaderFactory(required: StructType)
+private[jsonl] class JsonlReaderFactory(required: StructType,
+                                        pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new JsonlPartitionReader(required, partition.asInstanceOf[JsonlPartition].file)
+    new JsonlPartitionReader(required, partition.asInstanceOf[JsonlPartition].file, pushed)
 }
 
-private[jsonl] class JsonlPartitionReader(required: StructType, file: String)
+private[jsonl] class JsonlPartitionReader(required: StructType, file: String,
+                                          pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -140,14 +159,17 @@ private[jsonl] class JsonlPartitionReader(required: StructType, file: String)
     new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(path)))
   }
   private var current: InternalRow = _
+  private val rowFilter = RowFilter(required, pushed)
 
-  override def next(): Boolean = {
+  @annotation.tailrec
+  final override def next(): Boolean = {
     val line = in.readLine()
     if (line == null) false
     else if (line.isEmpty) next()
     else {
-      current = MapSource.coerce(mapper.readTree(line), required)
-      true
+      val row = MapSource.coerce(mapper.readTree(line), required)
+      if (rowFilter(row)) { current = row; true }
+      else next()
     }
   }
 

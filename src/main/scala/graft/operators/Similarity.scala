@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Library-facing similarity-search operators over embedding columns —
+  * the packaged forms of q30–q33. The scale contract everywhere: the
+  * corpus is never shuffled for the similarity computation; only small
+  * frames (query sets, centroids) broadcast, and candidate generation
+  * pre-partitions by a bucket key.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: every (query, corpus) pair scored map-side
+    * (query set broadcasts), window top-k per query. Exact; cost is
+    * |queries| × |corpus| dot products — the correctness baseline and
+    * fine whenever the query set is small. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 embCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("__q_emb"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol).asc)
+    broadcast(q).join(corpus, col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol),
+        Vectors.cosine(col("__q_emb"), col(embCol)).as("cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Sign-LSH bucketed near-dup pairs: one shuffle on the bucket key,
+    * per-bucket pairing (expected n²/2^bits comparisons), cosine cut at
+    * `minCos`. The approximate scale path — recall loss only across
+    * bucket boundaries. */
+  def lshNearDup(corpus: DataFrame, idCol: String, embCol: String,
+                 bits: Int = 8, minCos: Double = 0.3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val e = corpus.select(col(idCol), col(embCol),
+      Vectors.signBucket(col(embCol), bits).as("__bucket"))
+    val a = e.toDF(s"${idCol}_a", "__emb_a", "__bucket")
+    val b = e.toDF(s"${idCol}_b", "__emb_b", "__bucket")
+    a.join(b, Seq("__bucket"))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
+        Vectors.cosine(col("__emb_a"), col("__emb_b")).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** IVF coarse quantization: assign every vector to its nearest centroid
+    * (centroids broadcast; map-side argmax). Searches then probe only
+    * matching inverted lists. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                embCol: String, centroidIdCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val c = centroids.select(col(centroidIdCol).as("__c_id"), col(embCol).as("__c_emb"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("__c_id").asc)
+    corpus.join(broadcast(c))
+      .select(col(idCol), col("__c_id"),
+        Vectors.cosine(col(embCol), col("__c_emb")).as("cos"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__c_id").as("centroid"), col("cos"))
+  }
+}

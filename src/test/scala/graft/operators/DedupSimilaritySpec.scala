@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** The packaged operator API must agree with the oracle-checked query
+  * forms it wraps. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("Dedup.exactByText keeps one deterministic winner per duplicate group") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("id", "text")
+    val out = Dedup.exactByText(df, "text", "id")
+    assert(out.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(out.columns.toSeq == Seq("id", "text")) // helper columns dropped
+  }
+
+  test("Dedup.nearDupCandidates matches the q22 query shape") {
+    val viaApi = Dedup.nearDupCandidates(
+      Tables.load(spark, sf(), "documents"), "text", "doc_id")
+      .withColumnsRenamed(Map("doc_id_a" -> "doc_a", "doc_id_b" -> "doc_b"))
+    val viaQuery = SparkEntry.queries("q22_neardup_pairs")(spark, sf())
+    assert(viaApi.exceptAll(viaQuery).isEmpty && viaQuery.exceptAll(viaApi).isEmpty)
+  }
+
+  test("Similarity.cosineTopK matches the q30 query shape") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val viaApi = Similarity.cosineTopK(
+      emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+      .select($"q_id", $"vec_id", round($"cos", 6).as("cos"))
+    val viaQuery = SparkEntry.queries("q30_cosine_topk")(spark, sf()).drop("rn")
+    assert(viaApi.exceptAll(viaQuery).isEmpty && viaQuery.exceptAll(viaApi).isEmpty)
+  }
+
+  test("Similarity.ivfAssign matches the q33 query shape") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val viaApi = Similarity.ivfAssign(emb, emb.filter($"vec_id" < 16),
+      "vec_id", "embedding", "vec_id")
+      .select($"vec_id", $"centroid", round($"cos", 6).as("cos"))
+    val viaQuery = SparkEntry.queries("q33_ivf_assign")(spark, sf())
+    assert(viaApi.exceptAll(viaQuery).isEmpty && viaQuery.exceptAll(viaApi).isEmpty)
+  }
+}

@@ -57,7 +57,11 @@ object Dump {
         compression = flags.get("compression").filter(_ != "uncompressed"),
         maxRecordsPerFile =
           if (flags.contains("no-partition")) Long.MaxValue
-          else flags.get("max-partition-rows").map(_.toLong).getOrElse(1000000L)))
+          else flags.get("max-partition-rows").map(_.toLong).getOrElse(1000000L),
+        maxPartitionBytes =
+          if (flags.contains("no-partition")) None
+          else flags.get("max-partition-mb").map(_.toLong * 1024 * 1024),
+        partitionBy = flags.get("partition-by").map(_.split(",").toSeq).getOrElse(Nil)))
 
     if (flags.contains("quiet")) spark.sparkContext.setLogLevel("ERROR")
     val results = DumpJob.run(spark, srcDir, outDir, config)

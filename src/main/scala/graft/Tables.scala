@@ -25,11 +25,12 @@ object Tables {
     else df
   }
 
-  /** S1 analog: glob pattern -> matching table names ("*" wildcard only,
-    * like ES index patterns). */
+  /** S1 analog: index pattern -> matching table names. Like ES patterns:
+    * "*" wildcards, and comma-separated alternatives ("a,b*") union in
+    * first-match order without duplicates. */
   def resolve(pattern: String): Seq[String] = {
-    val rx = ("^" + java.util.regex.Pattern.quote(pattern)
-      .replace("*", "\\E.*\\Q") + "$").r
-    names.filter(n => rx.findFirstIn(n).isDefined)
+    val rxs = pattern.split(",").map(_.trim).filter(_.nonEmpty).map(p =>
+      ("^" + java.util.regex.Pattern.quote(p).replace("*", "\\E.*\\Q") + "$").r)
+    names.filter(n => rxs.exists(_.findFirstIn(n).isDefined))
   }
 }

@@ -30,6 +30,8 @@ object Sink {
       format: String = "parquet",        // parquet | json | csv | text
       compression: Option[String] = None, // gzip | zstd | none
       maxRecordsPerFile: Long = 1000000,  // reference --max-partition-rows
+      maxPartitionBytes: Option[Long] = None, // reference --max-partition-mb
+      partitionBy: Seq[String] = Nil,     // hive-style layout (reference TODO :378)
       header: Boolean = true)             // csv only
 
   private def extension(c: Config): String = {
@@ -45,18 +47,70 @@ object Sink {
     }
   }
 
+  /** K1 size-based rotation: translate a bytes-per-file target into a
+    * row cap by measuring the actual on-disk bytes/row of a sample
+    * written in the target format+compression. Unlike the reference's
+    * in-memory estimate (which it admits overshoots because "the file
+    * size will be smaller due to compression", :393-395), this measures
+    * the compressed artifact itself. Driver-side cost: one small sample
+    * write, bounded by `sampleRows`. */
+  def rowsForTargetBytes(df: DataFrame, targetBytes: Long, config: Config,
+                         sampleRows: Int = 2000): Long = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_size_probe").toString
+    try {
+      val sample = df.limit(sampleRows)
+      val cfg = config.copy(maxPartitionBytes = None, maxRecordsPerFile = Long.MaxValue,
+        partitionBy = Nil)
+      val files = write(sample.coalesce(1), tmp, "probe", cfg)
+      val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+      val bytes = files.map(f => {
+        val p = new Path(f); p.getFileSystem(hconf).getFileStatus(p).getLen
+      }).sum
+      val n = sample.count()
+      if (n == 0 || bytes == 0) Long.MaxValue
+      else math.max(1L, targetBytes / math.max(1L, bytes / n))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   /** Write `df` under `dir` as `{table}-{NNNN}.{ext}` files; returns the
-    * final file paths. */
+    * final file paths. With `partitionBy`, writes a hive-style layout
+    * instead (directory per key value; committer names kept — the
+    * partition path carries the identity). */
   def write(df: DataFrame, dir: String, table: String, config: Config = Config()): Seq[String] = {
+    val rowCap = config.maxPartitionBytes match {
+      case Some(b) => math.min(config.maxRecordsPerFile, rowsForTargetBytes(df, b, config))
+      case None    => config.maxRecordsPerFile
+    }
     val w0 = df.write.mode("overwrite")
-      .option("maxRecordsPerFile", config.maxRecordsPerFile)
+      .option("maxRecordsPerFile", rowCap)
     val w1 = config.compression match {
       case Some(c) => w0.option("compression", c)
       case None    => w0
     }
     val w2 = if (config.format == "csv") w1.option("header", config.header) else w1
-    w2.format(config.format).save(dir)
-    rename(df, dir, table, config)
+    if (config.partitionBy.nonEmpty) {
+      w2.partitionBy(config.partitionBy: _*).format(config.format).save(dir)
+      listDataFiles(df, dir)
+    } else {
+      w2.format(config.format).save(dir)
+      rename(df, dir, table, config)
+    }
+  }
+
+  private def listDataFiles(df: DataFrame, dir: String): Seq[String] = {
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val it = fs.listFiles(root, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) out += f.getPath.toString
+    }
+    out.result().sorted
   }
 
   /** K3 — raw JSON passthrough: no schema, no coercion; each row serialized

@@ -24,6 +24,38 @@ class SinkSpec extends SparkSpec {
     assert(names(dir) == Seq("t-0000.parquet", "t-0001.parquet", "t-0002.parquet", "t-0003.parquet"))
   }
 
+  test("K1: size-based rotation derives a row cap from measured bytes/row") {
+    val dir = tmp()
+    val df = spark.range(20000)
+      .selectExpr("id", "repeat(uuid(), 4) as pad").coalesce(1)
+    val files = Sink.write(df, dir, "t",
+      Sink.Config(maxPartitionBytes = Some(64 * 1024))) // 64 KB target
+    assert(files.length > 1, "a 64KB cap over ~500KB of data must rotate")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val sizes = files.map(f => {
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    })
+    // every file lands near-or-under the target (2x slack: estimate-based)
+    assert(sizes.forall(_ < 128 * 1024), s"file sizes: $sizes")
+    assert(spark.read.parquet(dir).count() == 20000)
+  }
+
+  test("K2: hive-style partitioned layout (partitionBy)") {
+    val dir = tmp()
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("k", "grp")
+    val files = Sink.write(df, dir, "t", Sink.Config(partitionBy = Seq("grp")))
+    assert(files.nonEmpty && files.forall(_.contains("grp=")))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3 && back.columns.toSet == Set("k", "grp"))
+    assert(back.filter($"grp" === "a").count() == 2)
+  }
+
+  test("S1: comma-separated patterns union in catalog order") {
+    assert(graft.Tables.resolve("region,nat*") == Seq("region", "nation"))
+    assert(graft.Tables.resolve("nation,region,nation") == Seq("region", "nation"))
+  }
+
   test("K2: single file drops the partition number (reference :312-316)") {
     val dir = tmp()
     Sink.write(spark.range(5).coalesce(1).toDF("id"), dir, "solo", Sink.Config())

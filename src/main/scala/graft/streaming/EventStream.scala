@@ -19,4 +19,16 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total"))
+
+  /** Streaming exact dedup: drops re-deliveries of the same key whose
+    * event times fall within the watermark horizon — at-least-once
+    * ingestion becomes effectively-once, and state for a key is evicted
+    * once the watermark passes it, so the dedup store is bounded by the
+    * delay window, not the stream's history. The streaming member of the
+    * dedup family (batch forms: Dedup.exactByKey / q20). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String = "ts",
+                  watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 }

@@ -42,6 +42,36 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming dedup drops in-horizon re-deliveries, keeps distinct keys") {
+    val src = Files.createTempDirectory("dd_src").toString
+    val out = Files.createTempDirectory("dd_out").toString
+    val ckpt = Files.createTempDirectory("dd_ckpt").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+
+    val batch1 = Seq((1L, ts(0), "a"), (1L, ts(5), "a-dup"), (2L, ts(1), "b"))
+      .toDF("event_id", "ts", "payload")
+    batch1.write.mode("append").parquet(src)
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(batch1.schema).parquet(src)
+      val q = EventStream.dedupStream(stream, Seq("event_id")).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run()
+    // second batch re-delivers key 1 within the horizon and adds key 3
+    Seq((1L, ts(10), "a-redelivery"), (3L, ts(20), "c"))
+      .toDF("event_id", "ts", "payload").write.mode("append").parquet(src)
+    run()
+
+    val ids = spark.read.parquet(out).select($"event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L)) // one row per key, dups dropped
+  }
+
   test("the same operator runs as a plain batch aggregation") {
     val batch = EventStream.hourlyTypeCounts(Tables.load(spark, sf(), "events"))
     val viaTrunc = Tables.load(spark, sf(), "events")

@@ -71,7 +71,8 @@ object Dump {
         System.err.println(s"$table: wrote ${files.length} file(s)")
         if (output == "stdout")
           files.foreach { f =>
-            scala.io.Source.fromFile(f).getLines().foreach(println)
+            val src = scala.io.Source.fromFile(f)
+            try src.getLines().foreach(println) finally src.close()
           }
       case DumpJob.Failed(table, e) =>
         System.err.println(s"$table: FAILED ${e.getMessage}")

@@ -370,6 +370,21 @@ object Analytics {
       |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // -- q37: sketch aggregations (HLL++ distinct, approximate percentile) --
+  // No DuckDB oracle: sketch implementations differ across engines, so
+  // the driver records the weaker rows-only check here; the accuracy
+  // bound vs exact answers is pinned by SketchSpec instead. At scale
+  // these are the re-aggregable, fixed-memory forms of q06/q36.
+  private val q37: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("nd_parts"),
+        approx_count_distinct($"l_orderkey").as("nd_orders"),
+        percentile_approx($"l_quantity", lit(0.5), lit(10000)).as("med_qty"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
@@ -393,6 +408,7 @@ object Analytics {
     "q34_salted_hotkey_agg" -> q34,
     "q35_corr_subquery" -> q35,
     "q36_percentiles" -> q36,
+    "q37_approx_sketches" -> q37,
   )
 
   val oracle: Map[String, String] = Map(

@@ -385,6 +385,55 @@ object Analytics {
         percentile_approx($"l_quantity", lit(0.5), lit(10000)).as("med_qty"))
   }
 
+  // -- q38: full outer join with null sides both ways --
+  private val q38: Q = (s, dir) => {
+    import s.implicits._
+    val c = t(s, dir, "customer").filter($"c_acctbal" > 9000)
+      .groupBy($"c_nationkey".as("nationkey")).agg(count(lit(1)).as("n_cust"))
+    val p = t(s, dir, "supplier").filter($"s_acctbal" > 9000)
+      .groupBy($"s_nationkey".as("nationkey")).agg(count(lit(1)).as("n_supp"))
+    c.withColumnRenamed("nationkey", "c_nk")
+      .join(p.withColumnRenamed("nationkey", "s_nk"), $"c_nk" === $"s_nk", "full_outer")
+      .select(coalesce($"c_nk", $"s_nk").as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+  }
+  private val q38Sql =
+    """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+      |           FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+      |     p AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+      |           FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+      |SELECT coalesce(c.nk, p.nk) AS nationkey,
+      |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN p ON c.nk = p.nk""".stripMargin
+
+  // -- q39: ranking/navigation window family --
+  private val q39: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    t(s, dir, "orders")
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"))
+      .filter($"rnk" <= 500)
+  }
+  private val q39Sql =
+    """SELECT * FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    rank() OVER w AS rnk,
+      |    dense_rank() OVER w AS drnk,
+      |    ntile(4) OVER w AS quartile,
+      |    lag(o_totalprice, 1) OVER w AS prev_price,
+      |    lead(o_totalprice, 1) OVER w AS next_price
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rnk <= 500""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
@@ -409,6 +458,8 @@ object Analytics {
     "q35_corr_subquery" -> q35,
     "q36_percentiles" -> q36,
     "q37_approx_sketches" -> q37,
+    "q38_full_outer" -> q38,
+    "q39_rank_family" -> q39,
   )
 
   val oracle: Map[String, String] = Map(
@@ -434,5 +485,7 @@ object Analytics {
     "q34_salted_hotkey_agg" -> q34Sql,
     "q35_corr_subquery" -> q35Sql,
     "q36_percentiles" -> q36Sql,
+    "q38_full_outer" -> q38Sql,
+    "q39_rank_family" -> q39Sql,
   )
 }

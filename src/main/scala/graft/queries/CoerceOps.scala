@@ -200,6 +200,36 @@ object CoerceOps {
   private val q48Sql =
     "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
 
+  // -- q49: geo_point operations (haversine + bounding box) --
+  // Coordinates are derived deterministically from customer columns (no
+  // geo fixture exists); the point is the operator surface over the
+  // geo_point struct shape, with the exact same arithmetic in the oracle.
+  private val q49: Q = (s, dir) => {
+    import s.implicits._
+    import graft.functions.Geo
+    val pt = Geo.point(($"c_custkey" % 180) - 90, ($"c_acctbal" % 360) - 180)
+    val origin = Geo.point(lit(48.8566), lit(2.3522))
+    Tables.load(s, dir, "customer")
+      .select($"c_custkey", pt.as("loc"))
+      .filter(Geo.inBox($"loc", -60, 60, -120, 120))
+      .select($"c_custkey",
+        round($"loc.lat", 6).as("lat"), round($"loc.lon", 6).as("lon"),
+        round(Geo.haversineKm($"loc", origin), 3).as("km_from_paris"))
+  }
+  private val q49Sql =
+    """WITH pts AS (
+      |  SELECT c_custkey,
+      |    CAST(c_custkey % 180 - 90 AS DOUBLE) AS lat,
+      |    CAST(c_acctbal % 360 - 180 AS DOUBLE) AS lon
+      |  FROM customer)
+      |SELECT c_custkey, round(lat, 6) AS lat, round(lon, 6) AS lon,
+      |  round(2 * 6371.0088 * asin(sqrt(
+      |    pow(sin((radians(48.8566) - radians(lat)) / 2), 2) +
+      |    cos(radians(lat)) * cos(radians(48.8566)) *
+      |    pow(sin((radians(2.3522) - radians(lon)) / 2), 2))), 3) AS km_from_paris
+      |FROM pts
+      |WHERE lat BETWEEN -60 AND 60 AND lon BETWEEN -120 AND 120""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_lenient_long" -> q40,
     "q41_lenient_timestamp" -> q41,
@@ -210,6 +240,7 @@ object CoerceOps {
     "q46_multimodal_features" -> q46,
     "q47_from_json_schema" -> q47,
     "q48_dsv2_jsonl_scan" -> q48,
+    "q49_geo_distance" -> q49,
   )
 
   val oracle: Map[String, String] = Map(
@@ -222,5 +253,6 @@ object CoerceOps {
     "q46_multimodal_features" -> q46Sql,
     "q47_from_json_schema" -> q47Sql,
     "q48_dsv2_jsonl_scan" -> q48Sql,
+    "q49_geo_distance" -> q49Sql,
   )
 }

@@ -24,6 +24,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaApi.exceptAll(viaQuery).isEmpty && viaQuery.exceptAll(viaApi).isEmpty)
   }
 
+  test("Dedup.exactByKey keeps the orderBy-first row per key group") {
+    val df = Seq((1L, "b", 10), (2L, "a", 20), (3L, "a", 30)).toDF("id", "k", "v")
+    val out = Dedup.exactByKey(df, Seq("k"), orderBy = "id")
+    assert(out.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("Sessions.aggregate matches the q12 query shape") {
+    val viaApi = Sessions.aggregate(
+      Tables.load(spark, sf(), "events"), "user_id", "ts", "event_id",
+      gapMs = 1800000L, valueCol = "value")
+    val viaQuery = SparkEntry.queries("q12_sessionize")(spark, sf())
+    assert(viaApi.exceptAll(viaQuery).isEmpty && viaQuery.exceptAll(viaApi).isEmpty)
+  }
+
   test("Similarity.cosineTopK matches the q30 query shape") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val viaApi = Similarity.cosineTopK(

@@ -434,6 +434,32 @@ object Analytics {
       |               ORDER BY o_totalprice DESC, o_orderkey))
       |WHERE rnk <= 500""".stripMargin
 
+  // -- q50: as-of join — each click joined to the user's latest prior
+  // purchase (inclusive). DuckDB's native ASOF JOIN is the oracle; the
+  // Spark side is the union + carry-forward composition (AsofJoin), one
+  // shuffle on the user key. --
+  private val q50: Q = (s, dir) => {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    graft.operators.AsofJoin.backward(
+      clicks, purchases,
+      keyCols = Seq("user_id"), tsCol = "ts", tieBreak = "event_id",
+      rightCols = Seq("value"))
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"),
+        round($"value", 2).as("last_purchase_value"))
+  }
+  private val q50Sql =
+    """SELECT c.user_id, c.event_id, epoch_ms(c.ts) AS ts_ms,
+      |  round(p.value, 2) AS last_purchase_value
+      |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN
+      |     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
@@ -460,6 +486,7 @@ object Analytics {
     "q37_approx_sketches" -> q37,
     "q38_full_outer" -> q38,
     "q39_rank_family" -> q39,
+    "q50_asof_join" -> q50,
   )
 
   val oracle: Map[String, String] = Map(
@@ -487,5 +514,6 @@ object Analytics {
     "q36_percentiles" -> q36Sql,
     "q38_full_outer" -> q38Sql,
     "q39_rank_family" -> q39Sql,
+    "q50_asof_join" -> q50Sql,
   )
 }

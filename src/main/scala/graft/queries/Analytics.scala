@@ -460,6 +460,24 @@ object Analytics {
       |     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
       |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
 
+  // -- q51: banded range join — events within ±5 min of each signup --
+  private val q51: Q = (s, dir) => {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id", $"ts".as("l_ts"))
+    val all = ev.select($"ts".as("r_ts"))
+    graft.operators.RangeJoin.bandPairs(signups, all, "l_ts", "r_ts", 300000000L)
+      .groupBy($"event_id")
+      .agg(count(lit(1)).as("n_nearby"))
+  }
+  private val q51Sql =
+    """SELECT a.event_id, count(*) AS n_nearby
+      |FROM (SELECT event_id, ts FROM events WHERE event_type = 'signup') a
+      |JOIN events b
+      |  ON b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+      |GROUP BY a.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
@@ -487,6 +505,7 @@ object Analytics {
     "q38_full_outer" -> q38,
     "q39_rank_family" -> q39,
     "q50_asof_join" -> q50,
+    "q51_range_join" -> q51,
   )
 
   val oracle: Map[String, String] = Map(
@@ -515,5 +534,6 @@ object Analytics {
     "q38_full_outer" -> q38Sql,
     "q39_rank_family" -> q39Sql,
     "q50_asof_join" -> q50Sql,
+    "q51_range_join" -> q51Sql,
   )
 }

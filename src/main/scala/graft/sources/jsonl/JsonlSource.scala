@@ -73,6 +73,8 @@ class JsonlSource extends TableProvider with DataSourceRegister {
 }
 
 object JsonlSource {
+  private[jsonl] val log = org.slf4j.LoggerFactory.getLogger(classOf[JsonlSource])
+
   private[jsonl] def listFiles(fs: FileSystem, path: Path): Seq[Path] = {
     val st = fs.getFileStatus(path)
     if (st.isDirectory)
@@ -160,16 +162,29 @@ private[jsonl] class JsonlPartitionReader(required: StructType, file: String,
   }
   private var current: InternalRow = _
   private val rowFilter = RowFilter(required, pushed)
+  private var corruptLines = 0L
 
   @annotation.tailrec
   final override def next(): Boolean = {
     val line = in.readLine()
-    if (line == null) false
-    else if (line.isEmpty) next()
+    if (line == null) {
+      if (corruptLines > 0)
+        JsonlSource.log.warn(s"$file: skipped $corruptLines corrupt JSON line(s)")
+      false
+    } else if (line.isEmpty) next()
     else {
-      val row = MapSource.coerce(mapper.readTree(line), required)
-      if (rowFilter(row)) { current = row; true }
-      else next()
+      // log-and-skip on corrupt lines — the document-level form of the
+      // reference's "survive problematic data" stance (field-level
+      // failures already null inside MapSource.coerce)
+      val doc = try mapper.readTree(line) catch {
+        case _: com.fasterxml.jackson.core.JacksonException => corruptLines += 1; null
+      }
+      if (doc == null) next()
+      else {
+        val row = MapSource.coerce(doc, required)
+        if (rowFilter(row)) { current = row; true }
+        else next()
+      }
     }
   }
 

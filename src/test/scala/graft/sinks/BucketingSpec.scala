@@ -9,6 +9,22 @@ class BucketingSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("hive-partitioned layout gives partition pruning on the partition key") {
+    val dir = java.nio.file.Files.createTempDirectory("layout_prune").toString
+    val ev = Tables.load(spark, sf(), "events")
+      .withColumn("day", to_date($"ts"))
+    Sink.write(ev, dir, "events", Sink.Config(partitionBy = Seq("day")))
+    val days = spark.read.parquet(dir).select($"day").distinct().count()
+    assert(days > 1, "need multiple partitions to demonstrate pruning")
+    val pruned = spark.read.parquet(dir).filter($"day" === "2024-01-02")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("day"),
+      "the day predicate must prune at the partition level, not per row")
+    assert(pruned.count() == ev.filter(to_date($"ts") === "2024-01-02").count())
+  }
+
   test("co-bucketed fact tables join without any exchange") {
     // bucket both fact tables by the join key at write time
     Bucketing.writeBucketed(Tables.load(spark, sf(), "lineitem"),

@@ -52,6 +52,19 @@ class JsonlSourceSpec extends SparkSpec {
     assert(df.columns.contains("r_name") && df.count() == 5)
   }
 
+  test("corrupt JSON lines are skipped, valid lines survive") {
+    val dir = Files.createTempDirectory("jsonl_corrupt")
+    Files.writeString(dir.resolve("t.jsonl"),
+      """{"k": 1}
+        |not json at all {{{
+        |{"k": 3}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val out = spark.read.format("graft-jsonl").schema(schema)
+      .load(dir.toString).as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
   test("map_source semantics: first-of-list, int(float), epoch heuristic, log-and-null") {
     def c(json: String, dt: DataType): Any =
       MapSource.coerceValue(mapper.readTree(json), dt)

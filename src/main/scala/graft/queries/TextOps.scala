@@ -256,6 +256,23 @@ object TextOps {
        |  END AS rfp
        |FROM (SELECT doc_id, $dTok AS tk FROM documents)""".stripMargin
 
+  // -- q52: content-addressed train/val/test split (operators.Splits) --
+  private val q52: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Splits.assign(docs(s, dir), "doc_id")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+  }
+  private val q52Sql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    TRY_CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bk
+      |  FROM documents)
+      |SELECT CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
+      |  count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM b GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -267,6 +284,7 @@ object TextOps {
     "q27_ngram_jaccard" -> q27,
     "q28_bpe_token_freq" -> q28,
     "q29_rolling_fingerprint" -> q29,
+    "q52_train_split" -> q52,
   )
 
   val oracle: Map[String, String] = Map(
@@ -280,5 +298,6 @@ object TextOps {
     "q27_ngram_jaccard" -> q27Sql,
     "q28_bpe_token_freq" -> q28Sql,
     "q29_rolling_fingerprint" -> q29Sql,
+    "q52_train_split" -> q52Sql,
   )
 }

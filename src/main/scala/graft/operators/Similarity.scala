@@ -48,6 +48,39 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
+  /** Deterministic Lloyd's k-means over an embedding column — trains the
+    * centroid set the IVF path probes. Initialization is the first k
+    * vectors by id (reproducible across runs/engines, unlike random or
+    * kmeans++ seeds). Each iteration is one broadcast (centroids) + one
+    * shuffle (mean per cluster); centroids live on the driver between
+    * iterations, bounded by k × dim. */
+  def kmeans(corpus: DataFrame, idCol: String, embCol: String,
+             k: Int, iterations: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids = corpus.orderBy(col(idCol)).limit(k)
+      .select(monotonically_increasing_id().cast("int").as("__c_id"),
+        col(embCol).cast("array<double>").as("__c_emb"))
+    (1 to iterations).foreach { _ =>
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__dist").asc, col("__c_id").asc)
+      val assigned = corpus.join(broadcast(centroids))
+        .select(col(idCol), col(embCol),
+          col("__c_id"), (lit(1.0) - Vectors.cosine(col(embCol), col("__c_emb"))).as("__dist"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      // new centroid = element-wise mean of member vectors
+      centroids = assigned
+        .select(col("__c_id"), posexplode(col(embCol).cast("array<double>")))
+        .groupBy(col("__c_id"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .groupBy(col("__c_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+        .select(col("__c_id"), expr("transform(pv, x -> x.v)").as("__c_emb"))
+    }
+    centroids.select(col("__c_id").as("centroid_id"), col("__c_emb").as(embCol))
+  }
+
   /** IVF coarse quantization: assign every vector to its nearest centroid
     * (centroids broadcast; map-side argmax). Searches then probe only
     * matching inverted lists. */

@@ -47,6 +47,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaApi.exceptAll(viaQuery).isEmpty && viaQuery.exceptAll(viaApi).isEmpty)
   }
 
+  test("Similarity.kmeans: deterministic, k centroids, assignments improve over init") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val trained = Similarity.kmeans(emb, "vec_id", "embedding", k = 8, iterations = 3)
+    val again = Similarity.kmeans(emb, "vec_id", "embedding", k = 8, iterations = 3)
+    assert(trained.count() == 8)
+    assert(trained.exceptAll(again).isEmpty, "same input must give same centroids")
+
+    def inertia(centroids: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(emb, centroids, "vec_id", "embedding", "centroid_id")
+        .agg(sum(lit(1.0) - $"cos")).as[Double].head()
+    val init = Similarity.kmeans(emb, "vec_id", "embedding", k = 8, iterations = 0)
+    assert(inertia(trained) < inertia(init), "training must reduce total distance")
+  }
+
   test("Similarity.ivfAssign matches the q33 query shape") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val viaApi = Similarity.ivfAssign(emb, emb.filter($"vec_id" < 16),

@@ -478,6 +478,26 @@ object Analytics {
       |  ON b.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
       |GROUP BY a.event_id""".stripMargin
 
+  // -- q53: pivot — per-user event-type counts as columns --
+  // Explicit value list so the pivot is a single pass (no distinct-values
+  // pre-query) and the oracle can mirror it as conditional aggregation.
+  private val q53: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+  private val q53Sql =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
@@ -506,6 +526,7 @@ object Analytics {
     "q39_rank_family" -> q39,
     "q50_asof_join" -> q50,
     "q51_range_join" -> q51,
+    "q53_pivot" -> q53,
   )
 
   val oracle: Map[String, String] = Map(
@@ -535,5 +556,6 @@ object Analytics {
     "q39_rank_family" -> q39Sql,
     "q50_asof_join" -> q50Sql,
     "q51_range_join" -> q51Sql,
+    "q53_pivot" -> q53Sql,
   )
 }

@@ -28,6 +28,9 @@ object AsofJoin {
   def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                tsCol: String, tieBreak: String, rightCols: Seq[String]): DataFrame = {
     require(rightCols.nonEmpty)
+    val collisions = rightCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rightCols collide with left columns: $collisions — rename before joining")
     val carried = rightCols.map(c => s"__asof_$c")
     val l = left.withColumn("__side", lit(1))
     val r = right.select(

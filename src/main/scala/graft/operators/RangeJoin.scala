@@ -27,6 +27,9 @@ object RangeJoin {
   def bandPairs(left: DataFrame, right: DataFrame,
                 leftTs: String, rightTs: String, tolUs: Long): DataFrame = {
     require(tolUs > 0)
+    val collisions = left.columns.toSet.intersect(right.columns.toSet)
+    require(collisions.isEmpty,
+      s"left/right column sets must be disjoint, both have: $collisions")
     val w = 2 * tolUs
     val l = left.withColumn("__band", explode(array_distinct(array(
       expr(s"(unix_micros($leftTs) - $tolUs) div $w"),

@@ -83,6 +83,18 @@ class JsonlSourceSpec extends SparkSpec {
     assert(c("\"true\"", BooleanType) == null)                 // bool is passthrough-only
   }
 
+  test("ISO-8601 variants: offset, space separator, date-only, fractional seconds") {
+    def us(json: String): Any =
+      MapSource.coerceValue(mapper.readTree(json), TimestampType)
+    def instant(s: String) = java.time.Instant.parse(s)
+    def micros(s: String) = instant(s).getEpochSecond * 1000000L + instant(s).getNano / 1000L
+    assert(us("\"2024-03-01T12:30:00+02:00\"") == micros("2024-03-01T10:30:00Z"))
+    assert(us("\"2024-03-01 12:30:00\"") == micros("2024-03-01T12:30:00Z"))
+    assert(us("\"2024-03-01\"") == micros("2024-03-01T00:00:00Z"))
+    assert(us("\"2024-03-01T12:30:00.250\"") == micros("2024-03-01T12:30:00.250Z"))
+    assert(us("\"2024-03-01T12:30:00Z\"") == micros("2024-03-01T12:30:00Z"))
+  }
+
   test("differential: in-reader coercion agrees with the Column-based Lenient stage") {
     // the same digit strings through both implementations
     val samples = Seq("0", "3", "-3", "3.7", "-3.7", "x", "19999999999",

@@ -77,7 +77,12 @@ object Sink {
   /** Write `df` under `dir` as `{table}-{NNNN}.{ext}` files; returns the
     * final file paths. With `partitionBy`, writes a hive-style layout
     * instead (directory per key value; committer names kept — the
-    * partition path carries the identity). */
+    * partition path carries the identity).
+    *
+    * Zero-record tables produce one empty `{table}.{ext}` file — a
+    * deliberate deviation from the reference's write-nothing early exit
+    * (dump-es-parquet:236-238): an empty file still carries the schema,
+    * which downstream union_by_name reads need; no file loses it. */
   def write(df: DataFrame, dir: String, table: String, config: Config = Config()): Seq[String] = {
     val rowCap = config.maxPartitionBytes match {
       case Some(b) => math.min(config.maxRecordsPerFile, rowsForTargetBytes(df, b, config))

@@ -51,6 +51,15 @@ class SinkSpec extends SparkSpec {
     assert(back.filter($"grp" === "a").count() == 2)
   }
 
+  test("zero-record table writes one schema-bearing empty file (documented deviation)") {
+    val dir = tmp()
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val files = Sink.write(empty, dir, "t", Sink.Config())
+    assert(files.map(f => new java.io.File(f).getName) == Seq("t.parquet"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 0 && back.columns.toSeq == Seq("k", "v"))
+  }
+
   test("S1: comma-separated patterns union in catalog order") {
     assert(graft.Tables.resolve("region,nat*") == Seq("region", "nation"))
     assert(graft.Tables.resolve("nation,region,nation") == Seq("region", "nation"))

@@ -230,6 +230,44 @@ object CoerceOps {
       |FROM pts
       |WHERE lat BETWEEN -60 AND 60 AND lon BETWEEN -120 AND 120""".stripMargin
 
+  // -- q54: CSV dump round-trip — all-strings CSV re-typed by Coerce --
+  // CSV is the reference's untyped-est format: read back as strings and
+  // pushed through the schema-driven lenient coercion stage; a hash match
+  // against the original table proves dump -> csv -> coerce is lossless
+  // for these types.
+  private val q54: Q = (s, dir) => {
+    import graft.{DumpJob, Tables}
+    import graft.sinks.Sink
+    val out = java.nio.file.Files.createTempDirectory("graft_q54").toString
+    DumpJob.run(s, dir, out, DumpJob.Config(
+      pattern = "region", sink = Sink.Config(format = "csv")))
+    val raw = s.read.option("header", true).csv(s"$out/region")
+    val (schema, _) = EsMapping.toStructType(
+      """{"properties": {
+        |  "r_regionkey": {"type": "long"},
+        |  "r_name":      {"type": "keyword"}
+        |}}""".stripMargin)
+    Coerce(schema)(raw)
+  }
+  private val q54Sql = "SELECT r_regionkey, r_name FROM region"
+
+  // -- q55: ndjson dump round-trip via the json reader with schema --
+  private val q55: Q = (s, dir) => {
+    import graft.{DumpJob, Tables}
+    import graft.sinks.Sink
+    val out = java.nio.file.Files.createTempDirectory("graft_q55").toString
+    DumpJob.run(s, dir, out, DumpJob.Config(
+      pattern = "nation", sink = Sink.Config(format = "json")))
+    val (schema, _) = EsMapping.toStructType(
+      """{"properties": {
+        |  "n_nationkey": {"type": "long"},
+        |  "n_name":      {"type": "keyword"},
+        |  "n_regionkey": {"type": "long"}
+        |}}""".stripMargin)
+    s.read.schema(schema).json(s"$out/nation")
+  }
+  private val q55Sql = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
   val queries: Map[String, Q] = Map(
     "q40_lenient_long" -> q40,
     "q41_lenient_timestamp" -> q41,
@@ -241,6 +279,8 @@ object CoerceOps {
     "q47_from_json_schema" -> q47,
     "q48_dsv2_jsonl_scan" -> q48,
     "q49_geo_distance" -> q49,
+    "q54_csv_roundtrip" -> q54,
+    "q55_ndjson_roundtrip" -> q55,
   )
 
   val oracle: Map[String, String] = Map(
@@ -254,5 +294,7 @@ object CoerceOps {
     "q47_from_json_schema" -> q47Sql,
     "q48_dsv2_jsonl_scan" -> q48Sql,
     "q49_geo_distance" -> q49Sql,
+    "q54_csv_roundtrip" -> q54Sql,
+    "q55_ndjson_roundtrip" -> q55Sql,
   )
 }

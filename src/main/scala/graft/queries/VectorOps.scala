@@ -128,11 +128,38 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
        |  FROM p) WHERE rn = 1""".stripMargin
 
+  // -- q34b/q56: embedding preprocessing — L2 normalize + int8 quantize --
+  // The standard storage shrink for ANN corpora (float32 -> int8 is 4x).
+  // Truncation (not round) for the quantized values: DuckDB's
+  // double->int CAST rounds while Spark's truncates, so both sides use
+  // explicit trunc semantics. max-abs scaling per vector.
+  private val q56: Q = (s, dir) => {
+    import s.implicits._
+    val maxAbs = array_max(transform($"embedding", x => abs(x.cast("double"))))
+    emb(s, dir)
+      .select($"vec_id", $"embedding", maxAbs.as("m"))
+      .select($"vec_id",
+        round($"m", 6).as("max_abs"),
+        transform($"embedding", x =>
+          (x.cast("double") * 127.0 / $"m").cast("int")).as("q8"),
+        round(Vectors.norm($"embedding"), 6).as("l2"))
+  }
+  private val q56Sql =
+    s"""WITH m AS (
+       |  SELECT vec_id, embedding,
+       |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+       |  FROM embeddings)
+       |SELECT vec_id, round(m, 6) AS max_abs,
+       |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 127.0 / m) AS INT)) AS q8,
+       |  round(sqrt(${dDot("embedding", "embedding")}), 6) AS l2
+       |FROM m""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_cosine_topk" -> q30,
     "q31_lsh_buckets" -> q31,
     "q32_embed_neardup" -> q32,
     "q33_ivf_assign" -> q33,
+    "q56_embed_quantize" -> q56,
   )
 
   val oracle: Map[String, String] = Map(
@@ -140,5 +167,6 @@ object VectorOps {
     "q31_lsh_buckets" -> q31Sql,
     "q32_embed_neardup" -> q32Sql,
     "q33_ivf_assign" -> q33Sql,
+    "q56_embed_quantize" -> q56Sql,
   )
 }

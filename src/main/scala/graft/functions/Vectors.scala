@@ -22,12 +22,18 @@ object Vectors {
     call_function(VecDot.name, a, b)
 
   /** Same semantics from composable built-ins (interpreted HOFs) — kept as
-    * the portability fallback and as the differential-test witness. */
-  def dotComposable(a: Column, b: Column): Column =
+    * the portability fallback and as the differential-test witness. Both
+    * arrays are sliced to the shorter length first: zip_with pads the
+    * shorter side with nulls (which would null the whole fold), whereas
+    * VecDot sums over min length — slicing pins the two to each other. */
+  def dotComposable(a: Column, b: Column): Column = {
+    val n = least(size(a), size(b))
     aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      zip_with(slice(a, lit(1), n), slice(b, lit(1), n),
+        (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

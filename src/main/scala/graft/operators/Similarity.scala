@@ -52,33 +52,52 @@ object Similarity {
     * centroid set the IVF path probes. Initialization is the first k
     * vectors by id (reproducible across runs/engines, unlike random or
     * kmeans++ seeds). Each iteration is one broadcast (centroids) + one
-    * shuffle (mean per cluster); centroids live on the driver between
-    * iterations, bounded by k × dim. */
+    * shuffle (mean per cluster).
+    *
+    * The centroid set is k × dim — bounded driver state by construction —
+    * so it is collected to the driver between iterations and re-broadcast
+    * as a fresh literal frame. This keeps every iteration's plan flat
+    * (iteration i never replays iterations 1..i-1) and the returned frame
+    * is a LocalRelation, independent of `iterations`. A cluster that
+    * loses all members keeps its previous centroid (no silent k-shrink).
+    */
   def kmeans(corpus: DataFrame, idCol: String, embCol: String,
              k: Int, iterations: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val spark = corpus.sparkSession
     import spark.implicits._
-    var centroids = corpus.orderBy(col(idCol)).limit(k)
-      .select(monotonically_increasing_id().cast("int").as("__c_id"),
-        col(embCol).cast("array<double>").as("__c_emb"))
+    def toDf(cs: Array[(Int, Seq[Double])]): DataFrame =
+      cs.toSeq.toDF("__c_id", "__c_emb")
+    // Init: first k vectors by id. collect() of a sorted+limited plan
+    // preserves order, so ids 0..k-1 are assigned by ascending idCol.
+    var centroids: Array[(Int, Seq[Double])] =
+      corpus.orderBy(col(idCol)).limit(k)
+        .select(col(embCol).cast("array<double>"))
+        .collect()
+        .zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](0)) }
     (1 to iterations).foreach { _ =>
       val w = Window.partitionBy(col(idCol)).orderBy(col("__dist").asc, col("__c_id").asc)
-      val assigned = corpus.join(broadcast(centroids))
+      val assigned = corpus.join(broadcast(toDf(centroids)))
         .select(col(idCol), col(embCol),
           col("__c_id"), (lit(1.0) - Vectors.cosine(col(embCol), col("__c_emb"))).as("__dist"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-      // new centroid = element-wise mean of member vectors
-      centroids = assigned
+      // new centroid = element-wise mean of member vectors; k × dim rows
+      // collapse to k rows of k × dim doubles — the bounded-state collect.
+      val means: Map[Int, Seq[Double]] = assigned
         .select(col("__c_id"), posexplode(col(embCol).cast("array<double>")))
         .groupBy(col("__c_id"), col("pos"))
         .agg(avg(col("col")).as("v"))
         .groupBy(col("__c_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
         .select(col("__c_id"), expr("transform(pv, x -> x.v)").as("__c_emb"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .toMap
+      centroids = centroids.map { case (id, old) => (id, means.getOrElse(id, old)) }
     }
-    centroids.select(col("__c_id").as("centroid_id"), col("__c_emb").as(embCol))
+    toDf(centroids).select(col("__c_id").as("centroid_id"), col("__c_emb").as(embCol))
   }
 
   /** IVF coarse quantization: assign every vector to its nearest centroid

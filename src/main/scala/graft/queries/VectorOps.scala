@@ -132,7 +132,9 @@ object VectorOps {
   // The standard storage shrink for ANN corpora (float32 -> int8 is 4x).
   // Truncation (not round) for the quantized values: DuckDB's
   // double->int CAST rounds while Spark's truncates, so both sides use
-  // explicit trunc semantics. max-abs scaling per vector.
+  // explicit trunc semantics. max-abs scaling per vector. The quantized
+  // vector is emitted as a ','-joined string — the driver's oracle compare
+  // row-sorts in pandas, which cannot hash bare array columns.
   private val q56: Q = (s, dir) => {
     import s.implicits._
     val maxAbs = array_max(transform($"embedding", x => abs(x.cast("double"))))
@@ -140,8 +142,8 @@ object VectorOps {
       .select($"vec_id", $"embedding", maxAbs.as("m"))
       .select($"vec_id",
         round($"m", 6).as("max_abs"),
-        transform($"embedding", x =>
-          (x.cast("double") * 127.0 / $"m").cast("int")).as("q8"),
+        array_join(transform($"embedding", x =>
+          (x.cast("double") * 127.0 / $"m").cast("int")), ",").as("q8"),
         round(Vectors.norm($"embedding"), 6).as("l2"))
   }
   private val q56Sql =
@@ -150,7 +152,8 @@ object VectorOps {
        |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS m
        |  FROM embeddings)
        |SELECT vec_id, round(m, 6) AS max_abs,
-       |  list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 127.0 / m) AS INT)) AS q8,
+       |  array_to_string(list_transform(embedding,
+       |    x -> CAST(trunc(CAST(x AS DOUBLE) * 127.0 / m) AS INT)), ',') AS q8,
        |  round(sqrt(${dDot("embedding", "embedding")}), 6) AS l2
        |FROM m""".stripMargin
 

@@ -51,7 +51,7 @@ object MapSource {
       case LongType    => box(longOf(v))(identity)
       case FloatType   => box(doubleOf(v))(_.toFloat)
       case DoubleType  => box(doubleOf(v))(identity)
-      case BooleanType => if (v.isBoolean) java.lang.Boolean.valueOf(v.asBoolean) else null
+      case BooleanType => booleanOf(v)
       case StringType  =>
         // str(v); objects/arrays keep their raw JSON (reference's
         // `object` handling)
@@ -83,6 +83,20 @@ object MapSource {
       val s = v.asText.trim
       s.toLongOption.orElse(s.toDoubleOption.map(_.toLong))
     } else None
+
+  /** Mirrors the Column stage's `cast(string).cast(boolean)` (Coerce:46):
+    * Spark's non-ANSI string→boolean accepts t/true/y/yes/1 and
+    * f/false/n/no/0, trimmed and case-insensitive — so the same dumped
+    * document reads back identically through either path. */
+  private def booleanOf(v: JsonNode): Any =
+    if (v.isBoolean) java.lang.Boolean.valueOf(v.asBoolean)
+    else if (v.isTextual || v.isNumber) {
+      (if (v.isTextual) v.asText else v.toString).trim.toLowerCase match {
+        case "t" | "true" | "y" | "yes" | "1" => java.lang.Boolean.TRUE
+        case "f" | "false" | "n" | "no" | "0" => java.lang.Boolean.FALSE
+        case _                                => null
+      }
+    } else null
 
   /** Python float(v) (reference :171-175). */
   private def doubleOf(v: JsonNode): Option[Double] =

@@ -27,6 +27,15 @@ class VecDotSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("unequal-length arrays: both forms sum over the shorter length") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+    val out = df.select(
+      Vectors.dot($"a", $"b").as("native"),
+      Vectors.dotComposable($"a", $"b").as("composed")).collect()(0)
+    assert(out.getDouble(0) == 14.0) // 1*4 + 2*5, third element ignored
+    assert(out.getDouble(1) == 14.0)
+  }
+
   test("participates in whole-stage codegen (no interpreted HOF in the plan)") {
     val e = graft.Tables.load(spark, sf(), "embeddings")
     val plan = e.select(Vectors.dot($"embedding", $"embedding").as("d"))

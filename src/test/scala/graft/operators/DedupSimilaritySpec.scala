@@ -61,6 +61,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(inertia(trained) < inertia(init), "training must reduce total distance")
   }
 
+  test("Similarity.kmeans: plan stays flat across iterations (driver-held centroids)") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    // Each Lloyd iteration materializes centroids on the driver, so the
+    // returned frame must be a constant-size local plan no matter how many
+    // iterations ran — the regression guard for O(iterations^2) lineage.
+    def planSize(iters: Int): Int =
+      Similarity.kmeans(emb, "vec_id", "embedding", k = 4, iterations = iters)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    val p1 = planSize(1)
+    assert(planSize(4) == p1, "plan depth must not grow with iteration count")
+    assert(Similarity.kmeans(emb, "vec_id", "embedding", k = 4, iterations = 1)
+      .queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+      "trained centroids must be a driver-held LocalRelation")
+    // ids are 0..k-1 by ascending vec_id, even if a cluster empties
+    val ids = Similarity.kmeans(emb, "vec_id", "embedding", k = 4, iterations = 2)
+      .select($"centroid_id").as[Int].collect().sorted.toSeq
+    assert(ids == Seq(0, 1, 2, 3))
+  }
+
   test("Similarity.ivfAssign matches the q33 query shape") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val viaApi = Similarity.ivfAssign(emb, emb.filter($"vec_id" < 16),

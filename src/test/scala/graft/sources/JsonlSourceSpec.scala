@@ -80,7 +80,32 @@ class JsonlSourceSpec extends SparkSpec {
     assert(c("\"not a time\"", TimestampType) == null)
     assert(c("""{"a": 1}""", StringType).toString == """{"a":1}""") // object -> raw JSON
     assert(c("true", BooleanType) == true)
-    assert(c("\"true\"", BooleanType) == null)                 // bool is passthrough-only
+    assert(c("\"true\"", BooleanType) == true)                 // textual, like cast(string)
+    assert(c("\" Yes \"", BooleanType) == true)                // trimmed, case-insensitive
+    assert(c("\"0\"", BooleanType) == false)
+    assert(c("\"maybe\"", BooleanType) == null)
+  }
+
+  test("differential: boolean coercion agrees with the Column-based Coerce stage") {
+    val samples = Seq("true", "false", "t", "F", "yes", "No", "1", "0",
+      " true ", "TRUE", "2", "maybe", "")
+    val viaColumns = samples.toDF("v")
+      .select(graft.operators.Coerce.coerceColumn($"v", StringType, BooleanType).as("b"))
+      .collect().map(r => Option(r.get(0)))
+    val viaReader = samples.map { s =>
+      Option(MapSource.coerceValue(mapper.readTree(mapper.writeValueAsString(s)), BooleanType))
+    }
+    viaColumns.zip(viaReader).zip(samples).foreach { case ((a, b), s) =>
+      assert(a == b, s"mismatch for '$s': columns=$a reader=$b")
+    }
+    // numeric JSON values through both paths (long 1 -> "1" -> true; 1.0 -> "1.0" -> null)
+    val numCols = Seq(1L, 0L, 2L).toDF("v")
+      .select(graft.operators.Coerce.coerceColumn($"v", LongType, BooleanType).as("b"))
+      .collect().map(r => Option(r.get(0)))
+    val numReader = Seq("1", "0", "2").map(j =>
+      Option(MapSource.coerceValue(mapper.readTree(j), BooleanType)))
+    assert(numCols.toSeq == numReader)
+    assert(MapSource.coerceValue(mapper.readTree("1.0"), BooleanType) == null)
   }
 
   test("ISO-8601 variants: offset, space separator, date-only, fractional seconds") {

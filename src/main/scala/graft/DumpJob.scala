@@ -78,9 +78,15 @@ object DumpJob {
   /** Run the per-table loop; errors are isolated per table and reported in
     * the results rather than thrown. */
   def run(spark: SparkSession, srcDir: String, outDir: String, config: Config): Seq[Result] =
-    Tables.resolve(config.pattern).map { table =>
+    run(spark, graft.sources.ParquetDirCatalog(srcDir), outDir, config)
+
+  /** Catalog-generic form of the loop — pass [[graft.sources.es.EsCatalog]]
+    * to run the reference's actual job (live cluster → files) end to end. */
+  def run(spark: SparkSession, catalog: graft.sources.SourceCatalog,
+          outDir: String, config: Config): Seq[Result] =
+    catalog.listTables(config.pattern).map { table =>
       try {
-        val raw = transform(Tables.load(spark, srcDir, table),
+        val raw = transform(catalog.load(spark, table),
           config.copy(schema = None, flatten = false)) // P1/P2 only here
         val (coerced, obs) = config.schema match {
           case Some(s) =>

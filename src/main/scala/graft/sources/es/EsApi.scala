@@ -1,0 +1,102 @@
+package graft.sources.es
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** The search/scroll wire protocol (reference dump-es-parquet:219-266):
+  * request bodies built with Jackson (correct escaping by construction)
+  * and response parsing tolerant of the ES6/ES7 split — `hits.total` is a
+  * bare int on ES6 and `{"value": N, "relation": …}` on ES7+/OpenSearch
+  * (reference :233-235).
+  */
+object EsApi {
+
+  private val mapper = new ObjectMapper()
+
+  /** One page of scroll results: the continuation id, the total hit count
+    * (from the first page; -1 when the server omits it), and the raw
+    * `_source` documents. */
+  final case class Page(scrollId: Option[String], total: Long, hits: Seq[JsonNode])
+
+  def parsePage(json: String): Page = {
+    val root = mapper.readTree(json)
+    val hitsNode = root.get("hits")
+    val total = Option(hitsNode.get("total")) match {
+      case Some(t) if t.isObject => t.get("value").asLong() // ES7+/OS dict
+      case Some(t)               => t.asLong()              // ES6 bare int
+      case None                  => -1L
+    }
+    val docs = Option(hitsNode.get("hits")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty)
+      .flatMap(h => Option(h.get("_source")))
+    Page(Option(root.get("_scroll_id")).map(_.asText()), total, docs)
+  }
+
+  /** `"field:asc,other:desc"` — the reference's `--sort` shape (:380). */
+  def parseSort(sort: String): Seq[(String, String)] =
+    sort.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { s =>
+      s.split(":", 2) match {
+        case Array(f, d) => (f, if (d == "desc") "desc" else "asc")
+        case Array(f)    => (f, "asc")
+      }
+    }.toSeq
+
+  /** Initial search body: size, sort, query_string (when present), _source
+    * projection (when pruned), and the slice clause for sliced scrolls. */
+  def searchBody(size: Int, sort: Seq[(String, String)], query: Option[String],
+                 sourceFields: Option[Seq[String]],
+                 slice: Option[(Int, Int)]): String = {
+    val body = mapper.createObjectNode()
+    body.put("size", size)
+    if (sort.nonEmpty) {
+      val arr = body.putArray("sort")
+      sort.foreach { case (f, d) =>
+        if (f == "_doc" && d == "asc") arr.add("_doc")
+        else arr.addObject().putObject(f).put("order", d)
+      }
+    }
+    query.foreach { q =>
+      body.putObject("query").putObject("query_string").put("query", q)
+    }
+    sourceFields.foreach { fs =>
+      val arr = body.putArray("_source")
+      fs.foreach(arr.add)
+    }
+    slice.foreach { case (id, max) =>
+      val s = body.putObject("slice"); s.put("id", id); s.put("max", max)
+    }
+    mapper.writeValueAsString(body)
+  }
+
+  def scrollBody(scroll: String, scrollId: String): String = {
+    val body = mapper.createObjectNode()
+    body.put("scroll", scroll)
+    body.put("scroll_id", scrollId)
+    mapper.writeValueAsString(body)
+  }
+
+  def clearScrollBody(scrollId: String): String = {
+    val body = mapper.createObjectNode()
+    body.putArray("scroll_id").add(scrollId)
+    mapper.writeValueAsString(body)
+  }
+
+  /** Index names from an `indices.get_settings` response — the reference's
+    * index-pattern resolution (S1, dump-es-parquet:342-350): the response
+    * object is keyed by the concrete indices the pattern matched. */
+  def parseIndexNames(settingsJson: String): Seq[String] =
+    mapper.readTree(settingsJson).fieldNames().asScala.toSeq.sorted
+
+  /** The `get_mapping` response key for `index`, tolerating servers that
+    * key the response by a resolved concrete name (alias/pattern cases):
+    * exact match first, else the single entry, else fail loudly. */
+  def mappingKey(responseJson: String, index: String): String = {
+    val keys = mapper.readTree(responseJson).fieldNames().asScala.toSeq
+    if (keys.contains(index)) index
+    else if (keys.size == 1) keys.head
+    else throw new IllegalArgumentException(
+      s"mapping response has ${keys.size} indices for '$index': ${keys.mkString(",")}")
+  }
+}

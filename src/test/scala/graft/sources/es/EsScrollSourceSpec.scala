@@ -1,0 +1,216 @@
+package graft.sources.es
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** The live-ES scroll source, driven end-to-end over a localhost stub
+  * cluster — production `HttpTransport` + DSv2 plumbing, no fakes. */
+class EsScrollSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val props =
+    """{"id":{"type":"long"},"name":{"type":"keyword"},"ts":{"type":"date"},
+      |"score":{"type":"float"},"tags":{"type":"keyword"}}""".stripMargin
+
+  private def doc(i: Int): String =
+    s"""{"id":$i,"name":"doc$i","ts":"2024-01-0${i % 9 + 1}T00:00:00",""" +
+      s""""score":"$i.5","tags":["t$i","extra"]}"""
+
+  private def withServer[T](
+      docs: Seq[String] = (0 until 23).map(doc),
+      indexName: String = "logs-2024.01",
+      es6Totals: Boolean = false,
+      legacyDocType: Boolean = false)(f: StubEsServer => T): T = {
+    val server = new StubEsServer(Map(indexName -> docs),
+      Map(indexName -> props), es6Totals, legacyDocType)
+    try f(server) finally server.close()
+  }
+
+  private def read(server: StubEsServer, extra: (String, String)*) =
+    spark.read.format("graft-es")
+      .option("es", server.url)
+      .option("index", "logs-2024.01")
+      .option("size", "5")
+      .option("retries", "3")
+      .option("retry_backoff_ms", "1")
+      .options(extra.toMap)
+      .load()
+
+  test("end-to-end: mapping-inferred schema, paged scroll, in-reader coercion") {
+    withServer() { server =>
+      val df = read(server)
+      assert(df.schema("id").dataType == LongType)
+      assert(df.schema("ts").dataType == TimestampType)
+      assert(df.schema("score").dataType == FloatType)
+      val rows = df.select($"id", $"name", $"score", $"tags").collect()
+      assert(rows.length == 23)
+      val byId = rows.map(r => r.getLong(0) -> r).toMap
+      assert(byId(7).getString(1) == "doc7")
+      assert(byId(7).getFloat(2) == 7.5f)        // "7.5" string -> float
+      assert(byId(7).getString(3) == "t7")       // list -> first element (T2)
+      // 23 docs at size 5 = 5 pages + the empty terminator
+      val scrolls = server.requests.asScala.count(r =>
+        r._1 == "POST" && r._2 == "/_search/scroll")
+      assert(scrolls >= 4, s"expected paged scroll, saw $scrolls scroll calls")
+    }
+  }
+
+  test("ES6 compat: bare-int hits.total and legacy doc-type mapping") {
+    withServer(es6Totals = true, legacyDocType = true) { server =>
+      val df = read(server)
+      assert(df.schema("id").dataType == LongType) // mapping via legacy doc type
+      assert(df.count() == 23)                     // total parsed as bare int
+    }
+  }
+
+  test("sliced scroll: one partition per slice, rows exactly once") {
+    withServer() { server =>
+      val df = read(server, "slices" -> "4")
+      assert(df.rdd.getNumPartitions == 4)
+      val ids = df.select($"id").as[Long].collect().sorted.toSeq
+      assert(ids == (0L until 23L), "slices must partition, not duplicate")
+      val sliceIds = server.searchRequests.flatMap { case (_, _, body) =>
+        "\"slice\":\\{\"id\":(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt)
+      }
+      assert(sliceIds.sorted == Seq(0, 1, 2, 3),
+        "each partition must send its own slice clause")
+    }
+  }
+
+  test("retry-on-flap: transient 503s retried with backoff, then success") {
+    withServer() { server =>
+      server.failNext(2)
+      assert(read(server).count() == 23)
+    }
+  }
+
+  test("retry exhaustion: persistent failure surfaces after the attempts budget") {
+    withServer() { server =>
+      server.failNext(1000)
+      val e = intercept[Exception] { read(server, "retries" -> "2").count() }
+      def transient(t: Throwable): Boolean =
+        if (t == null) false
+        else if (t.isInstanceOf[EsHttpError]) true
+        else transient(t.getCause)
+      assert(transient(e), s"expected EsHttpError in cause chain, got $e")
+    }
+  }
+
+  test("projection pushdown reaches the wire as the _source include list") {
+    withServer() { server =>
+      val df = read(server).select($"name")
+      assert(df.collect().map(_.getString(0)).sorted.head == "doc0")
+      val sourceLists = server.searchRequests.map(_._3)
+        .filter(_.contains("\"_source\""))
+      assert(sourceLists.nonEmpty, "search body must carry _source")
+      assert(sourceLists.forall(b =>
+        b.contains("\"_source\":[\"name\"]") && !b.contains("\"id\"")),
+        s"only the projected field may ride the wire: $sourceLists")
+    }
+  }
+
+  test("filter pushdown: numeric predicates become a query_string clause") {
+    withServer() { server =>
+      val df = read(server).filter($"id" >= 10 && $"id" < 13).select($"id")
+      // the stub does not evaluate queries — Spark's residual re-check
+      // must still produce the right rows
+      assert(df.as[Long].collect().sorted.toSeq == Seq(10L, 11L, 12L))
+      val body = server.searchRequests.head._3
+      assert(body.contains("query_string"), s"expected wire query in: $body")
+      assert(body.contains("id:[10 TO *]") && body.contains("id:{* TO 13}"), body)
+    }
+  }
+
+  test("user query composes with pushed filters on the wire") {
+    withServer() { server =>
+      read(server, "query" -> "name:doc*").filter($"id" === 3).collect()
+      val body = server.searchRequests.head._3
+      assert(body.contains("(name:doc*) AND"), body)
+      assert(body.contains("id:3"), body)
+    }
+  }
+
+  test("scroll context cleared on completion") {
+    withServer() { server =>
+      read(server).collect()
+      assert(server.clearedScrolls.asScala.nonEmpty,
+        "reader must DELETE its scroll id on close")
+    }
+  }
+
+  test("empty index: zero rows, no crash (reference logs 'No records found')") {
+    withServer(docs = Seq.empty) { server =>
+      assert(read(server).count() == 0)
+    }
+  }
+
+  test("EsCatalog: pattern resolution, mapping schema, scroll load") {
+    val docs = (0 until 4).map(doc)
+    val server = new StubEsServer(
+      Map("logs-2024.01" -> docs, "logs-2024.02" -> docs, "other" -> docs),
+      Map("logs-2024.01" -> props, "logs-2024.02" -> props, "other" -> props))
+    try {
+      val cat = EsCatalog(
+        EsHttpConfig(baseUrl = server.url),
+        readOptions = Map("size" -> "3", "retries" -> "2", "retry_backoff_ms" -> "1"))
+      assert(cat.listTables("logs-*") == Seq("logs-2024.01", "logs-2024.02"))
+      assert(cat.tableSchema(spark, "logs-2024.01")("ts").dataType == TimestampType)
+      assert(cat.load(spark, "logs-2024.02").count() == 4)
+    } finally server.close()
+  }
+
+  test("DumpJob over the live source: stub cluster -> parquet, per-index files") {
+    val docs = (0 until 9).map(doc)
+    val server = new StubEsServer(
+      Map("logs-2024.01" -> (0 until 23).map(doc), "logs-2024.02" -> docs),
+      Map("logs-2024.01" -> props, "logs-2024.02" -> props))
+    try {
+      val out = java.nio.file.Files.createTempDirectory("es_dump").toString
+      val cat = EsCatalog(EsHttpConfig(baseUrl = server.url),
+        readOptions = Map("size" -> "7", "retries" -> "2", "retry_backoff_ms" -> "1"))
+      val results = graft.DumpJob.run(spark, cat, out,
+        graft.DumpJob.Config(pattern = "logs-*"))
+      val written = results.collect { case w: graft.DumpJob.Written => w }
+      assert(written.map(_.table) == Seq("logs-2024.01", "logs-2024.02"),
+        s"expected both indices written, got $results")
+      val back = spark.read.parquet(written.head.files: _*)
+      assert(back.count() == 23)
+      assert(back.schema("ts").dataType == TimestampType) // mapping-typed dump
+    } finally server.close()
+  }
+
+  test("EsQuery: conservative translation (partial And, all-or-nothing Or, no Not)") {
+    assert(EsQuery.clause(EqualTo("a", 5)) == Some("a:5"))
+    assert(EsQuery.clause(EqualTo("a", "s")).isEmpty) // strings stay residual
+    assert(EsQuery.clause(IsNotNull("a")) == Some("_exists_:a"))
+    assert(EsQuery.clause(And(EqualTo("a", 1), EqualTo("b", "s"))) == Some("a:1"))
+    assert(EsQuery.clause(Or(EqualTo("a", 1), EqualTo("b", "s"))).isEmpty)
+    assert(EsQuery.clause(Not(EqualTo("a", 1))).isEmpty)
+    assert(EsQuery.combine(Some("q:x"), Seq(LessThan("a", 2))) ==
+      Some("(q:x) AND a:{* TO 2}"))
+  }
+
+  test("EsApi: ES6 int total vs ES7 dict total; sort parsing") {
+    val es7 = """{"_scroll_id":"s1","hits":{"total":{"value":9,"relation":"eq"},"hits":[]}}"""
+    val es6 = """{"_scroll_id":"s1","hits":{"total":9,"hits":[{"_source":{"a":1}}]}}"""
+    assert(EsApi.parsePage(es7).total == 9 && EsApi.parsePage(es7).hits.isEmpty)
+    val p6 = EsApi.parsePage(es6)
+    assert(p6.total == 9 && p6.hits.size == 1 && p6.scrollId.contains("s1"))
+    assert(EsApi.parseSort("@timestamp:asc,id:desc") ==
+      Seq(("@timestamp", "asc"), ("id", "desc")))
+  }
+
+  test("EsTls: config surface (trust-all context builds; cert without key rejected)") {
+    val ctx = EsTls.sslContext(EsHttpConfig(
+      baseUrl = "https://example", verifyCerts = false))
+    assert(ctx != null)
+    intercept[IllegalArgumentException] {
+      EsTls.sslContext(EsHttpConfig(baseUrl = "https://example",
+        cert = Some("/tmp/c.pem")))
+    }
+  }
+}

@@ -1,0 +1,152 @@
+package graft.sources.es
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue, Executors}
+import scala.jdk.CollectionConverters._
+
+/** In-process Elasticsearch stub for the scroll-source suite: serves the
+  * catalog surface (`_settings`, `_mapping`) and a faithful
+  * `_search?scroll` / `_search/scroll` / clear-scroll loop over canned
+  * documents, on a real localhost HTTP socket (the suite exercises the
+  * production `HttpTransport`, not a fake).
+  *
+  * Fidelity knobs:
+  *  - `es6Totals`: `hits.total` as a bare int (ES6) vs `{value,relation}`
+  *  - `legacyDocType`: ES6 `{mappings: {doc: {properties}}}` vs ES7+
+  *  - `failNext(n)`: next n requests answer 503 (cluster flap)
+  *  - sliced scrolls partition documents by `index % max == id`
+  *  - `_source` include lists are honored (projection reaches the wire)
+  */
+final class StubEsServer(
+    indices: Map[String, Seq[String]],
+    mappings: Map[String, String],
+    es6Totals: Boolean = false,
+    legacyDocType: Boolean = false) extends AutoCloseable {
+
+  private val mapper = new ObjectMapper()
+
+  /** (method, uri-with-query, body) of every request, in arrival order. */
+  val requests = new ConcurrentLinkedQueue[(String, String, String)]()
+  val clearedScrolls = new ConcurrentLinkedQueue[String]()
+  private val failBudget = new AtomicInteger(0)
+  private val scrollSeq = new AtomicLong(0)
+  private final case class Session(var docs: List[ObjectNode], size: Int)
+  private val sessions = new ConcurrentHashMap[String, Session]()
+
+  def failNext(n: Int): Unit = failBudget.set(n)
+  def searchRequests: Seq[(String, String, String)] =
+    requests.asScala.toSeq.filter(r => r._1 == "POST" && r._2.contains("/_search") &&
+      !r._2.contains("/_search/scroll"))
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.createContext("/", handler)
+  server.setExecutor(Executors.newFixedThreadPool(8))
+  server.start()
+
+  def url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  override def close(): Unit = server.stop(0)
+
+  private def handler: HttpHandler = (ex: HttpExchange) => {
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    val method = ex.getRequestMethod
+    val uri = ex.getRequestURI.toString
+    requests.add((method, uri, body))
+    try {
+      if (failBudget.getAndUpdate(n => math.max(0, n - 1)) > 0)
+        respond(ex, 503, """{"error":"stub flap"}""")
+      else route(ex, method, ex.getRequestURI.getPath, uri, body)
+    } catch {
+      case e: Exception => respond(ex, 500,
+        s"""{"error":"${Option(e.getMessage).getOrElse(e.getClass.getName)}"}""")
+    }
+  }
+
+  private def route(ex: HttpExchange, method: String, path: String,
+                    uri: String, body: String): Unit = {
+    val segs = path.stripPrefix("/").split("/").toList
+    (method, segs) match {
+      case ("GET", idx :: "_mapping" :: Nil) =>
+        mappings.get(idx) match {
+          case Some(props) =>
+            val inner = if (legacyDocType) s"""{"doc":{"properties":$props}}"""
+                        else s"""{"properties":$props}"""
+            respond(ex, 200, s"""{"$idx":{"mappings":$inner}}""")
+          case None => respond(ex, 404, s"""{"error":"no such index $idx"}""")
+        }
+      case ("GET", pattern :: "_settings" :: Nil) =>
+        val rx = ("^" + java.util.regex.Pattern.quote(pattern)
+          .replace("*", "\\E.*\\Q") + "$").r
+        val matched = indices.keys.filter(n => rx.findFirstIn(n).isDefined)
+        if (matched.isEmpty) respond(ex, 404, s"""{"error":"no indices match"}""")
+        else respond(ex, 200,
+          matched.map(n => s""""$n":{"settings":{}}""").mkString("{", ",", "}"))
+      case ("POST", "_search" :: "scroll" :: Nil) =>
+        val id = mapper.readTree(body).get("scroll_id").asText()
+        val session = sessions.get(id)
+        if (session == null) respond(ex, 404, s"""{"error":"no scroll $id"}""")
+        else {
+          val (pageDocs, rest) = session.docs.splitAt(session.size)
+          session.docs = rest
+          respond(ex, 200, pageJson(Some(id), -1, pageDocs))
+        }
+      case ("POST", idx :: "_search" :: Nil) =>
+        val req = mapper.readTree(if (body.isEmpty) "{}" else body)
+        val size = Option(req.get("size")).map(_.asInt).getOrElse(10)
+        val all = indices.getOrElse(idx, Seq.empty)
+          .map(d => mapper.readTree(d).asInstanceOf[ObjectNode])
+        val sliced = Option(req.get("slice")) match {
+          case Some(s) =>
+            val (id, max) = (s.get("id").asInt, s.get("max").asInt)
+            all.zipWithIndex.collect { case (d, i) if i % max == id => d }
+          case None => all
+        }
+        val projected = Option(req.get("_source")) match {
+          case Some(src) if src.isArray =>
+            val keep = src.elements().asScala.map(_.asText()).toSet
+            sliced.map { d =>
+              val c = d.deepCopy[ObjectNode]()
+              c.retain(keep.asJava); c
+            }
+          case _ => sliced
+        }
+        val scrollId = s"stub-scroll-${scrollSeq.incrementAndGet()}"
+        val (pageDocs, rest) = projected.toList.splitAt(size)
+        sessions.put(scrollId, Session(rest, size))
+        respond(ex, 200, pageJson(Some(scrollId), projected.size.toLong, pageDocs))
+      case ("DELETE", "_search" :: "scroll" :: Nil) =>
+        mapper.readTree(body).get("scroll_id").elements().asScala.foreach { id =>
+          sessions.remove(id.asText())
+          clearedScrolls.add(id.asText())
+        }
+        respond(ex, 200, """{"succeeded":true}""")
+      case _ => respond(ex, 400, s"""{"error":"unhandled $method $path"}""")
+    }
+  }
+
+  private def pageJson(scrollId: Option[String], total: Long,
+                       docs: Seq[ObjectNode]): String = {
+    val root = mapper.createObjectNode()
+    scrollId.foreach(root.put("_scroll_id", _))
+    val hits = root.putObject("hits")
+    if (total >= 0) {
+      if (es6Totals) hits.put("total", total)
+      else { val t = hits.putObject("total"); t.put("value", total); t.put("relation", "eq") }
+    }
+    val arr = hits.putArray("hits")
+    docs.foreach(d => arr.addObject().set[ObjectNode]("_source", d))
+    mapper.writeValueAsString(root)
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

@@ -382,7 +382,7 @@ object Analytics {
       .agg(
         approx_count_distinct($"l_partkey").as("nd_parts"),
         approx_count_distinct($"l_orderkey").as("nd_orders"),
-        percentile_approx($"l_quantity", lit(0.5), lit(10000)).as("med_qty"))
+        percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("med_qty"))
   }
 
   // -- q38: full outer join with null sides both ways --
@@ -498,6 +498,45 @@ object Analytics {
       |  count(*) FILTER (event_type = 'view') AS view
       |FROM events GROUP BY user_id""".stripMargin
 
+  // -- q57: bucketed co-located fact join. The write-once layout that
+  // deletes the recurring lineitem⋈orders shuffle: both fact tables land
+  // hash-bucketed by orderkey (Bucketing.writeBucketed), and every later
+  // join on that key is exchange-free (PlanSpec pins zero shuffles below
+  // the join). This is the Spark answer to the reference's README
+  // workflow, which re-shuffles the dumped facts inside DuckDB on every
+  // query (reference README.md:99-103). The layout write runs once per
+  // (session, sf) — exactly the amortization bucketing buys at 100 TB —
+  // then the query itself is the plain join+agg the oracle mirrors.
+  private val q57: Q = (s, dir) => {
+    import s.implicits._
+    // sf-specific table names: the warehouse outlives the JVM, and a
+    // sf0.01 layout must never satisfy a sf0.1 run
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val li = s"graft_bkt_lineitem_$sfx"
+    val ord = s"graft_bkt_orders_$sfx"
+    if (!s.catalog.tableExists(li))
+      graft.sinks.Bucketing.writeBucketed(
+        t(s, dir, "lineitem").select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+        li, Seq("l_orderkey"), buckets = 8)
+    if (!s.catalog.tableExists(ord))
+      graft.sinks.Bucketing.writeBucketed(
+        t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
+        ord, Seq("o_orderkey"), buckets = 8)
+    // orders would broadcast at this SF, hiding the bucketed path the
+    // query exists to exercise — force the merge join over buckets
+    s.table(li).hint("merge")
+      .join(s.table(ord), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+  }
+  private val q57Sql =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
@@ -527,6 +566,7 @@ object Analytics {
     "q50_asof_join" -> q50,
     "q51_range_join" -> q51,
     "q53_pivot" -> q53,
+    "q57_bucketed_join" -> q57,
   )
 
   val oracle: Map[String, String] = Map(
@@ -557,5 +597,6 @@ object Analytics {
     "q50_asof_join" -> q50Sql,
     "q51_range_join" -> q51Sql,
     "q53_pivot" -> q53Sql,
+    "q57_bucketed_join" -> q57Sql,
   )
 }

@@ -1,6 +1,7 @@
 package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
 
 /** Bucketed table layout for co-located joins (SURVEY.md §7.0 scale
   * posture).
@@ -25,7 +26,14 @@ object Bucketing {
     * executor's task comfortably (at cluster scale: thousands). */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     buckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+    // Pre-shuffle on the bucket key into exactly `buckets` partitions:
+    // repartition and bucketBy share the same murmur3-pmod assignment, so
+    // each task then writes exactly ONE bucket file. Without this every
+    // input task emits a file per bucket it happens to see — tasks×buckets
+    // small files at cluster scale — and the scan side loses the
+    // one-file-per-bucket precondition for sorted bucket reads.
+    val keyed = df.repartition(buckets, bucketCols.map(col): _*)
+    val w = keyed.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
     val sorted =
       if (sortCols.isEmpty) w.sortBy(bucketCols.head, bucketCols.tail: _*)

@@ -75,6 +75,15 @@ class PlanSpec extends SparkSpec {
     assert(parts.sorted == Seq(1, 2), s"expected (key,salt) then (key) exchanges, got $parts")
   }
 
+  test("q57: bucketed fact join has no exchange below the sort-merge join") {
+    val p = plan("q57_bucketed_join")
+    val smj = collectAll(p) { case j if j.nodeName.contains("SortMergeJoin") => j }
+    assert(smj.nonEmpty, "expected a sort-merge join over co-located buckets")
+    val shufflesBelowJoin = smj.flatMap(_.collect { case e: ShuffleExchangeLike => e })
+    assert(shufflesBelowJoin.isEmpty,
+      s"bucketed join must not shuffle its inputs: $shufflesBelowJoin")
+  }
+
   test("q03: aggregation is partial (map-side combine) before its shuffle") {
     val s = plan("q03_agg_pricing").toString
     assert(s.contains("HashAggregate"))

@@ -64,16 +64,17 @@ object Dump {
         partitionBy = flags.get("partition-by").map(_.split(",").toSeq).getOrElse(Nil)))
 
     if (flags.contains("quiet")) spark.sparkContext.setLogLevel("ERROR")
-    val results = DumpJob.run(spark, srcDir, outDir, config)
+    val results =
+      if (output == "stdout")
+        // true streaming: lines reach stdout as partitions arrive, no
+        // temp files (reference dump-es-parquet:250-253)
+        DumpJob.streamJson(spark, graft.sources.ParquetDirCatalog(srcDir), config,
+          msg => if (!flags.contains("quiet")) System.err.println(msg))(println)
+      else DumpJob.run(spark, srcDir, outDir, config)
     results.foreach {
       case DumpJob.Written(table, files, warnings) =>
         warnings.foreach { case (msg, n) => System.err.println(s"$table: $msg [$n documents]") }
-        System.err.println(s"$table: wrote ${files.length} file(s)")
-        if (output == "stdout")
-          files.foreach { f =>
-            val src = scala.io.Source.fromFile(f)
-            try src.getLines().foreach(println) finally src.close()
-          }
+        if (output != "stdout") System.err.println(s"$table: wrote ${files.length} file(s)")
       case DumpJob.Failed(table, e) =>
         System.err.println(s"$table: FAILED ${e.getMessage}")
     }

@@ -75,6 +75,38 @@ object DumpJob {
     if (config.flatten) Flatten(coerced) else coerced
   }
 
+  /** Entry point B — the reference's stdout mode (dump-es-parquet:250-253):
+    * record-at-a-time JSON lines to `consume`, no files, no fixed schema
+    * (the reference skips the DataFrame entirely in this mode, :58,215 —
+    * which is why it survives inconsistent types, README.md:56-58).
+    * `toLocalIterator` pulls ONE partition at a time to the driver, so
+    * driver memory stays bounded by a single partition while executors
+    * compute ahead — the Spark analog of printing each scroll page as it
+    * arrives, rather than materializing files first. `progress` mirrors
+    * the reference's per-batch "read N" log (:257,266). */
+  def streamJson(spark: SparkSession, catalog: graft.sources.SourceCatalog,
+                 config: Config, progress: String => Unit = _ => ())
+                (consume: String => Unit): Seq[Result] =
+    catalog.listTables(config.pattern).map { table =>
+      try {
+        val raw = transform(catalog.load(spark, table),
+          config.copy(schema = None, flatten = false))
+        val df = if (config.sort.isEmpty) raw
+                 else raw.orderBy(sortCols(config.sort): _*)
+        val it = df.toJSON.toLocalIterator()
+        var n = 0L
+        while (it.hasNext) {
+          consume(it.next())
+          n += 1
+          if (n % 10000 == 0) progress(s"$table: read $n records")
+        }
+        progress(s"$table: read $n records (done)")
+        Written(table, Nil)
+      } catch {
+        case e: Throwable => Failed(table, e)
+      }
+    }
+
   /** Run the per-table loop; errors are isolated per table and reported in
     * the results rather than thrown. */
   def run(spark: SparkSession, srcDir: String, outDir: String, config: Config): Seq[Result] =

@@ -39,6 +39,28 @@ class DumpSpec extends SparkSpec {
       Tables.load(spark, sf(), "nation").filter("n_regionkey < 2").count())
   }
 
+  test("stdout mode streams sorted JSON lines without writing any files") {
+    val out = Files.createTempDirectory("dump_stdout").toString
+    val buf = new java.io.ByteArrayOutputStream()
+    val results = Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Dump.execute(spark, Array(
+        "nation",
+        "--src", sf(), "--out", out,
+        "--output", "stdout",
+        "--sort", "n_nationkey:desc",
+        "--quiet"))
+    }
+    assert(results.forall(_.isInstanceOf[DumpJob.Written]))
+    // no files materialized — the lines went straight to stdout
+    assert(files(out).isEmpty)
+    val lines = buf.toString("UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+    assert(lines.size == Tables.load(spark, sf(), "nation").count())
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+    // --sort is honored in the emitted order (reference P3 contract)
+    val keys = lines.map(l => "\"n_nationkey\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toInt)
+    assert(keys == keys.sortBy(-_), s"expected descending n_nationkey, got $keys")
+  }
+
   test("glob pattern fans out to multiple tables, isolated per table") {
     val out = Files.createTempDirectory("dump_cli2").toString
     val results = Dump.execute(spark, Array(

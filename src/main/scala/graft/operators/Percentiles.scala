@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated percentiles without per-group value buffers.
+  *
+  * Spark's built-in `percentile` is a TypedImperativeAggregate that holds
+  * EVERY value of a group in an in-memory map on one task — the known
+  * scale cliff for exact percentiles over high-cardinality groups (and,
+  * at 8-16g heaps, a GC storm well before it OOMs). This operator
+  * computes the same `quantile_cont` semantics from a distributed sort:
+  *
+  *   1. one shuffle+sort per value column: rows ranked within each group
+  *      (`row_number`), with the group size and the next value in sort
+  *      order (`lead`) carried alongside;
+  *   2. the quantile-position rows are picked by rank arithmetic and
+  *      interpolated — `v_lo + frac * (v_hi - v_lo)` where the target
+  *      position is `(n-1) * p`, exactly DuckDB's / Spark's continuous-
+  *      interpolation rule;
+  *   3. a tiny final aggregation (one row per group) collects all
+  *      requested percentiles.
+  *
+  * Memory per task is a sort spill buffer, never the whole group —
+  * UnsafeExternalSorter spills to disk, so a 10^9-row group sorts; the
+  * buffering built-in dies. The trade: one range-partition sort per value
+  * column vs. the built-in's single pass, which is the right trade
+  * precisely when groups are too big to buffer. Skew note: a window
+  * partitioned by a low-cardinality group key funnels each group through
+  * one task — inherent to exact rank semantics (same as q39); the sort
+  * itself is what spills, so it completes regardless of group size.
+  */
+object Percentiles {
+
+  /** Exact `quantile_cont` of `valueCol` at each `ps` within `groupCols`
+    * groups. Output: one row per group with a column per (name, p).
+    * Nulls in `valueCol` are ignored, matching the built-in. */
+  def quantileCont(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    val gcols = groupCols.map(col)
+    val v = col(valueCol)
+    val w = Window.partitionBy(gcols: _*).orderBy(v)
+    val wp = Window.partitionBy(gcols: _*)
+    val ranked = df.select(gcols :+ v: _*)
+      .where(v.isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__nv", lead(v, 1).over(w))
+      .withColumn("__n", count(lit(1)).over(wp))
+    val aggs = ps.map { case (name, p) =>
+      val target = (col("__n") - 1) * lit(p)
+      val frac = target - floor(target)
+      // exactly one row per group matches floor(target); max() just
+      // collapses the non-matching nulls
+      max(when(col("__rn") - 1 === floor(target),
+        v + frac * (coalesce(col("__nv"), v) - v))).as(name)
+    }
+    ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Multi-column form: one sort per value column, results joined on the
+    * group key (each side is one row per group, so the join broadcasts). */
+  def quantileContMulti(df: DataFrame, groupCols: Seq[String],
+                        specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
+    require(specs.nonEmpty, "need at least one value column")
+    specs.map { case (vc, ps) => quantileCont(df, groupCols, vc, ps) }
+      .reduce(_.join(_, groupCols, "full_outer"))
+  }
+
+  /** Column helper matching the built-in's name for spec readability. */
+  def builtinPercentile(c: Column, p: Double): Column = percentile(c, lit(p))
+}

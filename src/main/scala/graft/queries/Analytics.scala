@@ -537,6 +537,28 @@ object Analytics {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  // -- q58: exact percentiles via distributed sort (Percentiles operator)
+  // — same quantile_cont semantics as q36 but computed from a rank/
+  // interpolate pass instead of the built-in's per-group value buffer,
+  // which is the shape that survives groups too large to hold in memory
+  // (the q36 scale cliff). Oracle: DuckDB quantile_cont, same as q36. --
+  private val q58: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Percentiles.quantileContMulti(
+      t(s, dir, "lineitem"), Seq("l_linestatus"),
+      Seq(
+        "l_quantity" -> Seq("med_qty" -> 0.5, "p90_qty" -> 0.9),
+        "l_extendedprice" -> Seq("p25_raw" -> 0.25)))
+      .select($"l_linestatus", $"med_qty", $"p90_qty",
+        round($"p25_raw", 2).as("p25_price"))
+  }
+  private val q58Sql =
+    """SELECT l_linestatus,
+      |  quantile_cont(l_quantity, 0.5) AS med_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25_price
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
@@ -567,6 +589,7 @@ object Analytics {
     "q51_range_join" -> q51,
     "q53_pivot" -> q53,
     "q57_bucketed_join" -> q57,
+    "q58_sort_percentiles" -> q58,
   )
 
   val oracle: Map[String, String] = Map(
@@ -598,5 +621,6 @@ object Analytics {
     "q51_range_join" -> q51Sql,
     "q53_pivot" -> q53Sql,
     "q57_bucketed_join" -> q57Sql,
+    "q58_sort_percentiles" -> q58Sql,
   )
 }

@@ -32,6 +32,16 @@ object Bucketing {
     // input task emits a file per bucket it happens to see — tasks×buckets
     // small files at cluster scale — and the scan side loses the
     // one-file-per-bucket precondition for sorted bucket reads.
+    // A managed-table location can outlive the in-memory catalog (the
+    // warehouse dir persists across JVMs); saveAsTable refuses to write
+    // over a location the catalog doesn't own, so clear orphans first.
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.delete(wh, true)
+    }
     val keyed = df.repartition(buckets, bucketCols.map(col): _*)
     val w = keyed.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)

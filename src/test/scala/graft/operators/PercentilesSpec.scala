@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Differential spec: the sort-based exact percentile must agree with
+  * Spark's buffering built-in (same quantile_cont interpolation) on real
+  * fixture data, across interior and boundary percentiles, including
+  * null values and a single-row group. */
+class PercentilesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val ps = Seq("p0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5,
+    "p90" -> 0.9, "p100" -> 1.0)
+
+  test("matches the built-in percentile on lineitem per returnflag") {
+    val li = Tables.load(spark, sf(), "lineitem")
+    val ours = Percentiles.quantileCont(li, Seq("l_returnflag"), "l_extendedprice", ps)
+      .collect().map(r => r.getString(0) -> (1 to 5).map(r.getDouble)).toMap
+    val builtin = li.groupBy($"l_returnflag")
+      .agg(percentile($"l_extendedprice", array(ps.map(p => lit(p._2)): _*)))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(ours.keySet == builtin.keySet)
+    ours.foreach { case (k, vs) =>
+      vs.zip(builtin(k)).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) < 1e-9 * math.max(1.0, math.abs(b)),
+          s"group $k ${ps(i)._1}: sort-based $a vs builtin $b")
+      }
+    }
+  }
+
+  test("ignores nulls and handles single-row groups") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", Some(42.0))).toDF("k", "v")
+    val out = Percentiles.quantileCont(df, Seq("k"), "v",
+      Seq("p50" -> 0.5, "p100" -> 1.0))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // nulls ignored: a has values (1,3) -> p50 = 2.0 interpolated
+    assert(out("a") == ((2.0, 3.0)))
+    assert(out("b") == ((42.0, 42.0)))
+  }
+
+  test("multi-column form joins one row per group per value column") {
+    val li = Tables.load(spark, sf(), "lineitem")
+    val out = Percentiles.quantileContMulti(li, Seq("l_returnflag"),
+      Seq("l_quantity" -> Seq("q50" -> 0.5), "l_discount" -> Seq("d90" -> 0.9)))
+    assert(out.columns.toSeq == Seq("l_returnflag", "q50", "d90"))
+    val builtin = li.groupBy($"l_returnflag")
+      .agg(percentile($"l_quantity", lit(0.5)).as("q50"),
+        percentile($"l_discount", lit(0.9)).as("d90"))
+    assert(out.exceptAll(builtin).isEmpty && builtin.exceptAll(out).isEmpty)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
@@ -100,19 +100,85 @@ object Similarity {
     toDf(centroids).select(col("__c_id").as("centroid_id"), col("__c_emb").as(embCol))
   }
 
-  /** IVF coarse quantization: assign every vector to its nearest centroid
-    * (centroids broadcast; map-side argmax). Searches then probe only
-    * matching inverted lists. */
+  /** The centroid set as a literal array<struct<id,emb>> column, sorted by
+    * ascending id. k × dim doubles — bounded driver state by construction
+    * (the same exception to no-collect that kmeans uses), so the argmax
+    * fold below needs no join at all. */
+  private def centroidLit(centroids: DataFrame, centroidIdCol: String,
+                          embCol: String): Column = {
+    val cents = centroids
+      .select(col(centroidIdCol).cast("int"), col(embCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    typedlit(cents)
+  }
+
+  /** Map-side argmax over the centroid literal: struct(id, cos) of the
+    * nearest centroid. Strict `>` keeps the FIRST max in ascending-id
+    * order, i.e. ties break toward the smaller centroid id — the same
+    * rule as `ORDER BY cos DESC, c_id` rank 1. */
+  private def nearestCentroid(emb: Column, cents: Column): Column =
+    aggregate(cents,
+      struct(lit(-1).as("id"), lit(-2.0).as("cos")),
+      (acc, c) => {
+        val cs = Vectors.cosine(emb, c.getField("_2"))
+        when(cs > acc.getField("cos"),
+          struct(c.getField("_1").as("id"), cs.as("cos"))).otherwise(acc)
+      })
+
+  /** IVF coarse quantization: assign every vector to its nearest centroid.
+    * The centroid set rides along as a literal and the argmax is a
+    * per-row fold — a completely narrow pass: no join, no shuffle, no
+    * window (the executed plan has zero exchanges; DedupSimilaritySpec
+    * pins it). Searches then probe only matching inverted lists. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
                 embCol: String, centroidIdCol: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val c = centroids.select(col(centroidIdCol).as("__c_id"), col(embCol).as("__c_emb"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("__c_id").asc)
-    corpus.join(broadcast(c))
-      .select(col(idCol), col("__c_id"),
-        Vectors.cosine(col(embCol), col("__c_emb")).as("cos"))
+    val cents = centroidLit(centroids, centroidIdCol, embCol)
+    corpus
+      .select(col(idCol), nearestCentroid(col(embCol), cents).as("__best"))
+      .select(col(idCol), col("__best.id").as("centroid"), col("__best.cos").as("cos"))
+  }
+
+  /** IVF top-k ANN search: each query probes only its `nProbe` nearest
+    * inverted lists.
+    *
+    * Corpus-side work is map-side only: the assignment fold (no shuffle,
+    * see [[ivfAssign]]) plus a broadcast hash join against the probe set
+    * — the corpus never shuffles. The probe set is |queries| × nProbe
+    * rows (queries are small by contract, like [[cosineTopK]]'s
+    * broadcast). The one real shuffle is the final per-query top-k window
+    * over candidates, whose input is already cut to ~nProbe/k of the
+    * corpus by the list join.
+    *
+    * Exact within probed lists; recall is lost only when a true
+    * neighbor's list is unprobed. With nProbe = |centroids| this is
+    * exactly [[cosineTopK]] (the spec pins that identity). */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+              idCol: String, embCol: String, centroidIdCol: String,
+              k: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cents = centroidLit(centroids, centroidIdCol, embCol)
+    val assigned = corpus.select(col(idCol), col(embCol),
+      nearestCentroid(col(embCol), cents).getField("id").as("__list"))
+    val c = centroids.select(col(centroidIdCol).as("__list"), col(embCol).as("__c_emb"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("__q_cos").desc, col("__list").asc)
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(embCol).as("__q_emb"))
+      .join(broadcast(c))
+      .select(col("q_id"), col("__q_emb"), col("__list"),
+        Vectors.cosine(col("__q_emb"), col("__c_emb")).as("__q_cos"))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nProbe)
+      .select(col("q_id"), col("__q_emb"), col("__list"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol).asc)
+    broadcast(probes).join(assigned, Seq("__list"))
+      .filter(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol),
+        Vectors.cosine(col("__q_emb"), col(embCol)).as("cos"))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("__c_id").as("centroid"), col("cos"))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
   }
 }

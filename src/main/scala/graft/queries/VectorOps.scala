@@ -157,12 +157,57 @@ object VectorOps {
        |  round(sqrt(${dDot("embedding", "embedding")}), 6) AS l2
        |FROM m""".stripMargin
 
+  // -- q59: IVF top-k ANN search — the end-to-end scale path q33 sets up.
+  // Each query probes its 4 nearest of the 16 inverted lists, candidates
+  // come from a broadcast join on the list id (corpus never shuffles; the
+  // assignment itself is a map-side fold with zero exchanges), and the
+  // exact top-5 within probed lists is the answer. Deterministic
+  // centroids (vec_id < 16, as q33) make the whole algorithm — not just
+  // its output shape — reproducible in the DuckDB oracle. --
+  private val q59: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    graft.operators.Similarity.ivfTopK(
+      corpus = e,
+      centroids = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("c_id"), $"embedding"),
+      queries = e.filter($"vec_id" < 10),
+      idCol = "vec_id", embCol = "embedding", centroidIdCol = "c_id",
+      k = 5, nProbe = 4)
+      .select($"q_id", $"vec_id", round($"cos", 6).as("cos"))
+  }
+  private val q59Sql =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |           FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id < 10),
+       |assign AS (
+       |  SELECT vec_id, embedding, c_id AS list FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dCos("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+       |    FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, q_emb, c_id AS list FROM (
+       |    SELECT q.q_id, q.q_emb, c.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${dCos("q.q_emb", "c.c_emb")} DESC, c.c_id) AS rn
+       |    FROM q CROSS JOIN c) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.q_id, a.vec_id, ${dCos("p.q_emb", "a.embedding")} AS cos
+       |  FROM probes p JOIN assign a ON p.list = a.list AND p.q_id <> a.vec_id)
+       |SELECT q_id, vec_id, round(cos, 6) AS cos FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM cand) WHERE rn <= 5""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_cosine_topk" -> q30,
     "q31_lsh_buckets" -> q31,
     "q32_embed_neardup" -> q32,
     "q33_ivf_assign" -> q33,
     "q56_embed_quantize" -> q56,
+    "q59_ivf_topk" -> q59,
   )
 
   val oracle: Map[String, String] = Map(
@@ -171,5 +216,6 @@ object VectorOps {
     "q32_embed_neardup" -> q32Sql,
     "q33_ivf_assign" -> q33Sql,
     "q56_embed_quantize" -> q56Sql,
+    "q59_ivf_topk" -> q59Sql,
   )
 }

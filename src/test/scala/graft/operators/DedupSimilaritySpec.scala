@@ -88,4 +88,39 @@ class DedupSimilaritySpec extends SparkSpec {
     val viaQuery = SparkEntry.queries("q33_ivf_assign")(spark, sf())
     assert(viaApi.exceptAll(viaQuery).isEmpty && viaQuery.exceptAll(viaApi).isEmpty)
   }
+
+  test("Similarity.ivfAssign is a narrow pass: zero exchanges in the plan") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val p = Similarity.ivfAssign(emb, emb.filter($"vec_id" < 16),
+      "vec_id", "embedding", "vec_id").queryExecution.executedPlan
+    val plans = p +: p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+    }
+    val shuffles = plans.flatMap(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    })
+    assert(shuffles.isEmpty,
+      s"centroid assignment must not shuffle the corpus: $shuffles")
+  }
+
+  test("Similarity.ivfTopK: exact at full probe; sane recall when pruned") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val centroids = emb.filter($"vec_id" < 16).select($"vec_id".as("c_id"), $"embedding")
+    val queries = emb.filter($"vec_id" < 10)
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"q_id".cast("long"), $"vec_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    // probing every list is brute force — identical result sets
+    val full = Similarity.ivfTopK(emb, centroids, queries,
+      "vec_id", "embedding", "c_id", k = 5, nProbe = 16)
+    val brute = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+    assert(key(full) == key(brute), "nProbe = |centroids| must equal brute force")
+    // pruned probing returns k rows per query and keeps useful recall
+    val pruned = Similarity.ivfTopK(emb, centroids, queries,
+      "vec_id", "embedding", "c_id", k = 5, nProbe = 4)
+    val perQuery = pruned.groupBy($"q_id").count().select($"count").as[Long].collect()
+    assert(perQuery.forall(_ <= 5) && perQuery.nonEmpty)
+    val recall = key(pruned).intersect(key(brute)).size.toDouble / key(brute).size
+    assert(recall >= 0.3, f"recall@5 with 4/16 lists collapsed to $recall%.2f")
+  }
 }

@@ -44,10 +44,14 @@ object EsApi {
     }.toSeq
 
   /** Initial search body: size, sort, query_string (when present), _source
-    * projection (when pruned), and the slice clause for sliced scrolls. */
+    * projection (when pruned), the slice clause for sliced scrolls, and an
+    * optional structured `(gt, lte]` range filter (the tail source's
+    * per-microbatch window — structured rather than query_string so
+    * numeric semantics don't pass through the Lucene parser). */
   def searchBody(size: Int, sort: Seq[(String, String)], query: Option[String],
                  sourceFields: Option[Seq[String]],
-                 slice: Option[(Int, Int)]): String = {
+                 slice: Option[(Int, Int)],
+                 range: Option[(String, Long, Long)] = None): String = {
     val body = mapper.createObjectNode()
     body.put("size", size)
     if (sort.nonEmpty) {
@@ -57,8 +61,21 @@ object EsApi {
         else arr.addObject().putObject(f).put("order", d)
       }
     }
-    query.foreach { q =>
-      body.putObject("query").putObject("query_string").put("query", q)
+    def rangeNode(parent: ObjectNode, f: String, gt: Long, lte: Long): Unit = {
+      val r = parent.putObject("range").putObject(f)
+      r.put("gt", gt); r.put("lte", lte)
+    }
+    (query, range) match {
+      case (None, None)    => ()
+      case (Some(q), None) =>
+        body.putObject("query").putObject("query_string").put("query", q)
+      case (None, Some((f, gt, lte))) =>
+        rangeNode(body.putObject("query"), f, gt, lte)
+      case (Some(q), Some((f, gt, lte))) =>
+        val bool = body.putObject("query").putObject("bool")
+        bool.putArray("must").addObject()
+          .putObject("query_string").put("query", q)
+        rangeNode(bool.putArray("filter").addObject(), f, gt, lte)
     }
     sourceFields.foreach { fs =>
       val arr = body.putArray("_source")
@@ -69,6 +86,22 @@ object EsApi {
     }
     mapper.writeValueAsString(body)
   }
+
+  /** size-0 max aggregation over `field` — the tail source's one-request
+    * latestOffset probe. */
+  def maxAggBody(field: String): String = {
+    val body = mapper.createObjectNode()
+    body.put("size", 0)
+    body.putObject("aggs").putObject("m").putObject("max").put("field", field)
+    mapper.writeValueAsString(body)
+  }
+
+  /** The max-agg value; None when the index has no documents (ES reports
+    * `"value": null`). */
+  def parseMaxAgg(json: String): Option[Long] =
+    Option(mapper.readTree(json).at("/aggregations/m/value"))
+      .filterNot(v => v.isMissingNode || v.isNull)
+      .map(_.asLong())
 
   def scrollBody(scroll: String, scrollId: String): String = {
     val body = mapper.createObjectNode()

@@ -96,7 +96,9 @@ private[es] final case class EsScanConfig(
     slices: Int,
     sort: Seq[(String, String)],
     retries: Int,
-    retryBackoffMs: Long) {
+    retryBackoffMs: Long,
+    tailField: Option[String] = None,
+    startFrom: Long = 0L) {
   def transportFactory: EsTransportFactory = HttpTransportFactory(http)
 }
 
@@ -124,7 +126,9 @@ private[es] object EsScanConfig {
       sort = EsApi.parseSort(o.getOrElse("sort", "_doc:asc")),
       retries = o.get("retries").map(_.toInt).getOrElse(5),
       retryBackoffMs = o.get("retry_backoff_ms").map(_.toLong)
-        .getOrElse(Retry.ReferenceBackoffMs))
+        .getOrElse(Retry.ReferenceBackoffMs),
+      tailField = o.get("tail_field").filter(_.nonEmpty),
+      startFrom = o.get("start_from").map(_.toLong).getOrElse(0L))
   }
 }
 
@@ -133,7 +137,7 @@ private[es] class EsTable(schema: StructType, conf: EsScanConfig)
   override def name(): String = s"graft_es(${conf.http.base}/${conf.index})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EsScanBuilder(schema, conf)
 }
@@ -179,13 +183,18 @@ private[es] class EsScan(required: StructType, conf: EsScanConfig,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EsReaderFactory(required, pushed)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EsTailStream(required, conf, pushed)
 }
 
 private[es] final case class EsPartition(
     conf: EsScanConfig,
     wireQuery: Option[String],
     sourceFields: Option[Seq[String]],
-    slice: Option[(Int, Int)]) extends InputPartition
+    slice: Option[(Int, Int)],
+    range: Option[(String, Long, Long)] = None) extends InputPartition
 
 private[es] class EsReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
@@ -225,7 +234,7 @@ private[es] class EsScrollPartitionReader(
       case None =>
         // initial search opens the scroll context (reference :219-226)
         val body = EsApi.searchBody(conf.size, conf.sort, part.wireQuery,
-          part.sourceFields, part.slice)
+          part.sourceFields, part.slice, part.range)
         fetch(transport.post(
           s"/${conf.index}/_search?scroll=${conf.scroll}", body))
       case Some(id) =>

@@ -1,0 +1,91 @@
+package graft.sources.es
+
+import graft.SparkSpec
+
+/** The streaming tail source against the live stub cluster: exactly-once
+  * per seq value across live ingests, start_from resume semantics, and
+  * plain-long offset serialization. */
+class EsTailStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val mapping = """{"seq":{"type":"long"},"msg":{"type":"keyword"}}"""
+  private def doc(seq: Int) = s"""{"seq":$seq,"msg":"m$seq"}"""
+
+  test("tail stream reads each document exactly once across live ingests") {
+    val stub = new StubEsServer(
+      initialIndices = Map("logs" -> (1 to 5).map(doc)),
+      mappings = Map("logs" -> mapping))
+    try {
+      val df = spark.readStream.format("graft-es")
+        .option("es", stub.url).option("index", "logs")
+        .option("tail_field", "seq")
+        .option("size", 2) // several scroll pages per microbatch
+        .load()
+      val query = df.writeStream.format("memory").queryName("es_tail").start()
+      try {
+        def seqs = spark.table("es_tail").select($"seq").as[Long]
+          .collect().toSeq.sorted
+        query.processAllAvailable()
+        assert(seqs == (1L to 5L), s"initial backfill, got $seqs")
+        stub.addDocs("logs", Seq(doc(6), doc(7)))
+        query.processAllAvailable()
+        assert(seqs == (1L to 7L), s"live ingest appended exactly once, got $seqs")
+        // idle trigger: no new max -> empty window -> no duplicates
+        query.processAllAvailable()
+        assert(seqs == (1L to 7L))
+        // the coerced payload came through the same MapSource path
+        assert(spark.table("es_tail").where($"seq" === 6)
+          .select($"msg").as[String].head() == "m6")
+      } finally query.stop()
+    } finally stub.close()
+  }
+
+  test("start_from resumes after the given watermark") {
+    val stub = new StubEsServer(
+      initialIndices = Map("logs" -> (1 to 5).map(doc)),
+      mappings = Map("logs" -> mapping))
+    try {
+      val df = spark.readStream.format("graft-es")
+        .option("es", stub.url).option("index", "logs")
+        .option("tail_field", "seq")
+        .option("start_from", 3)
+        .load()
+      val query = df.writeStream.format("memory").queryName("es_tail_from").start()
+      try {
+        query.processAllAvailable()
+        val seqs = spark.table("es_tail_from").select($"seq").as[Long]
+          .collect().toSeq.sorted
+        assert(seqs == Seq(4L, 5L), s"window must be (3, max], got $seqs")
+      } finally query.stop()
+    } finally stub.close()
+  }
+
+  test("offsets serialize as the plain long watermark") {
+    assert(EsTailOffset(42L).json() == "42")
+    val stream = new EsTailStream(
+      org.apache.spark.sql.types.StructType(Nil),
+      EsScanConfig.fromOptions(Map(
+        "index" -> "x", "tail_field" -> "seq")),
+      Array.empty)
+    assert(stream.deserializeOffset("42") == EsTailOffset(42L))
+  }
+
+  test("streaming read without tail_field fails with a clear message") {
+    val stub = new StubEsServer(
+      initialIndices = Map("logs" -> Seq(doc(1))),
+      mappings = Map("logs" -> mapping))
+    try {
+      val df = spark.readStream.format("graft-es")
+        .option("es", stub.url).option("index", "logs")
+        .load()
+      val e = intercept[Exception] {
+        val q = df.writeStream.format("memory").queryName("es_tail_bad").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("tail_field")), s"got: ${messages(e)}")
+    } finally stub.close()
+  }
+}

@@ -21,14 +21,23 @@ import scala.jdk.CollectionConverters._
   *  - `failNext(n)`: next n requests answer 503 (cluster flap)
   *  - sliced scrolls partition documents by `index % max == id`
   *  - `_source` include lists are honored (projection reaches the wire)
+  *  - `addDocs` appends documents live (the tail-source suite's ingest)
+  *  - size-0 `max` aggregations and structured numeric `range` queries
+  *    are evaluated (the tail source's offset probe + batch windows)
   */
 final class StubEsServer(
-    indices: Map[String, Seq[String]],
+    initialIndices: Map[String, Seq[String]],
     mappings: Map[String, String],
     es6Totals: Boolean = false,
     legacyDocType: Boolean = false) extends AutoCloseable {
 
   private val mapper = new ObjectMapper()
+  private val indices = new ConcurrentHashMap[String, List[String]]()
+  initialIndices.foreach { case (k, v) => indices.put(k, v.toList) }
+
+  /** Live ingest: append documents to an index. */
+  def addDocs(index: String, docs: Seq[String]): Unit =
+    indices.merge(index, docs.toList, (a, b) => a ++ b)
 
   /** (method, uri-with-query, body) of every request, in arrival order. */
   val requests = new ConcurrentLinkedQueue[(String, String, String)]()
@@ -81,7 +90,7 @@ final class StubEsServer(
       case ("GET", pattern :: "_settings" :: Nil) =>
         val rx = ("^" + java.util.regex.Pattern.quote(pattern)
           .replace("*", "\\E.*\\Q") + "$").r
-        val matched = indices.keys.filter(n => rx.findFirstIn(n).isDefined)
+        val matched = indices.keySet().asScala.filter(n => rx.findFirstIn(n).isDefined)
         if (matched.isEmpty) respond(ex, 404, s"""{"error":"no indices match"}""")
         else respond(ex, 200,
           matched.map(n => s""""$n":{"settings":{}}""").mkString("{", ",", "}"))
@@ -97,8 +106,39 @@ final class StubEsServer(
       case ("POST", idx :: "_search" :: Nil) =>
         val req = mapper.readTree(if (body.isEmpty) "{}" else body)
         val size = Option(req.get("size")).map(_.asInt).getOrElse(10)
-        val all = indices.getOrElse(idx, Seq.empty)
+        val stored = Option(indices.get(idx)).getOrElse(Nil)
           .map(d => mapper.readTree(d).asInstanceOf[ObjectNode])
+        // size-0 max aggregation (the tail source's latestOffset probe)
+        val aggField = Option(req.at("/aggs/m/max/field"))
+          .filterNot(_.isMissingNode).map(_.asText())
+        if (aggField.isDefined) {
+          val vals = stored.flatMap(d => Option(d.get(aggField.get)))
+            .filter(_.isNumber).map(_.asLong())
+          val root = mapper.createObjectNode()
+          val hits = root.putObject("hits")
+          val t = hits.putObject("total")
+          t.put("value", stored.size); t.put("relation", "eq")
+          hits.putArray("hits")
+          val m = root.putObject("aggregations").putObject("m")
+          if (vals.isEmpty) m.putNull("value") else m.put("value", vals.max)
+          respond(ex, 200, mapper.writeValueAsString(root))
+          return
+        }
+        // structured numeric range filter (query.range or query.bool.filter)
+        val rangeNode = Seq("/query/range", "/query/bool/filter/0/range")
+          .map(req.at).find(!_.isMissingNode)
+        val all = rangeNode match {
+          case Some(r) =>
+            val f = r.fieldNames().asScala.next()
+            val spec = r.get(f)
+            val gt = Option(spec.get("gt")).map(_.asLong()).getOrElse(Long.MinValue)
+            val lte = Option(spec.get("lte")).map(_.asLong()).getOrElse(Long.MaxValue)
+            stored.filter { d =>
+              Option(d.get(f)).filter(_.isNumber).map(_.asLong())
+                .exists(v => v > gt && v <= lte)
+            }
+          case None => stored
+        }
         val sliced = Option(req.get("slice")) match {
           case Some(s) =>
             val (id, max) = (s.get("id").asInt, s.get("max").asInt)

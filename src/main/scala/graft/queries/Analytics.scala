@@ -559,6 +559,54 @@ object Analytics {
       |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25_price
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
+  // -- q60: GROUPING SETS — the general form behind q08's rollup and
+  // q18's cube, with grouping() flags so all-rows null groups are
+  // distinguishable from null group values. SQL on both sides (the
+  // DataFrame API has no grouping-sets surface pre-Spark-4.0 SQL parity;
+  // the plan is the same single-pass Expand + partial agg either way). --
+  private val q60: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT c_mktsegment, o_orderpriority,
+        grouping(c_mktsegment) AS g_seg,
+        grouping(o_orderpriority) AS g_pri,
+        count(*) AS n,
+        round(sum(o_totalprice), 2) AS rev
+      FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+      GROUP BY GROUPING SETS ((c_mktsegment), (c_mktsegment, o_orderpriority), ())""")
+  }
+  private val q60Sql =
+    """SELECT c_mktsegment, o_orderpriority,
+      |  grouping(c_mktsegment) AS g_seg,
+      |  grouping(o_orderpriority) AS g_pri,
+      |  count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS rev
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment), (c_mktsegment, o_orderpriority), ())""".stripMargin
+
+  // -- q61: order→ship latency profile (TPC-H Q12 shape) — date
+  // arithmetic + conditional aggregation. avg of an exact integer-day
+  // sum is deterministic in IEEE double, so round(.,3) is oracle-safe. --
+  private val q61: Q = (s, dir) => {
+    import s.implicits._
+    val lag = datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(when(lag > 60, 1L).otherwise(0L)).as("n_late"),
+        count(lit(1)).as("n_total"),
+        round(avg(lag), 3).as("avg_ship_days"))
+  }
+  private val q61Sql =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 60) AS n_late,
+      |  count(*) AS n_total,
+      |  round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 3) AS avg_ship_days
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
@@ -590,6 +638,8 @@ object Analytics {
     "q53_pivot" -> q53,
     "q57_bucketed_join" -> q57,
     "q58_sort_percentiles" -> q58,
+    "q60_grouping_sets" -> q60,
+    "q61_late_shipments" -> q61,
   )
 
   val oracle: Map[String, String] = Map(
@@ -622,5 +672,7 @@ object Analytics {
     "q53_pivot" -> q53Sql,
     "q57_bucketed_join" -> q57Sql,
     "q58_sort_percentiles" -> q58Sql,
+    "q60_grouping_sets" -> q60Sql,
+    "q61_late_shipments" -> q61Sql,
   )
 }

@@ -8,19 +8,25 @@ import graft.sinks.Sink
   * the same invocation shape:
   *
   *   runMain graft.Dump <index-pattern> --src <dir> --out <dir>
+  *     [--es URL [--size N] [--scroll 1h] [--timeout SEC] [--slices N]
+  *      [--cert F] [--key F] [--capath F] [--no-verify-certs]]
   *     [--query EXPR] [--fields a,b*,c] [--sort field:asc,...]
   *     [--output parquet|ndjson|csv|jsonl] [--compression gzip|zstd|uncompressed]
   *     [--flatten] [--max-partition-rows N] [--no-partition] [--quiet]
   *
-  * Deviations from the reference, by design: `--src` replaces `--es` (the
-  * zero-egress stand-in for the cluster address; a live ES DSv2 source
-  * would plug in behind SourceCatalog), `--query` takes a Spark SQL
-  * expression rather than a Lucene query string, and the scroll/TLS knobs
-  * (--size/--scroll/--timeout/--cert/...) have no meaning over parquet
-  * fixtures. `--max-partition-mb` maps onto the row cap only (Spark task
-  * writers stream to disk, so in-memory partition size is not a failure
-  * mode the way accumulate-then-flush was). stdout mode prints the jsonl
-  * lines to stdout.
+  * Two source modes. `--es URL` is the reference's own mode
+  * (dump-es-parquet:372-382): the live-cluster catalog resolves the index
+  * pattern, scroll knobs (--size/--scroll/--timeout/--slices) and TLS
+  * client certs (--cert/--key/--capath/--no-verify-certs) ride to the
+  * DSv2 scroll source, and `--query` is a Lucene query string pushed on
+  * the wire verbatim (the reference's `q=`). `--src <dir>` is the
+  * zero-egress stand-in over parquet fixtures, where `--query` is a
+  * Spark SQL expression filtered locally instead.
+  *
+  * `--max-partition-mb` maps onto the row cap only (Spark task writers
+  * stream to disk, so in-memory partition size is not a failure mode the
+  * way accumulate-then-flush was). stdout mode streams jsonl lines
+  * record-at-a-time.
   */
 object Dump {
 
@@ -41,9 +47,36 @@ object Dump {
       java.nio.file.Files.createTempDirectory("graft_dump").toString)
     val output = flags.getOrElse("output", "parquet")
 
+    // --es selects the live-cluster catalog (the reference's actual mode,
+    // dump-es-parquet:372-382): scroll knobs ride to the source, and
+    // --query is a Lucene query string pushed on the wire verbatim
+    // (reference `q=`), not a local Spark filter.
+    val esMode = flags.contains("es")
+    val catalog: graft.sources.SourceCatalog = flags.get("es") match {
+      case Some(url) =>
+        val http = graft.sources.es.EsHttpConfig(
+          baseUrl = url,
+          timeoutSec = flags.get("timeout").map(_.toInt).getOrElse(60),
+          cert = flags.get("cert"),
+          key = flags.get("key"),
+          caPath = flags.get("capath"),
+          verifyCerts = !flags.contains("no-verify-certs"))
+        val readOptions = Seq(
+          "size" -> flags.get("size"),
+          "scroll" -> flags.get("scroll"),
+          "slices" -> flags.get("slices"),
+          "sort" -> flags.get("sort"),
+          "query" -> flags.get("query"),
+          "retries" -> flags.get("retries"),
+          "retry_backoff_ms" -> flags.get("retry-backoff-ms"))
+          .collect { case (k, Some(v)) => k -> v }.toMap
+        graft.sources.es.EsCatalog(http, readOptions)
+      case None => graft.sources.ParquetDirCatalog(srcDir)
+    }
+
     val config = DumpJob.Config(
       pattern = pattern,
-      query = flags.get("query"),
+      query = flags.get("query").filterNot(_ => esMode),
       fields = flags.get("fields").map(_.split(",").toSeq).getOrElse(Nil),
       sort = flags.get("sort").map(_.split(",").toSeq).getOrElse(Nil),
       flatten = flags.contains("flatten"),
@@ -68,9 +101,9 @@ object Dump {
       if (output == "stdout")
         // true streaming: lines reach stdout as partitions arrive, no
         // temp files (reference dump-es-parquet:250-253)
-        DumpJob.streamJson(spark, graft.sources.ParquetDirCatalog(srcDir), config,
+        DumpJob.streamJson(spark, catalog, config,
           msg => if (!flags.contains("quiet")) System.err.println(msg))(println)
-      else DumpJob.run(spark, srcDir, outDir, config)
+      else DumpJob.run(spark, catalog, outDir, config)
     results.foreach {
       case DumpJob.Written(table, files, warnings) =>
         warnings.foreach { case (msg, n) => System.err.println(s"$table: $msg [$n documents]") }
@@ -82,7 +115,8 @@ object Dump {
   }
 
   /** Minimal GNU-ish flag parser: `--name value`, `--bool-flag`, free args. */
-  private val boolFlags = Set("flatten", "no-partition", "quiet", "debug")
+  private val boolFlags =
+    Set("flatten", "no-partition", "quiet", "debug", "no-verify-certs")
 
   def parse(args: List[String], flags: Map[String, String] = Map.empty,
             positional: List[String] = Nil): (Map[String, String], List[String]) =

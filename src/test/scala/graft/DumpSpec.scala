@@ -61,6 +61,33 @@ class DumpSpec extends SparkSpec {
     assert(keys == keys.sortBy(-_), s"expected descending n_nationkey, got $keys")
   }
 
+  test("--es mode: the reference's own invocation runs cluster -> parquet") {
+    val stub = new graft.sources.es.StubEsServer(
+      initialIndices = Map(
+        "logs-a" -> (1 to 7).map(i => s"""{"seq":$i,"msg":"a$i"}"""),
+        "logs-b" -> (1 to 3).map(i => s"""{"seq":$i,"msg":"b$i"}""")),
+      mappings = Map(
+        "logs-a" -> """{"seq":{"type":"long"},"msg":{"type":"keyword"}}""",
+        "logs-b" -> """{"seq":{"type":"long"},"msg":{"type":"keyword"}}"""))
+    try {
+      val out = Files.createTempDirectory("dump_es_cli").toString
+      val results = Dump.execute(spark, Array(
+        "logs-*",
+        "--es", stub.url, "--out", out,
+        "--size", "3", "--slices", "2",
+        "--quiet"))
+      assert(results.map(_.table).sorted == Seq("logs-a", "logs-b"))
+      assert(results.forall(_.isInstanceOf[DumpJob.Written]))
+      val a = spark.read.parquet(s"$out/logs-a")
+      assert(a.count() == 7)
+      assert(a.columns.sorted.toSeq == Seq("msg", "seq"))
+      assert(spark.read.parquet(s"$out/logs-b").count() == 3)
+      // the scroll knobs reached the wire: paged search with slice clauses
+      assert(stub.searchRequests.exists(_._3.contains("\"slice\"")))
+      assert(stub.searchRequests.exists(_._3.contains("\"size\":3")))
+    } finally stub.close()
+  }
+
   test("glob pattern fans out to multiple tables, isolated per table") {
     val out = Files.createTempDirectory("dump_cli2").toString
     val results = Dump.execute(spark, Array(

@@ -84,6 +84,24 @@ class PlanSpec extends SparkSpec {
       s"bucketed join must not shuffle its inputs: $shufflesBelowJoin")
   }
 
+  test("q58: exact percentiles run without a buffering aggregate") {
+    // the whole point of the sort-based form: no TypedImperativeAggregate
+    // holding a group's values in memory (ObjectHashAggregate is the
+    // physical home of Spark's buffering `percentile`)
+    val p = plan("q58_sort_percentiles")
+    val buffering = collectAll(p) { case n if n.nodeName.contains("ObjectHashAggregate") => n }
+    assert(buffering.isEmpty, s"sort-based percentiles must not buffer: $buffering")
+  }
+
+  test("q59: IVF search broadcasts probes; corpus side has no sort-merge join") {
+    val p = plan("q59_ivf_topk")
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "candidate generation must be a broadcast join on the list id")
+    assert(collectAll(p) { case j if j.nodeName.contains("SortMergeJoin") => j }.isEmpty,
+      "the corpus must never shuffle for a join")
+    assert(collectAll(p) { case c if c.nodeName.contains("CartesianProduct") => c }.isEmpty)
+  }
+
   test("q03: aggregation is partial (map-side combine) before its shuffle") {
     val s = plan("q03_agg_pricing").toString
     assert(s.contains("HashAggregate"))

@@ -80,6 +80,51 @@ object Multimodal {
     }(Encoders.row(out))
   }
 
+  /** Resize stage: nearest-neighbor resample of each decoded image to
+    * `targetW` × `targetH`, appended as a binary pixel buffer plus its
+    * dimensions. The index math is the real kernel; only the decode
+    * behind [[ImageDecoder]] is stubbed. Same mapPartitions seam as
+    * [[imageFeatures]]: one decoder per partition, narrow op, decoded
+    * pixels never cross a shuffle boundary. */
+  def resizeImages(df: DataFrame, binCol: String, targetW: Int, targetH: Int,
+                   decoder: ImageDecoder = StubImageDecoder): DataFrame = {
+    require(targetW > 0 && targetH > 0)
+    val out = df.schema
+      .add("resized_w", IntegerType)
+      .add("resized_h", IntegerType)
+      .add("resized", BinaryType)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else {
+          val d = decoder.decode(bytes)
+          val outBuf = new Array[Byte](targetW * targetH * d.channels)
+          var y = 0
+          while (y < targetH) {
+            val sy = y * d.height / targetH
+            var x = 0
+            while (x < targetW) {
+              val sx = x * d.width / targetW
+              val src = (sy * d.width + sx) * d.channels
+              val dst = (y * targetW + x) * d.channels
+              var c = 0
+              while (c < d.channels) {
+                outBuf(dst + c) =
+                  if (src + c < d.pixels.length) d.pixels(src + c) else 0
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](targetW, targetH, outBuf))
+        }
+      }
+    }(Encoders.row(out))
+  }
+
   /** Frame sampling for video-shaped payloads: fixed-size frames, keep
     * every `every`-th, one output row per kept frame. flatMap = narrow op;
     * row count grows but partitioning is preserved. */

@@ -40,6 +40,22 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.select(octet_length($"frame")).as[Int].collect().forall(_ == 100))
   }
 
+  test("resizeImages: nearest-neighbor kernel, exact buffer size, null-safe") {
+    val out = Multimodal.resizeImages(payloads, "payload", targetW = 8, targetH = 4)
+      .collect().map(r => Option(r.get(0)).getOrElse("null").toString -> r).toMap
+    val abcd = out("abcd")
+    assert(abcd.getInt(2) == 8 && abcd.getInt(3) == 4)
+    val buf = abcd.getAs[Array[Byte]](4)
+    assert(buf.length == 8 * 4 * 3, "buffer must be exactly w*h*channels")
+    // nearest-neighbor of pixel (0,0) channel 0 is the decoded buffer's
+    // first byte ('a'); stub pixels echo the payload head
+    assert(buf(0) == 'a'.toByte)
+    // out-of-buffer source indices (the stub's pixels are shorter than
+    // width*height*channels) fill with 0, never throw
+    assert(buf.forall(b => b == 0 || "abcd".contains(b.toChar)))
+    assert(out("null").isNullAt(4))
+  }
+
   test("frameCount matches frameSample's unsampled frame total") {
     val df = payloads.filter($"id_str".isNotNull)
     val counted = df.select(sum(Multimodal.frameCount($"payload", 100))).as[Long].head()

@@ -96,7 +96,9 @@ object Dump {
           else flags.get("max-partition-mb").map(_.toLong * 1024 * 1024),
         partitionBy = flags.get("partition-by").map(_.split(",").toSeq).getOrElse(Nil)))
 
-    if (flags.contains("quiet")) spark.sparkContext.setLogLevel("ERROR")
+    // reference log-level flags (:403-410): --debug wins over --quiet
+    if (flags.contains("debug")) spark.sparkContext.setLogLevel("DEBUG")
+    else if (flags.contains("quiet")) spark.sparkContext.setLogLevel("ERROR")
     val results =
       if (output == "stdout")
         // true streaming: lines reach stdout as partitions arrive, no

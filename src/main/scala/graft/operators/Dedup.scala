@@ -62,4 +62,47 @@ object Dedup {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     df.select(col(idCol), Text.simhashNative(Text.tokens(col(textCol))).as("simhash"))
   }
+
+  /** Connected components over a near-dup pair list: every node gets the
+    * MINIMUM id reachable from it as its `cluster` label — the step that
+    * turns candidate pairs ([[nearDupCandidates]]) into dedup groups
+    * ("keep one document per cluster").
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels (one join + one groupBy
+    * per round), until a round changes nothing. Rounds needed = component
+    * diameter; near-dup graphs are dense blobs of mutually-similar
+    * documents, so diameters are tiny (2–3) regardless of corpus size.
+    * The label frame is O(|nodes in pairs|) — NOT driver-bounded, so
+    * unlike kmeans's collected centroids it stays distributed and each
+    * round `localCheckpoint`s to keep lineage flat (the kmeans lesson,
+    * applied to the case where collect would be wrong). For adversarial
+    * long-chain graphs swap in large-star/small-star; for dedup inputs
+    * the simple propagation is the right cost.
+    *
+    * Output: (`node`, `cluster`) for every node appearing in `pairs`. */
+  def clusters(pairs: DataFrame, aCol: String, bCol: String,
+               maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint() // probed every round; compute the pair scan once
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxIters) {
+      val viaNeighbor = labels.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "node")
+        .where(col("n.label") =!= col("o.label")).count()
+      labels = next
+      round += 1
+    }
+    labels.select(col("node"), col("label").as("cluster"))
+  }
 }

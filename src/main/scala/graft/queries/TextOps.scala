@@ -104,6 +104,33 @@ object TextOps {
        |FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
        |WHERE a.doc_id < b.doc_id""".stripMargin
 
+  // -- q62: near-dup clusters — connected components over the q22 pairs.
+  // Each document gets the minimum doc_id reachable through the near-dup
+  // graph ("keep one per cluster" is then a trivial filter). Spark side:
+  // Dedup.clusters min-label propagation (per-round localCheckpoint,
+  // O(diameter) rounds). Oracle: DuckDB recursive-CTE transitive closure
+  // + min over reachable nodes — an independent algorithm computing the
+  // same fixpoint, which makes the hash match a strong check. --
+  private val q62: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Dedup.clusters(q22(s, dir), "doc_a", "doc_b")
+      .select($"node".as("doc_id"), $"cluster")
+  }
+  private val q62Sql =
+    s"""WITH RECURSIVE
+       |pairs AS ($q22Sql),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |members AS (
+       |  SELECT src AS node, dst AS m FROM reach
+       |  UNION ALL
+       |  SELECT src, src FROM edges)
+       |SELECT node AS doc_id, min(m) AS cluster FROM members GROUP BY node""".stripMargin
+
   // -- q23: SimHash fingerprints (native codegen'd expression) --
   private val q23: Q = (s, dir) => {
     import s.implicits._
@@ -285,6 +312,7 @@ object TextOps {
     "q28_bpe_token_freq" -> q28,
     "q29_rolling_fingerprint" -> q29,
     "q52_train_split" -> q52,
+    "q62_neardup_clusters" -> q62,
   )
 
   val oracle: Map[String, String] = Map(
@@ -299,5 +327,6 @@ object TextOps {
     "q28_bpe_token_freq" -> q28Sql,
     "q29_rolling_fingerprint" -> q29Sql,
     "q52_train_split" -> q52Sql,
+    "q62_neardup_clusters" -> q62Sql,
   )
 }

@@ -80,6 +80,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ids == Seq(0, 1, 2, 3))
   }
 
+  test("Dedup.clusters: transitive chains collapse to the min id") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair (7,8),
+    // and an isolated pair touching the chain's numbering gap
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("Similarity.ivfAssign matches the q33 query shape") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val viaApi = Similarity.ivfAssign(emb, emb.filter($"vec_id" < 16),

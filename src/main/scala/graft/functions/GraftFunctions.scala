@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(VecDot.description, SimHash32.description, MinHashBands.description)
+    Seq(VecDot.description, SimHash32.description, MinHashBands.description,
+      TopKByScore.description)
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)

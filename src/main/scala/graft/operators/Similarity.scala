@@ -13,21 +13,31 @@ import graft.functions.Vectors
   */
 object Similarity {
 
+  /** (q_id, idCol, cos) per kept candidate: k-bounded heap aggregate
+    * per query instead of a window sort. Partial aggregation trims to k
+    * map-side, so the per-query shuffle carries ≤ k entries rather than
+    * the whole candidate set (graft_topk; same ORDER BY cos DESC, id
+    * tie-break as the window form — the differential specs pin the
+    * equivalence). Requires an integral id (cast to long). */
+  private def keepTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByScore.topk(col("cos"), col(idCol), k).as("__top"))
+      .select(col("q_id"), explode(col("__top")).as("__e"))
+      .select(col("q_id"), col("__e.id").as(idCol), col("__e.score").as("cos"))
+
   /** Brute-force cosine top-k: every (query, corpus) pair scored map-side
-    * (query set broadcasts), window top-k per query. Exact; cost is
+    * (query set broadcasts), k-bounded heap per query. Exact; cost is
     * |queries| × |corpus| dot products — the correctness baseline and
     * fine whenever the query set is small. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  embCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val q = queries.select(col(idCol).as("q_id"), col(embCol).as("__q_emb"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol).asc)
-    broadcast(q).join(corpus, col("q_id") =!= col(idCol))
+    val scored = broadcast(q).join(corpus, col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol),
         Vectors.cosine(col("__q_emb"), col(embCol)).as("cos"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    keepTopK(scored, idCol, k)
   }
 
   /** Sign-LSH bucketed near-dup pairs: one shuffle on the bucket key,
@@ -148,9 +158,9 @@ object Similarity {
     * see [[ivfAssign]]) plus a broadcast hash join against the probe set
     * — the corpus never shuffles. The probe set is |queries| × nProbe
     * rows (queries are small by contract, like [[cosineTopK]]'s
-    * broadcast). The one real shuffle is the final per-query top-k window
-    * over candidates, whose input is already cut to ~nProbe/k of the
-    * corpus by the list join.
+    * broadcast). The one real shuffle is the final per-query top-k,
+    * which the k-bounded heap aggregate trims to ≤ k entries per query
+    * map-side before it moves.
     *
     * Exact within probed lists; recall is lost only when a true
     * neighbor's list is unprobed. With nProbe = |centroids| this is
@@ -172,13 +182,10 @@ object Similarity {
       .withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nProbe)
       .select(col("q_id"), col("__q_emb"), col("__list"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol).asc)
-    broadcast(probes).join(assigned, Seq("__list"))
+    val scored = broadcast(probes).join(assigned, Seq("__list"))
       .filter(col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol),
         Vectors.cosine(col("__q_emb"), col(embCol)).as("cos"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+    keepTopK(scored, idCol, k)
   }
 }

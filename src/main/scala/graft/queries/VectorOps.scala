@@ -201,6 +201,30 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
        |  FROM cand) WHERE rn <= 5""".stripMargin
 
+  // -- q63: cosine top-k via the k-bounded heap aggregate (graft_topk) —
+  // the same answer as q30's window form, computed without sorting the
+  // candidate set: partial aggregation trims to k map-side, so the
+  // per-query shuffle carries ≤ k entries (PlanSpec pins a window-free,
+  // single-shuffle plan). Oracle: the window SQL — two different
+  // algorithms, one hash. --
+  private val q63: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    graft.operators.Similarity.cosineTopK(
+      corpus = e, queries = e.filter($"vec_id" < 10),
+      idCol = "vec_id", embCol = "embedding", k = 3)
+      .select($"q_id", $"vec_id", round($"cos", 6).as("cos"))
+  }
+  private val q63Sql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < 10),
+       |p AS (SELECT q_id, vec_id, ${dCos("q_emb", "embedding")} AS cos
+       |      FROM q JOIN embeddings ON q_id <> vec_id)
+       |SELECT q_id, vec_id, round(cos, 6) AS cos FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM p) WHERE rn <= 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_cosine_topk" -> q30,
     "q31_lsh_buckets" -> q31,
@@ -208,6 +232,7 @@ object VectorOps {
     "q33_ivf_assign" -> q33,
     "q56_embed_quantize" -> q56,
     "q59_ivf_topk" -> q59,
+    "q63_topk_agg" -> q63,
   )
 
   val oracle: Map[String, String] = Map(
@@ -217,5 +242,6 @@ object VectorOps {
     "q33_ivf_assign" -> q33Sql,
     "q56_embed_quantize" -> q56Sql,
     "q59_ivf_topk" -> q59Sql,
+    "q63_topk_agg" -> q63Sql,
   )
 }

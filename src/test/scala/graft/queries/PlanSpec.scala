@@ -102,6 +102,16 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(p) { case c if c.nodeName.contains("CartesianProduct") => c }.isEmpty)
   }
 
+  test("q63: top-k runs as a bounded aggregate — no window sort, one shuffle") {
+    val p = plan("q63_topk_agg")
+    assert(collectAll(p) { case w if w.nodeName.contains("Window") => w }.isEmpty,
+      "the heap aggregate must replace the window sort")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 1, s"expected only the per-query agg exchange, got ${shuffles.size}")
+    val aggs = collectAll(p) { case a if a.nodeName.contains("ObjectHashAggregate") => a }
+    assert(aggs.size >= 2, "partial + final heap aggregation expected")
+  }
+
   test("q03: aggregation is partial (map-side combine) before its shuffle") {
     val s = plan("q03_agg_pricing").toString
     assert(s.contains("HashAggregate"))

@@ -131,6 +131,60 @@ object TextOps {
        |  SELECT src, src FROM edges)
        |SELECT node AS doc_id, min(m) AS cluster FROM members GROUP BY node""".stripMargin
 
+  // -- q64: the full training-data prep pipeline in one declarative plan:
+  // exact dedup (fingerprint winners) -> near-dup pruning (only each
+  // LSH-cluster's min-id representative survives) -> quality filter
+  // (token count + type-token ratio) -> content-addressed split. This is
+  // the workload the §2.3 operators exist for, composed end-to-end from
+  // the library ops (Dedup.exactByText, Dedup.clusters, Splits.assign) —
+  // Catalyst sees one plan and prunes/pushes across all four stages. The
+  // oracle rebuilds the same pipeline as SQL CTEs over the shared
+  // fragments, recursive closure included. --
+  private val q64: Q = (s, dir) => {
+    import s.implicits._
+    val exact = graft.operators.Dedup.exactByText(docs(s, dir), "text", "doc_id")
+    val clusters = graft.operators.Dedup.clusters(q22(s, dir), "doc_a", "doc_b")
+    val losers = clusters.where($"cluster" =!= $"node").select($"node".as("doc_id"))
+    val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+    val scored = deduped
+      .select($"doc_id", Text.tokens($"text").as("tk")) // staged: 3 refs
+      .select($"doc_id", size($"tk").cast("long").as("n_tokens"),
+        (size(array_distinct($"tk")).cast("double") / size($"tk")).as("ttr"))
+      .where($"n_tokens" >= 10 && $"ttr" >= 0.2)
+    graft.operators.Splits.assign(scored, "doc_id")
+      .select($"doc_id", $"n_tokens", $"split")
+  }
+  private val q64Sql =
+    s"""WITH RECURSIVE
+       |exact AS ($q20Sql),
+       |pairs AS ($q22Sql),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |members AS (
+       |  SELECT src AS node, dst AS m FROM reach
+       |  UNION ALL SELECT src, src FROM edges),
+       |clusters AS (SELECT node, min(m) AS cluster FROM members GROUP BY node),
+       |survivors AS (
+       |  SELECT e.doc_id FROM exact e
+       |  WHERE NOT EXISTS (SELECT 1 FROM clusters c
+       |                    WHERE c.node = e.doc_id AND c.cluster <> c.node)),
+       |scored AS (
+       |  SELECT d.doc_id, len(tk) AS n_tokens,
+       |    CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS ttr
+       |  FROM (SELECT doc_id, $dTok AS tk FROM documents) d
+       |  JOIN survivors s ON d.doc_id = s.doc_id),
+       |kept AS (SELECT doc_id, n_tokens FROM scored
+       |         WHERE n_tokens >= 10 AND ttr >= 0.2)
+       |SELECT doc_id, n_tokens,
+       |  CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, n_tokens,
+       |        TRY_CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bk
+       |      FROM kept)""".stripMargin
+
   // -- q23: SimHash fingerprints (native codegen'd expression) --
   private val q23: Q = (s, dir) => {
     import s.implicits._
@@ -313,6 +367,7 @@ object TextOps {
     "q29_rolling_fingerprint" -> q29,
     "q52_train_split" -> q52,
     "q62_neardup_clusters" -> q62,
+    "q64_prep_pipeline" -> q64,
   )
 
   val oracle: Map[String, String] = Map(
@@ -328,5 +383,6 @@ object TextOps {
     "q29_rolling_fingerprint" -> q29Sql,
     "q52_train_split" -> q52Sql,
     "q62_neardup_clusters" -> q62Sql,
+    "q64_prep_pipeline" -> q64Sql,
   )
 }

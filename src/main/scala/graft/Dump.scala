@@ -78,7 +78,12 @@ object Dump {
       pattern = pattern,
       query = flags.get("query").filterNot(_ => esMode),
       fields = flags.get("fields").map(_.split(",").toSeq).getOrElse(Nil),
-      sort = flags.get("sort").map(_.split(",").toSeq).getOrElse(Nil),
+      // in ES mode the sort rides the wire only (the reference's
+      // source-side semantics; it may also name pseudo-fields like _doc
+      // that no local column backs — a local orderBy would fail on them
+      // and re-sort the entire dump besides)
+      sort = flags.get("sort").filterNot(_ => esMode)
+        .map(_.split(",").toSeq).getOrElse(Nil),
       flatten = flags.contains("flatten"),
       rawJson = output == "jsonl" || output == "stdout",
       sink = Sink.Config(

@@ -89,8 +89,10 @@ object DumpJob {
                 (consume: String => Unit): Seq[Result] =
     catalog.listTables(config.pattern).map { table =>
       try {
+        // no schema coercion in passthrough mode (reference :58,215), but
+        // --flatten still applies — it reshapes, it doesn't coerce
         val raw = transform(catalog.load(spark, table),
-          config.copy(schema = None, flatten = false))
+          config.copy(schema = None))
         val df = if (config.sort.isEmpty) raw
                  else raw.orderBy(sortCols(config.sort): _*)
         val it = df.toJSON.toLocalIterator()

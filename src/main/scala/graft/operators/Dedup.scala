@@ -103,6 +103,11 @@ object Dedup {
       labels = next
       round += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusters: not converged after $maxIters rounds ($changed labels " +
+          "still moving) — a component's diameter exceeds maxIters and its " +
+          "labels are non-minimal; raise maxIters")
     labels.select(col("node"), col("label").as("cluster"))
   }
 }

@@ -34,10 +34,31 @@ import org.apache.spark.sql.functions._
 object Percentiles {
 
   /** Exact `quantile_cont` of `valueCol` at each `ps` within `groupCols`
-    * groups. Output: one row per group with a column per (name, p).
-    * Nulls in `valueCol` are ignored, matching the built-in. */
+    * groups. Output: one row per distinct group (NULL group keys are one
+    * group, like any GROUP BY) with a column per (name, p). Nulls in
+    * `valueCol` are ignored; a group whose values are ALL null keeps its
+    * row with null percentiles — both matching the built-in. */
   def quantileCont(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                   ps: Seq[(String, Double)]): DataFrame = {
+                   ps: Seq[(String, Double)]): DataFrame =
+    joinOnGroups(df.select(groupCols.map(col): _*).distinct(),
+      rawQuantiles(df, groupCols, valueCol, ps), groupCols, ps.map(_._1))
+
+  /** Multi-column form: one sort per value column, each result left-joined
+    * onto the shared distinct-groups frame (one row per group per side, so
+    * the joins are trivially small). */
+  def quantileContMulti(df: DataFrame, groupCols: Seq[String],
+                        specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
+    require(specs.nonEmpty, "need at least one value column")
+    specs.foldLeft(df.select(groupCols.map(col): _*).distinct()) {
+      case (acc, (vc, ps)) =>
+        joinOnGroups(acc, rawQuantiles(df, groupCols, vc, ps), groupCols, ps.map(_._1))
+    }
+  }
+
+  /** The sort/rank/interpolate pass. Omits groups with no non-null value
+    * (the callers' groups-frame join restores them with nulls). */
+  private def rawQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                           ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty, "need at least one percentile")
     val gcols = groupCols.map(col)
     val v = col(valueCol)
@@ -59,13 +80,17 @@ object Percentiles {
     ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Multi-column form: one sort per value column, results joined on the
-    * group key (each side is one row per group, so the join broadcasts). */
-  def quantileContMulti(df: DataFrame, groupCols: Seq[String],
-                        specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
-    require(specs.nonEmpty, "need at least one value column")
-    specs.map { case (vc, ps) => quantileCont(df, groupCols, vc, ps) }
-      .reduce(_.join(_, groupCols, "full_outer"))
+  /** Left-join `right`'s `rightCols` onto `left` by NULL-SAFE group-key
+    * equality — plain `join(..., groupCols)` uses EqualTo, which would
+    * split a NULL group into disjoint half-populated rows. */
+  private def joinOnGroups(left: DataFrame, right: DataFrame,
+                           groupCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    val l = left.as("l")
+    val r = right.as("r")
+    val cond = groupCols.map(c => col(s"l.`$c`") <=> col(s"r.`$c`")).reduce(_ && _)
+    l.join(r, cond, "left")
+      .select(left.columns.toSeq.map(c => col(s"l.`$c`").as(c)) ++
+        rightCols.map(c => col(s"r.`$c`")): _*)
   }
 
   /** Column helper matching the built-in's name for spec readability. */

@@ -22,15 +22,22 @@ object EsApi {
 
   def parsePage(json: String): Page = {
     val root = mapper.readTree(json)
-    val hitsNode = root.get("hits")
+    // a 200 that isn't a search response (proxy page, error body) should
+    // name the problem, not NPE
+    val hitsNode = Option(root.get("hits")).getOrElse(
+      throw new IllegalArgumentException(
+        s"unexpected response (no 'hits'): ${json.take(200)}"))
     val total = Option(hitsNode.get("total")) match {
       case Some(t) if t.isObject => t.get("value").asLong() // ES7+/OS dict
       case Some(t)               => t.asLong()              // ES6 bare int
       case None                  => -1L
     }
+    // `_source: false` responses carry hit envelopes without _source —
+    // each hit still counts as one (empty) document
     val docs = Option(hitsNode.get("hits")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty)
-      .flatMap(h => Option(h.get("_source")))
+      .map(h => Option(h.get("_source"): JsonNode)
+        .getOrElse(mapper.createObjectNode()))
     Page(Option(root.get("_scroll_id")).map(_.asText()), total, docs)
   }
 
@@ -77,9 +84,13 @@ object EsApi {
           .putObject("query_string").put("query", q)
         rangeNode(bool.putArray("filter").addObject(), f, gt, lte)
     }
-    sourceFields.foreach { fs =>
-      val arr = body.putArray("_source")
-      fs.foreach(arr.add)
+    sourceFields.foreach {
+      // empty projection (count(*)-style scan): suppress _source entirely
+      // instead of shipping every document body over the wire
+      case Nil => body.put("_source", false)
+      case fs =>
+        val arr = body.putArray("_source")
+        fs.foreach(arr.add)
     }
     slice.foreach { case (id, max) =>
       val s = body.putObject("slice"); s.put("id", id); s.put("max", max)
@@ -96,12 +107,15 @@ object EsApi {
     mapper.writeValueAsString(body)
   }
 
-  /** The max-agg value; None when the index has no documents (ES reports
-    * `"value": null`). */
+  /** The max-agg value as a long offset; None when the index has no
+    * documents (ES reports `"value": null`). Fractional maxima (double/
+    * scaled_float tail fields) round UP: a truncated offset would sit
+    * below the newest document forever, leaving the tail unread until an
+    * unrelated ingest pushed the max past the next integer. */
   def parseMaxAgg(json: String): Option[Long] =
     Option(mapper.readTree(json).at("/aggregations/m/value"))
       .filterNot(v => v.isMissingNode || v.isNull)
-      .map(_.asLong())
+      .map(v => math.ceil(v.asDouble()).toLong)
 
   def scrollBody(scroll: String, scrollId: String): String = {
     val body = mapper.createObjectNode()

@@ -172,9 +172,9 @@ private[es] class EsScan(required: StructType, conf: EsScanConfig,
     // sliced scroll: each partition is an independent server-side slice.
     // slices=1 sends no slice clause (a plain scroll, the reference's shape).
     val wireQuery = EsQuery.combine(conf.query, pushed.toIndexedSeq)
-    val fields =
-      if (required.isEmpty) None // count(*)-style: still need the page loop
-      else Some(required.fieldNames.toSeq)
+    // empty (count(*)-style) projection → Some(Nil) → `_source: false`:
+    // hit envelopes page through, document bodies never leave the cluster
+    val fields = Some(required.fieldNames.toSeq)
     (0 until conf.slices).map { i =>
       val slice = if (conf.slices > 1) Some((i, conf.slices)) else None
       EsPartition(conf, wireQuery, fields, slice): InputPartition

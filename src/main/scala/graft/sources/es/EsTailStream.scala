@@ -71,8 +71,7 @@ private[es] class EsTailStream(required: StructType, conf: EsScanConfig,
     if (e <= s) Array.empty
     else {
       val wireQuery = EsQuery.combine(conf.query, pushed.toIndexedSeq)
-      val fields =
-        if (required.isEmpty) None else Some(required.fieldNames.toSeq)
+      val fields = Some(required.fieldNames.toSeq) // Nil → `_source: false`
       (0 until conf.slices).map { i =>
         val slice = if (conf.slices > 1) Some((i, conf.slices)) else None
         EsPartition(conf, wireQuery, fields, slice,

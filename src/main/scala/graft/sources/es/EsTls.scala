@@ -80,11 +80,25 @@ object EsTls {
       s"$pem: not a PKCS#8 RSA/EC private key (use 'BEGIN PRIVATE KEY' format)"))
   }
 
-  /** --no-verify-certs: accept any chain (the reference passes
-    * verify_certs=False straight to the client). */
-  private def trustAll: X509TrustManager = new X509TrustManager {
+  /** --no-verify-certs: accept any chain AND any hostname (the reference
+    * passes verify_certs=False straight to the client, which disables
+    * both). Must be an X509ExtendedTrustManager: a plain X509TrustManager
+    * gets wrapped by JSSE with endpoint identification still enforced, so
+    * the flag's primary use case — self-signed certs whose SAN doesn't
+    * match the address — would keep failing on the hostname check. The
+    * engine/socket overloads below are the ones the wrapper would have
+    * added; leaving them empty skips the identity check too. */
+  private def trustAll: X509TrustManager = new X509ExtendedTrustManager {
     override def checkClientTrusted(c: Array[X509Certificate], a: String): Unit = ()
     override def checkServerTrusted(c: Array[X509Certificate], a: String): Unit = ()
+    override def checkClientTrusted(c: Array[X509Certificate], a: String,
+                                    s: java.net.Socket): Unit = ()
+    override def checkServerTrusted(c: Array[X509Certificate], a: String,
+                                    s: java.net.Socket): Unit = ()
+    override def checkClientTrusted(c: Array[X509Certificate], a: String,
+                                    e: SSLEngine): Unit = ()
+    override def checkServerTrusted(c: Array[X509Certificate], a: String,
+                                    e: SSLEngine): Unit = ()
     override def getAcceptedIssuers: Array[X509Certificate] = Array.empty
   }
 }

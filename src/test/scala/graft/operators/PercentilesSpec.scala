@@ -42,6 +42,25 @@ class PercentilesSpec extends SparkSpec {
     assert(out("b") == ((42.0, 42.0)))
   }
 
+  test("NULL group keys stay one group; all-null-value groups keep a null row") {
+    val df = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(3.0)),
+      (None, Some(10.0)), (None, Some(20.0)),      // NULL group with values
+      (Some("b"), None), (Some("b"), None))        // group with only nulls
+      .toDF("k", "v")
+    val out = Percentiles.quantileCont(df, Seq("k"), "v", Seq("p50" -> 0.5))
+    val builtin = df.groupBy($"k").agg(percentile($"v", lit(0.5)).as("p50"))
+    assert(out.count() == 3, "one row per distinct group incl. NULL key")
+    assert(out.exceptAll(builtin).isEmpty && builtin.exceptAll(out).isEmpty)
+    // multi-column form: same group handling across both value columns
+    val df2 = df.withColumn("w", $"v" * 2)
+    val multi = Percentiles.quantileContMulti(df2, Seq("k"),
+      Seq("v" -> Seq("vp" -> 0.5), "w" -> Seq("wp" -> 0.5)))
+    val builtin2 = df2.groupBy($"k")
+      .agg(percentile($"v", lit(0.5)).as("vp"), percentile($"w", lit(0.5)).as("wp"))
+    assert(multi.exceptAll(builtin2).isEmpty && builtin2.exceptAll(multi).isEmpty)
+  }
+
   test("multi-column form joins one row per group per value column") {
     val li = Tables.load(spark, sf(), "lineitem")
     val out = Percentiles.quantileContMulti(li, Seq("l_returnflag"),

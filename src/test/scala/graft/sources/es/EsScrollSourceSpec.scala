@@ -113,6 +113,16 @@ class EsScrollSourceSpec extends SparkSpec {
     }
   }
 
+  test("count(*)-style scan suppresses _source — bodies never leave the cluster") {
+    withServer() { server =>
+      val n = read(server).count()
+      assert(n > 0)
+      val bodies = server.searchRequests.map(_._3)
+      assert(bodies.exists(_.contains("\"_source\":false")),
+        s"empty projection must ship _source:false, got: $bodies")
+    }
+  }
+
   test("filter pushdown: numeric predicates become a query_string clause") {
     withServer() { server =>
       val df = read(server).filter($"id" >= 10 && $"id" < 13).select($"id")

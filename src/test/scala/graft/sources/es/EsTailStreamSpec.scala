@@ -61,6 +61,16 @@ class EsTailStreamSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("fractional max-agg values round UP so the tail is never withheld") {
+    // a truncated offset (1000 < max 1000.5) would exclude the newest
+    // document from every window until an unrelated ingest passed 1001
+    assert(EsApi.parseMaxAgg(
+      """{"aggregations":{"m":{"value":1000.5}}}""") == Some(1001L))
+    assert(EsApi.parseMaxAgg(
+      """{"aggregations":{"m":{"value":7.0}}}""") == Some(7L))
+    assert(EsApi.parseMaxAgg("""{"aggregations":{"m":{"value":null}}}""").isEmpty)
+  }
+
   test("offsets serialize as the plain long watermark") {
     assert(EsTailOffset(42L).json() == "42")
     val stream = new EsTailStream(

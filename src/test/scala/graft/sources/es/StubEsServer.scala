@@ -152,6 +152,9 @@ final class StubEsServer(
               val c = d.deepCopy[ObjectNode]()
               c.retain(keep.asJava); c
             }
+          case Some(src) if src.isBoolean && !src.asBoolean() =>
+            // `_source: false`: hit envelopes without document bodies
+            sliced.map(_ => null)
           case _ => sliced
         }
         val scrollId = s"stub-scroll-${scrollSeq.incrementAndGet()}"
@@ -178,7 +181,10 @@ final class StubEsServer(
       else { val t = hits.putObject("total"); t.put("value", total); t.put("relation", "eq") }
     }
     val arr = hits.putArray("hits")
-    docs.foreach(d => arr.addObject().set[ObjectNode]("_source", d))
+    docs.foreach { d =>
+      val h = arr.addObject()
+      if (d != null) h.set[ObjectNode]("_source", d) // null = `_source: false` hit
+    }
     mapper.writeValueAsString(root)
   }
 

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.Splits
+
+/** The training-data prep pipeline (batch form: q64) as a plan that is
+  * valid in BOTH batch and streaming: fingerprint dedup, quality filter,
+  * content-addressed split, over a continuously arriving document
+  * stream.
+  *
+  * Streaming semantics: the only stateful stage is the dedup —
+  * `dropDuplicatesWithinWatermark` holds one fingerprint per horizon, so
+  * state is bounded by the watermark delay (ingest rate × delay), not
+  * stream history; everything downstream is stateless row-at-a-time
+  * codegen. An at-least-once ingest (the re-delivery shape of a scroll
+  * retry) becomes effectively-once. In batch the same code degenerates
+  * to plain dropDuplicates + filters; DocPrepSpec pins batch == stream
+  * on the same data.
+  *
+  * The near-dup cluster stage of q64 is deliberately absent here: LSH
+  * banding needs a corpus-wide groupBy that has no bounded-state
+  * streaming form — run it as a periodic batch compaction over the
+  * stream's output instead (the standard lambda split for that stage).
+  */
+object DocPrep {
+
+  def prep(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+           tsCol: String = "ingest_ts", watermarkDelay: String = "1 hour",
+           minTokens: Int = 10, minTtr: Double = 0.2): DataFrame = {
+    val fingerprinted = docs.withColumn("__fp", Text.fingerprint(col(textCol)))
+    // dropDuplicatesWithinWatermark exists only in streaming plans; the
+    // batch twin keeps the earliest-tsCol row per fingerprint — the same
+    // winner a stream picks when ingest order follows tsCol
+    val deduped =
+      if (docs.isStreaming)
+        fingerprinted
+          .withWatermark(tsCol, watermarkDelay)
+          .dropDuplicatesWithinWatermark("__fp")
+      else graft.operators.Dedup.exactByKey(fingerprinted, Seq("__fp"), tsCol)
+    val scored = deduped
+      .withColumn("__tk", Text.tokens(col(textCol))) // staged: 3 refs below
+      .withColumn("n_tokens", size(col("__tk")).cast("long"))
+      .withColumn("__ttr",
+        size(array_distinct(col("__tk"))).cast("double") / size(col("__tk")))
+      .where(col("n_tokens") >= minTokens && col("__ttr") >= minTtr)
+    Splits.assign(scored, idCol)
+      .select(col(idCol), col(tsCol), col("n_tokens"), col("split"))
+  }
+}

@@ -48,6 +48,6 @@ object AsofJoin {
     }
     val renames = rightCols.zip(carried).map { case (c, a) => col(a).as(c) }
     withCarried.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ renames: _*)
+      .select(left.columns.toIndexedSeq.map(col) ++ renames: _*)
   }
 }

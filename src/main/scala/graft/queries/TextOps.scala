@@ -185,6 +185,57 @@ object TextOps {
        |        TRY_CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bk
        |      FROM kept)""".stripMargin
 
+  // -- q65: sequence packing — greedy first-fit token shards at a 2048
+  // budget (the pre-tokenization shard layout for training data). Spark
+  // side: Prefix.packIntoShards, the two-pass distributed prefix sum
+  // (no data-sized global window; PrefixSpec pins the plan). Oracle: the
+  // plain global-window cumsum, which DuckDB can afford single-node. --
+  private val q65: Q = (s, dir) => {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select($"doc_id", Text.tokens($"text").as("tk"))
+      .select($"doc_id", size($"tk").cast("long").as("n_tokens"))
+    graft.operators.Prefix.packIntoShards(toks, "doc_id", "n_tokens", budget = 2048L)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("tok_sum"))
+  }
+  private val q65Sql =
+    s"""WITH t AS (SELECT doc_id, len($dTok) AS n_tokens FROM documents),
+       |runs AS (SELECT doc_id, n_tokens,
+       |  sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS run_start
+       |  FROM t)
+       |SELECT CAST(floor(run_start / 2048) AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tok_sum
+       |FROM runs GROUP BY 1""".stripMargin
+
+  // -- q66: corpus mixing — en documents kept whole, every other
+  // language down-sampled to 25%, membership content-addressed (Mix):
+  // reproducible across reruns/cluster sizes, zero shuffles for the
+  // sampling itself. Oracle reproduces the salted md5 bucket exactly. --
+  private val q66: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    graft.operators.Mix.corpora(Seq(
+      ("en", d.where($"lang" === "en"), 1.0),
+      ("rest", d.where($"lang" =!= "en"), 0.25)), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+  }
+  private val q66Sql =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS source,
+      |    TRY_CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) ||
+      |      ':' || CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END), 1, 8)
+      |      AS BIGINT) % 10000 AS bk
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM b
+      |WHERE (source = 'en' AND bk < 10000) OR (source = 'rest' AND bk < 2500)
+      |GROUP BY source""".stripMargin
+
   // -- q23: SimHash fingerprints (native codegen'd expression) --
   private val q23: Q = (s, dir) => {
     import s.implicits._
@@ -368,6 +419,8 @@ object TextOps {
     "q52_train_split" -> q52,
     "q62_neardup_clusters" -> q62,
     "q64_prep_pipeline" -> q64,
+    "q65_seq_packing" -> q65,
+    "q66_corpus_mix" -> q66,
   )
 
   val oracle: Map[String, String] = Map(
@@ -384,5 +437,7 @@ object TextOps {
     "q52_train_split" -> q52Sql,
     "q62_neardup_clusters" -> q62Sql,
     "q64_prep_pipeline" -> q64Sql,
+    "q65_seq_packing" -> q65Sql,
+    "q66_corpus_mix" -> q66Sql,
   )
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Content-addressed corpus mixing: reproducible membership, rates
+  * within sampling tolerance, independent draws per source salt. */
+class MixSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("sampleByHash is deterministic and close to the target rate") {
+    val docs = Tables.load(spark, sf("sf0.01"), "documents")
+    val n = docs.count().toDouble
+    val a = Mix.sampleByHash(docs, "doc_id", 0.3)
+    val b = Mix.sampleByHash(docs, "doc_id", 0.3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "same ids every run")
+    val rate = a.count() / n
+    assert(math.abs(rate - 0.3) < 0.1, s"rate $rate too far from 0.3")
+    // rate 1.0 keeps everything; 0.0 keeps nothing
+    assert(Mix.sampleByHash(docs, "doc_id", 1.0).count() == n.toLong)
+    assert(Mix.sampleByHash(docs, "doc_id", 0.0).count() == 0L)
+  }
+
+  test("corpora salts draws per source and tags provenance") {
+    val docs = Tables.load(spark, sf("sf0.01"), "documents")
+    val mixed = Mix.corpora(Seq(
+      ("half_a", docs, 0.5), ("half_b", docs, 0.5)), "doc_id")
+    val bySource = mixed.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource.keySet == Set("half_a", "half_b"))
+    // independent salts: the two 50% draws must not pick the same ids
+    val aIds = mixed.where($"source" === "half_a").select($"doc_id").as[Long].collect().toSet
+    val bIds = mixed.where($"source" === "half_b").select($"doc_id").as[Long].collect().toSet
+    val overlap = aIds.intersect(bIds).size.toDouble / math.max(1, aIds.size)
+    assert(overlap < 0.7, s"draws look correlated: overlap $overlap")
+    assert(aIds != bIds)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Distributed prefix sum: equals the single-task global window, while
+  * the executed plan keeps every data-sized window partition-local. */
+class PrefixSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("cumsum equals the global-window form on fixture data") {
+    val docs = Tables.load(spark, sf(), "documents")
+      .select($"doc_id", $"n_chars")
+    val ours = Prefix.cumsum(docs, "doc_id", "n_chars", "run")
+    val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    val global = docs.withColumn("run", sum($"n_chars").over(w))
+    assert(ours.exceptAll(global).isEmpty && global.exceptAll(ours).isEmpty)
+  }
+
+  test("every data-sized window in the plan is partition-local") {
+    val docs = Tables.load(spark, sf(), "documents").select($"doc_id", $"n_chars")
+    val plan = Prefix.cumsum(docs, "doc_id", "n_chars", "run")
+      .queryExecution.executedPlan
+    val windows = (plan +: plan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+    }).flatMap(_.collect { case w: WindowExec => w })
+    assert(windows.nonEmpty)
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    // the only empty-partition-spec window runs over the per-partition
+    // subtotal frame (one row per partition), never over the data: its
+    // input must be an aggregate, not the checkpointed rows
+    unpartitioned.foreach { w =>
+      assert(w.toString.contains("__psum"),
+        s"global window over data-sized input: $w")
+    }
+  }
+
+  test("packIntoShards cuts greedy first-fit shards at the token budget") {
+    val df = Seq((1L, 30L), (2L, 50L), (3L, 40L), (4L, 10L), (5L, 100L))
+      .toDF("doc_id", "n_tokens")
+    val out = Prefix.packIntoShards(df, "doc_id", "n_tokens", budget = 100L)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    // runs start at 0,30,80,120,130 -> shards 0,0,0,1,1
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L))
+  }
+}

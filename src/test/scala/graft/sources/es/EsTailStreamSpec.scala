@@ -61,6 +61,42 @@ class EsTailStreamSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("cluster -> tail stream -> prep pipeline -> sink, end to end") {
+    // the complete modern form of the reference's job: continuous ingest
+    // from the cluster, streaming dedup/quality/split, one plan
+    val docMapping =
+      """{"doc_id":{"type":"long"},"seq":{"type":"long"},
+         |"text":{"type":"keyword"},"ingest_ts":{"type":"date"}}""".stripMargin
+    def good(i: Int) = (0 until 30).map(j => s"w${i}_$j").mkString(" ")
+    def d(seq: Int, id: Int, text: String) =
+      s"""{"doc_id":$id,"seq":$seq,"text":"$text","ingest_ts":"2026-02-01T09:00:${"%02d".format(seq)}"}"""
+    val stub = new StubEsServer(
+      initialIndices = Map("docs" -> Seq(
+        d(1, 101, good(1)), d(2, 102, good(2)), d(3, 103, "too short"))),
+      mappings = Map("docs" -> docMapping))
+    try {
+      val stream = spark.readStream.format("graft-es")
+        .option("es", stub.url).option("index", "docs")
+        .option("tail_field", "seq")
+        .load()
+      val q = graft.streaming.DocPrep.prep(stream)
+        .writeStream.format("memory").queryName("es_prep").start()
+      try {
+        q.processAllAvailable()
+        def ids = spark.table("es_prep").select($"doc_id").as[Long]
+          .collect().toSeq.sorted
+        assert(ids == Seq(101L, 102L), s"quality filter must drop 103, got $ids")
+        // live ingest: one re-delivered text (dedup) + one genuinely new doc
+        stub.addDocs("docs", Seq(d(4, 104, good(2)), d(5, 105, good(5))))
+        q.processAllAvailable()
+        assert(ids == Seq(101L, 102L, 105L),
+          s"re-delivered text must dedup, new doc must land, got $ids")
+        val splits = spark.table("es_prep").select($"split").as[String].collect().toSet
+        assert(splits.subsetOf(Set("train", "val", "test")))
+      } finally q.stop()
+    } finally stub.close()
+  }
+
   test("fractional max-agg values round UP so the tail is never withheld") {
     // a truncated offset (1000 < max 1000.5) would exclude the newest
     // document from every window until an unrelated ingest passed 1001

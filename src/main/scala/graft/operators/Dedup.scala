@@ -90,24 +90,31 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var changed = 1L
+    // labels only ever decrease, so the label total is a strictly
+    // decreasing convergence witness: one agg job per round instead of a
+    // join+count of old vs new (decimal sum — ids can be near Long.Max)
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty pair list
+    var prevSum = labelSum(labels)
+    var converged = false
     var round = 0
-    while (changed > 0 && round < maxIters) {
+    while (!converged && round < maxIters) {
       val viaNeighbor = labels.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), col("label"))
-      val next = labels.union(viaNeighbor)
+      labels = labels.union(viaNeighbor)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "node")
-        .where(col("n.label") =!= col("o.label")).count()
-      labels = next
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       round += 1
     }
-    if (changed > 0)
+    if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"clusters: not converged after $maxIters rounds ($changed labels " +
-          "still moving) — a component's diameter exceeds maxIters and its " +
-          "labels are non-minimal; raise maxIters")
+        s"clusters: not converged after $maxIters rounds — a component's " +
+          "diameter exceeds maxIters and its labels are non-minimal; " +
+          "raise maxIters")
     labels.select(col("node"), col("label").as("cluster"))
   }
 }

@@ -47,15 +47,16 @@ private[es] class EsTailStream(required: StructType, conf: EsScanConfig,
     "graft-es streaming reads require option 'tail_field' " +
       "(a monotonically increasing numeric field, e.g. an ingest seq or epoch millis)"))
 
+  // one driver-side transport for the life of the stream (latestOffset
+  // fires every trigger — opening a client per probe is wasted setup)
+  private lazy val transport = conf.transportFactory.open()
+
   private def fetchMax(): Option[Long] = {
-    val transport = conf.transportFactory.open()
-    try {
-      val resp = Retry.withBackoff(conf.retries, conf.retryBackoffMs,
-        EsHttpError.transient) {
-        transport.post(s"/${conf.index}/_search", EsApi.maxAggBody(field))
-      }
-      EsApi.parseMaxAgg(resp)
-    } finally transport.close()
+    val resp = Retry.withBackoff(conf.retries, conf.retryBackoffMs,
+      EsHttpError.transient) {
+      transport.post(s"/${conf.index}/_search", EsApi.maxAggBody(field))
+    }
+    EsApi.parseMaxAgg(resp)
   }
 
   override def initialOffset(): Offset = EsTailOffset(conf.startFrom)
@@ -84,7 +85,7 @@ private[es] class EsTailStream(required: StructType, conf: EsScanConfig,
     new EsReaderFactory(required, pushed)
 
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = transport.close()
 }
 
 /** The committed watermark: the highest `tail_field` value read. */

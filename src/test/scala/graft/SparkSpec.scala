@@ -13,4 +13,22 @@ object SharedSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SharedSpark.spark
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Collect matching nodes from a physical plan, walking THROUGH the
+    * wrappers plan-shape assertions keep tripping on: AQE roots hide the
+    * (re-)planned tree behind `executedPlan`, and query stages are
+    * leaves to `collect()` with the real operators behind `plan`. */
+  def collectPlan[T](root: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    def expand(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+      }
+      p +: inner.flatMap(expand)
+    }
+    expand(root).flatMap(_.collect(pf))
+  }
 }

@@ -104,12 +104,9 @@ class DedupSimilaritySpec extends SparkSpec {
     val emb = Tables.load(spark, sf(), "embeddings")
     val p = Similarity.ivfAssign(emb, emb.filter($"vec_id" < 16),
       "vec_id", "embedding", "vec_id").queryExecution.executedPlan
-    val plans = p +: p.collect {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-    }
-    val shuffles = plans.flatMap(_.collect {
+    val shuffles = collectPlan(p) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    })
+    }
     assert(shuffles.isEmpty,
       s"centroid assignment must not shuffle the corpus: $shuffles")
   }

@@ -24,9 +24,7 @@ class PrefixSpec extends SparkSpec {
     val docs = Tables.load(spark, sf(), "documents").select($"doc_id", $"n_chars")
     val plan = Prefix.cumsum(docs, "doc_id", "n_chars", "run")
       .queryExecution.executedPlan
-    val windows = (plan +: plan.collect {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-    }).flatMap(_.collect { case w: WindowExec => w })
+    val windows = collectPlan(plan) { case w: WindowExec => w }
     assert(windows.nonEmpty)
     val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
     // the only empty-partition-spec window runs over the per-partition

@@ -51,15 +51,7 @@ class SkewSpec extends SparkSpec {
         case a: AdaptiveSparkPlanExec => a
       }.head
       aqe.execute().count()
-      // query stages are leaves to collect(); walk through their plans
-      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] =
-        (p +: p.children.flatMap(flatten)) ++ (p match {
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            flatten(q.plan)
-          case _ => Nil
-        })
-      val smj = flatten(aqe.executedPlan).collect { case j: SortMergeJoinExec => j }
+      val smj = collectPlan(aqe.executedPlan) { case j: SortMergeJoinExec => j }
       assert(smj.nonEmpty, "expected a sort-merge join under AQE")
       assert(smj.exists(_.isSkewJoin),
         s"AQE must mark the hot-key join as skew-split; got ${smj.map(_.isSkewJoin)}")

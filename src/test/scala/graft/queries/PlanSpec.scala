@@ -18,11 +18,8 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): SparkPlan =
     SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan
 
-  private def collectAll[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] = {
-    // AQE wraps subtrees; walk through the wrappers
-    val expanded = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
-    (p +: expanded).flatMap(_.collect(f))
-  }
+  private def collectAll[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+    collectPlan(p)(f) // SparkSpec's AQE/stage-aware walk
 
   private def scans(name: String): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
     collectAll(plan(name)) { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }

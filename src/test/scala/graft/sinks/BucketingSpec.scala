@@ -46,10 +46,8 @@ class BucketingSpec extends SparkSpec {
 
       // the join itself must be exchange-free: the only allowed shuffle is
       // the aggregation's, which sits ABOVE the join
-      val exec = joined.queryExecution.executedPlan
-      val plans = exec +: exec.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
-      val smj = plans.flatMap(_.collect {
-        case j if j.nodeName.contains("SortMergeJoin") => j })
+      val smj = collectPlan(joined.queryExecution.executedPlan) {
+        case j if j.nodeName.contains("SortMergeJoin") => j }
       assert(smj.nonEmpty, "expected a sort-merge join over buckets")
       val shufflesBelowJoin = smj.flatMap(_.collect { case e: ShuffleExchangeLike => e })
       assert(shufflesBelowJoin.isEmpty,

@@ -122,8 +122,7 @@ final class StubEsServer(
           val m = root.putObject("aggregations").putObject("m")
           if (vals.isEmpty) m.putNull("value") else m.put("value", vals.max)
           respond(ex, 200, mapper.writeValueAsString(root))
-          return
-        }
+        } else {
         // structured numeric range filter (query.range or query.bool.filter)
         val rangeNode = Seq("/query/range", "/query/bool/filter/0/range")
           .map(req.at).find(!_.isMissingNode)
@@ -161,6 +160,7 @@ final class StubEsServer(
         val (pageDocs, rest) = projected.toList.splitAt(size)
         sessions.put(scrollId, Session(rest, size))
         respond(ex, 200, pageJson(Some(scrollId), projected.size.toLong, pageDocs))
+        }
       case ("DELETE", "_search" :: "scroll" :: Nil) =>
         mapper.readTree(body).get("scroll_id").elements().asScala.foreach { id =>
           sessions.remove(id.asText())

@@ -27,6 +27,13 @@ import graft.sinks.Sink
   * stream to disk, so in-memory partition size is not a failure mode the
   * way accumulate-then-flush was). stdout mode streams jsonl lines
   * record-at-a-time.
+  *
+  * Interrupt semantics, a deliberate deviation: the reference flushes
+  * the partial in-memory partition on Ctrl-C (dump-es-parquet:300-308)
+  * because anything unflushed would be lost. Spark's committer inverts
+  * the failure model — output files appear atomically per task commit,
+  * so an interrupted dump leaves no partial artifacts and is simply
+  * rerun; rerunnable-idempotent replaces flush-on-interrupt.
   */
 object Dump {
 

@@ -39,9 +39,10 @@ object Bench {
       // let Catalyst prune projections and skip real work). Two runs,
       // report the min: the first run pays one-time codegen/JIT for that
       // query's plan, the second measures the steady state a real
-      // workload sees. A throwing query is reported in `failures`, not
-      // timed — a broken query's elapsed time is not a measurement.
-      val times = (1 to 2).flatMap { _ =>
+      // workload sees. A query that throws on EITHER run lands in
+      // `failures`, never in `queries` — a flaky query's surviving run
+      // is not a trustworthy measurement either.
+      val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -51,7 +52,7 @@ object Bench {
           None
         }
       }
-      name -> times.minOption
+      name -> (if (times.forall(_.isDefined)) Some(times.flatten.min) else None)
     }
     val ok = runs.collect { case (n, Some(t)) => n -> t }
     val failures = runs.collect { case (n, None) => n }

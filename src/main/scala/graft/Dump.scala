@@ -50,7 +50,9 @@ object Dump {
     require(positional.nonEmpty, "usage: graft.Dump <index-pattern> --src <dir> --out <dir> [flags]")
     val pattern = positional.head
     val srcDir = flags.getOrElse("src", "/root/testdata/sf0.001")
-    val outDir = flags.getOrElse("out",
+    // lazy: stdout mode never writes files, so the temp-dir default must
+    // not create a stray directory per invocation
+    lazy val outDir = flags.getOrElse("out",
       java.nio.file.Files.createTempDirectory("graft_dump").toString)
     val output = flags.getOrElse("output", "parquet")
 

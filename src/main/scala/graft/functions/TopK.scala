@@ -131,7 +131,11 @@ object TopKByScore {
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier(name),
     new ExpressionInfo(classOf[TopKByScore].getName, name),
-    (children: Seq[Expression]) => TopKByScore(children(0), children(1), children(2)))
+    (children: Seq[Expression]) => {
+      if (children.length != 3) throw new IllegalArgumentException(
+        s"$name expects exactly 3 arguments (score, id, k), got ${children.length}")
+      TopKByScore(children(0), children(1), children(2))
+    })
 
   /** Column form: `array<struct<id,score>>` of the k best, best-first.
     * Casts cover what ImplicitCastInputTypes would have done. */

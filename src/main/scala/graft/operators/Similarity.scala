@@ -18,13 +18,29 @@ object Similarity {
     * map-side, so the per-query shuffle carries ≤ k entries rather than
     * the whole candidate set (graft_topk; same ORDER BY cos DESC, id
     * tie-break as the window form — the differential specs pin the
-    * equivalence). Requires an integral id (cast to long). */
-  private def keepTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
-    scored
-      .groupBy(col("q_id"))
-      .agg(graft.functions.TopKByScore.topk(col("cos"), col(idCol), k).as("__top"))
-      .select(col("q_id"), explode(col("__top")).as("__e"))
-      .select(col("q_id"), col("__e.id").as(idCol), col("__e.score").as("cos"))
+    * equivalence). The heap aggregate carries ids as longs, so
+    * non-integral id columns (UUID strings etc.) take the window form
+    * instead of silently null-casting away. */
+  private def keepTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integralId = scored.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralId)
+      scored
+        .groupBy(col("q_id"))
+        .agg(graft.functions.TopKByScore.topk(col("cos"), col(idCol), k).as("__top"))
+        .select(col("q_id"), explode(col("__top")).as("__e"))
+        .select(col("q_id"), col("__e.id").cast(scored.schema(idCol).dataType).as(idCol),
+          col("__e.score").as("cos"))
+    else {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol).asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .drop("__rn")
+    }
+  }
 
   /** Brute-force cosine top-k: every (query, corpus) pair scored map-side
     * (query set broadcasts), k-bounded heap per query. Exact; cost is
@@ -110,45 +126,105 @@ object Similarity {
     toDf(centroids).select(col("__c_id").as("centroid_id"), col("__c_emb").as(embCol))
   }
 
-  /** The centroid set as a literal array<struct<id,emb>> column, sorted by
-    * ascending id. k × dim doubles — bounded driver state by construction
-    * (the same exception to no-collect that kmeans uses), so the argmax
-    * fold below needs no join at all. */
-  private def centroidLit(centroids: DataFrame, centroidIdCol: String,
-                          embCol: String): Column = {
+  /** Driver-collected centroid matrix, ascending id — k × dim doubles,
+    * bounded state by construction (the same exception to no-collect that
+    * kmeans uses). */
+  private def collectCentroids(centroids: DataFrame, centroidIdCol: String,
+                               embCol: String): Array[(Int, Array[Double])] = {
     val cents = centroids
       .select(col(centroidIdCol).cast("int"), col(embCol).cast("array<double>"))
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .sortBy(_._1).toSeq
-    typedlit(cents)
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "IVF needs at least one centroid")
+    cents
   }
 
-  /** Map-side argmax over the centroid literal: struct(id, cos) of the
-    * nearest centroid. Strict `>` keeps the FIRST max in ascending-id
-    * order, i.e. ties break toward the smaller centroid id — the same
-    * rule as `ORDER BY cos DESC, c_id` rank 1. */
-  private def nearestCentroid(emb: Column, cents: Column): Column =
-    aggregate(cents,
-      struct(lit(-1).as("id"), lit(-2.0).as("cos")),
-      (acc, c) => {
-        val cs = Vectors.cosine(emb, c.getField("_2"))
-        when(cs > acc.getField("cos"),
-          struct(c.getField("_1").as("id"), cs.as("cos"))).otherwise(acc)
-      })
+  /** "cs beats the current best": NaN first, then higher cosine; iterating
+    * centroids in ascending id with a strict comparison breaks ties (and
+    * repeated NaNs) toward the smaller id — exactly the rank-1 row of
+    * `ORDER BY cos DESC, c_id` under Spark's NaN-greatest sort order, so
+    * zero-norm embeddings land where the window form put them instead of
+    * leaking a sentinel. */
+  private def betterThan(cs: Column, best: Column): Column =
+    (isnan(cs) && !isnan(best)) || cs > best
 
-  /** IVF coarse quantization: assign every vector to its nearest centroid.
-    * The centroid set rides along as a literal and the argmax is a
-    * per-row fold — a completely narrow pass: no join, no shuffle, no
-    * window (the executed plan has zero exchanges; DedupSimilaritySpec
-    * pins it). Searches then probe only matching inverted lists. */
+  /** Beyond this many doubles the centroid matrix travels as a broadcast
+    * variable, not a plan literal (a multi-MB literal bloats every
+    * serialized task and chokes codegen). */
+  private[operators] val LiteralCentroidDoubles: Int = 1 << 20
+
+  /** Appends (__list, __cos) = nearest-centroid id and cosine to every
+    * corpus row. Both paths are NARROW — no join, no shuffle, no window:
+    * small centroid sets ride the expression tree as a literal and fold
+    * inside codegen; large ones broadcast to a per-partition loop with
+    * precomputed centroid norms (the same mapPartitions seam as the
+    * multimodal codec — the one construct Catalyst can't express). */
+  private[operators] def withNearest(corpus: DataFrame, centroids: DataFrame,
+      embCol: String, centroidIdCol: String,
+      literalLimit: Int = LiteralCentroidDoubles): DataFrame = {
+    val cents = collectCentroids(centroids, centroidIdCol, embCol)
+    val dims = cents.head._2.length
+    if (cents.length.toLong * dims <= literalLimit) {
+      val centsLit = typedlit(cents.toSeq.map { case (i, e) => (i, e.toSeq) })
+      val best = aggregate(centsLit,
+        struct(lit(-1).as("id"), lit(-2.0).as("cos")),
+        (acc, c) => {
+          val cs = Vectors.cosine(col(embCol), c.getField("_2"))
+          when(betterThan(cs, acc.getField("cos")),
+            struct(c.getField("_1").as("id"), cs.as("cos"))).otherwise(acc)
+        })
+      corpus.withColumn("__best", best)
+        .withColumn("__list", col("__best.id"))
+        .withColumn("__cos", col("__best.cos"))
+        .drop("__best")
+    } else {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{DoubleType, IntegerType}
+      val withNorms = cents.map { case (i, e) =>
+        (i, e, math.sqrt(e.map(x => x * x).sum))
+      }
+      val bc = corpus.sparkSession.sparkContext.broadcast(withNorms)
+      val out = corpus.schema.add("__list", IntegerType).add("__cos", DoubleType)
+      val embIdx = corpus.schema.fieldIndex(embCol)
+      corpus.mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { r =>
+          val raw = r.getSeq[Number](embIdx)
+          val emb = new Array[Double](raw.length)
+          var i = 0
+          raw.foreach { v => emb(i) = v.doubleValue(); i += 1 }
+          var eNorm = 0.0
+          var j = 0
+          while (j < emb.length) { eNorm += emb(j) * emb(j); j += 1 }
+          eNorm = math.sqrt(eNorm)
+          var bestId = -1
+          var bestCos = -2.0
+          cs.foreach { case (cid, ce, cNorm) =>
+            val n = math.min(emb.length, ce.length)
+            var dot = 0.0
+            var k = 0
+            while (k < n) { dot += emb(k) * ce(k); k += 1 }
+            val cos = dot / (eNorm * cNorm)
+            if ((cos.isNaN && !bestCos.isNaN) || cos > bestCos) {
+              bestId = cid; bestCos = cos
+            }
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](bestId, bestCos))
+        }
+      }(Encoders.row(out))
+    }
+  }
+
+  /** IVF coarse quantization: assign every vector to its nearest centroid
+    * — a completely narrow pass (no join, no shuffle, no window; the
+    * executed plan has zero exchanges, DedupSimilaritySpec pins it).
+    * Searches then probe only matching inverted lists. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
                 embCol: String, centroidIdCol: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val cents = centroidLit(centroids, centroidIdCol, embCol)
-    corpus
-      .select(col(idCol), nearestCentroid(col(embCol), cents).as("__best"))
-      .select(col(idCol), col("__best.id").as("centroid"), col("__best.cos").as("cos"))
+    withNearest(corpus.select(col(idCol), col(embCol)), centroids, embCol, centroidIdCol)
+      .select(col(idCol), col("__list").as("centroid"), col("__cos").as("cos"))
   }
 
   /** IVF top-k ANN search: each query probes only its `nProbe` nearest
@@ -169,9 +245,8 @@ object Similarity {
               idCol: String, embCol: String, centroidIdCol: String,
               k: Int, nProbe: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val cents = centroidLit(centroids, centroidIdCol, embCol)
-    val assigned = corpus.select(col(idCol), col(embCol),
-      nearestCentroid(col(embCol), cents).getField("id").as("__list"))
+    val assigned = withNearest(corpus.select(col(idCol), col(embCol)),
+      centroids, embCol, centroidIdCol).drop("__cos")
     val c = centroids.select(col(centroidIdCol).as("__list"), col(embCol).as("__c_emb"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("__q_cos").desc, col("__list").asc)
     val probes = queries

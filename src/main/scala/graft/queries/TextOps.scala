@@ -146,11 +146,7 @@ object TextOps {
     val clusters = graft.operators.Dedup.clusters(q22(s, dir), "doc_a", "doc_b")
     val losers = clusters.where($"cluster" =!= $"node").select($"node".as("doc_id"))
     val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
-    val scored = deduped
-      .select($"doc_id", Text.tokens($"text").as("tk")) // staged: 3 refs
-      .select($"doc_id", size($"tk").cast("long").as("n_tokens"),
-        (size(array_distinct($"tk")).cast("double") / size($"tk")).as("ttr"))
-      .where($"n_tokens" >= 10 && $"ttr" >= 0.2)
+    val scored = graft.operators.Quality.filter(deduped, "text")
     graft.operators.Splits.assign(scored, "doc_id")
       .select($"doc_id", $"n_tokens", $"split")
   }

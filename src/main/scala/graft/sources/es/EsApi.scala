@@ -58,7 +58,7 @@ object EsApi {
   def searchBody(size: Int, sort: Seq[(String, String)], query: Option[String],
                  sourceFields: Option[Seq[String]],
                  slice: Option[(Int, Int)],
-                 range: Option[(String, Long, Long)] = None): String = {
+                 range: Option[(String, Double, Double)] = None): String = {
     val body = mapper.createObjectNode()
     body.put("size", size)
     if (sort.nonEmpty) {
@@ -68,7 +68,7 @@ object EsApi {
         else arr.addObject().putObject(f).put("order", d)
       }
     }
-    def rangeNode(parent: ObjectNode, f: String, gt: Long, lte: Long): Unit = {
+    def rangeNode(parent: ObjectNode, f: String, gt: Double, lte: Double): Unit = {
       val r = parent.putObject("range").putObject(f)
       r.put("gt", gt); r.put("lte", lte)
     }
@@ -107,15 +107,19 @@ object EsApi {
     mapper.writeValueAsString(body)
   }
 
-  /** The max-agg value as a long offset; None when the index has no
-    * documents (ES reports `"value": null`). Fractional maxima (double/
-    * scaled_float tail fields) round UP: a truncated offset would sit
-    * below the newest document forever, leaving the tail unread until an
-    * unrelated ingest pushed the max past the next integer. */
-  def parseMaxAgg(json: String): Option[Long] =
+  /** The max-agg value; None when the index has no documents (ES reports
+    * `"value": null`). Kept as the double ES itself returns — rounding in
+    * either direction loses documents when the tail field is fractional
+    * (a truncated offset never reaches the newest doc; a rounded-up one
+    * skips past docs arriving in the gap). Precision is bounded by the
+    * max agg's own double representation: integral tail fields above
+    * 2^53 (e.g. snowflake ids) are not exactly representable on the
+    * wire, which is an ES-protocol limit — use a sub-2^53 ingest
+    * sequence where that matters. */
+  def parseMaxAgg(json: String): Option[Double] =
     Option(mapper.readTree(json).at("/aggregations/m/value"))
       .filterNot(v => v.isMissingNode || v.isNull)
-      .map(v => math.ceil(v.asDouble()).toLong)
+      .map(_.asDouble())
 
   def scrollBody(scroll: String, scrollId: String): String = {
     val body = mapper.createObjectNode()

@@ -194,7 +194,7 @@ private[es] final case class EsPartition(
     wireQuery: Option[String],
     sourceFields: Option[Seq[String]],
     slice: Option[(Int, Int)],
-    range: Option[(String, Long, Long)] = None) extends InputPartition
+    range: Option[(String, Double, Double)] = None) extends InputPartition
 
 private[es] class EsReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {

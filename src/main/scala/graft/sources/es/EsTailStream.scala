@@ -21,8 +21,8 @@ import graft.sources.Retry
   *   - the microbatch reads the window `(start, end]` as a structured
   *     range filter on the same sliced-scroll partition readers as the
   *     batch path (all pushdowns, coercion, and retry behavior included);
-  *   - offsets checkpoint as the plain long, so a restarted query resumes
-  *     from the committed watermark.
+  *   - offsets checkpoint as the plain numeric value, so a restarted
+  *     query resumes from the committed watermark.
   *
   * Delivery contract: exactly-once per field value — a document is read
   * in precisely the microbatch whose window covers its `tail_field`
@@ -51,7 +51,7 @@ private[es] class EsTailStream(required: StructType, conf: EsScanConfig,
   // fires every trigger — opening a client per probe is wasted setup)
   private lazy val transport = conf.transportFactory.open()
 
-  private def fetchMax(): Option[Long] = {
+  private def fetchMax(): Option[Double] = {
     val resp = Retry.withBackoff(conf.retries, conf.retryBackoffMs,
       EsHttpError.transient) {
       transport.post(s"/${conf.index}/_search", EsApi.maxAggBody(field))
@@ -59,12 +59,12 @@ private[es] class EsTailStream(required: StructType, conf: EsScanConfig,
     EsApi.parseMaxAgg(resp)
   }
 
-  override def initialOffset(): Offset = EsTailOffset(conf.startFrom)
+  override def initialOffset(): Offset = EsTailOffset(conf.startFrom.toDouble)
 
   override def latestOffset(): Offset =
-    EsTailOffset(fetchMax().getOrElse(conf.startFrom) max conf.startFrom)
+    EsTailOffset(fetchMax().getOrElse(conf.startFrom.toDouble) max conf.startFrom.toDouble)
 
-  override def deserializeOffset(json: String): Offset = EsTailOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = EsTailOffset(json.toDouble)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[EsTailOffset].value
@@ -88,7 +88,10 @@ private[es] class EsTailStream(required: StructType, conf: EsScanConfig,
   override def stop(): Unit = transport.close()
 }
 
-/** The committed watermark: the highest `tail_field` value read. */
-private[es] final case class EsTailOffset(value: Long) extends Offset {
+/** The committed watermark: the highest `tail_field` value read, kept in
+  * the field's own (double) domain — ES's max agg returns a double, and
+  * rounding it to a long either withholds or skips fractional-valued
+  * documents. Double.toString round-trips exactly. */
+private[es] final case class EsTailOffset(value: Double) extends Offset {
   override def json(): String = value.toString
 }

@@ -40,12 +40,7 @@ object DocPrep {
           .withWatermark(tsCol, watermarkDelay)
           .dropDuplicatesWithinWatermark("__fp")
       else graft.operators.Dedup.exactByKey(fingerprinted, Seq("__fp"), tsCol)
-    val scored = deduped
-      .withColumn("__tk", Text.tokens(col(textCol))) // staged: 3 refs below
-      .withColumn("n_tokens", size(col("__tk")).cast("long"))
-      .withColumn("__ttr",
-        size(array_distinct(col("__tk"))).cast("double") / size(col("__tk")))
-      .where(col("n_tokens") >= minTokens && col("__ttr") >= minTtr)
+    val scored = graft.operators.Quality.filter(deduped, textCol, minTokens, minTtr)
     Splits.assign(scored, idCol)
       .select(col(idCol), col(tsCol), col("n_tokens"), col("split"))
   }

@@ -111,6 +111,19 @@ class DedupSimilaritySpec extends SparkSpec {
       s"centroid assignment must not shuffle the corpus: $shuffles")
   }
 
+  test("withNearest: broadcast mapPartitions path matches the literal fold") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val centroids = emb.filter($"vec_id" < 16).select($"vec_id".as("c_id"), $"embedding")
+    def run(limit: Int) =
+      Similarity.withNearest(emb.select($"vec_id", $"embedding"),
+        centroids, "embedding", "c_id", literalLimit = limit)
+        .select($"vec_id", $"__list", round($"__cos", 9).as("cos"))
+    val viaLiteral = run(Similarity.LiteralCentroidDoubles)
+    val viaBroadcast = run(0) // force the large-k path
+    assert(viaLiteral.exceptAll(viaBroadcast).isEmpty &&
+      viaBroadcast.exceptAll(viaLiteral).isEmpty)
+  }
+
   test("Similarity.ivfTopK: exact at full probe; sane recall when pruned") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val centroids = emb.filter($"vec_id" < 16).select($"vec_id".as("c_id"), $"embedding")

@@ -97,24 +97,26 @@ class EsTailStreamSpec extends SparkSpec {
     } finally stub.close()
   }
 
-  test("fractional max-agg values round UP so the tail is never withheld") {
-    // a truncated offset (1000 < max 1000.5) would exclude the newest
-    // document from every window until an unrelated ingest passed 1001
+  test("fractional max-agg values keep their exact double watermark") {
+    // truncating would withhold the newest fractional-valued document
+    // forever; rounding up would skip docs arriving in the gap — the
+    // offset stays in the field's own domain
     assert(EsApi.parseMaxAgg(
-      """{"aggregations":{"m":{"value":1000.5}}}""") == Some(1001L))
+      """{"aggregations":{"m":{"value":1000.5}}}""") == Some(1000.5))
     assert(EsApi.parseMaxAgg(
-      """{"aggregations":{"m":{"value":7.0}}}""") == Some(7L))
+      """{"aggregations":{"m":{"value":7.0}}}""") == Some(7.0))
     assert(EsApi.parseMaxAgg("""{"aggregations":{"m":{"value":null}}}""").isEmpty)
   }
 
-  test("offsets serialize as the plain long watermark") {
-    assert(EsTailOffset(42L).json() == "42")
+  test("offsets round-trip through their JSON form exactly") {
+    assert(EsTailOffset(1000.5).json() == "1000.5")
     val stream = new EsTailStream(
       org.apache.spark.sql.types.StructType(Nil),
       EsScanConfig.fromOptions(Map(
         "index" -> "x", "tail_field" -> "seq")),
       Array.empty)
-    assert(stream.deserializeOffset("42") == EsTailOffset(42L))
+    assert(stream.deserializeOffset("1000.5") == EsTailOffset(1000.5))
+    assert(stream.deserializeOffset(EsTailOffset(42.0).json()) == EsTailOffset(42.0))
   }
 
   test("streaming read without tail_field fails with a clear message") {

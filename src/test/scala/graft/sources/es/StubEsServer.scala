@@ -113,7 +113,7 @@ final class StubEsServer(
           .filterNot(_.isMissingNode).map(_.asText())
         if (aggField.isDefined) {
           val vals = stored.flatMap(d => Option(d.get(aggField.get)))
-            .filter(_.isNumber).map(_.asLong())
+            .filter(_.isNumber).map(_.asDouble())
           val root = mapper.createObjectNode()
           val hits = root.putObject("hits")
           val t = hits.putObject("total")
@@ -130,10 +130,10 @@ final class StubEsServer(
           case Some(r) =>
             val f = r.fieldNames().asScala.next()
             val spec = r.get(f)
-            val gt = Option(spec.get("gt")).map(_.asLong()).getOrElse(Long.MinValue)
-            val lte = Option(spec.get("lte")).map(_.asLong()).getOrElse(Long.MaxValue)
+            val gt = Option(spec.get("gt")).map(_.asDouble()).getOrElse(Double.NegativeInfinity)
+            val lte = Option(spec.get("lte")).map(_.asDouble()).getOrElse(Double.PositiveInfinity)
             stored.filter { d =>
-              Option(d.get(f)).filter(_.isNumber).map(_.asLong())
+              Option(d.get(f)).filter(_.isNumber).map(_.asDouble())
                 .exists(v => v > gt && v <= lte)
             }
           case None => stored

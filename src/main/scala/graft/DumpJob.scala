@@ -38,9 +38,9 @@ object DumpJob {
   private def sortCols(sort: Seq[String]): Seq[org.apache.spark.sql.Column] =
     sort.map { s =>
       s.split(":", 2) match {
-        case Array(f, "desc") => col(f).desc
-        case Array(f, _)      => col(f).asc
-        case Array(f)         => col(f).asc
+        case Array(f, d) if d.equalsIgnoreCase("desc") => col(f).desc
+        case Array(f, _)                               => col(f).asc
+        case Array(f)                                  => col(f).asc
       }
     }
 
@@ -133,9 +133,23 @@ object DumpJob {
         // P3: output order is part of the dump contract (reference sorts
         // source-side so scroll order is deterministic)
         val df = if (config.sort.isEmpty) flat else flat.orderBy(sortCols(config.sort): _*)
+        // Resolve the byte-size cap on an UNOBSERVED twin of the written
+        // frame: the size probe is an action, and an Observation completes
+        // at the FIRST action on its plan — probing the observed frame
+        // would silently turn the per-table warning counts into counts
+        // over the 2000-row sample instead of the real write.
+        val sinkCfg = config.sink.maxPartitionBytes match {
+          case Some(b) =>
+            val plain = config.schema.fold(raw)(s => Coerce(s)(raw))
+            val plainFlat = if (config.flatten) Flatten(plain) else plain
+            val cap = math.min(config.sink.maxRecordsPerFile,
+              Sink.rowsForTargetBytes(plainFlat, b, config.sink))
+            config.sink.copy(maxPartitionBytes = None, maxRecordsPerFile = cap)
+          case None => config.sink
+        }
         val files =
-          if (config.rawJson) Sink.writeRawJson(df, s"$outDir/$table", table, config.sink)
-          else Sink.write(df, s"$outDir/$table", table, config.sink)
+          if (config.rawJson) Sink.writeRawJson(df, s"$outDir/$table", table, sinkCfg)
+          else Sink.write(df, s"$outDir/$table", table, sinkCfg)
         // the write was the observed action, so get() returns immediately
         val warnings = obs.map(_.get.collect {
           case (k, v: Long) if v > 0 => k -> v

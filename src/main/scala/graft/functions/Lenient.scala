@@ -40,7 +40,9 @@ object Lenient {
     * else tries ISO-8601 (:145-148), else null (:161-162).
     */
   def lenientTimestamp(c: Column): Column = {
-    val s = c.cast("string")
+    // trimmed, like the reader path (MapSource.timestampMicros): the two
+    // coercion paths must agree on padded inputs
+    val s = trim(c.cast("string"))
     when(s.rlike("^-?\\d+$"), epochToTimestamp(s.cast("long")))
       .otherwise(call_function("try_to_timestamp", s))
   }

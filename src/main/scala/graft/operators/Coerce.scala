@@ -40,6 +40,13 @@ object Coerce {
       case (_, FloatType | DoubleType) =>
         Lenient.lenientDouble(src).cast(target)
       case (st: StructType, TimestampType) => lit(null).cast(TimestampType)
+      // numeric sources skip string round-tripping: a double epoch like
+      // 1.7000000005e9 stringifies in E-notation, which the digits regex
+      // would miss — truncate toward zero (Python int(float)) and apply
+      // the epoch heuristic directly, matching MapSource's number branch
+      case (ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType,
+            TimestampType) =>
+        Lenient.epochToTimestamp(src.cast("long"))
       case (_, TimestampType) => Lenient.lenientTimestamp(src)
       case (st: StructType, StringType) => to_json(src) // object -> raw JSON
       case (_, StringType) => Lenient.lenientString(src)

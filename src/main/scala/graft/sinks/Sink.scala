@@ -57,12 +57,14 @@ object Sink {
   def rowsForTargetBytes(df: DataFrame, targetBytes: Long, config: Config,
                          sampleRows: Int = 2000): Long = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_size_probe").toString
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    // cache: the sample feeds a write AND a count — without it the probe
+    // scans the source twice (two extra scrolls against a live cluster)
+    val sample = df.limit(sampleRows).cache()
     try {
-      val sample = df.limit(sampleRows)
       val cfg = config.copy(maxPartitionBytes = None, maxRecordsPerFile = Long.MaxValue,
         partitionBy = Nil)
       val files = write(sample.coalesce(1), tmp, "probe", cfg)
-      val hconf = df.sparkSession.sparkContext.hadoopConfiguration
       val bytes = files.map(f => {
         val p = new Path(f); p.getFileSystem(hconf).getFileStatus(p).getLen
       }).sum
@@ -70,7 +72,13 @@ object Sink {
       if (n == 0 || bytes == 0) Long.MaxValue
       else math.max(1L, targetBytes / math.max(1L, bytes / n))
     } finally {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      sample.unpersist()
+      // the scheme-less probe path resolves against the DEFAULT filesystem
+      // (HDFS/object store on a cluster) — clean up through the same
+      // resolution, not java.io.File, or the probe data leaks remotely
+      val p = new Path(tmp)
+      try p.getFileSystem(hconf).delete(p, true)
+      catch { case _: Exception => () }
     }
   }
 
@@ -141,7 +149,9 @@ object Sink {
         if (parts.length == 1) s"$table.$ext"
         else f"$table-$i%04d.$ext"
       val dest = new Path(path, name)
-      fs.rename(p, dest)
+      // rename signals failure by returning false — a silent false would
+      // report files that do not exist
+      require(fs.rename(p, dest), s"rename $p -> $dest failed")
       dest.toString
     }.toSeq
   }

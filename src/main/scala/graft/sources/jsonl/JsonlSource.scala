@@ -46,19 +46,30 @@ class JsonlSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    // schema-on-read fallback: first document's top-level fields as strings
+    // schema-on-read fallback: first parseable document's top-level
+    // fields as strings. Scans past blank/corrupt leading lines (the
+    // partition reader's log-and-skip stance, applied to inference) and
+    // uses the session's Hadoop conf so object-store credentials apply.
     val mapper = new ObjectMapper()
-    val firstLine = paths(options).iterator.flatMap { p =>
+    val hconf = JsonlSource.sessionHadoopConf()
+    val firstDoc = paths(options).iterator.flatMap { p =>
       val path = new Path(p)
-      val fs = path.getFileSystem(new Configuration())
+      val fs = path.getFileSystem(hconf)
       JsonlSource.listFiles(fs, path).iterator.flatMap { f =>
         val in = new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(f)))
-        try Option(in.readLine()) finally in.close()
+        try Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .take(100) // bounded probe per file
+          .filterNot(_.isBlank)
+          .flatMap { line =>
+            try Some(mapper.readTree(line)).filter(_.isObject)
+            catch { case _: com.fasterxml.jackson.core.JacksonException => None }
+          }
+          .take(1).toList // materialize before the stream closes
+        finally in.close()
       }
-    }.find(_.nonEmpty)
-    firstLine match {
-      case Some(line) =>
-        val node = mapper.readTree(line)
+    }.find(_ => true)
+    firstDoc match {
+      case Some(node) =>
         StructType(node.properties().asScala.toSeq.map(e =>
           org.apache.spark.sql.types.StructField(e.getKey,
             org.apache.spark.sql.types.StringType)))
@@ -74,6 +85,12 @@ class JsonlSource extends TableProvider with DataSourceRegister {
 
 object JsonlSource {
   private[jsonl] val log = org.slf4j.LoggerFactory.getLogger(classOf[JsonlSource])
+
+  /** The active session's Hadoop conf (spark.hadoop.*, object-store
+    * credentials) — a bare `new Configuration()` would silently ignore
+    * all of it. Driver side only. */
+  private[jsonl] def sessionHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
   private[jsonl] def listFiles(fs: FileSystem, path: Path): Seq[Path] = {
     val st = fs.getFileStatus(path)
@@ -127,29 +144,51 @@ private[jsonl] class JsonlScan(required: StructType, paths: Seq[String],
 
   override def planInputPartitions(): Array[InputPartition] = {
     // one partition per file: the sliced-scroll analog — slices scale
-    // with the number of dump files, each reader independent
-    val conf = new Configuration()
+    // with the number of dump files, each reader independent. The
+    // session Hadoop conf ships with each partition so executor-side
+    // opens see the same credentials the driver listing used.
+    val conf = JsonlSource.sessionHadoopConf()
+    val sconf = new SerializableHadoopConf(conf)
     paths.flatMap { p =>
       val path = new Path(p)
       JsonlSource.listFiles(path.getFileSystem(conf), path)
-    }.map(f => JsonlPartition(f.toString): InputPartition).toArray
+    }.map(f => JsonlPartition(f.toString, sconf): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonlReaderFactory(required, pushed)
 }
 
-private[jsonl] case class JsonlPartition(file: String) extends InputPartition
+/** Hadoop Configuration is not java-serializable; ship it by its
+  * writable form. */
+private[jsonl] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private[jsonl] case class JsonlPartition(file: String,
+                                         conf: SerializableHadoopConf) extends InputPartition
 
 private[jsonl] class JsonlReaderFactory(required: StructType,
                                         pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new JsonlPartitionReader(required, partition.asInstanceOf[JsonlPartition].file, pushed)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[JsonlPartition]
+    new JsonlPartitionReader(required, p.file, pushed, p.conf.value)
+  }
 }
 
 private[jsonl] class JsonlPartitionReader(required: StructType, file: String,
-                                          pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                                          pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                                          hconf: Configuration = new Configuration())
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -157,7 +196,7 @@ private[jsonl] class JsonlPartitionReader(required: StructType, file: String,
   // would wrap every page fetch the same way
   private val in = graft.sources.Retry.withBackoff(attempts = 3, backoffMs = 100) {
     val path = new Path(file)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(hconf)
     new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(path)))
   }
   private var current: InternalRow = _
@@ -171,12 +210,15 @@ private[jsonl] class JsonlPartitionReader(required: StructType, file: String,
       if (corruptLines > 0)
         JsonlSource.log.warn(s"$file: skipped $corruptLines corrupt JSON line(s)")
       false
-    } else if (line.isEmpty) next()
+    } else if (line.isBlank) next() // whitespace-only parses to MissingNode
     else {
       // log-and-skip on corrupt lines — the document-level form of the
       // reference's "survive problematic data" stance (field-level
       // failures already null inside MapSource.coerce)
-      val doc = try mapper.readTree(line) catch {
+      val doc = try {
+        val d = mapper.readTree(line)
+        if (d.isMissingNode) { corruptLines += 1; null } else d
+      } catch {
         case _: com.fasterxml.jackson.core.JacksonException => corruptLines += 1; null
       }
       if (doc == null) next()

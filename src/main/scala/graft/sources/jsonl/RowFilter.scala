@@ -31,13 +31,25 @@ object RowFilter {
       if (i < 0) None else Some((i, schema(i).dataType))
     }
 
+    // SQL equates -0.0 with 0.0; Double/Float.compareTo does not — without
+    // normalization a pushed `d = 0.0` would unsoundly drop a -0.0 row
+    // that Spark's own residual evaluation keeps. (NaN needs no special
+    // case: compareTo's NaN-equal/NaN-greatest matches SQL ordering.)
+    def norm(x: Any): Any = x match {
+      case d: java.lang.Double => java.lang.Double.valueOf(d.doubleValue() + 0.0d)
+      case f: java.lang.Float  => java.lang.Float.valueOf(f.floatValue() + 0.0f)
+      case other => other
+    }
+
     def cmp(name: String, value: Any)(keep: Int => Boolean): Option[InternalRow => Boolean] =
       idx(name).flatMap { case (i, dt) =>
-        lit(value, dt).map { v => row =>
-          // every internal scalar rep (boxed numbers, UTF8String, Boolean)
-          // is Comparable against its own type
-          row.isNullAt(i) ||
-            keep(row.get(i, dt).asInstanceOf[Comparable[Any]].compareTo(v))
+        lit(value, dt).map { v =>
+          val nv = norm(v)
+          row =>
+            // every internal scalar rep (boxed numbers, UTF8String,
+            // Boolean) is Comparable against its own type
+            row.isNullAt(i) ||
+              keep(norm(row.get(i, dt)).asInstanceOf[Comparable[Any]].compareTo(nv))
         }
       }
 

@@ -51,6 +51,24 @@ class LenientSpec extends SparkSpec {
     assert(tsOf("not a time").isEmpty)
   }
 
+  test("lenientTimestamp: padded digit strings trim like the reader path") {
+    // MapSource.timestampMicros trims before the epoch heuristic; the
+    // Column path must agree on the same document
+    assert(tsOf(" 1700000000 ").get.toInstant.toString == "2023-11-14T22:13:20Z")
+  }
+
+  test("coerceColumn: numeric epochs skip string round-tripping (E-notation trap)") {
+    // a double epoch stringifies as 1.7000000005E9, which the digits
+    // regex would miss — the numeric branch truncates and converts,
+    // matching MapSource's number handling
+    val out = Seq(1.7000000005e9).toDF("v")
+      .select(graft.operators.Coerce.coerceColumn($"v",
+        org.apache.spark.sql.types.DoubleType,
+        org.apache.spark.sql.types.TimestampType).as("ts"))
+      .collect().head.getTimestamp(0)
+    assert(out.toInstant.toString == "2023-11-14T22:13:20Z")
+  }
+
   test("firstOfList: first element; empty list -> null (reference :132-137)") {
     val df = Seq(Seq("a", "b"), Seq(), null).toDF("v")
       .select(Lenient.firstOfList($"v").as("f"))

@@ -65,6 +65,23 @@ class JsonlSourceSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("blank lines never become rows; inference skips corrupt lead lines") {
+    val dir = Files.createTempDirectory("jsonl_blank")
+    // whitespace-only lines parse to Jackson's MissingNode, which would
+    // otherwise coerce into spurious all-null rows; a corrupt FIRST line
+    // must not abort schema-on-read either
+    Files.writeString(dir.resolve("t.jsonl"),
+      "not json {{{\n \n\t\n{\"k\": 1}\n   \n{\"k\": 2}\n")
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val typed = spark.read.format("graft-jsonl").schema(schema)
+      .load(dir.toString).as[Long].collect().sorted
+    assert(typed.toSeq == Seq(1L, 2L))
+    // inference scans past the corrupt and blank lead lines to {"k": 1}
+    val inferred = spark.read.format("graft-jsonl").load(dir.toString)
+    assert(inferred.columns.toSeq == Seq("k"))
+    assert(inferred.count() == 2)
+  }
+
   test("map_source semantics: first-of-list, int(float), epoch heuristic, log-and-null") {
     def c(json: String, dt: DataType): Any =
       MapSource.coerceValue(mapper.readTree(json), dt)

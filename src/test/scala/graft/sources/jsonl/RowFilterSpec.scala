@@ -23,6 +23,14 @@ class RowFilterSpec extends SparkSpec {
     assert(f(row(null, "x")))     // null comparison -> keep, Spark decides
   }
 
+  test("-0.0 equals 0.0, matching SQL semantics (never unsoundly dropped)") {
+    val dschema = StructType(Seq(StructField("d", DoubleType)))
+    def drow(d: Double) = new GenericInternalRow(Array[Any](d))
+    assert(RowFilter(dschema, Array(EqualTo("d", 0.0)))(drow(-0.0)))
+    assert(RowFilter(dschema, Array(GreaterThanOrEqual("d", 0.0)))(drow(-0.0)))
+    assert(RowFilter(dschema, Array(EqualTo("d", -0.0)))(drow(0.0)))
+  }
+
   test("IsNull / IsNotNull evaluate exactly") {
     assert(RowFilter(schema, Array(IsNotNull("k")))(row(1L, "a")))
     assert(!RowFilter(schema, Array(IsNotNull("k")))(row(null, "a")))

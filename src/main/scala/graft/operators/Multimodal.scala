@@ -15,11 +15,14 @@ import org.apache.spark.sql.types._
   * Partitioning is untouched: decode is a narrow map, so at 100 TB it
   * parallelizes with the scan and never shuffles.
   *
-  * STUB NOTICE: no image/audio codec ships in this container, so
-  * [[StubImageDecoder]] fabricates deterministic dimensions from byte
-  * length. The seam ([[ImageDecoder]]) and all Spark-side plumbing
-  * (encoders, schema growth, null handling, per-partition reuse) are real
-  * — swap in a JAI/javacv-backed decoder without touching callers.
+  * Codecs: the default [[JdkImageDecoder]] is a real decoder built on
+  * `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF — ships with every JDK, zero
+  * extra dependencies); WAV audio decodes through `javax.sound.sampled`
+  * ([[JdkWavDecoder]]). [[StubImageDecoder]] remains as a deterministic
+  * test double for payloads that are not real images (e.g. q46's
+  * text-cast-to-binary fixtures, where the stub's arithmetic keeps the
+  * stage oracle-checkable). Unreadable payloads follow the same
+  * log-and-null contract as the scalar coercions: features null, row kept.
   */
 object Multimodal {
 
@@ -37,9 +40,10 @@ object Multimodal {
     def decode(bytes: Array[Byte]): DecodedImage
   }
 
-  /** STUB — deterministic fake decode (real codecs unavailable here):
-    * dimensions are arithmetic on the byte count, "pixels" echo the head
-    * of the payload. Replace via the decoder parameter. */
+  /** Test double — deterministic fake decode for payloads that are not
+    * real images: dimensions are arithmetic on the byte count, "pixels"
+    * echo the head of the payload. Used where an arithmetic oracle is
+    * wanted (q46); real corpora use [[JdkImageDecoder]]. */
   object StubImageDecoder extends ImageDecoder {
     def decode(bytes: Array[Byte]): DecodedImage = {
       val n = bytes.length
@@ -51,6 +55,43 @@ object Multimodal {
     }
   }
 
+  /** Real image decode on the JDK's built-in codecs (PNG/JPEG/BMP/GIF via
+    * `javax.imageio.ImageIO` — no external dependency). Pixels come out
+    * row-major interleaved: 1 channel for grayscale, 3 (RGB) for opaque
+    * color, 4 (RGBA) when the color model carries alpha. Throws on
+    * unreadable payloads; the mapPartitions stages catch and null the
+    * features (log-and-null contract). */
+  object JdkImageDecoder extends ImageDecoder {
+    def decode(bytes: Array[Byte]): DecodedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) throw new IllegalArgumentException("unreadable image payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      val cm = img.getColorModel
+      val channels =
+        if (cm.hasAlpha) 4 else if (cm.getNumColorComponents == 1) 1 else 3
+      val out = new Array[Byte](w * h * channels)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val argb = img.getRGB(x, y) // sRGB regardless of the file's raster layout
+          out(i) = ((argb >> 16) & 0xff).toByte
+          if (channels >= 3) {
+            out(i + 1) = ((argb >> 8) & 0xff).toByte
+            out(i + 2) = (argb & 0xff).toByte
+          }
+          if (channels == 4) out(i + 3) = ((argb >>> 24) & 0xff).toByte
+          i += channels
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(w, h, channels, out)
+    }
+  }
+
   private def featureSchema(in: StructType): StructType = in
     .add("img_width", IntegerType)
     .add("img_height", IntegerType)
@@ -58,23 +99,26 @@ object Multimodal {
     .add("img_mean", DoubleType)
 
   /** Decode + feature-extract stage: appends width/height/channels/mean
-    * intensity per row. Null payload -> null features (log-and-null, same
-    * contract as the coercions). */
+    * intensity per row. Null or unreadable payload -> null features
+    * (log-and-null, same contract as the coercions). */
   def imageFeatures(df: DataFrame, binCol: String,
-                    decoder: ImageDecoder = StubImageDecoder): DataFrame = {
+                    decoder: ImageDecoder = JdkImageDecoder): DataFrame = {
     val out = featureSchema(df.schema)
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
-        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
-        else {
-          val d = decoder.decode(bytes)
-          val mean =
-            if (d.pixels.isEmpty) 0.0
-            else d.pixels.iterator.map(_ & 0xff).sum.toDouble / d.pixels.length
-          // Seq[Any] guards against Scala unifying Int+Double to Seq[Double]
-          Row.fromSeq(r.toSeq ++ Seq[Any](d.width, d.height, d.channels, mean))
+        val decoded =
+          if (bytes == null) None
+          else scala.util.Try(decoder.decode(bytes)).toOption
+        decoded match {
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+          case Some(d) =>
+            val mean =
+              if (d.pixels.isEmpty) 0.0
+              else d.pixels.iterator.map(_ & 0xff).sum.toDouble / d.pixels.length
+            // Seq[Any] guards against Scala unifying Int+Double to Seq[Double]
+            Row.fromSeq(r.toSeq ++ Seq[Any](d.width, d.height, d.channels, mean))
         }
       }
     }(Encoders.row(out))
@@ -87,7 +131,7 @@ object Multimodal {
     * [[imageFeatures]]: one decoder per partition, narrow op, decoded
     * pixels never cross a shuffle boundary. */
   def resizeImages(df: DataFrame, binCol: String, targetW: Int, targetH: Int,
-                   decoder: ImageDecoder = StubImageDecoder): DataFrame = {
+                   decoder: ImageDecoder = JdkImageDecoder): DataFrame = {
     require(targetW > 0 && targetH > 0)
     val out = df.schema
       .add("resized_w", IntegerType)
@@ -97,9 +141,12 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
-        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        val decoded =
+          if (bytes == null) None
+          else scala.util.Try(decoder.decode(bytes)).toOption
+        if (decoded.isEmpty) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
         else {
-          val d = decoder.decode(bytes)
+          val d = decoded.get
           val outBuf = new Array[Byte](targetW * targetH * d.channels)
           var y = 0
           while (y < targetH) {
@@ -144,4 +191,76 @@ object Multimodal {
   /** Frame count derivable without decoding — stays in codegen. */
   def frameCount(bin: org.apache.spark.sql.Column, frameBytes: Int): org.apache.spark.sql.Column =
     ceil(octet_length(bin).cast("double") / frameBytes).cast("long")
+
+  case class DecodedAudio(sampleRate: Float, channels: Int, frames: Long,
+                          samples: Array[Short])
+
+  /** Audio codec seam — same per-partition contract as [[ImageDecoder]]. */
+  trait AudioDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): DecodedAudio
+  }
+
+  /** Real WAV (PCM) decode on the JDK's `javax.sound.sampled` — no external
+    * dependency. Samples come out interleaved signed 16-bit (8-bit input is
+    * widened). Throws on unreadable payloads; [[audioFeatures]] catches and
+    * nulls (log-and-null contract). */
+  object JdkWavDecoder extends AudioDecoder {
+    def decode(bytes: Array[Byte]): DecodedAudio = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val raw = in.readAllBytes()
+        val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+        val n = raw.length / bytesPerSample
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = bytesPerSample match {
+            case 1 => // 8-bit WAV is unsigned; recenter and widen
+              (((raw(i) & 0xff) - 128) << 8).toShort
+            case _ =>
+              val o = i * bytesPerSample
+              if (fmt.isBigEndian) ((raw(o) << 8) | (raw(o + 1) & 0xff)).toShort
+              else ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
+          }
+          i += 1
+        }
+        DecodedAudio(fmt.getSampleRate, fmt.getChannels, in.getFrameLength, samples)
+      } finally in.close()
+    }
+  }
+
+  /** Decode + feature-extract for audio payloads: sample rate, channel
+    * count, frame count, duration, mean absolute amplitude. Same
+    * mapPartitions seam and null contract as [[imageFeatures]]. */
+  def audioFeatures(df: DataFrame, binCol: String,
+                    decoder: AudioDecoder = JdkWavDecoder): DataFrame = {
+    val out = df.schema
+      .add("audio_sample_rate", DoubleType)
+      .add("audio_channels", IntegerType)
+      .add("audio_frames", LongType)
+      .add("audio_duration_sec", DoubleType)
+      .add("audio_mean_abs", DoubleType)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val decoded =
+          if (bytes == null) None
+          else scala.util.Try(decoder.decode(bytes)).toOption
+        decoded match {
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+          case Some(d) =>
+            val meanAbs =
+              if (d.samples.isEmpty) 0.0
+              else d.samples.iterator.map(s => math.abs(s.toDouble)).sum / d.samples.length
+            Row.fromSeq(r.toSeq ++ Seq[Any](
+              d.sampleRate.toDouble, d.channels, d.frames,
+              if (d.sampleRate > 0) d.frames / d.sampleRate.toDouble else 0.0,
+              meanAbs))
+        }
+      }
+    }(Encoders.row(out))
+  }
 }

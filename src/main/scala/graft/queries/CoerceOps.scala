@@ -139,15 +139,17 @@ object CoerceOps {
 
   // -- q46: multimodal decode stage (mapPartitions, stub codec) --
   // The features flow through the real per-partition decode path
-  // (Multimodal.imageFeatures); the stub codec derives dimensions from
-  // byte length, which is what makes the stage oracle-checkable. img_mean
-  // (computed from payload bytes) is not SQL-portable and is projected
-  // out here; MultimodalSpec asserts it in Scala.
+  // (Multimodal.imageFeatures); the payloads here are text bytes, not
+  // images, so the stub test double is passed explicitly — its
+  // byte-length arithmetic is what makes the stage oracle-checkable in
+  // SQL. The real JDK codec path is oracle-checked by q67 (PNG) and q68
+  // (WAV) and pixel-verified in MultimodalSpec. img_mean (computed from
+  // payload bytes) is not SQL-portable and is projected out here.
   private val q46: Q = (s, dir) => {
     import s.implicits._
     val bin = Tables.load(s, dir, "documents")
       .select($"doc_id", $"text".cast("binary").as("payload"))
-    Multimodal.imageFeatures(bin, "payload")
+    Multimodal.imageFeatures(bin, "payload", Multimodal.StubImageDecoder)
       .select($"doc_id",
         $"img_width".cast("long").as("img_width"),
         $"img_height".cast("long").as("img_height"),
@@ -268,6 +270,106 @@ object CoerceOps {
   }
   private val q55Sql = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
+  /** Deterministic solid-gray PNG via the JDK encoder (driver-side; a few
+    * hundred bytes per fixture). */
+  private def pngBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic constant-amplitude 16-bit mono PCM WAV at 8 kHz. */
+  private def wavBytes(n: Int, amp: Short): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      raw(2 * i) = (amp & 0xff).toByte
+      raw(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  // -- q67: REAL image decode (javax.imageio, no stub) --
+  // Solid-gray PNGs of known geometry are encoded driver-side, decoded
+  // distributed through the mapPartitions codec seam, and the recovered
+  // width/height/channels/mean are hash-checked against the ground truth
+  // the fixtures were built from. Unreadable and null payloads exercise
+  // the log-and-null contract.
+  private val q67: Q = (s, dir) => {
+    import s.implicits._
+    val fixtures: Seq[(Long, Array[Byte])] =
+      (1 to 8).map { i =>
+        (i.toLong, pngBytes(w = 4 + i, h = 3 + i, gray = (i * 37) % 256))
+      } ++ Seq(
+        (9L, Array[Byte](1, 2, 3)),              // unreadable -> null features
+        (10L, null.asInstanceOf[Array[Byte]]))   // null payload -> null features
+    val df = fixtures.toDF("img_id", "payload").repartition(4)
+    Multimodal.imageFeatures(df, "payload", Multimodal.JdkImageDecoder)
+      .select($"img_id",
+        $"img_width".cast("long").as("img_width"),
+        $"img_height".cast("long").as("img_height"),
+        $"img_channels".cast("long").as("img_channels"),
+        round($"img_mean", 6).as("img_mean"))
+  }
+  private val q67Sql =
+    """SELECT CAST(img_id AS BIGINT) AS img_id, CAST(w AS BIGINT) AS img_width,
+      |  CAST(h AS BIGINT) AS img_height, CAST(c AS BIGINT) AS img_channels,
+      |  CAST(m AS DOUBLE) AS img_mean
+      |FROM (VALUES
+      |  (1, 5, 4, 3, 37.0), (2, 6, 5, 3, 74.0), (3, 7, 6, 3, 111.0),
+      |  (4, 8, 7, 3, 148.0), (5, 9, 8, 3, 185.0), (6, 10, 9, 3, 222.0),
+      |  (7, 11, 10, 3, 3.0), (8, 12, 11, 3, 40.0),
+      |  (9, NULL, NULL, NULL, NULL), (10, NULL, NULL, NULL, NULL)
+      |) AS t(img_id, w, h, c, m)""".stripMargin
+
+  // -- q68: REAL audio decode (javax.sound.sampled WAV, no stub) --
+  // Constant-amplitude PCM fixtures: mean |sample| recovers the amplitude
+  // exactly, frame count and duration recover the sample count. Durations
+  // are multiples of 0.5 s so the doubles are exact on both engines.
+  private val q68: Q = (s, dir) => {
+    import s.implicits._
+    val fixtures: Seq[(Long, Array[Byte])] =
+      (1 to 5).map { i => (i.toLong, wavBytes(n = 4000 * i, amp = (500 * i).toShort)) } ++
+        Seq((6L, Array[Byte](9, 9, 9)), (7L, null.asInstanceOf[Array[Byte]]))
+    val df = fixtures.toDF("clip_id", "payload").repartition(3)
+    Multimodal.audioFeatures(df, "payload")
+      .select($"clip_id",
+        $"audio_sample_rate",
+        $"audio_channels".cast("long").as("audio_channels"),
+        $"audio_frames",
+        $"audio_duration_sec",
+        $"audio_mean_abs")
+  }
+  private val q68Sql =
+    """SELECT CAST(clip_id AS BIGINT) AS clip_id,
+      |  CAST(rate AS DOUBLE) AS audio_sample_rate,
+      |  CAST(ch AS BIGINT) AS audio_channels,
+      |  CAST(frames AS BIGINT) AS audio_frames,
+      |  CAST(dur AS DOUBLE) AS audio_duration_sec,
+      |  CAST(amp AS DOUBLE) AS audio_mean_abs
+      |FROM (VALUES
+      |  (1, 8000.0, 1, 4000, 0.5, 500.0), (2, 8000.0, 1, 8000, 1.0, 1000.0),
+      |  (3, 8000.0, 1, 12000, 1.5, 1500.0), (4, 8000.0, 1, 16000, 2.0, 2000.0),
+      |  (5, 8000.0, 1, 20000, 2.5, 2500.0),
+      |  (6, NULL, NULL, NULL, NULL, NULL), (7, NULL, NULL, NULL, NULL, NULL)
+      |) AS t(clip_id, rate, ch, frames, dur, amp)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_lenient_long" -> q40,
     "q41_lenient_timestamp" -> q41,
@@ -281,6 +383,8 @@ object CoerceOps {
     "q49_geo_distance" -> q49,
     "q54_csv_roundtrip" -> q54,
     "q55_ndjson_roundtrip" -> q55,
+    "q67_imageio_decode" -> q67,
+    "q68_wav_decode" -> q68,
   )
 
   val oracle: Map[String, String] = Map(
@@ -296,5 +400,7 @@ object CoerceOps {
     "q49_geo_distance" -> q49Sql,
     "q54_csv_roundtrip" -> q54Sql,
     "q55_ndjson_roundtrip" -> q55Sql,
+    "q67_imageio_decode" -> q67Sql,
+    "q68_wav_decode" -> q68Sql,
   )
 }

@@ -20,7 +20,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("imageFeatures: stub decode appends features; null payload -> null features") {
-    val out = Multimodal.imageFeatures(payloads, "payload").collect()
+    val out = Multimodal.imageFeatures(payloads, "payload", Multimodal.StubImageDecoder).collect()
       .map(r => Option(r.get(0)).getOrElse("null").toString -> r).toMap
     val abcd = out("abcd")
     assert(abcd.getInt(2) == 64 + 4)          // img_width
@@ -41,7 +41,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("resizeImages: nearest-neighbor kernel, exact buffer size, null-safe") {
-    val out = Multimodal.resizeImages(payloads, "payload", targetW = 8, targetH = 4)
+    val out = Multimodal.resizeImages(payloads, "payload", targetW = 8, targetH = 4,
+        decoder = Multimodal.StubImageDecoder)
       .collect().map(r => Option(r.get(0)).getOrElse("null").toString -> r).toMap
     val abcd = out("abcd")
     assert(abcd.getInt(2) == 8 && abcd.getInt(3) == 4)
@@ -61,5 +62,89 @@ class MultimodalSpec extends SparkSpec {
     val counted = df.select(sum(Multimodal.frameCount($"payload", 100))).as[Long].head()
     val sampled = Multimodal.frameSample(df, "payload", 100, 1).count()
     assert(counted == sampled && counted == 7) // 1 + 6
+  }
+
+  // --- real JDK codecs ---
+
+  /** PNG with per-pixel control: pixel (x,y) = rgb(x*16, y*16, 255). */
+  private def gradientPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 16 << 16) | (y * 16 << 8) | 255)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("JdkImageDecoder: real PNG round-trip recovers known pixels") {
+    val d = Multimodal.JdkImageDecoder.decode(gradientPng(4, 3))
+    assert(d.width == 4 && d.height == 3 && d.channels == 3)
+    assert(d.pixels.length == 4 * 3 * 3)
+    // pixel (2,1): R=32, G=16, B=255 at row-major interleaved offset
+    val off = (1 * 4 + 2) * 3
+    assert((d.pixels(off) & 0xff) == 32)
+    assert((d.pixels(off + 1) & 0xff) == 16)
+    assert((d.pixels(off + 2) & 0xff) == 255)
+  }
+
+  test("JdkImageDecoder: alpha PNG yields 4 channels; garbage throws") {
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(0, 0, 0x80FF0000) // half-transparent red
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = Multimodal.JdkImageDecoder.decode(bos.toByteArray)
+    assert(d.channels == 4 && d.pixels.length == 2 * 2 * 4)
+    assert((d.pixels(0) & 0xff) == 255 && (d.pixels(3) & 0xff) == 0x80)
+    intercept[Exception](Multimodal.JdkImageDecoder.decode(Array[Byte](1, 2, 3)))
+  }
+
+  test("imageFeatures with the real decoder: distributed decode, mean verified") {
+    val png = gradientPng(4, 4) // mean over all channels: (R̄+Ḡ+B̄)/3
+    val expectedMean = {
+      val rs = for (x <- 0 until 4; _ <- 0 until 4) yield x * 16
+      val gs = for (_ <- 0 until 4; y <- 0 until 4) yield y * 16
+      (rs.sum + gs.sum + 16 * 255).toDouble / (3 * 16)
+    }
+    val df = Seq((1L, png), (2L, Array[Byte](0, 1)), (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload").repartition(3)
+    val out = Multimodal.imageFeatures(df, "payload").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(2) == 4 && out(1L).getInt(3) == 4 && out(1L).getInt(4) == 3)
+    assert(math.abs(out(1L).getDouble(5) - expectedMean) < 1e-9)
+    assert(out(2L).isNullAt(2), "unreadable payload -> null features, row kept")
+    assert(out(3L).isNullAt(2))
+  }
+
+  test("JdkWavDecoder + audioFeatures: PCM WAV recovers rate/frames/amplitude") {
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
+    val n = 1600 // frames; stereo -> 3200 samples
+    val raw = new Array[Byte](n * 4)
+    var i = 0
+    while (i < n * 2) { // every 16-bit sample = 1234
+      raw(2 * i) = (1234 & 0xff).toByte
+      raw(2 * i + 1) = ((1234 >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val d = Multimodal.JdkWavDecoder.decode(bos.toByteArray)
+    assert(d.sampleRate == 16000f && d.channels == 2 && d.frames == n)
+    assert(d.samples.length == n * 2 && d.samples.forall(_ == 1234))
+
+    val df = Seq((1L, bos.toByteArray), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val out = Multimodal.audioFeatures(df, "payload").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(2) == 16000.0)
+    assert(out(1L).getInt(3) == 2)
+    assert(out(1L).getLong(4) == n)
+    assert(out(1L).getDouble(5) == n / 16000.0)
+    assert(out(1L).getDouble(6) == 1234.0)
+    assert(out(2L).isNullAt(2))
   }
 }

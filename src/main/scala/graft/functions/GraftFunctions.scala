@@ -11,7 +11,7 @@ object GraftFunctions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(VecDot.description, SimHash32.description, MinHashBands.description,
-      TopKByScore.description)
+      TopKByScore.description, VecMeanAgg.description)
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)

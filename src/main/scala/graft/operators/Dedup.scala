@@ -72,19 +72,34 @@ object Dedup {
     * of its own label and its neighbors' labels (one join + one groupBy
     * per round), until a round changes nothing. Rounds needed = component
     * diameter; near-dup graphs are dense blobs of mutually-similar
-    * documents, so diameters are tiny (2–3) regardless of corpus size.
+    * documents, so diameters are tiny (2–3) regardless of corpus size and
+    * the early rounds stay at that minimal cost. If propagation hasn't
+    * converged after `escalateAfter` rounds (a high-diameter component —
+    * adversarial chains, not dedup blobs), each further round adds a
+    * pointer-jumping shortcut: `label(u) := label(label(u))` (one
+    * self-join on the label frame), which halves remaining chain lengths
+    * per round — the same O(log n) escalation large-star/small-star buys,
+    * without maintaining a second edge-rewriting algorithm. Labels only
+    * decrease and stay within the component in both steps, so the
+    * decreasing-label-sum convergence witness still proves minimality:
+    * a no-change propagate round forces per-edge label equality, i.e.
+    * per-component constant = the component min.
     * The label frame is O(|nodes in pairs|) — NOT driver-bounded, so
     * unlike kmeans's collected centroids it stays distributed and each
     * round `localCheckpoint`s to keep lineage flat (the kmeans lesson,
-    * applied to the case where collect would be wrong). For adversarial
-    * long-chain graphs swap in large-star/small-star; for dedup inputs
-    * the simple propagation is the right cost.
+    * applied to the case where collect would be wrong).
     *
     * Output: (`node`, `cluster`) for every node appearing in `pairs`. */
   def clusters(pairs: DataFrame, aCol: String, bCol: String,
-               maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+               maxIters: Int = 30, escalateAfter: Int = 4): DataFrame = {
+    // self-loops carry each node's own label through the propagation join,
+    // so a round is join+groupBy with no per-round Union (a Union over a
+    // checkpointed self-join trips Catalyst's constraint rewriting —
+    // LogicalRDD constraints can reference pruned attributes)
+    val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val edges = directed
+      .union(directed.select(col("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint() // probed every round; compute the pair scan once
     var labels = edges.select(col("src").as("node")).distinct()
@@ -100,11 +115,21 @@ object Dedup {
     var converged = false
     var round = 0
     while (!converged && round < maxIters) {
-      val viaNeighbor = labels.join(edges, col("node") === col("src"))
+      labels = labels.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), col("label"))
-      labels = labels.union(viaNeighbor)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint()
+      if (round >= escalateAfter) {
+        // pointer jumping: a label is always some node in the same
+        // component, so label-of-label is too; left join + coalesce keeps
+        // the invariant total (every label resolves — it IS a node id)
+        labels = labels.as("l1")
+          .join(labels.as("l2"), col("l1.label") === col("l2.node"), "left")
+          .select(col("l1.node").as("node"),
+            least(col("l1.label"),
+              coalesce(col("l2.label"), col("l1.label"))).as("label"))
+          .localCheckpoint()
+      }
       val s = labelSum(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -112,9 +137,9 @@ object Dedup {
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"clusters: not converged after $maxIters rounds — a component's " +
-          "diameter exceeds maxIters and its labels are non-minimal; " +
-          "raise maxIters")
+        s"clusters: not converged after $maxIters rounds even with " +
+          "pointer-jumping (component span > ~2^(maxIters-escalateAfter)) " +
+          "— labels are non-minimal; raise maxIters")
     labels.select(col("node"), col("label").as("cluster"))
   }
 }

@@ -109,15 +109,15 @@ object Similarity {
           col("__c_id"), (lit(1.0) - Vectors.cosine(col(embCol), col("__c_emb"))).as("__dist"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-      // new centroid = element-wise mean of member vectors; k × dim rows
-      // collapse to k rows of k × dim doubles — the bounded-state collect.
+      // new centroid = element-wise mean of member vectors via the native
+      // graft_vec_mean aggregate: ONE shuffle carrying O(k × partitions)
+      // dim-length buffers (partial agg folds members map-side), not the
+      // posexplode form's n × dim exploded rows. The k-row result is the
+      // bounded-state collect.
       val means: Map[Int, Seq[Double]] = assigned
-        .select(col("__c_id"), posexplode(col(embCol).cast("array<double>")))
-        .groupBy(col("__c_id"), col("pos"))
-        .agg(avg(col("col")).as("v"))
         .groupBy(col("__c_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-        .select(col("__c_id"), expr("transform(pv, x -> x.v)").as("__c_emb"))
+        .agg(graft.functions.VecMeanAgg.vecMean(col(embCol)).as("__c_emb"))
+        .filter(col("__c_emb").isNotNull)
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1))
         .toMap

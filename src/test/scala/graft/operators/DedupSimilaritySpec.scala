@@ -91,6 +91,33 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("Dedup.clusters: adversarial 10k-node chain converges via pointer jumping") {
+    // a path graph is the worst case for plain min-label propagation
+    // (diameter = n-1 rounds); the escalated shortcut must close it in
+    // O(log n) rounds — well inside the default maxIters
+    val n = 10000
+    val chain = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    val out = Dedup.clusters(chain, "a", "b")
+    assert(out.filter($"cluster" =!= 1L).isEmpty,
+      "every chain node must reach the minimum label 1")
+    assert(out.count() == n)
+  }
+
+  test("Dedup.clusters: escalated path agrees with plain propagation on blob graphs") {
+    // dup-shaped input: dense blobs plus a short chain — plain propagation
+    // (escalateAfter = MaxValue) is the reference semantics
+    val blobs =
+      (for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)) ++   // clique 10..14
+        Seq((20L, 21L), (21L, 22L), (22L, 23L), (30L, 31L))          // chain + pair
+    val pairs = blobs.toDF("a", "b")
+    val escalated = Dedup.clusters(pairs, "a", "b", escalateAfter = 0)
+      .as[(Long, Long)].collect().toMap
+    val plain = Dedup.clusters(pairs, "a", "b", escalateAfter = Int.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    assert(escalated == plain)
+    assert(plain(14L) == 10L && plain(23L) == 20L && plain(31L) == 30L)
+  }
+
   test("Similarity.ivfAssign matches the q33 query shape") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val viaApi = Similarity.ivfAssign(emb, emb.filter($"vec_id" < 16),

@@ -41,12 +41,17 @@ object EsApi {
     Page(Option(root.get("_scroll_id")).map(_.asText()), total, docs)
   }
 
+  /** One wire sort clause; `missing` is ES's null placement
+    * (`_first`/`_last`) — set when a pushed-down Spark TopN carries an
+    * explicit null ordering, absent for the CLI `--sort` path. */
+  final case class Sort(field: String, order: String, missing: Option[String] = None)
+
   /** `"field:asc,other:desc"` — the reference's `--sort` shape (:380). */
-  def parseSort(sort: String): Seq[(String, String)] =
+  def parseSort(sort: String): Seq[Sort] =
     sort.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { s =>
       s.split(":", 2) match {
-        case Array(f, d) => (f, if (d == "desc") "desc" else "asc")
-        case Array(f)    => (f, "asc")
+        case Array(f, d) => Sort(f, if (d == "desc") "desc" else "asc")
+        case Array(f)    => Sort(f, "asc")
       }
     }.toSeq
 
@@ -55,7 +60,7 @@ object EsApi {
     * optional structured `(gt, lte]` range filter (the tail source's
     * per-microbatch window — structured rather than query_string so
     * numeric semantics don't pass through the Lucene parser). */
-  def searchBody(size: Int, sort: Seq[(String, String)], query: Option[String],
+  def searchBody(size: Int, sort: Seq[Sort], query: Option[String],
                  sourceFields: Option[Seq[String]],
                  slice: Option[(Int, Int)],
                  range: Option[(String, Double, Double)] = None): String = {
@@ -63,9 +68,13 @@ object EsApi {
     body.put("size", size)
     if (sort.nonEmpty) {
       val arr = body.putArray("sort")
-      sort.foreach { case (f, d) =>
-        if (f == "_doc" && d == "asc") arr.add("_doc")
-        else arr.addObject().putObject(f).put("order", d)
+      sort.foreach { s =>
+        if (s.field == "_doc" && s.order == "asc" && s.missing.isEmpty) arr.add("_doc")
+        else {
+          val node = arr.addObject().putObject(s.field)
+          node.put("order", s.order)
+          s.missing.foreach(node.put("missing", _))
+        }
       }
     }
     def rangeNode(parent: ObjectNode, f: String, gt: Double, lte: Double): Unit = {

@@ -94,7 +94,7 @@ private[es] final case class EsScanConfig(
     size: Int,
     scroll: String,
     slices: Int,
-    sort: Seq[(String, String)],
+    sort: Seq[EsApi.Sort],
     retries: Int,
     retryBackoffMs: Long,
     tailField: Option[String] = None,
@@ -144,9 +144,12 @@ private[es] class EsTable(schema: StructType, conf: EsScanConfig)
 
 private[es] class EsScanBuilder(full: StructType, conf: EsScanConfig)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownTopN {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+  private var topSort: Seq[EsApi.Sort] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -159,26 +162,81 @@ private[es] class EsScanBuilder(full: StructType, conf: EsScanConfig)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new EsScan(required, conf, pushed)
+  /** P3+limit — the reference's probe shape (`sort` + `size` on one
+    * search, dump-es-parquet:221-232): a bare `.limit(n)` becomes one
+    * plain search of n hits instead of scrolling the index. Spark only
+    * offers the push when no residual Filter sits between the limit and
+    * the scan, so the in-reader RowFilter can't starve the limit. Bounded
+    * by ES's max result window; larger limits keep the scroll path. */
+  override def pushLimit(l: Int): Boolean =
+    if (l > EsScanBuilder.MaxResultWindow) false
+    else { limit = Some(l); true }
+
+  /** `.orderBy(field).limit(n)`: the sort rides the wire too, with
+    * Spark's null placement mapped to ES `missing`. Partial push — Spark
+    * re-sorts the ≤n returned rows, so any ES/Spark ordering edge case
+    * costs nothing and changes nothing. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        l: Int): Boolean = {
+    if (l > EsScanBuilder.MaxResultWindow) return false
+    val translated = orders.toSeq.map(EsScanBuilder.wireSort)
+    if (translated.contains(None) || translated.isEmpty) false
+    else { topSort = translated.flatten; limit = Some(l); true }
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = new EsScan(required, conf, pushed, limit, topSort)
+}
+
+private[es] object EsScanBuilder {
+  /** ES refuses from+size beyond index.max_result_window (default 10k);
+    * larger limits stay on the scroll path. */
+  val MaxResultWindow = 10000
+
+  /** Spark SortOrder → ES wire sort, when the key is a plain top-level
+    * field. Nested/computed sort keys are not translated (push refused,
+    * scroll path keeps correctness). */
+  def wireSort(o: org.apache.spark.sql.connector.expressions.SortOrder): Option[EsApi.Sort] = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    o.expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        val dir = if (o.direction() == SortDirection.ASCENDING) "asc" else "desc"
+        val missing =
+          if (o.nullOrdering() == NullOrdering.NULLS_FIRST) "_first" else "_last"
+        Some(EsApi.Sort(nr.fieldNames()(0), dir, Some(missing)))
+      case _ => None
+    }
+  }
 }
 
 private[es] class EsScan(required: StructType, conf: EsScanConfig,
-                         pushed: Array[Filter])
+                         pushed: Array[Filter],
+                         val pushedLimit: Option[Int] = None,
+                         val pushedSort: Seq[EsApi.Sort] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // sliced scroll: each partition is an independent server-side slice.
-    // slices=1 sends no slice clause (a plain scroll, the reference's shape).
     val wireQuery = EsQuery.combine(conf.query, pushed.toIndexedSeq)
     // empty (count(*)-style) projection → Some(Nil) → `_source: false`:
     // hit envelopes page through, document bodies never leave the cluster
     val fields = Some(required.fieldNames.toSeq)
-    (0 until conf.slices).map { i =>
-      val slice = if (conf.slices > 1) Some((i, conf.slices)) else None
-      EsPartition(conf, wireQuery, fields, slice): InputPartition
-    }.toArray
+    pushedLimit match {
+      case Some(l) =>
+        // probe shape: ONE plain search, sort+size on the wire, no scroll
+        // context, no slices — q02-shaped queries cost one round-trip
+        val sort = if (pushedSort.nonEmpty) pushedSort else conf.sort
+        Array(EsPartition(conf.copy(size = l, sort = sort), wireQuery,
+          fields, slice = None, limit = Some(l)))
+      case None =>
+        // sliced scroll: each partition is an independent server-side
+        // slice. slices=1 sends no slice clause (the reference's shape).
+        (0 until conf.slices).map { i =>
+          val slice = if (conf.slices > 1) Some((i, conf.slices)) else None
+          EsPartition(conf, wireQuery, fields, slice): InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -194,7 +252,8 @@ private[es] final case class EsPartition(
     wireQuery: Option[String],
     sourceFields: Option[Seq[String]],
     slice: Option[(Int, Int)],
-    range: Option[(String, Double, Double)] = None) extends InputPartition
+    range: Option[(String, Double, Double)] = None,
+    limit: Option[Int] = None) extends InputPartition
 
 private[es] class EsReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
@@ -220,6 +279,7 @@ private[es] class EsScrollPartitionReader(
   private var exhausted = false
   private var total = -1L
   private var readHits = 0L
+  private var pagesFetched = 0
   private var current: InternalRow = _
 
   private def fetch(op: => String): EsApi.Page =
@@ -230,23 +290,29 @@ private[es] class EsScrollPartitionReader(
           s"($left attempts left): ${e.getMessage}"))(op))
 
   private def nextPage(): Unit = {
+    // pushed limit = one-shot probe search: a single page is the whole
+    // result; never open or follow a scroll context
+    if (part.limit.isDefined && pagesFetched > 0) { exhausted = true; return }
     val p = scrollId match {
       case None =>
         // initial search opens the scroll context (reference :219-226)
+        // — unless a limit was pushed, in which case it's a plain search
+        val scrollParam =
+          if (part.limit.isDefined) "" else s"?scroll=${conf.scroll}"
         val body = EsApi.searchBody(conf.size, conf.sort, part.wireQuery,
           part.sourceFields, part.slice, part.range)
-        fetch(transport.post(
-          s"/${conf.index}/_search?scroll=${conf.scroll}", body))
+        fetch(transport.post(s"/${conf.index}/_search$scrollParam", body))
       case Some(id) =>
         fetch(transport.post("/_search/scroll",
           EsApi.scrollBody(conf.scroll, id)))
     }
-    if (scrollId.isEmpty) {
+    if (pagesFetched == 0) {
       total = p.total
       if (total == 0) EsScrollSource.log.warn(
         s"${conf.index}$sliceTag: no records found") // reference :238-240
     }
-    scrollId = p.scrollId.orElse(scrollId)
+    pagesFetched += 1
+    if (part.limit.isEmpty) scrollId = p.scrollId.orElse(scrollId)
     if (p.hits.isEmpty) exhausted = true
     else {
       readHits += p.hits.size

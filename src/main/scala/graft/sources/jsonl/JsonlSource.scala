@@ -114,12 +114,22 @@ private[jsonl] class JsonlTable(schema: StructType, paths: Seq[String])
 
 private[jsonl] class JsonlScanBuilder(full: StructType, paths: Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Limit pushdown: each partition reader stops parsing its file after
+    * `limit` emitted rows (partial push — Spark still cuts globally), so
+    * `df.limit(n)` touches at most n lines per file instead of scanning
+    * every dump in full. Spark only offers the push with no residual
+    * Filter between limit and scan, so the in-reader RowFilter can't
+    * starve it. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   /** P1 — the query-string analog: simple comparisons evaluate inside the
     * reader, pre-emit, so filtered documents never cross the source
@@ -133,11 +143,12 @@ private[jsonl] class JsonlScanBuilder(full: StructType, paths: Seq[String])
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new JsonlScan(required, paths, pushed)
+  override def build(): Scan = new JsonlScan(required, paths, pushed, limit)
 }
 
-private[jsonl] class JsonlScan(required: StructType, paths: Seq[String],
-                               pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+private[sources] class JsonlScan(required: StructType, paths: Seq[String],
+                               pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                               val pushedLimit: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -156,7 +167,7 @@ private[jsonl] class JsonlScan(required: StructType, paths: Seq[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, pushed)
+    new JsonlReaderFactory(required, pushed, pushedLimit)
 }
 
 /** Hadoop Configuration is not java-serializable; ship it by its
@@ -178,17 +189,19 @@ private[jsonl] case class JsonlPartition(file: String,
                                          conf: SerializableHadoopConf) extends InputPartition
 
 private[jsonl] class JsonlReaderFactory(required: StructType,
-                                        pushed: Array[org.apache.spark.sql.sources.Filter])
+                                        pushed: Array[org.apache.spark.sql.sources.Filter],
+                                        limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlPartition]
-    new JsonlPartitionReader(required, p.file, pushed, p.conf.value)
+    new JsonlPartitionReader(required, p.file, pushed, p.conf.value, limit)
   }
 }
 
 private[jsonl] class JsonlPartitionReader(required: StructType, file: String,
                                           pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-                                          hconf: Configuration = new Configuration())
+                                          hconf: Configuration = new Configuration(),
+                                          limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -202,9 +215,11 @@ private[jsonl] class JsonlPartitionReader(required: StructType, file: String,
   private var current: InternalRow = _
   private val rowFilter = RowFilter(required, pushed)
   private var corruptLines = 0L
+  private var emitted = 0L
 
   @annotation.tailrec
   final override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false // pushed limit: stop reading
     val line = in.readLine()
     if (line == null) {
       if (corruptLines > 0)
@@ -224,7 +239,7 @@ private[jsonl] class JsonlPartitionReader(required: StructType, file: String,
       if (doc == null) next()
       else {
         val row = MapSource.coerce(doc, required)
-        if (rowFilter(row)) { current = row; true }
+        if (rowFilter(row)) { current = row; emitted += 1; true }
         else next()
       }
     }

@@ -43,6 +43,33 @@ class JsonlSourceSpec extends SparkSpec {
     assert(df.as[String].collect().sorted.length == 5)
   }
 
+  test("limit pushdown: reader stops after n rows per file; global cut stays exact") {
+    val dir = Files.createTempDirectory("jsonl_limit")
+    Files.writeString(dir.resolve("a.jsonl"),
+      (1 to 1000).map(i => s"""{"k": $i}""").mkString("\n"))
+    Files.writeString(dir.resolve("b.jsonl"),
+      (1001 to 2000).map(i => s"""{"k": $i}""").mkString("\n"))
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val df = spark.read.format("graft-jsonl").schema(schema).load(dir.toString).limit(3)
+    // plan pin: the scan carries the pushed limit
+    val scan = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.jsonl.JsonlScan]
+    }.head
+    assert(scan.pushedLimit.contains(3), "limit must reach the jsonl scan")
+    assert(df.count() == 3) // partial push: Spark's global limit still cuts
+    // a filtered query must NOT starve through the pushed limit: Spark
+    // keeps the Filter between limit and scan, so no push happens
+    val filtered = spark.read.format("graft-jsonl").schema(schema)
+      .load(dir.toString).filter($"k" > 1990).limit(5)
+    val fScan = filtered.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.jsonl.JsonlScan]
+    }.head
+    assert(fScan.pushedLimit.isEmpty, "limit must not jump a residual filter")
+    assert(filtered.count() == 5)
+  }
+
   test("schema-on-read fallback infers string fields from the first document") {
     val out = Files.createTempDirectory("jsonl_infer").toString
     DumpJob.run(spark, sf(), out, DumpJob.Config(

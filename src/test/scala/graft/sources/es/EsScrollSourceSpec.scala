@@ -193,6 +193,63 @@ class EsScrollSourceSpec extends SparkSpec {
     } finally server.close()
   }
 
+  private def pushedScan(df: org.apache.spark.sql.DataFrame): EsScan =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[EsScan]
+    }.head
+
+  test("TopN pushdown: orderBy+limit is ONE plain search, sort+size on the wire") {
+    withServer() { server =>
+      val df = read(server).orderBy($"id".desc).limit(5).select($"id")
+      // plan pin: the scan itself carries the pushed TopN
+      val scan = pushedScan(df)
+      assert(scan.pushedLimit.contains(5), "limit must reach the scan")
+      assert(scan.pushedSort == Seq(EsApi.Sort("id", "desc", Some("_last"))),
+        s"sort must reach the scan, got ${scan.pushedSort}")
+      assert(df.as[Long].collect().toSeq == Seq(22L, 21L, 20L, 19L, 18L))
+      // wire pin: exactly one search request, size=5, sort clause, and
+      // NO scroll — the probe never walks the index
+      val searches = server.searchRequests
+      assert(searches.size == 1, s"expected one probe search, got $searches")
+      val (_, uri, body) = searches.head
+      assert(!uri.contains("scroll="), s"probe must not open a scroll: $uri")
+      assert(body.contains("\"size\":5"), body)
+      assert(body.contains("\"id\":{\"order\":\"desc\",\"missing\":\"_last\"}"), body)
+      val scrolls = server.requests.asScala.count(r =>
+        r._1 == "POST" && r._2 == "/_search/scroll")
+      assert(scrolls == 0, "no scroll pages may follow a pushed TopN")
+    }
+  }
+
+  test("TopN pushdown: NULLS FIRST maps to missing:_first") {
+    withServer() { server =>
+      read(server).orderBy($"score".asc_nulls_first).limit(3).collect()
+      val body = server.searchRequests.head._3
+      assert(body.contains("\"score\":{\"order\":\"asc\",\"missing\":\"_first\"}"), body)
+    }
+  }
+
+  test("bare limit pushdown: one search of n hits, no scroll") {
+    withServer() { server =>
+      val df = read(server).limit(4)
+      assert(pushedScan(df).pushedLimit.contains(4))
+      assert(df.count() == 4)
+      assert(server.searchRequests.size == 1)
+      assert(server.searchRequests.head._3.contains("\"size\":4"))
+      assert(!server.searchRequests.head._2.contains("scroll="))
+    }
+  }
+
+  test("limit beyond the max result window stays on the scroll path") {
+    withServer() { server =>
+      val df = read(server).limit(20000)
+      assert(pushedScan(df).pushedLimit.isEmpty,
+        "a >10k limit must not become a from+size probe")
+      assert(df.count() == 23) // scroll path still correct
+    }
+  }
+
   test("EsQuery: conservative translation (partial And, all-or-nothing Or, no Not)") {
     assert(EsQuery.clause(EqualTo("a", 5)) == Some("a:5"))
     assert(EsQuery.clause(EqualTo("a", "s")).isEmpty) // strings stay residual
@@ -211,7 +268,7 @@ class EsScrollSourceSpec extends SparkSpec {
     val p6 = EsApi.parsePage(es6)
     assert(p6.total == 9 && p6.hits.size == 1 && p6.scrollId.contains("s1"))
     assert(EsApi.parseSort("@timestamp:asc,id:desc") ==
-      Seq(("@timestamp", "asc"), ("id", "desc")))
+      Seq(EsApi.Sort("@timestamp", "asc"), EsApi.Sort("id", "desc")))
   }
 
   test("EsTls: config surface (trust-all context builds; cert without key rejected)") {

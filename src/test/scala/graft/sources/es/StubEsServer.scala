@@ -138,11 +138,36 @@ final class StubEsServer(
             }
           case None => stored
         }
+        // honor the first non-_doc sort clause (numeric or text, with
+        // ES `missing` placement) — the TopN-pushdown suite's surface
+        val sorted = Option(req.get("sort")).map(_.elements().asScala.toList) match {
+          case Some(clauses) =>
+            clauses.collectFirst {
+              case c if c.isObject =>
+                val f = c.fieldNames().asScala.next()
+                (f, c.get(f))
+            } match {
+              case Some((field, spec)) if field != "_doc" =>
+                val desc = Option(spec.get("order")).exists(_.asText() == "desc")
+                val missingFirst =
+                  Option(spec.get("missing")).exists(_.asText() == "_first")
+                val (missing, present) =
+                  all.partition(d => Option(d.get(field)).forall(_.isNull))
+                val byKey = present.sortBy { d =>
+                  val v = d.get(field)
+                  if (v.isNumber) (v.asDouble(), "") else (0.0, v.asText())
+                }
+                val ordered = if (desc) byKey.reverse else byKey
+                if (missingFirst) missing ++ ordered else ordered ++ missing
+              case _ => all
+            }
+          case None => all
+        }
         val sliced = Option(req.get("slice")) match {
           case Some(s) =>
             val (id, max) = (s.get("id").asInt, s.get("max").asInt)
-            all.zipWithIndex.collect { case (d, i) if i % max == id => d }
-          case None => all
+            sorted.zipWithIndex.collect { case (d, i) if i % max == id => d }
+          case None => sorted
         }
         val projected = Option(req.get("_source")) match {
           case Some(src) if src.isArray =>
@@ -156,10 +181,16 @@ final class StubEsServer(
             sliced.map(_ => null)
           case _ => sliced
         }
-        val scrollId = s"stub-scroll-${scrollSeq.incrementAndGet()}"
+        // a search without ?scroll= is a plain one-shot: no scroll
+        // context, no _scroll_id in the response (real ES behavior)
         val (pageDocs, rest) = projected.toList.splitAt(size)
-        sessions.put(scrollId, Session(rest, size))
-        respond(ex, 200, pageJson(Some(scrollId), projected.size.toLong, pageDocs))
+        val scrollId =
+          if (uri.contains("scroll=")) {
+            val id = s"stub-scroll-${scrollSeq.incrementAndGet()}"
+            sessions.put(id, Session(rest, size))
+            Some(id)
+          } else None
+        respond(ex, 200, pageJson(scrollId, projected.size.toLong, pageDocs))
         }
       case ("DELETE", "_search" :: "scroll" :: Nil) =>
         mapper.readTree(body).get("scroll_id").elements().asScala.foreach { id =>

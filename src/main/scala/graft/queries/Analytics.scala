@@ -371,19 +371,47 @@ object Analytics {
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // -- q37: sketch aggregations (HLL++ distinct, approximate percentile) --
-  // No DuckDB oracle: sketch implementations differ across engines, so
-  // the driver records the weaker rows-only check here; the accuracy
-  // bound vs exact answers is pinned by SketchSpec instead. At scale
-  // these are the re-aggregable, fixed-memory forms of q06/q36.
+  // Sketch bits differ across engines, so the raw sketch values can't
+  // hash-match a DuckDB oracle. Instead the accuracy CONTRACT is the
+  // oracle: both sides emit the exact answers (hash-checked for
+  // exactness) plus within-tolerance booleans — Spark compares its own
+  // sketch values against its own exact values; DuckDB asserts TRUE.
+  // A sketch drifting outside its documented bound (3×rsd for HLL++,
+  // one quantile step for percentile_approx) flips a boolean and fails
+  // the hash. SketchSpec pins the same bounds in Scala. At scale the
+  // sketch forms are the re-aggregable, fixed-memory versions of
+  // q06/q36 — the exact companions here exist to make the check real.
   private val q37: Q = (s, dir) => {
     import s.implicits._
-    t(s, dir, "lineitem")
-      .groupBy($"l_returnflag")
-      .agg(
-        approx_count_distinct($"l_partkey").as("nd_parts"),
-        approx_count_distinct($"l_orderkey").as("nd_orders"),
-        percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("med_qty"))
+    val li = t(s, dir, "lineitem")
+    // one pass of re-aggregable sketches (the production shape)...
+    val sk = li.groupBy($"l_returnflag").agg(
+      approx_count_distinct($"l_partkey").as("nd_parts_approx"),
+      approx_count_distinct($"l_orderkey").as("nd_orders_approx"),
+      percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("med_qty_approx"))
+    // ...and the exact companions, each as its own narrow aggregation —
+    // NOT one agg with two count_distincts, which would Expand the scan
+    // 3× under a buffering percentile. The joins are 3-row broadcasts.
+    val ndp = li.select($"l_returnflag", $"l_partkey").distinct()
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("nd_parts"))
+    val ndo = li.select($"l_returnflag", $"l_orderkey").distinct()
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("nd_orders"))
+    val med = li.groupBy($"l_returnflag")
+      .agg(percentile($"l_quantity", lit(0.5)).as("med_qty"))
+    sk.join(ndp, Seq("l_returnflag")).join(ndo, Seq("l_returnflag"))
+      .join(med, Seq("l_returnflag"))
+      .select($"l_returnflag", $"nd_parts", $"nd_orders", $"med_qty",
+        (abs($"nd_parts_approx" - $"nd_parts") <= $"nd_parts" * 0.15).as("nd_parts_ok"),
+        (abs($"nd_orders_approx" - $"nd_orders") <= $"nd_orders" * 0.15).as("nd_orders_ok"),
+        (abs($"med_qty_approx" - $"med_qty") <= 1.0).as("med_qty_ok"))
   }
+  private val q37Sql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS nd_parts,
+      |  count(DISTINCT l_orderkey) AS nd_orders,
+      |  quantile_cont(l_quantity, 0.5) AS med_qty,
+      |  TRUE AS nd_parts_ok, TRUE AS nd_orders_ok, TRUE AS med_qty_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   // -- q38: full outer join with null sides both ways --
   private val q38: Q = (s, dir) => {
@@ -665,6 +693,7 @@ object Analytics {
     "q34_salted_hotkey_agg" -> q34Sql,
     "q35_corr_subquery" -> q35Sql,
     "q36_percentiles" -> q36Sql,
+    "q37_approx_sketches" -> q37Sql,
     "q38_full_outer" -> q38Sql,
     "q39_rank_family" -> q39Sql,
     "q50_asof_join" -> q50Sql,

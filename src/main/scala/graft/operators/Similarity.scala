@@ -77,8 +77,9 @@ object Similarity {
   /** Deterministic Lloyd's k-means over an embedding column — trains the
     * centroid set the IVF path probes. Initialization is the first k
     * vectors by id (reproducible across runs/engines, unlike random or
-    * kmeans++ seeds). Each iteration is one broadcast (centroids) + one
-    * shuffle (mean per cluster).
+    * kmeans++ seeds). Each iteration is one narrow assignment pass (the
+    * same [[withNearest]] argmax the IVF search uses — no corpus shuffle)
+    * + one shuffle (element-wise mean per cluster, `graft_vec_mean`).
     *
     * The centroid set is k × dim — bounded driver state by construction —
     * so it is collected to the driver between iterations and re-broadcast
@@ -103,19 +104,20 @@ object Similarity {
         .zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](0)) }
     (1 to iterations).foreach { _ =>
-      val w = Window.partitionBy(col(idCol)).orderBy(col("__dist").asc, col("__c_id").asc)
-      val assigned = corpus.join(broadcast(toDf(centroids)))
-        .select(col(idCol), col(embCol),
-          col("__c_id"), (lit(1.0) - Vectors.cosine(col(embCol), col("__c_emb"))).as("__dist"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+      // assignment is the exact same NARROW argmax the IVF path serves
+      // ([[withNearest]]): no join, no shuffle, no window — the corpus
+      // never shuffles for assignment, and training tie/NaN semantics
+      // agree with ivfAssign by construction.
+      val centDf = toDf(centroids).select(col("__c_id"), col("__c_emb").as(embCol))
+      val assigned = withNearest(corpus.select(col(idCol), col(embCol)),
+        centDf, embCol, "__c_id")
       // new centroid = element-wise mean of member vectors via the native
-      // graft_vec_mean aggregate: ONE shuffle carrying O(k × partitions)
-      // dim-length buffers (partial agg folds members map-side), not the
-      // posexplode form's n × dim exploded rows. The k-row result is the
-      // bounded-state collect.
+      // graft_vec_mean aggregate: the iteration's ONE shuffle, carrying
+      // O(k × partitions) dim-length buffers (partial agg folds members
+      // map-side), not the posexplode form's n × dim exploded rows. The
+      // k-row result is the bounded-state collect.
       val means: Map[Int, Seq[Double]] = assigned
-        .groupBy(col("__c_id"))
+        .groupBy(col("__list"))
         .agg(graft.functions.VecMeanAgg.vecMean(col(embCol)).as("__c_emb"))
         .filter(col("__c_emb").isNotNull)
         .collect()

@@ -107,6 +107,17 @@ object EsApi {
     mapper.writeValueAsString(body)
   }
 
+  /** size-0 count probe: `track_total_hits` forces an exact total on
+    * ES7+ (which otherwise caps the count at 10k); ES6 always counts. */
+  def countBody(query: Option[String]): String = {
+    val body = mapper.createObjectNode()
+    body.put("size", 0)
+    body.put("track_total_hits", true)
+    query.foreach(q =>
+      body.putObject("query").putObject("query_string").put("query", q))
+    mapper.writeValueAsString(body)
+  }
+
   /** size-0 max aggregation over `field` — the tail source's one-request
     * latestOffset probe. */
   def maxAggBody(field: String): String = {

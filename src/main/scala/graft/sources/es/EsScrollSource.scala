@@ -145,11 +145,12 @@ private[es] class EsTable(schema: StructType, conf: EsScanConfig)
 private[es] class EsScanBuilder(full: StructType, conf: EsScanConfig)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var topSort: Seq[EsApi.Sort] = Nil
+  private var countStar = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -185,13 +186,42 @@ private[es] class EsScanBuilder(full: StructType, conf: EsScanConfig)
   }
   override def isPartiallyPushed(): Boolean = true
 
-  override def build(): Scan = new EsScan(required, conf, pushed, limit, topSort)
+  /** Global `count(*)` pushes completely: ONE size-0 search with
+    * `track_total_hits` answers it without a single document leaving the
+    * cluster. Spark only offers the push when no residual Filter sits
+    * between the aggregate and the scan, so the count can't silently
+    * ignore an un-pushed predicate; the user-level `query` option rides
+    * the count body like every other request. Anything else (group-by,
+    * count(col), other aggregates) is refused and planned normally. */
+  private def isBareCountStar(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    isBareCountStar(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    if (isBareCountStar(agg)) { countStar = true; true } else false
+
+  override def build(): Scan =
+    if (countStar) new EsScan(EsScanBuilder.CountSchema, conf, pushed,
+      countStar = true)
+    else new EsScan(required, conf, pushed, limit, topSort)
 }
 
 private[es] object EsScanBuilder {
   /** ES refuses from+size beyond index.max_result_window (default 10k);
     * larger limits stay on the scroll path. */
   val MaxResultWindow = 10000
+
+  /** Output schema of a completely-pushed count(*). */
+  val CountSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count(*)",
+      org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** Spark SortOrder → ES wire sort, when the key is a plain top-level
     * field. Nested/computed sort keys are not translated (push refused,
@@ -212,7 +242,8 @@ private[es] object EsScanBuilder {
 private[es] class EsScan(required: StructType, conf: EsScanConfig,
                          pushed: Array[Filter],
                          val pushedLimit: Option[Int] = None,
-                         val pushedSort: Seq[EsApi.Sort] = Nil)
+                         val pushedSort: Seq[EsApi.Sort] = Nil,
+                         val countStar: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -222,7 +253,10 @@ private[es] class EsScan(required: StructType, conf: EsScanConfig,
     // empty (count(*)-style) projection → Some(Nil) → `_source: false`:
     // hit envelopes page through, document bodies never leave the cluster
     val fields = Some(required.fieldNames.toSeq)
-    pushedLimit match {
+    if (countStar)
+      // completely-pushed count(*): one size-0 request, one row back
+      Array(EsPartition(conf, wireQuery, None, slice = None, countOnly = true))
+    else pushedLimit match {
       case Some(l) =>
         // probe shape: ONE plain search, sort+size on the wire, no scroll
         // context, no slices — q02-shaped queries cost one round-trip
@@ -253,13 +287,46 @@ private[es] final case class EsPartition(
     sourceFields: Option[Seq[String]],
     slice: Option[(Int, Int)],
     range: Option[(String, Double, Double)] = None,
-    limit: Option[Int] = None) extends InputPartition
+    limit: Option[Int] = None,
+    countOnly: Boolean = false) extends InputPartition
 
 private[es] class EsReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new EsScrollPartitionReader(required, pushed,
-      partition.asInstanceOf[EsPartition])
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[EsPartition]
+    if (p.countOnly) new EsCountReader(p)
+    else new EsScrollPartitionReader(required, pushed, p)
+  }
+}
+
+/** One size-0 request answers a completely-pushed count(*). */
+private[es] class EsCountReader(part: EsPartition)
+    extends PartitionReader[InternalRow] {
+  private val conf = part.conf
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (done) false
+    else {
+      val transport = conf.transportFactory.open()
+      try {
+        val p = EsApi.parsePage(
+          Retry.withBackoff(conf.retries, conf.retryBackoffMs, EsHttpError.transient) {
+            transport.post(s"/${conf.index}/_search",
+              EsApi.countBody(part.wireQuery))
+          })
+        if (p.total < 0) throw new IllegalStateException(
+          s"${conf.index}: server omitted hits.total on a count probe")
+        row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](p.total))
+      } finally transport.close()
+      done = true
+      true
+    }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 /** Drives one slice's search+scroll loop (reference :219-266), emitting

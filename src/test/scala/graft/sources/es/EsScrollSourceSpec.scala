@@ -113,13 +113,36 @@ class EsScrollSourceSpec extends SparkSpec {
     }
   }
 
-  test("count(*)-style scan suppresses _source — bodies never leave the cluster") {
+  test("count(*) pushes completely: one size-0 probe, no documents move") {
     withServer() { server =>
-      val n = read(server).count()
-      assert(n > 0)
+      assert(read(server).count() == 23)
+      val searches = server.searchRequests
+      assert(searches.size == 1, s"expected one count probe, got $searches")
+      val body = searches.head._3
+      assert(body.contains("\"size\":0"), body)
+      assert(body.contains("\"track_total_hits\":true"), body)
+      assert(!searches.head._2.contains("scroll="), "count must not scroll")
+    }
+  }
+
+  test("non-pushable column-free agg keeps the scan path and suppresses _source") {
+    withServer() { server =>
+      // sum(lit(1)) is not a CountStar, so the aggregate is refused and
+      // the scroll runs with an empty projection — _source:false on the
+      // wire, hit envelopes only
+      val n = read(server).agg(sum(lit(1))).as[Long].head()
+      assert(n == 23)
       val bodies = server.searchRequests.map(_._3)
       assert(bodies.exists(_.contains("\"_source\":false")),
         s"empty projection must ship _source:false, got: $bodies")
+    }
+  }
+
+  test("filtered count: residual filter blocks the count probe, rows re-checked") {
+    withServer() { server =>
+      assert(read(server).filter($"id" >= 3).count() == 20)
+      assert(server.searchRequests.forall(r => !r._3.contains("track_total_hits")),
+        "a filtered count must not use the size-0 probe")
     }
   }
 

@@ -149,9 +149,28 @@ private[jsonl] class JsonlScanBuilder(full: StructType, paths: Seq[String])
 private[sources] class JsonlScan(required: StructType, paths: Seq[String],
                                pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                                val pushedLimit: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Real byte sizes from the filesystem, so joining a small dump
+    * against a big table broadcasts instead of shuffling — without
+    * stats a DSv2 scan defaults to spark.sql.defaultSizeInBytes
+    * (Long.Max-ish) and can never be the broadcast side. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes: Long =
+      try {
+        val conf = JsonlSource.sessionHadoopConf()
+        paths.map { p =>
+          val path = new Path(p)
+          JsonlSource.listFiles(path.getFileSystem(conf), path)
+            .map(f => path.getFileSystem(conf).getFileStatus(f).getLen).sum
+        }.sum
+      } catch { case _: Exception => Long.MaxValue } // unknown -> pessimistic
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // one partition per file: the sliced-scroll analog — slices scale

@@ -70,6 +70,27 @@ class JsonlSourceSpec extends SparkSpec {
     assert(filtered.count() == 5)
   }
 
+  test("statistics: real file bytes reported; small dump broadcasts in a join") {
+    val dir = Files.createTempDirectory("jsonl_stats")
+    Files.writeString(dir.resolve("small.jsonl"),
+      (1 to 20).map(i => s"""{"k": $i}""").mkString("\n"))
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val small = spark.read.format("graft-jsonl").schema(schema).load(dir.toString)
+    val scan = small.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan.asInstanceOf[graft.sources.jsonl.JsonlScan]
+    }.head
+    val reported = scan.estimateStatistics().sizeInBytes()
+    assert(reported.isPresent && reported.getAsLong > 0 &&
+      reported.getAsLong < 10000, s"expected real file bytes, got $reported")
+    val big = spark.range(100000).toDF("k")
+    val joined = big.join(small, "k")
+    val hasBroadcast = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBroadcast, "a tiny dump must be the broadcast side:\n" +
+      joined.queryExecution.executedPlan)
+  }
+
   test("schema-on-read fallback infers string fields from the first document") {
     val out = Files.createTempDirectory("jsonl_infer").toString
     DumpJob.run(spark, sf(), out, DumpJob.Config(

@@ -98,7 +98,8 @@ private[es] final case class EsScanConfig(
     retries: Int,
     retryBackoffMs: Long,
     tailField: Option[String] = None,
-    startFrom: Long = 0L) {
+    startFrom: Long = 0L,
+    maxResultWindow: Int = 10000) {
   def transportFactory: EsTransportFactory = HttpTransportFactory(http)
 }
 
@@ -128,7 +129,10 @@ private[es] object EsScanConfig {
       retryBackoffMs = o.get("retry_backoff_ms").map(_.toLong)
         .getOrElse(Retry.ReferenceBackoffMs),
       tailField = o.get("tail_field").filter(_.nonEmpty),
-      startFrom = o.get("start_from").map(_.toLong).getOrElse(0L))
+      startFrom = o.get("start_from").map(_.toLong).getOrElse(0L),
+      // mirrors the index.max_result_window setting: the cap on from+size
+      // probes; raise it only if the index raised it too
+      maxResultWindow = o.get("max_result_window").map(_.toInt).getOrElse(10000))
   }
 }
 
@@ -151,6 +155,7 @@ private[es] class EsScanBuilder(full: StructType, conf: EsScanConfig)
   private var limit: Option[Int] = None
   private var topSort: Seq[EsApi.Sort] = Nil
   private var countStar = false
+  private var scrollStop: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -170,8 +175,13 @@ private[es] class EsScanBuilder(full: StructType, conf: EsScanConfig)
     * the scan, so the in-reader RowFilter can't starve the limit. Bounded
     * by ES's max result window; larger limits keep the scroll path. */
   override def pushLimit(l: Int): Boolean =
-    if (l > EsScanBuilder.MaxResultWindow) false
-    else { limit = Some(l); true }
+    if (l > conf.maxResultWindow) {
+      // too big for a from+size probe — but each scroll slice can still
+      // stop paging once it has l hits (LocalLimit at the source). Spark
+      // is told the push didn't happen and applies its own limit on top.
+      scrollStop = Some(l)
+      false
+    } else { limit = Some(l); true }
 
   /** `.orderBy(field).limit(n)`: the sort rides the wire too, with
     * Spark's null placement mapped to ES `missing`. Partial push — Spark
@@ -179,7 +189,7 @@ private[es] class EsScanBuilder(full: StructType, conf: EsScanConfig)
     * costs nothing and changes nothing. */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
                         l: Int): Boolean = {
-    if (l > EsScanBuilder.MaxResultWindow) return false
+    if (l > conf.maxResultWindow) return false
     val translated = orders.toSeq.map(EsScanBuilder.wireSort)
     if (translated.contains(None) || translated.isEmpty) false
     else { topSort = translated.flatten; limit = Some(l); true }
@@ -210,14 +220,10 @@ private[es] class EsScanBuilder(full: StructType, conf: EsScanConfig)
   override def build(): Scan =
     if (countStar) new EsScan(EsScanBuilder.CountSchema, conf, pushed,
       countStar = true)
-    else new EsScan(required, conf, pushed, limit, topSort)
+    else new EsScan(required, conf, pushed, limit, topSort, scrollStop)
 }
 
 private[es] object EsScanBuilder {
-  /** ES refuses from+size beyond index.max_result_window (default 10k);
-    * larger limits stay on the scroll path. */
-  val MaxResultWindow = 10000
-
   /** Output schema of a completely-pushed count(*). */
   val CountSchema: StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("count(*)",
@@ -243,10 +249,25 @@ private[es] class EsScan(required: StructType, conf: EsScanConfig,
                          pushed: Array[Filter],
                          val pushedLimit: Option[Int] = None,
                          val pushedSort: Seq[EsApi.Sort] = Nil,
+                         val scrollStop: Option[Int] = None,
                          val countStar: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Pushdown state in `.explain` output, like FileSourceScan's
+    * PushedFilters line. */
+  override def description(): String = {
+    val parts = Seq(
+      s"index=${conf.index}",
+      s"PushedFilters=[${pushed.mkString(", ")}]") ++
+      pushedLimit.map(l => s"PushedLimit=$l") ++
+      (if (pushedSort.nonEmpty)
+        Seq(s"PushedSort=[${pushedSort.map(s => s"${s.field}:${s.order}").mkString(", ")}]")
+      else Nil) ++
+      (if (countStar) Seq("PushedAggregate=count(*)") else Nil)
+    s"graft-es ${parts.mkString(" ")}"
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val wireQuery = EsQuery.combine(conf.query, pushed.toIndexedSeq)
@@ -268,7 +289,8 @@ private[es] class EsScan(required: StructType, conf: EsScanConfig,
         // slice. slices=1 sends no slice clause (the reference's shape).
         (0 until conf.slices).map { i =>
           val slice = if (conf.slices > 1) Some((i, conf.slices)) else None
-          EsPartition(conf, wireQuery, fields, slice): InputPartition
+          EsPartition(conf, wireQuery, fields, slice,
+            stopAfter = scrollStop): InputPartition
         }.toArray
     }
   }
@@ -288,7 +310,8 @@ private[es] final case class EsPartition(
     slice: Option[(Int, Int)],
     range: Option[(String, Double, Double)] = None,
     limit: Option[Int] = None,
-    countOnly: Boolean = false) extends InputPartition
+    countOnly: Boolean = false,
+    stopAfter: Option[Int] = None) extends InputPartition
 
 private[es] class EsReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
@@ -360,6 +383,10 @@ private[es] class EsScrollPartitionReader(
     // pushed limit = one-shot probe search: a single page is the whole
     // result; never open or follow a scroll context
     if (part.limit.isDefined && pagesFetched > 0) { exhausted = true; return }
+    // un-pushed over-window limit: this slice already has enough hits for
+    // any global cut — stop paging (LocalLimit at the source). Only set
+    // when no filters ride the reader, so hits == emitted rows.
+    if (part.stopAfter.exists(readHits >= _)) { exhausted = true; return }
     val p = scrollId match {
       case None =>
         // initial search opens the scroll context (reference :219-226)

@@ -153,6 +153,10 @@ private[sources] class JsonlScan(required: StructType, paths: Seq[String],
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  override def description(): String =
+    s"graft-jsonl PushedFilters=[${pushed.mkString(", ")}]" +
+      pushedLimit.map(l => s" PushedLimit=$l").getOrElse("")
+
   /** Real byte sizes from the filesystem, so joining a small dump
     * against a big table broadcasts instead of shuffling — without
     * stats a DSv2 scan defaults to spark.sql.defaultSizeInBytes

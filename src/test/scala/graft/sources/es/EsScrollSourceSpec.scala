@@ -273,6 +273,21 @@ class EsScrollSourceSpec extends SparkSpec {
     }
   }
 
+  test("over-window limit still stops the scroll early (LocalLimit at the source)") {
+    withServer() { server =>
+      // shrink the window so a 12-row limit is 'too big to probe' at 23
+      // docs: the scroll must page only until it has >=12 hits (size=5 ->
+      // 3 pages), not walk the whole index
+      val df = read(server, "max_result_window" -> "10").limit(12)
+      val scan = pushedScan(df)
+      assert(scan.pushedLimit.isEmpty && scan.scrollStop.contains(12))
+      assert(df.count() == 12)
+      val scrolls = server.requests.asScala.count(r =>
+        r._1 == "POST" && r._2 == "/_search/scroll")
+      assert(scrolls <= 2, s"slice must stop paging once it has 12 hits, saw $scrolls scroll calls")
+    }
+  }
+
   test("EsQuery: conservative translation (partial And, all-or-nothing Or, no Not)") {
     assert(EsQuery.clause(EqualTo("a", 5)) == Some("a:5"))
     assert(EsQuery.clause(EqualTo("a", "s")).isEmpty) // strings stay residual

@@ -26,6 +26,27 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Wraps a partition's output iterator so undecodable-payload counts are
+    * logged ONCE per partition when it completes — the log half of the
+    * log-and-null contract, without per-row spam (the jsonl reader's
+    * corrupt-line counter, applied to codecs). */
+  private def logFailures[A](it: Iterator[A], stage: String,
+                             failed: () => Long): Iterator[A] =
+    new Iterator[A] {
+      private var logged = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !logged && failed() > 0) {
+          logged = true
+          log.warn(s"$stage: ${failed()} undecodable payload(s) -> null features")
+        }
+        h
+      }
+      def next(): A = it.next()
+    }
+
   /** Typed metadata struct for an opaque media column — pure Column ops. */
   def mediaMeta(bin: org.apache.spark.sql.Column, mime: String): org.apache.spark.sql.Column =
     struct(
@@ -70,23 +91,23 @@ object Multimodal {
       val cm = img.getColorModel
       val channels =
         if (cm.hasAlpha) 4 else if (cm.getNumColorComponents == 1) 1 else 3
+      // one bulk conversion pass (sRGB regardless of the file's raster
+      // layout) — per-pixel getRGB dispatches through the ColorModel on
+      // every call, several times slower on the hot decode path
+      val argbs = img.getRGB(0, 0, w, h, null, 0, w)
       val out = new Array[Byte](w * h * channels)
-      var y = 0
+      var p = 0
       var i = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val argb = img.getRGB(x, y) // sRGB regardless of the file's raster layout
-          out(i) = ((argb >> 16) & 0xff).toByte
-          if (channels >= 3) {
-            out(i + 1) = ((argb >> 8) & 0xff).toByte
-            out(i + 2) = (argb & 0xff).toByte
-          }
-          if (channels == 4) out(i + 3) = ((argb >>> 24) & 0xff).toByte
-          i += channels
-          x += 1
+      while (p < argbs.length) {
+        val argb = argbs(p)
+        out(i) = ((argb >> 16) & 0xff).toByte
+        if (channels >= 3) {
+          out(i + 1) = ((argb >> 8) & 0xff).toByte
+          out(i + 2) = (argb & 0xff).toByte
         }
-        y += 1
+        if (channels == 4) out(i + 3) = ((argb >>> 24) & 0xff).toByte
+        i += channels
+        p += 1
       }
       DecodedImage(w, h, channels, out)
     }
@@ -106,11 +127,13 @@ object Multimodal {
     val out = featureSchema(df.schema)
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
-      rows.map { r =>
+      var failed = 0L
+      val mapped = rows.map { r =>
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
         val decoded =
           if (bytes == null) None
-          else scala.util.Try(decoder.decode(bytes)).toOption
+          else try Some(decoder.decode(bytes))
+               catch { case _: Exception => failed += 1; None }
         decoded match {
           case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
           case Some(d) =>
@@ -121,6 +144,7 @@ object Multimodal {
             Row.fromSeq(r.toSeq ++ Seq[Any](d.width, d.height, d.channels, mean))
         }
       }
+      logFailures(mapped, "imageFeatures", () => failed)
     }(Encoders.row(out))
   }
 
@@ -139,11 +163,13 @@ object Multimodal {
       .add("resized", BinaryType)
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
-      rows.map { r =>
+      var failed = 0L
+      val mapped = rows.map { r =>
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
         val decoded =
           if (bytes == null) None
-          else scala.util.Try(decoder.decode(bytes)).toOption
+          else try Some(decoder.decode(bytes))
+               catch { case _: Exception => failed += 1; None }
         if (decoded.isEmpty) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
         else {
           val d = decoded.get
@@ -169,6 +195,7 @@ object Multimodal {
           Row.fromSeq(r.toSeq ++ Seq[Any](targetW, targetH, outBuf))
         }
       }
+      logFailures(mapped, "resizeImages", () => failed)
     }(Encoders.row(out))
   }
 
@@ -201,15 +228,21 @@ object Multimodal {
   }
 
   /** Real WAV (PCM) decode on the JDK's `javax.sound.sampled` — no external
-    * dependency. Samples come out interleaved signed 16-bit (8-bit input is
-    * widened). Throws on unreadable payloads; [[audioFeatures]] catches and
-    * nulls (log-and-null contract). */
+    * dependency. Samples come out interleaved signed 16-bit: 8-bit input is
+    * widened, 24/32-bit input keeps its most significant two bytes
+    * (endianness-aware). Non-PCM encodings (float, a-law, …) and unreadable
+    * payloads throw; [[audioFeatures]] catches and nulls (log-and-null
+    * contract). */
   object JdkWavDecoder extends AudioDecoder {
     def decode(bytes: Array[Byte]): DecodedAudio = {
+      import javax.sound.sampled.AudioFormat.Encoding
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        if (enc != Encoding.PCM_SIGNED && enc != Encoding.PCM_UNSIGNED)
+          throw new IllegalArgumentException(s"unsupported WAV encoding $enc")
         val raw = in.readAllBytes()
         val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
         val n = raw.length / bytesPerSample
@@ -219,10 +252,15 @@ object Multimodal {
           samples(i) = bytesPerSample match {
             case 1 => // 8-bit WAV is unsigned; recenter and widen
               (((raw(i) & 0xff) - 128) << 8).toShort
-            case _ =>
-              val o = i * bytesPerSample
-              if (fmt.isBigEndian) ((raw(o) << 8) | (raw(o + 1) & 0xff)).toShort
-              else ((raw(o + 1) << 8) | (raw(o) & 0xff)).toShort
+            case bps =>
+              // most significant two bytes of the sample, so 24/32-bit
+              // amplitudes scale into the 16-bit range instead of being
+              // reinterpreted from their low bytes
+              val o = i * bps
+              val (hi, lo) =
+                if (fmt.isBigEndian) (raw(o), raw(o + 1))
+                else (raw(o + bps - 1), raw(o + bps - 2))
+              (((hi & 0xff) << 8) | (lo & 0xff)).toShort
           }
           i += 1
         }
@@ -244,11 +282,13 @@ object Multimodal {
       .add("audio_mean_abs", DoubleType)
     val idx = df.schema.fieldIndex(binCol)
     df.mapPartitions { rows =>
-      rows.map { r =>
+      var failed = 0L
+      val mapped = rows.map { r =>
         val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
         val decoded =
           if (bytes == null) None
-          else scala.util.Try(decoder.decode(bytes)).toOption
+          else try Some(decoder.decode(bytes))
+               catch { case _: Exception => failed += 1; None }
         decoded match {
           case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
           case Some(d) =>
@@ -261,6 +301,7 @@ object Multimodal {
               meanAbs))
         }
       }
+      logFailures(mapped, "audioFeatures", () => failed)
     }(Encoders.row(out))
   }
 }

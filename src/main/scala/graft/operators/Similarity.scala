@@ -104,13 +104,15 @@ object Similarity {
         .zipWithIndex
         .map { case (r, i) => (i, r.getSeq[Double](0)) }
     (1 to iterations).foreach { _ =>
-      // assignment is the exact same NARROW argmax the IVF path serves
+      // assignment is the same NARROW argmax the IVF path serves
       // ([[withNearest]]): no join, no shuffle, no window — the corpus
-      // never shuffles for assignment, and training tie/NaN semantics
-      // agree with ivfAssign by construction.
+      // never shuffles for assignment. nanWins=false so a zero-norm
+      // centroid (NaN cosine everywhere) attracts nothing — the old
+      // join+window form's `(1-cos) ASC` NaN-last behavior — and
+      // zero-norm rows keep the -1 sentinel, excluded from every mean.
       val centDf = toDf(centroids).select(col("__c_id"), col("__c_emb").as(embCol))
       val assigned = withNearest(corpus.select(col(idCol), col(embCol)),
-        centDf, embCol, "__c_id")
+        centDf, embCol, "__c_id", nanWins = false)
       // new centroid = element-wise mean of member vectors via the native
       // graft_vec_mean aggregate: the iteration's ONE shuffle, carrying
       // O(k × partitions) dim-length buffers (partial agg folds members
@@ -142,14 +144,18 @@ object Similarity {
     cents
   }
 
-  /** "cs beats the current best": NaN first, then higher cosine; iterating
-    * centroids in ascending id with a strict comparison breaks ties (and
-    * repeated NaNs) toward the smaller id — exactly the rank-1 row of
-    * `ORDER BY cos DESC, c_id` under Spark's NaN-greatest sort order, so
-    * zero-norm embeddings land where the window form put them instead of
-    * leaking a sentinel. */
-  private def betterThan(cs: Column, best: Column): Column =
-    (isnan(cs) && !isnan(best)) || cs > best
+  /** "cs beats the current best". `nanWins = true`: NaN first, then higher
+    * cosine — exactly the rank-1 row of `ORDER BY cos DESC, c_id` under
+    * Spark's NaN-greatest sort order (the q33/ivfAssign contract).
+    * `nanWins = false`: NaN never wins — a zero-norm centroid (NaN cosine
+    * against every row) attracts nothing instead of capturing the whole
+    * corpus; rows whose cosine is NaN against every centroid keep the
+    * sentinel (-1) and drop out of downstream means. Ties break toward
+    * the smaller centroid id either way (ascending iteration, strict
+    * comparison). */
+  private def betterThan(cs: Column, best: Column, nanWins: Boolean): Column =
+    if (nanWins) (isnan(cs) && !isnan(best)) || cs > best
+    else !isnan(cs) && cs > best
 
   /** Beyond this many doubles the centroid matrix travels as a broadcast
     * variable, not a plan literal (a multi-MB literal bloats every
@@ -164,7 +170,8 @@ object Similarity {
     * multimodal codec — the one construct Catalyst can't express). */
   private[operators] def withNearest(corpus: DataFrame, centroids: DataFrame,
       embCol: String, centroidIdCol: String,
-      literalLimit: Int = LiteralCentroidDoubles): DataFrame = {
+      literalLimit: Int = LiteralCentroidDoubles,
+      nanWins: Boolean = true): DataFrame = {
     val cents = collectCentroids(centroids, centroidIdCol, embCol)
     val dims = cents.head._2.length
     if (cents.length.toLong * dims <= literalLimit) {
@@ -173,7 +180,7 @@ object Similarity {
         struct(lit(-1).as("id"), lit(-2.0).as("cos")),
         (acc, c) => {
           val cs = Vectors.cosine(col(embCol), c.getField("_2"))
-          when(betterThan(cs, acc.getField("cos")),
+          when(betterThan(cs, acc.getField("cos"), nanWins),
             struct(c.getField("_1").as("id"), cs.as("cos"))).otherwise(acc)
         })
       corpus.withColumn("__best", best)
@@ -192,27 +199,38 @@ object Similarity {
       corpus.mapPartitions { rows =>
         val cs = bc.value
         rows.map { r =>
-          val raw = r.getSeq[Number](embIdx)
-          val emb = new Array[Double](raw.length)
-          var i = 0
-          raw.foreach { v => emb(i) = v.doubleValue(); i += 1 }
-          var eNorm = 0.0
-          var j = 0
-          while (j < emb.length) { eNorm += emb(j) * emb(j); j += 1 }
-          eNorm = math.sqrt(eNorm)
-          var bestId = -1
-          var bestCos = -2.0
-          cs.foreach { case (cid, ce, cNorm) =>
-            val n = math.min(emb.length, ce.length)
-            var dot = 0.0
-            var k = 0
-            while (k < n) { dot += emb(k) * ce(k); k += 1 }
-            val cos = dot / (eNorm * cNorm)
-            if ((cos.isNaN && !bestCos.isNaN) || cos > bestCos) {
-              bestId = cid; bestCos = cos
+          // null embedding: same sentinel the literal fold leaves (its
+          // null cosine never beats the accumulator)
+          if (r.isNullAt(embIdx)) Row.fromSeq(r.toSeq ++ Seq[Any](-1, -2.0))
+          else {
+            val raw = r.getSeq[Number](embIdx)
+            val emb = new Array[Double](raw.length)
+            var i = 0
+            raw.foreach { v => emb(i) = if (v == null) 0.0 else v.doubleValue(); i += 1 }
+            var eNorm = 0.0
+            var j = 0
+            while (j < emb.length) { eNorm += emb(j) * emb(j); j += 1 }
+            eNorm = math.sqrt(eNorm)
+            var bestId = -1
+            var bestCos = -2.0
+            cs.foreach { case (cid, ce, cNorm) =>
+              val n = math.min(emb.length, ce.length)
+              var dot = 0.0
+              var k = 0
+              while (k < n) { dot += emb(k) * ce(k); k += 1 }
+              val denom = eNorm * cNorm
+              // denom == 0 -> SQL division yields NULL in the literal
+              // fold, which never wins; mirror that, not JVM 0/0 = NaN
+              if (denom != 0.0) {
+                val cos = dot / denom
+                val better =
+                  if (nanWins) (cos.isNaN && !bestCos.isNaN) || cos > bestCos
+                  else !cos.isNaN && cos > bestCos
+                if (better) { bestId = cid; bestCos = cos }
+              }
             }
+            Row.fromSeq(r.toSeq ++ Seq[Any](bestId, bestCos))
           }
-          Row.fromSeq(r.toSeq ++ Seq[Any](bestId, bestCos))
         }
       }(Encoders.row(out))
     }

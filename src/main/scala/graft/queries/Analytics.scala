@@ -392,10 +392,12 @@ object Analytics {
     // ...and the exact companions, each as its own narrow aggregation —
     // NOT one agg with two count_distincts, which would Expand the scan
     // 3× under a buffering percentile. The joins are 3-row broadcasts.
+    // count(col), not count(*): a null key must not count as a distinct
+    // value (SQL COUNT(DISTINCT) semantics, matched by the oracle)
     val ndp = li.select($"l_returnflag", $"l_partkey").distinct()
-      .groupBy($"l_returnflag").agg(count(lit(1)).as("nd_parts"))
+      .groupBy($"l_returnflag").agg(count($"l_partkey").as("nd_parts"))
     val ndo = li.select($"l_returnflag", $"l_orderkey").distinct()
-      .groupBy($"l_returnflag").agg(count(lit(1)).as("nd_orders"))
+      .groupBy($"l_returnflag").agg(count($"l_orderkey").as("nd_orders"))
     val med = li.groupBy($"l_returnflag")
       .agg(percentile($"l_quantity", lit(0.5)).as("med_qty"))
     sk.join(ndp, Seq("l_returnflag")).join(ndo, Seq("l_returnflag"))

@@ -185,12 +185,15 @@ private[es] class EsScanBuilder(full: StructType, conf: EsScanConfig)
 
   /** `.orderBy(field).limit(n)`: the sort rides the wire too, with
     * Spark's null placement mapped to ES `missing`. Partial push — Spark
-    * re-sorts the ≤n returned rows, so any ES/Spark ordering edge case
-    * costs nothing and changes nothing. */
+    * re-sorts the ≤n returned rows. Only numeric/date/boolean keys are
+    * translated: a StringType column may be `text`-mapped (ES refuses to
+    * sort it — fielddata disabled) and ES/Lucene keyword order need not
+    * match Spark's UTF8 collation for the SET selection to be right, so
+    * strings keep the scroll path. */
   override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
                         l: Int): Boolean = {
     if (l > conf.maxResultWindow) return false
-    val translated = orders.toSeq.map(EsScanBuilder.wireSort)
+    val translated = orders.toSeq.map(EsScanBuilder.wireSort(full, _))
     if (translated.contains(None) || translated.isEmpty) false
     else { topSort = translated.flatten; limit = Some(l); true }
   }
@@ -230,16 +233,31 @@ private[es] object EsScanBuilder {
       org.apache.spark.sql.types.LongType, nullable = false)))
 
   /** Spark SortOrder → ES wire sort, when the key is a plain top-level
-    * field. Nested/computed sort keys are not translated (push refused,
-    * scroll path keeps correctness). */
-  def wireSort(o: org.apache.spark.sql.connector.expressions.SortOrder): Option[EsApi.Sort] = {
+    * field of a type ES sorts the way Spark does (numeric/timestamp/date/
+    * boolean). Strings (text-vs-keyword ambiguity, collation), nested and
+    * computed keys are not translated — push refused, scroll path keeps
+    * correctness. Residual caveat shared with the reference's first-of-
+    * list compromise: a scalar-mapped field that actually holds arrays
+    * sorts by ES min/max-of-values but compares by first element in
+    * Spark. */
+  def wireSort(schema: StructType,
+               o: org.apache.spark.sql.connector.expressions.SortOrder): Option[EsApi.Sort] = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    import org.apache.spark.sql.types._
     o.expression() match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
-        val dir = if (o.direction() == SortDirection.ASCENDING) "asc" else "desc"
-        val missing =
-          if (o.nullOrdering() == NullOrdering.NULLS_FIRST) "_first" else "_last"
-        Some(EsApi.Sort(nr.fieldNames()(0), dir, Some(missing)))
+        val name = nr.fieldNames()(0)
+        val sortable = schema.fields.find(_.name == name).map(_.dataType).exists {
+          case _: NumericType | TimestampType | DateType | BooleanType => true
+          case _ => false
+        }
+        if (!sortable) None
+        else {
+          val dir = if (o.direction() == SortDirection.ASCENDING) "asc" else "desc"
+          val missing =
+            if (o.nullOrdering() == NullOrdering.NULLS_FIRST) "_first" else "_last"
+          Some(EsApi.Sort(name, dir, Some(missing)))
+        }
       case _ => None
     }
   }

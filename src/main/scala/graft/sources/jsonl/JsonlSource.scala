@@ -92,14 +92,18 @@ object JsonlSource {
   private[jsonl] def sessionHadoopConf(): Configuration =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
-  private[jsonl] def listFiles(fs: FileSystem, path: Path): Seq[Path] = {
+  private[jsonl] def listStatuses(fs: FileSystem, path: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val st = fs.getFileStatus(path)
     if (st.isDirectory)
-      fs.listStatus(path).toSeq.filter(_.isFile).map(_.getPath)
-        .filterNot(p => p.getName.startsWith(".") || p.getName.startsWith("_"))
-        .sortBy(_.getName)
-    else Seq(path)
+      fs.listStatus(path).toSeq.filter(_.isFile)
+        .filterNot(s => s.getPath.getName.startsWith(".") ||
+          s.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
+    else Seq(st)
   }
+
+  private[jsonl] def listFiles(fs: FileSystem, path: Path): Seq[Path] =
+    listStatuses(fs, path).map(_.getPath)
 }
 
 private[jsonl] class JsonlTable(schema: StructType, paths: Seq[String])
@@ -160,19 +164,22 @@ private[sources] class JsonlScan(required: StructType, paths: Seq[String],
   /** Real byte sizes from the filesystem, so joining a small dump
     * against a big table broadcasts instead of shuffling — without
     * stats a DSv2 scan defaults to spark.sql.defaultSizeInBytes
-    * (Long.Max-ish) and can never be the broadcast side. */
+    * (Long.Max-ish) and can never be the broadcast side. One listing
+    * (whose statuses already carry the lengths), cached — Catalyst may
+    * probe stats several times while optimizing, and on object stores a
+    * per-file getFileStatus is a HEAD request each. */
+  private lazy val totalBytes: Long =
+    try {
+      val conf = JsonlSource.sessionHadoopConf()
+      paths.map { p =>
+        val path = new Path(p)
+        JsonlSource.listStatuses(path.getFileSystem(conf), path).map(_.getLen).sum
+      }.sum
+    } catch { case _: Exception => Long.MaxValue } // unknown -> pessimistic
+
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes: Long =
-      try {
-        val conf = JsonlSource.sessionHadoopConf()
-        paths.map { p =>
-          val path = new Path(p)
-          JsonlSource.listFiles(path.getFileSystem(conf), path)
-            .map(f => path.getFileSystem(conf).getFileStatus(f).getLen).sum
-        }.sum
-      } catch { case _: Exception => Long.MaxValue } // unknown -> pessimistic
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(bytes)
+      java.util.OptionalLong.of(totalBytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 

@@ -138,6 +138,54 @@ class DedupSimilaritySpec extends SparkSpec {
       s"centroid assignment must not shuffle the corpus: $shuffles")
   }
 
+  test("kmeans ignores a zero-norm centroid instead of letting NaN capture the corpus") {
+    // vec 0 is all-zero: under NaN-wins argmax every row would land on
+    // centroid 0 (cosine NaN everywhere); training must instead behave
+    // like the old (1-cos) ASC window, where NaN ranked last
+    val emb = Seq(
+      (0L, Seq(0.0, 0.0)),                       // zero-norm: becomes centroid 0
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.9, 0.1)), (3L, Seq(0.8, 0.2)),
+      (4L, Seq(-1.0, 0.0)), (5L, Seq(-0.9, -0.1))
+    ).toDF("vec_id", "embedding")
+    val trained = Similarity.kmeans(emb, "vec_id", "embedding", k = 2, iterations = 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // centroid 0 keeps its zero seed (cosine undefined against every row
+    // -> attracts nothing); the live centroid absorbs all five real
+    // vectors, mean (0.16, 0.04) — and nothing is NaN-poisoned
+    assert(trained(0) == Seq(0.0, 0.0), "zero-norm centroid must not move")
+    assert(trained(1).zip(Seq(0.16, 0.04)).forall { case (a, e) =>
+      math.abs(a - e) < 1e-9 }, s"live centroid must train sanely: ${trained(1)}")
+    assert(trained.values.flatten.forall(v => !v.isNaN))
+  }
+
+  test("withNearest: broadcast path matches the literal fold under both NaN modes") {
+    // null, zero-norm, and NaN-element rows force the edge semantics
+    // through both paths
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.0, 0.0)),                     // zero-norm -> cosine undefined (null)
+      (3L, null.asInstanceOf[Seq[Double]]),    // null embedding
+      (4L, Seq(Double.NaN, 1.0))               // NaN element -> NaN cosine
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0)))
+      .toDF("c_id", "embedding")
+    for (nanWins <- Seq(true, false)) {
+      def run(limit: Int) =
+        Similarity.withNearest(emb, centroids, "embedding", "c_id",
+          literalLimit = limit, nanWins = nanWins)
+          .select($"vec_id", $"__list").as[(Long, Int)].collect().toMap
+      val viaLiteral = run(Similarity.LiteralCentroidDoubles)
+      val viaBroadcast = run(0)
+      assert(viaLiteral == viaBroadcast,
+        s"paths diverged at nanWins=$nanWins: $viaLiteral vs $viaBroadcast")
+      assert(viaLiteral(3L) == -1, "null embedding keeps the sentinel")
+      assert(viaLiteral(2L) == -1, "zero-norm: undefined cosine never wins")
+      if (nanWins) assert(viaLiteral(4L) == 0, "NaN-wins: first centroid id")
+      else assert(viaLiteral(4L) == -1, "NaN never wins: sentinel")
+    }
+  }
+
   test("withNearest: broadcast mapPartitions path matches the literal fold") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val centroids = emb.filter($"vec_id" < 16).select($"vec_id".as("c_id"), $"embedding")

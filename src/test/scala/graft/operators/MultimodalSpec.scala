@@ -117,6 +117,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).isNullAt(2))
   }
 
+  test("JdkWavDecoder: 24-bit PCM keeps the significant bytes, not the low ones") {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 24, 1, true, false)
+    val n = 100
+    val raw = new Array[Byte](n * 3)
+    // every sample = 0x123456 (little-endian bytes 56 34 12) ->
+    // significant 16 bits = 0x1234
+    var i = 0
+    while (i < n) {
+      raw(3 * i) = 0x56; raw(3 * i + 1) = 0x34; raw(3 * i + 2) = 0x12
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val d = Multimodal.JdkWavDecoder.decode(bos.toByteArray)
+    assert(d.frames == n && d.samples.forall(_ == 0x1234),
+      s"expected 0x1234 samples, got ${d.samples.take(3).map(_.toHexString).toSeq}")
+  }
+
   test("JdkWavDecoder + audioFeatures: PCM WAV recovers rate/frames/amplitude") {
     val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 2, true, false)
     val n = 1600 // frames; stereo -> 3200 samples

@@ -253,6 +253,17 @@ class EsScrollSourceSpec extends SparkSpec {
     }
   }
 
+  test("TopN on a string key is refused (text fields can't sort server-side)") {
+    withServer() { server =>
+      val df = read(server).orderBy($"name").limit(5)
+      val scan = pushedScan(df)
+      assert(scan.pushedSort.isEmpty && scan.pushedLimit.isEmpty,
+        "string sort keys must keep the scroll path")
+      assert(df.select($"name").as[String].collect().toSeq ==
+        (0 until 23).map(i => s"doc$i").sorted.take(5))
+    }
+  }
+
   test("bare limit pushdown: one search of n hits, no scroll") {
     withServer() { server =>
       val df = read(server).limit(4)

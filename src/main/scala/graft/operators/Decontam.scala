@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Benchmark decontamination: flag (and drop) training documents that
+  * overlap a held-out evaluation set by shared word n-grams — the
+  * standard "13-gram overlap" check run before any LLM training job.
+  *
+  * Scale shape (the IVF/withNearest pattern applied to text): the
+  * benchmark side of a decontamination run is megabytes (eval sets),
+  * the corpus side is the 100 TB. So the benchmark's distinct grams are
+  * collected once, bounded, and the corpus-side check is a fully NARROW
+  * `array_intersect` against a literal — zero shuffles, zero joins, the
+  * corpus never moves. Past [[LiteralGramLimit]] the same semantics run
+  * as a broadcast-hash join + per-doc count (one small post-join
+  * aggregation; the corpus still never shuffles its full width).
+  */
+object Decontam {
+
+  /** Above this many benchmark grams the literal-array form would bloat
+    * every task's serialized plan; switch to the broadcast-join form. */
+  private[operators] val LiteralGramLimit: Int = 1 << 16
+
+  /** Distinct word `n`-grams of one text column; null text counts as a
+    * gram-less document (empty array), so sizes never go -1-on-null. */
+  private def gramSet(textCol: Column, n: Int): Column =
+    coalesce(array_distinct(Text.shingles(Text.tokens(textCol), n)),
+      array().cast("array<string>"))
+
+  /** Per-document overlap stats against `benchmark`:
+    * `n_grams` (distinct grams in the doc), `matched` (of those, how many
+    * appear anywhere in the benchmark), `contamination` (= matched /
+    * n_grams, 0.0 for gram-less docs), `contaminated`
+    * (contamination > `threshold`). Input columns are preserved.
+    */
+  def overlapStats(corpus: DataFrame, benchmark: DataFrame,
+                   textCol: String, idCol: String,
+                   n: Int = 13, threshold: Double = 0.01,
+                   literalLimit: Int = LiteralGramLimit): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchGrams = benchmark
+      .select(explode(gramSet(col(textCol), n)).as("__gram"))
+      .distinct()
+
+    val withGrams = corpus.withColumn("__grams", gramSet(col(textCol), n))
+
+    // Pre-compute the decision on the benchmark (small by contract): if it
+    // fits the literal budget, the corpus-side plan is narrow end-to-end.
+    val grams: Array[String] =
+      benchGrams.limit(literalLimit + 1).as[String](spark.implicits.newStringEncoder)
+        .collect()
+
+    val counted =
+      if (grams.length <= literalLimit) {
+        withGrams
+          .withColumn("__n_grams", size(col("__grams")))
+          .withColumn("__matched",
+            size(array_intersect(col("__grams"), lit(grams))))
+      } else {
+        // General form: explode corpus grams, broadcast-join the benchmark
+        // grams, count matches per doc, stitch back by id. The only corpus
+        // shuffle is the final id join; everything upstream of it carries
+        // (id, gram) pairs, not document text.
+        val matched = withGrams
+          .select(col(idCol), explode(col("__grams")).as("__gram"))
+          .join(broadcast(benchGrams), "__gram")
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("__matched"))
+        withGrams
+          .withColumn("__n_grams", size(col("__grams")))
+          .join(matched, Seq(idCol), "left")
+          .withColumn("__matched", coalesce(col("__matched"), lit(0L)))
+      }
+
+    counted
+      .withColumn("n_grams", col("__n_grams").cast("long"))
+      .withColumn("matched", col("__matched").cast("long"))
+      .withColumn("contamination",
+        when(col("n_grams") > 0, col("matched").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("contamination") > threshold)
+      .drop("__grams", "__n_grams", "__matched")
+  }
+
+  /** The filtering form: corpus minus contaminated documents. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 13, threshold: Double = 0.01): DataFrame =
+    overlapStats(corpus, benchmark, textCol, idCol, n, threshold)
+      .filter(!col("contaminated"))
+      .drop("n_grams", "matched", "contamination", "contaminated")
+}

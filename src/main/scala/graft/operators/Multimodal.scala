@@ -304,4 +304,89 @@ object Multimodal {
       logFailures(mapped, "audioFeatures", () => failed)
     }(Encoders.row(out))
   }
+
+  case class DecodedFrame(index: Int, width: Int, height: Int, mean: Double)
+
+  /** Codec seam for multi-frame (video-like) containers. `sample` returns
+    * the container's total frame count plus every `stride`-th frame's
+    * features, frame 0 always included. */
+  trait FrameDecoder extends Serializable {
+    def sample(bytes: Array[Byte], stride: Int): (Int, Seq[DecodedFrame])
+  }
+
+  /** Real multi-frame decode on the JDK's ImageIO reader API — animated
+    * GIF is the JDK-native multi-frame container (no external
+    * dependency); any registered multi-image reader works the same way.
+    * Frame mean is over sRGB R,G,B (alpha ignored), matching
+    * [[imageFeatures]]' intensity convention. Throws on payloads no
+    * reader claims; [[frameFeatures]] catches and nulls. */
+  object JdkFrameDecoder extends FrameDecoder {
+    def sample(bytes: Array[Byte], stride: Int): (Int, Seq[DecodedFrame]) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          throw new IllegalArgumentException("no codec claims this payload")
+        val reader = readers.next()
+        reader.setInput(iis, false, true)
+        try {
+          val n = reader.getNumImages(true) // allowSearch: count by scan
+          val frames = (0 until n by stride).map { i =>
+            val img = reader.read(i)
+            val w = img.getWidth
+            val h = img.getHeight
+            val argbs = img.getRGB(0, 0, w, h, null, 0, w)
+            var sum = 0L
+            var p = 0
+            while (p < argbs.length) {
+              val a = argbs(p)
+              sum += ((a >> 16) & 0xff) + ((a >> 8) & 0xff) + (a & 0xff)
+              p += 1
+            }
+            DecodedFrame(i, w, h,
+              if (argbs.isEmpty) 0.0 else sum.toDouble / (argbs.length * 3L))
+          }
+          (n, frames)
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+  }
+
+  /** Frame-sampling stage: explodes each video-like payload into one row
+    * per sampled frame (every `stride`-th, frame 0 included), appending
+    * `frame_count`, `frame_idx`, `frame_width`, `frame_height`,
+    * `frame_mean`. Null or undecodable payload keeps ONE row with null
+    * features, so no document silently disappears (same log-and-null
+    * contract as [[imageFeatures]]). Narrow flatMap through the same
+    * one-decoder-per-partition seam; at scale the row expansion stays
+    * inside the partition — decoded pixels never cross a shuffle. */
+  def frameFeatures(df: DataFrame, binCol: String, stride: Int = 1,
+                  decoder: FrameDecoder = JdkFrameDecoder): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val out = df.schema
+      .add("frame_count", IntegerType)
+      .add("frame_idx", IntegerType)
+      .add("frame_width", IntegerType)
+      .add("frame_height", IntegerType)
+      .add("frame_mean", DoubleType)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      var failed = 0L
+      val mapped = rows.flatMap { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val decoded =
+          if (bytes == null) None
+          else try Some(decoder.sample(bytes, stride))
+               catch { case _: Exception => failed += 1; None }
+        decoded match {
+          case None => Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null)))
+          case Some((count, frames)) =>
+            frames.map(f => Row.fromSeq(r.toSeq ++
+              Seq[Any](count, f.index, f.width, f.height, f.mean)))
+        }
+      }
+      logFailures(mapped, "frameFeatures", () => failed)
+    }(Encoders.row(out))
+  }
 }

@@ -287,6 +287,39 @@ object CoerceOps {
     bos.toByteArray
   }
 
+  /** Deterministic animated GIF via the JDK encoder: frame f is solid
+    * gray `grays(f)`, size w×h. An explicit 256-gray IndexColorModel
+    * palette makes the round-trip exact (GIF stores the palette
+    * verbatim; no quantization can move the values). Geometry matters:
+    * the JDK codec zeroes the last row of certain small wide images
+    * (5×4, 7×3, 16×2, ...) — the sizes used by q71 round-trip
+    * losslessly (verified empirically in MultimodalSpec). */
+  private def gifBytes(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    grays.foreach { g =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, g); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
   /** Deterministic constant-amplitude 16-bit mono PCM WAV at 8 kHz. */
   private def wavBytes(n: Int, amp: Short): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
@@ -370,6 +403,39 @@ object CoerceOps {
       |  (6, NULL, NULL, NULL, NULL, NULL), (7, NULL, NULL, NULL, NULL, NULL)
       |) AS t(clip_id, rate, ch, frames, dur, amp)""".stripMargin
 
+  // -- q71: video-style frame sampling (REAL multi-frame decode: animated
+  // GIF through ImageIO's multi-image reader API). Every 2nd frame of
+  // each container explodes to its own row; gray values round-trip the
+  // indexed palette exactly, so the oracle is ground-truth VALUES.
+  // Unreadable and null payloads keep one null-feature row each.
+  private val q71: Q = (s, dir) => {
+    import s.implicits._
+    val fixtures: Seq[(Long, Array[Byte])] = Seq(
+      (1L, gifBytes(w = 12, h = 10, grays = Seq(10, 60, 110, 160, 210))),
+      (2L, gifBytes(w = 9, h = 9, grays = Seq(5, 45, 85, 125))),
+      (3L, gifBytes(w = 6, h = 6, grays = Seq(200))),
+      (4L, Array[Byte](7, 7, 7)),               // unreadable -> null features
+      (5L, null.asInstanceOf[Array[Byte]]))     // null payload -> null features
+    val df = fixtures.toDF("vid_id", "payload").repartition(3)
+    Multimodal.frameFeatures(df, "payload", stride = 2)
+      .select($"vid_id",
+        $"frame_count".cast("long").as("frame_count"),
+        $"frame_idx".cast("long").as("frame_idx"),
+        $"frame_width".cast("long").as("frame_width"),
+        $"frame_height".cast("long").as("frame_height"),
+        $"frame_mean")
+  }
+  private val q71Sql =
+    """SELECT CAST(vid_id AS BIGINT) AS vid_id, CAST(n AS BIGINT) AS frame_count,
+      |  CAST(i AS BIGINT) AS frame_idx, CAST(w AS BIGINT) AS frame_width,
+      |  CAST(h AS BIGINT) AS frame_height, CAST(m AS DOUBLE) AS frame_mean
+      |FROM (VALUES
+      |  (1, 5, 0, 12, 10, 10.0), (1, 5, 2, 12, 10, 110.0), (1, 5, 4, 12, 10, 210.0),
+      |  (2, 4, 0, 9, 9, 5.0), (2, 4, 2, 9, 9, 85.0),
+      |  (3, 1, 0, 6, 6, 200.0),
+      |  (4, NULL, NULL, NULL, NULL, NULL), (5, NULL, NULL, NULL, NULL, NULL)
+      |) AS t(vid_id, n, i, w, h, m)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_lenient_long" -> q40,
     "q41_lenient_timestamp" -> q41,
@@ -385,6 +451,7 @@ object CoerceOps {
     "q55_ndjson_roundtrip" -> q55,
     "q67_imageio_decode" -> q67,
     "q68_wav_decode" -> q68,
+    "q71_gif_frame_sample" -> q71,
   )
 
   val oracle: Map[String, String] = Map(
@@ -402,5 +469,6 @@ object CoerceOps {
     "q55_ndjson_roundtrip" -> q55Sql,
     "q67_imageio_decode" -> q67Sql,
     "q68_wav_decode" -> q68Sql,
+    "q71_gif_frame_sample" -> q71Sql,
   )
 }

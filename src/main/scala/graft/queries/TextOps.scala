@@ -401,6 +401,74 @@ object TextOps {
       |  count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM b GROUP BY 1""".stripMargin
 
+  // -- q69: benchmark decontamination — per-doc n-gram overlap against a
+  // held-out "benchmark" slice (doc_id % 97 == 0, excluded from the
+  // corpus side). The Spark plan is the NARROW literal-array-intersect
+  // form (operators.Decontam; zero shuffles); the oracle recomputes the
+  // same stats via unnest + join + group-by — a cross-formulation check.
+  // 3-grams (not the production 13) so the synthetic word-soup corpus
+  // actually produces a contamination distribution worth checking.
+  private val q69: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    val bench = d.filter($"doc_id" % 97 === 0)
+    graft.operators.Decontam.overlapStats(
+      d.filter($"doc_id" % 97 =!= 0), bench,
+      textCol = "text", idCol = "doc_id", n = 3, threshold = 0.05)
+      .select($"doc_id", $"n_grams", $"matched", $"contamination", $"contaminated")
+  }
+  private val q69Sql = {
+    val tk = dTok
+    s"""WITH bench_grams AS (
+       |  SELECT DISTINCT unnest(${dShingles(tk, 3)}) AS gram
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |corpus AS (
+       |  SELECT doc_id, list_distinct(${dShingles(tk, 3)}) AS grams
+       |  FROM documents WHERE doc_id % 97 <> 0),
+       |m AS (
+       |  SELECT c.doc_id, count(*) AS matched
+       |  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+       |  JOIN bench_grams b USING (gram) GROUP BY 1)
+       |SELECT c.doc_id, len(c.grams)::BIGINT AS n_grams,
+       |  COALESCE(m.matched, 0)::BIGINT AS matched,
+       |  CASE WHEN len(c.grams) > 0
+       |    THEN COALESCE(m.matched, 0) / len(c.grams)::DOUBLE ELSE 0.0 END
+       |    AS contamination,
+       |  CASE WHEN len(c.grams) > 0
+       |    THEN COALESCE(m.matched, 0) / len(c.grams)::DOUBLE ELSE 0.0 END > 0.05
+       |    AS contaminated
+       |FROM corpus c LEFT JOIN m ON c.doc_id = m.doc_id""".stripMargin
+  }
+
+  // -- q70: intra-doc repetition signals (Gopher-style dup/top n-gram
+  // fractions). Spark side is the zero-shuffle sorted-run fold
+  // (operators.Repetition); the oracle is the explode + two-level
+  // group-by formulation — again a genuine cross-formulation
+  // differential. Fractions are raw IEEE divisions of the same integers
+  // on both engines, so they hash-match without rounding.
+  private val q70: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Repetition.signals(docs(s, dir), "text", n = 3)
+      .select($"doc_id", $"total_grams", $"distinct_grams",
+        $"dup_fraction", $"top_fraction")
+  }
+  private val q70Sql = {
+    val tk = dTok
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(${dShingles(tk, 3)}) AS gram FROM documents),
+       |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+       |st AS (SELECT doc_id, sum(cnt) AS total, count(*) AS dst, max(cnt) AS mx
+       |       FROM c GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(st.total, 0)::BIGINT AS total_grams,
+       |  COALESCE(st.dst, 0)::BIGINT AS distinct_grams,
+       |  CASE WHEN st.total > 0
+       |    THEN (st.total - st.dst) / st.total::DOUBLE ELSE 0.0 END AS dup_fraction,
+       |  CASE WHEN st.total > 0
+       |    THEN st.mx / st.total::DOUBLE ELSE 0.0 END AS top_fraction
+       |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -417,6 +485,8 @@ object TextOps {
     "q64_prep_pipeline" -> q64,
     "q65_seq_packing" -> q65,
     "q66_corpus_mix" -> q66,
+    "q69_decontaminate" -> q69,
+    "q70_repetition_signals" -> q70,
   )
 
   val oracle: Map[String, String] = Map(
@@ -435,5 +505,7 @@ object TextOps {
     "q64_prep_pipeline" -> q64Sql,
     "q65_seq_packing" -> q65Sql,
     "q66_corpus_mix" -> q66Sql,
+    "q69_decontaminate" -> q69Sql,
+    "q70_repetition_signals" -> q70Sql,
   )
 }

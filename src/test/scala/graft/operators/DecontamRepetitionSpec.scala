@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Decontamination and intra-doc repetition: hand-computable fixtures,
+  * differential between the narrow literal path and the general
+  * broadcast-join path, and plan pins for the zero-shuffle claims. */
+class DecontamRepetitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    // doc 1: fully inside the benchmark text (contaminated)
+    (1L, "the quick brown fox jumps"),
+    // doc 2: one shared 3-gram ("quick brown fox") of its four
+    (2L, "a very quick brown fox runs home"),
+    // doc 3: disjoint
+    (3L, "completely unrelated words entirely"),
+    // doc 4: too short for a 3-gram
+    (4L, "too short"),
+    // doc 5: null text
+    (5L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+
+  private val benchmark = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  test("overlapStats: hand-computed overlap, gram-less docs score 0") {
+    val out = Decontam.overlapStats(corpus, benchmark, "text", "doc_id",
+        n = 3, threshold = 0.5)
+      .select($"doc_id", $"n_grams", $"matched", $"contamination", $"contaminated")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((3L, 3L, 1.0, true)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((5L, 1L, 0.2, false)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((2L, 0L, 0.0, false)))
+    assert(out(4L) == ((0L, 0L, 0.0, false)), "short doc must score 0, not null")
+    assert(out(5L) == ((0L, 0L, 0.0, false)), "null text must score 0, not null")
+  }
+
+  test("overlapStats: literal-intersect path == broadcast-join path") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val bench = docs.filter($"doc_id" % 7 === 0)
+    val rest = docs.filter($"doc_id" % 7 =!= 0)
+    def run(limit: Int) =
+      Decontam.overlapStats(rest, bench, "text", "doc_id", n = 3,
+          threshold = 0.05, literalLimit = limit)
+        .select($"doc_id", $"matched", $"n_grams").as[(Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val viaLiteral = run(Decontam.LiteralGramLimit)
+    val viaJoin = run(0)
+    assert(viaLiteral.nonEmpty && viaLiteral == viaJoin)
+    assert(viaLiteral.exists(_._2 > 0), "fixture should produce some overlap")
+  }
+
+  test("plan: literal decontamination path never shuffles the corpus") {
+    val out = Decontam.overlapStats(corpus, benchmark, "text", "doc_id", n = 3)
+    val shuffles = collectPlan(out.queryExecution.executedPlan) {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty, s"expected a fully narrow plan: $shuffles")
+  }
+
+  test("decontaminate drops exactly the flagged documents") {
+    val kept = Decontam.decontaminate(corpus, benchmark, "text", "doc_id",
+        n = 3, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("repetition signals: hand-computed runs, zero-shuffle plan") {
+    val df = Seq(
+      // 3-grams: [a b a, b a b, a b a, b a b, a b c] -> total 5, distinct
+      // 3, dups 2/5, top "a b a"=2 -> 2/5
+      (1L, "a b a b a b c"),
+      // grams [x y x, y x y, x y x] -> total 3, distinct 2,
+      // dup 1/3, top 2/3
+      (2L, "x y x y x"),
+      // no repeats
+      (3L, "one two three four"),
+      (4L, "too short"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Repetition.signals(df, "text", n = 3)
+      .select($"doc_id", $"total_grams", $"distinct_grams",
+        $"dup_fraction", $"top_fraction")
+    val m = out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(m(1L) == ((5L, 3L, 0.4, 0.4)), s"doc1: ${m(1L)}")
+    assert(m(2L) == ((3L, 2L, 1.0 / 3, 2.0 / 3)), s"doc2: ${m(2L)}")
+    assert(m(3L) == ((2L, 2L, 0.0, 0.5)))
+    assert(m(4L) == ((0L, 0L, 0.0, 0.0)))
+    assert(m(5L) == ((0L, 0L, 0.0, 0.0)))
+    val shuffles = collectPlan(out.queryExecution.executedPlan) {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty, s"repetition scoring must be narrow: $shuffles")
+  }
+
+  test("Repetition.filter keeps docs under both ceilings") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),   // top_fraction 1.0 -> dropped
+      (2L, "assorted words with no repeats at all")
+    ).toDF("doc_id", "text")
+    val kept = Repetition.filter(df, "text", n = 3).select($"doc_id")
+      .as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+  }
+}

@@ -168,4 +168,60 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).getDouble(6) == 1234.0)
     assert(out(2L).isNullAt(2))
   }
+
+  /** Animated GIF of solid-gray frames over an explicit 256-gray palette
+    * (exact round-trip; no quantization can move values). Geometry must
+    * dodge a JDK codec quirk: small wide images (e.g. 5×4, 16×2) come
+    * back with their last row zeroed; the sizes used here round-trip
+    * losslessly (verified empirically). */
+  private def animatedGif(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    grays.foreach { g =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(g, g, g))
+      gr.fillRect(0, 0, w, h)
+      gr.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("JdkFrameDecoder: frame count, stride sampling, exact gray means") {
+    val gif = animatedGif(8, 8, Seq(10, 70, 130, 190, 250, 255, 0))
+    val (n, frames) = Multimodal.JdkFrameDecoder.sample(gif, stride = 3)
+    assert(n == 7)
+    assert(frames.map(f => (f.index, f.width, f.height, f.mean)) ==
+      Seq((0, 8, 8, 10.0), (3, 8, 8, 190.0), (6, 8, 8, 0.0)))
+    val (_, all) = Multimodal.JdkFrameDecoder.sample(gif, stride = 1)
+    assert(all.map(_.mean) == Seq(10.0, 70.0, 130.0, 190.0, 250.0, 255.0, 0.0))
+    intercept[Exception](Multimodal.JdkFrameDecoder.sample(Array[Byte](1), 1))
+  }
+
+  test("frameFeatures: per-frame rows, null contract, distributed") {
+    val df = Seq(
+      (1L, animatedGif(12, 10, Seq(20, 40, 60, 80))),
+      (2L, animatedGif(6, 6, Seq(200))),
+      (3L, Array[Byte](9, 9)),                   // undecodable
+      (4L, null.asInstanceOf[Array[Byte]]))      // null payload
+      .toDF("vid_id", "payload").repartition(3)
+    val rows = Multimodal.frameFeatures(df, "payload", stride = 2).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null
+        else (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getDouble(6))))
+    val byVid = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byVid(1L) == Set((4, 0, 12, 10, 20.0), (4, 2, 12, 10, 60.0)))
+    assert(byVid(2L) == Set((1, 0, 6, 6, 200.0)))
+    assert(byVid(3L) == Set(null), "undecodable keeps one null-feature row")
+    assert(byVid(4L) == Set(null), "null payload keeps one null-feature row")
+  }
 }

@@ -102,35 +102,49 @@ object Dedup {
       .union(directed.select(col("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint() // probed every round; compute the pair scan once
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    // initial labels fall out of the (distinct) self-loops for free —
+    // every node appears as a self-loop src, so this is a narrow filter
+    // over the checkpointed edges: no extra distinct, no extra job
+    var labels = edges.where(col("src") === col("dst"))
+      .select(col("src").as("node"), col("src").as("label"))
     // labels only ever decrease, so the label total is a strictly
-    // decreasing convergence witness: one agg job per round instead of a
-    // join+count of old vs new (decimal sum — ids can be near Long.Max)
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO) // empty pair list
-    var prevSum = labelSum(labels)
+    // decreasing convergence witness (decimal sum — ids can be near
+    // Long.Max). The per-round sum rides the checkpoint job as an
+    // Observation instead of costing its own aggregation job, so a round
+    // is exactly ONE job.
+    def decimalSum(row: org.apache.spark.sql.Row): java.math.BigDecimal =
+      if (row.isNullAt(0)) java.math.BigDecimal.ZERO // empty pair list
+      else row.getDecimal(0)
+    var prevSum = decimalSum(
+      labels.agg(sum(col("label").cast("decimal(38,0)"))).head)
     var converged = false
     var round = 0
     while (!converged && round < maxIters) {
-      labels = labels.join(edges, col("node") === col("src"))
+      var next = labels.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), col("label"))
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
       if (round >= escalateAfter) {
         // pointer jumping: a label is always some node in the same
         // component, so label-of-label is too; left join + coalesce keeps
-        // the invariant total (every label resolves — it IS a node id)
-        labels = labels.as("l1")
-          .join(labels.as("l2"), col("l1.label") === col("l2.node"), "left")
+        // the invariant total (every label resolves — it IS a node id).
+        // Fused into the same round plan: the propagate subplan appears
+        // on both sides of the self-join and ReuseExchange computes its
+        // shuffle once, so an escalated round still checkpoints once.
+        next = next.as("l1")
+          .join(next.as("l2"), col("l1.label") === col("l2.node"), "left")
           .select(col("l1.node").as("node"),
             least(col("l1.label"),
               coalesce(col("l2.label"), col("l1.label"))).as("label"))
-          .localCheckpoint()
       }
-      val s = labelSum(labels)
+      val obs = org.apache.spark.sql.Observation()
+      labels = next
+        .observe(obs, sum(col("label").cast("decimal(38,0)")).as("s"))
+        .localCheckpoint()
+      val s = obs.get("s") match {
+        case null => java.math.BigDecimal.ZERO // empty pair list
+        case d: java.math.BigDecimal => d
+        case other => new java.math.BigDecimal(other.toString)
+      }
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       round += 1

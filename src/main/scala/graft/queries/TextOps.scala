@@ -469,6 +469,53 @@ object TextOps {
        |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin
   }
 
+  // -- q72: PII scrubbing (operators.Scrub) — emails/IPs/phones replaced
+  // with placeholder tokens plus audit counts, all codegen'd
+  // regexp_replace/regexp_count within the RE2-compatible subset so the
+  // oracle reproduces the exact rewrite. The fixtures synthesize PII
+  // deterministically per doc (the word-soup corpus has none). --
+  private val q72: Q = (s, dir) => {
+    import s.implicits._
+    val id = $"doc_id".cast("string")
+    val aug = docs(s, dir).select($"doc_id",
+      concat($"text",
+        lit(" mail u"), id, lit("@ex.org"),
+        when($"doc_id" % 3 === 0,
+          concat(lit(" ip 10.1.2."), ($"doc_id" % 250).cast("string")))
+          .otherwise(lit("")),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" tel +1 202-555-0"),
+            lpad(($"doc_id" % 100).cast("string"), 3, "0")))
+          .otherwise(lit(""))).as("text"))
+    graft.operators.Scrub.scrubPii(aug, "text")
+      .select($"doc_id", $"text".as("scrubbed"),
+        $"n_emails".cast("long").as("n_emails"),
+        $"n_ips".cast("long").as("n_ips"),
+        $"n_phones".cast("long").as("n_phones"))
+  }
+  private val q72Sql = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val phone = "(\\+?\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}\\b"
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text || ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org'
+       |    || CASE WHEN doc_id % 3 = 0
+       |         THEN ' ip 10.1.2.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN ' tel +1 202-555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+       |         ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+       |    '$phone', '<PHONE>', 'g') AS scrubbed,
+       |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones
+       |FROM aug""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -487,6 +534,7 @@ object TextOps {
     "q66_corpus_mix" -> q66,
     "q69_decontaminate" -> q69,
     "q70_repetition_signals" -> q70,
+    "q72_pii_scrub" -> q72,
   )
 
   val oracle: Map[String, String] = Map(
@@ -507,5 +555,6 @@ object TextOps {
     "q66_corpus_mix" -> q66Sql,
     "q69_decontaminate" -> q69Sql,
     "q70_repetition_signals" -> q70Sql,
+    "q72_pii_scrub" -> q72Sql,
   )
 }

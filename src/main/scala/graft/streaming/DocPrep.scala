@@ -29,7 +29,8 @@ object DocPrep {
 
   def prep(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
            tsCol: String = "ingest_ts", watermarkDelay: String = "1 hour",
-           minTokens: Int = 10, minTtr: Double = 0.2): DataFrame = {
+           minTokens: Int = 10, minTtr: Double = 0.2,
+           maxDupFraction: Double = 0.75, maxTopFraction: Double = 0.5): DataFrame = {
     val fingerprinted = docs.withColumn("__fp", Text.fingerprint(col(textCol)))
     // dropDuplicatesWithinWatermark exists only in streaming plans; the
     // batch twin keeps the earliest-tsCol row per fingerprint — the same
@@ -41,7 +42,12 @@ object DocPrep {
           .dropDuplicatesWithinWatermark("__fp")
       else graft.operators.Dedup.exactByKey(fingerprinted, Seq("__fp"), tsCol)
     val scored = graft.operators.Quality.filter(deduped, textCol, minTokens, minTtr)
-    Splits.assign(scored, idCol)
+    // repetition gate: a zero-shuffle per-row fold (operators.Repetition),
+    // so it is valid mid-stream — same single definition as the batch form
+    val unrepetitive = graft.operators.Repetition.filter(
+      scored, textCol, maxDupFraction = maxDupFraction,
+      maxTopFraction = maxTopFraction)
+    Splits.assign(unrepetitive, idCol)
       .select(col(idCol), col(tsCol), col("n_tokens"), col("split"))
   }
 }

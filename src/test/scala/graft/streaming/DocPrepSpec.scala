@@ -25,7 +25,11 @@ class DocPrepSpec extends SparkSpec {
       (1L, goodText(1), ts(0)),
       (2L, goodText(2), ts(1)),
       (2L, goodText(2), ts(2)),     // in-horizon re-delivery -> dropped
-      (3L, "short text", ts(3)))    // under minTokens -> filtered
+      (3L, "short text", ts(3)),    // under minTokens -> filtered
+      // passes token count AND type-token ratio (6/30 = 0.2) but is a
+      // period-6 generation loop: 22 of 28 trigram occurrences are
+      // repeats (0.786 > 0.75) -> the repetition gate drops it
+      (5L, Seq.fill(5)("a b c d e f").mkString(" "), ts(4)))
       .toDF("doc_id", "text", "ingest_ts")
     val batch2 = Seq(
       (4L, goodText(4), ts(10)),
@@ -48,7 +52,7 @@ class DocPrepSpec extends SparkSpec {
 
     val streamed = spark.read.parquet(out)
     assert(streamed.select($"doc_id").as[Long].collect().sorted.toSeq ==
-      Seq(1L, 2L, 4L), "dups and low-quality rows must not pass")
+      Seq(1L, 2L, 4L), "dups, low-quality and repetitive rows must not pass")
     // Same code path, batch plan, same answer — compared on the winner-
     // invariant columns: WHICH duplicate survives is "any one" by
     // contract (a stream keeps the first row processed inside a

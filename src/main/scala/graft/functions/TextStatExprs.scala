@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd kernels for the per-document text statistics that
+  * the interpreted HOF forms make hot: repetition run-stats (q70) and
+  * gram overlap against a fixed benchmark set (q69's decontamination).
+  * Both shingle INSIDE the kernel (the [[HashOps.minhashBands]] lesson:
+  * `Text.shingles` is an interpreted `transform`+`slice`+`array_join`
+  * per gram, and dominates the wall time of anything that calls it per
+  * row). The composable built-ins forms stay in their operators as the
+  * spec; differential tests pin native == composable.
+  */
+object TextStatOps {
+
+  private val utf8Cmp = new java.util.Comparator[UTF8String] {
+    def compare(a: UTF8String, b: UTF8String): Int = a.compareTo(b)
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  /** Word `n`-gram shingles of a token array, space-joined — the native
+    * twin of `Text.shingles` (concatWs skips null tokens exactly like
+    * array_join). Empty when the doc has fewer than n tokens. */
+  private[functions] def shingleGrams(toks: ArrayData, n: Int): Array[UTF8String] = {
+    val m = toks.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0) return Array.empty
+    val ts = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      ts(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[UTF8String](cnt)
+    var j = 0
+    while (j < cnt) {
+      out(j) = UTF8String.concatWs(space, java.util.Arrays.copyOfRange(ts, j, j + n): _*)
+      j += 1
+    }
+    out
+  }
+
+  /** (total, distinct, max run) over the doc's `n`-gram multiset in one
+    * shingle + sort + scan. Counts are order-insensitive, so the binary
+    * UTF8 sort only needs to be *a* consistent ordering, not a
+    * collation. */
+  def repStats(toks: ArrayData, n: Int): InternalRow = {
+    val a = shingleGrams(toks, n)
+    java.util.Arrays.sort(a, utf8Cmp)
+    var distinct = 0L
+    var maxRun = 0L
+    var run = 0L
+    var j = 0
+    while (j < a.length) {
+      if (j == 0 || a(j).compareTo(a(j - 1)) != 0) { distinct += 1; run = 1L }
+      else run += 1L
+      if (run > maxRun) maxRun = run
+      j += 1
+    }
+    InternalRow(a.length.toLong, distinct, maxRun)
+  }
+
+  /** (distinct grams, distinct grams present in `bench`) for one doc —
+    * the per-row half of decontamination, one pass, one hash set of the
+    * doc's own grams. */
+  def gramOverlap(toks: ArrayData, n: Int,
+                  bench: java.util.HashSet[UTF8String]): InternalRow = {
+    val grams = shingleGrams(toks, n)
+    val seen = new java.util.HashSet[UTF8String](math.max(4, grams.length * 2))
+    var matched = 0L
+    var i = 0
+    while (i < grams.length) {
+      if (seen.add(grams(i)) && bench.contains(grams(i))) matched += 1L
+      i += 1
+    }
+    InternalRow(seen.size.toLong, matched)
+  }
+
+  /** Builds the shared benchmark-gram hash set from a constant array. */
+  private[functions] def buildSet(arr: Any): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    if (arr != null) {
+      val a = arr.asInstanceOf[ArrayData]
+      var i = 0
+      while (i < a.numElements()) {
+        if (!a.isNullAt(i)) s.add(a.getUTF8String(i).clone())
+        i += 1
+      }
+    }
+    s
+  }
+}
+
+/** array<string> tokens -> struct(total_grams, distinct_grams, max_run)
+  * over the doc's word `shingle`-grams: the q70 repetition statistics in
+  * one codegen'd call per row. */
+case class RepStats(child: Expression, shingle: Int) extends UnaryExpression {
+  require(shingle >= 1, "shingle size must be positive")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("total_grams", LongType, nullable = false),
+    StructField("distinct_grams", LongType, nullable = false),
+    StructField("max_run", LongType, nullable = false)))
+  override def prettyName: String = RepStats.name
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextStatOps.repStats(input.asInstanceOf[ArrayData], shingle)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatOps.repStats($c, $shingle)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepStats {
+  val name = "graft_rep_stats"
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[RepStats].getName, name),
+    (children: Seq[Expression]) => children(1) match {
+      case Literal(v: Int, IntegerType) => RepStats(children.head, v)
+      case other => throw new IllegalArgumentException(
+        s"$name: shingle size must be an integer literal, got $other")
+    })
+}
+
+/** (array<string> tokens, CONSTANT array<string> benchmark grams) ->
+  * struct(n_grams, matched): distinct `shingle`-grams of the doc and how
+  * many of them appear in the benchmark. The benchmark hash set is built
+  * ONCE per plan and shipped as a codegen reference object — not
+  * re-hashed per row the way `array_intersect` against a literal is. */
+case class GramOverlap(left: Expression, right: Expression, shingle: Int)
+    extends BinaryExpression {
+  require(shingle >= 1, "shingle size must be positive")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("matched", LongType, nullable = false)))
+  override def prettyName: String = GramOverlap.name
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) if right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, foldable array<string>), " +
+        s"got (${l.simpleString}, ${r.simpleString}${if (right.foldable) "" else ", non-foldable"})")
+  }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] =
+    TextStatOps.buildSet(right.eval(null))
+
+  protected override def nullSafeEval(a: Any, unused: Any): Any =
+    TextStatOps.gramOverlap(a.asInstanceOf[ArrayData], shingle, set)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("graftBenchGrams", set,
+      classOf[java.util.HashSet[UTF8String]].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.functions.TextStatOps.gramOverlap($a, $shingle, $setRef);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object GramOverlap {
+  val name = "graft_gram_overlap"
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[GramOverlap].getName, name),
+    (children: Seq[Expression]) => children(2) match {
+      case Literal(v: Int, IntegerType) => GramOverlap(children(0), children(1), v)
+      case other => throw new IllegalArgumentException(
+        s"$name: shingle size must be an integer literal, got $other")
+    })
+}

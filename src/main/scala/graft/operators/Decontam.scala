@@ -44,8 +44,6 @@ object Decontam {
       .select(explode(gramSet(col(textCol), n)).as("__gram"))
       .distinct()
 
-    val withGrams = corpus.withColumn("__grams", gramSet(col(textCol), n))
-
     // Pre-compute the decision on the benchmark (small by contract): if it
     // fits the literal budget, the corpus-side plan is narrow end-to-end.
     val grams: Array[String] =
@@ -54,15 +52,26 @@ object Decontam {
 
     val counted =
       if (grams.length <= literalLimit) {
-        withGrams
-          .withColumn("__n_grams", size(col("__grams")))
-          .withColumn("__matched",
-            size(array_intersect(col("__grams"), lit(grams))))
+        // One native codegen'd call per row (graft_gram_overlap): shingle,
+        // dedup, and count benchmark members in a single kernel pass. The
+        // benchmark hash set is built once per plan — NOT per row, the way
+        // `array_intersect` against a literal re-hashes its argument, and
+        // NOT through the interpreted `Text.shingles` HOF, which dominates
+        // wall time when evaluated per corpus row.
+        graft.functions.GraftFunctions.ensureRegistered(spark)
+        val toks = coalesce(Text.tokens(col(textCol)), array().cast("array<string>"))
+        corpus
+          .withColumn("__ov", call_function(graft.functions.GramOverlap.name,
+            toks, lit(grams), lit(n)))
+          .withColumn("__n_grams", col("__ov.n_grams"))
+          .withColumn("__matched", col("__ov.matched"))
+          .drop("__ov")
       } else {
         // General form: explode corpus grams, broadcast-join the benchmark
         // grams, count matches per doc, stitch back by id. The only corpus
         // shuffle is the final id join; everything upstream of it carries
         // (id, gram) pairs, not document text.
+        val withGrams = corpus.withColumn("__grams", gramSet(col(textCol), n))
         val matched = withGrams
           .select(col(idCol), explode(col("__grams")).as("__gram"))
           .join(broadcast(benchGrams), "__gram")
@@ -72,6 +81,7 @@ object Decontam {
           .withColumn("__n_grams", size(col("__grams")))
           .join(matched, Seq(idCol), "left")
           .withColumn("__matched", coalesce(col("__matched"), lit(0L)))
+          .drop("__grams")
       }
 
     counted

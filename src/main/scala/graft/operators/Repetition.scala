@@ -11,15 +11,17 @@ import graft.functions.Text
   * drop criteria in LLM data prep.
   *
   * Scale shape: each document is scored against ITS OWN grams only, so
-  * the whole operator is one narrow projection — sort the per-doc gram
-  * array and fold adjacent-run statistics out of it (distinct count, max
-  * run length) in a single O(d log d) pass per document. No explode, no
-  * groupBy, ZERO shuffles; at 100 TB this runs entirely map-side inside
-  * whole-stage-codegen input scans. (The equivalent explode +
+  * the whole operator is one narrow projection — a single codegen'd
+  * call per row (`graft_rep_stats`: sort the gram array, scan runs;
+  * O(d log d) per document) that stays inside whole-stage codegen. No
+  * explode, no groupBy, ZERO shuffles; at 100 TB this runs entirely
+  * map-side inside the input scans. (The equivalent explode +
   * groupBy(doc, gram) form shuffles one row per gram occurrence — n×
   * row amplification for no benefit when the aggregation never crosses
   * documents. The DuckDB oracle uses exactly that form, which makes the
-  * check a genuine cross-formulation differential.)
+  * check a genuine cross-formulation differential; the interpreted HOF
+  * fold in [[signalsComposable]] is a second witness, pinned equal by
+  * DecontamRepetitionSpec.)
   */
 object Repetition {
 
@@ -29,6 +31,24 @@ object Repetition {
     * Gram-less documents (under `n` tokens or null text) score 0.0.
     */
   def signals(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    // the kernel shingles internally; null text scores as a gram-less doc
+    val toks = coalesce(Text.tokens(col(textCol)), array().cast("array<string>"))
+    df.withColumn("__st", call_function(graft.functions.RepStats.name, toks, lit(n)))
+      .withColumn("__total", col("__st.total_grams"))
+      .withColumn("total_grams", col("__total"))
+      .withColumn("distinct_grams", col("__st.distinct_grams"))
+      .withColumn("dup_fraction", fractionOf(col("__total") - col("__st.distinct_grams")))
+      .withColumn("top_fraction", fractionOf(col("__st.max_run")))
+      .drop("__st", "__total")
+  }
+
+  /** The built-ins-only form of [[signals]] — sort the per-doc gram
+    * array, fold adjacent-run statistics out of it with the `aggregate`
+    * HOF. Same semantics, interpreted (HOFs don't codegen); kept as the
+    * portability fallback and the differential-test witness for the
+    * native kernel. */
+  def signalsComposable(df: DataFrame, textCol: String, n: Int = 3): DataFrame = {
     val sorted = sort_array(Text.shingles(Text.tokens(col(textCol)), n))
     // One fold, struct accumulator: (prev gram, current run, max run,
     // distinct so far). Sorted input makes equal grams adjacent, so runs

@@ -98,6 +98,17 @@ class DecontamRepetitionSpec extends SparkSpec {
     assert(shuffles.isEmpty, s"repetition scoring must be narrow: $shuffles")
   }
 
+  test("repetition: native kernel == composable HOF fold over the corpus") {
+    val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"total_grams", $"distinct_grams",
+          $"dup_fraction", $"top_fraction")
+        .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val native = snap(Repetition.signals(docs, "text"))
+    val composable = snap(Repetition.signalsComposable(docs, "text"))
+    assert(native.nonEmpty && native == composable)
+  }
+
   test("Repetition.filter keeps docs under both ceilings") {
     val df = Seq(
       (1L, "spam spam spam spam spam spam"),   // top_fraction 1.0 -> dropped

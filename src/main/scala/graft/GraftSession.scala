@@ -33,6 +33,12 @@ object GraftSession {
     // genuinely small dims while big joins stay sort-merge/shuffled-hash.
     .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     .config("spark.sql.parquet.compression.codec", "zstd")
+    // The generated-class cache defaults to 100 entries; a session running
+    // the full query suite compiles several hundred codegen units, so
+    // late queries thrash the cache and pay multi-second recompiles on
+    // every run (observed: identical queries swinging 0.7 s <-> 3.6 s run
+    // to run). The entries are compiled classes — cheap next to the heap.
+    .config("spark.sql.codegen.cache.maxEntries", "2000")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = tune(

@@ -134,12 +134,15 @@ object TextOps {
   // -- q64: the full training-data prep pipeline in one declarative plan:
   // exact dedup (fingerprint winners) -> near-dup pruning (only each
   // LSH-cluster's min-id representative survives) -> quality filter
-  // (token count + type-token ratio) -> content-addressed split. This is
-  // the workload the §2.3 operators exist for, composed end-to-end from
-  // the library ops (Dedup.exactByText, Dedup.clusters, Splits.assign) —
-  // Catalyst sees one plan and prunes/pushes across all four stages. The
-  // oracle rebuilds the same pipeline as SQL CTEs over the shared
-  // fragments, recursive closure included. --
+  // (token count + type-token ratio) -> repetition gate (dup/top n-gram
+  // ceilings, the same operators.Repetition the streaming DocPrep uses)
+  // -> content-addressed split. This is the workload the §2.3 operators
+  // exist for, composed end-to-end from the library ops — Catalyst sees
+  // one plan and prunes/pushes across all five stages. The oracle
+  // rebuilds the same pipeline as SQL CTEs over the shared fragments,
+  // recursive closure included; the repetition stage reuses q70's
+  // explode+group-by formulation, so native kernel == SQL is re-checked
+  // inside the composition too. --
   private val q64: Q = (s, dir) => {
     import s.implicits._
     val exact = graft.operators.Dedup.exactByText(docs(s, dir), "text", "doc_id")
@@ -147,7 +150,11 @@ object TextOps {
     val losers = clusters.where($"cluster" =!= $"node").select($"node".as("doc_id"))
     val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
     val scored = graft.operators.Quality.filter(deduped, "text")
-    graft.operators.Splits.assign(scored, "doc_id")
+    // repetition gate (same operator the streaming DocPrep uses);
+    // ceilings sized so it bites on this corpus (~p90 of top_fraction)
+    val unrep = graft.operators.Repetition.filter(scored, "text",
+      maxDupFraction = 0.05, maxTopFraction = 0.05)
+    graft.operators.Splits.assign(unrep, "doc_id")
       .select($"doc_id", $"n_tokens", $"split")
   }
   private val q64Sql =
@@ -174,12 +181,20 @@ object TextOps {
        |  FROM (SELECT doc_id, $dTok AS tk FROM documents) d
        |  JOIN survivors s ON d.doc_id = s.doc_id),
        |kept AS (SELECT doc_id, n_tokens FROM scored
-       |         WHERE n_tokens >= 10 AND ttr >= 0.2)
+       |         WHERE n_tokens >= 10 AND ttr >= 0.2),
+       |repg AS (SELECT doc_id, unnest(${dShingles(dTok, 3)}) AS gram FROM documents),
+       |repc AS (SELECT doc_id, gram, count(*) AS cnt FROM repg GROUP BY 1, 2),
+       |repst AS (SELECT doc_id, sum(cnt) AS total, count(*) AS dst, max(cnt) AS mx
+       |          FROM repc GROUP BY 1),
+       |unrep AS (
+       |  SELECT k.doc_id, k.n_tokens FROM kept k LEFT JOIN repst r USING (doc_id)
+       |  WHERE COALESCE((r.total - r.dst) / r.total::DOUBLE, 0.0) <= 0.05
+       |    AND COALESCE(r.mx / r.total::DOUBLE, 0.0) <= 0.05)
        |SELECT doc_id, n_tokens,
        |  CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END AS split
        |FROM (SELECT doc_id, n_tokens,
        |        TRY_CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bk
-       |      FROM kept)""".stripMargin
+       |      FROM unrep)""".stripMargin
 
   // -- q65: sequence packing — greedy first-fit token shards at a 2048
   // budget (the pre-tokenization shard layout for training data). Spark

@@ -283,4 +283,128 @@ object Similarity {
         Vectors.cosine(col("__q_emb"), col(embCol)).as("cos"))
     keepTopK(scored, idCol, k)
   }
+
+  /** Collected per-subspace codebooks: for each subspace (in order), the
+    * (code, sub-vector, ||sub-vector||²) entries sorted by code. Codes
+    * must be dense 0..k-1 per subspace (standard PQ — ADC lookup tables
+    * index by code). Bounded driver state, like the k-means centroids. */
+  private def collectCodebooks(codebooks: DataFrame, subspaceCol: String,
+      codeCol: String, vecCol: String): IndexedSeq[Array[(Int, Array[Double], Double)]] = {
+    val rows = codebooks
+      .select(col(subspaceCol).cast("int"), col(codeCol).cast("int"),
+        col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, "PQ needs a non-empty codebook")
+    val m = rows.map(_._1).max + 1
+    (0 until m).map { s =>
+      val entries = rows.filter(_._1 == s).sortBy(_._2)
+      require(entries.map(_._2).toSeq == (0 until entries.length),
+        s"PQ subspace $s: codes must be dense 0..k-1, got ${entries.map(_._2).toSeq}")
+      require(entries.map(_._3.length).distinct.length == 1,
+        s"PQ subspace $s: sub-vector lengths differ")
+      entries.map { case (_, c, v) =>
+        // left-to-right sum, matching the sequential dot-product fold the
+        // distance expansion pairs it with (bit-stable vs the oracle)
+        var n = 0.0
+        var i = 0
+        while (i < v.length) { n += v(i) * v(i); i += 1 }
+        (c, v, n)
+      }
+    }
+  }
+
+  /** Per-subspace staging: appends `__sub_s` (the contiguous sub-vector)
+    * and `__ss_s` (its self-dot) for each subspace — separate projections
+    * on purpose (CollapseProject keeps non-cheap aliases staged), so the
+    * slice and self-dot are computed once, not once per codebook entry. */
+  private def withPqStages(df: DataFrame, embCol: String,
+      cb: IndexedSeq[Array[(Int, Array[Double], Double)]]): DataFrame = {
+    val offsets = cb.scanLeft(0)((acc, e) => acc + e.head._2.length)
+    var out = df
+    cb.indices.foreach { s =>
+      out = out.withColumn(s"__sub_$s",
+        slice(col(embCol).cast("array<double>"), offsets(s) + 1, cb(s).head._2.length))
+    }
+    cb.indices.foreach { s =>
+      out = out.withColumn(s"__ss_$s", Vectors.dot(col(s"__sub_$s"), col(s"__sub_$s")))
+    }
+    out
+  }
+
+  /** Squared-L2 distance of the staged subspace `s` sub-vector to one
+    * codebook entry, via the expansion ||a||² − 2a·b + ||b||² — three
+    * sequential folds, so the oracle can reproduce the exact bits. */
+  private def pqDist(s: Int, e: Column): Column =
+    col(s"__ss_$s") - lit(2.0) * Vectors.dot(col(s"__sub_$s"), e.getField("_2")) +
+      e.getField("_3")
+
+  /** Product-quantization encode: splits `embCol` into the codebooks'
+    * contiguous subspaces and appends `pq_codes` — per subspace, the code
+    * of the nearest (squared-L2) codebook entry, ties to the smaller
+    * code. The 100 TB shape: the codebook is bounded driver state (like
+    * the k-means centroids), the argmin is a literal fold in the
+    * expression tree, and the corpus never shuffles — PQ codes for a
+    * petabyte corpus are a narrow map over the scan. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, embCol: String,
+               subspaceCol: String = "subspace", codeCol: String = "code",
+               vecCol: String = "vector"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cb = collectCodebooks(codebooks, subspaceCol, codeCol, vecCol)
+    var df = withPqStages(corpus, embCol, cb)
+    cb.zipWithIndex.foreach { case (entries, s) =>
+      val cbLit = typedlit(entries.toSeq.map { case (c, v, n) => (c, v.toSeq, n) })
+      val best = aggregate(cbLit,
+        struct(lit(-1).as("code"), lit(Double.MaxValue).as("d")),
+        (acc, e) => {
+          val d = pqDist(s, e)
+          when(d < acc.getField("d"),
+            struct(e.getField("_1").as("code"), d.as("d"))).otherwise(acc)
+        })
+      df = df.withColumn(s"__code_$s", best.getField("code"))
+    }
+    val tmp = cb.indices.flatMap(s => Seq(s"__sub_$s", s"__ss_$s", s"__code_$s"))
+    df.withColumn("pq_codes", array(cb.indices.map(s => col(s"__code_$s")): _*))
+      .drop(tmp: _*)
+  }
+
+  /** Approximate top-k neighbors by asymmetric distance computation over
+    * PQ codes: each query precomputes its m×k distance-lookup tables
+    * (driver-bounded, rides the broadcast), each corpus row's approximate
+    * distance is m table lookups summed — never a full-dimension dot per
+    * pair — and the final top-k is the k-bounded heap aggregate. Corpus
+    * rows carry only their codes past the encode stage: at 100 TB the
+    * shuffle carries queries×k rows and the scan reads codes, not
+    * embeddings. Output: (q_id, `idCol`, adc) — adc ascending ≈ nearest,
+    * rounded to 6 places (the sum over subspaces is the one
+    * order-sensitive float reduction between engines). */
+  def pqAdcTopK(corpus: DataFrame, codebooks: DataFrame, queries: DataFrame,
+                idCol: String, embCol: String, k: Int,
+                subspaceCol: String = "subspace", codeCol: String = "code",
+                vecCol: String = "vector"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cb = collectCodebooks(codebooks, subspaceCol, codeCol, vecCol)
+    val coded = pqEncode(corpus.select(col(idCol), col(embCol)), codebooks,
+      embCol, subspaceCol, codeCol, vecCol)
+      .select(col(idCol), col("pq_codes"))
+    var q = withPqStages(
+      queries.select(col(idCol).as("q_id"), col(embCol).as("__q_emb")),
+      "__q_emb", cb)
+    cb.zipWithIndex.foreach { case (entries, s) =>
+      val cbLit = typedlit(entries.toSeq.map { case (c, v, n) => (c, v.toSeq, n) })
+      q = q.withColumn(s"__tab_$s", transform(cbLit, e => pqDist(s, e)))
+    }
+    val tabs = q.withColumn("__tabs", array(cb.indices.map(s => col(s"__tab_$s")): _*))
+      .select(col("q_id"), col("__tabs"))
+    val scored = coded.crossJoin(broadcast(tabs))
+      .filter(col("q_id") =!= col(idCol))
+      // codes are dense 0..k-1 and tables are code-ordered, so the code IS
+      // the lookup position; subspace order fixes the summation order
+      .withColumn("cos", -aggregate(
+        zip_with(col("pq_codes"), col("__tabs"), (c, t) => element_at(t, c + 1)),
+        lit(0.0), (a, x) => a + x))
+      .select(col("q_id"), col(idCol), col("cos"))
+    keepTopK(scored, idCol, k)
+      .select(col("q_id"), col(idCol), round(-col("cos"), 6).as("adc"))
+  }
 }

@@ -225,6 +225,88 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
        |  FROM p) WHERE rn <= 3""".stripMargin
 
+  /** Shared PQ codebook frame: subspace s (0..3) of 16 dims, codes = the
+    * first 8 vectors' slices — deterministic, so the oracle reproduces
+    * the whole algorithm, exactly like q59's fixed IVF centroids. */
+  private def pqCodebooks(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val e = emb(s, dir).filter($"vec_id" < 8)
+    (0 until 4).map { sub =>
+      e.select(lit(sub).as("subspace"), $"vec_id".cast("int").as("code"),
+        slice($"embedding", sub * 16 + 1, 16).as("vector"))
+    }.reduce(_ unionByName _)
+  }
+  /** DuckDB: squared-L2 via the same ||a||²−2a·b+||b||² expansion of
+    * sequential folds the Spark side uses — bit-identical distances. */
+  private def dL2(a: String, b: String): String =
+    s"${dDot(a, a)} - 2 * ${dDot(a, b)} + ${dDot(b, b)}"
+  private val dCbSql =
+    """cb AS (
+      |  SELECT s.s AS subspace, vec_id AS code,
+      |         list_slice(embedding, s.s * 16 + 1, s.s * 16 + 16) AS v
+      |  FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS s) s
+      |  WHERE vec_id < 8)""".stripMargin
+  private val dSubSlice = "list_slice(%s, c.subspace * 16 + 1, c.subspace * 16 + 16)"
+
+  // -- q73: product-quantization encode — per subspace, the nearest
+  // codebook entry's code (squared-L2, ties to the smaller code). The
+  // Spark plan is a zero-shuffle literal argmin fold per subspace; the
+  // oracle recomputes every doc × subspace × code distance and takes the
+  // window rank-1 — independent algorithm, one hash. --
+  private val q73: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Similarity.pqEncode(emb(s, dir), pqCodebooks(s, dir), "embedding")
+      .select($"vec_id", posexplode($"pq_codes"))
+      .select($"vec_id", $"pos".cast("long").as("subspace"),
+        $"col".cast("long").as("code"))
+  }
+  private val q73Sql = {
+    val a = dSubSlice.format("e.embedding")
+    s"""WITH $dCbSql
+       |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+       |       CAST(code AS BIGINT) AS code FROM (
+       |  SELECT e.vec_id, c.subspace, c.code,
+       |    row_number() OVER (PARTITION BY e.vec_id, c.subspace
+       |      ORDER BY ${dL2(a, "c.v")} ASC, c.code) AS rn
+       |  FROM embeddings e CROSS JOIN cb c) WHERE rn = 1""".stripMargin
+  }
+
+  // -- q74: PQ ADC top-k — approximate nearest neighbors where each
+  // (query, doc) pair costs m table lookups instead of a 64-dim dot:
+  // the quantized half of an IVF-PQ index, composed with the k-bounded
+  // heap aggregate. Oracle: re-derive codes (q73's logic), join the
+  // codebook back, sum the same per-subspace distances, window top-5. --
+  private val q74: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    graft.operators.Similarity.pqAdcTopK(
+      corpus = e, codebooks = pqCodebooks(s, dir),
+      queries = e.filter($"vec_id" < 10),
+      idCol = "vec_id", embCol = "embedding", k = 5)
+  }
+  private val q74Sql = {
+    val qa = dSubSlice.format("q.q_emb")
+    s"""WITH $dCbSql,
+       |codes AS (
+       |  SELECT vec_id, subspace, code FROM (
+       |    SELECT e.vec_id, c.subspace, c.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, c.subspace
+       |        ORDER BY ${dL2(dSubSlice.format("e.embedding"), "c.v")} ASC, c.code) AS rn
+       |    FROM embeddings e CROSS JOIN cb c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id < 10),
+       |parts AS (
+       |  SELECT q.q_id, d.vec_id, ${dL2(qa, "c.v")} AS pd
+       |  FROM q CROSS JOIN codes d
+       |  JOIN cb c ON c.subspace = d.subspace AND c.code = d.code
+       |  WHERE q.q_id <> d.vec_id),
+       |adcs AS (SELECT q_id, vec_id, sum(pd) AS adc FROM parts GROUP BY 1, 2)
+       |SELECT q_id, vec_id, round(adc, 6) AS adc FROM (
+       |  SELECT q_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rn
+       |  FROM adcs) WHERE rn <= 5""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_cosine_topk" -> q30,
     "q31_lsh_buckets" -> q31,
@@ -233,6 +315,8 @@ object VectorOps {
     "q56_embed_quantize" -> q56,
     "q59_ivf_topk" -> q59,
     "q63_topk_agg" -> q63,
+    "q73_pq_encode" -> q73,
+    "q74_pq_adc_topk" -> q74,
   )
 
   val oracle: Map[String, String] = Map(
@@ -243,5 +327,7 @@ object VectorOps {
     "q56_embed_quantize" -> q56Sql,
     "q59_ivf_topk" -> q59Sql,
     "q63_topk_agg" -> q63Sql,
+    "q73_pq_encode" -> q73Sql,
+    "q74_pq_adc_topk" -> q74Sql,
   )
 }

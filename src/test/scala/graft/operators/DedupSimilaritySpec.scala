@@ -219,4 +219,48 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = key(pruned).intersect(key(brute)).size.toDouble / key(brute).size
     assert(recall >= 0.3, f"recall@5 with 4/16 lists collapsed to $recall%.2f")
   }
+
+  test("pqEncode: hand-computed codes, ties to smaller code, zero shuffles") {
+    // 4-dim vectors, m=2 subspaces of 2 dims, k=2 codes per subspace
+    val cb = Seq(
+      (0, 0, Seq(0.0, 0.0)), (0, 1, Seq(10.0, 0.0)),
+      (1, 0, Seq(0.0, 5.0)), (1, 1, Seq(0.0, -5.0))
+    ).toDF("subspace", "code", "vector")
+    val corpus = Seq(
+      (1L, Seq(9.0, 0.0, 0.0, 4.0)),   // sub0 -> code 1, sub1 -> code 0
+      (2L, Seq(1.0, 0.0, 0.0, -4.0)),  // sub0 -> code 0, sub1 -> code 1
+      (3L, Seq(5.0, 0.0, 0.0, 0.0))    // sub0 equidistant -> smaller code 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(corpus, cb, "embedding")
+    val m = out.select($"vec_id", $"pq_codes").as[(Long, Seq[Int])]
+      .collect().toMap
+    assert(m(1L) == Seq(1, 0) && m(2L) == Seq(0, 1) && m(3L) == Seq(0, 0))
+    val shuffles = collectPlan(out.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty, s"PQ encode must be narrow: $shuffles")
+  }
+
+  test("pqAdcTopK approximates brute-force neighbors on the fixtures") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val cb = (0 until 4).map { sub =>
+      e.filter($"vec_id" < 8).select(lit(sub).as("subspace"),
+        $"vec_id".cast("int").as("code"),
+        slice($"embedding", sub * 16 + 1, 16).as("vector"))
+    }.reduce(_ unionByName _)
+    val qs = e.filter($"vec_id" < 5)
+    val adc = Similarity.pqAdcTopK(e, cb, qs, "vec_id", "embedding", k = 10)
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.cosineTopK(e, qs, "vec_id", "embedding", k = 10)
+      .select($"q_id", $"vec_id", $"cos")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // ADC is lossy (8 codes per subspace) and L2-vs-cosine differ, but
+    // with queries drawn from the corpus the quantized neighbourhood
+    // must still overlap the true one
+    val recalls = adc.keys.toSeq.map(q => exact(q).intersect(adc(q)).size / 10.0)
+    assert(adc.keySet == exact.keySet && recalls.sum / recalls.size > 0.2,
+      s"mean ADC recall@10 too low: ${recalls.sum / recalls.size}")
+  }
 }

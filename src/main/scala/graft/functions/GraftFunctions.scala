@@ -12,7 +12,7 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(VecDot.description, SimHash32.description, MinHashBands.description,
       TopKByScore.description, VecMeanAgg.description,
-      RepStats.description, GramOverlap.description)
+      RepStats.description, GramOverlap.description, CharStats.description)
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)

@@ -84,6 +84,32 @@ object TextStatOps {
     InternalRow(seen.size.toLong, matched)
   }
 
+  /** (total chars, distinct chars, Simpson diversity 1 − Σp²) over the
+    * string's code points. Simpson instead of Shannon on purpose: the
+    * index is pure integer arithmetic plus ONE double division, so the
+    * oracle reproduces the exact bits — no libm log whose last ulp can
+    * differ between engines. 0.0 for the empty string. */
+  def charStats(s: UTF8String): InternalRow = {
+    val cps = s.toString.codePoints().toArray
+    java.util.Arrays.sort(cps)
+    val n = cps.length.toLong
+    var distinct = 0L
+    var sumSq = 0L
+    var run = 0L
+    var j = 0
+    while (j < cps.length) {
+      if (j == 0 || cps(j) != cps(j - 1)) {
+        if (run > 0) sumSq += run * run
+        distinct += 1
+        run = 1L
+      } else run += 1L
+      j += 1
+    }
+    if (run > 0) sumSq += run * run
+    val diversity = if (n == 0) 0.0 else 1.0 - sumSq.toDouble / (n * n).toDouble
+    InternalRow(n, distinct, diversity)
+  }
+
   /** Builds the shared benchmark-gram hash set from a constant array. */
   private[functions] def buildSet(arr: Any): java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String]()
@@ -137,6 +163,39 @@ object RepStats {
       case other => throw new IllegalArgumentException(
         s"$name: shingle size must be an integer literal, got $other")
     })
+}
+
+/** string -> struct(total_chars, distinct_chars, char_diversity): the
+  * q76 character-level quality signal in one codegen'd call per row. */
+case class CharStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("total_chars", LongType, nullable = false),
+    StructField("distinct_chars", LongType, nullable = false),
+    StructField("char_diversity", DoubleType, nullable = false)))
+  override def prettyName: String = CharStats.name
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextStatOps.charStats(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatOps.charStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharStats {
+  val name = "graft_char_stats"
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[CharStats].getName, name),
+    (children: Seq[Expression]) => CharStats(children.head))
 }
 
 /** (array<string> tokens, CONSTANT array<string> benchmark grams) ->

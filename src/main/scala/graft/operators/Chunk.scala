@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+
+/** Fixed-size token chunking with overlap — the document → context-window
+  * splitter every RAG index and pretraining shard layout needs. Chunk i
+  * covers tokens [i·step, i·step + chunkTokens) with
+  * step = chunkTokens − overlap; starts advance while they are inside
+  * the document, so every token lands in at least one chunk and the last
+  * chunk may run short. Token-less documents produce no chunks.
+  *
+  * Scale shape: one narrow projection + explode per document — the row
+  * expansion stays inside the partition (like the multimodal frame
+  * sampler), nothing shuffles, and Catalyst prunes the text column away
+  * if the caller keeps only token counts.
+  */
+object Chunk {
+
+  def split(df: DataFrame, textCol: String, chunkTokens: Int = 128,
+            overlap: Int = 32): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = Text.tokens(col(textCol))
+    val chunks = when(size(toks) > 0,
+      transform(
+        // last chunk index = floor((n-1)/step); `/` on Columns is double
+        // division, so divide then truncate back to int
+        sequence(lit(0), ((size(toks) - 1) / step).cast("int")),
+        i => struct(
+          i.cast("long").as("chunk_idx"),
+          slice(toks, i * step + 1, lit(chunkTokens)).as("toks"))))
+      .otherwise(array().cast("array<struct<chunk_idx:bigint,toks:array<string>>>"))
+    df.withColumn("__chunks", chunks)
+      .select(col("*"), explode(col("__chunks")).as("__c"))
+      .withColumn("chunk_idx", col("__c.chunk_idx"))
+      .withColumn("chunk_tokens", size(col("__c.toks")).cast("long"))
+      .withColumn("chunk_text", array_join(col("__c.toks"), " "))
+      .drop("__chunks", "__c")
+  }
+}

@@ -531,6 +531,57 @@ object TextOps {
        |FROM aug""".stripMargin
   }
 
+  // -- q75: fixed-size token chunking with overlap (operators.Chunk) —
+  // the RAG/pretraining context-window splitter. Narrow explode per doc;
+  // chunk 40, overlap 8 so sf docs (~200 tokens) produce several chunks
+  // with real short-tail chunks at document ends. --
+  private val q75: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Chunk.split(docs(s, dir), "text",
+      chunkTokens = 40, overlap = 8)
+      .select($"doc_id", $"chunk_idx", $"chunk_tokens", md5($"chunk_text").as("chunk_md5"))
+  }
+  private val q75Sql = {
+    val tk = dTok
+    s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+       |idx AS (
+       |  SELECT doc_id, tk, unnest(range(0, ((len(tk) - 1) // 32) + 1)) AS i
+       |  FROM t WHERE len(tk) > 0)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  CAST(len(list_slice(tk, i * 32 + 1, i * 32 + 40)) AS BIGINT) AS chunk_tokens,
+       |  md5(array_to_string(list_slice(tk, i * 32 + 1, i * 32 + 40), ' ')) AS chunk_md5
+       |FROM idx""".stripMargin
+  }
+
+  // -- q76: character-level quality signal — distinct chars and Simpson
+  // diversity (1 − Σp²). Simpson, not Shannon, on purpose: pure integer
+  // arithmetic + one double division reproduces bit-for-bit in the
+  // oracle, where a libm log2's last ulp need not. One codegen'd
+  // graft_char_stats call per row, zero shuffles. --
+  private val q76: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    docs(s, dir)
+      .withColumn("__cs",
+        call_function(graft.functions.CharStats.name, coalesce($"text", lit(""))))
+      .select($"doc_id", $"__cs.total_chars", $"__cs.distinct_chars",
+        $"__cs.char_diversity")
+  }
+  private val q76Sql =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(COALESCE(text, ''), '')) AS c
+      |  FROM documents),
+      |cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2),
+      |st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+      |         CAST(count(*) AS BIGINT) AS dst,
+      |         CAST(sum(cnt * cnt) AS BIGINT) AS ss
+      |       FROM cc GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(st.n, 0) AS total_chars,
+      |  COALESCE(st.dst, 0) AS distinct_chars,
+      |  CASE WHEN st.n > 0 THEN 1.0 - CAST(st.ss AS DOUBLE) / (st.n * st.n)
+      |       ELSE 0.0 END AS char_diversity
+      |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -550,6 +601,8 @@ object TextOps {
     "q69_decontaminate" -> q69,
     "q70_repetition_signals" -> q70,
     "q72_pii_scrub" -> q72,
+    "q75_token_chunking" -> q75,
+    "q76_char_diversity" -> q76,
   )
 
   val oracle: Map[String, String] = Map(
@@ -571,5 +624,7 @@ object TextOps {
     "q69_decontaminate" -> q69Sql,
     "q70_repetition_signals" -> q70Sql,
     "q72_pii_scrub" -> q72Sql,
+    "q75_token_chunking" -> q75Sql,
+    "q76_char_diversity" -> q76Sql,
   )
 }

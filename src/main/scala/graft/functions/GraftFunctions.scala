@@ -12,7 +12,8 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(VecDot.description, SimHash32.description, MinHashBands.description,
       TopKByScore.description, VecMeanAgg.description,
-      RepStats.description, GramOverlap.description, CharStats.description)
+      RepStats.description, GramOverlap.description, CharStats.description,
+      BpeMergeExpr.description)
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)

@@ -110,6 +110,32 @@ object TextStatOps {
     InternalRow(n, distinct, diversity)
   }
 
+  /** One BPE merge pass: every adjacent (a, b) symbol pair becomes the
+    * concatenated symbol, greedy left-to-right (after "a a a" with pair
+    * (a,a), the first two merge, the third survives) — the classic
+    * tokenizer-training step. */
+  def bpeMerge(arr: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val buf = new Array[AnyRef](n)
+    val merged = UTF8String.concat(a, b)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val cur = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      if (cur != null && i + 1 < n && !arr.isNullAt(i + 1) &&
+          cur.equals(a) && arr.getUTF8String(i + 1).equals(b)) {
+        buf(m) = merged
+        i += 2
+      } else {
+        buf(m) = cur
+        i += 1
+      }
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOfRange(buf, 0, m))
+  }
+
   /** Builds the shared benchmark-gram hash set from a constant array. */
   private[functions] def buildSet(arr: Any): java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String]()
@@ -196,6 +222,43 @@ object CharStats {
     new FunctionIdentifier(name),
     new ExpressionInfo(classOf[CharStats].getName, name),
     (children: Seq[Expression]) => CharStats(children.head))
+}
+
+/** (array<string> symbols, string a, string b) -> the array with every
+  * adjacent (a, b) pair merged into the concatenated symbol, greedy
+  * left-to-right: one codegen'd BPE merge pass per row. */
+case class BpeMergeExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = BpeMergeExpr.name
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), StringType, StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (f, s, t) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, string, string), got " +
+          s"(${f.simpleString}, ${s.simpleString}, ${t.simpleString})")
+    }
+
+  protected override def nullSafeEval(arr: Any, a: Any, b: Any): Any =
+    TextStatOps.bpeMerge(arr.asInstanceOf[ArrayData],
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (arr, a, b) =>
+      s"graft.functions.TextStatOps.bpeMerge($arr, $a, $b)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+object BpeMergeExpr {
+  val name = "graft_bpe_merge"
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[BpeMergeExpr].getName, name),
+    (children: Seq[Expression]) => BpeMergeExpr(children(0), children(1), children(2)))
 }
 
 /** (array<string> tokens, CONSTANT array<string> benchmark grams) ->

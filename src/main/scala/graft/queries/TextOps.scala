@@ -582,6 +582,31 @@ object TextOps {
       |       ELSE 0.0 END AS char_diversity
       |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id""".stripMargin
 
+  // -- q77: BPE pair statistics — the argmax table the tokenizer-training
+  // loop (operators.Bpe.train, BpeSpec) consumes each round: corpus-
+  // weighted adjacent-character pair counts over the distinct-word vocab,
+  // top-20 under the deterministic (cnt desc, pair lexicographic) order
+  // that makes training reproducible. The corpus is scanned once; the
+  // pair table lives on the vocab. (The full iterative merge loop is not
+  // SQL-expressible — it is spec-verified on the textbook corpus.) --
+  private val q77: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Bpe.pairCounts(
+      graft.operators.Bpe.wordTable(docs(s, dir), "text"))
+      .orderBy($"cnt".desc, $"left".asc, $"right".asc)
+      .limit(20)
+      .select($"left".as("pair_left"), $"right".as("pair_right"), $"cnt")
+  }
+  private val q77Sql =
+    s"""WITH w AS (SELECT unnest($dTok) AS word FROM documents),
+       |wf AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+       |ch AS (SELECT freq, string_split(word, '') AS cs FROM wf),
+       |p AS (SELECT freq, cs, unnest(range(1, len(cs))) AS i FROM ch)
+       |SELECT cs[i] AS pair_left, cs[i + 1] AS pair_right,
+       |  CAST(sum(freq) AS BIGINT) AS cnt
+       |FROM p GROUP BY 1, 2
+       |ORDER BY cnt DESC, pair_left, pair_right LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -603,6 +628,7 @@ object TextOps {
     "q72_pii_scrub" -> q72,
     "q75_token_chunking" -> q75,
     "q76_char_diversity" -> q76,
+    "q77_bpe_pair_counts" -> q77,
   )
 
   val oracle: Map[String, String] = Map(
@@ -626,5 +652,6 @@ object TextOps {
     "q72_pii_scrub" -> q72Sql,
     "q75_token_chunking" -> q75Sql,
     "q76_char_diversity" -> q76Sql,
+    "q77_bpe_pair_counts" -> q77Sql,
   )
 }

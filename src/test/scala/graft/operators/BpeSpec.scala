@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE training on the textbook corpus: merges and final symbols are
+  * hand-computable, the greedy-leftmost merge rule is pinned, and the
+  * corpus is only scanned once (the vocab loop runs on the word table). */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordTable splits words to chars (no empty symbols)") {
+    val wt = Bpe.wordTable(Seq((1L, "ab ab c")).toDF("id", "text"), "text")
+      .as[(String, Long, Seq[String])].collect().sortBy(_._1).toSeq
+    // wordTable columns: word, freq, syms
+    assert(wt == Seq(("ab", 2L, Seq("a", "b")), ("c", 1L, Seq("c"))))
+  }
+
+  test("graft_bpe_merge: greedy leftmost, overlapping runs") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val out = Seq(
+      (1L, Seq("a", "a", "a")),          // (a,a): first two merge, third survives
+      (2L, Seq("a", "b", "a", "b")),     // both pairs merge
+      (3L, Seq("b", "a")),               // no (a,b) occurrence
+      (4L, Seq[String]())
+    ).toDF("id", "syms")
+      .withColumn("m1", call_function("graft_bpe_merge", $"syms", lit("a"), lit("a")))
+      .withColumn("m2", call_function("graft_bpe_merge", $"syms", lit("a"), lit("b")))
+      .as[(Long, Seq[String], Seq[String], Seq[String])].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out(1L) == ((Seq("aa", "a"), Seq("a", "a", "a"))))
+    assert(out(2L) == ((Seq("a", "b", "a", "b"), Seq("ab", "ab"))))
+    assert(out(3L)._2 == Seq("b", "a"))
+    assert(out(4L) == ((Seq(), Seq())))
+  }
+
+  test("train learns the textbook merges with deterministic ties") {
+    // classic toy corpus: "low" x2, "lower", "lowest": pair (l,o) and
+    // (o,w) both occur 4x -> lexicographic tie-break picks (l,o) first,
+    // then (lo,w) 4x, then (low, e) 2x ...
+    val df = Seq((1L, "low low lower lowest")).toDF("id", "text")
+    val (merges, words) = Bpe.train(df, "text", numMerges = 3)
+    assert(merges.map(m => (m._1, m._2, m._3, m._4)) == Seq(
+      (0, "l", "o", 4L), (1, "lo", "w", 4L), (2, "low", "e", 2L)))
+    val syms = words.select($"word", $"syms").as[(String, Seq[String])]
+      .collect().toMap
+    assert(syms("low") == Seq("low"))
+    assert(syms("lower") == Seq("lowe", "r"))
+    assert(syms("lowest") == Seq("lowe", "s", "t"))
+  }
+
+  test("train stops early when the vocab is fully merged") {
+    val df = Seq((1L, "ab ab")).toDF("id", "text")
+    val (merges, words) = Bpe.train(df, "text", numMerges = 10)
+    assert(merges.map(m => (m._2, m._3)) == Seq(("a", "b")))
+    assert(words.select($"syms").as[Seq[String]].collect().toSeq == Seq(Seq("ab")))
+  }
+
+  test("applyMerges encodes new text with a learned merge list") {
+    val (merges, _) = Bpe.train(
+      Seq((1L, "low low lower lowest")).toDF("id", "text"), "text", 3)
+    val enc = Bpe.applyMerges(
+      Seq((1L, Seq("l", "o", "w", "l", "y"))).toDF("id", "syms"),
+      "syms", merges.map(m => (m._2, m._3)))
+    assert(enc.select($"syms").as[Seq[String]].head() == Seq("low", "l", "y"))
+  }
+}

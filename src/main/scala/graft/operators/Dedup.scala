@@ -63,6 +63,47 @@ object Dedup {
     df.select(col(idCol), Text.simhashNative(Text.tokens(col(textCol))).as("simhash"))
   }
 
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxHamming`,
+    * via pigeonhole banding: the 32-bit fingerprint splits into
+    * `maxHamming + 1` disjoint bit-bands, and any pair within the
+    * distance budget must agree EXACTLY on at least one band — so
+    * candidates come from one shuffle on (band, bits) with in-bucket
+    * pair expansion (never a corpus self-join; both fingerprints ride
+    * the bucket, so the popcount verify is join-free). Returns
+    * (`idCol`_a, `idCol`_b, hamming) with a < b.
+    *
+    * Scale note: bucket count per band is 2^(32/(maxHamming+1)); with
+    * this 32-bit fingerprint (sized to stay bit-identical with the
+    * md5-nibble oracle) the default 8-bit bands hold to ~10^5–10^6
+    * docs. A production corpus widens the fingerprint (64-bit, 16-bit
+    * bands) — the banding algebra is unchanged. */
+  def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 7,
+      s"maxHamming must be in [1,7]: $maxHamming")
+    val bands = maxHamming + 1
+    val width = 32 / bands
+    val a = s"${idCol}_a"
+    val b = s"${idCol}_b"
+    val sh = simhashes(df, textCol, idCol)
+    val bandBits = (0 until bands).map { bd =>
+      val w = if (bd == bands - 1) 32 - width * bd else width
+      shiftright(col("simhash"), width * bd).bitwiseAND(lit((1L << w) - 1))
+    }
+    sh.select(col(idCol), col("simhash"), posexplode(array(bandBits: _*)))
+      .groupBy(col("pos"), col("col"))
+      .agg(sort_array(collect_list(struct(col(idCol), col("simhash")))).as("__xs"))
+      .filter(size(col("__xs")) > 1)
+      .select(explode(flatten(transform(col("__xs"), (x, i) =>
+        transform(slice(col("__xs"), i + 2, size(col("__xs"))),
+          y => struct(x.getField(idCol).as(a), y.getField(idCol).as(b),
+            bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
+              .cast("long").as("hamming")))))).as("__p"))
+      .select(col(s"__p.$a"), col(s"__p.$b"), col("__p.hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Connected components over a near-dup pair list: every node gets the
     * MINIMUM id reachable from it as its `cluster` label — the step that
     * turns candidate pairs ([[nearDupCandidates]]) into dedup groups

@@ -607,6 +607,29 @@ object TextOps {
        |FROM p GROUP BY 1, 2
        |ORDER BY cnt DESC, pair_left, pair_right LIMIT 20""".stripMargin
 
+  // -- q78: SimHash near-dup pairs within Hamming distance 3, via
+  // pigeonhole banding (Dedup.simhashNearDup: one shuffle, in-bucket
+  // pairs, join-free popcount verify). Oracle: band join + xor/bit_count
+  // over the q23 simhash formulation — an independent reconstruction of
+  // both the banding and the distance check. --
+  private val q78: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Dedup.simhashNearDup(docs(s, dir), "text", "doc_id")
+  }
+  private val q78Sql =
+    s"""WITH sh AS ($q23Sql),
+       |bb AS (
+       |  SELECT doc_id, simhash, band, (simhash >> (8 * band)) & 255 AS bits
+       |  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM bb a JOIN bb b ON a.band = b.band AND a.bits = b.bits
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT DISTINCT doc_id_a, doc_id_b,
+       |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -629,6 +652,7 @@ object TextOps {
     "q75_token_chunking" -> q75,
     "q76_char_diversity" -> q76,
     "q77_bpe_pair_counts" -> q77,
+    "q78_simhash_neardup" -> q78,
   )
 
   val oracle: Map[String, String] = Map(
@@ -653,5 +677,6 @@ object TextOps {
     "q75_token_chunking" -> q75Sql,
     "q76_char_diversity" -> q76Sql,
     "q77_bpe_pair_counts" -> q77Sql,
+    "q78_simhash_neardup" -> q78Sql,
   )
 }

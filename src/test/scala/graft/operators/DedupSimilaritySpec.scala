@@ -220,6 +220,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, f"recall@5 with 4/16 lists collapsed to $recall%.2f")
   }
 
+  test("simhashNearDup: pigeonhole banding finds ALL pairs within the budget") {
+    val docs = Tables.load(spark, sf(), "documents").limit(200)
+    val found = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    // ground truth: brute-force all-pairs popcount over the fingerprints
+    val sh = Dedup.simhashes(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val brute = for {
+      i <- sh.indices; j <- (i + 1) until sh.length
+      h = java.lang.Long.bitCount(sh(i)._2 ^ sh(j)._2) if h <= 3
+    } yield (sh(i)._1, sh(j)._1, h.toLong)
+    assert(found.toSet == brute.toSet, "banding must be exact within the budget")
+    assert(found.forall(_._3 <= 3))
+    // one shuffle: the (band, bits) groupBy, nothing else
+    val shuffles = collectPlan(
+      Dedup.simhashNearDup(docs, "text", "doc_id").queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.size <= 2, s"banding is one shuffle (+distinct): $shuffles")
+  }
+
   test("pqEncode: hand-computed codes, ties to smaller code, zero shuffles") {
     // 4-dim vectors, m=2 subspaces of 2 dims, k=2 codes per subspace
     val cb = Seq(

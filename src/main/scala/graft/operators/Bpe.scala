@@ -40,11 +40,28 @@ object Bpe {
       .agg(sum(col("freq")).as("cnt"))
 
   /** Learned merges in rank order plus the final word table. Stops early
-    * when no adjacent pair is left (fully merged vocab). */
-  def train(df: DataFrame, textCol: String, numMerges: Int)
+    * when no adjacent pair is left (fully merged vocab).
+    *
+    * Two regimes, same answer (differential-pinned by BpeSpec): once the
+    * distinct-word vocab fits `localVocabLimit` rows it is collected and
+    * the merge loop runs on the driver — real trainers run tens of
+    * thousands of merges, and a Spark job per merge is the wrong shape
+    * when each round touches only a vocabulary-bounded table. The
+    * distributed per-round loop remains for vocabularies too large to
+    * collect (set `localVocabLimit = 0` to force it). Corpus cost is
+    * identical either way: ONE word-count pass. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            localVocabLimit: Long = 1L << 20)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    var words = wordTable(df, textCol).localCheckpoint()
+    val words = wordTable(df, textCol).localCheckpoint()
+    if (words.count() <= localVocabLimit) trainLocal(words, numMerges)
+    else trainDistributed(words, numMerges)
+  }
+
+  private def trainDistributed(initial: DataFrame, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var words = initial
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
@@ -64,6 +81,70 @@ object Bpe {
       }
     }
     (merges.result(), words)
+  }
+
+  /** Driver-side merge loop over the collected vocab — bit-identical
+    * merges to the distributed loop: same (cnt desc, pair lexicographic)
+    * argmax, same greedy-leftmost merge rule as `graft_bpe_merge`. */
+  private def trainLocal(initial: DataFrame, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val spark = initial.sparkSession
+    val vocab = initial.select(col("word"), col("freq"), col("syms"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toArray))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (_, freq, syms) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          counts.merge((syms(i), syms(i + 1)), freq, java.lang.Long.sum)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // UTF8 binary comparison, not String's UTF-16 order — the tie-break
+        // must match the distributed orderBy exactly
+        def lt(a: (String, String), b: (String, String)): Boolean = {
+          val c1 = org.apache.spark.unsafe.types.UTF8String.fromString(a._1)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b._1))
+          c1 < 0 || (c1 == 0 &&
+            org.apache.spark.unsafe.types.UTF8String.fromString(a._2)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b._2)) < 0)
+        }
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, c) =>
+          if (best == null || c > best._2 || (c == best._2 && lt(p, best._1)))
+            best = (p, c)
+        }
+        val ((l, r), c) = best
+        merges += ((rank, l, r, c))
+        val merged = l + r
+        var w = 0
+        while (w < vocab.length) {
+          val (word, freq, syms) = vocab(w)
+          // greedy leftmost, mirroring TextStatOps.bpeMerge
+          val out = Array.newBuilder[String]
+          var i = 0
+          var changed = false
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += merged; i += 2; changed = true
+            } else { out += syms(i); i += 1 }
+          }
+          if (changed) vocab(w) = (word, freq, out.result())
+          w += 1
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    val finalWords = vocab.toSeq
+      .map { case (w, f, s) => (w, f, s.toSeq) }.toDF("word", "freq", "syms")
+    (merges.result(), finalWords)
   }
 
   /** Applies an already-learned merge list to a symbol-array column, in

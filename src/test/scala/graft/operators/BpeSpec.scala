@@ -56,6 +56,17 @@ class BpeSpec extends SparkSpec {
     assert(words.select($"syms").as[Seq[String]].collect().toSeq == Seq(Seq("ab")))
   }
 
+  test("local vocab loop == distributed per-round loop (fixture corpus)") {
+    val docs = graft.Tables.load(spark, sf(), "documents").limit(60)
+    val (localM, localW) = Bpe.train(docs, "text", numMerges = 8)
+    val (distM, distW) = Bpe.train(docs, "text", numMerges = 8, localVocabLimit = 0)
+    assert(localM == distM, s"merge lists diverged:\n$localM\n$distM")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"word", $"freq", $"syms").as[(String, Long, Seq[String])]
+        .collect().sortBy(_._1).toSeq
+    assert(snap(localW) == snap(distW))
+  }
+
   test("applyMerges encodes new text with a learned merge list") {
     val (merges, _) = Bpe.train(
       Seq((1L, "low low lower lowest")).toDF("id", "text"), "text", 3)

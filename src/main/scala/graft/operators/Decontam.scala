@@ -12,10 +12,12 @@ import graft.functions.Text
   * benchmark side of a decontamination run is megabytes (eval sets),
   * the corpus side is the 100 TB. So the benchmark's distinct grams are
   * collected once, bounded, and the corpus-side check is a fully NARROW
-  * `array_intersect` against a literal — zero shuffles, zero joins, the
-  * corpus never moves. Past [[LiteralGramLimit]] the same semantics run
-  * as a broadcast-hash join + per-doc count (one small post-join
-  * aggregation; the corpus still never shuffles its full width).
+  * codegen'd kernel call per row (`graft_gram_overlap`: shingle + dedup
+  * + count members of the per-plan benchmark hash set in one pass) —
+  * zero shuffles, zero joins, the corpus never moves. Past
+  * [[LiteralGramLimit]] the same semantics run as a broadcast-hash join
+  * + per-doc count (one small post-join aggregation; the corpus still
+  * never shuffles its full width).
   */
 object Decontam {
 

@@ -184,10 +184,14 @@ object RepStats {
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier(name),
     new ExpressionInfo(classOf[RepStats].getName, name),
-    (children: Seq[Expression]) => children(1) match {
-      case Literal(v: Int, IntegerType) => RepStats(children.head, v)
-      case other => throw new IllegalArgumentException(
-        s"$name: shingle size must be an integer literal, got $other")
+    (children: Seq[Expression]) => {
+      if (children.length != 2) throw new IllegalArgumentException(
+        s"$name expects exactly 2 arguments (tokens, shingle), got ${children.length}")
+      children(1) match {
+        case Literal(v: Int, IntegerType) => RepStats(children.head, v)
+        case other => throw new IllegalArgumentException(
+          s"$name: shingle size must be an integer literal, got $other")
+      }
     })
 }
 
@@ -221,7 +225,11 @@ object CharStats {
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier(name),
     new ExpressionInfo(classOf[CharStats].getName, name),
-    (children: Seq[Expression]) => CharStats(children.head))
+    (children: Seq[Expression]) => {
+      if (children.length != 1) throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument (text), got ${children.length}")
+      CharStats(children.head)
+    })
 }
 
 /** (array<string> symbols, string a, string b) -> the array with every
@@ -258,7 +266,11 @@ object BpeMergeExpr {
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier(name),
     new ExpressionInfo(classOf[BpeMergeExpr].getName, name),
-    (children: Seq[Expression]) => BpeMergeExpr(children(0), children(1), children(2)))
+    (children: Seq[Expression]) => {
+      if (children.length != 3) throw new IllegalArgumentException(
+        s"$name expects exactly 3 arguments (symbols, left, right), got ${children.length}")
+      BpeMergeExpr(children(0), children(1), children(2))
+    })
 }
 
 /** (array<string> tokens, CONSTANT array<string> benchmark grams) ->
@@ -305,9 +317,13 @@ object GramOverlap {
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier(name),
     new ExpressionInfo(classOf[GramOverlap].getName, name),
-    (children: Seq[Expression]) => children(2) match {
-      case Literal(v: Int, IntegerType) => GramOverlap(children(0), children(1), v)
-      case other => throw new IllegalArgumentException(
-        s"$name: shingle size must be an integer literal, got $other")
+    (children: Seq[Expression]) => {
+      if (children.length != 3) throw new IllegalArgumentException(
+        s"$name expects exactly 3 arguments (tokens, benchGrams, shingle), got ${children.length}")
+      children(2) match {
+        case Literal(v: Int, IntegerType) => GramOverlap(children(0), children(1), v)
+        case other => throw new IllegalArgumentException(
+          s"$name: shingle size must be an integer literal, got $other")
+      }
     })
 }

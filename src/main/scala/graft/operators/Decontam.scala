@@ -35,7 +35,9 @@ object Decontam {
     * `n_grams` (distinct grams in the doc), `matched` (of those, how many
     * appear anywhere in the benchmark), `contamination` (= matched /
     * n_grams, 0.0 for gram-less docs), `contaminated`
-    * (contamination > `threshold`). Input columns are preserved.
+    * (contamination > `threshold`). Input columns are preserved. Scoring
+    * is strictly per ROW — `idCol` never keys it, so null or duplicated
+    * ids score identically on both execution branches.
     */
   def overlapStats(corpus: DataFrame, benchmark: DataFrame,
                    textCol: String, idCol: String,
@@ -70,20 +72,27 @@ object Decontam {
           .drop("__ov")
       } else {
         // General form: explode corpus grams, broadcast-join the benchmark
-        // grams, count matches per doc, stitch back by id. The only corpus
-        // shuffle is the final id join; everything upstream of it carries
-        // (id, gram) pairs, not document text.
+        // grams, count matches per ROW, stitch back. The stitch key is an
+        // internal per-row id, NOT idCol: a null or duplicated idCol must
+        // not change scoring vs the per-row literal branch (null keys
+        // never left-join back; duplicate keys would sum matches across
+        // rows). monotonically_increasing_id is stable across the two
+        // subtrees because both recompute the same deterministic scan
+        // with the same partitioning. The only corpus shuffle is the
+        // final row-id join; everything upstream of it carries
+        // (row-id, gram) pairs, not document text.
         val withGrams = corpus.withColumn("__grams", gramSet(col(textCol), n))
+          .withColumn("__rid", monotonically_increasing_id())
         val matched = withGrams
-          .select(col(idCol), explode(col("__grams")).as("__gram"))
+          .select(col("__rid"), explode(col("__grams")).as("__gram"))
           .join(broadcast(benchGrams), "__gram")
-          .groupBy(col(idCol))
+          .groupBy(col("__rid"))
           .agg(count(lit(1)).as("__matched"))
         withGrams
           .withColumn("__n_grams", size(col("__grams")))
-          .join(matched, Seq(idCol), "left")
+          .join(matched, Seq("__rid"), "left")
           .withColumn("__matched", coalesce(col("__matched"), lit(0L)))
-          .drop("__grams")
+          .drop("__grams", "__rid")
       }
 
     counted

@@ -241,7 +241,8 @@ object Multimodal {
       try {
         val fmt = in.getFormat
         val enc = fmt.getEncoding
-        if (enc != Encoding.PCM_SIGNED && enc != Encoding.PCM_UNSIGNED)
+        val unsigned = enc == Encoding.PCM_UNSIGNED
+        if (enc != Encoding.PCM_SIGNED && !unsigned)
           throw new IllegalArgumentException(s"unsupported WAV encoding $enc")
         val raw = in.readAllBytes()
         val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
@@ -250,16 +251,22 @@ object Multimodal {
         var i = 0
         while (i < n) {
           samples(i) = bytesPerSample match {
-            case 1 => // 8-bit WAV is unsigned; recenter and widen
-              (((raw(i) & 0xff) - 128) << 8).toShort
+            case 1 =>
+              // canonical WAV 8-bit is unsigned (recenter then widen);
+              // honor a signed format declaration if one appears
+              if (unsigned) (((raw(i) & 0xff) - 128) << 8).toShort
+              else (raw(i) << 8).toShort
             case bps =>
               // most significant two bytes of the sample, so 24/32-bit
               // amplitudes scale into the 16-bit range instead of being
-              // reinterpreted from their low bytes
+              // reinterpreted from their low bytes; an unsigned sample's
+              // high byte is offset-binary -> flip its top bit to recenter
+              // (0x8000-mid-scale silence must decode to 0, not full scale)
               val o = i * bps
-              val (hi, lo) =
+              val (hi0, lo) =
                 if (fmt.isBigEndian) (raw(o), raw(o + 1))
                 else (raw(o + bps - 1), raw(o + bps - 2))
+              val hi = if (unsigned) hi0 ^ 0x80 else hi0.toInt
               (((hi & 0xff) << 8) | (lo & 0xff)).toShort
           }
           i += 1

@@ -342,10 +342,14 @@ object Similarity {
   /** Product-quantization encode: splits `embCol` into the codebooks'
     * contiguous subspaces and appends `pq_codes` — per subspace, the code
     * of the nearest (squared-L2) codebook entry, ties to the smaller
-    * code. The 100 TB shape: the codebook is bounded driver state (like
-    * the k-means centroids), the argmin is a literal fold in the
-    * expression tree, and the corpus never shuffles — PQ codes for a
-    * petabyte corpus are a narrow map over the scan. */
+    * code. An embedding that cannot be coded (null, or a NaN element
+    * poisoning a subspace's distances) gets `pq_codes = null` — the
+    * library's log-and-null convention — so every emitted code array
+    * honors the dense 0..k-1 contract ADC lookups index by. The 100 TB
+    * shape: the codebook is bounded driver state (like the k-means
+    * centroids), the argmin is a literal fold in the expression tree,
+    * and the corpus never shuffles — PQ codes for a petabyte corpus are
+    * a narrow map over the scan. */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, embCol: String,
                subspaceCol: String = "subspace", codeCol: String = "code",
                vecCol: String = "vector"): DataFrame = {
@@ -364,7 +368,12 @@ object Similarity {
       df = df.withColumn(s"__code_$s", best.getField("code"))
     }
     val tmp = cb.indices.flatMap(s => Seq(s"__sub_$s", s"__ss_$s", s"__code_$s"))
-    df.withColumn("pq_codes", array(cb.indices.map(s => col(s"__code_$s")): _*))
+    val codes = array(cb.indices.map(s => col(s"__code_$s")): _*)
+    // any unreachable subspace (null embedding, NaN distances) leaves the
+    // -1 fold sentinel -> null the whole code array instead of leaking it
+    df.withColumn("pq_codes",
+        when(array_contains(codes, lit(-1)) || codes.isNull,
+          lit(null).cast("array<int>")).otherwise(codes))
       .drop(tmp: _*)
   }
 
@@ -387,6 +396,9 @@ object Similarity {
     val coded = pqEncode(corpus.select(col(idCol), col(embCol)), codebooks,
       embCol, subspaceCol, codeCol, vecCol)
       .select(col(idCol), col("pq_codes"))
+      // uncodable rows carry null codes (pqEncode's log-and-null) — they
+      // have no defined distance to anything; keep them out of the lookup
+      .filter(col("pq_codes").isNotNull)
     var q = withPqStages(
       queries.select(col(idCol).as("q_id"), col(embCol).as("__q_emb")),
       "__q_emb", cb)
@@ -404,6 +416,9 @@ object Similarity {
         zip_with(col("pq_codes"), col("__tabs"), (c, t) => element_at(t, c + 1)),
         lit(0.0), (a, x) => a + x))
       .select(col("q_id"), col(idCol), col("cos"))
+      // a query whose own embedding was uncodable yields null distances
+      // against everything — no defined neighbors, not NaN-ranked ones
+      .filter(col("cos").isNotNull)
     keepTopK(scored, idCol, k)
       .select(col("q_id"), col(idCol), round(-col("cos"), 6).as("adc"))
   }

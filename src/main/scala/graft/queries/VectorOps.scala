@@ -296,11 +296,17 @@ object VectorOps {
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb
        |      FROM embeddings WHERE vec_id < 10),
        |parts AS (
-       |  SELECT q.q_id, d.vec_id, ${dL2(qa, "c.v")} AS pd
+       |  SELECT q.q_id, d.vec_id, d.subspace, ${dL2(qa, "c.v")} AS pd
        |  FROM q CROSS JOIN codes d
        |  JOIN cb c ON c.subspace = d.subspace AND c.code = d.code
        |  WHERE q.q_id <> d.vec_id),
-       |adcs AS (SELECT q_id, vec_id, sum(pd) AS adc FROM parts GROUP BY 1, 2)
+       |-- ordered list sum, NOT sum(pd): a bare GROUP BY sum adds the four
+       |-- doubles in a thread-dependent order, so its last-ulp bits (and
+       |-- thus round(,6) at a boundary) vary run to run; the ordered fold
+       |-- reproduces Spark's subspace-order aggregate exactly
+       |adcs AS (SELECT q_id, vec_id,
+       |           list_aggregate(list(pd ORDER BY subspace), 'sum') AS adc
+       |         FROM parts GROUP BY 1, 2)
        |SELECT q_id, vec_id, round(adc, 6) AS adc FROM (
        |  SELECT q_id, vec_id, adc,
        |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rn

@@ -8,8 +8,11 @@ object CCProbe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val docs = Tables.load(spark, dir, "documents")
+    // keep the CHECKPOINTED frame — timing must isolate the CC loop, not
+    // re-pay candidate generation on every probe of `pairs`
     val pairs = graft.operators.Dedup.nearDupCandidates(docs, "text", "doc_id")
-    pairs.localCheckpoint().count()
+      .localCheckpoint()
+    pairs.count()
     val t0 = System.nanoTime()
     val out = graft.operators.Dedup.clusters(pairs, "doc_id_a", "doc_id_b")
     val n = out.count()

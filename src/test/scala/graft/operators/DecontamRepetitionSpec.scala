@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
 
 /** Decontamination and intra-doc repetition: hand-computable fixtures,
   * differential between the narrow literal path and the general
@@ -42,16 +43,26 @@ class DecontamRepetitionSpec extends SparkSpec {
   test("overlapStats: literal-intersect path == broadcast-join path") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val bench = docs.filter($"doc_id" % 7 === 0)
+    // include a DUPLICATED id and a NULL id: scoring is per row, so the
+    // two branches must agree even when idCol is not a key
+    val dup = docs.filter($"doc_id" === 7).limit(1)
+    val nullId = bench.limit(1)
+      .select(lit(null).cast("long").as("doc_id"), $"text", $"lang",
+        $"source", $"n_chars")
     val rest = docs.filter($"doc_id" % 7 =!= 0)
+      .unionByName(dup).unionByName(nullId)
     def run(limit: Int) =
       Decontam.overlapStats(rest, bench, "text", "doc_id", n = 3,
           threshold = 0.05, literalLimit = limit)
-        .select($"doc_id", $"matched", $"n_grams").as[(Long, Long, Long)]
-        .collect().sortBy(_._1).toSeq
+        .select($"doc_id", $"matched", $"n_grams").as[(Option[Long], Long, Long)]
+        .collect().sortBy(r => (r._1.getOrElse(-1L), r._2)).toSeq
     val viaLiteral = run(Decontam.LiteralGramLimit)
     val viaJoin = run(0)
     assert(viaLiteral.nonEmpty && viaLiteral == viaJoin)
     assert(viaLiteral.exists(_._2 > 0), "fixture should produce some overlap")
+    // the null-id row is verbatim benchmark text: fully contaminated on
+    // BOTH branches (it would silently score 0 if scoring keyed on id)
+    assert(viaLiteral.filter(_._1.isEmpty).forall(r => r._2 == r._3 && r._3 > 0))
   }
 
   test("plan: literal decontamination path never shuffles the corpus") {

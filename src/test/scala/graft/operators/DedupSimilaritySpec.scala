@@ -256,6 +256,15 @@ class DedupSimilaritySpec extends SparkSpec {
     val m = out.select($"vec_id", $"pq_codes").as[(Long, Seq[Int])]
       .collect().toMap
     assert(m(1L) == Seq(1, 0) && m(2L) == Seq(0, 1) && m(3L) == Seq(0, 0))
+    // uncodable embeddings (null / NaN-poisoned) null the whole code
+    // array (log-and-null) instead of leaking the -1 fold sentinel
+    val weird = Seq(
+      (8L, null.asInstanceOf[Seq[Double]]),
+      (9L, Seq(Double.NaN, 1.0, 1.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val mw = Similarity.pqEncode(weird, cb, "embedding")
+      .select($"vec_id", $"pq_codes").as[(Long, Seq[Int])].collect().toMap
+    assert(mw(8L) == null && mw(9L) == null, s"expected null codes: $mw")
     val shuffles = collectPlan(out.queryExecution.executedPlan) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }
@@ -283,5 +292,25 @@ class DedupSimilaritySpec extends SparkSpec {
     val recalls = adc.keys.toSeq.map(q => exact(q).intersect(adc(q)).size / 10.0)
     assert(adc.keySet == exact.keySet && recalls.sum / recalls.size > 0.2,
       s"mean ADC recall@10 too low: ${recalls.sum / recalls.size}")
+  }
+
+  test("pqAdcTopK survives uncodable corpus rows and queries (no crash, excluded)") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val cb = (0 until 4).map { sub =>
+      e.filter($"vec_id" < 8).select(lit(sub).as("subspace"),
+        $"vec_id".cast("int").as("code"),
+        slice($"embedding", sub * 16 + 1, 16).as("vector"))
+    }.reduce(_ unionByName _)
+    val poison = Seq((90001L, null.asInstanceOf[Seq[Double]]))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val corpus = e.select($"vec_id", $"embedding").unionByName(poison)
+    val qs = e.filter($"vec_id" < 3).select($"vec_id", $"embedding")
+      .unionByName(poison)
+    val out = Similarity.pqAdcTopK(corpus, cb, qs, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty, "the codable queries must still produce neighbors")
+    assert(!out.exists(r => r._1 == 90001L || r._2 == 90001L),
+      "uncodable rows must be excluded, not crash or rank")
   }
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and domain-level curation for web corpora: the
+  * same page arrives under `HTTP://WWW.Site.com/a/?utm_source=x#frag`
+  * and `http://site.com/a`, and crawl dumps are dominated by a few hot
+  * domains — so dedup needs a canonical URL key, and corpus balance
+  * needs a per-domain document cap (the standard crawl-curation knobs).
+  *
+  * All of it is codegen'd built-ins (regexp within the RE2-compatible
+  * subset, split/sort/join for query params) so the DuckDB oracle
+  * reproduces the exact rewrite; the normalizer is stateless
+  * row-at-a-time (zero shuffles, streaming-valid) and the cap is ONE
+  * shuffle on the domain key.
+  *
+  * Scope: absolute http(s)-style URLs (`scheme://host[:port]/path?q`).
+  * Canonical form: lowercase scheme and host, `www.` and default ports
+  * (:80 http, :443 https) dropped, fragment dropped, tracking params
+  * (`utm_*`, `fbclid`, `gclid`) dropped, remaining query params sorted,
+  * trailing path slashes trimmed. Userinfo and percent-encoding are
+  * passed through untouched (documented non-goals — a PSL-aware
+  * registered-domain split would slot in at [[domainOf]]).
+  */
+object UrlOps {
+
+  private val SchemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  private def dropFragment(u: Column): Column =
+    regexp_replace(trim(u), "#.*$", "")
+
+  private def hostPortOf(noFrag: Column): Column =
+    regexp_extract(noFrag, s"$SchemePrefix([^/?#]*)", 1)
+
+  private def bareHost(hostPort: Column): Column =
+    regexp_replace(lower(regexp_replace(hostPort, ":[0-9]+$", "")), "^www\\.", "")
+
+  /** Canonical URL (see object doc for the exact form). Null -> null;
+    * strings without a `scheme://` prefix degrade to best-effort (empty
+    * scheme/host, input treated as path). */
+  def normalizeUrl(url: Column): Column = {
+    val u = dropFragment(url)
+    val scheme = lower(regexp_extract(u, s"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = hostPortOf(u)
+    val host = bareHost(hostPort)
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rest = regexp_extract(u, s"$SchemePrefix[^/?#]*([^#]*)", 1)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/+$", "")
+    // Prefix every param with '&' so trackers drop uniformly wherever
+    // they sit, then strip the sentinel and sort what survives.
+    val query = regexp_replace(
+      regexp_replace(concat(lit("&"), regexp_extract(rest, "\\?(.*)$", 1)),
+        "&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", ""),
+      "^&", "")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(query === "", lit(""))
+        .otherwise(concat(lit("?"), array_join(array_sort(split(query, "&")), "&"))))
+  }
+
+  /** The URL's domain key: lowercased host, `www.` and port stripped. */
+  def domainOf(url: Column): Column = bareHost(hostPortOf(dropFragment(url)))
+
+  /** Keeps at most `n` rows per domain, chosen by `order` (pass a
+    * deterministic column — content hash or id — for rerun-stable
+    * curation). One shuffle on the domain key; the per-domain window
+    * sort is exactly the boilerplate-hot-domain case the cap exists to
+    * bound, and spills rather than OOMs when a domain is huge. */
+  def capPerDomain(df: DataFrame, urlCol: String, n: Int,
+                   order: Column): DataFrame = {
+    val w = Window.partitionBy(col("__graft_domain")).orderBy(order)
+    df.withColumn("__graft_domain", domainOf(col(urlCol)))
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= n)
+      .drop("__graft_domain", "__graft_rn")
+  }
+}

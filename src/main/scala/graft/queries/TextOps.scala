@@ -636,6 +636,96 @@ object TextOps {
        |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
 
+  // -- q79: Unicode text normalization (operators.Normalize over the
+  // codegen'd graft_unicode_norm kernel) — NFC-compose, strip controls,
+  // collapse whitespace, trim: the cleaning pass byte-keyed dedup needs
+  // first. The word-soup corpus is pure ASCII (where normalization is
+  // identity), so the fixture decomposes it deterministically: every
+  // 'a' gains a combining diaeresis (U+0308) and a BEL + tab + double
+  // space frame is glued on — NFC must re-compose to precomposed 'ä'
+  // (1 codepoint) and the cleanup must erase the frame. md5(clean) makes
+  // the check byte-exact; DuckDB's nfc_normalize is the oracle's twin. --
+  private val q79: Q = (s, dir) => {
+    import s.implicits._
+    val raw = docs(s, dir).select($"doc_id",
+      concat(lit("  \u0007"), regexp_replace($"text", "a", "a\u0308"),
+        lit(" \tend  ")).as("raw"))
+    val clean = graft.operators.Normalize.cleanText($"raw")
+    raw.select($"doc_id", clean.as("clean"), md5(clean).as("clean_md5"),
+      length(clean).cast("long").as("n_chars_clean"))
+  }
+  private val q79Sql =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    '  ' || chr(7) || replace(text, 'a', 'a' || chr(776)) || ' ' || chr(9) || 'end  ' AS raw
+      |  FROM documents),
+      |cl AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+      |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+      |  FROM aug)
+      |SELECT doc_id, clean, md5(clean) AS clean_md5,
+      |  CAST(length(clean) AS BIGINT) AS n_chars_clean
+      |FROM cl""".stripMargin
+
+  // -- q80: URL canonicalization + per-domain cap (operators.UrlOps) —
+  // the crawl-curation pair: canonical URL key (case, default port,
+  // www., fragment, tracking params, param order, trailing slash all
+  // folded away) and at most 10 docs per domain, kept by doc_id. URLs
+  // are derived deterministically from (source, doc_id) — the corpus has
+  // no URL column — with every noise axis present so each rewrite step
+  // is observable. Oracle: the same RE2-subset regex chain + window
+  // transliterated to DuckDB. --
+  private val q80: Q = (s, dir) => {
+    import s.implicits._
+    val id = $"doc_id".cast("string")
+    val raw = docs(s, dir).select($"doc_id",
+      concat(lit("HTTPS://WWW."), upper($"source"), lit(".Example.COM:443/docs/"),
+        id, lit("/?b=2&utm_source=feed&a=1&gclid="), id, lit("#frag")).as("url"))
+    val normed = raw.select($"doc_id",
+      graft.operators.UrlOps.normalizeUrl($"url").as("url_norm"),
+      graft.operators.UrlOps.domainOf($"url").as("domain"))
+    graft.operators.UrlOps.capPerDomain(normed, "url_norm", 10, $"doc_id")
+  }
+  private val q80Sql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs/' ||
+      |    CAST(doc_id AS VARCHAR) || '/?b=2&utm_source=feed&a=1&gclid=' ||
+      |    CAST(doc_id AS VARCHAR) || '#frag' AS url
+      |  FROM documents),
+      |nf AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM raw),
+      |parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+      |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+      |  FROM nf),
+      |comp AS (
+      |  SELECT doc_id, scheme,
+      |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\.', '') AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+      |    regexp_replace(regexp_replace('&' || regexp_extract(rest, '\?(.*)$', 1),
+      |      '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'), '^&', '') AS query
+      |  FROM parts),
+      |normed AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || host ||
+      |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+      |          AND NOT (scheme = 'https' AND port = '443')
+      |         THEN ':' || port ELSE '' END ||
+      |    path ||
+      |    CASE WHEN query = '' THEN ''
+      |         ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END AS url_norm,
+      |    host AS domain
+      |  FROM comp),
+      |capped AS (
+      |  SELECT doc_id, url_norm, domain,
+      |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+      |  FROM normed)
+      |SELECT doc_id, url_norm, domain FROM capped WHERE rn <= 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -659,6 +749,8 @@ object TextOps {
     "q76_char_diversity" -> q76,
     "q77_bpe_pair_counts" -> q77,
     "q78_simhash_neardup" -> q78,
+    "q79_text_normalize" -> q79,
+    "q80_url_domain_cap" -> q80,
   )
 
   val oracle: Map[String, String] = Map(
@@ -684,5 +776,7 @@ object TextOps {
     "q76_char_diversity" -> q76Sql,
     "q77_bpe_pair_counts" -> q77Sql,
     "q78_simhash_neardup" -> q78Sql,
+    "q79_text_normalize" -> q79Sql,
+    "q80_url_domain_cap" -> q80Sql,
   )
 }

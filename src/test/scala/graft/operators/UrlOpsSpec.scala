@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm1(u: String): String = {
+    val r = Seq(Tuple1(u)).toDF("u")
+      .select(UrlOps.normalizeUrl($"u").as("n")).collect().head
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("canonicalization folds every noise axis") {
+    assert(norm1("HTTPS://WWW.Site.COM:443/Docs/1/?b=2&utm_source=x&a=1&gclid=z#frag")
+      == "https://site.com/Docs/1?a=1&b=2")
+  }
+
+  test("default ports drop per scheme; explicit others survive") {
+    assert(norm1("http://site.com:80/a") == "http://site.com/a")
+    assert(norm1("https://site.com:443/a") == "https://site.com/a")
+    assert(norm1("http://site.com:8080/a") == "http://site.com:8080/a")
+    assert(norm1("https://site.com:80/a") == "https://site.com:80/a")
+  }
+
+  test("root and trailing slashes trim away") {
+    assert(norm1("http://site.com/") == "http://site.com")
+    assert(norm1("http://site.com/a///") == "http://site.com/a")
+  }
+
+  test("tracker-only query leaves no '?'") {
+    assert(norm1("http://site.com/a?utm_source=x&utm_medium=y") == "http://site.com/a")
+    assert(norm1("http://site.com/a?fbclid=1") == "http://site.com/a")
+  }
+
+  test("trackers drop from any position; the rest sorts") {
+    assert(norm1("http://s.co/p?z=9&utm_a=1&m=5&gclid=2&a=0")
+      == "http://s.co/p?a=0&m=5&z=9")
+  }
+
+  test("already-canonical URLs are fixpoints (idempotent)") {
+    val urls = Seq(
+      "HTTP://WWW.A.ORG:80/x/?utm_c=1&b=2#f",
+      "https://b.io:9000/deep/path?z=1&a=2",
+      "http://plain.net")
+    urls.foreach { u =>
+      val once = norm1(u)
+      assert(norm1(once) == once, s"not idempotent for $u")
+    }
+  }
+
+  test("null -> null") {
+    assert(norm1(null) == null)
+  }
+
+  test("domainOf strips www, port, and case") {
+    val out = Seq(Tuple1("HTTP://WWW.Sub.Site.COM:8080/a?x=1#f")).toDF("u")
+      .select(UrlOps.domainOf($"u")).collect().head.getString(0)
+    assert(out == "sub.site.com")
+  }
+
+  test("capPerDomain keeps n per domain, deterministically by order") {
+    val df = (1L to 10L).map(i =>
+      (i, s"http://${if (i % 2 == 0) "even" else "odd"}.com/p/$i"))
+      .toDF("id", "url")
+    val kept = UrlOps.capPerDomain(df, "url", 2, $"id")
+      .select($"id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("plan: normalizeUrl is narrow; capPerDomain shuffles once on domain") {
+    val df = Seq((1L, "http://a.com/x")).toDF("id", "url")
+    val narrowPlan = df.select(UrlOps.normalizeUrl($"url"))
+      .queryExecution.executedPlan
+    assert(collectPlan(narrowPlan) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.isEmpty, s"normalizeUrl should not shuffle:\n$narrowPlan")
+
+    val capped = UrlOps.capPerDomain(df, "url", 1, $"id")
+    val plan = capped.queryExecution.executedPlan
+    val exchanges = collectPlan(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1, s"expected exactly one shuffle:\n$plan")
+  }
+}

@@ -726,6 +726,34 @@ object TextOps {
       |  FROM normed)
       |SELECT doc_id, url_norm, domain FROM capped WHERE rn <= 10""".stripMargin
 
+  // -- q81: inverted-index build (operators.InvertedIndex) — token ->
+  // (df, cf, k-bounded posting list ranked tf desc, doc_id asc). The
+  // posting cut rides the graft_topk heap aggregate, so the token-level
+  // shuffle carries vocabulary × k entries, never the corpus — the
+  // window form of the same cut is the oracle (two algorithms, one
+  // hash). Output flattened to (token, df, cf, rnk, doc_id, tf) rows;
+  // minDf=2 prunes the hapax tail. --
+  private val q81: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.InvertedIndex.build(docs(s, dir), "text", "doc_id", k = 5, minDf = 2L)
+      .select($"token", $"df", $"cf", posexplode($"postings"))
+      .select($"token", $"df", $"cf", ($"pos" + 1).as("rnk"),
+        $"col.id".as("doc_id"), $"col.score".cast("long").as("tf"))
+  }
+  private val q81Sql =
+    s"""WITH t AS (SELECT doc_id, unnest($dTok) AS token FROM documents),
+       |tf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |       FROM t GROUP BY 1, 2),
+       |ag AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+       |         CAST(sum(tf) AS BIGINT) AS cf
+       |       FROM tf GROUP BY 1 HAVING count(*) >= 2),
+       |rk AS (SELECT token, doc_id, tf,
+       |         row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id) AS rn
+       |       FROM tf)
+       |SELECT rk.token, ag.df, ag.cf, CAST(rk.rn AS INT) AS rnk,
+       |  rk.doc_id, rk.tf
+       |FROM rk JOIN ag ON rk.token = ag.token WHERE rk.rn <= 5""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -751,6 +779,7 @@ object TextOps {
     "q78_simhash_neardup" -> q78,
     "q79_text_normalize" -> q79,
     "q80_url_domain_cap" -> q80,
+    "q81_inverted_index" -> q81,
   )
 
   val oracle: Map[String, String] = Map(
@@ -778,5 +807,6 @@ object TextOps {
     "q78_simhash_neardup" -> q78Sql,
     "q79_text_normalize" -> q79Sql,
     "q80_url_domain_cap" -> q80Sql,
+    "q81_inverted_index" -> q81Sql,
   )
 }

@@ -754,6 +754,32 @@ object TextOps {
        |  rk.doc_id, rk.tf
        |FROM rk JOIN ag ON rk.token = ag.token WHERE rk.rn <= 5""".stripMargin
 
+  // -- q82: Okapi BM25 term weights (operators.Bm25) — the scoring half
+  // of the retrieval path over q81's structure: Robertson idf ×
+  // length-normalized tf, one corpus shuffle, vocabulary-sized df table
+  // broadcast back, (N, avgdl) scalars cross-joined from a one-row agg.
+  // Oracle: the same formula spelled in SQL (ln/round in both engines;
+  // 6-dp rounding for cross-engine float parity — the q63 precedent). --
+  private val q82: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Bm25.weights(docs(s, dir), "text", "doc_id")
+      .select($"id".as("doc_id"), $"token", $"tf", $"dl", $"df", $"bm25")
+  }
+  private val q82Sql =
+    s"""WITH base AS (SELECT doc_id, $dTok AS tk FROM documents),
+       |tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS token
+       |        FROM base),
+       |tf AS (SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY 1, 2, 3),
+       |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(avg(len(tk)) AS DOUBLE) AS avgdl FROM base)
+       |SELECT tf.doc_id, tf.token, tf.tf, tf.dl, dft.df,
+       |  round(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1) *
+       |        (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl)),
+       |        6) AS bm25
+       |FROM tf JOIN dft USING (token) CROSS JOIN st""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -780,6 +806,7 @@ object TextOps {
     "q79_text_normalize" -> q79,
     "q80_url_domain_cap" -> q80,
     "q81_inverted_index" -> q81,
+    "q82_bm25_weights" -> q82,
   )
 
   val oracle: Map[String, String] = Map(
@@ -808,5 +835,6 @@ object TextOps {
     "q79_text_normalize" -> q79Sql,
     "q80_url_domain_cap" -> q80Sql,
     "q81_inverted_index" -> q81Sql,
+    "q82_bm25_weights" -> q82Sql,
   )
 }

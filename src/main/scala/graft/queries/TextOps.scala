@@ -780,6 +780,44 @@ object TextOps {
        |        6) AS bm25
        |FROM tf JOIN dft USING (token) CROSS JOIN st""".stripMargin
 
+  // -- q83: PageRank over the near-dup graph (operators.PageRank) — the
+  // link-analysis quality signal, run undirected over q22's candidate
+  // pairs (rank concentrates on the best-connected member of each dup
+  // blob). 3 power-iteration rounds from a uniform start. Oracle: the
+  // same three rounds UNROLLED as CTE stages (every double literal
+  // CAST to DOUBLE so DuckDB doesn't fall into DECIMAL arithmetic);
+  // 6-dp rounding absorbs summation-order ulps. --
+  private val q83: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.PageRank.ranks(q22(s, dir), "doc_a", "doc_b",
+      iters = 3, undirected = true)
+      .select($"node".as("doc_id"), round($"rank", 6).as("pr"))
+  }
+  private val q83Sql = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    def round(k: Int): String =
+      s"""r$k AS (
+         |  SELECT n.node,
+         |    (1 - $d) / st.n + $d * COALESCE(sm.s, CAST(0 AS DOUBLE)) AS r
+         |  FROM nodes n CROSS JOIN st
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(p.r / e.outdeg) AS s
+         |    FROM ed e JOIN r${k - 1} p ON e.src = p.node
+         |    GROUP BY 1) sm ON sm.dst = n.node)""".stripMargin
+    s"""WITH pairs AS ($q22Sql),
+       |dir AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM dir GROUP BY 1),
+       |ed AS (SELECT dir.src, dir.dst, deg.outdeg FROM dir JOIN deg USING (src)),
+       |nodes AS (SELECT DISTINCT src AS node FROM dir),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST(1 AS DOUBLE) / st.n AS r FROM nodes CROSS JOIN st),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT node AS doc_id, round(r, 6) AS pr FROM r3""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -807,6 +845,7 @@ object TextOps {
     "q80_url_domain_cap" -> q80,
     "q81_inverted_index" -> q81,
     "q82_bm25_weights" -> q82,
+    "q83_pagerank" -> q83,
   )
 
   val oracle: Map[String, String] = Map(
@@ -836,5 +875,6 @@ object TextOps {
     "q80_url_domain_cap" -> q80Sql,
     "q81_inverted_index" -> q81Sql,
     "q82_bm25_weights" -> q82Sql,
+    "q83_pagerank" -> q83Sql,
   )
 }

@@ -13,7 +13,8 @@ object GraftFunctions {
     Seq(VecDot.description, SimHash32.description, MinHashBands.description,
       TopKByScore.description, VecMeanAgg.description,
       RepStats.description, GramOverlap.description, CharStats.description,
-      BpeMergeExpr.description, UnicodeNormalize.description)
+      BpeMergeExpr.description, UnicodeNormalize.description,
+      HeavyHitters.description)
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)

@@ -818,6 +818,45 @@ object TextOps {
        |SELECT node AS doc_id, round(r, 6) AS pr FROM r3""".stripMargin
   }
 
+  // -- q84: Misra–Gries heavy hitters (graft_heavy_hitters) over the
+  // token first-letter stream — 19 distinct keys against k=15 counters,
+  // so the sketch genuinely evicts, and the n/16 threshold admits the
+  // top frequency tier. The oracle is q37's within-tolerance pattern:
+  // exact counts are SQL-reproducible, the sketch is not — so the Spark
+  // side emits, for every item EXACTLY above threshold, the boolean
+  // "sketch found it, never overcounted, within the n/(k+1) bound"
+  // (missing item -> ok=false via the left join), and the oracle emits
+  // literal true for the same exact-count rows. Hash equality therefore
+  // proves the Misra–Gries guarantee held. (The exact groupBy here is
+  // check scaffolding — the sketch alone is the production path when
+  // the key space is too large to groupBy.) --
+  private val q84: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val items = docs(s, dir)
+      .select(explode(Text.tokens($"text")).as("t"))
+      .select(substring($"t", 1, 1).as("item"))
+    val sk = items
+      .agg(graft.functions.HeavyHitters.heavyHitters($"item", 15).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item".as("item"), $"e.cnt".as("est"))
+    val n = items.agg(count(lit(1)).as("n"))
+    val exact = items.groupBy($"item").agg(count(lit(1)).as("cnt"))
+    exact.crossJoin(broadcast(n)).join(broadcast(sk), Seq("item"), "left")
+      .filter($"cnt" > $"n" / 16.0)
+      .select($"item", $"cnt",
+        ($"est".isNotNull && $"est" <= $"cnt" &&
+          ($"cnt" - $"est") <= $"n" / 16.0).as("ok"))
+  }
+  private val q84Sql =
+    s"""WITH tok AS (SELECT unnest($dTok) AS t FROM documents),
+       |it AS (SELECT substring(t, 1, 1) AS item FROM tok),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n FROM it)
+       |SELECT item, CAST(count(*) AS BIGINT) AS cnt, true AS ok
+       |FROM it CROSS JOIN st
+       |GROUP BY item, st.n
+       |HAVING count(*) > st.n / 16.0""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -846,6 +885,7 @@ object TextOps {
     "q81_inverted_index" -> q81,
     "q82_bm25_weights" -> q82,
     "q83_pagerank" -> q83,
+    "q84_heavy_hitters" -> q84,
   )
 
   val oracle: Map[String, String] = Map(
@@ -876,5 +916,6 @@ object TextOps {
     "q81_inverted_index" -> q81Sql,
     "q82_bm25_weights" -> q82Sql,
     "q83_pagerank" -> q83Sql,
+    "q84_heavy_hitters" -> q84Sql,
   )
 }

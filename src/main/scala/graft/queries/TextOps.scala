@@ -857,6 +857,32 @@ object TextOps {
        |GROUP BY item, st.n
        |HAVING count(*) > st.n / 16.0""".stripMargin
 
+  // -- q85: cross-document duplicate spans (operators.Spans) — per-doc
+  // count/fraction of 10-token windows that occur anywhere else in the
+  // corpus (the Lee-et-al span-level dedup signal; q70 is intra-doc
+  // only, q22 is whole-doc). Oracle: unnest + group-by occurrence
+  // counts + join — the direct SQL reformulation. --
+  private val q85: Q = (s, dir) =>
+    graft.operators.Spans.dupSpanStats(docs(s, dir), "text", "doc_id", w = 10)
+  private val q85Sql = {
+    val tk = dTok
+    s"""WITH g AS (
+       |  SELECT doc_id, md5(gram) AS fp FROM (
+       |    SELECT doc_id, unnest(${dShingles(tk, 10)}) AS gram FROM documents)),
+       |occ AS (SELECT fp, count(*) AS occ FROM g GROUP BY 1),
+       |per AS (
+       |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+       |  FROM g JOIN occ o USING (fp) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(per.n_spans, 0) AS n_spans,
+       |  COALESCE(per.n_dup_spans, 0) AS n_dup_spans,
+       |  CASE WHEN per.n_spans > 0
+       |       THEN CAST(per.n_dup_spans AS DOUBLE) / per.n_spans
+       |       ELSE 0.0 END AS dup_span_fraction
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -886,6 +912,7 @@ object TextOps {
     "q82_bm25_weights" -> q82,
     "q83_pagerank" -> q83,
     "q84_heavy_hitters" -> q84,
+    "q85_dup_spans" -> q85,
   )
 
   val oracle: Map[String, String] = Map(
@@ -917,5 +944,6 @@ object TextOps {
     "q82_bm25_weights" -> q82Sql,
     "q83_pagerank" -> q83Sql,
     "q84_heavy_hitters" -> q84Sql,
+    "q85_dup_spans" -> q85Sql,
   )
 }

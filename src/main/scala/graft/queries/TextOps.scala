@@ -883,6 +883,19 @@ object TextOps {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
   }
 
+  // -- q86: hashing-trick featurization (operators.FeatureHash) —
+  // hashed bag-of-words at dim=32 in the sparse form (the dense packer
+  // is spec-pinned equal); buckets are the Splits md5 construction, so
+  // the oracle reproduces every assignment bit-for-bit. --
+  private val q86: Q = (s, dir) =>
+    graft.operators.FeatureHash.sparseBow(docs(s, dir), "text", "doc_id", dim = 32)
+  private val q86Sql =
+    s"""WITH tok AS (SELECT doc_id, unnest($dTok) AS t FROM documents)
+       |SELECT doc_id,
+       |  TRY_CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 32 AS bucket,
+       |  CAST(count(*) AS BIGINT) AS cnt
+       |FROM tok GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -913,6 +926,7 @@ object TextOps {
     "q83_pagerank" -> q83,
     "q84_heavy_hitters" -> q84,
     "q85_dup_spans" -> q85,
+    "q86_feature_hash" -> q86,
   )
 
   val oracle: Map[String, String] = Map(
@@ -945,5 +959,6 @@ object TextOps {
     "q83_pagerank" -> q83Sql,
     "q84_heavy_hitters" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
+    "q86_feature_hash" -> q86Sql,
   )
 }

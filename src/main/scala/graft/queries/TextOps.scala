@@ -896,6 +896,31 @@ object TextOps {
        |  CAST(count(*) AS BIGINT) AS cnt
        |FROM tok GROUP BY 1, 2""".stripMargin
 
+  // -- q87: bigram LM quality score (operators.LangModel) — add-one
+  // smoothed corpus bigram log-probs, mean per doc: the perplexity-gate
+  // signal. Oracle: the identical count arithmetic + ln in SQL (exact
+  // integer operands -> identical doubles into ln; 6-dp round absorbs
+  // summation-order ulps in the mean). --
+  private val q87: Q = (s, dir) =>
+    graft.operators.LangModel.bigramLogProb(docs(s, dir), "text", "doc_id")
+  private val q87Sql = {
+    val tk = dTok
+    s"""WITH toks AS (SELECT doc_id, unnest($tk) AS t FROM documents),
+       |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY 1),
+       |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+       |bis AS (SELECT doc_id, unnest(${dShingles(tk, 2)}) AS bg FROM documents),
+       |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bis GROUP BY 1),
+       |lm AS (
+       |  SELECT bi.bg, ln(CAST(bi.c2 + 1 AS DOUBLE) / (uni.c1 + voc.v)) AS lp
+       |  FROM bi JOIN uni ON split_part(bi.bg, ' ', 1) = uni.t CROSS JOIN voc),
+       |per AS (
+       |  SELECT bis.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    round(avg(lm.lp), 6) AS avg_lp
+       |  FROM bis JOIN lm USING (bg) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams, per.avg_lp
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -927,6 +952,7 @@ object TextOps {
     "q84_heavy_hitters" -> q84,
     "q85_dup_spans" -> q85,
     "q86_feature_hash" -> q86,
+    "q87_bigram_lm" -> q87,
   )
 
   val oracle: Map[String, String] = Map(
@@ -960,5 +986,6 @@ object TextOps {
     "q84_heavy_hitters" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_feature_hash" -> q86Sql,
+    "q87_bigram_lm" -> q87Sql,
   )
 }

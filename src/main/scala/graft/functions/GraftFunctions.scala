@@ -14,7 +14,7 @@ object GraftFunctions {
       TopKByScore.description, VecMeanAgg.description,
       RepStats.description, GramOverlap.description, CharStats.description,
       BpeMergeExpr.description, UnicodeNormalize.description,
-      HeavyHitters.description)
+      HeavyHitters.description, ShinglesExpr.description)
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)

@@ -32,6 +32,14 @@ object Text {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Native codegen'd twin of [[shingles]] (ONE kernel call per row
+    * instead of an interpreted HOF per gram — the hot path for
+    * corpus-sized gram streams). Pinned equal by the differential spec;
+    * requires the graft functions registered (GraftSession sessions
+    * have them; others call GraftFunctions.ensureRegistered). */
+  def shinglesNative(toks: Column, n: Int): Column =
+    call_function(ShinglesExpr.name, toks, lit(n))
+
   /** One MinHash band value: the lexicographic min of md5(seed||elem) over
     * the array — a deterministic stand-in for "min over a random hash
     * permutation". Equal band values => likely-similar sets (LSH). */

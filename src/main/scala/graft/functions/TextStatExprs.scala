@@ -136,6 +136,11 @@ object TextStatOps {
       java.util.Arrays.copyOfRange(buf, 0, m))
   }
 
+  /** [[shingleGrams]] boxed as Catalyst array data (for [[ShinglesExpr]]). */
+  def shingleArray(toks: ArrayData, n: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      shingleGrams(toks, n).asInstanceOf[Array[AnyRef]])
+
   /** Builds the shared benchmark-gram hash set from a constant array. */
   private[functions] def buildSet(arr: Any): java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String]()
@@ -149,6 +154,53 @@ object TextStatOps {
     }
     s
   }
+}
+
+/** array<string> tokens -> the space-joined word `shingle`-grams as ONE
+  * codegen'd kernel call — the hot-path twin of the composable
+  * `Text.shingles` (an interpreted transform+slice+array_join per gram,
+  * which dominates wall time when a corpus-sized gram stream is
+  * exploded: the q85/q87 lesson, same as MinHashBands'). Gram text is
+  * identical to the composable form (concatWs skips nulls exactly like
+  * array_join); sub-`shingle` docs yield an empty array. Null tokens
+  * array -> null (the composable form's `when` gives empty — callers
+  * tokenize from non-null text, pinned by the differential spec). */
+case class ShinglesExpr(child: Expression, shingle: Int) extends UnaryExpression {
+  require(shingle >= 1, "shingle size must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = ShinglesExpr.name
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    TextStatOps.shingleArray(input.asInstanceOf[ArrayData], shingle)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatOps.shingleArray($c, $shingle)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShinglesExpr {
+  val name = "graft_shingles"
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[ShinglesExpr].getName, name),
+    (children: Seq[Expression]) => {
+      if (children.length != 2) throw new IllegalArgumentException(
+        s"$name expects exactly 2 arguments (tokens, shingle), got ${children.length}")
+      children(1) match {
+        case Literal(v: Int, IntegerType) => ShinglesExpr(children.head, v)
+        case other => throw new IllegalArgumentException(
+          s"$name: shingle size must be an integer literal, got $other")
+      }
+    })
 }
 
 /** array<string> tokens -> struct(total_grams, distinct_grams, max_run)

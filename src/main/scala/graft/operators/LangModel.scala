@@ -28,12 +28,13 @@ object LangModel {
     * rounded; docs with fewer than 2 tokens keep n_bigrams = 0 and a
     * null score (no bigram evidence — let the gate decide the policy). */
   def bigramLogProb(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val toks = df.select(col(idCol),
       explode(Text.tokens(col(textCol))).as("__t"))
     val uni = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c1"))
     val vocab = uni.agg(count(lit(1)).as("__v"))
     val bis = df.select(col(idCol),
-      explode(Text.shingles(Text.tokens(col(textCol)), 2)).as("__bg"))
+      explode(Text.shinglesNative(Text.tokens(col(textCol)), 2)).as("__bg"))
     val lm = bis.select(col("__bg")).groupBy(col("__bg"))
       .agg(count(lit(1)).as("__c2"))
       .join(uni.withColumnRenamed("__t", "__w1"),

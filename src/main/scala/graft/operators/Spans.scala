@@ -31,8 +31,9 @@ object Spans {
   def dupSpanStats(df: DataFrame, textCol: String, idCol: String,
                    w: Int = 10): DataFrame = {
     require(w >= 1, s"span width must be positive: $w")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val grams = df.select(col(idCol),
-      explode(Text.shingles(Text.tokens(col(textCol)), w)).as("__gram"))
+      explode(Text.shinglesNative(Text.tokens(col(textCol)), w)).as("__gram"))
       .select(col(idCol), md5(col("__gram")).as("__fp"))
     val dupFps = grams.groupBy(col("__fp"))
       .agg(count(lit(1)).as("__occ"))

@@ -68,6 +68,24 @@ class TextStatPropertySpec extends SparkSpec {
     }
   }
 
+  test("shinglesNative == composable Text.shingles over random token arrays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val cases = sample(toksGen, 300, 11006L)
+    val df = cases.zipWithIndex.map { case (toks, i) => (i, toks.map(Option(_))) }
+      .toDF("i", "tk")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = df.select(col("i"),
+        Text.shingles(col("tk"), n).as("composable"),
+        Text.shinglesNative(col("tk"), n).as("native")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"i=${r.getInt(0)} n=$n")
+      }
+    }
+  }
+
   test("bpeMerge: character sequence preserved, length shrinks by merge count") {
     val symGen = Gen.listOf(Gen.oneOf("a", "b", "c", "ab"))
     sample(symGen, 400, 10005L).foreach { syms =>

@@ -26,9 +26,11 @@ object Decontam {
   private[operators] val LiteralGramLimit: Int = 1 << 16
 
   /** Distinct word `n`-grams of one text column; null text counts as a
-    * gram-less document (empty array), so sizes never go -1-on-null. */
+    * gram-less document (empty array), so sizes never go -1-on-null.
+    * Shingles via the codegen'd kernel — on the broadcast-join branch
+    * this runs per corpus row (callers ensure registration). */
   private def gramSet(textCol: Column, n: Int): Column =
-    coalesce(array_distinct(Text.shingles(Text.tokens(textCol), n)),
+    coalesce(array_distinct(Text.shinglesNative(Text.tokens(textCol), n)),
       array().cast("array<string>"))
 
   /** Per-document overlap stats against `benchmark`:
@@ -44,6 +46,7 @@ object Decontam {
                    n: Int = 13, threshold: Double = 0.01,
                    literalLimit: Int = LiteralGramLimit): DataFrame = {
     val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val benchGrams = benchmark
       .select(explode(gramSet(col(textCol), n)).as("__gram"))
       .distinct()

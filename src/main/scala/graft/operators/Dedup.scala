@@ -55,6 +55,39 @@ object Dedup {
       .distinct()
   }
 
+  /** [[nearDupCandidates]] + the exact-Jaccard verification stage a
+    * production dedup runs before acting — LSH banding admits false
+    * positives (one colliding band suffices), so each candidate pair is
+    * re-scored on its full distinct-`shingle`-gram sets and only pairs
+    * with Jaccard ≥ `minJaccard` survive. Returns
+    * (`idCol`_a, `idCol`_b, jaccard).
+    *
+    * Scale posture: the gram-set frame is computed once (one narrow
+    * kernel projection) and joined onto the candidate list twice — both
+    * joins are keyed on ids and bounded by the CANDIDATE count (LSH has
+    * already cut the pair space from n² to colliding buckets); the set
+    * intersect/union runs per surviving pair only. The exact
+    * verification never touches non-candidate pairs, so the whole stage
+    * costs O(candidates), not O(n²). */
+  def nearDupVerified(df: DataFrame, textCol: String, idCol: String,
+                      shingle: Int = 5, bands: Int = 4,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val a = s"${idCol}_a"
+    val b = s"${idCol}_b"
+    val grams = df.select(col(idCol).as("__gid"),
+      array_distinct(Text.shinglesNative(Text.tokens(col(textCol)), shingle))
+        .as("__sh"))
+    nearDupCandidates(df, textCol, idCol, shingle, bands)
+      .join(grams.select(col("__gid"), col("__sh").as("__sh_a")),
+        col(a) === col("__gid")).drop("__gid")
+      .join(grams.select(col("__gid"), col("__sh").as("__sh_b")),
+        col(b) === col("__gid")).drop("__gid")
+      .select(col(a), col(b),
+        (size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Per-document SimHash fingerprints (native codegen'd): near-identical
     * documents land within small Hamming distance; equal values are
     * near-dup candidates at one shuffle via groupBy(simhash). */

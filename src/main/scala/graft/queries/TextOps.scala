@@ -921,6 +921,29 @@ object TextOps {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
   }
 
+  // -- q88: verified near-dup pairs (Dedup.nearDupVerified) — the LSH
+  // candidates of q22 re-scored on full distinct 5-gram sets, keeping
+  // Jaccard >= 0.96 (the corpus's candidate scores span 0.875-0.989,
+  // so the cut drops the weakest third): the false-positive-filtering
+  // stage a production dedup runs before acting. Cost is O(candidates), never O(n^2).
+  // Oracle: q22's pair SQL + list_intersect/list_distinct set algebra —
+  // identical integer operands, so the unrounded double divides match
+  // bit-for-bit (the q27 precedent). --
+  private val q88: Q = (s, dir) =>
+    graft.operators.Dedup.nearDupVerified(docs(s, dir), "text", "doc_id",
+      minJaccard = 0.96)
+  private val q88Sql =
+    s"""WITH pairs AS ($q22Sql),
+       |sh AS (SELECT doc_id, list_distinct(${dShingles(dTok, 5)}) AS sh
+       |       FROM documents)
+       |SELECT * FROM (
+       |  SELECT p.doc_a AS doc_id_a, p.doc_b AS doc_id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  FROM pairs p JOIN sh a ON p.doc_a = a.doc_id
+       |               JOIN sh b ON p.doc_b = b.doc_id)
+       |WHERE jaccard >= 0.96""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -953,6 +976,7 @@ object TextOps {
     "q85_dup_spans" -> q85,
     "q86_feature_hash" -> q86,
     "q87_bigram_lm" -> q87,
+    "q88_neardup_verified" -> q88,
   )
 
   val oracle: Map[String, String] = Map(
@@ -987,5 +1011,6 @@ object TextOps {
     "q85_dup_spans" -> q85Sql,
     "q86_feature_hash" -> q86Sql,
     "q87_bigram_lm" -> q87Sql,
+    "q88_neardup_verified" -> q88Sql,
   )
 }

@@ -313,4 +313,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.exists(r => r._1 == 90001L || r._2 == 90001L),
       "uncodable rows must be excluded, not crash or rank")
   }
+
+  test("nearDupVerified: verified pairs are candidate pairs with correct exact Jaccard") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.load(spark, sf(), "documents")
+    val cands = Dedup.nearDupCandidates(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verified = Dedup.nearDupVerified(df, "text", "doc_id", minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(verified.keySet == cands,
+      "at threshold 0 every candidate must survive with a score")
+    // independent witness: recompute Jaccard from raw distinct gram sets
+    val grams = df.select(col("doc_id"),
+      org.apache.spark.sql.functions.array_distinct(
+        graft.functions.Text.shingles(graft.functions.Text.tokens(col("text")), 5)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    verified.foreach { case ((a, b), j) =>
+      val expect = grams(a).intersect(grams(b)).size.toDouble /
+        grams(a).union(grams(b)).size
+      assert(j == expect, s"pair ($a,$b)")
+    }
+    // a real threshold strictly filters
+    val strict = Dedup.nearDupVerified(df, "text", "doc_id", minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.subsetOf(cands))
+    assert(strict == verified.filter(_._2 >= 0.4).keySet)
+  }
 }

@@ -313,6 +313,39 @@ object VectorOps {
        |  FROM adcs) WHERE rn <= 5""".stripMargin
   }
 
+  // -- q89: SemDeDup (operators.SemDedup) — semantic dedup over the
+  // embedding corpus: IVF-assign to the q33 fixed centroids (narrow
+  // fold), within-cluster pairs with cosine >= 0.35 mark the larger id
+  // a loser (tau sits inside this corpus's within-cluster score range,
+  // p99 ~ 0.34, max 0.49 — the cut is real). Oracle: the q33 window
+  // assignment + the same pair join and fold-cosine threshold; sequential
+  // fold == VecDot bit-for-bit, so the comparison agrees exactly. --
+  private val q89: Q = (s, dir) => {
+    import s.implicits._
+    val c = emb(s, dir).filter($"vec_id" < 16)
+      .select($"vec_id".as("c_id"), $"embedding")
+    graft.operators.SemDedup.mark(emb(s, dir), c, "vec_id", "embedding",
+      "c_id", tau = 0.35)
+      .select($"vec_id", $"cluster".cast("long").as("cluster"), $"kept")
+  }
+  private val q89Sql =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |           FROM embeddings WHERE vec_id < 16),
+       |p AS (SELECT vec_id, c_id, ${dCos("embedding", "c_emb")} AS cos
+       |      FROM embeddings CROSS JOIN c),
+       |asg AS (SELECT vec_id, c_id AS cluster FROM (
+       |  SELECT vec_id, c_id,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+       |  FROM p) WHERE rn = 1),
+       |a AS (SELECT asg.vec_id, asg.cluster, e.embedding
+       |      FROM asg JOIN embeddings e USING (vec_id)),
+       |losers AS (
+       |  SELECT DISTINCT y.vec_id FROM a x JOIN a y
+       |  ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  WHERE ${dCos("x.embedding", "y.embedding")} >= 0.35)
+       |SELECT a.vec_id, a.cluster, l.vec_id IS NULL AS kept
+       |FROM a LEFT JOIN losers l ON a.vec_id = l.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_cosine_topk" -> q30,
     "q31_lsh_buckets" -> q31,
@@ -323,6 +356,7 @@ object VectorOps {
     "q63_topk_agg" -> q63,
     "q73_pq_encode" -> q73,
     "q74_pq_adc_topk" -> q74,
+    "q89_semdedup" -> q89,
   )
 
   val oracle: Map[String, String] = Map(
@@ -335,5 +369,6 @@ object VectorOps {
     "q63_topk_agg" -> q63Sql,
     "q73_pq_encode" -> q73Sql,
     "q74_pq_adc_topk" -> q74Sql,
+    "q89_semdedup" -> q89Sql,
   )
 }

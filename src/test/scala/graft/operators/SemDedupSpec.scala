@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated centroid directions in 4-d
+  private val centroids = Seq(
+    (100L, Seq(1f, 0f, 0f, 0f)),
+    (200L, Seq(0f, 1f, 0f, 0f))
+  ).toDF("c_id", "embedding")
+
+  test("near-twins in one cluster lose to the smaller id; cross-cluster twins both survive") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0.1f, 0f, 0f)),   // cluster 100
+      (2L, Seq(1f, 0.11f, 0f, 0f)),  // near-twin of 1, same cluster -> dropped
+      (3L, Seq(0.9f, -0.4f, 0f, 0f)), // cluster 100 but far from 1/2 -> kept
+      (4L, Seq(0.1f, 1f, 0f, 0f)),   // cluster 200
+      (5L, Seq(0.1f, 1f, 0.01f, 0f)) // near-twin of 4, same cluster -> dropped
+    ).toDF("vec_id", "embedding")
+    val out = SemDedup.mark(corpus, centroids, "vec_id", "embedding", "c_id", tau = 0.98)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((100, true)))
+    assert(out(2L) == ((100, false)))
+    assert(out(3L) == ((100, true)))
+    assert(out(4L) == ((200, true)))
+    assert(out(5L) == ((200, false)))
+  }
+
+  test("chains drop every id with a smaller-id twin (greedy by preference, not transitive-free)") {
+    // 1~2 and 2~3 qualify; 1~3 also qualifies here -> 2 and 3 both lose to 1
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(1f, 0.05f, 0f, 0f)),
+      (3L, Seq(1f, 0.1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = SemDedup.mark(corpus, centroids, "vec_id", "embedding", "c_id", tau = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("tau above every similarity keeps the whole corpus") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0.3f, 0f, 0f)),
+      (2L, Seq(1f, -0.3f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = SemDedup.mark(corpus, centroids, "vec_id", "embedding", "c_id", tau = 0.999)
+      .collect().map(r => r.getBoolean(2))
+    assert(out.forall(identity))
+  }
+}

@@ -42,6 +42,12 @@ object Bench {
       // workload sees. A query that throws on EITHER run lands in
       // `failures`, never in `queries` — a flaky query's surviving run
       // is not a trustworthy measurement either.
+      // Forced GC between queries (JMH-style hygiene): 88 earlier
+      // queries leave broadcast/shuffle garbage whose async cleanup
+      // otherwise lands inside THIS query's measured window — late
+      // multi-stage queries were reading 3-4x their fresh-session
+      // steady state.
+      System.gc()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {

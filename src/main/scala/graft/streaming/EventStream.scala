@@ -20,6 +20,28 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total"))
 
+  /** Windowed trending items: per event-time window, the top items by
+    * the [[graft.functions.HeavyHitters]] Misra–Gries aggregate — the
+    * streaming "what's hot right now" query with O(k) state per open
+    * window (the native aggregate's partial buffers merge across
+    * micro-batches through the state store exactly as they do across
+    * batch partitions). With `k` at or above the item cardinality the
+    * counts are exact and batch == stream bit-for-bit (the spec's
+    * differential); below it, the n/(k+1) guarantee applies per window
+    * but estimates become merge-order-sensitive — fine for trending,
+    * not for billing. */
+  def trendingTypes(events: DataFrame, k: Int = 8,
+                    watermarkDelay: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(events.sparkSession)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("event_type"), k).as("__hh"))
+      .select(col("window.start").as("hour"), posexplode(col("__hh")))
+      .select(col("hour"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.item").as("event_type"), col("col.cnt").as("cnt"))
+  }
+
   /** Streaming exact dedup: drops re-deliveries of the same key whose
     * event times fall within the watermark horizon — at-least-once
     * ingestion becomes effectively-once, and state for a key is evicted

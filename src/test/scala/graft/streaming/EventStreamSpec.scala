@@ -79,4 +79,47 @@ class EventStreamSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
     assert(batch.exceptAll(viaTrunc).isEmpty && viaTrunc.exceptAll(batch).isEmpty)
   }
+
+  test("streaming trending items equal the batch result once windows close") {
+    val src = Files.createTempDirectory("tr_src").toString
+    val out = Files.createTempDirectory("tr_out").toString
+    val ckpt = Files.createTempDirectory("tr_ckpt").toString
+
+    val events = Tables.load(spark, sf(), "events")
+      .select($"ts", $"event_type", $"value")
+    events.write.mode("append").parquet(src)
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(events.schema).parquet(src)
+      val q = EventStream.trendingTypes(stream).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    run() // state accumulates, nothing closed yet
+    val far = events.limit(1)
+      .select(($"ts" + expr("INTERVAL 365 DAYS")).as("ts"), $"event_type", $"value")
+    far.write.mode("append").parquet(src)
+    run() // the far-future event closes every original window
+
+    val streamed = spark.read.parquet(out)
+      .select($"hour", $"rank", $"event_type", $"cnt")
+    // k=8 >= event-type cardinality: the sketch is exact, so the
+    // micro-batch state-store merges must reproduce the batch plan's
+    // partial-aggregate merges bit-for-bit
+    val expected = EventStream.trendingTypes(events)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(expected).isEmpty && expected.exceptAll(streamed).isEmpty)
+    // ranks within a window are dense from 1 and counts non-increasing
+    val perWindow = streamed.collect().groupBy(_.getTimestamp(0))
+    perWindow.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rows.length).toSeq)
+      val cnts = sorted.map(_.getLong(3)).toSeq
+      assert(cnts == cnts.sorted.reverse)
+    }
+  }
 }

@@ -944,6 +944,40 @@ object TextOps {
        |               JOIN sh b ON p.doc_b = b.doc_id)
        |WHERE jaccard >= 0.96""".stripMargin
 
+  // -- q90: temperature-balanced source mixing at alpha=0.5
+  // (Mix.balanceSources) — each source keeps sqrt(min/n_s) of its docs,
+  // content-addressed. The fixture's sources are uniform (25 docs each,
+  // rule never bites), so the source label is re-derived skewed from
+  // doc_id (the q72 synthesis precedent): mod-4 buckets 0,1 -> 'big',
+  // 2 -> 'mid', 3 -> 'small' give a 2:1:1 skew and a 7071/10000 cut on
+  // 'big'. Exact-integer counts + IEEE sqrt -> bit-identical thresholds
+  // in both engines; output is per-source threshold + kept count. --
+  private val q90: Q = (s, dir) => {
+    import s.implicits._
+    val skewed = docs(s, dir).select($"doc_id",
+      when($"doc_id" % 4 < 2, "big")
+        .when($"doc_id" % 4 === 2, "mid")
+        .otherwise("small").as("src"))
+    graft.operators.Mix.balanceSources(skewed, "doc_id", "src")
+      .groupBy($"src")
+      .agg(count(lit(1)).as("kept"))
+  }
+  private val q90Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 < 2 THEN 'big'
+      |         WHEN doc_id % 4 = 2 THEN 'mid' ELSE 'small' END AS src
+      |  FROM documents),
+      |n AS (SELECT src, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
+      |mn AS (SELECT min(n_s) AS min_n FROM n),
+      |r AS (SELECT src,
+      |        CAST(round(sqrt(CAST(min_n AS DOUBLE) / n_s) * 10000) AS BIGINT) AS thr
+      |      FROM n CROSS JOIN mn),
+      |k AS (SELECT d.doc_id, d.src FROM d JOIN r USING (src)
+      |      WHERE TRY_CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.src), 1, 8) AS BIGINT)
+      |            % 10000 < r.thr)
+      |SELECT src, CAST(count(*) AS BIGINT) AS kept FROM k GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -977,6 +1011,7 @@ object TextOps {
     "q86_feature_hash" -> q86,
     "q87_bigram_lm" -> q87,
     "q88_neardup_verified" -> q88,
+    "q90_temperature_mix" -> q90,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1012,5 +1047,6 @@ object TextOps {
     "q86_feature_hash" -> q86Sql,
     "q87_bigram_lm" -> q87Sql,
     "q88_neardup_verified" -> q88Sql,
+    "q90_temperature_mix" -> q90Sql,
   )
 }

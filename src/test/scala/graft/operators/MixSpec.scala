@@ -36,4 +36,26 @@ class MixSpec extends SparkSpec {
     assert(overlap < 0.7, s"draws look correlated: overlap $overlap")
     assert(aIds != bIds)
   }
+
+  test("balanceSources: sqrt rule, smallest source whole, deterministic reruns") {
+    // sizes 400 / 100 / 25 -> thresholds sqrt(25/400)=0.25, sqrt(25/100)=0.5, 1.0
+    val docs = (1L to 525L).map { i =>
+      val src = if (i <= 400) "big" else if (i <= 500) "mid" else "small"
+      (i, src)
+    }.toDF("doc_id", "src")
+    val kept = Mix.balanceSources(docs, "doc_id", "src")
+    val bySource = kept.groupBy($"src").count().as[(String, Long)].collect().toMap
+    // smallest source survives whole (threshold 10000)
+    assert(bySource("small") == 25L)
+    // hash rates approach the sqrt targets (400*0.25=100, 100*0.5=50)
+    assert(math.abs(bySource("big") - 100L) <= 20, s"big kept ${bySource("big")}")
+    assert(math.abs(bySource("mid") - 50L) <= 15, s"mid kept ${bySource("mid")}")
+    // content-addressed: a rerun keeps the identical id set
+    val ids1 = kept.select($"doc_id").as[Long].collect().toSet
+    val ids2 = Mix.balanceSources(docs, "doc_id", "src")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // kept rows are a subset of the input rows
+    assert(ids1.subsetOf((1L to 525L).toSet))
+  }
 }

@@ -10,10 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(VecDot.description, SimHash32.description, MinHashBands.description,
+    Seq(VecDot.description, SimHash32.description, SimHash64.description,
+      MinHashBands.description,
       TopKByScore.description, VecMeanAgg.description,
       RepStats.description, GramOverlap.description, CharStats.description,
-      BpeMergeExpr.description, UnicodeNormalize.description,
+      BpeMergeExpr.description, BpeEncodeExpr.description,
+      UnicodeNormalize.description,
       HeavyHitters.description, ShinglesExpr.description)
 
   def inject(ext: SparkSessionExtensions): Unit =

@@ -50,6 +50,37 @@ object HashOps {
     r
   }
 
+  /** 64-bit SimHash over token md5s — bit i (0..63) is the majority vote
+    * of digest bit i (bit `7 - (i & 7)` of byte `i >> 3`, i.e. the bits
+    * of the first 8 digest bytes in hex-rendering order). The production
+    * fingerprint width: 16-bit pigeonhole bands at Hamming budget 3 give
+    * 2^16 buckets per band vs the 32-bit form's 2^8. */
+  def simhash64(toks: ArrayData): Long = {
+    val md = threadMd.get()
+    val n = toks.numElements()
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (!toks.isNullAt(j)) {
+        md.reset()
+        val d = md.digest(toks.getUTF8String(j).getBytes)
+        var i = 0
+        while (i < 64) {
+          if (((d(i >> 3) >> (7 - (i & 7))) & 1) != 0) counts(i) += 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var r = 0L
+    var i = 0
+    while (i < 64) {
+      if (2L * counts(i) > n) r |= (1L << i)
+      i += 1
+    }
+    r
+  }
+
   /** MinHash band signatures: word-shingles of `shingle` tokens joined by
     * a single space, md5'd once, min per band over disjoint 4-byte digest
     * slices (rendered as 8 lowercase hex chars, the composable format).

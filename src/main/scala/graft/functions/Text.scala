@@ -100,6 +100,12 @@ object Text {
   def simhashNative(toks: Column): Column =
     call_function(SimHash32.name, toks)
 
+  /** Native codegen'd 64-bit SimHash (graft.functions.SimHash64): bit i is
+    * the majority of md5-digest bit i across tokens — the production
+    * fingerprint for Dedup.simhashNearDup's default width. */
+  def simhash64Native(toks: Column): Column =
+    call_function(SimHash64.name, toks)
+
   /** Native codegen'd MinHash band signatures: array of `bands` sigs from
     * `shingle`-token shingles, null elements for short docs. Value-
     * identical to `minhashBand(digests(shingles(tk, n)), b)` per band. */

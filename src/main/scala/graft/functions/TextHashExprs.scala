@@ -42,6 +42,36 @@ object SimHash32 {
     (children: Seq[Expression]) => SimHash32(children.head))
 }
 
+/** array<string> tokens -> 64-bit SimHash fingerprint (HashOps.simhash64):
+  * the production width for [[graft.operators.Dedup.simhashNearDup]]. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = SimHash64.name
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.simhash64(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  val name = "graft_simhash64"
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[SimHash64].getName, name),
+    (children: Seq[Expression]) => SimHash64(children.head))
+}
+
 /** array<string> tokens -> array of `bands` MinHash band signatures using
   * `shingle`-token word shingles (null band elements for short docs). */
 case class MinHashBands(child: Expression, shingle: Int, bands: Int) extends UnaryExpression {

@@ -136,6 +136,99 @@ object TextStatOps {
       java.util.Arrays.copyOfRange(buf, 0, m))
   }
 
+  /** Single-pass BPE encode: applies an ENTIRE ranked merge list to one
+    * symbol array via the standard pair-priority loop (the tokenizer
+    * encode algorithm) — find the lowest-rank adjacent pair present,
+    * merge all its occurrences greedily left-to-right, repeat until no
+    * ranked pair remains. Equivalent to folding [[bpeMerge]] over the
+    * merges in rank order (BpeSpec pins the differential): a merge at
+    * rank k only ever creates pairs involving its new symbol, which by
+    * construction carry ranks > k, so processing present-pairs in
+    * ascending rank order visits exactly the ranks the fold would apply.
+    * Unlike the fold, the plan cost is ONE kernel call regardless of
+    * vocabulary size — a 32k-merge vocabulary encodes without a
+    * 32k-deep projection chain. */
+  def bpeEncode(arr: ArrayData,
+      ranks: java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Integer]])
+      : ArrayData = {
+    val n = arr.numElements()
+    var len = n
+    val s = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      s(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    var continue = len >= 2
+    while (continue) {
+      var bestRank = Integer.MAX_VALUE
+      var bi = -1
+      i = 0
+      while (i + 1 < len) {
+        val l = s(i)
+        val r = s(i + 1)
+        if (l != null && r != null) {
+          val m = ranks.get(l)
+          if (m != null) {
+            val rk = m.get(r)
+            if (rk != null && rk < bestRank) { bestRank = rk; bi = i }
+          }
+        }
+        i += 1
+      }
+      if (bi < 0) continue = false
+      else {
+        val l = s(bi)
+        val r = s(bi + 1)
+        val merged = UTF8String.concat(l, r)
+        var w = 0
+        i = 0
+        while (i < len) {
+          if (i + 1 < len && s(i) != null && s(i + 1) != null &&
+              s(i).equals(l) && s(i + 1).equals(r)) {
+            s(w) = merged
+            i += 2
+          } else {
+            s(w) = s(i)
+            i += 1
+          }
+          w += 1
+        }
+        len = w
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOfRange(s.asInstanceOf[Array[AnyRef]], 0, len))
+  }
+
+  /** Builds the rank table for [[bpeEncode]] from two constant parallel
+    * arrays (merge lefts, merge rights): left -> right -> rank. Nested
+    * maps rather than a joined key, so lookups allocate nothing and no
+    * separator can collide with symbol bytes. A duplicated pair keeps its
+    * FIRST (lowest) rank — the fold applies it there and a merged pair
+    * can never re-form. */
+  private[functions] def buildRanks(ls: Any, rs: Any)
+      : java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Integer]] = {
+    val m = new java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Integer]]()
+    if (ls != null && rs != null) {
+      val la = ls.asInstanceOf[ArrayData]
+      val ra = rs.asInstanceOf[ArrayData]
+      require(la.numElements() == ra.numElements(),
+        s"merge lefts/rights must be parallel arrays: ${la.numElements()} vs ${ra.numElements()}")
+      var i = 0
+      while (i < la.numElements()) {
+        if (!la.isNullAt(i) && !ra.isNullAt(i)) {
+          val l = la.getUTF8String(i).clone()
+          val r = ra.getUTF8String(i).clone()
+          m.computeIfAbsent(l, _ => new java.util.HashMap[UTF8String, Integer]())
+            .putIfAbsent(r, Integer.valueOf(i))
+        }
+        i += 1
+      }
+    }
+    m
+  }
+
   /** [[shingleGrams]] boxed as Catalyst array data (for [[ShinglesExpr]]). */
   def shingleArray(toks: ArrayData, n: Int): ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -322,6 +415,60 @@ object BpeMergeExpr {
       if (children.length != 3) throw new IllegalArgumentException(
         s"$name expects exactly 3 arguments (symbols, left, right), got ${children.length}")
       BpeMergeExpr(children(0), children(1), children(2))
+    })
+}
+
+/** (array<string> symbols, CONSTANT array<string> merge lefts, CONSTANT
+  * array<string> merge rights) -> the symbols with the ENTIRE ranked
+  * merge list applied via the single-pass pair-priority loop
+  * ([[TextStatOps.bpeEncode]]). The rank table is built once per plan
+  * and shipped as a codegen reference object, so a 32k-merge vocabulary
+  * costs one kernel call per row instead of a 32k-deep projection
+  * chain of [[BpeMergeExpr]]s. */
+case class BpeEncodeExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = BpeEncodeExpr.name
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _), ArrayType(StringType, _))
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, foldable array<string>, " +
+          s"foldable array<string>), got (${a.simpleString}, ${b.simpleString}, " +
+          s"${c.simpleString})")
+    }
+
+  @transient private lazy val ranks
+      : java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Integer]] =
+    TextStatOps.buildRanks(second.eval(null), third.eval(null))
+
+  protected override def nullSafeEval(a: Any, unused1: Any, unused2: Any): Any =
+    TextStatOps.bpeEncode(a.asInstanceOf[ArrayData], ranks)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("graftBpeRanks", ranks,
+      classOf[java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Integer]]].getName)
+    nullSafeCodeGen(ctx, ev, (a, _, _) =>
+      s"${ev.value} = graft.functions.TextStatOps.bpeEncode($a, $ranksRef);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object BpeEncodeExpr {
+  val name = "graft_bpe_encode"
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[BpeEncodeExpr].getName, name),
+    (children: Seq[Expression]) => {
+      if (children.length != 3) throw new IllegalArgumentException(
+        s"$name expects exactly 3 arguments (symbols, lefts, rights), got ${children.length}")
+      BpeEncodeExpr(children(0), children(1), children(2))
     })
 }
 

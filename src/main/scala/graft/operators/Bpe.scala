@@ -147,8 +147,28 @@ object Bpe {
     (merges.result(), finalWords)
   }
 
-  /** Applies an already-learned merge list to a symbol-array column, in
-    * rank order — the encode half, a narrow chain of codegen'd passes. */
+  /** Applies an already-learned merge list to a symbol-array column —
+    * the encode half, as ONE codegen'd kernel call per row regardless of
+    * vocabulary size: the ranked merge list ships as a plan constant
+    * (nested left->right->rank hash table, built once and referenced
+    * from generated code), and each row runs the standard tokenizer
+    * pair-priority loop. A realistic 32k-merge vocabulary encodes with
+    * a flat plan; the per-merge projection chain of [[applyMerges]]
+    * would collapse Catalyst analysis and Janino long before that. */
+  def encode(df: DataFrame, symsCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn(symsCol,
+      call_function(graft.functions.BpeEncodeExpr.name, col(symsCol),
+        typedlit(merges.map(_._1)), typedlit(merges.map(_._2))))
+  }
+
+  /** Rank-by-rank reference form of [[encode]]: folds one
+    * [[graft.functions.BpeMergeExpr]] projection per merge. Kept as the
+    * independently-simple spec the single-pass kernel is differentially
+    * pinned against (BpeSpec) — use [[encode]] for real vocabularies;
+    * this chain adds one plan node per merge and is only tractable for
+    * small merge lists. */
   def applyMerges(df: DataFrame, symsCol: String,
                   merges: Seq[(String, String)]): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)

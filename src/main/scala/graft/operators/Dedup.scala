@@ -35,24 +35,52 @@ object Dedup {
   /** Near-duplicate candidate pairs via banded MinHash LSH (native
     * codegen'd signatures): returns (`idCol`_a, `idCol`_b) with a < b.
     * One signature pass, one shuffle on (band, sig), in-bucket pair
-    * expansion — never a corpus self-join. */
+    * expansion — never a corpus self-join.
+    *
+    * Skew guard: a collision bucket larger than `maxBucket` is the
+    * boilerplate-template case (millions of documents sharing one band
+    * signature on web crawls) — materializing its O(b²) pairs in one task
+    * is the classic LSH scale-killer. Such buckets skip pair expansion
+    * entirely and emit a STAR over the bucket's minimum id (O(b) rows).
+    * Every bucket member is mutually a candidate by construction (they
+    * collide on the same band), so the star preserves exactly the
+    * connected components [[clusters]] would have derived from the full
+    * pair set — dedup grouping is unchanged; only the redundant
+    * within-bucket pair list is elided. Buckets within the cap are
+    * expanded exactly as before (capped == uncapped below the cap, pinned
+    * by DedupSimilaritySpec). Memory stays bounded on any skew: bucket
+    * sizing runs as window aggregates (spillable sort buffer), and
+    * `collect_list` only ever sees buckets ≤ `maxBucket`. */
   def nearDupCandidates(df: DataFrame, textCol: String, idCol: String,
-                        shingle: Int = 5, bands: Int = 4): DataFrame = {
+                        shingle: Int = 5, bands: Int = 4,
+                        maxBucket: Int = 1024): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val a = s"${idCol}_a"
     val b = s"${idCol}_b"
-    df.select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
+    val w = Window.partitionBy(col("__band"), col("__sig"))
+    // ONE shuffle: the window and the small-bucket groupBy share the
+    // (band, sig) hash partitioning, so EnsureRequirements inserts no
+    // second exchange and ReuseExchange computes the signature shuffle
+    // once for both branches.
+    val sized = df.select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
       .select(col(idCol), posexplode(Text.minhashBandsNative(col("__tk"), shingle, bands)))
       .select(col(idCol), col("pos").as("__band"), col("col").as("__sig"))
       .filter(col("__sig").isNotNull)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__min", min(col(idCol)).over(w))
+    val star = sized
+      .filter(col("__n") > maxBucket && col(idCol) =!= col("__min"))
+      .select(col("__min").as(a), col(idCol).as(b))
+    val smallPairs = sized
+      .filter(col("__n") <= maxBucket && col("__n") > 1)
       .groupBy(col("__band"), col("__sig"))
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
       .select(explode(flatten(transform(col("__ids"), (x, i) =>
         transform(slice(col("__ids"), i + 2, size(col("__ids"))),
           y => struct(x.as(a), y.as(b)))))).as("__p"))
       .select(col(s"__p.$a"), col(s"__p.$b"))
-      .distinct()
+    smallPairs.union(star).distinct()
   }
 
   /** [[nearDupCandidates]] + the exact-Jaccard verification stage a
@@ -96,8 +124,17 @@ object Dedup {
     df.select(col(idCol), Text.simhashNative(Text.tokens(col(textCol))).as("simhash"))
   }
 
+  /** Per-document 64-bit SimHash fingerprints (native codegen'd) — the
+    * production width: bit i is the majority vote of md5-digest bit i
+    * across tokens. Twice the collision resistance of [[simhashes]]
+    * per band at the same band count. */
+  def simhashes64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol), Text.simhash64Native(Text.tokens(col(textCol))).as("simhash"))
+  }
+
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxHamming`,
-    * via pigeonhole banding: the 32-bit fingerprint splits into
+    * via pigeonhole banding: the `bits`-wide fingerprint splits into
     * `maxHamming + 1` disjoint bit-bands, and any pair within the
     * distance budget must agree EXACTLY on at least one band — so
     * candidates come from one shuffle on (band, bits) with in-bucket
@@ -105,34 +142,63 @@ object Dedup {
     * the bucket, so the popcount verify is join-free). Returns
     * (`idCol`_a, `idCol`_b, hamming) with a < b.
     *
-    * Scale note: bucket count per band is 2^(32/(maxHamming+1)); with
-    * this 32-bit fingerprint (sized to stay bit-identical with the
-    * md5-nibble oracle) the default 8-bit bands hold to ~10^5–10^6
-    * docs. A production corpus widens the fingerprint (64-bit, 16-bit
-    * bands) — the banding algebra is unchanged. */
+    * Width: `bits = 64` (default) is the production fingerprint —
+    * 16-bit bands at the default budget, 2^16 buckets per band, which
+    * keeps expected bucket sizes sub-cap well past 10^9 documents.
+    * `bits = 32` remains for parity with the md5-nibble oracle
+    * (q23/q78); the banding algebra is identical at either width
+    * (differential-pinned by DedupSimilaritySpec).
+    *
+    * Skew guard (same machinery as [[nearDupCandidates]]): a bucket
+    * larger than `maxBucket` — a boilerplate template whose band bits
+    * are shared by millions of near-identical documents — skips O(b²)
+    * pair materialization and emits a STAR over the bucket's minimum
+    * id, with the true Hamming distance to that minimum. In the
+    * template case the colliding fingerprints are identical or
+    * near-identical, so the star rows pass the Hamming filter and the
+    * bucket resolves to one [[clusters]] component at O(b) cost;
+    * members further than `maxHamming` from the bucket minimum are
+    * only reachable through other bands/buckets (documented recall
+    * bound — within-cap buckets remain exhaustively exact). */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3, bits: Int = 64,
+                     maxBucket: Int = 1024): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 7,
       s"maxHamming must be in [1,7]: $maxHamming")
+    require(bits == 32 || bits == 64, s"fingerprint width must be 32 or 64: $bits")
+    require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
     val bands = maxHamming + 1
-    val width = 32 / bands
+    val width = bits / bands
     val a = s"${idCol}_a"
     val b = s"${idCol}_b"
-    val sh = simhashes(df, textCol, idCol)
+    val sh = if (bits == 64) simhashes64(df, textCol, idCol)
+             else simhashes(df, textCol, idCol)
     val bandBits = (0 until bands).map { bd =>
-      val w = if (bd == bands - 1) 32 - width * bd else width
-      shiftright(col("simhash"), width * bd).bitwiseAND(lit((1L << w) - 1))
+      val w = if (bd == bands - 1) bits - width * bd else width
+      val mask = if (w == 64) lit(-1L) else lit((1L << w) - 1)
+      shiftright(col("simhash"), width * bd).bitwiseAND(mask)
     }
-    sh.select(col(idCol), col("simhash"), posexplode(array(bandBits: _*)))
+    val win = Window.partitionBy(col("pos"), col("col"))
+    val sized = sh
+      .select(col(idCol), col("simhash"), posexplode(array(bandBits: _*)))
+      .withColumn("__n", count(lit(1)).over(win))
+      .withColumn("__mn", min(struct(col(idCol), col("simhash"))).over(win))
+    val star = sized
+      .filter(col("__n") > maxBucket && col(idCol) =!= col("__mn").getField(idCol))
+      .select(col("__mn").getField(idCol).as(a), col(idCol).as(b),
+        bit_count(col("__mn").getField("simhash").bitwiseXOR(col("simhash")))
+          .cast("long").as("hamming"))
+    val smallPairs = sized
+      .filter(col("__n") <= maxBucket && col("__n") > 1)
       .groupBy(col("pos"), col("col"))
       .agg(sort_array(collect_list(struct(col(idCol), col("simhash")))).as("__xs"))
-      .filter(size(col("__xs")) > 1)
       .select(explode(flatten(transform(col("__xs"), (x, i) =>
         transform(slice(col("__xs"), i + 2, size(col("__xs"))),
           y => struct(x.getField(idCol).as(a), y.getField(idCol).as(b),
             bit_count(x.getField("simhash").bitwiseXOR(y.getField("simhash")))
               .cast("long").as("hamming")))))).as("__p"))
       .select(col(s"__p.$a"), col(s"__p.$b"), col("__p.hamming"))
+    smallPairs.union(star)
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -57,21 +57,50 @@ object Similarity {
   }
 
   /** Sign-LSH bucketed near-dup pairs: one shuffle on the bucket key,
-    * per-bucket pairing (expected n²/2^bits comparisons), cosine cut at
-    * `minCos`. The approximate scale path — recall loss only across
-    * bucket boundaries. */
+    * per-bucket pairing, cosine cut at `minCos`. Approximate — recall
+    * loss only across bucket boundaries.
+    *
+    * Skew guard (the [[graft.operators.Dedup.nearDupCandidates]]
+    * machinery): sign-LSH buckets are NOT size-bounded — an embedding
+    * cluster of near-identical boilerplate lands millions of vectors in
+    * one bucket, and in-bucket pairing there is O(b²) in a single task.
+    * Buckets over `maxBucket` therefore skip pair materialization and
+    * emit a STAR over the bucket's minimum id (O(b) rows, cosine scored
+    * against that minimum): the bucket still resolves to one near-dup
+    * component, while pairs between two non-min members of an over-cap
+    * bucket are only found via other paths (documented recall bound —
+    * in the template case that triggers this, the bucket's vectors are
+    * near-identical and the star scores pass the cut). Within-cap
+    * buckets are expanded exhaustively, and bucket sizing runs as
+    * spillable window aggregates, so no task ever materializes an
+    * unbounded pair list or aggregation buffer. */
   def lshNearDup(corpus: DataFrame, idCol: String, embCol: String,
-                 bits: Int = 8, minCos: Double = 0.3): DataFrame = {
+                 bits: Int = 8, minCos: Double = 0.3,
+                 maxBucket: Int = 1024): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val e = corpus.select(col(idCol), col(embCol),
-      Vectors.signBucket(col(embCol), bits).as("__bucket"))
-    val a = e.toDF(s"${idCol}_a", "__emb_a", "__bucket")
-    val b = e.toDF(s"${idCol}_b", "__emb_b", "__bucket")
-    a.join(b, Seq("__bucket"))
-      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
-      .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
-        Vectors.cosine(col("__emb_a"), col("__emb_b")).as("cos"))
-      .filter(col("cos") >= minCos)
+    val a = s"${idCol}_a"
+    val b = s"${idCol}_b"
+    val w = Window.partitionBy(col("__bucket"))
+    val sized = corpus.select(col(idCol), col(embCol),
+        Vectors.signBucket(col(embCol), bits).as("__bucket"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__mn", min(struct(col(idCol), col(embCol))).over(w))
+    val star = sized
+      .filter(col("__n") > maxBucket && col(idCol) =!= col("__mn").getField(idCol))
+      .select(col("__mn").getField(idCol).as(a), col(idCol).as(b),
+        Vectors.cosine(col("__mn").getField(embCol), col(embCol)).as("cos"))
+    val smallPairs = sized
+      .filter(col("__n") <= maxBucket && col("__n") > 1)
+      .groupBy(col("__bucket"))
+      .agg(sort_array(collect_list(struct(col(idCol), col(embCol)))).as("__xs"))
+      .select(explode(flatten(transform(col("__xs"), (x, i) =>
+        transform(slice(col("__xs"), i + 2, size(col("__xs"))),
+          y => struct(x.getField(idCol).as(a), y.getField(idCol).as(b),
+            x.getField(embCol).as("__ea"), y.getField(embCol).as("__eb")))))).as("__p"))
+      .select(col(s"__p.$a"), col(s"__p.$b"),
+        Vectors.cosine(col("__p.__ea"), col("__p.__eb")).as("cos"))
+    smallPairs.union(star).filter(col("cos") >= minCos)
   }
 
   /** Deterministic Lloyd's k-means over an embedding column — trains the

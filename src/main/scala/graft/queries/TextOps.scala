@@ -619,8 +619,11 @@ object TextOps {
   // sub-linear and the uncapped operator is the production path. --
   private val q78: Q = (s, dir) => {
     import s.implicits._
+    // bits = 32: the md5-nibble fingerprint the DuckDB oracle reproduces
+    // exactly; the production default is the 64-bit path, pinned against
+    // this one by DedupSimilaritySpec's differential.
     graft.operators.Dedup.simhashNearDup(
-      docs(s, dir).filter($"doc_id" < 2000), "text", "doc_id")
+      docs(s, dir).filter($"doc_id" < 2000), "text", "doc_id", bits = 32)
   }
   private val q78Sql =
     s"""WITH sh AS (SELECT * FROM ($q23Sql) WHERE doc_id < 2000),

@@ -75,4 +75,51 @@ class BpeSpec extends SparkSpec {
       "syms", merges.map(m => (m._2, m._3)))
     assert(enc.select($"syms").as[Seq[String]].head() == Seq("low", "l", "y"))
   }
+
+  test("encode (single-pass kernel) == applyMerges (per-merge fold) on a real vocab") {
+    val docs = graft.Tables.load(spark, sf(), "documents").limit(80)
+    val (merges, _) = Bpe.train(docs, "text", numMerges = 24)
+    val ms = merges.map(m => (m._2, m._3))
+    val words = Bpe.wordTable(docs, "text")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"word", $"syms").as[(String, Seq[String])]
+        .collect().sortBy(_._1).toSeq
+    assert(snap(Bpe.encode(words, "syms", ms)) ==
+      snap(Bpe.applyMerges(words, "syms", ms)),
+      "pair-priority kernel must equal the rank-order fold")
+    // edge shapes: empty arrays, null symbols, unknown pairs
+    val edge = Seq(
+      (1L, Seq("l", "o", "w")), (2L, Seq[String]()),
+      (3L, Seq("l", null, "o", "w")), (4L, Seq("z", "q"))
+    ).toDF("id", "syms")
+    assert(snapById(Bpe.encode(edge, "syms", ms)) ==
+      snapById(Bpe.applyMerges(edge, "syms", ms)))
+  }
+
+  private def snapById(df: org.apache.spark.sql.DataFrame) =
+    df.select($"id", $"syms").as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+
+  test("encode completes with a 32k-merge vocabulary (flat plan, one kernel call)") {
+    // the fold form would build a 32k-deep projection chain and die in
+    // analysis/codegen; the kernel takes the whole ranked list as ONE
+    // plan constant. Real learned merges first, padded to 32k with
+    // synthetic never-firing pairs (rank order preserved).
+    val docs = graft.Tables.load(spark, sf(), "documents").limit(80)
+    val (learned, _) = Bpe.train(docs, "text", numMerges = 16)
+    val ms = learned.map(m => (m._2, m._3)) ++
+      (0 until 32768).map(i => (s"__pad${i}a", s"__pad${i}b"))
+    val words = Bpe.wordTable(docs, "text")
+    val enc = Bpe.encode(words, "syms", ms)
+    // ONE added projection over the word table — plan depth independent
+    // of |merges| (the fold adds one Project per merge)
+    assert(enc.queryExecution.analyzed.collect { case p => p }.size <=
+      words.queryExecution.analyzed.collect { case p => p }.size + 1)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"word", $"syms").as[(String, Seq[String])]
+        .collect().sortBy(_._1).toSeq
+    // padding never fires: the 32k-entry table encodes identically to the
+    // 16 real merges alone
+    assert(snap(enc) == snap(Bpe.encode(words, "syms",
+      learned.map(m => (m._2, m._3)))))
+  }
 }

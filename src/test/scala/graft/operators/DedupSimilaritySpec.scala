@@ -220,25 +220,102 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, f"recall@5 with 4/16 lists collapsed to $recall%.2f")
   }
 
-  test("simhashNearDup: pigeonhole banding finds ALL pairs within the budget") {
+  test("simhashNearDup: pigeonhole banding finds ALL pairs within the budget " +
+      "(32-bit oracle width and 64-bit production width)") {
     val docs = Tables.load(spark, sf(), "documents").limit(200)
-    val found = Dedup.simhashNearDup(docs, "text", "doc_id", maxHamming = 3)
-      .as[(Long, Long, Long)].collect().toSeq
-    // ground truth: brute-force all-pairs popcount over the fingerprints
-    val sh = Dedup.simhashes(docs, "text", "doc_id")
-      .as[(Long, Long)].collect().sortBy(_._1)
-    val brute = for {
-      i <- sh.indices; j <- (i + 1) until sh.length
-      h = java.lang.Long.bitCount(sh(i)._2 ^ sh(j)._2) if h <= 3
-    } yield (sh(i)._1, sh(j)._1, h.toLong)
-    assert(found.toSet == brute.toSet, "banding must be exact within the budget")
-    assert(found.forall(_._3 <= 3))
-    // one shuffle: the (band, bits) groupBy, nothing else
-    val shuffles = collectPlan(
-      Dedup.simhashNearDup(docs, "text", "doc_id").queryExecution.executedPlan) {
+    for (bits <- Seq(32, 64)) {
+      val found = Dedup.simhashNearDup(docs, "text", "doc_id",
+          maxHamming = 3, bits = bits)
+        .as[(Long, Long, Long)].collect().toSeq
+      // ground truth: brute-force all-pairs popcount over the fingerprints
+      val sh = (if (bits == 64) Dedup.simhashes64(docs, "text", "doc_id")
+                else Dedup.simhashes(docs, "text", "doc_id"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val brute = for {
+        i <- sh.indices; j <- (i + 1) until sh.length
+        h = java.lang.Long.bitCount(sh(i)._2 ^ sh(j)._2) if h <= 3
+      } yield (sh(i)._1, sh(j)._1, h.toLong)
+      assert(found.toSet == brute.toSet,
+        s"banding must be exact within the budget at $bits bits")
+      assert(found.forall(_._3 <= 3))
+    }
+    // shuffle audit: the (band, bits) window/groupBy exchange is computed
+    // once and REUSED by the star branch, so the plan carries the sig
+    // shuffle + the final distinct only
+    val plan = Dedup.simhashNearDup(docs, "text", "doc_id")
+      .queryExecution.executedPlan
+    val shuffles = collectPlan(plan) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }
     assert(shuffles.size <= 2, s"banding is one shuffle (+distinct): $shuffles")
+  }
+
+  test("simhashNearDup: over-cap template bucket degrades to a min-id star, not O(b^2)") {
+    // one boilerplate template repeated n times: every fingerprint is
+    // identical, so uncapped banding would materialize n(n-1)/2 pairs
+    // (~4.5M at n=3000) inside ONE task; the capped path must emit the
+    // n-1 star rows instead, and clustering must still see one component.
+    val n = 3000
+    val docs = spark.range(n).select($"id".as("doc_id"),
+      lit("the same boilerplate template text crawled once per mirror site").as("text"))
+    val pairs = Dedup.simhashNearDup(docs, "text", "doc_id", maxBucket = 64)
+    val got = pairs.as[(Long, Long, Long)].collect()
+    assert(got.length == n - 1, s"star must be O(b): got ${got.length} rows")
+    assert(got.forall(p => p._1 == 0L && p._3 == 0L),
+      "every star row hangs off the bucket min with Hamming 0")
+    val cl = Dedup.clusters(pairs, "doc_id_a", "doc_id_b")
+    assert(cl.count() == n &&
+      cl.select($"cluster").distinct().as[Long].collect().toSeq == Seq(0L),
+      "the star preserves the single boilerplate component")
+  }
+
+  test("nearDupCandidates: over-cap bucket emits a star with unchanged clusters; " +
+      "capped == uncapped below the cap") {
+    val n = 2000
+    val template = spark.range(n).select($"id".as("doc_id"),
+      lit("copy of the exact same navigation boilerplate on every page").as("text"))
+    val capped = Dedup.nearDupCandidates(template, "text", "doc_id", maxBucket = 64)
+    val got = capped.as[(Long, Long)].collect()
+    assert(got.length == n - 1, s"star must be O(b): got ${got.length} rows")
+    assert(got.forall(_._1 == 0L))
+    val cl = Dedup.clusters(capped, "doc_id_a", "doc_id_b")
+    assert(cl.count() == n &&
+      cl.select($"cluster").distinct().as[Long].collect().toSeq == Seq(0L))
+    // below the cap the guarded path is bit-identical to full expansion
+    val docs = Tables.load(spark, sf(), "documents")
+    val small = Dedup.nearDupCandidates(docs, "text", "doc_id")
+    val unlimited = Dedup.nearDupCandidates(docs, "text", "doc_id",
+      maxBucket = Int.MaxValue)
+    assert(small.exceptAll(unlimited).isEmpty && unlimited.exceptAll(small).isEmpty)
+  }
+
+  test("lshNearDup: within-cap pairing is exhaustive; over-cap bucket stars") {
+    val emb = Tables.load(spark, sf(), "embeddings").limit(200)
+    // exhaustive within buckets: every returned pair shares a bucket and
+    // clears the cosine cut, and every in-bucket pair clearing the cut is
+    // returned
+    val out = Similarity.lshNearDup(emb, "vec_id", "embedding",
+        bits = 4, minCos = -2.0) // cut disabled: bucket membership only
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val bucketed = emb.select($"vec_id",
+        graft.functions.Vectors.signBucket($"embedding", 4).as("b"))
+      .as[(Long, String)].collect()
+    val brute = (for {
+      i <- bucketed.indices; j <- bucketed.indices
+      if i != j && bucketed(i)._2 == bucketed(j)._2
+      a = math.min(bucketed(i)._1, bucketed(j)._1)
+      b = math.max(bucketed(i)._1, bucketed(j)._1)
+    } yield (a, b)).toSet
+    assert(out == brute, "in-bucket pairing must be exhaustive within the cap")
+    // over-cap: identical embeddings all land in one bucket -> star
+    val n = 1500
+    val dup = spark.range(n).select($"id".as("vec_id"),
+      array((0 until 8).map(i => lit(0.1f * (i + 1))): _*).as("embedding"))
+    val starred = Similarity.lshNearDup(dup, "vec_id", "embedding",
+      bits = 4, minCos = 0.5, maxBucket = 32)
+    val rows = starred.as[(Long, Long, Double)].collect()
+    assert(rows.length == n - 1, s"star must be O(b): got ${rows.length}")
+    assert(rows.forall(r => r._1 == 0L && r._3 > 0.999))
   }
 
   test("pqEncode: hand-computed codes, ties to smaller code, zero shuffles") {

@@ -368,6 +368,34 @@ object Similarity {
     col(s"__ss_$s") - lit(2.0) * Vectors.dot(col(s"__sub_$s"), e.getField("_2")) +
       e.getField("_3")
 
+  /** Trains per-subspace PQ codebooks — the half of IVF-PQ that q73/q74
+    * previously required as input, closing the loop end-to-end: split
+    * `embCol` into `m` contiguous subspaces and run the deterministic
+    * [[kmeans]] (first-k-by-id init, cosine assignment, element-wise
+    * mean, empty clusters keep their centroid) on each slice. Returns
+    * (subspace, code, vector) with dense codes 0..k-1 per subspace —
+    * exactly the frame [[pqEncode]]/[[pqAdcTopK]] consume.
+    *
+    * Scale: m small trainings, each inheriting kmeans's posture (narrow
+    * assignment, one O(k x partitions) mean shuffle per iteration,
+    * centroids as bounded driver state) — the corpus is scanned per
+    * iteration but never shuffled, and the result is m x k x (dim/m)
+    * doubles, i.e. dim-bounded like a single centroid set. */
+  def pqTrain(corpus: DataFrame, idCol: String, embCol: String,
+              m: Int, k: Int, iterations: Int): DataFrame = {
+    require(m >= 1, s"subspace count must be positive: $m")
+    val dim = corpus.select(size(col(embCol))).head.getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sliced = corpus.select(col(idCol),
+        slice(col(embCol), s * sub + 1, sub).as(embCol))
+      kmeans(sliced, idCol, embCol, k, iterations)
+        .select(lit(s).as("subspace"), col("centroid_id").cast("int").as("code"),
+          col(embCol).as("vector"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Product-quantization encode: splits `embCol` into the codebooks'
     * contiguous subspaces and appends `pq_codes` — per subspace, the code
     * of the nearest (squared-L2) codebook entry, ties to the smaller

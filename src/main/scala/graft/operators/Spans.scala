@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -51,5 +52,56 @@ object Spans {
         when(col("n_spans") > 0,
           col("n_dup_spans").cast("double") / col("n_spans"))
           .otherwise(lit(0.0)))
+  }
+
+  /** Exact-substring dedup, the ACTING form of [[dupSpanStats]] (Lee et
+    * al. 2022 §4.1, the suffix-array method's outcome re-expressed on
+    * the fingerprint machinery): every `w`-token window that occurs more
+    * than once in the corpus keeps exactly ONE canonical occurrence —
+    * the minimum (doc, offset), deterministic across runs and engines —
+    * and every other occurrence is removed from its document's text
+    * (all `w` token positions the window covers are dropped; a token
+    * survives only if no removed window covers it). Returns
+    * (`idCol`, n_tokens, n_kept, clean_text) for every input document —
+    * n_tokens counts the original tokens, clean_text is the rewritten
+    * document (empty when everything was duplicated elsewhere).
+    *
+    * Shape at 100 TB: the span stream is fingerprinted once (narrow
+    * kernel shingle + md5); choosing canonical occurrences is ONE
+    * row_number window over fp — a single shuffle whose per-group state
+    * is a spillable sort, never a collected bucket (the LSH-banding
+    * skew lesson applies unchanged: a boilerplate gram with 10^6
+    * occurrences streams through rank assignment). Only non-canonical
+    * occurrences — the duplicated minority — flow into the per-doc
+    * removal lists, which are bounded by document length. The final
+    * rewrite is a narrow per-row filter: O(tokens x removed spans in
+    * that doc) worst case, i.e. quadratic only in single-document
+    * length, never in corpus size. */
+  def removeDupSpans(df: DataFrame, textCol: String, idCol: String,
+                     w: Int = 10): DataFrame = {
+    require(w >= 1, s"span width must be positive: $w")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val grams = df.select(col(idCol),
+        posexplode(Text.shinglesNative(Text.tokens(col(textCol)), w)))
+      .select(col(idCol), col("pos").as("__j"), md5(col("col")).as("__fp"))
+    // canonical occurrence = rank 1 by (doc, offset) within each
+    // fingerprint; everything ranked behind it is a removal
+    val rk = Window.partitionBy(col("__fp")).orderBy(col(idCol), col("__j"))
+    val removals = grams
+      .withColumn("__rn", row_number().over(rk))
+      .filter(col("__rn") >= 2)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__j")).as("__rm"))
+    df.select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
+      .join(removals, Seq(idCol), "left")
+      .select(col(idCol), col("__tk"),
+        when(col("__rm").isNull, col("__tk"))
+          .otherwise(filter(col("__tk"), (t, i) =>
+            !exists(col("__rm"), p => i >= p && i <= p + lit(w - 1))))
+          .as("__kept"))
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("clean_text"))
   }
 }

@@ -981,6 +981,46 @@ object TextOps {
       |            % 10000 < r.thr)
       |SELECT src, CAST(count(*) AS BIGINT) AS kept FROM k GROUP BY 1""".stripMargin
 
+  // -- q91: exact-substring dedup (Spans.removeDupSpans) — the ACTING
+  // form of q85: every duplicated 10-token window keeps its minimum
+  // (doc, offset) occurrence and is removed everywhere else; the oracle
+  // verifies the REWRITTEN text. DuckDB side: zipped unnests give gram
+  // positions, row_number over fp picks the same canonical occurrence,
+  // NOT EXISTS drops covered token positions, string_agg(ORDER BY p)
+  // rebuilds the text — an independent reformulation of the whole
+  // remove path, so the hash match pins the actual output documents. --
+  private val q91: Q = (s, dir) =>
+    graft.operators.Spans.removeDupSpans(docs(s, dir), "text", "doc_id", w = 10)
+  private val q91Sql = {
+    val tk = dTok
+    val shw = dShingles(tk, 10)
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest($shw) AS gram,
+       |         unnest(range(1, len($shw) + 1)) AS j
+       |  FROM documents),
+       |f AS (SELECT doc_id, j, md5(gram) AS fp FROM g),
+       |rm AS (
+       |  SELECT doc_id, j FROM (
+       |    SELECT doc_id, j,
+       |      row_number() OVER (PARTITION BY fp ORDER BY doc_id, j) AS rn
+       |    FROM f) WHERE rn >= 2),
+       |tok AS (
+       |  SELECT doc_id, unnest($tk) AS t, unnest(range(1, len($tk) + 1)) AS p
+       |  FROM documents),
+       |kept AS (
+       |  SELECT tok.doc_id, tok.p, tok.t FROM tok
+       |  WHERE NOT EXISTS (SELECT 1 FROM rm WHERE rm.doc_id = tok.doc_id
+       |                    AND tok.p BETWEEN rm.j AND rm.j + 9)),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         string_agg(t, ' ' ORDER BY p) AS clean_text
+       |  FROM kept GROUP BY 1)
+       |SELECT d.doc_id, CAST(len($tk) AS BIGINT) AS n_tokens,
+       |       COALESCE(per.n_kept, 0) AS n_kept,
+       |       COALESCE(per.clean_text, '') AS clean_text
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -1015,6 +1055,7 @@ object TextOps {
     "q87_bigram_lm" -> q87,
     "q88_neardup_verified" -> q88,
     "q90_temperature_mix" -> q90,
+    "q91_remove_dup_spans" -> q91,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1051,5 +1092,6 @@ object TextOps {
     "q87_bigram_lm" -> q87Sql,
     "q88_neardup_verified" -> q88Sql,
     "q90_temperature_mix" -> q90Sql,
+    "q91_remove_dup_spans" -> q91Sql,
   )
 }

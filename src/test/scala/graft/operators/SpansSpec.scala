@@ -38,6 +38,49 @@ class SpansSpec extends SparkSpec {
     assert(Spans.dupSpanStats(df, "text", "doc_id", w = 5).count() == 2)
   }
 
+  test("removeDupSpans: hand-computed rewrites — canonical occurrence survives, " +
+      "every other occurrence's tokens drop") {
+    val df = Seq(
+      (1L, "a b c d"),      // holds the canonical "a b c" (min doc, offset)
+      (2L, "z a b c"),      // its "a b c" at offset 1 is the duplicate
+      (3L, "x y x y x"),    // intra-doc repeat: "x y x" at 0 (canonical) and 2
+      (4L, "p q r s t"),    // untouched
+      (5L, "short")         // shorter than w: no spans, survives verbatim
+    ).toDF("doc_id", "text")
+    val out = Spans.removeDupSpans(df, "text", "doc_id", w = 3)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 4L, "a b c d")))
+    assert(out(2L) == ((2L, 4L, 1L, "z")), "tokens 1..3 covered by the removed span")
+    assert(out(3L) == ((3L, 5L, 2L, "x y")), "the pos-2 repeat drops tokens 2..4")
+    assert(out(4L) == ((4L, 5L, 5L, "p q r s t")))
+    assert(out(5L) == ((5L, 1L, 1L, "short")))
+  }
+
+  test("removeDupSpans: identical documents keep exactly one full copy") {
+    val df = Seq(
+      (7L, "one two three four five six"),
+      (8L, "one two three four five six"),
+      (9L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val out = Spans.removeDupSpans(df, "text", "doc_id", w = 3)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(7L)._4 == "one two three four five six", "min doc is canonical")
+    assert(out(8L)._4 == "" && out(9L)._4 == "", "later copies fully removed")
+  }
+
+  test("removeDupSpans composes as a prep-pipeline stage (one declarative plan)") {
+    // the q64 shape with span-level removal in front: rewrite -> quality
+    // gate over the REWRITTEN text — Catalyst sees one plan end-to-end
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val rewritten = Spans.removeDupSpans(docs, "text", "doc_id", w = 10)
+      .withColumnRenamed("clean_text", "text")
+      .filter($"n_kept" > 0)
+    val gated = Quality.filter(rewritten, "text")
+    assert(gated.count() > 0)
+    // span-dedup must not INVENT text: kept token counts never grow
+    assert(rewritten.filter($"n_kept" > $"n_tokens").count() == 0)
+  }
+
   test("plan: occurrence counts partial-aggregate before their exchange") {
     val df = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
     val plan = Spans.dupSpanStats(df, "text", "doc_id", w = 3)

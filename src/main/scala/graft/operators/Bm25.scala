@@ -24,7 +24,11 @@ object Bm25 {
     * per document; `bm25` rounded to 6 dp for cross-engine parity. */
   def weights(df: DataFrame, textCol: String, idCol: String,
               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val base = df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("tk"))
+    // null text coerces to ZERO tokens (not null): with ANSI off,
+    // size(null) = -1 and would silently skew avgdl by -1 per null doc;
+    // coalescing keeps token-less documents counted correctly in N/avgdl
+    val base = df.select(col(idCol).as("id"),
+      coalesce(Text.tokens(col(textCol)), array().cast("array<string>")).as("tk"))
     val tf = base
       .select(col("id"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("token"))

@@ -27,10 +27,20 @@ import graft.functions.{Text, TopKByScore}
 object InvertedIndex {
 
   /** One row per surviving token: (token, df, cf,
-    * postings: array<struct<id, score>> best-first, size <= k). */
+    * postings: array<struct<id, score>> best-first, size <= k).
+    *
+    * `idCol` must be a numeric (long-castable) document id — the heap
+    * aggregate keys postings by long ids and would otherwise silently
+    * drop every row; validated here so a string-id corpus fails fast
+    * instead of returning populated df/cf with empty posting lists. */
   def build(df: DataFrame, textCol: String, idCol: String,
             k: Int, minDf: Long = 1L): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "int", "bigint", "tinyint", "smallint")
+        .contains(idType.simpleString) || idType.simpleString.startsWith("decimal"),
+      s"build() requires a numeric (long-castable) id column, " +
+        s"got $idCol: ${idType.simpleString} — map string ids to longs first")
     df.select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("token"))
       .groupBy(col("token"), col("id"))
       .agg(count(lit(1)).as("tf"))

@@ -17,9 +17,11 @@ import graft.functions.UnicodeNormalize
   * zero shuffles), and the regex steps stay inside the RE2-compatible
   * subset so an external engine (the DuckDB oracle, a downstream
   * validator) reproduces the exact rewrite. The control-strip runs
-  * BEFORE the whitespace collapse and removes \x0B/\x0C, the two
-  * characters Java's `\s` matches but RE2's does not — after it, both
-  * engines see the identical whitespace alphabet (space, \t, \n, \r).
+  * BEFORE the whitespace collapse and removes \x0B and \x0C: stripping
+  * \x0B is what aligns the engines (Java's `\s` matches it, RE2's
+  * `[\t\n\f\r ]` does not), while \x0C — which both engines treat as
+  * whitespace — is stripped for canonical output, so after this pass
+  * both see the identical whitespace alphabet (space, \t, \n, \r).
   */
 object Normalize {
 

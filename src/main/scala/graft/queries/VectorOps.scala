@@ -313,6 +313,60 @@ object VectorOps {
        |  FROM adcs) WHERE rn <= 5""".stripMargin
   }
 
+  // -- q92: trained PQ codebooks (Similarity.pqTrain) — closes the
+  // IVF-PQ loop end-to-end: per-subspace deterministic k-means (first-k
+  // init, cosine assignment, element-wise mean, empty clusters keep
+  // their centroid), then the q73 encode against the TRAINED codebooks.
+  // Oracle: the two Lloyd iterations unrolled as CTEs — assignment is
+  // the q33 window form on sub-slices, the mean is per-position avg
+  // re-packed in order, the final encode is q73's L2 window — a fully
+  // independent reconstruction of training AND encoding. Output is the
+  // assignment table (argmins are stable under the mean's last-ulp
+  // summation-order noise; the codebook doubles themselves are not
+  // cross-engine comparable, the assignments are). --
+  private val q92: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cb = graft.operators.Similarity.pqTrain(e, "vec_id", "embedding",
+      m = 4, k = 4, iterations = 2)
+    graft.operators.Similarity.pqEncode(e, cb, "embedding")
+      .select($"vec_id", posexplode($"pq_codes"))
+      .select($"vec_id", $"pos".cast("long").as("subspace"),
+        $"col".cast("long").as("code"))
+  }
+  private val q92Sql = {
+    def iterCte(prev: String, n: Int): String =
+      s"""a$n AS (
+         |  SELECT subspace, vec_id, code FROM (
+         |    SELECT sub.subspace, sub.vec_id, $prev.code,
+         |      row_number() OVER (PARTITION BY sub.subspace, sub.vec_id
+         |        ORDER BY ${dCos("sub.v", s"$prev.v")} DESC, $prev.code ASC) AS rn
+         |    FROM sub JOIN $prev USING (subspace)) WHERE rn = 1),
+         |m$n AS (
+         |  SELECT a$n.subspace, a$n.code, i.i, avg(sub.v[i.i]) AS mv
+         |  FROM a$n JOIN sub USING (subspace, vec_id),
+         |       (SELECT unnest(range(1, 17)) AS i) i
+         |  GROUP BY 1, 2, 3),
+         |cr$n AS (SELECT subspace, code, list(mv ORDER BY i) AS v
+         |         FROM m$n GROUP BY 1, 2),
+         |c$n AS (SELECT $prev.subspace, $prev.code, COALESCE(cr$n.v, $prev.v) AS v
+         |        FROM $prev LEFT JOIN cr$n USING (subspace, code))""".stripMargin
+    s"""WITH sub AS (
+       |  SELECT vec_id, s.s AS subspace,
+       |         list_slice(embedding, s.s * 16 + 1, s.s * 16 + 16) AS v
+       |  FROM embeddings, (SELECT unnest([0, 1, 2, 3]) AS s) s),
+       |c0 AS (SELECT subspace, CAST(vec_id AS INT) AS code, v
+       |       FROM sub WHERE vec_id < 4),
+       |${iterCte("c0", 1)},
+       |${iterCte("c1", 2)}
+       |SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+       |       CAST(code AS BIGINT) AS code FROM (
+       |  SELECT sub.vec_id, sub.subspace, c2.code,
+       |    row_number() OVER (PARTITION BY sub.vec_id, sub.subspace
+       |      ORDER BY ${dL2("sub.v", "c2.v")} ASC, c2.code) AS rn
+       |  FROM sub JOIN c2 USING (subspace)) WHERE rn = 1""".stripMargin
+  }
+
   // -- q89: SemDeDup (operators.SemDedup) — semantic dedup over the
   // embedding corpus: IVF-assign to the q33 fixed centroids (narrow
   // fold), within-cluster pairs with cosine >= 0.35 mark the larger id
@@ -357,6 +411,7 @@ object VectorOps {
     "q73_pq_encode" -> q73,
     "q74_pq_adc_topk" -> q74,
     "q89_semdedup" -> q89,
+    "q92_pq_train" -> q92,
   )
 
   val oracle: Map[String, String] = Map(
@@ -370,5 +425,6 @@ object VectorOps {
     "q73_pq_encode" -> q73Sql,
     "q74_pq_adc_topk" -> q74Sql,
     "q89_semdedup" -> q89Sql,
+    "q92_pq_train" -> q92Sql,
   )
 }

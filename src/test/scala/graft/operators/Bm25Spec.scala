@@ -36,6 +36,22 @@ class Bm25Spec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("null text counts as a token-less doc in N/avgdl (not -1 into avgdl)") {
+    // with ANSI off, size(null) = -1: an uncoalesced token column would
+    // put dl = -1 into avgdl. A null-text doc must behave exactly like
+    // an empty-text doc: counted in N and avgdl (as 0), no weight rows.
+    val withNull = corpus.unionByName(
+      Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val withEmpty = corpus.unionByName(
+      Seq((5L, "")).toDF("doc_id", "text"))
+    val a = Bm25.weights(withNull, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val b = Bm25.weights(withEmpty, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(a == b, "null text and empty text must weight identically")
+    assert(!a.keys.exists(_._1 == 5L))
+  }
+
   test("rarer terms outweigh common ones at equal tf/dl") {
     val out = Bm25.weights(corpus, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(5)).toMap

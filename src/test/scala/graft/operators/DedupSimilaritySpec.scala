@@ -348,6 +348,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(shuffles.isEmpty, s"PQ encode must be narrow: $shuffles")
   }
 
+  test("pqTrain: deterministic dense codebooks close the IVF-PQ loop end-to-end") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val cb = Similarity.pqTrain(e, "vec_id", "embedding", m = 4, k = 4, iterations = 2)
+    val again = Similarity.pqTrain(e, "vec_id", "embedding", m = 4, k = 4, iterations = 2)
+    assert(cb.count() == 16, "m x k codebook entries")
+    assert(cb.exceptAll(again).isEmpty, "training must be deterministic")
+    // dense 0..k-1 codes per subspace: pqEncode's collectCodebooks
+    // REQUIRES this — consuming the trained frame directly proves it
+    val coded = Similarity.pqEncode(e, cb, "embedding")
+    assert(coded.filter($"pq_codes".isNull).count() == 0)
+    // and the ADC search runs end-to-end on the trained codebooks
+    val adc = Similarity.pqAdcTopK(e, cb, e.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 5)
+    val per = adc.groupBy($"q_id").count().select($"count").as[Long].collect()
+    assert(per.length == 3 && per.forall(_ == 5))
+  }
+
   test("pqAdcTopK approximates brute-force neighbors on the fixtures") {
     val e = Tables.load(spark, sf(), "embeddings")
     val cb = (0 until 4).map { sub =>

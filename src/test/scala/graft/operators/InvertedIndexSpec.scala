@@ -33,6 +33,15 @@ class InvertedIndexSpec extends SparkSpec {
     assert(postings(out("cherry")) == Seq((2L, 1.0), (4L, 1.0)))
   }
 
+  test("build fails fast on a non-numeric id column (postings key by long)") {
+    val stringIds = corpus.withColumn("doc_id", concat(lit("doc-"), $"doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.build(stringIds, "text", "doc_id", k = 3)
+    }
+    assert(e.getMessage.contains("numeric"),
+      s"expected the numeric-id contract error, got: ${e.getMessage}")
+  }
+
   test("minDf prunes the hapax tail") {
     val df = Seq((1L, "common rare"), (2L, "common")).toDF("doc_id", "text")
     val tokens = InvertedIndex.build(df, "text", "doc_id", k = 3, minDf = 2L)

@@ -59,9 +59,9 @@ class NormalizeSpec extends SparkSpec {
 
   test("cleanText: controls stripped, whitespace collapsed, trimmed, composed") {
     val df = Seq(
-      (1L, s"  ${aDiaDecomposed}bcdef \t\n ok  "),
+      (1L, s"  ${aDiaDecomposed}bc\u0007def \t\n ok  "),
       (2L, "already clean"),
-      (3L, "  "),
+      (3L, " \u0001\u000B\u000C "),
       (4L, null.asInstanceOf[String])
     ).toDF("doc_id", "text")
     val out = df.select($"doc_id", Normalize.cleanText($"text").as("c"))

@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq(VecDot.description, SimHash32.description, SimHash64.description,
+    Seq(VecDot.description, PqCodesExpr.description,
+      SimHash32.description, SimHash64.description,
       MinHashBands.description,
       TopKByScore.description, VecMeanAgg.description,
       RepStats.description, GramOverlap.description, CharStats.description,

@@ -313,6 +313,63 @@ object Similarity {
     keepTopK(scored, idCol, k)
   }
 
+  /** The complete IVF-PQ index search — [[ivfTopK]]'s coarse probe
+    * composed with [[pqAdcTopK]]'s quantized ranking: each query probes
+    * its `nProbe` nearest inverted lists and ranks ONLY those lists'
+    * members, by ADC distance over PQ codes instead of full-dimension
+    * dots. This is the standard billion-scale ANN index (IVF-PQ) in one
+    * operator; [[pqTrain]] + [[kmeans]] supply both codebooks.
+    *
+    * Scale posture: corpus-side work is two narrow kernel passes (the
+    * assignment fold + `graft_pq_codes`) — after encode the scan carries
+    * m one-byte-ish codes per row, never the embeddings; the probe set
+    * (queries × nProbe rows with their m×k lookup tables) broadcasts;
+    * the only real shuffle is the final per-query top-k, trimmed to k
+    * map-side by the heap aggregate. Recall loss = unprobed lists +
+    * quantization, exactly the IVF-PQ contract. Output (q_id, `idCol`,
+    * adc) ascending ≈ nearest, 6-dp rounded like [[pqAdcTopK]]. */
+  def ivfPqTopK(corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+                queries: DataFrame, idCol: String, embCol: String,
+                centroidIdCol: String, k: Int, nProbe: Int,
+                subspaceCol: String = "subspace", codeCol: String = "code",
+                vecCol: String = "vector"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cb = collectCodebooks(codebooks, subspaceCol, codeCol, vecCol)
+    val assigned = withNearest(corpus.select(col(idCol), col(embCol)),
+      centroids, embCol, centroidIdCol).drop("__cos")
+    val coded = pqEncode(assigned, codebooks, embCol, subspaceCol, codeCol, vecCol)
+      .select(col(idCol), col("__list"), col("pq_codes"))
+      .filter(col("pq_codes").isNotNull)
+    val c = centroids.select(col(centroidIdCol).as("__list"), col(embCol).as("__c_emb"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("__q_cos").desc, col("__list").asc)
+    var q = withPqStages(
+      queries.select(col(idCol).as("q_id"), col(embCol).as("__q_emb")),
+      "__q_emb", cb)
+    cb.zipWithIndex.foreach { case (entries, s) =>
+      val cbLit = typedlit(entries.toSeq.map { case (cd, v, n) => (cd, v.toSeq, n) })
+      q = q.withColumn(s"__tab_$s", transform(cbLit, e => pqDist(s, e)))
+    }
+    val qTabs = q
+      .withColumn("__tabs", array(cb.indices.map(s => col(s"__tab_$s")): _*))
+      .select(col("q_id"), col("__q_emb"), col("__tabs"))
+    val probes = qTabs
+      .join(broadcast(c))
+      .select(col("q_id"), col("__tabs"), col("__list"),
+        Vectors.cosine(col("__q_emb"), col("__c_emb")).as("__q_cos"))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nProbe)
+      .select(col("q_id"), col("__tabs"), col("__list"))
+    val scored = broadcast(probes).join(coded, Seq("__list"))
+      .filter(col("q_id") =!= col(idCol))
+      .withColumn("cos", -aggregate(
+        zip_with(col("pq_codes"), col("__tabs"), (cd, t) => element_at(t, cd + 1)),
+        lit(0.0), (a, x) => a + x))
+      .select(col("q_id"), col(idCol), col("cos"))
+      .filter(col("cos").isNotNull)
+    keepTopK(scored, idCol, k)
+      .select(col("q_id"), col(idCol), round(-col("cos"), 6).as("adc"))
+  }
+
   /** Collected per-subspace codebooks: for each subspace (in order), the
     * (code, sub-vector, ||sub-vector||²) entries sorted by code. Codes
     * must be dense 0..k-1 per subspace (standard PQ — ADC lookup tables
@@ -404,12 +461,34 @@ object Similarity {
     * library's log-and-null convention — so every emitted code array
     * honors the dense 0..k-1 contract ADC lookups index by. The 100 TB
     * shape: the codebook is bounded driver state (like the k-means
-    * centroids), the argmin is a literal fold in the expression tree,
-    * and the corpus never shuffles — PQ codes for a petabyte corpus are
-    * a narrow map over the scan. */
+    * centroids), the argmin is one codegen'd kernel call per row
+    * (graft_pq_codes), and the corpus never shuffles — PQ codes for a
+    * petabyte corpus are a narrow map over the scan. */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, embCol: String,
                subspaceCol: String = "subspace", codeCol: String = "code",
                vecCol: String = "vector"): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val cb = collectCodebooks(codebooks, subspaceCol, codeCol, vecCol)
+    // all m argmins in ONE native kernel call per row (graft_pq_codes);
+    // the codebook rides the plan as a single literal and ships to
+    // generated code as a reference object. The composable literal-fold
+    // twin below ([[pqEncodeFold]]) is the spec this kernel is
+    // differentially pinned against — TimeQ measured the fold at
+    // ~77 us/row on sf0.1 (interpreted HOF tree per codebook entry),
+    // kernel replaces that with primitive loops.
+    val cbLit = typedlit(cb.zipWithIndex.flatMap { case (entries, s) =>
+      entries.map { case (c, v, n) => (s, c, v.toSeq, n) }
+    }.toSeq)
+    corpus.withColumn("pq_codes",
+      call_function(graft.functions.PqCodesExpr.name, col(embCol), cbLit))
+  }
+
+  /** Composable literal-fold form of [[pqEncode]] — the differential
+    * witness (aggregate over the codebook literal with VecDot folds,
+    * exactly the arithmetic the kernel runs), kept private to the spec. */
+  private[operators] def pqEncodeFold(corpus: DataFrame, codebooks: DataFrame,
+      embCol: String, subspaceCol: String = "subspace",
+      codeCol: String = "code", vecCol: String = "vector"): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val cb = collectCodebooks(codebooks, subspaceCol, codeCol, vecCol)
     var df = withPqStages(corpus, embCol, cb)

@@ -367,6 +367,64 @@ object VectorOps {
        |  FROM sub JOIN c2 USING (subspace)) WHERE rn = 1""".stripMargin
   }
 
+  // -- q93: full IVF-PQ search (Similarity.ivfPqTopK) — q59's coarse
+  // probe composed with q74's ADC ranking: probe 4 of 16 lists, rank
+  // only their members by quantized distance. Oracle: the q59 assign/
+  // probe CTEs joined with the q74 codes/parts/adcs CTEs, restricted to
+  // probed lists — both halves independently proven, composed the same
+  // way the operator composes them. --
+  private val q93: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    graft.operators.Similarity.ivfPqTopK(
+      corpus = e,
+      centroids = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("c_id"), $"embedding"),
+      codebooks = pqCodebooks(s, dir),
+      queries = e.filter($"vec_id" < 10),
+      idCol = "vec_id", embCol = "embedding", centroidIdCol = "c_id",
+      k = 5, nProbe = 4)
+  }
+  private val q93Sql = {
+    val qa = dSubSlice.format("p.q_emb")
+    s"""WITH $dCbSql,
+       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |          FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id < 10),
+       |assign AS (
+       |  SELECT vec_id, c_id AS list FROM (
+       |    SELECT e.vec_id, cents.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dCos("e.embedding", "cents.c_emb")} DESC, cents.c_id) AS rn
+       |    FROM embeddings e CROSS JOIN cents) WHERE rn = 1),
+       |codes AS (
+       |  SELECT vec_id, subspace, code FROM (
+       |    SELECT e.vec_id, c.subspace, c.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, c.subspace
+       |        ORDER BY ${dL2(dSubSlice.format("e.embedding"), "c.v")} ASC, c.code) AS rn
+       |    FROM embeddings e CROSS JOIN cb c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, q_emb, c_id AS list FROM (
+       |    SELECT q.q_id, q.q_emb, cents.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${dCos("q.q_emb", "cents.c_emb")} DESC, cents.c_id) AS rn
+       |    FROM q CROSS JOIN cents) WHERE rn <= 4),
+       |parts AS (
+       |  SELECT p.q_id, a.vec_id, d.subspace, ${dL2(qa, "c.v")} AS pd
+       |  FROM probes p
+       |  JOIN assign a ON p.list = a.list AND p.q_id <> a.vec_id
+       |  JOIN codes d ON d.vec_id = a.vec_id
+       |  JOIN cb c ON c.subspace = d.subspace AND c.code = d.code),
+       |adcs AS (SELECT q_id, vec_id,
+       |           list_aggregate(list(pd ORDER BY subspace), 'sum') AS adc
+       |         FROM parts GROUP BY 1, 2)
+       |SELECT q_id, vec_id, round(adc, 6) AS adc FROM (
+       |  SELECT q_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rn
+       |  FROM adcs) WHERE rn <= 5""".stripMargin
+  }
+
   // -- q89: SemDeDup (operators.SemDedup) — semantic dedup over the
   // embedding corpus: IVF-assign to the q33 fixed centroids (narrow
   // fold), within-cluster pairs with cosine >= 0.35 mark the larger id
@@ -412,6 +470,7 @@ object VectorOps {
     "q74_pq_adc_topk" -> q74,
     "q89_semdedup" -> q89,
     "q92_pq_train" -> q92,
+    "q93_ivf_pq_topk" -> q93,
   )
 
   val oracle: Map[String, String] = Map(
@@ -426,5 +485,6 @@ object VectorOps {
     "q74_pq_adc_topk" -> q74Sql,
     "q89_semdedup" -> q89Sql,
     "q92_pq_train" -> q92Sql,
+    "q93_ivf_pq_topk" -> q93Sql,
   )
 }

@@ -348,6 +348,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(shuffles.isEmpty, s"PQ encode must be narrow: $shuffles")
   }
 
+  test("pqEncode kernel == literal-fold witness (fixtures + poison rows)") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val cb = (0 until 4).map { sub =>
+      e.filter($"vec_id" < 8).select(lit(sub).as("subspace"),
+        $"vec_id".cast("int").as("code"),
+        slice($"embedding", sub * 16 + 1, 16).as("vector"))
+    }.reduce(_ unionByName _)
+    val poison = Seq(
+      (90001L, null.asInstanceOf[Seq[Double]]),
+      (90002L, Seq(Double.NaN, 1.0, 1.0, 1.0)),
+      (90003L, Seq(0.5, 0.25))  // shorter than one subspace
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val corpus = e.select($"vec_id", $"embedding").unionByName(poison)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"pq_codes").as[(Long, Seq[Int])]
+        .collect().sortBy(_._1).toSeq
+    assert(snap(Similarity.pqEncode(corpus, cb, "embedding")) ==
+      snap(Similarity.pqEncodeFold(corpus, cb, "embedding")),
+      "native kernel must be bit-identical to the fold witness")
+  }
+
   test("pqTrain: deterministic dense codebooks close the IVF-PQ loop end-to-end") {
     val e = Tables.load(spark, sf(), "embeddings")
     val cb = Similarity.pqTrain(e, "vec_id", "embedding", m = 4, k = 4, iterations = 2)
@@ -406,6 +428,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.nonEmpty, "the codable queries must still produce neighbors")
     assert(!out.exists(r => r._1 == 90001L || r._2 == 90001L),
       "uncodable rows must be excluded, not crash or rank")
+  }
+
+  test("ivfPqTopK: full probe == pqAdcTopK; pruned probe stays k-bounded") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val cents = e.filter($"vec_id" < 16).select($"vec_id".as("c_id"), $"embedding")
+    val cb = (0 until 4).map { sub =>
+      e.filter($"vec_id" < 8).select(lit(sub).as("subspace"),
+        $"vec_id".cast("int").as("code"),
+        slice($"embedding", sub * 16 + 1, 16).as("vector"))
+    }.reduce(_ unionByName _)
+    val qs = e.filter($"vec_id" < 5)
+    // probing every list must degenerate to the pure ADC scan
+    val full = Similarity.ivfPqTopK(e, cents, cb, qs,
+      "vec_id", "embedding", "c_id", k = 5, nProbe = 16)
+    val adc = Similarity.pqAdcTopK(e, cb, qs, "vec_id", "embedding", k = 5)
+    assert(full.exceptAll(adc).isEmpty && adc.exceptAll(full).isEmpty,
+      "nProbe = |lists| must equal the unpruned ADC ranking")
+    val pruned = Similarity.ivfPqTopK(e, cents, cb, qs,
+      "vec_id", "embedding", "c_id", k = 5, nProbe = 4)
+    val per = pruned.groupBy($"q_id").count().select($"count").as[Long].collect()
+    assert(per.length == 5 && per.forall(_ <= 5))
   }
 
   test("nearDupVerified: verified pairs are candidate pairs with correct exact Jaccard") {

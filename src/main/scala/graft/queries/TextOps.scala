@@ -1021,6 +1021,58 @@ object TextOps {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
   }
 
+  // -- q94: deterministic per-group uniform sampling (Sample.bottomK) —
+  // k smallest md5(id:salt) draws per group via the k-bounded heap
+  // aggregate (shuffle carries groups x k, never the population; the
+  // ORDER BY rand() LIMIT k shape this replaces is neither rerun-stable
+  // nor scale-safe). Groups are the synthetic mod-4 split (q90's
+  // precedent). Oracle: the window row_number form over the identical
+  // md5 arithmetic — two algorithms, one hash. --
+  private val q94: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Sample.bottomK(
+      docs(s, dir).withColumn("grp", $"doc_id" % 4),
+      Seq("grp"), "doc_id", k = 10)
+  }
+  private val q94Sql =
+    """WITH h AS (
+      |  SELECT doc_id, doc_id % 4 AS grp,
+      |    TRY_CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':'), 1, 8)
+      |      AS BIGINT) AS hv
+      |  FROM documents)
+      |SELECT grp, doc_id FROM (
+      |  SELECT grp, doc_id,
+      |    row_number() OVER (PARTITION BY grp ORDER BY hv, doc_id) AS rn
+      |  FROM h) WHERE rn <= 10""".stripMargin
+
+  // -- q95: quality-classifier inference (Classifier.score) — logistic
+  // scoring over hashed bag-of-words, the fastText-style quality gate.
+  // Weights are exact SIXTEENTHS ((bucket-16)/16, dyadic rationals), so
+  // every partial sum is exact in double and the fold is order-
+  // independent — the one libm call (exp) is absorbed by round(,6), the
+  // q87 ln precedent. Oracle: same md5-bucket arithmetic + sigmoid in
+  // SQL. Zero shuffles on the Spark side (weight map rides the
+  // expression tree; no explode). --
+  private val q95: Q = (s, dir) => {
+    val weights = (0 until 32).map(i => i -> (i - 16) / 16.0).toMap
+    graft.operators.Classifier.score(
+      docs(s, dir), "text", "doc_id", weights, bias = 0.1, dim = 32)
+  }
+  private val q95Sql = {
+    val bucket = "TRY_CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 32"
+    s"""WITH t AS (SELECT doc_id, unnest($dTok) AS tok FROM documents),
+       |z AS (
+       |  SELECT doc_id,
+       |    sum(CAST(($bucket) - 16 AS DOUBLE) / CAST(16 AS DOUBLE)) AS z
+       |  FROM t GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(len($dTok) AS BIGINT) AS n_tokens,
+       |  round(1.0 / (1.0 + exp(-(CAST(0.1 AS DOUBLE) +
+       |    CASE WHEN len($dTok) > 0 THEN COALESCE(z.z, 0.0) / len($dTok)
+       |         ELSE 0.0 END))), 6) AS score
+       |FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -1056,6 +1108,8 @@ object TextOps {
     "q88_neardup_verified" -> q88,
     "q90_temperature_mix" -> q90,
     "q91_remove_dup_spans" -> q91,
+    "q94_group_sample" -> q94,
+    "q95_quality_classifier" -> q95,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1093,5 +1147,7 @@ object TextOps {
     "q88_neardup_verified" -> q88Sql,
     "q90_temperature_mix" -> q90Sql,
     "q91_remove_dup_spans" -> q91Sql,
+    "q94_group_sample" -> q94Sql,
+    "q95_quality_classifier" -> q95Sql,
   )
 }

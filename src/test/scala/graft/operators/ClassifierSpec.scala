@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Logistic hashed-BoW scoring: hand-computed scores via an independent
+  * Java-side md5, prior for evidence-less docs, gate behavior, and the
+  * zero-shuffle plan contract. */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 32
+  private val weights = (0 until dim).map(i => i -> (i - 16) / 16.0).toMap
+  private val bias = 0.25
+
+  /** Independent witness: bucket via java.security MessageDigest. */
+  private def jBucket(tok: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"$b%02x").mkString
+    (java.lang.Long.parseLong(hex, 16) % dim).toInt
+  }
+
+  private def jScore(text: String): Double = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val z = toks.foldLeft(0.0)((acc, t) => acc + weights(jBucket(t)))
+    val zz = if (toks.isEmpty) bias else bias + z / toks.length
+    BigDecimal(1.0 / (1.0 + math.exp(-zz)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("scores match an independent hand computation; empty/null score the prior") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "zeta zeta zeta"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Classifier.score(df, "text", "doc_id", weights, bias, dim)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((4L, jScore("alpha beta gamma delta"))))
+    assert(got(2L) == ((3L, jScore("zeta zeta zeta"))))
+    val prior = BigDecimal(1.0 / (1.0 + math.exp(-bias)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(3L) == ((0L, prior)) && got(4L) == ((0L, prior)),
+      "no evidence -> sigmoid(bias), for empty AND null text")
+  }
+
+  test("gate keeps exactly the rows whose score clears tau, payload intact") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta", "keepme"),
+      (2L, "zeta zeta zeta", "metoo"),
+      (3L, "", "prior")
+    ).toDF("doc_id", "text", "payload")
+    val scores = Classifier.score(df, "text", "doc_id", weights, bias, dim)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val tau = scores.values.toSeq.sorted.apply(1) // keep top 2 of 3
+    val kept = Classifier.gate(df, "text", "doc_id", weights, bias, dim, tau)
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "payload"))
+    assert(kept.select($"doc_id").as[Long].collect().toSet ==
+      scores.filter(_._2 >= tau).keySet)
+  }
+
+  test("plan: scoring is narrow — zero exchanges, no explode") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Classifier.score(df, "text", "doc_id", weights, bias, dim)
+      .queryExecution.executedPlan
+    val exchanges = collectPlan(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    val generates = collectPlan(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(exchanges.isEmpty && generates.isEmpty,
+      s"classifier inference must be a narrow map:\n$plan")
+  }
+}

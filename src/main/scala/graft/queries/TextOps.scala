@@ -1073,6 +1073,38 @@ object TextOps {
        |FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id""".stripMargin
   }
 
+  // -- q96: Count-Min sketch (graft_cms) over the token stream — point-
+  // frequency estimation with fixed O(depth x width) state, the
+  // complement of q84's Misra-Gries (WHICH items are hot vs HOW OFTEN is
+  // this item). The estimate is replayed IN SPARK over the emitted grid
+  // with the same md5-slice row hashes the aggregate used (one digest,
+  // four disjoint 32-bit slices — the MinHash-band construction), so the
+  // query itself proves the grid works; the within-tolerance booleans
+  // are the q37/q84 oracle pattern: never-undercount is the hard CM
+  // invariant, the upper bound gets 4x the expected n/width collision
+  // mass. 1130 distinct tokens vs width 256 means collisions are real. --
+  private val q96: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val items = docs(s, dir).select(explode(Text.tokens($"text")).as("item"))
+    val grid = items.agg(graft.functions.CmSketch.cms($"item", 4, 256).as("g"))
+    val n = items.agg(count(lit(1)).as("n"))
+    val exact = items.groupBy($"item").agg(count(lit(1)).as("cnt"))
+    val est = (0 until 4).map { d =>
+      element_at(element_at($"g", d + 1),
+        ((conv(substring(md5($"item"), 8 * d + 1, 8), 16, 10).cast("long") % 256)
+          + 1).cast("int"))
+    }.reduce(least(_, _))
+    exact.crossJoin(broadcast(grid)).crossJoin(broadcast(n))
+      .filter($"cnt" >= 50)
+      .select($"item", $"cnt",
+        (est >= $"cnt" && est <= $"cnt" + $"n" * 4.0 / 256).as("ok"))
+  }
+  private val q96Sql =
+    s"""WITH tok AS (SELECT unnest($dTok) AS item FROM documents)
+       |SELECT item, CAST(count(*) AS BIGINT) AS cnt, true AS ok
+       |FROM tok GROUP BY item HAVING count(*) >= 50""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -1110,6 +1142,7 @@ object TextOps {
     "q91_remove_dup_spans" -> q91,
     "q94_group_sample" -> q94,
     "q95_quality_classifier" -> q95,
+    "q96_countmin" -> q96,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1149,5 +1182,6 @@ object TextOps {
     "q91_remove_dup_spans" -> q91Sql,
     "q94_group_sample" -> q94Sql,
     "q95_quality_classifier" -> q95Sql,
+    "q96_countmin" -> q96Sql,
   )
 }

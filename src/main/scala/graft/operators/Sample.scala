@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Sample {
 
+  /** Deterministic global corpus permutation — the "shuffle the corpus
+    * before sharding" step of a training-data pipeline, reproducible
+    * across reruns, engines, and cluster sizes (unlike
+    * `orderBy(rand())`): every row gets `pos` = its 1-based rank in
+    * md5(id:salt) order. At scale this is a range-partitioned sort plus
+    * the [[Prefix.cumsum]] two-pass position assignment — no global
+    * window, no single-task sort; the only unpartitioned state is one
+    * row per partition. `salt` redraws the permutation; md5 keys are
+    * unique per id short of a digest collision, so the order is total.
+    * Output: (`idCol`, pos). */
+  def permute(df: DataFrame, idCol: String, salt: String = ""): DataFrame = {
+    val key = md5(concat(col(idCol).cast("string"), lit(":" + salt)))
+    Prefix.cumsum(
+      df.select(col(idCol), key.as("__key"), lit(1L).as("__one")),
+      "__key", "__one", "pos")
+      .select(col(idCol), col("pos"))
+  }
+
   /** k-row uniform sample per group (fewer when the group is smaller):
     * (groupCols..., `idCol`). Ties (equal 32-bit hash prefixes) break
     * toward the smaller id — fully deterministic. */

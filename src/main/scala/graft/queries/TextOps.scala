@@ -1105,6 +1105,19 @@ object TextOps {
        |SELECT item, CAST(count(*) AS BIGINT) AS cnt, true AS ok
        |FROM tok GROUP BY item HAVING count(*) >= 50""".stripMargin
 
+  // -- q97: deterministic corpus permutation (Sample.permute) — the
+  // global pre-sharding shuffle, rerun/engine/cluster-size stable:
+  // pos = rank in md5(id:salt) order, assigned by range-partitioned
+  // sort + the q65 two-pass prefix scan (no global window, no
+  // single-task sort). Oracle: row_number over the same md5 order. --
+  private val q97: Q = (s, dir) =>
+    graft.operators.Sample.permute(docs(s, dir), "doc_id", salt = "epoch0")
+  private val q97Sql =
+    """SELECT doc_id,
+      |  row_number() OVER (
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch0'), doc_id) AS pos
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -1143,6 +1156,7 @@ object TextOps {
     "q94_group_sample" -> q94,
     "q95_quality_classifier" -> q95,
     "q96_countmin" -> q96,
+    "q97_permute" -> q97,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1183,5 +1197,6 @@ object TextOps {
     "q94_group_sample" -> q94Sql,
     "q95_quality_classifier" -> q95Sql,
     "q96_countmin" -> q96Sql,
+    "q97_permute" -> q97Sql,
   )
 }

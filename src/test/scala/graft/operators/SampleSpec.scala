@@ -48,6 +48,44 @@ class SampleSpec extends SparkSpec {
     assert(s1 != s2, "independent salts must redraw the sample")
   }
 
+  test("permute: a bijective, rerun-stable position assignment; salt redraws") {
+    val base = Tables.load(spark, sf(), "documents")
+    val n = base.count()
+    val a = Sample.permute(base, "doc_id", salt = "e0")
+    val b = Sample.permute(base, "doc_id", salt = "e0")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "rerun-stable")
+    val positions = a.select($"pos").as[Long].collect().sorted.toSeq
+    assert(positions == (1L to n).toSeq, "positions are a 1..n bijection")
+    // independent witness: global sort order by the same md5 key
+    val expect = base
+      .select($"doc_id",
+        md5(concat($"doc_id".cast("string"), lit(":e0"))).as("k"))
+      .orderBy($"k").select($"doc_id").as[Long].collect().toSeq
+    val got = a.orderBy($"pos").select($"doc_id").as[Long].collect().toSeq
+    assert(got == expect, "rank order must equal the hash-sort order")
+    val redrawn = Sample.permute(base, "doc_id", salt = "e1")
+    assert(redrawn.exceptAll(a).count() > 0, "new salt, new permutation")
+  }
+
+  test("permute plan: no unpartitioned window over the data (only the per-partition offsets)") {
+    val plan = Sample.permute(Tables.load(spark, sf(), "documents"), "doc_id")
+      .queryExecution.executedPlan
+    // the Prefix.cumsum contract: any WindowExec either partitions by
+    // __pid (per-range-partition rank) or runs over the partition-count-
+    // bounded offsets frame — never an unpartitioned window over rows
+    val windows = collectPlan(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val overData = w.partitionSpec.isEmpty &&
+        w.child.collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.isDefined
+      assert(!overData, s"unpartitioned window directly over the scan:\n$w")
+    }
+  }
+
   test("plan: heap aggregate, no window sort of the population") {
     val plan = Sample.bottomK(docs, Seq("grp"), "doc_id", k = 5)
       .queryExecution.executedPlan

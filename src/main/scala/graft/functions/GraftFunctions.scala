@@ -17,7 +17,8 @@ object GraftFunctions {
       RepStats.description, GramOverlap.description, CharStats.description,
       BpeMergeExpr.description, BpeEncodeExpr.description,
       UnicodeNormalize.description,
-      HeavyHitters.description, CmSketch.description, ShinglesExpr.description)
+      HeavyHitters.description, CmSketch.description, RandProj.description,
+      ShinglesExpr.description)
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)

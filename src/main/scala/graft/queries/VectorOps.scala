@@ -425,6 +425,33 @@ object VectorOps {
        |  FROM adcs) WHERE rn <= 5""".stripMargin
   }
 
+  // -- q98: sign random projection (graft_rand_proj) — Achlioptas
+  // Johnson-Lindenstrauss reduction 64 -> 16 dims as one codegen'd
+  // kernel call per row (sign matrix = md5(i:j) top bits, built once
+  // per plan as a reference object). outDim is a power of FOUR so the
+  // 1/sqrt(outDim) scale is an exact power of two: each term is an
+  // exact product and both engines fold in i-order, so the doubles are
+  // bit-identical before the 6-dp round. Oracle: the same per-term
+  // arithmetic via list_transform + list_aggregate. --
+  private val q98: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    emb(s, dir)
+      .select($"vec_id",
+        posexplode(graft.functions.RandProj.randProj($"embedding", 64, 16)))
+      .select($"vec_id", $"pos".cast("long").as("j"), round($"col", 6).as("v"))
+  }
+  private val q98Sql =
+    """WITH j AS (SELECT unnest(range(0, 16)) AS j)
+      |SELECT vec_id, j,
+      |  round(list_aggregate(list_transform(range(1, len(embedding) + 1),
+      |    i -> (CASE WHEN substring(md5(CAST(i - 1 AS VARCHAR) || ':' ||
+      |                    CAST(j AS VARCHAR)), 1, 1) >= '8'
+      |               THEN CAST(embedding[i] AS DOUBLE)
+      |               ELSE -CAST(embedding[i] AS DOUBLE) END)
+      |         * CAST(0.25 AS DOUBLE)), 'sum'), 6) AS v
+      |FROM embeddings CROSS JOIN j""".stripMargin
+
   // -- q89: SemDeDup (operators.SemDedup) — semantic dedup over the
   // embedding corpus: IVF-assign to the q33 fixed centroids (narrow
   // fold), within-cluster pairs with cosine >= 0.35 mark the larger id
@@ -471,6 +498,7 @@ object VectorOps {
     "q89_semdedup" -> q89,
     "q92_pq_train" -> q92,
     "q93_ivf_pq_topk" -> q93,
+    "q98_rand_proj" -> q98,
   )
 
   val oracle: Map[String, String] = Map(
@@ -486,5 +514,6 @@ object VectorOps {
     "q89_semdedup" -> q89Sql,
     "q92_pq_train" -> q92Sql,
     "q93_ivf_pq_topk" -> q93Sql,
+    "q98_rand_proj" -> q98Sql,
   )
 }

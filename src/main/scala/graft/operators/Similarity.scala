@@ -370,6 +370,46 @@ object Similarity {
       .select(col("q_id"), col(idCol), round(-col("cos"), 6).as("adc"))
   }
 
+  /** Project-then-re-rank ANN: score candidates in the
+    * [[graft.functions.RandProj]] reduced space (a `reducedDim`-wide dot
+    * instead of full width — the Johnson-Lindenstrauss trade), keep
+    * `candidates` per query, then re-rank ONLY those at full width and
+    * return the true-cosine top `k`. The standard two-stage ANN shape:
+    * the expensive full-width arithmetic touches candidates × queries
+    * rows, never corpus × queries; recall loss is confined to true
+    * neighbors the projected space mis-ranks out of the candidate set
+    * (JL bounds make that rare at sane `candidates/k` ratios).
+    *
+    * Corpus-side work stays narrow: one projection kernel call per row,
+    * the broadcast-queries nested loop, and the k-bounded heap — the
+    * [[cosineTopK]] posture at a fraction of the per-pair cost. */
+  def projectedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, dim: Int, reducedDim: Int,
+                    k: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidate pool $candidates must cover k=$k")
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    def proj(df: DataFrame) = df.select(col(idCol),
+      graft.functions.RandProj.randProj(col(embCol), dim, reducedDim).as("__p"))
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("__q_emb"))
+    val qp = proj(queries).select(col(idCol).as("q_id"), col("__p").as("__q_p"))
+    // stage 1: reduced-width scan — the only corpus-sized work
+    val cand = keepTopK(
+      broadcast(qp).join(proj(corpus), col("q_id") =!= col(idCol))
+        .select(col("q_id"), col(idCol),
+          Vectors.cosine(col("__q_p"), col("__p")).as("cos")),
+      idCol, candidates)
+      .select(col("q_id"), col(idCol))
+    // stage 2: the candidate list (queries x candidates rows) broadcasts
+    // back onto the corpus for full-width re-ranking — the corpus is
+    // probed by a broadcast hash join, never shuffled
+    val reranked = broadcast(cand)
+      .join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col(idCol),
+        Vectors.cosine(col("__q_emb"), col(embCol)).as("cos"))
+    keepTopK(reranked, idCol, k)
+  }
+
   /** Collected per-subspace codebooks: for each subspace (in order), the
     * (code, sub-vector, ||sub-vector||²) entries sorted by code. Codes
     * must be dense 0..k-1 per subspace (standard PQ — ADC lookup tables

@@ -452,6 +452,49 @@ object VectorOps {
       |         * CAST(0.25 AS DOUBLE)), 'sum'), 6) AS v
       |FROM embeddings CROSS JOIN j""".stripMargin
 
+  // -- q99: project-then-re-rank ANN (Similarity.projectedTopK) — the
+  // two-stage search q98's projection exists for: candidates scored in
+  // the 16-dim reduced space (bit-identical projections, q98), top-20
+  // per query re-ranked at full 64-dim width, true-cosine top-5 out.
+  // Oracle: projection lists via nested lambdas + the q30 window forms
+  // at each stage. --
+  private val q99: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    graft.operators.Similarity.projectedTopK(
+      corpus = e, queries = e.filter($"vec_id" < 10),
+      idCol = "vec_id", embCol = "embedding",
+      dim = 64, reducedDim = 16, k = 5, candidates = 20)
+      .select($"q_id", $"vec_id", round($"cos", 6).as("cos"))
+  }
+  private val q99Sql = {
+    val proj =
+      """list_transform(range(0, 16), j ->
+        |      list_aggregate(list_transform(range(1, len(embedding) + 1),
+        |        i -> (CASE WHEN substring(md5(CAST(i - 1 AS VARCHAR) || ':' ||
+        |                        CAST(j AS VARCHAR)), 1, 1) >= '8'
+        |                   THEN CAST(embedding[i] AS DOUBLE)
+        |                   ELSE -CAST(embedding[i] AS DOUBLE) END)
+        |             * CAST(0.25 AS DOUBLE)), 'sum'))""".stripMargin
+    s"""WITH pr AS (SELECT vec_id, embedding, $proj AS p FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, p AS q_p
+       |      FROM pr WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, c.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${dCos("q.q_p", "c.p")} DESC, c.vec_id) AS rn
+       |    FROM q JOIN pr c ON q.q_id <> c.vec_id) WHERE rn <= 20),
+       |rr AS (
+       |  SELECT cand.q_id, cand.vec_id, ${dCos("q.q_emb", "e.embedding")} AS cos
+       |  FROM cand JOIN embeddings e ON cand.vec_id = e.vec_id
+       |            JOIN q ON cand.q_id = q.q_id)
+       |SELECT q_id, vec_id, round(cos, 6) AS cos FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+       |  FROM rr) WHERE rn <= 5""".stripMargin
+  }
+
   // -- q89: SemDeDup (operators.SemDedup) — semantic dedup over the
   // embedding corpus: IVF-assign to the q33 fixed centroids (narrow
   // fold), within-cluster pairs with cosine >= 0.35 mark the larger id
@@ -499,6 +542,7 @@ object VectorOps {
     "q92_pq_train" -> q92,
     "q93_ivf_pq_topk" -> q93,
     "q98_rand_proj" -> q98,
+    "q99_projected_topk" -> q99,
   )
 
   val oracle: Map[String, String] = Map(
@@ -515,5 +559,6 @@ object VectorOps {
     "q92_pq_train" -> q92Sql,
     "q93_ivf_pq_topk" -> q93Sql,
     "q98_rand_proj" -> q98Sql,
+    "q99_projected_topk" -> q99Sql,
   )
 }

@@ -451,6 +451,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(per.length == 5 && per.forall(_ <= 5))
   }
 
+  test("projectedTopK: candidates == corpus degenerates to exact; sane recall pruned") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val qs = e.filter($"vec_id" < 5)
+    val n = e.count().toInt
+    // candidate pool = whole corpus -> stage 2 re-ranks everything ->
+    // must equal the exact brute force
+    val full = Similarity.projectedTopK(e, qs, "vec_id", "embedding",
+      dim = 64, reducedDim = 16, k = 5, candidates = n)
+    val brute = Similarity.cosineTopK(e, qs, "vec_id", "embedding", k = 5)
+      .select($"q_id", $"vec_id", $"cos")
+    assert(full.exceptAll(brute).isEmpty && brute.exceptAll(full).isEmpty)
+    // pruned pool: k-bounded output and most true neighbors survive
+    val pruned = Similarity.projectedTopK(e, qs, "vec_id", "embedding",
+      dim = 64, reducedDim = 16, k = 5, candidates = 20)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val per = pruned.groupBy($"q_id").count().select($"count").as[Long].collect()
+    assert(per.length == 5 && per.forall(_ <= 5))
+    val recall = key(pruned).intersect(key(brute)).size.toDouble / key(brute).size
+    assert(recall >= 0.3, f"projected recall@5 collapsed to $recall%.2f")
+  }
+
   test("nearDupVerified: verified pairs are candidate pairs with correct exact Jaccard") {
     import org.apache.spark.sql.functions.col
     val df = Tables.load(spark, sf(), "documents")

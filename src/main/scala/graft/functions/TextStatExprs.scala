@@ -140,11 +140,18 @@ object TextStatOps {
     * symbol array via the standard pair-priority loop (the tokenizer
     * encode algorithm) — find the lowest-rank adjacent pair present,
     * merge all its occurrences greedily left-to-right, repeat until no
-    * ranked pair remains. Equivalent to folding [[bpeMerge]] over the
-    * merges in rank order (BpeSpec pins the differential): a merge at
-    * rank k only ever creates pairs involving its new symbol, which by
-    * construction carry ranks > k, so processing present-pairs in
-    * ascending rank order visits exactly the ranks the fold would apply.
+    * ranked pair remains. On TRAINED merge lists (each side is a single
+    * char or an earlier merge's output — what [[graft.operators.Bpe
+    * .train]] emits) this is equivalent to folding [[bpeMerge]] over the
+    * merges in rank order (BpeSpec pins the differential plus a seeded
+    * property over generated well-formed lists): a merge at rank k only
+    * ever creates pairs involving its new symbol, which by construction
+    * carry ranks > k, so processing present-pairs in ascending rank
+    * order visits exactly the ranks the fold would apply. On malformed
+    * lists (a rank referencing a LATER merge's output) the two
+    * legitimately differ, and this loop keeps standard tokenizer
+    * priority semantics — apply the best pair PRESENT — which is the
+    * behavior real encoders ship (also pinned).
     * Unlike the fold, the plan cost is ONE kernel call regardless of
     * vocabulary size — a 32k-merge vocabulary encodes without a
     * 32k-deep projection chain. */

@@ -99,6 +99,56 @@ class BpeSpec extends SparkSpec {
   private def snapById(df: org.apache.spark.sql.DataFrame) =
     df.select($"id", $"syms").as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
 
+  test("property: kernel == fold over random symbol arrays and WELL-FORMED merge lists") {
+    // The equivalence the kernel claims holds on the trained-vocabulary
+    // domain: every merge's sides exist (single chars or outputs of
+    // EARLIER merges), which is exactly what training produces — a pair
+    // created by merge k always carries rank > k. The generator grows a
+    // symbol pool the way training does, so the lists stay in-domain;
+    // tiny alphabet forces overlapping runs and chained re-merges.
+    // Seeded, so failures reproduce.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val symGen = Gen.oneOf("a", "b", "c")
+    val arrGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, symGen))
+    val docs = Gen.listOfN(60, arrGen)
+      .pureApply(Gen.Parameters.default, Seed(41L))
+      .zipWithIndex.map { case (ss, i) => (i.toLong, ss) }
+    def wellFormedMerges(n: Int, seed: Long): Seq[(String, String)] = {
+      var pool = Vector("a", "b", "c")
+      (0 until n).map { k =>
+        val pick = Gen.zip(Gen.choose(0, pool.length - 1),
+          Gen.choose(0, pool.length - 1))
+          .pureApply(Gen.Parameters.default, Seed(seed * 1000 + k))
+        val (l, r) = (pool(pick._1), pool(pick._2))
+        pool :+= l + r
+        (l, r)
+      }
+    }
+    (0 until 8).foreach { round =>
+      val merges = wellFormedMerges(6 + round % 5, 100L + round)
+      val df = docs.toDF("id", "syms")
+      assert(snapById(Bpe.encode(df, "syms", merges)) ==
+        snapById(Bpe.applyMerges(df, "syms", merges)),
+        s"kernel diverged from fold on merges $merges")
+    }
+  }
+
+  test("malformed (untrained) merge lists: kernel keeps tokenizer priority semantics") {
+    // Outside the trained domain the two are DOCUMENTED to differ: rank 0
+    // ('ab','c') only becomes applicable after rank 1 creates 'ab'. The
+    // fold visits rank 0 first (no-op) and never returns; the kernel —
+    // like every priority-loop tokenizer — applies the best present pair,
+    // so it finishes the chain. Pin both behaviors so the contract stays
+    // visible.
+    val merges = Seq(("ab", "c"), ("a", "b"))
+    val df = Seq((1L, Seq("a", "b", "c"))).toDF("id", "syms")
+    assert(Bpe.encode(df, "syms", merges)
+      .select($"syms").as[Seq[String]].head() == Seq("abc"))
+    assert(Bpe.applyMerges(df, "syms", merges)
+      .select($"syms").as[Seq[String]].head() == Seq("ab", "c"))
+  }
+
   test("encode completes with a 32k-merge vocabulary (flat plan, one kernel call)") {
     // the fold form would build a 32k-deep projection chain and die in
     // analysis/codegen; the kernel takes the whole ranked list as ONE

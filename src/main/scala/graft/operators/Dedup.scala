@@ -203,6 +203,23 @@ object Dedup {
       .distinct()
   }
 
+  /** One-call near-duplicate pruning — the composition a user reaches
+    * for first: [[nearDupCandidates]] → [[clusters]] → keep each
+    * cluster's minimum-id document, everything else dropped. Returns
+    * the input frame minus the losers (all columns intact). Inherits
+    * every scale property of its stages: skew-guarded banding, one
+    * label frame of O(|docs in pairs|), and a final left-anti join
+    * whose build side is loser-sized. */
+  def pruneNearDups(df: DataFrame, textCol: String, idCol: String,
+                    shingle: Int = 5, bands: Int = 4,
+                    maxBucket: Int = 1024): DataFrame = {
+    val pairs = nearDupCandidates(df, textCol, idCol, shingle, bands, maxBucket)
+    val losers = clusters(pairs, s"${idCol}_a", s"${idCol}_b")
+      .where(col("cluster") =!= col("node"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-dup pair list: every node gets the
     * MINIMUM id reachable from it as its `cluster` label — the step that
     * turns candidate pairs ([[nearDupCandidates]]) into dedup groups

@@ -24,6 +24,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaApi.exceptAll(viaQuery).isEmpty && viaQuery.exceptAll(viaApi).isEmpty)
   }
 
+  test("Dedup.pruneNearDups keeps exactly each cluster's min id, columns intact") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val kept = Dedup.pruneNearDups(docs, "text", "doc_id")
+    assert(kept.columns.toSeq == docs.columns.toSeq)
+    // independent recomposition: candidates -> clusters -> winners
+    val cl = Dedup.clusters(
+      Dedup.nearDupCandidates(docs, "text", "doc_id"), "doc_id_a", "doc_id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expectDropped = cl.filter { case (n, c) => n != c }.keySet
+    val keptIds = kept.select($"doc_id").as[Long].collect().toSet
+    val allIds = docs.select($"doc_id").as[Long].collect().toSet
+    assert(keptIds == allIds -- expectDropped)
+    assert(expectDropped.nonEmpty, "fixture must actually contain near-dups")
+  }
+
   test("Dedup.exactByKey keeps the orderBy-first row per key group") {
     val df = Seq((1L, "b", 10), (2L, "a", 20), (3L, "a", 30)).toDF("id", "k", "v")
     val out = Dedup.exactByKey(df, Seq("k"), orderBy = "id")

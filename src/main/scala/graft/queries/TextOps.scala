@@ -1118,6 +1118,95 @@ object TextOps {
       |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch0'), doc_id) AS pos
       |FROM documents""".stripMargin
 
+  // -- q100: the COMPLETE modern prep pipeline, round-5 edition — q64's
+  // composition upgraded with this round's operators, end-to-end in one
+  // declarative plan: Unicode clean (q79) -> exact dedup on cleaned text
+  // (q20) -> one-call near-dup pruning (q22/q62 via Dedup.pruneNearDups)
+  // -> exact-substring span removal (q91) -> min-token gate -> content-
+  // addressed split (q52). Output is (doc_id, n_kept, md5(rewritten
+  // text), split), so the hash pins the actual surviving documents and
+  // their rewritten contents. Oracle: the proven per-stage CTE fragments
+  // composed in the same order — recursive closure included. --
+  private val q100: Q = (s, dir) => {
+    import s.implicits._
+    val cleaned = docs(s, dir).select($"doc_id",
+      graft.operators.Normalize.cleanText($"text").as("text"))
+    val exact = graft.operators.Dedup.exactByText(cleaned, "text", "doc_id")
+    val pruned = graft.operators.Dedup.pruneNearDups(exact, "text", "doc_id")
+    val rewritten = graft.operators.Spans.removeDupSpans(pruned, "text", "doc_id", w = 10)
+    val gated = rewritten.filter($"n_kept" >= 10)
+    graft.operators.Splits.assign(gated, "doc_id")
+      .select($"doc_id", $"n_kept", md5($"clean_text").as("text_md5"), $"split")
+  }
+  private val q100Sql = {
+    val tkq = dTok
+    val shw = dShingles(tkq, 10)
+    val sh5 = dShingles(tkq, 5)
+    s"""WITH RECURSIVE
+       |cl AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+       |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', ' ', 'g'),
+       |      '\\s+', ' ', 'g')) AS text
+       |  FROM documents),
+       |exact AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, row_number() OVER (
+       |      PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |      ORDER BY doc_id) AS rn
+       |    FROM cl) WHERE rn = 1),
+       |sigs AS (
+       |  SELECT doc_id, band,
+       |    list_aggregate(list_transform(dg, d -> substring(d, 1 + 8 * (band - 1), 8)), 'min') AS sig
+       |  FROM (SELECT doc_id, list_transform($sh5, x -> md5(x)) AS dg FROM exact),
+       |       (SELECT unnest([1, 2, 3, 4]) AS band)
+       |  WHERE list_aggregate(list_transform(dg, d -> substring(d, 1 + 8 * (band - 1), 8)), 'min') IS NOT NULL),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+       |  WHERE a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |members AS (SELECT src AS node, dst AS m FROM reach
+       |            UNION ALL SELECT src, src FROM edges),
+       |clusters AS (SELECT node, min(m) AS cluster FROM members GROUP BY node),
+       |survivors AS (
+       |  SELECT e.doc_id, e.text FROM exact e LEFT JOIN clusters c ON e.doc_id = c.node
+       |  WHERE c.node IS NULL OR c.cluster = e.doc_id),
+       |g AS (
+       |  SELECT doc_id, unnest($shw) AS gram, unnest(range(1, len($shw) + 1)) AS j
+       |  FROM survivors),
+       |f AS (SELECT doc_id, j, md5(gram) AS fp FROM g),
+       |rm AS (
+       |  SELECT doc_id, j FROM (
+       |    SELECT doc_id, j, row_number() OVER (PARTITION BY fp ORDER BY doc_id, j) AS rn
+       |    FROM f) WHERE rn >= 2),
+       |tok AS (
+       |  SELECT doc_id, unnest($tkq) AS t, unnest(range(1, len($tkq) + 1)) AS p
+       |  FROM survivors),
+       |kept AS (
+       |  SELECT tok.doc_id, tok.p, tok.t FROM tok
+       |  WHERE NOT EXISTS (SELECT 1 FROM rm WHERE rm.doc_id = tok.doc_id
+       |                    AND tok.p BETWEEN rm.j AND rm.j + 9)),
+       |per AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         string_agg(t, ' ' ORDER BY p) AS clean_text
+       |  FROM kept GROUP BY 1),
+       |gated AS (
+       |  SELECT s.doc_id, COALESCE(per.n_kept, 0) AS n_kept,
+       |         COALESCE(per.clean_text, '') AS clean_text
+       |  FROM survivors s LEFT JOIN per ON s.doc_id = per.doc_id
+       |  WHERE COALESCE(per.n_kept, 0) >= 10)
+       |SELECT doc_id, n_kept, md5(clean_text) AS text_md5,
+       |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT *, TRY_CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+       |      FROM gated)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -1157,6 +1246,7 @@ object TextOps {
     "q95_quality_classifier" -> q95,
     "q96_countmin" -> q96,
     "q97_permute" -> q97,
+    "q100_full_pipeline" -> q100,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1198,5 +1288,6 @@ object TextOps {
     "q95_quality_classifier" -> q95Sql,
     "q96_countmin" -> q96Sql,
     "q97_permute" -> q97Sql,
+    "q100_full_pipeline" -> q100Sql,
   )
 }

@@ -25,36 +25,41 @@ import graft.functions.Text
   * and null-text documents score sigmoid(bias) (no evidence = prior). */
 object Classifier {
 
-  /** (idCol, n_tokens, score) for every document; `gate` additionally
-    * keeps only rows clearing `tau`. */
-  def score(df: DataFrame, textCol: String, idCol: String,
-            weights: Map[Int, Double], bias: Double, dim: Int): DataFrame = {
+  /** The score as a pure COLUMN over a text column — one narrow
+    * expression, usable mid-pipeline in batch AND streaming plans. */
+  def scoreCol(text: Column, weights: Map[Int, Double], bias: Double,
+               dim: Int): Column = {
     require(dim >= 1, s"dim must be positive: $dim")
     require(weights.keys.forall(b => b >= 0 && b < dim),
       s"weight buckets must lie in [0, $dim)")
     val wlit = typedlit(weights)
-    val toks = coalesce(Text.tokens(col(textCol)), array().cast("array<string>"))
-    val z = aggregate(col("__tk"), lit(0.0), (acc, t) =>
+    val toks = coalesce(Text.tokens(text), array().cast("array<string>"))
+    val z = aggregate(toks, lit(0.0), (acc, t) =>
       acc + coalesce(
         element_at(wlit, FeatureHash.bucket(t, dim).cast("int")), lit(0.0)))
-    df.select(col(idCol), toks.as("__tk"))
-      .select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"),
-        z.as("__z"))
-      .select(col(idCol), col("n_tokens"),
-        round(sigmoid(
-          when(col("n_tokens") > 0, lit(bias) + col("__z") / col("n_tokens"))
-            .otherwise(lit(bias))), 6).as("score"))
+    val n = size(toks)
+    round(sigmoid(when(n > 0, lit(bias) + z / n).otherwise(lit(bias))), 6)
   }
 
-  /** The gate: documents whose score clears `tau`. */
+  /** (idCol, n_tokens, score) for every document; `gate` additionally
+    * keeps only rows clearing `tau`. */
+  def score(df: DataFrame, textCol: String, idCol: String,
+            weights: Map[Int, Double], bias: Double, dim: Int): DataFrame =
+    df.select(col(idCol),
+      // coalesce the ARRAY, not the size: with ANSI off size(null) = -1
+      size(coalesce(Text.tokens(col(textCol)), array().cast("array<string>")))
+        .cast("long").as("n_tokens"),
+      scoreCol(col(textCol), weights, bias, dim).as("score"))
+
+  /** The gate: documents whose score clears `tau` — a narrow filter on
+    * the score column (no join), so it is valid mid-stream and keeps
+    * every payload column. */
   def gate(df: DataFrame, textCol: String, idCol: String,
            weights: Map[Int, Double], bias: Double, dim: Int,
            tau: Double): DataFrame =
-    df.join(
-      score(df, textCol, idCol, weights, bias, dim)
-        .filter(col("score") >= tau)
-        .select(col(idCol)),
-      Seq(idCol), "left_semi")
+    df.withColumn("__score", scoreCol(col(textCol), weights, bias, dim))
+      .filter(col("__score") >= tau)
+      .drop("__score")
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 }

@@ -30,7 +30,10 @@ object DocPrep {
   def prep(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
            tsCol: String = "ingest_ts", watermarkDelay: String = "1 hour",
            minTokens: Int = 10, minTtr: Double = 0.2,
-           maxDupFraction: Double = 0.75, maxTopFraction: Double = 0.5): DataFrame = {
+           maxDupFraction: Double = 0.75, maxTopFraction: Double = 0.5,
+           classifierWeights: Option[Map[Int, Double]] = None,
+           classifierBias: Double = 0.0, classifierDim: Int = 32,
+           classifierTau: Double = 0.5): DataFrame = {
     val fingerprinted = docs.withColumn("__fp", Text.fingerprint(col(textCol)))
     // dropDuplicatesWithinWatermark exists only in streaming plans; the
     // batch twin keeps the earliest-tsCol row per fingerprint — the same
@@ -47,7 +50,15 @@ object DocPrep {
     val unrepetitive = graft.operators.Repetition.filter(
       scored, textCol, maxDupFraction = maxDupFraction,
       maxTopFraction = maxTopFraction)
-    Splits.assign(unrepetitive, idCol)
+    // optional trained-quality gate: Classifier.gate is a narrow filter
+    // on the score column (no join, no state), so the same call is valid
+    // here in BOTH batch and streaming plans
+    val gated = classifierWeights match {
+      case Some(w) => graft.operators.Classifier.gate(unrepetitive, textCol,
+        idCol, w, classifierBias, classifierDim, classifierTau)
+      case None => unrepetitive
+    }
+    Splits.assign(gated, idCol)
       .select(col(idCol), col(tsCol), col("n_tokens"), col("split"))
   }
 }

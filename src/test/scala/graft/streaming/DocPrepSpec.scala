@@ -66,4 +66,43 @@ class DocPrepSpec extends SparkSpec {
     val splits = streamed.select($"split").distinct().as[String].collect().toSet
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
+
+  test("optional classifier gate: stream == batch, and the gate actually bites") {
+    import org.apache.spark.sql.functions._
+    val src = Files.createTempDirectory("dpc_src").toString
+    val out = Files.createTempDirectory("dpc_out").toString
+    val ckpt = Files.createTempDirectory("dpc_ckpt").toString
+    val docs = Seq(
+      (1L, goodText(1), ts(0)),
+      (2L, goodText(2), ts(1)),
+      (3L, goodText(3), ts(2)))
+      .toDF("doc_id", "text", "ingest_ts")
+    docs.write.mode("append").parquet(src)
+    // weights whose per-doc scores split the three docs (found by
+    // scoring, then thresholding between min and max)
+    val weights = (0 until 32).map(i => i -> (i - 16) / 16.0).toMap
+    val scores = graft.operators.Classifier
+      .score(docs, "text", "doc_id", weights, bias = 0.0, dim = 32)
+      .select($"score").as[Double].collect().sorted
+    val tau = scores(1) // keeps exactly the top two
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(src)
+      val q = DocPrep.prep(stream,
+          classifierWeights = Some(weights), classifierBias = 0.0,
+          classifierTau = tau)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    run()
+    val streamed = spark.read.parquet(out).drop("ingest_ts")
+    assert(streamed.count() == 2, "the gate must drop the lowest-scoring doc")
+    val viaBatch = DocPrep.prep(docs,
+      classifierWeights = Some(weights), classifierBias = 0.0,
+      classifierTau = tau).drop("ingest_ts")
+    assert(streamed.exceptAll(viaBatch).isEmpty &&
+      viaBatch.exceptAll(streamed).isEmpty)
+  }
 }

@@ -51,15 +51,14 @@ object Classifier {
         .cast("long").as("n_tokens"),
       scoreCol(col(textCol), weights, bias, dim).as("score"))
 
-  /** The gate: documents whose score clears `tau` — a narrow filter on
-    * the score column (no join), so it is valid mid-stream and keeps
-    * every payload column. */
+  /** The gate: documents whose score clears `tau` — a narrow filter
+    * DIRECTLY on the score expression (no temp column, so a caller's own
+    * `__score`-named column is never clobbered or dropped; no join), so
+    * it is valid mid-stream and keeps every payload column untouched. */
   def gate(df: DataFrame, textCol: String, idCol: String,
            weights: Map[Int, Double], bias: Double, dim: Int,
            tau: Double): DataFrame =
-    df.withColumn("__score", scoreCol(col(textCol), weights, bias, dim))
-      .filter(col("__score") >= tau)
-      .drop("__score")
+    df.filter(scoreCol(col(textCol), weights, bias, dim) >= tau)
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 }

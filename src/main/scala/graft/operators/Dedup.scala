@@ -11,6 +11,9 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Uniqifier for the [[simhashNearDup]] star-path observe metric. */
+  private[operators] val starMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Exact dedup by normalized-text fingerprint: keeps the lowest `idCol`
     * per duplicate group (deterministic winner). One shuffle on the
     * fingerprint. */
@@ -159,7 +162,16 @@ object Dedup {
     * bucket resolves to one [[clusters]] component at O(b) cost;
     * members further than `maxHamming` from the bucket minimum are
     * only reachable through other bands/buckets (documented recall
-    * bound — within-cap buckets remain exhaustively exact). */
+    * bound — within-cap buckets remain exhaustively exact).
+    *
+    * Observability: because that recall bound is default-on, every run
+    * reports how much the star path actually elided via a named
+    * `observe` metric `graft_simhash_star_<n>` with fields `star_rows`
+    * (members routed through the star path) and `elided` (star rows
+    * beyond `maxHamming` of their bucket minimum — the members whose
+    * pairs through that band were dropped). Read it from
+    * `QueryExecution.observedMetrics` or a `QueryExecutionListener`;
+    * `elided = 0` certifies the guard was free on that corpus. */
   def simhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      maxHamming: Int = 3, bits: Int = 64,
                      maxBucket: Int = 1024): DataFrame = {
@@ -188,6 +200,15 @@ object Dedup {
       .select(col("__mn").getField(idCol).as(a), col(idCol).as(b),
         bit_count(col("__mn").getField("simhash").bitwiseXOR(col("simhash")))
           .cast("long").as("hamming"))
+      // the skew guard's recall bound, made observable: star members
+      // farther than maxHamming from their bucket minimum lose the pairs
+      // this band would have given them — count them so callers can SEE
+      // the loss instead of trusting the doc comment (metric name is
+      // per-call unique; duplicate CollectMetrics names in one plan are
+      // an analysis error)
+      .observe(s"graft_simhash_star_${Dedup.starMetricSeq.incrementAndGet()}",
+        count(lit(1)).as("star_rows"),
+        sum(when(col("hamming") > maxHamming, 1L).otherwise(0L)).as("elided"))
     val smallPairs = sized
       .filter(col("__n") <= maxBucket && col("__n") > 1)
       .groupBy(col("pos"), col("col"))

@@ -481,7 +481,18 @@ object Similarity {
   def pqTrain(corpus: DataFrame, idCol: String, embCol: String,
               m: Int, k: Int, iterations: Int): DataFrame = {
     require(m >= 1, s"subspace count must be positive: $m")
-    val dim = corpus.select(size(col(embCol))).head.getInt(0)
+    // dim from an aggregate over the WHOLE corpus, not head(): an empty
+    // corpus gets a clear error instead of NoSuchElementException, and a
+    // ragged corpus (mixed embedding lengths) fails fast instead of
+    // passing the dim % m check on row 1 and mis-slicing every other row
+    val mm = corpus.agg(
+      min(size(col(embCol))).as("mn"), max(size(col(embCol))).as("mx")).head
+    require(!mm.isNullAt(0), s"pqTrain: empty corpus — no '$embCol' to train on")
+    val (dimMin, dimMax) = (mm.getInt(0), mm.getInt(1))
+    require(dimMin == dimMax,
+      s"pqTrain: ragged embedding lengths in '$embCol' ($dimMin..$dimMax) — " +
+        "uniform dimension is required for subspace slicing")
+    val dim = dimMax
     require(dim % m == 0, s"embedding dim $dim must split evenly into $m subspaces")
     val sub = dim / m
     (0 until m).map { s =>
@@ -562,12 +573,25 @@ object Similarity {
     * shuffle carries queries×k rows and the scan reads codes, not
     * embeddings. Output: (q_id, `idCol`, adc) — adc ascending ≈ nearest,
     * rounded to 6 places (the sum over subspaces is the one
-    * order-sensitive float reduction between engines). */
+    * order-sensitive float reduction between engines).
+    *
+    * Query-count budget: this is the FULL-SCAN form — every query's
+    * lookup tables visit every corpus code, so cost is corpus × queries
+    * and the tables must fit one broadcast. It is intended for small
+    * query sets (ad-hoc lookups, eval probes); `maxQueries` (default
+    * 4096) fails fast past that with a pointer to [[ivfPqTopK]], whose
+    * coarse probing bounds the scanned fraction and is the right shape
+    * for bulk query sets. The check costs one count over the query
+    * frame — the small side by contract. */
   def pqAdcTopK(corpus: DataFrame, codebooks: DataFrame, queries: DataFrame,
                 idCol: String, embCol: String, k: Int,
                 subspaceCol: String = "subspace", codeCol: String = "code",
-                vecCol: String = "vector"): DataFrame = {
+                vecCol: String = "vector", maxQueries: Int = 4096): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"pqAdcTopK scans corpus x queries: got > $maxQueries queries — " +
+        "use ivfPqTopK (coarse-probed) for bulk query sets, or raise maxQueries")
     val cb = collectCodebooks(codebooks, subspaceCol, codeCol, vecCol)
     val coded = pqEncode(corpus.select(col(idCol), col(embCol)), codebooks,
       embCol, subspaceCol, codeCol, vecCol)

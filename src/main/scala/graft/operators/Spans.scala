@@ -92,7 +92,13 @@ object Spans {
       .filter(col("__rn") >= 2)
       .groupBy(col(idCol))
       .agg(collect_list(col("__j")).as("__rm"))
-    df.select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
+    // null text = token-less document (empty array), so n_tokens/n_kept
+    // are 0 and clean_text is "" — the Bm25/Classifier null convention,
+    // not the ANSI-off size(null) = -1 that downstream length gates
+    // would read as negative
+    df.select(col(idCol),
+        coalesce(Text.tokens(col(textCol)), array().cast("array<string>"))
+          .as("__tk"))
       .join(removals, Seq(idCol), "left")
       .select(col(idCol), col("__tk"),
         when(col("__rm").isNull, col("__tk"))

@@ -29,6 +29,19 @@ import graft.operators.UrlOps
   * (first `n` per domain by (ts, id)); UrlStreamSpec pins batch ==
   * stream on the same data. Output: (doc_id, domain) — the admitted
   * ids; join payloads back on the id, which stays a narrow key join.
+  *
+  * Equivalence contract (public, not just an inline note): stream ==
+  * batch holds when micro-batches arrive in EVENT-TIME order — within a
+  * micro-batch admission is (event time, id)-ordered, but a row arriving
+  * in a LATER micro-batch than a larger-timestamp rival cannot reclaim an
+  * already-spent admission, so late data diverges from the batch window's
+  * answer (by design: an admission is an irrevocable budget spend, and
+  * there is no watermark that could buy reordering without evicting the
+  * cap state — see the no-expiry note above). `idCol` must already be an
+  * integral column: the cast to long is validated up front and non-castable
+  * id TYPES fail fast (the InvertedIndex discipline) instead of silently
+  * becoming null doc_ids. Per-group memory is O(cap): admission runs a
+  * bounded selection (size-`room` heap), never a whole-micro-batch sort.
   */
 object DomainCap {
 
@@ -37,6 +50,13 @@ object DomainCap {
   def cap(docs: DataFrame, urlCol: String, idCol: String, tsCol: String,
           n: Int): DataFrame = {
     require(n >= 1, s"cap must be positive: $n")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => // ok
+      case other => throw new IllegalArgumentException(
+        s"DomainCap id column '$idCol' must be an integral type, got " +
+          s"${other.simpleString} — a lossy cast would silently null doc_ids")
+    }
     val spark = docs.sparkSession
     import spark.implicits._
     val keyed = docs.select(
@@ -60,10 +80,22 @@ object DomainCap {
             val room = math.max(0L, n - kept).toInt
             // within a micro-batch, admission order is (event time, id) —
             // the same order the batch window uses, so a stream fed in
-            // event-time order converges to the batch answer
-            val admitted = rows.toSeq.sortBy(r => (r._3.getTime, r._2)).take(room)
+            // event-time order converges to the batch answer. The `room`
+            // smallest rows come from a bounded max-heap (O(cap) memory),
+            // not a whole-group sort: one domain's micro-batch group can
+            // be arbitrarily large, the cap never is.
+            val heap = new scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+              Ordering.Tuple2[Long, Long])
+            if (room > 0) rows.foreach { r =>
+              val k = (r._3.getTime, r._2)
+              if (heap.size < room) heap.enqueue(k)
+              else if (Ordering.Tuple2[Long, Long].lt(k, heap.head)) {
+                heap.dequeue(); heap.enqueue(k)
+              }
+            } else rows.foreach(_ => ()) // drain: quota already spent
+            val admitted = heap.toSeq
             state.update(kept + admitted.length)
-            admitted.map(r => Kept(r._2, domain)).iterator
+            admitted.map(k => Kept(k._2, domain)).iterator
         }.toDF()
     }
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, CoerceOps, TextOps, VectorOps}
+import graft.queries.{Analytics, CoerceOps, IncrementalOps, TextOps, VectorOps}
 import graft.sinks.Sink
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -27,10 +27,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ TextOps.queries ++ VectorOps.queries ++ CoerceOps.queries
+    Analytics.queries ++ TextOps.queries ++ VectorOps.queries ++
+      CoerceOps.queries ++ IncrementalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Analytics.oracle ++ TextOps.oracle ++ VectorOps.oracle ++ CoerceOps.oracle
+    Analytics.oracle ++ TextOps.oracle ++ VectorOps.oracle ++
+      CoerceOps.oracle ++ IncrementalOps.oracle
 }

@@ -18,7 +18,7 @@ object GraftFunctions {
       BpeMergeExpr.description, BpeEncodeExpr.description,
       UnicodeNormalize.description,
       HeavyHitters.description, CmSketch.description, RandProj.description,
-      ShinglesExpr.description)
+      ShinglesExpr.description, BloomSketch.description)
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)

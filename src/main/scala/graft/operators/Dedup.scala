@@ -35,6 +35,77 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** The fingerprint STORE of a shipped corpus — the distinct normalized
+    * -text fingerprints, the only thing incremental dedup ever needs to
+    * remember about old data (32-byte hex per distinct document, not the
+    * text). Persist it once with [[writeFingerprintStore]] and every
+    * future snapshot dedups against it without touching the corpus. */
+  def fingerprintStore(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(Text.fingerprint(col(textCol)).as("fp")).distinct()
+
+  /** Persists [[fingerprintStore]] bucketed by `fp` (via
+    * [[graft.sinks.Bucketing]]) so that every [[againstCorpus]] probe
+    * joins against it EXCHANGE-FREE: the store lands hash-partitioned on
+    * the join key at write time, and only the (small) incoming batch
+    * shuffles at probe time. This is the piece that makes "dedup this
+    * month's crawl against the shipped 100 TB" cost O(batch), not
+    * O(corpus): the old corpus is never re-shuffled — it is never even
+    * re-read beyond its fingerprint column's bucket files. */
+  def writeFingerprintStore(corpus: DataFrame, textCol: String,
+                            table: String, buckets: Int): Unit =
+    graft.sinks.Bucketing.writeBucketed(
+      fingerprintStore(corpus, textCol), table, Seq("fp"), buckets)
+
+  /** Incremental / cross-snapshot dedup: the rows of `batch` that are new
+    * against BOTH the shipped corpus (represented only by its fingerprint
+    * `store` — one `fp` column, [[fingerprintStore]]) and the batch
+    * itself (lowest `idCol` wins within a batch duplicate group, the
+    * [[exactByText]] rule). All batch columns survive. This is the
+    * production shape of dedup — "admit this snapshot against everything
+    * already shipped" — without re-shuffling or even re-reading old text.
+    *
+    * Two screens, one exact answer:
+    *  1. a [[graft.functions.BloomSketch]] built over the store in one
+    *     narrow aggregate pass (driver-bounded: `bloomBits / 8` bytes)
+    *     pre-screens every batch row as a pure codegen'd column — rows
+    *     the bloom misses are DEFINITELY novel (no false negatives) and
+    *     skip the join entirely;
+    *  2. bloom-positive rows — true duplicates plus the ~1% false-
+    *     positive tail — are the only ones that reach the left-anti join
+    *     against the store, which rescues the false positives. The
+    *     result is bit-exact regardless of bloom sizing (q101's oracle
+    *     dedups the union in SQL and hash-matches this composition).
+    *
+    * Scale: the two screen branches share the in-batch dedup's window
+    * shuffle (ReuseExchange — same exchange, two consumers); the anti-
+    * join probe side carries only bloom-positive batch rows; and when
+    * the store is the [[writeFingerprintStore]] bucketed table, the
+    * store side of that join plans with ZERO exchanges (pinned by
+    * IncrementalDedupSpec). At store cardinalities where a useful bloom
+    * outgrows the driver (~10^10+ distinct fps), set `bloomBits <= 0`
+    * to disable the pre-screen — everything probes the bucketed join,
+    * still exchange-free on the corpus side. */
+  def againstCorpus(batch: DataFrame, store: DataFrame,
+                    textCol: String, idCol: String,
+                    bloomBits: Int = 1 << 22, bloomHashes: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+    val withFp = batch.withColumn("__fp", Text.fingerprint(col(textCol)))
+    val inBatch = exactByKey(withFp, Seq("__fp"), idCol)
+    val storeFp = store.select(col("fp").as("__fp"))
+    val admitted =
+      if (bloomBits <= 0) inBatch.join(storeFp, Seq("__fp"), "left_anti")
+      else {
+        val words = store
+          .agg(graft.functions.BloomSketch.bloom(col("fp"), bloomBits, bloomHashes))
+          .head.getSeq[Long](0)
+        val maybe = graft.functions.BloomSketch.mightContain(
+          col("__fp"), words, bloomBits, bloomHashes)
+        inBatch.filter(!maybe)
+          .unionByName(inBatch.filter(maybe).join(storeFp, Seq("__fp"), "left_anti"))
+      }
+    admitted.drop("__fp")
+  }
+
   /** Near-duplicate candidate pairs via banded MinHash LSH (native
     * codegen'd signatures): returns (`idCol`_a, `idCol`_b) with a < b.
     * One signature pass, one shuffle on (band, sig), in-bucket pair

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{BloomSketch, Text}
+import graft.operators.Dedup
+
+/** Round-6 incremental-ingest operators (SURVEY.md §2.4): dedup and
+  * decontamination ACROSS corpus snapshots — "admit this month's crawl
+  * against the 100 TB already shipped" — where the old corpus must never
+  * re-shuffle, plus the bloom pre-screen that keeps most of a novel
+  * batch from even joining.
+  *
+  * The simulated second snapshot is deterministic arithmetic over the
+  * `documents` table (re-IDed copies = re-crawled duplicates; ` v2`
+  * suffixed copies = genuinely new documents, duplicated once more
+  * within the batch to exercise in-batch dedup), so the DuckDB oracle
+  * reconstructs the exact same two snapshots from the same parquet.
+  */
+object IncrementalOps {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** DuckDB twin of Text.fingerprint. */
+  private val dFp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+  /** The simulated incoming snapshot: re-crawled dups (+10000, text
+    * unchanged), novel docs (+20000, ` v2` suffix), and an in-batch
+    * duplicate of each novel doc (+30000, same ` v2` text). */
+  private def newBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val recrawled = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val novel = d.filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"))
+    val inBatchDup = d.filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        concat(col("text"), lit(" v2")).as("text"))
+    recrawled.unionByName(novel).unionByName(inBatchDup)
+  }
+
+  private val dBatch =
+    """SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL SELECT doc_id + 20000 AS doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 5 = 1
+      |  UNION ALL SELECT doc_id + 30000 AS doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 5 = 1""".stripMargin
+
+  // -- q101: incremental cross-snapshot dedup — the new batch admitted
+  // against the shipped corpus's fingerprint store (bloom pre-screen +
+  // anti-join rescue), without ever re-shuffling the old corpus. The
+  // oracle dedups the UNION in SQL instead — an independent formulation
+  // whose hash match proves the incremental composition exact. --
+  private val q101: Q = (s, dir) => {
+    val store = Dedup.fingerprintStore(docs(s, dir), "text")
+    Dedup.againstCorpus(newBatch(s, dir), store, "text", "doc_id")
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+  }
+  private val q101Sql =
+    s"""WITH corpus AS (SELECT DISTINCT $dFp AS fp FROM documents),
+       |batch AS ($dBatch),
+       |bf AS (SELECT doc_id, $dFp AS fp,
+       |  row_number() OVER (PARTITION BY $dFp ORDER BY doc_id) AS rn FROM batch)
+       |SELECT doc_id, fp FROM bf b
+       |WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)""".stripMargin
+
+  // -- q104: the bloom pre-screen itself, oracle-pinned bit-for-bit: the
+  // packed filter built by the graft_bloom aggregate over the corpus
+  // fingerprints, probed per batch row by the narrow mightContain
+  // column. The oracle replays both sides as SET arithmetic on the same
+  // md5 slices (positions = distinct slice-mod-m over corpus fps;
+  // member = all 4 probe positions present) — if the aggregate packed a
+  // bit into the wrong word, or the probe sliced the digest differently,
+  // a true duplicate would read false here. m = 16384 keeps the array
+  // small while leaving the modulo arithmetic observable. --
+  private val q104: Q = (s, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    val bits = 16384
+    val words = Dedup.fingerprintStore(docs(s, dir), "text")
+      .agg(BloomSketch.bloom(col("fp"), bits, 4))
+      .head.getSeq[Long](0)
+    newBatch(s, dir)
+      .select(col("doc_id"),
+        BloomSketch.mightContain(Text.fingerprint(col("text")), words, bits, 4)
+          .as("maybe_dup"))
+  }
+  private val q104Sql =
+    s"""WITH corpus AS (SELECT DISTINCT $dFp AS fp FROM documents),
+       |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+       |pos AS (SELECT DISTINCT TRY_CAST('0x' || substring(md5(fp), 8 * r + 1, 8) AS BIGINT) % 16384 AS p
+       |        FROM corpus, rs),
+       |batch AS ($dBatch),
+       |probe AS (SELECT doc_id, TRY_CAST('0x' || substring(md5($dFp), 8 * r + 1, 8) AS BIGINT) % 16384 AS p
+       |          FROM batch, rs)
+       |SELECT doc_id, bool_and(p IN (SELECT p FROM pos)) AS maybe_dup
+       |FROM probe GROUP BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q101_incremental_dedup" -> q101,
+    "q104_bloom_prescreen" -> q104)
+
+  val oracle: Map[String, String] = Map(
+    "q101_incremental_dedup" -> q101Sql,
+    "q104_bloom_prescreen" -> q104Sql)
+}

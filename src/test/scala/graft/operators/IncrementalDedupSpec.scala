@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import graft.functions.BloomSketch
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.functions._
+
+/** Incremental / cross-snapshot dedup: the bloom pre-screen has no false
+  * negatives and merges associatively; `againstCorpus` is exact with and
+  * without the bloom; and — the 100 TB property — probing a bucketed
+  * fingerprint store never shuffles (or broadcasts) the store side. */
+class IncrementalDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val bits = 4096
+  private val hashes = 4
+
+  test("bloom sketch: no false negatives, regardless of partitioning") {
+    val items = (0 until 500).map(i => s"item_$i")
+    val words = items.toDF("x").repartition(7)
+      .agg(BloomSketch.bloom($"x", bits, hashes)).head.getSeq[Long](0)
+    val probed = items.toDF("x")
+      .select(BloomSketch.mightContain($"x", words, bits, hashes).as("hit"))
+      .where(!$"hit").count()
+    assert(probed == 0, "an inserted item can never probe negative")
+  }
+
+  test("bloom sketch: merge == build-over-union (word-wise OR)") {
+    val a = (0 until 200).map(i => s"a_$i").toDF("x")
+    val b = (0 until 200).map(i => s"b_$i").toDF("x")
+    val merged = a.union(b).repartition(5)
+      .agg(BloomSketch.bloom($"x", bits, hashes)).head.getSeq[Long](0)
+    val wa = a.agg(BloomSketch.bloom($"x", bits, hashes)).head.getSeq[Long](0)
+    val wb = b.agg(BloomSketch.bloom($"x", bits, hashes)).head.getSeq[Long](0)
+    val ored = wa.zip(wb).map { case (x, y) => x | y }
+    assert(merged == ored, "partition merge must be exactly word-wise OR")
+  }
+
+  test("bloom sketch: false-positive rate is in the designed ballpark") {
+    // n = 400 items in m = 4096 bits, k = 4: (1 - e^(-kn/m))^4 ~ 10%.
+    // Novel probes must mostly miss — the pre-screen's whole value.
+    val words = (0 until 400).map(i => s"known_$i").toDF("x")
+      .agg(BloomSketch.bloom($"x", bits, hashes)).head.getSeq[Long](0)
+    val fp = (0 until 1000).map(i => s"novel_$i").toDF("x")
+      .select(BloomSketch.mightContain($"x", words, bits, hashes).as("hit"))
+      .where($"hit").count()
+    assert(fp < 300, s"false-positive tail out of control: $fp / 1000")
+    assert(words.exists(_ != 0L), "filter must actually have bits set")
+  }
+
+  test("againstCorpus admits exactly the novel minority, all columns intact") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma", "keep"),
+      (2L, "delta epsilon", "keep")).toDF("doc_id", "text", "tag")
+    val batch = Seq(
+      (10L, "Alpha  beta GAMMA", "a"), // corpus dup modulo normalization
+      (11L, "zeta eta", "b"),          // novel
+      (12L, "zeta eta", "c"),          // in-batch dup of 11 (loses: higher id)
+      (13L, "delta epsilon", "d"),     // corpus dup
+      (14L, "theta iota", "e")).toDF("doc_id", "text", "tag")
+    val store = Dedup.fingerprintStore(corpus, "text")
+    val got = Dedup.againstCorpus(batch, store, "text", "doc_id", bloomBits = bits)
+      .select($"doc_id", $"tag").as[(Long, String)].collect().toSet
+    assert(got == Set((11L, "b"), (14L, "e")))
+  }
+
+  test("bloom path == join-only path (bloomBits <= 0) on real documents") {
+    val d = Tables.load(spark, sf(), "documents")
+    val corpus = d.filter($"doc_id" % 3 =!= 0)
+    val batch = d.filter($"doc_id" % 3 === 0)
+      .unionByName(corpus.limit(40)) // guaranteed cross-snapshot dups
+    val store = Dedup.fingerprintStore(corpus, "text")
+    val bloomed = Dedup.againstCorpus(batch, store, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val joined = Dedup.againstCorpus(batch, store, "text", "doc_id", bloomBits = 0)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(bloomed == joined && bloomed.nonEmpty,
+      "the pre-screen must be invisible in the result")
+  }
+
+  test("bucketed store probes with ZERO exchanges on the store side") {
+    val d = Tables.load(spark, sf(), "documents")
+    Dedup.writeFingerprintStore(d.filter($"doc_id" % 3 =!= 0), "text",
+      "fp_store_spec", buckets = 8)
+    try {
+      val batch = d.filter($"doc_id" % 3 === 0).unionByName(d.limit(40))
+      // merge hint: at spec scale Spark would broadcast the store and hide
+      // the property under test — at corpus scale broadcast is impossible
+      // and SMJ-over-buckets is the plan this pin protects
+      val got = Dedup.againstCorpus(batch, spark.table("fp_store_spec").hint("merge"),
+        "text", "doc_id")
+      got.collect() // run under AQE so the final plan is the real one
+      val joins = collectPlan(got.queryExecution.executedPlan) {
+        case j if j.nodeName.contains("SortMergeJoin") => j
+      }
+      assert(joins.nonEmpty, "expected the anti-join to plan as SMJ")
+      val storeSide = joins.flatMap(j => j.children.lastOption)
+      val exchanges = storeSide.flatMap(_.collect {
+        case e: ShuffleExchangeLike => e
+        case e: BroadcastExchangeLike => e
+      })
+      assert(exchanges.isEmpty,
+        s"the shipped corpus must never re-shuffle at probe time: $exchanges")
+    } finally spark.sql("DROP TABLE IF EXISTS fp_store_spec")
+  }
+
+  test("simhash star-path elision is observable via the named metric") {
+    // 60 identical docs (one over-cap bucket at maxBucket = 8): all
+    // non-min members route through the star; none are beyond the
+    // Hamming budget, so elided must read 0 — the "guard was free" case.
+    val docs = (0 until 60).map(i => (i.toLong, "same text every time"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(docs, "text", "doc_id", maxBucket = 8)
+    // collect() (not count()) so the metric lands on THIS QueryExecution
+    assert(pairs.collect().length == 59)
+    val metrics = pairs.queryExecution.observedMetrics
+      .collect { case (k, v) if k.startsWith("graft_simhash_star_") => v }
+    assert(metrics.nonEmpty, "the star metric must be attached to the plan")
+    val m = metrics.head
+    assert(m.getAs[Long]("star_rows") > 0L, "over-cap bucket must use the star")
+    assert(m.getAs[Long]("elided") == 0L,
+      "identical docs are within any Hamming budget of their bucket min")
+  }
+}

@@ -115,4 +115,65 @@ object Decontam {
     overlapStats(corpus, benchmark, textCol, idCol, n, threshold)
       .filter(!col("contaminated"))
       .drop("n_grams", "matched", "contamination", "contaminated")
+
+  /** NEAR-duplicate decontamination — the paraphrase-leak check exact
+    * n-gram overlap cannot make: a benchmark document reworded every
+    * dozen tokens shares no 13-gram with its training-set twin, yet
+    * their small-shingle sets stay mostly identical. This is the cross-
+    * corpus form of [[Dedup.nearDupCandidates]]: corpus and benchmark
+    * MinHash band signatures (one narrow kernel projection each) meet in
+    * a band-signature JOIN with the benchmark side broadcast — never the
+    * within-frame bucket groupBy, because candidates here are corpus ×
+    * benchmark only — and every candidate pair is re-scored on its exact
+    * distinct-shingle Jaccard (the [[Dedup.nearDupVerified]] stage), so
+    * banding false positives die before anyone acts on a flag. Returns
+    * (`idCol`, bench_id, jaccard) for pairs with jaccard >= `minJaccard`.
+    *
+    * Scale: the corpus never shuffles into the candidate join — its
+    * signature rows stream against the broadcast benchmark signatures;
+    * the only shuffled frames afterwards are candidate-bounded (the
+    * distinct + the gram joins, where AQE broadcasts the candidate list
+    * against the corpus gram projection). Cost is O(corpus scan +
+    * candidates), the decontamination analogue of the LSH dedup
+    * posture. Benchmark smallness is a CONTRACT (eval sets are
+    * megabytes); a benchmark too big to broadcast belongs in
+    * [[Dedup.nearDupCandidates]] over the union instead. */
+  def nearDupOverlap(corpus: DataFrame, benchmark: DataFrame,
+                     textCol: String, idCol: String,
+                     shingle: Int = 5, bands: Int = 4,
+                     minJaccard: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    def sigs(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), Text.tokens(col(textCol)).as("__tk"))
+        .select(col(outId),
+          posexplode(Text.minhashBandsNative(col("__tk"), shingle, bands)))
+        .select(col(outId), col("pos").as("__band"), col("col").as("__sig"))
+        .filter(col("__sig").isNotNull)
+    def grams(df: DataFrame, outId: String, outSh: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        array_distinct(Text.shinglesNative(Text.tokens(col(textCol)), shingle))
+          .as(outSh))
+    val cand = sigs(corpus, "__cid")
+      .join(broadcast(sigs(benchmark, "__bid")), Seq("__band", "__sig"))
+      .select(col("__cid"), col("__bid")).distinct()
+    cand
+      .join(grams(corpus, "__cid", "__sh_a"), Seq("__cid"))
+      .join(broadcast(grams(benchmark, "__bid", "__sh_b")), Seq("__bid"))
+      .select(col("__cid").as(idCol), col("__bid").as("bench_id"),
+        (size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The acting form of [[nearDupOverlap]]: corpus minus every document
+    * with a verified near-duplicate in the benchmark (left-anti on the
+    * flagged minority — the flagged list is contamination-sized). */
+  def decontaminateNearDup(corpus: DataFrame, benchmark: DataFrame,
+                           textCol: String, idCol: String,
+                           shingle: Int = 5, bands: Int = 4,
+                           minJaccard: Double = 0.5): DataFrame =
+    corpus.join(
+      nearDupOverlap(corpus, benchmark, textCol, idCol, shingle, bands,
+        minJaccard).select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

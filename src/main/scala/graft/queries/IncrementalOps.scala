@@ -96,11 +96,54 @@ object IncrementalOps {
        |SELECT doc_id, bool_and(p IN (SELECT p FROM pos)) AS maybe_dup
        |FROM probe GROUP BY doc_id""".stripMargin
 
+  /** DuckDB-side tokenization / shingles / band signatures — the TextOps
+    * idioms, reproduced here for the cross-corpus split. */
+  private val dTok = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
+  private def dShingles(tk: String, n: Int): String =
+    s"CASE WHEN len($tk) >= $n THEN list_transform(range(1, len($tk) - $n + 2), " +
+      s"i -> array_to_string(list_slice($tk, i, i + ${n - 1}), ' ')) ELSE []::VARCHAR[] END"
+  private val dSigs =
+    s"""SELECT doc_id, band,
+       |  list_aggregate(list_transform(dg, d -> substring(d, 1 + 8 * (band - 1), 8)), 'min') AS sig
+       |FROM (SELECT doc_id, list_transform(${dShingles(dTok, 5)}, x -> md5(x)) AS dg FROM documents),
+       |     (SELECT unnest([1, 2, 3, 4]) AS band)
+       |WHERE list_aggregate(list_transform(dg, d -> substring(d, 1 + 8 * (band - 1), 8)), 'min') IS NOT NULL""".stripMargin
+
+  // -- q102: cross-corpus NEAR-dup decontamination — the paraphrase-leak
+  // check exact 13-gram overlap misses (benchmark = every 10th doc,
+  // corpus = the rest): corpus band signatures join the broadcast
+  // benchmark signatures, candidates re-score on exact distinct-5-gram
+  // Jaccard (q88's verification algebra — integer set sizes + one
+  // divide, bit-exact across engines). The corpus never shuffles into
+  // the candidate join. --
+  private val q102: Q = (s, dir) => {
+    val d = docs(s, dir)
+    graft.operators.Decontam.nearDupOverlap(
+      d.filter(col("doc_id") % 10 =!= 0),
+      d.filter(col("doc_id") % 10 === 0),
+      "text", "doc_id")
+  }
+  private val q102Sql =
+    s"""WITH sigs AS ($dSigs),
+       |cand AS (SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+       |  FROM sigs c JOIN sigs b ON c.band = b.band AND c.sig = b.sig
+       |  WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+       |sh AS (SELECT doc_id, list_distinct(${dShingles(dTok, 5)}) AS sh FROM documents)
+       |SELECT * FROM (
+       |  SELECT p.doc_id, p.bench_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |  FROM cand p JOIN sh a ON p.doc_id = a.doc_id
+       |              JOIN sh b ON p.bench_id = b.doc_id)
+       |WHERE jaccard >= 0.5""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q101_incremental_dedup" -> q101,
+    "q102_neardup_decontam" -> q102,
     "q104_bloom_prescreen" -> q104)
 
   val oracle: Map[String, String] = Map(
     "q101_incremental_dedup" -> q101Sql,
+    "q102_neardup_decontam" -> q102Sql,
     "q104_bloom_prescreen" -> q104Sql)
 }

@@ -40,6 +40,57 @@ class DecontamRepetitionSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L, 0.0, false)), "null text must score 0, not null")
   }
 
+  test("nearDupOverlap catches a reworded benchmark doc that 13-grams miss") {
+    // benchmark doc: 48 distinct tokens; the "training leak" rewords
+    // every 12th token — the longest unchanged run is 11 tokens, so NO
+    // 13-gram survives and exact decontamination scores it clean, while
+    // most 3-shingles are untouched and the near-dup form flags it
+    val benchTokens = (0 until 48).map(i => s"tok$i")
+    val reworded = benchTokens.zipWithIndex
+      .map { case (t, i) => if (i % 12 == 11) s"CHANGED$i" else t }
+    val bench = Seq((900L, benchTokens.mkString(" "))).toDF("doc_id", "text")
+    val leak = Seq(
+      (1L, reworded.mkString(" ")),
+      (2L, "an entirely different document about other things")
+    ).toDF("doc_id", "text")
+
+    val exact = Decontam.overlapStats(leak, bench, "text", "doc_id",
+        n = 13, threshold = 0.01)
+      .select($"doc_id", $"contaminated").as[(Long, Boolean)].collect().toMap
+    assert(!exact(1L), "rewording every 12th token defeats exact 13-grams")
+
+    val near = Decontam.nearDupOverlap(leak, bench, "text", "doc_id",
+        shingle = 3, minJaccard = 0.5)
+      .select($"doc_id", $"bench_id", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(near.map(r => (r._1, r._2)).toSet == Set((1L, 900L)),
+      s"the reworded doc (and only it) must flag: ${near.toSeq}")
+    assert(near.head._3 > 0.5 && near.head._3 < 1.0)
+
+    val kept = Decontam.decontaminateNearDup(leak, bench, "text", "doc_id",
+        shingle = 3, minJaccard = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), "the acting form drops exactly the flagged doc")
+  }
+
+  test("nearDupOverlap: corpus side reaches the candidate join unshuffled") {
+    val d = graft.Tables.load(spark, sf("sf0.001"), "documents")
+    val flagged = Decontam.nearDupOverlap(
+      d.filter($"doc_id" % 10 =!= 0), d.filter($"doc_id" % 10 === 0),
+      "text", "doc_id")
+    flagged.collect()
+    // the band-signature join must be broadcast (benchmark side) — the
+    // corpus's signature stream joins it without an exchange below
+    val bhj = collectPlan(flagged.queryExecution.executedPlan) {
+      case j if j.nodeName.contains("BroadcastHashJoin") => j }
+    assert(bhj.nonEmpty, "benchmark signatures must broadcast")
+    val sigJoins = bhj.filter(_.schema.fieldNames.contains("__band"))
+    assert(sigJoins.nonEmpty, "expected the (band, sig) candidate join")
+    val shuffled = sigJoins.flatMap(_.collect { case e: ShuffleExchangeLike => e })
+    assert(shuffled.isEmpty,
+      s"the corpus must stream into the candidate join unshuffled: $shuffled")
+  }
+
   test("overlapStats: literal-intersect path == broadcast-join path") {
     val docs = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val bench = docs.filter($"doc_id" % 7 === 0)

@@ -15,7 +15,7 @@ object GraftFunctions {
       MinHashBands.description,
       TopKByScore.description, VecMeanAgg.description,
       RepStats.description, GramOverlap.description, CharStats.description,
-      BpeMergeExpr.description, BpeEncodeExpr.description,
+      BpeMergeExpr.description, BpeEncodeExpr.description, BpeIdsExpr.description,
       UnicodeNormalize.description,
       HeavyHitters.description, CmSketch.description, RandProj.description,
       ShinglesExpr.description, BloomSketch.description)

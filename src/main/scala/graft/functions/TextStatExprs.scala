@@ -159,13 +159,25 @@ object TextStatOps {
       ranks: java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Integer]])
       : ArrayData = {
     val n = arr.numElements()
-    var len = n
     val s = new Array[UTF8String](n)
     var i = 0
     while (i < n) {
       s(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
       i += 1
     }
+    val len = bpeMergeLoop(s, n, ranks)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOfRange(s.asInstanceOf[Array[AnyRef]], 0, len))
+  }
+
+  /** The pair-priority merge loop of [[bpeEncode]], in place over
+    * `s[0, len0)`; returns the merged length. Shared with [[bpeIds]],
+    * which runs it once per pretoken. */
+  private def bpeMergeLoop(s: Array[UTF8String], len0: Int,
+      ranks: java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Integer]])
+      : Int = {
+    var len = len0
+    var i = 0
     var continue = len >= 2
     while (continue) {
       var bestRank = Integer.MAX_VALUE
@@ -204,8 +216,80 @@ object TextStatOps {
         len = w
       }
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      java.util.Arrays.copyOfRange(s.asInstanceOf[Array[AnyRef]], 0, len))
+    len
+  }
+
+  /** Text → token ids, the step after [[bpeEncode]] a training job
+    * actually consumes: for each pretoken (null entries skipped), split
+    * to code points, run the same pair-priority merge loop, then map
+    * every surviving symbol to an integer id — a trained merge product
+    * looks up `vocab` (id = 256 + first rank producing that string,
+    * [[buildVocab]]); anything else falls back to its raw UTF-8 BYTES,
+    * one id per byte (ids < 256 ARE bytes), so every string encodes
+    * with no unknown-token escape hatch. Ids concatenate across
+    * pretokens in document order. */
+  def bpeIds(words: ArrayData,
+      ranks: java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Integer]],
+      vocab: java.util.HashMap[UTF8String, Integer]): ArrayData = {
+    val out = new java.util.ArrayList[Integer]()
+    var wi = 0
+    while (wi < words.numElements()) {
+      if (!words.isNullAt(wi)) {
+        val w = words.getUTF8String(wi).toString
+        val syms = new Array[UTF8String](w.codePointCount(0, w.length))
+        var i = 0
+        var k = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          val cc = Character.charCount(cp)
+          syms(k) = UTF8String.fromString(w.substring(i, i + cc))
+          i += cc
+          k += 1
+        }
+        val len = bpeMergeLoop(syms, k, ranks)
+        var j = 0
+        while (j < len) {
+          val id = vocab.get(syms(j))
+          if (id != null) out.add(id)
+          else {
+            val bytes = syms(j).getBytes
+            var b = 0
+            while (b < bytes.length) { out.add(bytes(b) & 0xff); b += 1 }
+          }
+          j += 1
+        }
+      }
+      wi += 1
+    }
+    val arr = new Array[Int](out.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i).intValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** Token-string → id table for [[bpeIds]]: merge rank r's output
+    * string `lefts(r) + rights(r)` gets id `256 + r`; when two merges
+    * produce the same string the FIRST (lowest) rank wins — one string,
+    * one id, the GPT-2 vocab convention. */
+  private[functions] def buildVocab(ls: Any, rs: Any)
+      : java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    if (ls != null && rs != null) {
+      val la = ls.asInstanceOf[ArrayData]
+      val ra = rs.asInstanceOf[ArrayData]
+      require(la.numElements() == ra.numElements(),
+        s"merge lefts/rights must be parallel arrays: ${la.numElements()} vs ${ra.numElements()}")
+      var i = 0
+      while (i < la.numElements()) {
+        if (!la.isNullAt(i) && !ra.isNullAt(i)) {
+          m.putIfAbsent(
+            UTF8String.concat(la.getUTF8String(i), ra.getUTF8String(i)).clone(),
+            Integer.valueOf(256 + i))
+        }
+        i += 1
+      }
+    }
+    m
   }
 
   /** Builds the rank table for [[bpeEncode]] from two constant parallel
@@ -476,6 +560,64 @@ object BpeEncodeExpr {
       if (children.length != 3) throw new IllegalArgumentException(
         s"$name expects exactly 3 arguments (symbols, lefts, rights), got ${children.length}")
       BpeEncodeExpr(children(0), children(1), children(2))
+    })
+}
+
+/** (array<string> pretokens, CONSTANT merge lefts, CONSTANT merge
+  * rights) -> array<int> token IDS — the whole pretoken -> symbols ->
+  * merges -> ids pipeline ([[TextStatOps.bpeIds]]) as ONE kernel call
+  * per document: both the rank table and the vocab (string -> 256+rank,
+  * bytes for everything else) are built once per plan and ride
+  * generated code as reference objects, so a 32k-merge tokenizer
+  * encodes a corpus with a flat plan and zero shuffles. */
+case class BpeIdsExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = BpeIdsExpr.name
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _), ArrayType(StringType, _))
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, foldable array<string>, " +
+          s"foldable array<string>), got (${a.simpleString}, ${b.simpleString}, " +
+          s"${c.simpleString})")
+    }
+
+  @transient private lazy val ranks
+      : java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Integer]] =
+    TextStatOps.buildRanks(second.eval(null), third.eval(null))
+  @transient private lazy val vocab: java.util.HashMap[UTF8String, Integer] =
+    TextStatOps.buildVocab(second.eval(null), third.eval(null))
+
+  protected override def nullSafeEval(a: Any, unused1: Any, unused2: Any): Any =
+    TextStatOps.bpeIds(a.asInstanceOf[ArrayData], ranks, vocab)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ranksRef = ctx.addReferenceObj("graftBpeIdsRanks", ranks,
+      classOf[java.util.HashMap[UTF8String, java.util.HashMap[UTF8String, Integer]]].getName)
+    val vocabRef = ctx.addReferenceObj("graftBpeIdsVocab", vocab,
+      classOf[java.util.HashMap[UTF8String, Integer]].getName)
+    nullSafeCodeGen(ctx, ev, (a, _, _) =>
+      s"${ev.value} = graft.functions.TextStatOps.bpeIds($a, $ranksRef, $vocabRef);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object BpeIdsExpr {
+  val name = "graft_bpe_ids"
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[BpeIdsExpr].getName, name),
+    (children: Seq[Expression]) => {
+      if (children.length != 3) throw new IllegalArgumentException(
+        s"$name expects exactly 3 arguments (pretokens, lefts, rights), got ${children.length}")
+      BpeIdsExpr(children(0), children(1), children(2))
     })
 }
 

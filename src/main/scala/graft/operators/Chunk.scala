@@ -40,4 +40,32 @@ object Chunk {
       .withColumn("chunk_text", array_join(col("__c.toks"), " "))
       .drop("__chunks", "__c")
   }
+
+  /** [[split]] re-pointed at MODEL tokens: chunks an `array<int>`
+    * token-id column (the [[Tokenizer.encode]] output) with the same
+    * start/step/overlap algebra, so context windows count what the
+    * training job counts — BPE ids, not whitespace words. Emits
+    * `chunk_idx`, `chunk_len`, `chunk_ids` per chunk; id-less documents
+    * (empty or null array) produce no chunks. Same scale shape as
+    * [[split]]: one narrow projection + in-partition explode. */
+  def splitIds(df: DataFrame, idsCol: String, chunkTokens: Int = 128,
+               overlap: Int = 32): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val step = chunkTokens - overlap
+    val ids = col(idsCol)
+    val chunks = when(size(ids) > 0,
+      transform(
+        sequence(lit(0), ((size(ids) - 1) / step).cast("int")),
+        i => struct(
+          i.cast("long").as("chunk_idx"),
+          slice(ids, i * step + 1, lit(chunkTokens)).as("ids"))))
+      .otherwise(array().cast("array<struct<chunk_idx:bigint,ids:array<int>>>"))
+    df.withColumn("__chunks", chunks)
+      .select(col("*"), explode(col("__chunks")).as("__c"))
+      .withColumn("chunk_idx", col("__c.chunk_idx"))
+      .withColumn("chunk_len", size(col("__c.ids")).cast("long"))
+      .withColumn("chunk_ids", col("__c.ids"))
+      .drop("__chunks", "__c")
+  }
 }

@@ -137,13 +137,97 @@ object IncrementalOps {
        |              JOIN sh b ON p.bench_id = b.doc_id)
        |WHERE jaccard >= 0.5""".stripMargin
 
+  /** A FIXED 30-merge tokenizer (trained once on the documents corpus —
+    * a fixed published vocab, like any real tokenizer): the literal both
+    * engines replay. Merge r's output string gets id 256 + r; ids < 256
+    * are raw bytes. */
+  private[graft] val Merges: Seq[(String, String)] = Seq(
+    (" ", "s"), ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("m", "er"),
+    ("a", "t"), ("l", "u"), (" ", "c"), ("a", "s"), (" ", "b"), (" ", "v"),
+    ("a", "r"), ("p", "ar"), (" ", "f"), (" ", "a"), (" ", "t"), ("j", "o"),
+    ("jo", "in"), ("as", "h"), ("h", "ash"), (" ", "join"), ("s", "t"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("a", "n"), ("c", "an"),
+    ("lu", "m"), ("lum", "n"))
+
+  private def sqlEsc(s: String): String = s.replace("'", "''")
+
+  /** DuckDB replay of the per-pretoken encode: symbols as a \u0001-framed
+    * char string (the frame makes mid-symbol matches impossible),
+    * one left-to-right replace() per merge IN RANK ORDER — global
+    * non-overlapping replace is exactly the greedy-leftmost merge, and
+    * on a trained list the rank-order fold equals the kernel's priority
+    * loop (the BpeSpec equivalence) — then split back and map each
+    * symbol to its id (merge products by CASE, bytes via ord(): the
+    * corpus is ASCII, where codepoint == byte). */
+  private val dIdsLambda: String = {
+    val SEP = "\u0001"
+    var e = s"'$SEP' || array_to_string(string_split(w, ''), '$SEP') || '$SEP'"
+    Merges.foreach { case (l, r) =>
+      e = s"replace($e, '$SEP${sqlEsc(l)}$SEP${sqlEsc(r)}$SEP', " +
+        s"'$SEP${sqlEsc(l + r)}$SEP')"
+    }
+    val seen = scala.collection.mutable.LinkedHashMap[String, Int]()
+    Merges.zipWithIndex.foreach { case ((l, r), i) =>
+      if (!seen.contains(l + r)) seen(l + r) = 256 + i
+    }
+    val cases = seen
+      .map { case (t, id) => s"WHEN s = '${sqlEsc(t)}' THEN $id" }.mkString(" ")
+    s"list_transform(list_filter(string_split($e, '$SEP'), s -> len(s) > 0), " +
+      s"s -> CASE $cases ELSE ord(s) END)"
+  }
+
+  private val dDocIds: String =
+    s"SELECT doc_id, flatten(list_transform(regexp_extract_all(text, " +
+      s"'${sqlEsc(graft.operators.Tokenizer.PretokenPattern)}'), " +
+      s"w -> $dIdsLambda)) AS ids FROM documents"
+
+  // -- q103: text -> token IDS end-to-end (Tokenizer.encode): GPT-2-
+  // style pretokenize, per-pretoken priority-merge under the fixed
+  // vocab, merge-product ids 256+rank with byte fallback — one kernel
+  // call per document, zero shuffles. The oracle replays the merges in
+  // rank order as framed string replaces and hashes the id sequence. --
+  private val q103: Q = (s, dir) => {
+    val enc = graft.operators.Tokenizer.encode(docs(s, dir), "text", Merges)
+    enc.select(col("doc_id"),
+      size(col("token_ids")).cast("long").as("n_ids"),
+      md5(array_join(transform(col("token_ids"), i => i.cast("string")), " "))
+        .as("ids_fp"))
+  }
+  private val q103Sql =
+    s"""WITH ids AS ($dDocIds)
+       |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_ids,
+       |  md5(array_to_string(ids, ' ')) AS ids_fp FROM ids""".stripMargin
+
+  // -- q105: context-window chunking over MODEL tokens (Chunk.splitIds
+  // on the q103 id arrays, 64-id windows, 16 overlap): what a shard
+  // writer emits. Oracle replays the same start/step algebra with
+  // list_slice. --
+  private val q105: Q = (s, dir) => {
+    val enc = graft.operators.Tokenizer.encode(docs(s, dir), "text", Merges)
+    graft.operators.Chunk.splitIds(enc, "token_ids", chunkTokens = 64, overlap = 16)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_len"),
+        md5(array_join(transform(col("chunk_ids"), i => i.cast("string")), " "))
+          .as("chunk_fp"))
+  }
+  private val q105Sql =
+    s"""WITH ids AS ($dDocIds)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  CAST(len(list_slice(ids, i * 48 + 1, i * 48 + 64)) AS BIGINT) AS chunk_len,
+       |  md5(array_to_string(list_slice(ids, i * 48 + 1, i * 48 + 64), ' ')) AS chunk_fp
+       |FROM (SELECT doc_id, ids, unnest(range(0, (len(ids) - 1) // 48 + 1)) AS i
+       |      FROM ids WHERE len(ids) > 0)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q101_incremental_dedup" -> q101,
     "q102_neardup_decontam" -> q102,
-    "q104_bloom_prescreen" -> q104)
+    "q103_token_ids" -> q103,
+    "q104_bloom_prescreen" -> q104,
+    "q105_chunk_ids" -> q105)
 
   val oracle: Map[String, String] = Map(
     "q101_incremental_dedup" -> q101Sql,
     "q102_neardup_decontam" -> q102Sql,
-    "q104_bloom_prescreen" -> q104Sql)
+    "q103_token_ids" -> q103Sql,
+    "q104_bloom_prescreen" -> q104Sql,
+    "q105_chunk_ids" -> q105Sql)
 }

@@ -20,10 +20,14 @@ import graft.operators.Splits
   * to plain dropDuplicates + filters; DocPrepSpec pins batch == stream
   * on the same data.
   *
-  * The near-dup cluster stage of q64 is deliberately absent here: LSH
-  * banding needs a corpus-wide groupBy that has no bounded-state
-  * streaming form — run it as a periodic batch compaction over the
-  * stream's output instead (the standard lambda split for that stage).
+  * The near-dup cluster stage of q64 is not inlined here: its streaming
+  * twin is [[NearDupGate]] (band-keyed bucket state, one long per
+  * distinct signature), which emits a per-doc admitted verdict stream —
+  * run it beside this pipeline and join verdicts onto the output
+  * (batch-side or via the id key downstream). Full transitive
+  * CLUSTERING — as opposed to gating — still has no bounded-state
+  * streaming form; when cluster labels are required, that remains a
+  * periodic batch compaction over the stream's output.
   */
 object DocPrep {
 

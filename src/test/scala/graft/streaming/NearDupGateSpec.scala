@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming near-dup gate: a REWORDED (not identical) re-delivery is
+  * rejected across the micro-batch boundary; stream == batch twin; and
+  * in the exact regime the gate equals the batch LSH prune. */
+class NearDupGateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val baseText =
+    "the quick brown fox jumps over the lazy dog while the cat watches " +
+      "from a warm windowsill and the rain taps the glass all afternoon"
+
+  test("near-dup (not identical) re-delivery is rejected; novelty admitted") {
+    val src = Files.createTempDirectory("ndg_src").toString
+    val ckpt = Files.createTempDirectory("ndg_ckpt").toString
+
+    val batch1 = Seq((1L, baseText),
+      (2L, "completely different material about distributed query planning"))
+      .toDF("doc_id", "text")
+    // doc 3 rewords doc 1's tail — different fingerprint (exact dedup
+    // would admit it), same leading shingles, so at least one band
+    // signature collides with doc 1's bucket from the PREVIOUS batch
+    val batch2 = Seq((3L, baseText.replace("all afternoon", "every evening")),
+      (4L, "a fourth document with its own unrelated words entirely"))
+      .toDF("doc_id", "text")
+    assert(batch2.filter($"doc_id" === 3).select($"text").head.getString(0)
+      != baseText, "fixture must NOT be an exact duplicate")
+
+    batch1.write.mode("append").parquet(src)
+    def run(name: String): Unit = {
+      val stream = spark.readStream.schema(batch1.schema).parquet(src)
+      val q = NearDupGate.gate(stream, "text", "doc_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run("ndg_1")
+    val after1 = spark.table("ndg_1")
+      .as[(Long, Boolean)].collect().toMap
+    assert(after1 == Map(1L -> true, 2L -> true),
+      s"first batch all-novel: $after1")
+
+    batch2.write.mode("append").parquet(src)
+    run("ndg_2")
+    val after2 = spark.table("ndg_2")
+      .as[(Long, Boolean)].collect().toMap
+    assert(after2(3L) == false,
+      s"the reworded re-delivery must be rejected across the batch boundary: $after2")
+    assert(after2 == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
+
+    // the batch twin on the unioned data agrees
+    val viaBatch = NearDupGate.gate(batch1.unionByName(batch2), "text", "doc_id")
+      .as[(Long, Boolean)].collect().toMap
+    assert(viaBatch == after2, s"stream $after2 != batch $viaBatch")
+  }
+
+  test("exact regime: gate admissions == batch LSH prune survivors") {
+    // templated corpus: 3 copies x 10 templates + 10 unique docs. Exact
+    // copies collide in EVERY band, so the single-pass gate and the
+    // transitive-closure prune pick the same (min-id) survivors.
+    // each template is its own disjoint token universe — no cross-
+    // template shingles, so clusters are exactly the copy groups
+    val tmpl = (0 until 10).map(t => (0 until 30).map(k => s"w${t}x$k").mkString(" "))
+    val docs = (0 until 30).map(i => (i.toLong, tmpl(i % 10))) ++
+      (100 until 110).map(i => (i.toLong, s"unique document number $i with own content"))
+    val df = docs.toDF("doc_id", "text")
+    val admitted = NearDupGate.gate(df, "text", "doc_id")
+      .where($"admitted").select($"doc_id").as[Long].collect().toSet
+    val pruned = graft.operators.Dedup.pruneNearDups(df, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admitted ==
+      (0 until 10).map(_.toLong).toSet ++ (100 until 110).map(_.toLong).toSet)
+    assert(pruned == admitted,
+      s"exact-regime gate must equal the batch prune: $admitted vs $pruned")
+  }
+
+  test("re-delivered ADMITTED id stays admitted (effectively-once composition)") {
+    val df = Seq((1L, baseText), (1L, baseText)).toDF("doc_id", "text")
+    val got = NearDupGate.gate(df, "text", "doc_id")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true),
+      "a doc colliding only with itself is not a duplicate")
+  }
+}

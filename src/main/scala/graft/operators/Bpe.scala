@@ -12,10 +12,11 @@ import graft.functions.Text
   * cost once the word table exists.
   *
   * Per round: weighted adjacent-pair counts over the vocab (one small
-  * shuffle), a deterministic argmax (count desc, then pair lexicographic
-  * — reproducible across runs and engines), ONE collected row (bounded
-  * driver state), then a codegen'd `graft_bpe_merge` pass rewrites the
-  * symbol arrays. `localCheckpoint` keeps the vocab frame's lineage flat
+  * shuffle), a deterministic ranked prefix (count desc, then pair
+  * lexicographic — reproducible across runs and engines) collected as
+  * bounded driver state, a BATCH of provably-sequential-equal merges
+  * applied in one codegen'd kernel pass (see [[trainDistributed]]),
+  * then one `localCheckpoint` to keep the vocab frame's lineage flat
   * across rounds (the k-means/connected-components lesson).
   */
 object Bpe {
@@ -51,33 +52,110 @@ object Bpe {
     * collect (set `localVocabLimit = 0` to force it). Corpus cost is
     * identical either way: ONE word-count pass. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            localVocabLimit: Long = 1L << 20)
+            localVocabLimit: Long = 1L << 20,
+            distributedBatch: Int = 64)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val words = wordTable(df, textCol).localCheckpoint()
     if (words.count() <= localVocabLimit) trainLocal(words, numMerges)
-    else trainDistributed(words, numMerges)
+    else trainDistributed(words, numMerges, distributedBatch)
   }
 
-  private def trainDistributed(initial: DataFrame, numMerges: Int)
+  /** Distributed merge loop, `maxBatch` merges per round. One Spark job
+    * per MERGE is the classic tokenizer-training scale killer (a 32k
+    * vocab = 32k sequential jobs + 32k checkpoint materializations of
+    * the word table); a round here collects the top pair counts ONCE,
+    * selects the longest batch of merges PROVABLY equal to running the
+    * sequential argmax loop, applies them all in a single
+    * `graft_bpe_encode` kernel pass, and checkpoints only every
+    * [[CheckpointEvery]] rounds (between checkpoints the plan carries a
+    * short chain of narrow kernel projections — re-derived per count
+    * job, paid once per checkpoint).
+    *
+    * The batch rule (and why it is exact, pinned by BpeSpec's batched ==
+    * sequential differential): merging (a, b) changes the count of
+    * another pair p ONLY when p.right = a (its right token is consumed
+    * at a merge site) or p.left = b (its left token is) — left-left or
+    * right-right sharing cannot overlap a merge site. So take the
+    * maximal PREFIX of the (count desc, pair lex) ranked list in which
+    * no pair's right equals an earlier pair's left nor left equals an
+    * earlier pair's right, stopping at the first conflict; then keep
+    * only pairs whose count STRICTLY exceeds the best non-selected
+    * pair's. Within the batch every count is still exact at its
+    * sequential turn (no interactions), and any NEW pair a merge
+    * creates, (x, ab) or (ab, y), is bounded by the count of the
+    * existing pair (x, a) / (b, y) it descends from — a pair that
+    * conflicts with the batch and is therefore non-selected, ranked at
+    * or below the first excluded pair, hence strictly below every batch
+    * member. The sequential argmax therefore picks exactly the batch,
+    * in order, and the priority-loop kernel applies it in that same
+    * order. A tie with the first excluded pair degrades the batch to
+    * the bare argmax (always sound) — worst case this is the old
+    * one-merge round, never worse.
+    *
+    * Measured ceiling (BpeSpec reports the live numbers): exact
+    * batching buys ~1.4-2x fewer jobs on natural text, not an order of
+    * magnitude, and the cause is structural, not an artifact of this
+    * rule: BPE vocabularies grow dominant words through merge CHAINS
+    * ((c,o) -> (co,lu) -> (colu,m) -> (colum,n)), where each pair only
+    * exists after the previous merge and its exact count — which the
+    * sequential trainer records and ties break on — is not derivable
+    * from the current table. Chains are one count-job per link under
+    * ANY schedule that reproduces the sequential result. The
+    * order-of-magnitude answer for huge vocabularies is the
+    * [[trainLocal]] route (vocab-bounded driver training over the
+    * word-frequency table — the shape every production tokenizer
+    * trainer uses), which `train` already takes below
+    * `localVocabLimit`; this loop is the exact fallback beyond it. */
+  private[operators] val CheckpointEvery = 8
+
+  private[operators] def trainDistributed(initial: DataFrame, numMerges: Int,
+      maxBatch: Int = 64)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(maxBatch >= 1, s"maxBatch must be positive: $maxBatch")
     var words = initial
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
+    var roundsSinceCkpt = 0
     while (rank < numMerges && !exhausted) {
+      val want = math.min(maxBatch, numMerges - rank)
       val top = pairCounts(words)
         .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
-        .limit(1).collect()
+        .limit(want + 1).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rank, l, r, c))
+        val lefts = scala.collection.mutable.HashSet[String]()
+        val rights = scala.collection.mutable.HashSet[String]()
+        val prefix = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        var stop = false
+        var i = 0
+        while (!stop && i < top.length && prefix.length < want) {
+          val (l, r, c) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          // conflict = this pair's count could move when an earlier batch
+          // member merges (or it could move a later... see scaladoc)
+          if (lefts(r) || rights(l)) stop = true
+          else { prefix += ((l, r, c)); lefts += l; rights += r }
+          i += 1
+        }
+        // the ranked list is count-descending, so the best excluded pair
+        // is the first one not taken (conflict, want-limit, or the +1
+        // probe row); an empty tail means nothing else exists at all
+        val excludedCnt =
+          if (prefix.length < top.length) top(prefix.length).getLong(2) else 0L
+        val cut = prefix.takeWhile(_._3 > excludedCnt)
+        val batch = if (cut.isEmpty) prefix.take(1).toSeq else cut.toSeq
+        merges ++= batch.zipWithIndex
+          .map { case ((l, r, c), j) => (rank + j, l, r, c) }
         words = words.withColumn("syms",
-          call_function(graft.functions.BpeMergeExpr.name,
-            col("syms"), lit(l), lit(r)))
-          .localCheckpoint()
-        rank += 1
+          call_function(graft.functions.BpeEncodeExpr.name, col("syms"),
+            typedlit(batch.map(_._1)), typedlit(batch.map(_._2))))
+        roundsSinceCkpt += 1
+        rank += batch.length
+        if (roundsSinceCkpt >= CheckpointEvery || rank >= numMerges) {
+          words = words.localCheckpoint()
+          roundsSinceCkpt = 0
+        }
       }
     }
     (merges.result(), words)

@@ -149,7 +149,13 @@ object BloomSketch {
     * column over codegen'd built-ins (md5 + conv + shifts — no UDF, no
     * join): true iff every hash slice's bit is set. The word array rides
     * the plan as one literal; item hashing replays exactly the update
-    * path, so there are no false negatives by construction. */
+    * path, so there are no false negatives by construction.
+    *
+    * Sizing note: the literal is embedded per probe term, so the filter
+    * taxes every task's serialized plan — size `numBits` to the corpus
+    * (~10 bits per expected distinct item ≈ 1% FP at 4 hashes), don't
+    * reflexively max it out (a 2^22-bit filter is a 512 KB plan literal;
+    * measured ~2x query overhead vs a right-sized one at sf0.1). */
   def mightContain(item: Column, words: Seq[Long], numBits: Int,
                    numHashes: Int): Column = {
     require(numHashes >= 1 && numHashes <= 4,

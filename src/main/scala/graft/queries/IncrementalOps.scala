@@ -54,7 +54,11 @@ object IncrementalOps {
   // whose hash match proves the incremental composition exact. --
   private val q101: Q = (s, dir) => {
     val store = Dedup.fingerprintStore(docs(s, dir), "text")
-    Dedup.againstCorpus(newBatch(s, dir), store, "text", "doc_id")
+    // bloom sized to the fixture corpus (~26 bits/fp at sf0.1): the probe
+    // column embeds the word array as a plan literal, so oversizing the
+    // filter taxes every task's plan, not just the driver
+    Dedup.againstCorpus(newBatch(s, dir), store, "text", "doc_id",
+        bloomBits = 1 << 17)
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
   }
   private val q101Sql =

@@ -106,6 +106,80 @@ object Dedup {
     admitted.drop("__fp")
   }
 
+  /** The NEAR-dup analogue of [[fingerprintStore]]: the corpus's
+    * distinct MinHash band signatures — (band, sig), 0-based bands —
+    * which is everything incremental near-dup dedup needs to remember
+    * about shipped text shapes. Cardinality is bands × distinct band
+    * signatures (the same key space the batch LSH shuffle groups on). */
+  def signatureStore(corpus: DataFrame, textCol: String,
+                     shingle: Int = 5, bands: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    corpus.select(Text.tokens(col(textCol)).as("__tk"))
+      .select(posexplode(Text.minhashBandsNative(col("__tk"), shingle, bands)))
+      .select(col("pos").as("band"), col("col").as("sig"))
+      .filter(col("sig").isNotNull)
+      .distinct()
+  }
+
+  /** Persists [[signatureStore]] bucketed on (band, sig) so incremental
+    * probes join it exchange-free — the [[writeFingerprintStore]]
+    * posture for the near-dup key space. */
+  def writeSignatureStore(corpus: DataFrame, textCol: String,
+                          table: String, buckets: Int,
+                          shingle: Int = 5, bands: Int = 4): Unit =
+    graft.sinks.Bucketing.writeBucketed(
+      signatureStore(corpus, textCol, shingle, bands), table,
+      Seq("band", "sig"), buckets)
+
+  /** Incremental NEAR-dup dedup — [[againstCorpus]] for document SHAPES
+    * rather than exact fingerprints: a batch document whose ANY band
+    * signature collides with the corpus `store` is a near-dup suspect of
+    * something already shipped and is dropped (the banding decision —
+    * the same single-pass online contract as
+    * [[graft.streaming.NearDupGate]]: band-level false positives are
+    * possible and the corpus text is NEVER read to verify, which is the
+    * point — re-verification would re-scan 100 TB); the surviving novel
+    * minority then dedups against ITSELF with the full verified
+    * in-batch machinery ([[pruneNearDups]]). Returns the admitted batch
+    * rows, all columns intact.
+    *
+    * Scale: the batch signature stream joins the store on (band, sig) —
+    * exchange-free on the store side when it is the
+    * [[writeSignatureStore]] bucketed table; the collision hit list is
+    * loser-sized and anti-joins back on the id. The corpus contributes
+    * only its signature store, never text, never a shuffle. */
+  def nearDupsAgainstCorpus(batch: DataFrame, store: DataFrame,
+                            textCol: String, idCol: String,
+                            shingle: Int = 5, bands: Int = 4,
+                            maxBucket: Int = 1024): DataFrame = {
+    val hit = storeCollisions(batch, store, textCol, idCol, shingle, bands)
+    // materialize the admitted minority ONCE before the in-batch prune:
+    // pruneNearDups drives several actions over its input (the cluster
+    // rounds checkpoint, the final anti-join), and each would otherwise
+    // re-derive the whole batch-vs-store stage — at 100 TB that is
+    // re-probing the store per action. The checkpoint is batch-sized.
+    val novel = batch.join(hit, Seq(idCol), "left_anti").localCheckpoint()
+    pruneNearDups(novel, textCol, idCol, shingle, bands, maxBucket)
+  }
+
+  /** The batch-vs-store collision probe of [[nearDupsAgainstCorpus]],
+    * exposed so the exchange-free-store plan property stays pinnable
+    * (the composed operator checkpoints this stage, which hides its
+    * plan from the final query execution): distinct batch ids whose any
+    * band signature is present in the store. */
+  private[operators] def storeCollisions(batch: DataFrame, store: DataFrame,
+      textCol: String, idCol: String, shingle: Int, bands: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+    batch
+      .select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol),
+        posexplode(Text.minhashBandsNative(col("__tk"), shingle, bands)))
+      .select(col(idCol), col("pos").as("band"), col("col").as("sig"))
+      .filter(col("sig").isNotNull)
+      .join(store, Seq("band", "sig"))
+      .select(col(idCol)).distinct()
+  }
+
   /** Near-duplicate candidate pairs via banded MinHash LSH (native
     * codegen'd signatures): returns (`idCol`_a, `idCol`_b) with a < b.
     * One signature pass, one shuffle on (band, sig), in-bucket pair

@@ -221,17 +221,176 @@ object IncrementalOps {
        |FROM (SELECT doc_id, ids, unnest(range(0, (len(ids) - 1) // 48 + 1)) AS i
        |      FROM ids WHERE len(ids) > 0)""".stripMargin
 
+  /** Band-signature SQL over an arbitrary (doc_id, text) relation —
+    * [[dSigs]] generalized past the raw documents table. */
+  private def dSigsOf(rel: String): String =
+    s"""SELECT doc_id, band,
+       |  list_aggregate(list_transform(dg, d -> substring(d, 1 + 8 * (band - 1), 8)), 'min') AS sig
+       |FROM (SELECT doc_id, list_transform(${dShingles(dTok, 5)}, x -> md5(x)) AS dg FROM $rel),
+       |     (SELECT unnest([1, 2, 3, 4]) AS band)
+       |WHERE list_aggregate(list_transform(dg, d -> substring(d, 1 + 8 * (band - 1), 8)), 'min') IS NOT NULL""".stripMargin
+
+  /** The q62 recursive-closure + min-label prune, parameterized on CTE
+    * names already in scope: emits `losers` given `pairs(doc_a, doc_b)`. */
+  private val dPruneTail: String =
+    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (SELECT src, dst FROM edges
+      |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |members AS (SELECT src AS node, dst AS m FROM reach
+      |            UNION ALL SELECT src, src FROM edges),
+      |losers AS (SELECT node AS doc_id FROM members GROUP BY node HAVING node <> min(m))""".stripMargin
+
+  // -- q106: incremental NEAR-dup dedup (Dedup.nearDupsAgainstCorpus) —
+  // q101's machinery for document SHAPES: a batch doc whose any band
+  // signature collides with the shipped corpus's signature store is
+  // dropped without ever reading corpus text; the novel remainder then
+  // dedups against itself with the verified in-batch prune. Batch =
+  // every 10th doc plus re-IDed exact copies (+50000 of every 20th), so
+  // BOTH stages bite: 6 natural cross-snapshot near-dups drop at the
+  // store, every copy drops at the in-batch prune. Oracle: sig-join
+  // collision + the q62 recursive-closure prune. --
+  private val q106: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"), col("text")))
+    graft.operators.Dedup.nearDupsAgainstCorpus(
+        batch, graft.operators.Dedup.signatureStore(corpus, "text"),
+        "text", "doc_id")
+      .select(col("doc_id"))
+  }
+  private val q106Sql =
+    s"""WITH RECURSIVE
+       |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+       |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |          UNION ALL SELECT doc_id + 50000, text FROM documents WHERE doc_id % 20 = 0),
+       |csigs AS (SELECT DISTINCT band, sig FROM (${dSigsOf("corpus")})),
+       |bs AS (${dSigsOf("batch")}),
+       |hit AS (SELECT DISTINCT b.doc_id FROM bs b JOIN csigs c USING (band, sig)),
+       |surv AS (SELECT doc_id FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig
+       |          WHERE a.doc_id < b.doc_id
+       |            AND a.doc_id IN (SELECT doc_id FROM surv)
+       |            AND b.doc_id IN (SELECT doc_id FROM surv)),
+       |$dPruneTail
+       |SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+
+  // -- q107: greedy shard packing over MODEL-token counts — the q65
+  // prefix-sum packer re-pointed at Tokenizer id counts, so shard
+  // budgets meter what the training job meters. Oracle: the same
+  // cumulative-sum / floor-divide algebra over the q103 id lengths. --
+  private val q107: Q = (s, dir) => {
+    val enc = graft.operators.Tokenizer.encode(docs(s, dir), "text", Merges)
+      .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_ids"))
+    graft.operators.Prefix.packIntoShards(enc, "doc_id", "n_ids", budget = 4096L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ids")).as("total_ids"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+  private val q107Sql =
+    s"""WITH ids AS ($dDocIds),
+       |n AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_ids FROM ids),
+       |c AS (SELECT doc_id, n_ids, sum(n_ids) OVER (ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM n)
+       |SELECT CAST((cum - n_ids) // 4096 AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_ids) AS BIGINT) AS total_ids,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+
+  // -- q108: the round-6 flagship — the INCREMENTAL INGEST pipeline end
+  // to end, every stage an already-proven operator: a simulated
+  // re-crawl (exact re-deliveries, footer-appended near-dups, in-batch
+  // dups, genuinely-novel reversed docs) flows through exact
+  // cross-snapshot dedup (fingerprint store + bloom), near-dup
+  // cross-snapshot dedup (signature store + in-batch prune), the
+  // tokenizer, and shard packing. The footer-append group exists to
+  // prove the POINT of the near-dup stage: all 100 such docs pass exact
+  // dedup and ALL are caught by the signature store; all 100 reversed
+  // docs are admitted and reach the shards. Oracle: the proven q101 /
+  // q106 / q103 / q107 fragments composed in the same order. --
+  private val q108: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val ops = graft.operators.Dedup
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          array_join(reverse(graft.functions.Text.tokens(col("text"))), " ")
+            .as("text")))
+    // materialize each dedup stage once (stage boundaries — the next
+    // stage drives multiple actions over its input; without the pin the
+    // exact stage recomputed per downstream action: 15.5 -> ~3 s steady)
+    val exact = ops.againstCorpus(batch, ops.fingerprintStore(d, "text"),
+      "text", "doc_id", bloomBits = 1 << 17).localCheckpoint()
+    val novel = ops.nearDupsAgainstCorpus(exact,
+      ops.signatureStore(d, "text"), "text", "doc_id")
+    val enc = graft.operators.Tokenizer.encode(novel, "text", Merges)
+      .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_ids"))
+    graft.operators.Prefix.packIntoShards(enc, "doc_id", "n_ids", budget = 2048L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_ids")).as("total_ids"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+  private val q108Sql =
+    s"""WITH RECURSIVE
+       |batch AS (
+       |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL SELECT doc_id + 20000, text || ' v2' FROM documents WHERE doc_id % 5 = 1
+       |  UNION ALL SELECT doc_id + 30000, text || ' v2' FROM documents WHERE doc_id % 5 = 1
+       |  UNION ALL SELECT doc_id + 40000, array_to_string(list_reverse($dTok), ' ')
+       |    FROM documents WHERE doc_id % 5 = 2),
+       |cfp AS (SELECT DISTINCT $dFp AS fp FROM documents),
+       |bf AS (SELECT doc_id, text, $dFp AS fp,
+       |  row_number() OVER (PARTITION BY $dFp ORDER BY doc_id) AS rn FROM batch),
+       |exact AS (SELECT doc_id, text FROM bf b
+       |  WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM cfp c WHERE c.fp = b.fp)),
+       |csigs AS (SELECT DISTINCT band, sig FROM (${dSigsOf("documents")})),
+       |bs AS (${dSigsOf("exact")}),
+       |hit AS (SELECT DISTINCT b.doc_id FROM bs b JOIN csigs c USING (band, sig)),
+       |surv AS (SELECT doc_id, text FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig
+       |          WHERE a.doc_id < b.doc_id
+       |            AND a.doc_id IN (SELECT doc_id FROM surv)
+       |            AND b.doc_id IN (SELECT doc_id FROM surv)),
+       |$dPruneTail,
+       |novel AS (SELECT doc_id, text FROM surv
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       |ids AS (${dDocIds.replace("FROM documents", "FROM novel")}),
+       |n AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_ids FROM ids),
+       |c AS (SELECT doc_id, n_ids, sum(n_ids) OVER (ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM n)
+       |SELECT CAST((cum - n_ids) // 2048 AS BIGINT) AS shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_ids) AS BIGINT) AS total_ids,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q101_incremental_dedup" -> q101,
     "q102_neardup_decontam" -> q102,
     "q103_token_ids" -> q103,
     "q104_bloom_prescreen" -> q104,
-    "q105_chunk_ids" -> q105)
+    "q105_chunk_ids" -> q105,
+    "q106_neardup_incremental" -> q106,
+    "q107_shard_packing_ids" -> q107,
+    "q108_ingest_pipeline" -> q108)
 
   val oracle: Map[String, String] = Map(
     "q101_incremental_dedup" -> q101Sql,
     "q102_neardup_decontam" -> q102Sql,
     "q103_token_ids" -> q103Sql,
     "q104_bloom_prescreen" -> q104Sql,
-    "q105_chunk_ids" -> q105Sql)
+    "q105_chunk_ids" -> q105Sql,
+    "q106_neardup_incremental" -> q106Sql,
+    "q107_shard_packing_ids" -> q107Sql,
+    "q108_ingest_pipeline" -> q108Sql)
 }

@@ -105,6 +105,56 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS fp_store_spec")
   }
 
+  test("nearDupsAgainstCorpus: store collisions drop, novel batch self-dedups") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // shares the corpus doc's leading shingles -> at least one band
+      // collides -> dropped WITHOUT reading corpus text
+      (10L, "alpha beta gamma delta epsilon zeta eta iota"),
+      // novel template + its exact in-batch copy: min id survives
+      (11L, "one two three four five six seven eight"),
+      (12L, "one two three four five six seven eight"),
+      // token-less: no signatures, admitted (gate on quality, not shape)
+      (13L, ""),
+      (14L, "a completely different ninth tenth eleventh twelfth sentence"))
+      .toDF("doc_id", "text")
+    val store = Dedup.signatureStore(corpus, "text")
+    val got = Dedup.nearDupsAgainstCorpus(batch, store, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L, 14L), s"got $got")
+  }
+
+  test("bucketed signature store probes with zero exchanges on the store side") {
+    val d = Tables.load(spark, sf(), "documents")
+    Dedup.writeSignatureStore(d.filter($"doc_id" % 10 =!= 0), "text",
+      "sig_store_spec", buckets = 8)
+    try {
+      val batch = d.filter($"doc_id" % 10 === 0)
+      // the probe STAGE (the composed operator checkpoints it, which
+      // would hide its plan): batch sigs vs the bucketed store
+      val got = Dedup.storeCollisions(batch,
+        spark.table("sig_store_spec").hint("merge"), "text", "doc_id", 5, 4)
+      got.collect()
+      val joins = collectPlan(got.queryExecution.executedPlan) {
+        case j if j.nodeName.contains("SortMergeJoin") => j
+      }
+      assert(joins.nonEmpty, "expected the collision join to plan as SMJ")
+      // the store side is the RIGHT child of the (band, sig) join — find
+      // the join whose right subtree scans the bucketed table and assert
+      // no exchange sits between them
+      val storeJoins = joins.filter(_.children.last.collectLeaves().exists(
+        _.toString.contains("sig_store_spec")))
+      assert(storeJoins.nonEmpty, "expected a join probing the store table")
+      val exchanges = storeJoins.flatMap(_.children.last.collect {
+        case e: ShuffleExchangeLike => e
+        case e: BroadcastExchangeLike => e
+      })
+      assert(exchanges.isEmpty,
+        s"the signature store must never re-shuffle at probe time: $exchanges")
+    } finally spark.sql("DROP TABLE IF EXISTS sig_store_spec")
+  }
+
   test("simhash star-path elision is observable via the named metric") {
     // 60 identical docs (one over-cap bucket at maxBucket = 8): all
     // non-min members route through the star; none are beyond the

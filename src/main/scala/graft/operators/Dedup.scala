@@ -220,6 +220,12 @@ object Dedup {
     val star = sized
       .filter(col("__n") > maxBucket && col(idCol) =!= col("__min"))
       .select(col("__min").as(a), col(idCol).as(b))
+      // observability parity with [[simhashNearDup]]: the MinHash star
+      // preserves connected components exactly (no recall loss), but a
+      // non-zero count tells the operator's user a boilerplate bucket
+      // exceeded the cap and pair-level output is star-shaped there
+      .observe(s"graft_minhash_star_${Dedup.starMetricSeq.incrementAndGet()}",
+        count(lit(1)).as("star_rows"))
     val smallPairs = sized
       .filter(col("__n") <= maxBucket && col("__n") > 1)
       .groupBy(col("__band"), col("__sig"))

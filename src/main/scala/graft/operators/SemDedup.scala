@@ -44,4 +44,64 @@ object SemDedup {
       .select(col(idCol), col("cluster"),
         coalesce(!col("__lost"), lit(true)).as("kept"))
   }
+
+  /** The semantic STORE of a shipped corpus — (cluster, id, embedding)
+    * under a FIXED centroid set: everything incremental semantic dedup
+    * needs to remember. Unlike the text stores ([[Dedup
+    * .fingerprintStore]] / [[Dedup.signatureStore]]) the embeddings
+    * themselves are the irreducible comparison state, but they are the
+    * SMALL representation (kilobytes per document of text), and
+    * persisting them clustered means a probe only ever reads the
+    * clusters the batch lands in. Persist with [[writeSemanticStore]]
+    * (bucketed on `cluster`) for exchange-free probes. */
+  def semanticStore(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                    embCol: String, centroidIdCol: String): DataFrame =
+    Similarity.ivfAssign(corpus, centroids, idCol, embCol, centroidIdCol)
+      .select(col(idCol), col("centroid").as("cluster"))
+      .join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
+      .select(col("cluster"), col(idCol), col(embCol))
+
+  /** Persists [[semanticStore]] bucketed on the cluster id. */
+  def writeSemanticStore(corpus: DataFrame, centroids: DataFrame,
+                         idCol: String, embCol: String, centroidIdCol: String,
+                         table: String, buckets: Int): Unit =
+    graft.sinks.Bucketing.writeBucketed(
+      semanticStore(corpus, centroids, idCol, embCol, centroidIdCol),
+      table, Seq("cluster"), buckets)
+
+  /** Incremental SEMANTIC dedup — the embedding member of the
+    * cross-snapshot family ([[Dedup.againstCorpus]] = exact text,
+    * [[Dedup.nearDupsAgainstCorpus]] = text shapes, this = meaning): a
+    * batch vector is dropped when its own cluster in the shipped
+    * `store` holds ANY vector within cosine ≥ `tau` (the SemDeDup
+    * criterion, corpus side immutable — old vectors always win); the
+    * surviving batch then twin-drops against ITSELF under the same
+    * centroids ([[mark]], smaller id wins). Returns admitted batch
+    * rows, all columns intact.
+    *
+    * Scale: batch assignment is the narrow ivfAssign fold (zero
+    * shuffles); the probe join is keyed on the cluster id — exchange-
+    * free on the store side when it is the [[writeSemanticStore]]
+    * bucketed table — and compares batch × |that cluster| only, the
+    * paper's bounded-cluster regime. The stage boundary materializes
+    * once (batch-sized) before the in-batch mark, the
+    * [[Dedup.nearDupsAgainstCorpus]] discipline. */
+  def againstCorpus(batch: DataFrame, store: DataFrame, centroids: DataFrame,
+                    idCol: String, embCol: String, centroidIdCol: String,
+                    tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    val assigned = Similarity
+      .ivfAssign(batch, centroids, idCol, embCol, centroidIdCol)
+      .select(col(idCol), col("centroid").as("cluster"))
+      .join(batch.select(col(idCol), col(embCol)), Seq(idCol))
+    val hit = assigned
+      .join(store.select(col("cluster"), col(embCol).as("__ce")), Seq("cluster"))
+      .filter(graft.functions.Vectors.cosine(col(embCol), col("__ce")) >= tau)
+      .select(col(idCol)).distinct()
+    val novel = batch.join(hit, Seq(idCol), "left_anti").localCheckpoint()
+    novel.join(
+      mark(novel, centroids, idCol, embCol, centroidIdCol, tau)
+        .filter(!col("kept")).select(col(idCol)),
+      Seq(idCol), "left_anti")
+  }
 }

@@ -528,6 +528,60 @@ object VectorOps {
        |SELECT a.vec_id, a.cluster, l.vec_id IS NULL AS kept
        |FROM a LEFT JOIN losers l ON a.vec_id = l.vec_id""".stripMargin
 
+  // -- q109: incremental SEMANTIC dedup (SemDedup.againstCorpus) — the
+  // embedding member of the round-6 cross-snapshot family: the shipped
+  // corpus persists (cluster, embedding) under the q33 fixed centroids;
+  // a batch vector drops when its own cluster holds any corpus vector
+  // within cosine >= 0.35 (old data always wins, corpus never
+  // re-clusters), survivors twin-drop against each other (q89's mark).
+  // Batch = every 10th vector + re-IDed corpus copies (certain stage-1
+  // drops at cos 1.0) + re-IDed in-batch copies (certain stage-2
+  // prunes). Oracle: q89's window assignment + the same two-stage pair
+  // algebra. --
+  private val q109: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val c = e.filter($"vec_id" < 16).select($"vec_id".as("c_id"), $"embedding")
+    val corpus = e.filter($"vec_id" % 10 =!= 0)
+    val batch = e.filter($"vec_id" % 10 === 0).select($"vec_id", $"embedding")
+      .unionByName(e.filter($"vec_id" % 10 =!= 0 && $"vec_id" % 100 === 1)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+      .unionByName(e.filter($"vec_id" % 20 === 0)
+        .select(($"vec_id" + 200000).as("vec_id"), $"embedding"))
+    val store = graft.operators.SemDedup.semanticStore(
+      corpus, c, "vec_id", "embedding", "c_id")
+    graft.operators.SemDedup.againstCorpus(
+        batch, store, c, "vec_id", "embedding", "c_id", tau = 0.35)
+      .select($"vec_id")
+  }
+  private val q109Sql =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |           FROM embeddings WHERE vec_id < 16),
+       |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+       |batch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+       |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+       |    WHERE vec_id % 10 <> 0 AND vec_id % 100 = 1
+       |  UNION ALL SELECT vec_id + 200000, embedding FROM embeddings
+       |    WHERE vec_id % 20 = 0),
+       |casg AS (SELECT vec_id, cluster, embedding FROM (
+       |  SELECT k.vec_id, c.c_id AS cluster, k.embedding,
+       |    row_number() OVER (PARTITION BY k.vec_id
+       |      ORDER BY ${dCos("k.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+       |  FROM corpus k CROSS JOIN c) WHERE rn = 1),
+       |basg AS (SELECT vec_id, cluster, embedding FROM (
+       |  SELECT k.vec_id, c.c_id AS cluster, k.embedding,
+       |    row_number() OVER (PARTITION BY k.vec_id
+       |      ORDER BY ${dCos("k.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+       |  FROM batch k CROSS JOIN c) WHERE rn = 1),
+       |hit AS (SELECT DISTINCT b.vec_id FROM basg b JOIN casg s ON b.cluster = s.cluster
+       |        WHERE ${dCos("b.embedding", "s.embedding")} >= 0.35),
+       |surv AS (SELECT vec_id, cluster, embedding FROM basg
+       |         WHERE vec_id NOT IN (SELECT vec_id FROM hit)),
+       |losers AS (SELECT DISTINCT y.vec_id FROM surv x JOIN surv y
+       |           ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |           WHERE ${dCos("x.embedding", "y.embedding")} >= 0.35)
+       |SELECT vec_id FROM surv WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q30_cosine_topk" -> q30,
     "q31_lsh_buckets" -> q31,
@@ -543,6 +597,7 @@ object VectorOps {
     "q93_ivf_pq_topk" -> q93,
     "q98_rand_proj" -> q98,
     "q99_projected_topk" -> q99,
+    "q109_semdedup_incremental" -> q109,
   )
 
   val oracle: Map[String, String] = Map(
@@ -560,5 +615,6 @@ object VectorOps {
     "q93_ivf_pq_topk" -> q93Sql,
     "q98_rand_proj" -> q98Sql,
     "q99_projected_topk" -> q99Sql,
+    "q109_semdedup_incremental" -> q109Sql,
   )
 }

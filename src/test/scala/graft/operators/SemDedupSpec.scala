@@ -40,6 +40,30 @@ class SemDedupSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("againstCorpus: store twins drop first, survivors twin-drop in-batch") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0.1f, 0f, 0f)),   // cluster 100
+      (4L, Seq(0.1f, 1f, 0f, 0f)))   // cluster 200
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      // near-twin of corpus 1 (same cluster) -> dropped at the store,
+      // corpus text/vectors never mutated, old data wins
+      (10L, Seq(1f, 0.11f, 0f, 0f)),
+      // novel direction in cluster 100 -> admitted
+      (11L, Seq(0.9f, -0.4f, 0f, 0f)),
+      // in-batch near-twin of 11 -> dropped at the in-batch mark
+      (12L, Seq(0.9f, -0.41f, 0f, 0f)),
+      // novel in cluster 200 -> admitted
+      (13L, Seq(-0.2f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val store = SemDedup.semanticStore(corpus, centroids, "vec_id",
+      "embedding", "c_id")
+    val got = SemDedup.againstCorpus(batch, store, centroids, "vec_id",
+        "embedding", "c_id", tau = 0.98)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L), s"got $got")
+  }
+
   test("tau above every similarity keeps the whole corpus") {
     val corpus = Seq(
       (1L, Seq(1f, 0.3f, 0f, 0f)),

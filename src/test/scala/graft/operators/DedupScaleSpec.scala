@@ -29,6 +29,43 @@ class DedupScaleSpec extends SparkSpec {
     assert((n until n + 500).forall(ids.contains), "uniques must all survive")
   }
 
+  test("incremental: a 20k-copy re-crawl collapses against both stores at O(b)") {
+    // the shipped corpus knows one template; the "new snapshot" is 20k
+    // re-crawls of it plus 200 genuinely new docs. Exact incremental
+    // dedup must admit only the 200 (the 20k share one fingerprint —
+    // the spillable in-batch window plus one anti-join row), and
+    // near-dup incremental must do the same when the copies are
+    // slightly reworded (distinct fingerprints, colliding band sigs).
+    val n = 20000L
+    val corpus = Seq((0L, "identical mirror boilerplate page served for every request path"))
+      .toDF("doc_id", "text")
+    val exactCopies = spark.range(1, n).select($"id".as("doc_id"),
+      lit("identical mirror boilerplate page served for every request path").as("text"))
+    val fresh = spark.range(n, n + 200).select($"id".as("doc_id"),
+      concat_ws(" ", (0 until 10).map(k =>
+        concat(lit(s"f${k}x"), $"id")): _*).as("text"))
+
+    val exactAdmitted = Dedup.againstCorpus(
+        exactCopies.unionByName(fresh),
+        Dedup.fingerprintStore(corpus, "text"), "text", "doc_id",
+        bloomBits = 1 << 12)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(exactAdmitted == (n until n + 200).toSet,
+      s"every re-crawl must drop, every fresh doc must land: ${exactAdmitted.size}")
+
+    // reworded copies: append a doc-specific token — new fingerprint,
+    // but the leading shingles (and so at least one band min) survive
+    val reworded = spark.range(1, n).select($"id".as("doc_id"),
+      concat(lit("identical mirror boilerplate page served for every request path tail"),
+        $"id".cast("string")).as("text"))
+    val nearAdmitted = Dedup.nearDupsAgainstCorpus(
+        reworded.unionByName(fresh),
+        Dedup.signatureStore(corpus, "text"), "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(nearAdmitted == (n until n + 200).toSet,
+      s"reworded re-crawls must drop at the signature store: ${nearAdmitted.size}")
+  }
+
   test("removeDupSpans: a paragraph shared by 4k documents survives exactly once") {
     val para = (0 until 12).map(i => s"shared$i").mkString(" ")
     val docs = spark.range(4000).select($"id".as("doc_id"),

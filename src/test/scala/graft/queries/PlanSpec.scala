@@ -115,4 +115,13 @@ class PlanSpec extends SparkSpec {
     // partial + final pair means the shuffle carries pre-aggregated rows
     assert("HashAggregate".r.findAllIn(s).size >= 2)
   }
+
+  test("q103: text -> token ids is one zero-exchange narrow projection") {
+    val p = plan("q103_token_ids")
+    assert(collectAll(p) { case e: ShuffleExchangeLike => e }.isEmpty,
+      "token ids for a petabyte corpus must be a map over the scan")
+    val kernels = collectAll(p) {
+      case pr if pr.toString.contains("graft_bpe_ids") => pr }
+    assert(kernels.nonEmpty, "the id kernel must be in the plan")
+  }
 }

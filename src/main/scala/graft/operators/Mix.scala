@@ -55,6 +55,39 @@ object Mix {
       .drop("__thr")
   }
 
+  /** Deterministic UP-sampling — the other half of mixture weighting:
+    * a repeat `factor` >= 0 per row (usually per source: epoch weights,
+    * "see this corpus 2.5 times per epoch"). Each row is emitted
+    * `floor(factor)` times plus one more when its content-addressed
+    * bucket falls below the fractional part — so factor 2.5 yields 2 or
+    * 3 copies (expectation 2.5), factor 0.3 degenerates to
+    * [[sampleByHash]]'s keep/drop, and factor 0 drops the row; the
+    * realized copy count depends only on (id, salt), reproducible
+    * anywhere. Output adds a `copy` index (0-based) so downstream
+    * shuffles/permutations treat copies as distinct rows.
+    *
+    * Shape at 100 TB: one narrow projection + an in-partition explode
+    * (the [[Chunk]] posture, with the same explode_outer discipline so
+    * the factor arithmetic is computed once, not inlined into an
+    * inferred filter); no shuffle, no count, no global state. */
+  def upsample(df: DataFrame, idCol: String, factor: Column,
+               salt: String = ""): DataFrame = {
+    val whole = floor(factor).cast("long")
+    val extra = when(
+      bucket(col(idCol), salt) < round((factor - floor(factor)) * 10000),
+      1L).otherwise(0L)
+    // guard on the realized count, not the factor: Spark's sequence()
+    // infers a NEGATIVE step when start > stop, so sequence(0, -1) is
+    // [0, -1], not empty
+    val k = whole + extra
+    val copies = when(k > 0, sequence(lit(0L), k - 1L))
+      .otherwise(array().cast("array<bigint>"))
+    df.withColumn("__copies", copies)
+      .select(col("*"), explode_outer(col("__copies")).as("copy"))
+      .filter(col("copy").isNotNull)
+      .drop("__copies")
+  }
+
   /** Mix `(name, source, rate)` corpora: each source sampled at its rate
     * (salted by its name, so the same id draws independently per source)
     * and tagged with a `source` column. */

@@ -374,7 +374,39 @@ object IncrementalOps {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1""".stripMargin
 
+  // -- q110: deterministic UP-sampling (Mix.upsample) — epoch repeat
+  // factors per source (big 0.5x, mid 1x, small 2.5x over the q90
+  // skewed source labels): floor(factor) copies plus one more when the
+  // content-addressed bucket clears the fractional part, reproducible
+  // anywhere, zero shuffles. Oracle: the same md5-bucket arithmetic +
+  // range unnest. --
+  private val q110: Q = (s, dir) => {
+    val labeled = docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 4 < 2, "big")
+        .when(col("doc_id") % 4 === 2, "mid")
+        .otherwise("small").as("src"))
+    val factor = when(col("src") === "big", 0.5)
+      .when(col("src") === "mid", 1.0).otherwise(lit(2.5))
+    graft.operators.Mix.upsample(labeled, "doc_id", factor, salt = "ep0")
+      .select(col("doc_id"), col("src"), col("copy"))
+  }
+  private val q110Sql =
+    """WITH d AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 4 < 2 THEN 'big' WHEN doc_id % 4 = 2 THEN 'mid'
+      |         ELSE 'small' END AS src
+      |  FROM documents),
+      |f AS (SELECT doc_id, src,
+      |    CAST(CASE src WHEN 'big' THEN 0.5 WHEN 'mid' THEN 1.0 ELSE 2.5 END AS DOUBLE) AS fac
+      |  FROM d),
+      |k AS (SELECT doc_id, src,
+      |    CAST(floor(fac) AS BIGINT) +
+      |    CASE WHEN TRY_CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ep0'), 1, 8) AS BIGINT) % 10000
+      |         < round((fac - floor(fac)) * 10000) THEN 1 ELSE 0 END AS n
+      |  FROM f)
+      |SELECT doc_id, src, unnest(range(0, n)) AS copy FROM k WHERE n > 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q110_upsample" -> q110,
     "q101_incremental_dedup" -> q101,
     "q102_neardup_decontam" -> q102,
     "q103_token_ids" -> q103,
@@ -385,6 +417,7 @@ object IncrementalOps {
     "q108_ingest_pipeline" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q110_upsample" -> q110Sql,
     "q101_incremental_dedup" -> q101Sql,
     "q102_neardup_decontam" -> q102Sql,
     "q103_token_ids" -> q103Sql,

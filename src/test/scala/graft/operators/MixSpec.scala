@@ -58,4 +58,33 @@ class MixSpec extends SparkSpec {
     // kept rows are a subset of the input rows
     assert(ids1.subsetOf((1L to 525L).toSet))
   }
+
+  test("upsample: whole copies + content-addressed fractional extras") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(1, 2001).select($"id".as("doc_id"))
+    // factor 2.4: every doc gets 2 copies, ~40% get a third
+    val up = Mix.upsample(docs, "doc_id", lit(2.4), salt = "e1")
+      .select($"doc_id", $"copy").as[(Long, Long)].collect()
+    val byDoc = up.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byDoc.size == 2000, "factor >= 1 keeps every doc")
+    assert(byDoc.values.forall(c => c == (0L until c.length).toSeq),
+      "copy indices are dense 0-based")
+    val thirds = byDoc.values.count(_.length == 3)
+    assert(byDoc.values.forall(c => c.length == 2 || c.length == 3))
+    assert(math.abs(thirds - 800) <= 120, s"~40% of 2000 get the extra: $thirds")
+    // rerun-identical; different salt redraws the extras
+    val again = Mix.upsample(docs, "doc_id", lit(2.4), salt = "e1")
+      .select($"doc_id", $"copy").as[(Long, Long)].collect()
+    assert(up.sorted.toSeq == again.sorted.toSeq)
+    val other = Mix.upsample(docs, "doc_id", lit(2.4), salt = "e2")
+      .select($"doc_id", $"copy").as[(Long, Long)].collect()
+    assert(other.sorted.toSeq != up.sorted.toSeq)
+
+    // sub-1 factors degenerate to keep/drop; zero factor drops everything
+    val frac = Mix.upsample(docs, "doc_id", lit(0.3), salt = "e1")
+      .select($"doc_id", $"copy").as[(Long, Long)].collect()
+    assert(frac.forall(_._2 == 0L) && math.abs(frac.length - 600) <= 80,
+      s"factor 0.3 keeps ~30%: ${frac.length}")
+    assert(Mix.upsample(docs, "doc_id", lit(0.0)).count() == 0L)
+  }
 }

@@ -69,6 +69,29 @@ object SemDedup {
       semanticStore(corpus, centroids, idCol, embCol, centroidIdCol),
       table, Seq("cluster"), buckets)
 
+  /** Prototypicality ranking (the SSL-Prototypes / D4 curation stage
+    * that composes after [[mark]]): every vector's cosine to its OWN
+    * assigned centroid, ranked within its cluster (rank 1 = most
+    * prototypical — closest to the cluster's center of mass, the
+    * easy/redundant examples the D4 recipe prunes first; high ranks =
+    * the cluster's diverse tail). Returns (id, cluster, proto, rk).
+    * Callers act by filtering on either end: drop low ranks to cut
+    * prototype redundancy, drop `proto` below a floor to cut outliers.
+    *
+    * Scale: assignment + the cosine are one narrow fold per row (zero
+    * shuffles — proto IS the assignment score); only the within-cluster
+    * rank shuffles, keyed on the cluster id with cluster-bounded groups
+    * (spillable window sort, the bounded-cluster regime again). */
+  def prototypicality(corpus: DataFrame, centroids: DataFrame, idCol: String,
+                      embCol: String, centroidIdCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("proto").desc, col(idCol))
+    Similarity.ivfAssign(corpus, centroids, idCol, embCol, centroidIdCol)
+      .select(col(idCol), col("centroid").as("cluster"),
+        round(col("cos"), 6).as("proto"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+  }
+
   /** Incremental SEMANTIC dedup — the embedding member of the
     * cross-snapshot family ([[Dedup.againstCorpus]] = exact text,
     * [[Dedup.nearDupsAgainstCorpus]] = text shapes, this = meaning): a

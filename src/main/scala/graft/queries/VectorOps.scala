@@ -582,7 +582,38 @@ object VectorOps {
        |           WHERE ${dCos("x.embedding", "y.embedding")} >= 0.35)
        |SELECT vec_id FROM surv WHERE vec_id NOT IN (SELECT vec_id FROM losers)""".stripMargin
 
+  // -- q111: prototypicality ranking (SemDedup.prototypicality — the
+  // SSL-Prototypes / D4 curation stage): cosine to each vector's OWN
+  // assigned centroid (zero-shuffle fold, it IS the assignment score),
+  // ranked within the cluster; rank 1 = the redundant near-center mass
+  // D4 prunes first, the tail = the cluster's diversity. Oracle: q33's
+  // window assignment + a second window rank over the same rounded
+  // score (both engines rank the rounded value, vec_id tie-break). --
+  private val q111: Q = (s, dir) => {
+    import s.implicits._
+    val c = emb(s, dir).filter($"vec_id" < 16)
+      .select($"vec_id".as("c_id"), $"embedding")
+    graft.operators.SemDedup.prototypicality(
+        emb(s, dir), c, "vec_id", "embedding", "c_id")
+      .select($"vec_id", $"cluster".cast("long").as("cluster"),
+        $"proto", $"rk")
+  }
+  private val q111Sql =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |           FROM embeddings WHERE vec_id < 16),
+       |asg AS (SELECT vec_id, cluster, proto FROM (
+       |  SELECT k.vec_id, c.c_id AS cluster,
+       |    round(${dCos("k.embedding", "c.c_emb")}, 6) AS proto,
+       |    row_number() OVER (PARTITION BY k.vec_id
+       |      ORDER BY ${dCos("k.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+       |  FROM embeddings k CROSS JOIN c) WHERE rn = 1)
+       |SELECT vec_id, cluster, proto,
+       |  row_number() OVER (PARTITION BY cluster
+       |    ORDER BY proto DESC, vec_id) AS rk
+       |FROM asg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q111_prototypicality" -> q111,
     "q30_cosine_topk" -> q30,
     "q31_lsh_buckets" -> q31,
     "q32_embed_neardup" -> q32,
@@ -616,5 +647,6 @@ object VectorOps {
     "q98_rand_proj" -> q98Sql,
     "q99_projected_topk" -> q99Sql,
     "q109_semdedup_incremental" -> q109Sql,
+    "q111_prototypicality" -> q111Sql,
   )
 }

@@ -64,6 +64,22 @@ class SemDedupSpec extends SparkSpec {
     assert(got == Set(11L, 13L), s"got $got")
   }
 
+  test("prototypicality: rank 1 hugs the centroid, the tail is the diverse edge") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0.05f, 0f, 0f)), // nearly on centroid 100 -> rank 1
+      (2L, Seq(1f, 0.3f, 0f, 0f)),  // further out -> rank 2
+      (3L, Seq(0.7f, -0.7f, 0f, 0f)), // cluster-100 edge -> rank 3
+      (4L, Seq(0f, 1f, 0f, 0f)))    // exactly centroid 200 -> rank 1 there
+      .toDF("vec_id", "embedding")
+    val out = SemDedup.prototypicality(corpus, centroids, "vec_id",
+        "embedding", "c_id")
+      .select($"vec_id", $"cluster".cast("long"), $"rk")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((100L, 1L)) && out(2L) == ((100L, 2L)) &&
+      out(3L) == ((100L, 3L)), s"cluster-100 order: $out")
+    assert(out(4L) == ((200L, 1L)))
+  }
+
   test("tau above every similarity keeps the whole corpus") {
     val corpus = Seq(
       (1L, Seq(1f, 0.3f, 0f, 0f)),

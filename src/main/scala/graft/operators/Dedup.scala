@@ -106,6 +106,28 @@ object Dedup {
     admitted.drop("__fp")
   }
 
+  /** The COMMIT step of an ingest round: append an admitted snapshot's
+    * fingerprints to the persisted store table, preserving its bucketed
+    * layout (rows are pre-partitioned on the table's own bucket spec so
+    * each task writes one bucket file, the [[graft.sinks.Bucketing]]
+    * discipline). After this, re-ingesting the same snapshot admits
+    * NOTHING — ingest is idempotent, the library's rerunnable-ingest
+    * contract extended to the incremental path (pinned by
+    * IncrementalDedupSpec). Admitted rows are new against the store by
+    * construction, so the append introduces no duplicate fingerprints. */
+  def appendToFingerprintStore(admitted: DataFrame, textCol: String,
+                               table: String): Unit = {
+    val spark = admitted.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$table' is not a bucketed store table")).numBuckets
+    fingerprintStore(admitted, textCol)
+      .repartition(buckets, col("fp"))
+      .write.mode("append").insertInto(table)
+  }
+
   /** The NEAR-dup analogue of [[fingerprintStore]]: the corpus's
     * distinct MinHash band signatures — (band, sig), 0-based bands —
     * which is everything incremental near-dup dedup needs to remember
@@ -130,6 +152,26 @@ object Dedup {
     graft.sinks.Bucketing.writeBucketed(
       signatureStore(corpus, textCol, shingle, bands), table,
       Seq("band", "sig"), buckets)
+
+  /** [[appendToFingerprintStore]] for the signature store: commits an
+    * admitted snapshot's band signatures (only the NEW (band, sig) keys
+    * — the store stays distinct), after which re-ingesting the same or
+    * any same-shaped snapshot admits nothing through
+    * [[nearDupsAgainstCorpus]]. */
+  def appendToSignatureStore(admitted: DataFrame, textCol: String,
+                             table: String,
+                             shingle: Int = 5, bands: Int = 4): Unit = {
+    val spark = admitted.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$table' is not a bucketed store table")).numBuckets
+    signatureStore(admitted, textCol, shingle, bands)
+      .join(spark.table(table), Seq("band", "sig"), "left_anti")
+      .repartition(buckets, col("band"), col("sig"))
+      .write.mode("append").insertInto(table)
+  }
 
   /** Incremental NEAR-dup dedup — [[againstCorpus]] for document SHAPES
     * rather than exact fingerprints: a batch document whose ANY band

@@ -155,6 +155,61 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS sig_store_spec")
   }
 
+  test("ingest rounds are idempotent: commit admitted fps, re-ingest admits nothing") {
+    val d = Tables.load(spark, sf(), "documents")
+    Dedup.writeFingerprintStore(d.filter($"doc_id" < 300), "text",
+      "fp_store_rounds", buckets = 4)
+    try {
+      val snap1 = d.filter($"doc_id" >= 300 && $"doc_id" < 400)
+      val admitted1 = Dedup.againstCorpus(snap1,
+        spark.table("fp_store_rounds"), "text", "doc_id", bloomBits = 1 << 12)
+      assert(admitted1.count() == 100L, "all of snapshot 1 is novel")
+      Dedup.appendToFingerprintStore(admitted1, "text", "fp_store_rounds")
+
+      // exact re-delivery of snapshot 1: the committed store rejects it
+      val replay = Dedup.againstCorpus(snap1,
+        spark.table("fp_store_rounds"), "text", "doc_id", bloomBits = 1 << 12)
+      assert(replay.count() == 0L, "re-ingesting a committed snapshot is a no-op")
+
+      // a mixed third snapshot: half replayed, half genuinely new
+      val snap2 = snap1.unionByName(d.filter($"doc_id" >= 400 && $"doc_id" < 450))
+      val admitted2 = Dedup.againstCorpus(snap2,
+          spark.table("fp_store_rounds"), "text", "doc_id", bloomBits = 1 << 12)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(admitted2 == (400L until 450L).toSet,
+        s"only the genuinely new half lands: ${admitted2.size}")
+      // the committed table keeps its bucketed layout (still probe-ready)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("fp_store_rounds"))
+      assert(meta.bucketSpec.exists(_.numBuckets == 4))
+    } finally spark.sql("DROP TABLE IF EXISTS fp_store_rounds")
+  }
+
+  test("signature-store commits make same-shaped re-crawls a no-op") {
+    val d = Tables.load(spark, sf(), "documents")
+    Dedup.writeSignatureStore(d.filter($"doc_id" < 300), "text",
+      "sig_store_rounds", buckets = 4)
+    try {
+      val snap = d.filter($"doc_id" >= 300 && $"doc_id" < 360)
+      val admitted = Dedup.nearDupsAgainstCorpus(snap,
+        spark.table("sig_store_rounds"), "text", "doc_id")
+      val n1 = admitted.count()
+      assert(n1 > 0, "the snapshot must contain novel shapes")
+      Dedup.appendToSignatureStore(admitted, "text", "sig_store_rounds")
+      // a REWORDED re-crawl of the committed snapshot (new fingerprints,
+      // shared leading shingles) is rejected wholesale
+      val reworded = admitted.select(($"doc_id" + 90000).as("doc_id"),
+        concat($"text", lit(" trailing republish marker")).as("text"))
+      val replay = Dedup.nearDupsAgainstCorpus(reworded,
+        spark.table("sig_store_rounds"), "text", "doc_id")
+      assert(replay.count() == 0L,
+        "a same-shaped re-crawl must drop at the committed signature store")
+      // store stays distinct on (band, sig) after the append
+      val st = spark.table("sig_store_rounds")
+      assert(st.count() == st.distinct().count())
+    } finally spark.sql("DROP TABLE IF EXISTS sig_store_rounds")
+  }
+
   test("simhash star-path elision is observable via the named metric") {
     // 60 identical docs (one over-cap bucket at maxBucket = 8): all
     // non-min members route through the star; none are beyond the

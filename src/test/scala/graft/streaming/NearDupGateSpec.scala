@@ -81,6 +81,53 @@ class NearDupGateSpec extends SparkSpec {
       s"exact-regime gate must equal the batch prune: $admitted vs $pruned")
   }
 
+  test("recipe: gate verdicts join DocPrep output downstream, == batch composition") {
+    // the documented lambda-free composition: DocPrep and the gate run
+    // as SIBLING streaming queries over the same source, and their
+    // outputs join on the id downstream — full prep + near-dup gating
+    // without an unsupported stateful-over-stateful single query
+    val src = Files.createTempDirectory("ndg_c_src").toString
+    val prepOut = Files.createTempDirectory("ndg_c_prep").toString
+    val ck1 = Files.createTempDirectory("ndg_c_ck1").toString
+    val ck2 = Files.createTempDirectory("ndg_c_ck2").toString
+    val ts = java.sql.Timestamp.valueOf("2026-03-01 12:00:00")
+
+    val quality = baseText // long enough to clear the min-token gate
+    val docs = Seq(
+      (1L, quality, ts),                                    // admitted
+      (2L, quality.replace("all afternoon", "each night"), ts), // near-dup of 1
+      (3L, "short junk", ts),                               // fails quality
+      (4L, quality.split(" ").reverse.mkString(" "), ts))   // novel, admitted
+      .toDF("doc_id", "text", "ingest_ts")
+    docs.write.mode("append").parquet(src)
+
+    val stream = spark.readStream.schema(docs.schema).parquet(src)
+    val q1 = DocPrep.prep(stream)
+      .writeStream.format("parquet").option("path", prepOut)
+      .option("checkpointLocation", ck1)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val q2 = NearDupGate.gate(spark.readStream.schema(docs.schema).parquet(src),
+        "text", "doc_id")
+      .writeStream.format("memory").queryName("ndg_verdicts")
+      .outputMode("complete")
+      .option("checkpointLocation", ck2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+    q2.awaitTermination(120000)
+
+    val composedStream = spark.read.parquet(prepOut)
+      .join(spark.table("ndg_verdicts").where($"admitted"), Seq("doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
+    val composedBatch = DocPrep.prep(docs)
+      .join(NearDupGate.gate(docs, "text", "doc_id").where($"admitted"),
+        Seq("doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(composedStream == composedBatch,
+      s"stream recipe $composedStream != batch twin $composedBatch")
+    assert(composedStream == Set(1L, 4L),
+      s"near-dup 2 and junk 3 must both fall: $composedStream")
+  }
+
   test("re-delivered ADMITTED id stays admitted (effectively-once composition)") {
     val df = Seq((1L, baseText), (1L, baseText)).toDF("doc_id", "text")
     val got = NearDupGate.gate(df, "text", "doc_id")

@@ -69,6 +69,26 @@ object SemDedup {
       semanticStore(corpus, centroids, idCol, embCol, centroidIdCol),
       table, Seq("cluster"), buckets)
 
+  /** The commit step for the semantic store (the
+    * [[graft.operators.Dedup.appendToFingerprintStore]] discipline):
+    * appends an admitted snapshot's (cluster, id, embedding) rows under
+    * the SAME centroids, pre-partitioned on the table's bucket spec.
+    * After this, re-ingesting the snapshot (or anything within tau of
+    * it) admits nothing through [[againstCorpus]]. */
+  def appendToSemanticStore(admitted: DataFrame, centroids: DataFrame,
+                            idCol: String, embCol: String,
+                            centroidIdCol: String, table: String): Unit = {
+    val spark = admitted.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$table' is not a bucketed store table")).numBuckets
+    semanticStore(admitted, centroids, idCol, embCol, centroidIdCol)
+      .repartition(buckets, col("cluster"))
+      .write.mode("append").insertInto(table)
+  }
+
   /** Prototypicality ranking (the SSL-Prototypes / D4 curation stage
     * that composes after [[mark]]): every vector's cosine to its OWN
     * assigned centroid, ranked within its cluster (rank 1 = most

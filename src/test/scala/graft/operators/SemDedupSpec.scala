@@ -80,6 +80,28 @@ class SemDedupSpec extends SparkSpec {
     assert(out(4L) == ((200L, 1L)))
   }
 
+  test("semantic store commit: re-ingesting an admitted snapshot is a no-op") {
+    val corpus = Seq((1L, Seq(1f, 0.1f, 0f, 0f))).toDF("vec_id", "embedding")
+    SemDedup.writeSemanticStore(corpus, centroids, "vec_id", "embedding",
+      "c_id", "sem_store_rounds", buckets = 2)
+    try {
+      val snap = Seq(
+        (10L, Seq(0.9f, -0.4f, 0f, 0f)),
+        (11L, Seq(-0.2f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+      val admitted = SemDedup.againstCorpus(snap,
+        spark.table("sem_store_rounds"), centroids, "vec_id", "embedding",
+        "c_id", tau = 0.98)
+      assert(admitted.count() == 2L, "both snapshot vectors are novel")
+      SemDedup.appendToSemanticStore(admitted, centroids, "vec_id",
+        "embedding", "c_id", "sem_store_rounds")
+      val replay = SemDedup.againstCorpus(snap,
+        spark.table("sem_store_rounds"), centroids, "vec_id", "embedding",
+        "c_id", tau = 0.98)
+      assert(replay.count() == 0L,
+        "committed vectors reject their own re-delivery at cos 1.0")
+    } finally spark.sql("DROP TABLE IF EXISTS sem_store_rounds")
+  }
+
   test("tau above every similarity keeps the whole corpus") {
     val corpus = Seq(
       (1L, Seq(1f, 0.3f, 0f, 0f)),

@@ -92,10 +92,18 @@ object Spans {
       .filter(col("__rn") >= 2)
       .groupBy(col(idCol))
       .agg(collect_list(col("__j")).as("__rm"))
-    // null text = token-less document (empty array), so n_tokens/n_kept
-    // are 0 and clean_text is "" — the Bm25/Classifier null convention,
-    // not the ANSI-off size(null) = -1 that downstream length gates
-    // would read as negative
+    rewrite(df, removals, textCol, idCol, w)
+  }
+
+  /** The shared rewrite tail of [[removeDupSpans]] /
+    * [[removeCorpusSpans]]: `removals` is (`idCol`, __rm: array of
+    * 0-based window start offsets); a token survives iff no removed
+    * window covers it. Null text = token-less document (empty array),
+    * so n_tokens/n_kept are 0 and clean_text is "" — the
+    * Bm25/Classifier null convention, not the ANSI-off size(null) = -1
+    * that downstream length gates would read as negative. */
+  private def rewrite(df: DataFrame, removals: DataFrame, textCol: String,
+                      idCol: String, w: Int): DataFrame =
     df.select(col(idCol),
         coalesce(Text.tokens(col(textCol)), array().cast("array<string>"))
           .as("__tk"))
@@ -109,5 +117,53 @@ object Spans {
         size(col("__tk")).cast("long").as("n_tokens"),
         size(col("__kept")).cast("long").as("n_kept"),
         array_join(col("__kept"), " ").as("clean_text"))
+
+  /** The span STORE of a shipped corpus: the distinct fingerprints of
+    * its `w`-token windows — what incremental span-level dedup needs to
+    * remember. One fp per distinct window (corpus-token-bounded: this
+    * is the store the suffix-array family also carries, made
+    * re-shuffle-free by bucketing with [[writeSpanStore]]). */
+  def spanStore(corpus: DataFrame, textCol: String, w: Int = 10): DataFrame = {
+    require(w >= 1, s"span width must be positive: $w")
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    corpus
+      .select(explode(Text.shinglesNative(Text.tokens(col(textCol)), w))
+        .as("__gram"))
+      .select(md5(col("__gram")).as("fp"))
+      .distinct()
+  }
+
+  /** Persists [[spanStore]] bucketed on `fp` (exchange-free probes). */
+  def writeSpanStore(corpus: DataFrame, textCol: String, table: String,
+                     buckets: Int, w: Int = 10): Unit =
+    graft.sinks.Bucketing.writeBucketed(
+      spanStore(corpus, textCol, w), table, Seq("fp"), buckets)
+
+  /** Incremental exact-substring dedup — [[removeDupSpans]] ACROSS
+    * snapshots: every `w`-token window of `batch` whose fingerprint
+    * exists in the shipped corpus's span `store` is removed from its
+    * document ("don't re-ship paragraphs the corpus already has"),
+    * without reading a byte of corpus text. Within-batch duplicates are
+    * deliberately out of scope — compose with [[removeDupSpans]] on the
+    * output for the full Lee-et-al treatment of the new snapshot.
+    *
+    * Shape at 100 TB: batch spans fingerprint in one narrow kernel
+    * projection; the probe join is keyed on the fingerprint —
+    * exchange-free on the store side when bucketed — and only matched
+    * offsets (the re-shipped minority) flow into doc-length-bounded
+    * removal lists; the rewrite is the same narrow per-row filter as
+    * [[removeDupSpans]]. */
+  def removeCorpusSpans(batch: DataFrame, store: DataFrame, textCol: String,
+                        idCol: String, w: Int = 10): DataFrame = {
+    require(w >= 1, s"span width must be positive: $w")
+    graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+    val removals = batch
+      .select(col(idCol),
+        posexplode(Text.shinglesNative(Text.tokens(col(textCol)), w)))
+      .select(col(idCol), col("pos").as("__j"), md5(col("col")).as("fp"))
+      .join(store.select(col("fp")), Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__j")).as("__rm"))
+    rewrite(batch, removals, textCol, idCol, w)
   }
 }

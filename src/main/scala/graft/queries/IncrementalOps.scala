@@ -405,8 +405,46 @@ object IncrementalOps {
       |  FROM f)
       |SELECT doc_id, src, unnest(range(0, n)) AS copy FROM k WHERE n > 0""".stripMargin
 
+  // -- q112: incremental exact-substring dedup (Spans.removeCorpusSpans)
+  // — the span-granularity member of the cross-snapshot family: every
+  // 10-token window of the new snapshot that the shipped corpus's span
+  // store already holds is scrubbed from the rewritten text, corpus
+  // text untouched. At the fixture split 3 batch docs lose everything
+  // (pure re-shipped boilerplate), 3 are partially scrubbed, 44 pass
+  // intact — every outcome class exercised. Oracle: q91's zipped-unnest
+  // rebuild with the removal set = store membership. --
+  private val q112: Q = (s, dir) => {
+    val d = docs(s, dir)
+    graft.operators.Spans.removeCorpusSpans(
+      d.filter(col("doc_id") % 10 === 0),
+      graft.operators.Spans.spanStore(d.filter(col("doc_id") % 10 =!= 0), "text"),
+      "text", "doc_id")
+  }
+  private val q112Sql = {
+    val shw = dShingles(dTok, 10)
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+       |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |cg AS (SELECT DISTINCT md5(gram) AS fp FROM
+       |       (SELECT unnest($shw) AS gram FROM corpus)),
+       |bg AS (SELECT doc_id, md5(unnest($shw)) AS fp,
+       |              unnest(range(1, len($shw) + 1)) AS j FROM batch),
+       |rm AS (SELECT doc_id, j FROM bg WHERE fp IN (SELECT fp FROM cg)),
+       |tok AS (SELECT doc_id, unnest($dTok) AS t,
+       |               unnest(range(1, len($dTok) + 1)) AS p FROM batch),
+       |kept AS (SELECT tok.doc_id, tok.p, tok.t FROM tok
+       |         WHERE NOT EXISTS (SELECT 1 FROM rm WHERE rm.doc_id = tok.doc_id
+       |                           AND tok.p BETWEEN rm.j AND rm.j + 9)),
+       |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |               string_agg(t, ' ' ORDER BY p) AS clean_text FROM kept GROUP BY 1)
+       |SELECT b.doc_id, CAST(len($dTok) AS BIGINT) AS n_tokens,
+       |       COALESCE(per.n_kept, 0) AS n_kept,
+       |       COALESCE(per.clean_text, '') AS clean_text
+       |FROM batch b LEFT JOIN per ON b.doc_id = per.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q110_upsample" -> q110,
+    "q112_corpus_spans" -> q112,
     "q101_incremental_dedup" -> q101,
     "q102_neardup_decontam" -> q102,
     "q103_token_ids" -> q103,
@@ -418,6 +456,7 @@ object IncrementalOps {
 
   val oracle: Map[String, String] = Map(
     "q110_upsample" -> q110Sql,
+    "q112_corpus_spans" -> q112Sql,
     "q101_incremental_dedup" -> q101Sql,
     "q102_neardup_decontam" -> q102Sql,
     "q103_token_ids" -> q103Sql,

@@ -92,4 +92,30 @@ class SpansSpec extends SparkSpec {
     }
     assert(partialAggs.nonEmpty, s"expected map-side combine under the fp shuffle:\n$plan")
   }
+
+  test("removeCorpusSpans scrubs shipped windows only; novel text untouched") {
+    import spark.implicits._
+    val para = (0 until 12).map(i => s"ship$i").mkString(" ")
+    val corpus = Seq((1L, s"corpus preamble words here $para corpus tail")).toDF("doc_id", "text")
+    val batch = Seq(
+      // re-ships the corpus paragraph between its own fresh pre/post
+      (10L, s"fresh intro alpha beta gamma $para fresh outro one two"),
+      // entirely novel
+      (20L, "totally new material nothing shipped before in any window"),
+      // entirely made of the shipped paragraph
+      (30L, para)).toDF("doc_id", "text")
+    val store = Spans.spanStore(corpus, "text", w = 10)
+    val out = Spans.removeCorpusSpans(batch, store, "text", "doc_id", w = 10)
+      .select($"doc_id", $"n_tokens", $"n_kept", $"clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 10: the 12 shipped-para tokens sit inside matched windows and
+    // vanish along with neighbors covered by those windows; fresh pre
+    // and post tokens outside every matched window survive
+    assert(out(10L)._3 < out(10L)._2 && out(10L)._3 > 0)
+    assert(!out(10L)._4.contains("ship"), s"shipped tokens must go: ${out(10L)._4}")
+    assert(out(10L)._4.contains("fresh intro"), "novel prefix survives")
+    assert(out(20L)._3 == out(20L)._2, "novel doc passes intact")
+    assert(out(30L)._3 == 0L && out(30L)._4.isEmpty,
+      "a pure re-ship is scrubbed to empty")
+  }
 }

@@ -114,7 +114,11 @@ object Dedup {
     * NOTHING — ingest is idempotent, the library's rerunnable-ingest
     * contract extended to the incremental path (pinned by
     * IncrementalDedupSpec). Admitted rows are new against the store by
-    * construction, so the append introduces no duplicate fingerprints. */
+    * construction, but the append still anti-joins the store first (the
+    * [[appendToSignatureStore]] discipline), so even a double-COMMIT of
+    * the same snapshot — the crash-retry case — cannot seed duplicate
+    * fingerprints; the probe join's cost bounds are distinctness-
+    * agnostic either way. */
   def appendToFingerprintStore(admitted: DataFrame, textCol: String,
                                table: String): Unit = {
     val spark = admitted.sparkSession
@@ -124,6 +128,7 @@ object Dedup {
       .getOrElse(throw new IllegalArgumentException(
         s"'$table' is not a bucketed store table")).numBuckets
     fingerprintStore(admitted, textCol)
+      .join(spark.table(table), Seq("fp"), "left_anti")
       .repartition(buckets, col("fp"))
       .write.mode("append").insertInto(table)
   }

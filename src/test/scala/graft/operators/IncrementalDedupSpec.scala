@@ -182,6 +182,12 @@ class IncrementalDedupSpec extends SparkSpec {
       val meta = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier("fp_store_rounds"))
       assert(meta.bucketSpec.exists(_.numBuckets == 4))
+      // a crash-retry double-commit of the same snapshot is a no-op too:
+      // the store stays distinct
+      Dedup.appendToFingerprintStore(admitted1, "text", "fp_store_rounds")
+      val st = spark.table("fp_store_rounds")
+      assert(st.count() == st.distinct().count(),
+        "double-committing must not seed duplicate fingerprints")
     } finally spark.sql("DROP TABLE IF EXISTS fp_store_rounds")
   }
 

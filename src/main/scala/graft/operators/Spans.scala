@@ -152,15 +152,38 @@ object Spans {
     * exchange-free on the store side when bucketed — and only matched
     * offsets (the re-shipped minority) flow into doc-length-bounded
     * removal lists; the rewrite is the same narrow per-row filter as
-    * [[removeDupSpans]]. */
+    * [[removeDupSpans]].
+    *
+    * `bloomBits > 0` adds the [[graft.operators.Dedup.againstCorpus]]
+    * two-screen treatment — worth the most HERE, because the span store
+    * is the family's largest (one key per distinct corpus window, vs one
+    * per document): a [[graft.functions.BloomSketch]] built over the
+    * store in one pass pre-screens the batch's span stream as a narrow
+    * column, and only bloom-positive spans (true re-ships + the FP tail)
+    * reach the join, which remains the exact authority — a false
+    * positive merely joins and misses, it can never remove a novel span,
+    * so the output is bit-identical at any sizing (differentially
+    * pinned). Default off: the pre-screen costs one store scan up
+    * front, which only pays when the batch's span stream dwarfs it. */
   def removeCorpusSpans(batch: DataFrame, store: DataFrame, textCol: String,
-                        idCol: String, w: Int = 10): DataFrame = {
+                        idCol: String, w: Int = 10,
+                        bloomBits: Int = 0, bloomHashes: Int = 4): DataFrame = {
     require(w >= 1, s"span width must be positive: $w")
     graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
-    val removals = batch
+    val spans = batch
       .select(col(idCol),
         posexplode(Text.shinglesNative(Text.tokens(col(textCol)), w)))
       .select(col(idCol), col("pos").as("__j"), md5(col("col")).as("fp"))
+    val probed =
+      if (bloomBits <= 0) spans
+      else {
+        val words = store
+          .agg(graft.functions.BloomSketch.bloom(col("fp"), bloomBits, bloomHashes))
+          .head.getSeq[Long](0)
+        spans.filter(graft.functions.BloomSketch.mightContain(
+          col("fp"), words, bloomBits, bloomHashes))
+      }
+    val removals = probed
       .join(store.select(col("fp")), Seq("fp"))
       .groupBy(col(idCol))
       .agg(collect_list(col("__j")).as("__rm"))

@@ -118,4 +118,18 @@ class SpansSpec extends SparkSpec {
     assert(out(30L)._3 == 0L && out(30L)._4.isEmpty,
       "a pure re-ship is scrubbed to empty")
   }
+
+  test("removeCorpusSpans: bloom pre-screen is invisible in the result") {
+    import spark.implicits._
+    val d = graft.Tables.load(spark, sf(), "documents")
+    val store = Spans.spanStore(d.filter($"doc_id" % 10 =!= 0), "text")
+    val batch = d.filter($"doc_id" % 10 === 0)
+    def run(bits: Int) =
+      Spans.removeCorpusSpans(batch, store, "text", "doc_id", w = 10,
+          bloomBits = bits)
+        .select($"doc_id", $"n_kept", $"clean_text")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(run(0) == run(1 << 16),
+      "a bloom false positive joins and misses; it can never remove a novel span")
+  }
 }

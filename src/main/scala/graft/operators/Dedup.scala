@@ -14,6 +14,26 @@ object Dedup {
   /** Uniqifier for the [[simhashNearDup]] star-path observe metric. */
   private[operators] val starMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Default plan-literal budget for auto-sized bloom pre-screens:
+    * 2^24 bits = 2 MB of packed words embedded per probe plan — past
+    * this the serialized-plan tax outweighs the screen (the measured
+    * q101 oversized-literal lesson), so auto-sizing disables instead. */
+  val DefaultMaxBloomBits: Int = 1 << 24
+
+  /** The bloom size `bitsPerKey` bits per distinct store key buys, or 0
+    * (pre-screen off) when that exceeds `maxBits` — the shared sizing
+    * rule of [[againstCorpus]] / [[Spans.removeCorpusSpans]]'s
+    * `bloomBitsPerKey` mode. One count over the store (metadata-cheap
+    * on parquet); never returns a positive value below 64 (the
+    * aggregate's floor). */
+  def autoBloomBits(store: DataFrame, keyCol: String, bitsPerKey: Int,
+                    maxBits: Int = DefaultMaxBloomBits): Int = {
+    require(bitsPerKey > 0, s"bitsPerKey must be positive: $bitsPerKey")
+    val n = store.select(col(keyCol)).count()
+    val ideal = n * bitsPerKey.toLong
+    if (ideal > maxBits) 0 else math.max(64L, ideal).toInt
+  }
+
   /** Exact dedup by normalized-text fingerprint: keeps the lowest `idCol`
     * per duplicate group (deterministic winner). One shuffle on the
     * fingerprint. */
@@ -84,22 +104,39 @@ object Dedup {
     * IncrementalDedupSpec). At store cardinalities where a useful bloom
     * outgrows the driver (~10^10+ distinct fps), set `bloomBits <= 0`
     * to disable the pre-screen — everything probes the bucketed join,
-    * still exchange-free on the corpus side. */
+    * still exchange-free on the corpus side.
+    *
+    * Sizing without knowing the store: pass `bloomBitsPerKey > 0`
+    * (~10 bits/key ≈ 1% FP at 4 hashes) and the filter is sized off the
+    * store's own cardinality — one count aggregate, metadata-cheap on a
+    * parquet-backed store — clamped by `maxBloomBits` (the plan-literal
+    * budget: the probe column embeds the word array in every task's
+    * plan). Past the budget the pre-screen DISABLES itself rather than
+    * shrink below usefulness, the documented posture; either way the
+    * result is bit-identical ([[autoBloomBits]], pinned by
+    * IncrementalDedupSpec). `bloomBitsPerKey > 0` overrides
+    * `bloomBits`. */
   def againstCorpus(batch: DataFrame, store: DataFrame,
                     textCol: String, idCol: String,
-                    bloomBits: Int = 1 << 22, bloomHashes: Int = 4): DataFrame = {
+                    bloomBits: Int = 1 << 22, bloomHashes: Int = 4,
+                    bloomBitsPerKey: Int = 0,
+                    maxBloomBits: Int = DefaultMaxBloomBits): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+    val effBits =
+      if (bloomBitsPerKey > 0)
+        autoBloomBits(store, "fp", bloomBitsPerKey, maxBloomBits)
+      else bloomBits
     val withFp = batch.withColumn("__fp", Text.fingerprint(col(textCol)))
     val inBatch = exactByKey(withFp, Seq("__fp"), idCol)
     val storeFp = store.select(col("fp").as("__fp"))
     val admitted =
-      if (bloomBits <= 0) inBatch.join(storeFp, Seq("__fp"), "left_anti")
+      if (effBits <= 0) inBatch.join(storeFp, Seq("__fp"), "left_anti")
       else {
         val words = store
-          .agg(graft.functions.BloomSketch.bloom(col("fp"), bloomBits, bloomHashes))
+          .agg(graft.functions.BloomSketch.bloom(col("fp"), effBits, bloomHashes))
           .head.getSeq[Long](0)
         val maybe = graft.functions.BloomSketch.mightContain(
-          col("__fp"), words, bloomBits, bloomHashes)
+          col("__fp"), words, effBits, bloomHashes)
         inBatch.filter(!maybe)
           .unionByName(inBatch.filter(maybe).join(storeFp, Seq("__fp"), "left_anti"))
       }

@@ -72,9 +72,15 @@ object Mix {
     * inferred filter); no shuffle, no count, no global state. */
   def upsample(df: DataFrame, idCol: String, factor: Column,
                salt: String = ""): DataFrame = {
-    val whole = floor(factor).cast("long")
+    // fail fast on factor < 0 (or null): floor(-0.3) = -1 would silently
+    // DROP the row, masking a miscomputed weight upstream — the
+    // "factor >= 0" contract is enforced, not just documented
+    val checked = when(factor >= 0, factor).otherwise(raise_error(concat(
+      lit("upsample factor must be >= 0, got "),
+      coalesce(factor.cast("string"), lit("null")))).cast("double"))
+    val whole = floor(checked).cast("long")
     val extra = when(
-      bucket(col(idCol), salt) < round((factor - floor(factor)) * 10000),
+      bucket(col(idCol), salt) < round((checked - floor(checked)) * 10000),
       1L).otherwise(0L)
     // guard on the realized count, not the factor: Spark's sequence()
     // infers a NEGATIVE step when start > stop, so sequence(0, -1) is

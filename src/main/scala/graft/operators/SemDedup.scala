@@ -74,7 +74,13 @@ object SemDedup {
     * appends an admitted snapshot's (cluster, id, embedding) rows under
     * the SAME centroids, pre-partitioned on the table's bucket spec.
     * After this, re-ingesting the snapshot (or anything within tau of
-    * it) admits nothing through [[againstCorpus]]. */
+    * it) admits nothing through [[againstCorpus]]. Admitted rows are new
+    * against the store by construction, but the append still anti-joins
+    * the store on (cluster, `idCol`) first — the sibling stores'
+    * crash-retry rule — so a double-COMMIT of the same snapshot cannot
+    * seed duplicate (cluster, id, embedding) rows (duplicates could not
+    * flip any-match admission verdicts, but every future probe of the
+    * cluster would pay the duplicate comparisons forever). */
   def appendToSemanticStore(admitted: DataFrame, centroids: DataFrame,
                             idCol: String, embCol: String,
                             centroidIdCol: String, table: String): Unit = {
@@ -85,6 +91,8 @@ object SemDedup {
       .getOrElse(throw new IllegalArgumentException(
         s"'$table' is not a bucketed store table")).numBuckets
     semanticStore(admitted, centroids, idCol, embCol, centroidIdCol)
+      .join(spark.table(table).select(col("cluster"), col(idCol)),
+        Seq("cluster", idCol), "left_anti")
       .repartition(buckets, col("cluster"))
       .write.mode("append").insertInto(table)
   }

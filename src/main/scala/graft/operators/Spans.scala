@@ -164,24 +164,35 @@ object Spans {
     * positive merely joins and misses, it can never remove a novel span,
     * so the output is bit-identical at any sizing (differentially
     * pinned). Default off: the pre-screen costs one store scan up
-    * front, which only pays when the batch's span stream dwarfs it. */
+    * front, which only pays when the batch's span stream dwarfs it.
+    * `bloomBitsPerKey > 0` sizes the filter off the store's own
+    * cardinality instead (overriding `bloomBits`, disabling itself past
+    * `maxBloomBits` — [[Dedup.autoBloomBits]]); the span store is the
+    * family's largest, so auto-sizing most often lands on "off" here,
+    * which is the honest answer. */
   def removeCorpusSpans(batch: DataFrame, store: DataFrame, textCol: String,
                         idCol: String, w: Int = 10,
-                        bloomBits: Int = 0, bloomHashes: Int = 4): DataFrame = {
+                        bloomBits: Int = 0, bloomHashes: Int = 4,
+                        bloomBitsPerKey: Int = 0,
+                        maxBloomBits: Int = Dedup.DefaultMaxBloomBits): DataFrame = {
     require(w >= 1, s"span width must be positive: $w")
     graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
+    val effBits =
+      if (bloomBitsPerKey > 0)
+        Dedup.autoBloomBits(store, "fp", bloomBitsPerKey, maxBloomBits)
+      else bloomBits
     val spans = batch
       .select(col(idCol),
         posexplode(Text.shinglesNative(Text.tokens(col(textCol)), w)))
       .select(col(idCol), col("pos").as("__j"), md5(col("col")).as("fp"))
     val probed =
-      if (bloomBits <= 0) spans
+      if (effBits <= 0) spans
       else {
         val words = store
-          .agg(graft.functions.BloomSketch.bloom(col("fp"), bloomBits, bloomHashes))
+          .agg(graft.functions.BloomSketch.bloom(col("fp"), effBits, bloomHashes))
           .head.getSeq[Long](0)
         spans.filter(graft.functions.BloomSketch.mightContain(
-          col("fp"), words, bloomBits, bloomHashes))
+          col("fp"), words, effBits, bloomHashes))
       }
     val removals = probed
       .join(store.select(col("fp")), Seq("fp"))

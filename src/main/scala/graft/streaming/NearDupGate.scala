@@ -35,20 +35,34 @@ import graft.functions.Text
   * produce no signatures and no verdict: gate them on quality, not
   * similarity.
   *
-  * State: one long per DISTINCT bucket ever seen (bands × distinct
-  * band-signatures — the same cardinality the batch LSH shuffle keys
-  * on), plus the per-doc verdict aggregation downstream. A bucket
-  * group's FIRST micro-batch buffers its ids to find the minimum (the
-  * batch-twin winner); every later delivery streams one-pass against
-  * the stored occupant with no buffering — the boilerplate-bucket hot
-  * path. In batch the same call degenerates to a window minimum over
-  * buckets + a per-doc aggregate. */
+  * State — TWO stores in the streaming plan, size both: (1) the gate
+  * proper holds one long per DISTINCT bucket ever seen (bands ×
+  * distinct band-signatures — the same cardinality the batch LSH
+  * shuffle keys on); (2) the downstream per-doc verdict aggregation is
+  * a streaming groupBy, which retains one row per document ever gated
+  * (standard unbounded-aggregation state). A bucket group's FIRST
+  * micro-batch buffers its ids to find the minimum (the batch-twin
+  * winner); every later delivery streams one-pass against the stored
+  * occupant with no buffering — the boilerplate-bucket hot path. In
+  * batch the same call degenerates to a window minimum over buckets +
+  * a per-doc aggregate. Callers who cannot afford store (2) should use
+  * [[bucketVerdicts]] inside `foreachBatch` instead: a document's
+  * signatures are all generated from its one input row, so its
+  * per-bucket verdicts always land in the SAME micro-batch and a
+  * batch-LOCAL groupBy(doc_id) reproduces [[gate]]'s answer with zero
+  * aggregation state. */
 object NearDupGate {
 
   case class Verdict(doc_id: Long, collided: Boolean)
 
-  def gate(docs: DataFrame, textCol: String, idCol: String,
-           shingle: Int = 5, bands: Int = 4): DataFrame = {
+  /** [[gate]] without the per-doc aggregation: the raw (doc_id,
+    * collided) verdict stream, one row per (document, landed bucket).
+    * A document is admitted iff none of its rows collided; all of a
+    * document's rows share its micro-batch (they come from one input
+    * row), so the fold can run batch-locally in `foreachBatch` —
+    * the zero-aggregation-state form of the gate. */
+  def bucketVerdicts(docs: DataFrame, textCol: String, idCol: String,
+                     shingle: Int = 5, bands: Int = 4): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     docs.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => // ok
@@ -97,7 +111,11 @@ object NearDupGate {
           }.toDF()
       }
     verdicts
+  }
+
+  def gate(docs: DataFrame, textCol: String, idCol: String,
+           shingle: Int = 5, bands: Int = 4): DataFrame =
+    bucketVerdicts(docs, textCol, idCol, shingle, bands)
       .groupBy(col("doc_id"))
       .agg((!max(col("collided"))).as("admitted"))
-  }
 }

@@ -81,7 +81,10 @@ class BpeSpec extends SparkSpec {
       spark.sparkContext.addSparkListener(c)
       try {
         val (m, _) = Bpe.trainDistributed(words, numMerges = 30, maxBatch)
-        Thread.sleep(2000) // listener bus is async; let the tail drain
+        // listener bus is async: wait for it to report EMPTY (bounded)
+        // rather than sleeping a fixed interval — the tail of job-start
+        // events can outlast any fixed sleep under CI load
+        org.apache.spark.graft.ListenerBusDrain.drain(spark.sparkContext)
         (m, c.n.get)
       } finally spark.sparkContext.removeSparkListener(c)
     }

@@ -79,6 +79,31 @@ class IncrementalDedupSpec extends SparkSpec {
       "the pre-screen must be invisible in the result")
   }
 
+  test("bloom auto-sizing: bitsPerKey mode == manual at the computed size; over-budget disables") {
+    val d = Tables.load(spark, sf(), "documents")
+    val corpus = d.filter($"doc_id" % 3 =!= 0)
+    val batch = d.filter($"doc_id" % 3 === 0).unionByName(corpus.limit(40))
+    val store = Dedup.fingerprintStore(corpus, "text")
+    val n = store.count()
+    // the sizing rule itself: bits = n * bitsPerKey, floored at 64,
+    // disabled (0) past the plan-literal budget
+    val computed = Dedup.autoBloomBits(store, "fp", bitsPerKey = 10)
+    assert(computed == math.max(64L, n * 10).toInt, s"n=$n computed=$computed")
+    assert(Dedup.autoBloomBits(store, "fp", 10, maxBits = computed - 1) == 0,
+      "past the budget the pre-screen disables rather than shrink")
+    // auto == manual at the computed size, and == the join-only answer
+    // (the screen is invisible in the result at ANY sizing)
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select($"doc_id").as[Long].collect().sorted.toSeq
+    val auto = ids(Dedup.againstCorpus(batch, store, "text", "doc_id",
+      bloomBitsPerKey = 10))
+    val manual = ids(Dedup.againstCorpus(batch, store, "text", "doc_id",
+      bloomBits = computed))
+    val disabled = ids(Dedup.againstCorpus(batch, store, "text", "doc_id",
+      bloomBitsPerKey = 10, maxBloomBits = 64))
+    assert(auto == manual && auto == disabled && auto.nonEmpty)
+  }
+
   test("bucketed store probes with ZERO exchanges on the store side") {
     val d = Tables.load(spark, sf(), "documents")
     Dedup.writeFingerprintStore(d.filter($"doc_id" % 3 =!= 0), "text",

@@ -86,5 +86,15 @@ class MixSpec extends SparkSpec {
     assert(frac.forall(_._2 == 0L) && math.abs(frac.length - 600) <= 80,
       s"factor 0.3 keeps ~30%: ${frac.length}")
     assert(Mix.upsample(docs, "doc_id", lit(0.0)).count() == 0L)
+
+    // a negative factor is a caller bug (a miscomputed weight), not a
+    // silent drop: the contract is enforced at run time
+    val neg = intercept[Exception] {
+      Mix.upsample(docs, "doc_id", lit(-0.5)).count()
+    }
+    val messages = Iterator.iterate[Throwable](neg)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(messages.contains("factor must be >= 0"),
+      s"unexpected failure shape: $messages")
   }
 }

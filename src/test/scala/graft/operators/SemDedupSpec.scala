@@ -102,6 +102,30 @@ class SemDedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS sem_store_rounds")
   }
 
+  test("semantic store commit: double-commit == single-commit (crash-retry discipline)") {
+    val corpus = Seq((1L, Seq(1f, 0.1f, 0f, 0f))).toDF("vec_id", "embedding")
+    SemDedup.writeSemanticStore(corpus, centroids, "vec_id", "embedding",
+      "c_id", "sem_store_double", buckets = 2)
+    try {
+      val snap = Seq(
+        (10L, Seq(0.9f, -0.4f, 0f, 0f)),
+        (11L, Seq(-0.2f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+      val admitted = SemDedup.againstCorpus(snap,
+        spark.table("sem_store_double"), centroids, "vec_id", "embedding",
+        "c_id", tau = 0.98).localCheckpoint()
+      SemDedup.appendToSemanticStore(admitted, centroids, "vec_id",
+        "embedding", "c_id", "sem_store_double")
+      val once = spark.table("sem_store_double").collect().toSet
+      // the crash-retry case: the same COMMIT runs again
+      SemDedup.appendToSemanticStore(admitted, centroids, "vec_id",
+        "embedding", "c_id", "sem_store_double")
+      val twice = spark.table("sem_store_double").collect().toSet
+      assert(spark.table("sem_store_double").count() == once.size.toLong,
+        "a double-commit must not seed duplicate (cluster, id, embedding) rows")
+      assert(twice == once)
+    } finally spark.sql("DROP TABLE IF EXISTS sem_store_double")
+  }
+
   test("tau above every similarity keeps the whole corpus") {
     val corpus = Seq(
       (1L, Seq(1f, 0.3f, 0f, 0f)),

@@ -21,20 +21,62 @@ import graft.functions.Vectors
   */
 object SemDedup {
 
+  /** Uniqifier for the cluster-skew observe metrics (duplicate
+    * CollectMetrics names in one plan are an analysis error). */
+  private val clusterMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** (id, cluster, kept) for every corpus row: `kept` is false iff some
-    * same-cluster vector with a smaller id sits within cosine ≥ `tau`. */
+    * same-cluster vector with a smaller id sits within cosine ≥ `tau`.
+    *
+    * Cluster-size guard (the LSH `maxBucket` lesson applied to the
+    * embedding family): the paper's contract is that k grows with n so
+    * cluster sizes stay ~constant, but nothing used to enforce it — a
+    * degenerate clustering (one hot centroid swallowing 10⁷ vectors,
+    * exactly what stale centroids produce) silently became an O(b²)
+    * join in ONE task. Now every cluster larger than `maxCluster` has
+    * its pair space tiled 2-D: each side is hashed into
+    * `ceil(n/maxCluster)` chunks and replicated across the other side's
+    * chunk axis, so the join keys on (cluster, ci, cj) and per-task
+    * comparisons are bounded by `maxCluster²` regardless of skew. The
+    * quadratic is the algorithm's contract and is NOT reduced — it is
+    * parallelized, and the answer is bit-identical at any cap (tiling
+    * only partitions the comparison space; capped == uncapped is
+    * spec-pinned). Within-cap clusters tile 1×1 — the plan degenerates
+    * to the plain cluster-keyed join. Every run reports skew through a
+    * named observe metric `graft_semdedup_cluster_<n>` with
+    * `max_cluster` (largest cluster seen) and `overcap_rows` (rows in
+    * clusters past the cap): non-zero `overcap_rows` is the signal
+    * that the clustering has degenerated and centroids need refresh. */
   def mark(corpus: DataFrame, centroids: DataFrame, idCol: String,
-           embCol: String, centroidIdCol: String, tau: Double): DataFrame = {
+           embCol: String, centroidIdCol: String, tau: Double,
+           maxCluster: Int = 4096): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    require(maxCluster >= 2, s"maxCluster must be >= 2: $maxCluster")
     val assigned = Similarity
       .ivfAssign(corpus, centroids, idCol, embCol, centroidIdCol)
       .select(col(idCol), col("centroid").as("cluster"))
       .join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
-    val x = assigned.select(col(idCol).as("__ida"), col("cluster"),
-      col(embCol).as("__ea"))
-    val y = assigned.select(col(idCol).as("__idb"), col("cluster"),
-      col(embCol).as("__eb"))
-    val losers = x.join(y, Seq("cluster"))
+    // per-row cluster size via a window (x and y branches share the one
+    // cluster-keyed exchange through ReuseExchange); chunk count is 1
+    // for within-cap clusters, ceil(n/maxCluster) past it
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+    val sized = assigned
+      .withColumn("__cn", count(lit(1)).over(w))
+      .withColumn("__nc", ((col("__cn") - 1) / maxCluster).cast("int") + 1)
+    val x = sized.select(col(idCol).as("__ida"), col("cluster"),
+        col(embCol).as("__ea"),
+        pmod(hash(col(idCol)), col("__nc")).as("__ci"), col("__nc"))
+      .select(col("__ida"), col("cluster"), col("__ea"), col("__ci"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("__cj"))
+    val y = sized.select(col(idCol).as("__idb"), col("cluster"),
+        col(embCol).as("__eb"),
+        pmod(hash(col(idCol)), col("__nc")).as("__cj"), col("__cn"), col("__nc"))
+      .observe(s"graft_semdedup_cluster_${clusterMetricSeq.incrementAndGet()}",
+        max(col("__cn")).as("max_cluster"),
+        sum(when(col("__nc") > 1, 1L).otherwise(0L)).as("overcap_rows"))
+      .select(col("__idb"), col("cluster"), col("__eb"), col("__cj"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("__ci"))
+    val losers = x.join(y, Seq("cluster", "__ci", "__cj"))
       .filter(col("__ida") < col("__idb"))
       .filter(Vectors.cosine(col("__ea"), col("__eb")) >= tau)
       .select(col("__idb").as(idCol))
@@ -136,23 +178,89 @@ object SemDedup {
     * bucketed table — and compares batch × |that cluster| only, the
     * paper's bounded-cluster regime. The stage boundary materializes
     * once (batch-sized) before the in-batch mark, the
-    * [[Dedup.nearDupsAgainstCorpus]] discipline. */
+    * [[Dedup.nearDupsAgainstCorpus]] discipline.
+    *
+    * Cluster-size guard (the [[mark]] guard, shaped for an immutable
+    * bucketed store): one narrow count-by-cluster over the store (its
+    * only extra cost — exchange-free on a bucketed store, k-row
+    * result) finds clusters past `maxCluster`. Cold clusters keep the
+    * exchange-free cluster-keyed probe unchanged. Hot clusters — the
+    * degenerate-clustering case — route through a chunked join where
+    * ONLY their own store rows re-shuffle on (cluster, chunk), so the
+    * single task that used to stream |batch ∩ c| × 10⁷ comparisons
+    * becomes ceil(n/maxCluster) tasks of ≤ |batch ∩ c| × maxCluster
+    * each (1-D tiling: the batch side is batch-bounded by contract,
+    * only the store side needs splitting). Bit-identical at any cap;
+    * `maxCluster <= 0` disables the guard and the sizing scan
+    * entirely. When hot clusters exist, the probe reports them via the
+    * `graft_semdedup_cluster_<n>` observe metric (`overcap_rows` =
+    * hot-cluster store rows probed chunked, `max_chunks`) and warns —
+    * the centroids-need-refresh signal. */
   def againstCorpus(batch: DataFrame, store: DataFrame, centroids: DataFrame,
                     idCol: String, embCol: String, centroidIdCol: String,
-                    tau: Double): DataFrame = {
+                    tau: Double, maxCluster: Int = 1 << 16): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
     val assigned = Similarity
       .ivfAssign(batch, centroids, idCol, embCol, centroidIdCol)
       .select(col(idCol), col("centroid").as("cluster"))
       .join(batch.select(col(idCol), col(embCol)), Seq(idCol))
-    val hit = assigned
-      .join(store.select(col("cluster"), col(embCol).as("__ce")), Seq("cluster"))
-      .filter(graft.functions.Vectors.cosine(col(embCol), col("__ce")) >= tau)
+    val cosHit = graft.functions.Vectors.cosine(col(embCol), col("__ce")) >= tau
+    def plainProbe(a: DataFrame, s: DataFrame): DataFrame = a
+      .join(s.select(col("cluster"), col(embCol).as("__ce")), Seq("cluster"))
+      .filter(cosHit)
       .select(col(idCol)).distinct()
+    // per-cluster store sizes: k-row result (k = |centroids|, the same
+    // driver-bounded contract ivfAssign already relies on)
+    val hotSizes =
+      if (maxCluster <= 0) Array.empty[(Any, Long)]
+      else store.groupBy(col("cluster")).agg(count(lit(1)).as("__cn"))
+        .filter(col("__cn") > maxCluster)
+        .collect().map(r => (r.get(0), r.getLong(1)))
+    val hit =
+      if (hotSizes.isEmpty) plainProbe(assigned, store)
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"SemDedup.againstCorpus: ${hotSizes.length} cluster(s) exceed " +
+            s"maxCluster=$maxCluster (largest=${hotSizes.map(_._2).max}) — " +
+            "probing them chunked; the clustering has degenerated, " +
+            "consider a centroid refresh (remapSemanticStore)")
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val hotKeys = hotSizes.map(_._1)
+        val nChunks = hotSizes
+          .map { case (c, n) => (c.toString, ((n - 1) / maxCluster + 1).toInt) }
+          .toSeq.toDF("__ckey", "__nchunks")
+        val isHot = col("cluster").isin(hotKeys: _*)
+        val cold = plainProbe(assigned.filter(!isHot), store.filter(!isHot))
+        // hot branch: only hot clusters' rows shuffle, keyed on
+        // (cluster, chunk); chunk = hash of the embedding so the store
+        // needs no id column (chunk placement cannot change the answer
+        // — tiling only partitions the comparison space)
+        val hotStore = store.filter(isHot)
+          .join(broadcast(nChunks), col("cluster").cast("string") === col("__ckey"))
+          .select(col("cluster"), col(embCol).as("__ce"),
+            pmod(hash(col(embCol)), col("__nchunks")).as("__ck"), col("__nchunks"))
+          .observe(s"graft_semdedup_cluster_${clusterMetricSeq.incrementAndGet()}",
+            count(lit(1)).as("overcap_rows"), max(col("__nchunks")).as("max_chunks"))
+          .drop("__nchunks")
+        val hotBatch = assigned.filter(isHot)
+          .join(broadcast(nChunks), col("cluster").cast("string") === col("__ckey"))
+          .select(col(idCol), col("cluster"), col(embCol),
+            explode(sequence(lit(0), col("__nchunks") - 1)).as("__ck"))
+        val hot = hotBatch.join(hotStore, Seq("cluster", "__ck"))
+          .filter(cosHit)
+          .select(col(idCol)).distinct()
+        cold.union(hot).distinct()
+      }
     val novel = batch.join(hit, Seq(idCol), "left_anti").localCheckpoint()
     novel.join(
-      mark(novel, centroids, idCol, embCol, centroidIdCol, tau)
+      mark(novel, centroids, idCol, embCol, centroidIdCol, tau, chunkCap(maxCluster))
         .filter(!col("kept")).select(col(idCol)),
       Seq(idCol), "left_anti")
   }
+
+  /** `maxCluster <= 0` means "guard off": [[mark]] still requires a cap,
+    * so the in-batch stage falls back to its default. */
+  private def chunkCap(maxCluster: Int): Int =
+    if (maxCluster >= 2) maxCluster else 4096
 }

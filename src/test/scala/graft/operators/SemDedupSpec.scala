@@ -126,6 +126,51 @@ class SemDedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS sem_store_double")
   }
 
+  test("cluster guard: one degenerate centroid, 5k vectors — bounded tiles, metric fires, answer exact") {
+    // every vector lands in cluster 100 and is within tau of every other:
+    // the stale-centroid worst case. With maxCluster = 256 the pair space
+    // tiles into ~20x20 chunk tasks instead of one quadratic task.
+    val n = 5000
+    val corpus = (1 to n).map(i => (i.toLong, Seq(1f, i * 1e-6f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val marked = SemDedup.mark(corpus, centroids, "vec_id", "embedding",
+      "c_id", tau = 0.99, maxCluster = 256)
+    // collect() on `marked` ITSELF so the metric lands on this QueryExecution
+    val rows = marked.collect()
+    val kept = rows.filter(_.getBoolean(2)).map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L), s"only the minimum id survives a full-twin cluster: $kept")
+    val metrics = marked.queryExecution.observedMetrics
+      .collect { case (k, v) if k.startsWith("graft_semdedup_cluster_") => v }
+    assert(metrics.nonEmpty, "the cluster-skew metric must be attached to the plan")
+    assert(metrics.head.getAs[Long]("max_cluster") == n.toLong)
+    assert(metrics.head.getAs[Long]("overcap_rows") == n.toLong,
+      "every row sits in the over-cap cluster")
+  }
+
+  test("cluster guard: capped == uncapped below and above the cap (mark + againstCorpus)") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0.1f, 0f, 0f)), (2L, Seq(1f, 0.11f, 0f, 0f)),
+      (3L, Seq(0.9f, -0.4f, 0f, 0f)), (4L, Seq(0.1f, 1f, 0f, 0f)),
+      (5L, Seq(0.1f, 1f, 0.01f, 0f)), (6L, Seq(1f, 0.12f, 0f, 0f)),
+      (7L, Seq(0.95f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding")
+    def marks(cap: Int) = SemDedup.mark(corpus, centroids, "vec_id",
+        "embedding", "c_id", tau = 0.98, maxCluster = cap)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(marks(2) == marks(4096), "tiling must only partition the comparison space")
+
+    val batch = Seq(
+      (10L, Seq(1f, 0.11f, 0f, 0f)), (11L, Seq(0.9f, -0.4f, 0f, 0f)),
+      (12L, Seq(0.9f, -0.41f, 0f, 0f)), (13L, Seq(-0.2f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val store = SemDedup.semanticStore(corpus, centroids, "vec_id",
+      "embedding", "c_id")
+    def admitted(cap: Int) = SemDedup.againstCorpus(batch, store, centroids,
+        "vec_id", "embedding", "c_id", tau = 0.98, maxCluster = cap)
+      .select($"vec_id").as[Long].collect().toSet
+    // cap 2 forces the hot branch on every cluster; 0 disables the guard
+    assert(admitted(2) == admitted(0) && admitted(2) == admitted(1 << 16))
+  }
+
   test("tau above every similarity keeps the whole corpus") {
     val corpus = Seq(
       (1L, Seq(1f, 0.3f, 0f, 0f)),

@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions.col
 
 /** Bucketed table layout for co-located joins (SURVEY.md §7.0 scale
@@ -49,5 +50,90 @@ object Bucketing {
       if (sortCols.isEmpty) w.sortBy(bucketCols.head, bucketCols.tail: _*)
       else w.sortBy(sortCols.head, sortCols.tail: _*)
     sorted.format("parquet").saveAsTable(table)
+  }
+
+  /** Rewrites a bucketed store table back to ONE file per bucket,
+    * preserving its bucket spec, sort spec, and table properties — the
+    * lifecycle step the grow-forever key stores (fingerprint /
+    * signature / span / semantic) need: every ingest COMMIT appends one
+    * file per bucket, so a year of daily ingests leaves ~365 files per
+    * bucket and probe-side open cost grows linearly with rounds. This
+    * is the store-side twin of the sink's size-bounded rotation.
+    *
+    * The rewrite never shuffles: the source is read as a FORCED
+    * bucketed scan (auto-bucketed-scan off for this plan — left on, the
+    * planner first elides the matching repartition and then un-buckets
+    * the "unneeded" scan, leaving the write input unpartitioned and one
+    * file per task×bucket), so each of the `numBuckets` tasks reads
+    * exactly its own bucket's append-files and writes them back as one
+    * file. Probe plans are unchanged — the compacted table still joins
+    * exchange-free (spec-pinned alongside the file-count collapse).
+    *
+    * Not atomic, never lossy: the compacted copy is fully written to a
+    * `<table>__compacting` staging table before the original is
+    * dropped and the staging table renamed into place. A crash in the
+    * tiny drop/rename window leaves both (or only the staging) table —
+    * rerun [[compactBucketed]] to converge (a complete staging table
+    * with no original is finished by rename; a fresh run starts by
+    * dropping the stale staging copy). */
+  def compactBucketed(spark: SparkSession, table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val staging = table + "__compacting"
+    if (!catalog.tableExists(TableIdentifier(table))) {
+      // crash recovery: a finished staging table whose swap never ran
+      require(catalog.tableExists(TableIdentifier(staging)),
+        s"neither '$table' nor its staging copy exists")
+      spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+      return
+    }
+    val meta = catalog.getTableMetadata(TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"'$table' is not a bucketed store table"))
+    val bucketCols = spec.bucketColumnNames
+    val sortCols =
+      if (spec.sortColumnNames.nonEmpty) spec.sortColumnNames else bucketCols
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val autoScanOld = spark.conf.get(autoScanKey)
+    try {
+      spark.conf.set(autoScanKey, "false")
+      spark.table(table).write.mode(SaveMode.Overwrite)
+        .bucketBy(spec.numBuckets, bucketCols.head, bucketCols.tail: _*)
+        .sortBy(sortCols.head, sortCols.tail: _*)
+        .format("parquet").saveAsTable(staging)
+    } finally spark.conf.set(autoScanKey, autoScanOld)
+    // carry library-level table properties (e.g. the semantic store's
+    // centroid fingerprint) across the rewrite
+    val props = meta.properties.filter { case (k, _) => k.startsWith("graft.") }
+    if (props.nonEmpty) {
+      val kv = props
+        .map { case (k, v) => s"'$k' = '${v.replace("'", "''")}'" }
+        .mkString(", ")
+      spark.sql(s"ALTER TABLE `$staging` SET TBLPROPERTIES ($kv)")
+    }
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+  }
+
+  /** Per-bucket (bucket, files, bytes) of a bucketed managed table —
+    * the observability half of store lifecycle: `files` climbing with
+    * ingest rounds is the [[compactBucketed]] trigger. Driver-side
+    * directory listing (metadata-scale: one entry per bucket file). */
+  def bucketFileStats(spark: SparkSession, table: String): DataFrame = {
+    val meta = spark.sessionState.catalog.getTableMetadata(TableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bucket id is encoded in the file name: part-<task>-<uuid>_<bucket>.<ext>
+    val bucketRe = "_(\\d{5})\\.".r
+    val rows = fs.listStatus(loc).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .flatMap { s =>
+        bucketRe.findFirstMatchIn(s.getPath.getName)
+          .map(m => (m.group(1).toInt, 1L, s.getLen))
+      }
+      .groupBy(_._1).toSeq
+      .map { case (b, fs0) => (b, fs0.map(_._2).sum, fs0.map(_._3).sum) }
+    import spark.implicits._
+    rows.toDF("bucket", "files", "bytes").orderBy(col("bucket"))
   }
 }

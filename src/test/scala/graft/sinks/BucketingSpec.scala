@@ -57,4 +57,59 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("compaction: append-files collapse to one per bucket; rows, probe plan, props preserved") {
+    import graft.operators.Dedup
+    val d = Tables.load(spark, sf(), "documents")
+    Dedup.writeFingerprintStore(d.filter($"doc_id" % 4 === 0), "text",
+      "fp_compact", buckets = 8)
+    try {
+      // three ingest rounds: each commit appends one file per bucket
+      (1 to 3).foreach { r =>
+        Dedup.appendToFingerprintStore(
+          d.filter($"doc_id" % 4 === lit(r))
+            .select($"doc_id", concat($"text", lit(s" round$r")).as("text")),
+          "text", "fp_compact")
+      }
+      val before = Bucketing.bucketFileStats(spark, "fp_compact")
+        .select($"files").as[Long].collect()
+      assert(before.sum > 8 && before.exists(_ > 1),
+        s"appends must have accumulated files: ${before.toSeq}")
+      val rowsBefore = spark.table("fp_compact").select($"fp")
+        .as[String].collect().sorted.toSeq
+      spark.sql("ALTER TABLE fp_compact SET TBLPROPERTIES ('graft.probe' = 'kept')")
+
+      Bucketing.compactBucketed(spark, "fp_compact")
+
+      val after = Bucketing.bucketFileStats(spark, "fp_compact")
+        .select($"files").as[Long].collect()
+      assert(after.forall(_ == 1L) && after.length <= 8,
+        s"compaction must leave one file per occupied bucket: ${after.toSeq}")
+      val rowsAfter = spark.table("fp_compact").select($"fp")
+        .as[String].collect().sorted.toSeq
+      assert(rowsAfter == rowsBefore, "compaction must be a pure layout rewrite")
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("fp_compact"))
+      assert(meta.properties.get("graft.probe").contains("kept"),
+        "graft table properties must survive the rewrite")
+      assert(meta.bucketSpec.exists(_.numBuckets == 8))
+
+      // the zero-exchange probe pin must hold on the compacted table
+      val batch = d.filter($"doc_id" % 4 === 0).limit(50)
+      val got = Dedup.againstCorpus(batch,
+        spark.table("fp_compact").hint("merge"), "text", "doc_id")
+      got.collect()
+      val joins = collectPlan(got.queryExecution.executedPlan) {
+        case j if j.nodeName.contains("SortMergeJoin") => j }
+      assert(joins.nonEmpty)
+      val storeSide = joins.flatMap(_.children.lastOption)
+      val exchanges = storeSide.flatMap(_.collect {
+        case e: ShuffleExchangeLike => e })
+      assert(exchanges.isEmpty,
+        s"compacted store must still probe exchange-free: $exchanges")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fp_compact")
+      spark.sql("DROP TABLE IF EXISTS fp_compact__compacting")
+    }
+  }
 }

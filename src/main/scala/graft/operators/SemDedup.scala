@@ -103,13 +103,119 @@ object SemDedup {
       .join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
       .select(col("cluster"), col(idCol), col(embCol))
 
-  /** Persists [[semanticStore]] bucketed on the cluster id. */
+  /** Table property recording which centroid set clustered a persisted
+    * semantic store ([[centroidFingerprint]]). The fixed-centroid
+    * contract is only safe if probes can PROVE they hold the same
+    * centroids: a mismatched probe silently assigns the batch to wrong
+    * clusters and admits near-dups. */
+  val CentroidsProp = "graft.semantic.centroids"
+
+  /** Deterministic fingerprint of a centroid SET: md5 over the
+    * id-sorted (id, embedding) rows. Centroids are driver-bounded by
+    * the ivfAssign contract, so the collect is the same k-row cost
+    * assignment already pays. */
+  def centroidFingerprint(centroids: DataFrame, centroidIdCol: String,
+                          embCol: String): String = {
+    val rows = centroids.select(col(centroidIdCol).cast("string"),
+        col(embCol).cast("array<double>"))
+      .collect()
+      .map(r => s"${r.getString(0)}=${r.getSeq[Double](1).mkString(",")}")
+      .sorted
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.mkString(";").getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  private def storedCentroidFp(spark: org.apache.spark.sql.SparkSession,
+                               table: String): Option[String] =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.get(CentroidsProp)
+
+  private def requireCentroidsMatch(spark: org.apache.spark.sql.SparkSession,
+      table: String, centroids: DataFrame, centroidIdCol: String,
+      embCol: String): Unit =
+    storedCentroidFp(spark, table).foreach { stored =>
+      val probe = centroidFingerprint(centroids, centroidIdCol, embCol)
+      require(stored == probe,
+        s"centroid set mismatch for semantic store '$table': the store " +
+          s"was clustered under $stored but the probe holds $probe — a " +
+          "mismatched probe would silently search the wrong clusters; " +
+          "refresh with remapSemanticStore or pass the original centroids")
+    }
+
+  /** Persists [[semanticStore]] bucketed on the cluster id, stamping the
+    * centroid-set fingerprint as a table property so every later commit
+    * or [[openSemanticStore]] probe fails FAST on mismatched centroids
+    * instead of silently probing wrong clusters. */
   def writeSemanticStore(corpus: DataFrame, centroids: DataFrame,
                          idCol: String, embCol: String, centroidIdCol: String,
-                         table: String, buckets: Int): Unit =
+                         table: String, buckets: Int): Unit = {
     graft.sinks.Bucketing.writeBucketed(
       semanticStore(corpus, centroids, idCol, embCol, centroidIdCol),
       table, Seq("cluster"), buckets)
+    val fp = centroidFingerprint(centroids, centroidIdCol, embCol)
+    corpus.sparkSession.sql(
+      s"ALTER TABLE `$table` SET TBLPROPERTIES ('$CentroidsProp' = '$fp')")
+  }
+
+  /** The CHECKED accessor for a persisted semantic store: verifies the
+    * caller's centroid set against the table's stamped fingerprint
+    * (fail-fast on drift) and returns the store frame for
+    * [[againstCorpus]]. Tables without the stamp (pre-guard stores)
+    * open without verification. */
+  def openSemanticStore(spark: org.apache.spark.sql.SparkSession,
+                        table: String, centroids: DataFrame,
+                        centroidIdCol: String, embCol: String): DataFrame = {
+    requireCentroidsMatch(spark, table, centroids, centroidIdCol, embCol)
+    spark.table(table)
+  }
+
+  /** Centroid REFRESH — the migration path the fixed-centroid contract
+    * needs once the corpus's embedding distribution drifts: re-assigns
+    * every stored (id, embedding) under `newCentroids` and rewrites the
+    * table bucketed on the new cluster ids, re-stamping the fingerprint.
+    * Afterwards probes under `newCentroids` are exactly the store a
+    * from-scratch [[writeSemanticStore]] would have produced
+    * (spec-pinned), and probes still holding the OLD centroids fail
+    * fast at [[openSemanticStore]] — drift cannot be silent in either
+    * direction.
+    *
+    * Cost is the honest one: a full rewrite of the store (assignment is
+    * the narrow ivfAssign fold; the bucketed write is the one shuffle on
+    * the new cluster id) — run it as the deliberate maintenance step it
+    * is. Staged + swapped like [[graft.sinks.Bucketing.compactBucketed]]:
+    * never lossy, rerun to converge. */
+  def remapSemanticStore(spark: org.apache.spark.sql.SparkSession,
+                         table: String, newCentroids: DataFrame,
+                         idCol: String, embCol: String,
+                         centroidIdCol: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    val staging = table + "__remapping"
+    val fp = centroidFingerprint(newCentroids, centroidIdCol, embCol)
+    if (!catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))) {
+      require(catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(staging)),
+        s"neither '$table' nor its staging copy exists")
+      spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+      return
+    }
+    val meta = catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$table' is not a bucketed store table")).numBuckets
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    graft.sinks.Bucketing.writeBucketed(
+      semanticStore(spark.table(table).select(col(idCol), col(embCol)),
+        newCentroids, idCol, embCol, centroidIdCol),
+      staging, Seq("cluster"), buckets)
+    spark.sql(
+      s"ALTER TABLE `$staging` SET TBLPROPERTIES ('$CentroidsProp' = '$fp')")
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+  }
 
   /** The commit step for the semantic store (the
     * [[graft.operators.Dedup.appendToFingerprintStore]] discipline):
@@ -122,11 +228,16 @@ object SemDedup {
     * crash-retry rule — so a double-COMMIT of the same snapshot cannot
     * seed duplicate (cluster, id, embedding) rows (duplicates could not
     * flip any-match admission verdicts, but every future probe of the
-    * cluster would pay the duplicate comparisons forever). */
+    * cluster would pay the duplicate comparisons forever). Commits also
+    * verify the centroid-set fingerprint stamped on the table
+    * ([[CentroidsProp]]): appending rows assigned under DIFFERENT
+    * centroids would corrupt the store's clustering invariant, so a
+    * drifted caller fails fast here too. */
   def appendToSemanticStore(admitted: DataFrame, centroids: DataFrame,
                             idCol: String, embCol: String,
                             centroidIdCol: String, table: String): Unit = {
     val spark = admitted.sparkSession
+    requireCentroidsMatch(spark, table, centroids, centroidIdCol, embCol)
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val buckets = meta.bucketSpec

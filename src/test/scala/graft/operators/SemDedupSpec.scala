@@ -171,6 +171,83 @@ class SemDedupSpec extends SparkSpec {
     assert(admitted(2) == admitted(0) && admitted(2) == admitted(1 << 16))
   }
 
+  test("centroid guard: drifted probes and commits fail fast; matching ones pass") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0.1f, 0f, 0f)), (4L, Seq(0.1f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    SemDedup.writeSemanticStore(corpus, centroids, "vec_id", "embedding",
+      "c_id", "sem_store_guard", buckets = 2)
+    try {
+      // matching centroids open cleanly
+      val ok = SemDedup.openSemanticStore(spark, "sem_store_guard",
+        centroids, "c_id", "embedding")
+      assert(ok.count() == 2L)
+      // a drifted centroid set cannot silently probe wrong clusters
+      val drifted = Seq(
+        (100L, Seq(0.7f, 0.7f, 0f, 0f)),
+        (200L, Seq(0f, 0f, 1f, 0f))).toDF("c_id", "embedding")
+      val e1 = intercept[IllegalArgumentException] {
+        SemDedup.openSemanticStore(spark, "sem_store_guard", drifted,
+          "c_id", "embedding")
+      }
+      assert(e1.getMessage.contains("centroid set mismatch"))
+      // ... nor corrupt the store at commit time
+      val snap = Seq((10L, Seq(-0.2f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+      val e2 = intercept[IllegalArgumentException] {
+        SemDedup.appendToSemanticStore(snap, drifted, "vec_id", "embedding",
+          "c_id", "sem_store_guard")
+      }
+      assert(e2.getMessage.contains("centroid set mismatch"))
+      // matching commit still works
+      SemDedup.appendToSemanticStore(snap, centroids, "vec_id", "embedding",
+        "c_id", "sem_store_guard")
+      assert(spark.table("sem_store_guard").count() == 3L)
+    } finally spark.sql("DROP TABLE IF EXISTS sem_store_guard")
+  }
+
+  test("centroid refresh: remapped store == from-scratch re-cluster, old probes fail fast") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0.1f, 0f, 0f)), (2L, Seq(0.9f, -0.4f, 0f, 0f)),
+      (3L, Seq(0.1f, 1f, 0f, 0f)), (4L, Seq(-0.2f, 1f, 0f, 0f)),
+      (5L, Seq(0.6f, 0.75f, 0f, 0f))).toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (7L, Seq(0.7f, 0.7f, 0f, 0f)),
+      (8L, Seq(1f, -0.5f, 0f, 0f)),
+      (9L, Seq(-0.5f, 1f, 0f, 0f))).toDF("c_id", "embedding")
+    SemDedup.writeSemanticStore(corpus, centroids, "vec_id", "embedding",
+      "c_id", "sem_store_remap", buckets = 2)
+    SemDedup.writeSemanticStore(corpus, fresh, "vec_id", "embedding",
+      "c_id", "sem_store_scratch", buckets = 2)
+    try {
+      SemDedup.remapSemanticStore(spark, "sem_store_remap", fresh,
+        "vec_id", "embedding", "c_id")
+      def snap(t: String) = spark.table(t)
+        .select($"cluster".cast("long"), $"vec_id",
+          $"embedding".cast("array<double>"))
+        .as[(Long, Long, Seq[Double])].collect().toSet
+      assert(snap("sem_store_remap") == snap("sem_store_scratch"),
+        "refresh must equal a full re-cluster from scratch")
+      // the old centroid set is now the drifted one
+      intercept[IllegalArgumentException] {
+        SemDedup.openSemanticStore(spark, "sem_store_remap", centroids,
+          "c_id", "embedding")
+      }
+      // probes under the new set: same admissions through either store
+      val batch = Seq(
+        (10L, Seq(1f, 0.11f, 0f, 0f)), (11L, Seq(0.5f, 0.8f, 0f, 0f)))
+        .toDF("vec_id", "embedding")
+      def admitted(t: String) = SemDedup.againstCorpus(batch,
+          SemDedup.openSemanticStore(spark, t, fresh, "c_id", "embedding"),
+          fresh, "vec_id", "embedding", "c_id", tau = 0.98)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(admitted("sem_store_remap") == admitted("sem_store_scratch"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sem_store_remap")
+      spark.sql("DROP TABLE IF EXISTS sem_store_scratch")
+      spark.sql("DROP TABLE IF EXISTS sem_store_remap__remapping")
+    }
+  }
+
   test("tau above every similarity keeps the whole corpus") {
     val corpus = Seq(
       (1L, Seq(1f, 0.3f, 0f, 0f)),

@@ -276,6 +276,18 @@ object Similarity {
       .select(col(idCol), col("__list").as("centroid"), col("__cos").as("cos"))
   }
 
+  /** [[ivfAssign]] keeping EVERY input column (`centroid` / `cos`
+    * appended): the streaming-safe assignment form — the composed
+    * ivfAssign + join-back-on-id shape would be a stream-stream join on
+    * a stream, while this stays the same narrow zero-exchange fold. */
+  def ivfAssignAll(corpus: DataFrame, centroids: DataFrame,
+                   embCol: String, centroidIdCol: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    withNearest(corpus, centroids, embCol, centroidIdCol)
+      .withColumnRenamed("__list", "centroid")
+      .withColumnRenamed("__cos", "cos")
+  }
+
   /** IVF top-k ANN search: each query probes only its `nProbe` nearest
     * inverted lists.
     *

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.SemDedup
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantic gate: a paraphrase RE-ENCODING (same embedding
+  * neighborhood, different id) is rejected across micro-batch
+  * boundaries; stream == batch twin; and in the exact (mutually-within-
+  * tau blob) regime the store-seeded gate equals the batch incremental
+  * SemDeDup. */
+class SemGateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val centroids = Seq(
+    (100L, Seq(1f, 0f, 0f, 0f)),
+    (200L, Seq(0f, 1f, 0f, 0f))
+  ).toDF("c_id", "embedding")
+
+  test("paraphrase re-encoding rejected across micro-batches; novelty admitted") {
+    val src = Files.createTempDirectory("sg_src").toString
+    val ckpt = Files.createTempDirectory("sg_ckpt").toString
+    val batch1 = Seq(
+      (1L, Seq(1f, 0.1f, 0f, 0f)),    // cluster 100, novel
+      (2L, Seq(0.1f, 1f, 0f, 0f)))    // cluster 200, novel
+      .toDF("vec_id", "embedding")
+    // 3 re-encodes doc 1 (cos ~ 0.9999 — a paraphrase whose EXACT and
+    // SHAPE fingerprints are all new); 4 is a genuinely new direction
+    val batch2 = Seq(
+      (3L, Seq(1f, 0.11f, 0f, 0f)),
+      (4L, Seq(0.9f, -0.4f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+
+    val out = Files.createTempDirectory("sg_out").toString
+    batch1.write.mode("append").parquet(src)
+    // a restartable append sink (memory + append cannot recover from a
+    // checkpoint): verdicts accumulate in a parquet dir across runs
+    def run(): Unit = {
+      val stream = spark.readStream.schema(batch1.schema).parquet(src)
+      val q = SemGate.gate(stream, centroids, "vec_id", "embedding", "c_id",
+          tau = 0.98)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run()
+    val after1 = spark.read.parquet(out).as[(Long, Boolean)].collect().toMap
+    assert(after1 == Map(1L -> true, 2L -> true), s"first batch all-novel: $after1")
+
+    batch2.write.mode("append").parquet(src)
+    run()
+    val after2 = spark.read.parquet(out).as[(Long, Boolean)].collect().toMap
+    assert(after2(3L) == false,
+      s"the re-encoded paraphrase must be rejected across the batch boundary: $after2")
+    assert(after2 == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true))
+
+    // the batch twin on the unioned data agrees
+    val viaBatch = SemGate.gate(batch1.unionByName(batch2), centroids,
+        "vec_id", "embedding", "c_id", tau = 0.98)
+      .as[(Long, Boolean)].collect().toMap
+    assert(viaBatch == after2, s"stream $after2 != batch $viaBatch")
+  }
+
+  test("store-seeded stream rejects corpus paraphrases from the first micro-batch") {
+    val src = Files.createTempDirectory("sgs_src").toString
+    val ckpt = Files.createTempDirectory("sgs_ckpt").toString
+    val corpus = Seq(
+      (1L, Seq(1f, 0.1f, 0f, 0f)),
+      (4L, Seq(0.1f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    SemDedup.writeSemanticStore(corpus, centroids, "vec_id", "embedding",
+      "c_id", "sem_gate_seed", buckets = 2)
+    try {
+      val batch = Seq(
+        (10L, Seq(1f, 0.11f, 0f, 0f)),  // re-encodes corpus 1 -> reject
+        (11L, Seq(0.9f, -0.4f, 0f, 0f)), // novel direction -> admit
+        (13L, Seq(-0.2f, 1f, 0f, 0f)))   // novel in cluster 200 -> admit
+        .toDF("vec_id", "embedding")
+      batch.write.mode("append").parquet(src)
+      val stream = spark.readStream.schema(batch.schema).parquet(src)
+      val store = SemDedup.openSemanticStore(spark, "sem_gate_seed",
+        centroids, "c_id", "embedding")
+      val q = SemGate.gate(stream, centroids, "vec_id", "embedding", "c_id",
+          tau = 0.98, store = Some(store))
+        .writeStream.format("memory").queryName("sgs_1")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val got = spark.table("sgs_1").as[(Long, Boolean)].collect().toMap
+      assert(got == Map(10L -> false, 11L -> true, 13L -> true), s"got $got")
+
+      // exact-regime differential: the batch incremental SemDeDup agrees
+      val viaBatchOp = SemDedup.againstCorpus(batch, store, centroids,
+          "vec_id", "embedding", "c_id", tau = 0.98)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(viaBatchOp == got.filter(_._2).keySet,
+        s"gate admissions must match againstCorpus in the exact regime")
+      // ... and the seeded batch-mode gate matches the stream verbatim
+      val viaBatchGate = SemGate.gate(batch, centroids, "vec_id",
+          "embedding", "c_id", tau = 0.98, store = Some(store))
+        .as[(Long, Boolean)].collect().toMap
+      assert(viaBatchGate == got)
+    } finally spark.sql("DROP TABLE IF EXISTS sem_gate_seed")
+  }
+
+  test("re-delivered admitted id stays admitted; in-batch twins fold in id order") {
+    val docs = Seq(
+      (5L, Seq(1f, 0.1f, 0f, 0f)),   // admitted (first in id order)
+      (6L, Seq(1f, 0.11f, 0f, 0f)),  // twin of 5 -> rejected
+      (5L, Seq(1f, 0.1f, 0f, 0f)),   // re-delivery of an admitted id
+      (7L, Seq(0.9f, -0.4f, 0f, 0f))) // novel -> admitted
+      .toDF("vec_id", "embedding")
+    val got = SemGate.gate(docs, centroids, "vec_id", "embedding", "c_id",
+        tau = 0.98)
+      .as[(Long, Boolean)].collect()
+    assert(got.count(_._1 == 5L) == 2 && got.filter(_._1 == 5L).forall(_._2),
+      "re-delivery of an admitted id is admitted again")
+    val byId = got.toMap
+    assert(byId(6L) == false && byId(7L) == true)
+  }
+}

@@ -442,8 +442,44 @@ object IncrementalOps {
        |FROM batch b LEFT JOIN per ON b.doc_id = per.doc_id""".stripMargin
   }
 
+  // -- q113: the training-shard MANIFEST (sinks.ShardWriter) — the last
+  // mile after q107's packing: per shard, doc count, model-token count
+  // (each doc once, via its chunk 0), written chunk count and size
+  // (overlap included), and a content hash over the (doc, chunk)-ordered
+  // chunk fingerprints — the row a trainer checks before reading a
+  // shard. Oracle: the proven q107 cum-sum + q105 slice algebra, hashed
+  // with an ORDER BY string_agg twin of the array_sort fold. --
+  private val q113: Q = (s, dir) => {
+    val enc = graft.operators.Tokenizer.encode(docs(s, dir), "text", Merges)
+    graft.sinks.ShardWriter.manifest(
+      graft.sinks.ShardWriter.chunkedWithShards(
+        enc.select(col("doc_id"), col("token_ids")),
+        "doc_id", "token_ids", budget = 4096L, chunkTokens = 64, overlap = 16),
+      "doc_id")
+  }
+  private val q113Sql =
+    s"""WITH ids AS ($dDocIds),
+       |n AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n_ids FROM ids),
+       |c AS (SELECT doc_id, ids, n_ids, sum(n_ids) OVER (ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM n),
+       |sh AS (SELECT doc_id, ids, n_ids,
+       |         CAST((cum - n_ids) // 4096 AS BIGINT) AS shard FROM c),
+       |ch AS (SELECT doc_id, n_ids, shard, CAST(i AS BIGINT) AS chunk_idx,
+       |         md5(array_to_string(list_slice(ids, i * 48 + 1, i * 48 + 64), ' ')) AS fp,
+       |         CAST(len(list_slice(ids, i * 48 + 1, i * 48 + 64)) AS BIGINT) AS clen
+       |       FROM (SELECT doc_id, ids, n_ids, shard,
+       |               unnest(range(0, (len(ids) - 1) // 48 + 1)) AS i
+       |             FROM sh WHERE len(ids) > 0))
+       |SELECT shard, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN chunk_idx = 0 THEN n_ids ELSE 0 END) AS BIGINT) AS total_ids,
+       |  CAST(sum(clen) AS BIGINT) AS total_chunk_ids,
+       |  md5(string_agg(fp, ' ' ORDER BY doc_id, chunk_idx)) AS content_hash
+       |FROM ch GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q110_upsample" -> q110,
+    "q113_shard_manifest" -> q113,
     "q112_corpus_spans" -> q112,
     "q101_incremental_dedup" -> q101,
     "q102_neardup_decontam" -> q102,
@@ -456,6 +492,7 @@ object IncrementalOps {
 
   val oracle: Map[String, String] = Map(
     "q110_upsample" -> q110Sql,
+    "q113_shard_manifest" -> q113Sql,
     "q112_corpus_spans" -> q112Sql,
     "q101_incremental_dedup" -> q101Sql,
     "q102_neardup_decontam" -> q102Sql,

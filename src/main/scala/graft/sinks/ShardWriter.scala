@@ -1,0 +1,106 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Chunk, Prefix}
+
+/** The LAST MILE of the ingest pipeline: q107/q108 compute shard
+  * assignments, this writes the actual training shards — `shard=NNNN`
+  * partitioned parquet of (doc_id, chunk_idx, chunk_ids), ONE file per
+  * shard (the [[Bucketing]] one-file-per-key discipline, so a training
+  * job maps one shard file per reader), plus a manifest with one row
+  * per shard (doc count, token count, chunk count, content hash) that
+  * certifies what actually landed on disk.
+  *
+  * Pipeline shape (every stage an already-proven operator): token
+  * counts → [[Prefix.packIntoShards]] greedy first-fit in id order →
+  * [[Chunk.splitIds]] context windows in MODEL-token space → write.
+  * A document's chunks all land in its shard, so shard budgets meter
+  * exactly what the training job meters (the q107 contract).
+  *
+  * Scale posture: the only data-sized shuffle is the repartition on
+  * `shard` that buys one file per shard; packing itself is the two-pass
+  * prefix scan (partition-count-bounded driver state), chunking is an
+  * in-partition explode. The manifest is computed by READING BACK the
+  * written files — one extra scan, and the content hashes certify the
+  * bytes a trainer will actually read, not the plan that produced them.
+  */
+object ShardWriter {
+
+  /** (shard, doc_id, chunk_idx, chunk_len, chunk_ids, __n_ids) for every
+    * context window: the frame [[writeShards]] persists. Pure — shared
+    * by the writer and its oracle query. */
+  def chunkedWithShards(docs: DataFrame, idCol: String, idsCol: String,
+                        budget: Long, chunkTokens: Int,
+                        overlap: Int): DataFrame = {
+    val n = docs.select(col(idCol), col(idsCol),
+      size(col(idsCol)).cast("long").as("__n_ids"))
+    val packed = Prefix.packIntoShards(n, idCol, "__n_ids", budget)
+    Chunk.splitIds(packed, idsCol, chunkTokens, overlap)
+      .select(col("shard"), col(idCol), col("chunk_idx"), col("chunk_len"),
+        col("chunk_ids"), col("__n_ids"))
+  }
+
+  /** One row per shard over a [[chunkedWithShards]]-shaped frame:
+    * (shard, n_docs, n_chunks, total_ids, total_chunk_ids,
+    * content_hash). `total_ids` counts each document's model tokens
+    * once (via its chunk 0); `total_chunk_ids` counts written chunk
+    * entries (overlap included) — the two diverge by exactly the
+    * overlap duplication. `content_hash` is md5 over the
+    * (doc, chunk)-ordered chunk fingerprints: deterministic across
+    * runs, partitionings, and engines. */
+  def manifest(chunked: DataFrame, idCol: String): DataFrame =
+    chunked
+      .withColumn("__fp", md5(array_join(
+        transform(col("chunk_ids"), i => i.cast("string")), " ")))
+      .groupBy(col("shard"))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_idx") === 0, col("__n_ids")).otherwise(0L))
+          .as("total_ids"),
+        sum(col("chunk_len")).as("total_chunk_ids"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col(idCol), col("chunk_idx"), col("__fp")))),
+            x => x.getField("__fp")),
+          " ")).as("content_hash"))
+
+  /** Writes `dir/shards/shard=NNNN/` (one parquet file per shard) and
+    * `dir/manifest/` (one parquet file), returning the manifest frame.
+    * `docs` needs `idCol` plus `idsCol: array<int>` — the
+    * [[graft.operators.Tokenizer.encode]] output shape. */
+  def writeShards(docs: DataFrame, idCol: String, idsCol: String,
+                  dir: String, budget: Long, chunkTokens: Int = 128,
+                  overlap: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    val chunked = chunkedWithShards(docs, idCol, idsCol, budget,
+      chunkTokens, overlap)
+    // repartition on shard: every shard's rows land in one task, so
+    // partitionBy emits exactly one file under each shard=NNNN dir
+    chunked.drop("__n_ids")
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol), col("chunk_idx"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(s"$dir/shards")
+    // the manifest certifies what LANDED, not what was planned: read the
+    // written files back (partition discovery restores the shard column)
+    // and reconstruct each document's token count from its own chunks —
+    // chunks start at multiples of step, the last one runs to the end,
+    // so n_ids = last_chunk_idx * step + last_chunk_len exactly
+    val step = chunkTokens - overlap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val written = spark.read.parquet(s"$dir/shards")
+      .withColumn("__last",
+        max(struct(col("chunk_idx"), col("chunk_len"))).over(w))
+      .withColumn("__n_ids",
+        (col("__last").getField("chunk_idx") * step +
+          col("__last").getField("chunk_len")).cast("long"))
+      .drop("__last")
+    val m = manifest(written, idCol)
+    m.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
+    spark.read.parquet(s"$dir/manifest")
+  }
+}

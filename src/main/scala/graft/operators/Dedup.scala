@@ -246,13 +246,15 @@ object Dedup {
     pruneNearDups(novel, textCol, idCol, shingle, bands, maxBucket)
   }
 
-  /** The batch-vs-store collision probe of [[nearDupsAgainstCorpus]],
-    * exposed so the exchange-free-store plan property stays pinnable
-    * (the composed operator checkpoints this stage, which hides its
-    * plan from the final query execution): distinct batch ids whose any
-    * band signature is present in the store. */
-  private[operators] def storeCollisions(batch: DataFrame, store: DataFrame,
-      textCol: String, idCol: String, shingle: Int, bands: Int): DataFrame = {
+  /** The batch-vs-store collision probe of [[nearDupsAgainstCorpus]]:
+    * distinct batch ids whose ANY band signature is present in the
+    * store. Public for two callers: plan pins (the composed operator
+    * checkpoints this stage, hiding its plan from the final execution)
+    * and [[Audit]]ed pipelines, which attribute the store screen and
+    * the in-batch prune as separate drop reasons. */
+  def storeCollisions(batch: DataFrame, store: DataFrame,
+      textCol: String, idCol: String, shingle: Int = 5,
+      bands: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
     batch
       .select(col(idCol), Text.tokens(col(textCol)).as("__tk"))

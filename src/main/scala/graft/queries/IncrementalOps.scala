@@ -477,9 +477,75 @@ object IncrementalOps {
        |  md5(string_agg(fp, ' ' ORDER BY doc_id, chunk_idx)) AS content_hash
        |FROM ch GROUP BY 1""".stripMargin
 
+  // -- q114: DROP-REASON PROVENANCE (operators.Audit) — the q108 ingest
+  // pipeline run audited, every document attributed to the FIRST stage
+  // that dropped it: in-batch exact dup, exact fingerprint-store hit,
+  // near-dup signature-store collision, in-batch near-dup prune, or
+  // admitted. Auditing cannot change survivors (spec-pinned); this query
+  // pins the attribution itself against an oracle that recomputes each
+  // stage's loser set from the proven q108 CTE fragments. --
+  private val q114: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val ops = graft.operators.Dedup
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" v2")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          array_join(reverse(Text.tokens(col("text"))), " ").as("text")))
+    graft.operators.Audit.start(batch, "doc_id")
+      .stage("exact_batch")(df => ops.exactByText(df, "text", "doc_id"))
+      .stage("exact_corpus", materialize = true)(df =>
+        ops.againstCorpus(df, ops.fingerprintStore(d, "text"),
+          "text", "doc_id", bloomBits = 1 << 17))
+      .stage("neardup_corpus", materialize = true)(df =>
+        df.join(ops.storeCollisions(df, ops.signatureStore(d, "text"),
+          "text", "doc_id"), Seq("doc_id"), "left_anti"))
+      .stage("neardup_batch")(df => ops.pruneNearDups(df, "text", "doc_id"))
+      .fates
+  }
+  private val q114Sql =
+    s"""WITH RECURSIVE
+       |batch AS (
+       |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL SELECT doc_id + 20000, text || ' v2' FROM documents WHERE doc_id % 5 = 1
+       |  UNION ALL SELECT doc_id + 30000, text || ' v2' FROM documents WHERE doc_id % 5 = 1
+       |  UNION ALL SELECT doc_id + 40000, array_to_string(list_reverse($dTok), ' ')
+       |    FROM documents WHERE doc_id % 5 = 2),
+       |cfp AS (SELECT DISTINCT $dFp AS fp FROM documents),
+       |bf AS (SELECT doc_id, text, $dFp AS fp,
+       |  row_number() OVER (PARTITION BY $dFp ORDER BY doc_id) AS rn FROM batch),
+       |exact AS (SELECT doc_id, text FROM bf b
+       |  WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM cfp c WHERE c.fp = b.fp)),
+       |csigs AS (SELECT DISTINCT band, sig FROM (${dSigsOf("documents")})),
+       |bs AS (${dSigsOf("exact")}),
+       |hit AS (SELECT DISTINCT b.doc_id FROM bs b JOIN csigs c USING (band, sig)),
+       |surv AS (SELECT doc_id, text FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig
+       |          WHERE a.doc_id < b.doc_id
+       |            AND a.doc_id IN (SELECT doc_id FROM surv)
+       |            AND b.doc_id IN (SELECT doc_id FROM surv)),
+       |$dPruneTail
+       |SELECT b.doc_id,
+       |  CASE
+       |    WHEN b.rn > 1 THEN 'exact_batch'
+       |    WHEN b.doc_id NOT IN (SELECT doc_id FROM exact) THEN 'exact_corpus'
+       |    WHEN b.doc_id IN (SELECT doc_id FROM hit) THEN 'neardup_corpus'
+       |    WHEN b.doc_id IN (SELECT doc_id FROM losers) THEN 'neardup_batch'
+       |    ELSE 'admitted'
+       |  END AS fate
+       |FROM bf b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q110_upsample" -> q110,
     "q113_shard_manifest" -> q113,
+    "q114_pipeline_audit" -> q114,
     "q112_corpus_spans" -> q112,
     "q101_incremental_dedup" -> q101,
     "q102_neardup_decontam" -> q102,
@@ -493,6 +559,7 @@ object IncrementalOps {
   val oracle: Map[String, String] = Map(
     "q110_upsample" -> q110Sql,
     "q113_shard_manifest" -> q113Sql,
+    "q114_pipeline_audit" -> q114Sql,
     "q112_corpus_spans" -> q112Sql,
     "q101_incremental_dedup" -> q101Sql,
     "q102_neardup_decontam" -> q102Sql,

@@ -139,6 +139,31 @@ object Spans {
     graft.sinks.Bucketing.writeBucketed(
       spanStore(corpus, textCol, w), table, Seq("fp"), buckets)
 
+  /** The COMMIT step for the span store — the
+    * [[graft.operators.Dedup.appendToFingerprintStore]] discipline for
+    * the family's largest member: appends an ingested snapshot's
+    * distinct window fingerprints (only the NEW ones — the anti-join
+    * keeps the store distinct even under a crash-retry double-commit),
+    * preserving the bucketed layout. After this, re-ingesting any
+    * document through [[removeCorpusSpans]] scrubs every span the
+    * snapshot shipped. `admitted` should be the ingested text as it
+    * SHIPPED (i.e. the rewritten `clean_text` of the
+    * [[removeCorpusSpans]] output, not the raw batch) so the store
+    * stays the exact span inventory of the shipped corpus. */
+  def appendToSpanStore(admitted: DataFrame, textCol: String, table: String,
+                        w: Int = 10): Unit = {
+    val spark = admitted.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$table' is not a bucketed store table")).numBuckets
+    spanStore(admitted, textCol, w)
+      .join(spark.table(table), Seq("fp"), "left_anti")
+      .repartition(buckets, col("fp"))
+      .write.mode("append").insertInto(table)
+  }
+
   /** Incremental exact-substring dedup — [[removeDupSpans]] ACROSS
     * snapshots: every `w`-token window of `batch` whose fingerprint
     * exists in the shipped corpus's span `store` is removed from its

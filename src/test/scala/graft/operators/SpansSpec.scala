@@ -132,4 +132,36 @@ class SpansSpec extends SparkSpec {
     assert(run(0) == run(1 << 16),
       "a bloom false positive joins and misses; it can never remove a novel span")
   }
+
+  test("span-store commit: shipped snapshot's windows scrub on re-ingest; double-commit == single") {
+    import spark.implicits._
+    val para = (0 until 12).map(i => s"ship$i").mkString(" ")
+    val corpus = Seq((1L, s"corpus preamble words here $para corpus tail"))
+      .toDF("doc_id", "text")
+    Spans.writeSpanStore(corpus, "text", "span_store_rounds", buckets = 4)
+    try {
+      val snap = Seq(
+        (10L, "a freshly ingested paragraph with twelve brand new tokens " +
+          "never shipped before today"))
+        .toDF("doc_id", "text")
+      val shipped = Spans.removeCorpusSpans(snap,
+        spark.table("span_store_rounds"), "text", "doc_id")
+      assert(shipped.select($"n_kept").as[Long].head() ==
+        shipped.select($"n_tokens").as[Long].head(), "novel snapshot intact")
+      val cleanShipped = shipped
+        .select($"doc_id", $"clean_text".as("text")).localCheckpoint()
+      Spans.appendToSpanStore(cleanShipped, "text", "span_store_rounds")
+      val once = spark.table("span_store_rounds").count()
+      // crash-retry: the same commit runs again — store stays distinct
+      Spans.appendToSpanStore(cleanShipped, "text", "span_store_rounds")
+      val st = spark.table("span_store_rounds")
+      assert(st.count() == once && st.count() == st.distinct().count(),
+        "double-commit must not seed duplicate fingerprints")
+      // re-ingesting the committed snapshot scrubs to empty
+      val replay = Spans.removeCorpusSpans(snap,
+        spark.table("span_store_rounds"), "text", "doc_id")
+      assert(replay.select($"n_kept").as[Long].head() == 0L,
+        "committed spans reject their own re-delivery")
+    } finally spark.sql("DROP TABLE IF EXISTS span_store_rounds")
+  }
 }

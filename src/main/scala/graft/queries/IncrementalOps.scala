@@ -542,10 +542,82 @@ object IncrementalOps {
        |  END AS fate
        |FROM bf b""".stripMargin
 
+  /** Shared md5 bucket idiom (FeatureHash.bucket's DuckDB twin). */
+  private def dBucket(t: String, dim: Int): String =
+    s"TRY_CAST('0x' || substring(md5($t), 1, 8) AS BIGINT) % $dim"
+
+  // -- q115: DSIR importance weights (operators.Dsir, Xie et al. 2023) —
+  // data SELECTION: score every raw document by how target-like its
+  // hashed-token distribution is, w = Σ ln((tc_b+1)/(rc_b+1)) +
+  // n·ln((R+dim)/(T+dim)). Every ln argument is a ratio of exact
+  // integers (identical doubles both engines — the q87 precedent);
+  // Spark folds the per-token terms in token order with zero shuffles,
+  // the oracle joins + sums; round(6) absorbs the order ulps. Target =
+  // every 7th doc, raw = the rest. --
+  private val q115: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    graft.operators.Dsir.importanceWeights(
+      d.filter(col("doc_id") % 7 =!= 0),
+      d.filter(col("doc_id") % 7 === 0),
+      "text", "doc_id", dim = 1024)
+  }
+  private val q115Sql =
+    s"""WITH tt AS (SELECT unnest($dTok) AS t FROM documents WHERE doc_id % 7 = 0),
+       |rt AS (SELECT unnest($dTok) AS t FROM documents WHERE doc_id % 7 <> 0),
+       |tb AS (SELECT ${dBucket("t", 1024)} AS b, CAST(count(*) AS BIGINT) AS tc
+       |       FROM tt GROUP BY 1),
+       |rb AS (SELECT ${dBucket("t", 1024)} AS b, CAST(count(*) AS BIGINT) AS rc
+       |       FROM rt GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM tt) AS tn,
+       |               (SELECT count(*) FROM rt) AS rn),
+       |toks AS (SELECT doc_id, unnest($dTok) AS t FROM documents WHERE doc_id % 7 <> 0),
+       |term AS (SELECT toks.doc_id,
+       |    ln(CAST(COALESCE(tb.tc, 0) + 1 AS DOUBLE) / (COALESCE(rb.rc, 0) + 1)) AS lr
+       |  FROM toks
+       |  LEFT JOIN tb ON tb.b = ${dBucket("toks.t", 1024)}
+       |  LEFT JOIN rb ON rb.b = ${dBucket("toks.t", 1024)}),
+       |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, sum(lr) AS s
+       |        FROM term GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(per.n, 0) AS n_tokens,
+       |  round(COALESCE(per.s, 0) +
+       |    COALESCE(per.n, 0) * ln(CAST(rn + 1024 AS DOUBLE) / (tn + 1024)), 6)
+       |    AS dsir_weight
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+       |CROSS JOIN tot
+       |LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+
+  // -- q116: DSIR Gumbel-top-k resampling — the selection half:
+  // perturbed score = weight/scale + content-addressed Gumbel noise
+  // (-ln(-ln(u)), u an exact dyadic rational from a 32-bit md5 slice,
+  // so both engines see bit-identical inputs), top-50 by (rounded
+  // score, id). Spark runs a distributed TakeOrdered heap, never a
+  // global sort. --
+  private val q116: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val w = graft.operators.Dsir.importanceWeights(
+      d.filter(col("doc_id") % 7 =!= 0),
+      d.filter(col("doc_id") % 7 === 0),
+      "text", "doc_id", dim = 1024)
+    graft.operators.Dsir.gumbelTopK(w, "doc_id", "dsir_weight",
+        k = 50, salt = "sel")
+      .select(col("doc_id"), col("dsir_weight"), col("gumbel_score"))
+  }
+  private val q116Sql =
+    s"""WITH w AS ($q115Sql),
+       |g AS (SELECT doc_id, dsir_weight,
+       |    round(dsir_weight -
+       |      ln(-ln((TRY_CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':sel'), 1, 8) AS BIGINT)
+       |              + 0.5) / 4294967296.0)), 6) AS gumbel_score
+       |  FROM w)
+       |SELECT doc_id, dsir_weight, gumbel_score FROM g
+       |ORDER BY gumbel_score DESC, doc_id LIMIT 50""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q110_upsample" -> q110,
     "q113_shard_manifest" -> q113,
     "q114_pipeline_audit" -> q114,
+    "q115_dsir_weights" -> q115,
+    "q116_dsir_select" -> q116,
     "q112_corpus_spans" -> q112,
     "q101_incremental_dedup" -> q101,
     "q102_neardup_decontam" -> q102,
@@ -560,6 +632,8 @@ object IncrementalOps {
     "q110_upsample" -> q110Sql,
     "q113_shard_manifest" -> q113Sql,
     "q114_pipeline_audit" -> q114Sql,
+    "q115_dsir_weights" -> q115Sql,
+    "q116_dsir_select" -> q116Sql,
     "q112_corpus_spans" -> q112Sql,
     "q101_incremental_dedup" -> q101Sql,
     "q102_neardup_decontam" -> q102Sql,

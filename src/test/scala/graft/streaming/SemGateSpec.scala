@@ -108,6 +108,56 @@ class SemGateSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS sem_gate_seed")
   }
 
+  test("recipe: three-modality streaming ingest — exact || shape || meaning gates join downstream") {
+    // the full streaming curation recipe: the exact/near-dup gates (text)
+    // and the semantic gate (embedding) run as SIBLING queries over the
+    // same multimodal source, verdicts join on the id downstream — a doc
+    // ships iff every modality admits it. Fixture: 2 is a reworded
+    // re-crawl of 1 (caught by SHAPE), 3 is a paraphrase re-encoding of 1
+    // (new words AND new shapes — only MEANING catches it), 4 is novel.
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "watches from a warm windowsill and the rain taps the glass"
+    val docs = Seq(
+      (1L, base, Seq(1f, 0.1f, 0f, 0f)),
+      (2L, base.replace("the glass", "the pane"), Seq(0.8f, 0.55f, 0f, 0f)),
+      (3L, "an entirely reworded account of that same fox and dog scene",
+        Seq(1f, 0.11f, 0f, 0f)),
+      (4L, "completely unrelated material about distributed query planning",
+        Seq(0.1f, 1f, 0f, 0f)))
+      .toDF("doc_id", "text", "embedding")
+    val src = Files.createTempDirectory("tri_src").toString
+    val ck1 = Files.createTempDirectory("tri_ck1").toString
+    val ck2 = Files.createTempDirectory("tri_ck2").toString
+    docs.write.mode("append").parquet(src)
+
+    def stream = spark.readStream.schema(docs.schema).parquet(src)
+    val q1 = NearDupGate.gate(stream, "text", "doc_id")
+      .writeStream.format("memory").queryName("tri_shape")
+      .outputMode("complete")
+      .option("checkpointLocation", ck1)
+      .trigger(Trigger.AvailableNow()).start()
+    val q2 = SemGate.gate(stream, centroids, "doc_id", "embedding", "c_id",
+        tau = 0.98)
+      .writeStream.format("memory").queryName("tri_meaning")
+      .outputMode("append")
+      .option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+    q2.awaitTermination(120000)
+
+    val shipped = spark.table("tri_shape").where($"admitted")
+      .join(spark.table("tri_meaning").where($"admitted"), Seq("doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(shipped == Set(1L, 4L),
+      s"2 falls to the shape gate, 3 to the meaning gate: $shipped")
+    // batch twin of the same composition
+    val viaBatch = NearDupGate.gate(docs, "text", "doc_id").where($"admitted")
+      .join(SemGate.gate(docs, centroids, "doc_id", "embedding", "c_id",
+        tau = 0.98).where($"admitted"), Seq("doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(viaBatch == shipped, s"stream $shipped != batch $viaBatch")
+  }
+
   test("re-delivered admitted id stays admitted; in-batch twins fold in id order") {
     val docs = Seq(
       (5L, Seq(1f, 0.1f, 0f, 0f)),   // admitted (first in id order)

@@ -61,6 +61,46 @@ class NearDupGateSpec extends SparkSpec {
     assert(viaBatch == after2, s"stream $after2 != batch $viaBatch")
   }
 
+  test("bucketVerdicts + foreachBatch batch-local fold == gate (zero aggregation state)") {
+    // the documented escape hatch for the per-doc aggregation state: all
+    // of a document's bucket verdicts share its micro-batch, so a
+    // batch-LOCAL groupBy inside foreachBatch reproduces gate()'s answer
+    // with no second state store — across micro-batch boundaries too
+    val src = Files.createTempDirectory("ndgv_src").toString
+    val out = Files.createTempDirectory("ndgv_out").toString
+    val ckpt = Files.createTempDirectory("ndgv_ckpt").toString
+    val batch1 = Seq((1L, baseText),
+      (2L, "completely different material about distributed query planning"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq((3L, baseText.replace("all afternoon", "every evening")),
+      (4L, "a fourth document with its own unrelated words entirely"))
+      .toDF("doc_id", "text")
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(batch1.schema).parquet(src)
+      val q = NearDupGate.bucketVerdicts(stream, "text", "doc_id")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          import org.apache.spark.sql.functions._
+          df.groupBy(col("doc_id"))
+            .agg((!max(col("collided"))).as("admitted"))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    batch1.write.mode("append").parquet(src)
+    run()
+    batch2.write.mode("append").parquet(src)
+    run()
+    val got = spark.read.parquet(out).as[(Long, Boolean)].collect().toMap
+    val viaGate = NearDupGate.gate(batch1.unionByName(batch2), "text", "doc_id")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == viaGate, s"foreachBatch fold $got != gate $viaGate")
+    assert(got(3L) == false, "cross-batch rejection still works: bucket state is intact")
+  }
+
   test("exact regime: gate admissions == batch LSH prune survivors") {
     // templated corpus: 3 copies x 10 templates + 10 unique docs. Exact
     // copies collide in EVERY band, so the single-pass gate and the

@@ -31,15 +31,30 @@ import graft.functions.Text
   */
 object Dsir {
 
+  /** The hashed feature stream of a token array: the tokens themselves
+    * plus every word n-gram up to `maxNgram` (the paper's hashed n-gram
+    * model — bigrams catch word ORDER unigram bags cannot), all drawn
+    * from the same `dim`-bucket space. */
+  private def featureStream(tk: org.apache.spark.sql.Column,
+                            maxNgram: Int): org.apache.spark.sql.Column =
+    if (maxNgram <= 1) tk
+    else concat(tk +: (2 to maxNgram).map(n =>
+      coalesce(Text.shinglesNative(tk, n), array().cast("array<string>"))): _*)
+
   /** (idCol, n_tokens, dsir_weight) for every `raw` row — weight > 0
     * leans target-like, < 0 raw-like; token-less documents score 0.
-    * Weights are rounded to 6 dp (summation-order ulps). */
+    * `n_tokens` counts the FEATURES the weight folds over (== tokens at
+    * the default `maxNgram = 1`; + (n-1)-, …-grams above it). Weights
+    * are rounded to 6 dp (summation-order ulps). */
   def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
-                        idCol: String, dim: Int = 1024): DataFrame = {
+                        idCol: String, dim: Int = 1024,
+                        maxNgram: Int = 1): DataFrame = {
     require(dim >= 1, s"dim must be positive: $dim")
+    require(maxNgram >= 1, s"maxNgram must be positive: $maxNgram")
     def bucketCounts(df: DataFrame): (Map[Long, Long], Long) = {
       val rows = df
-        .select(explode(Text.tokens(col(textCol))).as("__t"))
+        .select(explode(
+          featureStream(Text.tokens(col(textCol)), maxNgram)).as("__t"))
         .select(graft.operators.FeatureHash.bucket(col("__t"), dim).as("__b"))
         .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1))
@@ -55,8 +70,9 @@ object Dsir {
     val rlit = typedlit(ratios)
     raw
       .select(col(idCol),
-        coalesce(Text.tokens(col(textCol)), array().cast("array<string>"))
-          .as("__tk"))
+        featureStream(
+          coalesce(Text.tokens(col(textCol)), array().cast("array<string>")),
+          maxNgram).as("__tk"))
       .select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"),
         round(
           aggregate(col("__tk"), lit(0.0), (acc, t) =>

@@ -29,6 +29,24 @@ class DsirSpec extends SparkSpec {
     assert(w(2L) == w(3L))
   }
 
+  test("hashed n-grams catch word order a unigram bag cannot") {
+    val target = Seq(
+      (100L, "alpha beta gamma alpha beta gamma alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma"),  // target's phrase order
+      (2L, "gamma beta alpha"))  // same unigram bag, reversed order
+      .toDF("doc_id", "text")
+    def w(ngram: Int) = Dsir.importanceWeights(raw, target, "text",
+        "doc_id", dim = 256, maxNgram = ngram)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val uni = w(1)
+    assert(uni(1L) == uni(2L), "unigram bags are order-blind")
+    val bi = w(2)
+    assert(bi(1L) > bi(2L),
+      s"bigram features must reward the target's word order: $bi")
+  }
+
   test("gumbelTopK: deterministic per salt, k-bounded, salt redraws") {
     val target = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val raw = (1 to 200)

@@ -124,4 +124,25 @@ class PlanSpec extends SparkSpec {
       case pr if pr.toString.contains("graft_bpe_ids") => pr }
     assert(kernels.nonEmpty, "the id kernel must be in the plan")
   }
+
+  test("q115: DSIR scoring pass is zero-exchange (after the dim-bounded count aggs)") {
+    // importanceWeights runs its two bucket-count aggregates eagerly
+    // (collected, dim-bounded); the frame it RETURNS — the per-document
+    // scoring pass over the raw corpus — must be a pure narrow fold:
+    // no shuffle, no join, no explode on the corpus-sized path
+    val p = plan("q115_dsir_weights")
+    assert(collectAll(p) { case e: ShuffleExchangeLike => e }.isEmpty,
+      "DSIR weights for a petabyte corpus must be a map over the scan")
+    assert(collectAll(p) {
+      case g if g.nodeName.contains("Generate") => g }.isEmpty,
+      "the token fold must not explode the corpus")
+  }
+
+  test("q116: DSIR selection is a distributed top-k heap, not a global sort") {
+    val p = plan("q116_dsir_select")
+    val takeOrdered = collectAll(p) {
+      case t if t.nodeName.contains("TakeOrdered") => t }
+    assert(takeOrdered.nonEmpty,
+      s"orderBy.limit must plan as TakeOrderedAndProject: ${p.nodeName}")
+  }
 }

@@ -79,4 +79,62 @@ object Chunk {
       .withColumn("chunk_ids", col("__c.ids"))
       .drop("__chunks", "__c")
   }
+
+  /** GPT-style SEQUENCE packing — the actual tensor layout a pretraining
+    * job consumes, which [[splitIds]] (per-document windows) and
+    * [[Prefix.packIntoShards]] (whole documents per shard) both stop
+    * short of: every document's ids plus one `eosId` separator are
+    * CONCATENATED in ascending `idCol` order and recut into fixed
+    * `seqLen` rows, documents crossing sequence boundaries mid-token-run
+    * (no padding waste — the only short row is the corpus's last).
+    * Returns (seq_id, n_ids, ids); id-less documents contribute only
+    * their EOS (the standard empty-document encoding).
+    *
+    * Shape at 100 TB: a document's absolute start offset comes from the
+    * two-pass [[Prefix.cumsum]] (no data-sized window); each document
+    * then explodes into one row PER SPANNED SEQUENCE — O(docs +
+    * total_tokens / seqLen) rows, never one row per token — carrying the
+    * id-slice that lands in that sequence; one shuffle on seq_id
+    * reassembles each sequence from its ≤ few segments (sort by segment
+    * offset, flatten). The output is token-level data re-laid-out, so
+    * the one shuffle moves ~corpus-token volume once — the format's
+    * irreducible cost. */
+  def packSequences(df: DataFrame, idCol: String, idsCol: String,
+                    seqLen: Int, eosId: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val withEos = df
+      .select(col(idCol),
+        concat(coalesce(col(idsCol), array().cast("array<int>")),
+          array(lit(eosId))).as("__ids"))
+      .withColumn("__n", size(col("__ids")).cast("long"))
+    val placed = Prefix.cumsum(withEos, idCol, "__n", "__cum")
+      .withColumn("__start", col("__cum") - col("__n"))
+    // one row per (doc, spanned sequence): seq s covers absolute
+    // positions [s·L, (s+1)·L); the doc contributes its ids in the
+    // intersection, tagged with the segment's ABSOLUTE start so the
+    // per-sequence reassembly sorts segments from different docs
+    // correctly (disjoint intervals — the position is a unique key)
+    val segs = placed
+      .select(col("__ids"), col("__start"), col("__n"),
+        explode_outer(sequence((col("__start") / seqLen).cast("long"),
+          ((col("__start") + col("__n") - 1) / seqLen).cast("long")))
+          .as("seq_id"))
+      .filter(col("seq_id").isNotNull)
+      .withColumn("__abs", greatest(col("seq_id") * seqLen, col("__start")))
+      .withColumn("__end",
+        least((col("seq_id") + 1) * seqLen, col("__start") + col("__n")))
+      .select(col("seq_id"),
+        struct(col("__abs").as("pos"),
+          slice(col("__ids"), (col("__abs") - col("__start") + 1).cast("int"),
+            (col("__end") - col("__abs")).cast("int")).as("ids")).as("__seg"))
+    // per-sequence state is seqLen-bounded: the collected segments hold
+    // exactly the sequence's L ids (fewer only for the corpus tail)
+    segs
+      .groupBy(col("seq_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(col("__seg"))), s => s.getField("ids")))
+        .as("ids"))
+      .select(col("seq_id"), size(col("ids")).cast("long").as("n_ids"),
+        col("ids"))
+  }
 }

@@ -612,12 +612,49 @@ object IncrementalOps {
        |SELECT doc_id, dsir_weight, gumbel_score FROM g
        |ORDER BY gumbel_score DESC, doc_id LIMIT 50""".stripMargin
 
+  // -- q117: GPT-style SEQUENCE packing (Chunk.packSequences) — the
+  // tensor layout a pretraining job actually consumes: every document's
+  // ids + one EOS, concatenated in doc order and recut into fixed
+  // 512-id rows, documents crossing boundaries mid-run (only the corpus
+  // tail runs short). Spark: two-pass cumsum offsets + one-row-per-
+  // spanned-sequence segments + one seq-keyed reassembly shuffle.
+  // Oracle: the same offset/intersection arithmetic with list_slice;
+  // the per-sequence id hash via ORDER BY abs string_agg (segment
+  // strings concatenate to exactly the flattened sequence string). --
+  private val q117: Q = (s, dir) => {
+    val enc = graft.operators.Tokenizer.encode(docs(s, dir), "text", Merges)
+      .select(col("doc_id"), col("token_ids"))
+    graft.operators.Chunk.packSequences(enc, "doc_id", "token_ids",
+        seqLen = 512, eosId = 0)
+      .select(col("seq_id"), col("n_ids"),
+        md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
+          .as("ids_fp"))
+  }
+  private val q117Sql =
+    s"""WITH ids AS ($dDocIds),
+       |w AS (SELECT doc_id, list_concat(ids, [0]) AS ids FROM ids),
+       |n AS (SELECT doc_id, ids, CAST(len(ids) AS BIGINT) AS n FROM w),
+       |c AS (SELECT doc_id, ids, n, sum(n) OVER (ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM n),
+       |p AS (SELECT ids, n, CAST(cum - n AS BIGINT) AS strt FROM c),
+       |seg AS (SELECT s AS seq_id,
+       |          greatest(s * 512, strt) AS ab,
+       |          list_slice(ids, greatest(s * 512, strt) - strt + 1,
+       |                     least((s + 1) * 512, strt + n) - strt) AS seg_ids
+       |        FROM (SELECT ids, n, strt,
+       |                unnest(range(strt // 512, (strt + n - 1) // 512 + 1)) AS s
+       |              FROM p))
+       |SELECT seq_id, CAST(sum(len(seg_ids)) AS BIGINT) AS n_ids,
+       |  md5(string_agg(array_to_string(seg_ids, ' '), ' ' ORDER BY ab)) AS ids_fp
+       |FROM seg GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q110_upsample" -> q110,
     "q113_shard_manifest" -> q113,
     "q114_pipeline_audit" -> q114,
     "q115_dsir_weights" -> q115,
     "q116_dsir_select" -> q116,
+    "q117_pack_sequences" -> q117,
     "q112_corpus_spans" -> q112,
     "q101_incremental_dedup" -> q101,
     "q102_neardup_decontam" -> q102,
@@ -634,6 +671,7 @@ object IncrementalOps {
     "q114_pipeline_audit" -> q114Sql,
     "q115_dsir_weights" -> q115Sql,
     "q116_dsir_select" -> q116Sql,
+    "q117_pack_sequences" -> q117Sql,
     "q112_corpus_spans" -> q112Sql,
     "q101_incremental_dedup" -> q101Sql,
     "q102_neardup_decontam" -> q102Sql,

@@ -45,4 +45,51 @@ class ChunkSpec extends SparkSpec {
     assert(m(3L) == ((4L, 1L, 0.0)))              // 1 - 16/16
     assert(m(4L) == ((0L, 0L, 0.0)))
   }
+
+  test("packSequences: hand-computed GPT-style layout, boundary crossing, EOS-only empties") {
+    import org.apache.spark.sql.functions._
+    // concat in id order with eos = 0:
+    //   [1,2,3,0] ++ [4,5,0] ++ [0] = [1,2,3,0,4,5,0,0]
+    // L = 4 -> seq0 = [1,2,3,0], seq1 = [4,5,0,0]
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq.empty[Int]))
+      .toDF("doc_id", "token_ids")
+    val got = Chunk.packSequences(docs, "doc_id", "token_ids",
+        seqLen = 4, eosId = 0)
+      .orderBy($"seq_id")
+      .as[(Long, Long, Seq[Int])].collect().toSeq
+    assert(got == Seq((0L, 4L, Seq(1, 2, 3, 0)), (1L, 4L, Seq(4, 5, 0, 0))),
+      s"got $got")
+
+    // a document longer than L spans sequences mid-run; the corpus tail
+    // may run short; the concatenation round-trips exactly
+    val docs2 = Seq(
+      (1L, Seq(10, 11, 12, 13, 14, 15)), // spans seq0 and seq1
+      (2L, Seq(20)))
+      .toDF("doc_id", "token_ids")
+    val got2 = Chunk.packSequences(docs2, "doc_id", "token_ids",
+        seqLen = 4, eosId = -1)
+      .orderBy($"seq_id")
+      .as[(Long, Long, Seq[Int])].collect().toSeq
+    // concat: [10,11,12,13,14,15,-1] ++ [20,-1] = 9 ids -> 4 + 4 + 1
+    assert(got2.map(_._3).flatten ==
+      Seq(10, 11, 12, 13, 14, 15, -1, 20, -1), s"got $got2")
+    assert(got2.map(_._2) == Seq(4L, 4L, 1L))
+    assert(got2.map(_._1) == Seq(0L, 1L, 2L))
+
+    // corpus-scale: every id lands exactly once, in order
+    val d = graft.Tables.load(spark, sf(), "documents").limit(100)
+    val enc = graft.operators.Tokenizer
+      .encode(d, "text", graft.queries.IncrementalOps.Merges)
+      .select($"doc_id", $"token_ids").localCheckpoint()
+    val packed = Chunk.packSequences(enc, "doc_id", "token_ids",
+      seqLen = 256, eosId = 0)
+    val flat = packed.orderBy($"seq_id")
+      .as[(Long, Long, Seq[Int])].collect().flatMap(_._3).toSeq
+    val expected = enc.orderBy($"doc_id")
+      .as[(Long, Seq[Int])].collect().flatMap(r => r._2 :+ 0).toSeq
+    assert(flat == expected, "packing must be the exact concatenation recut")
+    assert(packed.filter($"n_ids" =!= 256).count() <= 1,
+      "only the corpus tail may run short")
+  }
 }

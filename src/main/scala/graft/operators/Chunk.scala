@@ -87,8 +87,12 @@ object Chunk {
     * CONCATENATED in ascending `idCol` order and recut into fixed
     * `seqLen` rows, documents crossing sequence boundaries mid-token-run
     * (no padding waste — the only short row is the corpus's last).
-    * Returns (seq_id, n_ids, ids); id-less documents contribute only
-    * their EOS (the standard empty-document encoding).
+    * Returns (seq_id, n_ids, ids, seg_lens); `seg_lens` is the length of
+    * each document segment inside the sequence in order — the boundary
+    * metadata a trainer needs to reset attention (block-diagonal
+    * masking) at document boundaries instead of attending across
+    * unrelated documents. Id-less documents contribute only their EOS
+    * (the standard empty-document encoding).
     *
     * Shape at 100 TB: a document's absolute start offset comes from the
     * two-pass [[Prefix.cumsum]] (no data-sized window); each document
@@ -131,10 +135,11 @@ object Chunk {
     // exactly the sequence's L ids (fewer only for the corpus tail)
     segs
       .groupBy(col("seq_id"))
-      .agg(flatten(transform(
-        array_sort(collect_list(col("__seg"))), s => s.getField("ids")))
-        .as("ids"))
+      .agg(array_sort(collect_list(col("__seg"))).as("__ss"))
+      .select(col("seq_id"),
+        flatten(transform(col("__ss"), s => s.getField("ids"))).as("ids"),
+        transform(col("__ss"), s => size(s.getField("ids"))).as("seg_lens"))
       .select(col("seq_id"), size(col("ids")).cast("long").as("n_ids"),
-        col("ids"))
+        col("ids"), col("seg_lens"))
   }
 }

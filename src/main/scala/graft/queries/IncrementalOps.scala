@@ -628,7 +628,9 @@ object IncrementalOps {
         seqLen = 512, eosId = 0)
       .select(col("seq_id"), col("n_ids"),
         md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
-          .as("ids_fp"))
+          .as("ids_fp"),
+        array_join(transform(col("seg_lens"), i => i.cast("string")), " ")
+          .as("seg_lens_s"))
   }
   private val q117Sql =
     s"""WITH ids AS ($dDocIds),
@@ -645,7 +647,8 @@ object IncrementalOps {
        |                unnest(range(strt // 512, (strt + n - 1) // 512 + 1)) AS s
        |              FROM p))
        |SELECT seq_id, CAST(sum(len(seg_ids)) AS BIGINT) AS n_ids,
-       |  md5(string_agg(array_to_string(seg_ids, ' '), ' ' ORDER BY ab)) AS ids_fp
+       |  md5(string_agg(array_to_string(seg_ids, ' '), ' ' ORDER BY ab)) AS ids_fp,
+       |  string_agg(CAST(len(seg_ids) AS VARCHAR), ' ' ORDER BY ab) AS seg_lens_s
        |FROM seg GROUP BY 1""".stripMargin
 
   val queries: Map[String, Q] = Map(

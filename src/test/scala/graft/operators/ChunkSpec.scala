@@ -57,8 +57,10 @@ class ChunkSpec extends SparkSpec {
     val got = Chunk.packSequences(docs, "doc_id", "token_ids",
         seqLen = 4, eosId = 0)
       .orderBy($"seq_id")
-      .as[(Long, Long, Seq[Int])].collect().toSeq
-    assert(got == Seq((0L, 4L, Seq(1, 2, 3, 0)), (1L, 4L, Seq(4, 5, 0, 0))),
+      .as[(Long, Long, Seq[Int], Seq[Int])].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, Seq(1, 2, 3, 0), Seq(4)),       // all of doc 1
+      (1L, 4L, Seq(4, 5, 0, 0), Seq(3, 1))),   // doc 2 + empty doc 3's EOS
       s"got $got")
 
     // a document longer than L spans sequences mid-run; the corpus tail
@@ -70,12 +72,14 @@ class ChunkSpec extends SparkSpec {
     val got2 = Chunk.packSequences(docs2, "doc_id", "token_ids",
         seqLen = 4, eosId = -1)
       .orderBy($"seq_id")
-      .as[(Long, Long, Seq[Int])].collect().toSeq
+      .as[(Long, Long, Seq[Int], Seq[Int])].collect().toSeq
     // concat: [10,11,12,13,14,15,-1] ++ [20,-1] = 9 ids -> 4 + 4 + 1
     assert(got2.map(_._3).flatten ==
       Seq(10, 11, 12, 13, 14, 15, -1, 20, -1), s"got $got2")
     assert(got2.map(_._2) == Seq(4L, 4L, 1L))
     assert(got2.map(_._1) == Seq(0L, 1L, 2L))
+    // boundary metadata: seq1 = doc1's tail (3) + doc2's head (1)
+    assert(got2.map(_._4) == Seq(Seq(4), Seq(3, 1), Seq(1)), s"got $got2")
 
     // corpus-scale: every id lands exactly once, in order
     val d = graft.Tables.load(spark, sf(), "documents").limit(100)
@@ -85,6 +89,7 @@ class ChunkSpec extends SparkSpec {
     val packed = Chunk.packSequences(enc, "doc_id", "token_ids",
       seqLen = 256, eosId = 0)
     val flat = packed.orderBy($"seq_id")
+      .select($"seq_id", $"n_ids", $"ids")
       .as[(Long, Long, Seq[Int])].collect().flatMap(_._3).toSeq
     val expected = enc.orderBy($"doc_id")
       .as[(Long, Seq[Int])].collect().flatMap(r => r._2 :+ 0).toSeq

@@ -103,4 +103,44 @@ object ShardWriter {
     m.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
     spark.read.parquet(s"$dir/manifest")
   }
+
+  /** The PACKED variant of [[writeShards]] — the pretraining artifact
+    * itself: [[graft.operators.Chunk.packSequences]] output (fixed
+    * `seqLen` rows of concatenated ids + EOS separators, with
+    * `seg_lens` boundary metadata for attention masking) written as
+    * `shard=NNNN` partitioned parquet, `seqsPerShard` sequences per
+    * shard, one file per shard. The manifest (one row per shard:
+    * sequence count, id count, content hash over seq-ordered id
+    * fingerprints) is computed from the files read back off disk — the
+    * row a trainer checks before mapping a shard. Returns the manifest.
+    *
+    * Scale: packing's one seq-keyed shuffle is the only data-sized move
+    * ([[graft.operators.Chunk.packSequences]]); the shard repartition
+    * moves the same volume once more to buy one-file-per-shard — at
+    * cluster scale fold the two by sizing `seqsPerShard` so shards
+    * align with the packing partitioning if that move matters. */
+  def writePackedShards(docs: DataFrame, idCol: String, idsCol: String,
+                        dir: String, seqLen: Int, eosId: Int,
+                        seqsPerShard: Long): DataFrame = {
+    require(seqsPerShard >= 1, s"seqsPerShard must be positive: $seqsPerShard")
+    val spark = docs.sparkSession
+    graft.operators.Chunk.packSequences(docs, idCol, idsCol, seqLen, eosId)
+      .withColumn("shard", (col("seq_id") / seqsPerShard).cast("long"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq_id"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(s"$dir/shards")
+    val m = spark.read.parquet(s"$dir/shards")
+      .withColumn("__fp", md5(array_join(
+        transform(col("ids"), i => i.cast("string")), " ")))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        sum(col("n_ids")).as("total_ids"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("seq_id"), col("__fp")))),
+            x => x.getField("__fp")), " ")).as("content_hash"))
+    m.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
+    spark.read.parquet(s"$dir/manifest")
+  }
 }

@@ -63,4 +63,35 @@ class ShardWriterSpec extends SparkSpec {
       budget = 2048L, chunkTokens = 64, overlap = 16)
     assert(m2.collect().toSet == m.collect().toSet)
   }
+
+  test("writePackedShards: one file per shard, landed sequences == packed, manifest deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("pshards").toString
+    val enc = tokenized().localCheckpoint()
+    val m = ShardWriter.writePackedShards(enc, "doc_id", "token_ids", dir,
+      seqLen = 256, eosId = 0, seqsPerShard = 8)
+
+    val shardDirs = new java.io.File(s"$dir/shards").listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { sd =>
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${sd.getName}: ${files.length} files")
+    }
+
+    val landed = spark.read.parquet(s"$dir/shards")
+      .select($"seq_id", $"ids").as[(Long, Seq[Int])].collect().toMap
+    val packed = graft.operators.Chunk.packSequences(enc, "doc_id",
+        "token_ids", 256, 0)
+      .select($"seq_id", $"ids").as[(Long, Seq[Int])].collect().toMap
+    assert(landed == packed, "landed sequences must equal the packed plan")
+
+    // shards hold seqsPerShard sequences except possibly the last
+    val counts = m.orderBy($"shard").select($"n_seqs").as[Long].collect()
+    assert(counts.init.forall(_ == 8L) && counts.last <= 8L, counts.toSeq)
+
+    val dir2 = java.nio.file.Files.createTempDirectory("pshards2").toString
+    val m2 = ShardWriter.writePackedShards(enc, "doc_id", "token_ids", dir2,
+      seqLen = 256, eosId = 0, seqsPerShard = 8)
+    assert(m2.collect().toSet == m.collect().toSet, "rerun-identical manifests")
+  }
 }

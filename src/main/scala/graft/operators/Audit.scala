@@ -17,17 +17,25 @@ import org.apache.spark.sql.functions._
   *
   * Auditing cannot change results: survivors are exactly the
   * composition of the stage functions (spec-pinned), and the audit
-  * frame is derived, never consulted. Cost is one id-only anti-join per
-  * stage (build side = that stage's survivors' ids, narrow); at corpus
-  * scale run audits on the id column alone, which is what the frame
-  * carries.
+  * frame is derived, never consulted.
   *
-  * Stage inputs that feed operators with internal actions (bloom
-  * aggregates, cluster rounds) should pass `materialize = true` — the
-  * [[graft.queries.IncrementalOps]] q108 stage-boundary lesson: a
-  * composed stage whose input subtree contains actions re-derives that
-  * subtree once per downstream action. The checkpoint is stage-output
-  * (batch)-sized. */
+  * Cost — be honest about the lazy default: each stage adds one id-only
+  * anti-join, but every `lost` branch's PLAN embeds the whole upstream
+  * stage chain, and [[Audited.fates]] unions k + 1 such branches —
+  * Spark executes union branches independently, so with
+  * `materialize = false` everywhere stage 1 re-runs ~k times in the one
+  * fates action (O(k²) stage executions). For anything beyond trivial
+  * stages pass `materialize = true` (a stage-output-sized
+  * `localCheckpoint`): each stage then runs ONCE and every branch reads
+  * the pin — the [[graft.queries.IncrementalOps]] q108 stage-boundary
+  * lesson, which also covers operators with internal actions (bloom
+  * aggregates, cluster rounds) re-deriving their input subtree per
+  * action.
+  *
+  * `idCol` must be non-null (anti-join keys never match on null, which
+  * would tag a surviving null-id row as dropped by EVERY stage); the
+  * contract is enforced at run time — a null id fails the stage with a
+  * clear error instead of corrupting the attribution. */
 case class Audited(survivors: DataFrame, drops: DataFrame, idCol: String) {
 
   /** Run `f` as the pipeline's next stage, attributing the rows it
@@ -55,9 +63,15 @@ case class Audited(survivors: DataFrame, drops: DataFrame, idCol: String) {
 
 object Audit {
   /** Begin an audited pipeline over `df`; `idCol` must uniquely identify
-    * rows (the usual dedup-pipeline contract). */
+    * rows and be non-null (the usual dedup-pipeline contract — nulls are
+    * rejected at run time, see the class doc). */
   def start(df: DataFrame, idCol: String): Audited =
-    Audited(df,
+    Audited(
+      df.withColumn(idCol, when(col(idCol).isNotNull, col(idCol))
+        .otherwise(raise_error(lit(
+          s"Audit: '$idCol' must be non-null — a null id cannot be " +
+            "attributed (anti-join keys never match on null)"))
+          .cast(df.schema(idCol).dataType))),
       df.select(col(idCol)).limit(0).withColumn("dropped_by", lit("")),
       idCol)
 }

@@ -50,6 +50,13 @@ object Dsir {
                         idCol: String, dim: Int = 1024,
                         maxNgram: Int = 1): DataFrame = {
     require(dim >= 1, s"dim must be positive: $dim")
+    // the ratio array rides EVERY task's serialized plan (8 bytes/bucket)
+    // — the measured q101 oversized-literal lesson; past ~2 MB the plan
+    // tax dominates, so fail loudly instead of silently degrading
+    require(dim <= (1 << 18),
+      s"dim = $dim embeds a ${dim * 8L / (1 << 20)} MB ratio literal in " +
+        "every task's plan — keep the hashed space <= 2^18 buckets " +
+        "(collisions are the method's accepted trade)")
     require(maxNgram >= 1, s"maxNgram must be positive: $maxNgram")
     def bucketCounts(df: DataFrame): (Map[Long, Long], Long) = {
       val rows = df

@@ -134,15 +134,38 @@ object SemDedup {
 
   private def requireCentroidsMatch(spark: org.apache.spark.sql.SparkSession,
       table: String, centroids: DataFrame, centroidIdCol: String,
-      embCol: String): Unit =
-    storedCentroidFp(spark, table).foreach { stored =>
+      embCol: String): Unit = storedCentroidFp(spark, table) match {
+    case Some(stored) =>
       val probe = centroidFingerprint(centroids, centroidIdCol, embCol)
       require(stored == probe,
         s"centroid set mismatch for semantic store '$table': the store " +
           s"was clustered under $stored but the probe holds $probe — a " +
           "mismatched probe would silently search the wrong clusters; " +
           "refresh with remapSemanticStore or pass the original centroids")
-    }
+    case None =>
+      // an unstamped store is NOT grandfathered in: it is what a crash
+      // between writeSemanticStore's bucketed write and its property
+      // stamp leaves behind, and silently accepting it under any
+      // centroid set is exactly the corruption the guard exists to stop.
+      // Recovery is one idempotent call with the original centroids.
+      throw new IllegalArgumentException(
+        s"semantic store '$table' has no centroid fingerprint stamp " +
+          "(interrupted write?) — if these are the centroids it was " +
+          "clustered under, re-stamp with stampSemanticStore(spark, " +
+          "table, centroids, ...); otherwise rebuild or remap the store")
+  }
+
+  /** Re-stamps `table`'s centroid fingerprint — the recovery step for a
+    * store whose [[writeSemanticStore]] was interrupted between the
+    * bucketed write and the property stamp. The caller asserts these
+    * ARE the centroids the store was clustered under; idempotent. */
+  def stampSemanticStore(spark: org.apache.spark.sql.SparkSession,
+                         table: String, centroids: DataFrame,
+                         centroidIdCol: String, embCol: String): Unit = {
+    val fp = centroidFingerprint(centroids, centroidIdCol, embCol)
+    spark.sql(
+      s"ALTER TABLE `$table` SET TBLPROPERTIES ('$CentroidsProp' = '$fp')")
+  }
 
   /** Persists [[semanticStore]] bucketed on the cluster id, stamping the
     * centroid-set fingerprint as a table property so every later commit
@@ -160,10 +183,11 @@ object SemDedup {
   }
 
   /** The CHECKED accessor for a persisted semantic store: verifies the
-    * caller's centroid set against the table's stamped fingerprint
-    * (fail-fast on drift) and returns the store frame for
-    * [[againstCorpus]]. Tables without the stamp (pre-guard stores)
-    * open without verification. */
+    * caller's centroid set against the table's stamped fingerprint and
+    * returns the store frame for [[againstCorpus]]. Fails fast BOTH on
+    * drift and on a missing stamp (the residue of an interrupted
+    * [[writeSemanticStore]]) — recover the latter with
+    * [[stampSemanticStore]]. */
   def openSemanticStore(spark: org.apache.spark.sql.SparkSession,
                         table: String, centroids: DataFrame,
                         centroidIdCol: String, embCol: String): DataFrame = {
@@ -303,7 +327,11 @@ object SemDedup {
     * each (1-D tiling: the batch side is batch-bounded by contract,
     * only the store side needs splitting). Bit-identical at any cap;
     * `maxCluster <= 0` disables the guard and the sizing scan
-    * entirely. When hot clusters exist, the probe reports them via the
+    * entirely. The sizing scan runs per probe call — in a tight ingest
+    * loop amortize it: cluster sizes change only at COMMIT time, so
+    * probe intermediate batches with `maxCluster <= 0` and re-enable
+    * on a cadence (or after each commit), rather than paying a store
+    * column scan per batch. When hot clusters exist, the probe reports them via the
     * `graft_semdedup_cluster_<n>` observe metric (`overcap_rows` =
     * hot-cluster store rows probed chunked, `max_chunks`) and warns —
     * the centroids-need-refresh signal. */

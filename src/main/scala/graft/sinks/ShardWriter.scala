@@ -45,28 +45,42 @@ object ShardWriter {
   /** One row per shard over a [[chunkedWithShards]]-shaped frame:
     * (shard, n_docs, n_chunks, total_ids, total_chunk_ids,
     * content_hash). `total_ids` counts each document's model tokens
-    * once (via its chunk 0); `total_chunk_ids` counts written chunk
-    * entries (overlap included) — the two diverge by exactly the
-    * overlap duplication. `content_hash` is md5 over the
-    * (doc, chunk)-ordered chunk fingerprints: deterministic across
-    * runs, partitionings, and engines. */
-  def manifest(chunked: DataFrame, idCol: String): DataFrame =
-    chunked
+    * once (the per-doc max of `__n_ids` — a per-doc constant on the
+    * planned path, and a per-row lower bound that ATTAINS the true
+    * count on the read-back path, see [[writeShards]]);
+    * `total_chunk_ids` counts written chunk entries (overlap included)
+    * — the two diverge by exactly the overlap duplication.
+    * `content_hash` is md5 over the (doc, chunk)-ordered chunk
+    * fingerprints: deterministic across runs, partitionings, and
+    * engines. Aggregates (shard, doc) first, then shard — ONE
+    * chunk-level shuffle; the shard rollup moves doc-level rows only. */
+  def manifest(chunked: DataFrame, idCol: String): DataFrame = {
+    val perDoc = chunked
       .withColumn("__fp", md5(array_join(
         transform(col("chunk_ids"), i => i.cast("string")), " ")))
+      .groupBy(col("shard"), col(idCol))
+      .agg(
+        max(col("__n_ids")).as("__doc_ids"),
+        count(lit(1)).as("__nch"),
+        sum(col("chunk_len")).as("__clen"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("__fp")))),
+            x => x.getField("__fp")),
+          " ").as("__docfps"))
+    perDoc
       .groupBy(col("shard"))
       .agg(
-        countDistinct(col(idCol)).as("n_docs"),
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("chunk_idx") === 0, col("__n_ids")).otherwise(0L))
-          .as("total_ids"),
-        sum(col("chunk_len")).as("total_chunk_ids"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__nch")).as("n_chunks"),
+        sum(col("__doc_ids")).as("total_ids"),
+        sum(col("__clen")).as("total_chunk_ids"),
         md5(array_join(
           transform(
-            array_sort(collect_list(
-              struct(col(idCol), col("chunk_idx"), col("__fp")))),
-            x => x.getField("__fp")),
+            array_sort(collect_list(struct(col(idCol), col("__docfps")))),
+            x => x.getField("__docfps")),
           " ")).as("content_hash"))
+  }
 
   /** Writes `dir/shards/shard=NNNN/` (one parquet file per shard) and
     * `dir/manifest/` (one parquet file), returning the manifest frame.
@@ -86,19 +100,18 @@ object ShardWriter {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(s"$dir/shards")
     // the manifest certifies what LANDED, not what was planned: read the
-    // written files back (partition discovery restores the shard column)
-    // and reconstruct each document's token count from its own chunks —
-    // chunks start at multiples of step, the last one runs to the end,
-    // so n_ids = last_chunk_idx * step + last_chunk_len exactly
+    // written files back (partition discovery restores the shard column,
+    // typed back to the planned long) and reconstruct each document's
+    // token count from its own chunks: chunk i covers
+    // [i·step, min(i·step + chunkTokens, n)), so the per-row quantity
+    // chunk_idx·step + chunk_len equals min(i·step + chunkTokens, n) —
+    // always ≤ n, attaining n at the last chunk — and manifest()'s
+    // per-doc MAX recovers n exactly, with no doc-keyed window pass
     val step = chunkTokens - overlap
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     val written = spark.read.parquet(s"$dir/shards")
-      .withColumn("__last",
-        max(struct(col("chunk_idx"), col("chunk_len"))).over(w))
+      .withColumn("shard", col("shard").cast("long"))
       .withColumn("__n_ids",
-        (col("__last").getField("chunk_idx") * step +
-          col("__last").getField("chunk_len")).cast("long"))
-      .drop("__last")
+        (col("chunk_idx") * step + col("chunk_len")).cast("long"))
     val m = manifest(written, idCol)
     m.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
     spark.read.parquet(s"$dir/manifest")
@@ -131,6 +144,7 @@ object ShardWriter {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(s"$dir/shards")
     val m = spark.read.parquet(s"$dir/shards")
+      .withColumn("shard", col("shard").cast("long"))
       .withColumn("__fp", md5(array_join(
         transform(col("ids"), i => i.cast("string")), " ")))
       .groupBy(col("shard"))

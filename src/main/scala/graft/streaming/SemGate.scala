@@ -91,6 +91,16 @@ object SemGate {
            embCol: String, centroidIdCol: String, tau: Double,
            store: Option[DataFrame] = None): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
+    // the [[NearDupGate]] discipline: a non-integral id would cast to
+    // null row by row and die (or silently collapse ids) deep inside
+    // the running streaming query — fail at plan time instead
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => // ok
+      case other => throw new IllegalArgumentException(
+        s"SemGate id column '$idCol' must be an integral type, got " +
+          s"${other.simpleString}")
+    }
     val spark = docs.sparkSession
     import spark.implicits._
     implicit val verdictEnc = Encoders.product[Verdict]

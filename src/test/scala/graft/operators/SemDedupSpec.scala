@@ -202,6 +202,20 @@ class SemDedupSpec extends SparkSpec {
       SemDedup.appendToSemanticStore(snap, centroids, "vec_id", "embedding",
         "c_id", "sem_store_guard")
       assert(spark.table("sem_store_guard").count() == 3L)
+
+      // an UNSTAMPED store (interrupted write) is not silently accepted
+      // under any centroid set; stampSemanticStore is the recovery
+      spark.sql("ALTER TABLE sem_store_guard UNSET TBLPROPERTIES " +
+        s"('${SemDedup.CentroidsProp}')")
+      val e3 = intercept[IllegalArgumentException] {
+        SemDedup.openSemanticStore(spark, "sem_store_guard", centroids,
+          "c_id", "embedding")
+      }
+      assert(e3.getMessage.contains("no centroid fingerprint stamp"))
+      SemDedup.stampSemanticStore(spark, "sem_store_guard", centroids,
+        "c_id", "embedding")
+      assert(SemDedup.openSemanticStore(spark, "sem_store_guard", centroids,
+        "c_id", "embedding").count() == 3L)
     } finally spark.sql("DROP TABLE IF EXISTS sem_store_guard")
   }
 

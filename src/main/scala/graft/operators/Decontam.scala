@@ -25,14 +25,6 @@ object Decontam {
     * every task's serialized plan; switch to the broadcast-join form. */
   private[operators] val LiteralGramLimit: Int = 1 << 16
 
-  /** Distinct word `n`-grams of one text column; null text counts as a
-    * gram-less document (empty array), so sizes never go -1-on-null.
-    * Shingles via the codegen'd kernel — on the broadcast-join branch
-    * this runs per corpus row (callers ensure registration). */
-  private def gramSet(textCol: Column, n: Int): Column =
-    coalesce(array_distinct(Text.shinglesNative(Text.tokens(textCol), n)),
-      array().cast("array<string>"))
-
   /** Per-document overlap stats against `benchmark`:
     * `n_grams` (distinct grams in the doc), `matched` (of those, how many
     * appear anywhere in the benchmark), `contamination` (= matched /
@@ -44,11 +36,43 @@ object Decontam {
   def overlapStats(corpus: DataFrame, benchmark: DataFrame,
                    textCol: String, idCol: String,
                    n: Int = 13, threshold: Double = 0.01,
-                   literalLimit: Int = LiteralGramLimit): DataFrame = {
+                   literalLimit: Int = LiteralGramLimit): DataFrame =
+    overlapCore(corpus, Text.tokens(col(textCol)),
+      benchmark, Text.tokens(col(textCol)), n, threshold, literalLimit)
+
+  /** [[overlapStats]] in MODEL-TOKEN space — decontamination run AFTER
+    * tokenization, so the check meters exactly what the trainer sees
+    * (the q107/q117 motif): grams are `n`-runs of token IDS from an
+    * `array<int>` column (the [[Tokenizer.encode]] output), matched
+    * against the tokenized benchmark's id-grams. Id-grams are
+    * SUBWORD-granular (an n-id run is typically shorter than n words)
+    * and live in exactly the normalization the model memorizes, so the
+    * check neither misses spans that word-grams straddle nor depends on
+    * a second, text-side normalization agreeing with the tokenizer's;
+    * this is the form modern pipelines gate on. Same two execution
+    * branches and scale posture as [[overlapStats]] — the corpus never
+    * shuffles. */
+  def idOverlapStats(corpus: DataFrame, benchmark: DataFrame,
+                     idsCol: String, n: Int = 13, threshold: Double = 0.01,
+                     literalLimit: Int = LiteralGramLimit): DataFrame = {
+    def idToks = transform(
+      coalesce(col(idsCol), array().cast("array<int>")), i => i.cast("string"))
+    overlapCore(corpus, idToks, benchmark, idToks, n, threshold, literalLimit)
+  }
+
+  /** The shared two-branch engine of [[overlapStats]] /
+    * [[idOverlapStats]]: token columns in, per-row overlap stats out. */
+  private def overlapCore(corpus: DataFrame, corpusToks: Column,
+                          benchmark: DataFrame, benchToks: Column,
+                          n: Int, threshold: Double,
+                          literalLimit: Int): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    def gramsCol(toks: Column): Column =
+      coalesce(array_distinct(Text.shinglesNative(toks, n)),
+        array().cast("array<string>"))
     val benchGrams = benchmark
-      .select(explode(gramSet(col(textCol), n)).as("__gram"))
+      .select(explode(gramsCol(benchToks)).as("__gram"))
       .distinct()
 
     // Pre-compute the decision on the benchmark (small by contract): if it
@@ -66,7 +90,7 @@ object Decontam {
         // NOT through the interpreted `Text.shingles` HOF, which dominates
         // wall time when evaluated per corpus row.
         graft.functions.GraftFunctions.ensureRegistered(spark)
-        val toks = coalesce(Text.tokens(col(textCol)), array().cast("array<string>"))
+        val toks = coalesce(corpusToks, array().cast("array<string>"))
         corpus
           .withColumn("__ov", call_function(graft.functions.GramOverlap.name,
             toks, lit(grams), lit(n)))
@@ -84,7 +108,7 @@ object Decontam {
         // with the same partitioning. The only corpus shuffle is the
         // final row-id join; everything upstream of it carries
         // (row-id, gram) pairs, not document text.
-        val withGrams = corpus.withColumn("__grams", gramSet(col(textCol), n))
+        val withGrams = corpus.withColumn("__grams", gramsCol(corpusToks))
           .withColumn("__rid", monotonically_increasing_id())
         val matched = withGrams
           .select(col("__rid"), explode(col("__grams")).as("__gram"))

@@ -651,6 +651,48 @@ object IncrementalOps {
        |  string_agg(CAST(len(seg_ids) AS VARCHAR), ' ' ORDER BY ab) AS seg_lens_s
        |FROM seg GROUP BY 1""".stripMargin
 
+  // -- q118: ID-SPACE benchmark decontamination (Decontam.idOverlapStats)
+  // — the overlap check run AFTER tokenization so it meters what the
+  // model actually memorizes (token-id runs), the q107/q117 "meter what
+  // the trainer sees" motif applied to decontamination. Benchmark =
+  // every 10th doc tokenized under the fixed vocab; 5-id grams (the q69
+  // small-n rationale: the synthetic corpus must produce a real overlap
+  // distribution). Oracle: stringified-id shingles + the q69 join
+  // algebra — exact integer set sizes, one exact divide. --
+  private val q118: Q = (s, dir) => {
+    val enc = graft.operators.Tokenizer.encode(docs(s, dir), "text", Merges)
+      .select(col("doc_id"), col("token_ids"))
+    graft.operators.Decontam.idOverlapStats(
+        enc.filter(col("doc_id") % 10 =!= 0),
+        enc.filter(col("doc_id") % 10 === 0),
+        "token_ids", n = 5, threshold = 0.05)
+      .select(col("doc_id"), col("n_grams"), col("matched"),
+        col("contamination"), col("contaminated"))
+  }
+  private val q118Sql = {
+    val tk = "list_transform(ids, i -> CAST(i AS VARCHAR))"
+    s"""WITH ids AS ($dDocIds),
+       |bench_grams AS (
+       |  SELECT DISTINCT unnest(${dShingles(tk, 5)}) AS gram
+       |  FROM ids WHERE doc_id % 10 = 0),
+       |corpus AS (
+       |  SELECT doc_id, list_distinct(${dShingles(tk, 5)}) AS grams
+       |  FROM ids WHERE doc_id % 10 <> 0),
+       |m AS (
+       |  SELECT c.doc_id, count(*) AS matched
+       |  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+       |  JOIN bench_grams b USING (gram) GROUP BY 1)
+       |SELECT c.doc_id, len(c.grams)::BIGINT AS n_grams,
+       |  COALESCE(m.matched, 0)::BIGINT AS matched,
+       |  CASE WHEN len(c.grams) > 0
+       |    THEN COALESCE(m.matched, 0) / len(c.grams)::DOUBLE ELSE 0.0 END
+       |    AS contamination,
+       |  CASE WHEN len(c.grams) > 0
+       |    THEN COALESCE(m.matched, 0) / len(c.grams)::DOUBLE ELSE 0.0 END > 0.05
+       |    AS contaminated
+       |FROM corpus c LEFT JOIN m ON c.doc_id = m.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q110_upsample" -> q110,
     "q113_shard_manifest" -> q113,
@@ -658,6 +700,7 @@ object IncrementalOps {
     "q115_dsir_weights" -> q115,
     "q116_dsir_select" -> q116,
     "q117_pack_sequences" -> q117,
+    "q118_id_decontam" -> q118,
     "q112_corpus_spans" -> q112,
     "q101_incremental_dedup" -> q101,
     "q102_neardup_decontam" -> q102,
@@ -675,6 +718,7 @@ object IncrementalOps {
     "q115_dsir_weights" -> q115Sql,
     "q116_dsir_select" -> q116Sql,
     "q117_pack_sequences" -> q117Sql,
+    "q118_id_decontam" -> q118Sql,
     "q112_corpus_spans" -> q112Sql,
     "q101_incremental_dedup" -> q101Sql,
     "q102_neardup_decontam" -> q102Sql,

@@ -693,6 +693,53 @@ object IncrementalOps {
        |FROM corpus c LEFT JOIN m ON c.doc_id = m.doc_id""".stripMargin
   }
 
+  // -- q119: incremental SEARCH index (operators.SearchStore) — the
+  // retrieval member of the store family: instead of a score table every
+  // append would invalidate (BM25 depends on global N/avgdl/df), the
+  // store keeps raw (token, id, tf, dl) statistics and scores at query
+  // time, so appends never rewrite and results are never stale. Query =
+  // the corpus's top-5 tokens (count desc, token tiebreak — replayed in
+  // SQL), scored over the corpus+batch union exactly as the table path
+  // scores the store after an append (table mechanics spec-pinned).
+  // Oracle: the q82 BM25 algebra filtered to the same terms + summed
+  // top-20 with (score, id) ordering. --
+  private val q119: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    val terms = d.select(explode(Text.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(5)
+      .collect().map(_.getString(0)).toSeq
+    val ops = graft.operators.SearchStore
+    ops.searchFrames(
+        ops.postings(corpus, "text", "doc_id")
+          .unionByName(ops.postings(batch, "text", "doc_id")),
+        ops.docLengths(corpus, "text", "doc_id")
+          .unionByName(ops.docLengths(batch, "text", "doc_id")),
+        terms, k = 20)
+      .select(col("id").as("doc_id"), col("score"), col("n_terms"))
+  }
+  private val q119Sql =
+    s"""WITH base AS (SELECT doc_id, $dTok AS tk FROM documents),
+       |tq AS (SELECT unnest(tk) AS t FROM base),
+       |terms AS (SELECT t FROM (SELECT t, count(*) AS c FROM tq GROUP BY 1
+       |          ORDER BY c DESC, t LIMIT 5)),
+       |tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS token
+       |        FROM base),
+       |tf AS (SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf FROM tok
+       |       WHERE token IN (SELECT t FROM terms) GROUP BY 1, 2, 3),
+       |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(avg(len(tk)) AS DOUBLE) AS avgdl FROM base),
+       |w AS (SELECT tf.doc_id,
+       |        round(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1) *
+       |              (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl)),
+       |              6) AS w
+       |      FROM tf JOIN dft USING (token) CROSS JOIN st)
+       |SELECT doc_id, round(sum(w), 6) AS score, CAST(count(*) AS BIGINT) AS n_terms
+       |FROM w GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q110_upsample" -> q110,
     "q113_shard_manifest" -> q113,
@@ -701,6 +748,7 @@ object IncrementalOps {
     "q116_dsir_select" -> q116,
     "q117_pack_sequences" -> q117,
     "q118_id_decontam" -> q118,
+    "q119_search_store" -> q119,
     "q112_corpus_spans" -> q112,
     "q101_incremental_dedup" -> q101,
     "q102_neardup_decontam" -> q102,
@@ -719,6 +767,7 @@ object IncrementalOps {
     "q116_dsir_select" -> q116Sql,
     "q117_pack_sequences" -> q117Sql,
     "q118_id_decontam" -> q118Sql,
+    "q119_search_store" -> q119Sql,
     "q112_corpus_spans" -> q112Sql,
     "q101_incremental_dedup" -> q101Sql,
     "q102_neardup_decontam" -> q102Sql,

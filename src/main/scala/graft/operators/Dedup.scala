@@ -23,9 +23,15 @@ object Dedup {
   /** The bloom size `bitsPerKey` bits per distinct store key buys, or 0
     * (pre-screen off) when that exceeds `maxBits` — the shared sizing
     * rule of [[againstCorpus]] / [[Spans.removeCorpusSpans]]'s
-    * `bloomBitsPerKey` mode. One count over the store (metadata-cheap
-    * on parquet); never returns a positive value below 64 (the
-    * aggregate's floor). */
+    * `bloomBitsPerKey` mode. Sizing uses `count()` — metadata-cheap on
+    * parquet, no scan — which equals the distinct-key count ONLY when
+    * `store` is distinct on `keyCol`. Every store this library writes
+    * ([[fingerprintStore]], [[Spans.spanStore]]) satisfies that by
+    * construction; callers passing an arbitrary frame with repeated
+    * keys get an inflated size (correct bits, possibly a premature
+    * over-budget self-disable) — de-dup the frame first if that
+    * matters. Never returns a positive value below 64 (the aggregate's
+    * floor). */
   def autoBloomBits(store: DataFrame, keyCol: String, bitsPerKey: Int,
                     maxBits: Int = DefaultMaxBloomBits): Int = {
     require(bitsPerKey > 0, s"bitsPerKey must be positive: $bitsPerKey")

@@ -372,13 +372,20 @@ object SemDedup {
         val isHot = col("cluster").isin(hotKeys: _*)
         val cold = plainProbe(assigned.filter(!isHot), store.filter(!isHot))
         // hot branch: only hot clusters' rows shuffle, keyed on
-        // (cluster, chunk); chunk = hash of the embedding so the store
-        // needs no id column (chunk placement cannot change the answer
-        // — tiling only partitions the comparison space)
+        // (cluster, chunk); chunk = hash of the row id when the store
+        // carries one (the semanticStore contract) — ids are uniform
+        // even when the embeddings themselves are degenerate-identical,
+        // which is exactly the case that makes a cluster hot. Falls
+        // back to the embedding hash for bare (cluster, emb) frames.
+        // Chunk placement cannot change the answer — tiling only
+        // partitions the comparison space.
+        val chunkKey =
+          if (store.columns.contains(idCol)) hash(col(idCol))
+          else hash(col(embCol))
         val hotStore = store.filter(isHot)
           .join(broadcast(nChunks), col("cluster").cast("string") === col("__ckey"))
           .select(col("cluster"), col(embCol).as("__ce"),
-            pmod(hash(col(embCol)), col("__nchunks")).as("__ck"), col("__nchunks"))
+            pmod(chunkKey, col("__nchunks")).as("__ck"), col("__nchunks"))
           .observe(s"graft_semdedup_cluster_${clusterMetricSeq.incrementAndGet()}",
             count(lit(1)).as("overcap_rows"), max(col("__nchunks")).as("max_chunks"))
           .drop("__nchunks")

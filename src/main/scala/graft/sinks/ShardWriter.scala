@@ -108,7 +108,11 @@ object ShardWriter {
     // always ≤ n, attaining n at the last chunk — and manifest()'s
     // per-doc MAX recovers n exactly, with no doc-keyed window pass
     val step = chunkTokens - overlap
-    val written = spark.read.parquet(s"$dir/shards")
+    // explicit schema: an empty input (or all-id-less docs) writes zero
+    // data files under shards/, and schema inference would fail where
+    // the honest answer is an empty manifest
+    val written = spark.read.schema(chunked.drop("__n_ids").schema)
+      .parquet(s"$dir/shards")
       .withColumn("shard", col("shard").cast("long"))
       .withColumn("__n_ids",
         (col("chunk_idx") * step + col("chunk_len")).cast("long"))
@@ -137,13 +141,17 @@ object ShardWriter {
                         seqsPerShard: Long): DataFrame = {
     require(seqsPerShard >= 1, s"seqsPerShard must be positive: $seqsPerShard")
     val spark = docs.sparkSession
-    graft.operators.Chunk.packSequences(docs, idCol, idsCol, seqLen, eosId)
+    val packed = graft.operators.Chunk
+      .packSequences(docs, idCol, idsCol, seqLen, eosId)
       .withColumn("shard", (col("seq_id") / seqsPerShard).cast("long"))
+    packed
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("seq_id"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(s"$dir/shards")
-    val m = spark.read.parquet(s"$dir/shards")
+    // explicit schema: zero packed sequences write zero data files and
+    // inference would fail where the answer is an empty manifest
+    val m = spark.read.schema(packed.schema).parquet(s"$dir/shards")
       .withColumn("shard", col("shard").cast("long"))
       .withColumn("__fp", md5(array_join(
         transform(col("ids"), i => i.cast("string")), " ")))

@@ -62,6 +62,13 @@ object SemGate {
     * embs(i)). */
   case class GateState(ids: Array[Long], embs: Array[Array[Double]])
 
+  /** Scala twin of the SQL `Vectors.cosine` INCLUDING its ragged-array
+    * contract: the dot folds over the min length while each norm runs
+    * over its own full length (VecDot's documented behavior), so a
+    * dimension-mismatched pair scores the same deflated prefix-cosine
+    * in the gate as in the batch operators — stream == batch parity
+    * holds for malformed data too (pinned by SemGateSpec's
+    * dimension-mismatch differential). 0-norm -> NaN: never >= tau. */
   private def cosine(a: Array[Double], b: Array[Double]): Double = {
     var na = 0.0; var i = 0
     while (i < a.length) { na += a(i) * a(i); i += 1 }
@@ -70,7 +77,7 @@ object SemGate {
     val n = math.min(a.length, b.length)
     var dot = 0.0; i = 0
     while (i < n) { dot += a(i) * b(i); i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb)) // 0-norm -> NaN: never >= tau
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** The per-cluster online fold (shared verbatim by the batch and

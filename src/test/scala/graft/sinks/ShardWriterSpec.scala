@@ -94,4 +94,16 @@ class ShardWriterSpec extends SparkSpec {
       seqLen = 256, eosId = 0, seqsPerShard = 8)
     assert(m2.collect().toSet == m.collect().toSet, "rerun-identical manifests")
   }
+
+  test("empty input yields an empty manifest, not a schema-inference crash") {
+    val none = tokenized().limit(0).localCheckpoint()
+    val d1 = java.nio.file.Files.createTempDirectory("eshards").toString
+    val m1 = ShardWriter.writeShards(none, "doc_id", "token_ids", d1,
+      budget = 2048L, chunkTokens = 64, overlap = 16)
+    assert(m1.count() == 0L)
+    val d2 = java.nio.file.Files.createTempDirectory("epshards").toString
+    val m2 = ShardWriter.writePackedShards(none, "doc_id", "token_ids", d2,
+      seqLen = 256, eosId = 0, seqsPerShard = 8)
+    assert(m2.count() == 0L)
+  }
 }

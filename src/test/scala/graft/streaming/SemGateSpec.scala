@@ -108,6 +108,30 @@ class SemGateSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS sem_gate_seed")
   }
 
+  test("dimension-mismatched store vector: gate == batch on bad data") {
+    // a malformed 3-dim vector in the store shares its prefix with the
+    // incoming 4-dim doc. Both paths share VecDot's ragged contract —
+    // dot over the min length, norms over each full length — so both
+    // score the deflated prefix-cosine (~0.99997 here) and both reject.
+    // The pin is the PARITY, not the score: a gate that diverged from
+    // the batch operators on malformed data would break the documented
+    // stream == batch guarantee.
+    val store = Seq((100, 1L, Seq(1.0, 0.1, 0.0)))
+      .toDF("cluster", "vec_id", "embedding")
+    val batch = Seq((10L, Seq(1f, 0.11f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val viaGate = SemGate.gate(batch, centroids, "vec_id", "embedding",
+        "c_id", tau = 0.98, store = Some(store))
+      .as[(Long, Boolean)].collect().toMap
+    val viaBatchOp = SemDedup.againstCorpus(batch, store, centroids,
+        "vec_id", "embedding", "c_id", tau = 0.98)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(viaGate.filter(_._2).keySet == viaBatchOp,
+      s"gate $viaGate must match batch $viaBatchOp on ragged data")
+    assert(viaGate == Map(10L -> false),
+      s"prefix-cosine ~1.0 rejects under the shared contract: $viaGate")
+  }
+
   test("recipe: three-modality streaming ingest — exact || shape || meaning gates join downstream") {
     // the full streaming curation recipe: the exact/near-dup gates (text)
     // and the semantic gate (embedding) run as SIBLING queries over the

@@ -102,8 +102,71 @@ object Bucketing {
         .sortBy(sortCols.head, sortCols.tail: _*)
         .format("parquet").saveAsTable(staging)
     } finally spark.conf.set(autoScanKey, autoScanOld)
-    // carry library-level table properties (e.g. the semantic store's
-    // centroid fingerprint) across the rewrite
+    carryPropsAndSwap(spark, meta, staging, table)
+  }
+
+  /** Rewrites a bucketed store table into `newNumBuckets` buckets — the
+    * other lifecycle hole [[compactBucketed]] leaves open: a store's
+    * bucket count is fixed at [[writeBucketed]] time, so a store that
+    * grows 100× across ingest rounds ends up with buckets 100× the
+    * task size they were laid out for (probe tasks spill; compaction
+    * rewrites can't help because they keep the count). This is one full
+    * shuffle-rewrite — the same murmur3-pmod repartition discipline as
+    * [[writeBucketed]], so each of the `newNumBuckets` tasks writes
+    * exactly one file — preserving the bucket columns, sort spec, and
+    * `graft.*` table properties. Probe plans stay exchange-free at the
+    * NEW count (the store side re-reads as a bucketed scan; the probe
+    * batch shuffles to whatever count the store has, as always).
+    *
+    * Size it from [[bucketFileStats]]: when `max(bytes)` per bucket
+    * outgrows the task budget, rebucket to
+    * `ceil(total_bytes / target_bucket_bytes)`.
+    *
+    * Same staged+swap crash discipline as [[compactBucketed]], under
+    * its own `<table>__rebucketing` staging name: a crash between drop
+    * and rename is converged by re-running (complete staging + no
+    * original → finished by rename; anything else → staging dropped
+    * and rebuilt). A same-count request delegates to
+    * [[compactBucketed]] (repartition to the current count would be
+    * elided as already-satisfied, tripping the un-bucketed-scan trap
+    * that function already defuses). */
+  def rebucketStore(spark: SparkSession, table: String,
+                    newNumBuckets: Int): Unit = {
+    require(newNumBuckets >= 1,
+      s"newNumBuckets must be positive: $newNumBuckets")
+    val catalog = spark.sessionState.catalog
+    val staging = table + "__rebucketing"
+    if (!catalog.tableExists(TableIdentifier(table))) {
+      // crash recovery: a finished staging table whose swap never ran
+      require(catalog.tableExists(TableIdentifier(staging)),
+        s"neither '$table' nor its staging copy exists")
+      spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+      return
+    }
+    val meta = catalog.getTableMetadata(TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"'$table' is not a bucketed store table"))
+    if (spec.numBuckets == newNumBuckets) return compactBucketed(spark, table)
+    val bucketCols = spec.bucketColumnNames
+    val sortCols =
+      if (spec.sortColumnNames.nonEmpty) spec.sortColumnNames else bucketCols
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    spark.table(table)
+      .repartition(newNumBuckets, bucketCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(newNumBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .format("parquet").saveAsTable(staging)
+    carryPropsAndSwap(spark, meta, staging, table)
+  }
+
+  /** Shared tail of the staged+swap rewrites: copy `graft.*` table
+    * properties (e.g. the semantic store's centroid fingerprint) onto
+    * the staging table, then drop-and-rename it into place. */
+  private def carryPropsAndSwap(
+      spark: SparkSession,
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      staging: String, table: String): Unit = {
     val props = meta.properties.filter { case (k, _) => k.startsWith("graft.") }
     if (props.nonEmpty) {
       val kv = props

@@ -62,6 +62,21 @@ class IngestLifecycleSpec extends SparkSpec {
             s"round $r, $t: compaction must leave one file per bucket: ${files.toSeq}")
         }
 
+        // mid-lifecycle growth response: after round 2's commit the
+        // fingerprint store has outgrown its write-time layout — rebucket
+        // it (4 -> 8) driven by the same stats the compaction trigger
+        // reads; rounds continue against the rebucketed store unchanged
+        if (r == 2) {
+          val grown = Bucketing.bucketFileStats(spark, "life_fp")
+            .agg(sum($"bytes")).as[Long].head()
+          assert(grown > 0L)
+          Bucketing.rebucketStore(spark, "life_fp", 8)
+          val meta = spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier("life_fp"))
+          assert(meta.bucketSpec.exists(_.numBuckets == 8),
+            s"mid-lifecycle rebucket must land: ${meta.bucketSpec}")
+        }
+
         // post-commit: the SAME snapshot replays to zero admissions
         // through the compacted stores (idempotent ingest, all layers —
         // committed docs fall at the exact screen, the round's natural
@@ -91,6 +106,7 @@ class IngestLifecycleSpec extends SparkSpec {
     } finally Seq("life_fp", "life_sig", "life_span").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}__compacting")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}__rebucketing")
     }
   }
 }

@@ -112,4 +112,65 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS fp_compact__compacting")
     }
   }
+
+  test("rebucket: rows identical, new count live, one file per bucket, props kept, probe exchange-free") {
+    import graft.operators.Dedup
+    val d = Tables.load(spark, sf(), "documents")
+    Dedup.writeFingerprintStore(d, "text", "fp_rebucket", buckets = 4)
+    try {
+      spark.sql("ALTER TABLE fp_rebucket SET TBLPROPERTIES ('graft.probe' = 'kept')")
+      val rowsBefore = spark.table("fp_rebucket").select($"fp")
+        .as[String].collect().sorted.toSeq
+
+      // grow pressure observed via bucketFileStats: rebucket to the count
+      // the byte budget asks for (here simply 4 -> 16)
+      val statsBefore = Bucketing.bucketFileStats(spark, "fp_rebucket")
+      assert(statsBefore.count() > 0)
+      Bucketing.rebucketStore(spark, "fp_rebucket", 16)
+
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("fp_rebucket"))
+      assert(meta.bucketSpec.exists(_.numBuckets == 16),
+        s"bucket count must be 16: ${meta.bucketSpec}")
+      assert(meta.bucketSpec.exists(_.bucketColumnNames == Seq("fp")),
+        "bucket columns preserved")
+      assert(meta.properties.get("graft.probe").contains("kept"),
+        "graft table properties must survive the rewrite")
+      val rowsAfter = spark.table("fp_rebucket").select($"fp")
+        .as[String].collect().sorted.toSeq
+      assert(rowsAfter == rowsBefore, "rebucket must be a pure layout rewrite")
+      val files = Bucketing.bucketFileStats(spark, "fp_rebucket")
+        .select($"files").as[Long].collect()
+      assert(files.forall(_ == 1L) && files.length <= 16,
+        s"one file per occupied bucket at the new count: ${files.toSeq}")
+
+      // the probe joins exchange-free on the store side at the NEW count
+      val batch = d.limit(50)
+      val got = Dedup.againstCorpus(batch,
+        spark.table("fp_rebucket").hint("merge"), "text", "doc_id")
+      got.collect()
+      val joins = collectPlan(got.queryExecution.executedPlan) {
+        case j if j.nodeName.contains("SortMergeJoin") => j }
+      assert(joins.nonEmpty)
+      val exchanges = joins.flatMap(_.children.lastOption).flatMap(_.collect {
+        case e: ShuffleExchangeLike => e })
+      assert(exchanges.isEmpty,
+        s"rebucketed store must probe exchange-free: $exchanges")
+
+      // shrink path + same-count delegation both converge to one file/bucket
+      Bucketing.rebucketStore(spark, "fp_rebucket", 2)
+      val meta2 = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("fp_rebucket"))
+      assert(meta2.bucketSpec.exists(_.numBuckets == 2))
+      assert(spark.table("fp_rebucket").select($"fp")
+        .as[String].collect().sorted.toSeq == rowsBefore)
+      Bucketing.rebucketStore(spark, "fp_rebucket", 2) // == compact
+      assert(Bucketing.bucketFileStats(spark, "fp_rebucket")
+        .select($"files").as[Long].collect().forall(_ == 1L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS fp_rebucket")
+      spark.sql("DROP TABLE IF EXISTS fp_rebucket__rebucketing")
+      spark.sql("DROP TABLE IF EXISTS fp_rebucket__compacting")
+    }
+  }
 }

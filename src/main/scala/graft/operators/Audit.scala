@@ -19,18 +19,21 @@ import org.apache.spark.sql.functions._
   * composition of the stage functions (spec-pinned), and the audit
   * frame is derived, never consulted.
   *
-  * Cost — be honest about the lazy default: each stage adds one id-only
-  * anti-join, but every `lost` branch's PLAN embeds the whole upstream
-  * stage chain, and [[Audited.fates]] unions k + 1 such branches —
-  * Spark executes union branches independently, so with
-  * `materialize = false` everywhere stage 1 re-runs ~k times in the one
-  * fates action (O(k²) stage executions). For anything beyond trivial
-  * stages pass `materialize = true` (a stage-output-sized
-  * `localCheckpoint`): each stage then runs ONCE and every branch reads
-  * the pin — the [[graft.queries.IncrementalOps]] q108 stage-boundary
-  * lesson, which also covers operators with internal actions (bloom
-  * aggregates, cluster rounds) re-deriving their input subtree per
-  * action.
+  * Cost: each stage adds one id-only anti-join, but every `lost`
+  * branch's PLAN embeds the whole upstream stage chain, and
+  * [[Audited.fates]] unions k + 1 such branches — Spark executes union
+  * branches independently, so with `materialize = false` everywhere
+  * stage 1 re-runs ~k times in the one fates action (O(k²) stage
+  * executions). The default is therefore `materialize = true` (a
+  * stage-output-sized `localCheckpoint`): each stage runs ONCE — at
+  * `stage()` call time — and every downstream branch reads the pin; the
+  * [[graft.queries.IncrementalOps]] q108 stage-boundary lesson, which
+  * also covers operators with internal actions (bloom aggregates,
+  * cluster rounds) re-deriving their input subtree per action. Pass
+  * `materialize = false` only to keep a stage fully lazy (e.g. a
+  * single-stage audit folded into a larger plan, or a caller that pins
+  * its own boundaries) — and accept the quadratic re-execution if the
+  * chain then grows.
   *
   * `idCol` must be non-null (anti-join keys never match on null, which
   * would tag a surviving null-id row as dropped by EVERY stage); the
@@ -40,7 +43,7 @@ case class Audited(survivors: DataFrame, drops: DataFrame, idCol: String) {
 
   /** Run `f` as the pipeline's next stage, attributing the rows it
     * dropped to `name`. */
-  def stage(name: String, materialize: Boolean = false)(
+  def stage(name: String, materialize: Boolean = true)(
       f: DataFrame => DataFrame): Audited = {
     val next0 = f(survivors)
     val next = if (materialize) next0.localCheckpoint() else next0

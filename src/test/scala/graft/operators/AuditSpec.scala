@@ -59,4 +59,35 @@ class AuditSpec extends SparkSpec {
     val multi = fates.groupBy(_._1).filter(_._2.length > 1)
     assert(multi.isEmpty, s"a document must have exactly one fate: $multi")
   }
+
+  test("materialize default: each stage executes once, fates re-executes nothing") {
+    val d = Tables.load(spark, sf(), "documents").limit(60)
+      .select($"doc_id", $"text").localCheckpoint()
+    // an executed-row counter INSIDE stage 1's transform: under the lazy
+    // form every downstream lost-branch re-runs it (the documented O(k²)
+    // trap); under the materialized default it runs exactly once, at
+    // stage() call time, and fates only reads pins
+    val acc = spark.sparkContext.longAccumulator("audit_stage1_rows")
+    val tick = udf((id: Long) => { acc.add(1L); id })
+    def s1(df: DataFrame) = df.filter($"doc_id" % 2 === 0)
+      .withColumn("doc_id", tick($"doc_id"))
+    def s2(df: DataFrame) = df.filter($"doc_id" % 3 =!= 0)
+    def s3(df: DataFrame) = df.filter($"doc_id" % 5 =!= 0)
+
+    val audited = Audit.start(d, "doc_id")
+      .stage("s1")(s1).stage("s2")(s2).stage("s3")(s3)
+    val n1 = d.filter($"doc_id" % 2 === 0).count()
+    assert(acc.value == n1,
+      s"stage 1 must have executed exactly once while building: ${acc.value} != $n1")
+
+    val fates = audited.fates.collect()
+    assert(acc.value == n1,
+      s"fates must read the stage pins, not re-execute: ${acc.value} != $n1")
+    assert(fates.length == d.count(), "one fate per input row")
+
+    // survivors still equal the raw composition under the default
+    val surv = audited.survivors.select($"doc_id").as[Long].collect().toSet
+    val raw = s3(s2(s1(d))).select($"doc_id").as[Long].collect().toSet
+    assert(surv == raw)
+  }
 }

@@ -6,12 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.functions.Text
 
 /** Linear (logistic) document scoring over hashed bag-of-words features —
-  * the quality-classifier INFERENCE stage of a curation pipeline
-  * (fastText-style quality gates: train a small linear model offline on
-  * labeled good/bad documents, then score the whole corpus and keep
-  * what clears a threshold). Training is out of scope by design — at
-  * 100 TB the model is always trained on a small labeled set elsewhere;
-  * what must scale is applying it to every document.
+  * the quality-classifier stage of a curation pipeline (fastText-style
+  * quality gates: train a small linear model on labeled good/bad
+  * documents, then score the whole corpus and keep what clears a
+  * threshold). Inference is the 100 TB surface (every document, fully
+  * narrow); [[train]] is the distributed fixed-iteration trainer over
+  * the labeled set — which may itself be millions of rows, hence
+  * gradient-as-aggregate rather than a driver-side solver.
   *
   * score(doc) = sigmoid(bias + (Σ_t w[bucket(t)]) / n_tokens): each
   * token hashes to its [[FeatureHash.bucket]] (stable across engines
@@ -61,4 +62,135 @@ object Classifier {
     df.filter(scoreCol(col(textCol), weights, bias, dim) >= tau)
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** A trained model: the (sparse) weight map and bias feed straight
+    * into [[scoreCol]] / [[score]] / [[gate]]. */
+  case class Trained(weights: Map[Int, Double], bias: Double)
+
+  /** Per-document hashed features in TRAINING form: (`__id`, `__y`,
+    * `__bs` bucket ids sorted ascending, `__xs` aligned normalized
+    * counts cnt/n_tokens). Token-less documents keep empty arrays (they
+    * still carry a label, so they still move the bias). The arrays are
+    * SORTED so every later fold over them has one defined order — the
+    * reproducibility backbone of [[train]]. */
+  private def features(df: DataFrame, textCol: String, labelCol: String,
+                       idCol: String, dim: Int): DataFrame = {
+    val y0 = col(labelCol).cast("double")
+    // the Audit null-id discipline: a bad label corrupts every gradient
+    // silently — fail at run time with a clear message instead
+    val y = when(y0 === 0.0 || y0 === 1.0, y0)
+      .otherwise(raise_error(lit(
+        s"Classifier.train: '$labelCol' must be 0 or 1")).cast("double"))
+    val toks = coalesce(Text.tokens(col(textCol)), array().cast("array<string>"))
+    val base = df.select(col(idCol).as("__id"), y.as("__y"), toks.as("__toks"))
+    val packed = base
+      .select(col("__id"), size(col("__toks")).as("__n"),
+        explode(col("__toks")).as("__t"))
+      .select(col("__id"), col("__n"),
+        FeatureHash.bucket(col("__t"), dim).cast("int").as("__b"))
+      .groupBy(col("__id"), col("__n"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"))
+      .agg(array_sort(collect_list(struct(col("__b"), col("__c"), col("__n"))))
+        .as("__bcn"))
+      .select(col("__id"),
+        transform(col("__bcn"), s => s.getField("__b")).as("__bs"),
+        transform(col("__bcn"), s =>
+          s.getField("__c").cast("double") / s.getField("__n").cast("double"))
+          .as("__xs"))
+    base.select(col("__id"), col("__y")).join(packed, Seq("__id"), "left")
+      .select(col("__id"), col("__y"),
+        coalesce(col("__bs"), array().cast("array<int>")).as("__bs"),
+        coalesce(col("__xs"), array().cast("array<double>")).as("__xs"))
+  }
+
+  /** The margin z = bias + Σ w[b]·x as a left fold over the doc's
+    * bucket-sorted feature arrays — the SAME term order on any engine,
+    * any partitioning (absent buckets contribute an exact +0.0). */
+  private def zCol(weights: Map[Int, Double], bias: Double): Column = {
+    if (weights.isEmpty) lit(bias)
+    else {
+      val wlit = typedlit(weights)
+      lit(bias) + aggregate(
+        zip_with(col("__bs"), col("__xs"),
+          (b, x) => coalesce(element_at(wlit, b), lit(0.0)) * x),
+        lit(0.0), (acc, v) => acc + v)
+    }
+  }
+
+  /** Distributed full-batch logistic-regression training over hashed
+    * bag-of-words features — the missing half of the quality gate:
+    * `iterations` rounds of gradient descent with deterministic
+    * all-zeros init, mean log-loss gradient, fixed learning rate.
+    *
+    * Each iteration is ONE narrow scoring pass over the materialized
+    * feature frame (the weight map rides the plan as a literal, the
+    * k-means-centroid contract) followed by one bucket-keyed aggregate
+    * for the weight gradient and one global aggregate for the bias
+    * gradient; driver state is the dim-bounded weight map. The labeled
+    * set never re-derives its features (one `localCheckpoint` up
+    * front — the q108 stage-boundary lesson, here amortized across all
+    * iterations).
+    *
+    * Reproducible by construction, not by luck: every floating sum in
+    * the gradient is an ORDERED fold (docs by id, buckets ascending —
+    * the q92 codebook lesson: a bare SUM adds doubles in
+    * thread-dependent order, so two runs of the same job disagree in
+    * the last ulp). Per-bucket aggregate state is O(labeled docs
+    * containing that bucket) — the trainer is sized for labeled sets
+    * (up to millions of rows), not for scoring corpora; inference
+    * ([[score]]/[[gate]]) is the surface that scales to the corpus.
+    *
+    * Cite: fastText-style linear gate (Joulin et al. 2016); the
+    * reference tool has no classifier — this extends the curation
+    * surface (SURVEY §2.3). */
+  def train(df: DataFrame, textCol: String, labelCol: String, idCol: String,
+            dim: Int, iterations: Int = 10, lr: Double = 0.5): Trained = {
+    require(dim >= 1, s"dim must be positive: $dim")
+    require(iterations >= 1, s"iterations must be positive: $iterations")
+    require(lr > 0, s"lr must be positive: $lr")
+    val feats = features(df, textCol, labelCol, idCol, dim).localCheckpoint()
+    val m = feats.count().toDouble
+    require(m > 0, "Classifier.train: empty training set")
+    var weights = Map.empty[Int, Double]
+    var bias = 0.0
+    (1 to iterations).foreach { _ =>
+      val scored = feats.withColumn("__r",
+        sigmoid(zCol(weights, bias)) - col("__y"))
+      val biasGrad = scored
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("__id"), col("__r")))),
+          lit(0.0), (acc, s) => acc + s.getField("__r")))
+        .head.getDouble(0) / m
+      val grad = scored
+        .select(col("__id"), col("__r"),
+          explode(arrays_zip(col("__bs"), col("__xs"))).as("__e"))
+        .select(col("__e.__bs").as("__b"), col("__id"),
+          (col("__r") * col("__e.__xs")).as("__g"))
+        .groupBy(col("__b"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("__id"), col("__g")))),
+          lit(0.0), (acc, s) => acc + s.getField("__g")).as("__gs"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getDouble(1) / m).toMap
+      weights = (weights.keySet ++ grad.keySet).iterator.map { b =>
+        b -> (weights.getOrElse(b, 0.0) - lr * grad.getOrElse(b, 0.0))
+      }.toMap
+      bias -= lr * biasGrad
+    }
+    Trained(weights, bias)
+  }
+
+  /** (idCol, label, predicted) for every document under a trained
+    * model, scoring with the SAME bucket-sorted fold arithmetic the
+    * trainer used — the engine-portable form of [[score]] (whose
+    * token-order fold is equivalent up to summation order). Prediction
+    * is the sign of the margin (score ≥ ½ ⇔ z ≥ 0), a discrete output
+    * stable under last-ulp noise — the q92 assignments-not-doubles
+    * oracle contract. */
+  def predict(df: DataFrame, textCol: String, labelCol: String,
+              idCol: String, model: Trained, dim: Int): DataFrame =
+    features(df, textCol, labelCol, idCol, dim)
+      .select(col("__id").as(idCol), col("__y").cast("long").as("label"),
+        (zCol(model.weights, model.bias) >= 0).cast("long").as("predicted"))
 }

@@ -1207,6 +1207,81 @@ object TextOps {
        |      FROM gated)""".stripMargin
   }
 
+  // -- q120: distributed quality-classifier TRAINING
+  // (Classifier.train) — 3 full-batch logistic GD iterations over
+  // hashed bag-of-words (dim 64, lr 0.5, zeros init) on a label the
+  // features can actually express (document contains the token
+  // 'spark'), then prediction with the same bucket-sorted fold
+  // arithmetic. Reproducibility: every gradient sum is an ordered fold
+  // (docs by id, buckets ascending — the q92 lesson), so both engines
+  // walk bit-identical weight trajectories modulo one exp() ulp per
+  // residual; the OUTPUT is the discrete prediction (z >= 0), stable
+  // under that noise (min |z| = 0.366 at sf0.01, measured). Oracle: the
+  // three iterations unrolled as CTEs — iteration 1 collapses to
+  // r = 0.5 - y (zeros init makes p exactly 1/2), then two
+  // (z -> residual -> gradient -> weight) rounds via list_aggregate
+  // ordered folds, FULL JOIN weight updates. --
+  private val q120: Q = (s, dir) => {
+    import s.implicits._
+    val labeled = docs(s, dir).select($"doc_id", $"text",
+      array_contains(Text.tokens($"text"), "spark").cast("double").as("y"))
+    val model = graft.operators.Classifier.train(labeled, "text", "y",
+      "doc_id", dim = 64, iterations = 3, lr = 0.5)
+    graft.operators.Classifier.predict(labeled, "text", "y", "doc_id",
+      model, dim = 64)
+  }
+  private val q120Sql = {
+    def gradCte(r: String, n: Int): String =
+      s"""g$n AS (
+         |  SELECT x.b, list_aggregate(list($r.r * x.x ORDER BY x.doc_id), 'sum')
+         |           / (SELECT m FROM m) AS g
+         |  FROM x JOIN $r USING (doc_id) GROUP BY x.b),
+         |gb$n AS (SELECT list_aggregate(list(r ORDER BY doc_id), 'sum')
+         |           / (SELECT m FROM m) AS g FROM $r)""".stripMargin
+    def zCte(w: String, b: String, n: Int): String =
+      s"""z$n AS (
+         |  SELECT d.doc_id, d.y, (SELECT bias FROM $b) + COALESCE(f.z, 0.0) AS z
+         |  FROM d LEFT JOIN (
+         |    SELECT x.doc_id,
+         |      list_aggregate(list(COALESCE($w.w, 0.0) * x.x ORDER BY x.b), 'sum') AS z
+         |    FROM x LEFT JOIN $w USING (b) GROUP BY x.doc_id) f USING (doc_id))""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN list_contains($dTok, 'spark') THEN CAST(1 AS DOUBLE)
+       |         ELSE CAST(0 AS DOUBLE) END AS y,
+       |    text
+       |  FROM documents),
+       |t AS (SELECT doc_id, unnest($dTok) AS tok FROM d),
+       |sp AS (SELECT doc_id,
+       |         CAST(TRY_CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 64 AS INT) AS b,
+       |         count(*) AS c
+       |       FROM t GROUP BY 1, 2),
+       |n AS (SELECT doc_id, len($dTok) AS n FROM d),
+       |x AS (SELECT sp.doc_id, sp.b, CAST(sp.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS x
+       |      FROM sp JOIN n USING (doc_id)),
+       |m AS (SELECT count(*) AS m FROM d),
+       |r1 AS (SELECT doc_id, CAST(0.5 AS DOUBLE) - y AS r FROM d),
+       |${gradCte("r1", 1)},
+       |w1 AS (SELECT b, -CAST(0.5 AS DOUBLE) * g AS w FROM g1),
+       |b1 AS (SELECT -CAST(0.5 AS DOUBLE) * g AS bias FROM gb1),
+       |${zCte("w1", "b1", 2)},
+       |r2 AS (SELECT doc_id, 1.0/(1.0 + exp(-z)) - y AS r FROM z2),
+       |${gradCte("r2", 2)},
+       |w2 AS (SELECT b, COALESCE(w1.w, 0.0) - CAST(0.5 AS DOUBLE) * COALESCE(g2.g, 0.0) AS w
+       |       FROM w1 FULL JOIN g2 USING (b)),
+       |b2 AS (SELECT (SELECT bias FROM b1) - CAST(0.5 AS DOUBLE) * g AS bias FROM gb2),
+       |${zCte("w2", "b2", 3)},
+       |r3 AS (SELECT doc_id, 1.0/(1.0 + exp(-z)) - y AS r FROM z3),
+       |${gradCte("r3", 3)},
+       |w3 AS (SELECT b, COALESCE(w2.w, 0.0) - CAST(0.5 AS DOUBLE) * COALESCE(g3.g, 0.0) AS w
+       |       FROM w2 FULL JOIN g3 USING (b)),
+       |b3 AS (SELECT (SELECT bias FROM b2) - CAST(0.5 AS DOUBLE) * g AS bias FROM gb3),
+       |${zCte("w3", "b3", 4)}
+       |SELECT doc_id, CAST(y AS BIGINT) AS label,
+       |       CAST(z >= 0 AS BIGINT) AS predicted
+       |FROM z4""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -1247,6 +1322,7 @@ object TextOps {
     "q96_countmin" -> q96,
     "q97_permute" -> q97,
     "q100_full_pipeline" -> q100,
+    "q120_train_classifier" -> q120,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1289,5 +1365,6 @@ object TextOps {
     "q96_countmin" -> q96Sql,
     "q97_permute" -> q97Sql,
     "q100_full_pipeline" -> q100Sql,
+    "q120_train_classifier" -> q120Sql,
   )
 }

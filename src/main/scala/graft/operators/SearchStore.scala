@@ -26,16 +26,27 @@ import graft.functions.Text
   */
 object SearchStore {
 
-  /** (token, id, tf, dl) — the per-(term, doc) sufficient statistics. */
+  /** (token, id, tf, dl, positions) — the per-(term, doc) sufficient
+    * statistics, POSITIONAL: `positions` holds the 0-based token offsets
+    * of every occurrence, sorted ascending (per-group aggregate state is
+    * doc-length-bounded). BM25 never reads the column — parquet column
+    * pruning keeps the score path's scan at (token, id, tf, dl), so the
+    * positional store costs the ranking queries nothing (spec-pinned);
+    * phrase/proximity queries ([[phraseSearch]]) are what it buys. */
   def postings(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         coalesce(Text.tokens(col(textCol)), array().cast("array<string>"))
           .as("__tk"))
       .select(col("id"), size(col("__tk")).cast("long").as("dl"),
-        explode(col("__tk")).as("token"))
+        // outer + isNotNull, NOT a bare posexplode: the non-outer form
+        // trips InferFiltersFromGenerate, which inlines the tokenize
+        // into a pre-Generate filter and runs split() twice per row
+        posexplode_outer(col("__tk")).as(Seq("pos", "token")))
+      .filter(col("token").isNotNull)
       .groupBy(col("token"), col("id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .select(col("token"), col("id"), col("tf"), col("dl"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .select(col("token"), col("id"), col("tf"), col("dl"), col("positions"))
 
   /** (id, dl) for every document — token-less ones included (they count
     * in N and avgdl, the [[Bm25.weights]] convention). */
@@ -117,4 +128,54 @@ object SearchStore {
              k1: Double = 1.2, b: Double = 0.75): DataFrame =
     searchFrames(spark.table(s"${name}_postings"),
       spark.table(s"${name}_docs"), terms, k, k1, b)
+
+  /** Top-`k` documents containing the exact token `phrase`, with the
+    * occurrence count — positional intersection over the postings:
+    * phrase slot i's positions are shifted by −i, and the intersection
+    * of all shifted arrays is exactly the set of match START offsets
+    * (overlapping matches included — "a a a" matches "a a" twice).
+    *
+    * The probe reads only the phrase's tokens' rows (bucket-pruned on a
+    * store table, same as [[search]]); each candidate doc's work is one
+    * ordered fold of `array_intersect` over its ≤ |phrase| shifted
+    * arrays (slot-sorted — one defined order), so per-doc state is
+    * doc-length-bounded and the shuffle carries phrase-term postings,
+    * never the corpus. Duplicate phrase tokens are handled by slot
+    * identity: each slot joins the token's single posting row, docs
+    * must cover ALL slots. Ranking = occurrences desc, id tiebreak, via
+    * a distributed TakeOrdered heap. */
+  def phraseSearchFrames(postings: DataFrame, phrase: Seq[String],
+                         k: Int): DataFrame = {
+    require(phrase.nonEmpty, "need a non-empty phrase")
+    require(k >= 1, s"k must be positive: $k")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val slots = phrase.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("__slot", "token")
+    val probed = postings.filter(col("token").isin(phrase.distinct: _*))
+    probed.join(broadcast(slots), "token")
+      .select(col("id"), col("__slot"),
+        transform(col("positions"), p => p - col("__slot")).as("__sp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__nslots"),
+        array_sort(collect_list(struct(col("__slot"), col("__sp"))))
+          .as("__sl"))
+      .filter(col("__nslots") === phrase.length)
+      .select(col("id"),
+        transform(col("__sl"), s => s.getField("__sp")).as("__arrs"))
+      .select(col("id"),
+        size(aggregate(
+          slice(col("__arrs"), 2, phrase.length - 1),
+          element_at(col("__arrs"), 1),
+          (acc, x) => array_intersect(acc, x))).cast("long").as("n_matches"))
+      .filter(col("n_matches") > 0)
+      .orderBy(col("n_matches").desc, col("id"))
+      .limit(k)
+  }
+
+  /** [[phraseSearchFrames]] over the persisted store — the phrase reads
+    * only its own tokens' buckets. */
+  def phraseSearch(spark: SparkSession, name: String, phrase: Seq[String],
+                   k: Int): DataFrame =
+    phraseSearchFrames(spark.table(s"${name}_postings"), phrase, k)
 }

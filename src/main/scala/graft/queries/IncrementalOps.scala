@@ -740,7 +740,40 @@ object IncrementalOps {
        |SELECT doc_id, round(sum(w), 6) AS score, CAST(count(*) AS BIGINT) AS n_terms
        |FROM w GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  // -- q121: PHRASE search over the positional postings
+  // (SearchStore.phraseSearchFrames) — the postings store now carries
+  // per-(term, doc) position arrays (0-based, sorted; BM25 never reads
+  // the column, parquet prunes it), and a phrase query is a positional
+  // intersection: slot i's positions shifted by -i, the intersection of
+  // all shifted arrays = the match START offsets (overlapping matches
+  // count). Query = the corpus bigram "table hash" (48 occurrences in
+  // 46 docs at sf0.01 — two docs match twice, so the ranking is real),
+  // same corpus+batch union shape as q119. Oracle: zipped unnests to
+  // (doc, token, pos), one self-join per phrase slot on pos+i,
+  // occurrence counts, (n_matches desc, id) top-20. --
+  private val q121: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    val ops = graft.operators.SearchStore
+    ops.phraseSearchFrames(
+        ops.postings(corpus, "text", "doc_id")
+          .unionByName(ops.postings(batch, "text", "doc_id")),
+        Seq("table", "hash"), k = 20)
+      .select(col("id").as("doc_id"), col("n_matches"))
+  }
+  private val q121Sql =
+    s"""WITH base AS (SELECT doc_id, $dTok AS tk FROM documents),
+       |tok AS (SELECT doc_id, unnest(tk) AS token,
+       |               generate_subscripts(tk, 1) - 1 AS pos FROM base),
+       |p0 AS (SELECT doc_id, pos FROM tok WHERE token = 'table'),
+       |p1 AS (SELECT doc_id, pos FROM tok WHERE token = 'hash')
+       |SELECT p0.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches
+       |FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+       |GROUP BY 1 ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q121_phrase_search" -> q121,
     "q110_upsample" -> q110,
     "q113_shard_manifest" -> q113,
     "q114_pipeline_audit" -> q114,
@@ -760,6 +793,7 @@ object IncrementalOps {
     "q108_ingest_pipeline" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q121_phrase_search" -> q121Sql,
     "q110_upsample" -> q110Sql,
     "q113_shard_manifest" -> q113Sql,
     "q114_pipeline_audit" -> q114Sql,

@@ -56,9 +56,74 @@ class SearchStoreSpec extends SparkSpec {
       assert(selected.exists(_.matches(".*\\b[1-4] out of 8.*")),
         s"query terms must prune to their own buckets: " +
           s"$selected / ${scans.map(_.metadata)}")
+      // BM25 never pays for the positional column: the scoring scan's
+      // read schema must exclude `positions` (parquet column pruning)
+      val readSchemas = scans.flatMap(_.metadata.get("ReadSchema"))
+      assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("positions")),
+        s"BM25 path must prune the positions column: $readSchemas")
     } finally {
       spark.sql("DROP TABLE IF EXISTS ss_spec_postings")
       spark.sql("DROP TABLE IF EXISTS ss_spec_docs")
+    }
+  }
+
+  test("postings carry sorted 0-based positions; tf == their count") {
+    val df = Seq((1L, "a b a c a"), (2L, "b b"), (3L, "")).toDF("doc_id", "text")
+    val got = SearchStore.postings(df, "text", "doc_id")
+      .as[(String, Long, Long, Long, Seq[Int])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("a", 1L)) == ((3L, 5L, Seq(0, 2, 4))))
+    assert(got(("b", 1L)) == ((1L, 5L, Seq(1))))
+    assert(got(("c", 1L)) == ((1L, 5L, Seq(3))))
+    assert(got(("b", 2L)) == ((2L, 2L, Seq(0, 1))))
+    assert(!got.keySet.exists(_._2 == 3L), "token-less doc has no postings")
+  }
+
+  test("phrase search: hand-computed matches, overlaps, repeated tokens, ranking") {
+    val df = Seq(
+      (1L, "x a b y a b"),   // "a b" twice
+      (2L, "a b c"),          // once; "a b c" once
+      (3L, "a a a"),          // "a a" overlapping: starts 0,1
+      (4L, "b a"),            // wrong order -> no match
+      (5L, "a c b")           // both tokens, not adjacent -> no match
+    ).toDF("doc_id", "text")
+    val p = SearchStore.postings(df, "text", "doc_id")
+    def run(phrase: Seq[String]) =
+      SearchStore.phraseSearchFrames(p, phrase, k = 10)
+        .as[(Long, Long)].collect().toSeq
+    assert(run(Seq("a", "b")) == Seq((1L, 2L), (2L, 1L)))
+    assert(run(Seq("a", "a")) == Seq((3L, 2L)), "overlapping matches count")
+    assert(run(Seq("a", "b", "c")) == Seq((2L, 1L)))
+    assert(run(Seq("a", "a", "a")) == Seq((3L, 1L)))
+    assert(run(Seq("z", "a")).isEmpty, "absent token -> no rows")
+    assert(run(Seq("c")) == Seq((2L, 1L), (5L, 1L)), "single-token phrase")
+  }
+
+  test("phrase search over the store == pure frames; probe is bucket-pruned") {
+    val d = Tables.load(spark, sf(), "documents").select($"doc_id", $"text")
+    val corpus = d.filter($"doc_id" % 3 =!= 0)
+    val batch = d.filter($"doc_id" % 3 === 0)
+    SearchStore.write(corpus, "text", "doc_id", "ss_ph", buckets = 8)
+    try {
+      SearchStore.append(batch, "text", "doc_id", "ss_ph")
+      val phrase = Seq("table", "hash")
+      val viaStore = SearchStore.phraseSearch(spark, "ss_ph", phrase, k = 15)
+      val got = viaStore.as[(Long, Long)].collect().toSeq
+      val want = SearchStore.phraseSearchFrames(
+          SearchStore.postings(d, "text", "doc_id"), phrase, k = 15)
+        .as[(Long, Long)].collect().toSeq
+      assert(got == want, s"store phrase search must equal frames\n$got\n$want")
+      assert(got.nonEmpty, "fixture phrase must actually occur")
+      val scans = collectPlan(viaStore.queryExecution.executedPlan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("ss_ph_postings")) => f
+      }
+      val selected = scans.flatMap(_.metadata.get("SelectedBucketsCount"))
+      assert(selected.exists(_.matches(".*\\b[1-2] out of 8.*")),
+        s"phrase terms must prune to their own buckets: $selected")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ss_ph_postings")
+      spark.sql("DROP TABLE IF EXISTS ss_ph_docs")
     }
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -54,15 +54,25 @@ object SearchStore {
     df.select(col(idCol).as("id"),
       coalesce(size(Text.tokens(col(textCol))), lit(0)).cast("long").as("dl"))
 
-  /** Creates `<name>_postings` + `<name>_docs` bucketed stores. */
+  /** Creates `<name>_postings` + `<name>_docs` + `<name>_termstats`
+    * bucketed stores. Term stats (per-token max tf, min dl — the
+    * max-score bound inputs) derive from the freshly written postings
+    * table: a groupBy on the bucket key, so the aggregation is
+    * exchange-free and never re-tokenizes the corpus. */
   def write(corpus: DataFrame, textCol: String, idCol: String,
             name: String, buckets: Int): Unit = {
+    val spark = corpus.sparkSession
     graft.sinks.Bucketing.writeBucketed(
       postings(corpus, textCol, idCol), s"${name}_postings",
       Seq("token"), buckets)
     graft.sinks.Bucketing.writeBucketed(
       docLengths(corpus, textCol, idCol), s"${name}_docs",
       Seq("id"), buckets)
+    graft.sinks.Bucketing.writeBucketed(
+      spark.table(s"${name}_postings")
+        .groupBy(col("token"))
+        .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl")),
+      s"${name}_termstats", Seq("token"), buckets)
   }
 
   /** The COMMIT step: appends a new snapshot's statistics, anti-joined
@@ -78,11 +88,22 @@ object SearchStore {
         org.apache.spark.sql.catalyst.TableIdentifier(t))
         .bucketSpec.getOrElse(throw new IllegalArgumentException(
           s"'$t' is not a bucketed store table")).numBuckets
-    postings(batch, textCol, idCol)
+    // materialized once (batch-sized): feeds both the postings insert
+    // and the termstats rows, and pins the anti-join against re-derive
+    val newP = postings(batch, textCol, idCol)
       .join(spark.table(s"${name}_postings").select(col("token"), col("id")),
         Seq("token", "id"), "left_anti")
+      .localCheckpoint()
+    newP
       .repartition(buckets(s"${name}_postings"), col("token"))
       .write.mode("append").insertInto(s"${name}_postings")
+    // term stats are append-only rows aggregated at query time; deriving
+    // them from the ANTI-JOINED postings keeps double-commits no-ops
+    newP
+      .groupBy(col("token"))
+      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+      .repartition(buckets(s"${name}_termstats"), col("token"))
+      .write.mode("append").insertInto(s"${name}_termstats")
     docLengths(batch, textCol, idCol)
       .join(spark.table(s"${name}_docs").select(col("id")),
         Seq("id"), "left_anti")
@@ -105,20 +126,29 @@ object SearchStore {
     val stats = docLens.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val dft = probed.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+    scoreDocs(probed, dft, stats, k1, b)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** idf over a (df, n_docs) row — the [[Bm25.weights]] formula. */
+  private def idfCol: Column =
+    log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+
+  /** Exact per-doc BM25 over a (subset of) probed postings; df/stats
+    * MUST cover the FULL probe so subset scores equal full-run scores. */
+  private def scoreDocs(probed: DataFrame, dft: DataFrame, stats: DataFrame,
+                        k1: Double, b: Double): DataFrame =
     probed
       .join(broadcast(dft), "token")
       .crossJoin(broadcast(stats))
       .select(col("id"),
-        round(idf * (col("tf") * (k1 + 1)) /
+        round(idfCol * (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
           .as("__w"))
       .groupBy(col("id"))
       .agg(round(sum(col("__w")), 6).as("score"),
         count(lit(1)).as("n_terms"))
-      .orderBy(col("score").desc, col("id"))
-      .limit(k)
-  }
 
   /** [[searchFrames]] over the persisted store: only `terms`' buckets of
     * the postings table are read (bucket pruning), df covers exactly the
@@ -178,4 +208,94 @@ object SearchStore {
   def phraseSearch(spark: SparkSession, name: String, phrase: Seq[String],
                    k: Int): DataFrame =
     phraseSearchFrames(spark.table(s"${name}_postings"), phrase, k)
+
+  /** Margin absorbing the 6-dp rounding of per-term weights (≤ 5e-7
+    * each) when comparing an UNROUNDED upper bound against a rounded
+    * exact score — generous for any realistic term count. */
+  private val UbEps = 1e-4
+
+  /** Uniqifier for the pruning observe metric (duplicate CollectMetrics
+    * names in one plan are an analysis error). */
+  private val maxScoreMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Top-`k` BM25 — same answer as [[searchFrames]], pinned — via
+    * max-score dynamic pruning (Turtle & Flood 1995; the batch
+    * translation of WAND block skipping): per-token score CEILINGS from
+    * the persisted term stats prune documents that cannot enter the
+    * top-k, so the expensive per-doc aggregation runs over a fraction
+    * of the matched docs when terms are skewed (one rare + several
+    * stopword-ish terms — exactly the corpus-scale shape, where the
+    * stopword's posting list is the cost).
+    *
+    * UB_t = idf_t · (k1+1)·max_tf / (max_tf + k1·(1−b + b·min_dl/avgdl))
+    * bounds every (tf, dl) in t's postings (the weight is monotone ↑ in
+    * tf, ↓ in dl). Phase 1 scores EXACTLY the docs matching the
+    * highest-UB term (the rare one — its postings are the short list)
+    * and takes the k-th score as the threshold θ; phase 2 keeps, of the
+    * remaining matched docs, only those whose Σ matched-term UBs clears
+    * θ − ε, and scores them exactly. A doc pruned by phase 2 satisfies
+    * score ≤ Σ UB < θ, so it ranks strictly below k phase-1 docs —
+    * equality with the unpruned path holds INCLUDING ties (pinned).
+    * Driver state: |terms| bounds + k threshold scores. Tokens absent
+    * from `termstats` get UB = ∞ (never pruned) — the store's own
+    * tables always cover every posting token.
+    *
+    * Fewer than k phase-1 candidates ⇒ θ is undefined and the search
+    * falls back to the unpruned path (same answer, no pruning). */
+  def maxScoreSearchFrames(postings: DataFrame, docLens: DataFrame,
+                           termstats: DataFrame, terms: Seq[String], k: Int,
+                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k >= 1, s"k must be positive: $k")
+    val probed = postings.filter(col("token").isin(terms: _*))
+    val stats = docLens.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val dft = probed.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val unpruned = scoreDocs(probed, dft, stats, k1, b)
+      .orderBy(col("score").desc, col("id")).limit(k)
+    // per-term ceilings (terms-bounded driver state); append-only stats
+    // rows aggregate here (max of maxes / min of mins)
+    val ubRows = termstats.filter(col("token").isin(terms: _*))
+      .groupBy(col("token"))
+      .agg(max(col("max_tf")).as("mtf"), min(col("min_dl")).as("mdl"))
+      .join(broadcast(dft), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("token"),
+        (idfCol * (col("mtf") * (k1 + 1)) /
+          (col("mtf") + lit(k1) * (lit(1 - b) + lit(b) * col("mdl") / col("avgdl"))))
+          .as("ub"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    if (ubRows.isEmpty) return unpruned
+    val seedTerm = ubRows.maxBy { case (t, u) => (u, t) }._1
+    val seedIds = probed.filter(col("token") === seedTerm).select(col("id"))
+    val seedScored = scoreDocs(
+      probed.join(seedIds, Seq("id"), "left_semi"), dft, stats, k1, b)
+    val topSeed = seedScored
+      .orderBy(col("score").desc, col("id")).limit(k).collect()
+    if (topSeed.length < k) return unpruned
+    val theta = topSeed.last.getAs[Double]("score")
+    val ubOf = coalesce(
+      element_at(typedlit(ubRows), col("token")), lit(Double.MaxValue))
+    val survivors = probed.join(seedIds, Seq("id"), "left_anti")
+      .groupBy(col("id")).agg(sum(ubOf).as("__ub"))
+      .filter(col("__ub") >= lit(theta - UbEps))
+      .select(col("id"))
+    scoreDocs(probed.join(survivors, Seq("id"), "left_semi"),
+        dft, stats, k1, b)
+      .unionByName(seedScored)
+      // scored_docs counts the docs that actually reached exact scoring
+      // — the pruning observability (read it off the collected frame's
+      // own queryExecution; metric name graft_maxscore_<n>)
+      .observe(s"graft_maxscore_${maxScoreMetricSeq.incrementAndGet()}",
+        count(lit(1)).as("scored_docs"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
+  /** [[maxScoreSearchFrames]] over the persisted store tables. */
+  def maxScoreSearch(spark: SparkSession, name: String, terms: Seq[String],
+                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    maxScoreSearchFrames(spark.table(s"${name}_postings"),
+      spark.table(s"${name}_docs"), spark.table(s"${name}_termstats"),
+      terms, k, k1, b)
 }

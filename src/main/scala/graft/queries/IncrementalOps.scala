@@ -772,8 +772,53 @@ object IncrementalOps {
        |FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
        |GROUP BY 1 ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin
 
+  // -- q122: BM25 max-score dynamic pruning
+  // (SearchStore.maxScoreSearchFrames) — the WAND-family batch
+  // translation: per-token score ceilings from the persisted term stats
+  // (max_tf, min_dl) establish a threshold from the rare seed term's
+  // exact scores, and docs whose matched-UB sum cannot clear it are
+  // pruned BEFORE the per-doc aggregation. Query = one rare term (dup,
+  // df 25/500, idf 3.0) + two stopword-ish terms (batch/scan, df 400,
+  // UB 0.2) — the skewed shape where pruning bites (~475 of ~500
+  // matched docs never reach exact scoring; MaxScoreSpec pins the
+  // count). Oracle: the UNPRUNED q119 BM25 algebra over the same terms
+  // — pinned equal including ties. --
+  private val q122: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") % 10 =!= 0)
+    val batch = d.filter(col("doc_id") % 10 === 0)
+    val ops = graft.operators.SearchStore
+    val post = ops.postings(corpus, "text", "doc_id")
+      .unionByName(ops.postings(batch, "text", "doc_id"))
+    ops.maxScoreSearchFrames(
+        post,
+        ops.docLengths(corpus, "text", "doc_id")
+          .unionByName(ops.docLengths(batch, "text", "doc_id")),
+        post.groupBy(col("token"))
+          .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl")),
+        Seq("dup", "batch", "scan"), k = 10)
+      .select(col("id").as("doc_id"), col("score"), col("n_terms"))
+  }
+  private val q122Sql =
+    s"""WITH base AS (SELECT doc_id, $dTok AS tk FROM documents),
+       |tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS token
+       |        FROM base),
+       |tf AS (SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf FROM tok
+       |       WHERE token IN ('dup', 'batch', 'scan') GROUP BY 1, 2, 3),
+       |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(avg(len(tk)) AS DOUBLE) AS avgdl FROM base),
+       |w AS (SELECT tf.doc_id,
+       |        round(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1) *
+       |              (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl)),
+       |              6) AS w
+       |      FROM tf JOIN dft USING (token) CROSS JOIN st)
+       |SELECT doc_id, round(sum(w), 6) AS score, CAST(count(*) AS BIGINT) AS n_terms
+       |FROM w GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q121_phrase_search" -> q121,
+    "q122_maxscore_search" -> q122,
     "q110_upsample" -> q110,
     "q113_shard_manifest" -> q113,
     "q114_pipeline_audit" -> q114,
@@ -794,6 +839,7 @@ object IncrementalOps {
 
   val oracle: Map[String, String] = Map(
     "q121_phrase_search" -> q121Sql,
+    "q122_maxscore_search" -> q122Sql,
     "q110_upsample" -> q110Sql,
     "q113_shard_manifest" -> q113Sql,
     "q114_pipeline_audit" -> q114Sql,

@@ -64,6 +64,7 @@ class SearchStoreSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS ss_spec_postings")
       spark.sql("DROP TABLE IF EXISTS ss_spec_docs")
+      spark.sql("DROP TABLE IF EXISTS ss_spec_termstats")
     }
   }
 
@@ -124,6 +125,52 @@ class SearchStoreSpec extends SparkSpec {
     } finally {
       spark.sql("DROP TABLE IF EXISTS ss_ph_postings")
       spark.sql("DROP TABLE IF EXISTS ss_ph_docs")
+      spark.sql("DROP TABLE IF EXISTS ss_ph_termstats")
+    }
+  }
+
+  test("max-score search == unpruned, prunes the stopword-only majority, falls back sanely") {
+    // skewed fixture: 'rare' in 4 docs, 'stop' in all 40 — the WAND shape
+    val docs = (1L to 40L).map { i =>
+      val rare = if (i % 10 == 0) " rare" else ""
+      (i, ("stop filler word" + rare + " tail") * (1 + (i % 3).toInt))
+    }
+    val df = docs.toDF("doc_id", "text")
+    SearchStore.write(df, "text", "doc_id", "ss_ms", buckets = 4)
+    try {
+      val terms = Seq("rare", "stop")
+      val k = 3 // <= 4 'rare' docs, so the threshold phase is active
+      val pruned = SearchStore.maxScoreSearch(spark, "ss_ms", terms, k)
+      val got = pruned.as[(Long, Double, Long)].collect().toSeq
+      val want = SearchStore.search(spark, "ss_ms", terms, k)
+        .as[(Long, Double, Long)].collect().toSeq
+      assert(got == want, s"max-score must equal unpruned\n$got\n$want")
+      // the pruning is real: far fewer docs reach exact scoring than
+      // the 40 that match some term (4 seeds + few UB survivors)
+      val metrics = pruned.queryExecution.observedMetrics
+        .collect { case (name, row) if name.startsWith("graft_maxscore_") =>
+          row.getAs[Long]("scored_docs") }
+      assert(metrics.nonEmpty, "pruned path must run (not the fallback)")
+      assert(metrics.head < 40,
+        s"stopword-only docs must be pruned before scoring: ${metrics.head}")
+
+      // k larger than the seed list -> fallback, still the exact answer
+      val big = SearchStore.maxScoreSearch(spark, "ss_ms", terms, k = 10)
+        .as[(Long, Double, Long)].collect().toSeq
+      val bigWant = SearchStore.search(spark, "ss_ms", terms, k = 10)
+        .as[(Long, Double, Long)].collect().toSeq
+      assert(big == bigWant, "fallback path must equal unpruned")
+
+      // ties at the boundary: every 10th doc repeats the same text, so
+      // equal scores exist; id tiebreak must agree with unpruned
+      val tied = SearchStore.maxScoreSearch(spark, "ss_ms", Seq("stop"), k = 5)
+        .as[(Long, Double, Long)].collect().toSeq
+      assert(tied == SearchStore.search(spark, "ss_ms", Seq("stop"), k = 5)
+        .as[(Long, Double, Long)].collect().toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ss_ms_postings")
+      spark.sql("DROP TABLE IF EXISTS ss_ms_docs")
+      spark.sql("DROP TABLE IF EXISTS ss_ms_termstats")
     }
   }
 }

@@ -15,10 +15,14 @@ object EsApi {
 
   private val mapper = new ObjectMapper()
 
-  /** One page of scroll results: the continuation id, the total hit count
-    * (from the first page; -1 when the server omits it), and the raw
-    * `_source` documents. */
-  final case class Page(scrollId: Option[String], total: Long, hits: Seq[JsonNode])
+  /** One page of scroll/PIT results: the continuation id (scroll) or the
+    * possibly-refreshed PIT id, the total hit count (from the first page;
+    * -1 when the server omits it), the raw `_source` documents, and the
+    * last hit's `sort` values — the `search_after` cursor for the next
+    * PIT page. */
+  final case class Page(scrollId: Option[String], total: Long, hits: Seq[JsonNode],
+                        pitId: Option[String] = None,
+                        lastSort: Option[JsonNode] = None)
 
   def parsePage(json: String): Page = {
     val root = mapper.readTree(json)
@@ -34,11 +38,13 @@ object EsApi {
     }
     // `_source: false` responses carry hit envelopes without _source —
     // each hit still counts as one (empty) document
-    val docs = Option(hitsNode.get("hits")).map(_.elements().asScala.toSeq)
+    val envelopes = Option(hitsNode.get("hits")).map(_.elements().asScala.toSeq)
       .getOrElse(Seq.empty)
-      .map(h => Option(h.get("_source"): JsonNode)
-        .getOrElse(mapper.createObjectNode()))
-    Page(Option(root.get("_scroll_id")).map(_.asText()), total, docs)
+    val docs = envelopes.map(h => Option(h.get("_source"): JsonNode)
+      .getOrElse(mapper.createObjectNode()))
+    Page(Option(root.get("_scroll_id")).map(_.asText()), total, docs,
+      pitId = Option(root.get("pit_id")).map(_.asText()),
+      lastSort = envelopes.lastOption.flatMap(h => Option(h.get("sort"))))
   }
 
   /** One wire sort clause; `missing` is ES's null placement
@@ -63,7 +69,9 @@ object EsApi {
   def searchBody(size: Int, sort: Seq[Sort], query: Option[String],
                  sourceFields: Option[Seq[String]],
                  slice: Option[(Int, Int)],
-                 range: Option[(String, Double, Double)] = None): String = {
+                 range: Option[(String, Double, Double)] = None,
+                 pit: Option[(String, String)] = None,
+                 searchAfter: Option[JsonNode] = None): String = {
     val body = mapper.createObjectNode()
     body.put("size", size)
     if (sort.nonEmpty) {
@@ -104,6 +112,15 @@ object EsApi {
     slice.foreach { case (id, max) =>
       val s = body.putObject("slice"); s.put("id", id); s.put("max", max)
     }
+    // PIT search targets /_search (no index — the PIT id names the view);
+    // keep_alive rides every request so the context outlives slow pages
+    pit.foreach { case (id, keepAlive) =>
+      val p = body.putObject("pit")
+      p.put("id", id); p.put("keep_alive", keepAlive)
+    }
+    // the previous page's last-hit sort values — the client-side cursor
+    // that replaces the server-side scroll context
+    searchAfter.foreach(sa => body.set[ObjectNode]("search_after", sa.deepCopy[JsonNode]()))
     mapper.writeValueAsString(body)
   }
 
@@ -151,6 +168,19 @@ object EsApi {
   def clearScrollBody(scrollId: String): String = {
     val body = mapper.createObjectNode()
     body.putArray("scroll_id").add(scrollId)
+    mapper.writeValueAsString(body)
+  }
+
+  /** The PIT id from a `POST /{index}/_pit?keep_alive=…` response. */
+  def parsePitId(json: String): String =
+    Option(mapper.readTree(json).get("id")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException(
+        s"unexpected _pit response (no 'id'): ${json.take(200)}"))
+
+  /** `DELETE /_pit` body closing a point-in-time context. */
+  def deletePitBody(pitId: String): String = {
+    val body = mapper.createObjectNode()
+    body.put("id", pitId)
     mapper.writeValueAsString(body)
   }
 

@@ -99,7 +99,8 @@ private[es] final case class EsScanConfig(
     retryBackoffMs: Long,
     tailField: Option[String] = None,
     startFrom: Long = 0L,
-    maxResultWindow: Int = 10000) {
+    maxResultWindow: Int = 10000,
+    mode: String = "scroll") {
   def transportFactory: EsTransportFactory = HttpTransportFactory(http)
 }
 
@@ -132,7 +133,16 @@ private[es] object EsScanConfig {
       startFrom = o.get("start_from").map(_.toLong).getOrElse(0L),
       // mirrors the index.max_result_window setting: the cap on from+size
       // probes; raise it only if the index raised it too
-      maxResultWindow = o.get("max_result_window").map(_.toInt).getOrElse(10000))
+      maxResultWindow = o.get("max_result_window").map(_.toInt).getOrElse(10000),
+      // scroll = the reference's API (dump-es-parquet:259-266); pit = the
+      // ES 7.10+ replacement (point-in-time + search_after) whose cursor
+      // lives client-side, so a mid-dump retry re-probes from the last
+      // sort key instead of restarting the walk
+      mode = o.getOrElse("mode", "scroll") match {
+        case m @ ("scroll" | "pit") => m
+        case other => throw new IllegalArgumentException(
+          s"graft-es mode must be 'scroll' or 'pit', got '$other'")
+      })
   }
 }
 
@@ -278,6 +288,7 @@ private[es] class EsScan(required: StructType, conf: EsScanConfig,
   override def description(): String = {
     val parts = Seq(
       s"index=${conf.index}",
+      s"mode=${conf.mode}",
       s"PushedFilters=[${pushed.mkString(", ")}]") ++
       pushedLimit.map(l => s"PushedLimit=$l") ++
       (if (pushedSort.nonEmpty)
@@ -336,6 +347,10 @@ private[es] class EsReaderFactory(required: StructType, pushed: Array[Filter])
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EsPartition]
     if (p.countOnly) new EsCountReader(p)
+    // pushed-limit probes are a single plain search — no walk context
+    // needed, so they take the scroll reader's one-shot path in any mode
+    else if (p.conf.mode == "pit" && p.limit.isEmpty)
+      new EsPitPartitionReader(required, pushed, p)
     else new EsScrollPartitionReader(required, pushed, p)
   }
 }
@@ -450,6 +465,106 @@ private[es] class EsScrollPartitionReader(
     } catch {
       case e: Exception => EsScrollSource.log.warn(
         s"${conf.index}$sliceTag: clear scroll failed: ${e.getMessage}")
+    } finally transport.close()
+  }
+}
+
+/** Drives one slice's point-in-time + `search_after` walk — the ES 7.10+
+  * replacement for the scroll API the reference mirrors
+  * (dump-es-parquet:259-266). Same shape as the scroll reader — one page
+  * of documents in memory, a pruned `_source` list, in-reader coercion —
+  * with one structural improvement: the continuation cursor (the last
+  * hit's `sort` values) lives on the CLIENT. A scroll retry replays a
+  * server-side context that may have expired or lost its node; a PIT
+  * retry re-issues the same `search_after` request, so a mid-dump
+  * cluster flap resumes from the last sort key without re-reading (or
+  * double-reading) a single document.
+  *
+  * Ordering: `search_after` needs a total order, so the reader sorts by
+  * the configured keys (minus bare `_doc`, which is scroll-specific) plus
+  * the `_shard_doc` tiebreaker ES defines for exactly this purpose. Each
+  * slice opens its own PIT — the same per-partition independence as
+  * sliced scroll contexts, with no shared driver-side lifecycle to
+  * coordinate.
+  */
+private[es] class EsPitPartitionReader(
+    required: StructType, pushed: Array[Filter], part: EsPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = part.conf
+  private val transport = conf.transportFactory.open()
+  private val rowFilter = RowFilter(required, pushed.filter(RowFilter.supported))
+  private val sliceTag = part.slice.map { case (i, m) => s" slice $i/$m" }.getOrElse("")
+
+  // _doc is the scroll API's "index order" pseudo-field; PIT pagination
+  // keys on real sort values + the per-PIT-unique _shard_doc tiebreak
+  private val sort: Seq[EsApi.Sort] =
+    conf.sort.filterNot(_.field == "_doc") :+ EsApi.Sort("_shard_doc", "asc")
+
+  private var pitId: Option[String] = None
+  private var cursor: Option[com.fasterxml.jackson.databind.JsonNode] = None
+  private var page: Iterator[com.fasterxml.jackson.databind.JsonNode] = Iterator.empty
+  private var exhausted = false
+  private var total = -1L
+  private var readHits = 0L
+  private var pagesFetched = 0
+  private var current: InternalRow = _
+
+  private def retried[T](op: => T): T =
+    Retry.withBackoff(conf.retries, conf.retryBackoffMs, EsHttpError.transient,
+      onRetry = (left, e) => EsScrollSource.log.warn(
+        s"${conf.index}$sliceTag: transient source error " +
+          s"($left attempts left): ${e.getMessage}"))(op)
+
+  private def nextPage(): Unit = {
+    if (part.stopAfter.exists(readHits >= _)) { exhausted = true; return }
+    val id = pitId.getOrElse {
+      val opened = EsApi.parsePitId(retried(
+        transport.post(s"/${conf.index}/_pit?keep_alive=${conf.scroll}", "")))
+      pitId = Some(opened)
+      opened
+    }
+    // the retry wraps the whole page fetch: a flap mid-page re-sends the
+    // SAME body — same search_after — so no document is lost or repeated
+    val p = EsApi.parsePage(retried(transport.post("/_search",
+      EsApi.searchBody(conf.size, sort, part.wireQuery, part.sourceFields,
+        part.slice, pit = Some((id, conf.scroll)), searchAfter = cursor))))
+    if (pagesFetched == 0) {
+      total = p.total
+      if (total == 0) EsScrollSource.log.warn(
+        s"${conf.index}$sliceTag: no records found")
+    }
+    pagesFetched += 1
+    p.pitId.foreach(refreshed => pitId = Some(refreshed)) // server may rotate it
+    if (p.hits.isEmpty) exhausted = true
+    else {
+      cursor = p.lastSort.orElse(
+        throw new IllegalStateException(
+          s"${conf.index}$sliceTag: PIT page carried hits but no sort values — " +
+            "server does not support search_after pagination"))
+      readHits += p.hits.size
+      EsScrollSource.log.info(
+        s"${conf.index}$sliceTag: read $readHits/$total records")
+      page = p.hits.iterator
+    }
+  }
+
+  @annotation.tailrec
+  final override def next(): Boolean =
+    if (page.hasNext) {
+      val row = MapSource.coerce(page.next(), required)
+      if (rowFilter(row)) { current = row; true } else next()
+    } else if (exhausted) false
+    else { nextPage(); next() }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = {
+    try pitId.foreach { id =>
+      transport.delete("/_pit", EsApi.deletePitBody(id))
+    } catch {
+      case e: Exception => EsScrollSource.log.warn(
+        s"${conf.index}$sliceTag: close PIT failed: ${e.getMessage}")
     } finally transport.close()
   }
 }

@@ -299,6 +299,98 @@ class EsScrollSourceSpec extends SparkSpec {
     }
   }
 
+  private def pitSearches(server: StubEsServer): Seq[(String, String, String)] =
+    server.requests.asScala.toSeq.filter(r => r._1 == "POST" && r._2 == "/_search")
+
+  test("PIT mode: pit + search_after walk == scroll dump, no scroll context") {
+    withServer() { server =>
+      val df = read(server, "mode" -> "pit")
+      val ids = df.select($"id").as[Long].collect().sorted.toSeq
+      assert(ids == (0L until 23L))
+      // never touches the scroll API
+      assert(server.requests.asScala.forall(r => !r._2.contains("scroll")),
+        "pit mode must not open or page a scroll context")
+      // 23 docs at size 5: 5 pages + empty terminator, all via /_search;
+      // every page after the first carries the previous page's cursor
+      val pages = pitSearches(server)
+      assert(pages.size == 6, s"expected 6 PIT page fetches, got ${pages.size}")
+      assert(!pages.head._3.contains("search_after"), pages.head._3)
+      assert(pages.tail.forall(_._3.contains("search_after")),
+        "every follow-up page must be keyed by search_after")
+      assert(pages.forall(_._3.contains("\"_shard_doc\"")),
+        "PIT pagination must sort with the _shard_doc tiebreak")
+      // the context is closed on completion (the clear-scroll twin)
+      assert(server.closedPits.asScala.nonEmpty, "reader must DELETE its PIT on close")
+    }
+  }
+
+  test("sliced PIT: one independent pit per slice, rows exactly once") {
+    withServer() { server =>
+      val df = read(server, "mode" -> "pit", "slices" -> "4")
+      assert(df.rdd.getNumPartitions == 4)
+      val ids = df.select($"id").as[Long].collect().sorted.toSeq
+      assert(ids == (0L until 23L), "slices must partition, not duplicate")
+      assert(server.closedPits.asScala.size == 4,
+        "each slice opens and closes its own PIT")
+    }
+  }
+
+  test("PIT flap resume: a mid-dump 503 retries the SAME cursor — no re-read") {
+    withServer() { server =>
+      server.failPitSearch(3) // 503 exactly the third page fetch
+      val df = read(server, "mode" -> "pit")
+      val ids = df.select($"id").as[Long].collect().sorted.toSeq
+      assert(ids == (0L until 23L), "flap must lose or duplicate nothing")
+      val pages = pitSearches(server)
+      // 6 clean pages + the one flapped attempt
+      assert(pages.size == 7, s"expected 6 pages + 1 flap, got ${pages.size}")
+      // the retry re-sends the failed request verbatim: same search_after,
+      // so the walk resumes from the last sort key instead of restarting
+      // (the structural advantage over a server-side scroll context)
+      assert(pages(2)._3 == pages(3)._3,
+        s"retry must resume from the same cursor:\n${pages(2)._3}\n${pages(3)._3}")
+      // each cursor was advanced exactly once: 5 distinct search_after
+      // values across all requests (pages 2..6), none repeated twice+
+      val cursors = pages.map(_._3).filter(_.contains("search_after"))
+      assert(cursors.distinct.size == 5, s"got cursors: $cursors")
+    }
+  }
+
+  test("PIT mode keeps the one-shot probe for pushed limits (no context at all)") {
+    withServer() { server =>
+      val df = read(server, "mode" -> "pit").limit(4)
+      assert(pushedScan(df).pushedLimit.contains(4))
+      assert(df.count() == 4)
+      assert(server.requests.asScala.forall(r => !r._2.contains("_pit")),
+        "a pushed-limit probe needs no PIT")
+      assert(server.searchRequests.size == 1)
+    }
+  }
+
+  test("PIT mode composes with projection + pushed filters on the wire") {
+    withServer() { server =>
+      val df = read(server, "mode" -> "pit")
+        .filter($"id" >= 10 && $"id" < 13).select($"name")
+      assert(df.as[String].collect().sorted.toSeq == Seq("doc10", "doc11", "doc12"))
+      val body = pitSearches(server).head._3
+      assert(body.contains("\"_source\":[\"name\",\"id\"]") ||
+        body.contains("\"_source\":[\"id\",\"name\"]") ||
+        body.contains("\"_source\":[\"name\"]"), body)
+      assert(body.contains("query_string"), s"expected wire query in: $body")
+    }
+  }
+
+  test("invalid mode option is rejected loudly") {
+    withServer() { server =>
+      val e = intercept[Exception] { read(server, "mode" -> "warp").collect() }
+      def named(t: Throwable): Boolean =
+        if (t == null) false
+        else if (Option(t.getMessage).exists(_.contains("'warp'"))) true
+        else named(t.getCause)
+      assert(named(e), s"error must name the bad mode, got $e")
+    }
+  }
+
   test("EsQuery: conservative translation (partial And, all-or-nothing Or, no Not)") {
     assert(EsQuery.clause(EqualTo("a", 5)) == Some("a:5"))
     assert(EsQuery.clause(EqualTo("a", "s")).isEmpty) // strings stay residual

@@ -24,6 +24,11 @@ import scala.jdk.CollectionConverters._
   *  - `addDocs` appends documents live (the tail-source suite's ingest)
   *  - size-0 `max` aggregations and structured numeric `range` queries
   *    are evaluated (the tail source's offset probe + batch windows)
+  *  - point-in-time contexts: `POST /{idx}/_pit` snapshots the index,
+  *    index-less `POST /_search` with `pit.id` pages it via
+  *    `search_after` (sort values emitted per hit, `_shard_doc`
+  *    tiebreak honored), `DELETE /_pit` closes; `failPitSearch(n)`
+  *    503s exactly the nth page fetch (targeted mid-dump flap)
   */
 final class StubEsServer(
     initialIndices: Map[String, Seq[String]],
@@ -47,7 +52,19 @@ final class StubEsServer(
   private final case class Session(var docs: List[ObjectNode], size: Int)
   private val sessions = new ConcurrentHashMap[String, Session]()
 
+  // point-in-time contexts: an immutable snapshot of the index at open
+  // time (the real API's defining property), keyed by PIT id
+  private val pitSeq = new AtomicLong(0)
+  private val pits = new ConcurrentHashMap[String, List[ObjectNode]]()
+  val closedPits = new ConcurrentLinkedQueue[String]()
+
   def failNext(n: Int): Unit = failBudget.set(n)
+
+  // targeted mid-dump flap: 503 exactly the nth (1-based) index-less
+  // /_search request — i.e. the nth PIT page fetch
+  private val pitSearchCounter = new AtomicInteger(0)
+  @volatile private var failPitSearchAt: Int = -1
+  def failPitSearch(n: Int): Unit = failPitSearchAt = n
   def searchRequests: Seq[(String, String, String)] =
     requests.asScala.toSeq.filter(r => r._1 == "POST" && r._2.contains("/_search") &&
       !r._2.contains("/_search/scroll"))
@@ -94,6 +111,32 @@ final class StubEsServer(
         if (matched.isEmpty) respond(ex, 404, s"""{"error":"no indices match"}""")
         else respond(ex, 200,
           matched.map(n => s""""$n":{"settings":{}}""").mkString("{", ",", "}"))
+      case ("POST", idx :: "_pit" :: Nil) =>
+        Option(indices.get(idx)) match {
+          case Some(docs) =>
+            val id = s"stub-pit-${pitSeq.incrementAndGet()}"
+            pits.put(id, docs.map(d => mapper.readTree(d).asInstanceOf[ObjectNode]))
+            respond(ex, 200, s"""{"id":"$id"}""")
+          case None => respond(ex, 404, s"""{"error":"no such index $idx"}""")
+        }
+      case ("DELETE", "_pit" :: Nil) =>
+        val id = mapper.readTree(body).get("id").asText()
+        pits.remove(id)
+        closedPits.add(id)
+        respond(ex, 200, """{"succeeded":true}""")
+      case ("POST", "_search" :: Nil) =>
+        // index-less search: the PIT id names the view (real ES shape)
+        if (pitSearchCounter.incrementAndGet() == failPitSearchAt) {
+          respond(ex, 503, """{"error":"stub flap"}"""); return
+        }
+        val req = mapper.readTree(if (body.isEmpty) "{}" else body)
+        val pid = req.at("/pit/id")
+        if (pid.isMissingNode)
+          respond(ex, 400, """{"error":"index-less search requires a pit"}""")
+        else Option(pits.get(pid.asText())) match {
+          case None => respond(ex, 404, s"""{"error":"no pit ${pid.asText()}"}""")
+          case Some(snapshot) => respond(ex, 200, pitSearch(req, pid.asText(), snapshot))
+        }
       case ("POST", "_search" :: "scroll" :: Nil) =>
         val id = mapper.readTree(body).get("scroll_id").asText()
         val session = sessions.get(id)
@@ -200,6 +243,88 @@ final class StubEsServer(
         respond(ex, 200, """{"succeeded":true}""")
       case _ => respond(ex, 400, s"""{"error":"unhandled $method $path"}""")
     }
+  }
+
+  /** PIT + search_after search over an open snapshot: honors sort clauses
+    * (field order + the `_shard_doc` position tiebreak), slice, the
+    * `search_after` cursor (match-previous-page's-last-sort-values, then
+    * take what follows), `_source` projection, and size; every hit carries
+    * its `sort` array like real ES. */
+  private def pitSearch(req: com.fasterxml.jackson.databind.JsonNode,
+                        pitId: String, snapshot: List[ObjectNode]): String = {
+    val size = Option(req.get("size")).map(_.asInt).getOrElse(10)
+    val positioned = snapshot.zipWithIndex
+    val sliced = Option(req.get("slice")) match {
+      case Some(s) =>
+        val (id, max) = (s.get("id").asInt, s.get("max").asInt)
+        positioned.filter { case (_, i) => i % max == id }
+      case None => positioned
+    }
+    val clauses = Option(req.get("sort")).map(_.elements().asScala.toList)
+      .getOrElse(Nil).collect {
+        case c if c.isObject =>
+          val f = c.fieldNames().asScala.next()
+          (f, Option(c.get(f).get("order")).exists(_.asText() == "desc"))
+      }
+    // stable sorts applied least-significant-first = multi-clause order
+    val ordered = clauses.reverse.foldLeft(sliced) { case (acc, (f, desc)) =>
+      val byKey = acc.sortBy { case (d, i) =>
+        if (f == "_shard_doc") (i.toDouble, "")
+        else Option(d.get(f)) match {
+          case Some(v) if v.isNumber => (v.asDouble(), "")
+          case Some(v)               => (0.0, v.asText())
+          case None                  => (Double.NegativeInfinity, "")
+        }
+      }
+      if (desc) byKey.reverse else byKey
+    }
+    def sortValues(d: ObjectNode, pos: Int): com.fasterxml.jackson.databind.node.ArrayNode = {
+      val arr = mapper.createArrayNode()
+      clauses.foreach {
+        case ("_shard_doc", _) => arr.add(pos)
+        case (f, _) => Option(d.get(f)) match {
+          case Some(v) => arr.add(v.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+          case None    => arr.addNull()
+        }
+      }
+      arr
+    }
+    val keyed = ordered.map { case (d, i) =>
+      (d, mapper.writeValueAsString(sortValues(d, i)), sortValues(d, i))
+    }
+    val afterCut = Option(req.get("search_after")) match {
+      case Some(sa) =>
+        val cursor = mapper.writeValueAsString(sa)
+        val idx = keyed.indexWhere(_._2 == cursor)
+        require(idx >= 0, s"search_after cursor not found in pit view: $cursor")
+        keyed.drop(idx + 1)
+      case None => keyed
+    }
+    val pageHits = afterCut.take(size)
+    val projected: List[(ObjectNode, com.fasterxml.jackson.databind.node.ArrayNode)] =
+      Option(req.get("_source")) match {
+        case Some(src) if src.isArray =>
+          val keep = src.elements().asScala.map(_.asText()).toSet
+          pageHits.map { case (d, _, sv) =>
+            val c = d.deepCopy[ObjectNode]()
+            c.retain(keep.asJava); (c, sv)
+          }
+        case Some(src) if src.isBoolean && !src.asBoolean() =>
+          pageHits.map { case (_, _, sv) => (null: ObjectNode, sv) }
+        case _ => pageHits.map { case (d, _, sv) => (d, sv) }
+      }
+    val root = mapper.createObjectNode()
+    root.put("pit_id", pitId)
+    val hits = root.putObject("hits")
+    val t = hits.putObject("total")
+    t.put("value", ordered.size); t.put("relation", "eq")
+    val arr = hits.putArray("hits")
+    projected.foreach { case (d, sv) =>
+      val h = arr.addObject()
+      if (d != null) h.set[ObjectNode]("_source", d)
+      h.set[ObjectNode]("sort", sv)
+    }
+    mapper.writeValueAsString(root)
   }
 
   private def pageJson(scrollId: Option[String], total: Long,

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+
+/** Dev tool: synthesize a larger-scale fixture from an existing one by
+  * replicating `documents`/`embeddings` k× with per-copy decorrelation,
+  * for scaling-exponent measurements (SURVEY §6) above the largest
+  * driver-provided scale factor.
+  *
+  *   sbt "runMain graft.tools.ScaleUp <inDir> <outDir> <k>"
+  *
+  * Decorrelation design — the point is that each copy adds WORK, not
+  * trivially-collapsible duplicates, while intra-copy structure (dup
+  * fraction, near-dup clusters, embedding geometry) is preserved exactly:
+  *
+  *  - documents: copy c suffixes every word with `_c` (copy 0 is
+  *    verbatim). Every shingle changes, so cross-copy 5-gram Jaccard is
+  *    ~0 and MinHash/LSH workloads scale by k instead of collapsing into
+  *    k-sized hot buckets; intra-copy Jaccard relations are untouched
+  *    (uniform suffix). doc_id strides by 1,000,000 per copy — clear of
+  *    the +10k/+20k/+30k offsets the incremental-batch fixtures add.
+  *  - embeddings: copy c circularly shifts each vector by c positions —
+  *    an orthogonal transform, so intra-copy inner products (cluster
+  *    geometry) are exactly preserved while cross-copy pairs decorrelate
+  *    like random unit vectors.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(in, out, kStr) = args.take(3)
+    val k = kStr.toInt
+    val spark = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val copies = spark.range(k.toLong).toDF("c")
+
+    val docs = spark.read.parquet(s"$in/documents.parquet")
+    docs.crossJoin(broadcast(copies))
+      .select(
+        (col("doc_id") + col("c") * 1000000L).as("doc_id"),
+        when(col("c") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_"), col("c")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val embs = spark.read.parquet(s"$in/embeddings.parquet")
+    embs.crossJoin(broadcast(copies))
+      .select(
+        (col("vec_id") + col("c") * 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> embedding[int((i + c) % size(embedding))])")
+          .as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"scaled $in x$k -> $out: " +
+      s"documents=${spark.read.parquet(s"$out/documents.parquet").count()} " +
+      s"embeddings=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+    spark.stop()
+  }
+}

@@ -1282,6 +1282,63 @@ object TextOps {
        |FROM z4""".stripMargin
   }
 
+  // -- q123: HORIZON (TTL) near-dup gate, batch twin
+  // (streaming.NearDupGate with Horizon) — the bounded-state form of the
+  // streaming gate: a shape is suppressed only within 24 h of its last
+  // sighting, then its bucket re-seeds. Fixture: the corpus re-delivered
+  // twice under new ids — wave 1 at +3 h (inside the horizon -> every
+  // re-delivery collides), wave 2 at +30 h (27 h after wave 1's refresh,
+  // outside -> re-admitted). The oracle computes the same verdicts
+  // through an INDEPENDENT formulation: sliding-TTL suppression ==
+  // gaps-and-islands per (band, sig) bucket (islands split where the
+  // sighting gap exceeds the ttl; each island's first (ts, id) row is
+  // the occupant), over the md5 minhash replica of q21. Admission =
+  // no bucket of mine is occupied by someone else. --
+  private def q123Stream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, dir).select($"doc_id", $"text")
+    val t0 = 1704067200L // 2024-01-01T00:00:00Z, arbitrary fixed origin
+    def wave(idOff: Long, tsOff: Long) = {
+      val src = if (idOff == 0) base else base.filter($"doc_id" % 3 === 0)
+      src.select(($"doc_id" + idOff).as("doc_id"), $"text",
+        timestamp_seconds(lit(t0 + tsOff) + $"doc_id").as("ts"))
+    }
+    wave(0L, 0L)
+      .unionByName(wave(100000L, 10800L))   // +3 h: inside the horizon
+      .unionByName(wave(200000L, 108000L))  // +30 h: expired, re-admitted
+  }
+  private val q123: Q = (s, dir) =>
+    graft.streaming.NearDupGate.gate(q123Stream(s, dir), "text", "doc_id",
+      horizon = Some(graft.streaming.Horizon("ts", "24 hours")))
+  private val q123Sql =
+    s"""WITH stream AS (
+       |  SELECT doc_id, text, doc_id AS tse FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text, 10800 + doc_id FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id + 200000, text, 108000 + doc_id FROM documents WHERE doc_id % 3 = 0),
+       |sigs AS (
+       |  SELECT doc_id, tse, band,
+       |    list_aggregate(list_transform(dg, d -> substring(d, 1 + 8 * (band - 1), 8)), 'min') AS sig
+       |  FROM (SELECT doc_id, tse, list_transform(${dShingles(dTok, 5)}, x -> md5(x)) AS dg FROM stream),
+       |       (SELECT unnest([1, 2, 3, 4]) AS band)
+       |  WHERE list_aggregate(list_transform(dg, d -> substring(d, 1 + 8 * (band - 1), 8)), 'min') IS NOT NULL),
+       |brk AS (
+       |  SELECT doc_id, tse, band, sig,
+       |    CASE WHEN lag(tse) OVER w IS NULL OR tse - lag(tse) OVER w > 86400
+       |         THEN 1 ELSE 0 END AS b
+       |  FROM sigs WINDOW w AS (PARTITION BY band, sig ORDER BY tse, doc_id)),
+       |isl AS (
+       |  SELECT doc_id, tse, band, sig,
+       |    sum(b) OVER (PARTITION BY band, sig ORDER BY tse, doc_id
+       |                 ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM brk),
+       |occ AS (
+       |  SELECT doc_id,
+       |    first_value(doc_id) OVER (PARTITION BY band, sig, island
+       |                              ORDER BY tse, doc_id) AS occ_id
+       |  FROM isl)
+       |SELECT doc_id, bool_and(doc_id = occ_id) AS admitted
+       |FROM occ GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -1323,6 +1380,7 @@ object TextOps {
     "q97_permute" -> q97,
     "q100_full_pipeline" -> q100,
     "q120_train_classifier" -> q120,
+    "q123_ttl_gate" -> q123,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1366,5 +1424,6 @@ object TextOps {
     "q97_permute" -> q97Sql,
     "q100_full_pipeline" -> q100Sql,
     "q120_train_classifier" -> q120Sql,
+    "q123_ttl_gate" -> q123Sql,
   )
 }

@@ -53,14 +53,35 @@ import graft.operators.Similarity
   * clusters, and the batch [[graft.operators.SemDedup.againstCorpus]]
   * against the persisted bucketed store for unbounded ingest. In batch
   * the same call degenerates to per-cluster folds over sorted groups
-  * with no state store at all. */
+  * with no state store at all.
+  *
+  * For UNBOUNDED ingest, pass a [[Horizon]]: an admitted vector then
+  * suppresses its neighborhood only within `ttl` of its last sighting
+  * (every identity re-delivery or tau-match refreshes it), after which
+  * the entry is dropped — lazily by the fold, eagerly by
+  * watermark-driven compaction, and whole-cluster state is removed by
+  * an event-time timeout once every entry ages out. State becomes
+  * "admitted vectors per ttl window", not ever. Seeded store vectors
+  * are [[Permanent]] — the persisted corpus doesn't expire from the
+  * gate; manage it via the batch store lifecycle. SemGateSpec pins
+  * stream == batch and the eviction itself. */
 object SemGate {
 
   case class Verdict(doc_id: Long, admitted: Boolean)
 
-  /** Per-cluster admitted vectors (parallel arrays: ids(i) owns
-    * embs(i)). */
-  case class GateState(ids: Array[Long], embs: Array[Array[Double]])
+  /** Per-cluster admitted vectors (parallel arrays: ids(i) owns embs(i),
+    * last sighted at lastSeen(i) — event-time millis, only meaningful
+    * under a [[Horizon]]; [[Permanent]] marks entries that never expire
+    * (seeded store vectors, and everything in no-horizon mode). */
+  case class GateState(ids: Array[Long], embs: Array[Array[Double]],
+                       lastSeen: Array[Long])
+
+  /** lastSeen sentinel for never-expiring entries: far enough in the
+    * future that `sentinel + ttl` cannot overflow. */
+  val Permanent: Long = Long.MaxValue / 4
+
+  private def emptyState: GateState =
+    GateState(Array.empty, Array.empty, Array.empty)
 
   /** Scala twin of the SQL `Vectors.cosine` INCLUDING its ragged-array
     * contract: the dot folds over the min length while each norm runs
@@ -81,22 +102,55 @@ object SemGate {
   }
 
   /** The per-cluster online fold (shared verbatim by the batch and
-    * streaming paths): id-sorted rows against the running admitted set. */
-  private def fold(seed: GateState, rows: Array[(Long, Array[Double])],
-                   tau: Double): (GateState, Seq[Verdict]) = {
+    * streaming paths): (ts, id)-sorted rows against the running admitted
+    * set. Without a ttl ((ttlMs = None, all ts 0) every entry is live
+    * forever — the original never-evict semantics, unchanged. With one,
+    * an entry suppresses near-dups only while `ts <= lastSeen + ttl`
+    * (every sighting — identity re-delivery or tau-match — refreshes
+    * lastSeen, the sliding-expiry [[NearDupGate]] discipline); a dead
+    * entry is dropped the moment the fold walks past it, and an expired
+    * identity re-arrival is a FRESH document (the gate has forgotten
+    * it — it may now fall to a different live twin). */
+  private def fold(seed: GateState, rows: Array[(Long, Array[Double], Long)],
+                   tau: Double, ttlMs: Option[Long]): (GateState, Seq[Verdict]) = {
     val ids = scala.collection.mutable.ArrayBuffer.from(seed.ids)
     val embs = scala.collection.mutable.ArrayBuffer.from(seed.embs)
-    val verdicts = rows.sortBy(_._1).map { case (id, e) =>
-      if (ids.contains(id)) Verdict(id, admitted = true) // re-delivery
-      else if (embs.exists(s => cosine(s, e) >= tau)) Verdict(id, admitted = false)
-      else { ids += id; embs += e; Verdict(id, admitted = true) }
+    val seen = scala.collection.mutable.ArrayBuffer.from(
+      if (seed.lastSeen.length == seed.ids.length) seed.lastSeen
+      else Array.fill(seed.ids.length)(Permanent))
+    def live(i: Int, ts: Long): Boolean = ttlMs.forall(t => seen(i) + t >= ts)
+    val verdicts = rows.sortBy(r => (r._3, r._1)).map { case (id, e, ts) =>
+      // expired entries can never suppress again (time only moves
+      // forward within the sorted fold) — drop them as we go
+      ttlMs.foreach { t =>
+        var i = seen.length - 1
+        while (i >= 0) {
+          if (seen(i) + t < ts) { ids.remove(i); embs.remove(i); seen.remove(i) }
+          i -= 1
+        }
+      }
+      val idx = ids.indexOf(id)
+      if (idx >= 0) { // re-delivery of a still-remembered admitted id
+        seen(idx) = math.max(seen(idx), ts)
+        Verdict(id, admitted = true)
+      } else {
+        var hit = false
+        var i = 0
+        while (i < embs.length) {
+          if (cosine(embs(i), e) >= tau) { hit = true; seen(i) = math.max(seen(i), ts) }
+          i += 1
+        }
+        if (hit) Verdict(id, admitted = false)
+        else { ids += id; embs += e; seen += ts; Verdict(id, admitted = true) }
+      }
     }
-    (GateState(ids.toArray, embs.toArray), verdicts.toSeq)
+    (GateState(ids.toArray, embs.toArray, seen.toArray), verdicts.toSeq)
   }
 
   def gate(docs: DataFrame, centroids: DataFrame, idCol: String,
            embCol: String, centroidIdCol: String, tau: Double,
-           store: Option[DataFrame] = None): DataFrame = {
+           store: Option[DataFrame] = None,
+           horizon: Option[Horizon] = None): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1]: $tau")
     // the [[NearDupGate]] discipline: a non-integral id would cast to
     // null row by row and die (or silently collapse ids) deep inside
@@ -108,19 +162,39 @@ object SemGate {
         s"SemGate id column '$idCol' must be an integral type, got " +
           s"${other.simpleString}")
     }
+    horizon.foreach { h => docs.schema(h.tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => // ok
+      case other => throw new IllegalArgumentException(
+        s"SemGate horizon ts column '${h.tsCol}' must be a timestamp, got " +
+          s"${other.simpleString}")
+    }}
     val spark = docs.sparkSession
     import spark.implicits._
     implicit val verdictEnc = Encoders.product[Verdict]
     implicit val stateEnc = Encoders.product[GateState]
+    val ttlMs = horizon.map(_.ttlMs)
+    // the watermark rides the source relation and the ts column passes
+    // through as a plain alias (watermark metadata intact) — event-time
+    // timeouts refuse to plan otherwise; no-horizon mode carries a
+    // constant epoch so both modes share one row shape and one fold
+    val input = horizon match {
+      case Some(h) if docs.isStreaming =>
+        docs.withWatermark(h.tsCol, h.watermarkDelay)
+      case _ => docs
+    }
+    val tsField = horizon.map(h => col(h.tsCol).as("__ts"))
+      .getOrElse(lit(new java.sql.Timestamp(0L)).as("__ts"))
     val cents = centroids.select(col(centroidIdCol), col(embCol).as("__emb"))
     val assigned = Similarity.ivfAssignAll(
-        docs.select(col(idCol).cast("long").as("doc_id"),
-          col(embCol).cast("array<double>").as("__emb"))
+        input.select(col(idCol).cast("long").as("doc_id"),
+          col(embCol).cast("array<double>").as("__emb"), tsField)
           .filter(col("__emb").isNotNull),
         cents, "__emb", centroidIdCol)
-      .select(col("centroid"), col("doc_id"), col("__emb"))
-      .as[(Int, Long, Array[Double])]
+      .select(col("centroid"), col("doc_id"), col("__emb"), col("__ts"))
+      .as[(Int, Long, Array[Double], java.sql.Timestamp)]
     val grouped = assigned.groupByKey(_._1)
+    def toRows(it: Iterator[(Int, Long, Array[Double], java.sql.Timestamp)]) =
+      it.map(r => (r._2, r._3, r._4.getTime)).toArray
     val seedStates: Option[KeyValueGroupedDataset[Int, GateState]] =
       store.map { s =>
         s.select(col("cluster").cast("int"), col(idCol).cast("long"),
@@ -129,7 +203,11 @@ object SemGate {
           .groupByKey(_._1)
           .mapGroups { (k, it) =>
             val rows = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
-            (k, GateState(rows.map(_._1), rows.map(_._2)))
+            // seeded store vectors are the persisted corpus — they never
+            // expire from the gate; evict them via the batch store
+            // lifecycle instead
+            (k, GateState(rows.map(_._1), rows.map(_._2),
+              Array.fill(rows.length)(Permanent)))
           }
           .groupByKey(_._1).mapValues(_._2)
       }
@@ -140,32 +218,65 @@ object SemGate {
         store match {
           case None =>
             grouped.flatMapGroups { (_, it) =>
-              fold(GateState(Array.empty, Array.empty),
-                it.map(r => (r._2, r._3)).toArray, tau)._2.iterator
+              fold(emptyState, toRows(it), tau, ttlMs)._2.iterator
             }
           case Some(_) =>
             val seeds = seedStates.get
             grouped.cogroup(seeds) { (_, rows, seedIt) =>
-              val seed = seedIt.nextOption()
-                .getOrElse(GateState(Array.empty, Array.empty))
-              fold(seed, rows.map(r => (r._2, r._3)).toArray, tau)._2.iterator
+              val seed = seedIt.nextOption().getOrElse(emptyState)
+              fold(seed, toRows(rows), tau, ttlMs)._2.iterator
             }
         }
-      } else {
-        val func = (_: Int, rows: Iterator[(Int, Long, Array[Double])],
-                    state: GroupState[GateState]) => {
-          val seed = state.getOption
-            .getOrElse(GateState(Array.empty, Array.empty))
-          val (next, vs) = fold(seed, rows.map(r => (r._2, r._3)).toArray, tau)
-          state.update(next)
-          vs.iterator
-        }
-        seedStates match {
-          case Some(init) => grouped.flatMapGroupsWithState(
-            OutputMode.Append, GroupStateTimeout.NoTimeout, init)(func)
-          case None => grouped.flatMapGroupsWithState(
-            OutputMode.Append, GroupStateTimeout.NoTimeout)(func)
-        }
+      } else horizon match {
+        case None =>
+          val func = (_: Int, rows: Iterator[(Int, Long, Array[Double], java.sql.Timestamp)],
+                      state: GroupState[GateState]) => {
+            val seed = state.getOption.getOrElse(emptyState)
+            val (next, vs) = fold(seed, toRows(rows), tau, ttlMs)
+            state.update(next)
+            vs.iterator
+          }
+          seedStates match {
+            case Some(init) => grouped.flatMapGroupsWithState(
+              OutputMode.Append, GroupStateTimeout.NoTimeout, init)(func)
+            case None => grouped.flatMapGroupsWithState(
+              OutputMode.Append, GroupStateTimeout.NoTimeout)(func)
+          }
+        case Some(h) =>
+          // horizon mode: per-entry sliding expiry inside the fold, plus
+          // watermark-driven compaction and an event-time timeout at the
+          // cluster's farthest live expiry — so an idle cluster's state
+          // is REMOVED once every entry ages out (seeded Permanent
+          // entries keep their cluster resident by design)
+          val t = h.ttlMs
+          val func = (_: Int, rows: Iterator[(Int, Long, Array[Double], java.sql.Timestamp)],
+                      state: GroupState[GateState]) => {
+            val wm = state.getCurrentWatermarkMs()
+            def retain(s: GateState): Iterator[Verdict] = {
+              val keep = s.ids.indices.filter(i => s.lastSeen(i) + t >= wm)
+              if (keep.isEmpty) { if (state.exists) state.remove() }
+              else {
+                val ns = GateState(keep.map(s.ids).toArray,
+                  keep.map(s.embs).toArray, keep.map(s.lastSeen).toArray)
+                state.update(ns)
+                state.setTimeoutTimestamp(math.max(ns.lastSeen.max + t, wm + 1))
+              }
+              Iterator.empty
+            }
+            if (state.hasTimedOut) retain(state.get)
+            else {
+              val seed = state.getOption.getOrElse(emptyState)
+              val (next, vs) = fold(seed, toRows(rows), tau, ttlMs)
+              retain(next)
+              vs.iterator
+            }
+          }
+          seedStates match {
+            case Some(init) => grouped.flatMapGroupsWithState(
+              OutputMode.Append, GroupStateTimeout.EventTimeTimeout, init)(func)
+            case None => grouped.flatMapGroupsWithState(
+              OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(func)
+          }
       }
     verdicts.toDF()
   }

@@ -175,4 +175,135 @@ class NearDupGateSpec extends SparkSpec {
     assert(got == Map(1L -> true),
       "a doc colliding only with itself is not a duplicate")
   }
+
+  private def ts(minutes: Long): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2026, 3, 1, 0, 0).plusMinutes(minutes))
+
+  test("horizon batch twin: suppression inside ttl, re-seeding after it") {
+    // same shape delivered at +0, +5, +20, +25 min under a 10-minute ttl:
+    // 2 collides with 1 (gap 5); 3 arrives 15 min after the bucket's last
+    // sighting -> island break, re-seeded, admitted; 4 collides with 3
+    val df = Seq(
+      (1L, baseText, ts(0)), (2L, baseText, ts(5)),
+      (3L, baseText, ts(20)), (4L, baseText, ts(25)))
+      .toDF("doc_id", "text", "event_ts")
+    val got = NearDupGate.gate(df, "text", "doc_id",
+        horizon = Some(Horizon("event_ts", "10 minutes")))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false), got.toString)
+  }
+
+  test("horizon streaming == batch twin; expired bucket state is EVICTED") {
+    val src = Files.createTempDirectory("ndg_ttl_src").toString
+    val ckpt = Files.createTempDirectory("ndg_ttl_ckpt").toString
+    val horizon = Some(Horizon("event_ts", "10 minutes"))
+
+    // each text yields 4 band buckets; after the data batch, AvailableNow
+    // runs a closing no-data batch with the ADVANCED watermark, so a
+    // bucket whose expiry the new watermark passed is evicted within the
+    // same run:
+    //   b1: doc 1 (shape A) at  0 -> 4 state rows (expiry 10 > wm 0)
+    //   b2: doc 2 (shape B) at 30 -> closing wm 30 > 10: doc 1 EVICTED -> 4
+    //   b3: doc 3 (shape C) at 60 -> closing wm 60 > 40: doc 2 evicted -> 4
+    //   b4: doc 4 (shape A) at 70 -> shape A long past its horizon ->
+    //       RE-ADMITTED, re-seeds 4 rows; doc 3 (expiry 70 = wm) lives -> 8
+    val b1 = Seq((1L, baseText, ts(0))).toDF("doc_id", "text", "event_ts")
+    val b2 = Seq((2L, "completely different material about query planning", ts(30)))
+      .toDF("doc_id", "text", "event_ts")
+    val b3 = Seq((3L, "a third unrelated document with its own words", ts(60)))
+      .toDF("doc_id", "text", "event_ts")
+    val b4 = Seq((4L, baseText, ts(70))).toDF("doc_id", "text", "event_ts")
+
+    // the horizon gate's streaming form is bucketVerdicts + the
+    // documented zero-state foreachBatch fold (gate() itself points
+    // there: Spark rejects a streaming agg above an event-time-timeout
+    // stateful operator)
+    val out = Files.createTempDirectory("ndg_ttl_out").toString
+    var lastState = -1L
+    def run(): Unit = {
+      val stream = spark.readStream.schema(b1.schema).parquet(src)
+      val q = NearDupGate.bucketVerdicts(stream, "text", "doc_id",
+          horizon = horizon)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          import org.apache.spark.sql.functions._
+          df.groupBy(col("doc_id"))
+            .agg((!max(col("collided"))).as("admitted"))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // the gate (the flatMapGroupsWithState op) reports its kept rows
+      Option(q.lastProgress).foreach { p =>
+        p.stateOperators.find(_.operatorName.contains("flatMapGroupsWithState"))
+          .foreach(s => lastState = s.numRowsTotal)
+      }
+    }
+    b1.write.mode("append").parquet(src); run()
+    val afterSeed = lastState
+    assert(afterSeed == 4, s"doc 1 must occupy its 4 band buckets: $afterSeed")
+    b2.write.mode("append").parquet(src); run()
+    assert(lastState == 4,
+      s"doc 1's expired buckets must be EVICTED, not retained: $lastState")
+    b3.write.mode("append").parquet(src); run()
+    assert(lastState == 4, s"doc 2 evicted in turn: $lastState")
+    b4.write.mode("append").parquet(src); run()
+    assert(lastState == 8,
+      s"shape A re-seeded, doc 3 still live — live shapes only: $lastState")
+
+    val got = spark.read.parquet(out).as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true, 4L -> true),
+      s"the re-delivery of an EXPIRED shape must be re-admitted: $got")
+    // batch twin on the union agrees
+    val viaBatch = NearDupGate.gate(
+        b1.unionByName(b2).unionByName(b3).unionByName(b4),
+        "text", "doc_id", horizon = horizon)
+      .as[(Long, Boolean)].collect().toMap
+    assert(viaBatch == got, s"stream $got != batch $viaBatch")
+  }
+
+  test("horizon streaming: inside-ttl near-dup still rejected across batches") {
+    val src = Files.createTempDirectory("ndg_ttl2_src").toString
+    val out = Files.createTempDirectory("ndg_ttl2_out").toString
+    val ckpt = Files.createTempDirectory("ndg_ttl2_ckpt").toString
+    val b1 = Seq((1L, baseText, ts(0))).toDF("doc_id", "text", "event_ts")
+    val b2 = Seq((2L, baseText.replace("all afternoon", "every evening"), ts(5)))
+      .toDF("doc_id", "text", "event_ts")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(b1.schema).parquet(src)
+      val q = NearDupGate.bucketVerdicts(stream, "text", "doc_id",
+          horizon = Some(Horizon("event_ts", "10 minutes")))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          import org.apache.spark.sql.functions._
+          df.groupBy(col("doc_id"))
+            .agg((!max(col("collided"))).as("admitted"))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    b1.write.mode("append").parquet(src); run()
+    b2.write.mode("append").parquet(src); run()
+    val got = spark.read.parquet(out).as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false),
+      s"a reworded re-delivery INSIDE the horizon must still fall: $got")
+  }
+
+  test("horizon gate over a stream points at the foreachBatch recipe") {
+    val src = Files.createTempDirectory("ndg_ttl3_src").toString
+    Seq((1L, baseText, ts(0))).toDF("doc_id", "text", "event_ts")
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema(Seq((1L, baseText, ts(0))).toDF("doc_id", "text", "event_ts").schema)
+      .parquet(src)
+    val e = intercept[IllegalArgumentException] {
+      NearDupGate.gate(stream, "text", "doc_id",
+        horizon = Some(Horizon("event_ts", "10 minutes")))
+    }
+    assert(e.getMessage.contains("foreachBatch"), e.getMessage)
+  }
 }

@@ -197,4 +197,92 @@ class SemGateSpec extends SparkSpec {
     val byId = got.toMap
     assert(byId(6L) == false && byId(7L) == true)
   }
+
+  private def ts(minutes: Long): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2026, 3, 1, 0, 0).plusMinutes(minutes))
+
+  test("horizon batch twin: suppression inside ttl, re-admission after it") {
+    // one semantic neighborhood delivered at +0, +5, +20, +25 min under a
+    // 10-minute ttl: 2 falls to 1 (gap 5, refreshes to +5); 3 arrives
+    // 15 min after the last sighting -> entry expired, re-admitted;
+    // 4 falls to 3
+    val docs = Seq(
+      (1L, Seq(1f, 0.10f, 0f, 0f), ts(0)),
+      (2L, Seq(1f, 0.11f, 0f, 0f), ts(5)),
+      (3L, Seq(1f, 0.12f, 0f, 0f), ts(20)),
+      (4L, Seq(1f, 0.13f, 0f, 0f), ts(25)))
+      .toDF("vec_id", "embedding", "event_ts")
+    val got = SemGate.gate(docs, centroids, "vec_id", "embedding", "c_id",
+        tau = 0.98, horizon = Some(Horizon("event_ts", "10 minutes")))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false), got.toString)
+  }
+
+  test("horizon streaming == batch twin; idle cluster state is EVICTED") {
+    val src = Files.createTempDirectory("sg_ttl_src").toString
+    val out = Files.createTempDirectory("sg_ttl_out").toString
+    val ckpt = Files.createTempDirectory("sg_ttl_ckpt").toString
+    val horizon = Some(Horizon("event_ts", "10 minutes"))
+    // b1: doc 1 (cluster 100) at  0 -> 1 state group
+    // b2: doc 2 (cluster 200) at 30 -> closing watermark 30 passes
+    //     cluster 100's expiry (10): its state group is REMOVED -> 1
+    // b3: doc 3 re-encodes doc 1 at 70 -> the gate has forgotten it ->
+    //     ADMITTED; closing wm 70 evicts cluster 200 (expiry 40) -> 1
+    val b1 = Seq((1L, Seq(1f, 0.10f, 0f, 0f), ts(0)))
+      .toDF("vec_id", "embedding", "event_ts")
+    val b2 = Seq((2L, Seq(0.1f, 1f, 0f, 0f), ts(30)))
+      .toDF("vec_id", "embedding", "event_ts")
+    val b3 = Seq((3L, Seq(1f, 0.11f, 0f, 0f), ts(70)))
+      .toDF("vec_id", "embedding", "event_ts")
+
+    var lastState = -1L
+    def run(): Unit = {
+      val stream = spark.readStream.schema(b1.schema).parquet(src)
+      val q = SemGate.gate(stream, centroids, "vec_id", "embedding", "c_id",
+          tau = 0.98, horizon = horizon)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      Option(q.lastProgress).foreach { p =>
+        p.stateOperators.find(_.operatorName.contains("flatMapGroupsWithState"))
+          .foreach(s => lastState = s.numRowsTotal)
+      }
+    }
+    b1.write.mode("append").parquet(src); run()
+    assert(lastState == 1, s"cluster 100 must hold state: $lastState")
+    b2.write.mode("append").parquet(src); run()
+    assert(lastState == 1,
+      s"cluster 100's expired state must be EVICTED, not retained: $lastState")
+    b3.write.mode("append").parquet(src); run()
+    assert(lastState == 1, s"cluster 200 evicted in turn: $lastState")
+
+    val got = spark.read.parquet(out).as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true),
+      s"a re-encoding of an EXPIRED neighborhood must be re-admitted: $got")
+    val viaBatch = SemGate.gate(b1.unionByName(b2).unionByName(b3), centroids,
+        "vec_id", "embedding", "c_id", tau = 0.98, horizon = horizon)
+      .as[(Long, Boolean)].collect().toMap
+    assert(viaBatch == got, s"stream $got != batch $viaBatch")
+  }
+
+  test("horizon: seeded store vectors are Permanent — they never expire") {
+    // the persisted corpus doesn't age out of the gate: a re-encoding of
+    // a corpus vector is rejected even arriving far past the ttl; the
+    // genuinely-new direction is admitted
+    val store = Seq((100, 1L, Seq(1.0, 0.1, 0.0, 0.0)))
+      .toDF("cluster", "vec_id", "embedding")
+    val batch = Seq(
+      (10L, Seq(1f, 0.11f, 0f, 0f), ts(100000)),  // corpus re-encoding
+      (11L, Seq(0.9f, -0.4f, 0f, 0f), ts(100000))) // novel
+      .toDF("vec_id", "embedding", "event_ts")
+    val got = SemGate.gate(batch, centroids, "vec_id", "embedding", "c_id",
+        tau = 0.98, store = Some(store),
+        horizon = Some(Horizon("event_ts", "10 minutes")))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(10L -> false, 11L -> true),
+      s"seeded vectors must keep suppressing past any ttl: $got")
+  }
 }

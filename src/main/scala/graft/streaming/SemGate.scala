@@ -76,6 +76,14 @@ object SemGate {
   case class GateState(ids: Array[Long], embs: Array[Array[Double]],
                        lastSeen: Array[Long])
 
+  /** No-horizon streaming state — the ORIGINAL two-field shape, kept as
+    * its own encoder so pre-horizon checkpoints restore: Spark's
+    * state-schema check compares field structure, and a no-horizon gate
+    * never needs lastSeen (every entry is [[Permanent]] by definition).
+    * Horizon mode uses [[GateState]] and is a NEW operator shape — it
+    * has no pre-existing checkpoints to break. */
+  case class GateStateV1(ids: Array[Long], embs: Array[Array[Double]])
+
   /** lastSeen sentinel for never-expiring entries: far enough in the
     * future that `sentinel + ttl` cannot overflow. */
   val Permanent: Long = Long.MaxValue / 4
@@ -118,17 +126,38 @@ object SemGate {
     val seen = scala.collection.mutable.ArrayBuffer.from(
       if (seed.lastSeen.length == seed.ids.length) seed.lastSeen
       else Array.fill(seed.ids.length)(Permanent))
-    def live(i: Int, ts: Long): Boolean = ttlMs.forall(t => seen(i) + t >= ts)
-    val verdicts = rows.sortBy(r => (r._3, r._1)).map { case (id, e, ts) =>
-      // expired entries can never suppress again (time only moves
-      // forward within the sorted fold) — drop them as we go
-      ttlMs.foreach { t =>
-        var i = seen.length - 1
-        while (i >= 0) {
-          if (seen(i) + t < ts) { ids.remove(i); embs.remove(i); seen.remove(i) }
-          i -= 1
-        }
+    // expired entries can never suppress again (time only moves forward
+    // within the sorted fold), but sweeping them per row is
+    // O(rows x entries) in exactly the unbounded-ingest regime the
+    // horizon targets — instead track the EARLIEST expiry among live
+    // entries (a conservative lower bound: refreshing lastSeen only
+    // pushes real expiries later) and compact with one filtered pass
+    // only when a row's ts actually crosses it. After a compaction every
+    // surviving entry satisfies seen(i) + ttl >= ts, so the cosine scan
+    // below never consults a dead entry.
+    var minExpiry = Long.MaxValue
+    ttlMs.foreach { t =>
+      var i = 0
+      while (i < seen.length) {
+        val e = seen(i) + t; if (e < minExpiry) minExpiry = e; i += 1
       }
+    }
+    def compact(ts: Long, t: Long): Unit = {
+      var w = 0; var i = 0; var newMin = Long.MaxValue
+      while (i < seen.length) {
+        val e = seen(i) + t
+        if (e >= ts) {
+          if (w != i) { ids(w) = ids(i); embs(w) = embs(i); seen(w) = seen(i) }
+          if (e < newMin) newMin = e
+          w += 1
+        }
+        i += 1
+      }
+      ids.takeInPlace(w); embs.takeInPlace(w); seen.takeInPlace(w)
+      minExpiry = newMin
+    }
+    val verdicts = rows.sortBy(r => (r._3, r._1)).map { case (id, e, ts) =>
+      ttlMs.foreach { t => if (ts > minExpiry) compact(ts, t) }
       val idx = ids.indexOf(id)
       if (idx >= 0) { // re-delivery of a still-remembered admitted id
         seen(idx) = math.max(seen(idx), ts)
@@ -141,7 +170,11 @@ object SemGate {
           i += 1
         }
         if (hit) Verdict(id, admitted = false)
-        else { ids += id; embs += e; seen += ts; Verdict(id, admitted = true) }
+        else {
+          ids += id; embs += e; seen += ts
+          ttlMs.foreach { t => if (ts + t < minExpiry) minExpiry = ts + t }
+          Verdict(id, admitted = true)
+        }
       }
     }
     (GateState(ids.toArray, embs.toArray, seen.toArray), verdicts.toSeq)
@@ -172,6 +205,7 @@ object SemGate {
     import spark.implicits._
     implicit val verdictEnc = Encoders.product[Verdict]
     implicit val stateEnc = Encoders.product[GateState]
+    implicit val stateV1Enc = Encoders.product[GateStateV1]
     val ttlMs = horizon.map(_.ttlMs)
     // the watermark rides the source relation and the ts column passes
     // through as a plain alias (watermark metadata intact) — event-time
@@ -195,7 +229,11 @@ object SemGate {
     val grouped = assigned.groupByKey(_._1)
     def toRows(it: Iterator[(Int, Long, Array[Double], java.sql.Timestamp)]) =
       it.map(r => (r._2, r._3, r._4.getTime)).toArray
-    val seedStates: Option[KeyValueGroupedDataset[Int, GateState]] =
+    // seeded store vectors are the persisted corpus — they never expire
+    // from the gate; evict them via the batch store lifecycle instead.
+    // The base shape is the two-field V1 (checkpoint-stable for the
+    // no-horizon gate); horizon mode widens it with Permanent stamps.
+    val seedStatesV1: Option[KeyValueGroupedDataset[Int, GateStateV1]] =
       store.map { s =>
         s.select(col("cluster").cast("int"), col(idCol).cast("long"),
             col(embCol).cast("array<double>"))
@@ -203,14 +241,12 @@ object SemGate {
           .groupByKey(_._1)
           .mapGroups { (k, it) =>
             val rows = it.map(r => (r._2, r._3)).toArray.sortBy(_._1)
-            // seeded store vectors are the persisted corpus — they never
-            // expire from the gate; evict them via the batch store
-            // lifecycle instead
-            (k, GateState(rows.map(_._1), rows.map(_._2),
-              Array.fill(rows.length)(Permanent)))
+            (k, GateStateV1(rows.map(_._1), rows.map(_._2)))
           }
           .groupByKey(_._1).mapValues(_._2)
       }
+    def widen(v1: GateStateV1): GateState =
+      GateState(v1.ids, v1.embs, Array.fill(v1.ids.length)(Permanent))
     val verdicts: Dataset[Verdict] =
       if (!docs.isStreaming) {
         // batch degenerate form: no state store — seed each cluster's
@@ -221,22 +257,27 @@ object SemGate {
               fold(emptyState, toRows(it), tau, ttlMs)._2.iterator
             }
           case Some(_) =>
-            val seeds = seedStates.get
+            val seeds = seedStatesV1.get
             grouped.cogroup(seeds) { (_, rows, seedIt) =>
-              val seed = seedIt.nextOption().getOrElse(emptyState)
+              val seed = seedIt.nextOption().map(widen).getOrElse(emptyState)
               fold(seed, toRows(rows), tau, ttlMs)._2.iterator
             }
         }
       } else horizon match {
         case None =>
+          // the no-horizon gate stores the ORIGINAL two-field state
+          // shape: nothing expires, so lastSeen carries no information,
+          // and keeping V1 means checkpoints written before horizon mode
+          // existed restore cleanly (a three-field GateState here would
+          // fail Spark's state-schema compatibility check)
           val func = (_: Int, rows: Iterator[(Int, Long, Array[Double], java.sql.Timestamp)],
-                      state: GroupState[GateState]) => {
-            val seed = state.getOption.getOrElse(emptyState)
+                      state: GroupState[GateStateV1]) => {
+            val seed = state.getOption.map(widen).getOrElse(emptyState)
             val (next, vs) = fold(seed, toRows(rows), tau, ttlMs)
-            state.update(next)
+            state.update(GateStateV1(next.ids, next.embs))
             vs.iterator
           }
-          seedStates match {
+          seedStatesV1 match {
             case Some(init) => grouped.flatMapGroupsWithState(
               OutputMode.Append, GroupStateTimeout.NoTimeout, init)(func)
             case None => grouped.flatMapGroupsWithState(
@@ -271,7 +312,7 @@ object SemGate {
               vs.iterator
             }
           }
-          seedStates match {
+          seedStatesV1.map(_.mapValues(widen)) match {
             case Some(init) => grouped.flatMapGroupsWithState(
               OutputMode.Append, GroupStateTimeout.EventTimeTimeout, init)(func)
             case None => grouped.flatMapGroupsWithState(

@@ -268,6 +268,63 @@ class SemGateSpec extends SparkSpec {
     assert(viaBatch == got, s"stream $got != batch $viaBatch")
   }
 
+  test("horizon fold compaction == naive per-row expiry sweep (randomized)") {
+    // the fold tracks the minimum live expiry and compacts only when a
+    // row crosses it (one filtered pass) instead of sweeping every entry
+    // per row; this differential pins it against the obviously-correct
+    // model: sort by (ts, id), drop every entry with lastSeen + ttl < ts
+    // before each row, then identity-check / cosine-scan the survivors
+    val rnd = new scala.util.Random(20260813L)
+    val ttlMin = 10L
+    def naive(rows: Seq[(Long, Array[Double], Long)]): Map[Long, Boolean] = {
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val embs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val out = scala.collection.mutable.Map.empty[Long, Boolean]
+      rows.sortBy(r => (r._3, r._1)).foreach { case (id, e, ts) =>
+        var i = seen.length - 1
+        while (i >= 0) {
+          if (seen(i) + ttlMin * 60000L < ts) { ids.remove(i); embs.remove(i); seen.remove(i) }
+          i -= 1
+        }
+        val idx = ids.indexOf(id)
+        if (idx >= 0) { seen(idx) = math.max(seen(idx), ts); out(id) = true }
+        else {
+          var hit = false; var j = 0
+          while (j < embs.length) {
+            if (cos(embs(j), e) >= 0.98) { hit = true; seen(j) = math.max(seen(j), ts) }
+            j += 1
+          }
+          if (hit) out(id) = false
+          else { ids += id; embs += e; seen += ts; out(id) = true }
+        }
+      }
+      out.toMap
+    }
+    // 60 rows, one cluster, vectors drawn from 3 tight neighborhoods so
+    // suppression/refresh/expiry all fire; timestamps span 8 ttl windows
+    val dirs = Seq(Seq(1.0, 0.1, 0.0, 0.0), Seq(1.0, -0.1, 0.0, 0.0),
+      Seq(0.95, 0.0, 0.1, 0.0))
+    val rows = (1L to 60L).map { id =>
+      val d = dirs(rnd.nextInt(dirs.length))
+      val e = d.map(_ + rnd.nextGaussian() * 0.005).toArray
+      (id, e, rnd.nextLong(8 * ttlMin * 60000L))
+    }
+    val docs = rows.map { case (id, e, ms) =>
+      (id, e.toSeq, new java.sql.Timestamp(ts(0).getTime + ms)) }
+      .toDF("vec_id", "embedding", "event_ts")
+    val got = SemGate.gate(docs, centroids, "vec_id", "embedding", "c_id",
+        tau = 0.98, horizon = Some(Horizon("event_ts", s"$ttlMin minutes")))
+      .as[(Long, Boolean)].collect().toMap
+    val want = naive(rows.map { case (id, e, ms) => (id, e, ts(0).getTime + ms) })
+    assert(got == want, s"compacted fold diverged from naive sweep:\n" +
+      s"only-in-got=${got.toSet -- want.toSet} only-in-want=${want.toSet -- got.toSet}")
+  }
+
   test("horizon: seeded store vectors are Permanent — they never expire") {
     // the persisted corpus doesn't age out of the gate: a re-encoding of
     // a corpus vector is rejected even arriving far past the ttl; the

@@ -60,4 +60,92 @@ class UrlStreamSpec extends SparkSpec {
       .as[(Long, String)].collect().sorted.toSeq
     assert(viaBatch == streamed)
   }
+
+  test("capPerWindow: stream == batch on ordered feeds; late rows drop; expired windows evict") {
+    val src = Files.createTempDirectory("dcw_src").toString
+    val out = Files.createTempDirectory("dcw_out").toString
+    val ckpt = Files.createTempDirectory("dcw_ckpt").toString
+    def min(m: Int, sec: Int = 0) =
+      new java.sql.Timestamp(base.getTime + (m * 60 + sec) * 1000L)
+    val w0 = base.getTime                // 12:00 window start
+    val w2 = base.getTime + 120000L      // 12:02
+    val w3 = base.getTime + 180000L      // 12:03
+
+    // 1-minute tumbling windows, cap 2 per (domain, window).
+    // b1 (all in window W0): hot gets 3 docs -> admit 2; cold gets 1.
+    val b1 = Seq(
+      (1L, "https://hot.example/a", min(0, 0)),
+      (2L, "https://hot.example/b", min(0, 5)),
+      (3L, "https://hot.example/c", min(0, 10)), // over W0's budget
+      (4L, "https://cold.example/x", min(0, 20)))
+      .toDF("doc_id", "url", "ingest_ts")
+    // b2: a NEW window W2 — hot's budget RESETS (that is the windowed
+    // semantics); watermark advances to 12:02:30
+    val b2 = Seq((5L, "https://hot.example/d", min(2, 30)))
+      .toDF("doc_id", "url", "ingest_ts")
+    // b3: doc 6 is LATE for W0 (cold-W0 has room, so the BATCH twin
+    // would admit it) — but W0 closed at 12:01 < watermark 12:02:30, so
+    // the stream refuses it: the counter may already be evicted and
+    // refusing is the only answer that cannot overspend. doc 7 opens W3.
+    val b3 = Seq(
+      (6L, "https://cold.example/late", min(0, 50)),
+      (7L, "https://cold.example/y", min(3, 10)))
+      .toDF("doc_id", "url", "ingest_ts")
+
+    var lastState = -1L
+    def run(): Unit = {
+      val stream = spark.readStream.schema(b1.schema).parquet(src)
+      val q = DomainCap.capPerWindow(stream, "url", "doc_id", "ingest_ts",
+          n = 2, every = "1 minute")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      Option(q.lastProgress).foreach { p =>
+        p.stateOperators.find(_.operatorName.contains("flatMapGroupsWithState"))
+          .foreach(s => lastState = s.numRowsTotal)
+      }
+    }
+    def streamed() = spark.read.parquet(out)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+
+    b1.write.mode("append").parquet(src); run()
+    assert(lastState == 2, s"(hot,W0) and (cold,W0) counters live: $lastState")
+    assert(streamed() == Seq((1L, "hot.example", w0), (2L, "hot.example", w0),
+      (4L, "cold.example", w0)), s"got ${streamed()}")
+
+    b2.write.mode("append").parquet(src); run()
+    // the run's closing no-data micro-batch sees the advanced watermark
+    // (12:02:30) and times out BOTH W0 counters — eviction is eager, so
+    // only (hot, W2) survives the run even though W0 held 2 counters
+    // when b2's rows were folded
+    assert(lastState == 1,
+      s"expired W0 counters must LEAVE the state store: $lastState")
+    assert(streamed().contains((5L, "hot.example", w2)),
+      "a fresh window re-opens the domain's budget")
+    // parity on the event-time-ordered prefix: batch twin == stream
+    val ordered = b1.unionByName(b2)
+    val viaBatch = DomainCap.capPerWindow(ordered, "url", "doc_id",
+        "ingest_ts", n = 2, every = "1 minute")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(viaBatch == streamed(), s"stream ${streamed()} != batch $viaBatch")
+
+    b3.write.mode("append").parquet(src); run()
+    // W2 (close 12:03) falls to the advanced watermark 12:03:10 in turn;
+    // only W3's counter survives
+    assert(lastState == 1, s"W2's counter evicted in turn: $lastState")
+    val finalRows = streamed()
+    assert(!finalRows.exists(_._1 == 6L),
+      s"late row for a closed window must be dropped: $finalRows")
+    assert(finalRows.contains((7L, "cold.example", w3)))
+    // ... and that drop is the documented batch divergence: the batch
+    // window cap, seeing all data at once, admits doc 6 into cold-W0
+    val batchAll = DomainCap.capPerWindow(
+        b1.unionByName(b2).unionByName(b3), "url", "doc_id", "ingest_ts",
+        n = 2, every = "1 minute")
+      .as[(Long, String, Long)].collect()
+    assert(batchAll.exists(_._1 == 6L),
+      "fixture must make the late row batch-admittable for the divergence pin")
+  }
 }

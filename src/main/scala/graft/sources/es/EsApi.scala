@@ -17,12 +17,14 @@ object EsApi {
 
   /** One page of scroll/PIT results: the continuation id (scroll) or the
     * possibly-refreshed PIT id, the total hit count (from the first page;
-    * -1 when the server omits it), the raw `_source` documents, and the
-    * last hit's `sort` values — the `search_after` cursor for the next
-    * PIT page. */
+    * -1 when the server omits it), its relation (`eq` = exact; `gte` =
+    * ES7's default 10k-capped lower bound; None on ES6, which always
+    * counts exactly), the raw `_source` documents, and the last hit's
+    * `sort` values — the `search_after` cursor for the next PIT page. */
   final case class Page(scrollId: Option[String], total: Long, hits: Seq[JsonNode],
                         pitId: Option[String] = None,
-                        lastSort: Option[JsonNode] = None)
+                        lastSort: Option[JsonNode] = None,
+                        totalRelation: Option[String] = None)
 
   def parsePage(json: String): Page = {
     val root = mapper.readTree(json)
@@ -31,10 +33,11 @@ object EsApi {
     val hitsNode = Option(root.get("hits")).getOrElse(
       throw new IllegalArgumentException(
         s"unexpected response (no 'hits'): ${json.take(200)}"))
-    val total = Option(hitsNode.get("total")) match {
-      case Some(t) if t.isObject => t.get("value").asLong() // ES7+/OS dict
-      case Some(t)               => t.asLong()              // ES6 bare int
-      case None                  => -1L
+    val (total, relation) = Option(hitsNode.get("total")) match {
+      case Some(t) if t.isObject => // ES7+/OS dict
+        (t.get("value").asLong(), Option(t.get("relation")).map(_.asText()))
+      case Some(t)               => (t.asLong(), None)      // ES6 bare int
+      case None                  => (-1L, None)
     }
     // `_source: false` responses carry hit envelopes without _source —
     // each hit still counts as one (empty) document
@@ -44,7 +47,8 @@ object EsApi {
       .getOrElse(mapper.createObjectNode()))
     Page(Option(root.get("_scroll_id")).map(_.asText()), total, docs,
       pitId = Option(root.get("pit_id")).map(_.asText()),
-      lastSort = envelopes.lastOption.flatMap(h => Option(h.get("sort"))))
+      lastSort = envelopes.lastOption.flatMap(h => Option(h.get("sort"))),
+      totalRelation = relation)
   }
 
   /** One wire sort clause; `missing` is ES's null placement
@@ -71,9 +75,15 @@ object EsApi {
                  slice: Option[(Int, Int)],
                  range: Option[(String, Double, Double)] = None,
                  pit: Option[(String, String)] = None,
-                 searchAfter: Option[JsonNode] = None): String = {
+                 searchAfter: Option[JsonNode] = None,
+                 trackTotal: Boolean = false): String = {
     val body = mapper.createObjectNode()
     body.put("size", size)
+    // ES7+ caps hits.total at 10k (`relation: gte`) unless asked to count
+    // exactly; set on requests whose caller reads the total (the PIT
+    // walk's first page) and left off everywhere else — exact counting
+    // costs the server a full match traversal per request
+    if (trackTotal) body.put("track_total_hits", true)
     if (sort.nonEmpty) {
       val arr = body.putArray("sort")
       sort.foreach { s =>

@@ -506,6 +506,7 @@ private[es] class EsPitPartitionReader(
   private var page: Iterator[com.fasterxml.jackson.databind.JsonNode] = Iterator.empty
   private var exhausted = false
   private var total = -1L
+  private var totalExact = true
   private var readHits = 0L
   private var pagesFetched = 0
   private var current: InternalRow = _
@@ -525,12 +526,21 @@ private[es] class EsPitPartitionReader(
       opened
     }
     // the retry wraps the whole page fetch: a flap mid-page re-sends the
-    // SAME body — same search_after — so no document is lost or repeated
+    // SAME body — same search_after — so no document is lost or repeated.
+    // Only the first page asks for track_total_hits: without it ES7+ caps
+    // hits.total at 10k (relation: gte) and the progress denominator
+    // would silently understate every index past 10k documents; asking on
+    // every follow-up page would re-pay the exact-count traversal for a
+    // number already known.
     val p = EsApi.parsePage(retried(transport.post("/_search",
       EsApi.searchBody(conf.size, sort, part.wireQuery, part.sourceFields,
-        part.slice, pit = Some((id, conf.scroll)), searchAfter = cursor))))
+        part.slice, pit = Some((id, conf.scroll)), searchAfter = cursor,
+        trackTotal = pagesFetched == 0))))
     if (pagesFetched == 0) {
       total = p.total
+      // defensive: a server that ignores track_total_hits still reports
+      // relation != eq — log the bound as a bound, never as the total
+      totalExact = p.totalRelation.forall(_ == "eq")
       if (total == 0) EsScrollSource.log.warn(
         s"${conf.index}$sliceTag: no records found")
     }
@@ -543,8 +553,9 @@ private[es] class EsPitPartitionReader(
           s"${conf.index}$sliceTag: PIT page carried hits but no sort values — " +
             "server does not support search_after pagination"))
       readHits += p.hits.size
+      val denom = if (totalExact) s"/$total" else s"/≥$total"
       EsScrollSource.log.info(
-        s"${conf.index}$sliceTag: read $readHits/$total records")
+        s"${conf.index}$sliceTag: read $readHits$denom records")
       page = p.hits.iterator
     }
   }

@@ -24,9 +24,10 @@ class EsScrollSourceSpec extends SparkSpec {
       docs: Seq[String] = (0 until 23).map(doc),
       indexName: String = "logs-2024.01",
       es6Totals: Boolean = false,
-      legacyDocType: Boolean = false)(f: StubEsServer => T): T = {
+      legacyDocType: Boolean = false,
+      totalHitsCap: Int = 10000)(f: StubEsServer => T): T = {
     val server = new StubEsServer(Map(indexName -> docs),
-      Map(indexName -> props), es6Totals, legacyDocType)
+      Map(indexName -> props), es6Totals, legacyDocType, totalHitsCap)
     try f(server) finally server.close()
   }
 
@@ -322,6 +323,32 @@ class EsScrollSourceSpec extends SparkSpec {
       // the context is closed on completion (the clear-scroll twin)
       assert(server.closedPits.asScala.nonEmpty, "reader must DELETE its PIT on close")
     }
+  }
+
+  test("PIT mode asks track_total_hits on the first page only (exact progress denominator)") {
+    // lower the stub's total cap below the doc count: a reader that forgets
+    // track_total_hits would see total=10/relation=gte instead of 23/eq
+    withServer(totalHitsCap = 10) { server =>
+      val df = read(server, "mode" -> "pit")
+      assert(df.select($"id").as[Long].collect().length == 23)
+      val pages = pitSearches(server)
+      assert(pages.head._3.contains("\"track_total_hits\":true"),
+        "first PIT page must request the exact total")
+      assert(pages.tail.forall(!_._3.contains("track_total_hits")),
+        "follow-up pages must not re-pay the exact-count traversal")
+    }
+  }
+
+  test("capped totals parse as a gte lower bound, not the exact count") {
+    val json = """{"pit_id":"p1","hits":{"total":{"value":10000,"relation":"gte"},"hits":[]}}"""
+    val page = EsApi.parsePage(json)
+    assert(page.total == 10000L && page.totalRelation.contains("gte"))
+    val exact = EsApi.parsePage(
+      """{"hits":{"total":{"value":23,"relation":"eq"},"hits":[]}}""")
+    assert(exact.total == 23L && exact.totalRelation.contains("eq"))
+    // ES6 bare-int totals are always exact and carry no relation
+    val es6 = EsApi.parsePage("""{"hits":{"total":23,"hits":[]}}""")
+    assert(es6.total == 23L && es6.totalRelation.isEmpty)
   }
 
   test("sliced PIT: one independent pit per slice, rows exactly once") {

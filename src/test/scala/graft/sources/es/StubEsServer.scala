@@ -34,7 +34,11 @@ final class StubEsServer(
     initialIndices: Map[String, Seq[String]],
     mappings: Map[String, String],
     es6Totals: Boolean = false,
-    legacyDocType: Boolean = false) extends AutoCloseable {
+    legacyDocType: Boolean = false,
+    // real ES7+ caps hits.total at 10,000 (`relation: gte`) unless the
+    // request sets track_total_hits — lowered in tests to pin that the
+    // PIT reader actually asks for the exact count
+    totalHitsCap: Int = 10000) extends AutoCloseable {
 
   private val mapper = new ObjectMapper()
   private val indices = new ConcurrentHashMap[String, List[String]]()
@@ -317,7 +321,14 @@ final class StubEsServer(
     root.put("pit_id", pitId)
     val hits = root.putObject("hits")
     val t = hits.putObject("total")
-    t.put("value", ordered.size); t.put("relation", "eq")
+    // real-ES behavior: without track_total_hits, totals stop counting at
+    // the cap and report a `gte` lower bound instead of the exact count
+    val trackTotal = Option(req.get("track_total_hits")).exists(_.asBoolean())
+    if (!trackTotal && ordered.size > totalHitsCap) {
+      t.put("value", totalHitsCap); t.put("relation", "gte")
+    } else {
+      t.put("value", ordered.size); t.put("relation", "eq")
+    }
     val arr = hits.putArray("hits")
     projected.foreach { case (d, sv) =>
       val h = arr.addObject()

@@ -16,6 +16,7 @@ object GraftFunctions {
       TopKByScore.description, VecMeanAgg.description,
       RepStats.description, GramOverlap.description, CharStats.description,
       BpeMergeExpr.description, BpeEncodeExpr.description, BpeIdsExpr.description,
+      UnigramSegExpr.description,
       UnicodeNormalize.description,
       HeavyHitters.description, CmSketch.description, RandProj.description,
       ShinglesExpr.description, BloomSketch.description)

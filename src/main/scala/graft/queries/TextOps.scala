@@ -1339,6 +1339,73 @@ object TextOps {
        |SELECT doc_id, bool_and(doc_id = occ_id) AS admitted
        |FROM occ GROUP BY doc_id""".stripMargin
 
+  // -- q124: unigram-LM tokenizer TRAINING (UnigramLm.train) — the
+  // SentencePiece-family counterpart to the BPE trainer: seed = top-120
+  // substrings (len <= 4) of the distinct-word table plus all single
+  // chars, then TWO hard-EM rounds (Viterbi E-step, renormalizing
+  // M-step with char-floor smoothing). Cross-engine determinism rides
+  // on dyadic log-probs: floor(ln(c/T)*2^20)/2^20 makes every path
+  // score an EXACT sum, ties are exact, and the tie-break is the
+  // lexicographically smallest space-joined path — so the oracle, which
+  // enumerates EVERY segmentation of every word per round via a
+  // recursive CTE (bounded: 31 distinct words x <= ~1.5k paths) and
+  // picks winners with the same (score desc, path asc) order, walks the
+  // identical EM trajectory. Note the seed dedup is an explicit GROUP
+  // BY: inside WITH RECURSIVE, DuckDB does not dedup a plain UNION. --
+  private val q124: Q = (s, dir) => {
+    val vocab = graft.operators.UnigramLm.train(docs(s, dir), "text",
+      iterations = 2, maxPieceLen = 4, seedSize = 120, maxWordLen = 12)
+    import s.implicits._
+    vocab.map(p => (p.piece, p.cnt, p.lqMicro)).toDF("piece", "cnt", "lq_micro")
+  }
+  private val q124Sql = {
+    def seg(n: Int) =
+      s"""seg$n AS (
+         |  SELECT word, freq, 0 AS pos, CAST(0.0 AS DOUBLE) AS score, '' AS path FROM uwords
+         |  UNION ALL
+         |  SELECT s.word, s.freq, s.pos + length(v.piece),
+         |         s.score + CAST(v.lqm AS DOUBLE) / 1048576.0,
+         |         CASE WHEN s.path = '' THEN v.piece ELSE s.path || ' ' || v.piece END
+         |  FROM seg$n s JOIN v$n v ON substr(s.word, s.pos + 1, length(v.piece)) = v.piece
+         |  WHERE s.pos < length(s.word)),
+         |best$n AS (SELECT word, freq, path FROM (
+         |    SELECT word, freq, path,
+         |           row_number() OVER (PARTITION BY word ORDER BY score DESC, path) rn
+         |    FROM seg$n WHERE pos = length(word)) WHERE rn = 1),
+         |c$n AS (SELECT piece, sum(freq) AS c FROM (
+         |         SELECT freq, unnest(string_split(path, ' ')) AS piece FROM best$n)
+         |       GROUP BY 1),
+         |k$n AS (SELECT v.piece,
+         |              CASE WHEN length(v.piece) = 1 THEN greatest(coalesce(c$n.c, 0), 1)
+         |                   ELSE c$n.c END AS c
+         |       FROM v$n v LEFT JOIN c$n ON c$n.piece = v.piece
+         |       WHERE length(v.piece) = 1 OR coalesce(c$n.c, 0) > 0)""".stripMargin
+    s"""WITH RECURSIVE uwords AS (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) w FROM documents)
+       |  WHERE length(w) <= 12 GROUP BY 1),
+       |starts AS (SELECT word, freq, unnest(range(1, length(word) + 1)) AS s FROM uwords),
+       |subs AS (SELECT substr(word, s, CAST(l AS INT)) AS piece, sum(freq) AS w
+       |         FROM starts, range(1, 5) t(l) WHERE s + l <= length(word) + 1
+       |         GROUP BY 1),
+       |topn AS (SELECT piece, w FROM subs ORDER BY w DESC, piece LIMIT 120),
+       |seed AS (SELECT piece, max(w) AS w FROM (
+       |           SELECT piece, w FROM topn
+       |           UNION ALL SELECT piece, w FROM subs WHERE length(piece) = 1) u
+       |         GROUP BY piece),
+       |v1 AS (SELECT piece,
+       |              CAST(floor(ln(CAST(w AS DOUBLE) / CAST(t AS DOUBLE)) * 1048576.0) AS BIGINT) AS lqm
+       |       FROM seed, (SELECT sum(w) AS t FROM seed)),
+       |${seg(1)},
+       |v2 AS (SELECT piece,
+       |              CAST(floor(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1048576.0) AS BIGINT) AS lqm
+       |       FROM k1, (SELECT sum(c) AS t FROM k1)),
+       |${seg(2)}
+       |SELECT piece, CAST(c AS BIGINT) AS cnt,
+       |       CAST(floor(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1048576.0) AS BIGINT) AS lq_micro
+       |FROM k2, (SELECT sum(c) AS t FROM k2)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -1381,6 +1448,7 @@ object TextOps {
     "q100_full_pipeline" -> q100,
     "q120_train_classifier" -> q120,
     "q123_ttl_gate" -> q123,
+    "q124_unigram_lm" -> q124,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1425,5 +1493,6 @@ object TextOps {
     "q100_full_pipeline" -> q100Sql,
     "q120_train_classifier" -> q120Sql,
     "q123_ttl_gate" -> q123Sql,
+    "q124_unigram_lm" -> q124Sql,
   )
 }

@@ -209,6 +209,68 @@ object SearchStore {
                    k: Int): DataFrame =
     phraseSearchFrames(spark.table(s"${name}_postings"), phrase, k)
 
+  /** Conjunctive (boolean AND) retrieval ranked by PROXIMITY: documents
+    * containing every query term, ordered by their minimal cover span —
+    * the length of the shortest token window holding at least one
+    * occurrence of each term (1 + max−min over one occurrence choice
+    * per term, minimized). The classic positional-index query the
+    * phrase operator generalizes to unordered terms.
+    *
+    * Shape at scale: the probe reads only the query terms' buckets
+    * (same pruning as [[searchFrames]]); per doc, the span is ONE
+    * sorted sweep over the doc's own occurrences — merge the per-term
+    * position lists, walk them once keeping the latest occurrence per
+    * term, close a candidate window at every step once all terms have
+    * been seen. All inside codegen'd higher-order functions with
+    * doc-length-bounded state; the top-k is a TakeOrdered heap. */
+  def proximitySearchFrames(postings: DataFrame, terms: Seq[String],
+                            k: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    require(terms.distinct == terms, s"terms must be distinct: $terms")
+    require(k >= 1, s"k must be positive: $k")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val n = terms.length
+    val slots = terms.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("__slot", "token")
+    val probed = postings.filter(col("token").isin(terms: _*))
+    val seenInit = typedlit(Seq.fill(n)(-1))
+    probed.join(broadcast(slots), "token")
+      .select(col("id"), col("__slot"), col("positions"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__nslots"),
+        array_sort(flatten(collect_list(
+          // (pos, slot) merge stream; array_sort orders by pos, slot
+          transform(col("positions"),
+            p => struct(p.as("pos"), col("__slot").as("slot"))))))
+          .as("__occ"))
+      .filter(col("__nslots") === n)
+      .select(col("id"),
+        aggregate(col("__occ"),
+          struct(seenInit.as("last"), lit(Int.MaxValue).as("best")),
+          (acc, x) => {
+            val last = transform(sequence(lit(0), lit(n - 1)),
+              i => when(i === x.getField("slot"), x.getField("pos"))
+                .otherwise(element_at(acc.getField("last"), i + 1)))
+            val best = when(!array_contains(last, -1),
+                least(acc.getField("best"),
+                  x.getField("pos") - array_min(last) + 1))
+              .otherwise(acc.getField("best"))
+            struct(last.as("last"), best.as("best"))
+          },
+          acc => acc.getField("best"))
+          .cast("long").as("span"))
+      .filter(col("span") =!= Int.MaxValue.toLong)
+      .orderBy(col("span"), col("id"))
+      .limit(k)
+  }
+
+  /** [[proximitySearchFrames]] over the persisted store — reads only
+    * the query terms' buckets. */
+  def proximitySearch(spark: SparkSession, name: String, terms: Seq[String],
+                      k: Int): DataFrame =
+    proximitySearchFrames(spark.table(s"${name}_postings"), terms, k)
+
   /** Margin absorbing the 6-dp rounding of per-term weights (≤ 5e-7
     * each) when comparing an UNROUNDED upper bound against a rounded
     * exact score — generous for any realistic term count. */

@@ -816,9 +816,41 @@ object IncrementalOps {
        |SELECT doc_id, round(sum(w), 6) AS score, CAST(count(*) AS BIGINT) AS n_terms
        |FROM w GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  // -- q125: conjunctive PROXIMITY search
+  // (SearchStore.proximitySearchFrames) — boolean AND over the
+  // positional postings ranked by minimal cover span (shortest token
+  // window holding one occurrence of each term). The engine computes
+  // the span with one sorted sweep per doc (merged position lists,
+  // latest-occurrence-per-term state inside an aggregate HOF,
+  // doc-length-bounded); the oracle brute-forces the same minimum over
+  // the per-term occurrence cross product — identical integer answers,
+  // so the compare is exact. Probe reads only the three terms'
+  // postings; top-k is a heap. --
+  private val q125: Q = (s, dir) => {
+    graft.operators.SearchStore.proximitySearchFrames(
+        graft.operators.SearchStore.postings(
+          docs(s, dir).select(col("doc_id"), col("text")), "text", "doc_id"),
+        Seq("join", "hash", "scan"), k = 20)
+      .select(col("id").as("doc_id"), col("span"))
+  }
+  private val q125Sql =
+    s"""WITH base AS (SELECT doc_id, $dTok AS tk FROM documents),
+       |tok AS (SELECT doc_id, unnest(tk) AS token,
+       |               generate_subscripts(tk, 1) - 1 AS pos FROM base),
+       |p0 AS (SELECT doc_id, pos FROM tok WHERE token = 'join'),
+       |p1 AS (SELECT doc_id, pos FROM tok WHERE token = 'hash'),
+       |p2 AS (SELECT doc_id, pos FROM tok WHERE token = 'scan'),
+       |spans AS (SELECT p0.doc_id AS doc_id,
+       |    greatest(p0.pos, p1.pos, p2.pos) - least(p0.pos, p1.pos, p2.pos) + 1 AS s
+       |  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id
+       |          JOIN p2 ON p2.doc_id = p0.doc_id)
+       |SELECT doc_id, CAST(min(s) AS BIGINT) AS span
+       |FROM spans GROUP BY 1 ORDER BY span, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q121_phrase_search" -> q121,
     "q122_maxscore_search" -> q122,
+    "q125_proximity_search" -> q125,
     "q110_upsample" -> q110,
     "q113_shard_manifest" -> q113,
     "q114_pipeline_audit" -> q114,
@@ -840,6 +872,7 @@ object IncrementalOps {
   val oracle: Map[String, String] = Map(
     "q121_phrase_search" -> q121Sql,
     "q122_maxscore_search" -> q122Sql,
+    "q125_proximity_search" -> q125Sql,
     "q110_upsample" -> q110Sql,
     "q113_shard_manifest" -> q113Sql,
     "q114_pipeline_audit" -> q114Sql,

@@ -129,6 +129,56 @@ class SearchStoreSpec extends SparkSpec {
     }
   }
 
+  test("proximity search: hand-computed minimal cover spans, ranking, AND semantics") {
+    val df = Seq(
+      (1L, "a x x b x c"),      // one choice each: span = 6
+      (2L, "c b a"),            // adjacent in any order: span = 3
+      (3L, "a x b x x a c a"),  // a:{0,5,7} b:{2} c:{6}: best choice (5,2,6) -> span 5
+      (4L, "a b"),              // missing 'c' -> excluded
+      (5L, "c c c a b")         // a@3 b@4 c@2 -> span 3
+    ).toDF("doc_id", "text")
+    val p = SearchStore.postings(df, "text", "doc_id")
+    val got = SearchStore.proximitySearchFrames(p, Seq("a", "b", "c"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 3L), (5L, 3L), (3L, 5L), (1L, 6L)), got.toString)
+  }
+
+  test("proximity search: single term, repeated occurrences, k cutoff") {
+    val df = Seq((1L, "a x a"), (2L, "x a"), (3L, "b")).toDF("doc_id", "text")
+    val p = SearchStore.postings(df, "text", "doc_id")
+    // single term: every containing doc has span 1; ties break by id
+    assert(SearchStore.proximitySearchFrames(p, Seq("a"), k = 10)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 1L), (2L, 1L)))
+    assert(SearchStore.proximitySearchFrames(p, Seq("a"), k = 1)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 1L)))
+  }
+
+  test("proximity search over the store == frames; probe is bucket-pruned") {
+    val d = Tables.load(spark, sf(), "documents").select($"doc_id", $"text")
+    SearchStore.write(d, "text", "doc_id", "ss_px", buckets = 8)
+    try {
+      val terms = Seq("table", "hash", "scan")
+      val viaStore = SearchStore.proximitySearch(spark, "ss_px", terms, k = 15)
+      val got = viaStore.as[(Long, Long)].collect().toSeq
+      val want = SearchStore.proximitySearchFrames(
+          SearchStore.postings(d, "text", "doc_id"), terms, k = 15)
+        .as[(Long, Long)].collect().toSeq
+      assert(got == want, s"store proximity search must equal frames\n$got\n$want")
+      assert(got.nonEmpty, "fixture terms must actually co-occur")
+      val scans = collectPlan(viaStore.queryExecution.executedPlan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("ss_px_postings")) => f
+      }
+      val selected = scans.flatMap(_.metadata.get("SelectedBucketsCount"))
+      assert(selected.exists(_.matches(".*\\b[1-3] out of 8.*")),
+        s"proximity terms must prune to their own buckets: $selected")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ss_px_postings")
+      spark.sql("DROP TABLE IF EXISTS ss_px_docs")
+      spark.sql("DROP TABLE IF EXISTS ss_px_termstats")
+    }
+  }
+
   test("max-score search == unpruned, prunes the stopword-only majority, falls back sanely") {
     // skewed fixture: 'rare' in 4 docs, 'stop' in all 40 — the WAND shape
     val docs = (1L to 40L).map { i =>

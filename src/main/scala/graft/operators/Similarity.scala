@@ -21,7 +21,8 @@ object Similarity {
     * equivalence). The heap aggregate carries ids as longs, so
     * non-integral id columns (UUID strings etc.) take the window form
     * instead of silently null-casting away. */
-  private def keepTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+  private def keepTopK(scored: DataFrame, idCol: String, k: Int,
+                       scoreCol: String = "cos"): DataFrame = {
     import org.apache.spark.sql.types._
     val integralId = scored.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
@@ -30,12 +31,12 @@ object Similarity {
     if (integralId)
       scored
         .groupBy(col("q_id"))
-        .agg(graft.functions.TopKByScore.topk(col("cos"), col(idCol), k).as("__top"))
+        .agg(graft.functions.TopKByScore.topk(col(scoreCol), col(idCol), k).as("__top"))
         .select(col("q_id"), explode(col("__top")).as("__e"))
         .select(col("q_id"), col("__e.id").cast(scored.schema(idCol).dataType).as(idCol),
-          col("__e.score").as("cos"))
+          col("__e.score").as(scoreCol))
     else {
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col(idCol).asc)
+      val w = Window.partitionBy(col("q_id")).orderBy(col(scoreCol).desc, col(idCol).asc)
       scored.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= k)
         .drop("__rn")
@@ -54,6 +55,41 @@ object Similarity {
       .select(col("q_id"), col(idCol),
         Vectors.cosine(col("__q_emb"), col(embCol)).as("cos"))
     keepTopK(scored, idCol, k)
+  }
+
+  /** Scalar (SQ8) quantization of the embedding column: per-vector
+    * max-abs scale plus truncated int8 codes — the 4× storage shrink
+    * for ANN corpora (float32 → int8) with per-vector reconstruction
+    * `x_i ≈ q8_i · m / 127`. Narrow, codegen'd, deterministic (trunc,
+    * not round — the engine-portable cast). */
+  def sq8Encode(corpus: DataFrame, idCol: String, embCol: String): DataFrame =
+    corpus
+      .select(col(idCol), col(embCol),
+        array_max(transform(col(embCol), x => abs(x.cast("double")))).as("m"))
+      .select(col(idCol), col("m"),
+        transform(col(embCol),
+          x => (x.cast("double") * 127.0 / col("m")).cast("int")).as("q8"))
+
+  /** Brute-force top-k over an SQ8-quantized corpus, ADC-style: the
+    * query stays float and each code list is scored asymmetrically —
+    * `score = (m / 127) · Σ q8_i · query_i` — one integer-by-float
+    * codegen'd dot per pair, never reconstructing the float vector.
+    * Same shape as [[cosineTopK]] (broadcast queries, k-bounded heap,
+    * corpus never shuffles) at a quarter of the corpus bytes; compose
+    * with the IVF routing of [[ivfTopK]] for the 100 TB path exactly
+    * as [[ivfPqTopK]] does for PQ codes. */
+  def sq8AdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 embCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val enc = sq8Encode(corpus, idCol, embCol)
+    val q = queries.select(col(idCol).as("q_id"), col(embCol).as("__q_emb"))
+    val scored = broadcast(q).join(enc, col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol),
+        // int8 codes widen to double at the kernel boundary (exact);
+        // the stored column stays int8-narrow
+        ((col("m") / 127.0) * Vectors.dot(col("q8").cast("array<double>"),
+          col("__q_emb"))).as("score"))
+    keepTopK(scored, idCol, k, scoreCol = "score")
   }
 
   /** Sign-LSH bucketed near-dup pairs: one shuffle on the bucket key,

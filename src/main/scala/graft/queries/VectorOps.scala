@@ -612,6 +612,40 @@ object VectorOps {
        |    ORDER BY proto DESC, vec_id) AS rk
        |FROM asg""".stripMargin
 
+  // -- q126: SQ8 ADC top-k (Similarity.sq8AdcTopK) — the search half of
+  // q56's int8 quantization: the corpus lives as (m, q8 codes), the
+  // float query scores codes asymmetrically (score = m/127 · Σ q8·q),
+  // never reconstructing the vector. Same broadcast+heap shape as q30
+  // at a quarter of the corpus bytes; q93 shows the IVF composition
+  // this slots into at scale. Parity: trunc-cast codes (the q56
+  // algebra) and the strict left-fold dot both engines share. --
+  private val q126: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id".asc)
+    graft.operators.Similarity.sq8AdcTopK(
+        e, e.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select($"q_id", $"vec_id", round($"score", 6).as("score"), $"rn")
+  }
+  private val q126Sql =
+    s"""WITH mm AS (
+       |  SELECT vec_id, embedding,
+       |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+       |  FROM embeddings),
+       |enc AS (
+       |  SELECT vec_id, m,
+       |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 127.0 / m) AS INT)) AS q8
+       |  FROM mm),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id, (e.m / 127.0) * ${dDot("e.q8", "q.q_emb")} AS score
+       |  FROM q CROSS JOIN enc e WHERE e.vec_id <> q.q_id)
+       |SELECT q_id, vec_id, round(score, 6) AS score, rn FROM (
+       |  SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM scored) WHERE rn <= 5""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q111_prototypicality" -> q111,
     "q30_cosine_topk" -> q30,
@@ -629,6 +663,7 @@ object VectorOps {
     "q98_rand_proj" -> q98,
     "q99_projected_topk" -> q99,
     "q109_semdedup_incremental" -> q109,
+    "q126_sq8_adc_topk" -> q126,
   )
 
   val oracle: Map[String, String] = Map(
@@ -647,6 +682,7 @@ object VectorOps {
     "q98_rand_proj" -> q98Sql,
     "q99_projected_topk" -> q99Sql,
     "q109_semdedup_incremental" -> q109Sql,
+    "q126_sq8_adc_topk" -> q126Sql,
     "q111_prototypicality" -> q111Sql,
   )
 }

@@ -133,6 +133,57 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plain(14L) == 10L && plain(23L) == 20L && plain(31L) == 30L)
   }
 
+  test("sq8Encode: codes bounded, max-abs dim hits ±127, reconstruction close") {
+    val e = Tables.load(spark, sf(), "embeddings").limit(50)
+    val enc = graft.operators.Similarity.sq8Encode(e, "vec_id", "embedding")
+      .select($"vec_id", $"m", $"q8").as[(Long, Double, Seq[Int])].collect()
+    assert(enc.length == 50)
+    enc.foreach { case (_, m, q8) =>
+      assert(m > 0)
+      assert(q8.forall(c => c >= -127 && c <= 127))
+      // the max-abs dimension quantizes to exactly ±127
+      assert(q8.exists(c => math.abs(c) == 127))
+    }
+    // reconstruction m*c/127 stays within one quantization step per dim
+    val joined = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    enc.foreach { case (id, m, q8) =>
+      val orig = joined(id)
+      q8.zip(orig).foreach { case (c, x) =>
+        assert(math.abs(c * m / 127.0 - x) <= m / 127.0 + 1e-9,
+          s"vec $id: code $c vs $x (m=$m)")
+      }
+    }
+  }
+
+  test("sq8AdcTopK: ADC scores equal hand-computed quantized dots; heap == window") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val got = graft.operators.Similarity
+      .sq8AdcTopK(e, q, "vec_id", "embedding", k = 4)
+      .select($"q_id", $"vec_id", $"score")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).toSeq).toMap
+    // hand recompute from raw embeddings (same trunc + left-fold algebra)
+    val all = e.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val qs = all.filter(_._1 < 3)
+    val expected = qs.map { case (qid, qe) =>
+      val scored = all.filter(_._1 != qid).map { case (id, emb) =>
+        val m = emb.map(x => math.abs(x.toDouble)).max
+        val codes = emb.map(x => (x.toDouble * 127.0 / m).toInt)
+        var dot = 0.0
+        codes.zip(qe).foreach { case (c, x) => dot += c.toDouble * x.toDouble }
+        (id, (m / 127.0) * dot)
+      }
+      qid -> scored.sortBy(r => (-r._2, r._1)).take(4).toSeq
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (qid, want) =>
+      assert(got(qid) == want.map(w => (qid, w._1, w._2)),
+        s"q $qid: ${got(qid)} vs $want")
+    }
+  }
+
   test("Similarity.ivfAssign matches the q33 query shape") {
     val emb = Tables.load(spark, sf(), "embeddings")
     val viaApi = Similarity.ivfAssign(emb, emb.filter($"vec_id" < 16),

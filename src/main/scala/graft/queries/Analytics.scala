@@ -637,6 +637,25 @@ object Analytics {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  // -- q127: Z-order (Morton) key (sinks.Layout.zValue2) — the write-
+  // side layout key that makes per-file min/max stats narrow on TWO
+  // columns at once (LayoutSpec pins the skipping effect on real
+  // files; this query pins the bit arithmetic itself). Pure integer
+  // bit interleave — exact compare. --
+  private val q127: Q = (s, dir) =>
+    t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber").cast("long").as("l_linenumber"),
+      graft.sinks.Layout.zValue2(col("l_partkey"), col("l_suppkey"), 16)
+        .as("zval"))
+  private val q127Sql = {
+    def half(c: String, off: Int) = (0 until 16).map(i =>
+      s"(((CAST($c AS BIGINT) >> $i) & 1) << ${2 * i + off})").mkString(" + ")
+    s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |  ${half("l_partkey", 0)} +
+       |  ${half("l_suppkey", 1)} AS zval
+       |FROM lineitem""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
@@ -670,6 +689,7 @@ object Analytics {
     "q58_sort_percentiles" -> q58,
     "q60_grouping_sets" -> q60,
     "q61_late_shipments" -> q61,
+    "q127_zorder_key" -> q127,
   )
 
   val oracle: Map[String, String] = Map(
@@ -705,5 +725,6 @@ object Analytics {
     "q58_sort_percentiles" -> q58Sql,
     "q60_grouping_sets" -> q60Sql,
     "q61_late_shipments" -> q61Sql,
+    "q127_zorder_key" -> q127Sql,
   )
 }

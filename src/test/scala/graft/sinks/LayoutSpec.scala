@@ -1,0 +1,71 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Layout: the z-value bit algebra, and the actual skipping payoff —
+  * per-file min/max ranges of BOTH interleaved columns come out narrow,
+  * versus single-column sort where the second column's ranges are
+  * full-width in every file. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue2: bit interleave matches a reference implementation") {
+    def ref(x: Long, y: Long, bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (12345L, 54321L), (65536L, 1L) /* high bits beyond `bits` drop */)
+    val got = cases.toDF("x", "y")
+      .select(Layout.zValue2($"x", $"y", 16).as("z")).as[Long].collect()
+    assert(got.toSeq == cases.map { case (x, y) => ref(x, y, 16) })
+    // z-order locality: close (x, y) pairs get close z-values
+    assert(ref(2L, 3L, 16) == 14L) // 10 interleave 11 -> 1110
+  }
+
+  test("z-ordered files have narrow min/max on BOTH columns; sorted files do not") {
+    val l = Tables.load(spark, sf("sf0.01"), "lineitem")
+      .select($"l_partkey", $"l_suppkey")
+    val dirZ = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val dirS = java.nio.file.Files.createTempDirectory("graft_s").toString
+    val nFiles = 16
+    Layout.zorderWrite(l, "l_partkey", "l_suppkey", dirZ, nFiles)
+    l.repartitionByRange(nFiles, $"l_partkey")
+      .sortWithinPartitions($"l_partkey")
+      .write.mode("overwrite").parquet(dirS)
+
+    def fileRanges(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"l_partkey").as("p_lo"), max($"l_partkey").as("p_hi"),
+        min($"l_suppkey").as("s_lo"), max($"l_suppkey").as("s_hi"))
+      .as[(String, Long, Long, Long, Long)].collect()
+
+    val (zr, sr) = (fileRanges(dirZ), fileRanges(dirS))
+    assert(zr.length == nFiles && sr.length == nFiles)
+    val (pMax, sMax) = l.agg(max($"l_partkey"), max($"l_suppkey"))
+      .as[(Long, Long)].head()
+
+    // a point predicate on either column must touch FEWER z-ordered
+    // files than files sorted on partkey alone touch for suppkey
+    def touched(ranges: Seq[(String, Long, Long, Long, Long)],
+                onPart: Boolean, v: Long): Int =
+      ranges.count { case (_, pLo, pHi, sLo, sHi) =>
+        if (onPart) pLo <= v && v <= pHi else sLo <= v && v <= sHi }
+    val probes = Seq(pMax / 7, pMax / 3, pMax / 2, 2 * pMax / 3)
+    probes.foreach { v =>
+      // partkey-sorted layout: suppkey predicate touches every file
+      assert(touched(sr.toSeq, onPart = false, v * sMax / pMax) == nFiles,
+        "single-column sort leaves the second column unskippable")
+      // z-order: both columns skip a real fraction of files
+      val tp = touched(zr.toSeq, onPart = true, v)
+      val ts = touched(zr.toSeq, onPart = false, v * sMax / pMax)
+      assert(tp <= nFiles / 2, s"partkey probe $v touched $tp/$nFiles z-files")
+      assert(ts <= nFiles / 2, s"suppkey probe touched $ts/$nFiles z-files")
+    }
+  }
+}

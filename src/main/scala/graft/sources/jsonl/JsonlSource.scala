@@ -119,10 +119,12 @@ private[jsonl] class JsonlTable(schema: StructType, paths: Seq[String])
 private[jsonl] class JsonlScanBuilder(full: StructType, paths: Seq[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var countStar = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -147,19 +149,47 @@ private[jsonl] class JsonlScanBuilder(full: StructType, paths: Seq[String])
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
-  override def build(): Scan = new JsonlScan(required, paths, pushed, limit)
+  /** P3's count analog for files (the ES source pushes `count(*)` as a
+    * size-0 search): a bare `df.count()` never parses a document into a
+    * row — each partition reader counts its file's emittable lines
+    * (same blank/corrupt skip semantics as the row path) and returns
+    * ONE partial-count row; Spark sums the partials. PARTIAL pushdown
+    * on purpose: per-file counts keep the merge distributed and the
+    * contract simple. Refused whenever in-reader filters or a pushed
+    * limit are present — those rows' semantics live above the scan. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = pushed.isEmpty && limit.isEmpty &&
+      agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions().head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) {
+      countStar = true
+      required = StructType(Seq(org.apache.spark.sql.types.StructField(
+        "count(*)", org.apache.spark.sql.types.LongType, nullable = false)))
+    }
+    ok
+  }
+
+  override def build(): Scan =
+    new JsonlScan(required, paths, pushed, limit, countStar)
 }
 
 private[sources] class JsonlScan(required: StructType, paths: Seq[String],
                                pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-                               val pushedLimit: Option[Int] = None)
+                               val pushedLimit: Option[Int] = None,
+                               val pushedCountStar: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def description(): String =
     s"graft-jsonl PushedFilters=[${pushed.mkString(", ")}]" +
-      pushedLimit.map(l => s" PushedLimit=$l").getOrElse("")
+      pushedLimit.map(l => s" PushedLimit=$l").getOrElse("") +
+      (if (pushedCountStar) " PushedAggregation=[COUNT(*)]" else "")
 
   /** Real byte sizes from the filesystem, so joining a small dump
     * against a big table broadcasts instead of shuffling — without
@@ -197,7 +227,7 @@ private[sources] class JsonlScan(required: StructType, paths: Seq[String],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, pushed, pushedLimit)
+    new JsonlReaderFactory(required, pushed, pushedLimit, pushedCountStar)
 }
 
 /** Hadoop Configuration is not java-serializable; ship it by its
@@ -220,12 +250,55 @@ private[jsonl] case class JsonlPartition(file: String,
 
 private[jsonl] class JsonlReaderFactory(required: StructType,
                                         pushed: Array[org.apache.spark.sql.sources.Filter],
-                                        limit: Option[Int] = None)
+                                        limit: Option[Int] = None,
+                                        countStar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[JsonlPartition]
-    new JsonlPartitionReader(required, p.file, pushed, p.conf.value, limit)
+    if (countStar) new JsonlCountReader(p.file, p.conf.value)
+    else new JsonlPartitionReader(required, p.file, pushed, p.conf.value, limit)
   }
+}
+
+/** Pushed-count(*) reader: one partial-count row per file, with the row
+  * path's exact emit semantics (blank and corrupt lines skipped, any
+  * parse-success counts) but no per-document coercion or row
+  * materialization. */
+private[jsonl] class JsonlCountReader(file: String, hconf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    val in = graft.sources.Retry.withBackoff(attempts = 3, backoffMs = 100) {
+      val path = new Path(file)
+      val fs = path.getFileSystem(hconf)
+      new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(path)))
+    }
+    var n = 0L
+    var corrupt = 0L
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        if (!line.isBlank) {
+          try { if (!mapper.readTree(line).isMissingNode) n += 1 else corrupt += 1 }
+          catch { case _: com.fasterxml.jackson.core.JacksonException => corrupt += 1 }
+        }
+        line = in.readLine()
+      }
+    } finally in.close()
+    if (corrupt > 0)
+      JsonlSource.log.warn(s"$file: skipped $corrupt corrupt JSON line(s)")
+    row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n))
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 private[jsonl] class JsonlPartitionReader(required: StructType, file: String,

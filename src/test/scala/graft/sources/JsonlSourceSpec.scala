@@ -43,6 +43,43 @@ class JsonlSourceSpec extends SparkSpec {
     assert(df.as[String].collect().sorted.length == 5)
   }
 
+  test("count(*) pushdown: partial counts per file, corrupt/blank skip, filters refuse") {
+    val dir = Files.createTempDirectory("jsonl_cnt").toString
+    // two files, with blank + corrupt lines the row path also skips
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.jsonl"),
+      """{"k": 1}
+        |
+        |not json at all
+        |{"k": 2}
+        |""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b.jsonl"),
+      """{"k": 3}
+        |{"k": 4}
+        |{"k": 5}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val df = spark.read.format("graft-jsonl").schema(schema).load(dir)
+
+    val counted = df.groupBy().count()
+    val scans = collectPlan(counted.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty &&
+      scans.head.scan.description().contains("PushedAggregation=[COUNT(*)]"),
+      scans.map(_.scan.description()).mkString("\n"))
+    assert(counted.as[Long].head() == 5L, "pushed count == row-path count")
+    assert(df.count() == 5L)
+
+    // a filter above the scan must refuse the push and stay exact
+    val filtered = df.filter($"k" > 2).groupBy().count()
+    val fscans = collectPlan(filtered.queryExecution.executedPlan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(fscans.forall(!_.scan.description().contains("PushedAggregation")),
+      "filtered count must not push the aggregate")
+    assert(filtered.as[Long].head() == 3L)
+  }
+
   test("limit pushdown: reader stops after n rows per file; global cut stays exact") {
     val dir = Files.createTempDirectory("jsonl_limit")
     Files.writeString(dir.resolve("a.jsonl"),

@@ -25,6 +25,12 @@ object GraftSession {
     // Parquet TIMESTAMP(NANOS) (events.ts fixture) is otherwise illegal in
     // Spark; read it as raw nanos and let Tables.load convert to micros.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // isAdjustedToUTC=false parquet timestamps (the driver's pandas-written
+    // fixtures) otherwise infer as TIMESTAMP_NTZ, which unix_millis/
+    // window() and the NTZ-less DuckDB oracle comparisons reject; the
+    // engine standardizes on UTC TIMESTAMP (SURVEY §7.3), so read them as
+    // session-UTC instants — identical wall-clock values either way.
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")

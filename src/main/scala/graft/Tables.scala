@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Fixture-table catalog: one parquet file per table under a scale-factor
   * directory (TESTDATA.md). Mirrors the reference's index-pattern table
@@ -16,13 +16,19 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark reads as raw nanos
-    // under spark.sql.legacy.parquet.nanosAsLong (GraftSession); truncate
-    // to micros — the same truncation DuckDB applies reading nanos.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts as parquet TIMESTAMP(NANOS) reads as raw nanos under
+    // spark.sql.legacy.parquet.nanosAsLong (GraftSession); truncate to
+    // micros — the same truncation DuckDB applies reading nanos.
+    val df =
+      if (name == "events" && raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    // Foreign sessions without GraftSession's inferTimestampNTZ=false pin
+    // read isAdjustedToUTC=false fixture timestamps as NTZ; normalize to
+    // the engine's UTC TIMESTAMP contract (same wall-clock values).
+    df.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(df)((d, f) => d.withColumn(f.name, col(f.name).cast("timestamp")))
   }
 
   /** S1 analog: index pattern -> matching table names. Like ES patterns:

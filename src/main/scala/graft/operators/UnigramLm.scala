@@ -125,6 +125,37 @@ object UnigramLm {
     }
   }
 
+  /** Per-document score under a trained vocabulary — the
+    * tokenizer-aware quality gate the model buys (a fluent doc
+    * segments into few, probable pieces; gibberish shatters into
+    * improbable characters): each letter-run word Viterbi-segments and
+    * the doc scores `(n_pieces, Σ lqMicro)` over its pieces. The sum
+    * is over INTEGER dyadic numerators, exact in any aggregation order
+    * — no float drift by construction. Docs with no scorable words
+    * keep n_pieces = 0 and a null score.
+    *
+    * Shape at scale: the vocab rides the plan twice (segmentation
+    * kernel + a map literal for the lookup), the whole scoring is one
+    * narrow pass plus one groupBy(id) — zero joins. */
+  def scoreDocs(df: DataFrame, textCol: String, idCol: String,
+                vocab: Seq[Piece], maxWordLen: Int = 12): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val lq = map_from_arrays(
+      typedlit(vocab.map(_.piece)), typedlit(vocab.map(_.lqMicro)))
+    val scored = df
+      .select(col(idCol), explode(filter(
+        call_function("regexp_extract_all", lower(col(textCol)),
+          lit("[a-z]+"), lit(0)),
+        w => length(w) <= maxWordLen)).as("__w"))
+      .select(col(idCol), explode(segmentWord(col("__w"), vocab)).as("__p"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pieces"),
+        sum(element_at(lq, col("__p"))).as("score_micro"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        col("score_micro"))
+  }
+
   /** Train a unigram vocabulary by `iterations` rounds of hard EM over
     * the corpus' distinct words. Returns the final model sorted by
     * piece. */

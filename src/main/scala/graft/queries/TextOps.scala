@@ -1358,8 +1358,11 @@ object TextOps {
     import s.implicits._
     vocab.map(p => (p.piece, p.cnt, p.lqMicro)).toDF("piece", "cnt", "lq_micro")
   }
-  private val q124Sql = {
-    def seg(n: Int) =
+  /** One oracle EM round: enumerate every segmentation of every word
+    * under vocab v`n` (recursive CTE), pick winners by (score desc,
+    * path asc), count pieces, keep chars at >= 1. Shared by q124
+    * (training output) and q128 (scoring under the trained model). */
+  private def uniSeg(n: Int) =
       s"""seg$n AS (
          |  SELECT word, freq, 0 AS pos, CAST(0.0 AS DOUBLE) AS score, '' AS path FROM uwords
          |  UNION ALL
@@ -1380,6 +1383,10 @@ object TextOps {
          |                   ELSE c$n.c END AS c
          |       FROM v$n v LEFT JOIN c$n ON c$n.piece = v.piece
          |       WHERE length(v.piece) = 1 OR coalesce(c$n.c, 0) > 0)""".stripMargin
+
+  /** The q124 training pipeline as CTEs: word table, substring seed,
+    * two EM rounds — ending at k2 (final counts). */
+  private val uniTrainCtes =
     s"""WITH RECURSIVE uwords AS (
        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) w FROM documents)
@@ -1396,15 +1403,49 @@ object TextOps {
        |v1 AS (SELECT piece,
        |              CAST(floor(ln(CAST(w AS DOUBLE) / CAST(t AS DOUBLE)) * 1048576.0) AS BIGINT) AS lqm
        |       FROM seed, (SELECT sum(w) AS t FROM seed)),
-       |${seg(1)},
+       |${uniSeg(1)},
        |v2 AS (SELECT piece,
        |              CAST(floor(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1048576.0) AS BIGINT) AS lqm
        |       FROM k1, (SELECT sum(c) AS t FROM k1)),
-       |${seg(2)}
+       |${uniSeg(2)}""".stripMargin
+
+  private val q124Sql =
+    s"""$uniTrainCtes
        |SELECT piece, CAST(c AS BIGINT) AS cnt,
        |       CAST(floor(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1048576.0) AS BIGINT) AS lq_micro
        |FROM k2, (SELECT sum(c) AS t FROM k2)""".stripMargin
+
+  // -- q128: unigram-LM document scoring (UnigramLm.scoreDocs) — the
+  // tokenizer-aware quality gate the trained model buys: each doc's
+  // letter-run words Viterbi-segment under the q124 vocab and the doc
+  // scores the INTEGER sum of its pieces' dyadic log-prob numerators
+  // (exact in any aggregation order — no float drift by construction).
+  // Oracle: one more enumeration round (v3 = the trained model) over
+  // the shared training CTEs, then word scores join back onto the
+  // unnested documents. --
+  private val q128: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val vocab = graft.operators.UnigramLm.train(d, "text",
+      iterations = 2, maxPieceLen = 4, seedSize = 120, maxWordLen = 12)
+    graft.operators.UnigramLm.scoreDocs(d, "text", "doc_id", vocab)
   }
+  private val q128Sql =
+    s"""$uniTrainCtes,
+       |v3 AS (SELECT piece,
+       |              CAST(floor(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1048576.0) AS BIGINT) AS lqm
+       |       FROM k2, (SELECT sum(c) AS t FROM k2)),
+       |${uniSeg(3)},
+       |ws AS (SELECT b.word, count(*) AS n_pieces, sum(v.lqm) AS sm
+       |       FROM (SELECT word, unnest(string_split(path, ' ')) AS piece FROM best3) b
+       |       JOIN v3 v ON v.piece = b.piece GROUP BY 1),
+       |dw AS (SELECT doc_id, w FROM (
+       |         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |         FROM documents) WHERE length(w) <= 12),
+       |ds AS (SELECT dw.doc_id, CAST(sum(ws.n_pieces) AS BIGINT) AS n_pieces,
+       |              CAST(sum(ws.sm) AS BIGINT) AS sm
+       |       FROM dw JOIN ws ON ws.word = dw.w GROUP BY 1)
+       |SELECT d.doc_id, coalesce(ds.n_pieces, 0) AS n_pieces, ds.sm AS score_micro
+       |FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
@@ -1449,6 +1490,7 @@ object TextOps {
     "q120_train_classifier" -> q120,
     "q123_ttl_gate" -> q123,
     "q124_unigram_lm" -> q124,
+    "q128_unigram_score" -> q128,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1494,5 +1536,6 @@ object TextOps {
     "q120_train_classifier" -> q120Sql,
     "q123_ttl_gate" -> q123Sql,
     "q124_unigram_lm" -> q124Sql,
+    "q128_unigram_score" -> q128Sql,
   )
 }

@@ -121,6 +121,33 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("scoreDocs: integer piece-score sums, fluent beats shattered, empty doc null") {
+    val df = Seq((1L, "abab abab"), (2L, "abab"), (3L, "zz zz zz"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val vocab = UnigramLm.train(df, "text", iterations = 2,
+      maxPieceLen = 3, seedSize = 8)
+    val byPiece = vocab.map(p => p.piece -> p.lqMicro).toMap
+    val got = UnigramLm.scoreDocs(df, "text", "doc_id", vocab)
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    // recompute: each doc's words segment under the kernel's own rules;
+    // the spec's enumerate() twin already pins kernel == argmax, so here
+    // pin the doc-level ALGEBRA: sums of the known per-word best paths
+    def wordScore(w: String): (Long, Long) = {
+      val m = model(vocab.map(p => p.piece -> p.lq): _*)
+      val pieces = seg(w, m).get
+      (pieces.length.toLong, pieces.map(byPiece).sum)
+    }
+    val ab = wordScore("abab")
+    val zz = wordScore("zz")
+    assert(got(0) == ((1L, 2 * ab._1, Some(2 * ab._2))))
+    assert(got(1) == ((2L, ab._1, Some(ab._2))))
+    assert(got(2) == ((3L, 3 * zz._1, Some(3 * zz._2))))
+    assert(got(3) == ((4L, 0L, None)), "wordless doc: n=0, null score")
+    // per-piece mean: the dominant bigram pattern scores higher than
+    // the char-shattered rare word
+    assert(ab._2.toDouble / ab._1 > zz._2.toDouble / zz._1)
+  }
+
   test("EM is deterministic: two runs produce identical models") {
     val df = Seq("alpha beta gamma alpha beta", "beta gamma delta").toDF("text")
     val a = UnigramLm.train(df, "text", iterations = 2, seedSize = 30)

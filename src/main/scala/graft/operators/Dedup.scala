@@ -191,6 +191,42 @@ object Dedup {
       .distinct()
   }
 
+  /** WEIGHTED MinHash band signatures — consistent weighted sampling
+    * over the document's term-frequency bag (min of Exp(tf)-distributed
+    * hashes: per band, the signature token is the argmin of
+    * `-ln(u(band, token)) / tf(token)` over distinct tokens, `u` an
+    * exact dyadic md5 uniform — the [[Dsir.gumbelTopK]] idiom). Two
+    * documents collide on a band with probability equal to their
+    * WEIGHTED Jaccard  Σmin(tf_a, tf_b)/Σmax(tf_a, tf_b), so repeated
+    * boilerplate with different emphasis separates where the set-based
+    * [[signatureStore]] (which ignores counts) collides.
+    *
+    * Shape at scale: tf and the per-band argmin are all higher-order
+    * functions over the row's own token array — the signature pass is
+    * NARROW (zero shuffles), same as the unweighted native path. O(L·D)
+    * per doc for L tokens, D distinct. Returns (id, band, sig); sig is
+    * null only for token-less documents (filtered). */
+  def weightedMinhashSigs(df: DataFrame, textCol: String, idCol: String,
+                          bands: Int = 4): DataFrame = {
+    require(bands >= 1, s"bands must be positive: $bands")
+    val toks = Text.tokens(col(textCol))
+    def sig(bnd: Int): Column = {
+      def u(t: Column): Column =
+        (conv(substring(md5(concat(lit(s"$bnd|"), t)), 1, 8), 16, 10)
+          .cast("double") + lit(0.5)) / lit(4294967296.0)
+      def tf(t: Column): Column =
+        size(filter(col("__tk"), x => x === t)).cast("double")
+      array_min(transform(array_distinct(col("__tk")),
+        t => struct((-log(u(t)) / tf(t)).as("v"), t.as("t"))))
+        .getField("t")
+    }
+    df.select(col(idCol), toks.as("__tk"))
+      .select(col(idCol), explode(array((1 to bands).map(bnd =>
+        struct(lit(bnd.toLong).as("band"), sig(bnd).as("sig"))): _*)).as("__e"))
+      .select(col(idCol), col("__e.band").as("band"), col("__e.sig").as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
   /** Persists [[signatureStore]] bucketed on (band, sig) so incremental
     * probes join it exchange-free — the [[writeFingerprintStore]]
     * posture for the near-dup key space. */

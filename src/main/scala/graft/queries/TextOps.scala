@@ -1447,6 +1447,28 @@ object TextOps {
        |SELECT d.doc_id, coalesce(ds.n_pieces, 0) AS n_pieces, ds.sm AS score_micro
        |FROM documents d LEFT JOIN ds ON ds.doc_id = d.doc_id""".stripMargin
 
+  // -- q129: WEIGHTED MinHash signatures (Dedup.weightedMinhashSigs) —
+  // consistent weighted sampling over the tf bag: per band the
+  // signature is argmin of -ln(u)/tf over distinct tokens (u = exact
+  // dyadic md5 uniform, the q115/q116 idiom), so band collision
+  // probability is the WEIGHTED Jaccard. Entirely narrow per-row HOFs
+  // — zero shuffles for the signature pass. Oracle mirrors the
+  // identical double ops; tie-break (v, token) both sides. --
+  private val q129: Q = (s, dir) =>
+    graft.operators.Dedup.weightedMinhashSigs(docs(s, dir), "text", "doc_id",
+      bands = 4)
+  private val q129Sql =
+    s"""WITH base AS (SELECT doc_id, $dTok AS tk FROM documents),
+       |dist AS (SELECT doc_id, tk, unnest(list_distinct(tk)) AS t FROM base),
+       |vals AS (SELECT doc_id, band, t,
+       |    -ln((TRY_CAST('0x' || substring(md5(CAST(band AS VARCHAR) || '|' || t), 1, 8) AS BIGINT) + 0.5) / 4294967296.0)
+       |      / len(list_filter(tk, x -> x = t)) AS v
+       |  FROM dist, range(1, 5) r(band))
+       |SELECT doc_id, band, t AS sig FROM (
+       |  SELECT doc_id, band, t,
+       |    row_number() OVER (PARTITION BY doc_id, band ORDER BY v, t) AS rn
+       |  FROM vals) WHERE rn = 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -1491,6 +1513,7 @@ object TextOps {
     "q123_ttl_gate" -> q123,
     "q124_unigram_lm" -> q124,
     "q128_unigram_score" -> q128,
+    "q129_weighted_minhash" -> q129,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1537,5 +1560,6 @@ object TextOps {
     "q123_ttl_gate" -> q123Sql,
     "q124_unigram_lm" -> q124Sql,
     "q128_unigram_score" -> q128Sql,
+    "q129_weighted_minhash" -> q129Sql,
   )
 }

@@ -133,6 +133,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plain(14L) == 10L && plain(23L) == 20L && plain(31L) == 30L)
   }
 
+  test("weightedMinhashSigs: tf-sensitive, permutation-invariant, zero exchanges") {
+    val df = Seq(
+      (1L, "a a a b"),        // heavy 'a'
+      (2L, "a a a b"),        // identical bag -> identical sigs
+      (3L, "b a a a"),        // same BAG, different order -> identical sigs
+      (4L, "a b b b"),        // same SET, different weights
+      (5L, "")                // token-less -> no rows
+    ).toDF("doc_id", "text")
+    val sigs = graft.operators.Dedup.weightedMinhashSigs(df, "text", "doc_id", bands = 8)
+    val by = sigs.as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(by(1L) == by(2L), "identical bags must sign identically")
+    assert(by(1L) == by(3L), "signatures are bag-of-words, order-free")
+    assert(by(1L) != by(4L), "same set with different tf must separate on some band")
+    assert(!by.contains(5L))
+    // estimator sanity: weighted Jaccard of doc1 vs doc4 = (1+1)/(3+3);
+    // 8 bands should agree on SOME but not all bands with high probability
+    val agree = by(1L).zip(by(4L)).count { case (a, b) => a == b }
+    assert(agree > 0 && agree < 8, s"agreement $agree/8")
+    // the signature pass is narrow: no exchange anywhere in the plan
+    val exchanges = collectPlan(sigs.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "weighted signatures must not shuffle")
+  }
+
   test("sq8Encode: codes bounded, max-abs dim hits ±127, reconstruction close") {
     val e = Tables.load(spark, sf(), "embeddings").limit(50)
     val enc = graft.operators.Similarity.sq8Encode(e, "vec_id", "embedding")

@@ -330,29 +330,46 @@ object Dedup {
   def nearDupCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingle: Int = 5, bands: Int = 4,
                         maxBucket: Int = 1024): DataFrame = {
-    require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val sigs = df.select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), posexplode(Text.minhashBandsNative(col("__tk"), shingle, bands)))
+      .select(col(idCol), col("pos").as("band"), col("col").as("sig"))
+    candidatesFromSigs(sigs, idCol, maxBucket, metricPrefix = "graft_minhash_star")
+  }
+
+  /** Candidate pairs from ANY (id, band, sig) signature frame — the
+    * bucket-join discipline [[nearDupCandidates]] and
+    * [[weightedMinhashSigs]]-based dedup share: docs agreeing on a band
+    * signature pair up, buckets over `maxBucket` degrade to a min-id
+    * STAR (components preserved, O(b) not O(b²), observable via the
+    * `metricPrefix` counter).
+    *
+    * ONE shuffle: the sizing window and the small-bucket groupBy share
+    * the (band, sig) hash partitioning, so EnsureRequirements inserts
+    * no second exchange and ReuseExchange computes the signature
+    * shuffle once for both branches. Memory stays bounded on any skew:
+    * bucket sizing runs as window aggregates (spillable sort buffer),
+    * and `collect_list` only ever sees buckets ≤ `maxBucket`. */
+  def candidatesFromSigs(sigs: DataFrame, idCol: String,
+                         maxBucket: Int = 1024,
+                         metricPrefix: String = "graft_sig_star"): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
     val a = s"${idCol}_a"
     val b = s"${idCol}_b"
     val w = Window.partitionBy(col("__band"), col("__sig"))
-    // ONE shuffle: the window and the small-bucket groupBy share the
-    // (band, sig) hash partitioning, so EnsureRequirements inserts no
-    // second exchange and ReuseExchange computes the signature shuffle
-    // once for both branches.
-    val sized = df.select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
-      .select(col(idCol), posexplode(Text.minhashBandsNative(col("__tk"), shingle, bands)))
-      .select(col(idCol), col("pos").as("__band"), col("col").as("__sig"))
+    val sized = sigs
+      .select(col(idCol), col("band").as("__band"), col("sig").as("__sig"))
       .filter(col("__sig").isNotNull)
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__min", min(col(idCol)).over(w))
     val star = sized
       .filter(col("__n") > maxBucket && col(idCol) =!= col("__min"))
       .select(col("__min").as(a), col(idCol).as(b))
-      // observability parity with [[simhashNearDup]]: the MinHash star
-      // preserves connected components exactly (no recall loss), but a
-      // non-zero count tells the operator's user a boilerplate bucket
-      // exceeded the cap and pair-level output is star-shaped there
-      .observe(s"graft_minhash_star_${Dedup.starMetricSeq.incrementAndGet()}",
+      // observability parity with [[simhashNearDup]]: the star preserves
+      // connected components exactly (no recall loss), but a non-zero
+      // count tells the operator's user a boilerplate bucket exceeded
+      // the cap and pair-level output is star-shaped there
+      .observe(s"${metricPrefix}_${Dedup.starMetricSeq.incrementAndGet()}",
         count(lit(1)).as("star_rows"))
     val smallPairs = sized
       .filter(col("__n") <= maxBucket && col("__n") > 1)

@@ -159,6 +159,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exchanges.isEmpty, "weighted signatures must not shuffle")
   }
 
+  test("candidatesFromSigs: weighted sigs pair tf-twins; over-cap bucket stars") {
+    val twins = Seq((1L, "x x x y"), (2L, "x x x y"), (3L, "y y y x"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.candidatesFromSigs(
+        graft.operators.Dedup.weightedMinhashSigs(twins, "text", "doc_id", bands = 4),
+        "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "identical bags must pair")
+    // over-cap: many identical docs star to the min id instead of O(b^2)
+    val blob = spark.range(40).select($"id".as("doc_id"), lit("a a b").as("text"))
+    val starred = graft.operators.Dedup.candidatesFromSigs(
+        graft.operators.Dedup.weightedMinhashSigs(blob, "text", "doc_id", bands = 2),
+        "doc_id", maxBucket = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(starred == (1L to 39L).map(i => (0L, i)).toSet,
+      "over-cap bucket must star on the min id")
+  }
+
   test("sq8Encode: codes bounded, max-abs dim hits ±127, reconstruction close") {
     val e = Tables.load(spark, sf(), "embeddings").limit(50)
     val enc = graft.operators.Similarity.sq8Encode(e, "vec_id", "embedding")

@@ -209,18 +209,23 @@ object Dedup {
   def weightedMinhashSigs(df: DataFrame, textCol: String, idCol: String,
                           bands: Int = 4): DataFrame = {
     require(bands >= 1, s"bands must be positive: $bands")
-    val toks = Text.tokens(col(textCol))
+    // tf once per doc (the O(L·D) part), then each band's argmin scans
+    // the precomputed (token, tf) pairs — O(L·D + bands·D), not
+    // O(bands·L·D)
+    val tfs = transform(array_distinct(col("__tk")), t =>
+      struct(t.as("t"),
+        size(filter(col("__tk"), x => x === t)).cast("double").as("tf")))
     def sig(bnd: Int): Column = {
       def u(t: Column): Column =
         (conv(substring(md5(concat(lit(s"$bnd|"), t)), 1, 8), 16, 10)
           .cast("double") + lit(0.5)) / lit(4294967296.0)
-      def tf(t: Column): Column =
-        size(filter(col("__tk"), x => x === t)).cast("double")
-      array_min(transform(array_distinct(col("__tk")),
-        t => struct((-log(u(t)) / tf(t)).as("v"), t.as("t"))))
+      array_min(transform(col("__tf"), e =>
+        struct((-log(u(e.getField("t"))) / e.getField("tf")).as("v"),
+          e.getField("t").as("t"))))
         .getField("t")
     }
-    df.select(col(idCol), toks.as("__tk"))
+    df.select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), tfs.as("__tf"))
       .select(col(idCol), explode(array((1 to bands).map(bnd =>
         struct(lit(bnd.toLong).as("band"), sig(bnd).as("sig"))): _*)).as("__e"))
       .select(col(idCol), col("__e.band").as("band"), col("__e.sig").as("sig"))

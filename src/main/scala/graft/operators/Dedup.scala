@@ -542,6 +542,35 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[pruneNearDups]] with a QUALITY winner policy: each near-dup
+    * cluster keeps its best row by (`scoreCol` desc, id asc) instead of
+    * the arbitrary minimum id — what a curation pipeline actually wants
+    * ("of the k crawled copies, keep the longest / highest-quality
+    * one"). Rows outside any cluster survive untouched; a null score
+    * loses to any non-null one (max ignores nulls).
+    *
+    * Scale: winner selection is two partial-aggregated groupBys on the
+    * cluster id (max score, then min id among the maxima) — no
+    * per-cluster window sort, so a boilerplate mega-cluster costs a
+    * reduction, not a single-task sort. */
+  def pruneNearDupsBy(df: DataFrame, textCol: String, idCol: String,
+                      scoreCol: String, shingle: Int = 5, bands: Int = 4,
+                      maxBucket: Int = 1024): DataFrame = {
+    val pairs = nearDupCandidates(df, textCol, idCol, shingle, bands, maxBucket)
+    val members = clusters(pairs, s"${idCol}_a", s"${idCol}_b")
+      .select(col("node").as(idCol), col("cluster"))
+      .join(df.select(col(idCol), col(scoreCol)), Seq(idCol))
+    val best = members.groupBy(col("cluster"))
+      .agg(max(col(scoreCol)).as("__ms"))
+    val winners = members.join(best, Seq("cluster"))
+      .filter(col(scoreCol) === col("__ms"))
+      .groupBy(col("cluster")).agg(min(col(idCol)).as("__win"))
+    val losers = members.join(winners, Seq("cluster"))
+      .filter(col(idCol) =!= col("__win"))
+      .select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over a near-dup pair list: every node gets the
     * MINIMUM id reachable from it as its `cluster` label — the step that
     * turns candidate pairs ([[nearDupCandidates]]) into dedup groups

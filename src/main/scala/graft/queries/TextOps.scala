@@ -1469,6 +1469,43 @@ object TextOps {
        |    row_number() OVER (PARTITION BY doc_id, band ORDER BY v, t) AS rn
        |  FROM vals) WHERE rn = 1""".stripMargin
 
+  // -- q130: quality-winner near-dup prune (Dedup.pruneNearDupsBy) —
+  // each q62 cluster keeps its LONGEST member (n_chars desc, id asc)
+  // instead of the min id: the "keep the best copy" policy a curation
+  // pipeline wants. Oracle: the q62 transitive-closure clusters + the
+  // same two-step winner algebra (max score, then min id among maxima)
+  // — integers throughout, exact compare. --
+  private val q130: Q = (s, dir) =>
+    graft.operators.Dedup.pruneNearDupsBy(
+        docs(s, dir).select(col("doc_id"), col("text"), col("n_chars")),
+        "text", "doc_id", "n_chars")
+      .select(col("doc_id"), col("n_chars"))
+  private val q130Sql =
+    s"""WITH RECURSIVE
+       |pairs AS ($q22Sql),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cmembers AS (
+       |  SELECT src AS node, dst AS m FROM reach
+       |  UNION ALL
+       |  SELECT src, src FROM edges),
+       |comp AS (SELECT node AS doc_id, min(m) AS cluster FROM cmembers GROUP BY node),
+       |mem AS (SELECT c.doc_id, c.cluster, d.n_chars FROM comp c
+       |        JOIN documents d ON d.doc_id = c.doc_id),
+       |best AS (SELECT cluster, max(n_chars) AS ms FROM mem GROUP BY 1),
+       |winners AS (SELECT m.cluster, min(m.doc_id) AS win FROM mem m
+       |            JOIN best b ON b.cluster = m.cluster AND m.n_chars = b.ms
+       |            GROUP BY 1),
+       |losers AS (SELECT m.doc_id FROM mem m
+       |           JOIN winners w ON w.cluster = m.cluster
+       |           WHERE m.doc_id <> w.win)
+       |SELECT doc_id, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -1514,6 +1551,7 @@ object TextOps {
     "q124_unigram_lm" -> q124,
     "q128_unigram_score" -> q128,
     "q129_weighted_minhash" -> q129,
+    "q130_quality_prune" -> q130,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1561,5 +1599,6 @@ object TextOps {
     "q124_unigram_lm" -> q124Sql,
     "q128_unigram_score" -> q128Sql,
     "q129_weighted_minhash" -> q129Sql,
+    "q130_quality_prune" -> q130Sql,
   )
 }

@@ -159,6 +159,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exchanges.isEmpty, "weighted signatures must not shuffle")
   }
 
+  test("pruneNearDupsBy keeps the best-scored member, not the min id") {
+    // docs 1/2/3 near-dup (same shingles); 3 is the longest copy.
+    // doc 9 is unrelated and must survive untouched.
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, base, 8L),
+      (2L, base + " iota", 9L),
+      (3L, base + " iota kappa", 10L),
+      (9L, "completely different words everywhere here now truly", 7L)
+    ).toDF("doc_id", "text", "quality")
+    val byQuality = graft.operators.Dedup
+      .pruneNearDupsBy(df, "text", "doc_id", "quality")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(byQuality == Set(3L, 9L), byQuality.toString)
+    // the min-id policy would keep doc 1 instead
+    val byMinId = graft.operators.Dedup.pruneNearDups(df, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(byMinId == Set(1L, 9L), byMinId.toString)
+    // score ties break to the smaller id
+    val tied = Seq((5L, base, 4L), (6L, base, 4L)).toDF("doc_id", "text", "quality")
+    assert(graft.operators.Dedup.pruneNearDupsBy(tied, "text", "doc_id", "quality")
+      .select($"doc_id").as[Long].collect().toSeq == Seq(5L))
+  }
+
   test("candidatesFromSigs: weighted sigs pair tf-twins; over-cap bucket stars") {
     val twins = Seq((1L, "x x x y"), (2L, "x x x y"), (3L, "y y y x"))
       .toDF("doc_id", "text")

@@ -25,15 +25,23 @@ object Layout {
     * 31 keeps the result in a positive long. Values wider than `bits`
     * contribute only their low bits (callers bucket or clamp first when
     * the domain is wider). */
-  def zValue2(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31]: $bits")
-    val xl = x.cast("long")
-    val yl = y.cast("long")
-    val terms =
+  def zValue2(x: Column, y: Column, bits: Int = 16): Column =
+    zValue(Seq(x, y), bits)
+
+  /** N-column Morton interleave: column j owns bit positions
+    * j, j+n, j+2n, … — the layout key for up to `n · bits ≤ 63`-bit
+    * keys (3 columns × 16 bits, 4 × 15, …). Same contract as
+    * [[zValue2]]. */
+  def zValue(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.length
+    require(n >= 1, "need at least one column")
+    require(bits >= 1 && n * bits <= 63,
+      s"n*bits must fit a positive long: $n x $bits")
+    val terms = cols.zipWithIndex.flatMap { case (c, j) =>
+      val cl = c.cast("long")
       (0 until bits).map(i =>
-        shiftleft(shiftrightunsigned(xl, i).bitwiseAND(lit(1L)), 2 * i)) ++
-      (0 until bits).map(i =>
-        shiftleft(shiftrightunsigned(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        shiftleft(shiftrightunsigned(cl, i).bitwiseAND(lit(1L)), n * i + j))
+    }
     terms.reduce(_ + _) // disjoint bits: addition == OR
   }
 

@@ -28,6 +28,31 @@ class LayoutSpec extends SparkSpec {
     assert(ref(2L, 3L, 16) == 14L) // 10 interleave 11 -> 1110
   }
 
+  test("zValue: N-column interleave, column j owns bits j, j+n, ...") {
+    def ref(vals: Seq[Long], bits: Int): Long = {
+      val n = vals.length
+      var z = 0L
+      for (j <- vals.indices; i <- 0 until bits)
+        z |= ((vals(j) >> i) & 1L) << (n * i + j)
+      z
+    }
+    val cases = Seq(Seq(1L, 0L, 0L), Seq(0L, 1L, 0L), Seq(0L, 0L, 1L),
+      Seq(7L, 7L, 7L), Seq(12345L, 54321L, 11111L))
+    val got = cases.map(c => c.head).zip(cases.map(c => c(1)))
+      .zip(cases.map(c => c(2))).map { case ((a, b), c) => (a, b, c) }
+      .toDF("a", "b", "c")
+      .select(Layout.zValue(Seq($"a", $"b", $"c"), 16).as("z"))
+      .as[Long].collect()
+    assert(got.toSeq == cases.map(ref(_, 16)))
+    // single column degenerates to the identity on the low bits
+    assert(Seq(42L).toDF("a").select(Layout.zValue(Seq($"a"), 16).as("z"))
+      .as[Long].head() == 42L)
+    // 4 x 16 would need 64 bits: rejected
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq($"a", $"a", $"a", $"a").map(_ => $"a"), 16)
+    }
+  }
+
   test("z-ordered files have narrow min/max on BOTH columns; sorted files do not") {
     val l = Tables.load(spark, sf("sf0.01"), "lineitem")
       .select($"l_partkey", $"l_suppkey")

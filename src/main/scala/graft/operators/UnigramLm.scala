@@ -125,6 +125,18 @@ object UnigramLm {
     }
   }
 
+  /** Token-id array of a text column under a trained vocabulary — the
+    * [[graft.operators.Tokenizer.tokenIds]] analog for the unigram
+    * model, so [[graft.operators.Chunk]] sequence packing can meter
+    * unigram tokens exactly as it does BPE tokens. Ids are the piece's
+    * index in the (piece-sorted) trained vocab — stable for a given
+    * model, dense in [0, |vocab|). */
+  def pieceIds(text: Column, vocab: Seq[Piece], maxWordLen: Int = 12): Column = {
+    val ids = map_from_arrays(typedlit(vocab.map(_.piece)),
+      typedlit(vocab.indices.map(_.toLong)))
+    transform(segmentText(text, vocab, maxWordLen), p => element_at(ids, p))
+  }
+
   /** Per-document score under a trained vocabulary — the
     * tokenizer-aware quality gate the model buys (a fluent doc
     * segments into few, probable pieces; gibberish shatters into

@@ -148,6 +148,17 @@ class UnigramLmSpec extends SparkSpec {
     assert(ab._2.toDouble / ab._1 > zz._2.toDouble / zz._1)
   }
 
+  test("pieceIds: dense stable ids, decode via vocab index round-trips") {
+    val df = Seq("abab cd abab").toDF("text")
+    val vocab = UnigramLm.train(df, "text", iterations = 2,
+      maxPieceLen = 3, seedSize = 6)
+    val ids = df.select(UnigramLm.pieceIds(col("text"), vocab).as("ids"))
+      .as[Seq[Long]].head()
+    assert(ids.nonEmpty && ids.forall(i => i >= 0 && i < vocab.length))
+    // decoding by index re-concatenates to the letters of the text
+    assert(ids.map(i => vocab(i.toInt).piece).mkString == "ababcdabab")
+  }
+
   test("EM is deterministic: two runs produce identical models") {
     val df = Seq("alpha beta gamma alpha beta", "beta gamma delta").toDF("text")
     val a = UnigramLm.train(df, "text", iterations = 2, seedSize = 30)

@@ -193,43 +193,87 @@ object Dedup {
 
   /** WEIGHTED MinHash band signatures — consistent weighted sampling
     * over the document's term-frequency bag (min of Exp(tf)-distributed
-    * hashes: per band, the signature token is the argmin of
-    * `-ln(u(band, token)) / tf(token)` over distinct tokens, `u` an
-    * exact dyadic md5 uniform — the [[Dsir.gumbelTopK]] idiom). Two
-    * documents collide on a band with probability equal to their
-    * WEIGHTED Jaccard  Σmin(tf_a, tf_b)/Σmax(tf_a, tf_b), so repeated
-    * boilerplate with different emphasis separates where the set-based
+    * hashes: each draw picks the argmin of `-ln(u(seed, token)) /
+    * tf(token)` over distinct tokens, `u` an exact dyadic md5 uniform —
+    * the [[Dsir.gumbelTopK]] idiom). A single draw agrees between two
+    * documents with probability equal to their WEIGHTED Jaccard
+    * Σmin(tf_a, tf_b)/Σmax(tf_a, tf_b); a band concatenates `rows`
+    * draws (the AND construction), so a band collides with J^rows and
+    * the any-band OR across `bands` stays selective — one draw per band
+    * would fire between unrelated docs sharing a single token (J=1/7 ⇒
+    * ~0.46 with 4 bands; squared it is ~0.08). Repeated boilerplate
+    * with different term emphasis separates where the set-based
     * [[signatureStore]] (which ignores counts) collides.
     *
-    * Shape at scale: tf and the per-band argmin are all higher-order
+    * Shape at scale: tf and every draw's argmin are higher-order
     * functions over the row's own token array — the signature pass is
-    * NARROW (zero shuffles), same as the unweighted native path. O(L·D)
-    * per doc for L tokens, D distinct. Returns (id, band, sig); sig is
-    * null only for token-less documents (filtered). */
+    * NARROW (zero shuffles), same as the unweighted native path.
+    * O(L·D + bands·rows·D) per doc for L tokens, D distinct. Returns
+    * (id, band, sig); sig is null only for token-less documents
+    * (filtered). */
   def weightedMinhashSigs(df: DataFrame, textCol: String, idCol: String,
-                          bands: Int = 4): DataFrame = {
+                          bands: Int = 4, rows: Int = 2): DataFrame = {
     require(bands >= 1, s"bands must be positive: $bands")
-    // tf once per doc (the O(L·D) part), then each band's argmin scans
-    // the precomputed (token, tf) pairs — O(L·D + bands·D), not
-    // O(bands·L·D)
+    require(rows >= 1, s"rows must be positive: $rows")
+    // tf once per doc (the O(L·D) part); each draw scans the
+    // precomputed (token, tf) pairs
     val tfs = transform(array_distinct(col("__tk")), t =>
       struct(t.as("t"),
         size(filter(col("__tk"), x => x === t)).cast("double").as("tf")))
-    def sig(bnd: Int): Column = {
+    def draw(seed: String): Column = {
       def u(t: Column): Column =
-        (conv(substring(md5(concat(lit(s"$bnd|"), t)), 1, 8), 16, 10)
+        (conv(substring(md5(concat(lit(s"$seed|"), t)), 1, 8), 16, 10)
           .cast("double") + lit(0.5)) / lit(4294967296.0)
       array_min(transform(col("__tf"), e =>
         struct((-log(u(e.getField("t"))) / e.getField("tf")).as("v"),
           e.getField("t").as("t"))))
         .getField("t")
     }
+    def sig(bnd: Int): Column =
+      concat_ws("|", (1 to rows).map(k => draw(s"$bnd:$k")): _*)
     df.select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
       .select(col(idCol), tfs.as("__tf"))
+      .filter(size(col("__tf")) > 0)
       .select(col(idCol), explode(array((1 to bands).map(bnd =>
         struct(lit(bnd.toLong).as("band"), sig(bnd).as("sig"))): _*)).as("__e"))
       .select(col(idCol), col("__e.band").as("band"), col("__e.sig").as("sig"))
-      .filter(col("sig").isNotNull)
+  }
+
+  /** The weighted twin of [[signatureStore]]: the distinct
+    * (band, sig) key set of [[weightedMinhashSigs]] — persist with
+    * [[graft.sinks.Bucketing.writeBucketed]] on (band, sig) like the
+    * unweighted store and probe through
+    * [[weightedNearDupsAgainstCorpus]]. */
+  def weightedSignatureStore(corpus: DataFrame, textCol: String,
+                             bands: Int = 4): DataFrame =
+    weightedMinhashSigs(corpus.select(col(textCol), lit(0L).as("__wid")),
+        textCol, "__wid", bands)
+      .select(col("band"), col("sig")).distinct()
+
+  /** [[nearDupsAgainstCorpus]] on WEIGHTED signatures: a batch doc
+    * whose any weighted band signature collides with the corpus store
+    * is dropped (tf-twin of something shipped), then the novel
+    * minority dedups against itself via [[candidatesFromSigs]] over
+    * its own weighted signatures. Store side stays exchange-free when
+    * bucketed on (band, sig); the batch signature pass is narrow. */
+  def weightedNearDupsAgainstCorpus(batch: DataFrame, store: DataFrame,
+                                    textCol: String, idCol: String,
+                                    bands: Int = 4,
+                                    maxBucket: Int = 1024): DataFrame = {
+    val hit = weightedMinhashSigs(batch, textCol, idCol, bands)
+      .join(store, Seq("band", "sig"))
+      .select(col(idCol)).distinct()
+    // batch-sized checkpoint: the prune drives several actions and must
+    // not re-probe the store per action (the nearDupsAgainstCorpus
+    // discipline)
+    val novel = batch.join(hit, Seq(idCol), "left_anti").localCheckpoint()
+    val pairs = candidatesFromSigs(
+      weightedMinhashSigs(novel, textCol, idCol, bands), idCol, maxBucket,
+      metricPrefix = "graft_wminhash_star")
+    val losers = clusters(pairs, s"${idCol}_a", s"${idCol}_b")
+      .where(col("cluster") =!= col("node"))
+      .select(col("node").as(idCol))
+    novel.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Persists [[signatureStore]] bucketed on (band, sig) so incremental

@@ -1458,16 +1458,19 @@ object TextOps {
     graft.operators.Dedup.weightedMinhashSigs(docs(s, dir), "text", "doc_id",
       bands = 4)
   private val q129Sql =
-    s"""WITH base AS (SELECT doc_id, $dTok AS tk FROM documents),
+    s"""WITH base AS (SELECT * FROM (SELECT doc_id, $dTok AS tk FROM documents)
+       |              WHERE len(tk) > 0),
        |dist AS (SELECT doc_id, tk, unnest(list_distinct(tk)) AS t FROM base),
-       |vals AS (SELECT doc_id, band, t,
-       |    -ln((TRY_CAST('0x' || substring(md5(CAST(band AS VARCHAR) || '|' || t), 1, 8) AS BIGINT) + 0.5) / 4294967296.0)
+       |vals AS (SELECT doc_id, band, k, t,
+       |    -ln((TRY_CAST('0x' || substring(md5(CAST(band AS VARCHAR) || ':' || CAST(k AS VARCHAR) || '|' || t), 1, 8) AS BIGINT) + 0.5) / 4294967296.0)
        |      / len(list_filter(tk, x -> x = t)) AS v
-       |  FROM dist, range(1, 5) r(band))
-       |SELECT doc_id, band, t AS sig FROM (
-       |  SELECT doc_id, band, t,
-       |    row_number() OVER (PARTITION BY doc_id, band ORDER BY v, t) AS rn
-       |  FROM vals) WHERE rn = 1""".stripMargin
+       |  FROM dist, range(1, 5) r(band), range(1, 3) q(k)),
+       |wins AS (SELECT doc_id, band, k, t FROM (
+       |    SELECT doc_id, band, k, t,
+       |      row_number() OVER (PARTITION BY doc_id, band, k ORDER BY v, t) AS rn
+       |    FROM vals) WHERE rn = 1)
+       |SELECT doc_id, band, string_agg(t, '|' ORDER BY k) AS sig
+       |FROM wins GROUP BY doc_id, band""".stripMargin
 
   // -- q130: quality-winner near-dup prune (Dedup.pruneNearDupsBy) —
   // each q62 cluster keeps its LONGEST member (n_chars desc, id asc)

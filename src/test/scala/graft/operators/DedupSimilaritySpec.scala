@@ -148,15 +148,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(by(1L) == by(3L), "signatures are bag-of-words, order-free")
     assert(by(1L) != by(4L), "same set with different tf must separate on some band")
     assert(!by.contains(5L))
-    // estimator sanity: weighted Jaccard of doc1 vs doc4 = (1+1)/(3+3);
-    // 8 bands should agree on SOME but not all bands with high probability
+    // estimator sanity: weighted Jaccard of doc1 vs doc4 = (1+1)/(3+3),
+    // so a band (2 draws, AND) agrees with prob ~1/9 — most of the 8
+    // bands must disagree
     val agree = by(1L).zip(by(4L)).count { case (a, b) => a == b }
-    assert(agree > 0 && agree < 8, s"agreement $agree/8")
+    assert(agree < 4, s"agreement $agree/8")
     // the signature pass is narrow: no exchange anywhere in the plan
     val exchanges = collectPlan(sigs.queryExecution.executedPlan) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     assert(exchanges.isEmpty, "weighted signatures must not shuffle")
+  }
+
+  test("weightedNearDupsAgainstCorpus: tf-twins of shipped docs drop, novel admit") {
+    val corpus = Seq((1L, "x x x y"), (2L, "p q r s")).toDF("doc_id", "text")
+    val store = graft.operators.Dedup
+      .weightedSignatureStore(corpus, "text", bands = 4).localCheckpoint()
+    val batch = Seq(
+      (10L, "x x x y"),   // tf-twin of shipped doc 1 -> dropped
+      (11L, "m n o p"),   // novel -> admitted
+      (12L, "m n o p")    // in-batch twin of 11 -> pruned in-batch
+    ).toDF("doc_id", "text")
+    val admitted = graft.operators.Dedup
+      .weightedNearDupsAgainstCorpus(batch, store, "text", "doc_id", bands = 4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admitted == Set(11L), admitted.toString)
+    // idempotent: re-running the same batch against the same store
+    // admits the same set
+    val again = graft.operators.Dedup
+      .weightedNearDupsAgainstCorpus(batch, store, "text", "doc_id", bands = 4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == admitted)
   }
 
   test("pruneNearDupsBy keeps the best-scored member, not the min id") {

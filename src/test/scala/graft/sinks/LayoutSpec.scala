@@ -54,8 +54,12 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("z-ordered files have narrow min/max on BOTH columns; sorted files do not") {
+    // one input partition: repartitionByRange samples per input
+    // partition (seeded by partition id), so boundaries — and thus the
+    // per-file ranges asserted below — stay identical whether the suite
+    // session planned the parquet scan into 1 or 32 splits
     val l = Tables.load(spark, sf("sf0.01"), "lineitem")
-      .select($"l_partkey", $"l_suppkey")
+      .select($"l_partkey", $"l_suppkey").coalesce(1)
     val dirZ = java.nio.file.Files.createTempDirectory("graft_z").toString
     val dirS = java.nio.file.Files.createTempDirectory("graft_s").toString
     val nFiles = 16

@@ -76,6 +76,10 @@ object Dump {
           "slices" -> flags.get("slices"),
           "sort" -> flags.get("sort"),
           "query" -> flags.get("query"),
+          // --mode pit selects point-in-time + search_after pagination
+          // (the scroll API's modern replacement; default stays scroll,
+          // the reference's own wire shape)
+          "mode" -> flags.get("mode"),
           "retries" -> flags.get("retries"),
           "retry_backoff_ms" -> flags.get("retry-backoff-ms"))
           .collect { case (k, Some(v)) => k -> v }.toMap

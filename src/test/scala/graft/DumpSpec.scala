@@ -88,6 +88,29 @@ class DumpSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("--es --mode pit: CLI selects PIT + search_after pagination") {
+    val stub = new graft.sources.es.StubEsServer(
+      initialIndices = Map(
+        "logs-p" -> (1 to 9).map(i => s"""{"seq":$i,"msg":"p$i"}""")),
+      mappings = Map(
+        "logs-p" -> """{"seq":{"type":"long"},"msg":{"type":"keyword"}}"""))
+    try {
+      val out = Files.createTempDirectory("dump_es_pit").toString
+      val results = Dump.execute(spark, Array(
+        "logs-p",
+        "--es", stub.url, "--out", out,
+        "--size", "4", "--mode", "pit",
+        "--quiet"))
+      assert(results.forall(_.isInstanceOf[DumpJob.Written]))
+      assert(spark.read.parquet(s"$out/logs-p").count() == 9)
+      // the mode reached the wire: PIT opened, no scroll context
+      assert(stub.searchRequests.exists(_._3.contains("\"pit\"")),
+        "expected PIT search bodies")
+      assert(!stub.searchRequests.exists(_._1.contains("scroll=")),
+        "PIT mode must not open scroll contexts")
+    } finally stub.close()
+  }
+
   test("glob pattern fans out to multiple tables, isolated per table") {
     val out = Files.createTempDirectory("dump_cli2").toString
     val results = Dump.execute(spark, Array(

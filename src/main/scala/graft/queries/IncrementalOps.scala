@@ -816,6 +816,88 @@ object IncrementalOps {
        |SELECT doc_id, round(sum(w), 6) AS score, CAST(count(*) AS BIGINT) AS n_terms
        |FROM w GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** DuckDB weighted-MinHash band signatures of a (doc_id, text) CTE —
+    * the q129 algebra parameterized by source table: 4 bands × 2
+    * draws, each draw the argmin of -ln(u)/tf with the (v, token)
+    * tie-break. */
+  private def dWSigs(src: String, out: String): String =
+    s"""${out}_base AS (SELECT * FROM (SELECT doc_id, $dTok AS tk FROM $src)
+       |              WHERE len(tk) > 0),
+       |${out}_dist AS (SELECT doc_id, tk, unnest(list_distinct(tk)) AS t FROM ${out}_base),
+       |${out}_vals AS (SELECT doc_id, band, k, t,
+       |    -ln((TRY_CAST('0x' || substring(md5(CAST(band AS VARCHAR) || ':' || CAST(k AS VARCHAR) || '|' || t), 1, 8) AS BIGINT) + 0.5) / 4294967296.0)
+       |      / len(list_filter(tk, x -> x = t)) AS v
+       |  FROM ${out}_dist, range(1, 5) r(band), range(1, 3) q(k)),
+       |${out}_wins AS (SELECT doc_id, band, k, t FROM (
+       |    SELECT doc_id, band, k, t,
+       |      row_number() OVER (PARTITION BY doc_id, band, k ORDER BY v, t) AS rn
+       |    FROM ${out}_vals) WHERE rn = 1),
+       |$out AS (SELECT doc_id, band, string_agg(t, '|' ORDER BY k) AS sig
+       |         FROM ${out}_wins GROUP BY doc_id, band)""".stripMargin
+
+  // -- q131: incremental WEIGHTED near-dup dedup — the q106 contract on
+  // tf-bag signatures (Dedup.weightedNearDupsAgainstCorpus): recrawled
+  // exact copies collide with the corpus store on every band (J = 1)
+  // and drop; novels get per-doc word suffixes (the ScaleUp
+  // decorrelation trick — the fixture's 31-word vocabulary makes every
+  // UNsuffixed doc a genuine weighted near-dup of every other, which
+  // collapses the batch to one survivor) so their bags are disjoint
+  // and they admit; the in-batch twin of each novel (same suffix)
+  // prunes via candidatesFromSigs + connected components. Oracle
+  // replays the store join and the transitive-closure prune over the
+  // same signature algebra. --
+  private val q131: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val store = graft.operators.Dedup.weightedSignatureStore(d, "text")
+    val novelText = regexp_replace(col("text"), lit("(\\S+)"),
+      concat(lit("$1_"), col("doc_id")))
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 20000).as("doc_id"), novelText.as("text")))
+      .unionByName(d.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 30000).as("doc_id"), novelText.as("text")))
+    graft.operators.Dedup
+      .weightedNearDupsAgainstCorpus(batch, store, "text", "doc_id")
+      .select(col("doc_id"))
+  }
+  private val q131Sql =
+    s"""WITH RECURSIVE batch AS (
+       |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL SELECT doc_id + 20000,
+       |    regexp_replace(text, '(\\S+)', '\\1_' || CAST(doc_id AS VARCHAR), 'g')
+       |    FROM documents WHERE doc_id % 5 = 1
+       |  UNION ALL SELECT doc_id + 30000,
+       |    regexp_replace(text, '(\\S+)', '\\1_' || CAST(doc_id AS VARCHAR), 'g')
+       |    FROM documents WHERE doc_id % 5 = 1),
+       |${dWSigs("documents", "csigs")},
+       |${dWSigs("batch", "bsigs")},
+       |store AS (SELECT DISTINCT band, sig FROM csigs),
+       |hits AS (SELECT DISTINCT b.doc_id FROM bsigs b
+       |         JOIN store s ON s.band = b.band AND s.sig = b.sig),
+       |novel AS (SELECT doc_id FROM batch
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bsigs a JOIN bsigs b
+       |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |          WHERE a.doc_id IN (SELECT doc_id FROM novel)
+       |            AND b.doc_id IN (SELECT doc_id FROM novel)),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |cmembers AS (
+       |  SELECT src AS node, dst AS m FROM reach
+       |  UNION ALL
+       |  SELECT src, src FROM edges),
+       |losers AS (SELECT node AS doc_id FROM (
+       |    SELECT node, min(m) AS cluster FROM cmembers GROUP BY node)
+       |  WHERE node <> cluster)
+       |SELECT doc_id FROM novel
+       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+
   // -- q125: conjunctive PROXIMITY search
   // (SearchStore.proximitySearchFrames) — boolean AND over the
   // positional postings ranked by minimal cover span (shortest token
@@ -851,6 +933,7 @@ object IncrementalOps {
     "q121_phrase_search" -> q121,
     "q122_maxscore_search" -> q122,
     "q125_proximity_search" -> q125,
+    "q131_weighted_incremental" -> q131,
     "q110_upsample" -> q110,
     "q113_shard_manifest" -> q113,
     "q114_pipeline_audit" -> q114,
@@ -873,6 +956,7 @@ object IncrementalOps {
     "q121_phrase_search" -> q121Sql,
     "q122_maxscore_search" -> q122Sql,
     "q125_proximity_search" -> q125Sql,
+    "q131_weighted_incremental" -> q131Sql,
     "q110_upsample" -> q110Sql,
     "q113_shard_manifest" -> q113Sql,
     "q114_pipeline_audit" -> q114Sql,

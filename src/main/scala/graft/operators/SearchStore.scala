@@ -271,6 +271,70 @@ object SearchStore {
                       k: Int): DataFrame =
     proximitySearchFrames(spark.table(s"${name}_postings"), terms, k)
 
+  /** ORDERED proximity ("sloppy phrase") retrieval: documents where the
+    * query terms occur IN ORDER, ranked by the minimal ordered span
+    * (last − first + 1 over one in-order occurrence chain, minimized) —
+    * between exact phrase match (span = |terms|) and unordered
+    * [[proximitySearchFrames]]. Same probe/bucket/heap shape; per doc
+    * the span is the classic one-pass chain sweep over the merged
+    * sorted occurrences: at an occurrence of slot i, the best chain
+    * ending here starts where the best prefix-chain through slot i−1
+    * started (positions arrive in ascending order, so that prefix start
+    * is already the latest viable one); completing slot n−1 closes a
+    * candidate span. Doc-length-bounded state, codegen'd HOFs. */
+  def orderedProximitySearchFrames(postings: DataFrame, terms: Seq[String],
+                                   k: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one term")
+    require(terms.distinct == terms, s"terms must be distinct: $terms")
+    require(k >= 1, s"k must be positive: $k")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val n = terms.length
+    val slots = terms.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("__slot", "token")
+    val probed = postings.filter(col("token").isin(terms: _*))
+    // state: per slot, the best (latest) chain-start position of an
+    // in-order chain covering slots 0..i whose last occurrence is
+    // before the current position; -1 = no such chain yet
+    val startInit = typedlit(Seq.fill(n)(-1))
+    probed.join(broadcast(slots), "token")
+      .select(col("id"), col("__slot"), col("positions"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__nslots"),
+        array_sort(flatten(collect_list(
+          transform(col("positions"),
+            p => struct(p.as("pos"), col("__slot").as("slot"))))))
+          .as("__occ"))
+      .filter(col("__nslots") === n)
+      .select(col("id"),
+        aggregate(col("__occ"),
+          struct(startInit.as("starts"), lit(Int.MaxValue).as("best")),
+          (acc, x) => {
+            val starts = acc.getField("starts")
+            val chainStart = when(x.getField("slot") === 0, x.getField("pos"))
+              .otherwise(element_at(starts, x.getField("slot")))
+            val updated = transform(sequence(lit(0), lit(n - 1)),
+              i => when(i === x.getField("slot"),
+                  greatest(chainStart, element_at(starts, i + 1)))
+                .otherwise(element_at(starts, i + 1)))
+            val best = when(
+                x.getField("slot") === n - 1 && chainStart =!= -1,
+                least(acc.getField("best"), x.getField("pos") - chainStart + 1))
+              .otherwise(acc.getField("best"))
+            struct(updated.as("starts"), best.as("best"))
+          },
+          acc => acc.getField("best"))
+          .cast("long").as("span"))
+      .filter(col("span") =!= Int.MaxValue.toLong)
+      .orderBy(col("span"), col("id"))
+      .limit(k)
+  }
+
+  /** [[orderedProximitySearchFrames]] over the persisted store. */
+  def orderedProximitySearch(spark: SparkSession, name: String,
+                             terms: Seq[String], k: Int): DataFrame =
+    orderedProximitySearchFrames(spark.table(s"${name}_postings"), terms, k)
+
   /** Margin absorbing the 6-dp rounding of per-term weights (≤ 5e-7
     * each) when comparing an UNROUNDED upper bound against a rounded
     * exact score — generous for any realistic term count. */

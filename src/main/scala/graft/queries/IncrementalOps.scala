@@ -898,6 +898,32 @@ object IncrementalOps {
        |SELECT doc_id FROM novel
        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
 
+  // -- q132: ORDERED proximity ("sloppy phrase") search
+  // (SearchStore.orderedProximitySearchFrames) — the query terms must
+  // occur IN ORDER; rank by minimal ordered span. Engine: one-pass
+  // chain sweep per doc (latest-viable-chain-start per slot); oracle:
+  // the same minimum over the in-order occurrence cross product
+  // (p0 < p1 < p2). Integer spans, exact compare. --
+  private val q132: Q = (s, dir) => {
+    graft.operators.SearchStore.orderedProximitySearchFrames(
+        graft.operators.SearchStore.postings(
+          docs(s, dir).select(col("doc_id"), col("text")), "text", "doc_id"),
+        Seq("scan", "join", "hash"), k = 20)
+      .select(col("id").as("doc_id"), col("span"))
+  }
+  private val q132Sql =
+    s"""WITH base AS (SELECT doc_id, $dTok AS tk FROM documents),
+       |tok AS (SELECT doc_id, unnest(tk) AS token,
+       |               generate_subscripts(tk, 1) - 1 AS pos FROM base),
+       |p0 AS (SELECT doc_id, pos FROM tok WHERE token = 'scan'),
+       |p1 AS (SELECT doc_id, pos FROM tok WHERE token = 'join'),
+       |p2 AS (SELECT doc_id, pos FROM tok WHERE token = 'hash'),
+       |spans AS (SELECT p0.doc_id AS doc_id, p2.pos - p0.pos + 1 AS s
+       |  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos > p0.pos
+       |          JOIN p2 ON p2.doc_id = p0.doc_id AND p2.pos > p1.pos)
+       |SELECT doc_id, CAST(min(s) AS BIGINT) AS span
+       |FROM spans GROUP BY 1 ORDER BY span, doc_id LIMIT 20""".stripMargin
+
   // -- q125: conjunctive PROXIMITY search
   // (SearchStore.proximitySearchFrames) — boolean AND over the
   // positional postings ranked by minimal cover span (shortest token
@@ -934,6 +960,7 @@ object IncrementalOps {
     "q122_maxscore_search" -> q122,
     "q125_proximity_search" -> q125,
     "q131_weighted_incremental" -> q131,
+    "q132_ordered_proximity" -> q132,
     "q110_upsample" -> q110,
     "q113_shard_manifest" -> q113,
     "q114_pipeline_audit" -> q114,
@@ -957,6 +984,7 @@ object IncrementalOps {
     "q122_maxscore_search" -> q122Sql,
     "q125_proximity_search" -> q125Sql,
     "q131_weighted_incremental" -> q131Sql,
+    "q132_ordered_proximity" -> q132Sql,
     "q110_upsample" -> q110Sql,
     "q113_shard_manifest" -> q113Sql,
     "q114_pipeline_audit" -> q114Sql,

@@ -179,6 +179,32 @@ class SearchStoreSpec extends SparkSpec {
     }
   }
 
+  test("ordered proximity: in-order chains only, minimal span, chain-start greed") {
+    val df = Seq(
+      (1L, "a x b x c"),        // in order: span 5
+      (2L, "c b a"),            // only reverse order -> excluded
+      (3L, "a b x a x b c"),    // best chain uses SECOND a,b: (3,5,6) -> 4
+      (4L, "a c b c"),          // a<b but no c after b? c@3 > b@2: (0,2,3) -> 4
+      (5L, "b a c")             // a@1 < c@2 but no b after a -> excluded
+    ).toDF("doc_id", "text")
+    val p = SearchStore.postings(df, "text", "doc_id")
+    val got = SearchStore.orderedProximitySearchFrames(p, Seq("a", "b", "c"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 4L), (4L, 4L), (1L, 5L)), got.toString)
+    // unordered proximity admits doc 2; ordered must not
+    val unordered = SearchStore.proximitySearchFrames(p, Seq("a", "b", "c"), k = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(unordered.contains(2L))
+    // single term: ordered == unordered == span 1
+    assert(SearchStore.orderedProximitySearchFrames(p, Seq("c"), k = 10)
+      .as[(Long, Long)].collect().forall(_._2 == 1L))
+    // adjacent in-order == phrase: span equals term count
+    val phrase = Seq((7L, "x a b c y")).toDF("doc_id", "text")
+    assert(SearchStore.orderedProximitySearchFrames(
+        SearchStore.postings(phrase, "text", "doc_id"), Seq("a", "b", "c"), k = 1)
+      .as[(Long, Long)].collect().toSeq == Seq((7L, 3L)))
+  }
+
   test("max-score search == unpruned, prunes the stopword-only majority, falls back sanely") {
     // skewed fixture: 'rare' in 4 docs, 'stop' in all 40 — the WAND shape
     val docs = (1L to 40L).map { i =>

@@ -92,6 +92,36 @@ object Similarity {
     keepTopK(scored, idCol, k, scoreCol = "score")
   }
 
+  /** Recall@k of an approximate top-k against the exact one — the
+    * evaluation loop every ANN deployment runs before trading accuracy
+    * for speed (how much recall does IVF probing / PQ / SQ8 give up?).
+    * Both frames are per-query top-k outputs `(q_id, idCol, ...)`;
+    * recall@k for a query = |approx ∩ exact| / k. Queries the exact
+    * frame ranked but the approx frame missed entirely still appear
+    * (recall 0). Integer intersection counts over k-bounded lists —
+    * exact by construction, no floating-point concerns beyond the
+    * final ratio.
+    *
+    * Shape at 100 TB: the inputs are already k-bounded per query (the
+    * heap outputs of [[cosineTopK]] / [[ivfTopK]] / [[sq8AdcTopK]] /
+    * [[pqAdcTopK]]), so this is a join between two |queries|·k frames —
+    * the corpus-scale work happened upstream; the evaluation itself is
+    * always small. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, idCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"recallAtK: k must be positive: $k")
+    val e = exact.select(col("q_id"), col(idCol).as("__id"))
+    val a = approx.select(col("q_id"), col(idCol).as("__id"))
+    val hits = e.join(a, Seq("q_id", "__id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    e.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall"))
+  }
+
   /** Sign-LSH bucketed near-dup pairs: one shuffle on the bucket key,
     * per-bucket pairing, cosine cut at `minCos`. Approximate — recall
     * loss only across bucket boundaries.

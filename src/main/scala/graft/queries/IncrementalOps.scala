@@ -955,7 +955,83 @@ object IncrementalOps {
        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span
        |FROM spans GROUP BY 1 ORDER BY span, doc_id LIMIT 20""".stripMargin
 
+  // -- q133: HYBRID retrieval via reciprocal-rank fusion
+  // (operators.Hybrid.rrf) — the sparse system (q119's BM25 over the
+  // corpus's top-5 tokens, searchFrames heap) and the dense system
+  // (q30's brute-force cosine for vec_id 0's embedding) each produce a
+  // top-20, and RRF re-ranks their union by sum(1/(60 + rank)). Both
+  // engines rank identical values — BM25 scores are 6-dp rounded inside
+  // searchFrames, cosines are bit-identical strict folds (the q30
+  // contract) — and contributions are exact rationals in double, so the
+  // fused score is bit-identical too. Oracle: both system rankings as
+  // CTEs (the q119 + q30 algebra), FULL JOIN fusion. --
+  private val q133: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val terms = d.select(explode(Text.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(5)
+      .collect().map(_.getString(0)).toSeq
+    val ops = graft.operators.SearchStore
+    val sparse = ops.searchFrames(
+        ops.postings(d, "text", "doc_id"),
+        ops.docLengths(d, "text", "doc_id"), terms, k = 20)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+    val e = Tables.load(s, dir, "embeddings")
+    val dense = graft.operators.Similarity.cosineTopK(
+        e, e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+      .withColumnRenamed("vec_id", "id")
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col("id"))).cast("long"))
+    graft.operators.Hybrid.rrf(Seq(sparse, dense), k0 = 60, k = 20)
+      .select(col("id").as("doc_id"), col("rrf"), col("n_systems"),
+        col("rank"))
+  }
+  private val q133Sql = {
+    def dDot(a: String, b: String): String =
+      s"list_aggregate(list_transform(range(1, len($a) + 1), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')"
+    val dCos = s"${dDot("q_emb", "embedding")} / " +
+      s"(sqrt(${dDot("q_emb", "q_emb")}) * sqrt(${dDot("embedding", "embedding")}))"
+    s"""WITH base AS (SELECT doc_id, $dTok AS tk FROM documents),
+       |tq AS (SELECT unnest(tk) AS t FROM base),
+       |terms AS (SELECT t FROM (SELECT t, count(*) AS c FROM tq GROUP BY 1
+       |          ORDER BY c DESC, t LIMIT 5)),
+       |tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS token
+       |        FROM base),
+       |tf AS (SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf FROM tok
+       |       WHERE token IN (SELECT t FROM terms) GROUP BY 1, 2, 3),
+       |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(avg(len(tk)) AS DOUBLE) AS avgdl FROM base),
+       |w AS (SELECT tf.doc_id,
+       |        round(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1) *
+       |              (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl)),
+       |              6) AS w
+       |      FROM tf JOIN dft USING (token) CROSS JOIN st),
+       |bm AS (SELECT doc_id, round(sum(w), 6) AS score FROM w GROUP BY 1
+       |       ORDER BY score DESC, doc_id LIMIT 20),
+       |bmr AS (SELECT doc_id AS id,
+       |          row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |cs AS (SELECT vec_id, $dCos AS cos FROM q CROSS JOIN embeddings
+       |       WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 20),
+       |der AS (SELECT vec_id AS id,
+       |          row_number() OVER (ORDER BY cos DESC, vec_id) AS r FROM cs),
+       |f AS (SELECT COALESCE(bmr.id, der.id) AS id,
+       |        round(COALESCE(1.0 / (60 + bmr.r), 0.0)
+       |              + COALESCE(1.0 / (60 + der.r), 0.0), 6) AS rrf,
+       |        (CASE WHEN bmr.id IS NULL THEN 0 ELSE 1 END
+       |         + CASE WHEN der.id IS NULL THEN 0 ELSE 1 END)::BIGINT AS n_systems
+       |      FROM bmr FULL JOIN der ON bmr.id = der.id)
+       |SELECT id AS doc_id, rrf, n_systems,
+       |       row_number() OVER (ORDER BY rrf DESC, id) AS rank
+       |FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q133_hybrid_rrf" -> q133,
     "q121_phrase_search" -> q121,
     "q122_maxscore_search" -> q122,
     "q125_proximity_search" -> q125,
@@ -980,6 +1056,7 @@ object IncrementalOps {
     "q108_ingest_pipeline" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q133_hybrid_rrf" -> q133Sql,
     "q121_phrase_search" -> q121Sql,
     "q122_maxscore_search" -> q122Sql,
     "q125_proximity_search" -> q125Sql,

@@ -646,7 +646,55 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
        |  FROM scored) WHERE rn <= 5""".stripMargin
 
+  // -- q134: ANN recall@k evaluation (Similarity.recallAtK) — the
+  // accuracy half of the speed/accuracy trade every quantized index
+  // makes: exact cosine top-10 (q30's brute-force heap) as ground
+  // truth, SQ8 ADC top-10 (q126's int8 codes) as the approximation,
+  // recall@10 = |∩| / 10 per query. Pure integer set intersection over
+  // k-bounded lists — both member lists are themselves oracle-pinned
+  // (q30/q126), so the only new algebra is the count/ratio. --
+  private val q134: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" < 10)
+    val sim = graft.operators.Similarity
+    sim.recallAtK(
+        sim.cosineTopK(e, q, "vec_id", "embedding", k = 10),
+        sim.sq8AdcTopK(e, q, "vec_id", "embedding", k = 10),
+        "vec_id", k = 10)
+  }
+  private val q134Sql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < 10),
+       |ex AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY ${dCos("q_emb", "embedding")} DESC, vec_id) AS rn
+       |    FROM q JOIN embeddings ON q_id <> vec_id) WHERE rn <= 10),
+       |mm AS (
+       |  SELECT vec_id, embedding,
+       |    list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+       |  FROM embeddings),
+       |enc AS (
+       |  SELECT vec_id, m,
+       |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 127.0 / m) AS INT)) AS q8
+       |  FROM mm),
+       |ap AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id, row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY (e.m / 127.0) * ${dDot("e.q8", "q.q_emb")} DESC, e.vec_id) AS rn
+       |    FROM q CROSS JOIN enc e WHERE e.vec_id <> q.q_id) WHERE rn <= 10),
+       |hits AS (
+       |  SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.vec_id = ap.vec_id
+       |  GROUP BY 1)
+       |SELECT q.q_id, COALESCE(hits.n_hits, 0) AS n_hits,
+       |       round(COALESCE(hits.n_hits, 0) / 10.0, 6) AS recall
+       |FROM (SELECT DISTINCT q_id FROM q) q
+       |LEFT JOIN hits ON q.q_id = hits.q_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q134_ann_recall" -> q134,
     "q111_prototypicality" -> q111,
     "q30_cosine_topk" -> q30,
     "q31_lsh_buckets" -> q31,
@@ -667,6 +715,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q134_ann_recall" -> q134Sql,
     "q30_cosine_topk" -> q30Sql,
     "q31_lsh_buckets" -> q31Sql,
     "q32_embed_neardup" -> q32Sql,

@@ -23,4 +23,34 @@ object Quality {
         size(array_distinct(col("__tk"))).cast("double") / size(col("__tk")))
       .where(col("n_tokens") >= minTokens && col("__ttr") >= minTtr)
       .drop("__tk", "__ttr")
+
+  /** Quantile bucketing of a per-document score — the CCNet shape
+    * (Wenzek et al. 2020): language-model score the corpus, cut it into
+    * equal-mass quality buckets, then mix/filter by bucket. Adds a
+    * `bucket` column in [1, nBuckets] (1 = lowest scores); a null score
+    * keeps a null bucket (no evidence — same policy as the null
+    * [[LangModel.bigramLogProb]] score it usually wraps).
+    *
+    * Scale shape: NOT a global ntile (a single-partition window over
+    * the corpus). Thresholds are the exact (nBuckets−1) interior
+    * quantiles via [[Percentiles.quantileCont]] — one distributed
+    * spill-safe sort, driver state = nBuckets−1 doubles — and the
+    * assignment is a narrow codegen'd comparison fold, so the corpus
+    * itself never funnels through one task. Equal-valued scores land in
+    * the same bucket (score == threshold stays below it), so bucket
+    * masses are equal only up to ties — the threshold contract, not
+    * ntile's forced-equal-counts contract. */
+  def scoreBuckets(df: DataFrame, scoreCol: String,
+                   nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"scoreBuckets: need >= 2 buckets: $nBuckets")
+    val ps = (1 until nBuckets).map(i => (s"__p$i", i.toDouble / nBuckets))
+    val rows = Percentiles.quantileCont(
+      df.withColumn("__g", lit(1)), Seq("__g"), scoreCol, ps).collect()
+    require(rows.nonEmpty && !rows(0).isNullAt(1),
+      s"scoreBuckets: no non-null '$scoreCol' values to bucket")
+    val thresholds = ps.indices.map(i => rows(0).getDouble(i + 1))
+    val b = thresholds
+      .map(t => (col(scoreCol) > lit(t)).cast("int")).reduceLeft(_ + _)
+    df.withColumn("bucket", (b + 1).cast("long"))
+  }
 }

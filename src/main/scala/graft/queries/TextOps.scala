@@ -1509,7 +1509,64 @@ object TextOps {
        |SELECT doc_id, n_chars FROM documents
        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
 
+  // -- q135: perplexity-bucket partitioning (Quality.scoreBuckets over
+  // LangModel.bigramLogProb) — the CCNet recipe: LM-score every doc,
+  // cut the corpus into 10 equal-mass quality deciles by EXACT interior
+  // quantile thresholds (Percentiles.quantileCont — a distributed sort,
+  // not a global ntile), and report per-bucket mass. Ties sit below
+  // their threshold, so bucket masses are equal only up to ties — the
+  // threshold contract, replayed identically in SQL. Scores are the
+  // 6-dp-rounded q87 values, so thresholds (interpolated between two
+  // identical doubles) and assignments are bit-identical. --
+  private val q135: Q = (s, dir) => {
+    val scored = graft.operators.LangModel
+      .bigramLogProb(docs(s, dir), "text", "doc_id")
+      .filter(col("n_bigrams") > 0)
+    graft.operators.Quality.scoreBuckets(scored, "avg_lp", nBuckets = 10)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        round(min(col("avg_lp")), 6).as("min_lp"),
+        round(max(col("avg_lp")), 6).as("max_lp"),
+        // ordered fold, not avg(): a bare mean sums in partition order
+        // and the sf0.01 bucket 2 lands EXACTLY on a 6-dp rounding
+        // boundary (measured: ...0425 vs ...0435 across sum orders)
+        round(aggregate(
+          array_sort(collect_list(struct(col("doc_id"), col("avg_lp")))),
+          lit(0.0), (acc, s) => acc + s.getField("avg_lp"))
+          / count(lit(1)), 6).as("mean_lp"))
+  }
+  private val q135Sql = {
+    val tk = dTok
+    s"""WITH toks AS (SELECT doc_id, unnest($tk) AS t FROM documents),
+       |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY 1),
+       |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+       |bis AS (SELECT doc_id, unnest(${dShingles(tk, 2)}) AS bg FROM documents),
+       |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bis GROUP BY 1),
+       |lm AS (
+       |  SELECT bi.bg, ln(CAST(bi.c2 + 1 AS DOUBLE) / (uni.c1 + voc.v)) AS lp
+       |  FROM bi JOIN uni ON split_part(bi.bg, ' ', 1) = uni.t CROSS JOIN voc),
+       |sc AS (
+       |  SELECT bis.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    round(avg(lm.lp), 6) AS avg_lp
+       |  FROM bis JOIN lm USING (bg) GROUP BY 1),
+       |th AS (SELECT quantile_cont(avg_lp,
+       |         [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ts FROM sc),
+       |bk AS (
+       |  SELECT sc.*,
+       |    1 + len(list_filter(th.ts, t -> sc.avg_lp > t)) AS bucket
+       |  FROM sc CROSS JOIN th)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       |  round(min(avg_lp), 6) AS min_lp, round(max(avg_lp), 6) AS max_lp,
+       |  round(list_aggregate(list(avg_lp ORDER BY doc_id), 'sum')
+       |        / count(*), 6) AS mean_lp
+       |FROM bk GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q135_perplexity_buckets" -> q135,
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
     "q22_neardup_pairs" -> q22,
@@ -1558,6 +1615,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q135_perplexity_buckets" -> q135Sql,
     "q20_exact_dedup" -> q20Sql,
     "q21_minhash_sigs" -> q21Sql,
     "q22_neardup_pairs" -> q22Sql,

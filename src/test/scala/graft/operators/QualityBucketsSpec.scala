@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QualityBucketsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scoreBuckets assigns threshold buckets, lowest scores to bucket 1") {
+    // scores 1..10 into 5 buckets: thresholds at p=.2,.4,.6,.8 of (n-1)
+    // interpolation over 1..10 are 2.8, 4.6, 6.4, 8.2 -> buckets of 2
+    val df = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val out = Quality.scoreBuckets(df, "score", nBuckets = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L,
+      6L -> 3L, 7L -> 4L, 8L -> 4L, 9L -> 5L, 10L -> 5L))
+  }
+
+  test("ties land in one bucket (threshold contract, not ntile's)") {
+    // nine equal scores + one higher: every tie compares equal to every
+    // interior threshold it doesn't exceed, so all nine share bucket 1
+    val df = (1 to 10).map(i => (i.toLong, if (i == 10) 2.0 else 1.0))
+      .toDF("id", "score")
+    val out = Quality.scoreBuckets(df, "score", nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1 to 9).forall(i => out(i.toLong) == 1L))
+    assert(out(10L) == 2L)
+  }
+
+  test("null scores keep a null bucket; all-null input fails fast") {
+    val df = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "score")
+    val out = Quality.scoreBuckets(df, "score", nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out(2L).isEmpty)
+    assert(out(1L).contains(1L) && out(3L).contains(2L))
+
+    val allNull = Seq((1L, Option.empty[Double])).toDF("id", "score")
+    val e = intercept[IllegalArgumentException](
+      Quality.scoreBuckets(allNull, "score"))
+    assert(e.getMessage.contains("no non-null"))
+  }
+
+  test("bucket masses are equal on distinct uniform scores (10 buckets)") {
+    val df = (1 to 200).map(i => (i.toLong, i * 0.5)).toDF("id", "score")
+    val sizes = Quality.scoreBuckets(df, "score", nBuckets = 10)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == (1 to 10).map(b => b.toLong -> 20L).toMap)
+  }
+}

@@ -61,6 +61,48 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** SEGMENT-level exact dedup with document reassembly — the C4/Gopher
+    * intra-corpus boilerplate remover: every document splits into
+    * fixed-size token segments ([[Chunk.split]], overlap 0), a segment
+    * seen anywhere before (earlier document, or earlier in the SAME
+    * document) is dropped, and each document is rebuilt from its
+    * surviving segments in order. "First occurrence" is the global
+    * (idCol, segment index) minimum — deterministic, rerun-stable.
+    * Output: (idCol, n_segs, n_kept, textCol) — token-less documents
+    * keep (0, 0, "").
+    *
+    * Shape at 100 TB: the winner election shuffles md5 keys (16 bytes
+    * per segment, never the text) into a partially-aggregated
+    * groupBy-min; the segment stream then joins that winner table on
+    * the same key and reassembles with one groupBy(id) whose state is
+    * document-bounded. No window over the corpus, no driver state. */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+                   segTokens: Int = 10): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be positive: $segTokens")
+    val segs = Chunk.split(df.select(col(idCol), col(textCol)), textCol,
+        chunkTokens = segTokens, overlap = 0)
+      .select(col(idCol).as("__id"), col("chunk_idx"), col("chunk_text"),
+        md5(col("chunk_text")).as("__k"))
+    val winners = segs.groupBy(col("__k"))
+      .agg(min(struct(col("__id"), col("chunk_idx"))).as("__w"))
+    val rebuilt = segs.join(winners, Seq("__k"))
+      .withColumn("__keep", col("__id") === col("__w.__id") &&
+        col("chunk_idx") === col("__w.chunk_idx"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("__keep").cast("long")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("__text"))
+    df.select(col(idCol))
+      .join(rebuilt, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   /** The fingerprint STORE of a shipped corpus — the distinct normalized
     * -text fingerprints, the only thing incremental dedup ever needs to
     * remember about old data (32-byte hex per distinct document, not the

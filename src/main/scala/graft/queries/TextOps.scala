@@ -1565,7 +1565,42 @@ object TextOps {
        |FROM bk GROUP BY 1""".stripMargin
   }
 
+  // -- q136: segment-level dedup with reassembly (Dedup.segmentDedup)
+  // — the C4/Gopher boilerplate remover: 10-token segments, a segment
+  // seen anywhere earlier (global (doc_id, idx) minimum) is dropped,
+  // documents rebuilt from the survivors in order. Oracle: the q75
+  // chunk-slice algebra + a row_number winner per md5(segment) + a
+  // FILTERed ordered list rebuild. --
+  private val q136: Q = (s, dir) =>
+    graft.operators.Dedup.segmentDedup(
+      docs(s, dir).select(col("doc_id"), col("text")),
+      "text", "doc_id", segTokens = 10)
+  private val q136Sql = {
+    val tk = dTok
+    s"""WITH t AS (SELECT doc_id, $tk AS tk FROM documents),
+       |idx AS (
+       |  SELECT doc_id, tk, unnest(range(0, ((len(tk) - 1) // 10) + 1)) AS i
+       |  FROM t WHERE len(tk) > 0),
+       |segs AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS ci,
+       |    array_to_string(list_slice(tk, i * 10 + 1, i * 10 + 10), ' ') AS seg
+       |  FROM idx),
+       |mk AS (
+       |  SELECT doc_id, ci, seg,
+       |    row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, ci) AS rn
+       |  FROM segs),
+       |reb AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+       |    CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       |    array_to_string(list(seg ORDER BY ci) FILTER (WHERE rn = 1), ' ') AS text
+       |  FROM mk GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(reb.n_segs, 0) AS n_segs,
+       |  COALESCE(reb.n_kept, 0) AS n_kept, COALESCE(reb.text, '') AS text
+       |FROM documents d LEFT JOIN reb USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q136_segment_dedup" -> q136,
     "q135_perplexity_buckets" -> q135,
     "q20_exact_dedup" -> q20,
     "q21_minhash_sigs" -> q21,
@@ -1615,6 +1650,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q136_segment_dedup" -> q136Sql,
     "q135_perplexity_buckets" -> q135Sql,
     "q20_exact_dedup" -> q20Sql,
     "q21_minhash_sigs" -> q21Sql,

@@ -693,7 +693,66 @@ object VectorOps {
        |FROM (SELECT DISTINCT q_id FROM q) q
        |LEFT JOIN hits ON q.q_id = hits.q_id""".stripMargin
 
+  // -- q137: in-engine PCA TRAINING + projection (operators.Pca) — 3
+  // power-iteration rounds over the centered corpus (covariance never
+  // materializes; each round is one narrow scoring pass + one dim-keyed
+  // aggregate), then the corpus projected onto the learned component.
+  // Reproducibility is the q120 recipe: per-row dots fold dims
+  // ascending, per-dim sums fold rows by vec_id (ordered folds), the
+  // norm folds squares in dim order — so the oracle, which unrolls the
+  // identical three rounds as CTEs (v0 = 1/√64 = 0.125 exactly), walks
+  // a bit-identical v trajectory, and projections x·v − mean·v are
+  // bit-identical before the shared 6-dp round. --
+  private val q137: Q = (s, dir) => {
+    val e = emb(s, dir)
+    val pca = graft.operators.Pca
+    pca.project(e, "embedding", "vec_id",
+      pca.topComponent(e, "embedding", "vec_id", iterations = 3))
+  }
+  private val q137Sql = {
+    def iter(k: Int): String = {
+      val pv = s"v${k - 1}"
+      s"""c$k AS (SELECT cent.vec_id,
+         |  list_aggregate(list_transform(range(1, 65), j -> cent.x[j] * $pv.v[j]), 'sum') AS c
+         |  FROM cent CROSS JOIN $pv),
+         |u$k AS (SELECT p.j,
+         |  list_aggregate(list(c$k.c * p.xv ORDER BY p.vec_id), 'sum') AS u
+         |  FROM (SELECT vec_id, j, x[j] AS xv FROM cent CROSS JOIN js) p
+         |  JOIN c$k USING (vec_id) GROUP BY p.j),
+         |n$k AS (SELECT list(u ORDER BY j) AS u,
+         |  sqrt(list_aggregate(list_transform(list(u ORDER BY j), y -> y * y), 'sum')) AS nm
+         |  FROM u$k),
+         |v$k AS (SELECT list_transform(u, y -> y / nm) AS v FROM n$k)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |js AS (SELECT unnest(range(1, 65)) AS j),
+       |pos AS (SELECT vec_id, j, x[j] AS v FROM e CROSS JOIN js),
+       |mean AS (SELECT j,
+       |  list_aggregate(list(v ORDER BY vec_id), 'sum') / (SELECT n FROM nn) AS m
+       |  FROM pos GROUP BY j),
+       |ml AS (SELECT list(m ORDER BY j) AS m FROM mean),
+       |cent AS (SELECT e.vec_id,
+       |  list_transform(range(1, 65), j -> e.x[j] - ml.m[j]) AS x
+       |  FROM e CROSS JOIN ml),
+       |v0 AS (SELECT list_transform(range(1, 65), j -> CAST(0.125 AS DOUBLE)) AS v),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |vf AS (SELECT CASE WHEN v[1] < 0 THEN list_transform(v, y -> -y)
+       |              ELSE v END AS v FROM v3),
+       |c0 AS (SELECT
+       |  list_aggregate(list_transform(range(1, 65), j -> ml.m[j] * vf.v[j]), 'sum') AS c0
+       |  FROM ml CROSS JOIN vf)
+       |SELECT e.vec_id, round(
+       |  list_aggregate(list_transform(range(1, 65), j -> e.x[j] * vf.v[j]), 'sum')
+       |  - c0.c0, 6) AS proj
+       |FROM e CROSS JOIN vf CROSS JOIN c0""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q137_pca_project" -> q137,
     "q134_ann_recall" -> q134,
     "q111_prototypicality" -> q111,
     "q30_cosine_topk" -> q30,
@@ -715,6 +774,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q137_pca_project" -> q137Sql,
     "q134_ann_recall" -> q134Sql,
     "q30_cosine_topk" -> q30Sql,
     "q31_lsh_buckets" -> q31Sql,

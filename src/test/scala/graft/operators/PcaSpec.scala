@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  // points spread along (0.6, 0.8) with small orthogonal jitter: the
+  // top component must recover that direction
+  private def fixture = (1 to 40).map { i =>
+    val t = (i - 20.5) // dominant coordinate
+    val o = ((i % 5) - 2) * 0.01 // orthogonal jitter
+    (i.toLong, Seq(0.6 * t - 0.8 * o, 0.8 * t + 0.6 * o))
+  }.toDF("id", "emb")
+
+  test("topComponent recovers the dominant direction, sign-fixed") {
+    val m = Pca.topComponent(fixture, "emb", "id", iterations = 5)
+    val cos = m.component.zip(Seq(0.6, 0.8)).map(p => p._1 * p._2).sum
+    assert(math.abs(cos) > 0.9999, s"component ${m.component} not aligned")
+    assert(m.component.head >= 0, "sign convention: first coordinate >= 0")
+    // mean of 1..40 centered at 20.5 => t-mean = 0 => mean ~ (0, 0)
+    assert(m.mean.forall(x => math.abs(x) < 1e-9), s"mean ${m.mean}")
+  }
+
+  test("training is deterministic: two runs give identical bits") {
+    val a = Pca.topComponent(fixture, "emb", "id", iterations = 3)
+    val b = Pca.topComponent(fixture, "emb", "id", iterations = 3)
+    assert(a == b)
+  }
+
+  test("projection is the centered dot; projecting the mean gives zero") {
+    val m = Pca.topComponent(fixture, "emb", "id", iterations = 5)
+    val withMean = fixture
+      .union(Seq((999L, m.mean)).toDF("id", "emb"))
+    val proj = Pca.project(withMean, "emb", "id", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(proj(999L) == 0.0)
+    // the two extreme points project to opposite ends
+    assert(proj(1L) * proj(40L) < 0)
+    assert(math.abs(proj(1L)) > 10)
+  }
+
+  test("fail-fast on ragged, empty, and all-null input") {
+    val ragged = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0))).toDF("id", "emb")
+    assert(intercept[IllegalArgumentException](
+      Pca.topComponent(ragged, "emb", "id")).getMessage.contains("equal length"))
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "emb")
+    assert(intercept[IllegalArgumentException](
+      Pca.topComponent(empty, "emb", "id")).getMessage.contains("empty"))
+    val nul = Seq((1L, Option.empty[Seq[Double]])).toDF("id", "emb")
+    assert(intercept[IllegalArgumentException](
+      Pca.topComponent(nul, "emb", "id")).getMessage.contains("non-null"))
+  }
+
+  test("zero-variance corpus fails fast instead of dividing by zero") {
+    val flat = (1 to 5).map(i => (i.toLong, Seq(1.0, 2.0))).toDF("id", "emb")
+    assert(intercept[IllegalArgumentException](
+      Pca.topComponent(flat, "emb", "id")).getMessage.contains("degenerate"))
+  }
+}

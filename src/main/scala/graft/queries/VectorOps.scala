@@ -709,7 +709,11 @@ object VectorOps {
     pca.project(e, "embedding", "vec_id",
       pca.topComponent(e, "embedding", "vec_id", iterations = 3))
   }
-  private val q137Sql = {
+  /** The q137 PCA training replay (mean → centered → 3 power-iteration
+    * rounds → sign-fixed component + mean·v constant) as a CTE block,
+    * shared by q137 (projection) and q138 (stratified sampling over the
+    * projection). */
+  private val pcaCtes: String = {
     def iter(k: Int): String = {
       val pv = s"v${k - 1}"
       s"""c$k AS (SELECT cent.vec_id,
@@ -724,7 +728,7 @@ object VectorOps {
          |  FROM u$k),
          |v$k AS (SELECT list_transform(u, y -> y / nm) AS v FROM n$k)""".stripMargin
     }
-    s"""WITH e AS (SELECT vec_id,
+    s"""e AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x FROM embeddings),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
        |js AS (SELECT unnest(range(1, 65)) AS j),
@@ -744,14 +748,52 @@ object VectorOps {
        |              ELSE v END AS v FROM v3),
        |c0 AS (SELECT
        |  list_aggregate(list_transform(range(1, 65), j -> ml.m[j] * vf.v[j]), 'sum') AS c0
-       |  FROM ml CROSS JOIN vf)
-       |SELECT e.vec_id, round(
+       |  FROM ml CROSS JOIN vf),
+       |pr AS (SELECT e.vec_id, round(
        |  list_aggregate(list_transform(range(1, 65), j -> e.x[j] * vf.v[j]), 'sum')
        |  - c0.c0, 6) AS proj
-       |FROM e CROSS JOIN vf CROSS JOIN c0""".stripMargin
+       |  FROM e CROSS JOIN vf CROSS JOIN c0)""".stripMargin
   }
+  private val q137Sql =
+    s"""WITH $pcaCtes
+       |SELECT vec_id, proj FROM pr""".stripMargin
+
+  // -- q138: embedding-stratified corpus sampling — three operators
+  // composed end-to-end: Pca.project (q137's 1-D embedding coordinate),
+  // Quality.scoreBuckets (8 equal-mass strata by exact quantile
+  // thresholds — q135's machinery on a vector signal), and
+  // Sample.bottomK (5 deterministic md5 draws per stratum, the q94
+  // heap). The "diverse eval slice" every embedding corpus needs:
+  // uniform over embedding space, not over row order. Projections are
+  // 6-dp rounded (bit-identical, q137), thresholds are interpolations
+  // of identical doubles, draws are md5 arithmetic — all exact. --
+  private val q138: Q = (s, dir) => {
+    val e = emb(s, dir)
+    val pca = graft.operators.Pca
+    val proj = pca.project(e, "embedding", "vec_id",
+      pca.topComponent(e, "embedding", "vec_id", iterations = 3))
+    graft.operators.Sample.bottomK(
+      graft.operators.Quality.scoreBuckets(proj, "proj", nBuckets = 8),
+      Seq("bucket"), "vec_id", k = 5, salt = "strat")
+  }
+  private val q138Sql =
+    s"""WITH $pcaCtes,
+       |th AS (SELECT quantile_cont(proj,
+       |         [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS ts FROM pr),
+       |bk AS (SELECT pr.vec_id,
+       |         1 + len(list_filter(th.ts, t -> pr.proj > t)) AS bucket
+       |       FROM pr CROSS JOIN th),
+       |h AS (SELECT bucket, vec_id,
+       |        TRY_CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':strat'), 1, 8)
+       |          AS BIGINT) AS hv
+       |      FROM bk)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, vec_id FROM (
+       |  SELECT bucket, vec_id,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY hv, vec_id) AS rn
+       |  FROM h) WHERE rn <= 5""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q138_stratified_sample" -> q138,
     "q137_pca_project" -> q137,
     "q134_ann_recall" -> q134,
     "q111_prototypicality" -> q111,
@@ -774,6 +816,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q138_stratified_sample" -> q138Sql,
     "q137_pca_project" -> q137Sql,
     "q134_ann_recall" -> q134Sql,
     "q30_cosine_topk" -> q30Sql,

@@ -162,6 +162,57 @@ object Decontam {
     * posture. Benchmark smallness is a CONTRACT (eval sets are
     * megabytes); a benchmark too big to broadcast belongs in
     * [[Dedup.nearDupCandidates]] over the union instead. */
+  /** SEMANTIC decontamination — the embedding-space member of the
+    * family: a corpus row is contaminated when its embedding's cosine
+    * against ANY benchmark embedding exceeds `tau` (paraphrases and
+    * translations that n-gram overlap — [[overlapStats]] — and MinHash
+    * — [[nearDupOverlap]] — both miss). Output: corpus `idCol`,
+    * `max_cos` (6-dp, the nearest-benchmark evidence), `contaminated`.
+    *
+    * Scale shape (the overlapStats contract in vector space, same two
+    * branches): under `literalLimit` total benchmark values, the
+    * benchmark rides the expression tree as a plan literal and the
+    * per-row check is one narrow fold — ZERO shuffles, zero joins, the
+    * corpus never moves. Above it, a broadcast nested-loop + one
+    * map-side-combined (id, max) aggregate — the corpus still never
+    * shuffles its width. The reduction is a MAX, which is exactly
+    * order-independent (unlike a sum), so both branches and both
+    * engines agree bit-for-bit. An empty benchmark yields null
+    * `max_cos`/`contaminated` (no evidence — the caller decides the
+    * policy). A benchmark at corpus scale wants the LSH-bucketed
+    * [[SemDedup]] machinery instead — this is the eval-gate form. */
+  def semanticOverlap(corpus: DataFrame, benchmark: DataFrame,
+                      idCol: String, embCol: String, tau: Double = 0.95,
+                      literalLimit: Int = LiteralGramLimit): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    import graft.functions.Vectors
+    val bench = benchmark.select(col(embCol).cast("array<double>").as("__b"))
+    val nVals = bench.agg(coalesce(sum(size(col("__b"))), lit(0L)))
+      .head().getLong(0)
+    val mc: Column =
+      if (nVals == 0) lit(null).cast("double")
+      else if (nVals <= literalLimit) {
+        val bvecs: Seq[Seq[Double]] =
+          bench.collect().map(_.getSeq[Double](0).toSeq).toSeq
+        aggregate(typedlit(bvecs), lit(Double.NegativeInfinity),
+          (acc, bv) => greatest(acc, Vectors.cosine(col(embCol), bv)))
+      } else null // broadcast branch below
+    if (mc != null)
+      corpus.select(col(idCol), round(mc, 6).as("max_cos"),
+        (mc > tau).as("contaminated"))
+    else {
+      val b = benchmark.select(col(embCol).as("__bemb"))
+      corpus.select(col(idCol), col(embCol))
+        .join(broadcast(b), lit(true), "left")
+        .select(col(idCol),
+          Vectors.cosine(col(embCol), col("__bemb")).as("__cos"))
+        .groupBy(col(idCol))
+        .agg(max(col("__cos")).as("__mc"))
+        .select(col(idCol), round(col("__mc"), 6).as("max_cos"),
+          (col("__mc") > tau).as("contaminated"))
+    }
+  }
+
   def nearDupOverlap(corpus: DataFrame, benchmark: DataFrame,
                      textCol: String, idCol: String,
                      shingle: Int = 5, bands: Int = 4,

@@ -792,7 +792,32 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY bucket ORDER BY hv, vec_id) AS rn
        |  FROM h) WHERE rn <= 5""".stripMargin
 
+  // -- q139: SEMANTIC decontamination (Decontam.semanticOverlap) — the
+  // embedding-space member of the decontam family (q69 n-grams, q102
+  // MinHash, q118 id-space): corpus rows (vec_id % 10 != 0) are flagged
+  // when their max cosine against any benchmark embedding (vec_id % 10
+  // == 0, the held-out slice) exceeds tau = 0.9 — the paraphrase leak
+  // the lexical checks miss. Literal branch at this size: the benchmark
+  // rides the plan, zero shuffles. Max is order-independent and cosines
+  // are bit-identical strict folds, so parity needs no ordered-fold
+  // machinery. Oracle: cross join + max + threshold. --
+  private val q139: Q = (s, dir) => {
+    val e = emb(s, dir)
+    graft.operators.Decontam.semanticOverlap(
+      e.filter(col("vec_id") % 10 =!= 0),
+      e.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", tau = 0.9)
+  }
+  private val q139Sql =
+    s"""WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+       |b AS (SELECT embedding AS bemb FROM embeddings WHERE vec_id % 10 = 0),
+       |sc AS (SELECT c.vec_id, max(${dCos("c.embedding", "b.bemb")}) AS mc
+       |       FROM c CROSS JOIN b GROUP BY 1)
+       |SELECT vec_id, round(mc, 6) AS max_cos, mc > 0.9 AS contaminated
+       |FROM sc""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q139_semantic_decontam" -> q139,
     "q138_stratified_sample" -> q138,
     "q137_pca_project" -> q137,
     "q134_ann_recall" -> q134,
@@ -816,6 +841,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q139_semantic_decontam" -> q139Sql,
     "q138_stratified_sample" -> q138Sql,
     "q137_pca_project" -> q137Sql,
     "q134_ann_recall" -> q134Sql,

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SemanticDecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, Seq(1.0, 0.0)),  // identical to benchmark vector
+    (2L, Seq(0.0, 1.0)),  // orthogonal to it, aligned with the other
+    (3L, Seq(1.0, 1.0)))  // 45 degrees from both
+    .toDF("id", "emb")
+  private val bench = Seq(
+    (10L, Seq(1.0, 0.0)), (11L, Seq(0.0, -1.0)))
+    .toDF("id", "emb")
+
+  test("flags rows whose max benchmark cosine clears tau") {
+    val out = Decontam.semanticOverlap(corpus, bench, "id", "emb", tau = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    assert(out(1L) == ((1.0, true)))
+    assert(out(2L) == ((0.0, false))) // best is cos((0,1),(1,0)) = 0
+    val c3 = out(3L)
+    assert(math.abs(c3._1 - math.sqrt(0.5)) < 1e-6 && !c3._2)
+  }
+
+  test("literal and broadcast branches agree bit-for-bit") {
+    val lit = Decontam.semanticOverlap(corpus, bench, "id", "emb", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val bc = Decontam.semanticOverlap(corpus, bench, "id", "emb", tau = 0.5,
+        literalLimit = 1) // forces the broadcast-join branch
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(lit == bc)
+  }
+
+  test("empty benchmark yields null evidence, not dropped rows") {
+    val out = Decontam.semanticOverlap(corpus,
+        bench.filter($"id" < 0), "id", "emb")
+      .collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+  }
+}

@@ -52,6 +52,15 @@ class PcaSpec extends SparkSpec {
       Pca.topComponent(nul, "emb", "id")).getMessage.contains("non-null"))
   }
 
+  test("project is fully narrow: zero exchanges in the plan") {
+    val m = Pca.topComponent(fixture, "emb", "id", iterations = 2)
+    val p = Pca.project(fixture, "emb", "id", m)
+    val exchanges = collectPlan(p.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "PCA projection must not shuffle")
+  }
+
   test("zero-variance corpus fails fast instead of dividing by zero") {
     val flat = (1 to 5).map(i => (i.toLong, Seq(1.0, 2.0))).toDF("id", "emb")
     assert(intercept[IllegalArgumentException](

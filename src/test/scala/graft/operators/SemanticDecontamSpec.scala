@@ -33,6 +33,14 @@ class SemanticDecontamSpec extends SparkSpec {
     assert(lit == bc)
   }
 
+  test("literal branch is fully narrow: zero exchanges in the plan") {
+    val p = Decontam.semanticOverlap(corpus, bench, "id", "emb")
+    val exchanges = collectPlan(p.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, "literal-branch decontam must not shuffle")
+  }
+
   test("empty benchmark yields null evidence, not dropped rows") {
     val out = Decontam.semanticOverlap(corpus,
         bench.filter($"id" < 0), "id", "emb")

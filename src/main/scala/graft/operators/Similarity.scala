@@ -63,12 +63,18 @@ object Similarity {
     * `x_i ≈ q8_i · m / 127`. Narrow, codegen'd, deterministic (trunc,
     * not round — the engine-portable cast). */
   def sq8Encode(corpus: DataFrame, idCol: String, embCol: String): DataFrame =
+    sq8EncodeAll(corpus, embCol).select(col(idCol), col("m"), col("q8"))
+
+  /** [[sq8Encode]] keeping EVERY input column (`m` / `q8` appended) —
+    * the composition form [[ivfSq8TopK]] needs so the IVF list
+    * assignment survives the encode (the [[ivfAssignAll]] motif). */
+  def sq8EncodeAll(corpus: DataFrame, embCol: String): DataFrame =
     corpus
-      .select(col(idCol), col(embCol),
-        array_max(transform(col(embCol), x => abs(x.cast("double")))).as("m"))
-      .select(col(idCol), col("m"),
+      .withColumn("m",
+        array_max(transform(col(embCol), x => abs(x.cast("double")))))
+      .withColumn("q8",
         transform(col(embCol),
-          x => (x.cast("double") * 127.0 / col("m")).cast("int")).as("q8"))
+          x => (x.cast("double") * 127.0 / col("m")).cast("int")))
 
   /** Brute-force top-k over an SQ8-quantized corpus, ADC-style: the
     * query stays float and each code list is scored asymmetrically —
@@ -374,9 +380,24 @@ object Similarity {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val assigned = withNearest(corpus.select(col(idCol), col(embCol)),
       centroids, embCol, centroidIdCol).drop("__cos")
+    val probes = probeSet(queries, centroids, idCol, embCol, centroidIdCol, nProbe)
+    val scored = broadcast(probes).join(assigned, Seq("__list"))
+      .filter(col("q_id") =!= col(idCol))
+      .select(col("q_id"), col(idCol),
+        Vectors.cosine(col("__q_emb"), col(embCol)).as("cos"))
+    keepTopK(scored, idCol, k)
+  }
+
+  /** The coarse probe every IVF variant shares: (q_id, __q_emb, __list)
+    * — each query's `nProbe` nearest inverted lists by centroid cosine
+    * (ties to the smaller list id). |queries| × |centroids| work over a
+    * broadcast centroid table, output |queries| × nProbe rows. */
+  private def probeSet(queries: DataFrame, centroids: DataFrame,
+                       idCol: String, embCol: String, centroidIdCol: String,
+                       nProbe: Int): DataFrame = {
     val c = centroids.select(col(centroidIdCol).as("__list"), col(embCol).as("__c_emb"))
     val wq = Window.partitionBy(col("q_id")).orderBy(col("__q_cos").desc, col("__list").asc)
-    val probes = queries
+    queries
       .select(col(idCol).as("q_id"), col(embCol).as("__q_emb"))
       .join(broadcast(c))
       .select(col("q_id"), col("__q_emb"), col("__list"),
@@ -384,11 +405,35 @@ object Similarity {
       .withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nProbe)
       .select(col("q_id"), col("__q_emb"), col("__list"))
-    val scored = broadcast(probes).join(assigned, Seq("__list"))
+  }
+
+  /** IVF-routed SQ8 search — [[ivfTopK]]'s coarse probe composed with
+    * [[sq8AdcTopK]]'s int8 ADC ranking, completing the routing ×
+    * compression matrix (IVF×raw = [[ivfTopK]], IVF×PQ = [[ivfPqTopK]]):
+    * each query ranks only its `nProbe` lists' members, by
+    * `m/127 · Σ q8·q` over int8 codes — a quarter of the corpus bytes,
+    * never reconstructing a vector.
+    *
+    * Scale posture: corpus-side work is two narrow passes (assignment
+    * fold + encode) with zero corpus shuffles; the probe set broadcasts;
+    * the one real shuffle is the final per-query top-k, trimmed to ≤ k
+    * map-side by the heap aggregate. Recall loss = unprobed lists +
+    * quantization — the standard IVF-SQ trade. */
+  def ivfSq8TopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame,
+                 idCol: String, embCol: String, centroidIdCol: String,
+                 k: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val assigned = withNearest(corpus.select(col(idCol), col(embCol)),
+      centroids, embCol, centroidIdCol).drop("__cos")
+    val enc = sq8EncodeAll(assigned, embCol)
+      .select(col(idCol), col("__list"), col("m"), col("q8"))
+    val probes = probeSet(queries, centroids, idCol, embCol, centroidIdCol, nProbe)
+    val scored = broadcast(probes).join(enc, Seq("__list"))
       .filter(col("q_id") =!= col(idCol))
       .select(col("q_id"), col(idCol),
-        Vectors.cosine(col("__q_emb"), col(embCol)).as("cos"))
-    keepTopK(scored, idCol, k)
+        ((col("m") / 127.0) * Vectors.dot(col("q8").cast("array<double>"),
+          col("__q_emb"))).as("score"))
+    keepTopK(scored, idCol, k, scoreCol = "score")
   }
 
   /** The complete IVF-PQ index search — [[ivfTopK]]'s coarse probe

@@ -816,7 +816,56 @@ object VectorOps {
        |SELECT vec_id, round(mc, 6) AS max_cos, mc > 0.9 AS contaminated
        |FROM sc""".stripMargin
 
+  // -- q140: IVF-routed SQ8 search (Similarity.ivfSq8TopK) — the last
+  // cell of the routing × compression matrix (q59 = IVF×raw, q93 =
+  // IVF×PQ, q126 = flat×SQ8): coarse-probe 4 of 16 lists, rank only
+  // their members by int8 ADC score. Oracle: the q59 assignment/probe
+  // CTEs + the q126 trunc-cast scoring — both already pinned. --
+  private val q140: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    graft.operators.Similarity.ivfSq8TopK(
+      corpus = e,
+      centroids = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("c_id"), $"embedding"),
+      queries = e.filter($"vec_id" < 10),
+      idCol = "vec_id", embCol = "embedding", centroidIdCol = "c_id",
+      k = 5, nProbe = 4)
+      .select($"q_id", $"vec_id", round($"score", 6).as("score"))
+  }
+  private val q140Sql =
+    s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |           FROM embeddings WHERE vec_id < 16),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |      FROM embeddings WHERE vec_id < 10),
+       |assign AS (
+       |  SELECT vec_id, embedding, c_id AS list FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dCos("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+       |    FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+       |enc AS (
+       |  SELECT vec_id, list, m,
+       |    list_transform(embedding, x -> CAST(trunc(CAST(x AS DOUBLE) * 127.0 / m) AS INT)) AS q8
+       |  FROM (SELECT vec_id, list, embedding,
+       |          list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS m
+       |        FROM assign)),
+       |probes AS (
+       |  SELECT q_id, q_emb, c_id AS list FROM (
+       |    SELECT q.q_id, q.q_emb, c.c_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${dCos("q.q_emb", "c.c_emb")} DESC, c.c_id) AS rn
+       |    FROM q CROSS JOIN c) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.q_id, e.vec_id, (e.m / 127.0) * ${dDot("e.q8", "p.q_emb")} AS score
+       |  FROM probes p JOIN enc e ON p.list = e.list AND p.q_id <> e.vec_id)
+       |SELECT q_id, vec_id, round(score, 6) AS score FROM (
+       |  SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM cand) WHERE rn <= 5""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q140_ivf_sq8_topk" -> q140,
     "q139_semantic_decontam" -> q139,
     "q138_stratified_sample" -> q138,
     "q137_pca_project" -> q137,
@@ -841,6 +890,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q140_ivf_sq8_topk" -> q140Sql,
     "q139_semantic_decontam" -> q139Sql,
     "q138_stratified_sample" -> q138Sql,
     "q137_pca_project" -> q137Sql,

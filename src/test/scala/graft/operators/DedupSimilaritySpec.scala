@@ -376,6 +376,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, f"recall@5 with 4/16 lists collapsed to $recall%.2f")
   }
 
+  test("Similarity.ivfSq8TopK: equals flat SQ8 at full probe; k-bounded when pruned") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val centroids = emb.filter($"vec_id" < 16).select($"vec_id".as("c_id"), $"embedding")
+    val queries = emb.filter($"vec_id" < 10)
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"q_id".cast("long"), $"vec_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val full = Similarity.ivfSq8TopK(emb, centroids, queries,
+      "vec_id", "embedding", "c_id", k = 5, nProbe = 16)
+    val flat = Similarity.sq8AdcTopK(emb, queries, "vec_id", "embedding", k = 5)
+    assert(key(full) == key(flat), "nProbe = |centroids| must equal flat SQ8")
+    val pruned = Similarity.ivfSq8TopK(emb, centroids, queries,
+      "vec_id", "embedding", "c_id", k = 5, nProbe = 4)
+    val perQuery = pruned.groupBy($"q_id").count().select($"count").as[Long].collect()
+    assert(perQuery.forall(_ <= 5) && perQuery.nonEmpty)
+    val recall = key(pruned).intersect(key(flat)).size.toDouble / key(flat).size
+    assert(recall >= 0.3, f"recall@5 with 4/16 lists collapsed to $recall%.2f")
+  }
+
   test("simhashNearDup: pigeonhole banding finds ALL pairs within the budget " +
       "(32-bit oracle width and 64-bit production width)") {
     val docs = Tables.load(spark, sf(), "documents").limit(200)

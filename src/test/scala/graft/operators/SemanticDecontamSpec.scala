@@ -41,6 +41,26 @@ class SemanticDecontamSpec extends SparkSpec {
     assert(exchanges.isEmpty, "literal-branch decontam must not shuffle")
   }
 
+  test("literal branch is streaming-valid: streamed corpus == batch result") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("sd_src").toString
+    val out = Files.createTempDirectory("sd_out").toString
+    val ckpt = Files.createTempDirectory("sd_ckpt").toString
+    corpus.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(corpus.schema).parquet(src)
+    val q = Decontam.semanticOverlap(stream, bench, "id", "emb", tau = 0.9)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val batch = Decontam.semanticOverlap(corpus, bench, "id", "emb", tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("empty benchmark yields null evidence, not dropped rows") {
     val out = Decontam.semanticOverlap(corpus,
         bench.filter($"id" < 0), "id", "emb")

@@ -713,21 +713,34 @@ object VectorOps {
     * rounds → sign-fixed component + mean·v constant) as a CTE block,
     * shared by q137 (projection) and q138 (stratified sampling over the
     * projection). */
+  /** One power-iteration round (c/u/n/v CTEs) over centered table
+    * `cent`, CTE names prefixed `pfx` — reads v from `${pfx}v${k-1}`. */
+  private def pcaIter(cent: String, pfx: String, k: Int): String = {
+    val pv = s"${pfx}v${k - 1}"
+    s"""${pfx}c$k AS (SELECT $cent.vec_id,
+       |  list_aggregate(list_transform(range(1, 65), j -> $cent.x[j] * $pv.v[j]), 'sum') AS c
+       |  FROM $cent CROSS JOIN $pv),
+       |${pfx}u$k AS (SELECT p.j,
+       |  list_aggregate(list(${pfx}c$k.c * p.xv ORDER BY p.vec_id), 'sum') AS u
+       |  FROM (SELECT vec_id, j, x[j] AS xv FROM $cent CROSS JOIN js) p
+       |  JOIN ${pfx}c$k USING (vec_id) GROUP BY p.j),
+       |${pfx}n$k AS (SELECT list(u ORDER BY j) AS u,
+       |  sqrt(list_aggregate(list_transform(list(u ORDER BY j), y -> y * y), 'sum')) AS nm
+       |  FROM ${pfx}u$k),
+       |${pfx}v$k AS (SELECT list_transform(u, y -> y / nm) AS v FROM ${pfx}n$k)""".stripMargin
+  }
+
+  /** A full component block over `cent`: v0 init, `iters` rounds, and
+    * the sign-fixed `${pfx}vf`. */
+  private def pcaComponent(cent: String, pfx: String, iters: Int = 3): String =
+    (s"""${pfx}v0 AS (SELECT list_transform(range(1, 65), j -> CAST(0.125 AS DOUBLE)) AS v)""" +:
+      (1 to iters).map(k => pcaIter(cent, pfx, k)) :+
+      s"""${pfx}vf AS (SELECT CASE WHEN v[1] < 0 THEN list_transform(v, y -> -y)
+         |              ELSE v END AS v FROM ${pfx}v$iters)""".stripMargin)
+      .mkString(",\n")
+
   private val pcaCtes: String = {
-    def iter(k: Int): String = {
-      val pv = s"v${k - 1}"
-      s"""c$k AS (SELECT cent.vec_id,
-         |  list_aggregate(list_transform(range(1, 65), j -> cent.x[j] * $pv.v[j]), 'sum') AS c
-         |  FROM cent CROSS JOIN $pv),
-         |u$k AS (SELECT p.j,
-         |  list_aggregate(list(c$k.c * p.xv ORDER BY p.vec_id), 'sum') AS u
-         |  FROM (SELECT vec_id, j, x[j] AS xv FROM cent CROSS JOIN js) p
-         |  JOIN c$k USING (vec_id) GROUP BY p.j),
-         |n$k AS (SELECT list(u ORDER BY j) AS u,
-         |  sqrt(list_aggregate(list_transform(list(u ORDER BY j), y -> y * y), 'sum')) AS nm
-         |  FROM u$k),
-         |v$k AS (SELECT list_transform(u, y -> y / nm) AS v FROM n$k)""".stripMargin
-    }
+    def iter(k: Int): String = pcaIter("cent", "", k)
     s"""e AS (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x FROM embeddings),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
@@ -864,7 +877,44 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
        |  FROM cand) WHERE rn <= 5""".stripMargin
 
+  // -- q141: 2-component PCA map (Pca.topComponents/projectK) — the
+  // deflation extension of q137: after component 1 converges, the
+  // centered copy deflates (x̃ ← x̃ − (x̃·v)v, exactly sign-invariant in
+  // IEEE arithmetic) and the same 3 power rounds recover component 2;
+  // the corpus then projects onto both — the 2-D embedding map every
+  // corpus atlas starts from. Oracle: the q137 CTE block + a deflation
+  // CTE + the same component block re-run over it (prefix b), all
+  // ordered folds, so both trajectories stay bit-identical. --
+  private val q141: Q = (s, dir) => {
+    val e = emb(s, dir)
+    val pca = graft.operators.Pca
+    pca.projectK(e, "embedding", "vec_id",
+      pca.topComponents(e, "embedding", "vec_id", nComponents = 2,
+        iterations = 3))
+  }
+  private val q141Sql =
+    s"""WITH $pcaCtes,
+       |cent2 AS (
+       |  SELECT vec_id, list_transform(range(1, 65), j -> x[j] - c * v[j]) AS x
+       |  FROM (SELECT cent.vec_id, cent.x, vf.v,
+       |          list_aggregate(list_transform(range(1, 65), j -> cent.x[j] * vf.v[j]), 'sum') AS c
+       |        FROM cent CROSS JOIN vf)),
+       |${pcaComponent("cent2", "b")},
+       |c01 AS (SELECT
+       |  list_aggregate(list_transform(range(1, 65), j -> ml.m[j] * vf.v[j]), 'sum') AS c0
+       |  FROM ml CROSS JOIN vf),
+       |c02 AS (SELECT
+       |  list_aggregate(list_transform(range(1, 65), j -> ml.m[j] * bvf.v[j]), 'sum') AS c0
+       |  FROM ml CROSS JOIN bvf)
+       |SELECT e.vec_id,
+       |  round(list_aggregate(list_transform(range(1, 65), j -> e.x[j] * vf.v[j]), 'sum')
+       |        - c01.c0, 6) AS p1,
+       |  round(list_aggregate(list_transform(range(1, 65), j -> e.x[j] * bvf.v[j]), 'sum')
+       |        - c02.c0, 6) AS p2
+       |FROM e CROSS JOIN vf CROSS JOIN bvf CROSS JOIN c01 CROSS JOIN c02""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q141_pca_map" -> q141,
     "q140_ivf_sq8_topk" -> q140,
     "q139_semantic_decontam" -> q139,
     "q138_stratified_sample" -> q138,
@@ -890,6 +940,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q141_pca_map" -> q141Sql,
     "q140_ivf_sq8_topk" -> q140Sql,
     "q139_semantic_decontam" -> q139Sql,
     "q138_stratified_sample" -> q138Sql,

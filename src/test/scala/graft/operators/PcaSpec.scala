@@ -52,6 +52,30 @@ class PcaSpec extends SparkSpec {
       Pca.topComponent(nul, "emb", "id")).getMessage.contains("non-null"))
   }
 
+  test("topComponents: second component is orthogonal and recovers the jitter axis") {
+    val m = Pca.topComponents(fixture, "emb", "id", nComponents = 2,
+      iterations = 8)
+    val Seq(v1, v2) = m.components
+    val dot12 = v1.zip(v2).map(p => p._1 * p._2).sum
+    assert(math.abs(dot12) < 1e-9, s"components not orthogonal: $dot12")
+    // the residual after deflating (0.6, 0.8) is the jitter axis
+    val cos = v2.zip(Seq(-0.8, 0.6)).map(p => p._1 * p._2).sum
+    assert(math.abs(cos) > 0.9999, s"second component $v2 off the jitter axis")
+    assert(v2.head >= 0, "sign convention applies per component")
+    // component 1 of the pair == the single-component API
+    assert(Pca.topComponent(fixture, "emb", "id", iterations = 8).component == v1)
+  }
+
+  test("projectK emits one column per component; p1 matches project") {
+    val m2 = Pca.topComponents(fixture, "emb", "id", nComponents = 2,
+      iterations = 3)
+    val k = Pca.projectK(fixture, "emb", "id", m2)
+    assert(k.columns.toSeq == Seq("id", "p1", "p2"))
+    val p1 = Pca.project(fixture, "emb", "id", Pca.Model(m2.mean, m2.components.head))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    k.collect().foreach(r => assert(r.getDouble(1) == p1(r.getLong(0))))
+  }
+
   test("project is fully narrow: zero exchanges in the plan") {
     val m = Pca.topComponent(fixture, "emb", "id", iterations = 2)
     val p = Pca.project(fixture, "emb", "id", m)

@@ -49,6 +49,37 @@ object Quality {
     require(rows.nonEmpty && !rows(0).isNullAt(1),
       s"scoreBuckets: no non-null '$scoreCol' values to bucket")
     val thresholds = ps.indices.map(i => rows(0).getDouble(i + 1))
+    assignBuckets(df, scoreCol, thresholds)
+  }
+
+  /** [[scoreBuckets]] with SKETCH-based thresholds — the 100 TB form:
+    * the exact variant's threshold pass is a full distributed sort of
+    * the score column (spill-safe, but a real shuffle of every row);
+    * this one is a single mergeable `percentile_approx` aggregate
+    * (KLL-style, map-side combined — threshold rank error bounded by
+    * 1/accuracy), so threshold estimation costs one narrow pass.
+    * Assignment semantics are IDENTICAL (same comparison fold, ties
+    * below their threshold); only the thresholds are approximate, so
+    * bucket masses are equal within the sketch's rank-error bound.
+    * Engine-specific sketch ⇒ not oracle-pinned; QualityBucketsSpec
+    * pins it against the exact form instead. */
+  def scoreBucketsApprox(df: DataFrame, scoreCol: String,
+                         nBuckets: Int = 10, accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, s"scoreBucketsApprox: need >= 2 buckets: $nBuckets")
+    require(accuracy >= nBuckets,
+      s"scoreBucketsApprox: accuracy $accuracy below nBuckets $nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val row = df.agg(percentile_approx(col(scoreCol),
+      typedlit(ps), lit(accuracy))).head()
+    require(!row.isNullAt(0),
+      s"scoreBucketsApprox: no non-null '$scoreCol' values to bucket")
+    assignBuckets(df, scoreCol, row.getSeq[Double](0))
+  }
+
+  /** The shared narrow assignment fold: bucket = 1 + |thresholds below
+    * the score|; null scores keep a null bucket. */
+  private def assignBuckets(df: DataFrame, scoreCol: String,
+                            thresholds: Seq[Double]): DataFrame = {
     val b = thresholds
       .map(t => (col(scoreCol) > lit(t)).cast("int")).reduceLeft(_ + _)
     df.withColumn("bucket", (b + 1).cast("long"))

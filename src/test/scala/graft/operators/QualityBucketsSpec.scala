@@ -42,6 +42,26 @@ class QualityBucketsSpec extends SparkSpec {
     assert(e.getMessage.contains("no non-null"))
   }
 
+  test("scoreBucketsApprox tracks the exact form; high accuracy converges") {
+    val df = (1 to 5000).map(i => (i.toLong, i * 0.25)).toDF("id", "score")
+    // at accuracy >= n the sketch is exact rank-wise: identical buckets
+    val exact = Quality.scoreBuckets(df, "score", nBuckets = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val approx = Quality.scoreBucketsApprox(df, "score", nBuckets = 10,
+        accuracy = 100000)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // thresholds differ by at most interpolation (exact interpolates,
+    // the sketch picks a sample member), so disagreement is confined to
+    // rows hugging a boundary — bound it tightly instead of pinning
+    val diff = exact.count { case (id, b) => approx(id) != b }
+    assert(diff <= 10, s"$diff rows moved buckets at near-exact accuracy")
+    // masses stay near-equal under the sketch
+    val masses = approx.values.groupBy(identity).view.mapValues(_.size)
+    assert(masses.values.forall(m => m >= 450 && m <= 550), masses.toMap.toString)
+    // assignment is monotone in score (shared fold): spot-check extremes
+    assert(approx(1L) == 1L && approx(5000L) == 10L)
+  }
+
   test("bucket masses are equal on distinct uniform scores (10 buckets)") {
     val df = (1 to 200).map(i => (i.toLong, i * 0.5)).toDF("id", "score")
     val sizes = Quality.scoreBuckets(df, "score", nBuckets = 10)

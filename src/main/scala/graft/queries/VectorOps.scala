@@ -739,10 +739,15 @@ object VectorOps {
          |              ELSE v END AS v FROM ${pfx}v$iters)""".stripMargin)
       .mkString(",\n")
 
-  private val pcaCtes: String = {
+  private val pcaCtes: String = pcaCtesOver("embeddings")
+
+  /** The PCA replay with the training/projection corpus drawn from any
+    * table or prior CTE exposing (vec_id, embedding) — q142 trains on
+    * pipeline survivors, q137/q138 on the whole table. */
+  private def pcaCtesOver(src: String): String = {
     def iter(k: Int): String = pcaIter("cent", "", k)
     s"""e AS (SELECT vec_id,
-       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x FROM embeddings),
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x FROM $src),
        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
        |js AS (SELECT unnest(range(1, 65)) AS j),
        |pos AS (SELECT vec_id, j, x[j] AS v FROM e CROSS JOIN js),
@@ -913,7 +918,69 @@ object VectorOps {
        |        - c02.c0, 6) AS p2
        |FROM e CROSS JOIN vf CROSS JOIN bvf CROSS JOIN c01 CROSS JOIN c02""".stripMargin
 
+  // -- q142: the VECTOR curation pipeline (capstone composition — the
+  // embedding-side twin of q100's text pipeline): align documents with
+  // their embeddings, (1) semantic-decontam against the held-out tenth
+  // (q139's literal-branch gate), (2) exact text dedup, lowest id wins
+  // (q20's fingerprint), (3) PCA-stratified diverse sample — the PCA
+  // trained on the SURVIVORS, not the raw table (q137's trainer over
+  // the pipeline output), 8 strata × 5 md5 draws (q138). One
+  // declarative plan end-to-end; every stage's algebra is already
+  // oracle-pinned alone, this pins their composition. --
+  private val q142: Q = (s, dir) => {
+    val e = emb(s, dir)
+    val d = Tables.load(s, dir, "documents")
+    val corpus = d.select(col("doc_id"), col("text"))
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+      .filter(col("doc_id") % 10 =!= 0)
+    val bench = e.filter(col("vec_id") % 10 === 0)
+    import graft.operators.{Decontam, Dedup, Pca, Quality, Sample}
+    val keep = Decontam
+      .semanticOverlap(corpus, bench, "doc_id", "embedding", tau = 0.9)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val clean = corpus.join(keep, Seq("doc_id"), "left_semi")
+    val deduped = Dedup.exactByText(clean, "text", "doc_id")
+    val model = Pca.topComponent(deduped, "embedding", "doc_id",
+      iterations = 3)
+    val proj = Pca.project(deduped, "embedding", "doc_id", model)
+    Sample.bottomK(
+      Quality.scoreBuckets(proj, "proj", nBuckets = 8),
+      Seq("bucket"), "doc_id", k = 5, salt = "curate")
+  }
+  private val q142Sql = {
+    val dFp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    s"""WITH ac AS (
+       |  SELECT d.doc_id, d.text, em.embedding
+       |  FROM documents d JOIN embeddings em ON em.vec_id = d.doc_id
+       |  WHERE d.doc_id % 10 <> 0),
+       |bb AS (SELECT embedding AS bemb FROM embeddings WHERE vec_id % 10 = 0),
+       |mc AS (SELECT ac.doc_id, max(${dCos("ac.embedding", "bb.bemb")}) AS mc
+       |       FROM ac CROSS JOIN bb GROUP BY 1),
+       |clean AS (SELECT ac.* FROM ac JOIN mc USING (doc_id)
+       |          WHERE NOT (mc.mc > 0.9)),
+       |dd AS (SELECT doc_id, embedding FROM (
+       |    SELECT clean.*, row_number() OVER (PARTITION BY $dFp
+       |        ORDER BY doc_id) AS rn
+       |    FROM clean) WHERE rn = 1),
+       |srv AS (SELECT doc_id AS vec_id, embedding FROM dd),
+       |${pcaCtesOver("srv")},
+       |th AS (SELECT quantile_cont(proj,
+       |         [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS ts FROM pr),
+       |bk AS (SELECT pr.vec_id,
+       |         1 + len(list_filter(th.ts, t -> pr.proj > t)) AS bucket
+       |       FROM pr CROSS JOIN th),
+       |h AS (SELECT bucket, vec_id,
+       |        TRY_CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':curate'), 1, 8)
+       |          AS BIGINT) AS hv
+       |      FROM bk)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, vec_id AS doc_id FROM (
+       |  SELECT bucket, vec_id,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY hv, vec_id) AS rn
+       |  FROM h) WHERE rn <= 5""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q142_vector_pipeline" -> q142,
     "q141_pca_map" -> q141,
     "q140_ivf_sq8_topk" -> q140,
     "q139_semantic_decontam" -> q139,
@@ -940,6 +1007,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q142_vector_pipeline" -> q142Sql,
     "q141_pca_map" -> q141Sql,
     "q140_ivf_sq8_topk" -> q140Sql,
     "q139_semantic_decontam" -> q139Sql,

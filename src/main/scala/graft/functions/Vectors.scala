@@ -47,4 +47,13 @@ object Vectors {
   def signBucket(a: Column, bits: Int): Column =
     concat((1 to bits).map(i =>
       when(element_at(a, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** [[signBucket]] over dimensions `offset+1 .. offset+bits` — the t-th
+    * hash table of a multi-probe LSH index uses `offset = t * bits`, so
+    * the tables read disjoint coordinate slices and their bucket
+    * collisions are independent events (the recall-boosting construction
+    * behind [[graft.operators.Similarity.knnGraph]]). */
+  def signBucketAt(a: Column, bits: Int, offset: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(a, offset + i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
 }

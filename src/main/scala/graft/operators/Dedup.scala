@@ -506,6 +506,71 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Containment-verified near-dup pairs: the LSH candidates re-scored on
+    * full distinct shingle sets with the ASYMMETRIC containment measure
+    * C(A,B) = |A∩B| / |A| (and its mirror) instead of symmetric Jaccard.
+    * Containment is the right cut when one side may be a SUBSET of the
+    * other — boilerplate-wrapped republication, quote-heavy excerpts —
+    * where Jaccard under-scores (|A∩B|/|A∪B| shrinks with the size gap)
+    * but C stays near 1. Keeps pairs whose larger-direction containment
+    * clears `minContainment`; emits both directions so callers can tell
+    * "A inside B" from "B inside A".
+    *
+    * Candidate generation here is the symmetric banded LSH
+    * ([[nearDupCandidates]]), which recalls the high-Jaccard region; for
+    * the extreme small-doc-inside-huge-doc case (Jaccard too low to
+    * band-collide) pair generation should come from the exact-substring
+    * span store ([[Spans]]) instead — this operator then verifies those
+    * pairs identically. Cost is O(candidates), never O(n²). */
+  def containmentVerified(df: DataFrame, textCol: String, idCol: String,
+                          shingle: Int = 5, bands: Int = 4,
+                          minContainment: Double = 0.9): DataFrame = {
+    val a = s"${idCol}_a"
+    val b = s"${idCol}_b"
+    val grams = df.select(col(idCol).as("__gid"),
+      array_distinct(Text.shinglesNative(Text.tokens(col(textCol)), shingle))
+        .as("__sh"))
+    nearDupCandidates(df, textCol, idCol, shingle, bands)
+      .join(grams.select(col("__gid"), col("__sh").as("__sh_a")),
+        col(a) === col("__gid")).drop("__gid")
+      .join(grams.select(col("__gid"), col("__sh").as("__sh_b")),
+        col(b) === col("__gid")).drop("__gid")
+      .withColumn("__inter",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double"))
+      .select(col(a), col(b),
+        (col("__inter") / size(col("__sh_a"))).as("containment_a"),
+        (col("__inter") / size(col("__sh_b"))).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= minContainment)
+  }
+
+  /** SoftDeDup-style duplication weights: instead of DROPPING near-dup
+    * losers, every document is down-weighted by its duplication count —
+    * weight = 1 / |cluster| over the connected components of the
+    * near-dup graph, so each duplicated passage contributes one unit of
+    * total training mass however many copies exist (singletons keep
+    * weight 1.0). The soft alternative to the hard [[clusters]]-loser
+    * anti-join: keeps the corpus intact for loss-weighting or
+    * epoch-sampling consumers.
+    *
+    * Scale posture: [[clusters]]' O(log n)-round label propagation plus
+    * one count shuffle on the cluster key and one id-keyed join back —
+    * no new quadratic surface; the pair frame is the banded-LSH
+    * minority. */
+  def softDedupWeights(df: DataFrame, pairs: DataFrame, idCol: String,
+                       aCol: String, bCol: String): DataFrame = {
+    val cl = clusters(pairs, aCol, bCol)
+      .select(col("node").as(idCol), col("cluster"))
+    val assigned = df.select(col(idCol))
+      .join(cl, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster"))
+    val sizes = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_dups"))
+    assigned.join(sizes, Seq("cluster"))
+      .select(col(idCol), col("cluster"), col("n_dups"),
+        (lit(1.0) / col("n_dups")).as("weight"))
+  }
+
   /** Per-document SimHash fingerprints (native codegen'd): near-identical
     * documents land within small Hamming distance; equal values are
     * near-dup candidates at one shuffle via groupBy(simhash). */

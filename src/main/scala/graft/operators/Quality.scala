@@ -84,4 +84,57 @@ object Quality {
       .map(t => (col(scoreCol) > lit(t)).cast("int")).reduceLeft(_ + _)
     df.withColumn("bucket", (b + 1).cast("long"))
   }
+
+  /** The Gopher rule set's stopword witness list (Rae et al. 2021,
+    * §A1.1.2: "contains at least 2 of the following English words"). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a", "in")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1.2 — the
+    * published MassiveWeb heuristics, parameterized): per-document word
+    * count bounds, mean word length bounds, symbol-to-word ratio ('#'
+    * characters + '...' occurrences), alphabetic-word fraction, and a
+    * stopword-count floor. Emits every signal plus the combined `keep`
+    * verdict rather than silently filtering — downstream callers can
+    * audit WHICH rule fired (the Dolma-style attribute discipline) or
+    * gate on `keep`.
+    *
+    * Complements [[filter]] (token count + type-token ratio) and
+    * [[Repetition]] (dup-n-gram ceilings): together they are the
+    * rule-based third of the quality triad beside the trained classifier
+    * gate ([[Classifier]]) and the LM scorers ([[LangModel]]).
+    *
+    * Scale posture: a single narrow codegen'd projection — no shuffle,
+    * no state; every signal is an integer-exact fold over the token
+    * array, so the emitted doubles are bit-reproducible (oracle-safe). */
+  def gopherFlags(df: DataFrame, textCol: String,
+                  minWords: Int = 10, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+                  minStop: Int = 2,
+                  stopwords: Seq[String] = GopherStopwords): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("__tk", Text.tokens(t)) // staged: 5 refs below
+      .withColumn("n_words", size(col("__tk")).cast("long"))
+      .withColumn("mean_word_len",
+        aggregate(col("__tk"), lit(0L), (a, w) => a + length(w))
+          .cast("double") / col("n_words"))
+      .withColumn("symbol_ratio",
+        ((length(t) - length(translate(t, "#", ""))) +
+          (size(split(t, "\\.\\.\\.", -1)) - 1)).cast("double") / col("n_words"))
+      .withColumn("alpha_frac",
+        size(org.apache.spark.sql.functions.filter(col("__tk"),
+          w => w.rlike("[A-Za-z]"))).cast("double") / col("n_words"))
+      .withColumn("n_stop",
+        size(org.apache.spark.sql.functions.filter(col("__tk"),
+          w => w.isin(stopwords: _*))).cast("long"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("alpha_frac") >= minAlphaFrac &&
+          col("n_stop") >= minStop)
+      .drop("__tk")
+  }
 }

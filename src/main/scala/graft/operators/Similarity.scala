@@ -43,6 +43,51 @@ object Similarity {
     }
   }
 
+  /** Approximate k-NN GRAPH over the whole corpus via multi-table
+    * sign-LSH — one hash table per disjoint `bits`-wide coordinate slice
+    * ([[Vectors.signBucketAt]]): candidate edges are the pairs sharing any
+    * table's bucket, scored exactly (cosine over the raw embeddings) and
+    * cut to each node's top `k`.
+    *
+    * This is the corpus×corpus companion of [[cosineTopK]], whose
+    * broadcast-the-query-set shape is wrong when every row is a query.
+    * The all-pairs O(n²) collapses to per-bucket joins — expected
+    * n²/2^bits comparisons per table — and recall grows with `tables`
+    * because disjoint coordinate slices collide independently. Downstream
+    * consumers: SemDeDup-style pruning, label propagation over the graph,
+    * hubness/recall audits ([[graft.queries.VectorOps]] q134).
+    *
+    * Scale posture: one shuffle on (table, bucket) with LSH-bounded group
+    * sizes, a distinct on id pairs only (embeddings are re-attached by two
+    * id-keyed joins, never carried through the pair blow-up), and the
+    * map-side-combined [[graft.functions.TopKByScore]] heap for the
+    * per-node cut — no window sort, no corpus broadcast. Hot buckets
+    * (boilerplate embeddings) are the same skew the LSH dedup family
+    * caps; here they surface as dense graph neighborhoods, which the
+    * top-k heap bounds at k edges per node regardless. */
+  def knnGraph(corpus: DataFrame, idCol: String, embCol: String, k: Int,
+               bits: Int = 8, tables: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    require(tables >= 1 && bits >= 1, s"knnGraph: need >=1 table/bit")
+    val sigs = corpus.select(col(idCol).as("__id"),
+      posexplode(array((0 until tables).map(t =>
+        Vectors.signBucketAt(col(embCol), bits, t * bits)): _*))
+        .as(Seq("__tbl", "__bucket")))
+    val cand = sigs.select(col("__id").as("q_id"), col("__tbl"), col("__bucket"))
+      .join(sigs.select(col("__id").as("__dst"), col("__tbl"), col("__bucket")),
+        Seq("__tbl", "__bucket"))
+      .filter(col("q_id") =!= col("__dst"))
+      .select(col("q_id"), col("__dst"))
+      .distinct()
+    val emb = corpus.select(col(idCol), col(embCol))
+    val scored = cand
+      .join(emb.select(col(idCol).as("q_id"), col(embCol).as("__emb_a")), Seq("q_id"))
+      .join(emb.select(col(idCol).as("__dst"), col(embCol).as("__emb_b")), Seq("__dst"))
+      .select(col("q_id"), col("__dst").as(idCol),
+        Vectors.cosine(col("__emb_a"), col("__emb_b")).as("cos"))
+    keepTopK(scored, idCol, k)
+  }
+
   /** Brute-force cosine top-k: every (query, corpus) pair scored map-side
     * (query set broadcasts), k-bounded heap per query. Exact; cost is
     * |queries| × |corpus| dot products — the correctness baseline and

@@ -1599,7 +1599,171 @@ object TextOps {
        |FROM documents d LEFT JOIN reb USING (doc_id)""".stripMargin
   }
 
+  // -- q143: C4-style line-level cleaning (LineFilter.cleanDocs) — the
+  // single-line word-soup fixture is re-lined deterministically (6-token
+  // chunks; chunk i%3==0 gains terminal '.', i%3==1 stays unpunctuated,
+  // i%3==2 gains the blocklisted ' javascript.') so every rule is
+  // observable: unpunctuated and blocklisted lines drop, the tail chunk
+  // drops when under 5 words, and docs with <2 surviving lines drop
+  // entirely. md5(clean) makes the reassembly byte-exact. Oracle: the
+  // same chunk algebra + list_filter over string_split lines. --
+  private val q143: Q = (s, dir) => {
+    import s.implicits._
+    val tk = Text.tokens($"text")
+    val raw = docs(s, dir).select($"doc_id", array_join(transform(
+      sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
+      i => {
+        val ln = array_join(slice(tk, i * 6 + 1, lit(6)), " ")
+        when(i % 3 === 0, concat(ln, lit(".")))
+          .when(i % 3 === 1, ln)
+          .otherwise(concat(ln, lit(" javascript.")))
+      }), "\n").as("text"))
+    graft.operators.LineFilter.cleanDocs(raw, "text")
+      .select($"doc_id", $"text".as("clean"), md5($"text").as("clean_md5"),
+        $"n_lines_kept")
+  }
+  private val q143Sql = {
+    val tk = dTok
+    s"""WITH tkt AS (SELECT doc_id, $tk AS tk FROM documents),
+       |raw AS (
+       |  SELECT doc_id, array_to_string(list_transform(
+       |    range(0, ((len(tk) - 1) // 6) + 1),
+       |    i -> CASE
+       |      WHEN i % 3 = 0
+       |        THEN array_to_string(list_slice(tk, i * 6 + 1, i * 6 + 6), ' ') || '.'
+       |      WHEN i % 3 = 1
+       |        THEN array_to_string(list_slice(tk, i * 6 + 1, i * 6 + 6), ' ')
+       |      ELSE array_to_string(list_slice(tk, i * 6 + 1, i * 6 + 6), ' ')
+       |        || ' javascript.' END), chr(10)) AS text
+       |  FROM tkt),
+       |kept AS (
+       |  SELECT doc_id, list_filter(string_split(text, chr(10)), ln ->
+       |    len(list_filter(string_split_regex(trim(ln), '\\s+'), w -> len(w) > 0)) >= 5
+       |    AND regexp_matches(ln, '[.!?]"?$$')
+       |    AND NOT contains(lower(ln), 'javascript')) AS lines
+       |  FROM raw)
+       |SELECT doc_id, array_to_string(lines, chr(10)) AS clean,
+       |  md5(array_to_string(lines, chr(10))) AS clean_md5,
+       |  CAST(len(lines) AS BIGINT) AS n_lines_kept
+       |FROM kept WHERE len(lines) >= 2""".stripMargin
+  }
+
+  // -- q144: Gopher-style quality rule flags (Quality.gopherFlags) — the
+  // published MassiveWeb heuristics as auditable per-doc signals + keep
+  // verdict. The uniform fixture is decorated per doc_id residue so each
+  // rule fires somewhere: %5==0 appends 8 '#' words (symbol ratio),
+  // %5==1 appends 20 digit words (alpha fraction), %5==3 appends one
+  // 600-char word (mean word length), %5==4 truncates to 3 words (word
+  // count); %5==2 stays clean. Every signal is an integer-exact fold, so
+  // the doubles hash bit-for-bit. --
+  private val q144: Q = (s, dir) => {
+    import s.implicits._
+    val tk = Text.tokens($"text")
+    val raw = docs(s, dir).select($"doc_id",
+      when($"doc_id" % 5 === 0, concat($"text", lit(" # # # # # # # #")))
+        .when($"doc_id" % 5 === 1,
+          concat($"text", lit(" 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9")))
+        .when($"doc_id" % 5 === 3, concat($"text", lit(" "), repeat(lit("z"), 600)))
+        .when($"doc_id" % 5 === 4, array_join(slice(tk, 1, 3), " "))
+        .otherwise($"text").as("text"))
+    graft.operators.Quality.gopherFlags(raw, "text")
+      .select($"doc_id", $"n_words", $"mean_word_len", $"symbol_ratio",
+        $"alpha_frac", $"n_stop", $"keep")
+  }
+  private val q144Sql = {
+    val tk = dTok
+    s"""WITH tkt AS (SELECT doc_id, text, $tk AS tk0 FROM documents),
+       |raw AS (
+       |  SELECT doc_id, CASE
+       |    WHEN doc_id % 5 = 0 THEN text || ' # # # # # # # #'
+       |    WHEN doc_id % 5 = 1 THEN text || ' 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9'
+       |    WHEN doc_id % 5 = 3 THEN text || ' ' || repeat('z', 600)
+       |    WHEN doc_id % 5 = 4 THEN array_to_string(list_slice(tk0, 1, 3), ' ')
+       |    ELSE text END AS text
+       |  FROM tkt),
+       |g AS (SELECT doc_id, text, $tk AS tk FROM raw),
+       |st AS (
+       |  SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CAST(list_aggregate(list_transform(tk, w -> len(w)), 'sum') AS DOUBLE)
+       |      / CAST(len(tk) AS BIGINT) AS mean_word_len,
+       |    CAST((len(text) - len(replace(text, '#', '')))
+       |      + (len(string_split(text, '...')) - 1) AS DOUBLE)
+       |      / CAST(len(tk) AS BIGINT) AS symbol_ratio,
+       |    CAST(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+       |      / CAST(len(tk) AS BIGINT) AS alpha_frac,
+       |    CAST(len(list_filter(tk, w -> w IN
+       |      ('the','be','to','of','and','that','have','with','a','in'))) AS BIGINT) AS n_stop
+       |  FROM g)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
+       |  (n_words >= 10 AND n_words <= 100000
+       |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |   AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+       |FROM st""".stripMargin
+  }
+
+  // -- q146: containment-verified near-dup pairs (Dedup.containmentVerified)
+  // — the q88 verification stage re-scored with the ASYMMETRIC containment
+  // measure |A∩B|/|A| (both directions emitted): the cut that catches
+  // subset duplication where symmetric Jaccard under-scores. Same exact
+  // set algebra as q88 (identical integer operands → unrounded doubles
+  // match bit-for-bit); threshold 0.95 lands inside the corpus's
+  // candidate containment spread so the cut is observable. --
+  private val q146: Q = (s, dir) =>
+    graft.operators.Dedup.containmentVerified(docs(s, dir), "text", "doc_id",
+      minContainment = 0.95)
+  private val q146Sql =
+    s"""WITH pairs AS ($q22Sql),
+       |sh AS (SELECT doc_id, list_distinct(${dShingles(dTok, 5)}) AS sh
+       |       FROM documents)
+       |SELECT * FROM (
+       |  SELECT p.doc_a AS doc_id_a, p.doc_b AS doc_id_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment_a,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh) AS containment_b
+       |  FROM pairs p JOIN sh a ON p.doc_a = a.doc_id
+       |               JOIN sh b ON p.doc_b = b.doc_id)
+       |WHERE greatest(containment_a, containment_b) >= 0.95""".stripMargin
+
+  // -- q147: SoftDeDup duplication weights (Dedup.softDedupWeights) —
+  // every document down-weighted by its near-dup cluster size
+  // (weight = 1/n over q22's LSH pair graph, singletons keep 1.0): the
+  // soft alternative to q62's hard loser-drop, preserving the corpus for
+  // loss-weighting consumers. Oracle: q62's recursive transitive-closure
+  // clusters + a left join for singletons + one count — an independent
+  // fixpoint algorithm, so the hash match is a strong check. --
+  private val q147: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Dedup.softDedupWeights(
+      docs(s, dir), q22(s, dir), "doc_id", "doc_a", "doc_b")
+  }
+  private val q147Sql =
+    s"""WITH RECURSIVE
+       |pairs AS ($q22Sql),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |members AS (
+       |  SELECT src AS node, dst AS m FROM reach
+       |  UNION ALL
+       |  SELECT src, src FROM edges),
+       |clusters AS (SELECT node, min(m) AS cluster FROM members GROUP BY node),
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node),
+       |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_dups
+       |       FROM asg GROUP BY 1)
+       |SELECT a.doc_id, a.cluster, s.n_dups,
+       |  CAST(1.0 AS DOUBLE) / s.n_dups AS weight
+       |FROM asg a JOIN sz s USING (cluster)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q143_line_filter" -> q143,
+    "q144_gopher_rules" -> q144,
+    "q146_containment" -> q146,
+    "q147_soft_dedup" -> q147,
     "q136_segment_dedup" -> q136,
     "q135_perplexity_buckets" -> q135,
     "q20_exact_dedup" -> q20,
@@ -1650,6 +1814,10 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q143_line_filter" -> q143Sql,
+    "q144_gopher_rules" -> q144Sql,
+    "q146_containment" -> q146Sql,
+    "q147_soft_dedup" -> q147Sql,
     "q136_segment_dedup" -> q136Sql,
     "q135_perplexity_buckets" -> q135Sql,
     "q20_exact_dedup" -> q20Sql,

@@ -979,7 +979,43 @@ object VectorOps {
        |  FROM h) WHERE rn <= 5""".stripMargin
   }
 
+  // -- q145: approximate k-NN graph (Similarity.knnGraph) — the
+  // corpus×corpus construction: two sign-LSH hash tables over DISJOINT
+  // 8-dim coordinate slices generate candidate edges (independent
+  // collisions → recall beyond any single table), exact cosine scores
+  // them, and the map-side-combined graft_topk heap cuts each node to
+  // its 5 best neighbors. Oracle: the same two bucket expressions
+  // unnested, distinct id pairs, dCos re-scoring, row_number cut —
+  // the heap's (score desc, id asc) tie order is the window's. --
+  private val q145: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Similarity.knnGraph(emb(s, dir), "vec_id", "embedding",
+      k = 5, bits = 8, tables = 2)
+      .select($"q_id".as("src"), $"vec_id".as("dst"),
+        round($"cos", 6).as("cos"))
+  }
+  private val q145Sql =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, tbl,
+       |    array_to_string(list_transform(
+       |      list_slice(embedding, 1 + 8 * tbl, 8 + 8 * tbl),
+       |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM embeddings, (SELECT unnest([0, 1]) AS tbl)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM sigs a JOIN sigs b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |sc AS (
+       |  SELECT src, dst, ${dCos("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand JOIN embeddings ea ON src = ea.vec_id
+       |            JOIN embeddings eb ON dst = eb.vec_id)
+       |SELECT src, dst, round(cos, 6) AS cos FROM (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |  FROM sc) WHERE rn <= 5""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q145_knn_graph" -> q145,
     "q142_vector_pipeline" -> q142,
     "q141_pca_map" -> q141,
     "q140_ivf_sq8_topk" -> q140,
@@ -1007,6 +1043,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q145_knn_graph" -> q145Sql,
     "q142_vector_pipeline" -> q142Sql,
     "q141_pca_map" -> q141Sql,
     "q140_ivf_sq8_topk" -> q140Sql,

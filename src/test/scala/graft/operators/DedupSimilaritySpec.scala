@@ -39,6 +39,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expectDropped.nonEmpty, "fixture must actually contain near-dups")
   }
 
+  test("Dedup.containmentVerified scores subset duplication asymmetrically") {
+    // B = A plus a tail: every A-shingle is in B (containment_a = 1.0)
+    // while B keeps 36 of its 40 shingles in A (containment_b = 0.9).
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base + " extra tail words here")).toDF("id", "text")
+    val out = Dedup.containmentVerified(df, "text", "id", minContainment = 0.9)
+      .select($"id_a", $"id_b", $"containment_a", $"containment_b")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 1.0, 0.9)))
+    // symmetric Jaccard on the same pair under-scores the subset
+    // direction: A inside B gives J = |A|/|B| = 0.9, while the
+    // containment measure reports the full 1.0 for it
+    val j = Dedup.nearDupVerified(df, "text", "id", minJaccard = 0.0)
+      .select($"jaccard").as[Double].head()
+    assert(j == 36.0 / 40 && j < 1.0)
+  }
+
+  test("Dedup.softDedupWeights: unit mass per cluster, singletons keep 1.0") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val pairs = Dedup.nearDupCandidates(docs, "text", "doc_id")
+    val w = Dedup.softDedupWeights(docs, pairs, "doc_id", "doc_id_a", "doc_id_b")
+      .cache()
+    assert(w.count() == docs.count()) // nothing dropped, nothing duplicated
+    val badMass = w.groupBy($"cluster").agg(sum($"weight").as("s"))
+      .filter(abs($"s" - 1.0) > 1e-9)
+    assert(badMass.isEmpty, "every cluster's weights must sum to 1")
+    assert(w.filter($"n_dups" === 1 && $"weight" =!= 1.0).isEmpty)
+    assert(w.filter($"n_dups" > 1).count() > 0, "fixture must contain near-dups")
+    w.unpersist()
+  }
+
   test("Dedup.exactByKey keeps the orderBy-first row per key group") {
     val df = Seq((1L, "b", 10), (2L, "a", 20), (3L, "a", 30)).toDF("id", "k", "v")
     val out = Dedup.exactByKey(df, Seq("k"), orderBy = "id")

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Approximate k-NN graph: per-node cut, exact scores, and monotone
+  * recall in the number of hash tables (candidate sets only grow). */
+class KnnGraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf(), "embeddings")
+
+  test("knnGraph: <= k neighbors per node, no self edges, scores are true cosines") {
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5).cache()
+    val maxPer = g.groupBy($"q_id").count().agg(max($"count")).as[Long].head()
+    assert(maxPer <= 5)
+    assert(g.filter($"q_id" === $"vec_id").isEmpty)
+    val chk = g
+      .join(emb.select($"vec_id".as("q_id"), $"embedding".as("__ea")), Seq("q_id"))
+      .join(emb.select($"vec_id", $"embedding".as("__eb")), Seq("vec_id"))
+      .withColumn("__c2", graft.functions.Vectors.cosine($"__ea", $"__eb"))
+    assert(chk.filter(abs($"cos" - $"__c2") > 1e-12).isEmpty)
+    g.unpersist()
+  }
+
+  test("knnGraph recall against brute force is monotone in hash tables") {
+    def edges(tables: Int): Set[(Long, Long)] =
+      Similarity.knnGraph(emb, "vec_id", "embedding", k = 5, tables = tables)
+        .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val truth = Similarity.cosineTopK(emb, emb, "vec_id", "embedding", k = 5)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val r1 = (edges(1) & truth).size
+    val r2 = (edges(2) & truth).size
+    assert(r2 >= r1, s"recall dropped with a second table: $r1 -> $r2")
+    assert(r2 > 0, "graph found none of the true neighbors")
+  }
+}

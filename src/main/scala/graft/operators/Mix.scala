@@ -104,4 +104,59 @@ object Mix {
         .withColumn("source", lit(name))
     }.reduce(_.unionByName(_))
   }
+
+  /** UniMax sampling plan (Chung et al. 2023): distribute a total
+    * training budget of `avgEpochs` × corpus size across languages as
+    * UNIFORMLY as possible, subject to no language repeating more than
+    * `maxEpochs` times — the published alternative to temperature
+    * sampling ([[balanceSources]]) that never over-repeats low-resource
+    * languages. The closed form is water-filling: each language gets
+    * min(cap_l, c) docs where cap_l = maxEpochs·n_l and the water level
+    * c is set so the allocations sum to the budget (languages below the
+    * level saturate at their cap; if the budget exceeds Σ cap, every
+    * language saturates and the surplus is unspent).
+    *
+    * Returns one row per language: `lang, n_docs, cap, alloc, epochs`
+    * (epochs = alloc/n_docs ≤ maxEpochs). Feed `epochs` to [[upsample]]
+    * to materialize the mixture.
+    *
+    * Implementation is fully declarative — the water level falls out of
+    * one ordered window over the LANGUAGE frame (caps ascending: the
+    * saturated set is a prefix, so the unique level is the row whose
+    * candidate `(B − prefix_before) / langs_remaining` lies between its
+    * neighbors' caps). Window state is one row per language — bounded
+    * by the language inventory, never the corpus — and every arithmetic
+    * step is exact-integer-derived doubles, so the plan is
+    * bit-reproducible in any engine. The corpus itself contributes one
+    * map-side-combined count. */
+  def unimaxPlan(df: DataFrame, langCol: String,
+                 avgEpochs: Double = 2.0, maxEpochs: Double = 3.0): DataFrame = {
+    require(avgEpochs > 0 && maxEpochs > 0 && maxEpochs >= avgEpochs,
+      s"unimaxPlan: need 0 < avgEpochs <= maxEpochs, got $avgEpochs/$maxEpochs")
+    val langs = df.groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("cap", col("n_docs") * lit(maxEpochs))
+    val byCap = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap"), col("lang"))
+    val full = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val ord = langs
+      .withColumn("__budget", sum(col("n_docs")).over(full) * lit(avgEpochs))
+      .withColumn("__r", row_number().over(byCap))
+      .withColumn("__cum", sum(col("cap")).over(byCap))
+      .withColumn("__nl", count(lit(1)).over(full))
+      .withColumn("__prev_cap", lag(col("cap"), 1).over(byCap))
+    // candidate level assuming the first __r - 1 languages saturate
+    val lvl = ord
+      .withColumn("__c", (col("__budget") - (col("__cum") - col("cap")))
+        / (col("__nl") - col("__r") + 1))
+      .filter(col("__c") <= col("cap") &&
+        (col("__prev_cap").isNull || col("__c") >= col("__prev_cap")))
+      .agg(min(col("__c")).as("__level")) // unique when B < Σcap; null else
+    ord.crossJoin(broadcast(lvl))
+      .select(col("lang"), col("n_docs"), col("cap"),
+        when(col("__level").isNull, col("cap"))
+          .otherwise(least(col("cap"), col("__level"))).as("alloc"))
+      .withColumn("epochs", col("alloc") / col("n_docs"))
+  }
 }

@@ -1759,7 +1759,45 @@ object TextOps {
        |  CAST(1.0 AS DOUBLE) / s.n_dups AS weight
        |FROM asg a JOIN sz s USING (cluster)""".stripMargin
 
+  // -- q148: UniMax sampling plan (Mix.unimaxPlan) — water-filling the
+  // 2.0-avg-epoch budget over the fixture's real language skew
+  // (en 218 / zh 75 / es 73 / de 70 / fr 64 at sf0.01) with a 3-epoch
+  // cap: small languages saturate at cap, the rest split the remainder
+  // at the water level. Oracle: the identical window-function
+  // formulation (caps ascending; the unique level is the row whose
+  // candidate lies between its neighbors' caps) with every operand
+  // explicitly DOUBLE (DuckDB decimals would break IEEE parity). --
+  private val q148: Q = (s, dir) =>
+    graft.operators.Mix.unimaxPlan(docs(s, dir), "lang",
+      avgEpochs = 2.0, maxEpochs = 3.0)
+  private val q148Sql =
+    """WITH langs AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+      |caps AS (
+      |  SELECT lang, n_docs,
+      |    CAST(n_docs AS DOUBLE) * CAST(3.0 AS DOUBLE) AS cap FROM langs),
+      |ord AS (
+      |  SELECT lang, n_docs, cap,
+      |    CAST(sum(n_docs) OVER () AS DOUBLE) * CAST(2.0 AS DOUBLE) AS budget,
+      |    row_number() OVER (ORDER BY cap, lang) AS r,
+      |    sum(cap) OVER (ORDER BY cap, lang
+      |                   ROWS UNBOUNDED PRECEDING) AS cum,
+      |    count(*) OVER () AS nl,
+      |    lag(cap, 1) OVER (ORDER BY cap, lang) AS prev_cap
+      |  FROM caps),
+      |lvl AS (
+      |  SELECT min(c) AS level FROM (
+      |    SELECT (budget - (cum - cap)) / (nl - r + 1) AS c, cap, prev_cap
+      |    FROM ord)
+      |  WHERE c <= cap AND (prev_cap IS NULL OR c >= prev_cap))
+      |SELECT lang, n_docs, cap,
+      |  CASE WHEN level IS NULL THEN cap ELSE least(cap, level) END AS alloc,
+      |  CASE WHEN level IS NULL THEN cap ELSE least(cap, level) END
+      |    / n_docs AS epochs
+      |FROM ord CROSS JOIN lvl""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q148_unimax_plan" -> q148,
     "q143_line_filter" -> q143,
     "q144_gopher_rules" -> q144,
     "q146_containment" -> q146,
@@ -1814,6 +1852,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q148_unimax_plan" -> q148Sql,
     "q143_line_filter" -> q143Sql,
     "q144_gopher_rules" -> q144Sql,
     "q146_containment" -> q146Sql,

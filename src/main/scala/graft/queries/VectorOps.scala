@@ -1014,7 +1014,79 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
        |  FROM sc) WHERE rn <= 5""".stripMargin
 
+  // -- q149: k-NN graph hubness audit — the ANN failure-mode detector:
+  // in high dimensions a few "hub" vectors appear in everyone's
+  // neighbor list, degrading both search quality and graph-based dedup.
+  // In-degree per node over the q145 graph + the corpus-level degree
+  // histogram; a production run alerts on max_in_degree outliers. One
+  // extra count shuffle over the (already k-bounded) edge list. --
+  private val q149: Q = (s, dir) => {
+    import s.implicits._
+    val g = graft.operators.Similarity.knnGraph(emb(s, dir),
+      "vec_id", "embedding", k = 5, bits = 8, tables = 2)
+    g.groupBy($"vec_id".as("dst"))
+      .agg(count(lit(1)).as("in_degree"))
+      .groupBy($"in_degree")
+      .agg(count(lit(1)).as("n_nodes"), min($"dst").as("min_dst"))
+  }
+  private val q149Sql =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, tbl,
+       |    array_to_string(list_transform(
+       |      list_slice(embedding, 1 + 8 * tbl, 8 + 8 * tbl),
+       |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM embeddings, (SELECT unnest([0, 1]) AS tbl)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM sigs a JOIN sigs b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |sc AS (
+       |  SELECT src, dst, ${dCos("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand JOIN embeddings ea ON src = ea.vec_id
+       |            JOIN embeddings eb ON dst = eb.vec_id),
+       |g AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |    FROM sc) WHERE rn <= 5),
+       |deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_degree
+       |        FROM g GROUP BY 1)
+       |SELECT in_degree, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  min(dst) AS min_dst
+       |FROM deg GROUP BY 1""".stripMargin
+
+  // -- q150: embedding near-dup CLUSTERS — q32's in-bucket cosine pairs
+  // at tau = 0.35 (above the fixture's in-bucket noise floor — its max
+  // in-bucket cosine is ~0.43) closed into connected components (Dedup.clusters min-
+  // label propagation), the embedding-space twin of the text-side q62:
+  // "keep one per cluster" is then a filter. Oracle: the q32 pair SQL +
+  // the recursive-CTE transitive closure — an independent fixpoint
+  // algorithm computing the same components. --
+  private val q150: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = q32(s, dir).filter($"cos" >= 0.35)
+    graft.operators.Dedup.clusters(pairs, "vec_a", "vec_b")
+      .select($"node".as("vec_id"), $"cluster")
+  }
+  private val q150Sql =
+    s"""WITH RECURSIVE
+       |p0 AS ($q32Sql),
+       |pairs AS (SELECT vec_a, vec_b FROM p0 WHERE cos >= 0.35),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |          UNION SELECT vec_b, vec_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |members AS (
+       |  SELECT src AS node, dst AS m FROM reach
+       |  UNION ALL
+       |  SELECT src, src FROM edges)
+       |SELECT node AS vec_id, min(m) AS cluster FROM members GROUP BY node""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q149_knn_hubness" -> q149,
+    "q150_embed_clusters" -> q150,
     "q145_knn_graph" -> q145,
     "q142_vector_pipeline" -> q142,
     "q141_pca_map" -> q141,
@@ -1043,6 +1115,8 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q149_knn_hubness" -> q149Sql,
+    "q150_embed_clusters" -> q150Sql,
     "q145_knn_graph" -> q145Sql,
     "q142_vector_pipeline" -> q142Sql,
     "q141_pca_map" -> q141Sql,

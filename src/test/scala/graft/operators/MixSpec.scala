@@ -22,6 +22,24 @@ class MixSpec extends SparkSpec {
     assert(Mix.sampleByHash(docs, "doc_id", 0.0).count() == 0L)
   }
 
+  test("unimaxPlan water-fills the budget under the epoch cap") {
+    // counts a=1, b=2, c=7; budget = 2.0 * 10 = 20, caps = 3, 6, 21.
+    // Water level: a and b saturate (3 + 6), c takes the rest at 11.
+    val df = (Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(7)("c"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("id", "lang")
+    val out = Mix.unimaxPlan(df, "lang", avgEpochs = 2.0, maxEpochs = 3.0)
+      .select($"lang", $"alloc", $"epochs").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("a") == ((3.0, 3.0)))
+    assert(out("b") == ((6.0, 3.0)))
+    assert(out("c") == ((11.0, 11.0 / 7)))
+    assert(out.values.map(_._1).sum == 20.0, "allocations exhaust the budget")
+    // avgEpochs == maxEpochs: everyone saturates, surplus-free
+    val flat = Mix.unimaxPlan(df, "lang", avgEpochs = 3.0, maxEpochs = 3.0)
+      .select($"lang", $"epochs").as[(String, Double)].collect().toMap
+    assert(flat.values.forall(_ == 3.0))
+  }
+
   test("corpora salts draws per source and tags provenance") {
     val docs = Tables.load(spark, sf("sf0.01"), "documents")
     val mixed = Mix.corpora(Seq(

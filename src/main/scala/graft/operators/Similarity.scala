@@ -69,23 +69,69 @@ object Similarity {
                bits: Int = 8, tables: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     require(tables >= 1 && bits >= 1, s"knnGraph: need >=1 table/bit")
-    val sigs = corpus.select(col(idCol).as("__id"),
+    val s = lshSigs(corpus, idCol, embCol, bits, tables)
+    keepTopK(scoreCandidates(bucketJoin(s, s), corpus, idCol, embCol), idCol, k)
+  }
+
+  /** Incremental [[knnGraph]] maintenance — the ANN-graph member of the
+    * incremental-store family: merge a NEW vector batch into an existing
+    * graph WITHOUT re-scoring old×old pairs. Only pairs touching the
+    * batch are generated (new×all in both directions); the merged edge
+    * list re-cuts each node's top k. Because LSH candidate generation is
+    * pairwise-independent and top-k(top-k(A) ∪ B) = top-k(A ∪ B) under
+    * the total (score desc, id asc) order, the result is IDENTICAL to
+    * rebuilding from scratch — pinned by q151's from-scratch oracle and
+    * KnnGraphSpec's differential.
+    *
+    * Scale posture: per append, cost is |batch|-proportional (batch sigs
+    * shuffle against the corpus sigs on the bucket key, never old×old);
+    * the old graph contributes k·|old| rows to the final heap re-cut. */
+  def knnGraphAppend(oldGraph: DataFrame, oldCorpus: DataFrame,
+                     newBatch: DataFrame, idCol: String, embCol: String,
+                     k: Int, bits: Int = 8, tables: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(oldCorpus.sparkSession)
+    val all = oldCorpus.select(col(idCol), col(embCol))
+      .unionByName(newBatch.select(col(idCol), col(embCol)))
+    val sAll = lshSigs(all, idCol, embCol, bits, tables)
+    val sNew = lshSigs(newBatch, idCol, embCol, bits, tables)
+    // new×new pairs appear in both joins — distinct, or the heap would
+    // count a duplicated best neighbor twice and shift the k-th slot
+    val touching = bucketJoin(sNew, sAll)
+      .unionByName(bucketJoin(sAll, sNew))
+      .distinct()
+    val merged = oldGraph.select(col("q_id"), col(idCol), col("cos"))
+      .unionByName(scoreCandidates(touching, all, idCol, embCol))
+    keepTopK(merged, idCol, k)
+  }
+
+  /** (id, table, bucket) sign-LSH signature frame: one row per vector
+    * per hash table, table t reading coordinate slice [t·bits, (t+1)·bits). */
+  private def lshSigs(corpus: DataFrame, idCol: String, embCol: String,
+                      bits: Int, tables: Int): DataFrame =
+    corpus.select(col(idCol).as("__id"),
       posexplode(array((0 until tables).map(t =>
         Vectors.signBucketAt(col(embCol), bits, t * bits)): _*))
         .as(Seq("__tbl", "__bucket")))
-    val cand = sigs.select(col("__id").as("q_id"), col("__tbl"), col("__bucket"))
-      .join(sigs.select(col("__id").as("__dst"), col("__tbl"), col("__bucket")),
+
+  /** Distinct candidate id pairs sharing any table's bucket. */
+  private def bucketJoin(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("__id").as("q_id"), col("__tbl"), col("__bucket"))
+      .join(b.select(col("__id").as("__dst"), col("__tbl"), col("__bucket")),
         Seq("__tbl", "__bucket"))
       .filter(col("q_id") =!= col("__dst"))
       .select(col("q_id"), col("__dst"))
       .distinct()
+
+  /** Exact cosine for candidate pairs: embeddings re-attached by two
+    * id-keyed joins (never carried through the pair blow-up). */
+  private def scoreCandidates(cand: DataFrame, corpus: DataFrame,
+                              idCol: String, embCol: String): DataFrame = {
     val emb = corpus.select(col(idCol), col(embCol))
-    val scored = cand
+    cand
       .join(emb.select(col(idCol).as("q_id"), col(embCol).as("__emb_a")), Seq("q_id"))
       .join(emb.select(col(idCol).as("__dst"), col(embCol).as("__emb_b")), Seq("__dst"))
       .select(col("q_id"), col("__dst").as(idCol),
         Vectors.cosine(col("__emb_a"), col("__emb_b")).as("cos"))
-    keepTopK(scored, idCol, k)
   }
 
   /** Brute-force cosine top-k: every (query, corpus) pair scored map-side

@@ -1084,7 +1084,29 @@ object VectorOps {
        |  SELECT src, src FROM edges)
        |SELECT node AS vec_id, min(m) AS cluster FROM members GROUP BY node""".stripMargin
 
+  // -- q151: incremental k-NN graph append (Similarity.knnGraphAppend)
+  // — builds the graph over 80% of the corpus, then merges the held-out
+  // 20% batch WITHOUT re-scoring old×old pairs. The oracle is q145's
+  // FROM-SCRATCH SQL verbatim: LSH candidate generation is pairwise-
+  // independent and top-k(top-k(A) ∪ B) = top-k(A ∪ B) under the total
+  // tie order, so the incremental result must hash-match the full
+  // rebuild — the strongest possible check on the append path. --
+  private val q151: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val old = e.filter($"vec_id" % 5 =!= 0)
+    val batch = e.filter($"vec_id" % 5 === 0)
+    val g0 = graft.operators.Similarity.knnGraph(old, "vec_id", "embedding",
+      k = 5, bits = 8, tables = 2)
+    graft.operators.Similarity.knnGraphAppend(g0, old, batch,
+      "vec_id", "embedding", k = 5, bits = 8, tables = 2)
+      .select($"q_id".as("src"), $"vec_id".as("dst"),
+        round($"cos", 6).as("cos"))
+  }
+  private val q151Sql = q145Sql
+
   val queries: Map[String, Q] = Map(
+    "q151_knn_append" -> q151,
     "q149_knn_hubness" -> q149,
     "q150_embed_clusters" -> q150,
     "q145_knn_graph" -> q145,
@@ -1115,6 +1137,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q151_knn_append" -> q151Sql,
     "q149_knn_hubness" -> q149Sql,
     "q150_embed_clusters" -> q150Sql,
     "q145_knn_graph" -> q145Sql,

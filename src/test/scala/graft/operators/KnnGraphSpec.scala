@@ -24,6 +24,18 @@ class KnnGraphSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("knnGraphAppend == from-scratch rebuild (both append orders)") {
+    def full = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+    for (r <- Seq(0L, 3L)) {
+      val old = emb.filter($"vec_id" % 4 =!= r)
+      val batch = emb.filter($"vec_id" % 4 === r)
+      val g0 = Similarity.knnGraph(old, "vec_id", "embedding", k = 5)
+      val inc = Similarity.knnGraphAppend(g0, old, batch, "vec_id", "embedding", k = 5)
+      assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+        s"incremental graph diverged from rebuild for residue $r")
+    }
+  }
+
   test("knnGraph recall against brute force is monotone in hash tables") {
     def edges(tables: Int): Set[(Long, Long)] =
       Similarity.knnGraph(emb, "vec_id", "embedding", k = 5, tables = tables)

@@ -7,7 +7,9 @@ import graft.functions.Text
 import graft.operators.Splits
 
 /** The training-data prep pipeline (batch form: q64) as a plan that is
-  * valid in BOTH batch and streaming: fingerprint dedup, quality filter,
+  * valid in BOTH batch and streaming: optional C4 line-level cleaning
+  * ([[graft.operators.LineFilter]]), fingerprint dedup, quality filter,
+  * optional Gopher rule gate ([[graft.operators.Quality.gopherFlags]]),
   * content-addressed split, over a continuously arriving document
   * stream.
   *
@@ -37,8 +39,16 @@ object DocPrep {
            maxDupFraction: Double = 0.75, maxTopFraction: Double = 0.5,
            classifierWeights: Option[Map[Int, Double]] = None,
            classifierBias: Double = 0.0, classifierDim: Int = 32,
-           classifierTau: Double = 0.5): DataFrame = {
-    val fingerprinted = docs.withColumn("__fp", Text.fingerprint(col(textCol)))
+           classifierTau: Double = 0.5,
+           lineClean: Boolean = false, gopher: Boolean = false): DataFrame = {
+    // optional C4 line-level cleaning FIRST (it rewrites the text the
+    // fingerprint dedups on): stateless split/filter/reassemble, so the
+    // same call is valid in batch and streaming plans
+    val cleaned =
+      if (lineClean)
+        graft.operators.LineFilter.cleanDocs(docs, textCol).drop("n_lines_kept")
+      else docs
+    val fingerprinted = cleaned.withColumn("__fp", Text.fingerprint(col(textCol)))
     // dropDuplicatesWithinWatermark exists only in streaming plans; the
     // batch twin keeps the earliest-tsCol row per fingerprint — the same
     // winner a stream picks when ingest order follows tsCol
@@ -57,10 +67,19 @@ object DocPrep {
     // optional trained-quality gate: Classifier.gate is a narrow filter
     // on the score column (no join, no state), so the same call is valid
     // here in BOTH batch and streaming plans
+    // optional Gopher rule gate: one narrow integer-exact projection +
+    // filter (operators.Quality.gopherFlags), stateless in any plan
+    val ruled =
+      if (gopher)
+        graft.operators.Quality.gopherFlags(unrepetitive, textCol)
+          .where(col("keep"))
+          .drop("n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
+            "n_stop", "keep")
+      else unrepetitive
     val gated = classifierWeights match {
-      case Some(w) => graft.operators.Classifier.gate(unrepetitive, textCol,
+      case Some(w) => graft.operators.Classifier.gate(ruled, textCol,
         idCol, w, classifierBias, classifierDim, classifierTau)
-      case None => unrepetitive
+      case None => ruled
     }
     Splits.assign(gated, idCol)
       .select(col(idCol), col(tsCol), col("n_tokens"), col("split"))

@@ -67,6 +67,37 @@ class DocPrepSpec extends SparkSpec {
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
 
+  test("line-clean + gopher gates: stream == batch, stateless in-stream") {
+    val src = Files.createTempDirectory("dp2_src").toString
+    val out = Files.createTempDirectory("dp2_out").toString
+    val ckpt = Files.createTempDirectory("dp2_ckpt").toString
+    def lined(seed: Int): String =
+      (0 until 3).map(l => s"the quick tok${seed}_$l line of words number $l.")
+        .mkString("\n")
+    val rows = Seq(
+      (1L, lined(1), ts(0)),                            // passes everything
+      (2L, lined(2) + "\njunk line", ts(1)),            // junk line stripped, doc passes
+      (3L, "no punctuation line here\nanother bad", ts(2)), // 0 lines survive
+      (4L, lined(4) + "\n" + ("# " * 40) + "#.", ts(3)) // survives line rules, gopher symbol ratio kills it
+    ).toDF("doc_id", "text", "ingest_ts")
+    rows.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(rows.schema).parquet(src)
+    val q = DocPrep.prep(stream, lineClean = true, gopher = true).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+    assert(streamed.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    val viaBatch = DocPrep.prep(rows, lineClean = true, gopher = true)
+      .drop("ingest_ts")
+    val streamedInv = streamed.drop("ingest_ts")
+    assert(streamedInv.exceptAll(viaBatch).isEmpty &&
+      viaBatch.exceptAll(streamedInv).isEmpty)
+  }
+
   test("optional classifier gate: stream == batch, and the gate actually bites") {
     import org.apache.spark.sql.functions._
     val src = Files.createTempDirectory("dpc_src").toString

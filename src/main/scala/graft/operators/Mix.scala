@@ -130,11 +130,21 @@ object Mix {
     * bit-reproducible in any engine. The corpus itself contributes one
     * map-side-combined count. */
   def unimaxPlan(df: DataFrame, langCol: String,
-                 avgEpochs: Double = 2.0, maxEpochs: Double = 3.0): DataFrame = {
+                 avgEpochs: Double = 2.0, maxEpochs: Double = 3.0): DataFrame =
+    unimaxPlanBy(df, langCol, lit(1L), avgEpochs, maxEpochs)
+
+  /** [[unimaxPlan]] with a per-ROW mass column instead of a document
+    * count — the budget a trainer actually allocates is TOKENS, so pass
+    * the token count (`n_docs`/`cap`/`alloc` are then token masses and
+    * `epochs` stays a pure ratio). Any non-negative integral weight
+    * keeps the exact-arithmetic parity contract (sums stay exact
+    * integers below 2^53). */
+  def unimaxPlanBy(df: DataFrame, langCol: String, weight: Column,
+                   avgEpochs: Double = 2.0, maxEpochs: Double = 3.0): DataFrame = {
     require(avgEpochs > 0 && maxEpochs > 0 && maxEpochs >= avgEpochs,
       s"unimaxPlan: need 0 < avgEpochs <= maxEpochs, got $avgEpochs/$maxEpochs")
     val langs = df.groupBy(col(langCol).as("lang"))
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(sum(weight.cast("long")).as("n_docs"))
       .withColumn("cap", col("n_docs") * lit(maxEpochs))
     val byCap = org.apache.spark.sql.expressions.Window
       .orderBy(col("cap"), col("lang"))

@@ -1801,7 +1801,116 @@ object TextOps {
       |    / n_docs AS epochs
       |FROM ord CROSS JOIN lvl""".stripMargin
 
+  // -- q152: split-leakage check — the audit that motivates q154: under
+  // the NAIVE per-doc content-addressed split (q52), near-dup twins land
+  // in different splits and leak train data into eval. Reports every
+  // cross-split near-dup pair (q22 candidates + split labels); a clean
+  // corpus/split pair returns zero rows. Cost: two broadcast-size joins
+  // onto the LSH pair minority. --
+  private val q152: Q = (s, dir) => {
+    import s.implicits._
+    val sp = graft.operators.Splits.assign(
+      docs(s, dir).select($"doc_id"), "doc_id").select($"doc_id", $"split")
+    q22(s, dir)
+      .join(sp.toDF("doc_a", "split_a"), Seq("doc_a"))
+      .join(sp.toDF("doc_b", "split_b"), Seq("doc_b"))
+      .filter($"split_a" =!= $"split_b")
+      .select($"doc_a", $"doc_b", $"split_a", $"split_b")
+  }
+  private val q152Sql =
+    s"""WITH pairs AS ($q22Sql),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    TRY_CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bk
+       |  FROM documents))
+       |SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b
+       |FROM pairs p JOIN sp a ON p.doc_a = a.doc_id
+       |             JOIN sp b ON p.doc_b = b.doc_id
+       |WHERE a.split <> b.split""".stripMargin
+
+  // -- q153: TOKEN-weighted UniMax plan (Mix.unimaxPlanBy) — the budget
+  // a trainer allocates is tokens, not documents: per-language mass is
+  // sum(token count), caps and the water level follow in token units,
+  // epochs stays a pure ratio. Same window formulation as q148; masses
+  // remain exact integers so the parity contract holds unchanged. --
+  private val q153: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Mix.unimaxPlanBy(docs(s, dir), "lang",
+      size(Text.tokens($"text")), avgEpochs = 2.0, maxEpochs = 3.0)
+  }
+  private val q153Sql =
+    s"""WITH langs AS (
+       |  SELECT lang, CAST(sum(len($dTok)) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1),
+       |caps AS (
+       |  SELECT lang, n_docs,
+       |    CAST(n_docs AS DOUBLE) * CAST(3.0 AS DOUBLE) AS cap FROM langs),
+       |ord AS (
+       |  SELECT lang, n_docs, cap,
+       |    CAST(sum(n_docs) OVER () AS DOUBLE) * CAST(2.0 AS DOUBLE) AS budget,
+       |    row_number() OVER (ORDER BY cap, lang) AS r,
+       |    sum(cap) OVER (ORDER BY cap, lang
+       |                   ROWS UNBOUNDED PRECEDING) AS cum,
+       |    count(*) OVER () AS nl,
+       |    lag(cap, 1) OVER (ORDER BY cap, lang) AS prev_cap
+       |  FROM caps),
+       |lvl AS (
+       |  SELECT min(c) AS level FROM (
+       |    SELECT (budget - (cum - cap)) / (nl - r + 1) AS c, cap, prev_cap
+       |    FROM ord)
+       |  WHERE c <= cap AND (prev_cap IS NULL OR c >= prev_cap))
+       |SELECT lang, n_docs, cap,
+       |  CASE WHEN level IS NULL THEN cap ELSE least(cap, level) END AS alloc,
+       |  CASE WHEN level IS NULL THEN cap ELSE least(cap, level) END
+       |    / n_docs AS epochs
+       |FROM ord CROSS JOIN lvl""".stripMargin
+
+  // -- q154: leakage-safe splits — the q152 fix: assign the split from
+  // the near-dup CLUSTER id (Dedup.clusters min-label + singleton
+  // fallback to own id), so every near-dup twin lands in the same split
+  // by construction; content-addressing is preserved (md5 of the
+  // cluster id), so assignments stay rerun/cluster-size stable. --
+  private val q154: Q = (s, dir) => {
+    import s.implicits._
+    val cl = graft.operators.Dedup.clusters(q22(s, dir), "doc_a", "doc_b")
+      .select($"node".as("doc_id"), $"cluster")
+    val asg = docs(s, dir).select($"doc_id")
+      .join(cl, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster", $"doc_id").as("cluster"))
+    graft.operators.Splits.assign(asg, "cluster")
+      .select($"doc_id", $"cluster", $"split")
+  }
+  private val q154Sql =
+    s"""WITH RECURSIVE
+       |pairs AS ($q22Sql),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |members AS (
+       |  SELECT src AS node, dst AS m FROM reach
+       |  UNION ALL
+       |  SELECT src, src FROM edges),
+       |clusters AS (SELECT node, min(m) AS cluster FROM members GROUP BY node),
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node)
+       |SELECT doc_id, cluster,
+       |  CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, cluster,
+       |  TRY_CAST('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bk
+       |  FROM asg)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q152_split_leakage" -> q152,
+    "q153_unimax_tokens" -> q153,
+    "q154_cluster_split" -> q154,
     "q148_unimax_plan" -> q148,
     "q143_line_filter" -> q143,
     "q144_gopher_rules" -> q144,
@@ -1857,6 +1966,9 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q152_split_leakage" -> q152Sql,
+    "q153_unimax_tokens" -> q153Sql,
+    "q154_cluster_split" -> q154Sql,
     "q148_unimax_plan" -> q148Sql,
     "q143_line_filter" -> q143Sql,
     "q144_gopher_rules" -> q144Sql,

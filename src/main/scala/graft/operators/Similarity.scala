@@ -104,6 +104,30 @@ object Similarity {
     keepTopK(merged, idCol, k)
   }
 
+  /** [[knnGraph]] with `bits` SIZED FROM THE CORPUS — the executable
+    * form of the sizing contract the round-11 scale study measured
+    * (fixture-sized 8 bits at 200 k vectors ⇒ n²/2^8 candidate pairs
+    * and a >10-minute run; 16 bits ⇒ 2.6 s): bits = ⌈log₂(n /
+    * targetBucket)⌉ keeps the expected bucket population at
+    * `targetBucket` whatever the corpus size, clamped so `tables`
+    * disjoint slices still fit the embedding dimension. One count job
+    * up front (the autoBloomBits precedent — driver state is one long).
+    *
+    * The result depends on n through the sizing, so unlike [[knnGraph]]
+    * it is not oracle-pinnable at a fixed geometry; KnnGraphSpec pins
+    * auto == manual at the size the formula selects. */
+  def knnGraphAuto(corpus: DataFrame, idCol: String, embCol: String, k: Int,
+                   targetBucket: Int = 64, tables: Int = 2): DataFrame = {
+    require(targetBucket >= 1, s"knnGraphAuto: targetBucket >= 1")
+    val n = corpus.count()
+    val dim = corpus.select(size(col(embCol))).head().getInt(0)
+    val wanted = math.max(1,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt)
+    val bits = math.min(wanted, math.max(1, dim / tables))
+    knnGraph(corpus, idCol, embCol, k, bits, tables)
+  }
+
   /** (id, table, bucket) sign-LSH signature frame: one row per vector
     * per hash table, table t reading coordinate slice [t·bits, (t+1)·bits). */
   private def lshSigs(corpus: DataFrame, idCol: String, embCol: String,

@@ -1907,7 +1907,35 @@ object TextOps {
        |  TRY_CAST('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bk
        |  FROM asg)""".stripMargin
 
+  // -- q155: winnowing fingerprints (Winnow.fingerprints) — the MOSS
+  // selection rule over 4-gram md5 hashes with window 4: per-window
+  // leftmost minimum, adjacent duplicates collapsed, guaranteeing any
+  // shared run of >= w+k-1 tokens shares a fingerprint (the bounded-miss
+  // upgrade over q29's global mod-p sampling). Oracle: identical list
+  // algebra — range windows, list_slice, 'min' fold, list_position —
+  // over the same md5 hex strings (lexicographic min is byte-identical
+  // cross-engine on hex). --
+  private val q155: Q = (s, dir) =>
+    graft.operators.Winnow.fingerprints(docs(s, dir), "text", "doc_id",
+      k = 4, w = 4)
+  private val q155Sql = {
+    val tk = dTok
+    s"""WITH hs AS (
+       |  SELECT doc_id, list_transform(${dShingles(tk, 4)}, x -> md5(x)) AS hs
+       |  FROM documents),
+       |sel AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(hs) - 4 + 2),
+       |    i -> {'pos': i - 1 + list_position(list_slice(hs, i, i + 3),
+       |                     list_aggregate(list_slice(hs, i, i + 3), 'min')),
+       |          'fp': list_aggregate(list_slice(hs, i, i + 3), 'min')})) AS s
+       |  FROM hs WHERE len(hs) >= 4)
+       |SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fp AS fp
+       |FROM sel""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q155_winnow_fp" -> q155,
     "q152_split_leakage" -> q152,
     "q153_unimax_tokens" -> q153,
     "q154_cluster_split" -> q154,
@@ -1966,6 +1994,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q155_winnow_fp" -> q155Sql,
     "q152_split_leakage" -> q152Sql,
     "q153_unimax_tokens" -> q153Sql,
     "q154_cluster_split" -> q154Sql,

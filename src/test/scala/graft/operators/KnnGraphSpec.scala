@@ -36,6 +36,33 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("knnGraphAuto sizes bits from the corpus and matches the manual call") {
+    val n = emb.count()
+    val target = 8
+    val wanted = math.max(1,
+      math.ceil(math.log(n.toDouble / target) / math.log(2.0)).toInt)
+    val auto = Similarity.knnGraphAuto(emb, "vec_id", "embedding", k = 5,
+      targetBucket = target)
+    val manual = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+      bits = math.min(wanted, 32))
+    assert(auto.exceptAll(manual).isEmpty && manual.exceptAll(auto).isEmpty)
+  }
+
+  test("knnGraph top-k runs as the heap aggregate, not a window sort") {
+    val plan = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan
+    val aggs = collectPlan(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.exists(_.aggregateExpressions.exists(
+      _.aggregateFunction.isInstanceOf[graft.functions.TopKByScore])),
+      "per-node cut must be the graft_topk heap")
+    val windows = collectPlan(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "no window sort in the k-NN graph plan")
+  }
+
   test("knnGraph recall against brute force is monotone in hash tables") {
     def edges(tables: Int): Set[(Long, Long)] =
       Similarity.knnGraph(emb, "vec_id", "embedding", k = 5, tables = tables)

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Winnowing fingerprints: the w+k−1 sharing guarantee, adjacent-window
+  * dedup, and the short-document boundary. */
+class WinnowSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("any shared run of >= w + k - 1 tokens shares a fingerprint") {
+    // k=4, w=4: guarantee threshold is 7 tokens. The two docs share an
+    // 8-token run embedded in different surroundings.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"one two three $shared x y z"),
+      (2L, s"$shared completely different tail words here")
+    ).toDF("id", "text")
+    val fp = Winnow.fingerprints(df, "text", "id").cache()
+    val a = fp.filter($"id" === 1L).select($"fp").as[String].collect().toSet
+    val b = fp.filter($"id" === 2L).select($"fp").as[String].collect().toSet
+    assert((a & b).nonEmpty, "shared 8-token run must share a fingerprint")
+    fp.unpersist()
+  }
+
+  test("selected positions are in-range minima; adjacent dups collapse") {
+    val df = Seq((1L, (1 to 12).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    // 12 tokens, k=4 -> 9 grams; w=4 -> 6 windows but <= 6 distinct picks
+    val rows = Winnow.fingerprints(df, "text", "id")
+      .select($"pos").as[Long].collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    assert(rows.forall(p => p >= 1 && p <= 9))
+    assert(rows.distinct.length == rows.length, "duplicates must collapse")
+  }
+
+  test("documents with fewer than w k-grams emit nothing") {
+    val df = Seq((1L, "a b c d e f")).toDF("id", "text") // 3 grams < w=4
+    assert(Winnow.fingerprints(df, "text", "id").isEmpty)
+  }
+}

@@ -1934,7 +1934,40 @@ object TextOps {
        |FROM sel""".stripMargin
   }
 
+  // -- q156: Jelinek-Mercer interpolated bigram scoring
+  // (LangModel.interpolatedLogProb, lambda = 0.7) — the smoothing the
+  // held-out case needs: ln(0.7 P_ML(w2|w1) + 0.3 P_uni(w2)). All
+  // probabilities are exact-integer ratios; (1 - lambda) is written as
+  // the IEEE subtraction in BOTH engines (1.0 - 0.7 is NOT the literal
+  // 0.3 in binary), so model scores match bit-for-bit before the shared
+  // 6-dp mean round (the q87 device). --
+  private val q156: Q = (s, dir) =>
+    graft.operators.LangModel.interpolatedLogProb(docs(s, dir), "text", "doc_id")
+  private val q156Sql = {
+    val tk = dTok
+    s"""WITH toks AS (SELECT doc_id, unnest($tk) AS t FROM documents),
+       |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uni),
+       |bis AS (SELECT doc_id, unnest(${dShingles(tk, 2)}) AS bg FROM documents),
+       |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bis GROUP BY 1),
+       |lm AS (
+       |  SELECT bi.bg,
+       |    ln(CAST(0.7 AS DOUBLE) * (CAST(bi.c2 AS DOUBLE) / u1.c1)
+       |       + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+       |         * (CAST(u2.c1 AS DOUBLE) / tot.n)) AS lp
+       |  FROM bi JOIN uni u1 ON split_part(bi.bg, ' ', 1) = u1.t
+       |          JOIN uni u2 ON split_part(bi.bg, ' ', 2) = u2.t
+       |          CROSS JOIN tot),
+       |per AS (
+       |  SELECT bis.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    round(avg(lm.lp), 6) AS avg_lp_jm
+       |  FROM bis JOIN lm USING (bg) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams, per.avg_lp_jm
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q156_interp_lm" -> q156,
     "q155_winnow_fp" -> q155,
     "q152_split_leakage" -> q152,
     "q153_unimax_tokens" -> q153,
@@ -1994,6 +2027,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q156_interp_lm" -> q156Sql,
     "q155_winnow_fp" -> q155Sql,
     "q152_split_leakage" -> q152Sql,
     "q153_unimax_tokens" -> q153Sql,

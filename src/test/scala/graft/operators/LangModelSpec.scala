@@ -8,6 +8,19 @@ class LangModelSpec extends SparkSpec {
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("interpolated scores match the hand-built Jelinek-Mercer model") {
+    // tokens: doc1 [a b a b], doc2 [a a] -> uni a=4 b=2, N=6
+    // bigrams: doc1 "a b"x2 "b a"x1, doc2 "a a"x1
+    val df = Seq((1L, "a b a b"), (2L, "a a")).toDF("doc_id", "text")
+    val out = LangModel.interpolatedLogProb(df, "text", "doc_id", lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val lpAB = math.log(0.7 * (2.0 / 4) + (1.0 - 0.7) * (2.0 / 6))
+    val lpBA = math.log(0.7 * (1.0 / 2) + (1.0 - 0.7) * (4.0 / 6))
+    val lpAA = math.log(0.7 * (1.0 / 4) + (1.0 - 0.7) * (4.0 / 6))
+    assert(out(1L) == ((3L, r6((lpAB * 2 + lpBA) / 3))))
+    assert(out(2L) == ((1L, r6(lpAA))))
+  }
+
   test("scores match the hand-built add-one bigram model") {
     // unigrams: a=3 b=2 solo=1 -> V=3
     // bigrams:  "a b"=1, "b a"=2

@@ -43,6 +43,45 @@ object LineFilter {
       (size(words) >= minWords) && ln.rlike("[.!?]\"?$") && noBlock
     })
 
+  /** Corpus-level boilerplate line removal (the RefinedWeb/FineWeb
+    * repeated-line rule, complementing [[Dedup.segmentDedup]]'s
+    * keep-first policy): a line whose exact content appears in at least
+    * `minDf` DISTINCT documents is boilerplate — cookie banners,
+    * navigation, license headers — and is dropped from EVERY document
+    * (first occurrence included; a banner has no rightful owner).
+    * Reassembles `textCol` in order and adds `n_lines_kept` /
+    * `n_boiler_dropped`.
+    *
+    * Scale posture: lines shuffle ONCE as 16-byte md5 keys for the
+    * distinct-document-frequency count (map-side combined); the df
+    * frame joins back onto the line stream and the rebuild is one
+    * groupBy(id) with document-bounded state. Text itself never keys a
+    * shuffle. */
+  def dropBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                      minDf: Int = 10): DataFrame = {
+    require(minDf >= 2, s"dropBoilerplate: minDf >= 2, got $minDf")
+    val others = df.columns.filter(c => c != idCol && c != textCol)
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("__i", "__ln")))
+      .withColumn("__h", md5(col("__ln")))
+    val boiler = lines.groupBy(col("__h"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"), lit(true).as("__boiler"))
+    val rebuilt = lines
+      .join(boiler, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(array_sort(collect_list(when(col("__boiler").isNull,
+          struct(col("__i"), col("__ln"))))).getField("__ln"), "\n")
+          .as(textCol),
+        count(when(col("__boiler").isNull, 1)).cast("long").as("n_lines_kept"),
+        count(col("__boiler")).cast("long").as("n_boiler_dropped"))
+    df.select(col(idCol) +: others.map(col): _*)
+      .join(rebuilt, Seq(idCol), "left")
+  }
+
   /** Clean every document: drops failing lines, reassembles `textCol`
     * (newline-joined), adds `n_lines_kept`, and drops documents with
     * fewer than `minLines` surviving lines or a doc-blocklist hit. */

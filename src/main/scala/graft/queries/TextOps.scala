@@ -1661,10 +1661,11 @@ object TextOps {
   // 600-char word (mean word length), %5==4 truncates to 3 words (word
   // count); %5==2 stays clean. Every signal is an integer-exact fold, so
   // the doubles hash bit-for-bit. --
-  private val q144: Q = (s, dir) => {
+  /** The q144/q157 shared fixture decoration + Gopher flags, lang kept. */
+  private def gopherDecorated(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tk = Text.tokens($"text")
-    val raw = docs(s, dir).select($"doc_id",
+    val raw = docs(s, dir).select($"doc_id", $"lang",
       when($"doc_id" % 5 === 0, concat($"text", lit(" # # # # # # # #")))
         .when($"doc_id" % 5 === 1,
           concat($"text", lit(" 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9")))
@@ -1672,23 +1673,28 @@ object TextOps {
         .when($"doc_id" % 5 === 4, array_join(slice(tk, 1, 3), " "))
         .otherwise($"text").as("text"))
     graft.operators.Quality.gopherFlags(raw, "text")
+  }
+  private val q144: Q = (s, dir) => {
+    import s.implicits._
+    gopherDecorated(s, dir)
       .select($"doc_id", $"n_words", $"mean_word_len", $"symbol_ratio",
         $"alpha_frac", $"n_stop", $"keep")
   }
-  private val q144Sql = {
+  /** The q144/q157 shared CTE chain (decoration + signals + keep). */
+  private val gopherCtes = {
     val tk = dTok
-    s"""WITH tkt AS (SELECT doc_id, text, $tk AS tk0 FROM documents),
+    s"""tkt AS (SELECT doc_id, lang, text, $tk AS tk0 FROM documents),
        |raw AS (
-       |  SELECT doc_id, CASE
+       |  SELECT doc_id, lang, CASE
        |    WHEN doc_id % 5 = 0 THEN text || ' # # # # # # # #'
        |    WHEN doc_id % 5 = 1 THEN text || ' 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9'
        |    WHEN doc_id % 5 = 3 THEN text || ' ' || repeat('z', 600)
        |    WHEN doc_id % 5 = 4 THEN array_to_string(list_slice(tk0, 1, 3), ' ')
        |    ELSE text END AS text
        |  FROM tkt),
-       |g AS (SELECT doc_id, text, $tk AS tk FROM raw),
-       |st AS (
-       |  SELECT doc_id,
+       |g AS (SELECT doc_id, lang, text, $tk AS tk FROM raw),
+       |st0 AS (
+       |  SELECT doc_id, lang,
        |    CAST(len(tk) AS BIGINT) AS n_words,
        |    CAST(list_aggregate(list_transform(tk, w -> len(w)), 'sum') AS DOUBLE)
        |      / CAST(len(tk) AS BIGINT) AS mean_word_len,
@@ -1699,13 +1705,19 @@ object TextOps {
        |      / CAST(len(tk) AS BIGINT) AS alpha_frac,
        |    CAST(len(list_filter(tk, w -> w IN
        |      ('the','be','to','of','and','that','have','with','a','in'))) AS BIGINT) AS n_stop
-       |  FROM g)
-       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop,
-       |  (n_words >= 10 AND n_words <= 100000
-       |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-       |   AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
-       |FROM st""".stripMargin
+       |  FROM g),
+       |st AS (
+       |  SELECT *,
+       |    (n_words >= 10 AND n_words <= 100000
+       |     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |     AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+       |  FROM st0)""".stripMargin
   }
+  private val q144Sql =
+    s"""WITH $gopherCtes
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+       |  n_stop, keep
+       |FROM st""".stripMargin
 
   // -- q146: containment-verified near-dup pairs (Dedup.containmentVerified)
   // — the q88 verification stage re-scored with the ASYMMETRIC containment
@@ -1966,7 +1978,84 @@ object TextOps {
        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id""".stripMargin
   }
 
+  // -- q157: per-language curation report over the q144 Gopher flags —
+  // the observability face of the rule gate: keep rate and exact signal
+  // masses per language (counts and sums are exact integers; kept_rate
+  // is one exact-long ratio), the per-slice audit a curation run ships
+  // with. Shares q144's decorated frame and CTE chain verbatim. --
+  private val q157: Q = (s, dir) => {
+    import s.implicits._
+    gopherDecorated(s, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"keep", 1)).as("n_kept"),
+        sum($"n_words").as("sum_words"),
+        sum($"n_stop").as("sum_stop"))
+      .withColumn("kept_rate", $"n_kept".cast("double") / $"n_docs")
+  }
+  private val q157Sql =
+    s"""WITH $gopherCtes
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+       |  CAST(sum(n_stop) AS BIGINT) AS sum_stop,
+       |  CAST(count(*) FILTER (WHERE keep) AS DOUBLE) / count(*) AS kept_rate
+       |FROM st GROUP BY 1""".stripMargin
+
+  // -- q158: corpus-level boilerplate line removal
+  // (LineFilter.dropBoilerplate) — the RefinedWeb repeated-line rule: a
+  // line present in >= 10 distinct documents (here: a cookie banner
+  // injected into every doc) is dropped from ALL of them, unlike
+  // q136's keep-first segment policy. Oracle: zipped unnests for line
+  // positions (the q91 recipe), distinct-doc df per md5(line), ordered
+  // list rebuild. --
+  private val q158: Q = (s, dir) => {
+    import s.implicits._
+    val tk = $"__tk"
+    val raw = docs(s, dir)
+      .select($"doc_id", Text.tokens($"text").as("__tk"))
+      .select($"doc_id", concat(lit("accept all cookies to continue.\n"),
+        array_join(transform(sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
+          i => concat(array_join(slice(tk, i * 6 + 1, lit(6)), " "), lit("."))),
+          "\n")).as("text"))
+    graft.operators.LineFilter.dropBoilerplate(raw, "text", "doc_id", minDf = 10)
+      .select($"doc_id", md5($"text").as("clean_md5"),
+        $"n_lines_kept", $"n_boiler_dropped")
+  }
+  private val q158Sql = {
+    val tk = dTok
+    s"""WITH tkt AS (SELECT doc_id, $tk AS tk FROM documents),
+       |raw AS (
+       |  SELECT doc_id, 'accept all cookies to continue.' || chr(10) ||
+       |    array_to_string(list_transform(range(0, ((len(tk) - 1) // 6) + 1),
+       |      i -> array_to_string(list_slice(tk, i * 6 + 1, i * 6 + 6), ' ') || '.'),
+       |      chr(10)) AS text
+       |  FROM tkt),
+       |lines AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(text, chr(10))) AS ln,
+       |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+       |  FROM raw),
+       |dfreq AS (SELECT md5(ln) AS h, count(DISTINCT doc_id) AS cnt
+       |          FROM lines GROUP BY 1),
+       |keep AS (
+       |  SELECT l.doc_id, l.i, l.ln
+       |  FROM lines l JOIN dfreq d ON md5(l.ln) = d.h WHERE d.cnt < 10),
+       |reb AS (
+       |  SELECT doc_id, array_to_string(list(ln ORDER BY i), chr(10)) AS text,
+       |    CAST(count(*) AS BIGINT) AS n_lines_kept
+       |  FROM keep GROUP BY 1),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tot
+       |        FROM lines GROUP BY 1)
+       |SELECT t.doc_id, md5(COALESCE(reb.text, '')) AS clean_md5,
+       |  COALESCE(reb.n_lines_kept, 0) AS n_lines_kept,
+       |  t.n_tot - COALESCE(reb.n_lines_kept, 0) AS n_boiler_dropped
+       |FROM tot t LEFT JOIN reb USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q157_gopher_report" -> q157,
+    "q158_boilerplate_lines" -> q158,
     "q156_interp_lm" -> q156,
     "q155_winnow_fp" -> q155,
     "q152_split_leakage" -> q152,
@@ -2027,6 +2116,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q157_gopher_report" -> q157Sql,
+    "q158_boilerplate_lines" -> q158Sql,
     "q156_interp_lm" -> q156Sql,
     "q155_winnow_fp" -> q155Sql,
     "q152_split_leakage" -> q152Sql,

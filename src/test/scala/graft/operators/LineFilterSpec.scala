@@ -40,6 +40,23 @@ class LineFilterSpec extends SparkSpec {
     assert(out == Seq((1L, "aa bb cc dd ee.\nff gg hh ii jj.", 2L)))
   }
 
+  test("dropBoilerplate removes high-df lines everywhere, first copy included") {
+    val banner = "accept cookies"
+    val df = Seq(
+      (1L, s"$banner\nunique one"),
+      (2L, s"$banner\nunique two\nunique three"),
+      (3L, s"unique four\n$banner"),
+      (4L, banner) // all-boilerplate doc -> empty rebuild
+    ).toDF("id", "text")
+    val out = LineFilter.dropBoilerplate(df, "text", "id", minDf = 3)
+      .select($"id", $"text", $"n_lines_kept", $"n_boiler_dropped")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "unique one", 1L, 1L)))
+    assert(out(2L) == ((2L, "unique two\nunique three", 2L, 1L)))
+    assert(out(3L) == ((3L, "unique four", 1L, 1L)))
+    assert(out(4L) == ((4L, "", 0L, 1L)))
+  }
+
   test("gopherFlags: integer-exact signals and the combined keep verdict") {
     val df = Seq(
       // 13 words, stopwords the/the/with/a, all-alpha, no symbols -> keep

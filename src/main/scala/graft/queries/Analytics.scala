@@ -490,6 +490,73 @@ object Analytics {
       |     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
       |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
 
+  // -- q159: gap-filled daily resampling with forward-fill — the
+  // time-series regularization step (metrics dashboards, feature
+  // snapshots): each user's value series resampled onto a daily grid
+  // from date_trunc(day, first obs) to last obs, each grid instant
+  // carrying the latest observation at-or-before it (null before the
+  // first). The grid is a per-key sequence explode (rows = keys × days,
+  // never a cross join with the corpus), and the fill is the SAME
+  // AsofJoin.backward carry-forward composition as q50 — one shuffle on
+  // the user key. Oracle: generate_series grid + DuckDB's native ASOF
+  // LEFT JOIN, an independent implementation of the fill. --
+  private val q159: Q = (s, dir) => {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val grid = ev.groupBy($"user_id")
+      .agg(date_trunc("DAY", min($"ts")).as("__mn"), max($"ts").as("__mx"))
+      .select($"user_id",
+        explode(sequence($"__mn", $"__mx", expr("interval 1 day"))).as("ts"))
+      .withColumn("event_id", lit(-1L)) // tie-break slot; grid rows are unique
+    graft.operators.AsofJoin.backward(
+      grid, ev.select($"user_id", $"event_id", $"ts", $"value"),
+      keyCols = Seq("user_id"), tsCol = "ts", tieBreak = "event_id",
+      rightCols = Seq("value"))
+      .select($"user_id", unix_millis($"ts").as("gts_ms"),
+        round($"value", 2).as("last_value"))
+  }
+  private val q159Sql =
+    """WITH b AS (
+      |  SELECT user_id, date_trunc('day', min(ts)) AS mn, max(ts) AS mx
+      |  FROM events GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS gts
+      |  FROM b)
+      |SELECT g.user_id, epoch_ms(g.gts) AS gts_ms,
+      |  round(e.value, 2) AS last_value
+      |FROM grid g ASOF LEFT JOIN
+      |     (SELECT user_id, ts, value FROM events) e
+      |  ON g.user_id = e.user_id AND g.gts >= e.ts""".stripMargin
+
+  // -- q160: rolling event-time aggregates — per-user trailing-hour
+  // count and value sum via a RANGE window over epoch seconds (the
+  // sliding companion of q13's tumbling buckets; q19's running total is
+  // the unbounded case). Values enter as exact integer cents
+  // (round(value*100)) so the windowed sums are order-independent
+  // longs — no float-summation parity risk inside engine-internal frame
+  // order. One shuffle on the user key; frame state is the hour's rows. --
+  private val q160: Q = (s, dir) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy(unix_seconds($"ts"))
+      .rangeBetween(-3599L, 0L)
+    t(s, dir, "events")
+      .select($"event_id", $"user_id", $"ts",
+        round($"value" * 100).cast("long").as("__cents"))
+      .withColumn("cnt_1h", count(lit(1)).over(w))
+      .withColumn("sum_cents_1h", sum($"__cents").over(w))
+      .select($"event_id", $"user_id", unix_millis($"ts").as("ts_ms"),
+        $"cnt_1h", $"sum_cents_1h")
+  }
+  private val q160Sql =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      |  CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin
+
   // -- q51: banded range join — events within ±5 min of each signup --
   private val q51: Q = (s, dir) => {
     import s.implicits._
@@ -684,6 +751,8 @@ object Analytics {
     "q39_rank_family" -> q39,
     "q50_asof_join" -> q50,
     "q51_range_join" -> q51,
+    "q159_resample_ffill" -> q159,
+    "q160_rolling_window" -> q160,
     "q53_pivot" -> q53,
     "q57_bucketed_join" -> q57,
     "q58_sort_percentiles" -> q58,
@@ -720,6 +789,8 @@ object Analytics {
     "q39_rank_family" -> q39Sql,
     "q50_asof_join" -> q50Sql,
     "q51_range_join" -> q51Sql,
+    "q159_resample_ffill" -> q159Sql,
+    "q160_rolling_window" -> q160Sql,
     "q53_pivot" -> q53Sql,
     "q57_bucketed_join" -> q57Sql,
     "q58_sort_percentiles" -> q58Sql,

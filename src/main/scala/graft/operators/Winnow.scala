@@ -49,7 +49,15 @@ object Winnow {
               (i.cast("long") + array_position(win, m) - 1L).as("pos"),
               m.as("fp"))
           }))).as("__sel"))
-      .select(col(idCol), explode(col("__sel")).as("__s"))
+      // explode_OUTER + null filter, not plain explode: the
+      // InferFiltersFromGenerate rewrite would otherwise push a
+      // size(__sel) > 0 filter BELOW the staging projection, inlining
+      // the whole O(m·w) selection (digest array included) into an
+      // interpreted Filter — measured 33 s -> ~2 s at sf0.1 from this
+      // one device (the Chunk.scala precedent; the rule skips outer
+      // generates)
+      .select(col(idCol), explode_outer(col("__sel")).as("__s"))
+      .filter(col("__s").isNotNull)
     sel.select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }
 }

@@ -40,6 +40,34 @@ class MixSpec extends SparkSpec {
     assert(flat.values.forall(_ == 3.0))
   }
 
+  test("property: unimax invariants hold on randomized language skews") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    (0 until 12).foreach { c =>
+      val nLangs = 3 + c % 5
+      val counts = Gen.listOfN(nLangs, Gen.choose(1, 50))
+        .apply(Gen.Parameters.default, Seed(7000L + c)).get
+      val rows = counts.zipWithIndex.flatMap { case (n, l) =>
+        (0 until n).map(i => (l * 1000L + i, s"lang$l"))
+      }
+      val avg = 1.0 + (c % 3) * 0.5 // 1.0, 1.5, 2.0
+      val out = Mix.unimaxPlan(rows.toDF("id", "lang"), "lang",
+        avgEpochs = avg, maxEpochs = 3.0)
+        .select($"lang", $"n_docs", $"cap", $"alloc", $"epochs")
+        .as[(String, Long, Double, Double, Double)].collect()
+      val budget = counts.sum * avg
+      val totalCap = out.map(_._3).sum
+      out.foreach { case (lang, n, cap, alloc, epochs) =>
+        assert(alloc <= cap + 1e-9, s"case $c $lang: alloc $alloc > cap $cap")
+        assert(epochs <= 3.0 + 1e-9, s"case $c $lang: epochs $epochs > max")
+        assert(alloc > 0, s"case $c $lang: non-positive alloc")
+      }
+      val spent = out.map(_._4).sum
+      assert(math.abs(spent - math.min(budget, totalCap)) < 1e-6,
+        s"case $c: spent $spent != min(budget $budget, caps $totalCap)")
+    }
+  }
+
   test("corpora salts draws per source and tags provenance") {
     val docs = Tables.load(spark, sf("sf0.01"), "documents")
     val mixed = Mix.corpora(Seq(

@@ -34,6 +34,31 @@ class WinnowSpec extends SparkSpec {
     assert(rows.distinct.length == rows.length, "duplicates must collapse")
   }
 
+  test("property: the sharing guarantee holds on randomized surroundings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // 40 deterministic pairs: random prefixes/suffixes around a random
+    // shared run of exactly w + k - 1 = 7 tokens (the guarantee's edge)
+    def toks(alpha: String, n: Int, seed: Long): Seq[String] =
+      Gen.listOfN(n, Gen.choose(0, 999).map(i => s"$alpha$i"))
+        .apply(Gen.Parameters.default, Seed(seed)).get
+    val docs = (0 until 40).flatMap { i =>
+      val shared = toks("s", 7, 1000L + i)
+      val a = toks("a", 5 + i % 7, 2000L + i) ++ shared ++ toks("b", 3, 3000L + i)
+      val b = toks("c", 2 + i % 5, 4000L + i) ++ shared ++ toks("d", 6, 5000L + i)
+      Seq((2L * i, a.mkString(" ")), (2L * i + 1, b.mkString(" ")))
+    }
+    val fp = Winnow.fingerprints(docs.toDF("id", "text"), "text", "id")
+      .select($"id", $"fp").as[(Long, String)].collect()
+      .groupBy(_._1 / 2).view.mapValues(_.groupBy(_._1 % 2)).toMap
+    (0 until 40).foreach { i =>
+      val byDoc = fp(i.toLong)
+      val a = byDoc.getOrElse(0L, Array.empty).map(_._2).toSet
+      val b = byDoc.getOrElse(1L, Array.empty).map(_._2).toSet
+      assert((a & b).nonEmpty, s"pair $i: 7-token shared run yielded no shared fp")
+    }
+  }
+
   test("documents with fewer than w k-grams emit nothing") {
     val df = Seq((1L, "a b c d e f")).toDF("id", "text") // 3 grams < w=4
     assert(Winnow.fingerprints(df, "text", "id").isEmpty)

@@ -99,9 +99,117 @@ object Similarity {
     val touching = bucketJoin(sNew, sAll)
       .unionByName(bucketJoin(sAll, sNew))
       .distinct()
+    // the merged union is ALSO deduped: when the "new" batch overlaps
+    // the old corpus (the crash-retry shape of appendToKnnStore, where
+    // the edges table already committed but the vectors append didn't),
+    // re-scored pairs are bit-identical to their stored rows and must
+    // not occupy two heap slots — the distinct makes the rewrite
+    // idempotent (KnnStoreSpec pins the converged retry)
     val merged = oldGraph.select(col("q_id"), col(idCol), col("cos"))
       .unionByName(scoreCandidates(touching, all, idCol, embCol))
+      .distinct()
     keepTopK(merged, idCol, k)
+  }
+
+  /** Geometry stamp carried by both tables of a persistent k-NN store:
+    * probes and appends under a DIFFERENT (k, bits, tables) would
+    * silently produce a wrong graph — the centroid-fingerprint
+    * discipline of the semantic store applied to LSH geometry. */
+  val KnnGeometryProp = "graft.knn.geometry"
+  def knnVectorsTable(table: String): String = s"${table}_vectors"
+  def knnEdgesTable(table: String): String = s"${table}_edges"
+  private def geomString(k: Int, bits: Int, tables: Int): String =
+    s"k=$k;bits=$bits;tables=$tables"
+
+  /** Persists the k-NN graph as the incremental-store pair
+    * `<table>_vectors` (id, embedding; bucketed by id — the append
+    * path's anti-join and score joins read it exchange-free) and
+    * `<table>_edges` (q_id, id, cos; bucketed by q_id — per-node
+    * neighbor reads prune to one bucket), both stamped with the LSH
+    * geometry. The ANN-graph member of the store family beside the
+    * fingerprint / signature / semantic / span / postings stores. */
+  def writeKnnStore(corpus: DataFrame, idCol: String, embCol: String,
+                    table: String, k: Int, bits: Int = 8, tables: Int = 2,
+                    buckets: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    graft.sinks.Bucketing.writeBucketed(
+      corpus.select(col(idCol), col(embCol)),
+      knnVectorsTable(table), Seq(idCol), buckets)
+    graft.sinks.Bucketing.writeBucketed(
+      knnGraph(corpus, idCol, embCol, k, bits, tables),
+      knnEdgesTable(table), Seq("q_id"), buckets)
+    val geom = geomString(k, bits, tables)
+    Seq(knnVectorsTable(table), knnEdgesTable(table)).foreach { t =>
+      spark.sql(
+        s"ALTER TABLE `$t` SET TBLPROPERTIES ('$KnnGeometryProp' = '$geom')")
+    }
+  }
+
+  private def storedGeometry(spark: org.apache.spark.sql.SparkSession,
+                             table: String): (Int, Int, Int) = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val raw = meta.properties.getOrElse(KnnGeometryProp,
+      throw new IllegalStateException(
+        s"'$table' carries no $KnnGeometryProp stamp — not a k-NN store " +
+          "table, or an interrupted write; rebuild via writeKnnStore"))
+    val re = "k=(\\d+);bits=(\\d+);tables=(\\d+)".r
+    raw match {
+      case re(k, b, t) => (k.toInt, b.toInt, t.toInt)
+      case _ => throw new IllegalStateException(
+        s"unparseable geometry stamp '$raw' on '$table'")
+    }
+  }
+
+  /** Merges a new vector batch into a persisted k-NN store WITHOUT
+    * re-scoring old×old pairs ([[knnGraphAppend]] math; geometry comes
+    * from the store's own stamp, so a caller cannot diverge from it).
+    * Commit discipline: the batch is first anti-joined against the
+    * vectors table (a double-commit of the same snapshot is a no-op),
+    * the EDGES table is rewritten staged+swapped (existing nodes' edge
+    * lists can change — append-only doesn't apply), and the vectors
+    * append lands LAST: a crash after the edge swap retries with the
+    * same fresh set and the idempotent distinct merge, converging to
+    * the exact from-scratch graph (KnnStoreSpec). */
+  def appendToKnnStore(batch: DataFrame, idCol: String, embCol: String,
+                       table: String): Unit = {
+    val spark = batch.sparkSession
+    val vt = knnVectorsTable(table)
+    val et = knnEdgesTable(table)
+    val geomE = storedGeometry(spark, et)
+    val geomV = storedGeometry(spark, vt)
+    require(geomE == geomV,
+      s"geometry stamps diverge between '$vt' ($geomV) and '$et' ($geomE)")
+    val (k, bits, tables) = geomE
+    val oldVecs = spark.table(vt)
+    // stage-boundary pin: the fresh set is consumed by both the edge
+    // rewrite and the final vectors append, and must be decided BEFORE
+    // either commit moves
+    val fresh = batch.select(col(idCol), col(embCol))
+      .join(oldVecs.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val merged = knnGraphAppend(spark.table(et), oldVecs, fresh,
+      idCol, embCol, k, bits, tables)
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(et))
+      .bucketSpec.get.numBuckets
+    graft.sinks.Bucketing.overwriteBucketedStaged(
+      merged, et, Seq("q_id"), buckets)
+    val vBuckets = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(vt))
+      .bucketSpec.get.numBuckets
+    fresh.repartition(vBuckets, col(idCol))
+      .write.mode("append").insertInto(vt)
+  }
+
+  /** Checked accessor for a persisted k-NN store's edge frame: fails
+    * fast on a missing/diverged geometry stamp. */
+  def openKnnStore(spark: org.apache.spark.sql.SparkSession,
+                   table: String): DataFrame = {
+    val geomE = storedGeometry(spark, knnEdgesTable(table))
+    val geomV = storedGeometry(spark, knnVectorsTable(table))
+    require(geomE == geomV, s"geometry stamps diverge on '$table'")
+    spark.table(knnEdgesTable(table))
   }
 
   /** [[knnGraph]] with `bits` SIZED FROM THE CORPUS — the executable

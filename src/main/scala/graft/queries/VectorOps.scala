@@ -1105,7 +1105,35 @@ object VectorOps {
   }
   private val q151Sql = q145Sql
 
+  // -- q161: persistent k-NN graph store lifecycle (writeKnnStore →
+  // appendToKnnStore → openKnnStore) — the q151 math pushed through the
+  // DISK store pair (bucketed vectors + edges tables, geometry-stamped):
+  // build over 80%, commit the 20% batch, read the edges back. Oracle =
+  // q145's from-scratch SQL verbatim, so the hash match proves the whole
+  // store round-trip (staged edge rewrite included) exact. Store tables
+  // are sf-suffixed and rebuilt per run (the append lifecycle must not
+  // see a previous run's already-appended state). --
+  private val q161: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val t = s"graft_knnstore_$sfx"
+    Seq(graft.operators.Similarity.knnVectorsTable(t),
+      graft.operators.Similarity.knnEdgesTable(t)).foreach { tbl =>
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    }
+    val e = emb(s, dir)
+    graft.operators.Similarity.writeKnnStore(
+      e.filter($"vec_id" % 5 =!= 0), "vec_id", "embedding", t, k = 5)
+    graft.operators.Similarity.appendToKnnStore(
+      e.filter($"vec_id" % 5 === 0), "vec_id", "embedding", t)
+    graft.operators.Similarity.openKnnStore(s, t)
+      .select($"q_id".as("src"), $"vec_id".as("dst"),
+        round($"cos", 6).as("cos"))
+  }
+  private val q161Sql = q145Sql
+
   val queries: Map[String, Q] = Map(
+    "q161_knn_store" -> q161,
     "q151_knn_append" -> q151,
     "q149_knn_hubness" -> q149,
     "q150_embed_clusters" -> q150,
@@ -1137,6 +1165,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q161_knn_store" -> q161Sql,
     "q151_knn_append" -> q151Sql,
     "q149_knn_hubness" -> q149Sql,
     "q150_embed_clusters" -> q150Sql,

@@ -160,6 +160,35 @@ object Bucketing {
     carryPropsAndSwap(spark, meta, staging, table)
   }
 
+  /** Staged + swapped full REWRITE of a bucketed store table with new
+    * contents — the lifecycle step for stores whose EXISTING rows can
+    * change on ingest (the k-NN graph's edges: a new neighbor can evict
+    * an old node's k-th edge), where the append-only commit discipline
+    * of the key stores does not apply. Same crash contract as
+    * [[compactBucketed]]: the new contents are fully written to
+    * `<table>__rewriting` before the drop/rename window, `graft.*`
+    * properties carry over, and a rerun converges (a finished staging
+    * copy with no original is completed by rename). The contents frame
+    * may read FROM the table being rewritten — it materializes into the
+    * staging table while the original still exists. */
+  def overwriteBucketedStaged(df: DataFrame, table: String,
+                              bucketCols: Seq[String], buckets: Int,
+                              sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val catalog = spark.sessionState.catalog
+    val staging = table + "__rewriting"
+    if (!catalog.tableExists(TableIdentifier(table))) {
+      require(catalog.tableExists(TableIdentifier(staging)),
+        s"neither '$table' nor its staging copy exists")
+      spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+      return
+    }
+    val meta = catalog.getTableMetadata(TableIdentifier(table))
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
+    writeBucketed(df, staging, bucketCols, buckets, sortCols)
+    carryPropsAndSwap(spark, meta, staging, table)
+  }
+
   /** Shared tail of the staged+swap rewrites: copy `graft.*` table
     * properties (e.g. the semantic store's centroid fingerprint) onto
     * the staging table, then drop-and-rename it into place. */

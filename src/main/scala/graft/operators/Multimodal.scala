@@ -148,6 +148,71 @@ object Multimodal {
     }(Encoders.row(out))
   }
 
+  /** Difference-hash (dHash) perceptual fingerprint — the image-dedup
+    * primitive: decode, nearest-neighbor-sample a 9×8 grayscale grid
+    * (the [[resizeImages]] index math), and set bit (row·8+col) — MSB
+    * first — when the left sample is brighter than its right neighbor.
+    * Near-identical images (re-encodes, small crops, brightness shifts)
+    * land within a few bits of Hamming distance; [[hashHamming]] +
+    * the SimHash pigeonhole banding ([[Dedup.simhashNearDup]]'s device)
+    * turns the 64-bit hashes into a bucketed near-dup join at scale —
+    * no pairwise pixel comparison ever runs.
+    *
+    * Appends `img_dhash` (long; null on null/unreadable payloads —
+    * log-and-null). Grayscale is the integer mean of the color
+    * channels (alpha ignored), exact on the synthetic fixtures. Same
+    * per-partition decoder seam as [[imageFeatures]]. */
+  def imageDHash(df: DataFrame, binCol: String,
+                 decoder: ImageDecoder = JdkImageDecoder): DataFrame = {
+    val out = df.schema.add("img_dhash", LongType)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      var failed = 0L
+      val mapped = rows.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val decoded =
+          if (bytes == null) None
+          else try Some(decoder.decode(bytes))
+               catch { case _: Exception => failed += 1; None }
+        decoded match {
+          case None => Row.fromSeq(r.toSeq :+ null)
+          case Some(d) => Row.fromSeq(r.toSeq :+ dhash64(d))
+        }
+      }
+      logFailures(mapped, "imageDHash", () => failed)
+    }(Encoders.row(out))
+  }
+
+  /** Hamming distance between two 64-bit perceptual hashes. */
+  def hashHamming(a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bit_count(a.bitwiseXOR(b))
+
+  private def grayAt(d: DecodedImage, x: Int, y: Int): Int = {
+    val base = (y * d.width + x) * d.channels
+    if (d.channels == 1) d.pixels(base) & 0xff
+    else ((d.pixels(base) & 0xff) + (d.pixels(base + 1) & 0xff) +
+      (d.pixels(base + 2) & 0xff)) / 3
+  }
+
+  private[operators] def dhash64(d: DecodedImage): Long = {
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * d.height / 8
+      var x = 0
+      while (x < 8) {
+        val sxL = x * d.width / 9
+        val sxR = (x + 1) * d.width / 9
+        if (grayAt(d, sxL, sy) > grayAt(d, sxR, sy))
+          h |= 1L << (63 - (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
   /** Resize stage: nearest-neighbor resample of each decoded image to
     * `targetW` × `targetH`, appended as a binary pixel buffer plus its
     * dimensions. The index math is the real kernel; only the decode

@@ -436,7 +436,59 @@ object CoerceOps {
       |  (4, NULL, NULL, NULL, NULL, NULL), (5, NULL, NULL, NULL, NULL, NULL)
       |) AS t(vid_id, n, i, w, h, m)""".stripMargin
 
+  /** Per-pixel-controllable grayscale PNG for the q162 dHash fixtures. */
+  private def pngPattern(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // -- q162: image perceptual hash (Multimodal.imageDHash) — the image
+  // dedup primitive over the REAL JDK decode path. 9×8 fixtures make
+  // the sampling grid the identity, so every hash is hand-derivable
+  // from the pixel pattern: a rising ramp sets no bits (0), a falling
+  // ramp sets all 64 (-1), alternating columns give 0xAA per row, and
+  // flipping ONE pixel flips exactly one bit (the near-dup property the
+  // hash exists for). Unreadable/null payloads keep the log-and-null
+  // contract. Oracle: the ground-truth VALUES the fixtures were built
+  // from (the q67 recipe). --
+  private val q162: Q = (s, dir) => {
+    import s.implicits._
+    val alt: (Int, Int) => Int = (x, _) => if (x % 2 == 0) 200 else 50
+    val fixtures: Seq[(Long, Array[Byte])] = Seq(
+      (1L, pngPattern(9, 8)((x, _) => 10 + 20 * x)),
+      (2L, pngPattern(9, 8)((x, _) => 200 - 20 * x)),
+      (3L, pngPattern(9, 8)(alt)),
+      (4L, pngPattern(9, 8)((x, y) => if (x == 0 && y == 0) 40 else alt(x, y))),
+      (5L, Array[Byte](7, 7)),
+      (6L, null.asInstanceOf[Array[Byte]]))
+    val df = fixtures.toDF("img_id", "payload").repartition(3)
+    Multimodal.imageDHash(df, "payload")
+      .select($"img_id", $"img_dhash")
+  }
+  private val q162Sql =
+    """SELECT CAST(img_id AS BIGINT) AS img_id,
+      |  CAST(dh AS BIGINT) AS img_dhash
+      |FROM (VALUES
+      |  (1, 0), (2, -1),
+      |  (3, -6148914691236517206), (4, 3074457345618258602),
+      |  (5, NULL), (6, NULL)
+      |) AS t(img_id, dh)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q162_image_dhash" -> q162,
     "q40_lenient_long" -> q40,
     "q41_lenient_timestamp" -> q41,
     "q42_first_of_list" -> q42,
@@ -455,6 +507,7 @@ object CoerceOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q162_image_dhash" -> q162Sql,
     "q40_lenient_long" -> q40Sql,
     "q41_lenient_timestamp" -> q41Sql,
     "q42_first_of_list" -> q42Sql,

@@ -77,6 +77,42 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("imageDHash: near-identical images land within a few bits, distinct far") {
+    import org.apache.spark.sql.functions._
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // real resize path: 90x80 images through the 9x8 sampling grid
+    val base: (Int, Int) => Int = (x, y) => (x * 2 + y * 3) % 251
+    val df = Seq(
+      (1L, png(90, 80)(base)),
+      (2L, png(90, 80)((x, y) => math.min(255, base(x, y) + 4))), // brightness nudge
+      (3L, png(90, 80)((x, y) => 255 - base(x, y))),              // inverted
+      (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("img_id", "payload")
+    val h = Multimodal.imageDHash(df, "payload")
+      .select($"img_id", $"img_dhash").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(h(4L).isEmpty, "null payload -> null hash")
+    val d12 = java.lang.Long.bitCount(h(1L).get ^ h(2L).get)
+    val d13 = java.lang.Long.bitCount(h(1L).get ^ h(3L).get)
+    assert(d12 <= 8, s"brightness nudge moved $d12 bits")
+    assert(d13 >= 32, s"inversion should flip most gradient bits, moved $d13")
+    // the Column-side Hamming helper agrees with the JVM computation
+    val viaCol = Multimodal.imageDHash(df.filter($"img_id" <= 2), "payload")
+      .agg(Multimodal.hashHamming(min($"img_dhash"), max($"img_dhash")))
+      .head().getInt(0)
+    assert(viaCol == d12)
+  }
+
   test("JdkImageDecoder: real PNG round-trip recovers known pixels") {
     val d = Multimodal.JdkImageDecoder.decode(gradientPng(4, 3))
     assert(d.width == 4 && d.height == 3 && d.channels == 3)

@@ -344,6 +344,63 @@ object Multimodal {
   /** Decode + feature-extract for audio payloads: sample rate, channel
     * count, frame count, duration, mean absolute amplitude. Same
     * mapPartitions seam and null contract as [[imageFeatures]]. */
+  /** Delta-coded energy fingerprint — [[imageDHash]]'s audio twin (the
+    * clip-dedup primitive): the sample stream splits into 65 equal
+    * windows, each window's mean |amplitude| is measured, and bit w
+    * (MSB first) is set when window w is LOUDER than window w+1. The
+    * envelope SHAPE survives re-encoding, volume scaling and small
+    * trims, so near-identical clips land within a few Hamming bits —
+    * [[hashHamming]] + pigeonhole banding turns the hashes into a
+    * bucketed near-dup join, the [[Dedup.simhashNearDup]] path.
+    * Appends `audio_fp` (long; null on null/undecodable/too-short
+    * payloads — a clip with < 65 samples has no defined envelope).
+    * Window means are exact integer arithmetic (sum/ count compare via
+    * cross-multiplication), so fixtures are hand-derivable. */
+  def audioFingerprint(df: DataFrame, binCol: String,
+                       decoder: AudioDecoder = JdkWavDecoder): DataFrame = {
+    val out = df.schema.add("audio_fp", LongType)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      var failed = 0L
+      val mapped = rows.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val decoded =
+          if (bytes == null) None
+          else try Some(decoder.decode(bytes))
+               catch { case _: Exception => failed += 1; None }
+        decoded match {
+          case Some(d) if d.samples.length >= 65 =>
+            val n = d.samples.length
+            // window w covers samples [w*n/65, (w+1)*n/65)
+            val sums = new Array[Long](65)
+            val cnts = new Array[Long](65)
+            var w = 0
+            while (w < 65) {
+              val lo = w * n / 65
+              val hi = (w + 1) * n / 65
+              var i = lo
+              var s = 0L
+              while (i < hi) { s += math.abs(d.samples(i).toLong); i += 1 }
+              sums(w) = s
+              cnts(w) = (hi - lo).toLong
+              w += 1
+            }
+            var h = 0L
+            var b = 0
+            while (b < 64) {
+              // mean(b) > mean(b+1) via cross-multiplication: exact
+              if (sums(b) * cnts(b + 1) > sums(b + 1) * cnts(b))
+                h |= 1L << (63 - b)
+              b += 1
+            }
+            Row.fromSeq(r.toSeq :+ h)
+          case _ => Row.fromSeq(r.toSeq :+ null)
+        }
+      }
+      logFailures(mapped, "audioFingerprint", () => failed)
+    }(Encoders.row(out))
+  }
+
   def audioFeatures(df: DataFrame, binCol: String,
                     decoder: AudioDecoder = JdkWavDecoder): DataFrame = {
     val out = df.schema

@@ -338,6 +338,60 @@ object CoerceOps {
     bos.toByteArray
   }
 
+  /** Piecewise-constant WAV for the q163 fingerprint fixtures: 65 equal
+    * windows of `spw` samples, window w at amplitude `amps(w)`. */
+  private def wavPattern(amps: Seq[Short], spw: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val n = amps.length * spw
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val amp = amps(i / spw)
+      raw(2 * i) = (amp & 0xff).toByte
+      raw(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  // -- q163: audio energy fingerprint (Multimodal.audioFingerprint) —
+  // the clip-dedup primitive over the REAL WAV decode path, q162's
+  // audio twin. Piecewise-constant fixtures (65 windows, one amplitude
+  // each) make every delta bit hand-derivable: a rising envelope sets
+  // no bits, a falling one sets all 64, alternating loud/soft gives
+  // 0xAA per byte, and softening ONE window flips exactly one bit. A
+  // 30-sample clip is below the 65-window floor -> null, alongside the
+  // unreadable/null log-and-null contract. Oracle: ground-truth VALUES
+  // (the q67/q162 recipe). --
+  private val q163: Q = (s, dir) => {
+    import s.implicits._
+    def alt(w: Int): Short = if (w % 2 == 0) 500 else 100
+    val fixtures: Seq[(Long, Array[Byte])] = Seq(
+      (1L, wavPattern((0 until 65).map(w => (100 + 10 * w).toShort), 8)),
+      (2L, wavPattern((0 until 65).map(w => (800 - 10 * w).toShort), 8)),
+      (3L, wavPattern((0 until 65).map(w => alt(w)), 8)),
+      (4L, wavPattern((0 until 65).map(w => if (w == 0) 50.toShort else alt(w)), 8)),
+      (5L, wavBytes(n = 30, amp = 100)), // < 65 samples: no envelope
+      (6L, Array[Byte](1, 2, 3)),
+      (7L, null.asInstanceOf[Array[Byte]]))
+    val df = fixtures.toDF("clip_id", "payload").repartition(3)
+    Multimodal.audioFingerprint(df, "payload")
+      .select($"clip_id", $"audio_fp")
+  }
+  private val q163Sql =
+    """SELECT CAST(clip_id AS BIGINT) AS clip_id,
+      |  CAST(fp AS BIGINT) AS audio_fp
+      |FROM (VALUES
+      |  (1, 0), (2, -1),
+      |  (3, -6148914691236517206), (4, 3074457345618258602),
+      |  (5, NULL), (6, NULL), (7, NULL)
+      |) AS t(clip_id, fp)""".stripMargin
+
   // -- q67: REAL image decode (javax.imageio, no stub) --
   // Solid-gray PNGs of known geometry are encoded driver-side, decoded
   // distributed through the mapPartitions codec seam, and the recovered
@@ -489,6 +543,7 @@ object CoerceOps {
 
   val queries: Map[String, Q] = Map(
     "q162_image_dhash" -> q162,
+    "q163_audio_fp" -> q163,
     "q40_lenient_long" -> q40,
     "q41_lenient_timestamp" -> q41,
     "q42_first_of_list" -> q42,
@@ -508,6 +563,7 @@ object CoerceOps {
 
   val oracle: Map[String, String] = Map(
     "q162_image_dhash" -> q162Sql,
+    "q163_audio_fp" -> q163Sql,
     "q40_lenient_long" -> q40Sql,
     "q41_lenient_timestamp" -> q41Sql,
     "q42_first_of_list" -> q42Sql,

@@ -153,6 +153,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).isNullAt(2))
   }
 
+  test("audioFingerprint: envelope shape only — volume scaling is invariant") {
+    import org.apache.spark.sql.functions._
+    def wav(amps: Seq[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val spw = 4
+      val raw = new Array[Byte](amps.length * spw * 2)
+      for (i <- 0 until amps.length * spw) {
+        val a = amps(i / spw)
+        raw(2 * i) = (a & 0xff).toByte
+        raw(2 * i + 1) = ((a >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, (amps.length * spw).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val shape = (0 until 65).map(w => (100 + (w * 37) % 400).toShort)
+    val loud = shape.map(a => (a * 2).toShort)
+    val df = Seq((1L, wav(shape)), (2L, wav(loud))).toDF("id", "payload")
+    val fps = Multimodal.audioFingerprint(df, "payload")
+      .select($"id", $"audio_fp").as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L), "doubling the volume must not move any bit")
+    assert(fps(1L) != 0L && fps(1L) != -1L, "a varied envelope sets some bits")
+  }
+
   test("JdkWavDecoder: 24-bit PCM keeps the significant bytes, not the low ones") {
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 24, 1, true, false)
     val n = 100

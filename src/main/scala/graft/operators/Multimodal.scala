@@ -86,31 +86,37 @@ object Multimodal {
     def decode(bytes: Array[Byte]): DecodedImage = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) throw new IllegalArgumentException("unreadable image payload")
-      val w = img.getWidth
-      val h = img.getHeight
-      val cm = img.getColorModel
-      val channels =
-        if (cm.hasAlpha) 4 else if (cm.getNumColorComponents == 1) 1 else 3
-      // one bulk conversion pass (sRGB regardless of the file's raster
-      // layout) — per-pixel getRGB dispatches through the ColorModel on
-      // every call, several times slower on the hot decode path
-      val argbs = img.getRGB(0, 0, w, h, null, 0, w)
-      val out = new Array[Byte](w * h * channels)
-      var p = 0
-      var i = 0
-      while (p < argbs.length) {
-        val argb = argbs(p)
-        out(i) = ((argb >> 16) & 0xff).toByte
-        if (channels >= 3) {
-          out(i + 1) = ((argb >> 8) & 0xff).toByte
-          out(i + 2) = (argb & 0xff).toByte
-        }
-        if (channels == 4) out(i + 3) = ((argb >>> 24) & 0xff).toByte
-        i += channels
-        p += 1
-      }
-      DecodedImage(w, h, channels, out)
+      fromBuffered(img)
     }
+  }
+
+  /** Shared BufferedImage → [[DecodedImage]] conversion (sRGB regardless
+    * of the file's raster layout — one bulk getRGB pass; per-pixel
+    * getRGB dispatches through the ColorModel on every call, several
+    * times slower on the hot decode path). */
+  private[operators] def fromBuffered(
+      img: java.awt.image.BufferedImage): DecodedImage = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val cm = img.getColorModel
+    val channels =
+      if (cm.hasAlpha) 4 else if (cm.getNumColorComponents == 1) 1 else 3
+    val argbs = img.getRGB(0, 0, w, h, null, 0, w)
+    val out = new Array[Byte](w * h * channels)
+    var p = 0
+    var i = 0
+    while (p < argbs.length) {
+      val argb = argbs(p)
+      out(i) = ((argb >> 16) & 0xff).toByte
+      if (channels >= 3) {
+        out(i + 1) = ((argb >> 8) & 0xff).toByte
+        out(i + 2) = (argb & 0xff).toByte
+      }
+      if (channels == 4) out(i + 3) = ((argb >>> 24) & 0xff).toByte
+      i += channels
+      p += 1
+    }
+    DecodedImage(w, h, channels, out)
   }
 
   private def featureSchema(in: StructType): StructType = in
@@ -480,6 +486,58 @@ object Multimodal {
         } finally reader.dispose()
       } finally iis.close()
     }
+  }
+
+  /** Per-frame perceptual hashes — the VIDEO near-dup primitive
+    * completing the modality triad ([[imageDHash]] stills,
+    * [[audioFingerprint]] clips): every `stride`-th frame's dHash bits,
+    * one row per sampled frame with `frame_count`/`frame_idx`/
+    * `frame_dhash`. Two re-encodes of the same clip align
+    * frame-by-frame within a few Hamming bits; shifted or edited clips
+    * align under the best offset — sequence alignment is downstream
+    * integer arithmetic over the sampled hash rows, never pixels.
+    * Null/undecodable payloads keep one null-feature row (log-and-null);
+    * same narrow one-reader-per-partition seam as [[frameFeatures]]. */
+  def frameDHash(df: DataFrame, binCol: String, stride: Int = 1): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val out = df.schema
+      .add("frame_count", IntegerType)
+      .add("frame_idx", IntegerType)
+      .add("frame_dhash", LongType)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      var failed = 0L
+      val mapped = rows.flatMap { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val decoded =
+          if (bytes == null) None
+          else try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext)
+                throw new IllegalArgumentException("no codec claims this payload")
+              val reader = readers.next()
+              reader.setInput(iis, false, true)
+              try {
+                val n = reader.getNumImages(true)
+                Some((n, (0 until n by stride).map { i =>
+                  (i, dhash64(fromBuffered(reader.read(i))))
+                }))
+              } finally reader.dispose()
+            } finally iis.close()
+          } catch { case _: Exception => failed += 1; None }
+        decoded match {
+          case None => Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null)))
+          case Some((count, frames)) =>
+            frames.map { case (i, h) =>
+              Row.fromSeq(r.toSeq ++ Seq[Any](count, i, h))
+            }
+        }
+      }
+      logFailures(mapped, "frameDHash", () => failed)
+    }(Encoders.row(out))
   }
 
   /** Frame-sampling stage: explodes each video-like payload into one row

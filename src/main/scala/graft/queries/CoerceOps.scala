@@ -392,6 +392,66 @@ object CoerceOps {
       |  (5, NULL), (6, NULL), (7, NULL)
       |) AS t(clip_id, fp)""".stripMargin
 
+  /** Per-pixel-patterned animated GIF (grayscale identity palette —
+    * values round-trip exactly) for the q164 frame-hash fixtures. */
+  private def gifPattern(w: Int, h: Int,
+                         frames: Seq[(Int, Int) => Int]): Array[Byte] = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, f(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  // -- q164: per-frame video perceptual hashes (Multimodal.frameDHash)
+  // — the modality triad's video member (q162 stills, q163 audio): an
+  // animated GIF whose four 9×8 frames carry the SAME hand-derivable
+  // patterns as q162 (ramp 0, reverse -1, alternating 0xAA rows, one
+  // flipped pixel = one bit), decoded frame-by-frame through the real
+  // multi-image ImageIO reader. Unreadable/null payloads keep one
+  // null row each. Oracle: ground-truth VALUES. --
+  private val q164: Q = (s, dir) => {
+    import s.implicits._
+    val alt: (Int, Int) => Int = (x, _) => if (x % 2 == 0) 200 else 50
+    val clip = gifPattern(9, 8, Seq(
+      (x, _) => 10 + 20 * x,
+      (x, _) => 200 - 20 * x,
+      alt,
+      (x, y) => if (x == 0 && y == 0) 40 else alt(x, y)))
+    val fixtures: Seq[(Long, Array[Byte])] = Seq(
+      (1L, clip), (2L, Array[Byte](3, 1, 4)), (3L, null.asInstanceOf[Array[Byte]]))
+    val df = fixtures.toDF("vid_id", "payload").repartition(2)
+    Multimodal.frameDHash(df, "payload")
+      .select($"vid_id", $"frame_count".cast("long").as("frame_count"),
+        $"frame_idx".cast("long").as("frame_idx"), $"frame_dhash")
+  }
+  private val q164Sql =
+    """SELECT CAST(vid_id AS BIGINT) AS vid_id,
+      |  CAST(n AS BIGINT) AS frame_count, CAST(i AS BIGINT) AS frame_idx,
+      |  CAST(dh AS BIGINT) AS frame_dhash
+      |FROM (VALUES
+      |  (1, 4, 0, 0), (1, 4, 1, -1),
+      |  (1, 4, 2, -6148914691236517206), (1, 4, 3, 3074457345618258602),
+      |  (2, NULL, NULL, NULL), (3, NULL, NULL, NULL)
+      |) AS t(vid_id, n, i, dh)""".stripMargin
+
   // -- q67: REAL image decode (javax.imageio, no stub) --
   // Solid-gray PNGs of known geometry are encoded driver-side, decoded
   // distributed through the mapPartitions codec seam, and the recovered
@@ -544,6 +604,7 @@ object CoerceOps {
   val queries: Map[String, Q] = Map(
     "q162_image_dhash" -> q162,
     "q163_audio_fp" -> q163,
+    "q164_frame_dhash" -> q164,
     "q40_lenient_long" -> q40,
     "q41_lenient_timestamp" -> q41,
     "q42_first_of_list" -> q42,
@@ -564,6 +625,7 @@ object CoerceOps {
   val oracle: Map[String, String] = Map(
     "q162_image_dhash" -> q162Sql,
     "q163_audio_fp" -> q163Sql,
+    "q164_frame_dhash" -> q164Sql,
     "q40_lenient_long" -> q40Sql,
     "q41_lenient_timestamp" -> q41Sql,
     "q42_first_of_list" -> q42Sql,

@@ -2053,7 +2053,46 @@ object TextOps {
        |FROM tot t LEFT JOIN reb USING (doc_id)""".stripMargin
   }
 
+  // -- q165: vocabulary-coverage (OOV) report — the tokenizer-health
+  // metric a vocab rollout ships with: vocab = the 10 most frequent
+  // corpus words (count desc, word asc — the tie order makes the LIMIT
+  // boundary deterministic cross-engine), per-doc token total, covered
+  // count, and OOV rate (exact-long ratio). Vocab selection is
+  // vocabulary-sized; coverage is one broadcast semi-join on the token
+  // stream plus a per-doc count — no corpus shuffle beyond the
+  // doc-keyed aggregates. --
+  private val q165: Q = (s, dir) => {
+    import s.implicits._
+    val tok = docs(s, dir).select($"doc_id", explode(Text.tokens($"text")).as("t"))
+    val vocab = tok.groupBy($"t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t").limit(10).select($"t")
+    val tot = tok.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+    val kn = tok.join(broadcast(vocab), Seq("t"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_known"))
+    tot.join(kn, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_known", lit(0L)).as("n_known"),
+        (($"n_tokens" - coalesce($"n_known", lit(0L))).cast("double")
+          / $"n_tokens").as("oov_rate"))
+  }
+  private val q165Sql = {
+    val tk = dTok
+    s"""WITH tok AS (SELECT doc_id, unnest($tk) AS t FROM documents),
+       |vocab AS (SELECT t FROM (
+       |  SELECT t, count(*) AS c FROM tok GROUP BY 1
+       |  ORDER BY c DESC, t LIMIT 10)),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+       |        FROM tok GROUP BY 1),
+       |kn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_known
+       |       FROM tok WHERE t IN (SELECT t FROM vocab) GROUP BY 1)
+       |SELECT t.doc_id, t.n_tokens, COALESCE(kn.n_known, 0) AS n_known,
+       |  CAST(t.n_tokens - COALESCE(kn.n_known, 0) AS DOUBLE) / t.n_tokens
+       |    AS oov_rate
+       |FROM tot t LEFT JOIN kn USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q165_oov_rate" -> q165,
     "q157_gopher_report" -> q157,
     "q158_boilerplate_lines" -> q158,
     "q156_interp_lm" -> q156,
@@ -2116,6 +2155,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q165_oov_rate" -> q165Sql,
     "q157_gopher_report" -> q157Sql,
     "q158_boilerplate_lines" -> q158Sql,
     "q156_interp_lm" -> q156Sql,

@@ -47,6 +47,63 @@ object IncrementalOps {
       |  UNION ALL SELECT doc_id + 20000 AS doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 5 = 1
       |  UNION ALL SELECT doc_id + 30000 AS doc_id, text || ' v2' AS text FROM documents WHERE doc_id % 5 = 1""".stripMargin
 
+  // -- q167: winnowing-fingerprint store probe — cross-snapshot
+  // PARTIAL-overlap detection: the corpus's winnow fingerprints (the
+  // q155 selection, distinct fp) act as the store, and each batch doc
+  // reports how many of its own winnow fps the store already holds.
+  // Re-crawled dups hit on ~every fingerprint; the ' v2'-suffixed
+  // novels still hit on their unchanged interior — the span-level
+  // signal whole-doc fingerprint dedup (q101) cannot see. Store probe
+  // is one fp-keyed join of the (sparse) fingerprint streams; the
+  // guarantee (any shared >= w+k-1-token run shares a fp) bounds the
+  // false-negative window. --
+  private val q167: Q = (s, dir) => {
+    val store = graft.operators.Winnow
+      .fingerprints(docs(s, dir), "text", "doc_id", k = 4, w = 4)
+      .select(col("fp")).distinct()
+    graft.operators.Winnow
+      .fingerprints(newBatch(s, dir), "text", "doc_id", k = 4, w = 4)
+      .join(store.withColumn("__hit", lit(1)), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"), count(col("__hit")).as("n_hits"))
+  }
+  // lazy: dTok/dShingles are declared further down the object; a strict
+  // val here would interpolate their still-null references at init
+  private lazy val q167Sql = {
+    def winnow(src: String) =
+      s"""SELECT doc_id, s.fp AS fp FROM (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, len(hs) - 4 + 2),
+         |    i -> {'pos': i - 1 + list_position(list_slice(hs, i, i + 3),
+         |                     list_aggregate(list_slice(hs, i, i + 3), 'min')),
+         |          'fp': list_aggregate(list_slice(hs, i, i + 3), 'min')})) AS s
+         |  FROM (SELECT doc_id,
+         |          list_transform(${dShingles(dTok, 4)}, x -> md5(x)) AS hs
+         |        FROM ($src))
+         |  WHERE len(hs) >= 4)""".stripMargin
+    s"""WITH store AS (SELECT DISTINCT fp FROM (${winnow("SELECT * FROM documents")})),
+       |bat AS ($dBatch),
+       |bfps AS (
+       |  SELECT doc_id, fp, rn FROM (
+       |    SELECT doc_id, s.pos, s.fp AS fp,
+       |      row_number() OVER (PARTITION BY doc_id, s.pos, s.fp ORDER BY 1) AS rn
+       |    FROM (
+       |      SELECT doc_id, unnest(list_transform(
+       |        range(1, len(hs) - 4 + 2),
+       |        i -> {'pos': i - 1 + list_position(list_slice(hs, i, i + 3),
+       |                         list_aggregate(list_slice(hs, i, i + 3), 'min')),
+       |              'fp': list_aggregate(list_slice(hs, i, i + 3), 'min')})) AS s
+       |      FROM (SELECT doc_id,
+       |              list_transform(${dShingles(dTok, 4)}, x -> md5(x)) AS hs
+       |            FROM bat)
+       |      WHERE len(hs) >= 4))
+       |  WHERE rn = 1)
+       |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+       |  CAST(count(*) FILTER (WHERE st.fp IS NOT NULL) AS BIGINT) AS n_hits
+       |FROM bfps b LEFT JOIN store st ON b.fp = st.fp
+       |GROUP BY 1""".stripMargin
+  }
+
   // -- q101: incremental cross-snapshot dedup — the new batch admitted
   // against the shipped corpus's fingerprint store (bloom pre-screen +
   // anti-join rescue), without ever re-shuffling the old corpus. The
@@ -1047,6 +1104,7 @@ object IncrementalOps {
     "q119_search_store" -> q119,
     "q112_corpus_spans" -> q112,
     "q101_incremental_dedup" -> q101,
+    "q167_winnow_probe" -> q167,
     "q102_neardup_decontam" -> q102,
     "q103_token_ids" -> q103,
     "q104_bloom_prescreen" -> q104,
@@ -1072,6 +1130,7 @@ object IncrementalOps {
     "q119_search_store" -> q119Sql,
     "q112_corpus_spans" -> q112Sql,
     "q101_incremental_dedup" -> q101Sql,
+    "q167_winnow_probe" -> q167Sql,
     "q102_neardup_decontam" -> q102Sql,
     "q103_token_ids" -> q103Sql,
     "q104_bloom_prescreen" -> q104Sql,

@@ -2091,7 +2091,51 @@ object TextOps {
        |FROM tot t LEFT JOIN kn USING (doc_id)""".stripMargin
   }
 
+  // -- q166: n-gram novelty audit — the memorization-risk profile
+  // (Lee et al. 2022's duplication analysis shape): per document, the
+  // fraction of its distinct 8-grams that occur in ANY other document.
+  // High shared-fraction docs are the memorization candidates dedup
+  // exists to kill; the report quantifies residual duplication after a
+  // pipeline runs. One md5-keyed shuffle for the gram document-
+  // frequency (map-side combined), one doc-keyed count back. --
+  private val q166: Q = (s, dir) => {
+    import s.implicits._
+    val grams = docs(s, dir)
+      .select($"doc_id", Text.tokens($"text").as("__tk"))
+      .select($"doc_id",
+        explode(array_distinct(Text.shinglesNative($"__tk", 8))).as("g"))
+    val df8 = grams.groupBy($"g")
+      .agg(count(lit(1)).as("df"))
+    val per = grams.join(df8, Seq("g"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when($"df" > 1, 1)).as("n_shared"))
+    docs(s, dir).select($"doc_id").join(per, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        when(coalesce($"n_grams", lit(0L)) === 0, lit(null))
+          .otherwise($"n_shared".cast("double") / $"n_grams").as("shared_frac"))
+  }
+  private val q166Sql = {
+    val tk = dTok
+    s"""WITH grams AS (
+       |  SELECT doc_id, unnest(list_distinct(${dShingles(tk, 8)})) AS g
+       |  FROM documents),
+       |df8 AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY 1),
+       |per AS (
+       |  SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |    CAST(count(*) FILTER (WHERE df8.df > 1) AS BIGINT) AS n_shared
+       |  FROM grams JOIN df8 USING (g) GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(per.n_grams, 0) AS n_grams,
+       |  COALESCE(per.n_shared, 0) AS n_shared,
+       |  CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN NULL
+       |       ELSE CAST(per.n_shared AS DOUBLE) / per.n_grams END AS shared_frac
+       |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q166_ngram_novelty" -> q166,
     "q165_oov_rate" -> q165,
     "q157_gopher_report" -> q157,
     "q158_boilerplate_lines" -> q158,
@@ -2155,6 +2199,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q166_ngram_novelty" -> q166Sql,
     "q165_oov_rate" -> q165Sql,
     "q157_gopher_report" -> q157Sql,
     "q158_boilerplate_lines" -> q158Sql,

@@ -95,4 +95,51 @@ object Percentiles {
 
   /** Column helper matching the built-in's name for spec readability. */
   def builtinPercentile(c: Column, p: Double): Column = percentile(c, lit(p))
+
+  /** One GLOBAL exact interpolated quantile (driver state: one double) —
+    * the shared threshold step behind [[winsorize]] / [[madOutliers]] /
+    * `Quality.scoreBuckets`. */
+  private def globalQuantile(df: DataFrame, valueCol: String, p: Double): Double = {
+    val row = quantileCont(df.withColumn("__g", lit(1)), Seq("__g"),
+      valueCol, Seq("__q" -> p)).collect()
+    require(row.nonEmpty && !row(0).isNullAt(1),
+      s"no non-null '$valueCol' values")
+    row(0).getDouble(1)
+  }
+
+  /** Winsorization — clip `valueCol` into its own [lo, hi] exact-quantile
+    * band (the tabular data-cleaning step that tames fat tails without
+    * dropping rows; the numeric sibling of the text side's Repetition
+    * ceilings). Thresholds come from the exact distributed quantile pass
+    * (spill-safe sort; driver state = two doubles), the clip itself is a
+    * narrow codegen'd least/greatest fold — the corpus never shuffles.
+    * Adds `<valueCol>_w`. */
+  def winsorize(df: DataFrame, valueCol: String,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1: $lo/$hi")
+    val tLo = globalQuantile(df, valueCol, lo)
+    val tHi = globalQuantile(df, valueCol, hi)
+    df.withColumn(s"${valueCol}_w",
+      least(greatest(col(valueCol), lit(tLo)), lit(tHi)))
+  }
+
+  /** Median/MAD robust outlier flags — the outlier detector that
+    * survives the outliers it hunts (mean/stddev get dragged by the
+    * very tail being flagged): robust z = 0.6745·(x − median) / MAD,
+    * MAD = median(|x − median|), flag |z| > `cut`. Two exact quantile
+    * passes (driver state = two doubles) + a narrow scoring fold; every
+    * number derives from the same IEEE operand chain in any engine.
+    * Adds `robust_z` and `is_outlier`. */
+  def madOutliers(df: DataFrame, valueCol: String,
+                  cut: Double = 3.5): DataFrame = {
+    require(cut > 0, s"cut must be positive: $cut")
+    val med = globalQuantile(df, valueCol, 0.5)
+    val mad = globalQuantile(
+      df.withColumn("__dev", abs(col(valueCol) - lit(med))), "__dev", 0.5)
+    require(mad != 0.0,
+      s"MAD of '$valueCol' is zero (>=50% identical values) — robust z undefined")
+    val rz = lit(0.6745) * (col(valueCol) - lit(med)) / lit(mad)
+    df.withColumn("robust_z", rz)
+      .withColumn("is_outlier", abs(rz) > lit(cut))
+  }
 }

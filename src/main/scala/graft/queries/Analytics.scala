@@ -557,6 +557,52 @@ object Analytics {
       |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
       |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // -- q168: winsorization (Percentiles.winsorize) — l_extendedprice
+  // clipped into its own exact [5%, 95%] quantile band: the fat-tail
+  // tamer that keeps every row. Thresholds ride the proven q58
+  // interpolated-quantile parity; the clip is least/greatest over
+  // identical doubles, so per-row outputs hash bit-for-bit. --
+  private val q168: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Percentiles.winsorize(
+      t(s, dir, "lineitem").select($"l_orderkey", $"l_linenumber",
+        $"l_extendedprice"),
+      "l_extendedprice", lo = 0.05, hi = 0.95)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_extendedprice".as("price"), $"l_extendedprice_w".as("price_w"))
+  }
+  private val q168Sql =
+    """WITH th AS (
+      |  SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+      |         quantile_cont(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, l_extendedprice AS price,
+      |  least(greatest(l_extendedprice, lo), hi) AS price_w
+      |FROM lineitem CROSS JOIN th""".stripMargin
+
+  // -- q169: median/MAD robust outlier flags (Percentiles.madOutliers)
+  // — robust z = 0.6745(x − median)/MAD over event values; cut 1.2 sits
+  // inside the fixture's (bounded-support) z range so both flag values
+  // appear. Two exact quantile passes feed a narrow scoring fold; the
+  // unrounded z drives the flag, the 6-dp round only formats output. --
+  private val q169: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Percentiles.madOutliers(
+      t(s, dir, "events").select($"event_id", $"value"), "value", cut = 1.2)
+      .select($"event_id", $"value", round($"robust_z", 6).as("robust_z"),
+        $"is_outlier")
+  }
+  private val q169Sql =
+    """WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+      |md AS (SELECT quantile_cont(abs(value - m.med), 0.5) AS mad
+      |       FROM events, m),
+      |z AS (SELECT event_id, value,
+      |        CAST(0.6745 AS DOUBLE) * (value - m.med) / md.mad AS rz
+      |      FROM events, m, md)
+      |SELECT event_id, value, round(rz, 6) AS robust_z,
+      |  abs(rz) > CAST(1.2 AS DOUBLE) AS is_outlier
+      |FROM z""".stripMargin
+
   // -- q51: banded range join — events within ±5 min of each signup --
   private val q51: Q = (s, dir) => {
     import s.implicits._
@@ -753,6 +799,8 @@ object Analytics {
     "q51_range_join" -> q51,
     "q159_resample_ffill" -> q159,
     "q160_rolling_window" -> q160,
+    "q168_winsorize" -> q168,
+    "q169_mad_outliers" -> q169,
     "q53_pivot" -> q53,
     "q57_bucketed_join" -> q57,
     "q58_sort_percentiles" -> q58,
@@ -791,6 +839,8 @@ object Analytics {
     "q51_range_join" -> q51Sql,
     "q159_resample_ffill" -> q159Sql,
     "q160_rolling_window" -> q160Sql,
+    "q168_winsorize" -> q168Sql,
+    "q169_mad_outliers" -> q169Sql,
     "q53_pivot" -> q53Sql,
     "q57_bucketed_join" -> q57Sql,
     "q58_sort_percentiles" -> q58Sql,

@@ -14,6 +14,33 @@ class PercentilesSpec extends SparkSpec {
   private val ps = Seq("p0" -> 0.0, "p25" -> 0.25, "p50" -> 0.5,
     "p90" -> 0.9, "p100" -> 1.0)
 
+  test("winsorize clips exactly at the interpolated thresholds, keeps rows") {
+    // 1..10: p25 = 3.25, p75 = 7.75 (linear interpolation)
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    val w = Percentiles.winsorize(df, "v", lo = 0.25, hi = 0.75)
+      .select($"v", $"v_w").as[(Double, Double)].collect().toMap
+    assert(w.size == 10, "no rows dropped")
+    assert(w(1.0) == 3.25 && w(3.0) == 3.25)
+    assert(w(5.0) == 5.0 && w(7.0) == 7.0)
+    assert(w(8.0) == 7.75 && w(10.0) == 7.75)
+  }
+
+  test("madOutliers: hand-computed robust z; zero MAD fails fast") {
+    // values 0,10,20,30,1000: median 20, deviations 20,10,0,10,980 ->
+    // MAD 10; z(1000) = 0.6745*980/10 = 66.101 (outlier), z(0) = -1.349
+    val df = Seq(0.0, 10.0, 20.0, 30.0, 1000.0).toDF("v")
+    val out = Percentiles.madOutliers(df, "v", cut = 3.5)
+      .select($"v", $"robust_z", $"is_outlier")
+      .as[(Double, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1000.0)._2 == 0.6745 * 980 / 10 && out(1000.0)._3)
+    assert(out(0.0)._2 == 0.6745 * -20 / 10 && !out(0.0)._3)
+    assert(out(20.0)._2 == 0.0 && !out(20.0)._3)
+    val flat = Seq(5.0, 5.0, 5.0, 9.0).toDF("v")
+    intercept[IllegalArgumentException] {
+      Percentiles.madOutliers(flat, "v")
+    }
+  }
+
   test("matches the built-in percentile on lineitem per returnflag") {
     val li = Tables.load(spark, sf(), "lineitem")
     val ours = Percentiles.quantileCont(li, Seq("l_returnflag"), "l_extendedprice", ps)

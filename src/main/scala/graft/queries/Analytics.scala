@@ -603,6 +603,69 @@ object Analytics {
       |  abs(rz) > CAST(1.2 AS DOUBLE) AS is_outlier
       |FROM z""".stripMargin
 
+  // -- q170: group-median imputation — the tabular null-repair step
+  // (fill missing metrics from the cohort's median, not the global
+  // one): nulls synthesized deterministically (event_id % 7), medians
+  // from the exact per-group quantile pass over the NON-null rows
+  // (Percentiles.quantileCont — the q58-proven interpolation parity),
+  // broadcast back onto the stream. --
+  private val q170: Q = (s, dir) => {
+    import s.implicits._
+    val ev = t(s, dir, "events").select($"event_id", $"event_type",
+      when($"event_id" % 7 === 0, lit(null)).otherwise($"value").as("value"))
+    val med = graft.operators.Percentiles.quantileCont(
+      ev.filter($"value".isNotNull), Seq("event_type"), "value",
+      Seq("med" -> 0.5))
+    ev.join(broadcast(med), Seq("event_type"))
+      .select($"event_id", $"event_type",
+        coalesce($"value", $"med").as("value_filled"),
+        $"value".isNull.as("was_null"))
+  }
+  private val q170Sql =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM ev WHERE value IS NOT NULL GROUP BY 1)
+      |SELECT ev.event_id, ev.event_type,
+      |  COALESCE(ev.value, med.med) AS value_filled,
+      |  ev.value IS NULL AS was_null
+      |FROM ev JOIN med USING (event_type)""".stripMargin
+
+  // -- q171: blocked fuzzy join by edit distance (FuzzyJoin) — the
+  // entity-resolution step: a "re-crawled" batch of part names, each
+  // with ONE character deleted at a key-dependent position, matched
+  // back at Levenshtein <= 2 through length-band blocking. The oracle
+  // is the INDEPENDENT |length difference| <= maxDist formulation — the
+  // hash match is simultaneously the completeness proof for the
+  // blocking (no true pair missed). Quarter sample keeps the oracle's
+  // nested-loop verify driver-gate-sized. --
+  private val q171: Q = (s, dir) => {
+    import s.implicits._
+    val parts = t(s, dir, "part").filter($"p_partkey" % 4 === 0)
+      .select($"p_partkey", $"p_name")
+    val pos = ($"p_partkey" % length($"p_name")).cast("int") + 1
+    val batch = parts.select(($"p_partkey" + 100000).as("b_id"),
+      concat($"p_name".substr(lit(1), pos - 1),
+        $"p_name".substr(pos + 1, length($"p_name"))).as("b_name"))
+    graft.operators.FuzzyJoin.byEditDistance(parts, batch,
+      "p_partkey", "p_name", "b_id", "b_name", maxDist = 2)
+  }
+  private val q171Sql =
+    """WITH parts AS (
+      |  SELECT p_partkey, p_name FROM part WHERE p_partkey % 4 = 0),
+      |batch AS (
+      |  SELECT p_partkey + 100000 AS b_id,
+      |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT)) ||
+      |    substr(p_name, CAST(p_partkey % length(p_name) AS INT) + 2) AS b_name
+      |  FROM parts)
+      |SELECT a.p_partkey, b.b_id, levenshtein(a.p_name, b.b_name) AS dist
+      |FROM parts a JOIN batch b
+      |  ON abs(length(a.p_name) - length(b.b_name)) <= 2
+      |WHERE levenshtein(a.p_name, b.b_name) <= 2""".stripMargin
+
   // -- q51: banded range join — events within ±5 min of each signup --
   private val q51: Q = (s, dir) => {
     import s.implicits._
@@ -801,6 +864,8 @@ object Analytics {
     "q160_rolling_window" -> q160,
     "q168_winsorize" -> q168,
     "q169_mad_outliers" -> q169,
+    "q170_impute_median" -> q170,
+    "q171_fuzzy_join" -> q171,
     "q53_pivot" -> q53,
     "q57_bucketed_join" -> q57,
     "q58_sort_percentiles" -> q58,
@@ -841,6 +906,8 @@ object Analytics {
     "q160_rolling_window" -> q160Sql,
     "q168_winsorize" -> q168Sql,
     "q169_mad_outliers" -> q169Sql,
+    "q170_impute_median" -> q170Sql,
+    "q171_fuzzy_join" -> q171Sql,
     "q53_pivot" -> q53Sql,
     "q57_bucketed_join" -> q57Sql,
     "q58_sort_percentiles" -> q58Sql,

@@ -666,6 +666,80 @@ object Analytics {
       |  ON abs(length(a.p_name) - length(b.b_name)) <= 2
       |WHERE levenshtein(a.p_name, b.b_name) <= 2""".stripMargin
 
+  // -- q172: entity-resolution clusters — the q171 fuzzy matches closed
+  // into canonical entities (Dedup.clusters min-label over the match
+  // graph): every typo'd variant resolves to its cluster's minimum id.
+  // The full ER pipeline shape: block -> verify -> cluster. Oracle:
+  // q171's pair SQL + the recursive-CTE transitive closure (the q62
+  // device — an independent fixpoint algorithm). --
+  private val q172: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Dedup.clusters(q171(s, dir), "p_partkey", "b_id")
+      .select($"node", $"cluster")
+  }
+  private val q172Sql =
+    s"""WITH RECURSIVE
+       |pairs AS ($q171Sql),
+       |edges AS (SELECT p_partkey AS src, b_id AS dst FROM pairs
+       |          UNION SELECT b_id, p_partkey FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |members AS (
+       |  SELECT src AS node, dst AS m FROM reach
+       |  UNION ALL
+       |  SELECT src, src FROM edges)
+       |SELECT node, min(m) AS cluster FROM members GROUP BY node""".stripMargin
+
+  // -- q173: session funnel — the conversion analysis the sessionizer
+  // exists for: per (user, session), did the FIRST view precede the
+  // first click, and that the first purchase (strict event-time order)?
+  // One q12-shaped session pass + conditional-min aggregates; flags are
+  // exact millisecond comparisons. --
+  private val q173: Q = (s, dir) => {
+    import s.implicits._
+    val sess = graft.operators.Sessions.assign(
+      t(s, dir, "events").select($"user_id", $"event_id", $"ts", $"event_type"),
+      "user_id", "ts", "event_id", gapMs = 1800000L)
+    sess.groupBy($"user_id", $"session")
+      .agg(count(lit(1)).as("n_events"),
+        min(when($"event_type" === "view", unix_millis($"ts"))).as("__tv"),
+        min(when($"event_type" === "click", unix_millis($"ts"))).as("__tc"),
+        min(when($"event_type" === "purchase", unix_millis($"ts"))).as("__tp"))
+      .select($"user_id", $"session", $"n_events",
+        $"__tv".isNotNull.as("saw_view"),
+        ($"__tv".isNotNull && $"__tc".isNotNull && $"__tc" > $"__tv")
+          .as("view_to_click"),
+        ($"__tv".isNotNull && $"__tc".isNotNull && $"__tp".isNotNull &&
+          $"__tc" > $"__tv" && $"__tp" > $"__tc").as("full_funnel"))
+  }
+  private val q173Sql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                  ROWS UNBOUNDED PRECEDING) AS session
+      |  FROM g
+      |), a AS (
+      |  SELECT user_id, session, CAST(count(*) AS BIGINT) AS n_events,
+      |    min(epoch_ms(ts)) FILTER (WHERE event_type = 'view') AS tv,
+      |    min(epoch_ms(ts)) FILTER (WHERE event_type = 'click') AS tc,
+      |    min(epoch_ms(ts)) FILTER (WHERE event_type = 'purchase') AS tp
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id, session, n_events,
+      |  tv IS NOT NULL AS saw_view,
+      |  (tv IS NOT NULL AND tc IS NOT NULL AND tc > tv) AS view_to_click,
+      |  (tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL
+      |   AND tc > tv AND tp > tc) AS full_funnel
+      |FROM a""".stripMargin
+
   // -- q51: banded range join — events within ±5 min of each signup --
   private val q51: Q = (s, dir) => {
     import s.implicits._
@@ -866,6 +940,8 @@ object Analytics {
     "q169_mad_outliers" -> q169,
     "q170_impute_median" -> q170,
     "q171_fuzzy_join" -> q171,
+    "q172_entity_clusters" -> q172,
+    "q173_session_funnel" -> q173,
     "q53_pivot" -> q53,
     "q57_bucketed_join" -> q57,
     "q58_sort_percentiles" -> q58,
@@ -908,6 +984,8 @@ object Analytics {
     "q169_mad_outliers" -> q169Sql,
     "q170_impute_median" -> q170Sql,
     "q171_fuzzy_join" -> q171Sql,
+    "q172_entity_clusters" -> q172Sql,
+    "q173_session_funnel" -> q173Sql,
     "q53_pivot" -> q53Sql,
     "q57_bucketed_join" -> q57Sql,
     "q58_sort_percentiles" -> q58Sql,

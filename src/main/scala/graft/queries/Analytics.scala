@@ -558,23 +558,25 @@ object Analytics {
       |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)""".stripMargin
 
   // -- q168: winsorization (Percentiles.winsorize) — l_extendedprice
-  // clipped into its own exact [5%, 95%] quantile band: the fat-tail
-  // tamer that keeps every row. Thresholds ride the proven q58
-  // interpolated-quantile parity; the clip is least/greatest over
-  // identical doubles, so per-row outputs hash bit-for-bit. --
+  // clipped into its own exact [5%, 95%] quantile band (thresholds
+  // quantized to the column's 2-dp precision): the fat-tail tamer that
+  // keeps every row. Raw interpolated quantiles differ by 1 ulp between
+  // the rank/interpolate pass and DuckDB at sf0.1 (measured) — the
+  // roundTo=2 quantization is both the semantically right clip bound
+  // for money and the cross-engine parity device (the q58 precedent). --
   private val q168: Q = (s, dir) => {
     import s.implicits._
     graft.operators.Percentiles.winsorize(
       t(s, dir, "lineitem").select($"l_orderkey", $"l_linenumber",
         $"l_extendedprice"),
-      "l_extendedprice", lo = 0.05, hi = 0.95)
+      "l_extendedprice", lo = 0.05, hi = 0.95, roundTo = 2)
       .select($"l_orderkey", $"l_linenumber",
         $"l_extendedprice".as("price"), $"l_extendedprice_w".as("price_w"))
   }
   private val q168Sql =
     """WITH th AS (
-      |  SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
-      |         quantile_cont(l_extendedprice, 0.95) AS hi
+      |  SELECT round(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+      |         round(quantile_cont(l_extendedprice, 0.95), 2) AS hi
       |  FROM lineitem)
       |SELECT l_orderkey, l_linenumber, l_extendedprice AS price,
       |  least(greatest(l_extendedprice, lo), hi) AS price_w

@@ -642,11 +642,15 @@ object Analytics {
   // back at Levenshtein <= 2 through length-band blocking. The oracle
   // is the INDEPENDENT |length difference| <= maxDist formulation — the
   // hash match is simultaneously the completeness proof for the
-  // blocking (no true pair missed). Quarter sample keeps the oracle's
-  // nested-loop verify driver-gate-sized. --
+  // blocking (no true pair missed). The 1/16 sample keeps BOTH sides
+  // bounded: TPC-H part names concentrate in a few length bands (the
+  // operator's documented skew caveat), so the quarter-sample form
+  // benched 19 s at sf0.1 — candidate volume, not levenshtein, is the
+  // knob, and the sample keeps the demo inside the bench budget while
+  // the completeness theorem is size-independent. --
   private val q171: Q = (s, dir) => {
     import s.implicits._
-    val parts = t(s, dir, "part").filter($"p_partkey" % 4 === 0)
+    val parts = t(s, dir, "part").filter($"p_partkey" % 16 === 0)
       .select($"p_partkey", $"p_name")
     val pos = ($"p_partkey" % length($"p_name")).cast("int") + 1
     val batch = parts.select(($"p_partkey" + 100000).as("b_id"),
@@ -657,7 +661,7 @@ object Analytics {
   }
   private val q171Sql =
     """WITH parts AS (
-      |  SELECT p_partkey, p_name FROM part WHERE p_partkey % 4 = 0),
+      |  SELECT p_partkey, p_name FROM part WHERE p_partkey % 16 = 0),
       |batch AS (
       |  SELECT p_partkey + 100000 AS b_id,
       |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT)) ||

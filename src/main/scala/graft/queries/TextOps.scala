@@ -2134,7 +2134,43 @@ object TextOps {
        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin
   }
 
+  // -- q174: sequence-length curriculum sharding — the published
+  // short-to-long curriculum order materialized as training shards:
+  // docs sort by (token count, content hash) — the hash tie-break keeps
+  // equal-length cohorts deterministic — and pack greedily into
+  // 2000-token shards. Spark side is the WINDOW-FREE two-pass prefix
+  // sum (Prefix.packIntoShards: range partition + per-partition
+  // subtotal offsets — the 100 TB shape); the oracle is the single
+  // global window SQL — an independent formulation, so the hash match
+  // re-proves the two-pass scan equal to the textbook running sum. --
+  private val q174: Q = (s, dir) => {
+    import s.implicits._
+    val scored = docs(s, dir)
+      .select($"doc_id", size(Text.tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("__ord", concat(lpad($"n_tokens".cast("string"), 6, "0"),
+        md5($"doc_id".cast("string"))))
+    graft.operators.Prefix.packIntoShards(scored, "__ord", "n_tokens",
+      budget = 2000L)
+      .select($"doc_id", $"n_tokens", $"shard")
+  }
+  private val q174Sql = {
+    val tk = dTok
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len($tk) AS BIGINT) AS n_tokens,
+       |    lpad(CAST(len($tk) AS VARCHAR), 6, '0')
+       |      || md5(CAST(doc_id AS VARCHAR)) AS ord
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 2000) AS BIGINT) AS shard
+       |FROM c""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q174_curriculum_shards" -> q174,
     "q166_ngram_novelty" -> q166,
     "q165_oov_rate" -> q165,
     "q157_gopher_report" -> q157,
@@ -2199,6 +2235,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q174_curriculum_shards" -> q174Sql,
     "q166_ngram_novelty" -> q166Sql,
     "q165_oov_rate" -> q165Sql,
     "q157_gopher_report" -> q157Sql,

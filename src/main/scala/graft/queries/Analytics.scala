@@ -746,6 +746,29 @@ object Analytics {
       |   AND tc > tv AND tp > tc) AS full_funnel
       |FROM a""".stripMargin
 
+  // -- q175: co-occurrence mining (market-basket pairs) — parts ordered
+  // together: the in-order self-join (bounded by per-order line counts,
+  // ~4 in TPC-H — never a corpus cross join), pair-keyed count, top 20
+  // by (support desc, pair asc). The association-rule precursor and the
+  // same pair-generation shape the LSH buckets use. --
+  private val q175: Q = (s, dir) => {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+    val pairs = li.toDF("o", "pa")
+      .join(li.toDF("o", "pb"), Seq("o"))
+      .filter($"pa" < $"pb")
+    pairs.groupBy($"pa", $"pb")
+      .agg(count(lit(1)).as("support"))
+      .orderBy($"support".desc, $"pa", $"pb")
+      .limit(20)
+  }
+  private val q175Sql =
+    """SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY support DESC, pa, pb LIMIT 20""".stripMargin
+
   // -- q51: banded range join — events within ±5 min of each signup --
   private val q51: Q = (s, dir) => {
     import s.implicits._
@@ -948,6 +971,7 @@ object Analytics {
     "q171_fuzzy_join" -> q171,
     "q172_entity_clusters" -> q172,
     "q173_session_funnel" -> q173,
+    "q175_basket_pairs" -> q175,
     "q53_pivot" -> q53,
     "q57_bucketed_join" -> q57,
     "q58_sort_percentiles" -> q58,
@@ -992,6 +1016,7 @@ object Analytics {
     "q171_fuzzy_join" -> q171Sql,
     "q172_entity_clusters" -> q172Sql,
     "q173_session_funnel" -> q173Sql,
+    "q175_basket_pairs" -> q175Sql,
     "q53_pivot" -> q53Sql,
     "q57_bucketed_join" -> q57Sql,
     "q58_sort_percentiles" -> q58Sql,

@@ -49,6 +49,26 @@ class KnnStoreSpec extends SparkSpec {
     dropStore(t)
   }
 
+  test("compaction after append preserves edges, geometry stamp, and probes") {
+    val t = "knnstore_spec_c"
+    dropStore(t)
+    val old = emb.filter($"vec_id" % 3 =!= 0)
+    Similarity.writeKnnStore(old, "vec_id", "embedding", t, k = 4)
+    Similarity.appendToKnnStore(emb.filter($"vec_id" % 3 === 0),
+      "vec_id", "embedding", t)
+    val before = edges(t).collect().toSet
+    graft.sinks.Bucketing.compactBucketed(spark, Similarity.knnEdgesTable(t))
+    graft.sinks.Bucketing.compactBucketed(spark, Similarity.knnVectorsTable(t))
+    assert(edges(t).collect().toSet == before, "compaction must not change rows")
+    // the geometry stamp survives the staged swap (carryPropsAndSwap)
+    assert(Similarity.openKnnStore(spark, t).count() == before.size)
+    // and one more append still works against the compacted tables
+    Similarity.appendToKnnStore(emb.filter($"vec_id" % 3 === 0),
+      "vec_id", "embedding", t) // no-op double-commit
+    assert(edges(t).collect().toSet == before)
+    dropStore(t)
+  }
+
   test("geometry stamp: missing or diverged stamps fail fast") {
     val t = "knnstore_spec_b"
     dropStore(t)

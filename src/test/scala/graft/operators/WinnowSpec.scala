@@ -59,6 +59,26 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("winnow is stateless: the same plan is valid mid-stream, stream == batch") {
+    val src = java.nio.file.Files.createTempDirectory("wn_src").toString
+    val out = java.nio.file.Files.createTempDirectory("wn_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("wn_ckpt").toString
+    val rows = Seq(
+      (1L, (1 to 15).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 12).map(i => s"b$i").mkString(" "))).toDF("id", "text")
+    rows.write.mode("append").parquet(src)
+    val q = Winnow.fingerprints(
+      spark.readStream.schema(rows.schema).parquet(src), "text", "id")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+    val batch = Winnow.fingerprints(rows, "text", "id")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("documents with fewer than w k-grams emit nothing") {
     val df = Seq((1L, "a b c d e f")).toDF("id", "text") // 3 grams < w=4
     assert(Winnow.fingerprints(df, "text", "id").isEmpty)

@@ -2169,7 +2169,46 @@ object TextOps {
        |FROM c""".stripMargin
   }
 
+  // -- q176: per-source duplication report — the provenance view of the
+  // near-dup graph (which crawl/source ships the boilerplate): per
+  // source, docs, near-dup losers (non-representative cluster members),
+  // and the exact-ratio dup rate. Counts are exact longs over the q62
+  // closure; the report is what a curation run alerts on. --
+  private val q176: Q = (s, dir) => {
+    import s.implicits._
+    val losers = graft.operators.Dedup.clusters(q22(s, dir), "doc_a", "doc_b")
+      .where($"cluster" =!= $"node")
+      .select($"node".as("doc_id"), lit(1).as("__loser"))
+    docs(s, dir).select($"doc_id", $"source")
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count($"__loser").as("n_dupes"))
+      .withColumn("dup_rate", $"n_dupes".cast("double") / $"n_docs")
+  }
+  private val q176Sql =
+    s"""WITH RECURSIVE
+       |pairs AS ($q22Sql),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |members AS (
+       |  SELECT src AS node, dst AS m FROM reach
+       |  UNION ALL
+       |  SELECT src, src FROM edges),
+       |clusters AS (SELECT node, min(m) AS cluster FROM members GROUP BY node),
+       |losers AS (SELECT node AS doc_id FROM clusters WHERE cluster <> node)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(l.doc_id) AS BIGINT) AS n_dupes,
+       |  CAST(count(l.doc_id) AS DOUBLE) / count(*) AS dup_rate
+       |FROM documents d LEFT JOIN losers l USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q176_dup_report" -> q176,
     "q174_curriculum_shards" -> q174,
     "q166_ngram_novelty" -> q166,
     "q165_oov_rate" -> q165,
@@ -2235,6 +2274,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q176_dup_report" -> q176Sql,
     "q174_curriculum_shards" -> q174Sql,
     "q166_ngram_novelty" -> q166Sql,
     "q165_oov_rate" -> q165Sql,

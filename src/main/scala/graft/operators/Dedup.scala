@@ -233,6 +233,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Picks LSH banding `(bands, rows)` for a target Jaccard threshold —
+    * the missing driver math the sizing literals papered over: callers
+    * have a similarity τ they care about, not a (bands, rows) pair. With
+    * `rows` draws per band the any-band collision probability is the
+    * S-curve p(s) = 1 − (1 − s^rows)^bands, whose knee (steepest point)
+    * sits at s* ≈ (1/bands)^(1/rows); this solve enumerates the factor
+    * pairs of the `nDraws` signature budget and returns the pair whose
+    * knee lands closest to `tau` — below τ collisions decay fast, above
+    * it they saturate. Pure driver arithmetic over ≤ nDraws divisors
+    * (zero jobs); feed the result to [[nearDupCandidates]] /
+    * [[weightedMinhashSigs]] / [[candidatesFromSigs]].
+    *
+    * Tie note: more bands with fewer rows per band = higher recall, more
+    * candidates; the knee criterion resolves budget ties toward the
+    * closest threshold fit, and exact knee ties keep the HIGHER-rows
+    * (more selective) pair — boilerplate-heavy corpora want fewer false
+    * candidates, and the verified paths re-score anyway. */
+  def tuneBands(tau: Double, nDraws: Int = 16): (Int, Int) = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0, 1): $tau")
+    require(nDraws >= 1, s"nDraws must be positive: $nDraws")
+    val pairs = for (r <- 1 to nDraws if nDraws % r == 0) yield (nDraws / r, r)
+    pairs.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - tau), -r)
+    }
+  }
+
   /** WEIGHTED MinHash band signatures — consistent weighted sampling
     * over the document's term-frequency bag (min of Exp(tf)-distributed
     * hashes: each draw picks the argmin of `-ln(u(seed, token)) /

@@ -382,8 +382,10 @@ object Multimodal {
             val cnts = new Array[Long](65)
             var w = 0
             while (w < 65) {
-              val lo = w * n / 65
-              val hi = (w + 1) * n / 65
+              // Long arithmetic: w*n overflows Int past ~33M samples
+              // (~12.5 min at 44.1 kHz), which would index negative.
+              val lo = (w.toLong * n / 65).toInt
+              val hi = ((w + 1).toLong * n / 65).toInt
               var i = lo
               var s = 0L
               while (i < hi) { s += math.abs(d.samples(i).toLong); i += 1 }
@@ -530,6 +532,10 @@ object Multimodal {
           } catch { case _: Exception => failed += 1; None }
         decoded match {
           case None => Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null)))
+          case Some((count, frames)) if frames.isEmpty =>
+            // A payload that decodes with 0 images still keeps one row
+            // (null frame, real frame_count) — no document disappears.
+            Seq(Row.fromSeq(r.toSeq ++ Seq[Any](count, null, null)))
           case Some((count, frames)) =>
             frames.map { case (i, h) =>
               Row.fromSeq(r.toSeq ++ Seq[Any](count, i, h))
@@ -568,6 +574,9 @@ object Multimodal {
                catch { case _: Exception => failed += 1; None }
         decoded match {
           case None => Seq(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null)))
+          case Some((count, frames)) if frames.isEmpty =>
+            // 0-frame decode keeps one null-frame row (real frame_count).
+            Seq(Row.fromSeq(r.toSeq ++ Seq[Any](count, null, null, null, null)))
           case Some((count, frames)) =>
             frames.map(f => Row.fromSeq(r.toSeq ++
               Seq[Any](count, f.index, f.width, f.height, f.mean)))

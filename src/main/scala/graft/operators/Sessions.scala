@@ -15,11 +15,16 @@ object Sessions {
   def assign(df: DataFrame, userCol: String, tsCol: String,
              tieBreak: String, gapMs: Long): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieBreak))
+    // The running sum is pinned to an explicit ROWS frame: the default
+    // ORDER-BY frame is RANGE, which lumps order-key ties into one frame
+    // and would diverge from the oracle's row-at-a-time prefix sum the day
+    // a fixture gains (ts, tieBreak) ties.
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ms = unix_millis(col(tsCol))
     val gap = ms - lag(ms, 1).over(w)
     df.withColumn("__new_session",
         when(gap.isNull || gap > gapMs, 1L).otherwise(0L))
-      .withColumn("session", sum(col("__new_session")).over(w))
+      .withColumn("session", sum(col("__new_session")).over(wRows))
       .drop("__new_session")
   }
 

@@ -66,12 +66,46 @@ object Similarity {
     * caps; here they surface as dense graph neighborhoods, which the
     * top-k heap bounds at k edges per node regardless. */
   def knnGraph(corpus: DataFrame, idCol: String, embCol: String, k: Int,
-               bits: Int = 8, tables: Int = 2): DataFrame = {
+               bits: Int = AutoBits, tables: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    require(tables >= 1 && bits >= 1, s"knnGraph: need >=1 table/bit")
-    val s = lshSigs(corpus, idCol, embCol, bits, tables)
+    require(tables >= 1 && (bits >= 1 || bits == AutoBits),
+      s"knnGraph: need >=1 table/bit")
+    val b = resolveBits(corpus, embCol, bits, tables)
+    val s = lshSigs(corpus, idCol, embCol, b, tables)
     keepTopK(scoreCandidates(bucketJoin(s, s), corpus, idCol, embCol), idCol, k)
   }
+
+  /** `bits` sentinel for [[knnGraph]]/[[writeKnnStore]]: size the LSH
+    * geometry FROM THE CORPUS (⌈log₂(n / 64)⌉ bits, clamped so `tables`
+    * disjoint coordinate slices fit the embedding dimension). This is
+    * the DEFAULT: the round-11 scale study measured fixture-sized
+    * literals (8 bits at 200 k vectors) hitting the n²/2^bits candidate
+    * wall at x100 while log₂-sized geometry stayed linear — a default
+    * the caller must opt OUT of (explicit bits) for parity pins, not
+    * remember to opt into. */
+  val AutoBits: Int = -1
+
+  /** The sizing formula behind [[AutoBits]]/[[knnGraphAuto]], exposed
+    * for specs: expected bucket population stays at `targetBucket`
+    * whatever the corpus size, so candidate pairs grow linearly in n. */
+  private[graft] def autoBits(n: Long, dim: Int, tables: Int,
+                              targetBucket: Int = 64): Int = {
+    val wanted = math.max(1,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt)
+    math.min(wanted, math.max(1, dim / tables))
+  }
+
+  /** One count + one head job when auto-sizing; zero jobs for explicit
+    * bits (the parity-pin path is unchanged). */
+  private def resolveBits(corpus: DataFrame, embCol: String, bits: Int,
+                          tables: Int, targetBucket: Int = 64): Int =
+    if (bits != AutoBits) bits
+    else {
+      val n = corpus.count()
+      val dim = corpus.select(size(col(embCol))).head().getInt(0)
+      autoBits(n, dim, tables, targetBucket)
+    }
 
   /** Incremental [[knnGraph]] maintenance — the ANN-graph member of the
     * incremental-store family: merge a NEW vector batch into an existing
@@ -88,12 +122,17 @@ object Similarity {
     * the old graph contributes k·|old| rows to the final heap re-cut. */
   def knnGraphAppend(oldGraph: DataFrame, oldCorpus: DataFrame,
                      newBatch: DataFrame, idCol: String, embCol: String,
-                     k: Int, bits: Int = 8, tables: Int = 2): DataFrame = {
+                     k: Int, bits: Int = AutoBits, tables: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(oldCorpus.sparkSession)
+    // the rebuild identity requires the OLD graph's geometry: AutoBits
+    // resolves against the old corpus, mirroring what a default-geometry
+    // knnGraph(oldCorpus) chose at build time. Persistent stores don't
+    // rely on this mirror — appendToKnnStore replays the stamped value.
+    val b = resolveBits(oldCorpus, embCol, bits, tables)
     val all = oldCorpus.select(col(idCol), col(embCol))
       .unionByName(newBatch.select(col(idCol), col(embCol)))
-    val sAll = lshSigs(all, idCol, embCol, bits, tables)
-    val sNew = lshSigs(newBatch, idCol, embCol, bits, tables)
+    val sAll = lshSigs(all, idCol, embCol, b, tables)
+    val sNew = lshSigs(newBatch, idCol, embCol, b, tables)
     // new×new pairs appear in both joins — distinct, or the heap would
     // count a duplicated best neighbor twice and shift the k-th slot
     val touching = bucketJoin(sNew, sAll)
@@ -129,16 +168,20 @@ object Similarity {
     * geometry. The ANN-graph member of the store family beside the
     * fingerprint / signature / semantic / span / postings stores. */
   def writeKnnStore(corpus: DataFrame, idCol: String, embCol: String,
-                    table: String, k: Int, bits: Int = 8, tables: Int = 2,
-                    buckets: Int = 8): Unit = {
+                    table: String, k: Int, bits: Int = AutoBits,
+                    tables: Int = 2, buckets: Int = 8): Unit = {
     val spark = corpus.sparkSession
+    // auto-sized geometry is resolved to a CONCRETE bits value here so
+    // the stamp records it: appends replay the stamped geometry, never
+    // re-derive it (a growing store would otherwise drift tables apart)
+    val b = resolveBits(corpus, embCol, bits, tables)
     graft.sinks.Bucketing.writeBucketed(
       corpus.select(col(idCol), col(embCol)),
       knnVectorsTable(table), Seq(idCol), buckets)
     graft.sinks.Bucketing.writeBucketed(
-      knnGraph(corpus, idCol, embCol, k, bits, tables),
+      knnGraph(corpus, idCol, embCol, k, b, tables),
       knnEdgesTable(table), Seq("q_id"), buckets)
-    val geom = geomString(k, bits, tables)
+    val geom = geomString(k, b, tables)
     Seq(knnVectorsTable(table), knnEdgesTable(table)).foreach { t =>
       spark.sql(
         s"ALTER TABLE `$t` SET TBLPROPERTIES ('$KnnGeometryProp' = '$geom')")
@@ -147,6 +190,11 @@ object Similarity {
 
   private def storedGeometry(spark: org.apache.spark.sql.SparkSession,
                              table: String): (Int, Int, Int) = {
+    // A crash inside a staged rewrite's drop/rename window leaves only
+    // the finished staging copy; complete the rename here so every store
+    // entry point (append, open) converges on retry instead of throwing
+    // NoSuchTableException before reaching the rewrite path.
+    graft.sinks.Bucketing.completePendingSwap(spark, table)
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val raw = meta.properties.getOrElse(KnnGeometryProp,
@@ -227,23 +275,31 @@ object Similarity {
   def knnGraphAuto(corpus: DataFrame, idCol: String, embCol: String, k: Int,
                    targetBucket: Int = 64, tables: Int = 2): DataFrame = {
     require(targetBucket >= 1, s"knnGraphAuto: targetBucket >= 1")
-    val n = corpus.count()
-    val dim = corpus.select(size(col(embCol))).head().getInt(0)
-    val wanted = math.max(1,
-      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
-        math.log(2.0)).toInt)
-    val bits = math.min(wanted, math.max(1, dim / tables))
+    val bits = resolveBits(corpus, embCol, AutoBits, tables, targetBucket)
     knnGraph(corpus, idCol, embCol, k, bits, tables)
   }
 
   /** (id, table, bucket) sign-LSH signature frame: one row per vector
     * per hash table, table t reading coordinate slice [t·bits, (t+1)·bits). */
   private def lshSigs(corpus: DataFrame, idCol: String, embCol: String,
-                      bits: Int, tables: Int): DataFrame =
+                      bits: Int, tables: Int): DataFrame = {
+    // Geometry must fit the embedding: signBucketAt's element_at past
+    // the array end reads null → a constant '0' bit (non-ANSI), so
+    // oversized bits*tables silently collapses the extra bits of every
+    // table into shared constants (recall loss, hot buckets) — and
+    // would throw under ANSI mode. Checked per row (dims may be ragged)
+    // with a codegen'd branch, zero extra jobs; knnGraphAuto clamps to
+    // the same bound up front.
+    val need = bits * tables
+    val emb = when(size(col(embCol)) >= need, col(embCol))
+      .otherwise(raise_error(concat(
+        lit(s"lshSigs: bits*tables = $need exceeds embedding dim "),
+        size(col(embCol)).cast("string"))))
     corpus.select(col(idCol).as("__id"),
       posexplode(array((0 until tables).map(t =>
-        Vectors.signBucketAt(col(embCol), bits, t * bits)): _*))
+        Vectors.signBucketAt(emb, bits, t * bits)): _*))
         .as(Seq("__tbl", "__bucket")))
+  }
 
   /** Distinct candidate id pairs sharing any table's bucket. */
   private def bucketJoin(a: DataFrame, b: DataFrame): DataFrame =

@@ -1615,14 +1615,18 @@ object TextOps {
     val tk = $"__tk"
     val raw = docs(s, dir)
       .select($"doc_id", Text.tokens($"text").as("__tk"))
-      .select($"doc_id", array_join(transform(
+      // the zero-token guard matters: (size-1)/6 casts -0.17 toward zero
+      // (1 chunk) while the oracle's (len-1)//6 floors (0 chunks) — and
+      // floor() alone would hand sequence() a descending [0,-1] range
+      .select($"doc_id", when(size(tk) === 0, lit("")).otherwise(
+      array_join(transform(
       sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
       i => {
         val ln = array_join(slice(tk, i * 6 + 1, lit(6)), " ")
         when(i % 3 === 0, concat(ln, lit(".")))
           .when(i % 3 === 1, ln)
           .otherwise(concat(ln, lit(" javascript.")))
-      }), "\n").as("text"))
+      }), "\n")).as("text"))
     graft.operators.LineFilter.cleanDocs(raw, "text")
       .select($"doc_id", $"text".as("clean"), md5($"text").as("clean_md5"),
         $"n_lines_kept")
@@ -2014,10 +2018,13 @@ object TextOps {
     val tk = $"__tk"
     val raw = docs(s, dir)
       .select($"doc_id", Text.tokens($"text").as("__tk"))
+      // same zero-token guard as q143: truncate-vs-floor chunk counts
+      // diverge between engines on empty-token documents
       .select($"doc_id", concat(lit("accept all cookies to continue.\n"),
+        when(size(tk) === 0, lit("")).otherwise(
         array_join(transform(sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
           i => concat(array_join(slice(tk, i * 6 + 1, lit(6)), " "), lit("."))),
-          "\n")).as("text"))
+          "\n"))).as("text"))
     graft.operators.LineFilter.dropBoilerplate(raw, "text", "doc_id", minDf = 10)
       .select($"doc_id", md5($"text").as("clean_md5"),
         $"n_lines_kept", $"n_boiler_dropped")

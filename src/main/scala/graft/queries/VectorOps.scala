@@ -1108,11 +1108,18 @@ object VectorOps {
   // -- q161: persistent k-NN graph store lifecycle (writeKnnStore →
   // appendToKnnStore → openKnnStore) — the q151 math pushed through the
   // DISK store pair (bucketed vectors + edges tables, geometry-stamped):
-  // build over 80%, commit the 20% batch, read the edges back. Oracle =
-  // q145's from-scratch SQL verbatim, so the hash match proves the whole
-  // store round-trip (staged edge rewrite included) exact. Store tables
-  // are sf-suffixed and rebuilt per run (the append lifecycle must not
-  // see a previous run's already-appended state). --
+  // build over 80%, commit the 20% batch, read the edges back. Since
+  // round 12 this routes through the DEFAULT geometry, i.e. AutoBits:
+  // writeKnnStore sizes bits = ceil(log2(n80 / 64)) from the build
+  // corpus and STAMPS the resolved value; the append replays the stamp.
+  // The oracle computes the same formula from the same 80% count (sf0.01
+  // -> 3 bits, sf0.1 -> 5 — the geometry scales with the corpus, which
+  // is the whole point), then runs q145's from-scratch construction at
+  // that geometry, so the hash match proves the auto-sizing AND the
+  // store round-trip (staged edge rewrite included) exact. q145 keeps
+  // explicit bits=8 as the fixed-geometry parity pin. Store tables are
+  // sf-suffixed and rebuilt per run (the append lifecycle must not see
+  // a previous run's already-appended state). --
   private val q161: Q = (s, dir) => {
     import s.implicits._
     val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -1130,7 +1137,28 @@ object VectorOps {
       .select($"q_id".as("src"), $"vec_id".as("dst"),
         round($"cos", 6).as("cos"))
   }
-  private val q161Sql = q145Sql
+  private val q161Sql =
+    s"""WITH geo AS (
+       |  SELECT CAST(ceil(log2(count(*) / 64.0)) AS INT) AS bits
+       |  FROM embeddings WHERE vec_id % 5 <> 0),
+       |sigs AS (
+       |  SELECT vec_id, tbl,
+       |    array_to_string(list_transform(
+       |      list_slice(embedding, 1 + bits * tbl, bits + bits * tbl),
+       |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM embeddings, (SELECT unnest([0, 1]) AS tbl), geo),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM sigs a JOIN sigs b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |sc AS (
+       |  SELECT src, dst, ${dCos("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cand JOIN embeddings ea ON src = ea.vec_id
+       |            JOIN embeddings eb ON dst = eb.vec_id)
+       |SELECT src, dst, round(cos, 6) AS cos FROM (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |  FROM sc) WHERE rn <= 5""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q161_knn_store" -> q161,

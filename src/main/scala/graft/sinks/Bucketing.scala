@@ -189,6 +189,24 @@ object Bucketing {
     carryPropsAndSwap(spark, meta, staging, table)
   }
 
+  /** Crash-recovery entry for readers: when `table` is missing but a
+    * finished staging copy from one of the staged rewrites exists,
+    * complete the interrupted rename so the caller sees the committed
+    * contents. Without this, a crash inside a rewrite's drop/rename
+    * window makes every READ path throw NoSuchTableException until the
+    * same rewrite happens to be re-run — the converging-retry branch in
+    * [[overwriteBucketedStaged]] was unreachable from callers that read
+    * table metadata first (e.g. the k-NN store's geometry stamp).
+    * No-op when the table exists or no staging copy is present. */
+  def completePendingSwap(spark: SparkSession, table: String): Unit = {
+    val catalog = spark.sessionState.catalog
+    if (catalog.tableExists(TableIdentifier(table))) return
+    Seq("__rewriting", "__compacting", "__rebucketing")
+      .map(table + _)
+      .find(s => catalog.tableExists(TableIdentifier(s)))
+      .foreach(s => spark.sql(s"ALTER TABLE `$s` RENAME TO `$table`"))
+  }
+
   /** Shared tail of the staged+swap rewrites: copy `graft.*` table
     * properties (e.g. the semantic store's centroid fingerprint) onto
     * the staging table, then drop-and-rename it into place. */

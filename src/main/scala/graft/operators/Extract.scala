@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML main-content extraction — the FIRST stage of every real crawl
+  * pipeline (reference README positions the tool over log/crawl
+  * indices: dump-es-parquet README.md:95-103), and the stage the rest
+  * of the text chain here (Normalize → LineFilter → Gopher gates →
+  * dedup) previously assumed had already happened. The shape is the
+  * jusText/trafilatura one, reduced to what survives a byte-exact
+  * cross-engine oracle:
+  *
+  *  1. drop non-content markup wholesale: `<script>…</script>`,
+  *     `<style>…</style>`, `<!-- comments -->`;
+  *  2. segment into BLOCKS on block-level tags (`p`, `div`, `li`,
+  *     headings, table cells, `br`, …) — inline markup (`a`, `b`,
+  *     `span`) stays inside its block;
+  *  3. per block, recover the text: strip remaining tags to spaces,
+  *     decode the common entities (`&amp;` LAST, so `&amp;lt;` comes
+  *     out as the literal `&lt;` and never double-decodes), squeeze
+  *     whitespace;
+  *  4. gate each block on length AND text density: `minWords` kills
+  *     titles/footers/button labels, and `textLen / rawLen >=
+  *     minDensity` kills link farms and nav bars whose text is short
+  *     relative to their markup (the boilerplate-density signal link
+  *     lists can't fake — a 6-link nav has 6 words but ~0.2 density).
+  *
+  * Everything is a per-row chain of codegen'd `regexp_replace` /
+  * higher-order-function calls over the row's own string: the operator
+  * is NARROW (zero shuffles, no UDF), so at 100 TB it scales exactly as
+  * the scan does and composes with the line/doc gates downstream.
+  * Following the q143 lesson, the block array and the per-block
+  * (text, rawLen) structs are each staged in their OWN projection —
+  * HOF lambdas do not share codegen subexpressions, so an unstaged
+  * form would re-run the strip/decode chain once per lambda. */
+object Extract {
+
+  /** Block-level tags (open or close, any attributes) — segment
+    * boundaries. Shared-prefix alternatives are ordered longest-first
+    * (`blockquote` before `br`, `header|footer` before `h[1-6]`,
+    * `table` before `tr|td|th`, `pre` before `p`) so both Java regex
+    * and RE2 leftmost-first semantics agree. */
+  private[graft] val BlockTagRe =
+    "(?i)</?(?:blockquote|br|section|article|header|footer|table|nav|pre|div|ul|ol|li|tr|td|th|p|h[1-6])[^>]*>"
+
+  /** Non-content subtrees removed wholesale, payload included. The
+    * close-tag patterns avoid backreferences (RE2 has none — the
+    * DuckDB oracle runs the identical patterns). */
+  def dropNonContent(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+  }
+
+  /** The common HTML entities, `&amp;` decoded LAST (decoding it first
+    * would re-feed `&amp;lt;` into the later rules — the classic
+    * double-decode). Unknown entities pass through as literal text. */
+  def decodeEntities(text: Column): Column = {
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(text) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+  }
+
+  /** Raw block → clean text: strip tags to spaces, decode entities,
+    * squeeze runs of whitespace, trim. */
+  def blockText(block: Column): Column =
+    trim(regexp_replace(
+      decodeEntities(regexp_replace(block, "<[^>]*>", " ")), "\\s+", " "))
+
+  /** Whole-document tag strip (no gate): the quick-and-dirty form for
+    * callers that want every character, boilerplate included. */
+  def stripTags(html: Column): Column = blockText(dropNonContent(html))
+
+  /** Main-content extraction over `htmlCol`: replaces it with the
+    * extracted `text` and appends `n_blocks` (blocks with any text at
+    * all) and `n_blocks_kept`. Kept blocks join with single newlines in
+    * document order; a document with no surviving block keeps an empty
+    * `text` (no row is dropped — the downstream doc gates decide). */
+  def mainContent(df: DataFrame, htmlCol: String, minWords: Int = 5,
+                  minDensity: Double = 0.25): DataFrame = {
+    require(minWords >= 1, s"minWords must be positive: $minWords")
+    require(minDensity >= 0.0 && minDensity <= 1.0,
+      s"minDensity must be in [0, 1]: $minDensity")
+    val passthrough = df.columns.filter(_ != htmlCol).map(col).toSeq
+    val blocks = split(dropNonContent(col(htmlCol)), BlockTagRe)
+    val staged = df.select(passthrough :+ blocks.as("__blocks"): _*)
+    // one struct per block, computed once: (clean text, raw length)
+    val bt = staged.select(passthrough :+ transform(col("__blocks"), b =>
+      struct(blockText(b).as("txt"), length(b).as("raw"))).as("__bt"): _*)
+    val nonEmpty = filter(col("__bt"), e => e.getField("txt") =!= "")
+    val kept = filter(nonEmpty, e =>
+      size(split(e.getField("txt"), " ")) >= minWords &&
+        length(e.getField("txt")).cast("double") /
+          greatest(e.getField("raw"), lit(1)).cast("double") >= minDensity)
+    bt.select(passthrough ++ Seq(
+      array_join(transform(kept, _.getField("txt")), "\n").as("text"),
+      size(nonEmpty).as("n_blocks"),
+      size(kept).as("n_blocks_kept")): _*)
+  }
+}

@@ -2214,7 +2214,94 @@ object TextOps {
        |FROM documents d LEFT JOIN losers l USING (doc_id)
        |GROUP BY 1""".stripMargin
 
+  // -- q177: HTML main-content extraction (Extract.mainContent) — the
+  // crawl-pipeline entry stage. Each document is wrapped in a
+  // deterministic page: head/title (word-gated out), a 6-link nav bar
+  // whose text density is 33/134 ≈ 0.246 < 0.25 (the DENSITY gate, not
+  // the word gate, kills it), a <script> tracker and <style> block
+  // (dropped wholesale), the doc's tokens re-lined into 8-token <p>
+  // blocks (every third gaining encoded entities — decode order
+  // observable via md5), and a short &copy; footer (word-gated). The
+  // oracle runs the IDENTICAL RE2-compatible regexp/HOF chain in
+  // DuckDB (the q143 recipe); md5 + length of the extraction make the
+  // match byte-exact. Zero-token docs exercise the empty-page path. --
+  private val q177: Q = (s, dir) => {
+    import s.implicits._
+    val tk = $"__tk"
+    val nav = """<div id="nav"><a href="/">Home</a> <a href="/a">About</a> """ +
+      """<a href="/b">Contact</a> <a href="/c">Docs</a> """ +
+      """<a href="/d">Blog</a> <a href="/e">More</a></div>"""
+    val raw = docs(s, dir)
+      .select($"doc_id", Text.tokens($"text").as("__tk"))
+      .select($"doc_id", concat(
+        lit("<html><head><title>Doc "), $"doc_id".cast("string"),
+        lit("</title><style>.m{color:red}</style></head><body>"),
+        lit(nav),
+        lit("<script>var tracker = \""), $"doc_id".cast("string"),
+        lit("\";</script>"),
+        when(size(tk) === 0, lit("")).otherwise(
+          array_join(transform(sequence(lit(0), ((size(tk) - 1) / 8).cast("int")),
+            i => concat(lit("<p>"), array_join(slice(tk, i * 8 + 1, lit(8)), " "),
+              when(i % 3 === 1,
+                lit(" &amp; more &quot;quoted&quot; text")).otherwise(lit("")),
+              lit("</p>"))), "")),
+        lit("<p>&copy; 2026</p></body></html>")).as("html"))
+    graft.operators.Extract.mainContent(raw, "html")
+      .select($"doc_id", $"n_blocks", $"n_blocks_kept",
+        md5($"text").as("text_md5"), length($"text").as("text_len"))
+  }
+  private val q177Sql = {
+    val tk = dTok
+    val nav = """<div id="nav"><a href="/">Home</a> <a href="/a">About</a> """ +
+      """<a href="/b">Contact</a> <a href="/c">Docs</a> """ +
+      """<a href="/d">Blog</a> <a href="/e">More</a></div>"""
+    s"""WITH tkt AS (SELECT doc_id, $tk AS tk FROM documents),
+       |raw AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+       |    || '</title><style>.m{color:red}</style></head><body>'
+       |    || '$nav'
+       |    || '<script>var tracker = "' || CAST(doc_id AS VARCHAR) || '";</script>'
+       |    || CASE WHEN len(tk) = 0 THEN '' ELSE
+       |         array_to_string(list_transform(range(0, ((len(tk) - 1) // 8) + 1),
+       |           i -> '<p>' || array_to_string(list_slice(tk, i * 8 + 1, i * 8 + 8), ' ')
+       |             || CASE WHEN i % 3 = 1
+       |                THEN ' &amp; more &quot;quoted&quot; text' ELSE '' END
+       |             || '</p>'), '') END
+       |    || '<p>&copy; 2026</p></body></html>' AS html
+       |  FROM tkt),
+       |nos AS (SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(html,
+       |    '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
+       |    '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
+       |    '(?s)<!--.*?-->', ' ', 'g') AS h FROM raw),
+       |blk AS (SELECT doc_id, string_split_regex(h,
+       |  '(?i)</?(?:blockquote|br|section|article|header|footer|table|nav|pre|div|ul|ol|li|tr|td|th|p|h[1-6])[^>]*>') AS blocks
+       |  FROM nos),
+       |bt AS (SELECT doc_id, list_transform(blocks, b -> struct_pack(
+       |    txt := trim(regexp_replace(
+       |      replace(replace(replace(replace(replace(replace(
+       |        regexp_replace(b, '<[^>]*>', ' ', 'g'),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+       |      '&nbsp;', ' '), '&amp;', '&'),
+       |      '\\s+', ' ', 'g')),
+       |    raw := len(b))) AS bt
+       |  FROM blk),
+       |agg AS (SELECT doc_id,
+       |  list_filter(bt, e -> e.txt <> '') AS nonempty,
+       |  list_filter(bt, e -> e.txt <> ''
+       |    AND len(string_split(e.txt, ' ')) >= 5
+       |    AND CAST(len(e.txt) AS DOUBLE) / greatest(e.raw, 1) >= 0.25) AS kept
+       |  FROM bt)
+       |SELECT doc_id, CAST(len(nonempty) AS INT) AS n_blocks,
+       |  CAST(len(kept) AS INT) AS n_blocks_kept,
+       |  md5(array_to_string(list_transform(kept, e -> e.txt), chr(10))) AS text_md5,
+       |  CAST(len(array_to_string(list_transform(kept, e -> e.txt), chr(10))) AS INT) AS text_len
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q177_html_extract" -> q177,
     "q176_dup_report" -> q176,
     "q174_curriculum_shards" -> q174,
     "q166_ngram_novelty" -> q166,
@@ -2281,6 +2368,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q177_html_extract" -> q177Sql,
     "q176_dup_report" -> q176Sql,
     "q174_curriculum_shards" -> q174Sql,
     "q166_ngram_novelty" -> q166Sql,

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** HTML main-content extraction: hand-computed extractions pin every
+  * rule (script/style/comment drop, block segmentation, entity decode
+  * order, word gate, density gate, no-row-drop contract). */
+class ExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val page =
+    """<html><head><title>My Page</title><style>.a{x}</style></head><body>""" +
+      """<div id="nav"><a href="/">Home</a> <a href="/a">About</a> """ +
+      """<a href="/b">Contact</a> <a href="/c">Docs</a> """ +
+      """<a href="/d">Blog</a> <a href="/e">More</a></div>""" +
+      """<script>var x = 1;</script>""" +
+      """<p>The quick brown fox jumps over the lazy dog.</p>""" +
+      """<p>Tom &amp; Jerry say &quot;hi&quot; &amp;lt;tag&amp;gt; indeed.</p>""" +
+      """<!-- hidden comment words one two three four five -->""" +
+      """<p>&copy; 2026</p></body></html>"""
+
+  private def extract(html: String, minWords: Int = 5, minDensity: Double = 0.25) =
+    Extract.mainContent(Seq((1L, html)).toDF("id", "html"),
+      "html", minWords, minDensity).head()
+
+  test("main content survives; nav, script, style, comment, footer do not") {
+    val r = extract(page)
+    assert(r.getAs[String]("text") ==
+      "The quick brown fox jumps over the lazy dog.\n" +
+        """Tom & Jerry say "hi" &lt;tag&gt; indeed.""")
+    // blocks with any text: title, nav, fox, tom, footer
+    assert(r.getAs[Int]("n_blocks") == 5)
+    assert(r.getAs[Int]("n_blocks_kept") == 2)
+  }
+
+  test("the nav dies by DENSITY, not by the word gate") {
+    // 6 words of link text, 134 raw chars -> density 33/134 = 0.246
+    val nav = """<div><a href="/">Home</a> <a href="/a">About</a> """ +
+      """<a href="/b">Contact</a> <a href="/c">Docs</a> """ +
+      """<a href="/d">Blog</a> <a href="/e">More</a></div>"""
+    assert(extract(nav, minWords = 5, minDensity = 0.25)
+      .getAs[Int]("n_blocks_kept") == 0)
+    assert(extract(nav, minWords = 5, minDensity = 0.0)
+      .getAs[String]("text") == "Home About Contact Docs Blog More")
+  }
+
+  test("entity decode: &amp; last, so &amp;lt; never double-decodes") {
+    val df = Seq(("&amp;lt;b&amp;gt; &lt;i&gt; &amp;amp; &nbsp; &#39;q&#39;"))
+      .toDF("t").select(Extract.decodeEntities($"t").as("d"))
+    assert(df.head().getString(0) == "&lt;b&gt; <i> &amp;   'q'")
+  }
+
+  test("no document is dropped: markup-only and empty pages keep a row") {
+    val df = Extract.mainContent(Seq(
+      (1L, "<div><a href='/'>x</a></div>"), (2L, ""), (3L, "plain words "
+        + "with no markup at all here")).toDF("id", "html"), "html")
+    assert(df.count() == 3)
+    val byId = df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[String]("text") == "" && byId(1L).getAs[Int]("n_blocks") == 1)
+    assert(byId(2L).getAs[String]("text") == "" && byId(2L).getAs[Int]("n_blocks") == 0)
+    assert(byId(3L).getAs[String]("text") == "plain words with no markup at all here")
+  }
+
+  test("block segmentation: inline tags stay, block tags split, pre/p and header/h1 disambiguate") {
+    val html = "<p>alpha beta gamma delta epsilon <b>bold</b></p>" +
+      "<h1>just a heading here okay</h1>" +
+      "<header>site chrome</header>" +
+      "<td>cell one two three four five</td>"
+    val r = extract(html, minWords = 5, minDensity = 0.0)
+    assert(r.getAs[String]("text") ==
+      "alpha beta gamma delta epsilon bold\n" +
+        "just a heading here okay\ncell one two three four five")
+  }
+
+  test("stripTags: whole-document text, boilerplate included") {
+    val txt = Seq(page).toDF("h").select(Extract.stripTags($"h")).head().getString(0)
+    assert(txt.startsWith("My Page Home About Contact Docs Blog More The quick"))
+    assert(!txt.contains("var x"))
+    assert(!txt.contains("hidden comment"))
+  }
+
+  test("extraction feeds the existing line/doc gate chain") {
+    val cleaned = LineFilter.cleanDocs(
+      Extract.mainContent(Seq((1L, page)).toDF("doc_id", "html"), "html"),
+      "text")
+    assert(cleaned.count() == 1)  // both kept lines end in terminal punctuation
+  }
+}

@@ -250,6 +250,55 @@ object Similarity {
       .write.mode("append").insertInto(vt)
   }
 
+  /** Geometry MIGRATION for a persisted k-NN store — the
+    * [[graft.operators.SemDedup.remapSemanticStore]] twin the store
+    * family was missing: a store whose corpus outgrew its stamped bits
+    * sits on the n²/2^bits candidate wall, and [[openKnnStore]]'s
+    * fail-fast (correctly) refuses any other geometry — previously the
+    * only way out was a by-hand rebuild. This re-signs the STORED
+    * vectors under the new `(k, bits, tables)` — pass [[AutoBits]] to
+    * re-size from the current corpus count, the usual reason to
+    * migrate — rebuilds the edges table staged+swapped, and re-stamps.
+    * The result is exactly what a from-scratch [[writeKnnStore]] at the
+    * new geometry would produce (spec-pinned); the vectors table's rows
+    * and bucketing are geometry-independent and untouched.
+    *
+    * Crash discipline: the VECTORS stamp moves FIRST, so from the first
+    * committed step until the final edges re-stamp the two stamps
+    * diverge and every probe/append fails fast — a half-migrated store
+    * can never be read as either geometry. Any crash converges by
+    * re-running (interrupted edge swaps complete via the staging table;
+    * every step is idempotent). Cost is the honest full edge rebuild —
+    * run it as the deliberate maintenance step it is. */
+  def regeomKnnStore(spark: org.apache.spark.sql.SparkSession,
+                     table: String, k: Int, bits: Int = AutoBits,
+                     tables: Int = 2): Unit = {
+    val vt = knnVectorsTable(table)
+    val et = knnEdgesTable(table)
+    graft.sinks.Bucketing.completePendingSwap(spark, vt)
+    graft.sinks.Bucketing.completePendingSwap(spark, et)
+    val vecs = spark.table(vt)
+    // the store's column names come from its own schema: the embedding
+    // is the (single) array column, the id the other
+    val embCol = vecs.schema.fields
+      .find(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      .getOrElse(throw new IllegalStateException(
+        s"'$vt' has no array column — not a k-NN vectors table")).name
+    val idCol = vecs.schema.fields.find(_.name != embCol).get.name
+    val b = resolveBits(vecs, embCol, bits, tables)
+    val geom = geomString(k, b, tables)
+    spark.sql(
+      s"ALTER TABLE `$vt` SET TBLPROPERTIES ('$KnnGeometryProp' = '$geom')")
+    val etBuckets = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(et))
+      .bucketSpec.getOrElse(throw new IllegalArgumentException(
+        s"'$et' is not a bucketed store table")).numBuckets
+    graft.sinks.Bucketing.overwriteBucketedStaged(
+      knnGraph(vecs, idCol, embCol, k, b, tables), et, Seq("q_id"), etBuckets)
+    spark.sql(
+      s"ALTER TABLE `$et` SET TBLPROPERTIES ('$KnnGeometryProp' = '$geom')")
+  }
+
   /** Checked accessor for a persisted k-NN store's edge frame: fails
     * fast on a missing/diverged geometry stamp. */
   def openKnnStore(spark: org.apache.spark.sql.SparkSession,

@@ -33,9 +33,37 @@ object Winnow {
     * Documents with fewer than w k-grams emit nothing. */
   def fingerprints(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 4, w: Int = 4): DataFrame = {
+    val sel = selected(df, textCol, idCol, k, w)
+      // explode_OUTER + null filter, not plain explode: the
+      // InferFiltersFromGenerate rewrite would otherwise push a
+      // size(__sel) > 0 filter BELOW the staging projection, inlining
+      // the whole O(m·w) selection (digest array included) into an
+      // interpreted Filter — measured 33 s -> ~2 s at sf0.1 from this
+      // one device (the Chunk.scala precedent; the rule skips outer
+      // generates)
+      .select(col(idCol), explode_outer(col("__sel")).as("__s"))
+      .filter(col("__s").isNotNull)
+    sel.select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+  }
+
+  /** Per-document DISTINCT fingerprint set: `idCol, fps array<string>`
+    * (possibly empty). The per-row set form the streaming gate needs —
+    * a stream cannot afford a stateful `distinct` before its own
+    * stateful op, and here the dedup runs inside the row's own
+    * projection instead. Same narrow selection as [[fingerprints]]. */
+  def fpSets(df: DataFrame, textCol: String, idCol: String,
+             k: Int = 4, w: Int = 4): DataFrame =
+    selected(df, textCol, idCol, k, w)
+      .select(col(idCol), array_distinct(
+        transform(col("__sel"), _.getField("fp"))).as("fps"))
+
+  /** The staged winnow selection: `idCol, __sel array<struct<pos,fp>>`
+    * (distinct pairs, document order). Two projections on purpose — the
+    * digest array is staged before the window lambdas read it. */
+  private def selected(df: DataFrame, textCol: String, idCol: String,
+                       k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"winnow: need k >= 1, w >= 1, got $k/$w")
-    val sel = df
-      .select(col(idCol),
+    df.select(col(idCol),
         transform(Text.shinglesNative(Text.tokens(col(textCol)), k),
           x => md5(x)).as("__hs"))
       .select(col(idCol), when(size(col("__hs")) < w,
@@ -49,15 +77,5 @@ object Winnow {
               (i.cast("long") + array_position(win, m) - 1L).as("pos"),
               m.as("fp"))
           }))).as("__sel"))
-      // explode_OUTER + null filter, not plain explode: the
-      // InferFiltersFromGenerate rewrite would otherwise push a
-      // size(__sel) > 0 filter BELOW the staging projection, inlining
-      // the whole O(m·w) selection (digest array included) into an
-      // interpreted Filter — measured 33 s -> ~2 s at sf0.1 from this
-      // one device (the Chunk.scala precedent; the rule skips outer
-      // generates)
-      .select(col(idCol), explode_outer(col("__sel")).as("__s"))
-      .filter(col("__s").isNotNull)
-    sel.select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
   }
 }

@@ -69,6 +69,48 @@ class KnnStoreSpec extends SparkSpec {
     dropStore(t)
   }
 
+  test("regeomKnnStore: migration == from-scratch rebuild at the new geometry") {
+    val t = "knnstore_spec_g"
+    val t2 = "knnstore_spec_g2"
+    dropStore(t); dropStore(t2)
+    Similarity.writeKnnStore(emb, "vec_id", "embedding", t, k = 4, bits = 2)
+    Similarity.regeomKnnStore(spark, t, k = 4, bits = 6)
+    Similarity.writeKnnStore(emb, "vec_id", "embedding", t2, k = 4, bits = 6)
+    assert(edges(t).exceptAll(edges(t2)).isEmpty &&
+      edges(t2).exceptAll(edges(t)).isEmpty,
+      "migrated store must equal a from-scratch build at the new geometry")
+    // stamps agree on the new geometry; appends work against it
+    Similarity.appendToKnnStore(emb.limit(1), "vec_id", "embedding", t)
+    assert(edges(t).exceptAll(edges(t2)).isEmpty)  // no-op append
+    // AutoBits re-sizes from the stored corpus: n=500, dim=64 -> 3 bits
+    Similarity.regeomKnnStore(spark, t, k = 4)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        Similarity.knnEdgesTable(t)))
+    assert(meta.properties(Similarity.KnnGeometryProp) == "k=4;bits=3;tables=2")
+    dropStore(t); dropStore(t2)
+  }
+
+  test("regeomKnnStore: a half-migrated store fails fast, rerun converges") {
+    val t = "knnstore_spec_h"
+    dropStore(t)
+    Similarity.writeKnnStore(emb, "vec_id", "embedding", t, k = 3, bits = 2)
+    // simulate a crash right after the vectors re-stamp (step 1)
+    spark.sql(s"ALTER TABLE `${Similarity.knnVectorsTable(t)}` " +
+      s"SET TBLPROPERTIES ('${Similarity.KnnGeometryProp}' = 'k=3;bits=5;tables=2')")
+    intercept[IllegalArgumentException] { Similarity.openKnnStore(spark, t) }
+    intercept[IllegalArgumentException] {
+      Similarity.appendToKnnStore(emb.limit(1), "vec_id", "embedding", t)
+    }
+    // the rerun completes the migration and the store reads again
+    Similarity.regeomKnnStore(spark, t, k = 3, bits = 5)
+    assert(Similarity.openKnnStore(spark, t).count() > 0)
+    val full = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+      bits = 5, tables = 2)
+    assert(edges(t).exceptAll(full).isEmpty && full.exceptAll(edges(t)).isEmpty)
+    dropStore(t)
+  }
+
   test("geometry stamp: missing or diverged stamps fail fast") {
     val t = "knnstore_spec_b"
     dropStore(t)

@@ -25,6 +25,13 @@ object Decontam {
     * every task's serialized plan; switch to the broadcast-join form. */
   private[operators] val LiteralGramLimit: Int = 1 << 16
 
+  /** [[semanticOverlap]]'s benchmark budget: total embedding VALUES
+    * (rows × dim) before the O(corpus × benchmark) eval-gate design
+    * fails fast. 2²¹ doubles ≈ 16 MB broadcast ≈ 32 k vectors at
+    * dim 64 — an order of magnitude above any real eval suite, an
+    * order of magnitude below where the nested loop starts to hurt. */
+  val MaxBenchValues: Long = 1L << 21
+
   /** Per-document overlap stats against `benchmark`:
     * `n_grams` (distinct grams in the doc), `matched` (of those, how many
     * appear anywhere in the benchmark), `contamination` (= matched /
@@ -169,6 +176,16 @@ object Decontam {
     * — [[nearDupOverlap]] — both miss). Output: corpus `idCol`,
     * `max_cos` (6-dp, the nearest-benchmark evidence), `contaminated`.
     *
+    * Benchmark-size BUDGET: the whole design is O(corpus × benchmark) —
+    * sound only under the eval-gate contract that the benchmark is
+    * megabytes. That contract is now ENFORCED, not just documented: a
+    * benchmark carrying more than `maxBenchValues` embedding values
+    * fails fast with a pointer at the SemDedup machinery, instead of
+    * quietly turning the per-row fold into an hours-long nested loop
+    * (the round-11 scale study measured exactly this when a fixture
+    * grew the benchmark with the corpus). Raising the budget is a
+    * deliberate caller decision, visible at the call site.
+    *
     * Scale shape (the overlapStats contract in vector space, same two
     * branches): under `literalLimit` total benchmark values, the
     * benchmark rides the expression tree as a plan literal and the
@@ -183,12 +200,19 @@ object Decontam {
     * [[SemDedup]] machinery instead — this is the eval-gate form. */
   def semanticOverlap(corpus: DataFrame, benchmark: DataFrame,
                       idCol: String, embCol: String, tau: Double = 0.95,
-                      literalLimit: Int = LiteralGramLimit): DataFrame = {
+                      literalLimit: Int = LiteralGramLimit,
+                      maxBenchValues: Long = MaxBenchValues): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     import graft.functions.Vectors
     val bench = benchmark.select(col(embCol).cast("array<double>").as("__b"))
     val nVals = bench.agg(coalesce(sum(size(col("__b"))), lit(0L)))
       .head().getLong(0)
+    if (nVals > maxBenchValues) throw new IllegalArgumentException(
+      s"semanticOverlap: benchmark carries $nVals embedding values, over " +
+        s"the $maxBenchValues budget. The eval-gate contract is a " +
+        "megabyte-scale benchmark (cost is O(corpus x benchmark)); a " +
+        "benchmark at corpus scale wants the LSH-bucketed SemDedup " +
+        "machinery instead, or pass a deliberately larger maxBenchValues")
     val mc: Column =
       if (nVals == 0) lit(null).cast("double")
       else if (nVals <= literalLimit) {

@@ -68,4 +68,21 @@ class SemanticDecontamSpec extends SparkSpec {
     assert(out.length == 3)
     assert(out.forall(r => r.isNullAt(1) && r.isNullAt(2)))
   }
+
+  test("benchmark-growth guard: over-budget benchmark fails fast, not slow") {
+    // 3 vectors x 2 dims = 6 values; a budget of 5 must refuse BEFORE
+    // planning the corpus-side work (the q142 x100 lesson: a benchmark
+    // that grows with the corpus silently turns the per-row fold into
+    // an unbounded nested loop)
+    val e = intercept[IllegalArgumentException] {
+      Decontam.semanticOverlap(corpus, corpus, "id", "emb",
+        maxBenchValues = 5L)
+    }
+    assert(e.getMessage.contains("SemDedup"), e.getMessage)
+    // an explicitly raised budget is a deliberate decision and works
+    assert(Decontam.semanticOverlap(corpus, corpus, "id", "emb",
+      maxBenchValues = 6L).count() == 3)
+    // the default budget admits real eval-suite sizes untouched
+    assert(Decontam.semanticOverlap(corpus, bench, "id", "emb").count() == 3)
+  }
 }

@@ -1615,18 +1615,19 @@ object TextOps {
     val tk = $"__tk"
     val raw = docs(s, dir)
       .select($"doc_id", Text.tokens($"text").as("__tk"))
-      // the zero-token guard matters: (size-1)/6 casts -0.17 toward zero
-      // (1 chunk) while the oracle's (len-1)//6 floors (0 chunks) — and
-      // floor() alone would hand sequence() a descending [0,-1] range
-      .select($"doc_id", when(size(tk) === 0, lit("")).otherwise(
-      array_join(transform(
+      // zero-token parity note: (size-1)/6 CASTS -0.17 toward zero, so an
+      // empty-token doc yields one empty chunk ("." after the i%3 rule);
+      // the ORACLE mirrors this with greatest((len-1)//6, 0) — aligning
+      // SQL to Spark is free, while guarding the Spark side (when() wrap
+      // or an index-filter lambda) measured +1 s at sf0.1 on this query
+      .select($"doc_id", array_join(transform(
       sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
       i => {
         val ln = array_join(slice(tk, i * 6 + 1, lit(6)), " ")
         when(i % 3 === 0, concat(ln, lit(".")))
           .when(i % 3 === 1, ln)
           .otherwise(concat(ln, lit(" javascript.")))
-      }), "\n")).as("text"))
+      }), "\n").as("text"))
     graft.operators.LineFilter.cleanDocs(raw, "text")
       .select($"doc_id", $"text".as("clean"), md5($"text").as("clean_md5"),
         $"n_lines_kept")
@@ -1636,7 +1637,7 @@ object TextOps {
     s"""WITH tkt AS (SELECT doc_id, $tk AS tk FROM documents),
        |raw AS (
        |  SELECT doc_id, array_to_string(list_transform(
-       |    range(0, ((len(tk) - 1) // 6) + 1),
+       |    range(0, greatest((len(tk) - 1) // 6, 0) + 1),
        |    i -> CASE
        |      WHEN i % 3 = 0
        |        THEN array_to_string(list_slice(tk, i * 6 + 1, i * 6 + 6), ' ') || '.'
@@ -2018,13 +2019,12 @@ object TextOps {
     val tk = $"__tk"
     val raw = docs(s, dir)
       .select($"doc_id", Text.tokens($"text").as("__tk"))
-      // same zero-token guard as q143: truncate-vs-floor chunk counts
-      // diverge between engines on empty-token documents
+      // same zero-token parity device as q143: the oracle mirrors the
+      // cast-truncation with greatest((len-1)//6, 0)
       .select($"doc_id", concat(lit("accept all cookies to continue.\n"),
-        when(size(tk) === 0, lit("")).otherwise(
         array_join(transform(sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
           i => concat(array_join(slice(tk, i * 6 + 1, lit(6)), " "), lit("."))),
-          "\n"))).as("text"))
+          "\n")).as("text"))
     graft.operators.LineFilter.dropBoilerplate(raw, "text", "doc_id", minDf = 10)
       .select($"doc_id", md5($"text").as("clean_md5"),
         $"n_lines_kept", $"n_boiler_dropped")
@@ -2034,7 +2034,7 @@ object TextOps {
     s"""WITH tkt AS (SELECT doc_id, $tk AS tk FROM documents),
        |raw AS (
        |  SELECT doc_id, 'accept all cookies to continue.' || chr(10) ||
-       |    array_to_string(list_transform(range(0, ((len(tk) - 1) // 6) + 1),
+       |    array_to_string(list_transform(range(0, greatest((len(tk) - 1) // 6, 0) + 1),
        |      i -> array_to_string(list_slice(tk, i * 6 + 1, i * 6 + 6), ' ') || '.'),
        |      chr(10)) AS text
        |  FROM tkt),

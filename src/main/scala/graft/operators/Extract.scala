@@ -74,6 +74,24 @@ object Extract {
     * callers that want every character, boilerplate included. */
   def stripTags(html: Column): Column = blockText(dropNonContent(html))
 
+  /** All double-quoted anchor href targets in document order, entities
+    * decoded (`&amp;` in query strings is the common case) — the crawl
+    * FRONTIER feed: compose with [[UrlOps.normalizeUrl]]/`domainOf` for
+    * canonical per-domain frontier reports (q178). Empty array when the
+    * page has no links. Narrow per-row `regexp_extract_all`. */
+  def links(html: Column): Column =
+    transform(
+      regexp_extract_all(html, lit("(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1)),
+      decodeEntities(_))
+
+  /** The `<title>` text (tag-stripped, entity-decoded, squeezed); null
+    * when the page has none — document metadata for index/report
+    * stages. */
+  def title(html: Column): Column = {
+    val t = regexp_extract(html, "(?is)<title[^>]*>(.*?)</title\\s*>", 1)
+    when(t === "", lit(null).cast("string")).otherwise(blockText(t))
+  }
+
   /** Main-content extraction over `htmlCol`: replaces it with the
     * extracted `text` and appends `n_blocks` (blocks with any text at
     * all) and `n_blocks_kept`. Kept blocks join with single newlines in

@@ -2300,7 +2300,99 @@ object TextOps {
        |FROM agg""".stripMargin
   }
 
+  // -- q178: link extraction + crawl-frontier report — the OTHER half
+  // of what a crawler takes from a page (q177 takes the text): every
+  // anchor href (entities decoded — '&amp;' inside query strings is the
+  // normal case), canonicalized through the q80 UrlOps chain (case,
+  // default ports, www., fragment, tracking params, param order,
+  // trailing slash), aggregated into the per-domain frontier view a
+  // crawl scheduler consumes. Three links per doc exercise scheme/port/
+  // path-shape variety; the oracle repeats extraction + decode +
+  // normalize chain + aggregate in DuckDB. explode_outer + null filter
+  // (the Chunk device) keeps the regexp_extract_all out of an
+  // InferFiltersFromGenerate inline. --
+  private val q178: Q = (s, dir) => {
+    import s.implicits._
+    val id = $"doc_id".cast("string")
+    val raw = docs(s, dir).select($"doc_id",
+      concat(
+        lit("<html><head><title>Doc &amp; "), id,
+        lit("</title></head><body><p>See "),
+        lit("<a href=\"HTTPS://WWW."), upper($"source"),
+        lit(".Example.COM:443/read/"), id,
+        lit("?b=2&amp;utm_source=feed&amp;a=1#s\">more</a> and "),
+        lit("<a href=\"http://cdn.example.net/img/"), id,
+        lit(".png\">img</a> plus "),
+        lit("<a href=\"https://example.org/t/"), ($"doc_id" % 7).cast("string"),
+        lit("/\">topic</a>"),
+        lit("</p></body></html>")).as("html"))
+    val lk = raw
+      .select($"doc_id", graft.operators.Extract.links($"html").as("__links"))
+      .select($"doc_id", explode_outer($"__links").as("link"))
+      .filter($"link".isNotNull)
+    lk.select($"doc_id",
+        graft.operators.UrlOps.normalizeUrl($"link").as("url_norm"),
+        graft.operators.UrlOps.domainOf($"link").as("domain"))
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct($"doc_id").as("n_docs"),
+        min($"url_norm").as("sample_url"))
+  }
+  private val q178Sql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc &amp; ' || CAST(doc_id AS VARCHAR)
+      |    || '</title></head><body><p>See '
+      |    || '<a href="HTTPS://WWW.' || upper(source)
+      |    || '.Example.COM:443/read/' || CAST(doc_id AS VARCHAR)
+      |    || '?b=2&amp;utm_source=feed&amp;a=1#s">more</a> and '
+      |    || '<a href="http://cdn.example.net/img/' || CAST(doc_id AS VARCHAR)
+      |    || '.png">img</a> plus '
+      |    || '<a href="https://example.org/t/' || CAST(doc_id % 7 AS VARCHAR)
+      |    || '/">topic</a>'
+      |    || '</p></body></html>' AS html
+      |  FROM documents),
+      |lk AS (
+      |  SELECT doc_id,
+      |    replace(replace(replace(replace(replace(replace(u,
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |      '&nbsp;', ' '), '&amp;', '&') AS url
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(html,
+      |          '(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"', 1)) AS u
+      |        FROM raw)),
+      |nf AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u FROM lk),
+      |parts AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+      |    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+      |  FROM nf),
+      |comp AS (
+      |  SELECT doc_id, scheme,
+      |    regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')), '^www\.', '') AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+      |    regexp_replace(regexp_replace('&' || regexp_extract(rest, '\?(.*)$', 1),
+      |      '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'), '^&', '') AS query
+      |  FROM parts),
+      |normed AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || host ||
+      |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+      |          AND NOT (scheme = 'https' AND port = '443')
+      |         THEN ':' || port ELSE '' END ||
+      |    path ||
+      |    CASE WHEN query = '' THEN ''
+      |         ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END AS url_norm,
+      |    host AS domain
+      |  FROM comp)
+      |SELECT domain, CAST(count(*) AS BIGINT) AS n_links,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  min(url_norm) AS sample_url
+      |FROM normed GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q178_link_frontier" -> q178,
     "q177_html_extract" -> q177,
     "q176_dup_report" -> q176,
     "q174_curriculum_shards" -> q174,
@@ -2368,6 +2460,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q178_link_frontier" -> q178Sql,
     "q177_html_extract" -> q177Sql,
     "q176_dup_report" -> q176Sql,
     "q174_curriculum_shards" -> q174Sql,

@@ -80,6 +80,26 @@ class ExtractSpec extends SparkSpec {
     assert(!txt.contains("hidden comment"))
   }
 
+  test("links: hrefs in order, entities decoded, no-link pages give empty") {
+    val html = """<p><a href="https://a.example/x?p=1&amp;q=2">one</a>""" +
+      """ <b>not a link</b> <a class="c" href="http://b.example/y">two</a></p>"""
+    val got = Seq(html).toDF("h").select(Extract.links($"h")).head()
+      .getSeq[String](0)
+    assert(got == Seq("https://a.example/x?p=1&q=2", "http://b.example/y"))
+    assert(Seq("<p>no anchors here</p>").toDF("h")
+      .select(Extract.links($"h")).head().getSeq[String](0).isEmpty)
+  }
+
+  test("title: stripped, decoded, squeezed; null when absent") {
+    val r = Seq(
+      (1L, "<html><head><title> Tom &amp;  Jerry </title></head></html>"),
+      (2L, "<html><body>no title</body></html>")).toDF("id", "h")
+      .select($"id", Extract.title($"h").as("t")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(r(1L).contains("Tom & Jerry"))
+    assert(r(2L).isEmpty)
+  }
+
   test("extraction feeds the existing line/doc gate chain") {
     val cleaned = LineFilter.cleanDocs(
       Extract.mainContent(Seq((1L, page)).toDF("doc_id", "html"), "html"),

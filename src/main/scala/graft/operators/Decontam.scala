@@ -240,8 +240,20 @@ object Decontam {
   def nearDupOverlap(corpus: DataFrame, benchmark: DataFrame,
                      textCol: String, idCol: String,
                      shingle: Int = 5, bands: Int = 4,
-                     minJaccard: Double = 0.5): DataFrame = {
+                     minJaccard: Double = 0.5,
+                     maxBenchDocs: Long = MaxBenchValues): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    // the same benchmark-smallness contract semanticOverlap enforces:
+    // this design broadcasts the benchmark's signatures AND gram sets —
+    // a benchmark that grew to corpus scale belongs in the union-side
+    // Dedup.nearDupCandidates machinery, not a broadcast
+    val nBench = benchmark.count()
+    if (nBench > maxBenchDocs) throw new IllegalArgumentException(
+      s"nearDupOverlap: benchmark carries $nBench documents, over the " +
+        s"$maxBenchDocs budget. The eval-gate contract is a megabyte-" +
+        "scale benchmark (its signatures and gram sets broadcast); a " +
+        "benchmark at corpus scale wants Dedup.nearDupCandidates over " +
+        "the union, or pass a deliberately larger maxBenchDocs")
     def sigs(df: DataFrame, outId: String): DataFrame =
       df.select(col(idCol).as(outId), Text.tokens(col(textCol)).as("__tk"))
         .select(col(outId),

@@ -2391,7 +2391,118 @@ object TextOps {
       |  min(url_norm) AS sample_url
       |FROM normed GROUP BY 1""".stripMargin
 
+  // -- q179: crawl-pipeline FLAGSHIP — the end-to-end composition the
+  // round-12 entry stage exists for: raw HTML (duplicate-injected: a
+  // +100000 re-crawl copy of every page) → Extract.mainContent (nav
+  // killed by density, script/style/footer dropped) → LineFilter
+  // .cleanDocs (unpunctuated and blocklisted lines fall, <2-line docs
+  // fall) → Dedup.exactByText (the re-crawl copies collapse onto their
+  // min-id originals). Every stage is a proven oracle piece (q177 +
+  // q143 + q20); the composition hash proves they compose. Chunks get
+  // the q143 i%3 decorations so each line rule is observable. --
+  private val q179: Q = (s, dir) => {
+    import s.implicits._
+    val base = docs(s, dir).select($"doc_id", $"source", $"text")
+    val corpus = base.unionByName(
+      base.select(($"doc_id" + 100000L).as("doc_id"), $"source", $"text"))
+    val tk = $"__tk"
+    val nav = """<div id="nav"><a href="/">Home</a> <a href="/a">About</a> """ +
+      """<a href="/b">Contact</a> <a href="/c">Docs</a> """ +
+      """<a href="/d">Blog</a> <a href="/e">More</a></div>"""
+    val raw = corpus
+      .select($"doc_id", $"source", Text.tokens($"text").as("__tk"))
+      .select($"doc_id", $"source", concat(
+        lit("<html><head><style>nav{x:1}</style></head><body>"), lit(nav),
+        lit("<script>track();</script>"),
+        array_join(transform(sequence(lit(0), ((size(tk) - 1) / 6).cast("int")),
+          i => {
+            val ln = array_join(slice(tk, i * 6 + 1, lit(6)), " ")
+            concat(lit("<p>"),
+              when(i % 3 === 0, concat(ln, lit(".")))
+                .when(i % 3 === 1, ln)
+                .otherwise(concat(ln, lit(" javascript."))),
+              lit("</p>"))
+          }), ""),
+        lit("<p>&copy; 2026</p></body></html>")).as("html"))
+    val ext = graft.operators.Extract.mainContent(raw, "html")
+    val cleaned = graft.operators.LineFilter.cleanDocs(ext, "text")
+    graft.operators.Dedup.exactByText(cleaned, "text", "doc_id")
+      .select($"doc_id", $"source", $"n_lines_kept",
+        md5($"text").as("clean_md5"))
+  }
+  private val q179Sql = {
+    val tk = dTok
+    val nav = """<div id="nav"><a href="/">Home</a> <a href="/a">About</a> """ +
+      """<a href="/b">Contact</a> <a href="/c">Docs</a> """ +
+      """<a href="/d">Blog</a> <a href="/e">More</a></div>"""
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, source, text FROM documents),
+       |tkt AS (SELECT doc_id, source, $tk AS tk FROM corpus),
+       |rawh AS (
+       |  SELECT doc_id, source,
+       |    '<html><head><style>nav{x:1}</style></head><body>'
+       |    || '$nav'
+       |    || '<script>track();</script>'
+       |    || array_to_string(list_transform(
+       |         range(0, greatest((len(tk) - 1) // 6, 0) + 1),
+       |         i -> '<p>' || CASE
+       |           WHEN i % 3 = 0
+       |             THEN array_to_string(list_slice(tk, i * 6 + 1, i * 6 + 6), ' ') || '.'
+       |           WHEN i % 3 = 1
+       |             THEN array_to_string(list_slice(tk, i * 6 + 1, i * 6 + 6), ' ')
+       |           ELSE array_to_string(list_slice(tk, i * 6 + 1, i * 6 + 6), ' ')
+       |             || ' javascript.' END || '</p>'), '')
+       |    || '<p>&copy; 2026</p></body></html>' AS html
+       |  FROM tkt),
+       |nos AS (SELECT doc_id, source,
+       |  regexp_replace(regexp_replace(regexp_replace(html,
+       |    '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
+       |    '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
+       |    '(?s)<!--.*?-->', ' ', 'g') AS h FROM rawh),
+       |blk AS (SELECT doc_id, source, string_split_regex(h,
+       |  '(?i)</?(?:blockquote|br|section|article|header|footer|table|nav|pre|div|ul|ol|li|tr|td|th|p|h[1-6])[^>]*>') AS blocks
+       |  FROM nos),
+       |bt AS (SELECT doc_id, source, list_transform(blocks, b -> struct_pack(
+       |    txt := trim(regexp_replace(
+       |      replace(replace(replace(replace(replace(replace(
+       |        regexp_replace(b, '<[^>]*>', ' ', 'g'),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+       |      '&nbsp;', ' '), '&amp;', '&'),
+       |      '\\s+', ' ', 'g')),
+       |    raw := len(b))) AS bt
+       |  FROM blk),
+       |ext AS (SELECT doc_id, source,
+       |  array_to_string(list_transform(list_filter(bt, e -> e.txt <> ''
+       |    AND len(string_split(e.txt, ' ')) >= 5
+       |    AND CAST(len(e.txt) AS DOUBLE) / greatest(e.raw, 1) >= 0.25),
+       |    e -> e.txt), chr(10)) AS text
+       |  FROM bt),
+       |kept AS (
+       |  SELECT doc_id, source, text, list_filter(string_split(text, chr(10)), ln ->
+       |    len(list_filter(string_split_regex(trim(ln), '\\s+'), w -> len(w) > 0)) >= 5
+       |    AND regexp_matches(ln, '[.!?]"?$$')
+       |    AND NOT contains(lower(ln), 'javascript')) AS lines
+       |  FROM ext),
+       |cl AS (
+       |  SELECT doc_id, source, array_to_string(lines, chr(10)) AS clean,
+       |    CAST(len(lines) AS BIGINT) AS n_lines_kept
+       |  FROM kept
+       |  WHERE len(lines) >= 2
+       |    AND NOT contains(lower(text), 'lorem ipsum')
+       |    AND NOT contains(text, '{')),
+       |dd AS (
+       |  SELECT doc_id, source, n_lines_kept, clean,
+       |    row_number() OVER (
+       |      PARTITION BY md5(trim(regexp_replace(lower(clean), '\\s+', ' ', 'g')))
+       |      ORDER BY doc_id) AS rn
+       |  FROM cl)
+       |SELECT doc_id, source, n_lines_kept, md5(clean) AS clean_md5
+       |FROM dd WHERE rn = 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q179_crawl_pipeline" -> q179,
     "q178_link_frontier" -> q178,
     "q177_html_extract" -> q177,
     "q176_dup_report" -> q176,
@@ -2460,6 +2571,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q179_crawl_pipeline" -> q179Sql,
     "q178_link_frontier" -> q178Sql,
     "q177_html_extract" -> q177Sql,
     "q176_dup_report" -> q176Sql,

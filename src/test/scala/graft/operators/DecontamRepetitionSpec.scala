@@ -73,6 +73,19 @@ class DecontamRepetitionSpec extends SparkSpec {
     assert(kept == Set(2L), "the acting form drops exactly the flagged doc")
   }
 
+  test("nearDupOverlap: over-budget benchmark fails fast (broadcast contract)") {
+    val bench = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g h i"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Decontam.nearDupOverlap(bench, bench, "text", "doc_id",
+        maxBenchDocs = 2L)
+    }
+    assert(e.getMessage.contains("nearDupCandidates"), e.getMessage)
+    // raised deliberately, the same call plans fine
+    Decontam.nearDupOverlap(bench, bench, "text", "doc_id",
+      maxBenchDocs = 3L).collect()
+  }
+
   test("nearDupOverlap: corpus side reaches the candidate join unshuffled") {
     val d = graft.Tables.load(spark, sf("sf0.001"), "documents")
     val flagged = Decontam.nearDupOverlap(

@@ -100,6 +100,20 @@ class ExtractSpec extends SparkSpec {
     assert(r(2L).isEmpty)
   }
 
+  test("mainContent is narrow: zero exchanges, zero generates in the plan") {
+    val plan = Extract.mainContent(
+        Seq((1L, page)).toDF("id", "html"), "html")
+      .queryExecution.executedPlan
+    val exchanges = collectPlan(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val generates = collectPlan(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(exchanges.isEmpty, "per-row extraction must not shuffle")
+    assert(generates.isEmpty, "block handling stays in-row (no explode)")
+  }
+
   test("extraction feeds the existing line/doc gate chain") {
     val cleaned = LineFilter.cleanDocs(
       Extract.mainContent(Seq((1L, page)).toDF("doc_id", "html"), "html"),

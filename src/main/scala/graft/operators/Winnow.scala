@@ -52,21 +52,23 @@ object Winnow {
     * stateful op, and here the dedup runs inside the row's own
     * projection instead. Same narrow selection as [[fingerprints]]. */
   def fpSets(df: DataFrame, textCol: String, idCol: String,
-             k: Int = 4, w: Int = 4): DataFrame =
-    selected(df, textCol, idCol, k, w)
-      .select(col(idCol), array_distinct(
-        transform(col("__sel"), _.getField("fp"))).as("fps"))
+             k: Int = 4, w: Int = 4, keep: Seq[String] = Nil): DataFrame =
+    selected(df, textCol, idCol, k, w, keep)
+      .select((col(idCol) +: keep.map(col)) :+ array_distinct(
+        transform(col("__sel"), _.getField("fp"))).as("fps"): _*)
 
   /** The staged winnow selection: `idCol, __sel array<struct<pos,fp>>`
     * (distinct pairs, document order). Two projections on purpose — the
-    * digest array is staged before the window lambdas read it. */
+    * digest array is staged before the window lambdas read it. `keep`
+    * columns ride through as PLAIN aliases (watermark metadata on an
+    * event-time column survives to a downstream stateful op). */
   private def selected(df: DataFrame, textCol: String, idCol: String,
-                       k: Int, w: Int): DataFrame = {
+                       k: Int, w: Int, keep: Seq[String] = Nil): DataFrame = {
     require(k >= 1 && w >= 1, s"winnow: need k >= 1, w >= 1, got $k/$w")
-    df.select(col(idCol),
+    df.select((col(idCol) +: keep.map(col)) :+
         transform(Text.shinglesNative(Text.tokens(col(textCol)), k),
-          x => md5(x)).as("__hs"))
-      .select(col(idCol), when(size(col("__hs")) < w,
+          x => md5(x)).as("__hs"): _*)
+      .select((col(idCol) +: keep.map(col)) :+ when(size(col("__hs")) < w,
         array().cast("array<struct<pos:bigint,fp:string>>"))
         .otherwise(array_distinct(transform(
           sequence(lit(1), size(col("__hs")) - w + 1),
@@ -76,6 +78,6 @@ object Winnow {
             struct(
               (i.cast("long") + array_position(win, m) - 1L).as("pos"),
               m.as("fp"))
-          }))).as("__sel"))
+          }))).as("__sel"): _*)
   }
 }

@@ -75,17 +75,18 @@ object NearDupGate {
     * admitted — the gaps-and-islands semantics (islands split where the
     * sighting gap exceeds ttl; each island's first row is its occupant),
     * which is exactly what q123's SQL oracle computes independently. */
-  private def ttlFold(state: Option[BucketState], rows: Array[(Long, Long)],
-                      ttlMs: Long): (Option[BucketState], Seq[Verdict]) = {
+  private[streaming] def ttlFold(state: Option[BucketState],
+                                 rows: Array[(Long, Long)],
+                                 ttlMs: Long): (Option[BucketState], Seq[(Long, Boolean)]) = {
     var occ = state
     val out = rows.sortBy(identity).map { case (ts, id) =>
       occ match {
         case Some(BucketState(o, seen)) if ts - seen <= ttlMs =>
           occ = Some(BucketState(o, math.max(seen, ts)))
-          Verdict(id, collided = id != o)
+          (id, id != o)
         case _ =>
           occ = Some(BucketState(id, ts))
-          Verdict(id, collided = false)
+          (id, false)
       }
     }
     (occ, out.toSeq)
@@ -155,7 +156,8 @@ object NearDupGate {
       .groupByKey(_._1)
     if (!sigs.isStreaming)
       keyed.flatMapGroups { (_, it) =>
-        ttlFold(None, it.map(r => (r._2.getTime, r._3)).toArray, h.ttlMs)._2.iterator
+        ttlFold(None, it.map(r => (r._2.getTime, r._3)).toArray, h.ttlMs)
+          ._2.iterator.map { case (id, c) => Verdict(id, c) }
       }.toDF()
     else
       keyed.flatMapGroupsWithState[BucketState, Verdict](
@@ -171,7 +173,7 @@ object NearDupGate {
               if (expireAt <= state.getCurrentWatermarkMs()) state.remove()
               else { state.update(s); state.setTimeoutTimestamp(expireAt) }
             }
-            vs.iterator
+            vs.iterator.map { case (id, c) => Verdict(id, c) }
           }
       }.toDF()
   }

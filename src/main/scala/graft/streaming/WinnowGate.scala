@@ -55,10 +55,18 @@ object WinnowGate {
     * `seed`: optional distinct-fp frame (column `fp`) — the persisted
     * winnow store. Batch form: window-min claimant over the union,
     * seeded fps pre-claimed; streaming form: fp-keyed
-    * `flatMapGroupsWithState` with the seed as initial state. */
+    * `flatMapGroupsWithState` with the seed as initial state.
+    *
+    * `horizon`: sliding-TTL mode, the [[NearDupGate]] discipline on
+    * span granularity — an fp claim suppresses only within `ttl` of its
+    * last sighting and the state row is EVICTED past it (state bounded
+    * by live fps per window, first-arrival-wins by (ts, id)). Mutually
+    * exclusive with `seed`: a TTL gate's memory IS the window; an
+    * untimestamped store has no place on its timeline. */
   def fpVerdicts(docs: DataFrame, textCol: String, idCol: String,
                  k: Int = 4, w: Int = 4,
-                 seed: Option[DataFrame] = None): DataFrame = {
+                 seed: Option[DataFrame] = None,
+                 horizon: Option[Horizon] = None): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     docs.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => // ok
@@ -66,13 +74,33 @@ object WinnowGate {
         s"WinnowGate id column '$idCol' must be an integral type, got " +
           s"${other.simpleString}")
     }
+    require(seed.isEmpty || horizon.isEmpty,
+      "WinnowGate: seed and horizon are mutually exclusive — a TTL " +
+        "gate's memory is its window; probe untimestamped stores with " +
+        "the plain (un-horizoned) gate")
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
-    val sigs = Winnow.fpSets(docs, textCol, idCol, k, w)
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode_outer(col("fps")).as("fp"))
+    horizon.foreach { h => docs.schema(h.tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType => // ok
+      case other => throw new IllegalArgumentException(
+        s"WinnowGate horizon ts column '${h.tsCol}' must be a timestamp, " +
+          s"got ${other.simpleString}")
+    }}
+    val input = horizon match {
+      case Some(h) if docs.isStreaming => docs.withWatermark(h.tsCol, h.watermarkDelay)
+      case _ => docs
+    }
+    val sigs = Winnow.fpSets(input, textCol, idCol, k, w,
+        keep = horizon.map(_.tsCol).toSeq)
+      .select(col(idCol).cast("long").as("doc_id") +:
+        horizon.map(h => col(h.tsCol).as("__ts")).toSeq :+
+        explode_outer(col("fps")).as("fp"): _*)
       .filter(col("fp").isNotNull)
+    horizon match {
+      case Some(h) => return ttlFpVerdicts(sigs, h)
+      case None =>
+    }
     if (!docs.isStreaming) {
       val wn = Window.partitionBy(col("fp"))
       val seeded = seed match {
@@ -115,14 +143,60 @@ object WinnowGate {
     }.toDF()
   }
 
+  /** Horizon-mode fp verdicts: [[NearDupGate.ttlFold]] (the shared
+    * gaps-and-islands occupant fold) keyed on the fingerprint — batch
+    * via flatMapGroups, streaming via an event-time-timeout
+    * `flatMapGroupsWithState` whose state rows are physically removed
+    * once the watermark passes lastSeen + ttl. */
+  private def ttlFpVerdicts(sigs: DataFrame, h: Horizon): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    implicit val verdictEnc = Encoders.product[FpVerdict]
+    implicit val stateEnc = Encoders.product[NearDupGate.BucketState]
+    val keyed = sigs.select(col("fp"), col("__ts"), col("doc_id"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+    if (!sigs.isStreaming)
+      keyed.flatMapGroups { (fp, it) =>
+        NearDupGate.ttlFold(None, it.map(r => (r._2.getTime, r._3)).toArray,
+          h.ttlMs)._2.iterator.map { case (id, c) => FpVerdict(id, fp, c) }
+      }.toDF()
+    else
+      keyed.flatMapGroupsWithState[NearDupGate.BucketState, FpVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (fp: String, rows: Iterator[(String, java.sql.Timestamp, Long)],
+         state: GroupState[NearDupGate.BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (next, vs) = NearDupGate.ttlFold(state.getOption,
+              rows.map(r => (r._2.getTime, r._3)).toArray, h.ttlMs)
+            next.foreach { s =>
+              val expireAt = s.lastSeen + h.ttlMs
+              if (expireAt <= state.getCurrentWatermarkMs()) state.remove()
+              else { state.update(s); state.setTimeoutTimestamp(expireAt) }
+            }
+            vs.iterator.map { case (id, c) => FpVerdict(id, fp, c) }
+          }
+      }.toDF()
+  }
+
   /** Per-document verdict: `doc_id, n_fps, n_dup, admitted` with
     * `admitted = n_dup / n_fps <= maxDupFrac`. */
   def gate(docs: DataFrame, textCol: String, idCol: String,
            k: Int = 4, w: Int = 4, seed: Option[DataFrame] = None,
-           maxDupFrac: Double = 0.5): DataFrame = {
+           maxDupFrac: Double = 0.5,
+           horizon: Option[Horizon] = None): DataFrame = {
     require(maxDupFrac >= 0.0 && maxDupFrac <= 1.0,
       s"maxDupFrac must be in [0, 1]: $maxDupFrac")
-    fpVerdicts(docs, textCol, idCol, k, w, seed)
+    // same engine restriction as NearDupGate.gate: no streaming agg
+    // above an event-time-timeout stateful op — the zero-state
+    // foreachBatch fold is the documented (and cheaper) composition
+    if (horizon.isDefined && docs.isStreaming)
+      throw new IllegalArgumentException(
+        "horizon gate over a stream: run fpVerdicts(...) inside " +
+          "foreachBatch and fold batch-locally (a document's fp " +
+          "verdicts all share its micro-batch — WinnowGateSpec pins it)")
+    fpVerdicts(docs, textCol, idCol, k, w, seed, horizon)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fps"),
         sum(when(col("collided"), 1L).otherwise(0L)).as("n_dup"))

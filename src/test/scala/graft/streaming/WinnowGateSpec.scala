@@ -142,6 +142,92 @@ class WinnowGateSpec extends SparkSpec {
     assert(got(2L) == false, "cross-batch span claim held without the agg store")
   }
 
+  private def ts(minutes: Long): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2026, 3, 1, 0, 0).plusMinutes(minutes))
+
+  test("horizon batch twin: fp suppression inside ttl, re-seeding after it") {
+    // the same page delivered at +0, +5, +20 under a 10-minute ttl: doc 2
+    // collides fp-for-fp with doc 1 (gap 5, refreshes expiry); doc 3
+    // arrives 15 min after the last sighting -> islands split, doc 3
+    // re-seeds every fp and is admitted
+    val df = Seq((1L, base, ts(0)), (2L, base, ts(5)), (3L, base, ts(20)))
+      .toDF("doc_id", "text", "event_ts")
+    val got = WinnowGate.gate(df, "text", "doc_id",
+        horizon = Some(Horizon("event_ts", "10 minutes")))
+      .select($"doc_id", $"admitted").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true), got.toString)
+  }
+
+  test("horizon streaming == batch twin across micro-batches; state evicted") {
+    val src = Files.createTempDirectory("wgt_src").toString
+    val out = Files.createTempDirectory("wgt_out").toString
+    val ckpt = Files.createTempDirectory("wgt_ckpt").toString
+    val horizon = Some(Horizon("event_ts", "10 minutes"))
+    val b1 = Seq((1L, base, ts(0))).toDF("doc_id", "text", "event_ts")
+    val b2 = Seq((2L, base.replace("all afternoon", "every evening"), ts(5)))
+      .toDF("doc_id", "text", "event_ts") // inside ttl: interior fps collide
+    val b3 = Seq((3L, base, ts(40))).toDF("doc_id", "text", "event_ts")
+    // past ttl: the shape re-admits
+
+    var lastState = -1L
+    def run(): Unit = {
+      val stream = spark.readStream.schema(b1.schema).parquet(src)
+      val q = WinnowGate.fpVerdicts(stream, "text", "doc_id", horizon = horizon)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_fps"),
+              sum(when(col("collided"), 1L).otherwise(0L)).as("n_dup"))
+            .withColumn("admitted",
+              col("n_dup").cast("double") / col("n_fps") <= 0.5)
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      Option(q.lastProgress).foreach { p =>
+        p.stateOperators.find(_.operatorName.contains("flatMapGroupsWithState"))
+          .foreach(s => lastState = s.numRowsTotal)
+      }
+    }
+    b1.write.mode("append").parquet(src); run()
+    val fpsPerDoc = lastState
+    assert(fpsPerDoc > 0, "doc 1 must claim its fingerprints")
+    b2.write.mode("append").parquet(src); run()
+    b3.write.mode("append").parquet(src); run()
+    assert(lastState <= fpsPerDoc + 2,
+      s"expired fp state must be EVICTED, not accumulated: $lastState vs $fpsPerDoc")
+
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"admitted").as[(Long, Boolean)].collect().toMap
+    assert(got(1L) == true && got(2L) == false && got(3L) == true,
+      s"inside-ttl rejected, past-ttl re-admitted: $got")
+    // batch twin agrees
+    val viaBatch = WinnowGate.gate(
+        b1.unionByName(b2).unionByName(b3), "text", "doc_id",
+        horizon = Some(Horizon("event_ts", "10 minutes")))
+      .select($"doc_id", $"admitted").as[(Long, Boolean)].collect().toMap
+    assert(viaBatch == got, s"stream $got != batch $viaBatch")
+  }
+
+  test("horizon guards: seed is mutually exclusive; streaming gate points at foreachBatch") {
+    val df = Seq((1L, base, ts(0))).toDF("doc_id", "text", "event_ts")
+    intercept[IllegalArgumentException] {
+      WinnowGate.fpVerdicts(df, "text", "doc_id",
+        seed = Some(df.select($"text".as("fp"))),
+        horizon = Some(Horizon("event_ts", "10 minutes")))
+    }
+    val src = Files.createTempDirectory("wgt_g_src").toString
+    df.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(df.schema).parquet(src)
+    val e = intercept[IllegalArgumentException] {
+      WinnowGate.gate(stream, "text", "doc_id",
+        horizon = Some(Horizon("event_ts", "10 minutes")))
+    }
+    assert(e.getMessage.contains("foreachBatch"), e.getMessage)
+  }
+
   test("no verdict for sub-window docs; self re-delivery keeps its own claims") {
     val docs = Seq((1L, "too short"), (2L, base), (2L, base))
       .toDF("doc_id", "text")

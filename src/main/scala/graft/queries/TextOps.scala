@@ -2501,7 +2501,42 @@ object TextOps {
        |FROM dd WHERE rn = 1""".stripMargin
   }
 
+  // -- q180: τ-TARGETED weighted near-dup candidates — the tuneBands
+  // S-curve solve driving a real pairing end-to-end: the caller asks
+  // for threshold τ = 0.7 over a 16-draw budget and the knee solve
+  // picks (bands, rows) = (4, 4) ((1/4)^(1/4) = 0.707 — the closest
+  // knee), which feeds weightedMinhashSigs + the generic
+  // candidatesFromSigs bucket pairing. The oracle hardcodes the SAME
+  // (4, 4) the deterministic solve must produce — a different answer
+  // from tuneBands shifts every signature and the hash catches it —
+  // then repeats the q129 draw algebra at 4 rows and the q131 distinct
+  // pair join. --
+  private val q180: Q = (s, dir) => {
+    val (b, r) = graft.operators.Dedup.tuneBands(0.7, nDraws = 16)
+    val sigs = graft.operators.Dedup.weightedMinhashSigs(
+      docs(s, dir), "text", "doc_id", bands = b, rows = r)
+    graft.operators.Dedup.candidatesFromSigs(sigs, "doc_id")
+  }
+  private val q180Sql =
+    s"""WITH base AS (SELECT * FROM (SELECT doc_id, $dTok AS tk FROM documents)
+       |              WHERE len(tk) > 0),
+       |dist AS (SELECT doc_id, tk, unnest(list_distinct(tk)) AS t FROM base),
+       |vals AS (SELECT doc_id, band, k, t,
+       |    -ln((TRY_CAST('0x' || substring(md5(CAST(band AS VARCHAR) || ':' || CAST(k AS VARCHAR) || '|' || t), 1, 8) AS BIGINT) + 0.5) / 4294967296.0)
+       |      / len(list_filter(tk, x -> x = t)) AS v
+       |  FROM dist, range(1, 5) r(band), range(1, 5) q(k)),
+       |wins AS (SELECT doc_id, band, k, t FROM (
+       |    SELECT doc_id, band, k, t,
+       |      row_number() OVER (PARTITION BY doc_id, band, k ORDER BY v, t) AS rn
+       |    FROM vals) WHERE rn = 1),
+       |sig AS (SELECT doc_id, band, string_agg(t, '|' ORDER BY k) AS sig
+       |        FROM wins GROUP BY doc_id, band)
+       |SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |FROM sig a JOIN sig b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q180_tuned_neardup" -> q180,
     "q179_crawl_pipeline" -> q179,
     "q178_link_frontier" -> q178,
     "q177_html_extract" -> q177,
@@ -2571,6 +2606,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q180_tuned_neardup" -> q180Sql,
     "q179_crawl_pipeline" -> q179Sql,
     "q178_link_frontier" -> q178Sql,
     "q177_html_extract" -> q177Sql,

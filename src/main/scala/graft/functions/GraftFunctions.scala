@@ -12,7 +12,7 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(VecDot.description, PqCodesExpr.description,
       SimHash32.description, SimHash64.description,
-      MinHashBands.description,
+      MinHashBands.description, WeightedMinhashExpr.description,
       TopKByScore.description, VecMeanAgg.description,
       RepStats.description, GramOverlap.description, CharStats.description,
       BpeMergeExpr.description, BpeEncodeExpr.description, BpeIdsExpr.description,

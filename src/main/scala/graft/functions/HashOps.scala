@@ -132,6 +132,68 @@ object HashOps {
     }.asInstanceOf[Array[Any]])
   }
 
+  /** Weighted MinHash signatures (consistent weighted sampling over the
+    * token tf bag) — ALL bands × rows draws in one call per row, with
+    * the tf map built in a single O(L) pass (the HOF fold recomputes tf
+    * per distinct token, O(L·D)). Semantics pinned BIT-FOR-BIT to
+    * [[graft.operators.Dedup.weightedMinhashSigsFold]] and the q129
+    * oracle: u = (first-8-hex-chars-of-md5("b:k|" + token) + 0.5) /
+    * 2^32 (exact dyadic), v = (−StrictMath.log(u)) / tf — StrictMath
+    * because Catalyst's `Log` is StrictMath.log, verified against the
+    * shipped spark-catalyst bytecode — argmin by (v, token-binary),
+    * draws joined "|". Returns one signature per band (1..bands order);
+    * null for token-less input (the fold's filter contract). */
+  def weightedMinhash(toks: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val n = toks.numElements()
+    val tf = new java.util.LinkedHashMap[UTF8String, Integer]()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        val c = tf.get(t)
+        tf.put(t, if (c == null) 1 else c + 1)
+      }
+      i += 1
+    }
+    if (tf.isEmpty) return null
+    val md = threadMd.get()
+    val out = new Array[Any](bands)
+    val sb = new java.lang.StringBuilder
+    var b = 1
+    while (b <= bands) {
+      sb.setLength(0)
+      var k = 1
+      while (k <= rows) {
+        val seedBytes =
+          (b.toString + ":" + k.toString + "|").getBytes(StandardCharsets.UTF_8)
+        var bestV = Double.PositiveInfinity
+        var bestT: UTF8String = null
+        val it = tf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          md.reset()
+          md.update(seedBytes)
+          val d = md.digest(e.getKey.getBytes)
+          val x = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          val u = (x.toDouble + 0.5) / 4294967296.0
+          val v = -StrictMath.log(u) / e.getValue.doubleValue()
+          if (v < bestV ||
+            (v == bestV && (bestT == null || e.getKey.compareTo(bestT) < 0))) {
+            bestV = v
+            bestT = e.getKey
+          }
+        }
+        if (k > 1) sb.append('|')
+        sb.append(bestT.toString)
+        k += 1
+      }
+      out(b - 1) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def compareUnsigned(d: Array[Byte], off: Int, min: Array[Byte]): Int = {
     var i = 0
     while (i < 4) {

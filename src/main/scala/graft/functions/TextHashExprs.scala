@@ -97,6 +97,56 @@ case class MinHashBands(child: Expression, shingle: Int, bands: Int) extends Una
     copy(child = newChild)
 }
 
+/** array<string> tokens -> array of `bands` weighted-MinHash band
+  * signatures (`rows` consistent-weighted-sampling draws per band,
+  * joined "|"); null for token-less input. One kernel call computes
+  * every draw with a single-pass tf map — the HOF fold form
+  * ([[graft.operators.Dedup.weightedMinhashSigsFold]], kept as the
+  * differential witness) re-derives tf per distinct token and pays one
+  * interpreted expression tree per (band, draw, token). */
+case class WeightedMinhashExpr(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && rows >= 1, "need bands >= 1 and rows >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = WeightedMinhashExpr.name
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.weightedMinhash(input.asInstanceOf[ArrayData], bands, rows)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HashOps.weightedMinhash($c, $bands, $rows);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WeightedMinhashExpr {
+  val name = "graft_weighted_minhash"
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[WeightedMinhashExpr].getName, name),
+    (children: Seq[Expression]) => {
+      def lit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$name: $what must be an integer literal, got $other")
+      }
+      WeightedMinhashExpr(children.head,
+        lit(children(1), "band count"), lit(children(2), "rows per band"))
+    })
+}
+
 object MinHashBands {
   val name = "graft_minhash_bands"
   val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (

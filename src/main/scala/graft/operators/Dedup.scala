@@ -283,6 +283,32 @@ object Dedup {
                           bands: Int = 4, rows: Int = 2): DataFrame = {
     require(bands >= 1, s"bands must be positive: $bands")
     require(rows >= 1, s"rows must be positive: $rows")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    // every draw in ONE codegen'd kernel call per row (single-pass tf
+    // map) — the per-row-fold-over-a-table lesson applied a fourth time
+    // (shingles, MinHashBands, pq_codes precedents); the interpreted
+    // HOF construction below stays as the differential witness.
+    // posexplode_OUTER + null filter, not plain posexplode: the
+    // InferFiltersFromGenerate rewrite would inline the kernel into a
+    // pre-Generate Filter and run it twice per row (the Chunk device).
+    df.select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), call_function(
+        graft.functions.WeightedMinhashExpr.name,
+        col("__tk"), lit(bands), lit(rows)).as("__sigs"))
+      .select(col(idCol), posexplode_outer(col("__sigs")))
+      .filter(col("col").isNotNull)
+      .select(col(idCol), (col("pos") + 1).cast("long").as("band"),
+        col("col").as("sig"))
+  }
+
+  /** The composable HOF construction of [[weightedMinhashSigs]] — the
+    * kernel's differential witness (and the form the q129 oracle
+    * mirrors term by term). */
+  private[graft] def weightedMinhashSigsFold(
+      df: DataFrame, textCol: String, idCol: String,
+      bands: Int = 4, rows: Int = 2): DataFrame = {
+    require(bands >= 1, s"bands must be positive: $bands")
+    require(rows >= 1, s"rows must be positive: $rows")
     // tf once per doc (the O(L·D) part); each draw scans the
     // precomputed (token, tf) pairs
     val tfs = transform(array_distinct(col("__tk")), t =>

@@ -191,6 +191,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exchanges.isEmpty, "weighted signatures must not shuffle")
   }
 
+  test("weighted-minhash kernel == HOF fold bit-for-bit (fixture-wide differential)") {
+    // the kernel's single digest-slice arithmetic, StrictMath.log, and
+    // (v, token) argmin tie-break must reproduce the interpreted HOF
+    // construction exactly — over real fixture text AND the adversarial
+    // edges (empty, single token, all-same-token, high-tf bags)
+    val fixture = graft.Tables.load(spark, sf(), "documents")
+      .select($"doc_id", $"text")
+    val edges = Seq((9001L, ""), (9002L, "solo"), (9003L, "x x x x x x"),
+      (9004L, "a a a a a a a a a b c"), (9005L, "tie tie break break"))
+      .toDF("doc_id", "text")
+    val df = fixture.unionByName(edges)
+    for ((b, r) <- Seq((4, 2), (4, 4), (1, 1), (8, 3))) {
+      val kernel = graft.operators.Dedup
+        .weightedMinhashSigs(df, "text", "doc_id", bands = b, rows = r)
+        .as[(Long, Long, String)].collect().toSet
+      val fold = graft.operators.Dedup
+        .weightedMinhashSigsFold(df, "text", "doc_id", bands = b, rows = r)
+        .as[(Long, Long, String)].collect().toSet
+      assert(kernel == fold, s"bands=$b rows=$r: kernel diverged from fold")
+    }
+  }
+
   test("weightedNearDupsAgainstCorpus: tf-twins of shipped docs drop, novel admit") {
     val corpus = Seq((1L, "x x x y"), (2L, "p q r s")).toDF("doc_id", "text")
     val store = graft.operators.Dedup

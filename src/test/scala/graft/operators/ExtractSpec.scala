@@ -114,6 +114,27 @@ class ExtractSpec extends SparkSpec {
     assert(generates.isEmpty, "block handling stays in-row (no explode)")
   }
 
+  test("mainContent is stateless: streamed pages == batch result") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("ex_src").toString
+    val out = Files.createTempDirectory("ex_out").toString
+    val ckpt = Files.createTempDirectory("ex_ckpt").toString
+    val docs = Seq((1L, page), (2L, "<p>five words are not enough</p>"))
+      .toDF("id", "html")
+    docs.write.mode("append").parquet(src)
+    val q = Extract.mainContent(
+        spark.readStream.schema(docs.schema).parquet(src), "html")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    val batch = Extract.mainContent(docs, "html").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(streamed == batch)
+  }
+
   test("extraction feeds the existing line/doc gate chain") {
     val cleaned = LineFilter.cleanDocs(
       Extract.mainContent(Seq((1L, page)).toDF("doc_id", "html"), "html"),

@@ -74,15 +74,25 @@ object Extract {
     * callers that want every character, boilerplate included. */
   def stripTags(html: Column): Column = blockText(dropNonContent(html))
 
-  /** All double-quoted anchor href targets in document order, entities
+  /** All anchor href targets (double-quoted, single-quoted, and bare
+    * attribute values — real crawl HTML has all three), entities
     * decoded (`&amp;` in query strings is the common case) — the crawl
     * FRONTIER feed: compose with [[UrlOps.normalizeUrl]]/`domainOf` for
-    * canonical per-domain frontier reports (q178). Empty array when the
-    * page has no links. Narrow per-row `regexp_extract_all`. */
-  def links(html: Column): Column =
+    * canonical per-domain frontier reports (q178). Order is document
+    * order WITHIN each quoting style (quoted first, then bare) — a
+    * frontier consumer keys on the URL, not the position. Empty array
+    * when the page has no links. Narrow per-row `regexp_extract_all`;
+    * the three patterns are disjoint (a quote right after `=` is
+    * excluded from the bare form), so no href extracts twice. */
+  def links(html: Column): Column = {
+    def hrefs(valueRe: String): Column =
+      regexp_extract_all(html,
+        lit(s"(?is)<a\\s[^>]*?href\\s*=\\s*$valueRe"), lit(1))
     transform(
-      regexp_extract_all(html, lit("(?is)<a\\s[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1)),
+      concat(hrefs("\"([^\"]*)\""), hrefs("'([^']*)'"),
+        hrefs("([^\"'\\s>][^\\s>]*)")),
       decodeEntities(_))
+  }
 
   /** The `<title>` text (tag-stripped, entity-decoded, squeezed); null
     * when the page has none — document metadata for index/report

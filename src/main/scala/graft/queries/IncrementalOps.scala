@@ -184,7 +184,7 @@ object IncrementalOps {
       d.filter(col("doc_id") % 10 === 0),
       "text", "doc_id")
   }
-  private val q102Sql =
+  private[queries] val q102Sql =
     s"""WITH sigs AS ($dSigs),
        |cand AS (SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
        |  FROM sigs c JOIN sigs b ON c.band = b.band AND c.sig = b.sig

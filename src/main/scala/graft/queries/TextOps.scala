@@ -2535,7 +2535,66 @@ object TextOps {
        |FROM sig a JOIN sig b
        |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
 
+  // -- q181: contamination sign-off dashboard — the one-page report a
+  // training run gates on, all three decontamination modes side by
+  // side: exact n-gram (q69's check), MinHash near-dup (q102's — the
+  // paraphrase leak exact grams miss), semantic cosine (q139's — the
+  // translation/reword leak both miss). One row per mode: docs checked,
+  // docs flagged, worst evidence. The oracle embeds the three PROVEN
+  // mode SQLs verbatim and aggregates — so this hash simultaneously
+  // re-proves all three and their composition. Aggregation-only on top
+  // of the modes' own scale postures (each corpus-side plan unchanged). --
+  private val q181: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    val exact = graft.operators.Decontam.overlapStats(
+        d.filter($"doc_id" % 97 =!= 0), d.filter($"doc_id" % 97 === 0),
+        "text", "doc_id", n = 3, threshold = 0.05)
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when($"contaminated", 1L).otherwise(0L)).as("n_flagged"),
+        round(max($"contamination"), 6).as("worst"))
+      .select(lit("exact_ngram").as("mode"), $"n_checked", $"n_flagged", $"worst")
+    val near = {
+      val corpus = d.filter($"doc_id" % 10 =!= 0)
+      val flags = graft.operators.Decontam.nearDupOverlap(
+        corpus, d.filter($"doc_id" % 10 === 0), "text", "doc_id")
+      corpus.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(flags.agg(
+          countDistinct($"doc_id").as("n_flagged"),
+          round(coalesce(max($"jaccard"), lit(0.0)), 6).as("worst")))
+        .select(lit("near_dup").as("mode"), $"n_checked", $"n_flagged", $"worst")
+    }
+    val sem = {
+      val e = graft.Tables.load(s, dir, "embeddings")
+      graft.operators.Decontam.semanticOverlap(
+          e.filter($"vec_id" % 10 =!= 0), e.filter($"vec_id" % 10 === 0),
+          "vec_id", "embedding", tau = 0.9)
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when($"contaminated", 1L).otherwise(0L)).as("n_flagged"),
+          max($"max_cos").as("worst"))
+        .select(lit("semantic").as("mode"), $"n_checked", $"n_flagged", $"worst")
+    }
+    exact.unionByName(near).unionByName(sem)
+  }
+  private lazy val q181Sql =
+    s"""WITH e AS ($q69Sql),
+       |nd AS (${IncrementalOps.q102Sql}),
+       |sem AS (${VectorOps.q139Sql})
+       |SELECT 'exact_ngram' AS mode, CAST(count(*) AS BIGINT) AS n_checked,
+       |  CAST(count(*) FILTER (WHERE contaminated) AS BIGINT) AS n_flagged,
+       |  round(max(contamination), 6) AS worst FROM e
+       |UNION ALL
+       |SELECT 'near_dup',
+       |  (SELECT count(*) FROM documents WHERE doc_id % 10 <> 0),
+       |  CAST(count(DISTINCT doc_id) AS BIGINT),
+       |  round(coalesce(max(jaccard), 0.0), 6) FROM nd
+       |UNION ALL
+       |SELECT 'semantic', CAST(count(*) AS BIGINT),
+       |  CAST(count(*) FILTER (WHERE contaminated) AS BIGINT),
+       |  max(max_cos) FROM sem""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q181_contamination_report" -> q181,
     "q180_tuned_neardup" -> q180,
     "q179_crawl_pipeline" -> q179,
     "q178_link_frontier" -> q178,
@@ -2606,6 +2665,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q181_contamination_report" -> q181Sql,
     "q180_tuned_neardup" -> q180Sql,
     "q179_crawl_pipeline" -> q179Sql,
     "q178_link_frontier" -> q178Sql,

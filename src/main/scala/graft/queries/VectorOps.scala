@@ -826,7 +826,7 @@ object VectorOps {
       e.filter(col("vec_id") % 10 === 0),
       "vec_id", "embedding", tau = 0.9)
   }
-  private val q139Sql =
+  private[queries] val q139Sql =
     s"""WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
        |b AS (SELECT embedding AS bemb FROM embeddings WHERE vec_id % 10 = 0),
        |sc AS (SELECT c.vec_id, max(${dCos("c.embedding", "b.bemb")}) AS mc

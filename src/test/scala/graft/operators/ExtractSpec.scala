@@ -90,6 +90,19 @@ class ExtractSpec extends SparkSpec {
       .select(Extract.links($"h")).head().getSeq[String](0).isEmpty)
   }
 
+  test("links: single-quoted and bare hrefs extract too, none twice") {
+    val html = """<a href="https://dq.example/a">1</a>""" +
+      """<a href='https://sq.example/b?x=1&amp;y=2'>2</a>""" +
+      """<a href=https://bare.example/c>3</a>""" +
+      """<a class='k' href = 'https://sq.example/d'>4</a>"""
+    val got = Seq(html).toDF("h").select(Extract.links($"h")).head()
+      .getSeq[String](0)
+    assert(got.toSet == Set("https://dq.example/a",
+      "https://sq.example/b?x=1&y=2", "https://sq.example/d",
+      "https://bare.example/c"))
+    assert(got.size == 4, s"no href may extract twice: $got")
+  }
+
   test("title: stripped, decoded, squeezed; null when absent") {
     val r = Seq(
       (1L, "<html><head><title> Tom &amp;  Jerry </title></head></html>"),

@@ -44,15 +44,22 @@ object Extract {
   private[graft] val BlockTagRe =
     "(?i)</?(?:blockquote|br|section|article|header|footer|table|nav|pre|div|ul|ol|li|tr|td|th|p|h[1-6])[^>]*>"
 
-  /** Non-content subtrees removed wholesale, payload included. The
-    * close-tag patterns avoid backreferences (RE2 has none — the
-    * DuckDB oracle runs the identical patterns). */
+  /** Tags whose whole SUBTREE is non-content: code, styling, vector
+    * paths, frame fallbacks, and the head (its `<title>` is metadata —
+    * [[title]] reads it from the RAW html). Order-independent. */
+  private[graft] val DroppedContainers =
+    Seq("script", "style", "noscript", "svg", "iframe", "head")
+
+  /** Non-content subtrees removed wholesale, payload included, plus
+    * comments. The open-tag form `<tag(?:\s[^>]*)?>` requires a space
+    * or an immediate '>' after the name, so `head` cannot swallow
+    * `<header>` (prefix collision); close-tag patterns spell the name
+    * out rather than backreference (RE2 has none — the DuckDB oracle
+    * runs the identical patterns). */
   def dropNonContent(html: Column): Column = {
-    val noScript =
-      regexp_replace(html, "(?is)<script[^>]*>.*?</script\\s*>", " ")
-    val noStyle =
-      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style\\s*>", " ")
-    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val dropped = DroppedContainers.foldLeft(html)((acc, t) =>
+      regexp_replace(acc, s"(?is)<$t(?:\\s[^>]*)?>.*?</$t\\s*>", " "))
+    regexp_replace(dropped, "(?s)<!--.*?-->", " ")
   }
 
   /** The common HTML entities, `&amp;` decoded LAST (decoding it first

@@ -27,6 +27,13 @@ object TextOps {
 
   /** DuckDB-side tokenization identical to Text.tokens. */
   private val dTok = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
+  /** DuckDB twin of Extract.dropNonContent (same patterns, 'g' flag). */
+  private def dDropNonContent(expr: String): String = {
+    val dropped = graft.operators.Extract.DroppedContainers
+      .foldLeft(expr)((acc, t) =>
+        s"regexp_replace($acc, '(?is)<$t(?:\\s[^>]*)?>.*?</$t\\s*>', ' ', 'g')")
+    s"regexp_replace($dropped, '(?s)<!--.*?-->', ' ', 'g')"
+  }
   /** DuckDB-side n-shingles identical to Text.shingles(tk, n). */
   private def dShingles(tk: String, n: Int): String =
     s"CASE WHEN len($tk) >= $n THEN list_transform(range(1, len($tk) - $n + 2), " +
@@ -2270,11 +2277,7 @@ object TextOps {
        |             || '</p>'), '') END
        |    || '<p>&copy; 2026</p></body></html>' AS html
        |  FROM tkt),
-       |nos AS (SELECT doc_id,
-       |  regexp_replace(regexp_replace(regexp_replace(html,
-       |    '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
-       |    '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
-       |    '(?s)<!--.*?-->', ' ', 'g') AS h FROM raw),
+       |nos AS (SELECT doc_id, ${dDropNonContent("html")} AS h FROM raw),
        |blk AS (SELECT doc_id, string_split_regex(h,
        |  '(?i)</?(?:blockquote|br|section|article|header|footer|table|nav|pre|div|ul|ol|li|tr|td|th|p|h[1-6])[^>]*>') AS blocks
        |  FROM nos),
@@ -2455,11 +2458,7 @@ object TextOps {
        |             || ' javascript.' END || '</p>'), '')
        |    || '<p>&copy; 2026</p></body></html>' AS html
        |  FROM tkt),
-       |nos AS (SELECT doc_id, source,
-       |  regexp_replace(regexp_replace(regexp_replace(html,
-       |    '(?is)<script[^>]*>.*?</script\\s*>', ' ', 'g'),
-       |    '(?is)<style[^>]*>.*?</style\\s*>', ' ', 'g'),
-       |    '(?s)<!--.*?-->', ' ', 'g') AS h FROM rawh),
+       |nos AS (SELECT doc_id, source, ${dDropNonContent("html")} AS h FROM rawh),
        |blk AS (SELECT doc_id, source, string_split_regex(h,
        |  '(?i)</?(?:blockquote|br|section|article|header|footer|table|nav|pre|div|ul|ol|li|tr|td|th|p|h[1-6])[^>]*>') AS blocks
        |  FROM nos),

@@ -29,9 +29,26 @@ class ExtractSpec extends SparkSpec {
     assert(r.getAs[String]("text") ==
       "The quick brown fox jumps over the lazy dog.\n" +
         """Tom & Jerry say "hi" &lt;tag&gt; indeed.""")
-    // blocks with any text: title, nav, fox, tom, footer
-    assert(r.getAs[Int]("n_blocks") == 5)
+    // blocks with any text: nav, fox, tom, footer (head dropped wholesale)
+    assert(r.getAs[Int]("n_blocks") == 4)
     assert(r.getAs[Int]("n_blocks_kept") == 2)
+  }
+
+  test("svg/noscript/iframe/head subtrees never leak; <header> survives the head pattern") {
+    val html = "<head><title>Meta Only</title></head>" +
+      "<svg viewBox='0 0 9 9'><path d='M0 0 L9 9 Z'/>vector words here okay</svg>" +
+      "<noscript>please enable javascript to continue using this</noscript>" +
+      "<iframe src='/ad'>fallback advertisement copy inside frames</iframe>" +
+      "<header>site chrome words</header>" +
+      "<p>actual body content with enough words here.</p>"
+    val r = extract(html, minWords = 5, minDensity = 0.0)
+    assert(r.getAs[String]("text") == "actual body content with enough words here.")
+    // header (block tag, 3 words) was SEGMENTED, not swallowed by <head...>
+    assert(r.getAs[Int]("n_blocks") == 2, r.toString)
+    val full = Seq(html).toDF("h").select(Extract.stripTags($"h")).head().getString(0)
+    assert(!full.contains("vector") && !full.contains("enable") &&
+      !full.contains("advertisement") && !full.contains("Meta"))
+    assert(full.contains("site chrome words"))
   }
 
   test("the nav dies by DENSITY, not by the word gate") {
@@ -73,9 +90,10 @@ class ExtractSpec extends SparkSpec {
         "just a heading here okay\ncell one two three four five")
   }
 
-  test("stripTags: whole-document text, boilerplate included") {
+  test("stripTags: whole-document text, boilerplate included (head excluded)") {
     val txt = Seq(page).toDF("h").select(Extract.stripTags($"h")).head().getString(0)
-    assert(txt.startsWith("My Page Home About Contact Docs Blog More The quick"))
+    assert(txt.startsWith("Home About Contact Docs Blog More The quick"))
+    assert(!txt.contains("My Page"))
     assert(!txt.contains("var x"))
     assert(!txt.contains("hidden comment"))
   }

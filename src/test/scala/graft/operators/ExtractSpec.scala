@@ -166,6 +166,54 @@ class ExtractSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming crawl recipe: html stream -> mainContent -> DocPrep == batch twin") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("exdp_src").toString
+    val out = Files.createTempDirectory("exdp_out").toString
+    val ckpt = Files.createTempDirectory("exdp_ckpt").toString
+    val ts = java.sql.Timestamp.valueOf("2026-03-01 12:00:00")
+    // the dup arrives LATER: DocPrep's winner contract is earliest-ts
+    // (ties are arrival order, which a parquet batch does not pin)
+    val ts2 = java.sql.Timestamp.valueOf("2026-03-01 12:05:00")
+    val body = "the quick brown fox jumps over the lazy dog while the cat " +
+      "watches from a warm windowsill and the rain taps the glass daily"
+    def pageOf(text: String) =
+      s"""<html><head><title>t</title></head><body><div id="nav">""" +
+        """<a href="/">Home</a> <a href="/a">About</a> <a href="/b">Contact</a> """ +
+        """<a href="/c">Docs</a> <a href="/d">Blog</a> <a href="/e">More</a></div>""" +
+        s"""<script>track();</script><p>$text</p></body></html>"""
+    val b1 = Seq(
+      (1L, pageOf(body), ts),          // survives
+      (3L, pageOf("too short"), ts))   // fails the quality gate
+      .toDF("doc_id", "html", "ingest_ts")
+    // the re-crawl arrives in a LATER micro-batch: the dedup state (not
+    // intra-batch arrival order, which is unpinned) must drop it on the
+    // EXTRACTED text — the htmls differ only via the nav/script noise
+    // extraction removes
+    val b2 = Seq((2L, pageOf(body), ts2)).toDF("doc_id", "html", "ingest_ts")
+    val pages = b1.unionByName(b2)
+    // the whole chain is one streaming plan: extraction is stateless, so
+    // it composes BELOW DocPrep's watermark dedup without a second query
+    def run(): Unit = {
+      val q = graft.streaming.DocPrep.prep(
+          Extract.mainContent(
+            spark.readStream.schema(b1.schema).parquet(src), "html"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    b1.write.mode("append").parquet(src); run()
+    b2.write.mode("append").parquet(src); run()
+    val streamed = spark.read.parquet(out)
+      .select($"doc_id").as[Long].collect().toSet
+    val batch = graft.streaming.DocPrep.prep(Extract.mainContent(pages, "html"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed == Set(1L),
+      s"nav/script gone, dup 2 deduped on EXTRACTED text, junk 3 gated: $streamed")
+  }
+
   test("extraction feeds the existing line/doc gate chain") {
     val cleaned = LineFilter.cleanDocs(
       Extract.mainContent(Seq((1L, page)).toDF("doc_id", "html"), "html"),

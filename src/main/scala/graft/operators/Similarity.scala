@@ -456,6 +456,108 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Margin-based cross-corpus pair mining — the bitext-mining
+    * criterion (Artetxe & Schwenk 2019 "ratio" margin, the CCMatrix /
+    * LASER alignment recipe): a candidate pair (a, b) scores
+    * `margin = cos(a,b) / ((avgK(a) + avgK(b)) / 2)` where `avgK(x)` is
+    * the mean cosine of x's k nearest candidates on the other side —
+    * raw cosine normalized by how "hubby" each endpoint is, so dense
+    * regions don't flood the mined set. Kept pairs are MUTUAL best
+    * matches (forward argmax for a AND backward argmax for b, margin
+    * ties broken by id) at `margin >= tau`.
+    *
+    * This exact form scores every |A|×|B| pair map-side (the `b` side
+    * broadcasts — the [[cosineTopK]] shape, right when one side is a
+    * bounded query/benchmark set); [[marginMineBucketed]] is the
+    * corpus×corpus scale path. Ids must be unique across BOTH sides
+    * (the store discipline) — the mined pair frame keys on them.
+    *
+    * Determinism contract (the q135 ordered-mean discipline): each
+    * avgK is a strict left fold over the top-k cosines in
+    * (cos asc, id asc) order, so sums — and therefore every margin —
+    * are bit-identical across runs and engines; the remaining algebra
+    * is single IEEE ops on those folds. */
+  def marginMine(a: DataFrame, b: DataFrame, idCol: String, embCol: String,
+                 k: Int, tau: Double): DataFrame = {
+    require(k >= 1, s"marginMine: k must be positive: $k")
+    graft.functions.GraftFunctions.ensureRegistered(a.sparkSession)
+    val qa = a.select(col(idCol).as("a_id"), col(embCol).as("__ea"))
+    val qb = b.select(col(idCol).as("b_id"), col(embCol).as("__eb"))
+    val scored = qa.crossJoin(broadcast(qb))
+      .select(col("a_id"), col("b_id"),
+        Vectors.cosine(col("__ea"), col("__eb")).as("cos"))
+    mineFromScored(scored, k, tau)
+  }
+
+  /** [[marginMine]] over sign-LSH candidates instead of all pairs — the
+    * corpus×corpus scale path (neither side broadcasts): both sides'
+    * signatures shuffle once on the (table, bucket) key, only
+    * cross-corpus pairs sharing a bucket are scored, and the margin
+    * algebra runs over that candidate set (per-endpoint k-NN means are
+    * therefore means over CANDIDATE neighbors — the approximation;
+    * recall grows with `tables` exactly as in [[knnGraph]]). When every
+    * pair collides (single-bucket geometry) the output is identical to
+    * [[marginMine]] — MarginMineSpec pins the differential. */
+  def marginMineBucketed(a: DataFrame, b: DataFrame, idCol: String,
+                         embCol: String, k: Int, tau: Double,
+                         bits: Int = AutoBits, tables: Int = 2): DataFrame = {
+    require(k >= 1, s"marginMineBucketed: k must be positive: $k")
+    graft.functions.GraftFunctions.ensureRegistered(a.sparkSession)
+    val union = a.select(col(idCol), col(embCol))
+      .unionByName(b.select(col(idCol), col(embCol)))
+    val bts = resolveBits(union, embCol, bits, tables)
+    val cand = bucketJoin(lshSigs(a, idCol, embCol, bts, tables),
+        lshSigs(b, idCol, embCol, bts, tables))
+      .select(col("q_id").as("a_id"), col("__dst").as("b_id"))
+    val scored = cand
+      .join(a.select(col(idCol).as("a_id"), col(embCol).as("__ea")), Seq("a_id"))
+      .join(b.select(col(idCol).as("b_id"), col(embCol).as("__eb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        Vectors.cosine(col("__ea"), col("__eb")).as("cos"))
+    mineFromScored(scored, k, tau)
+  }
+
+  /** Shared margin algebra over a scored (a_id, b_id, cos) pair frame.
+    * Every stage past the input is k-bounded: heap top-k per endpoint
+    * (map-side-combined), means over ≤k-element arrays, and the two
+    * argmax windows partition over frames the top-k cut already bounded
+    * at k rows per endpoint — the Hybrid.rrf posture. */
+  private def mineFromScored(scored: DataFrame, k: Int, tau: Double): DataFrame = {
+    val topA = keepTopK(
+        scored.select(col("a_id").as("q_id"), col("b_id"), col("cos")), "b_id", k)
+      .select(col("q_id").as("a_id"), col("b_id"), col("cos"))
+    val topB = keepTopK(
+        scored.select(col("b_id").as("q_id"), col("a_id"), col("cos")), "a_id", k)
+      .select(col("a_id"), col("q_id").as("b_id"), col("cos"))
+    // strict left fold in (cos asc, id asc) order — bit-identical to the
+    // oracle's list(cos ORDER BY cos, id) + list_aggregate 'sum'
+    def knnMean(top: DataFrame, key: String, other: String, out: String) =
+      top.groupBy(col(key))
+        .agg(sort_array(collect_list(struct(col("cos"), col(other).as("__id"))))
+          .as("__l"))
+        .select(col(key),
+          (aggregate(col("__l"), lit(0.0d), (acc, x) => acc + x("cos")) /
+            size(col("__l")).cast("double")).as(out))
+    val avgA = knnMean(topA, "a_id", "b_id", "__avg_a")
+    val avgB = knnMean(topB, "b_id", "a_id", "__avg_b")
+    // margins are defined over the UNION of both directions' top-k
+    // candidates, so forward and backward argmax see the same value for
+    // a shared pair; cos is deterministic, so the distinct is exact
+    val cand = topA.unionByName(topB).distinct()
+    val m = cand.join(avgA, Seq("a_id")).join(avgB, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("cos") / ((col("__avg_a") + col("__avg_b")) / lit(2.0d)))
+          .as("margin"))
+    val fwd = Window.partitionBy(col("a_id"))
+      .orderBy(col("margin").desc, col("b_id").asc)
+    val bwd = Window.partitionBy(col("b_id"))
+      .orderBy(col("margin").desc, col("a_id").asc)
+    m.withColumn("__rf", row_number().over(fwd))
+      .withColumn("__rb", row_number().over(bwd))
+      .filter(col("__rf") === 1 && col("__rb") === 1 && col("margin") >= tau)
+      .select(col("a_id"), col("b_id"), col("margin"))
+  }
+
   /** Sign-LSH bucketed near-dup pairs: one shuffle on the bucket key,
     * per-bucket pairing, cosine cut at `minCos`. Approximate — recall
     * loss only across bucket boundaries.

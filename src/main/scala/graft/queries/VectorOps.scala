@@ -1160,7 +1160,56 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
        |  FROM sc) WHERE rn <= 5""".stripMargin
 
+  // -- q182: margin-based cross-corpus pair mining
+  // (Similarity.marginMine) — the bitext-mining criterion (Artetxe &
+  // Schwenk 2019 ratio margin, the CCMatrix/LASER alignment recipe):
+  // even vec_ids as corpus A, odd as corpus B; cos(a,b) normalized by
+  // the mean of each endpoint's k=4 NN cosines, mutual-best pairs kept
+  // at margin >= tau. Parity: cosines are the shared strict-left-fold
+  // dot; each k-NN mean folds its top-k cosines in (cos asc, id asc)
+  // order in BOTH engines, so margins are bit-identical before the
+  // shared 6-dp round. --
+  private val q182: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    graft.operators.Similarity.marginMine(
+        e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 === 1),
+        "vec_id", "embedding", k = 4, tau = 1.05)
+      .select($"a_id", $"b_id", round($"margin", 6).as("margin"))
+  }
+  private val q182Sql =
+    s"""WITH a AS (SELECT vec_id AS a_id, embedding AS ea
+       |           FROM embeddings WHERE vec_id % 2 = 0),
+       |b AS (SELECT vec_id AS b_id, embedding AS eb
+       |      FROM embeddings WHERE vec_id % 2 = 1),
+       |p AS (SELECT a_id, b_id, ${dCos("ea", "eb")} AS cos
+       |      FROM a CROSS JOIN b),
+       |ta AS (SELECT a_id, b_id, cos FROM (
+       |  SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY cos DESC, b_id) AS rn FROM p) WHERE rn <= 4),
+       |tb AS (SELECT a_id, b_id, cos FROM (
+       |  SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY b_id
+       |      ORDER BY cos DESC, a_id) AS rn FROM p) WHERE rn <= 4),
+       |ma AS (SELECT a_id, list_aggregate(list(cos ORDER BY cos, b_id), 'sum')
+       |         / CAST(count(*) AS DOUBLE) AS avg_a FROM ta GROUP BY 1),
+       |mb AS (SELECT b_id, list_aggregate(list(cos ORDER BY cos, a_id), 'sum')
+       |         / CAST(count(*) AS DOUBLE) AS avg_b FROM tb GROUP BY 1),
+       |cand AS (SELECT DISTINCT a_id, b_id, cos FROM (
+       |  SELECT * FROM ta UNION ALL SELECT * FROM tb)),
+       |m AS (SELECT c.a_id, c.b_id, c.cos / ((ma.avg_a + mb.avg_b) / 2) AS margin
+       |      FROM cand c JOIN ma ON c.a_id = ma.a_id
+       |                  JOIN mb ON c.b_id = mb.b_id),
+       |r AS (SELECT a_id, b_id, margin,
+       |        row_number() OVER (PARTITION BY a_id
+       |            ORDER BY margin DESC, b_id) AS rf,
+       |        row_number() OVER (PARTITION BY b_id
+       |            ORDER BY margin DESC, a_id) AS rb
+       |      FROM m)
+       |SELECT a_id, b_id, round(margin, 6) AS margin FROM r
+       |WHERE rf = 1 AND rb = 1 AND margin >= 1.05""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q182_margin_mine" -> q182,
     "q161_knn_store" -> q161,
     "q151_knn_append" -> q151,
     "q149_knn_hubness" -> q149,
@@ -1193,6 +1242,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q182_margin_mine" -> q182Sql,
     "q161_knn_store" -> q161Sql,
     "q151_knn_append" -> q151Sql,
     "q149_knn_hubness" -> q149Sql,

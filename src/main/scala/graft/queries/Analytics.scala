@@ -702,7 +702,13 @@ object Analytics {
   // exists for: per (user, session), did the FIRST view precede the
   // first click, and that the first purchase (strict event-time order)?
   // One q12-shaped session pass + conditional-min aggregates; flags are
-  // exact millisecond comparisons. --
+  // exact millisecond comparisons.
+  // Oracle note: `session` MUST be CAST to BIGINT — DuckDB's sum(INT)
+  // returns HUGEINT, whose pandas fetch renders float64 ("3.0" vs
+  // Spark's "3"), hash-red under a pandas-canonicalizing checker while
+  // fetchall-based checkers stay green (the r9/r10 driver-red
+  // signature; q173 was the only oracle emitting an uncast HUGEINT —
+  // tools/type_audit.py now sweeps all oracles for this class). --
   private val q173: Q = (s, dir) => {
     import s.implicits._
     val sess = graft.operators.Sessions.assign(
@@ -730,8 +736,8 @@ object Analytics {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), s AS (
       |  SELECT user_id, event_id, ts, event_type,
-      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                  ROWS UNBOUNDED PRECEDING) AS session
+      |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session
       |  FROM g
       |), a AS (
       |  SELECT user_id, session, CAST(count(*) AS BIGINT) AS n_events,

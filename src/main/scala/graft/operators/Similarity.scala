@@ -468,9 +468,12 @@ object Similarity {
     *
     * This exact form scores every |A|×|B| pair map-side (the `b` side
     * broadcasts — the [[cosineTopK]] shape, right when one side is a
-    * bounded query/benchmark set); [[marginMineBucketed]] is the
-    * corpus×corpus scale path. Ids must be unique across BOTH sides
-    * (the store discipline) — the mined pair frame keys on them.
+    * bounded query/benchmark set; a corpus-sized `b` OOMs the broadcast,
+    * use [[marginMineBucketed]], the corpus×corpus scale path). Ids must
+    * be unique across BOTH sides (the store discipline) — the mined pair
+    * frame keys on them. Under violation both paths now agree: pairs
+    * whose two sides carry the SAME id are excluded here exactly as the
+    * bucketed path's candidate join excludes them.
     *
     * Determinism contract (the q135 ordered-mean discipline): each
     * avgK is a strict left fold over the top-k cosines in
@@ -484,6 +487,7 @@ object Similarity {
     val qa = a.select(col(idCol).as("a_id"), col(embCol).as("__ea"))
     val qb = b.select(col(idCol).as("b_id"), col(embCol).as("__eb"))
     val scored = qa.crossJoin(broadcast(qb))
+      .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
         Vectors.cosine(col("__ea"), col("__eb")).as("cos"))
     mineFromScored(scored, k, tau)
@@ -519,9 +523,12 @@ object Similarity {
 
   /** Shared margin algebra over a scored (a_id, b_id, cos) pair frame.
     * Every stage past the input is k-bounded: heap top-k per endpoint
-    * (map-side-combined), means over ≤k-element arrays, and the two
-    * argmax windows partition over frames the top-k cut already bounded
-    * at k rows per endpoint — the Hybrid.rrf posture. */
+    * (map-side-combined) and means over ≤k-element arrays. The two
+    * argmax windows run over the topA ∪ topB union, so a hub endpoint's
+    * partition holds up to k + |other side| rows (its own top-k plus
+    * every opposite-side list it appears in) — bounded by the candidate
+    * frame, and a window over a hub partition is still one linear
+    * scan. */
   private def mineFromScored(scored: DataFrame, k: Int, tau: Double): DataFrame = {
     val topA = keepTopK(
         scored.select(col("a_id").as("q_id"), col("b_id"), col("cos")), "b_id", k)

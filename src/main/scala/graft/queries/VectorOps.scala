@@ -1208,7 +1208,68 @@ object VectorOps {
        |SELECT a_id, b_id, round(margin, 6) AS margin FROM r
        |WHERE rf = 1 AND rb = 1 AND margin >= 1.05""".stripMargin
 
+  // -- q183: margin mining at corpus×corpus scale
+  // (Similarity.marginMineBucketed) — q182's criterion over sign-LSH
+  // candidates instead of all pairs: both sides' two-table signatures
+  // (q145's disjoint 8-dim slices) shuffle once on the bucket key, only
+  // colliding cross-corpus pairs are scored, and the margin algebra —
+  // per-endpoint k-NN means over CANDIDATE neighbors, the documented
+  // approximation — runs k-bounded past the candidate frame. Oracle:
+  // q145's sig/bucket-join CTEs per side feeding q182's margin CTEs. --
+  private val q183: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    graft.operators.Similarity.marginMineBucketed(
+        e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 === 1),
+        "vec_id", "embedding", k = 4, tau = 1.05, bits = 8, tables = 2)
+      .select($"a_id", $"b_id", round($"margin", 6).as("margin"))
+  }
+  private val q183Sql = {
+    def sig(e: String) =
+      "array_to_string(list_transform(" +
+        s"list_slice($e, 1 + 8 * tbl, 8 + 8 * tbl), " +
+        "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+    s"""WITH av AS (SELECT vec_id AS a_id, embedding AS ea
+       |            FROM embeddings WHERE vec_id % 2 = 0),
+       |bv AS (SELECT vec_id AS b_id, embedding AS eb
+       |       FROM embeddings WHERE vec_id % 2 = 1),
+       |sa AS (SELECT a_id, tbl, ${sig("ea")} AS bucket
+       |       FROM av, (SELECT unnest([0, 1]) AS tbl)),
+       |sb AS (SELECT b_id, tbl, ${sig("eb")} AS bucket
+       |       FROM bv, (SELECT unnest([0, 1]) AS tbl)),
+       |cand AS (SELECT DISTINCT sa.a_id, sb.b_id FROM sa JOIN sb
+       |           ON sa.tbl = sb.tbl AND sa.bucket = sb.bucket
+       |          AND sa.a_id <> sb.b_id),
+       |p AS (SELECT c.a_id, c.b_id, ${dCos("av.ea", "bv.eb")} AS cos
+       |      FROM cand c JOIN av ON c.a_id = av.a_id
+       |                  JOIN bv ON c.b_id = bv.b_id),
+       |ta AS (SELECT a_id, b_id, cos FROM (
+       |  SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY cos DESC, b_id) AS rn FROM p) WHERE rn <= 4),
+       |tb AS (SELECT a_id, b_id, cos FROM (
+       |  SELECT a_id, b_id, cos, row_number() OVER (PARTITION BY b_id
+       |      ORDER BY cos DESC, a_id) AS rn FROM p) WHERE rn <= 4),
+       |ma AS (SELECT a_id, list_aggregate(list(cos ORDER BY cos, b_id), 'sum')
+       |         / CAST(count(*) AS DOUBLE) AS avg_a FROM ta GROUP BY 1),
+       |mb AS (SELECT b_id, list_aggregate(list(cos ORDER BY cos, a_id), 'sum')
+       |         / CAST(count(*) AS DOUBLE) AS avg_b FROM tb GROUP BY 1),
+       |c2 AS (SELECT DISTINCT a_id, b_id, cos FROM (
+       |  SELECT * FROM ta UNION ALL SELECT * FROM tb)),
+       |m AS (SELECT c.a_id, c.b_id, c.cos / ((ma.avg_a + mb.avg_b) / 2) AS margin
+       |      FROM c2 c JOIN ma ON c.a_id = ma.a_id
+       |                 JOIN mb ON c.b_id = mb.b_id),
+       |r AS (SELECT a_id, b_id, margin,
+       |        row_number() OVER (PARTITION BY a_id
+       |            ORDER BY margin DESC, b_id) AS rf,
+       |        row_number() OVER (PARTITION BY b_id
+       |            ORDER BY margin DESC, a_id) AS rb
+       |      FROM m)
+       |SELECT a_id, b_id, round(margin, 6) AS margin FROM r
+       |WHERE rf = 1 AND rb = 1 AND margin >= 1.05""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q183_margin_bucketed" -> q183,
     "q182_margin_mine" -> q182,
     "q161_knn_store" -> q161,
     "q151_knn_append" -> q151,
@@ -1242,6 +1303,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q183_margin_bucketed" -> q183Sql,
     "q182_margin_mine" -> q182Sql,
     "q161_knn_store" -> q161Sql,
     "q151_knn_append" -> q151Sql,

@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Margin-based bitext mining (Similarity.marginMine /
+  * marginMineBucketed): hand-computed margins, strict-fold determinism,
+  * id-ordered mutual-best ties, the single-bucket == exact differential
+  * the scaladoc promises, planted-pair recall at realistic geometry, and
+  * the no-cartesian plan pin for the bucketed scale path. */
+class MarginMineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def df(rows: Seq[(Long, Seq[Double])]): DataFrame =
+    rows.toDF("id", "emb")
+
+  /** Deterministic LCG doubles in [-1, 1] (no Math.random in tests that
+    * must reproduce). */
+  private def rnd(seed0: Long, n: Int): Array[Double] = {
+    var s = seed0
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+  }
+
+  test("marginMine: hand-computed margins on a 2x2 corpus") {
+    // cosines: (1,11)=1, (1,12)=0.6, (2,11)=0, (2,12)=0.8
+    // avgA(1)=(1+0.6)/2=0.8  avgA(2)=0.4  avgB(11)=0.5  avgB(12)=0.7
+    // margin(1,11)=1/0.65  margin(2,12)=0.8/0.55 — both mutual best
+    val a = df(Seq(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0)))
+    val b = df(Seq(11L -> Seq(1.0, 0.0), 12L -> Seq(0.6, 0.8)))
+    val got = Similarity.marginMine(a, b, "id", "emb", k = 2, tau = 1.0)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)).toSeq === Seq((1L, 11L), (2L, 12L)))
+    assert(math.abs(got(0)._3 - 1.0 / 0.65) < 1e-9)
+    assert(math.abs(got(1)._3 - 0.8 / 0.55) < 1e-9)
+    // below-threshold pairs are cut: at tau above both margins, nothing
+    assert(Similarity.marginMine(a, b, "id", "emb", k = 2, tau = 1.6).isEmpty)
+  }
+
+  test("marginMine: mutual-best margin ties break by id (both directions)") {
+    // b1 and b2 are the same vector: margins tie exactly; forward argmax
+    // for a1 must pick the smaller b_id, so only (1, 11) survives
+    val a = df(Seq(1L -> Seq(1.0, 0.0)))
+    val b = df(Seq(12L -> Seq(1.0, 0.0), 11L -> Seq(1.0, 0.0)))
+    val got = Similarity.marginMine(a, b, "id", "emb", k = 2, tau = 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 11L)))
+    // mirrored: two identical a's, one b — backward argmax picks a_id 1
+    val got2 = Similarity.marginMine(b.toDF("id", "emb"), a.toDF("id", "emb"),
+        "id", "emb", k = 2, tau = 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSeq
+    assert(got2 === Seq((11L, 1L)))
+  }
+
+  /** Plain-Scala reference of the whole margin algebra, mirroring the
+    * library's strict-fold orders coordinate by coordinate. */
+  private def refMine(a: Seq[(Long, Array[Double])], b: Seq[(Long, Array[Double])],
+                      k: Int, tau: Double): Map[(Long, Long), Double] = {
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(x.length, y.length)) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    def cos(x: Array[Double], y: Array[Double]): Double =
+      dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
+    val scored = for ((ia, va) <- a; (ib, vb) <- b if ia != ib)
+      yield (ia, ib, cos(va, vb))
+    def topBy(key: (Long, Long, Double) => Long, other: (Long, Long, Double) => Long) =
+      scored.groupBy(t => key(t._1, t._2, t._3)).map { case (q, ps) =>
+        q -> ps.sortBy(t => (-t._3, other(t._1, t._2, t._3))).take(k)
+      }
+    val topA = topBy((x, _, _) => x, (_, y, _) => y)
+    val topB = topBy((_, y, _) => y, (x, _, _) => x)
+    def mean(ps: Seq[(Long, Long, Double)], other: (Long, Long, Double) => Long) = {
+      val o = ps.sortBy(t => (t._3, other(t._1, t._2, t._3)))
+      o.foldLeft(0.0)((acc, t) => acc + t._3) / o.size.toDouble
+    }
+    val avgA = topA.map { case (q, ps) => q -> mean(ps, (_, y, _) => y) }
+    val avgB = topB.map { case (q, ps) => q -> mean(ps, (x, _, _) => x) }
+    val cand = (topA.values.flatten ++ topB.values.flatten).toSeq.distinct
+    val m = cand.map { case (ia, ib, c) =>
+      (ia, ib) -> c / ((avgA(ia) + avgB(ib)) / 2.0)
+    }.toMap
+    val fwd = m.groupBy(_._1._1).map { case (ia, ps) =>
+      ia -> ps.toSeq.sortBy { case ((_, ib), mg) => (-mg, ib) }.head._1 }
+    val bwd = m.groupBy(_._1._2).map { case (ib, ps) =>
+      ib -> ps.toSeq.sortBy { case ((ia, _), mg) => (-mg, ia) }.head._1 }
+    m.filter { case ((ia, ib), mg) =>
+      fwd(ia) == (ia, ib) && bwd(ib) == (ia, ib) && mg >= tau }
+  }
+
+  test("marginMine == plain-Scala reference on a seeded 30x20 corpus") {
+    val va = (0 until 30).map(i => (i * 2L, rnd(1000 + i, 6)))
+    val vb = (0 until 20).map(i => (i * 2L + 1, rnd(9000 + i, 6)))
+    val want = refMine(va, vb, k = 3, tau = 0.9)
+    val got = Similarity.marginMine(
+        df(va.map { case (i, v) => i -> v.toSeq }),
+        df(vb.map { case (i, v) => i -> v.toSeq }),
+        "id", "emb", k = 3, tau = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet === want.keySet)
+    for ((p, mg) <- want)
+      assert(math.abs(got(p) - mg) < 1e-12, s"margin diverged at $p")
+  }
+
+  test("marginMine is deterministic across runs (bit-identical margins)") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    def run() = Similarity.marginMine(
+        e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 === 1),
+        "vec_id", "embedding", k = 4, tau = 1.0)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val r1 = run(); val r2 = run()
+    assert(r1.nonEmpty && r1 === r2)
+  }
+
+  test("marginMineBucketed == marginMine under single-bucket geometry") {
+    // prepend a constant positive coordinate: bits=1/tables=1 reads only
+    // it, so every vector lands in bucket "1" and the candidate set is
+    // the full cross product — the scaladoc's exact-equivalence claim
+    val e = Tables.load(spark, sf(), "embeddings")
+      .select($"vec_id", concat(array(lit(1.0f)), $"embedding").as("embedding"))
+    val a = e.filter($"vec_id" % 2 === 0)
+    val b = e.filter($"vec_id" % 2 === 1)
+    val exact = Similarity.marginMine(a, b, "vec_id", "embedding", k = 4, tau = 1.0)
+    val bucketed = Similarity.marginMineBucketed(a, b, "vec_id", "embedding",
+      k = 4, tau = 1.0, bits = 1, tables = 1)
+    assert(exact.count() > 0)
+    assert(exact.exceptAll(bucketed).isEmpty && bucketed.exceptAll(exact).isEmpty,
+      "single-bucket mined pairs/margins must be bit-identical to exact")
+  }
+
+  test("id collisions across sides: both paths agree (self-pairs excluded)") {
+    // contract violation (same ids on both sides) must not diverge the
+    // two paths: the bucketed candidate join drops a_id == b_id, and
+    // marginMine filters the same pairs
+    val e = Tables.load(spark, sf(), "embeddings")
+      .select($"vec_id", concat(array(lit(1.0f)), $"embedding").as("embedding"))
+      .filter($"vec_id" < 60)
+    val exact = Similarity.marginMine(e, e, "vec_id", "embedding", k = 3, tau = 0.8)
+    val bucketed = Similarity.marginMineBucketed(e, e, "vec_id", "embedding",
+      k = 3, tau = 0.8, bits = 1, tables = 1)
+    assert(exact.filter($"a_id" === $"b_id").isEmpty)
+    assert(exact.exceptAll(bucketed).isEmpty && bucketed.exceptAll(exact).isEmpty)
+  }
+
+  test("realistic geometry recovers planted translation pairs") {
+    // 24 planted pairs: b_i is a_i scaled coordinate-wise by factors in
+    // [0.98, 1.02] (signs preserved, so every table's bucket matches and
+    // LSH recall on the planted pairs is exact); random inter-pair
+    // cosines stay far below 1, so each planted pair is mutual best
+    val dim = 16
+    val base = (0 until 24).map { i =>
+      rnd(42 + i, dim).map(x => math.signum(x) * (0.1 + 0.9 * math.abs(x)))
+    }
+    val a = (0 until 24).map(i => i.toLong -> base(i).toSeq)
+    val b = (0 until 24).map { i =>
+      val f = rnd(7000 + i, dim)
+      (100L + i) -> base(i).zip(f).map { case (x, u) => x * (1.0 + 0.02 * u) }.toSeq
+    }
+    val planted = (0 until 24).map(i => (i.toLong, 100L + i)).toSet
+    val exact = Similarity.marginMine(df(a), df(b), "id", "emb", k = 4, tau = 1.2)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.marginMineBucketed(df(a), df(b), "id", "emb",
+        k = 4, tau = 1.2, bits = 4, tables = 2)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(exact === planted, "exact mining must recover exactly the planted pairs")
+    // candidate recall on the planted pairs is exact (signs preserved),
+    // but the per-endpoint k-NN means are means over CANDIDATE neighbors
+    // only — margin distortion, not candidate loss, is the approximation
+    // (seeded run: 21/24; the 3 losses each lose an argmax to a pair
+    // whose endpoint's candidate mean is deflated)
+    assert((bucketed & planted).size >= 20,
+      s"bucketed mining lost too many planted pairs: ${(planted -- bucketed).toSeq.sorted}")
+  }
+
+  test("marginMineBucketed plan has no cartesian / nested-loop join") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val plan = Similarity.marginMineBucketed(
+        e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 === 1),
+        "vec_id", "embedding", k = 4, tau = 1.0, bits = 8, tables = 2)
+      .queryExecution.executedPlan
+    val bad = collectPlan(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, "bucketed margin mining must never cross-join corpora")
+  }
+}

@@ -32,6 +32,21 @@ object Text {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Lowercased sliding CHARACTER n-grams over the whole text, spaces
+    * included — the fastText-style subword surface for language ID
+    * (word tokens carry no signal for languages sharing a vocabulary;
+    * character statistics do). Shorter-than-n texts yield the single
+    * whole-text gram, so every non-null document contributes at least
+    * one feature; the gram count is length-n+1 (else 1), which the
+    * LangId oracle reproduces exactly. */
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"charNgrams: n must be positive: $n")
+    val t = lower(text)
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(array(t))
+  }
+
   /** Native codegen'd twin of [[shingles]] (ONE kernel call per row
     * instead of an interpreted HOF per gram — the hot path for
     * corpus-sized gram streams). Pinned equal by the differential spec;

@@ -74,15 +74,28 @@ object Classifier {
     * SORTED so every later fold over them has one defined order — the
     * reproducibility backbone of [[train]]. */
   private def features(df: DataFrame, textCol: String, labelCol: String,
-                       idCol: String, dim: Int): DataFrame = {
+                       idCol: String, dim: Int,
+                       tok: Column => Column = Text.tokens): DataFrame = {
     val y0 = col(labelCol).cast("double")
     // the Audit null-id discipline: a bad label corrupts every gradient
     // silently — fail at run time with a clear message instead
     val y = when(y0 === 0.0 || y0 === 1.0, y0)
       .otherwise(raise_error(lit(
         s"Classifier.train: '$labelCol' must be 0 or 1")).cast("double"))
-    val toks = coalesce(Text.tokens(col(textCol)), array().cast("array<string>"))
-    val base = df.select(col(idCol).as("__id"), y.as("__y"), toks.as("__toks"))
+    df.select(col(idCol).as("__id"), y.as("__y"))
+      .join(featureArrays(df, textCol, idCol, dim, tok), Seq("__id"))
+  }
+
+  /** Label-free feature arrays — (`__id`, `__bs`, `__xs`) — shared by
+    * [[features]] and the one-vs-rest [[LangId]] trainer (which builds
+    * them ONCE and attaches a different 0/1 label per language, instead
+    * of re-tokenizing the labeled set per class). */
+  private[operators] def featureArrays(df: DataFrame, textCol: String,
+                                       idCol: String, dim: Int,
+                                       tok: Column => Column = Text.tokens)
+      : DataFrame = {
+    val toks = coalesce(tok(col(textCol)), array().cast("array<string>"))
+    val base = df.select(col(idCol).as("__id"), toks.as("__toks"))
     val packed = base
       .select(col("__id"), size(col("__toks")).as("__n"),
         explode(col("__toks")).as("__t"))
@@ -98,8 +111,8 @@ object Classifier {
         transform(col("__bcn"), s =>
           s.getField("__c").cast("double") / s.getField("__n").cast("double"))
           .as("__xs"))
-    base.select(col("__id"), col("__y")).join(packed, Seq("__id"), "left")
-      .select(col("__id"), col("__y"),
+    base.select(col("__id")).join(packed, Seq("__id"), "left")
+      .select(col("__id"),
         coalesce(col("__bs"), array().cast("array<int>")).as("__bs"),
         coalesce(col("__xs"), array().cast("array<double>")).as("__xs"))
   }
@@ -145,11 +158,21 @@ object Classifier {
     * reference tool has no classifier — this extends the curation
     * surface (SURVEY §2.3). */
   def train(df: DataFrame, textCol: String, labelCol: String, idCol: String,
-            dim: Int, iterations: Int = 10, lr: Double = 0.5): Trained = {
+            dim: Int, iterations: Int = 10, lr: Double = 0.5,
+            tok: Column => Column = Text.tokens): Trained = {
     require(dim >= 1, s"dim must be positive: $dim")
+    val feats = features(df, textCol, labelCol, idCol, dim, tok).localCheckpoint()
+    trainOnFeatures(feats, iterations, lr)
+  }
+
+  /** The GD loop over an already-materialized (`__id`, `__y`, `__bs`,
+    * `__xs`) feature frame — callers (train, the one-vs-rest LangId)
+    * checkpoint the frame first so iterations never re-derive
+    * features. */
+  private[operators] def trainOnFeatures(feats: DataFrame, iterations: Int,
+                                         lr: Double): Trained = {
     require(iterations >= 1, s"iterations must be positive: $iterations")
     require(lr > 0, s"lr must be positive: $lr")
-    val feats = features(df, textCol, labelCol, idCol, dim).localCheckpoint()
     val m = feats.count().toDouble
     require(m > 0, "Classifier.train: empty training set")
     var weights = Map.empty[Int, Double]
@@ -189,8 +212,15 @@ object Classifier {
     * stable under last-ulp noise — the q92 assignments-not-doubles
     * oracle contract. */
   def predict(df: DataFrame, textCol: String, labelCol: String,
-              idCol: String, model: Trained, dim: Int): DataFrame =
-    features(df, textCol, labelCol, idCol, dim)
+              idCol: String, model: Trained, dim: Int,
+              tok: Column => Column = Text.tokens): DataFrame =
+    features(df, textCol, labelCol, idCol, dim, tok)
       .select(col("__id").as(idCol), col("__y").cast("long").as("label"),
         (zCol(model.weights, model.bias) >= 0).cast("long").as("predicted"))
+
+  /** The margin of a trained model over [[featureArrays]] columns —
+    * exposed for multi-model consumers ([[LangId]]'s per-language
+    * argmax) so N models score ONE shared feature pass. */
+  private[operators] def zColOf(model: Trained): Column =
+    zCol(model.weights, model.bias)
 }

@@ -2592,7 +2592,95 @@ object TextOps {
        |  CAST(count(*) FILTER (WHERE contaminated) AS BIGINT),
        |  max(max_cos) FROM sem""".stripMargin
 
+  // -- q184: TRAINED language ID (LangId) — char-trigram one-vs-rest
+  // logistic regression over the hashing trick, the fastText langid
+  // recipe and the upgrade q26's marker heuristic exists to baseline:
+  // languages sharing a vocabulary are inseparable by word counts but
+  // separable by character statistics. Trains 5 binary models (2 GD
+  // iterations, lr 0.5, dim 64) on ONE shared char-trigram feature
+  // pass, predicts by margin argmax (ties to the earlier language in
+  // en/de/es/fr/zh order). Oracle: the q120 unrolled-GD recipe x5
+  // languages over shared feature CTEs — every gradient, margin, and
+  // the final CASE re-derived in SQL, so predictions are hash-exact
+  // (discrete argmax absorbs last-ulp noise the q92 way). The fixture's
+  // lang labels are text-independent (no marker words, uniform char
+  // stats), so the trained argmax correctly converges to the majority
+  // class here — this query pins ENGINE PARITY of the whole training
+  // computation; LangIdSpec's disjoint-alphabet fixture pins that the
+  // same code learns perfectly when signal exists. --
+  private val langIdLangs = Seq("en", "de", "es", "fr", "zh")
+  private val q184: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    val m = graft.operators.LangId.train(d, "text", "lang", "doc_id",
+      langIdLangs, dim = 64, n = 3, iterations = 2, lr = 0.5)
+    graft.operators.LangId.predict(d, "text", "doc_id", m)
+      .join(d.select($"doc_id", $"lang"), Seq("doc_id"))
+      .select($"doc_id", $"pred", $"lang", ($"pred" === $"lang").as("agree"))
+  }
+  private val q184Sql = {
+    // per-language unrolled 2-iteration GD over the shared feature CTEs
+    // (x: normalized char-trigram bucket counts; m: labeled-set size)
+    def gradCte(l: String, r: String, n: Int): String =
+      s"""g$n$l AS (
+         |  SELECT x.b, list_aggregate(list($r.r * x.x ORDER BY x.doc_id), 'sum')
+         |           / (SELECT m FROM m) AS g
+         |  FROM x JOIN $r USING (doc_id) GROUP BY x.b),
+         |gb$n$l AS (SELECT list_aggregate(list(r ORDER BY doc_id), 'sum')
+         |           / (SELECT m FROM m) AS g FROM $r)""".stripMargin
+    def zCte(l: String, w: String, b: String, n: Int): String =
+      s"""z$n$l AS (
+         |  SELECT d.doc_id, (SELECT bias FROM $b) + COALESCE(f.z, 0.0) AS z
+         |  FROM d LEFT JOIN (
+         |    SELECT x.doc_id,
+         |      list_aggregate(list(COALESCE($w.w, 0.0) * x.x ORDER BY x.b), 'sum') AS z
+         |    FROM x LEFT JOIN $w USING (b) GROUP BY x.doc_id) f USING (doc_id))""".stripMargin
+    def langCtes(l: String): String =
+      s"""d$l AS (SELECT doc_id, CASE WHEN lang = '$l' THEN CAST(1 AS DOUBLE)
+         |              ELSE CAST(0 AS DOUBLE) END AS y FROM d),
+         |r1$l AS (SELECT doc_id, CAST(0.5 AS DOUBLE) - y AS r FROM d$l),
+         |${gradCte(l, s"r1$l", 1)},
+         |w1$l AS (SELECT b, -CAST(0.5 AS DOUBLE) * g AS w FROM g1$l),
+         |b1$l AS (SELECT -CAST(0.5 AS DOUBLE) * g AS bias FROM gb1$l),
+         |${zCte(l, s"w1$l", s"b1$l", 2)},
+         |r2$l AS (SELECT z.doc_id, 1.0/(1.0 + exp(-z.z)) - dl.y AS r
+         |         FROM z2$l z JOIN d$l dl USING (doc_id)),
+         |${gradCte(l, s"r2$l", 2)},
+         |w2$l AS (SELECT b, COALESCE(w1$l.w, 0.0) - CAST(0.5 AS DOUBLE)
+         |           * COALESCE(g2$l.g, 0.0) AS w
+         |         FROM w1$l FULL JOIN g2$l USING (b)),
+         |b2$l AS (SELECT (SELECT bias FROM b1$l) - CAST(0.5 AS DOUBLE) * g AS bias
+         |         FROM gb2$l),
+         |${zCte(l, s"w2$l", s"b2$l", 3)}""".stripMargin
+    val Seq(en, de, es, fr, zh) = langIdLangs.map(l => s"z3$l.z")
+    s"""WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+       |ch AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+       |         THEN list_transform(range(1, len(t) - 1), i -> substring(t, i, 3))
+       |         ELSE [t] END) AS tok
+       |       FROM d),
+       |sp AS (SELECT doc_id,
+       |         CAST(TRY_CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 64 AS INT) AS b,
+       |         count(*) AS c
+       |       FROM ch GROUP BY 1, 2),
+       |n AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 1 END AS n
+       |      FROM d),
+       |x AS (SELECT sp.doc_id, sp.b, CAST(sp.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS x
+       |      FROM sp JOIN n USING (doc_id)),
+       |m AS (SELECT count(*) AS m FROM d),
+       |${langIdLangs.map(langCtes).mkString(",\n")},
+       |pred AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+       |         WHEN $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+       |         WHEN $es >= $fr AND $es >= $zh THEN 'es'
+       |         WHEN $fr >= $zh THEN 'fr'
+       |         ELSE 'zh' END AS pred
+       |  FROM d ${langIdLangs.map(l => s"JOIN z3$l ON d.doc_id = z3$l.doc_id").mkString(" ")})
+       |SELECT doc_id, pred, lang, (pred = lang) AS agree FROM pred""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q184_langid_trained" -> q184,
     "q181_contamination_report" -> q181,
     "q180_tuned_neardup" -> q180,
     "q179_crawl_pipeline" -> q179,
@@ -2664,6 +2752,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q184_langid_trained" -> q184Sql,
     "q181_contamination_report" -> q181Sql,
     "q180_tuned_neardup" -> q180Sql,
     "q179_crawl_pipeline" -> q179Sql,

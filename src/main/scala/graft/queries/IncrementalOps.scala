@@ -49,8 +49,9 @@ object IncrementalOps {
 
   // -- q167: winnowing-fingerprint store probe — cross-snapshot
   // PARTIAL-overlap detection: the corpus's winnow fingerprints (the
-  // q155 selection, distinct fp) act as the store, and each batch doc
-  // reports how many of its own winnow fps the store already holds.
+  // q155 selection, distinct fp) persist as a bucketed+geometry-stamped
+  // store table (Winnow.writeFpStore), and each batch doc reports how
+  // many of its own winnow fps the store already holds.
   // Re-crawled dups hit on ~every fingerprint; the ' v2'-suffixed
   // novels still hit on their unchanged interior — the span-level
   // signal whole-doc fingerprint dedup (q101) cannot see. Store probe
@@ -58,14 +59,15 @@ object IncrementalOps {
   // guarantee (any shared >= w+k-1-token run shares a fp) bounds the
   // false-negative window. --
   private val q167: Q = (s, dir) => {
-    val store = graft.operators.Winnow
-      .fingerprints(docs(s, dir), "text", "doc_id", k = 4, w = 4)
-      .select(col("fp")).distinct()
-    graft.operators.Winnow
-      .fingerprints(newBatch(s, dir), "text", "doc_id", k = 4, w = 4)
-      .join(store.withColumn("__hit", lit(1)), Seq("fp"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fps"), count(col("__hit")).as("n_hits"))
+    // the PERSISTED store path (Winnow.writeFpStore/probeStore): the
+    // corpus's fps land bucketed+stamped once, the probe replays the
+    // stamped (k, w) and joins exchange-free on the store side
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val t = s"graft_winnowstore_$sfx"
+    s.sql(s"DROP TABLE IF EXISTS `$t`")
+    graft.operators.Winnow.writeFpStore(docs(s, dir), "text", "doc_id",
+      t, buckets = 8, k = 4, w = 4)
+    graft.operators.Winnow.probeStore(newBatch(s, dir), "text", "doc_id", t)
   }
   // lazy: dTok/dShingles are declared further down the object; a strict
   // val here would interpolate their still-null references at init

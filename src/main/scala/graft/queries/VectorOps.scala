@@ -1268,7 +1268,39 @@ object VectorOps {
        |WHERE rf = 1 AND rb = 1 AND margin >= 1.05""".stripMargin
   }
 
+  // -- q185: margin mining at the PERSISTED store
+  // (Similarity.writeMarginStore/appendToMarginStore/marginMineStore) —
+  // q183's criterion with the shipped side never re-signed or
+  // re-shuffled: even vec_ids land as an id-bucketed vectors table plus
+  // a (table,bucket)-bucketed signatures table (geometry-stamped), a
+  // fifth of them arriving via the append path (idempotence included in
+  // what the oracle pins: a duplicate append would change candidate
+  // multiplicity and the k-NN means). Probing the odd side then mines
+  // EXACTLY what the from-scratch bucketed run mines — the oracle IS
+  // q183's SQL (the q151/q145 store-roundtrip precedent). --
+  private val q185: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val t = s"graft_marginstore_$sfx"
+    Seq(graft.operators.Similarity.marginVectorsTable(t),
+      graft.operators.Similarity.marginSigsTable(t)).foreach { tbl =>
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    }
+    val e = emb(s, dir)
+    val evens = e.filter($"vec_id" % 2 === 0)
+    graft.operators.Similarity.writeMarginStore(
+      evens.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+      t, bits = 8, tables = 2, buckets = 4)
+    graft.operators.Similarity.appendToMarginStore(
+      evens.filter($"vec_id" % 10 === 0), "vec_id", "embedding", t)
+    graft.operators.Similarity.marginMineStore(s, t,
+        e.filter($"vec_id" % 2 === 1), "vec_id", "embedding",
+        k = 4, tau = 1.05)
+      .select($"a_id", $"b_id", round($"margin", 6).as("margin"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q185_margin_store" -> q185,
     "q183_margin_bucketed" -> q183,
     "q182_margin_mine" -> q182,
     "q161_knn_store" -> q161,
@@ -1303,6 +1335,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q185_margin_store" -> q183Sql,
     "q183_margin_bucketed" -> q183Sql,
     "q182_margin_mine" -> q182Sql,
     "q161_knn_store" -> q161Sql,

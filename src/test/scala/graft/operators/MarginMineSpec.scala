@@ -178,6 +178,108 @@ class MarginMineSpec extends SparkSpec {
       s"bucketed mining lost too many planted pairs: ${(planted -- bucketed).toSeq.sorted}")
   }
 
+  // ---- persistent margin store (repeated probes, shipped side) ----
+
+  test("marginMineStore == from-scratch marginMineBucketed at the stamped geometry") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val a = e.filter($"vec_id" % 2 === 0).select($"vec_id", $"embedding")
+    val b = e.filter($"vec_id" % 2 === 1).select($"vec_id", $"embedding")
+    Seq("margin_spec_store_vectors", "margin_spec_store_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Similarity.writeMarginStore(a, "vec_id", "embedding",
+      "margin_spec_store", bits = 8, tables = 2, buckets = 4)
+    val viaStore = Similarity.marginMineStore(spark, "margin_spec_store",
+      b, "vec_id", "embedding", k = 4, tau = 1.0)
+    val scratch = Similarity.marginMineBucketed(a, b, "vec_id", "embedding",
+      k = 4, tau = 1.0, bits = 8, tables = 2)
+    assert(viaStore.count() > 0)
+    assert(viaStore.exceptAll(scratch).isEmpty && scratch.exceptAll(viaStore).isEmpty,
+      "store-probed mining must be bit-identical to the from-scratch bucketed run")
+  }
+
+  test("margin store: append == rebuild; double-append idempotent") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val a1 = e.filter($"vec_id" % 4 === 0).select($"vec_id", $"embedding")
+    val a2 = e.filter($"vec_id" % 4 === 2).select($"vec_id", $"embedding")
+    val b = e.filter($"vec_id" % 2 === 1).select($"vec_id", $"embedding")
+    Seq("margin_spec_store2_vectors", "margin_spec_store2_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Similarity.writeMarginStore(a1, "vec_id", "embedding",
+      "margin_spec_store2", bits = 8, tables = 2, buckets = 4)
+    Similarity.appendToMarginStore(a2, "vec_id", "embedding", "margin_spec_store2")
+    Similarity.appendToMarginStore(a2, "vec_id", "embedding", "margin_spec_store2")
+    assert(spark.table("margin_spec_store2_vectors").count() ===
+      a1.count() + a2.count(), "double-append must admit nothing new")
+    val viaStore = Similarity.marginMineStore(spark, "margin_spec_store2",
+      b, "vec_id", "embedding", k = 4, tau = 1.0)
+    val scratch = Similarity.marginMineBucketed(a1.unionByName(a2), b,
+      "vec_id", "embedding", k = 4, tau = 1.0, bits = 8, tables = 2)
+    assert(viaStore.exceptAll(scratch).isEmpty && scratch.exceptAll(viaStore).isEmpty,
+      "appended store must mine exactly what a rebuilt store mines")
+  }
+
+  test("margin store: probe fails fast on a missing geometry stamp") {
+    val e = Tables.load(spark, sf(), "embeddings").limit(20)
+    // an absent table fails at catalog lookup; an UNSTAMPED one must
+    // fail at the stamp check, not silently mine nothing
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
+      Similarity.marginMineStore(spark, "margin_no_such_store",
+        e, "vec_id", "embedding", k = 2, tau = 1.0)
+    }
+    for (t <- Seq("margin_plain_vectors", "margin_plain_sigs")) {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    e.select($"vec_id", $"embedding").write.saveAsTable("margin_plain_vectors")
+    e.select($"vec_id", lit(0).as("__tbl"), lit("0").as("__bucket"))
+      .write.saveAsTable("margin_plain_sigs")
+    val ex = intercept[IllegalStateException] {
+      Similarity.marginMineStore(spark, "margin_plain",
+        e, "vec_id", "embedding", k = 2, tau = 1.0)
+    }
+    assert(ex.getMessage.contains("stamp"))
+  }
+
+  test("margin store: candidate join plans zero exchanges on the store sigs side") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    val e = Tables.load(spark, sf(), "embeddings")
+    val a = e.filter($"vec_id" % 2 === 0).select($"vec_id", $"embedding")
+    val b = e.filter($"vec_id" % 2 === 1).select($"vec_id", $"embedding").limit(50)
+    Seq("margin_spec_store3_vectors", "margin_spec_store3_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Similarity.writeMarginStore(a, "vec_id", "embedding",
+      "margin_spec_store3", bits = 8, tables = 2, buckets = 4)
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(kk => kk -> spark.conf.getOption(kk))
+    try {
+      saved.foreach { case (kk, _) => spark.conf.set(kk, "-1") }
+      val got = Similarity.marginMineStore(spark, "margin_spec_store3",
+        b, "vec_id", "embedding", k = 4, tau = 1.0)
+      got.collect()
+      val joins = collectPlan(got.queryExecution.executedPlan) {
+        case j if j.nodeName.contains("SortMergeJoin") &&
+          j.toString.contains("margin_spec_store3_sigs") => j
+      }
+      assert(joins.nonEmpty, "candidate join must plan as SMJ over the bucketed sigs")
+      // the sigs scan side must carry no exchange (left child holds the
+      // store side: storeSigs is the left frame in marginMineStore)
+      val storeSide = joins.flatMap(j => j.children.headOption)
+      val exchanges = storeSide.flatMap(_.collect {
+        case ex: ShuffleExchangeLike => ex
+        case ex: BroadcastExchangeLike => ex
+      })
+      assert(exchanges.isEmpty,
+        s"the shipped corpus's signatures must never re-shuffle: $exchanges")
+    } finally saved.foreach {
+      case (kk, Some(v)) => spark.conf.set(kk, v)
+      case (kk, None) => spark.conf.unset(kk)
+    }
+  }
+
   test("marginMineBucketed plan has no cartesian / nested-loop join") {
     val e = Tables.load(spark, sf(), "embeddings")
     val plan = Similarity.marginMineBucketed(

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative pipeline runner — the config-driven face of the curation
+  * compositions (q100/q108/q179): a plain-text stage list maps onto the
+  * PROVEN operator chain, so an ops user re-runs the flagship crawl
+  * pipeline (extract → line gates → dedup → split → shards) by editing
+  * a config, not Scala. The runner adds NO semantics of its own — every
+  * stage is one call into an oracle-pinned operator with the same
+  * defaults, so a config run is exactly the corresponding hand-written
+  * plan (PipelineSpec pins the q179-shaped chain stage for stage).
+  *
+  * Config format: one stage per line, `name key=value ...`; `#` starts
+  * a comment, blank lines are skipped. Unknown stage names and unknown
+  * keys FAIL FAST at parse/build time (a typo'd gate silently not
+  * running is how contaminated corpora ship), before any job runs.
+  *
+  * Deliberately NOT a query language — the SURVEY §7.0 SQL-surface
+  * stance at pipeline granularity: composition is linear (each stage
+  * feeds the next), parameters are scalars, and anything needing real
+  * logic (custom gates, trained models, store lifecycles) is Scala.
+  */
+object Pipeline {
+
+  case class Stage(name: String, params: Map[String, String], line: Int)
+
+  /** Stage registry: name → allowed parameter keys. */
+  private val Allowed: Map[String, Set[String]] = Map(
+    "read" -> Set("table", "idCol", "textCol"),
+    "clean" -> Set("form", "lowercase"),
+    "htmlExtract" -> Set("minWords", "minDensity"),
+    "lineFilter" -> Set("minWords", "minLines"),
+    "exactDedup" -> Set(),
+    "nearDedup" -> Set("shingle", "bands", "maxBucket"),
+    "minTokens" -> Set("n"),
+    "split" -> Set("trainPct", "valPct"),
+    "write" -> Set("path", "table", "format", "compression"))
+
+  def parse(config: String): Seq[Stage] = {
+    val stages = config.linesIterator.zipWithIndex
+      .map { case (raw, i) => (raw.replaceAll("#.*$", "").trim, i + 1) }
+      .filter(_._1.nonEmpty)
+      .map { case (l, i) =>
+        val parts = l.split("\\s+").toSeq
+        val params = parts.tail.map { p =>
+          p.split("=", 2) match {
+            case Array(k, v) if v.nonEmpty => k -> v
+            case _ => throw new IllegalArgumentException(
+              s"pipeline line $i: malformed param '$p' (want key=value)")
+          }
+        }.toMap
+        Stage(parts.head, params, i)
+      }.toSeq
+    stages.foreach { s =>
+      val allowed = Allowed.getOrElse(s.name,
+        throw new IllegalArgumentException(
+          s"pipeline line ${s.line}: unknown stage '${s.name}' " +
+            s"(known: ${Allowed.keys.toSeq.sorted.mkString(", ")})"))
+      val bad = s.params.keySet -- allowed
+      require(bad.isEmpty,
+        s"pipeline line ${s.line}: unknown ${s.name} param(s) " +
+          s"${bad.toSeq.sorted.mkString(", ")} (allowed: " +
+          s"${allowed.toSeq.sorted.mkString(", ")})")
+    }
+    require(stages.nonEmpty, "pipeline: empty config")
+    require(stages.head.name == "read",
+      "pipeline: first stage must be 'read'")
+    require(stages.tail.forall(_.name != "read"),
+      "pipeline: 'read' only as the first stage")
+    stages
+  }
+
+  /** Executes the config against `baseDir`'s fixture tables and returns
+    * the final frame (any `write` stage has already materialized by
+    * then — it is the only action; everything else stays one lazy
+    * plan). */
+  def run(spark: SparkSession, baseDir: String, config: String): DataFrame = {
+    val stages = parse(config)
+    val head = stages.head
+    val idCol = head.params.getOrElse("idCol", "doc_id")
+    val textCol = head.params.getOrElse("textCol", "text")
+    def int(s: Stage, k: String, d: Int): Int = s.params.get(k).map { v =>
+      try v.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"pipeline line ${s.line}: $k must be an integer, got '$v'") }
+    }.getOrElse(d)
+    def dbl(s: Stage, k: String, d: Double): Double = s.params.get(k).map { v =>
+      try v.toDouble catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"pipeline line ${s.line}: $k must be a number, got '$v'") }
+    }.getOrElse(d)
+    val source = Tables.load(spark, baseDir,
+      head.params.getOrElse("table", "documents"))
+    stages.tail.foldLeft(source) { (df, s) =>
+      s.name match {
+        case "clean" => df.withColumn(textCol, operators.Normalize.cleanText(
+          col(textCol), s.params.getOrElse("form", "NFC"),
+          s.params.get("lowercase").exists(_.toBoolean)))
+        case "htmlExtract" => operators.Extract.mainContent(df, textCol,
+          int(s, "minWords", 5), dbl(s, "minDensity", 0.25))
+        case "lineFilter" => operators.LineFilter.cleanDocs(df, textCol,
+          int(s, "minWords", 5), int(s, "minLines", 2))
+        case "exactDedup" => operators.Dedup.exactByText(df, textCol, idCol)
+        case "nearDedup" => operators.Dedup.pruneNearDups(df, textCol, idCol,
+          int(s, "shingle", 5), int(s, "bands", 4), int(s, "maxBucket", 1024))
+        case "minTokens" => df.filter(
+          size(functions.Text.tokens(col(textCol))) >= int(s, "n", 10))
+        case "split" => operators.Splits.assign(df, idCol,
+          int(s, "trainPct", 90), int(s, "valPct", 5))
+        case "write" =>
+          val path = s.params.getOrElse("path",
+            throw new IllegalArgumentException(
+              s"pipeline line ${s.line}: write needs path="))
+          sinks.Sink.write(df, path, s.params.getOrElse("table", "out"),
+            sinks.Sink.Config(
+              format = s.params.getOrElse("format", "parquet"),
+              compression = s.params.get("compression")))
+          df
+      }
+    }
+  }
+
+  /** CLI: `Pipeline <baseDir> <configFile>` — runs the config and
+    * prints the surviving row count (writes happen inside `write`
+    * stages). */
+  def main(args: Array[String]): Unit = {
+    val Array(baseDir, configPath) = args.take(2)
+    val config = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(configPath)), "UTF-8")
+    val spark = GraftSession.local(
+      Runtime.getRuntime.availableProcessors())
+    try println(s"pipeline: ${run(spark, baseDir, config).count()} rows")
+    finally spark.stop()
+  }
+}

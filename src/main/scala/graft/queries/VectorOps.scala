@@ -1214,29 +1214,39 @@ object VectorOps {
   // (q145's disjoint 8-dim slices) shuffle once on the bucket key, only
   // colliding cross-corpus pairs are scored, and the margin algebra —
   // per-endpoint k-NN means over CANDIDATE neighbors, the documented
-  // approximation — runs k-bounded past the candidate frame. Oracle:
-  // q145's sig/bucket-join CTEs per side feeding q182's margin CTEs. --
+  // approximation — runs k-bounded past the candidate frame. Registered
+  // at the AutoBits DEFAULT (the q161 lesson: the scale path and the
+  // correctness pin must be the same code path — fixture-sized literal
+  // bits hit the n²/2^bits wall at x100), so the oracle derives the
+  // same ⌈log₂(n/64)⌉ geometry from its own count. Oracle: q145's
+  // sig/bucket-join CTEs per side feeding q182's margin CTEs. --
   private val q183: Q = (s, dir) => {
     import s.implicits._
     val e = emb(s, dir)
     graft.operators.Similarity.marginMineBucketed(
         e.filter($"vec_id" % 2 === 0), e.filter($"vec_id" % 2 === 1),
-        "vec_id", "embedding", k = 4, tau = 1.05, bits = 8, tables = 2)
+        "vec_id", "embedding", k = 4, tau = 1.05)
       .select($"a_id", $"b_id", round($"margin", 6).as("margin"))
   }
-  private val q183Sql = {
+  /** q183's margin CTE chain over a dynamic-bits geometry: `geoFrom` is
+    * the FROM clause whose count AutoBits resolved against (the union
+    * for marginMineBucketed, the initial write corpus for the store). */
+  private def marginBucketedSql(geoFrom: String) = {
     def sig(e: String) =
       "array_to_string(list_transform(" +
-        s"list_slice($e, 1 + 8 * tbl, 8 + 8 * tbl), " +
+        s"list_slice($e, 1 + bits * tbl, bits + bits * tbl), " +
         "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
-    s"""WITH av AS (SELECT vec_id AS a_id, embedding AS ea
-       |            FROM embeddings WHERE vec_id % 2 = 0),
+    s"""WITH geo AS (
+       |  SELECT CAST(ceil(log2(count(*) / 64.0)) AS INT) AS bits
+       |  FROM $geoFrom),
+       |av AS (SELECT vec_id AS a_id, embedding AS ea
+       |       FROM embeddings WHERE vec_id % 2 = 0),
        |bv AS (SELECT vec_id AS b_id, embedding AS eb
        |       FROM embeddings WHERE vec_id % 2 = 1),
        |sa AS (SELECT a_id, tbl, ${sig("ea")} AS bucket
-       |       FROM av, (SELECT unnest([0, 1]) AS tbl)),
+       |       FROM av, (SELECT unnest([0, 1]) AS tbl), geo),
        |sb AS (SELECT b_id, tbl, ${sig("eb")} AS bucket
-       |       FROM bv, (SELECT unnest([0, 1]) AS tbl)),
+       |       FROM bv, (SELECT unnest([0, 1]) AS tbl), geo),
        |cand AS (SELECT DISTINCT sa.a_id, sb.b_id FROM sa JOIN sb
        |           ON sa.tbl = sb.tbl AND sa.bucket = sb.bucket
        |          AND sa.a_id <> sb.b_id),
@@ -1267,6 +1277,7 @@ object VectorOps {
        |SELECT a_id, b_id, round(margin, 6) AS margin FROM r
        |WHERE rf = 1 AND rb = 1 AND margin >= 1.05""".stripMargin
   }
+  private val q183Sql = marginBucketedSql("embeddings")
 
   // -- q185: margin mining at the PERSISTED store
   // (Similarity.writeMarginStore/appendToMarginStore/marginMineStore) —
@@ -1276,8 +1287,11 @@ object VectorOps {
   // fifth of them arriving via the append path (idempotence included in
   // what the oracle pins: a duplicate append would change candidate
   // multiplicity and the k-NN means). Probing the odd side then mines
-  // EXACTLY what the from-scratch bucketed run mines — the oracle IS
-  // q183's SQL (the q151/q145 store-roundtrip precedent). --
+  // EXACTLY what the from-scratch bucketed run mines — the oracle is
+  // q183's CTE chain (the q151/q145 store-roundtrip precedent) at the
+  // geometry AutoBits stamped from the INITIAL write corpus (appends
+  // replay the stamp, so the oracle's geo count excludes the appended
+  // fifth — the stamp semantics made hash-observable). --
   private val q185: Q = (s, dir) => {
     import s.implicits._
     val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -1290,7 +1304,7 @@ object VectorOps {
     val evens = e.filter($"vec_id" % 2 === 0)
     graft.operators.Similarity.writeMarginStore(
       evens.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
-      t, bits = 8, tables = 2, buckets = 4)
+      t, buckets = 4)
     graft.operators.Similarity.appendToMarginStore(
       evens.filter($"vec_id" % 10 === 0), "vec_id", "embedding", t)
     graft.operators.Similarity.marginMineStore(s, t,
@@ -1335,7 +1349,8 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
-    "q185_margin_store" -> q183Sql,
+    "q185_margin_store" ->
+      marginBucketedSql("embeddings WHERE vec_id % 2 = 0 AND vec_id % 10 <> 0"),
     "q183_margin_bucketed" -> q183Sql,
     "q182_margin_mine" -> q182Sql,
     "q161_knn_store" -> q161Sql,

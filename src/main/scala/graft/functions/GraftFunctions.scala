@@ -13,6 +13,7 @@ object GraftFunctions {
     Seq(VecDot.description, PqCodesExpr.description,
       SimHash32.description, SimHash64.description,
       MinHashBands.description, WeightedMinhashExpr.description,
+      CharBowExpr.description,
       TopKByScore.description, VecMeanAgg.description,
       RepStats.description, GramOverlap.description, CharStats.description,
       BpeMergeExpr.description, BpeEncodeExpr.description, BpeIdsExpr.description,

@@ -203,4 +203,79 @@ object HashOps {
     }
     0
   }
+
+  /** Fused hashed char-n-gram bag of words: lowercase once, slide
+    * code-point windows, md5-bucket each gram (the FeatureHash
+    * construction: leading 32 digest bits unsigned, mod dim), count into
+    * dim-bounded state, emit the bucket-ascending (bs, xs = cnt/total)
+    * pair — the WHOLE Classifier.featureArrays(charNgrams) pipeline
+    * (gram transform → explode → md5 → two groupBys → pack) as one call
+    * per row with ZERO shuffles. Values are bit-identical to the
+    * composable path: same lowercase (UTF8String.toLowerCase, what
+    * `lower()` calls), same code-point gram slicing, same md5/conv
+    * bucket arithmetic, same c/total IEEE division, same bucket-
+    * ascending order (unique buckets — the composable array_sort's
+    * order). Shorter-than-n texts contribute the single whole-text gram
+    * (total = 1), matching Text.charNgrams' fallback. */
+  def charBow(text: UTF8String, n: Int, dim: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val md = threadMd.get()
+    val lowered = text.toLowerCase
+    val bytes = lowered.getBytes
+    // counts: dense array for small dims (the LangId regime), map above
+    val dense = dim <= (1 << 16)
+    val cnts = if (dense) new Array[Long](dim) else null
+    val sparse = if (dense) null else new java.util.TreeMap[Integer, java.lang.Long]()
+    def bump(bucket: Int): Unit =
+      if (dense) cnts(bucket) += 1
+      else sparse.merge(bucket, 1L, (a, b) => a + b)
+    def bucketOf(buf: Array[Byte], off: Int, len: Int): Int = {
+      md.reset()
+      md.update(buf, off, len)
+      val d = md.digest()
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      (v % dim).toInt
+    }
+    var total = 0L
+    var ascii = true
+    var i = 0
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) {
+      if (bytes.length >= n) {
+        var p = 0
+        while (p + n <= bytes.length) { bump(bucketOf(bytes, p, n)); total += 1; p += 1 }
+      } else { bump(bucketOf(bytes, 0, bytes.length)); total = 1 }
+    } else {
+      // code-point windows (UTF8String.substr semantics)
+      val cps = lowered.toString.codePoints().toArray
+      if (cps.length >= n) {
+        var p = 0
+        while (p + n <= cps.length) {
+          val g = new String(cps, p, n).getBytes(StandardCharsets.UTF_8)
+          bump(bucketOf(g, 0, g.length)); total += 1; p += 1
+        }
+      } else { bump(bucketOf(bytes, 0, bytes.length)); total = 1 }
+    }
+    val nz =
+      if (dense) { var c = 0; var b = 0; while (b < dim) { if (cnts(b) > 0) c += 1; b += 1 }; c }
+      else sparse.size()
+    val bs = new Array[Int](nz)
+    val xs = new Array[Double](nz)
+    if (dense) {
+      var b = 0; var k = 0
+      while (b < dim) {
+        if (cnts(b) > 0) { bs(k) = b; xs(k) = cnts(b).toDouble / total.toDouble; k += 1 }
+        b += 1
+      }
+    } else {
+      val it = sparse.entrySet().iterator(); var k = 0
+      while (it.hasNext) {
+        val e = it.next()
+        bs(k) = e.getKey; xs(k) = e.getValue.toDouble / total.toDouble; k += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(bs), new GenericArrayData(xs)))
+  }
 }

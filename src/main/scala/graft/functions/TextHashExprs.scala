@@ -161,3 +161,53 @@ object MinHashBands {
       MinHashBands(children.head, lit(children(1), "shingle size"), lit(children(2), "band count"))
     })
 }
+
+/** text -> struct(bs array<int>, xs array<double>): the FUSED hashed
+  * char-n-gram bag of words ([[HashOps.charBow]]) — the whole
+  * featureArrays(charNgrams) pipeline (gram transform → explode → md5
+  * bucket → two shuffled groupBys → sorted pack) as ONE codegen'd call
+  * per row, zero shuffles. Bit-identical values to the composable path
+  * (ClassifierSpec differential); null text -> null (callers coalesce
+  * to empty feature arrays, the featureArrays contract). */
+case class CharBowExpr(child: Expression, n: Int, dim: Int)
+    extends UnaryExpression {
+  require(n >= 1, "charBow: n must be positive")
+  require(dim >= 1, "charBow: dim must be positive")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("bs", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("xs", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  override def prettyName: String = CharBowExpr.name
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.simpleString}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.charBow(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, dim)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.charBow($c, $n, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharBowExpr {
+  val name = "graft_char_bow"
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[CharBowExpr].getName, name),
+    (children: Seq[Expression]) => {
+      def lit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$name: $what must be an integer literal, got $other")
+      }
+      if (children.length != 3) throw new IllegalArgumentException(
+        s"$name expects exactly 3 arguments (text, n, dim), got ${children.length}")
+      CharBowExpr(children.head, lit(children(1), "gram size"), lit(children(2), "dim"))
+    })
+}

@@ -117,6 +117,27 @@ object Classifier {
         coalesce(col("__xs"), array().cast("array<double>")).as("__xs"))
   }
 
+  /** [[featureArrays]] specialized to char-n-gram features through the
+    * FUSED [[graft.functions.CharBowExpr]] kernel: the gram transform →
+    * explode → md5 bucket → two shuffled groupBys → sorted pack
+    * pipeline as ONE codegen'd call per row — a pure NARROW projection,
+    * zero shuffles (the generic path shuffles every gram twice). Values
+    * are bit-identical to `featureArrays(df, …, Text.charNgrams(_, n))`
+    * (ClassifierSpec differential); at 100 TB this is the difference
+    * between feature extraction riding the scan and feature extraction
+    * being a corpus-sized shuffle. */
+  private[operators] def featureArraysCharBow(df: DataFrame, textCol: String,
+                                              idCol: String, dim: Int,
+                                              n: Int): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(col(idCol).as("__id"),
+        call_function(graft.functions.CharBowExpr.name,
+          col(textCol), lit(n), lit(dim)).as("__bow"))
+      .select(col("__id"),
+        coalesce(col("__bow.bs"), array().cast("array<int>")).as("__bs"),
+        coalesce(col("__bow.xs"), array().cast("array<double>")).as("__xs"))
+  }
+
   /** The margin z = bias + Σ w[b]·x as a left fold over the doc's
     * bucket-sorted feature arrays — the SAME term order on any engine,
     * any partitioning (absent buckets contribute an exact +0.0). */

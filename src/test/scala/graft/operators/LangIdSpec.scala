@@ -75,6 +75,30 @@ class LangIdSpec extends SparkSpec {
     }
   }
 
+  test("fused char-BoW kernel == composable featureArrays(charNgrams) bit-for-bit") {
+    val docs = planted.unionByName(Seq(
+      (900L, "Hi", "aa"),               // shorter than n: whole-text gram
+      (901L, "", "aa"),                  // empty text: md5("") gram, total 1
+      (902L, "MiXeD Case\nWith lines", "bb"),
+      (903L, "café naïve résumé", "cc") // non-ASCII path
+    ).toDF("doc_id", "text", "lang"))
+    for ((n, dim) <- Seq((3, 64), (2, 16), (4, 1024))) {
+      val fused = Classifier.featureArraysCharBow(docs, "text", "doc_id", dim, n)
+      val composable = Classifier.featureArrays(docs, "text", "doc_id", dim,
+        graft.functions.Text.charNgrams(_, n))
+      assert(fused.exceptAll(composable).isEmpty &&
+        composable.exceptAll(fused).isEmpty,
+        s"kernel diverged from the composable path at n=$n dim=$dim")
+    }
+    // the fused plan is a pure narrow projection: no exchange at all
+    val plan = Classifier.featureArraysCharBow(docs, "text", "doc_id", 64, 3)
+      .queryExecution.executedPlan
+    val exchanges = collectPlan(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty, "fused feature extraction must not shuffle")
+  }
+
   test("argmax ties break to the earliest language in langs order") {
     // two languages given IDENTICAL training data -> identical models ->
     // exact margin ties everywhere; the first listed language must win

@@ -2608,11 +2608,18 @@ object TextOps {
   // class here — this query pins ENGINE PARITY of the whole training
   // computation; LangIdSpec's disjoint-alphabet fixture pins that the
   // same code learns perfectly when signal exists. --
+  // Training is capped to the doc_id < 5000 LABELED SET (the whole
+  // fixture at driver scale factors, a fixed-size subset under ScaleUp
+  // replication): the trainer's per-bucket ordered-fold state is
+  // O(labeled docs per bucket) BY CONTRACT — labeled sets do not grow
+  // with the corpus; inference (the zero-shuffle kernel pass) is what
+  // rides the 100x corpus.
   private val langIdLangs = Seq("en", "de", "es", "fr", "zh")
   private val q184: Q = (s, dir) => {
     import s.implicits._
     val d = docs(s, dir)
-    val m = graft.operators.LangId.train(d, "text", "lang", "doc_id",
+    val m = graft.operators.LangId.train(d.filter($"doc_id" < 5000),
+      "text", "lang", "doc_id",
       langIdLangs, dim = 64, n = 3, iterations = 2, lr = 0.5)
     graft.operators.LangId.predict(d, "text", "doc_id", m)
       .join(d.select($"doc_id", $"lang"), Seq("doc_id"))
@@ -2637,7 +2644,7 @@ object TextOps {
          |    FROM x LEFT JOIN $w USING (b) GROUP BY x.doc_id) f USING (doc_id))""".stripMargin
     def langCtes(l: String): String =
       s"""d$l AS (SELECT doc_id, CASE WHEN lang = '$l' THEN CAST(1 AS DOUBLE)
-         |              ELSE CAST(0 AS DOUBLE) END AS y FROM d),
+         |              ELSE CAST(0 AS DOUBLE) END AS y FROM dt),
          |r1$l AS (SELECT doc_id, CAST(0.5 AS DOUBLE) - y AS r FROM d$l),
          |${gradCte(l, s"r1$l", 1)},
          |w1$l AS (SELECT b, -CAST(0.5 AS DOUBLE) * g AS w FROM g1$l),
@@ -2666,7 +2673,8 @@ object TextOps {
        |      FROM d),
        |x AS (SELECT sp.doc_id, sp.b, CAST(sp.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS x
        |      FROM sp JOIN n USING (doc_id)),
-       |m AS (SELECT count(*) AS m FROM d),
+       |dt AS (SELECT doc_id, lang FROM d WHERE doc_id < 5000),
+       |m AS (SELECT count(*) AS m FROM dt),
        |${langIdLangs.map(langCtes).mkString(",\n")},
        |pred AS (
        |  SELECT d.doc_id, d.lang,

@@ -35,6 +35,7 @@ object Pipeline {
     "exactDedup" -> Set(),
     "nearDedup" -> Set("shingle", "bands", "maxBucket"),
     "minTokens" -> Set("n"),
+    "langId" -> Set("langCol", "langs", "dim", "n", "iterations"),
     "split" -> Set("trainPct", "valPct"),
     "write" -> Set("path", "table", "format", "compression"))
 
@@ -107,6 +108,18 @@ object Pipeline {
           int(s, "shingle", 5), int(s, "bands", 4), int(s, "maxBucket", 1024))
         case "minTokens" => df.filter(
           size(functions.Text.tokens(col(textCol))) >= int(s, "n", 10))
+        case "langId" =>
+          // trains on the frame's own labels (langCol), appends `pred`;
+          // deterministic, so a config rerun reproduces the column
+          val langs = s.params.getOrElse("langs",
+            throw new IllegalArgumentException(
+              s"pipeline line ${s.line}: langId needs langs=a,b,...")
+          ).split(",").toSeq
+          val model = operators.LangId.train(df, textCol,
+            s.params.getOrElse("langCol", "lang"), idCol, langs,
+            int(s, "dim", 64), int(s, "n", 3), int(s, "iterations", 3))
+          df.join(operators.LangId.predict(df, textCol, idCol, model),
+            Seq(idCol))
         case "split" => operators.Splits.assign(df, idCol,
           int(s, "trainPct", 90), int(s, "valPct", 5))
         case "write" =>

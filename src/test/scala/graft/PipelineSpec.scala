@@ -73,6 +73,17 @@ class PipelineSpec extends SparkSpec {
       .getMessage.contains("must be an integer"))
   }
 
+  test("langId stage trains on the frame's labels and appends pred") {
+    val cfg =
+      """read   table=documents
+        |langId langCol=lang langs=en,de,es,fr,zh dim=32 n=3 iterations=1
+        |""".stripMargin
+    val got = Pipeline.run(spark, sf(), cfg)
+    assert(got.columns.contains("pred"))
+    assert(got.count() === Tables.load(spark, sf(), "documents").count())
+    assert(got.filter($"pred".isNull).isEmpty)
+  }
+
   test("write stage materializes files and passes the frame through") {
     val out = java.nio.file.Files.createTempDirectory("pipeline_spec").toString
     val cfg =

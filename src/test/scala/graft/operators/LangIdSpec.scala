@@ -99,6 +99,31 @@ class LangIdSpec extends SparkSpec {
     assert(exchanges.isEmpty, "fused feature extraction must not shuffle")
   }
 
+  test("predict is stateless: streamed docs == batch predictions") {
+    import java.nio.file.Files
+    val df = planted
+    val model = LangId.train(df, "text", "lang", "doc_id",
+      langs = Seq("aa", "bb", "cc"), dim = 32, n = 3, iterations = 2)
+    val src = Files.createTempDirectory("langid_src").toString
+    val out = Files.createTempDirectory("langid_out").toString
+    val ckpt = Files.createTempDirectory("langid_ckpt").toString
+    df.select($"doc_id", $"text").write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema(df.select($"doc_id", $"text").schema).parquet(src)
+    // the scoring plan is one narrow kernel projection — valid
+    // mid-stream with no state, so language ID composes below any
+    // downstream stateful gate in the same streaming query
+    val q = LangId.predict(stream, "text", "doc_id", model)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    val batch = LangId.predict(df, "text", "doc_id", model)
+      .as[(Long, String)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("argmax ties break to the earliest language in langs order") {
     // two languages given IDENTICAL training data -> identical models ->
     // exact margin ties everywhere; the first listed language must win

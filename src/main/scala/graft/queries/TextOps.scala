@@ -628,9 +628,16 @@ object TextOps {
     import s.implicits._
     // bits = 32: the md5-nibble fingerprint the DuckDB oracle reproduces
     // exactly; the production default is the 64-bit path, pinned against
-    // this one by DedupSimilaritySpec's differential.
+    // this one by DedupSimilaritySpec's differential. maxBucket = 2001
+    // (> the filter's 2000-doc cap) so the star guard provably never
+    // truncates THIS query: at sf0.1 the word-soup corpus concentrates
+    // >1024 docs into one band byte and the default cap's min-id star
+    // (the documented recall trade, spec-pinned separately) would drop
+    // pairs the exhaustive oracle counts — the round-13 sf0.1 full-gate
+    // catch, the q161 explicit-params-for-parity-pins discipline. --
     graft.operators.Dedup.simhashNearDup(
-      docs(s, dir).filter($"doc_id" < 2000), "text", "doc_id", bits = 32)
+      docs(s, dir).filter($"doc_id" < 2000), "text", "doc_id", bits = 32,
+      maxBucket = 2001)
   }
   private val q78Sql =
     s"""WITH sh AS (SELECT * FROM ($q23Sql) WHERE doc_id < 2000),

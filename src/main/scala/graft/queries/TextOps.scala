@@ -2694,7 +2694,79 @@ object TextOps {
        |SELECT doc_id, pred, lang, (pred = lang) AS agree FROM pred""".stripMargin
   }
 
+  // -- q186: retrieval-quality evaluation (RankEval) — MRR + binary
+  // nDCG@10 per query term, the alerting metric a retrieval stack
+  // watches across index/scoring changes. Rankings: q82's BM25 weights
+  // for the corpus's 5 hottest tokens (the q119 term-selection replay),
+  // rank = (bm25 desc, doc_id); relevance: tf >= 3 (correlated with but
+  // NOT identical to the dl-normalized ranking — the metrics are
+  // non-trivial). All folds rank-ascending in both engines; the one
+  // libm log2 is absorbed by round(,6), the q87 precedent. --
+  private val q186: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    val terms = d.select(explode(Text.tokens($"text")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t").limit(5)
+      .collect().map(_.getString(0)).toSeq
+    val w = graft.operators.Bm25.weights(d, "text", "doc_id")
+      .filter($"token".isin(terms: _*))
+    val ranked = w.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"token").orderBy($"bm25".desc, $"id")))
+    val rel = w.filter($"tf" >= 3).select($"token", $"id")
+    graft.operators.RankEval.metrics(ranked, rel, "token", "id", "rank", k = 10)
+      .select($"token", $"n_rel",
+        round($"mrr", 6).as("mrr"), round($"ndcg", 6).as("ndcg"))
+  }
+  private val q186Sql =
+    s"""WITH base AS (SELECT doc_id, $dTok AS tk FROM documents),
+       |tq AS (SELECT unnest(tk) AS t FROM base),
+       |terms AS (SELECT t FROM (SELECT t, count(*) AS c FROM tq GROUP BY 1
+       |          ORDER BY c DESC, t LIMIT 5)),
+       |tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS token
+       |        FROM base),
+       |tf AS (SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok WHERE token IN (SELECT t FROM terms) GROUP BY 1, 2, 3),
+       |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(avg(len(tk)) AS DOUBLE) AS avgdl FROM base),
+       |w AS (SELECT tf.token, tf.doc_id, tf.tf,
+       |        round(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1) *
+       |              (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl)),
+       |              6) AS w
+       |      FROM tf JOIN dft USING (token) CROSS JOIN st),
+       |rk AS (SELECT token, doc_id,
+       |         row_number() OVER (PARTITION BY token
+       |             ORDER BY w DESC, doc_id) AS r
+       |       FROM w),
+       |rel AS (SELECT token, doc_id FROM w WHERE tf >= 3),
+       |hits AS (SELECT rk.token, list(rk.r ORDER BY rk.r) AS rs
+       |         FROM rk JOIN rel ON rk.token = rel.token
+       |                         AND rk.doc_id = rel.doc_id
+       |         WHERE rk.r <= 10 GROUP BY 1),
+       |per AS (SELECT token,
+       |          CAST(1 AS DOUBLE) / rs[1] AS mrr,
+       |          list_aggregate(list_transform(rs,
+       |            x -> CAST(1 AS DOUBLE) / log2(CAST(x AS DOUBLE) + 1)),
+       |            'sum') AS dcg
+       |        FROM hits),
+       |nr AS (SELECT token, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1)
+       |SELECT q.token,
+       |  COALESCE(nr.n_rel, 0) AS n_rel,
+       |  round(COALESCE(per.mrr, 0.0), 6) AS mrr,
+       |  round(CASE WHEN COALESCE(nr.n_rel, 0) > 0
+       |    THEN COALESCE(per.dcg, 0.0) /
+       |      list_aggregate(list_transform(
+       |        range(1, CAST(least(nr.n_rel, 10) AS INT) + 1),
+       |        x -> CAST(1 AS DOUBLE) / log2(CAST(x AS DOUBLE) + 1)), 'sum')
+       |    ELSE 0.0 END, 6) AS ndcg
+       |FROM (SELECT DISTINCT token FROM rk) q
+       |LEFT JOIN nr ON q.token = nr.token
+       |LEFT JOIN per ON q.token = per.token""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q186_rank_eval" -> q186,
     "q184_langid_trained" -> q184,
     "q181_contamination_report" -> q181,
     "q180_tuned_neardup" -> q180,
@@ -2767,6 +2839,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q186_rank_eval" -> q186Sql,
     "q184_langid_trained" -> q184Sql,
     "q181_contamination_report" -> q181Sql,
     "q180_tuned_neardup" -> q180Sql,

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** MRR / nDCG@k: hand-computed values, the @k cut, no-relevance zeros,
+  * and perfect-ranking identity. */
+class RankEvalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def log2(x: Double) = math.log(x) / math.log(2.0)
+
+  test("hand-computed mrr and ndcg, relevant-below-k earns nothing") {
+    // q1: ranked a,b,c,d; relevant {b, d, z}; k=3 -> only b@2 counts
+    val ranked = Seq(
+      ("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3), ("q1", "d", 4),
+      ("q2", "x", 1), ("q2", "y", 2), ("q2", "w", 3),
+      ("q3", "m", 1), ("q3", "n", 2)
+    ).toDF("q", "id", "rank")
+    val rel = Seq(
+      ("q1", "b"), ("q1", "d"), ("q1", "z"),
+      ("q2", "x"), ("q2", "y")
+      // q3: nothing relevant
+    ).toDF("q", "id")
+    val got = RankEval.metrics(ranked, rel, "q", "id", "rank", k = 3)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val (_, n1, mrr1, ndcg1) = got("q1")
+    assert(n1 === 3L && mrr1 === 0.5)
+    val dcg1 = 1.0 / log2(3.0)
+    val idcg1 = 1.0 / log2(2.0) + 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(math.abs(ndcg1 - dcg1 / idcg1) < 1e-12)
+    // q2 is a PERFECT ranking of its 2 relevant docs: ndcg exactly 1
+    // (dcg and idcg are the same fold over the same ranks)
+    val (_, n2, mrr2, ndcg2) = got("q2")
+    assert(n2 === 2L && mrr2 === 1.0 && ndcg2 === 1.0)
+    val (_, n3, mrr3, ndcg3) = got("q3")
+    assert(n3 === 0L && mrr3 === 0.0 && ndcg3 === 0.0)
+  }
+
+  test("duplicate relevance pairs do not double-count") {
+    val ranked = Seq(("q", "a", 1), ("q", "b", 2)).toDF("q", "id", "rank")
+    val rel = Seq(("q", "a"), ("q", "a"), ("q", "a")).toDF("q", "id")
+    val got = RankEval.metrics(ranked, rel, "q", "id", "rank", k = 5)
+      .as[(String, Long, Double, Double)].head()
+    assert(got._2 === 1L && got._3 === 1.0 && got._4 === 1.0)
+  }
+
+  test("metrics are deterministic across reruns (bit-identical doubles)") {
+    val ranked = (1 to 50).map(i => ("q" + i % 7, "d" + i, i / 7 + 1))
+      .toDF("q", "id", "rank")
+    val rel = (1 to 50).filter(_ % 3 == 0)
+      .map(i => ("q" + i % 7, "d" + i)).toDF("q", "id")
+    def run() = RankEval.metrics(ranked, rel, "q", "id", "rank", k = 5)
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(run() === run())
+  }
+}

@@ -108,6 +108,29 @@ class MarginMineSpec extends SparkSpec {
       assert(math.abs(got(p) - mg) < 1e-12, s"margin diverged at $p")
   }
 
+  test("property: marginMine == reference across seeded geometries") {
+    // the 30x20 differential generalized: corpus sizes, dims, k, tau all
+    // vary across deterministic seeds — any strict-fold or argmax
+    // divergence shows up as a margin or pair-set mismatch
+    for ((seed, na, nb, dim, k, tau) <- Seq(
+        (1, 8, 5, 3, 2, 0.8), (2, 15, 25, 4, 5, 1.0), (3, 40, 10, 8, 3, 1.1),
+        (4, 12, 12, 5, 1, 0.5), (5, 25, 30, 6, 7, 0.95))) {
+      val va = (0 until na).map(i => (i * 2L, rnd(seed * 1000 + i, dim)))
+      val vb = (0 until nb).map(i => (i * 2L + 1, rnd(seed * 9000 + i, dim)))
+      val want = refMine(va, vb, k = k, tau = tau)
+      val got = Similarity.marginMine(
+          df(va.map { case (i, v) => i -> v.toSeq }),
+          df(vb.map { case (i, v) => i -> v.toSeq }),
+          "id", "emb", k = k, tau = tau)
+        .as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got.keySet === want.keySet,
+        s"pair set diverged at seed=$seed (na=$na nb=$nb dim=$dim k=$k tau=$tau)")
+      for ((p, mg) <- want)
+        assert(math.abs(got(p) - mg) < 1e-12, s"margin diverged at $p, seed=$seed")
+    }
+  }
+
   test("marginMine is deterministic across runs (bit-identical margins)") {
     val e = Tables.load(spark, sf(), "embeddings")
     def run() = Similarity.marginMine(

@@ -1,0 +1,107 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+
+/** Dev tool: anti-pattern lint over EVERY registered query's physical
+  * plan — the scale-audit (cartesian products, broadcast nested-loop
+  * joins, windows with no partitioning) run mechanically instead of by
+  * eyeball. Usage: `runMain graft.tools.PlanLint [sfDir]` (default
+  * sf0.001 — some query builders execute store writes/collects while
+  * constructing, so the tool runs them at the smallest fixture).
+  *
+  * A flag is not automatically a defect — the library has DOCUMENTED
+  * bounded uses (one-row stats frames cross-joined via broadcast, k-row
+  * evaluation frames under a global window, a query-set side of a
+  * bounded broadcast). The allowlist below names each accepted
+  * (query, flag) pair with its bound; anything NEW fails the lint, so
+  * an unbounded plan cannot slip in silently. */
+object PlanLint {
+
+  /** (query prefix, flag, why it is bounded) — exactly the pairs the
+    * current registry fires (run the tool to regenerate; a stale entry
+    * that stops firing is harmless, a NEW pair fails the lint). */
+  val Allowed: Seq[(String, String, String)] = Seq(
+    ("q84", "bnlj", "one-row sketch + one-row n broadcast to exact counts"),
+    ("q96", "bnlj", "one-row CMS grid + one-row n broadcast to exact counts"),
+    ("q27", "bnlj", "doc_id < 200 sample pair join — fixture-bounded demo of exact Jaccard"),
+    ("q30", "bnlj", "bounded query set (vec_id < 10) broadcast — cosineTopK contract"),
+    ("q33", "bnlj", "one-row centroid frame — IVF assignment fold"),
+    ("q59", "bnlj", "bounded query set + one-row centroid frame — IVF probe"),
+    ("q63", "bnlj", "bounded query set broadcast — cosineTopK contract"),
+    ("q74", "bnlj", "bounded query set broadcast — ADC contract"),
+    ("q93", "bnlj", "bounded query set broadcast — IVF-PQ contract"),
+    ("q99", "bnlj", "bounded query set broadcast — projected re-rank contract"),
+    ("q126", "bnlj", "bounded query set broadcast — SQ8 ADC contract"),
+    ("q134", "bnlj", "two k-bounded top-k frames — recall evaluation"),
+    ("q140", "bnlj", "bounded query set broadcast — IVF-SQ8 contract"),
+    ("q182", "bnlj", "bounded b side broadcast — marginMine contract"),
+    ("q87", "bnlj", "one-row vocabulary-size frame — bigram LM smoothing"),
+    ("q135", "bnlj", "one-row quantile-threshold frame"),
+    ("q148", "bnlj", "language-frame-bounded unimax plan"),
+    ("q153", "bnlj", "language-frame-bounded unimax plan"),
+    ("q156", "bnlj", "one-row token-total frame — interpolated LM"),
+    ("q90", "bnlj", "one-row source-count frames — sqrt-rule balancing"),
+    ("q119", "bnlj", "one-row (N, avgdl) stats frame — BM25"),
+    ("q122", "bnlj", "one-row stats + per-token ceiling frames — max-score"),
+    ("q133", "bnlj", "k-bounded ranking frames — RRF fusion"),
+    ("q181", "bnlj", "bounded benchmark frames — contamination report"),
+    ("q186", "bnlj", "one-row BM25 stats frame — rank evaluation"),
+    ("q82", "bnlj", "one-row (N, avgdl) stats frame — BM25"),
+    ("q97", "global-window", "two-pass prefix scan: window over one row per partition"),
+    ("q65", "global-window", "per-partition subtotal frame (rows = partitions)"),
+    ("q107", "global-window", "per-partition subtotal frame — shard packing"),
+    ("q108", "global-window", "per-partition subtotal frame — packing inside the ingest composition"),
+    ("q113", "global-window", "per-partition subtotal frame — packing"),
+    ("q117", "global-window", "per-partition subtotal frame — packing"),
+    ("q174", "global-window", "per-partition subtotal frame — curriculum order"),
+    ("q148", "global-window", "language-frame-bounded water-filling"),
+    ("q153", "global-window", "language-frame-bounded water-filling"),
+    ("q133", "global-window", "k-bounded fused ranking frame"))
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    var newFlags = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // walk THROUGH AQE wrappers (the SparkSpec.collectPlan device):
+      // AdaptiveSparkPlanExec has no children, so a bare collect sees
+      // nothing past the root
+      def expand(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val inner = p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+        }
+        p +: inner.flatMap(expand)
+      }
+      val flags =
+        try {
+          val plan = fn(spark, dir).queryExecution.executedPlan
+          expand(plan).flatMap(_.collect {
+            case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+              "cartesian"
+            case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+              "bnlj"
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty => "global-window"
+            case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+                if w.partitionSpec.isEmpty => "global-window"
+          }).distinct
+        } catch {
+          case e: Throwable => Seq(s"ERROR: ${e.getMessage.take(80)}")
+        }
+      flags.foreach { f =>
+        val ok = Allowed.exists { case (p, fl, _) =>
+          name.startsWith(p + "_") && fl == f }
+        if (!ok) { newFlags += 1; println(s"NEW  $name: $f") }
+        else println(s"ok   $name: $f (documented bound)")
+      }
+    }
+    println(s"== plan lint: ${SparkEntry.queries.size} queries, " +
+      s"$newFlags undocumented flags")
+    spark.stop()
+    if (newFlags > 0) sys.exit(1)
+  }
+}

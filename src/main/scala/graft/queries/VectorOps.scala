@@ -1313,7 +1313,55 @@ object VectorOps {
       .select($"a_id", $"b_id", round($"margin", 6).as("margin"))
   }
 
+  // -- q187: MODEL-FREE document embeddings (DocEmbed.hashedProjection)
+  // — hashed BoW counts over 128 md5 buckets through the q98 sign
+  // projection to 16 components: every text corpus gets an embedding
+  // column with no external model, unlocking the embedding family on
+  // raw text (JL-approximate BoW cosine). Demonstrated as the q30
+  // brute-force shape: cosine top-3 over the derived embeddings for the
+  // first 10 docs. Counts×(±2⁻²) products are exact and both engines
+  // fold in index order, so projections — and therefore cosines — are
+  // bit-identical before the shared 6-dp round. --
+  private val q187: Q = (s, dir) => {
+    import s.implicits._
+    val e = graft.operators.DocEmbed.hashedProjection(
+      Tables.load(s, dir, "documents"), "text", "doc_id",
+      dim = 128, outDim = 16)
+    graft.operators.Similarity.cosineTopK(
+        corpus = e, queries = e.filter($"doc_id" < 10),
+        idCol = "doc_id", embCol = "embedding", k = 3)
+      .select($"q_id", $"doc_id", round($"cos", 6).as("cos"))
+  }
+  private val q187Sql = {
+    val dTok = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
+    val proj =
+      """list_transform(range(0, 16), j ->
+        |      list_aggregate(list_transform(range(1, len(fv) + 1),
+        |        i -> (CASE WHEN substring(md5(CAST(i - 1 AS VARCHAR) || ':' ||
+        |                        CAST(j AS VARCHAR)), 1, 1) >= '8'
+        |                   THEN fv[i] ELSE -fv[i] END)
+        |         * CAST(0.25 AS DOUBLE)), 'sum'))""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, unnest($dTok) AS t FROM documents),
+       |bc AS (SELECT doc_id,
+       |         CAST(TRY_CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 128 AS INT) AS b,
+       |         count(*) AS c
+       |       FROM tok GROUP BY 1, 2),
+       |dm AS (SELECT doc_id, map(list(b), list(c)) AS m FROM bc GROUP BY 1),
+       |fv AS (SELECT doc_id, list_transform(range(0, 128),
+       |         i -> CAST(coalesce(map_extract(m, i)[1], 0) AS DOUBLE)) AS fv
+       |       FROM dm),
+       |pr AS (SELECT doc_id, $proj AS pe FROM fv),
+       |p AS (SELECT q.doc_id AS q_id, c.doc_id,
+       |        ${dCos("q.pe", "c.pe")} AS cos
+       |      FROM pr q JOIN pr c ON q.doc_id < 10 AND q.doc_id <> c.doc_id)
+       |SELECT q_id, doc_id, round(cos, 6) AS cos FROM (
+       |  SELECT q_id, doc_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rn
+       |  FROM p) WHERE rn <= 3""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q187_doc_embed_topk" -> q187,
     "q185_margin_store" -> q185,
     "q183_margin_bucketed" -> q183,
     "q182_margin_mine" -> q182,
@@ -1349,6 +1397,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q187_doc_embed_topk" -> q187Sql,
     "q185_margin_store" ->
       marginBucketedSql("embeddings WHERE vec_id % 2 = 0 AND vec_id % 10 <> 0"),
     "q183_margin_bucketed" -> q183Sql,

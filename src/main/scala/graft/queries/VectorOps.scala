@@ -1360,7 +1360,62 @@ object VectorOps {
        |  FROM p) WHERE rn <= 3""".stripMargin
   }
 
+  // -- q188: corpus×corpus TEXT similarity graph with no model —
+  // Similarity.knnGraph (AutoBits, two-table sign-LSH) over q187's
+  // derived DocEmbed embeddings: the full bucketed ANN path running on
+  // raw text, end to end. Oracle: q187's embedding-derivation CTEs
+  // feeding q161's dynamic-bits sig/bucket-join/score/top-k CTEs. --
+  private val q188: Q = (s, dir) => {
+    import s.implicits._
+    val e = graft.operators.DocEmbed.hashedProjection(
+      Tables.load(s, dir, "documents"), "text", "doc_id",
+      dim = 128, outDim = 16)
+    graft.operators.Similarity.knnGraph(e, "doc_id", "embedding",
+        k = 3, tables = 2)
+      .select($"q_id".as("src"), $"doc_id".as("dst"),
+        round($"cos", 6).as("cos"))
+  }
+  private val q188Sql = {
+    val dTok = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
+    val proj =
+      """list_transform(range(0, 16), j ->
+        |      list_aggregate(list_transform(range(1, len(fv) + 1),
+        |        i -> (CASE WHEN substring(md5(CAST(i - 1 AS VARCHAR) || ':' ||
+        |                        CAST(j AS VARCHAR)), 1, 1) >= '8'
+        |                   THEN fv[i] ELSE -fv[i] END)
+        |         * CAST(0.25 AS DOUBLE)), 'sum'))""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, unnest($dTok) AS t FROM documents),
+       |bc AS (SELECT doc_id,
+       |         CAST(TRY_CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 128 AS INT) AS b,
+       |         count(*) AS c
+       |       FROM tok GROUP BY 1, 2),
+       |dm AS (SELECT doc_id, map(list(b), list(c)) AS m FROM bc GROUP BY 1),
+       |fv AS (SELECT doc_id, list_transform(range(0, 128),
+       |         i -> CAST(coalesce(map_extract(m, i)[1], 0) AS DOUBLE)) AS fv
+       |       FROM dm),
+       |pr AS (SELECT doc_id, $proj AS pe FROM fv),
+       |geo AS (SELECT CAST(ceil(log2(count(*) / 64.0)) AS INT) AS bits FROM pr),
+       |sigs AS (SELECT doc_id, tbl,
+       |    array_to_string(list_transform(
+       |      list_slice(pe, 1 + bits * tbl, bits + bits * tbl),
+       |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM pr, (SELECT unnest([0, 1]) AS tbl), geo),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sigs a JOIN sigs b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+       |sc AS (
+       |  SELECT src, dst, ${dCos("ea.pe", "eb.pe")} AS cos
+       |  FROM cand JOIN pr ea ON src = ea.doc_id
+       |            JOIN pr eb ON dst = eb.doc_id)
+       |SELECT src, dst, round(cos, 6) AS cos FROM (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |  FROM sc) WHERE rn <= 3""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q188_text_knn" -> q188,
     "q187_doc_embed_topk" -> q187,
     "q185_margin_store" -> q185,
     "q183_margin_bucketed" -> q183,
@@ -1397,6 +1452,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q188_text_knn" -> q188Sql,
     "q187_doc_embed_topk" -> q187Sql,
     "q185_margin_store" ->
       marginBucketedSql("embeddings WHERE vec_id % 2 = 0 AND vec_id % 10 <> 0"),

@@ -28,14 +28,37 @@ import org.apache.spark.sql.functions._
 object DocEmbed {
 
   /** (idCol, embedding array<double> of `outDim`). `outDim` must be a
-    * power of four (the RandProj exact-scale contract). */
+    * power of four (the RandProj exact-scale contract) — and it is also
+    * the LSH BUDGET of every downstream bucketed consumer: AutoBits
+    * clamps bits·tables to the embedding width, so a 16-wide projection
+    * caps the geometry at 8 bits/table and past ~2^8·targetBucket docs
+    * the bucketed ANN paths hit the n²/2^bits candidate wall (measured:
+    * knnGraph over 500 k 16-wide doc embeddings ran >10 min; 64-wide,
+    * 78 s — §6.1). The default 64 carries 32 bits of two-table
+    * geometry, enough past 10^11 documents; [[autoOutDim]] computes the
+    * minimal width for a known corpus size. */
   def hashedProjection(df: DataFrame, textCol: String, idCol: String,
-                       dim: Int = 128, outDim: Int = 16): DataFrame = {
+                       dim: Int = 128, outDim: Int = 64): DataFrame = {
     require(dim >= 1, s"DocEmbed: dim must be positive: $dim")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     FeatureHash.denseBow(df, textCol, idCol, dim)
       .select(col(idCol),
         graft.functions.RandProj.randProj(
           col("features").cast("array<double>"), dim, outDim).as("embedding"))
+  }
+
+  /** Smallest power-of-four embedding width whose bit budget supports
+    * the geometry [[Similarity.AutoBits]] wants for an n-document
+    * corpus: tables·⌈log₂(n/targetBucket)⌉ ≤ outDim (the q161 sizing
+    * discipline applied to the embedding WIDTH — see
+    * [[hashedProjection]]). Floors at 16. */
+  def autoOutDim(n: Long, tables: Int = 2, targetBucket: Int = 64): Int = {
+    require(n >= 1 && tables >= 1 && targetBucket >= 1)
+    val bits = math.max(1,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt)
+    var w = 16
+    while (w < tables * bits) w *= 4
+    w
   }
 }

@@ -1332,16 +1332,19 @@ object VectorOps {
         idCol = "doc_id", embCol = "embedding", k = 3)
       .select($"q_id", $"doc_id", round($"cos", 6).as("cos"))
   }
-  private val q187Sql = {
+  /** Shared DocEmbed derivation CTEs (tok → bucket counts → dense
+    * vector → projection `pr(doc_id, pe)`) at a given output width;
+    * scale must be the exact 1/√outDim power of two. */
+  private def docEmbCtes(outDim: Int, scale: String): String = {
     val dTok = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
     val proj =
-      """list_transform(range(0, 16), j ->
-        |      list_aggregate(list_transform(range(1, len(fv) + 1),
-        |        i -> (CASE WHEN substring(md5(CAST(i - 1 AS VARCHAR) || ':' ||
-        |                        CAST(j AS VARCHAR)), 1, 1) >= '8'
-        |                   THEN fv[i] ELSE -fv[i] END)
-        |         * CAST(0.25 AS DOUBLE)), 'sum'))""".stripMargin
-    s"""WITH tok AS (SELECT doc_id, unnest($dTok) AS t FROM documents),
+      s"""list_transform(range(0, $outDim), j ->
+         |      list_aggregate(list_transform(range(1, len(fv) + 1),
+         |        i -> (CASE WHEN substring(md5(CAST(i - 1 AS VARCHAR) || ':' ||
+         |                        CAST(j AS VARCHAR)), 1, 1) >= '8'
+         |                   THEN fv[i] ELSE -fv[i] END)
+         |         * CAST($scale AS DOUBLE)), 'sum'))""".stripMargin
+    s"""tok AS (SELECT doc_id, unnest($dTok) AS t FROM documents),
        |bc AS (SELECT doc_id,
        |         CAST(TRY_CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 128 AS INT) AS b,
        |         count(*) AS c
@@ -1350,7 +1353,11 @@ object VectorOps {
        |fv AS (SELECT doc_id, list_transform(range(0, 128),
        |         i -> CAST(coalesce(map_extract(m, i)[1], 0) AS DOUBLE)) AS fv
        |       FROM dm),
-       |pr AS (SELECT doc_id, $proj AS pe FROM fv),
+       |pr AS (SELECT doc_id, $proj AS pe FROM fv)""".stripMargin
+  }
+
+  private val q187Sql =
+    s"""WITH ${docEmbCtes(16, "0.25")},
        |p AS (SELECT q.doc_id AS q_id, c.doc_id,
        |        ${dCos("q.pe", "c.pe")} AS cos
        |      FROM pr q JOIN pr c ON q.doc_id < 10 AND q.doc_id <> c.doc_id)
@@ -1358,42 +1365,26 @@ object VectorOps {
        |  SELECT q_id, doc_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rn
        |  FROM p) WHERE rn <= 3""".stripMargin
-  }
 
   // -- q188: corpus×corpus TEXT similarity graph with no model —
-  // Similarity.knnGraph (AutoBits, two-table sign-LSH) over q187's
-  // derived DocEmbed embeddings: the full bucketed ANN path running on
-  // raw text, end to end. Oracle: q187's embedding-derivation CTEs
-  // feeding q161's dynamic-bits sig/bucket-join/score/top-k CTEs. --
+  // Similarity.knnGraph (AutoBits, two-table sign-LSH) over DocEmbed
+  // embeddings at the CORPUS-READY outDim 64 default (the round-13 wall:
+  // a 16-wide projection caps AutoBits at 8 bits/table and x100 ran
+  // >10 min; 64-wide carries 32 bits of geometry and runs linear —
+  // §6.1): the full bucketed ANN path on raw text, scale path ==
+  // correctness pin. Oracle: the shared derivation CTEs at width 64
+  // feeding q161's dynamic-bits sig/bucket-join/score/top-k chain. --
   private val q188: Q = (s, dir) => {
     import s.implicits._
     val e = graft.operators.DocEmbed.hashedProjection(
-      Tables.load(s, dir, "documents"), "text", "doc_id",
-      dim = 128, outDim = 16)
+      Tables.load(s, dir, "documents"), "text", "doc_id", dim = 128)
     graft.operators.Similarity.knnGraph(e, "doc_id", "embedding",
         k = 3, tables = 2)
       .select($"q_id".as("src"), $"doc_id".as("dst"),
         round($"cos", 6).as("cos"))
   }
-  private val q188Sql = {
-    val dTok = "list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)"
-    val proj =
-      """list_transform(range(0, 16), j ->
-        |      list_aggregate(list_transform(range(1, len(fv) + 1),
-        |        i -> (CASE WHEN substring(md5(CAST(i - 1 AS VARCHAR) || ':' ||
-        |                        CAST(j AS VARCHAR)), 1, 1) >= '8'
-        |                   THEN fv[i] ELSE -fv[i] END)
-        |         * CAST(0.25 AS DOUBLE)), 'sum'))""".stripMargin
-    s"""WITH tok AS (SELECT doc_id, unnest($dTok) AS t FROM documents),
-       |bc AS (SELECT doc_id,
-       |         CAST(TRY_CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 128 AS INT) AS b,
-       |         count(*) AS c
-       |       FROM tok GROUP BY 1, 2),
-       |dm AS (SELECT doc_id, map(list(b), list(c)) AS m FROM bc GROUP BY 1),
-       |fv AS (SELECT doc_id, list_transform(range(0, 128),
-       |         i -> CAST(coalesce(map_extract(m, i)[1], 0) AS DOUBLE)) AS fv
-       |       FROM dm),
-       |pr AS (SELECT doc_id, $proj AS pe FROM fv),
+  private val q188Sql =
+    s"""WITH ${docEmbCtes(64, "0.125")},
        |geo AS (SELECT CAST(ceil(log2(count(*) / 64.0)) AS INT) AS bits FROM pr),
        |sigs AS (SELECT doc_id, tbl,
        |    array_to_string(list_transform(
@@ -1412,7 +1403,6 @@ object VectorOps {
        |  SELECT src, dst, cos,
        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
        |  FROM sc) WHERE rn <= 3""".stripMargin
-  }
 
   val queries: Map[String, Q] = Map(
     "q188_text_knn" -> q188,

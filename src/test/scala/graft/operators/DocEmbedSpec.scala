@@ -46,6 +46,17 @@ class DocEmbedSpec extends SparkSpec {
     assert(run(1) === run(7))
   }
 
+  test("autoOutDim sizes the width for AutoBits' geometry") {
+    // 500 docs: 2 tables x ceil(log2(500/64)) = 6 bits -> floor 16
+    assert(DocEmbed.autoOutDim(500) === 16)
+    // 500k docs: 2 x 13 = 26 bits -> 64
+    assert(DocEmbed.autoOutDim(500000) === 64)
+    // 10^11 docs: 2 x 31 = 62 bits -> 64 still carries it
+    assert(DocEmbed.autoOutDim(100000000000L) === 64)
+    // 4 tables x 31 = 124 -> next power of four
+    assert(DocEmbed.autoOutDim(100000000000L, tables = 4) === 256)
+  }
+
   test("plan: one exchange (the BoW pack), projection is narrow") {
     val plan = DocEmbed.hashedProjection(docs, "text", "doc_id",
       dim = 128, outDim = 16).queryExecution.executedPlan

@@ -241,6 +241,50 @@ class MarginMineSpec extends SparkSpec {
       "appended store must mine exactly what a rebuilt store mines")
   }
 
+  test("margin store: sig-committed/vector-missing crash window converges") {
+    // the scaladoc's crash discipline made executable: simulate a crash
+    // between the sigs append and the vectors append by inserting an
+    // orphan sig row directly, then (a) probes during the window drop
+    // the orphan's candidates at the scoring join, and (b) a re-run of
+    // the append converges (sig not duplicated, vector lands)
+    val e = Tables.load(spark, sf(), "embeddings")
+    val a = e.filter($"vec_id" % 2 === 0 && $"vec_id" =!= 0)
+      .select($"vec_id", $"embedding")
+    val orphan = e.filter($"vec_id" === 0).select($"vec_id", $"embedding")
+    val b = e.filter($"vec_id" % 2 === 1).select($"vec_id", $"embedding")
+    Seq("margin_spec_crash_vectors", "margin_spec_crash_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Similarity.writeMarginStore(a, "vec_id", "embedding",
+      "margin_spec_crash", bits = 8, tables = 2, buckets = 4)
+    // orphan sig rows: vec_id 0's REAL signatures (so candidates would
+    // form), inserted without its vector — the crash window state
+    val sigsOf0 = Seq(0, 1).map { t =>
+      orphan.select($"vec_id", lit(t).as("__tbl"),
+        graft.functions.Vectors.signBucketAt($"embedding", 8, t * 8)
+          .as("__bucket"))
+    }.reduce(_ unionByName _)
+    sigsOf0.write.mode("append").insertInto("margin_spec_crash_sigs")
+    val duringWindow = Similarity.marginMineStore(spark, "margin_spec_crash",
+      b, "vec_id", "embedding", k = 4, tau = 1.0)
+    val withoutOrphan = Similarity.marginMineBucketed(a, b,
+      "vec_id", "embedding", k = 4, tau = 1.0, bits = 8, tables = 2)
+    assert(duringWindow.exceptAll(withoutOrphan).isEmpty &&
+      withoutOrphan.exceptAll(duringWindow).isEmpty,
+      "an orphan sig must never mine a pair — the scoring join drops it")
+    // retry the interrupted append: converges to the complete store
+    Similarity.appendToMarginStore(orphan, "vec_id", "embedding",
+      "margin_spec_crash")
+    assert(spark.table("margin_spec_crash_sigs")
+      .filter($"vec_id" === 0).count() === 2L,
+      "the retried append must not duplicate the orphan's sigs")
+    val after = Similarity.marginMineStore(spark, "margin_spec_crash",
+      b, "vec_id", "embedding", k = 4, tau = 1.0)
+    val complete = Similarity.marginMineBucketed(a.unionByName(orphan), b,
+      "vec_id", "embedding", k = 4, tau = 1.0, bits = 8, tables = 2)
+    assert(after.exceptAll(complete).isEmpty && complete.exceptAll(after).isEmpty,
+      "post-retry probes must equal the complete from-scratch store")
+  }
+
   test("margin store: probe fails fast on a missing geometry stamp") {
     val e = Tables.load(spark, sf(), "embeddings").limit(20)
     // an absent table fails at catalog lookup; an UNSTAMPED one must

@@ -34,6 +34,7 @@ object Pipeline {
     "lineFilter" -> Set("minWords", "minLines"),
     "exactDedup" -> Set(),
     "nearDedup" -> Set("shingle", "bands", "maxBucket"),
+    "embedDedup" -> Set("minCos", "dim", "outDim", "bits", "maxBucket"),
     "minTokens" -> Set("n"),
     "langId" -> Set("langCol", "langs", "dim", "n", "iterations"),
     "split" -> Set("trainPct", "valPct"),
@@ -106,6 +107,9 @@ object Pipeline {
         case "exactDedup" => operators.Dedup.exactByText(df, textCol, idCol)
         case "nearDedup" => operators.Dedup.pruneNearDups(df, textCol, idCol,
           int(s, "shingle", 5), int(s, "bands", 4), int(s, "maxBucket", 1024))
+        case "embedDedup" => operators.DocEmbed.pruneNearDups(df, textCol,
+          idCol, dbl(s, "minCos", 0.9), int(s, "dim", 128),
+          int(s, "outDim", 64), int(s, "bits", 8), int(s, "maxBucket", 1024))
         case "minTokens" => df.filter(
           size(functions.Text.tokens(col(textCol))) >= int(s, "n", 10))
         case "langId" =>

@@ -47,6 +47,29 @@ object DocEmbed {
           col("features").cast("array<double>"), dim, outDim).as("embedding"))
   }
 
+  /** One-call near-dup pruning in the DERIVED embedding space — the
+    * lexical family's semantic-ish sibling with zero model dependency:
+    * [[hashedProjection]] embeds every document, [[Similarity.lshNearDup]]
+    * pairs the sign-LSH-colliding ones above `minCos` (skew-guarded
+    * banding — an over-cap boilerplate bucket emits the min-id star),
+    * [[Dedup.clusters]] closes components, and each cluster keeps its
+    * minimum id. Catches reworded/reordered near-copies whose shingle
+    * Jaccard collapses but whose BoW cosine survives — complementary to
+    * [[Dedup.pruneNearDups]] (which sees phrase structure this
+    * representation discards). All payload columns survive. */
+  def pruneNearDups(df: DataFrame, textCol: String, idCol: String,
+                    minCos: Double = 0.9, dim: Int = 128,
+                    outDim: Int = 64, bits: Int = 8,
+                    maxBucket: Int = 1024): DataFrame = {
+    val emb = hashedProjection(df, textCol, idCol, dim, outDim)
+    val pairs = Similarity.lshNearDup(emb, idCol, "embedding",
+      bits = bits, minCos = minCos, maxBucket = maxBucket)
+    val losers = Dedup.clusters(pairs, s"${idCol}_a", s"${idCol}_b")
+      .where(col("cluster") =!= col("node"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Smallest power-of-four embedding width whose bit budget supports
     * the geometry [[Similarity.AutoBits]] wants for an n-document
     * corpus: tables·⌈log₂(n/targetBucket)⌉ ≤ outDim (the q161 sizing

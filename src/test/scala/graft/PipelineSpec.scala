@@ -73,6 +73,19 @@ class PipelineSpec extends SparkSpec {
       .getMessage.contains("must be an integer"))
   }
 
+  test("embedDedup stage prunes a reordered near-copy via derived embeddings") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pipeline_embed").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Pipeline.run(spark, dir,
+      "read table=documents\nembedDedup minCos=0.95\n")
+    assert(got.select($"doc_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("langId stage trains on the frame's labels and appends pred") {
     val cfg =
       """read   table=documents

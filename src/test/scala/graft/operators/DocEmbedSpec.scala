@@ -46,6 +46,20 @@ class DocEmbedSpec extends SparkSpec {
     assert(run(1) === run(7))
   }
 
+  test("pruneNearDups: reworded near-copy falls, distinct survivor stays") {
+    // doc 2 is doc 1 REORDERED (identical token bag -> identical BoW
+    // vector -> cosine exactly 1), the case shingle-based near-dup is
+    // weakest on; doc 3 shares nothing
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "kappa iota theta eta zeta epsilon delta gamma beta alpha"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val kept = DocEmbed.pruneNearDups(df, "text", "doc_id", minCos = 0.95)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L), s"min-id wins the twin cluster: $kept")
+  }
+
   test("autoOutDim sizes the width for AutoBits' geometry") {
     // 500 docs: 2 tables x ceil(log2(500/64)) = 6 bits -> floor 16
     assert(DocEmbed.autoOutDim(500) === 16)

@@ -109,7 +109,10 @@ object Pipeline {
           int(s, "shingle", 5), int(s, "bands", 4), int(s, "maxBucket", 1024))
         case "embedDedup" => operators.DocEmbed.pruneNearDups(df, textCol,
           idCol, dbl(s, "minCos", 0.9), int(s, "dim", 128),
-          int(s, "outDim", 64), int(s, "bits", 8), int(s, "maxBucket", 1024))
+          int(s, "outDim", 64),
+          // default AutoBits: config runs inherit corpus-sized geometry
+          int(s, "bits", operators.Similarity.AutoBits),
+          int(s, "maxBucket", 1024))
         case "minTokens" => df.filter(
           size(functions.Text.tokens(col(textCol))) >= int(s, "n", 10))
         case "langId" =>

@@ -56,10 +56,16 @@ object DocEmbed {
     * minimum id. Catches reworded/reordered near-copies whose shingle
     * Jaccard collapses but whose BoW cosine survives — complementary to
     * [[Dedup.pruneNearDups]] (which sees phrase structure this
-    * representation discards). All payload columns survive. */
+    * representation discards). All payload columns survive.
+    *
+    * `bits` defaults to [[Similarity.AutoBits]]: the LSH geometry is
+    * sized from the corpus (⌈log₂(n/64)⌉, clamped to `outDim` — the
+    * projection width IS the bit budget, see [[hashedProjection]]), so
+    * the same call stays linear from the fixture to the 100 TB corpus.
+    * Explicit bits are for parity pins only. */
   def pruneNearDups(df: DataFrame, textCol: String, idCol: String,
                     minCos: Double = 0.9, dim: Int = 128,
-                    outDim: Int = 64, bits: Int = 8,
+                    outDim: Int = 64, bits: Int = Similarity.AutoBits,
                     maxBucket: Int = 1024): DataFrame = {
     val emb = hashedProjection(df, textCol, idCol, dim, outDim)
     val pairs = Similarity.lshNearDup(emb, idCol, "embedding",

@@ -725,17 +725,28 @@ object Similarity {
     * near-identical and the star scores pass the cut). Within-cap
     * buckets are expanded exhaustively, and bucket sizing runs as
     * spillable window aggregates, so no task ever materializes an
-    * unbounded pair list or aggregation buffer. */
+    * unbounded pair list or aggregation buffer.
+    *
+    * `bits` defaults to [[AutoBits]] — ⌈log₂(n / 64)⌉ sized from the
+    * corpus (single-table geometry, so the clamp is the full embedding
+    * dimension). Fixture-sized literals here are the exact recall cliff
+    * the AutoBits discipline exists to remove: 8 fixed bits = 256
+    * buckets, and at 100× the fixture every bucket is over `maxBucket`,
+    * silently degrading the whole corpus to star-approximation recall.
+    * Pass explicit bits only for fixed-geometry parity pins (q32/q150
+    * stay explicit). */
   def lshNearDup(corpus: DataFrame, idCol: String, embCol: String,
-                 bits: Int = 8, minCos: Double = 0.3,
+                 bits: Int = AutoBits, minCos: Double = 0.3,
                  maxBucket: Int = 1024): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
+    require(bits >= 1 || bits == AutoBits, s"lshNearDup: bits >= 1: $bits")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val rbits = resolveBits(corpus, embCol, bits, tables = 1)
     val a = s"${idCol}_a"
     val b = s"${idCol}_b"
     val w = Window.partitionBy(col("__bucket"))
     val sized = corpus.select(col(idCol), col(embCol),
-        Vectors.signBucket(col(embCol), bits).as("__bucket"))
+        Vectors.signBucket(col(embCol), rbits).as("__bucket"))
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__mn", min(struct(col(idCol), col(embCol))).over(w))
     val star = sized

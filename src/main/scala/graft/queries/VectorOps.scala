@@ -1139,7 +1139,10 @@ object VectorOps {
   }
   private val q161Sql =
     s"""WITH geo AS (
-       |  SELECT CAST(ceil(log2(count(*) / 64.0)) AS INT) AS bits
+       |  -- mirror of Scala autoBits incl. BOTH clamps: >= 1 bit, and
+       |  -- bits <= dim/tables (16-dim embeddings, 2 tables -> cap 8)
+       |  SELECT GREATEST(1, LEAST(
+       |      CAST(ceil(log2(count(*) / 64.0)) AS INT), 8)) AS bits
        |  FROM embeddings WHERE vec_id % 5 <> 0),
        |sigs AS (
        |  SELECT vec_id, tbl,
@@ -1237,7 +1240,9 @@ object VectorOps {
         s"list_slice($e, 1 + bits * tbl, bits + bits * tbl), " +
         "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
     s"""WITH geo AS (
-       |  SELECT CAST(ceil(log2(count(*) / 64.0)) AS INT) AS bits
+       |  -- Scala autoBits incl. clamps (16-dim, 2 tables -> cap 8)
+       |  SELECT GREATEST(1, LEAST(
+       |      CAST(ceil(log2(count(*) / 64.0)) AS INT), 8)) AS bits
        |  FROM $geoFrom),
        |av AS (SELECT vec_id AS a_id, embedding AS ea
        |       FROM embeddings WHERE vec_id % 2 = 0),
@@ -1385,7 +1390,8 @@ object VectorOps {
   }
   private val q188Sql =
     s"""WITH ${docEmbCtes(64, "0.125")},
-       |geo AS (SELECT CAST(ceil(log2(count(*) / 64.0)) AS INT) AS bits FROM pr),
+       |geo AS (SELECT GREATEST(1, LEAST(
+       |    CAST(ceil(log2(count(*) / 64.0)) AS INT), 32)) AS bits FROM pr),
        |sigs AS (SELECT doc_id, tbl,
        |    array_to_string(list_transform(
        |      list_slice(pe, 1 + bits * tbl, bits + bits * tbl),
@@ -1404,7 +1410,42 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
        |  FROM sc) WHERE rn <= 3""".stripMargin
 
+  // -- q189: embedding near-dup pairs at the AUTO-SIZED geometry
+  // (Similarity.lshNearDup at its AutoBits default) — the q32 scale
+  // path with the round-12 default: bits = ⌈log₂(n/64)⌉ derived from
+  // the corpus (single-table, clamped to the 16-dim embedding), so the
+  // registered call IS the 100 TB call — no fixture-sized literal. The
+  // oracle derives the same geometry from its own count (the q161
+  // dynamic-bits discipline), mirrors the signBucket slice, and pairs
+  // within buckets exhaustively (every bucket is under maxBucket at
+  // the fixture, so the star branch is provably dark here — q32/q150
+  // keep the fixed-geometry parity pins, DedupSimilaritySpec pins the
+  // star). --
+  private val q189: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.Similarity.lshNearDup(emb(s, dir), "vec_id", "embedding",
+        minCos = 0.3)
+      .select($"vec_id_a".as("vec_a"), $"vec_id_b".as("vec_b"),
+        round($"cos", 6).as("cos"))
+  }
+  private val q189Sql =
+    s"""WITH geo AS (
+       |  -- Scala autoBits, single table: clamp to the full 16 dims
+       |  SELECT GREATEST(1, LEAST(
+       |      CAST(ceil(log2(count(*) / 64.0)) AS INT), 16)) AS bits
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, embedding,
+       |        array_to_string(list_transform(list_slice(embedding, 1, bits),
+       |          x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |      FROM embeddings, geo)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${dCos("a.embedding", "b.embedding")} AS cos
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |WHERE cos >= 0.3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q189_lsh_neardup_auto" -> q189,
     "q188_text_knn" -> q188,
     "q187_doc_embed_topk" -> q187,
     "q185_margin_store" -> q185,
@@ -1442,6 +1483,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q189_lsh_neardup_auto" -> q189Sql,
     "q188_text_knn" -> q188Sql,
     "q187_doc_embed_topk" -> q187Sql,
     "q185_margin_store" ->

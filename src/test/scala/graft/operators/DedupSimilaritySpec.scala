@@ -546,6 +546,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r._1 == 0L && r._3 > 0.999))
   }
 
+  test("lshNearDup: AutoBits default == explicit bits at the size the " +
+      "formula selects (the last fixed-geometry door, round-12 close)") {
+    val emb = Tables.load(spark, sf(), "embeddings")
+    val n = emb.count()
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    val expected = Similarity.autoBits(n, dim, tables = 1)
+    val auto = Similarity.lshNearDup(emb, "vec_id", "embedding")
+      .as[(Long, Long, Double)].collect().toSet
+    val explicitBits = Similarity.lshNearDup(emb, "vec_id", "embedding",
+        bits = expected)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == explicitBits,
+      s"auto geometry must resolve to $expected bits and match the " +
+        "explicit run bit-for-bit")
+    // and the DERIVED-embedding door inherits it: pruneNearDups at its
+    // default keeps a pruned set identical to the explicitly-resolved run
+    val docs = Tables.load(spark, sf(), "documents").limit(300)
+    val proj = DocEmbed.hashedProjection(docs, "text", "doc_id")
+    val pBits = Similarity.autoBits(proj.count(),
+      proj.select(size($"embedding")).head().getInt(0), tables = 1)
+    val keptAuto = DocEmbed.pruneNearDups(docs, "text", "doc_id",
+      minCos = 0.95).select($"doc_id").as[Long].collect().toSet
+    val keptExplicit = DocEmbed.pruneNearDups(docs, "text", "doc_id",
+      minCos = 0.95, bits = pBits).select($"doc_id").as[Long].collect().toSet
+    assert(keptAuto == keptExplicit)
+  }
+
   test("pqEncode: hand-computed codes, ties to smaller code, zero shuffles") {
     // 4-dim vectors, m=2 subspaces of 2 dims, k=2 codes per subspace
     val cb = Seq(

@@ -42,7 +42,9 @@ object Pipeline {
 
   def parse(config: String): Seq[Stage] = {
     val stages = config.linesIterator.zipWithIndex
-      .map { case (raw, i) => (raw.replaceAll("#.*$", "").trim, i + 1) }
+      // '#' starts a comment only at line start or after whitespace — a
+      // '#' inside a param value (write path=/data/run#1) is data
+      .map { case (raw, i) => (raw.replaceAll("(^|\\s)#.*$", "").trim, i + 1) }
       .filter(_._1.nonEmpty)
       .map { case (l, i) =>
         val parts = l.split("\\s+").toSeq
@@ -146,6 +148,10 @@ object Pipeline {
     * prints the surviving row count (writes happen inside `write`
     * stages). */
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: Pipeline <baseDir> <configFile>")
+      sys.exit(2)
+    }
     val Array(baseDir, configPath) = args.take(2)
     val config = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(configPath)), "UTF-8")

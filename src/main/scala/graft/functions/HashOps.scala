@@ -222,8 +222,11 @@ object HashOps {
     val md = threadMd.get()
     val lowered = text.toLowerCase
     val bytes = lowered.getBytes
-    // counts: dense array for small dims (the LangId regime), map above
-    val dense = dim <= (1 << 16)
+    // counts: dense array for small dims (the LangId regime — 32 KB tops,
+    // allocation-cheap per row), sorted map above: a 64 k-dim dense buffer
+    // is 512 KB of per-row GC churn for texts that touch a few hundred
+    // buckets, so large dims pay O(grams·log) instead of O(dim) memory
+    val dense = dim <= (1 << 12)
     val cnts = if (dense) new Array[Long](dim) else null
     val sparse = if (dense) null else new java.util.TreeMap[Integer, java.lang.Long]()
     def bump(bucket: Int): Unit =

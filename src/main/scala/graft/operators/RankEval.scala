@@ -30,8 +30,11 @@ object RankEval {
     * in this library). `rel`: binary-relevant (qCol, idCol) pairs
     * (duplicates tolerated). Queries present in `ranked` but with no
     * relevant documents anywhere score mrr = ndcg = 0 with n_rel = 0;
-    * relevant documents ranked below `k` (or unranked) earn nothing —
-    * that is what @k means. */
+    * queries with judgments but NO ranked rows (a retriever returning
+    * nothing) still appear, scoring mrr = ndcg = 0 — they must drag the
+    * averaged metric down, not silently vanish from it; relevant
+    * documents ranked below `k` (or unranked) earn nothing — that is
+    * what @k means. */
   def metrics(ranked: DataFrame, rel: DataFrame, qCol: String,
               idCol: String, rankCol: String, k: Int): DataFrame = {
     require(k >= 1, s"RankEval: k must be positive: $k")
@@ -50,7 +53,9 @@ object RankEval {
       sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
       lit(0.0),
       (acc, r) => acc + lit(1.0) / log2(r.cast("double") + lit(1.0)))
-    ranked.select(col(qCol)).distinct()
+    // evaluation keys = ranked ∪ judged queries: a query the retriever
+    // returned nothing for scores 0, it does not vanish from the average
+    ranked.select(col(qCol)).unionByName(relD.select(col(qCol))).distinct()
       .join(nRel, Seq(qCol), "left")
       .join(hits, Seq(qCol), "left")
       .select(col(qCol),

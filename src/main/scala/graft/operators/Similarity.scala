@@ -390,17 +390,29 @@ object Similarity {
     require(geomV == geomS,
       s"geometry stamps diverge between '$vt' ($geomV) and '$st' ($geomS)")
     val (bits, tables) = geomV
-    val fresh = batch.select(col(idCol), col(embCol))
-      .join(spark.table(vt).select(col(idCol)), Seq(idCol), "left_anti")
+    // resolve the STORED id/emb column names from the table schemas (the
+    // marginMineStore discipline) — a batch whose idCol differs from the
+    // write-time name must still anti-join against the right column
+    // instead of dying in a raw AnalysisException
+    val vecs = spark.table(vt)
+    val vEmbCol = vecs.schema.fields
+      .find(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      .getOrElse(throw new IllegalStateException(
+        s"'$vt' has no array column — not a margin-store vectors table")).name
+    val vIdCol = vecs.schema.fields.find(_.name != vEmbCol).get.name
+    val sIdCol = spark.table(st).schema.fields
+      .find(f => f.name != "__tbl" && f.name != "__bucket").get.name
+    val fresh = batch.select(col(idCol).as(vIdCol), col(embCol).as(vEmbCol))
+      .join(spark.table(vt).select(col(vIdCol)), Seq(vIdCol), "left_anti")
       .localCheckpoint()
     def bucketsOf(t: String) = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(t)).bucketSpec.get.numBuckets
-    lshSigs(fresh, idCol, embCol, bits, tables)
-      .select(col("__id").as(idCol), col("__tbl"), col("__bucket"))
-      .join(spark.table(st).select(col(idCol)), Seq(idCol), "left_anti")
+    lshSigs(fresh, vIdCol, vEmbCol, bits, tables)
+      .select(col("__id").as(sIdCol), col("__tbl"), col("__bucket"))
+      .join(spark.table(st).select(col(sIdCol)), Seq(sIdCol), "left_anti")
       .repartition(bucketsOf(st), col("__tbl"), col("__bucket"))
       .write.mode("append").insertInto(st)
-    fresh.repartition(bucketsOf(vt), col(idCol))
+    fresh.repartition(bucketsOf(vt), col(vIdCol))
       .write.mode("append").insertInto(vt)
   }
 
@@ -611,8 +623,9 @@ object Similarity {
     *
     * This exact form scores every |A|×|B| pair map-side (the `b` side
     * broadcasts — the [[cosineTopK]] shape, right when one side is a
-    * bounded query/benchmark set; a corpus-sized `b` OOMs the broadcast,
-    * use [[marginMineBucketed]], the corpus×corpus scale path). Ids must
+    * bounded query/benchmark set; a `b` over `maxBRows` fails fast —
+    * one count job — naming [[marginMineBucketed]], the corpus×corpus
+    * scale path, instead of OOMing the broadcast). Ids must
     * be unique across BOTH sides (the store discipline) — the mined pair
     * frame keys on them. Under violation both paths now agree: pairs
     * whose two sides carry the SAME id are excluded here exactly as the
@@ -624,9 +637,21 @@ object Similarity {
     * are bit-identical across runs and engines; the remaining algebra
     * is single IEEE ops on those folds. */
   def marginMine(a: DataFrame, b: DataFrame, idCol: String, embCol: String,
-                 k: Int, tau: Double): DataFrame = {
+                 k: Int, tau: Double,
+                 maxBRows: Long = MaxMarginBroadcastRows): DataFrame = {
     require(k >= 1, s"marginMine: k must be positive: $k")
     graft.functions.GraftFunctions.ensureRegistered(a.sparkSession)
+    // the bounded-b contract, ENFORCED (the semanticOverlap budget
+    // precedent): the b side broadcasts whole to every executor, so a
+    // corpus-sized b OOMs the driver/executors instead of running slow —
+    // fail fast with the scale path's name before any work ships
+    val nB = b.count()
+    if (nB > maxBRows) throw new IllegalArgumentException(
+      s"marginMine: b side has $nB rows, over the $maxBRows broadcast " +
+        "budget. This exact form scores every |a|x|b| pair against a " +
+        "broadcast b — it is for bounded query/batch sets. For " +
+        "corpus x corpus mining use marginMineBucketed (LSH candidates, " +
+        "no broadcast), or pass a deliberately larger maxBRows")
     val qa = a.select(col(idCol).as("a_id"), col(embCol).as("__ea"))
     val qb = b.select(col(idCol).as("b_id"), col(embCol).as("__eb"))
     val scored = qa.crossJoin(broadcast(qb))
@@ -635,6 +660,12 @@ object Similarity {
         Vectors.cosine(col("__ea"), col("__eb")).as("cos"))
     mineFromScored(scored, k, tau)
   }
+
+  /** [[marginMine]]'s b-side broadcast budget: 2²¹ rows (the
+    * [[Decontam.MaxBenchValues]] sizing — a bounded batch/benchmark
+    * side, far under any corpus). Over budget the call fails fast
+    * naming [[marginMineBucketed]]. */
+  val MaxMarginBroadcastRows: Long = 1L << 21
 
   /** [[marginMine]] over sign-LSH candidates instead of all pairs — the
     * corpus×corpus scale path (neither side broadcasts): both sides'

@@ -2761,7 +2761,7 @@ object TextOps {
        |        range(1, CAST(least(nr.n_rel, 10) AS INT) + 1),
        |        x -> CAST(1 AS DOUBLE) / log2(CAST(x AS DOUBLE) + 1)), 'sum')
        |    ELSE 0.0 END, 6) AS ndcg
-       |FROM (SELECT DISTINCT token FROM rk) q
+       |FROM (SELECT token FROM rk UNION SELECT token FROM rel) q
        |LEFT JOIN nr ON q.token = nr.token
        |LEFT JOIN per ON q.token = per.token""".stripMargin
 

@@ -73,6 +73,16 @@ class PipelineSpec extends SparkSpec {
       .getMessage.contains("must be an integer"))
   }
 
+  test("'#' is a comment only at line start / after whitespace — " +
+      "a '#' inside a param value is data") {
+    val stages = Pipeline.parse(
+      "# full-line comment\nread table=documents  # trailing comment\n" +
+        "write path=/data/run#1")
+    assert(stages.map(_.name) === Seq("read", "write"))
+    assert(stages(0).params === Map("table" -> "documents"))
+    assert(stages(1).params === Map("path" -> "/data/run#1"))
+  }
+
   test("embedDedup stage prunes a reordered near-copy via derived embeddings") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

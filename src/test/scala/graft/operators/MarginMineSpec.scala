@@ -359,4 +359,48 @@ class MarginMineSpec extends SparkSpec {
     }
     assert(bad.isEmpty, "bucketed margin mining must never cross-join corpora")
   }
+
+  test("marginMine: over-budget b fails fast naming the bucketed path; " +
+      "marginMineBucketed accepts the same input") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val a = e.filter($"vec_id" % 2 === 0).select($"vec_id", $"embedding")
+    val b = e.filter($"vec_id" % 2 === 1).select($"vec_id", $"embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.marginMine(a, b, "vec_id", "embedding", k = 4, tau = 1.0,
+        maxBRows = 10)
+    }
+    assert(ex.getMessage.contains("marginMineBucketed"),
+      s"budget error must point at the scale path: ${ex.getMessage}")
+    // the same frames run fine through the bucketed path (no budget —
+    // nothing broadcasts) and through the exact path at an adequate one
+    assert(Similarity.marginMineBucketed(a, b, "vec_id", "embedding",
+      k = 4, tau = 1.0, bits = 8, tables = 2).count() > 0)
+    assert(Similarity.marginMine(a, b, "vec_id", "embedding", k = 4,
+      tau = 1.0).count() > 0)
+  }
+
+  test("margin store: append resolves the STORED id column " +
+      "(differently-named batch id appends cleanly)") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val a1 = e.filter($"vec_id" % 4 === 0).select($"vec_id", $"embedding")
+    val a2 = e.filter($"vec_id" % 4 === 2)
+      .select($"vec_id".as("other_id"), $"embedding".as("vec"))
+    val b = e.filter($"vec_id" % 2 === 1).select($"vec_id", $"embedding")
+    Seq("margin_spec_rename_vectors", "margin_spec_rename_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Similarity.writeMarginStore(a1, "vec_id", "embedding",
+      "margin_spec_rename", bits = 8, tables = 2, buckets = 4)
+    Similarity.appendToMarginStore(a2, "other_id", "vec",
+      "margin_spec_rename")
+    assert(spark.table("margin_spec_rename_vectors").count() ===
+      a1.count() + a2.count())
+    val viaStore = Similarity.marginMineStore(spark, "margin_spec_rename",
+      b, "vec_id", "embedding", k = 4, tau = 1.0)
+    val scratch = Similarity.marginMineBucketed(
+      a1.unionByName(a2.toDF("vec_id", "embedding")), b,
+      "vec_id", "embedding", k = 4, tau = 1.0, bits = 8, tables = 2)
+    assert(viaStore.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(viaStore).isEmpty,
+      "a renamed-column append must land in the stored schema exactly")
+  }
 }

@@ -55,4 +55,15 @@ class RankEvalSpec extends SparkSpec {
       .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
     assert(run() === run())
   }
+
+  test("a judged query the retriever returned NOTHING for scores 0, " +
+      "not dropped (averaged metrics must see the failure)") {
+    val ranked = Seq(("q1", "a", 1)).toDF("q", "id", "rank")
+    val rel = Seq(("q1", "a"), ("q_empty", "b")).toDF("q", "id")
+    val got = RankEval.metrics(ranked, rel, "q", "id", "rank", k = 5)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("q1", "q_empty"))
+    val (_, ne, mrre, ndcge) = got("q_empty")
+    assert(ne === 1L && mrre === 0.0 && ndcge === 0.0)
+  }
 }

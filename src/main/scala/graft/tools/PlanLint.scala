@@ -1,11 +1,14 @@
 package graft.tools
 
 import graft.{GraftSession, SparkEntry}
+import org.apache.spark.sql.SparkSession
 
-/** Dev tool: anti-pattern lint over EVERY registered query's physical
-  * plan — the scale-audit (cartesian products, broadcast nested-loop
-  * joins, windows with no partitioning) run mechanically instead of by
-  * eyeball. Usage: `runMain graft.tools.PlanLint [sfDir]` (default
+/** Anti-pattern lint over EVERY registered query's physical plan — the
+  * scale-audit (cartesian products, broadcast nested-loop joins,
+  * windows with no partitioning) run mechanically instead of by
+  * eyeball. CI-enforced: PlanLintSpec runs [[lint]] at sf0.001 inside
+  * `sbt test`, so a NEW unbounded plan fails the build, not a code
+  * review. Standalone: `runMain graft.tools.PlanLint [sfDir]` (default
   * sf0.001 — some query builders execute store writes/collects while
   * constructing, so the tool runs them at the smallest fixture).
   *
@@ -59,24 +62,28 @@ object PlanLint {
     ("q153", "global-window", "language-frame-bounded water-filling"),
     ("q133", "global-window", "k-bounded fused ranking frame"))
 
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = GraftSession.local(8)
-    spark.sparkContext.setLogLevel("ERROR")
-    var newFlags = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      // walk THROUGH AQE wrappers (the SparkSpec.collectPlan device):
-      // AdaptiveSparkPlanExec has no children, so a bare collect sees
-      // nothing past the root
-      def expand(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-        val inner = p.collect {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            a.executedPlan
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
-        }
-        p +: inner.flatMap(expand)
+  /** One lint finding: `allowed` iff the (query, flag) pair is named in
+    * [[Allowed]] with its bound, or the query failed to build (ERROR
+    * flags are surfaced as not-allowed so CI reports them). */
+  case class Finding(query: String, flag: String, allowed: Boolean)
+
+  /** Builds every registered query against `dir` and collects
+    * cartesian/BNLJ/global-window nodes from the executed plan (walking
+    * through AQE wrappers — the SparkSpec.collectPlan device:
+    * AdaptiveSparkPlanExec has no children, so a bare collect sees
+    * nothing past the root). Pure function of the registry — the CI
+    * gate (PlanLintSpec) and the CLI both call it. */
+  def lint(spark: SparkSession, dir: String): Seq[Finding] = {
+    def expand(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
       }
+      p +: inner.flatMap(expand)
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val flags =
         try {
           val plan = fn(spark, dir).queryExecution.executedPlan
@@ -91,15 +98,25 @@ object PlanLint {
                 if w.partitionSpec.isEmpty => "global-window"
           }).distinct
         } catch {
-          case e: Throwable => Seq(s"ERROR: ${e.getMessage.take(80)}")
+          case e: Throwable => Seq(s"ERROR: ${String.valueOf(e.getMessage).take(80)}")
         }
-      flags.foreach { f =>
-        val ok = Allowed.exists { case (p, fl, _) =>
-          name.startsWith(p + "_") && fl == f }
-        if (!ok) { newFlags += 1; println(s"NEW  $name: $f") }
-        else println(s"ok   $name: $f (documented bound)")
+      flags.map { f =>
+        Finding(name, f, Allowed.exists { case (p, fl, _) =>
+          name.startsWith(p + "_") && fl == f })
       }
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    val findings = lint(spark, dir)
+    findings.foreach { f =>
+      if (f.allowed) println(s"ok   ${f.query}: ${f.flag} (documented bound)")
+      else println(s"NEW  ${f.query}: ${f.flag}")
+    }
+    val newFlags = findings.count(!_.allowed)
     println(s"== plan lint: ${SparkEntry.queries.size} queries, " +
       s"$newFlags undocumented flags")
     spark.stop()

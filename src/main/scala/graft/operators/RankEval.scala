@@ -65,4 +65,69 @@ object RankEval {
           coalesce(col("__dcg"), lit(0.0)) / idcg)
           .otherwise(lit(0.0)).as("ndcg"))
   }
+
+  /** GRADED-relevance metrics: `qCol, n_rel, ap, ndcg` — standard-gains
+    * nDCG@k ((2^gain − 1)/log₂(rank+1), ideal = judged gains sorted
+    * descending, cut at k) and average precision@k (AP; its mean over
+    * queries is MAP). What a search owner asks for once binary
+    * judgments stop discriminating ([[metrics]] is the binary special
+    * case: gain 1 everywhere makes the nDCG columns coincide).
+    *
+    * `rel`: (qCol, idCol, gainCol) graded judgments — duplicates keep
+    * the max gain, rows with gain <= 0 are explicit non-relevance (they
+    * earn nothing and don't count toward n_rel). AP@k =
+    * (Σ over the i-th relevant hit at rank rᵢ ≤ k of i/rᵢ) /
+    * min(n_rel, k) — the TREC cutoff normalization, so a retriever
+    * surfacing all of min(n_rel, k) relevant docs first scores 1.
+    *
+    * Same contracts as [[metrics]]: k-bounded inputs by construction,
+    * queries keyed on ranked ∪ judged (an empty retrieval scores 0,
+    * never vanishes), every sum a strict rank-ascending (position-
+    * ascending for the ideal) fold so values are bit-identical across
+    * runs and engines up to libm log/pow, absorbed by the caller's 6-dp
+    * round. */
+  def gradedMetrics(ranked: DataFrame, rel: DataFrame, qCol: String,
+                    idCol: String, rankCol: String, gainCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"RankEval: k must be positive: $k")
+    val relG = rel.groupBy(col(qCol), col(idCol))
+      .agg(max(col(gainCol)).cast("double").as("__gain"))
+      .filter(col("__gain") > 0)
+    val hits = ranked.filter(col(rankCol) <= k)
+      .join(relG, Seq(qCol, idCol))
+      .groupBy(col(qCol))
+      .agg(sort_array(collect_list(struct(
+        col(rankCol).cast("long").as("r"), col("__gain").as("g")))).as("__h"))
+      .select(col(qCol),
+        aggregate(col("__h"), lit(0.0), (acc, x) =>
+          acc + (pow(lit(2.0), x("g")) - lit(1.0)) /
+            log2(x("r").cast("double") + lit(1.0))).as("__dcg"),
+        // i-th relevant hit (1-based, rank-ascending) at rank r earns
+        // precision i/r — the AP numerator
+        aggregate(zip_with(col("__h"),
+            sequence(lit(1L), size(col("__h")).cast("long")),
+            (x, i) => i.cast("double") / x("r").cast("double")),
+          lit(0.0), (acc, p) => acc + p).as("__apnum"))
+    val nRel = relG.groupBy(col(qCol))
+      .agg(count(lit(1)).as("n_rel"),
+        reverse(sort_array(collect_list(col("__gain")))).as("__gd"))
+      .select(col(qCol), col("n_rel"),
+        aggregate(zip_with(slice(col("__gd"), 1, k),
+            sequence(lit(1L), least(size(col("__gd")), lit(k)).cast("long")),
+            (g, i) => (pow(lit(2.0), g) - lit(1.0)) /
+              log2(i.cast("double") + lit(1.0))),
+          lit(0.0), (acc, t) => acc + t).as("__idcg"))
+    ranked.select(col(qCol)).unionByName(relG.select(col(qCol))).distinct()
+      .join(nRel, Seq(qCol), "left")
+      .join(hits, Seq(qCol), "left")
+      .select(col(qCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          coalesce(col("__apnum"), lit(0.0)) /
+            least(col("n_rel"), lit(k.toLong)).cast("double"))
+          .otherwise(lit(0.0)).as("ap"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          coalesce(col("__dcg"), lit(0.0)) / col("__idcg"))
+          .otherwise(lit(0.0)).as("ndcg"))
+  }
 }

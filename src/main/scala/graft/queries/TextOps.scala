@@ -2765,7 +2765,92 @@ object TextOps {
        |LEFT JOIN nr ON q.token = nr.token
        |LEFT JOIN per ON q.token = per.token""".stripMargin
 
+  // -- q190: GRADED-relevance retrieval evaluation
+  // (RankEval.gradedMetrics) — standard-gains nDCG@10 ((2^gain−1)
+  // discounted by log₂(rank+1), ideal = judged gains sorted desc) plus
+  // average precision@10 (MAP's per-query value), over the same q186
+  // BM25 rankings; judgments are graded by capped term frequency
+  // (gain = min(tf, 3), judged where tf >= 2 — correlated with but not
+  // identical to the dl-normalized ranking). Every sum is an ordered
+  // list fold in both engines (rank-ascending for DCG/AP, position-
+  // ascending for the ideal); libm log2/pow absorbed by round(,6). --
+  private val q190: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    val terms = d.select(explode(Text.tokens($"text")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"t").limit(5)
+      .collect().map(_.getString(0)).toSeq
+    val w = graft.operators.Bm25.weights(d, "text", "doc_id")
+      .filter($"token".isin(terms: _*))
+    val ranked = w.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"token").orderBy($"bm25".desc, $"id")))
+    val rel = w.filter($"tf" >= 2)
+      .select($"token", $"id", least($"tf", lit(3L)).cast("double").as("gain"))
+    graft.operators.RankEval.gradedMetrics(
+        ranked, rel, "token", "id", "rank", "gain", k = 10)
+      .select($"token", $"n_rel",
+        round($"ap", 6).as("ap"), round($"ndcg", 6).as("ndcg"))
+  }
+  private val q190Sql =
+    s"""WITH base AS (SELECT doc_id, $dTok AS tk FROM documents),
+       |tq AS (SELECT unnest(tk) AS t FROM base),
+       |terms AS (SELECT t FROM (SELECT t, count(*) AS c FROM tq GROUP BY 1
+       |          ORDER BY c DESC, t LIMIT 5)),
+       |tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS token
+       |        FROM base),
+       |tf AS (SELECT token, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tok WHERE token IN (SELECT t FROM terms) GROUP BY 1, 2, 3),
+       |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(avg(len(tk)) AS DOUBLE) AS avgdl FROM base),
+       |w AS (SELECT tf.token, tf.doc_id, tf.tf,
+       |        round(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1) *
+       |              (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / st.avgdl)),
+       |              6) AS w
+       |      FROM tf JOIN dft USING (token) CROSS JOIN st),
+       |rk AS (SELECT token, doc_id,
+       |         row_number() OVER (PARTITION BY token
+       |             ORDER BY w DESC, doc_id) AS r
+       |       FROM w),
+       |rel AS (SELECT token, doc_id, CAST(LEAST(tf, 3) AS DOUBLE) AS g
+       |        FROM w WHERE tf >= 2),
+       |hits AS (SELECT rk.token,
+       |           list(rk.r ORDER BY rk.r) AS rs,
+       |           list(rel.g ORDER BY rk.r) AS gs
+       |         FROM rk JOIN rel ON rk.token = rel.token
+       |                         AND rk.doc_id = rel.doc_id
+       |         WHERE rk.r <= 10 GROUP BY 1),
+       |per AS (SELECT token,
+       |          list_aggregate(list_transform(range(1, len(rs) + 1),
+       |            i -> (pow(2, gs[i]) - 1) /
+       |                 log2(CAST(rs[i] AS DOUBLE) + 1)), 'sum') AS dcg,
+       |          list_aggregate(list_transform(range(1, len(rs) + 1),
+       |            i -> CAST(i AS DOUBLE) / rs[i]), 'sum') AS apnum
+       |        FROM hits),
+       |nr AS (SELECT token, CAST(count(*) AS BIGINT) AS n_rel,
+       |         list(g ORDER BY g DESC) AS gd FROM rel GROUP BY 1),
+       |ideal AS (SELECT token, list_aggregate(list_transform(
+       |            range(1, CAST(LEAST(len(gd), 10) AS INT) + 1),
+       |            i -> (pow(2, gd[i]) - 1) /
+       |                 log2(CAST(i AS DOUBLE) + 1)), 'sum') AS idcg
+       |          FROM nr)
+       |SELECT q.token,
+       |  COALESCE(nr.n_rel, 0) AS n_rel,
+       |  round(CASE WHEN COALESCE(nr.n_rel, 0) > 0
+       |    THEN COALESCE(per.apnum, 0.0) / CAST(LEAST(nr.n_rel, 10) AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS ap,
+       |  round(CASE WHEN COALESCE(nr.n_rel, 0) > 0
+       |    THEN COALESCE(per.dcg, 0.0) / ideal.idcg
+       |    ELSE 0.0 END, 6) AS ndcg
+       |FROM (SELECT token FROM rk UNION SELECT token FROM rel) q
+       |LEFT JOIN nr ON q.token = nr.token
+       |LEFT JOIN per ON q.token = per.token
+       |LEFT JOIN ideal ON q.token = ideal.token""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q190_graded_rank_eval" -> q190,
     "q186_rank_eval" -> q186,
     "q184_langid_trained" -> q184,
     "q181_contamination_report" -> q181,
@@ -2839,6 +2924,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q190_graded_rank_eval" -> q190Sql,
     "q186_rank_eval" -> q186Sql,
     "q184_langid_trained" -> q184Sql,
     "q181_contamination_report" -> q181Sql,

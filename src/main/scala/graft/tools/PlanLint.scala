@@ -49,6 +49,7 @@ object PlanLint {
     ("q133", "bnlj", "k-bounded ranking frames — RRF fusion"),
     ("q181", "bnlj", "bounded benchmark frames — contamination report"),
     ("q186", "bnlj", "one-row BM25 stats frame — rank evaluation"),
+    ("q190", "bnlj", "one-row BM25 stats frame — graded rank evaluation"),
     ("q187", "bnlj", "bounded query set (doc_id < 10) broadcast — cosineTopK contract"),
     ("q82", "bnlj", "one-row (N, avgdl) stats frame — BM25"),
     ("q97", "global-window", "two-pass prefix scan: window over one row per partition"),

@@ -56,6 +56,59 @@ class RankEvalSpec extends SparkSpec {
     assert(run() === run())
   }
 
+  test("gradedMetrics: hand-computed AP and graded nDCG") {
+    // q1 ranked a,b,c,d; judged gains: b=3, d=1, z=2 (z unranked); k=3
+    //   hits at k=3: b@2 (gain 3) only
+    //   DCG  = (2^3-1)/log2(3) = 7/log2(3)
+    //   IDCG = gains desc [3,2,1] cut at 3:
+    //          7/log2(2) + 3/log2(3) + 1/log2(4)
+    //   AP   = (1/2) / min(3,3) = (1/2)/3
+    val ranked = Seq(
+      ("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3), ("q1", "d", 4),
+      ("q2", "x", 1), ("q2", "y", 2)
+    ).toDF("q", "id", "rank")
+    val rel = Seq(
+      ("q1", "b", 3), ("q1", "d", 1), ("q1", "z", 2),
+      ("q2", "x", 2), ("q2", "y", 1),
+      ("q_empty", "e", 2) // judged but never retrieved
+    ).toDF("q", "id", "gain")
+    val got = RankEval.gradedMetrics(ranked, rel, "q", "id", "rank",
+        "gain", k = 3)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("q1", "q2", "q_empty"))
+    val (_, n1, ap1, ndcg1) = got("q1")
+    assert(n1 === 3L)
+    assert(math.abs(ap1 - (1.0 / 2.0) / 3.0) < 1e-12)
+    val dcg1 = 7.0 / log2(3.0)
+    val idcg1 = 7.0 / log2(2.0) + 3.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(math.abs(ndcg1 - dcg1 / idcg1) < 1e-12)
+    // q2 ranks its judged docs in ideal (gain-descending) order: ndcg 1,
+    // AP = (1/1 + 2/2) / min(2,3) = 1
+    val (_, n2, ap2, ndcg2) = got("q2")
+    assert(n2 === 2L && ap2 === 1.0 && ndcg2 === 1.0)
+    // judged-but-unretrieved: present, zero
+    val (_, ne, ape, ndcge) = got("q_empty")
+    assert(ne === 1L && ape === 0.0 && ndcge === 0.0)
+    // duplicates keep the max gain; gain <= 0 rows are non-relevance
+    val rel2 = Seq(("q2", "x", 1), ("q2", "x", 2), ("q2", "y", 1),
+      ("q2", "junk", 0)).toDF("q", "id", "gain")
+    val again = RankEval.gradedMetrics(ranked, rel2, "q", "id", "rank",
+        "gain", k = 3)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again("q2") === got("q2"))
+    // binary gains reduce graded nDCG to the binary metric
+    val relBin = Seq(("q1", "b", 1), ("q1", "d", 1), ("q1", "z", 1))
+      .toDF("q", "id", "gain")
+    val g = RankEval.gradedMetrics(ranked, relBin, "q", "id", "rank",
+        "gain", k = 3)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    val b = RankEval.metrics(ranked,
+        relBin.select($"q", $"id"), "q", "id", "rank", k = 3)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(g("q1")._4 === b("q1")._4,
+      "gain-1 graded nDCG must equal binary nDCG exactly")
+  }
+
   test("a judged query the retriever returned NOTHING for scores 0, " +
       "not dropped (averaged metrics must see the failure)") {
     val ranked = Seq(("q1", "a", 1)).toDF("q", "id", "rank")

@@ -26,18 +26,43 @@ object Pipeline {
 
   case class Stage(name: String, params: Map[String, String], line: Int)
 
-  /** Stage registry: name → allowed parameter keys. */
+  /** Stage registry: name → allowed parameter keys. Every stage is one
+    * call into an oracle-pinned operator:
+    *  - `scrub` (q72), `repetitionGate` (q70), `dropBoilerplate`
+    *    (q158), `dedupSpans` (q64/q100), `decontam` (q69),
+    *    `qualityGate` (q95), `tokenize` (q103), `shards` (q113) — the
+    *    published curation recipe end to end, so the q100 flagship is a
+    *    config, not Scala (PipelineSpec pins it stage for stage).
+    *  - `dedupSpans` replaces the payload with the rewrite output
+    *    (idCol, n_tokens, n_kept, rewritten textCol) — the q100 shape.
+    *  - `decontam` reads the benchmark from a fixture `table` (its text
+    *    column via `textCol`, defaulting to the pipeline's).
+    *  - `qualityGate` trains in-run on the frame's own labels (the
+    *    langId precedent): `labelCol` holds 0/1, or `labelTrue` turns a
+    *    categorical column into labelCol == labelTrue.
+    *  - `tokenize` trains `merges` BPE merges in-run and appends
+    *    `token_ids`; `shards` writes size-budgeted shard files under
+    *    `path` and RETURNS THE MANIFEST (a sink, like `write` — put it
+    *    last). */
   private val Allowed: Map[String, Set[String]] = Map(
     "read" -> Set("table", "idCol", "textCol"),
     "clean" -> Set("form", "lowercase"),
     "htmlExtract" -> Set("minWords", "minDensity"),
     "lineFilter" -> Set("minWords", "minLines"),
+    "scrub" -> Set(),
+    "repetitionGate" -> Set("n", "maxDupFraction", "maxTopFraction"),
+    "dropBoilerplate" -> Set("minDf"),
     "exactDedup" -> Set(),
     "nearDedup" -> Set("shingle", "bands", "maxBucket"),
     "embedDedup" -> Set("minCos", "dim", "outDim", "bits", "maxBucket"),
+    "dedupSpans" -> Set("w", "minKept"),
+    "decontam" -> Set("table", "textCol", "n", "threshold"),
     "minTokens" -> Set("n"),
     "langId" -> Set("langCol", "langs", "dim", "n", "iterations"),
+    "qualityGate" -> Set("labelCol", "labelTrue", "dim", "iterations", "tau"),
+    "tokenize" -> Set("merges"),
     "split" -> Set("trainPct", "valPct"),
+    "shards" -> Set("path", "budget", "chunkTokens", "overlap"),
     "write" -> Set("path", "table", "format", "compression"))
 
   def parse(config: String): Seq[Stage] = {
@@ -106,6 +131,57 @@ object Pipeline {
           int(s, "minWords", 5), dbl(s, "minDensity", 0.25))
         case "lineFilter" => operators.LineFilter.cleanDocs(df, textCol,
           int(s, "minWords", 5), int(s, "minLines", 2))
+        case "scrub" => operators.Scrub.scrubPii(df, textCol)
+        case "repetitionGate" => operators.Repetition.filter(df, textCol,
+          int(s, "n", 3), dbl(s, "maxDupFraction", 0.75),
+          dbl(s, "maxTopFraction", 0.2))
+        case "dropBoilerplate" =>
+          // a prior lineFilter also emits line-count columns; shed them
+          // so the rebuild's own counters never collide
+          operators.LineFilter.dropBoilerplate(
+            df.drop("n_lines_kept", "n_boiler_dropped"), textCol, idCol,
+            int(s, "minDf", 10))
+        case "dedupSpans" =>
+          val out = operators.Spans.removeDupSpans(df, textCol, idCol,
+              int(s, "w", 10))
+            .withColumnRenamed("clean_text", textCol)
+          val mk = int(s, "minKept", 0)
+          if (mk > 0) out.filter(col("n_kept") >= mk) else out
+        case "decontam" =>
+          val benchTable = s.params.getOrElse("table",
+            throw new IllegalArgumentException(
+              s"pipeline line ${s.line}: decontam needs table= (the " +
+                "benchmark fixture table)"))
+          val benchText = s.params.getOrElse("textCol", textCol)
+          val bench = Tables.load(spark, baseDir, benchTable)
+            .select(col(benchText).as(textCol))
+          operators.Decontam.decontaminate(df, bench, textCol, idCol,
+            int(s, "n", 13), dbl(s, "threshold", 0.01))
+        case "qualityGate" =>
+          val labelCol = s.params.getOrElse("labelCol",
+            throw new IllegalArgumentException(
+              s"pipeline line ${s.line}: qualityGate needs labelCol="))
+          val labeled = s.params.get("labelTrue") match {
+            case Some(v) => df.withColumn("__qg_label",
+              (col(labelCol) === lit(v)).cast("int"))
+            case None => df.withColumn("__qg_label", col(labelCol))
+          }
+          val dim = int(s, "dim", 64)
+          val model = operators.Classifier.train(labeled, textCol,
+            "__qg_label", idCol, dim, int(s, "iterations", 5))
+          operators.Classifier.gate(df, textCol, idCol, model.weights,
+            model.bias, dim, dbl(s, "tau", 0.5))
+        case "tokenize" =>
+          val ms = operators.Bpe.train(df, textCol, int(s, "merges", 30))
+            ._1.map(m => (m._2, m._3))
+          operators.Tokenizer.encode(df, textCol, ms)
+        case "shards" =>
+          val path = s.params.getOrElse("path",
+            throw new IllegalArgumentException(
+              s"pipeline line ${s.line}: shards needs path="))
+          sinks.ShardWriter.writeShards(df, idCol, "token_ids", path,
+            int(s, "budget", 1 << 20).toLong,
+            int(s, "chunkTokens", 128), int(s, "overlap", 32))
         case "exactDedup" => operators.Dedup.exactByText(df, textCol, idCol)
         case "nearDedup" => operators.Dedup.pruneNearDups(df, textCol, idCol,
           int(s, "shingle", 5), int(s, "bands", 4), int(s, "maxBucket", 1024))

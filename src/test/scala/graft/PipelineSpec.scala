@@ -107,6 +107,131 @@ class PipelineSpec extends SparkSpec {
     assert(got.filter($"pred".isNull).isEmpty)
   }
 
+  test("scrub / repetitionGate / dropBoilerplate / dedupSpans stages " +
+      "delegate with their params (round-12 recipe extension)") {
+    val d = Tables.load(spark, sf(), "documents")
+    def same(cfg: String, want: org.apache.spark.sql.DataFrame): Unit = {
+      val got = Pipeline.run(spark, sf(), cfg)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"config run must equal the hand-written call for:\n$cfg")
+    }
+    same("read table=documents\nscrub\n",
+      operators.Scrub.scrubPii(d, "text"))
+    same("read table=documents\n" +
+        "repetitionGate n=2 maxDupFraction=0.9 maxTopFraction=0.9\n",
+      operators.Repetition.filter(d, "text", 2, 0.9, 0.9))
+    same("read table=documents\ndropBoilerplate minDf=5\n",
+      operators.LineFilter.dropBoilerplate(d, "text", "doc_id", 5))
+    same("read table=documents\ndedupSpans w=5 minKept=10\n",
+      operators.Spans.removeDupSpans(d, "text", "doc_id", 5)
+        .withColumnRenamed("clean_text", "text").filter($"n_kept" >= 10))
+  }
+
+  test("decontam stage reads the benchmark table: self-benchmark drops " +
+      "everything, an unrelated benchmark column keeps everything") {
+    val d = Tables.load(spark, sf(), "documents")
+    val self = Pipeline.run(spark, sf(),
+      "read table=documents\ndecontam table=documents n=13 threshold=0.01\n")
+    val wantSelf = operators.Decontam.decontaminate(d,
+      d.select($"text"), "text", "doc_id", 13, 0.01)
+    // every doc with >= 13 tokens overlaps itself; shorter docs carry no
+    // 13-gram and survive by the gram-less convention
+    assert(self.count() < d.count(),
+      "docs long enough to carry a 13-gram must fall to self-decontam")
+    assert(self.exceptAll(wantSelf).isEmpty &&
+      wantSelf.exceptAll(self).isEmpty)
+    val other = Pipeline.run(spark, sf(),
+      "read table=documents\ndecontam table=documents textCol=source n=2\n")
+    val wantOther = operators.Decontam.decontaminate(d,
+      d.select($"source".as("text")), "text", "doc_id", 2, 0.01)
+    assert(other.count() === d.count(),
+      "single-word source values share no 2-gram with any document")
+    assert(other.exceptAll(wantOther).isEmpty &&
+      wantOther.exceptAll(other).isEmpty)
+  }
+
+  test("qualityGate stage trains in-run == hand-written Classifier " +
+      "train + gate, on both 0/1 labelCol and labelTrue binarization") {
+    // separable toy corpus: the gate must keep exactly the good docs
+    val docs = Seq(
+      (1L, "informative prose with careful structured argument and depth", 1, "good"),
+      (2L, "careful structured writing with informative detailed analysis", 1, "good"),
+      (3L, "detailed argument and prose with structured informative depth", 1, "good"),
+      (4L, "buy cheap pills now click here win money fast", 0, "spam"),
+      (5L, "click now win cheap money fast buy pills here", 0, "spam"),
+      (6L, "cheap money now buy click pills fast win here", 0, "spam")
+    ).toDF("doc_id", "text", "label", "cat")
+    val dir = java.nio.file.Files.createTempDirectory("pipeline_qg").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val got = Pipeline.run(spark, dir,
+      "read table=documents\n" +
+        "qualityGate labelCol=label dim=32 iterations=20 tau=0.5\n")
+    val model = operators.Classifier.train(
+      d.withColumn("__qg_label", $"label"), "text", "__qg_label",
+      "doc_id", dim = 32, iterations = 20)
+    val want = operators.Classifier.gate(d, "text", "doc_id",
+      model.weights, model.bias, dim = 32, tau = 0.5)
+    assert(got.select($"doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L),
+      "the trained gate must keep exactly the quality docs")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(!got.columns.contains("__qg_label"),
+      "the derived training label must not leak into the output")
+    // labelTrue binarizes a categorical column to the same gate
+    val got2 = Pipeline.run(spark, dir,
+      "read table=documents\n" +
+        "qualityGate labelCol=cat labelTrue=good dim=32 iterations=20 tau=0.5\n")
+    assert(got2.exceptAll(got).isEmpty && got.exceptAll(got2).isEmpty)
+  }
+
+  test("tokenize + shards stages: in-run BPE == hand-trained merges; " +
+      "shard manifest == hand-written writeShards") {
+    val d = Tables.load(spark, sf(), "documents")
+    val dirA = java.nio.file.Files.createTempDirectory("pipeline_shards_a").toString
+    val got = Pipeline.run(spark, sf(),
+      s"read table=documents\ntokenize merges=12\n" +
+        s"shards path=$dirA budget=4096 chunkTokens=64 overlap=16\n")
+    val ms = operators.Bpe.train(d, "text", numMerges = 12)
+      ._1.map(m => (m._2, m._3))
+    val enc = operators.Tokenizer.encode(d, "text", ms)
+    val dirB = java.nio.file.Files.createTempDirectory("pipeline_shards_b").toString
+    val want = sinks.ShardWriter.writeShards(enc, "doc_id", "token_ids",
+      dirB, budget = 4096L, chunkTokens = 64, overlap = 16)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "config-run shard manifest must equal the hand-written one")
+  }
+
+  test("flagship: the q100 full pipeline is a config") {
+    val got = Pipeline.run(spark, sf(),
+      """read table=documents
+        |clean
+        |exactDedup
+        |nearDedup
+        |dedupSpans w=10 minKept=10
+        |split
+        |""".stripMargin)
+      .select($"doc_id", $"n_kept", md5($"text").as("text_md5"), $"split")
+    val want = SparkEntry.queries("q100_full_pipeline")(spark, sf())
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "the config must reproduce q100_full_pipeline exactly")
+  }
+
+  test("new stages fail fast on missing required params / unknown keys") {
+    def bad(cfg: String): String =
+      intercept[IllegalArgumentException](
+        Pipeline.run(spark, sf(), cfg)).getMessage
+    assert(bad("read table=documents\ndecontam n=13").contains("table="))
+    assert(bad("read table=documents\nqualityGate dim=32")
+      .contains("labelCol="))
+    assert(bad("read table=documents\ntokenize merges=2\nshards budget=64")
+      .contains("path="))
+    assert(intercept[IllegalArgumentException](Pipeline.parse(
+      "read table=documents\nrepetitionGate ngram=2")).getMessage
+      .contains("unknown repetitionGate param"))
+  }
+
   test("write stage materializes files and passes the frame through") {
     val out = java.nio.file.Files.createTempDirectory("pipeline_spec").toString
     val cfg =

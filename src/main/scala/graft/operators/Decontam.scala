@@ -22,8 +22,10 @@ import graft.functions.Text
 object Decontam {
 
   /** Above this many benchmark grams the literal-array form would bloat
-    * every task's serialized plan; switch to the broadcast-join form. */
-  private[operators] val LiteralGramLimit: Int = 1 << 16
+    * every task's serialized plan; switch to the broadcast-join form
+    * (batch only — [[graft.streaming.DecontamGate]] requires the
+    * literal branch and fails fast past this). */
+  private[graft] val LiteralGramLimit: Int = 1 << 16
 
   /** [[semanticOverlap]]'s benchmark budget: total embedding VALUES
     * (rows × dim) before the O(corpus × benchmark) eval-gate design

@@ -734,7 +734,22 @@ object Dedup {
     * the input frame minus the losers (all columns intact). Inherits
     * every scale property of its stages: skew-guarded banding, one
     * label frame of O(|docs in pairs|), and a final left-anti join
-    * whose build side is loser-sized. */
+    * whose build side is loser-sized.
+    *
+    * ==Which near-dup pruner?==
+    * Three one-call entry points share the candidates → clusters →
+    * keep-winner shape but see different duplication (SURVEY §2.4):
+    *
+    * | entry point | representation | catches | misses | cost |
+    * |---|---|---|---|---|
+    * | [[pruneNearDups]] (this) | shingle MinHash (phrase structure) | verbatim + lightly-edited copies, shared long passages | rewordings that keep no w-gram | banded LSH, one text-side shuffle |
+    * | [[graft.operators.DocEmbed.pruneNearDups]] | hashed BoW → sign projection (word multiset, order-free) | reordered / shuffled near-copies whose shingle Jaccard collapses but BoW cosine survives | true paraphrase with different words; loses phrase evidence | one BoW shuffle + one kernel pass + sign-LSH pairing |
+    * | [[graft.operators.SemDedup.mark]] | caller-supplied MODEL embeddings | semantic duplicates (translations, paraphrase) to the encoder's resolution | anything the encoder conflates or misses; needs an embedding column | centroid assignment + in-cluster tiled pairs |
+    *
+    * All three are skew-guarded (star over over-cap buckets / tiled
+    * in-cluster quadratics) and keep a deterministic winner. Run them
+    * in that order when composing: each later member only pays for
+    * what the cheaper one left behind. */
   def pruneNearDups(df: DataFrame, textCol: String, idCol: String,
                     shingle: Int = 5, bands: Int = 4,
                     maxBucket: Int = 1024): DataFrame = {

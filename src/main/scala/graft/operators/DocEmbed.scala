@@ -56,7 +56,10 @@ object DocEmbed {
     * minimum id. Catches reworded/reordered near-copies whose shingle
     * Jaccard collapses but whose BoW cosine survives — complementary to
     * [[Dedup.pruneNearDups]] (which sees phrase structure this
-    * representation discards). All payload columns survive.
+    * representation discards). All payload columns survive. The
+    * family picker table — this vs shingle MinHash vs model-embedding
+    * SemDedup, what each catches at what cost — lives at
+    * [[Dedup.pruneNearDups]].
     *
     * `bits` defaults to [[Similarity.AutoBits]]: the LSH geometry is
     * sized from the corpus (⌈log₂(n/64)⌉, clamped to `outDim` — the

@@ -18,6 +18,10 @@ import graft.functions.Vectors
   * the per-cluster all-pairs affordable — the paper's regime). Keep
   * preference is deterministic: the smaller id of a qualifying pair
   * survives, so reruns mark identical losers.
+  *
+  * The near-dup family picker table — this (model embeddings) vs
+  * shingle MinHash vs hashed-BoW cosine, what each catches at what
+  * cost — lives at [[Dedup.pruneNearDups]].
   */
 object SemDedup {
 

@@ -43,7 +43,10 @@ object Pipeline {
     *  - `tokenize` trains `merges` BPE merges in-run and appends
     *    `token_ids`; `shards` writes size-budgeted shard files under
     *    `path` and RETURNS THE MANIFEST (a sink, like `write` — put it
-    *    last). */
+    *    last).
+    *  - `sample` (content-addressed rate sampling) and `balanceSources`
+    *    (α=0.5 temperature mixing over `byCol`) cover the mixture side
+    *    of the recipe. */
   private val Allowed: Map[String, Set[String]] = Map(
     "read" -> Set("table", "idCol", "textCol"),
     "clean" -> Set("form", "lowercase"),
@@ -60,6 +63,8 @@ object Pipeline {
     "minTokens" -> Set("n"),
     "langId" -> Set("langCol", "langs", "dim", "n", "iterations"),
     "qualityGate" -> Set("labelCol", "labelTrue", "dim", "iterations", "tau"),
+    "sample" -> Set("rate", "salt"),
+    "balanceSources" -> Set("byCol"),
     "tokenize" -> Set("merges"),
     "split" -> Set("trainPct", "valPct"),
     "shards" -> Set("path", "budget", "chunkTokens", "overlap"),
@@ -171,6 +176,13 @@ object Pipeline {
             "__qg_label", idCol, dim, int(s, "iterations", 5))
           operators.Classifier.gate(df, textCol, idCol, model.weights,
             model.bias, dim, dbl(s, "tau", 0.5))
+        case "sample" =>
+          if (!s.params.contains("rate")) throw new IllegalArgumentException(
+            s"pipeline line ${s.line}: sample needs rate=")
+          operators.Mix.sampleByHash(df, idCol, dbl(s, "rate", 0.0),
+            s.params.getOrElse("salt", ""))
+        case "balanceSources" => operators.Mix.balanceSources(df, idCol,
+          s.params.getOrElse("byCol", "source"))
         case "tokenize" =>
           val ms = operators.Bpe.train(df, textCol, int(s, "merges", 30))
             ._1.map(m => (m._2, m._3))

@@ -125,6 +125,10 @@ class PipelineSpec extends SparkSpec {
     same("read table=documents\ndedupSpans w=5 minKept=10\n",
       operators.Spans.removeDupSpans(d, "text", "doc_id", 5)
         .withColumnRenamed("clean_text", "text").filter($"n_kept" >= 10))
+    same("read table=documents\nsample rate=0.25 salt=r12\n",
+      operators.Mix.sampleByHash(d, "doc_id", 0.25, "r12"))
+    same("read table=documents\nbalanceSources\n",
+      operators.Mix.balanceSources(d, "doc_id", "source"))
   }
 
   test("decontam stage reads the benchmark table: self-benchmark drops " +
@@ -227,6 +231,7 @@ class PipelineSpec extends SparkSpec {
       .contains("labelCol="))
     assert(bad("read table=documents\ntokenize merges=2\nshards budget=64")
       .contains("path="))
+    assert(bad("read table=documents\nsample salt=x").contains("rate="))
     assert(intercept[IllegalArgumentException](Pipeline.parse(
       "read table=documents\nrepetitionGate ngram=2")).getMessage
       .contains("unknown repetitionGate param"))

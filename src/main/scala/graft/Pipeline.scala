@@ -41,9 +41,11 @@ object Pipeline {
     *    langId precedent): `labelCol` holds 0/1, or `labelTrue` turns a
     *    categorical column into labelCol == labelTrue.
     *  - `tokenize` trains `merges` BPE merges in-run and appends
-    *    `token_ids`; `shards` writes size-budgeted shard files under
-    *    `path` and RETURNS THE MANIFEST (a sink, like `write` — put it
-    *    last).
+    *    `token_ids`; `decontamIds` then gates in MODEL-TOKEN space
+    *    (q118), encoding its benchmark table with the run's own trained
+    *    merges — it therefore requires a preceding `tokenize`; `shards`
+    *    writes size-budgeted shard files under `path` and RETURNS THE
+    *    MANIFEST (a sink, like `write` — put it last).
     *  - `sample` (content-addressed rate sampling) and `balanceSources`
     *    (α=0.5 temperature mixing over `byCol`) cover the mixture side
     *    of the recipe. */
@@ -66,6 +68,7 @@ object Pipeline {
     "sample" -> Set("rate", "salt"),
     "balanceSources" -> Set("byCol"),
     "tokenize" -> Set("merges"),
+    "decontamIds" -> Set("table", "textCol", "n", "threshold"),
     "split" -> Set("trainPct", "valPct"),
     "shards" -> Set("path", "budget", "chunkTokens", "overlap"),
     "write" -> Set("path", "table", "format", "compression"))
@@ -127,6 +130,10 @@ object Pipeline {
     }.getOrElse(d)
     val source = Tables.load(spark, baseDir,
       head.params.getOrElse("table", "documents"))
+    // the one piece of cross-stage state: tokenize's trained merges,
+    // needed by decontamIds to encode the benchmark IDENTICALLY (an
+    // independently-trained benchmark vocabulary would never collide)
+    var trainedMerges: Option[Seq[(String, String)]] = None
     stages.tail.foldLeft(source) { (df, s) =>
       s.name match {
         case "clean" => df.withColumn(textCol, operators.Normalize.cleanText(
@@ -186,7 +193,24 @@ object Pipeline {
         case "tokenize" =>
           val ms = operators.Bpe.train(df, textCol, int(s, "merges", 30))
             ._1.map(m => (m._2, m._3))
+          trainedMerges = Some(ms)
           operators.Tokenizer.encode(df, textCol, ms)
+        case "decontamIds" =>
+          val ms = trainedMerges.getOrElse(
+            throw new IllegalArgumentException(
+              s"pipeline line ${s.line}: decontamIds requires a tokenize " +
+                "stage earlier in the config — the benchmark must be " +
+                "encoded with the run's own trained merges"))
+          val benchTable = s.params.getOrElse("table",
+            throw new IllegalArgumentException(
+              s"pipeline line ${s.line}: decontamIds needs table= (the " +
+                "benchmark fixture table)"))
+          val benchText = s.params.getOrElse("textCol", textCol)
+          val bench = operators.Tokenizer.encode(
+            Tables.load(spark, baseDir, benchTable)
+              .select(col(benchText).as(textCol)), textCol, ms)
+          operators.Decontam.decontaminateIds(df, bench, "token_ids",
+            int(s, "n", 13), dbl(s, "threshold", 0.01))
         case "shards" =>
           val path = s.params.getOrElse("path",
             throw new IllegalArgumentException(

@@ -149,6 +149,21 @@ object Decontam {
       .filter(!col("contaminated"))
       .drop("n_grams", "matched", "contamination", "contaminated")
 
+  /** The filtering form of [[idOverlapStats]] — decontamination in
+    * MODEL-TOKEN space: corpus minus documents whose token-ID n-gram
+    * overlap with the tokenized benchmark clears `threshold`. Both
+    * frames' `idsCol` must come from the SAME tokenizer merges, or the
+    * grams never collide and the check silently passes everything —
+    * the caller owns that invariant (the Pipeline `decontamIds` stage
+    * enforces it by encoding the benchmark with the run's own trained
+    * merges). */
+  def decontaminateIds(corpus: DataFrame, benchmark: DataFrame,
+                       idsCol: String, n: Int = 13,
+                       threshold: Double = 0.01): DataFrame =
+    idOverlapStats(corpus, benchmark, idsCol, n, threshold)
+      .filter(!col("contaminated"))
+      .drop("n_grams", "matched", "contamination", "contaminated")
+
   /** NEAR-duplicate decontamination — the paraphrase-leak check exact
     * n-gram overlap cannot make: a benchmark document reworded every
     * dozen tokens shares no 13-gram with its training-set twin, yet

@@ -188,6 +188,30 @@ class PipelineSpec extends SparkSpec {
     assert(got2.exceptAll(got).isEmpty && got.exceptAll(got2).isEmpty)
   }
 
+  test("decontamIds stage gates in model-token space with the run's " +
+      "own merges; requires a preceding tokenize") {
+    val d = Tables.load(spark, sf(), "documents")
+    // self-benchmark in ID space: every doc with >= 13 token ids drops,
+    // shorter docs are gram-less and pass — the q118 criterion from config
+    val got = Pipeline.run(spark, sf(),
+      "read table=documents\ntokenize merges=12\n" +
+        "decontamIds table=documents n=13 threshold=0.01\n")
+    val ms = operators.Bpe.train(d, "text", numMerges = 12)
+      ._1.map(m => (m._2, m._3))
+    val enc = operators.Tokenizer.encode(d, "text", ms)
+    val want = operators.Decontam.decontaminateIds(
+      enc, enc.select($"text", $"token_ids"), "token_ids", 13, 0.01)
+    assert(got.count() < d.count(),
+      "docs long enough to carry a 13-id-gram must fall to self-decontam")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, sf(),
+        "read table=documents\ndecontamIds table=documents\n")
+    }
+    assert(ex.getMessage.contains("tokenize"),
+      s"must demand the shared-merges invariant: ${ex.getMessage}")
+  }
+
   test("tokenize + shards stages: in-run BPE == hand-trained merges; " +
       "shard manifest == hand-written writeShards") {
     val d = Tables.load(spark, sf(), "documents")

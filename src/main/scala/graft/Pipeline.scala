@@ -109,15 +109,73 @@ object Pipeline {
     stages
   }
 
+  /** Cross-stage run context: the resolved id/text column names and the
+    * one piece of mutable state — tokenize's trained merges, needed by
+    * decontamIds to encode the benchmark IDENTICALLY (an independently-
+    * trained benchmark vocabulary would never collide). */
+  private final class Ctx(val spark: SparkSession, val baseDir: String,
+                          val idCol: String, val textCol: String) {
+    var trainedMerges: Option[Seq[(String, String)]] = None
+  }
+
+  private def prepare(spark: SparkSession, baseDir: String,
+                      config: String): (Seq[Stage], DataFrame, Ctx) = {
+    val stages = parse(config)
+    val head = stages.head
+    val ctx = new Ctx(spark, baseDir,
+      head.params.getOrElse("idCol", "doc_id"),
+      head.params.getOrElse("textCol", "text"))
+    val source = Tables.load(spark, baseDir,
+      head.params.getOrElse("table", "documents"))
+    (stages, source, ctx)
+  }
+
   /** Executes the config against `baseDir`'s fixture tables and returns
     * the final frame (any `write` stage has already materialized by
     * then — it is the only action; everything else stays one lazy
     * plan). */
   def run(spark: SparkSession, baseDir: String, config: String): DataFrame = {
-    val stages = parse(config)
-    val head = stages.head
-    val idCol = head.params.getOrElse("idCol", "doc_id")
-    val textCol = head.params.getOrElse("textCol", "text")
+    val (stages, source, ctx) = prepare(spark, baseDir, config)
+    stages.tail.foldLeft(source)((df, s) => applyStage(df, s, ctx))
+  }
+
+  /** [[run]] plus a per-stage DROP LEDGER — the Dolma attribute
+    * discipline at pipeline granularity: "which gate killed document
+    * X". Returns (final frame, ledger) where the ledger is one row
+    * `(stage, line, idCol)` per document present before a stage and
+    * absent after it (stages whose output doesn't carry `idCol` — e.g.
+    * a bench-manifest sink — are skipped). Costs what [[run]] doesn't:
+    * every intermediate frame is localCheckpoint-materialized (each
+    * stage computed exactly once, attribution never replays trainers)
+    * and each stage pays one id-side except. Ledger ids are distinct
+    * per stage (the documents contract); use [[run]] when attribution
+    * isn't needed. */
+  def runWithLedger(spark: SparkSession, baseDir: String,
+                    config: String): (DataFrame, DataFrame) = {
+    val (stages, source, ctx) = prepare(spark, baseDir, config)
+    val template = source.select(lit("").as("stage"), lit(0).as("line"),
+      col(ctx.idCol)).limit(0)
+    var ledgers = List.empty[DataFrame]
+    val out = stages.tail.foldLeft(source.localCheckpoint()) { (df, s) =>
+      val next = applyStage(df, s, ctx).localCheckpoint()
+      if (df.columns.contains(ctx.idCol) && next.columns.contains(ctx.idCol)) {
+        ledgers ::= df.select(col(ctx.idCol))
+          .except(next.select(col(ctx.idCol)))
+          .select(lit(s.name).as("stage"), lit(s.line).as("line"),
+            col(ctx.idCol))
+      }
+      next
+    }
+    (out, ledgers.reverse.foldLeft(template)(_ unionByName _))
+  }
+
+  /** One stage = one call into an oracle-pinned operator (the registry
+    * in [[Allowed]]); shared by [[run]] and [[runWithLedger]]. */
+  private def applyStage(df: DataFrame, s: Stage, ctx: Ctx): DataFrame = {
+    val spark = ctx.spark
+    val baseDir = ctx.baseDir
+    val idCol = ctx.idCol
+    val textCol = ctx.textCol
     def int(s: Stage, k: String, d: Int): Int = s.params.get(k).map { v =>
       try v.toInt catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
@@ -128,13 +186,7 @@ object Pipeline {
         throw new IllegalArgumentException(
           s"pipeline line ${s.line}: $k must be a number, got '$v'") }
     }.getOrElse(d)
-    val source = Tables.load(spark, baseDir,
-      head.params.getOrElse("table", "documents"))
-    // the one piece of cross-stage state: tokenize's trained merges,
-    // needed by decontamIds to encode the benchmark IDENTICALLY (an
-    // independently-trained benchmark vocabulary would never collide)
-    var trainedMerges: Option[Seq[(String, String)]] = None
-    stages.tail.foldLeft(source) { (df, s) =>
+    locally {
       s.name match {
         case "clean" => df.withColumn(textCol, operators.Normalize.cleanText(
           col(textCol), s.params.getOrElse("form", "NFC"),
@@ -193,10 +245,10 @@ object Pipeline {
         case "tokenize" =>
           val ms = operators.Bpe.train(df, textCol, int(s, "merges", 30))
             ._1.map(m => (m._2, m._3))
-          trainedMerges = Some(ms)
+          ctx.trainedMerges = Some(ms)
           operators.Tokenizer.encode(df, textCol, ms)
         case "decontamIds" =>
-          val ms = trainedMerges.getOrElse(
+          val ms = ctx.trainedMerges.getOrElse(
             throw new IllegalArgumentException(
               s"pipeline line ${s.line}: decontamIds requires a tokenize " +
                 "stage earlier in the config — the benchmark must be " +

@@ -230,6 +230,39 @@ class PipelineSpec extends SparkSpec {
       "config-run shard manifest must equal the hand-written one")
   }
 
+  test("runWithLedger: per-stage drop attribution sums to the corpus " +
+      "loss; run and ledger-run agree on the final frame") {
+    val cfg =
+      """read table=documents
+        |clean
+        |exactDedup
+        |nearDedup
+        |dedupSpans w=10 minKept=10
+        |split
+        |""".stripMargin
+    val (out, ledger) = Pipeline.runWithLedger(spark, sf(), cfg)
+    val plain = Pipeline.run(spark, sf(), cfg)
+    assert(out.exceptAll(plain).isEmpty && plain.exceptAll(out).isEmpty,
+      "attribution must not change the pipeline's result")
+    val total = Tables.load(spark, sf(), "documents").count()
+    assert(ledger.count() === total - out.count(),
+      "every lost document is attributed to exactly one stage")
+    // per-stage counts equal the hand-computed survivor diffs
+    val d = Tables.load(spark, sf(), "documents")
+    val cleaned = d.withColumn("text", operators.Normalize.cleanText($"text"))
+    val exact = operators.Dedup.exactByText(cleaned, "text", "doc_id")
+    val near = operators.Dedup.pruneNearDups(exact, "text", "doc_id")
+    val byStage = ledger.groupBy($"stage").count()
+      .as[(String, Long)].collect().toMap
+    assert(byStage.getOrElse("exactDedup", 0L) ===
+      cleaned.count() - exact.count())
+    assert(byStage.getOrElse("nearDedup", 0L) === exact.count() - near.count())
+    assert(!byStage.contains("clean") && !byStage.contains("split"),
+      "non-filtering stages must not appear in the ledger")
+    // a dropped doc is attributed with the stage's config line number
+    assert(ledger.filter($"stage" === "exactDedup" && $"line" =!= 3).isEmpty)
+  }
+
   test("flagship: the q100 full pipeline is a config") {
     val got = Pipeline.run(spark, sf(),
       """read table=documents

@@ -109,6 +109,50 @@ class RankEvalSpec extends SparkSpec {
       "gain-1 graded nDCG must equal binary nDCG exactly")
   }
 
+  test("property: seeded random rankings — all metrics in [0,1]; " +
+      "promoting a relevant doc past a non-relevant one never hurts") {
+    // deterministic LCG (the MarginMineSpec discipline — no Math.random)
+    var seed = 20260814L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 11) % bound + bound) % bound).toInt
+    }
+    val k = 5
+    for (round <- 1 to 5) {
+      val nDocs = 8 + nextInt(8)
+      val docs = (0 until nDocs).map(i => s"d$i")
+      val ranked = docs.zipWithIndex.map { case (d, i) => ("q", d, i + 1) }
+        .toDF("q", "id", "rank")
+      val rel = docs.filter(_ => nextInt(3) == 0)
+        .map(d => ("q", d, 1 + nextInt(3))).toDF("q", "id", "gain")
+      val rows = RankEval.gradedMetrics(ranked, rel, "q", "id", "rank",
+          "gain", k)
+        .as[(String, Long, Double, Double)].collect()
+      rows.foreach { case (_, _, ap, ndcg) =>
+        assert(ap >= 0.0 && ap <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0,
+          s"round $round: metrics must be in [0,1]: ap=$ap ndcg=$ndcg")
+      }
+      // promote the worst-ranked relevant doc one position past a
+      // non-relevant neighbor: ap and ndcg must not decrease
+      val relSet = rel.select($"id").as[String].collect().toSet
+      val order = docs.toArray
+      val idx = order.lastIndexWhere(relSet.contains)
+      if (idx > 0 && !relSet.contains(order(idx - 1))) {
+        val swapped = order.clone()
+        val t = swapped(idx); swapped(idx) = swapped(idx - 1); swapped(idx - 1) = t
+        val ranked2 = swapped.zipWithIndex.toSeq
+          .map { case (d, i) => ("q", d, i + 1) }.toDF("q", "id", "rank")
+        def m(r: org.apache.spark.sql.DataFrame) =
+          RankEval.gradedMetrics(r, rel, "q", "id", "rank", "gain", k)
+            .as[(String, Long, Double, Double)].head()
+        val before = m(ranked); val after = m(ranked2)
+        assert(after._3 >= before._3 - 1e-12 && after._4 >= before._4 - 1e-12,
+          s"round $round: promoting a relevant doc must never hurt " +
+            s"(ap ${before._3}->${after._3}, ndcg ${before._4}->${after._4})")
+      }
+    }
+  }
+
   test("a judged query the retriever returned NOTHING for scores 0, " +
       "not dropped (averaged metrics must see the failure)") {
     val ranked = Seq(("q1", "a", 1)).toDF("q", "id", "rank")

@@ -483,6 +483,55 @@ object Similarity {
     knnGraph(corpus, idCol, embCol, k, bits, tables)
   }
 
+  /** SKEW-AWARE LSH sizing — [[autoBits]]' formula assumes uniform
+    * bucket occupancy, but real embedding families violate it: hashed-
+    * BoW document embeddings concentrate on few sign patterns (common-
+    * word mass pushes most documents the same way — measured ~12×
+    * candidate inflation at the formula geometry, SURVEY §6), so the
+    * formula's "expected bucket = targetBucket" understates candidate
+    * mass by the corpus's skew factor. This variant MEASURES: starting
+    * at the formula bits, it counts the actual candidate pairs per row
+    * (Σ b·(b−1)/2 over buckets, one cheap aggregation per step) and
+    * adds bits until the measured mass is within `slack`× the uniform
+    * target or the dim/tables clamp is hit. Bounded work: candidates
+    * only shrink as bits grow, and the loop runs at most the clamp
+    * minus the formula start (each step one count-shaped job over n
+    * sig rows).
+    *
+    * Opt-in by design: the dynamic-bits ORACLES pin the formula
+    * geometry, so registered queries keep [[AutoBits]]; pass this
+    * result as explicit `bits` to [[knnGraph]]/[[writeKnnStore]]/
+    * [[marginMineBucketed]] when the corpus is known skewed (stores
+    * stamp whatever geometry they are given, so the whole lifecycle
+    * inherits it). Exact re-scoring semantics are unchanged — more
+    * bits only trades boundary recall for candidate cost, the
+    * documented knob. */
+  def autoBitsSkewAware(corpus: DataFrame, idCol: String, embCol: String,
+                        tables: Int = 2, targetBucket: Int = 64,
+                        slack: Double = 2.0): Int = {
+    require(tables >= 1 && targetBucket >= 1 && slack >= 1.0,
+      s"autoBitsSkewAware: tables >= 1, targetBucket >= 1, slack >= 1")
+    graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val vecs = corpus.select(col(idCol), col(embCol)).localCheckpoint()
+    val n = vecs.count()
+    require(n >= 1, "autoBitsSkewAware: empty corpus")
+    val dim = vecs.select(size(col(embCol))).head().getInt(0)
+    val clamp = math.max(1, dim / tables)
+    var bits = math.min(autoBits(n, dim, tables, targetBucket), clamp)
+    // uniform target: ~targetBucket candidates per row per table
+    val budget = (slack * n.toDouble * targetBucket * tables).toLong
+    def mass(b: Int): Long = {
+      val row = lshSigs(vecs, idCol, embCol, b, tables)
+        .groupBy(col("__tbl"), col("__bucket"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__n") * (col("__n") - lit(1L))).as("__m"))
+        .head()
+      if (row.isNullAt(0)) 0L else row.getLong(0) / 2
+    }
+    while (bits < clamp && mass(bits) > budget) bits += 1
+    bits
+  }
+
   /** (id, table, bucket) sign-LSH signature frame: one row per vector
     * per hash table, table t reading coordinate slice [t·bits, (t+1)·bits). */
   private def lshSigs(corpus: DataFrame, idCol: String, embCol: String,

@@ -48,6 +48,48 @@ class KnnGraphSpec extends SparkSpec {
     assert(auto.exceptAll(manual).isEmpty && manual.exceptAll(auto).isEmpty)
   }
 
+  test("autoBitsSkewAware: measured sizing caps candidate mass the " +
+      "formula understates on a skewed corpus; never below the formula") {
+    // the skewed corpus: hashed-BoW document embeddings (SURVEY §6 —
+    // common-word mass concentrates sign patterns, ~12x candidate
+    // inflation at formula geometry)
+    val docs = Tables.load(spark, sf(), "documents")
+    val bow = DocEmbed.hashedProjection(docs, "text", "doc_id")
+      .localCheckpoint()
+    val n = bow.count()
+    val dim = bow.select(size($"embedding")).head().getInt(0)
+    val tables = 2
+    val target = 8
+    val formula = Similarity.autoBits(n, dim, tables, target)
+    val skewed = Similarity.autoBitsSkewAware(bow, "doc_id", "embedding",
+      tables, target, slack = 2.0)
+    assert(skewed >= formula, "measured sizing never shrinks the formula")
+    def candMass(bits: Int): Long = {
+      def sig(t: Int) = graft.functions.Vectors
+        .signBucketAt($"embedding", bits, t * bits)
+      (0 until tables).map { t =>
+        bow.groupBy(sig(t).as("b")).count()
+          .agg(sum($"count" * ($"count" - 1L))).as[Long].head() / 2
+      }.sum
+    }
+    val clamp = math.max(1, dim / tables)
+    val budget = (2.0 * n * target * tables).toLong
+    assert(candMass(skewed) <= budget || skewed == clamp,
+      s"measured geometry must meet the budget or hit the clamp: " +
+        s"mass=${candMass(skewed)} budget=$budget bits=$skewed clamp=$clamp")
+    assert(candMass(formula) > budget,
+      "fixture sanity: the formula geometry really is over budget here " +
+        "(otherwise this test exercises nothing)")
+    // a near-uniform corpus (the embeddings fixture's random-ish signs)
+    // should not be inflated far past the formula
+    val uni = Similarity.autoBitsSkewAware(emb, "vec_id", "embedding",
+      tables, 64, slack = 2.0)
+    val uniFormula = Similarity.autoBits(emb.count(),
+      emb.select(size($"embedding")).head().getInt(0), tables, 64)
+    assert(uni <= uniFormula + 2,
+      s"uniform corpus must stay near the formula: $uni vs $uniFormula")
+  }
+
   test("knnGraph top-k runs as the heap aggregate, not a window sort") {
     val plan = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
       .queryExecution.executedPlan

@@ -276,8 +276,9 @@ object Pipeline {
         case "embedDedup" => operators.DocEmbed.pruneNearDups(df, textCol,
           idCol, dbl(s, "minCos", 0.9), int(s, "dim", 128),
           int(s, "outDim", 64),
-          // default AutoBits: config runs inherit corpus-sized geometry
-          int(s, "bits", operators.Similarity.AutoBits),
+          // default skew-aware: config runs inherit MEASURED geometry
+          // (BoW sign buckets are the known-skewed family)
+          int(s, "bits", operators.Similarity.SkewAwareBits),
           int(s, "maxBucket", 1024))
         case "minTokens" => df.filter(
           size(functions.Text.tokens(col(textCol))) >= int(s, "n", 10))

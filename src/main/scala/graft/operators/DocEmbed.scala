@@ -61,16 +61,23 @@ object DocEmbed {
     * SemDedup, what each catches at what cost — lives at
     * [[Dedup.pruneNearDups]].
     *
-    * `bits` defaults to [[Similarity.AutoBits]]: the LSH geometry is
-    * sized from the corpus (⌈log₂(n/64)⌉, clamped to `outDim` — the
-    * projection width IS the bit budget, see [[hashedProjection]]), so
-    * the same call stays linear from the fixture to the 100 TB corpus.
-    * Explicit bits are for parity pins only. */
+    * `bits` defaults to [[Similarity.SkewAwareBits]]: hashed-BoW sign
+    * buckets are exactly the skewed family [[Similarity.autoBitsSkewAware]]
+    * exists for (common-word mass concentrates sign patterns — measured
+    * ~12× candidate inflation at formula geometry, SURVEY §6), so this
+    * door sizes by MEASUREMENT: fewer over-cap star buckets (recall)
+    * and bounded candidate mass (cost), clamped to `outDim` — the
+    * projection width IS the bit budget, see [[hashedProjection]].
+    * Explicit bits are for parity pins only. The derived embedding
+    * frame is checkpointed: sizing, bucket stats, and both pairing
+    * branches read it rather than re-running the BoW pack per
+    * consumer. */
   def pruneNearDups(df: DataFrame, textCol: String, idCol: String,
                     minCos: Double = 0.9, dim: Int = 128,
-                    outDim: Int = 64, bits: Int = Similarity.AutoBits,
+                    outDim: Int = 64, bits: Int = Similarity.SkewAwareBits,
                     maxBucket: Int = 1024): DataFrame = {
     val emb = hashedProjection(df, textCol, idCol, dim, outDim)
+      .localCheckpoint()
     val pairs = Similarity.lshNearDup(emb, idCol, "embedding",
       bits = bits, minCos = minCos, maxBucket = maxBucket)
     val losers = Dedup.clusters(pairs, s"${idCol}_a", s"${idCol}_b")

@@ -85,6 +85,15 @@ object Similarity {
     * remember to opt into. */
   val AutoBits: Int = -1
 
+  /** `bits` sentinel for [[lshNearDup]]: size the geometry by
+    * MEASUREMENT ([[autoBitsSkewAware]]) instead of the uniform-bucket
+    * formula — the right default when the embedding family is known
+    * skewed (hashed-BoW text embeddings; [[DocEmbed.pruneNearDups]]
+    * defaults to this). Costs a few sizing aggregations up front;
+    * semantics unchanged (more bits only trade boundary recall for
+    * candidate cost). */
+  val SkewAwareBits: Int = -2
+
   /** The sizing formula behind [[AutoBits]]/[[knnGraphAuto]], exposed
     * for specs: expected bucket population stays at `targetBucket`
     * whatever the corpus size, so candidate pairs grow linearly in n. */
@@ -809,7 +818,9 @@ object Similarity {
     *
     * `bits` defaults to [[AutoBits]] — ⌈log₂(n / 64)⌉ sized from the
     * corpus (single-table geometry, so the clamp is the full embedding
-    * dimension). Fixture-sized literals here are the exact recall cliff
+    * dimension); pass [[SkewAwareBits]] to size by measurement instead
+    * (known-skewed families — the [[DocEmbed.pruneNearDups]] default).
+    * Fixture-sized literals here are the exact recall cliff
     * the AutoBits discipline exists to remove: 8 fixed bits = 256
     * buckets, and at 100× the fixture every bucket is over `maxBucket`,
     * silently degrading the whole corpus to star-approximation recall.
@@ -819,9 +830,13 @@ object Similarity {
                  bits: Int = AutoBits, minCos: Double = 0.3,
                  maxBucket: Int = 1024): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
-    require(bits >= 1 || bits == AutoBits, s"lshNearDup: bits >= 1: $bits")
+    require(bits >= 1 || bits == AutoBits || bits == SkewAwareBits,
+      s"lshNearDup: bits >= 1: $bits")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val rbits = resolveBits(corpus, embCol, bits, tables = 1)
+    val rbits =
+      if (bits == SkewAwareBits)
+        autoBitsSkewAware(corpus, idCol, embCol, tables = 1)
+      else resolveBits(corpus, embCol, bits, tables = 1)
     val a = s"${idCol}_a"
     val b = s"${idCol}_b"
     val w = Window.partitionBy(col("__bucket"))

@@ -560,12 +560,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(auto == explicitBits,
       s"auto geometry must resolve to $expected bits and match the " +
         "explicit run bit-for-bit")
-    // and the DERIVED-embedding door inherits it: pruneNearDups at its
-    // default keeps a pruned set identical to the explicitly-resolved run
+    // and the DERIVED-embedding door sizes by MEASUREMENT (its corpus
+    // family is the skewed one): pruneNearDups at its default keeps a
+    // pruned set identical to the explicitly skew-aware-resolved run
     val docs = Tables.load(spark, sf(), "documents").limit(300)
     val proj = DocEmbed.hashedProjection(docs, "text", "doc_id")
-    val pBits = Similarity.autoBits(proj.count(),
-      proj.select(size($"embedding")).head().getInt(0), tables = 1)
+      .localCheckpoint()
+    val pBits = Similarity.autoBitsSkewAware(proj, "doc_id", "embedding",
+      tables = 1)
     val keptAuto = DocEmbed.pruneNearDups(docs, "text", "doc_id",
       minCos = 0.95).select($"doc_id").as[Long].collect().toSet
     val keptExplicit = DocEmbed.pruneNearDups(docs, "text", "doc_id",

@@ -309,20 +309,33 @@ object Pipeline {
     }
   }
 
-  /** CLI: `Pipeline <baseDir> <configFile>` — runs the config and
-    * prints the surviving row count (writes happen inside `write`
-    * stages). */
+  /** CLI: `Pipeline <baseDir> <configFile> [--ledger]` — runs the
+    * config and prints the surviving row count (writes happen inside
+    * `write` stages); `--ledger` switches to [[runWithLedger]] and also
+    * prints per-stage drop counts. */
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: Pipeline <baseDir> <configFile>")
+      System.err.println("usage: Pipeline <baseDir> <configFile> [--ledger]")
       sys.exit(2)
     }
     val Array(baseDir, configPath) = args.take(2)
+    val wantLedger = args.drop(2).contains("--ledger")
     val config = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(configPath)), "UTF-8")
     val spark = GraftSession.local(
       Runtime.getRuntime.availableProcessors())
-    try println(s"pipeline: ${run(spark, baseDir, config).count()} rows")
-    finally spark.stop()
+    try {
+      if (wantLedger) {
+        val (out, ledger) = runWithLedger(spark, baseDir, config)
+        ledger.groupBy(col("stage"), col("line"))
+          .agg(count(lit(1)).as("dropped"))
+          .orderBy(col("line"))
+          .collect()
+          .foreach(r => println(
+            s"pipeline: stage ${r.getString(0)} (line ${r.getInt(1)}) " +
+              s"dropped ${r.getLong(2)}"))
+        println(s"pipeline: ${out.count()} rows")
+      } else println(s"pipeline: ${run(spark, baseDir, config).count()} rows")
+    } finally spark.stop()
   }
 }

@@ -68,9 +68,10 @@ object Similarity {
   def knnGraph(corpus: DataFrame, idCol: String, embCol: String, k: Int,
                bits: Int = AutoBits, tables: Int = 2): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    require(tables >= 1 && (bits >= 1 || bits == AutoBits),
+    require(tables >= 1 &&
+        (bits >= 1 || bits == AutoBits || bits == SkewAwareBits),
       s"knnGraph: need >=1 table/bit")
-    val b = resolveBits(corpus, embCol, bits, tables)
+    val b = resolveGeometry(corpus, idCol, embCol, bits, tables)
     val s = lshSigs(corpus, idCol, embCol, b, tables)
     keepTopK(scoreCandidates(bucketJoin(s, s), corpus, idCol, embCol), idCol, k)
   }
@@ -85,11 +86,15 @@ object Similarity {
     * remember to opt into. */
   val AutoBits: Int = -1
 
-  /** `bits` sentinel for [[lshNearDup]]: size the geometry by
-    * MEASUREMENT ([[autoBitsSkewAware]]) instead of the uniform-bucket
-    * formula — the right default when the embedding family is known
-    * skewed (hashed-BoW text embeddings; [[DocEmbed.pruneNearDups]]
-    * defaults to this). Costs a few sizing aggregations up front;
+  /** `bits` sentinel accepted by every geometry-taking entry point
+    * ([[lshNearDup]], [[knnGraph]], [[writeKnnStore]],
+    * [[marginMineBucketed]], [[writeMarginStore]]): size the geometry
+    * by MEASUREMENT ([[autoBitsSkewAware]]) instead of the
+    * uniform-bucket formula — the right choice when the embedding
+    * family is known skewed (hashed-BoW text embeddings;
+    * [[DocEmbed.pruneNearDups]] defaults to this). Stores stamp the
+    * RESOLVED bits, so appends/probes replay the measured geometry
+    * without re-measuring. Costs a few sizing aggregations up front;
     * semantics unchanged (more bits only trade boundary recall for
     * candidate cost). */
   val SkewAwareBits: Int = -2
@@ -180,10 +185,11 @@ object Similarity {
                     table: String, k: Int, bits: Int = AutoBits,
                     tables: Int = 2, buckets: Int = 8): Unit = {
     val spark = corpus.sparkSession
-    // auto-sized geometry is resolved to a CONCRETE bits value here so
-    // the stamp records it: appends replay the stamped geometry, never
-    // re-derive it (a growing store would otherwise drift tables apart)
-    val b = resolveBits(corpus, embCol, bits, tables)
+    // auto-sized geometry (formula or measured) is resolved to a
+    // CONCRETE bits value here so the stamp records it: appends replay
+    // the stamped geometry, never re-derive it (a growing store would
+    // otherwise drift tables apart)
+    val b = resolveGeometry(corpus, idCol, embCol, bits, tables)
     graft.sinks.Bucketing.writeBucketed(
       corpus.select(col(idCol), col(embCol)),
       knnVectorsTable(table), Seq(idCol), buckets)
@@ -347,7 +353,7 @@ object Similarity {
                        tables: Int = 2, buckets: Int = 8): Unit = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     val spark = corpus.sparkSession
-    val b = resolveBits(corpus, embCol, bits, tables)
+    val b = resolveGeometry(corpus, idCol, embCol, bits, tables)
     graft.sinks.Bucketing.writeBucketed(
       corpus.select(col(idCol), col(embCol)),
       marginVectorsTable(table), Seq(idCol), buckets)
@@ -540,6 +546,17 @@ object Similarity {
     while (bits < clamp && mass(bits) > budget) bits += 1
     bits
   }
+
+  /** [[resolveBits]] plus the [[SkewAwareBits]] sentinel — the shared
+    * front door of every geometry-taking entry point: explicit bits
+    * pass through (parity pins), [[AutoBits]] applies the uniform
+    * formula, [[SkewAwareBits]] measures. */
+  private def resolveGeometry(corpus: DataFrame, idCol: String,
+                              embCol: String, bits: Int, tables: Int,
+                              targetBucket: Int = 64): Int =
+    if (bits == SkewAwareBits)
+      autoBitsSkewAware(corpus, idCol, embCol, tables, targetBucket)
+    else resolveBits(corpus, embCol, bits, tables, targetBucket)
 
   /** (id, table, bucket) sign-LSH signature frame: one row per vector
     * per hash table, table t reading coordinate slice [t·bits, (t+1)·bits). */
@@ -741,7 +758,7 @@ object Similarity {
     graft.functions.GraftFunctions.ensureRegistered(a.sparkSession)
     val union = a.select(col(idCol), col(embCol))
       .unionByName(b.select(col(idCol), col(embCol)))
-    val bts = resolveBits(union, embCol, bits, tables)
+    val bts = resolveGeometry(union, idCol, embCol, bits, tables)
     val cand = bucketJoin(lshSigs(a, idCol, embCol, bts, tables),
         lshSigs(b, idCol, embCol, bts, tables))
       .select(col("q_id").as("a_id"), col("__dst").as("b_id"))
@@ -833,10 +850,7 @@ object Similarity {
     require(bits >= 1 || bits == AutoBits || bits == SkewAwareBits,
       s"lshNearDup: bits >= 1: $bits")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val rbits =
-      if (bits == SkewAwareBits)
-        autoBitsSkewAware(corpus, idCol, embCol, tables = 1)
-      else resolveBits(corpus, embCol, bits, tables = 1)
+    val rbits = resolveGeometry(corpus, idCol, embCol, bits, tables = 1)
     val a = s"${idCol}_a"
     val b = s"${idCol}_b"
     val w = Window.partitionBy(col("__bucket"))

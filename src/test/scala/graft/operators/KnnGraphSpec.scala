@@ -88,6 +88,15 @@ class KnnGraphSpec extends SparkSpec {
       emb.select(size($"embedding")).head().getInt(0), tables, 64)
     assert(uni <= uniFormula + 2,
       s"uniform corpus must stay near the formula: $uni vs $uniFormula")
+    // the sentinel routes every family door through the measurement:
+    // knnGraph(SkewAwareBits) == knnGraph(explicit measured bits)
+    val viaSentinel = Similarity.knnGraph(bow, "doc_id", "embedding",
+      k = 3, bits = Similarity.SkewAwareBits, tables = tables)
+    val viaExplicit = Similarity.knnGraph(bow, "doc_id", "embedding",
+      k = 3, bits = Similarity.autoBitsSkewAware(bow, "doc_id",
+        "embedding", tables), tables = tables)
+    assert(viaSentinel.exceptAll(viaExplicit).isEmpty &&
+      viaExplicit.exceptAll(viaSentinel).isEmpty)
   }
 
   test("knnGraph top-k runs as the heap aggregate, not a window sort") {

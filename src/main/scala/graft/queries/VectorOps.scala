@@ -1372,13 +1372,19 @@ object VectorOps {
        |  FROM p) WHERE rn <= 3""".stripMargin
 
   // -- q188: corpus×corpus TEXT similarity graph with no model —
-  // Similarity.knnGraph (AutoBits, two-table sign-LSH) over DocEmbed
-  // embeddings at the CORPUS-READY outDim 64 default (the round-13 wall:
-  // a 16-wide projection caps AutoBits at 8 bits/table and x100 ran
-  // >10 min; 64-wide carries 32 bits of geometry and runs linear —
-  // §6.1): the full bucketed ANN path on raw text, scale path ==
-  // correctness pin. Oracle: the shared derivation CTEs at width 64
-  // feeding q161's dynamic-bits sig/bucket-join/score/top-k chain. --
+  // Similarity.knnGraph (SkewAwareBits, two-table sign-LSH) over
+  // DocEmbed embeddings at the CORPUS-READY outDim 64 default (the
+  // round-13 wall: a 16-wide projection caps the bit budget at 8/table
+  // and x100 ran >10 min; 64-wide carries 32 bits of geometry — §6.1):
+  // the full bucketed ANN path on raw text, scale path == correctness
+  // pin — including the round-12 MEASURED geometry (BoW sign buckets
+  // are ~12x skewed vs the uniform formula; the measured sizing halves
+  // candidate mass and the build time, §6). Oracle: the shared
+  // derivation CTEs at width 64 feeding the occupancy-scan geo CTE
+  // (the autoBitsSkewAware loop as min-over-qualifying-b) and q161's
+  // dynamic-bits sig/bucket-join/score/top-k chain; hash-exact at both
+  // SFs where the measured bits DIFFER (3-vs-10ish) — the oracle
+  // tracks the measurement, not a pinned constant. --
   private val q188: Q = (s, dir) => {
     import s.implicits._
     // the derived embedding frame is an ARTIFACT (a production pipeline
@@ -1394,15 +1400,38 @@ object VectorOps {
     val e = graft.operators.DocEmbed.hashedProjection(
       Tables.load(s, dir, "documents"), "text", "doc_id", dim = 128)
       .localCheckpoint()
+    // registered at the MEASURED skew-aware geometry (round-12: BoW
+    // sign buckets are ~12x skewed vs the uniform formula's assumption;
+    // the oracle replicates the measurement — occupancy per candidate
+    // bits value, first b meeting the 2x-uniform budget scanning up)
     graft.operators.Similarity.knnGraph(e, "doc_id", "embedding",
-        k = 3, tables = 2)
+        k = 3, bits = graft.operators.Similarity.SkewAwareBits, tables = 2)
       .select($"q_id".as("src"), $"doc_id".as("dst"),
         round($"cos", 6).as("cos"))
   }
   private val q188Sql =
     s"""WITH ${docEmbCtes(64, "0.125")},
-       |geo AS (SELECT GREATEST(1, LEAST(
-       |    CAST(ceil(log2(count(*) / 64.0)) AS INT), 32)) AS bits FROM pr),
+       |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pr),
+       |fb AS (SELECT GREATEST(1, LEAST(
+       |    CAST(ceil(log2(n / 64.0)) AS INT), 32)) AS b0 FROM n0),
+       |-- the autoBitsSkewAware scan: for each candidate bits value b
+       |-- from the formula start to the dim/tables clamp (32), measure
+       |-- the candidate mass sum(cnt*(cnt-1))/2 over both tables'
+       |-- buckets; the engine stops at the FIRST b whose mass meets the
+       |-- slack*n*targetBucket*tables = 256*n budget (or the clamp),
+       |-- i.e. min(b) over the qualifying set
+       |cand_b AS (SELECT unnest(range(b0, 33)) AS b FROM fb),
+       |occ AS (
+       |  SELECT cb.b, t.tbl,
+       |    array_to_string(list_transform(
+       |      list_slice(pr.pe, 1 + cb.b * t.tbl, cb.b + cb.b * t.tbl),
+       |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pr, cand_b cb, (SELECT unnest([0, 1]) AS tbl) t
+       |  GROUP BY 1, 2, 3),
+       |massq AS (SELECT b, sum(cnt * (cnt - 1)) / 2 AS m FROM occ GROUP BY 1),
+       |geo AS (SELECT CAST(min(b) AS INT) AS bits FROM massq, n0
+       |        WHERE b = 32 OR m <= 256 * n),
        |sigs AS (SELECT doc_id, tbl,
        |    array_to_string(list_transform(
        |      list_slice(pe, 1 + bits * tbl, bits + bits * tbl),

@@ -294,6 +294,16 @@ class PipelineSpec extends SparkSpec {
       .contains("unknown repetitionGate param"))
   }
 
+  test("examples/curation.cfg stays runnable (the README recipe)") {
+    val cfg = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/curation.cfg")), "UTF-8")
+    val (out, ledger) = Pipeline.runWithLedger(spark, sf(), cfg)
+    assert(out.count() > 0, "the example recipe must keep documents")
+    assert(out.columns.contains("split") && out.columns.contains("token_ids"))
+    assert(ledger.count() ===
+      Tables.load(spark, sf(), "documents").count() - out.count())
+  }
+
   test("write stage materializes files and passes the frame through") {
     val out = java.nio.file.Files.createTempDirectory("pipeline_spec").toString
     val cfg =

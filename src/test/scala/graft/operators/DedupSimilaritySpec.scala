@@ -575,6 +575,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(keptAuto == keptExplicit)
   }
 
+  test("skew-aware sizing on an IRREDUCIBLE corpus: identical vectors " +
+      "can't be split by any geometry — terminate at the clamp, star " +
+      "guard still bounds the work") {
+    val n = 1500
+    val dup = spark.range(n).select($"id".as("vec_id"),
+      array((0 until 8).map(i => lit(0.1f * (i + 1))): _*).as("embedding"))
+    // no bits value separates identical sign patterns: the measurement
+    // must walk to the clamp (dim/tables = 8) and stop, not loop
+    val bits = Similarity.autoBitsSkewAware(dup, "vec_id", "embedding",
+      tables = 1)
+    assert(bits === 8, s"must stop at the dim clamp: $bits")
+    // and the operator at the skew-aware default still degrades to the
+    // O(b) min-id star, never the O(b^2) expansion
+    val rows = Similarity.lshNearDup(dup, "vec_id", "embedding",
+        bits = Similarity.SkewAwareBits, minCos = 0.5, maxBucket = 32)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == n - 1 && rows.forall(_._1 == 0L))
+  }
+
   test("pqEncode: hand-computed codes, ties to smaller code, zero shuffles") {
     // 4-dim vectors, m=2 subspaces of 2 dims, k=2 codes per subspace
     val cb = Seq(

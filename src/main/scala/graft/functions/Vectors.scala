@@ -56,4 +56,44 @@ object Vectors {
   def signBucketAt(a: Column, bits: Int, offset: Int): Column =
     concat((1 to bits).map(i =>
       when(element_at(a, offset + i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** [[signBucketAt]] with the bucketing hyperplanes CENTERED at
+    * `center` (one threshold per coordinate, a plan literal — zero extra
+    * cost): bit i is `x[offset+i] >= center(offset+i)` instead of
+    * `>= 0`. Sign buckets assume each coordinate straddles zero; skewed
+    * embedding families (hashed-BoW projections, where common-token mass
+    * pushes every document the same way) concentrate on few sign
+    * patterns, and centering the comparison at the corpus's own
+    * per-coordinate mean ([[graft.operators.Similarity.corpusCenter]])
+    * re-balances the buckets — the recall/cost alternative to paying for
+    * more bits ([[graft.operators.Similarity.autoBitsSkewAware]]).
+    * A zero center vector reproduces [[signBucketAt]] exactly (floats
+    * widen to double losslessly, so `x.cast(double) >= 0.0` ≡
+    * `x >= 0f`). */
+  /** `a − center`, element-wise, as `array<double>` — the embedding
+    * half of the centering pair (the "all-but-the-top" recipe, Mu &
+    * Viswanath 2018: subtract the corpus mean so the shared component
+    * every skewed-family vector carries stops dominating both the
+    * buckets and the scores). Bucketing the RESULT with the plain
+    * origin-hyperplane [[signBucketAt]] equals bucketing the input with
+    * [[signBucketCenteredAt]] — but cosine over centered vectors is a
+    * DIFFERENT (usually better-contrasted) similarity than raw cosine,
+    * and sign-LSH through the origin is the locality family of the
+    * similarity actually scored, so the metric-consistent construction
+    * is: center once (this — one narrow zero-shuffle projection), then
+    * run the standard machinery. Per-element subtraction is a single
+    * IEEE op on exactly-widened floats — bit-reproducible across
+    * engines. */
+  def centered(a: Column, center: Seq[Double]): Column =
+    zip_with(a, typedlit(center), (x, m) => x.cast("double") - m)
+
+  def signBucketCenteredAt(a: Column, bits: Int, offset: Int,
+                           center: Seq[Double]): Column = {
+    require(center.length >= offset + bits,
+      s"signBucketCenteredAt: center has ${center.length} coordinates, " +
+        s"bucketing reads ${offset + bits}")
+    concat((1 to bits).map(i =>
+      when(element_at(a, offset + i).cast("double") >= lit(center(offset + i - 1)),
+        lit("1")).otherwise(lit("0"))): _*)
+  }
 }

@@ -86,6 +86,33 @@ object DocEmbed {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[hashedProjection]] + [[Similarity.corpusCenter]] +
+    * [[graft.functions.Vectors.centered]] in ONE call — the
+    * metric-consistent centering recipe (all-but-the-top; q192):
+    * hashed-BoW projections carry the corpus's common-token offset, so
+    * their sign buckets are skewed and their raw cosines compressed;
+    * subtracting the per-coordinate mean removes the shared component,
+    * the skew-aware occupancy scan settles AT the uniform formula bits
+    * (measured, CenterScale/SURVEY §6 — no measurement pass needed in
+    * production), and recall per candidate beats the raw pipeline.
+    * Returns the centered frame AND the center itself — stamp the
+    * latter beside any store built from the frame
+    * ([[Similarity.writeKnnStore]]'s `center` slot or your own), and
+    * center every future batch with the SAME vector. Downstream cosines
+    * are CENTERED cosines — a different (better-contrasted) similarity
+    * than [[hashedProjection]]'s raw BoW cosine; thresholds do not
+    * carry over between the two. */
+  def centeredProjection(df: DataFrame, textCol: String, idCol: String,
+                         dim: Int = 128, outDim: Int = 64,
+                         sampleK: Int = 65536): (DataFrame, Seq[Double]) = {
+    val e = hashedProjection(df, textCol, idCol, dim, outDim)
+      .localCheckpoint()
+    val center = Similarity.corpusCenter(e, idCol, "embedding", sampleK)
+    (e.select(col(idCol),
+      graft.functions.Vectors.centered(col("embedding"), center)
+        .as("embedding")), center)
+  }
+
   /** Smallest power-of-four embedding width whose bit budget supports
     * the geometry [[Similarity.AutoBits]] wants for an n-document
     * corpus: tables·⌈log₂(n/targetBucket)⌉ ≤ outDim (the q161 sizing

@@ -64,15 +64,35 @@ object Similarity {
     * per-node cut — no window sort, no corpus broadcast. Hot buckets
     * (boilerplate embeddings) are the same skew the LSH dedup family
     * caps; here they surface as dense graph neighborhoods, which the
-    * top-k heap bounds at k edges per node regardless. */
+    * top-k heap bounds at k edges per node regardless.
+    *
+    * `center` (optional) re-anchors every bucketing hyperplane at the
+    * given per-coordinate thresholds ([[corpusCenter]]); empty keeps
+    * the plain sign buckets. Exact re-scoring is unchanged — centering
+    * only moves CANDIDATE generation, which is also why this knob is
+    * the MACHINERY, not the recommended recipe: hyperplanes off the
+    * origin break sign-LSH's cosine-monotone collision property, so
+    * threshold-centered buckets harvest centered-metric neighborhoods
+    * while the scores stay raw cosine (measured, CenterScale at sf0.1:
+    * balanced buckets and 2.4× less candidate mass, but lower recall
+    * per candidate AGAINST THE RAW-COSINE truth than just paying for
+    * more bits). When the corpus is skewed, the metric-CONSISTENT move
+    * is to center the EMBEDDINGS once ([[Vectors.centered]] — the
+    * all-but-the-top recipe) and feed the result here with no `center`:
+    * buckets and scores then share the centered space, the skew-aware
+    * scan settles at the uniform formula bits, and recall@3 vs its own
+    * exact form beat the raw pipeline at 40% less candidate mass
+    * (0.45 @ 0.7 M vs 0.43 @ 1.16 M — q192 registers that recipe). */
   def knnGraph(corpus: DataFrame, idCol: String, embCol: String, k: Int,
-               bits: Int = AutoBits, tables: Int = 2): DataFrame = {
+               bits: Int = AutoBits, tables: Int = 2,
+               center: Seq[Double] = Nil): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
     require(tables >= 1 &&
         (bits >= 1 || bits == AutoBits || bits == SkewAwareBits),
       s"knnGraph: need >=1 table/bit")
-    val b = resolveGeometry(corpus, idCol, embCol, bits, tables)
-    val s = lshSigs(corpus, idCol, embCol, b, tables)
+    val b = resolveGeometry(corpus, idCol, embCol, bits, tables,
+      center = center)
+    val s = lshSigs(corpus, idCol, embCol, b, tables, center)
     keepTopK(scoreCandidates(bucketJoin(s, s), corpus, idCol, embCol), idCol, k)
   }
 
@@ -111,11 +131,22 @@ object Similarity {
   }
 
   /** One count + one head job when auto-sizing; zero jobs for explicit
-    * bits (the parity-pin path is unchanged). */
+    * bits (the parity-pin path is unchanged). [[SkewAwareBits]] is
+    * REJECTED here, loudly: the entry points that deliberately skip the
+    * measurement ([[knnGraphAppend]] — whose rebuild identity requires
+    * replaying the OLD graph's geometry, not re-measuring it) would
+    * otherwise thread the -2 sentinel into [[lshSigs]] as a zero-bit
+    * bucket expression — every row in ONE bucket, a silent quadratic. */
   private def resolveBits(corpus: DataFrame, embCol: String, bits: Int,
                           tables: Int, targetBucket: Int = 64): Int =
-    if (bits != AutoBits) bits
-    else {
+    if (bits != AutoBits) {
+      require(bits >= 1,
+        s"bits = $bits: this entry point takes explicit bits or AutoBits " +
+          "only. SkewAwareBits re-measures the corpus — wrong for " +
+          "geometry-replaying paths (knnGraphAppend); resolve it up front " +
+          "via autoBitsSkewAware and pass the concrete value")
+      bits
+    } else {
       val n = corpus.count()
       val dim = corpus.select(size(col(embCol))).head().getInt(0)
       autoBits(n, dim, tables, targetBucket)
@@ -136,17 +167,20 @@ object Similarity {
     * the old graph contributes k·|old| rows to the final heap re-cut. */
   def knnGraphAppend(oldGraph: DataFrame, oldCorpus: DataFrame,
                      newBatch: DataFrame, idCol: String, embCol: String,
-                     k: Int, bits: Int = AutoBits, tables: Int = 2): DataFrame = {
+                     k: Int, bits: Int = AutoBits, tables: Int = 2,
+                     center: Seq[Double] = Nil): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(oldCorpus.sparkSession)
     // the rebuild identity requires the OLD graph's geometry: AutoBits
     // resolves against the old corpus, mirroring what a default-geometry
     // knnGraph(oldCorpus) chose at build time. Persistent stores don't
-    // rely on this mirror — appendToKnnStore replays the stamped value.
+    // rely on this mirror — appendToKnnStore replays the stamped value
+    // (bits AND center: a drifting center would land the batch in
+    // buckets the stored signatures never occupied).
     val b = resolveBits(oldCorpus, embCol, bits, tables)
     val all = oldCorpus.select(col(idCol), col(embCol))
       .unionByName(newBatch.select(col(idCol), col(embCol)))
-    val sAll = lshSigs(all, idCol, embCol, b, tables)
-    val sNew = lshSigs(newBatch, idCol, embCol, b, tables)
+    val sAll = lshSigs(all, idCol, embCol, b, tables, center)
+    val sNew = lshSigs(newBatch, idCol, embCol, b, tables, center)
     // new×new pairs appear in both joins — distinct, or the heap would
     // count a duplicated best neighbor twice and shift the k-th slot
     val touching = bucketJoin(sNew, sAll)
@@ -171,8 +205,21 @@ object Similarity {
   val KnnGeometryProp = "graft.knn.geometry"
   def knnVectorsTable(table: String): String = s"${table}_vectors"
   def knnEdgesTable(table: String): String = s"${table}_edges"
-  private def geomString(k: Int, bits: Int, tables: Int): String =
-    s"k=$k;bits=$bits;tables=$tables"
+  // center coordinates are stamped as raw IEEE-754 bit patterns (hex
+  // longs), not decimal strings: the replayed thresholds must be
+  // BIT-IDENTICAL to the written ones or a probe lands beside the
+  // stored signatures at the bucket boundary
+  private def centerString(center: Seq[Double]): String =
+    center.map(d => java.lang.Long.toHexString(
+      java.lang.Double.doubleToRawLongBits(d))).mkString(",")
+  private[graft] def parseCenter(s: String): Seq[Double] =
+    if (s.isEmpty) Nil
+    else s.split(",").toSeq.map(h =>
+      java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(h, 16)))
+  private def geomString(k: Int, bits: Int, tables: Int,
+                         center: Seq[Double] = Nil): String =
+    s"k=$k;bits=$bits;tables=$tables" +
+      (if (center.isEmpty) "" else s";center=${centerString(center)}")
 
   /** Persists the k-NN graph as the incremental-store pair
     * `<table>_vectors` (id, embedding; bucketed by id — the append
@@ -183,20 +230,24 @@ object Similarity {
     * fingerprint / signature / semantic / span / postings stores. */
   def writeKnnStore(corpus: DataFrame, idCol: String, embCol: String,
                     table: String, k: Int, bits: Int = AutoBits,
-                    tables: Int = 2, buckets: Int = 8): Unit = {
+                    tables: Int = 2, buckets: Int = 8,
+                    center: Seq[Double] = Nil): Unit = {
     val spark = corpus.sparkSession
     // auto-sized geometry (formula or measured) is resolved to a
     // CONCRETE bits value here so the stamp records it: appends replay
     // the stamped geometry, never re-derive it (a growing store would
-    // otherwise drift tables apart)
-    val b = resolveGeometry(corpus, idCol, embCol, bits, tables)
+    // otherwise drift tables apart). The center vector is part of that
+    // geometry — it moves every bucketing hyperplane — so it is stamped
+    // (bit-exact) and replayed the same way.
+    val b = resolveGeometry(corpus, idCol, embCol, bits, tables,
+      center = center)
     graft.sinks.Bucketing.writeBucketed(
       corpus.select(col(idCol), col(embCol)),
       knnVectorsTable(table), Seq(idCol), buckets)
     graft.sinks.Bucketing.writeBucketed(
-      knnGraph(corpus, idCol, embCol, k, b, tables),
+      knnGraph(corpus, idCol, embCol, k, b, tables, center),
       knnEdgesTable(table), Seq("q_id"), buckets)
-    val geom = geomString(k, b, tables)
+    val geom = geomString(k, b, tables, center)
     Seq(knnVectorsTable(table), knnEdgesTable(table)).foreach { t =>
       spark.sql(
         s"ALTER TABLE `$t` SET TBLPROPERTIES ('$KnnGeometryProp' = '$geom')")
@@ -204,7 +255,7 @@ object Similarity {
   }
 
   private def storedGeometry(spark: org.apache.spark.sql.SparkSession,
-                             table: String): (Int, Int, Int) = {
+                             table: String): (Int, Int, Int, Seq[Double]) = {
     // A crash inside a staged rewrite's drop/rename window leaves only
     // the finished staging copy; complete the rename here so every store
     // entry point (append, open) converges on retry instead of throwing
@@ -216,9 +267,10 @@ object Similarity {
       throw new IllegalStateException(
         s"'$table' carries no $KnnGeometryProp stamp — not a k-NN store " +
           "table, or an interrupted write; rebuild via writeKnnStore"))
-    val re = "k=(\\d+);bits=(\\d+);tables=(\\d+)".r
+    val re = "k=(\\d+);bits=(\\d+);tables=(\\d+)(?:;center=([0-9a-f,]+))?".r
     raw match {
-      case re(k, b, t) => (k.toInt, b.toInt, t.toInt)
+      case re(k, b, t, c) =>
+        (k.toInt, b.toInt, t.toInt, parseCenter(Option(c).getOrElse("")))
       case _ => throw new IllegalStateException(
         s"unparseable geometry stamp '$raw' on '$table'")
     }
@@ -243,7 +295,7 @@ object Similarity {
     val geomV = storedGeometry(spark, vt)
     require(geomE == geomV,
       s"geometry stamps diverge between '$vt' ($geomV) and '$et' ($geomE)")
-    val (k, bits, tables) = geomE
+    val (k, bits, tables, center) = geomE
     val oldVecs = spark.table(vt)
     // stage-boundary pin: the fresh set is consumed by both the edge
     // rewrite and the final vectors append, and must be decided BEFORE
@@ -252,7 +304,7 @@ object Similarity {
       .join(oldVecs.select(col(idCol)), Seq(idCol), "left_anti")
       .localCheckpoint()
     val merged = knnGraphAppend(spark.table(et), oldVecs, fresh,
-      idCol, embCol, k, bits, tables)
+      idCol, embCol, k, bits, tables, center)
     val buckets = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(et))
       .bucketSpec.get.numBuckets
@@ -287,7 +339,7 @@ object Similarity {
     * run it as the deliberate maintenance step it is. */
   def regeomKnnStore(spark: org.apache.spark.sql.SparkSession,
                      table: String, k: Int, bits: Int = AutoBits,
-                     tables: Int = 2): Unit = {
+                     tables: Int = 2, center: Seq[Double] = Nil): Unit = {
     val vt = knnVectorsTable(table)
     val et = knnEdgesTable(table)
     graft.sinks.Bucketing.completePendingSwap(spark, vt)
@@ -300,8 +352,11 @@ object Similarity {
       .getOrElse(throw new IllegalStateException(
         s"'$vt' has no array column — not a k-NN vectors table")).name
     val idCol = vecs.schema.fields.find(_.name != embCol).get.name
-    val b = resolveBits(vecs, embCol, bits, tables)
-    val geom = geomString(k, b, tables)
+    // migration re-sizes from the CURRENT corpus, so the measuring
+    // sentinel is legitimate here (unlike the geometry-replaying append)
+    val b = resolveGeometry(vecs, idCol, embCol, bits, tables,
+      center = center)
+    val geom = geomString(k, b, tables, center)
     spark.sql(
       s"ALTER TABLE `$vt` SET TBLPROPERTIES ('$KnnGeometryProp' = '$geom')")
     val etBuckets = spark.sessionState.catalog.getTableMetadata(
@@ -309,9 +364,48 @@ object Similarity {
       .bucketSpec.getOrElse(throw new IllegalArgumentException(
         s"'$et' is not a bucketed store table")).numBuckets
     graft.sinks.Bucketing.overwriteBucketedStaged(
-      knnGraph(vecs, idCol, embCol, k, b, tables), et, Seq("q_id"), etBuckets)
+      knnGraph(vecs, idCol, embCol, k, b, tables, center),
+      et, Seq("q_id"), etBuckets)
     spark.sql(
       s"ALTER TABLE `$et` SET TBLPROPERTIES ('$KnnGeometryProp' = '$geom')")
+  }
+
+  /** Center-drift report for a CENTERED k-NN store — the operational
+    * half of the centering feature (the SemDedup drift-guard discipline
+    * applied to the center stamp): appends replay the STAMPED center by
+    * design, but the corpus the stamp was measured on keeps growing, and
+    * once the live mean has drifted the balanced-bucket premise erodes
+    * (cost first, recall second). This measures the CURRENT store
+    * contents' sampled mean ([[corpusCenter]], same determinism) against
+    * the stamp and returns (l2, linf, stampedL2norm) — alert/re-center
+    * via [[regeomKnnStore]] when l2 is a meaningful fraction of the
+    * stamped norm. Fails fast when the store carries no center (nothing
+    * to drift from). Cost: one bounded-sample mean over the vectors
+    * table — a monitoring pass, not a rebuild. */
+  def knnStoreCenterDrift(spark: org.apache.spark.sql.SparkSession,
+                          table: String,
+                          sampleK: Int = 65536): (Double, Double, Double) = {
+    val vt = knnVectorsTable(table)
+    val (_, _, _, stamped) = storedGeometry(spark, vt)
+    require(stamped.nonEmpty,
+      s"'$table' carries no center in its geometry stamp — " +
+        "knnStoreCenterDrift monitors centered stores; plain stores " +
+        "have no mean to drift from")
+    val vecs = spark.table(vt)
+    val embCol = vecs.schema.fields
+      .find(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      .getOrElse(throw new IllegalStateException(
+        s"'$vt' has no array column — not a k-NN vectors table")).name
+    val idCol = vecs.schema.fields.find(_.name != embCol).get.name
+    val current = corpusCenter(vecs, idCol, embCol, sampleK)
+    require(current.length == stamped.length,
+      s"stamped center has ${stamped.length} dims, store vectors " +
+        s"have ${current.length}")
+    val diffs = current.zip(stamped).map { case (c, s) => c - s }
+    val l2 = math.sqrt(diffs.foldLeft(0.0)((a, d) => a + d * d))
+    val linf = diffs.foldLeft(0.0)((a, d) => math.max(a, math.abs(d)))
+    val norm = math.sqrt(stamped.foldLeft(0.0)((a, d) => a + d * d))
+    (l2, linf, norm)
   }
 
   /** Checked accessor for a persisted k-NN store's edge frame: fails
@@ -523,7 +617,8 @@ object Similarity {
     * documented knob. */
   def autoBitsSkewAware(corpus: DataFrame, idCol: String, embCol: String,
                         tables: Int = 2, targetBucket: Int = 64,
-                        slack: Double = 2.0): Int = {
+                        slack: Double = 2.0,
+                        center: Seq[Double] = Nil): Int = {
     require(tables >= 1 && targetBucket >= 1 && slack >= 1.0,
       s"autoBitsSkewAware: tables >= 1, targetBucket >= 1, slack >= 1")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
@@ -533,10 +628,13 @@ object Similarity {
     val dim = vecs.select(size(col(embCol))).head().getInt(0)
     val clamp = math.max(1, dim / tables)
     var bits = math.min(autoBits(n, dim, tables, targetBucket), clamp)
-    // uniform target: ~targetBucket candidates per row per table
+    // uniform target: ~targetBucket candidates per row per table.
+    // Measured at the geometry the caller will USE (centered thresholds
+    // included): a center that re-balances the buckets shows up here as
+    // a smaller resolved bits — the cost-side half of the centering win.
     val budget = (slack * n.toDouble * targetBucket * tables).toLong
     def mass(b: Int): Long = {
-      val row = lshSigs(vecs, idCol, embCol, b, tables)
+      val row = lshSigs(vecs, idCol, embCol, b, tables, center)
         .groupBy(col("__tbl"), col("__bucket"))
         .agg(count(lit(1)).as("__n"))
         .agg(sum(col("__n") * (col("__n") - lit(1L))).as("__m"))
@@ -547,21 +645,68 @@ object Similarity {
     bits
   }
 
+  /** Per-coordinate corpus mean over a DETERMINISTIC bounded sample —
+    * the centering thresholds [[Vectors.signBucketCenteredAt]] anchors
+    * the bucketing hyperplanes at. Sampling is the q94 idiom (smallest
+    * `sampleK` rows by md5(id:salt) — content-addressed, so rerun /
+    * engine / cluster-size stable and reproducible in the DuckDB
+    * oracle), which bounds the mean's aggregation state by `sampleK`
+    * per dimension REGARDLESS of corpus size — an exact whole-corpus
+    * ordered mean would buffer n values per dimension (the
+    * [[Pca.topComponents]] trainer shape, deliberately sample-sized).
+    * Each dimension's sum is a strict left fold over the sampled rows
+    * in id order (the q135 ordered-mean discipline), so the returned
+    * thresholds are bit-identical across runs and engines. Cost: one
+    * distributed top-`sampleK` + one bounded aggregation — a train-time
+    * artifact, computed once and stamped/passed as plan literals. */
+  def corpusCenter(corpus: DataFrame, idCol: String, embCol: String,
+                   sampleK: Int = 65536, salt: String = ""): Seq[Double] = {
+    require(sampleK >= 1, s"corpusCenter: sampleK must be positive: $sampleK")
+    val smp = corpus
+      .select(col(idCol).as("__id"),
+        col(embCol).cast("array<double>").as("__x"),
+        md5(concat(col(idCol).cast("string"), lit(":" + salt))).as("__h"))
+      .orderBy(col("__h"), col("__id"))   // TakeOrdered: distributed top-k
+      .limit(sampleK)
+      .select(col("__id"), col("__x"))
+    val pos = smp
+      .select(col("__id"), posexplode(col("__x")).as(Seq("__j", "__v")))
+    val sums = pos.groupBy(col("__j"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("__id").as("__o"),
+            col("__v").as("__s")))),
+          lit(0.0), (acc, s) => acc + s.getField("__s")).as("__sum"),
+        count(lit(1)).as("__n"))
+      .collect()
+    require(sums.nonEmpty, "corpusCenter: empty corpus")
+    require(sums.map(_.getLong(2)).distinct.length == 1,
+      "corpusCenter: ragged/null embeddings — per-dimension sample counts differ")
+    val byDim = sums.map(r => r.getInt(0) -> (r.getDouble(1) / r.getLong(2))).toMap
+    (0 until byDim.size).map(j => byDim.getOrElse(j,
+      throw new IllegalStateException(
+        s"corpusCenter: ragged embeddings — dimension $j missing")))
+  }
+
   /** [[resolveBits]] plus the [[SkewAwareBits]] sentinel — the shared
     * front door of every geometry-taking entry point: explicit bits
     * pass through (parity pins), [[AutoBits]] applies the uniform
-    * formula, [[SkewAwareBits]] measures. */
+    * formula, [[SkewAwareBits]] measures (at the caller's centered
+    * thresholds when given). */
   private def resolveGeometry(corpus: DataFrame, idCol: String,
                               embCol: String, bits: Int, tables: Int,
-                              targetBucket: Int = 64): Int =
+                              targetBucket: Int = 64,
+                              center: Seq[Double] = Nil): Int =
     if (bits == SkewAwareBits)
-      autoBitsSkewAware(corpus, idCol, embCol, tables, targetBucket)
+      autoBitsSkewAware(corpus, idCol, embCol, tables, targetBucket,
+        center = center)
     else resolveBits(corpus, embCol, bits, tables, targetBucket)
 
   /** (id, table, bucket) sign-LSH signature frame: one row per vector
     * per hash table, table t reading coordinate slice [t·bits, (t+1)·bits). */
   private def lshSigs(corpus: DataFrame, idCol: String, embCol: String,
-                      bits: Int, tables: Int): DataFrame = {
+                      bits: Int, tables: Int,
+                      center: Seq[Double] = Nil): DataFrame = {
     // Geometry must fit the embedding: signBucketAt's element_at past
     // the array end reads null → a constant '0' bit (non-ANSI), so
     // oversized bits*tables silently collapses the extra bits of every
@@ -570,13 +715,17 @@ object Similarity {
     // with a codegen'd branch, zero extra jobs; knnGraphAuto clamps to
     // the same bound up front.
     val need = bits * tables
+    require(center.isEmpty || center.length >= need,
+      s"lshSigs: center has ${center.length} coordinates, geometry reads $need")
     val emb = when(size(col(embCol)) >= need, col(embCol))
       .otherwise(raise_error(concat(
         lit(s"lshSigs: bits*tables = $need exceeds embedding dim "),
         size(col(embCol)).cast("string"))))
+    def bucketAt(t: Int): Column =
+      if (center.isEmpty) Vectors.signBucketAt(emb, bits, t * bits)
+      else Vectors.signBucketCenteredAt(emb, bits, t * bits, center)
     corpus.select(col(idCol).as("__id"),
-      posexplode(array((0 until tables).map(t =>
-        Vectors.signBucketAt(emb, bits, t * bits)): _*))
+      posexplode(array((0 until tables).map(bucketAt): _*))
         .as(Seq("__tbl", "__bucket")))
   }
 
@@ -845,17 +994,22 @@ object Similarity {
     * stay explicit). */
   def lshNearDup(corpus: DataFrame, idCol: String, embCol: String,
                  bits: Int = AutoBits, minCos: Double = 0.3,
-                 maxBucket: Int = 1024): DataFrame = {
+                 maxBucket: Int = 1024,
+                 center: Seq[Double] = Nil): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be >= 2: $maxBucket")
     require(bits >= 1 || bits == AutoBits || bits == SkewAwareBits,
       s"lshNearDup: bits >= 1: $bits")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val rbits = resolveGeometry(corpus, idCol, embCol, bits, tables = 1)
+    val rbits = resolveGeometry(corpus, idCol, embCol, bits, tables = 1,
+      center = center)
     val a = s"${idCol}_a"
     val b = s"${idCol}_b"
     val w = Window.partitionBy(col("__bucket"))
+    val bucketExpr =
+      if (center.isEmpty) Vectors.signBucket(col(embCol), rbits)
+      else Vectors.signBucketCenteredAt(col(embCol), rbits, 0, center)
     val sized = corpus.select(col(idCol), col(embCol),
-        Vectors.signBucket(col(embCol), rbits).as("__bucket"))
+        bucketExpr.as("__bucket"))
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__mn", min(struct(col(idCol), col(embCol))).over(w))
     val star = sized

@@ -1484,7 +1484,144 @@ object VectorOps {
        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |WHERE cos >= 0.3""".stripMargin
 
+  // -- q191: CENTERED text k-NN — q188's corpus×corpus text graph with
+  // the bucketing hyperplanes re-anchored at the corpus's own
+  // per-coordinate mean (Similarity.corpusCenter → knnGraph(center)).
+  // Hashed-BoW sign buckets are skewed because every document shares
+  // common-token mass — a per-coordinate OFFSET, exactly what centering
+  // removes: the same documents spread over balanced buckets, so the
+  // measured skew-aware scan settles at FEWER bits (cost) or finds more
+  // true neighbors at equal bits (recall). The center is derived from a
+  // deterministic 256-doc md5 sample (content-addressed — both engines
+  // draw the same docs) and each coordinate's mean is an id-ordered
+  // strict fold (the q135 discipline), so the thresholds are
+  // bit-identical across engines. Oracle: q188's occupancy-scan CTE
+  // chain with every bucket comparison re-anchored at the means CTE —
+  // the full measured, centered geometry derivation replayed in SQL. --
+  private val q191: Q = (s, dir) => {
+    import s.implicits._
+    val e = graft.operators.DocEmbed.hashedProjection(
+      Tables.load(s, dir, "documents"), "text", "doc_id", dim = 128)
+      .localCheckpoint()
+    val center = graft.operators.Similarity.corpusCenter(
+      e, "doc_id", "embedding", sampleK = 256)
+    graft.operators.Similarity.knnGraph(e, "doc_id", "embedding",
+        k = 3, bits = graft.operators.Similarity.SkewAwareBits, tables = 2,
+        center = center)
+      .select($"q_id".as("src"), $"doc_id".as("dst"),
+        round($"cos", 6).as("cos"))
+  }
+  private val q191Sql = {
+    // centered bucket over slice [b*tbl+1, b*tbl+b] — positional access
+    // (not list_slice) because each bit compares against ITS dimension's
+    // mean from the muv CTE
+    def csig(pe: String, b: String, tbl: String) =
+      s"""array_to_string(list_transform(range(1, $b + 1),
+         |      i -> CASE WHEN $pe[$b * $tbl + i] >= mv[$b * $tbl + i]
+         |                THEN '1' ELSE '0' END), '')""".stripMargin
+    s"""WITH ${docEmbCtes(64, "0.125")},
+       |smp AS (SELECT doc_id, pe FROM (
+       |  SELECT doc_id, pe, row_number() OVER (
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':'), doc_id) AS rn
+       |  FROM pr) WHERE rn <= 256),
+       |mu AS (SELECT j, list_aggregate(list(pe[j] ORDER BY doc_id), 'sum')
+       |         / CAST(count(*) AS DOUBLE) AS m
+       |       FROM smp, (SELECT unnest(range(1, 65)) AS j) GROUP BY 1),
+       |muv AS (SELECT list(m ORDER BY j) AS mv FROM mu),
+       |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pr),
+       |fb AS (SELECT GREATEST(1, LEAST(
+       |    CAST(ceil(log2(n / 64.0)) AS INT), 32)) AS b0 FROM n0),
+       |cand_b AS (SELECT unnest(range(b0, 33)) AS b FROM fb),
+       |occ AS (
+       |  SELECT cb.b, t.tbl, ${csig("pr.pe", "cb.b", "t.tbl")} AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM pr, cand_b cb, (SELECT unnest([0, 1]) AS tbl) t, muv
+       |  GROUP BY 1, 2, 3),
+       |massq AS (SELECT b, sum(cnt * (cnt - 1)) / 2 AS m FROM occ GROUP BY 1),
+       |geo AS (SELECT CAST(min(b) AS INT) AS bits FROM massq, n0
+       |        WHERE b = 32 OR m <= 256 * n),
+       |sigs AS (SELECT doc_id, tbl, ${csig("pe", "bits", "tbl")} AS bucket
+       |  FROM pr, (SELECT unnest([0, 1]) AS tbl), geo, muv),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sigs a JOIN sigs b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+       |sc AS (
+       |  SELECT src, dst, ${dCos("ea.pe", "eb.pe")} AS cos
+       |  FROM cand JOIN pr ea ON src = ea.doc_id
+       |            JOIN pr eb ON dst = eb.doc_id)
+       |SELECT src, dst, round(cos, 6) AS cos FROM (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |  FROM sc) WHERE rn <= 3""".stripMargin
+  }
+
+  // -- q192: centered-EMBEDDING text k-NN — the metric-CONSISTENT
+  // centering recipe (all-but-the-top, Mu & Viswanath 2018): subtract
+  // the corpus mean from every hashed-BoW embedding ONCE
+  // (Vectors.centered — narrow, zero shuffles), then run the standard
+  // origin-hyperplane machinery. Unlike q191 (which re-anchors only the
+  // BUCKETS and keeps scoring raw cosine), buckets and scores here live
+  // in the same centered space, so sign-LSH is again the locality
+  // family of the similarity actually scored. Measured (CenterScale,
+  // sf0.1): the skew VANISHES — the occupancy scan settles exactly at
+  // the uniform formula bits — and recall@3 vs its own exact form is
+  // 0.45 at 0.7 M candidates where the raw-cosine pipeline needs 1.16 M
+  // for 0.43 — so this registers at the plain AutoBits DEFAULT, the
+  // production recipe (no measurement scan needed once centered).
+  // Oracle: the sample/means CTEs + per-dim subtraction + q183's
+  // dynamic-bits geo CTE + the standard sig/cand/score/top-k chain. --
+  private val q192: Q = (s, dir) => {
+    import s.implicits._
+    val e = graft.operators.DocEmbed.hashedProjection(
+      Tables.load(s, dir, "documents"), "text", "doc_id", dim = 128)
+      .localCheckpoint()
+    val center = graft.operators.Similarity.corpusCenter(
+      e, "doc_id", "embedding", sampleK = 256)
+    val ce = e.select($"doc_id",
+      graft.functions.Vectors.centered($"embedding", center).as("embedding"))
+      .localCheckpoint()
+    graft.operators.Similarity.knnGraph(ce, "doc_id", "embedding",
+        k = 3, tables = 2)
+      .select($"q_id".as("src"), $"doc_id".as("dst"),
+        round($"cos", 6).as("cos"))
+  }
+  private val q192Sql =
+    s"""WITH ${docEmbCtes(64, "0.125")},
+       |smp AS (SELECT doc_id, pe FROM (
+       |  SELECT doc_id, pe, row_number() OVER (
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':'), doc_id) AS rn
+       |  FROM pr) WHERE rn <= 256),
+       |mu AS (SELECT j, list_aggregate(list(pe[j] ORDER BY doc_id), 'sum')
+       |         / CAST(count(*) AS DOUBLE) AS m
+       |       FROM smp, (SELECT unnest(range(1, 65)) AS j) GROUP BY 1),
+       |muv AS (SELECT list(m ORDER BY j) AS mv FROM mu),
+       |ce AS (SELECT doc_id,
+       |         list_transform(range(1, 65), i -> pe[i] - mv[i]) AS pe
+       |       FROM pr, muv),
+       |geo AS (SELECT GREATEST(1, LEAST(
+       |    CAST(ceil(log2(count(*) / 64.0)) AS INT), 32)) AS bits FROM ce),
+       |sigs AS (SELECT doc_id, tbl,
+       |    array_to_string(list_transform(
+       |      list_slice(pe, 1 + bits * tbl, bits + bits * tbl),
+       |      x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+       |  FROM ce, (SELECT unnest([0, 1]) AS tbl), geo),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sigs a JOIN sigs b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.doc_id <> b.doc_id),
+       |sc AS (
+       |  SELECT src, dst, ${dCos("ea.pe", "eb.pe")} AS cos
+       |  FROM cand JOIN ce ea ON src = ea.doc_id
+       |            JOIN ce eb ON dst = eb.doc_id)
+       |SELECT src, dst, round(cos, 6) AS cos FROM (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |  FROM sc) WHERE rn <= 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q192_centered_embed_knn" -> q192,
+    "q191_centered_text_knn" -> q191,
     "q189_lsh_neardup_auto" -> q189,
     "q188_text_knn" -> q188,
     "q187_doc_embed_topk" -> q187,
@@ -1523,6 +1660,8 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q192_centered_embed_knn" -> q192Sql,
+    "q191_centered_text_knn" -> q191Sql,
     "q189_lsh_neardup_auto" -> q189Sql,
     "q188_text_knn" -> q188Sql,
     "q187_doc_embed_topk" -> q187Sql,

@@ -20,7 +20,8 @@ object GraftFunctions {
       UnigramSegExpr.description,
       UnicodeNormalize.description,
       HeavyHitters.description, CmSketch.description, RandProj.description,
-      ShinglesExpr.description, BloomSketch.description)
+      ShinglesExpr.description, BloomSketch.description,
+      QuantileSketch.description)
 
   def inject(ext: SparkSessionExtensions): Unit =
     all.foreach(ext.injectFunction)

@@ -941,7 +941,58 @@ object Analytics {
        |FROM lineitem""".stripMargin
   }
 
+  // -- q193: mergeable quantile sketch (graft_quantile_sketch — the
+  // rank/quantile member of the sketch family beside q96 Count-Min, q84
+  // Misra–Gries, q37 HLL): one-pass O(k log(n/k))-state rank estimation
+  // where the exact q58 path is a full distributed sort. The sketch is
+  // deterministic (MRL odd-index collapse, no RNG) but its contents
+  // depend on merge order, so — the q84/q37 pattern — the query emits
+  // exact-derived values plus GUARANTEE booleans that are provably true
+  // under ANY merge order: |est_rank − exact_rank| ≤ the sketch's own
+  // accumulated error budget (each collapse perturbs ranks by at most
+  // its source weight), and that budget ≤ the deterministic
+  // (n/k)·(⌈log₂(n/k)⌉+2) cap. Probes are lo + (hi−lo)·p — identical
+  // IEEE doubles in both engines. Oracle: exact ranks + literal true. --
+  private val q193: Q = (s, dir) => {
+    import s.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(s)
+    import graft.functions.QuantileSketch
+    val li = t(s, dir, "lineitem")
+      .select($"l_extendedprice".cast("double").as("v"))
+    val one = li.agg(
+      QuantileSketch.sketch($"v", 256).as("sk"),
+      count(lit(1)).as("n"), min($"v").as("lo"), max($"v").as("hi"))
+    val probes = one.select($"sk", $"n", $"lo", $"hi",
+      explode(typedlit(Seq(0.1, 0.25, 0.5, 0.75, 0.9))).as("p"))
+      .withColumn("px", $"lo" + ($"hi" - $"lo") * $"p")
+    val exact = li.crossJoin(broadcast(probes.select($"p", $"px")))
+      .groupBy($"p", $"px")
+      .agg(sum(when($"v" <= $"px", 1L).otherwise(0L)).as("exact_rank"))
+    val nk = $"n".cast("double") / lit(256.0)
+    exact.join(broadcast(probes.select($"p", $"sk", $"n")), Seq("p"))
+      .select($"p", $"exact_rank",
+        (abs(QuantileSketch.estRank($"sk", $"px") - $"exact_rank") <=
+          $"sk".getField("err")).as("within_err"),
+        ($"sk".getField("err").cast("double") <=
+          nk * (ceil(log2(greatest(lit(2.0), nk))) + lit(2.0)))
+          .as("err_capped"))
+  }
+  private val q193Sql =
+    """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+      |             max(CAST(l_extendedprice AS DOUBLE)) AS hi
+      |           FROM lineitem),
+      |p AS (SELECT p, lo + (hi - lo) * p AS px
+      |      FROM s, (SELECT unnest(CAST([0.1, 0.25, 0.5, 0.75, 0.9]
+      |                              AS DOUBLE[])) AS p)),
+      |r AS (SELECT p.p,
+      |        CAST(sum(CASE WHEN CAST(l.l_extendedprice AS DOUBLE) <= p.px
+      |                      THEN 1 ELSE 0 END) AS BIGINT) AS exact_rank
+      |      FROM p, lineitem l GROUP BY p.p)
+      |SELECT p, exact_rank, true AS within_err, true AS err_capped FROM r""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q193_quantile_sketch" -> q193,
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
     "q03_agg_pricing" -> q03,
@@ -987,6 +1038,7 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q193_quantile_sketch" -> q193Sql,
     "q01_filter_project" -> q01Sql,
     "q02_sort_topn" -> q02Sql,
     "q03_agg_pricing" -> q03Sql,

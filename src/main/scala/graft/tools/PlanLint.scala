@@ -26,6 +26,7 @@ object PlanLint {
   val Allowed: Seq[(String, String, String)] = Seq(
     ("q84", "bnlj", "one-row sketch + one-row n broadcast to exact counts"),
     ("q96", "bnlj", "one-row CMS grid + one-row n broadcast to exact counts"),
+    ("q193", "bnlj", "one-row quantile-sketch frame + 5-probe broadcast to exact ranks"),
     ("q27", "bnlj", "doc_id < 200 sample pair join — fixture-bounded demo of exact Jaccard"),
     ("q30", "bnlj", "bounded query set (vec_id < 10) broadcast — cosineTopK contract"),
     ("q33", "bnlj", "one-row centroid frame — IVF assignment fold"),

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** One-call corpus DATA CARD — the observability pass a curation run
+  * publishes next to its output (docs, token mass, length quantiles,
+  * emptiness, exact-dup mass, per-language / per-source composition) as
+  * a long (section, key, value) frame: pipeline-diffable (join two
+  * cards on (section, key) to see what a code change did to the
+  * corpus), trivially unionable across snapshots, and schema-stable no
+  * matter which dimensions exist.
+  *
+  * Scale posture: one narrow tokenize pass feeds everything; the only
+  * shuffles are the exact-distinct on 16-byte text fingerprints (never
+  * text), the [[Percentiles.quantileContHist]] value-histogram pass for
+  * the exact token quantiles (token counts are discrete, so the corpus
+  * collapses to |distinct counts| rows in one shuffle and the rank
+  * window runs over THAT — a report pins numbers, so it uses an exact
+  * form; the one-pass [[graft.functions.QuantileSketch]] is the
+  * monitoring/streaming alternative), and report-sized group-bys on
+  * the low-cardinality dimension columns. Output is report-sized;
+  * nothing corpus-sized ever reaches the driver.
+  *
+  * Determinism: counts are exact; token quantiles are the q58-proven
+  * interpolation; `mean` is one IEEE division of two exact values —
+  * every cell hash-reproducible cross-engine (q194). */
+object CorpusReport {
+
+  /** Null/whitespace-only texts count as 0-token documents (they are
+    * still documents — `n_empty` reports them). `exact_dup_docs` =
+    * non-null texts minus distinct texts: the mass an exact-dedup pass
+    * would remove. */
+  def build(docs: DataFrame, textCol: String, idCol: String,
+            langCol: Option[String] = None,
+            sourceCol: Option[String] = None,
+            quantiles: Seq[(String, Double)] =
+              Seq("p50" -> 0.5, "p90" -> 0.9)): DataFrame = {
+    val spark = docs.sparkSession
+    val nTok = when(col(textCol).isNotNull,
+      size(Text.tokens(col(textCol)))).otherwise(lit(0))
+    val base = docs.select(col(idCol), col(textCol).as("__t"),
+      nTok.as("__n"))
+    def row(section: String, key: Column, value: Column): Column =
+      struct(lit(section).as("section"), key.as("key"),
+        value.cast("double").as("value"))
+    val scalars = base.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__n") === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum(col("__n")).as("tok_total"),
+        count(col("__t")).as("n_text"),
+        countDistinct(md5(col("__t"))).as("n_distinct"))
+      .select(explode(array(
+        row("corpus", lit("n_docs"), col("n_docs")),
+        row("corpus", lit("n_empty"), col("n_empty")),
+        row("corpus", lit("exact_dup_docs"),
+          col("n_text") - col("n_distinct")),
+        row("tokens", lit("total"), col("tok_total")),
+        row("tokens", lit("mean"),
+          col("tok_total").cast("double") / col("n_docs").cast("double"))
+      )).as("__r"))
+      .select(col("__r.*"))
+    val qrows =
+      if (quantiles.isEmpty) spark.emptyDataFrame.select() // unreachable shape
+      else Percentiles.quantileContHist(base, "__n", quantiles)
+        .select(explode(array(quantiles.map { case (name, _) =>
+          row("tokens", lit(name), col(name))
+        }: _*)).as("__r"))
+        .select(col("__r.*"))
+    def dim(section: String, c: Option[String]): Seq[DataFrame] = c.toSeq.map {
+      name =>
+        docs.groupBy(coalesce(col(name).cast("string"), lit("null")).as("key"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(section).as("section"), col("key"),
+            col("n").cast("double").as("value"))
+    }
+    (Seq(scalars) ++ (if (quantiles.isEmpty) Nil else Seq(qrows)) ++
+      dim("lang", langCol) ++ dim("source", sourceCol))
+      .reduce(_.unionByName(_))
+  }
+}

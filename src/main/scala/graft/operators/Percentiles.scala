@@ -60,22 +60,26 @@ object Percentiles {
   private def rawQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
                            ps: Seq[(String, Double)]): DataFrame = {
     require(ps.nonEmpty, "need at least one percentile")
+    // the value column rides under an internal alias so a caller column
+    // named like one of the scratch columns below can't be clobbered by
+    // the withColumns (a value column literally named "__n" used to be
+    // silently replaced by the group count)
     val gcols = groupCols.map(col)
-    val v = col(valueCol)
+    val v = col("__graft_q_v")
     val w = Window.partitionBy(gcols: _*).orderBy(v)
     val wp = Window.partitionBy(gcols: _*)
-    val ranked = df.select(gcols :+ v: _*)
+    val ranked = df.select(gcols :+ col(valueCol).as("__graft_q_v"): _*)
       .where(v.isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__nv", lead(v, 1).over(w))
-      .withColumn("__n", count(lit(1)).over(wp))
+      .withColumn("__graft_q_rn", row_number().over(w))
+      .withColumn("__graft_q_nv", lead(v, 1).over(w))
+      .withColumn("__graft_q_n", count(lit(1)).over(wp))
     val aggs = ps.map { case (name, p) =>
-      val target = (col("__n") - 1) * lit(p)
+      val target = (col("__graft_q_n") - 1) * lit(p)
       val frac = target - floor(target)
       // exactly one row per group matches floor(target); max() just
       // collapses the non-matching nulls
-      max(when(col("__rn") - 1 === floor(target),
-        v + frac * (coalesce(col("__nv"), v) - v))).as(name)
+      max(when(col("__graft_q_rn") - 1 === floor(target),
+        v + frac * (coalesce(col("__graft_q_nv"), v) - v))).as(name)
     }
     ranked.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -91,6 +95,53 @@ object Percentiles {
     l.join(r, cond, "left")
       .select(left.columns.toSeq.map(c => col(s"l.`$c`").as(c)) ++
         rightCols.map(c => col(s"r.`$c`")): _*)
+  }
+
+  /** Exact GLOBAL `quantile_cont` via a (value, count) histogram — one
+    * row out, a column per (name, p), bit-identical to [[quantileCont]]
+    * (same `(n-1)·p` rank arithmetic, same `lo + frac·(hi − lo)`
+    * interpolation operand order). The scale shape for DISCRETE value
+    * columns (token counts, lengths, small ints): the corpus collapses
+    * to its distinct-value histogram in ONE shuffle, and the
+    * cumulative-rank window runs over the HISTOGRAM — rows = distinct
+    * values, not corpus rows. [[quantileCont]] with a constant group
+    * funnels the whole corpus through one window task (right for
+    * grouped or continuous data, where a histogram would itself be
+    * corpus-sized); THIS is the right global form when
+    * distinct values ≪ rows. Nulls ignored; all-null input yields one
+    * row of null quantiles. */
+  def quantileContHist(df: DataFrame, valueCol: String,
+                       ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    val v = col("__graft_q_v")
+    val hist = df.select(col(valueCol).as("__graft_q_v"))
+      .where(v.isNotNull)
+      .groupBy(v).agg(count(lit(1)).as("__graft_q_c"))
+    // global window, but over the histogram — bounded by |distinct values|
+    val cum = hist.withColumn("__graft_q_cum",
+      sum(col("__graft_q_c")).over(Window.orderBy(v)))
+    val n = col("__graft_q_n")
+    val withN = cum.crossJoin(broadcast(
+      hist.agg(sum(col("__graft_q_c")).as("__graft_q_n"))))
+    // v at 0-indexed rank r = min value whose cumulative count > r;
+    // quantile_cont needs ranks floor(target) and floor(target)+1
+    val aggs = ps.flatMap { case (name, p) =>
+      val target = (n - 1) * lit(p)
+      Seq(
+        min(when(col("__graft_q_cum") >= floor(target) + 1, v))
+          .as(s"__graft_lo_$name"),
+        min(when(col("__graft_q_cum") >= floor(target) + 2, v))
+          .as(s"__graft_hi_$name"))
+    } :+ max(n).as("__graft_q_n2")
+    val agged = withN.agg(aggs.head, aggs.tail: _*)
+    agged.select(ps.map { case (name, p) =>
+      val target = (col("__graft_q_n2") - 1) * lit(p)
+      val frac = target - floor(target)
+      val lo = col(s"__graft_lo_$name")
+      // rank floor(target)+1 does not exist only at p = 1 exactly
+      val hi = coalesce(col(s"__graft_hi_$name"), lo)
+      (lo + frac * (hi - lo)).as(name)
+    }: _*)
   }
 
   /** Column helper matching the built-in's name for spec readability. */

@@ -2849,7 +2849,43 @@ object TextOps {
        |LEFT JOIN per ON q.token = per.token
        |LEFT JOIN ideal ON q.token = ideal.token""".stripMargin
 
+  // -- q194: corpus data card (CorpusReport.build) — the observability
+  // pass a curation run publishes beside its output: doc counts,
+  // emptiness, exact-dup mass, token totals/mean/exact quantiles, and
+  // per-lang / per-source composition as one long (section, key, value)
+  // frame (diffable across snapshots by joining on the key pair). Every
+  // cell is exact or q58-proven interpolation, so the whole card
+  // hash-matches. Oracle: the same aggregates as UNION ALL branches over
+  // one tokenized CTE. --
+  private val q194: Q = (s, dir) =>
+    graft.operators.CorpusReport.build(docs(s, dir), "text", "doc_id",
+      langCol = Some("lang"), sourceCol = Some("source"))
+  private val q194Sql =
+    s"""WITH b AS (SELECT doc_id, text,
+       |  CASE WHEN text IS NULL THEN 0 ELSE len($dTok) END AS n
+       |  FROM documents),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |        CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_empty,
+       |        CAST(sum(n) AS DOUBLE) AS tok_total,
+       |        CAST(count(text) AS DOUBLE) AS n_text,
+       |        CAST(count(DISTINCT md5(text)) AS DOUBLE) AS n_distinct
+       |      FROM b),
+       |q AS (SELECT quantile_cont(n, 0.5) AS p50,
+       |             quantile_cont(n, 0.9) AS p90 FROM b)
+       |SELECT 'corpus' AS section, 'n_docs' AS key, n_docs AS value FROM s
+       |UNION ALL SELECT 'corpus', 'n_empty', n_empty FROM s
+       |UNION ALL SELECT 'corpus', 'exact_dup_docs', n_text - n_distinct FROM s
+       |UNION ALL SELECT 'tokens', 'total', tok_total FROM s
+       |UNION ALL SELECT 'tokens', 'mean', tok_total / n_docs FROM s
+       |UNION ALL SELECT 'tokens', 'p50', p50 FROM q
+       |UNION ALL SELECT 'tokens', 'p90', p90 FROM q
+       |UNION ALL SELECT 'lang', coalesce(lang, 'null'),
+       |  CAST(count(*) AS DOUBLE) FROM documents GROUP BY lang
+       |UNION ALL SELECT 'source', coalesce(source, 'null'),
+       |  CAST(count(*) AS DOUBLE) FROM documents GROUP BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q194_corpus_report" -> q194,
     "q190_graded_rank_eval" -> q190,
     "q186_rank_eval" -> q186,
     "q184_langid_trained" -> q184,
@@ -2924,6 +2960,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q194_corpus_report" -> q194Sql,
     "q190_graded_rank_eval" -> q190Sql,
     "q186_rank_eval" -> q186Sql,
     "q184_langid_trained" -> q184Sql,

@@ -53,6 +53,8 @@ object PlanLint {
     ("q190", "bnlj", "one-row BM25 stats frame — graded rank evaluation"),
     ("q187", "bnlj", "bounded query set (doc_id < 10) broadcast — cosineTopK contract"),
     ("q82", "bnlj", "one-row (N, avgdl) stats frame — BM25"),
+    ("q194", "bnlj", "one-row corpus-total frame — histogram-quantile rank arithmetic"),
+    ("q194", "global-window", "cumulative counts over the token-count value histogram (rows = distinct token counts)"),
     ("q97", "global-window", "two-pass prefix scan: window over one row per partition"),
     ("q65", "global-window", "per-partition subtotal frame (rows = partitions)"),
     ("q107", "global-window", "per-partition subtotal frame — shard packing"),

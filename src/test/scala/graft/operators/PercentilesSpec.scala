@@ -88,6 +88,45 @@ class PercentilesSpec extends SparkSpec {
     assert(multi.exceptAll(builtin2).isEmpty && builtin2.exceptAll(multi).isEmpty)
   }
 
+  test("value column named like an internal scratch column is not clobbered") {
+    // regression: a value column literally named "__n" used to be replaced
+    // by the group-count window (quantiles came back as the group size)
+    val df = Seq(("a", 0), ("a", 1), ("a", 2), ("a", 3), ("a", 3))
+      .toDF("k", "__n")
+    val out = Percentiles.quantileCont(df, Seq("k"), "__n",
+      Seq("p50" -> 0.5, "p90" -> 0.9)).head()
+    assert(out.getDouble(1) == 2.0) // p50 of (0,1,2,3,3), not the count 5
+    assert(out.getDouble(2) == 3.0)
+  }
+
+  test("quantileContHist == sort-based path == built-in on discrete data") {
+    val li = Tables.load(spark, sf(), "lineitem")
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0)
+    val hist = Percentiles.quantileContHist(li, "l_quantity", ps).head()
+    val sorted = Percentiles.quantileCont(
+      li.withColumn("__g", lit(1)), Seq("__g"), "l_quantity", ps).head()
+    val bAggs = ps.map { case (n, p) => percentile($"l_quantity", lit(p)).as(n) }
+    val builtin = li.agg(bAggs.head, bAggs.tail: _*).head()
+    ps.indices.foreach { i =>
+      assert(hist.getDouble(i) == sorted.getDouble(i + 1),
+        s"${ps(i)._1}: hist vs sort")
+      assert(hist.getDouble(i) == builtin.getDouble(i),
+        s"${ps(i)._1}: hist vs builtin")
+    }
+  }
+
+  test("quantileContHist: interpolation between distinct values, nulls, all-null") {
+    val df = Seq(Some(1), Some(2), Some(4), None).toDF("v")
+    val out = Percentiles.quantileContHist(df, "v", Seq("p50" -> 0.5)).head()
+    assert(out.getDouble(0) == 2.0) // 3 non-null values, middle one
+    val even = Seq(1, 3).toDF("v")
+    assert(Percentiles.quantileContHist(even, "v", Seq("p50" -> 0.5))
+      .head().getDouble(0) == 2.0) // frac interpolation across the gap
+    val allNull = Seq[Option[Int]](None, None).toDF("v")
+    val nr = Percentiles.quantileContHist(allNull, "v", Seq("p50" -> 0.5))
+    assert(nr.count() == 1 && nr.head().isNullAt(0))
+  }
+
   test("multi-column form joins one row per group per value column") {
     val li = Tables.load(spark, sf(), "lineitem")
     val out = Percentiles.quantileContMulti(li, Seq("l_returnflag"),

@@ -71,6 +71,7 @@ object Pipeline {
     "decontamIds" -> Set("table", "textCol", "n", "threshold"),
     "split" -> Set("trainPct", "valPct"),
     "shards" -> Set("path", "budget", "chunkTokens", "overlap"),
+    "report" -> Set("path", "langCol", "sourceCol"),
     "write" -> Set("path", "table", "format", "compression"))
 
   def parse(config: String): Seq[Stage] = {
@@ -296,6 +297,26 @@ object Pipeline {
             Seq(idCol))
         case "split" => operators.Splits.assign(df, idCol,
           int(s, "trainPct", 90), int(s, "valPct", 5))
+        case "report" =>
+          // pass-through observability sink: publish the corpus DATA
+          // CARD (CorpusReport.build, q194) of the frame AS IT IS at
+          // this point in the chain, then hand the frame on unchanged.
+          // Place one before and one after a gate and
+          // CorpusReport.diff(q195) of the two parquet cards answers
+          // "what did the gate do to the corpus".
+          val path = s.params.getOrElse("path",
+            throw new IllegalArgumentException(
+              s"pipeline line ${s.line}: report needs path="))
+          def dimOpt(k: String): Option[String] = s.params.get(k).map { c =>
+            require(df.columns.contains(c),
+              s"pipeline line ${s.line}: report $k= column '$c' not in " +
+                s"the frame (has: ${df.columns.sorted.mkString(", ")})")
+            c
+          }
+          operators.CorpusReport.build(df, textCol, idCol,
+              langCol = dimOpt("langCol"), sourceCol = dimOpt("sourceCol"))
+            .coalesce(1).write.mode("overwrite").parquet(path)
+          df
         case "write" =>
           val path = s.params.getOrElse("path",
             throw new IllegalArgumentException(

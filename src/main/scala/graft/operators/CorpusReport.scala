@@ -80,4 +80,24 @@ object CorpusReport {
       dim("lang", langCol) ++ dim("source", sourceCol))
       .reduce(_.unionByName(_))
   }
+
+  /** Diff two cards (any (section, key, value) frames from [[build]]):
+    * full-outer join on the key pair → (section, key, before, after,
+    * delta). A cell absent on one side keeps a NULL on that side (and a
+    * NULL delta) — absence is a fact worth seeing (a language that
+    * vanished, a section only the new code emits), not a zero. THE
+    * intended read: build the card before and after a pipeline change
+    * and the diff answers "what did the change do to the corpus" —
+    * e.g. whether a quality gate drops one language disproportionately.
+    * Both sides are report-sized, so the join is trivially small. */
+  def diff(before: DataFrame, after: DataFrame): DataFrame =
+    before.as("b").join(after.as("a"),
+        col("b.section") === col("a.section") && col("b.key") === col("a.key"),
+        "full_outer")
+      .select(
+        coalesce(col("b.section"), col("a.section")).as("section"),
+        coalesce(col("b.key"), col("a.key")).as("key"),
+        col("b.value").as("before"),
+        col("a.value").as("after"),
+        (col("a.value") - col("b.value")).as("delta"))
 }

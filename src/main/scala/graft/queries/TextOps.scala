@@ -2860,31 +2860,66 @@ object TextOps {
   private val q194: Q = (s, dir) =>
     graft.operators.CorpusReport.build(docs(s, dir), "text", "doc_id",
       langCol = Some("lang"), sourceCol = Some("source"))
-  private val q194Sql =
-    s"""WITH b AS (SELECT doc_id, text,
+  /** Card-oracle CTE chain over source CTE `src`, names suffixed `_$t`
+    * so two cards compose in one statement (q195's diff). Final frame:
+    * `card_$t` (section, key, value). */
+  private def dCardCtes(src: String, t: String): String =
+    s"""b_$t AS (SELECT doc_id, text,
        |  CASE WHEN text IS NULL THEN 0 ELSE len($dTok) END AS n
-       |  FROM documents),
-       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |  FROM $src),
+       |s_$t AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
        |        CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_empty,
        |        CAST(sum(n) AS DOUBLE) AS tok_total,
        |        CAST(count(text) AS DOUBLE) AS n_text,
        |        CAST(count(DISTINCT md5(text)) AS DOUBLE) AS n_distinct
-       |      FROM b),
-       |q AS (SELECT quantile_cont(n, 0.5) AS p50,
-       |             quantile_cont(n, 0.9) AS p90 FROM b)
-       |SELECT 'corpus' AS section, 'n_docs' AS key, n_docs AS value FROM s
-       |UNION ALL SELECT 'corpus', 'n_empty', n_empty FROM s
-       |UNION ALL SELECT 'corpus', 'exact_dup_docs', n_text - n_distinct FROM s
-       |UNION ALL SELECT 'tokens', 'total', tok_total FROM s
-       |UNION ALL SELECT 'tokens', 'mean', tok_total / n_docs FROM s
-       |UNION ALL SELECT 'tokens', 'p50', p50 FROM q
-       |UNION ALL SELECT 'tokens', 'p90', p90 FROM q
+       |      FROM b_$t),
+       |q_$t AS (SELECT quantile_cont(n, 0.5) AS p50,
+       |             quantile_cont(n, 0.9) AS p90 FROM b_$t),
+       |card_$t AS (
+       |SELECT 'corpus' AS section, 'n_docs' AS key, n_docs AS value FROM s_$t
+       |UNION ALL SELECT 'corpus', 'n_empty', n_empty FROM s_$t
+       |UNION ALL SELECT 'corpus', 'exact_dup_docs', n_text - n_distinct FROM s_$t
+       |UNION ALL SELECT 'tokens', 'total', tok_total FROM s_$t
+       |UNION ALL SELECT 'tokens', 'mean', tok_total / n_docs FROM s_$t
+       |UNION ALL SELECT 'tokens', 'p50', p50 FROM q_$t
+       |UNION ALL SELECT 'tokens', 'p90', p90 FROM q_$t
        |UNION ALL SELECT 'lang', coalesce(lang, 'null'),
-       |  CAST(count(*) AS DOUBLE) FROM documents GROUP BY lang
+       |  CAST(count(*) AS DOUBLE) FROM $src GROUP BY lang
        |UNION ALL SELECT 'source', coalesce(source, 'null'),
-       |  CAST(count(*) AS DOUBLE) FROM documents GROUP BY source""".stripMargin
+       |  CAST(count(*) AS DOUBLE) FROM $src GROUP BY source)""".stripMargin
+  private val q194Sql =
+    s"""WITH d AS (SELECT * FROM documents),
+       |${dCardCtes("d", "0")}
+       |SELECT * FROM card_0""".stripMargin
+
+  // -- q195: card DIFF (CorpusReport.diff) — build the card before and
+  // after a min-token quality gate and join on (section, key): the diff
+  // answers "what did the gate do to the corpus" (how much token mass
+  // went, whether one language was hit disproportionately, how the
+  // length quantiles moved). Absent cells stay NULL on their side —
+  // absence is a fact (a vanished language), not a zero. Oracle: two
+  // card CTE chains + FULL OUTER JOIN on the key pair. --
+  private val q195: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val gated = d.filter(size(Text.tokens(col("text"))) >= 30)
+    def card(df: DataFrame) = graft.operators.CorpusReport.build(
+      df, "text", "doc_id", langCol = Some("lang"), sourceCol = Some("source"))
+    graft.operators.CorpusReport.diff(card(d), card(gated))
+  }
+  private val q195Sql =
+    s"""WITH d AS (SELECT * FROM documents),
+       |g AS (SELECT * FROM documents WHERE len($dTok) >= 30),
+       |${dCardCtes("d", "b")},
+       |${dCardCtes("g", "a")}
+       |SELECT coalesce(cb.section, ca.section) AS section,
+       |       coalesce(cb.key, ca.key) AS key,
+       |       cb.value AS "before", ca.value AS "after",
+       |       ca.value - cb.value AS delta
+       |FROM card_b cb FULL OUTER JOIN card_a ca
+       |  ON cb.section = ca.section AND cb.key = ca.key""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q195_card_diff" -> q195,
     "q194_corpus_report" -> q194,
     "q190_graded_rank_eval" -> q190,
     "q186_rank_eval" -> q186,
@@ -2960,6 +2995,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q195_card_diff" -> q195Sql,
     "q194_corpus_report" -> q194Sql,
     "q190_graded_rank_eval" -> q190Sql,
     "q186_rank_eval" -> q186Sql,

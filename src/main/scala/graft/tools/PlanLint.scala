@@ -55,6 +55,8 @@ object PlanLint {
     ("q82", "bnlj", "one-row (N, avgdl) stats frame — BM25"),
     ("q194", "bnlj", "one-row corpus-total frame — histogram-quantile rank arithmetic"),
     ("q194", "global-window", "cumulative counts over the token-count value histogram (rows = distinct token counts)"),
+    ("q195", "bnlj", "one-row corpus-total frames — two cards' histogram-quantile rank arithmetic"),
+    ("q195", "global-window", "cumulative counts over two token-count value histograms (rows = distinct token counts)"),
     ("q97", "global-window", "two-pass prefix scan: window over one row per partition"),
     ("q65", "global-window", "per-partition subtotal frame (rows = partitions)"),
     ("q107", "global-window", "per-partition subtotal frame — shard packing"),

@@ -304,6 +304,44 @@ class PipelineSpec extends SparkSpec {
       Tables.load(spark, sf(), "documents").count() - out.count())
   }
 
+  test("report stage publishes the card at its point in the chain, " +
+    "passes the frame through, and validates dimension columns") {
+    val pre = java.nio.file.Files.createTempDirectory("card_pre").toString
+    val post = java.nio.file.Files.createTempDirectory("card_post").toString
+    val cfg =
+      s"""read   table=documents
+         |report path=$pre langCol=lang sourceCol=source
+         |minTokens n=30
+         |report path=$post langCol=lang sourceCol=source
+         |""".stripMargin
+    val out = Pipeline.run(spark, sf(), cfg)
+    val before = spark.read.parquet(pre)
+    val after = spark.read.parquet(post)
+    // cards == hand-written builds over the same frames
+    val docs = Tables.load(spark, sf(), "documents")
+    val handBefore = operators.CorpusReport.build(docs, "text", "doc_id",
+      Some("lang"), Some("source"))
+    assert(before.exceptAll(handBefore).isEmpty &&
+      handBefore.exceptAll(before).isEmpty)
+    // the post-gate card counted the SURVIVING frame
+    def nDocs(card: org.apache.spark.sql.DataFrame): Double =
+      card.filter(col("section") === "corpus" && col("key") === "n_docs")
+        .head().getDouble(2)
+    assert(nDocs(after) === out.count().toDouble)
+    assert(nDocs(before) > nDocs(after), "the gate must bite")
+    // the two parquet cards diff offline (the q195 read)
+    val d = operators.CorpusReport.diff(before, after)
+    assert(d.filter(col("section") === "corpus" && col("key") === "n_docs")
+      .head().getDouble(4) === out.count().toDouble - docs.count().toDouble)
+    // fail fast: missing path, dimension column not in the frame
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nreport langCol=lang")).getMessage
+      .contains("report needs path="))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      s"read table=documents\nreport path=$pre langCol=nope")).getMessage
+      .contains("column 'nope' not in the frame"))
+  }
+
   test("write stage materializes files and passes the frame through") {
     val out = java.nio.file.Files.createTempDirectory("pipeline_spec").toString
     val cfg =

@@ -48,6 +48,29 @@ class CorpusReportSpec extends SparkSpec {
     assert(cell("source", "books") == 2.0)
   }
 
+  test("diff: deltas on shared cells, NULL sides for asymmetric cells") {
+    // "after" = corpus without the de doc and without one en dup
+    val after = CorpusReport.build(
+      docs.filter($"doc_id" =!= 2L && $"doc_id" =!= 3L), "text", "doc_id",
+      langCol = Some("lang"), sourceCol = Some("source"))
+    val d = CorpusReport.diff(card, after)
+    def cellRow(section: String, key: String) =
+      d.filter($"section" === section && $"key" === key).head()
+    val nd = cellRow("corpus", "n_docs")
+    assert(nd.getDouble(2) == 5.0 && nd.getDouble(3) == 3.0 &&
+      nd.getDouble(4) == -2.0)
+    // de vanished: before = 1, after side NULL, delta NULL (not zero)
+    val de = cellRow("lang", "de")
+    assert(de.getDouble(2) == 1.0 && de.isNullAt(3) && de.isNullAt(4))
+    // dup removal: exact_dup_docs 1 -> 0
+    assert(cellRow("corpus", "exact_dup_docs").getDouble(4) == -1.0)
+    // a key only in AFTER keeps a NULL before (synthetic extra row)
+    val extra = Seq(("lang", "xx", 7.0)).toDF("section", "key", "value")
+    val d2 = CorpusReport.diff(card, after.unionByName(extra))
+    val xx = d2.filter($"section" === "lang" && $"key" === "xx").head()
+    assert(xx.isNullAt(2) && xx.getDouble(3) == 7.0 && xx.isNullAt(4))
+  }
+
   test("one row per (section, key); dimensions opt out cleanly") {
     assert(card.groupBy($"section", $"key").count()
       .filter($"count" > 1).isEmpty)

@@ -67,6 +67,7 @@ object Pipeline {
     "qualityGate" -> Set("labelCol", "labelTrue", "dim", "iterations", "tau"),
     "sample" -> Set("rate", "salt"),
     "balanceSources" -> Set("byCol"),
+    "tokenBudget" -> Set("budget", "scoreCol"),
     "tokenize" -> Set("merges"),
     "decontamIds" -> Set("table", "textCol", "n", "threshold"),
     "split" -> Set("trainPct", "valPct"),
@@ -243,6 +244,31 @@ object Pipeline {
             s.params.getOrElse("salt", ""))
         case "balanceSources" => operators.Mix.balanceSources(df, idCol,
           s.params.getOrElse("byCol", "source"))
+        case "tokenBudget" =>
+          // quality-ordered selection until `budget` tokens (q196);
+          // score = an existing column via scoreCol=, else the TTR
+          // proxy (distinct tokens / tokens) — zero-token docs are
+          // unscorable and never selected either way
+          val budget = s.params.get("budget").map { v =>
+            try v.toLong catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"pipeline line ${s.line}: budget must be an integer, got '$v'") }
+          }.getOrElse(throw new IllegalArgumentException(
+            s"pipeline line ${s.line}: tokenBudget needs budget= (tokens)"))
+          val tk = functions.Text.tokens(col(textCol))
+          val withTok = df.withColumn("__tb_n", size(tk).cast("long"))
+          val scored = s.params.get("scoreCol") match {
+            case Some(c) =>
+              require(df.columns.contains(c),
+                s"pipeline line ${s.line}: tokenBudget scoreCol= column " +
+                  s"'$c' not in the frame (has: ${df.columns.sorted.mkString(", ")})")
+              withTok.withColumn("__tb_s", col(c))
+            case None => withTok.withColumn("__tb_s",
+              size(array_distinct(tk)).cast("double") / size(tk))
+          }
+          operators.Mix.selectByTokenBudget(scored.filter(col("__tb_n") > 0),
+              "__tb_s", "__tb_n", idCol, budget)
+            .drop("__tb_n", "__tb_s")
         case "tokenize" =>
           val ms = operators.Bpe.train(df, textCol, int(s, "merges", 30))
             ._1.map(m => (m._2, m._3))

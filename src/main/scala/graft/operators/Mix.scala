@@ -169,4 +169,30 @@ object Mix {
           .otherwise(least(col("cap"), col("__level"))).as("alloc"))
       .withColumn("epochs", col("alloc") / col("n_docs"))
   }
+
+  /** Quality-ordered token-budget selection — the step that turns "a
+    * scored corpus" into "the B-token training set": keep documents in
+    * descending `scoreCol` order (ties by ascending `idCol`, so the
+    * cut is deterministic) while the running token total still fits
+    * `budget`; the first document that would cross the budget, and
+    * everything below it in quality order, is dropped (strict fit — a
+    * trainer would rather under-fill than truncate a document). Adds
+    * `cum_tokens`, the inclusive running total in selection order.
+    *
+    * Scale shape: ONE range shuffle + materialization
+    * ([[Prefix.cumsum]]'s two-pass scan — interior sums are
+    * partition-local; the only unpartitioned window is over the
+    * per-partition subtotal frame, bounded by partition COUNT) + a
+    * filter. The naive `sum over (order by score)` would funnel the
+    * corpus through one window task. */
+  def selectByTokenBudget(df: DataFrame, scoreCol: String, tokenCol: String,
+                          idCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"selectByTokenBudget: budget must be positive: $budget")
+    Prefix.cumsum(
+        df.withColumn("__ord",
+          struct((-col(scoreCol)).as("s"), col(idCol).as("i"))),
+        "__ord", tokenCol, "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .drop("__ord")
+  }
 }

@@ -2918,7 +2918,35 @@ object TextOps {
        |FROM card_b cb FULL OUTER JOIN card_a ca
        |  ON cb.section = ca.section AND cb.key = ca.key""".stripMargin
 
+  // -- q196: token-budget selection (Mix.selectByTokenBudget) — the
+  // "assemble the B-token training set from a scored corpus" step:
+  // documents ranked by type-token ratio (deterministic ties by id),
+  // kept while the running token total fits the budget, cut strictly.
+  // The running total is Prefix.cumsum's two-pass scan, not a global
+  // window. Oracle: the same cumulative sum as a DuckDB window over the
+  // unique (score DESC, doc_id) order — RANGE==ROWS when the order key
+  // is unique, so the frames agree. --
+  private val q196: Q = (s, dir) => {
+    val tk = Text.tokens(col("text"))
+    val scored = docs(s, dir)
+      .select(col("doc_id"), size(tk).cast("long").as("n_tokens"),
+        (size(array_distinct(tk)).cast("double") / size(tk)).as("score"))
+      .filter(col("n_tokens") > 0)
+    graft.operators.Mix.selectByTokenBudget(
+      scored, "score", "n_tokens", "doc_id", 10000L)
+  }
+  private val q196Sql =
+    s"""WITH b AS (SELECT doc_id,
+       |    CAST(len($dTok) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct($dTok)) AS DOUBLE) / len($dTok) AS score
+       |  FROM documents WHERE len($dTok) > 0),
+       |c AS (SELECT *, sum(n_tokens)
+       |    OVER (ORDER BY score DESC, doc_id) AS cum_tokens FROM b)
+       |SELECT doc_id, n_tokens, score, cum_tokens FROM c
+       |WHERE cum_tokens <= 10000""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q196_token_budget" -> q196,
     "q195_card_diff" -> q195,
     "q194_corpus_report" -> q194,
     "q190_graded_rank_eval" -> q190,
@@ -2995,6 +3023,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q196_token_budget" -> q196Sql,
     "q195_card_diff" -> q195Sql,
     "q194_corpus_report" -> q194Sql,
     "q190_graded_rank_eval" -> q190Sql,

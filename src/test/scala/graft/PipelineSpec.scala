@@ -304,6 +304,36 @@ class PipelineSpec extends SparkSpec {
       Tables.load(spark, sf(), "documents").count() - out.count())
   }
 
+  test("tokenBudget stage == hand-written q196 recipe; fail-fast params") {
+    val got = Pipeline.run(spark, sf(),
+      "read table=documents\ntokenBudget budget=10000")
+    val tk = functions.Text.tokens(col("text"))
+    val scored = Tables.load(spark, sf(), "documents")
+      .withColumn("__tb_n", size(tk).cast("long"))
+      .withColumn("__tb_s", size(array_distinct(tk)).cast("double") / size(tk))
+      .filter(col("__tb_n") > 0)
+    val hand = operators.Mix.selectByTokenBudget(scored, "__tb_s", "__tb_n",
+      "doc_id", 10000L).drop("__tb_n", "__tb_s")
+    assert(got.count() > 0 &&
+      got.count() < Tables.load(spark, sf(), "documents").count())
+    assert(got.exceptAll(hand).isEmpty && hand.exceptAll(got).isEmpty)
+    // scoreCol= overrides the TTR proxy (n_chars: longest docs win)
+    val byChars = Pipeline.run(spark, sf(),
+      "read table=documents\ntokenBudget budget=10000 scoreCol=n_chars")
+    assert(byChars.agg(min(col("n_chars"))).head().getLong(0) >
+      got.agg(min(length(col("text")))).head().getInt(0),
+      "char-scored selection prefers long documents")
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\ntokenBudget scoreCol=n_chars")).getMessage
+      .contains("needs budget="))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\ntokenBudget budget=10 scoreCol=nope"))
+      .getMessage.contains("column 'nope' not in the frame"))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\ntokenBudget budget=ten")).getMessage
+      .contains("must be an integer"))
+  }
+
   test("report stage publishes the card at its point in the chain, " +
     "passes the frame through, and validates dimension columns") {
     val pre = java.nio.file.Files.createTempDirectory("card_pre").toString

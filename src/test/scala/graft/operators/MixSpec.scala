@@ -22,6 +22,53 @@ class MixSpec extends SparkSpec {
     assert(Mix.sampleByHash(docs, "doc_id", 0.0).count() == 0L)
   }
 
+  test("selectByTokenBudget: strict fit in score order, deterministic ties") {
+    val docs = Seq(
+      // (id, tokens, score): quality order is 4, 1, 3(ties->id), 5(tie), 2
+      (1L, 40L, 0.9),
+      (2L, 10L, 0.1),
+      (3L, 30L, 0.5),
+      (4L, 20L, 1.0),
+      (5L, 25L, 0.5)
+    ).toDF("doc_id", "n_tokens", "score")
+    def ids(budget: Long): Seq[Long] =
+      Mix.selectByTokenBudget(docs, "score", "n_tokens", "doc_id", budget)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+    // cum in order 4,1,3,5,2: 20, 60, 90, 115, 125
+    assert(ids(125) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(ids(124) == Seq(1L, 3L, 4L, 5L))   // 2 falls off
+    assert(ids(114) == Seq(1L, 3L, 4L))       // tie order: 3 (lower id) first
+    assert(ids(90) == Seq(1L, 3L, 4L))        // inclusive boundary kept
+    assert(ids(89) == Seq(1L, 4L))            // strict: crossing doc dropped
+    assert(ids(19) == Seq())                  // best doc alone over budget
+    // cum_tokens carries the selection-order running total
+    val cum = Mix.selectByTokenBudget(docs, "score", "n_tokens", "doc_id", 90)
+      .orderBy($"cum_tokens").select($"doc_id", $"cum_tokens")
+      .as[(Long, Long)].collect().toSeq
+    assert(cum == Seq((4L, 20L), (1L, 60L), (3L, 90L)))
+    assert(intercept[IllegalArgumentException](
+      Mix.selectByTokenBudget(docs, "score", "n_tokens", "doc_id", 0))
+      .getMessage.contains("positive"))
+  }
+
+  test("selectByTokenBudget == a single-partition window on real docs") {
+    val tk = graft.functions.Text.tokens($"text")
+    val scored = Tables.load(spark, sf("sf0.01"), "documents")
+      .select($"doc_id", size(tk).cast("long").as("n_tokens"),
+        (size(array_distinct(tk)).cast("double") / size(tk)).as("score"))
+      .filter($"n_tokens" > 0)
+      .repartition(8) // the two-pass scan must not depend on layout
+    val got = Mix.selectByTokenBudget(scored, "score", "n_tokens",
+      "doc_id", 10000L)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id")
+    val naive = scored
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= 10000L)
+    assert(got.count() > 0 && got.count() < scored.count(), "the cut bites")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
   test("unimaxPlan water-fills the budget under the epoch cap") {
     // counts a=1, b=2, c=7; budget = 2.0 * 10 = 20, caps = 3, 6, 21.
     // Water level: a and b saturate (3 + 6), c takes the rest at 11.

@@ -90,6 +90,43 @@ object CorpusReport {
     * and the diff answers "what did the change do to the corpus" —
     * e.g. whether a quality gate drops one language disproportionately.
     * Both sides are report-sized, so the join is trivially small. */
+  /** Cross-corpus exact-overlap report — the merge-planning statistic
+    * ("how much of this new snapshot do we already hold"): ONE row of
+    * distinct-text counts per side, the shared count, Jaccard, and
+    * containment in both directions. Texts compare by the exact-dedup
+    * fingerprint ([[graft.functions.Text.fingerprint]]: md5 of the
+    * lowercased whitespace-normalized text — formatting noise doesn't
+    * break overlap), nulls ignored, and all counts are over DISTINCT
+    * texts, so duplicate mass inside one side never inflates overlap.
+    *
+    * Scale shape: each corpus collapses to its distinct 16-byte
+    * fingerprint set (one shuffle per side, text never shuffles), the
+    * sides full-outer join on the fingerprint (co-partitioned by the
+    * same key), and one global aggregate folds the flags — output is
+    * one row. Near-duplicate overlap is a different question with a
+    * different budget: run [[Dedup]]'s banded signatures over the
+    * union and count cross-side candidate pairs. */
+  def overlap(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def fps(df: DataFrame, flag: String) =
+      df.select(Text.fingerprint(col(textCol)).as("__fp"))
+        .where(col("__fp").isNotNull)
+        .distinct().withColumn(flag, lit(1L))
+    fps(a, "__ina").join(fps(b, "__inb"), Seq("__fp"), "full_outer")
+      .agg(
+        sum(coalesce(col("__ina"), lit(0L))).as("n_a"),
+        sum(coalesce(col("__inb"), lit(0L))).as("n_b"),
+        sum(when(col("__ina").isNotNull && col("__inb").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .select(col("n_a"), col("n_b"), col("n_both"),
+        (col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+          .as("jaccard"),
+        (col("n_both").cast("double") / col("n_a").cast("double"))
+          .as("contain_a_in_b"),
+        (col("n_both").cast("double") / col("n_b").cast("double"))
+          .as("contain_b_in_a"))
+  }
+
   def diff(before: DataFrame, after: DataFrame): DataFrame =
     before.as("b").join(after.as("a"),
         col("b.section") === col("a.section") && col("b.key") === col("a.key"),

@@ -2945,7 +2945,44 @@ object TextOps {
        |SELECT doc_id, n_tokens, score, cum_tokens FROM c
        |WHERE cum_tokens <= 10000""".stripMargin
 
+  // -- q197: cross-corpus overlap report (CorpusReport.overlap) — the
+  // merge-planning statistic for a new snapshot: distinct-fingerprint
+  // counts per side, shared count, Jaccard, containment both ways, one
+  // row. The "snapshot" here keeps docs < 300 verbatim, re-crawls
+  // docs >= 400 with edited text, and re-delivers docs < 50 (duplicate
+  // mass that must NOT inflate overlap — counts are distinct-based).
+  // Oracle: the same fingerprint sets as DISTINCT CTEs + scalar
+  // subquery counts. --
+  private val q197: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val snap = d.filter(col("doc_id") < 300)
+      .unionByName(d.filter(col("doc_id") >= 400)
+        .withColumn("text", concat(col("text"), lit(" v2"))))
+      .unionByName(d.filter(col("doc_id") < 50))
+    graft.operators.CorpusReport.overlap(d, snap, "text")
+  }
+  private val q197Sql =
+    """WITH bsrc AS (
+      |  SELECT text FROM documents WHERE doc_id < 300
+      |  UNION ALL SELECT text || ' v2' FROM documents WHERE doc_id >= 400
+      |  UNION ALL SELECT text FROM documents WHERE doc_id < 50),
+      |fa AS (SELECT DISTINCT
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM documents WHERE text IS NOT NULL),
+      |fb AS (SELECT DISTINCT
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM bsrc WHERE text IS NOT NULL),
+      |c AS (SELECT (SELECT count(*) FROM fa) AS n_a,
+      |             (SELECT count(*) FROM fb) AS n_b,
+      |             (SELECT count(*) FROM fa JOIN fb USING (fp)) AS n_both)
+      |SELECT n_a, n_b, n_both,
+      |  CAST(n_both AS DOUBLE) / CAST(n_a + n_b - n_both AS DOUBLE) AS jaccard,
+      |  CAST(n_both AS DOUBLE) / CAST(n_a AS DOUBLE) AS contain_a_in_b,
+      |  CAST(n_both AS DOUBLE) / CAST(n_b AS DOUBLE) AS contain_b_in_a
+      |FROM c""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q197_corpus_overlap" -> q197,
     "q196_token_budget" -> q196,
     "q195_card_diff" -> q195,
     "q194_corpus_report" -> q194,
@@ -3023,6 +3060,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q197_corpus_overlap" -> q197Sql,
     "q196_token_budget" -> q196Sql,
     "q195_card_diff" -> q195Sql,
     "q194_corpus_report" -> q194Sql,

@@ -71,6 +71,29 @@ class CorpusReportSpec extends SparkSpec {
     assert(xx.isNullAt(2) && xx.getDouble(3) == 7.0 && xx.isNullAt(4))
   }
 
+  test("overlap: distinct-based counts, normalization-equivalent texts, nulls") {
+    val a = Seq(
+      (1L, "shared one"), (2L, "Shared  TWO"),    // normalizes to b's form
+      (3L, "only in a"), (4L, "only in a"),       // in-side dup: counts once
+      (5L, null.asInstanceOf[String])             // null: ignored
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (10L, "shared one"), (11L, "shared two"),
+      (12L, "only in b"), (13L, "also only b")
+    ).toDF("doc_id", "text")
+    val r = CorpusReport.overlap(a, b, "text").head()
+    assert(r.getLong(0) == 3L)   // n_a: shared one, shared two, only in a
+    assert(r.getLong(1) == 4L)   // n_b
+    assert(r.getLong(2) == 2L)   // n_both (case/whitespace-insensitive)
+    assert(r.getDouble(3) == 2.0 / 5.0)  // jaccard
+    assert(r.getDouble(4) == 2.0 / 3.0)  // contain_a_in_b
+    assert(r.getDouble(5) == 2.0 / 4.0)  // contain_b_in_a
+    // disjoint corpora: zero overlap, defined ratios
+    val z = CorpusReport.overlap(a, a.withColumn("text",
+      concat($"text", lit(" zz"))), "text").head()
+    assert(z.getLong(2) == 0L && z.getDouble(3) == 0.0)
+  }
+
   test("one row per (section, key); dimensions opt out cleanly") {
     assert(card.groupBy($"section", $"key").count()
       .filter($"count" > 1).isEmpty)

@@ -195,4 +195,31 @@ object Mix {
       .filter(col("cum_tokens") <= budget)
       .drop("__ord")
   }
+
+  /** [[selectByTokenBudget]] with a PER-GROUP budget — the multilingual
+    * assembly step: [[unimaxPlanBy]] (or any allocator) decides each
+    * language's token mass, THIS fills each allocation with that
+    * language's best documents. `budgets` is a group-frame-bounded
+    * `(groupCol, budgetCol)` frame (broadcast); groups without a budget
+    * row are dropped — an allocator that wants a language kept whole
+    * says so with a budget, it doesn't get it by omission. The running
+    * totals restart per group ([[Prefix.cumsumByGroup]]), so with a
+    * group key there is no unpartitioned window anywhere. */
+  def selectByTokenBudgetByGroup(df: DataFrame, groupCol: String,
+                                 scoreCol: String, tokenCol: String,
+                                 idCol: String, budgets: DataFrame,
+                                 budgetCol: String = "budget"): DataFrame = {
+    require(budgets.columns.contains(groupCol),
+      s"selectByTokenBudgetByGroup: budgets frame lacks '$groupCol'")
+    require(budgets.columns.contains(budgetCol),
+      s"selectByTokenBudgetByGroup: budgets frame lacks '$budgetCol'")
+    Prefix.cumsumByGroup(
+        df.withColumn("__ord",
+          struct((-col(scoreCol)).as("s"), col(idCol).as("i"))),
+        Seq(groupCol), "__ord", tokenCol, "cum_tokens")
+      .join(broadcast(budgets.select(col(groupCol),
+        col(budgetCol).as("__budget"))), Seq(groupCol))
+      .filter(col("cum_tokens") <= col("__budget"))
+      .drop("__ord", "__budget")
+  }
 }

@@ -35,22 +35,35 @@ object Prefix {
     * arbitrarily but consistently within the run; use a unique order
     * column for fully deterministic output. */
   def cumsum(df: DataFrame, orderCol: String, valueCol: String,
-             outCol: String): DataFrame = {
-    val ranged = df.repartitionByRange(col(orderCol))
+             outCol: String): DataFrame =
+    cumsumByGroup(df, Nil, orderCol, valueCol, outCol)
+
+  /** [[cumsum]] restarting at zero per `groupCols` group — the same
+    * two-pass scan with the group key prepended everywhere: range
+    * partitioning on (groups, order) keeps each group's order
+    * contiguous, subtotals key on (partition, groups) — still one small
+    * row per partition-group stretch — and the offset window partitions
+    * by group, so with ANY non-empty `groupCols` no unpartitioned
+    * window remains at all. */
+  def cumsumByGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                    valueCol: String, outCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val ranged = df.repartitionByRange(gcols :+ col(orderCol): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint() // pin sampled range boundaries + partition ids
-    val subtotals = ranged.groupBy(col("__pid"))
+    val subtotals = ranged.groupBy(col("__pid") +: gcols: _*)
       .agg(sum(col(valueCol)).as("__psum"))
-    // one row per partition — the only unpartitioned window, and it is
-    // bounded by the partition count
-    val wOff = Window.orderBy(col("__pid"))
+    // one row per partition-group stretch — bounded by partition count
+    // plus group count (ranges are contiguous), never by data
+    val wOff = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = subtotals
       .withColumn("__offset", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    val wIn = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .select(col("__pid") +: gcols :+ col("__offset"): _*)
+    val wIn = Window.partitionBy(col("__pid") +: gcols: _*)
+      .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    ranged.join(broadcast(offsets), "__pid")
+    ranged.join(broadcast(offsets), "__pid" +: groupCols)
       .withColumn(outCol, col("__offset") + sum(col(valueCol)).over(wIn))
       .drop("__pid", "__offset")
   }

@@ -2981,7 +2981,64 @@ object TextOps {
       |  CAST(n_both AS DOUBLE) / CAST(n_b AS DOUBLE) AS contain_b_in_a
       |FROM c""".stripMargin
 
+  // -- q198: UniMax-budgeted per-language quality selection — the
+  // multilingual training-set assembly composition: unimaxPlanBy
+  // (token-weighted, avg 0.5 / max 1.0 epochs — a SELECTION regime)
+  // water-fills each language's token allocation, then
+  // selectByTokenBudgetByGroup fills each allocation with that
+  // language's best documents by TTR. Per-group running totals via the
+  // grouped two-pass prefix scan — no unpartitioned window anywhere in
+  // the selection. Oracle: the q153 unimax CTE chain (proven IEEE
+  // parity) + a per-lang cumulative window + join. --
+  private val q198: Q = (s, dir) => {
+    val tk = Text.tokens(col("text"))
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tk).cast("long").as("n_tokens"),
+        (size(array_distinct(tk)).cast("double") / size(tk)).as("score"))
+      .filter(col("n_tokens") > 0)
+    val budgets = graft.operators.Mix
+      .unimaxPlanBy(scored, "lang", col("n_tokens"), 0.5, 1.0)
+      .select(col("lang"), floor(col("alloc")).cast("long").as("budget"))
+    graft.operators.Mix.selectByTokenBudgetByGroup(
+      scored, "lang", "score", "n_tokens", "doc_id", budgets)
+  }
+  private val q198Sql =
+    s"""WITH b AS (SELECT doc_id, lang,
+       |    CAST(len($dTok) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct($dTok)) AS DOUBLE) / len($dTok) AS score
+       |  FROM documents WHERE len($dTok) > 0),
+       |langs AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS n_docs
+       |  FROM b GROUP BY 1),
+       |caps AS (SELECT lang, n_docs,
+       |    CAST(n_docs AS DOUBLE) * CAST(1.0 AS DOUBLE) AS cap FROM langs),
+       |ord AS (
+       |  SELECT lang, n_docs, cap,
+       |    CAST(sum(n_docs) OVER () AS DOUBLE) * CAST(0.5 AS DOUBLE) AS budget,
+       |    row_number() OVER (ORDER BY cap, lang) AS r,
+       |    sum(cap) OVER (ORDER BY cap, lang
+       |                   ROWS UNBOUNDED PRECEDING) AS cum,
+       |    count(*) OVER () AS nl,
+       |    lag(cap, 1) OVER (ORDER BY cap, lang) AS prev_cap
+       |  FROM caps),
+       |lvl AS (
+       |  SELECT min(c) AS level FROM (
+       |    SELECT (budget - (cum - cap)) / (nl - r + 1) AS c, cap, prev_cap
+       |    FROM ord)
+       |  WHERE c <= cap AND (prev_cap IS NULL OR c >= prev_cap)),
+       |alloc AS (
+       |  SELECT lang, CAST(floor(
+       |      CASE WHEN level IS NULL THEN cap ELSE least(cap, level) END)
+       |    AS BIGINT) AS budget
+       |  FROM ord CROSS JOIN lvl),
+       |c AS (SELECT b.*, sum(n_tokens)
+       |    OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
+       |    AS cum_tokens FROM b)
+       |SELECT c.lang, c.doc_id, c.n_tokens, c.score, c.cum_tokens
+       |FROM c JOIN alloc USING (lang) WHERE cum_tokens <= budget""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q198_unimax_select" -> q198,
     "q197_corpus_overlap" -> q197,
     "q196_token_budget" -> q196,
     "q195_card_diff" -> q195,
@@ -3060,6 +3117,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q198_unimax_select" -> q198Sql,
     "q197_corpus_overlap" -> q197Sql,
     "q196_token_budget" -> q196Sql,
     "q195_card_diff" -> q195Sql,

@@ -69,6 +69,28 @@ class MixSpec extends SparkSpec {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("selectByTokenBudgetByGroup: per-group strict fit, unbudgeted " +
+    "groups dropped, budgets frame validated") {
+    val docs = Seq(
+      // en quality order 2, 1: cum 10, 30
+      (1L, "en", 20L, 0.5), (2L, "en", 10L, 0.9),
+      // de quality order 3, 4: cum 15, 40
+      (3L, "de", 15L, 0.8), (4L, "de", 25L, 0.2),
+      // zh has no budget row -> dropped wholesale
+      (5L, "zh", 5L, 1.0)
+    ).toDF("doc_id", "lang", "n_tokens", "score")
+    val budgets = Seq(("en", 10L), ("de", 39L)).toDF("lang", "budget")
+    val got = Mix.selectByTokenBudgetByGroup(docs, "lang", "score",
+      "n_tokens", "doc_id", budgets)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    // en: only doc 2 fits 10; de: doc 3 fits, doc 4 would cross 39
+    assert(got == Seq(2L, 3L))
+    assert(intercept[IllegalArgumentException](
+      Mix.selectByTokenBudgetByGroup(docs, "lang", "score", "n_tokens",
+        "doc_id", budgets.withColumnRenamed("budget", "alloc")))
+      .getMessage.contains("lacks 'budget'"))
+  }
+
   test("unimaxPlan water-fills the budget under the epoch cap") {
     // counts a=1, b=2, c=7; budget = 2.0 * 10 = 20, caps = 3, 6, 21.
     // Water level: a and b saturate (3 + 6), c takes the rest at 11.

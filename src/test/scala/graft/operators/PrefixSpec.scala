@@ -20,6 +20,29 @@ class PrefixSpec extends SparkSpec {
     assert(ours.exceptAll(global).isEmpty && global.exceptAll(ours).isEmpty)
   }
 
+  test("cumsumByGroup restarts per group and equals the grouped window") {
+    val docs = Tables.load(spark, sf(), "documents")
+      .select($"doc_id", $"lang", $"n_chars").repartition(8)
+    val ours = Prefix.cumsumByGroup(docs, Seq("lang"), "doc_id",
+      "n_chars", "run")
+      .select($"doc_id", $"lang", $"n_chars", $"run") // join reorders cols
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grouped = docs.withColumn("run", sum($"n_chars").over(w))
+    assert(ours.exceptAll(grouped).isEmpty && grouped.exceptAll(ours).isEmpty)
+    // per-group restart: each lang's minimum running total is its first
+    // doc's own value, not a carry-over from another group
+    val firsts = ours.groupBy($"lang").agg(min($"run").as("m"))
+      .join(grouped.groupBy($"lang").agg(min($"run").as("m2")), Seq("lang"))
+    assert(firsts.filter($"m" =!= $"m2").isEmpty)
+    // with a non-empty group key, NO unpartitioned window at all
+    val plan = ours.queryExecution.executedPlan
+    val globals = collectPlan(plan) {
+      case e: WindowExec if e.partitionSpec.isEmpty => e
+    }
+    assert(globals.isEmpty, "grouped scan must not have a global window")
+  }
+
   test("every data-sized window in the plan is partition-local") {
     val docs = Tables.load(spark, sf(), "documents").select($"doc_id", $"n_chars")
     val plan = Prefix.cumsum(docs, "doc_id", "n_chars", "run")

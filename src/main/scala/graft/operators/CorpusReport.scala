@@ -127,6 +127,49 @@ object CorpusReport {
           .as("contain_b_in_a"))
   }
 
+  /** NEAR-duplicate cross-corpus overlap — [[overlap]]'s companion for
+    * the question exact fingerprints can't answer: how many documents
+    * of each side have a banded-MinHash candidate on the OTHER side
+    * (superset of exact overlap: an edited re-crawl keeps most of its
+    * shingles, so it still collides on most bands). One row:
+    * per-side signature-bearing doc counts, near counts, fractions.
+    *
+    * MEMBERSHIP, not pairs: each side left-SEMI joins the other side's
+    * (band, sig) frame, so a boilerplate bucket costs its row count,
+    * never |bucket_a|×|bucket_b| — no `maxBucket` star guard needed,
+    * unlike the pair-emitting [[Dedup.candidatesFromSigs]]. Two
+    * (band, sig) shuffles + distinct-id counts; the one-row stats
+    * frames broadcast-join into the final row. Docs too short to
+    * shingle carry no signature and are not counted on either axis
+    * (`n_a`/`n_b` here = signature-bearing docs — compare [[overlap]]
+    * for the exact-text axis over everything). */
+  def nearOverlap(a: DataFrame, b: DataFrame, textCol: String,
+                  idColA: String, idColB: String,
+                  shingle: Int = 5, bands: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(a.sparkSession)
+    def sigs(df: DataFrame, idCol: String) =
+      df.select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__tk"))
+        .select(col("__id"),
+          posexplode(Text.minhashBandsNative(col("__tk"), shingle, bands)))
+        .select(col("__id"), col("pos").as("__band"), col("col").as("__sig"))
+        .filter(col("__sig").isNotNull)
+    val sa = sigs(a, idColA)
+    val sb = sigs(b, idColB)
+    def n(s: DataFrame, name: String) =
+      s.agg(countDistinct(col("__id")).as(name))
+    def near(s: DataFrame, other: DataFrame, name: String) =
+      n(s.join(other.select(col("__band"), col("__sig")),
+        Seq("__band", "__sig"), "left_semi"), name)
+    n(sa, "n_a").crossJoin(broadcast(n(sb, "n_b")))
+      .crossJoin(broadcast(near(sa, sb, "n_a_near")))
+      .crossJoin(broadcast(near(sb, sa, "n_b_near")))
+      .select(col("n_a"), col("n_b"), col("n_a_near"), col("n_b_near"),
+        (col("n_a_near").cast("double") / col("n_a").cast("double"))
+          .as("frac_a_near"),
+        (col("n_b_near").cast("double") / col("n_b").cast("double"))
+          .as("frac_b_near"))
+  }
+
   def diff(before: DataFrame, after: DataFrame): DataFrame =
     before.as("b").join(after.as("a"),
         col("b.section") === col("a.section") && col("b.key") === col("a.key"),

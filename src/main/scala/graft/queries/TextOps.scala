@@ -76,12 +76,7 @@ object TextOps {
       .select($"doc_id", ($"pos" + 1).as("band"), $"col".as("sig"))
       .filter($"sig".isNotNull)
   }
-  private def minhashSigsSql: String =
-    s"""SELECT doc_id, band,
-       |  list_aggregate(list_transform(dg, d -> substring(d, 1 + 8 * (band - 1), 8)), 'min') AS sig
-       |FROM (SELECT doc_id, list_transform(${dShingles(dTok, 5)}, x -> md5(x)) AS dg FROM documents),
-       |     (SELECT unnest([1, 2, 3, 4]) AS band)
-       |WHERE list_aggregate(list_transform(dg, d -> substring(d, 1 + 8 * (band - 1), 8)), 'min') IS NOT NULL""".stripMargin
+  private def minhashSigsSql: String = dSigsFrom("documents")
 
   // -- q21: MinHash band signatures (LSH) --
   private val q21: Q = (s, dir) => minhashSigs(s, dir)
@@ -2953,14 +2948,17 @@ object TextOps {
   // mass that must NOT inflate overlap — counts are distinct-based).
   // Oracle: the same fingerprint sets as DISTINCT CTEs + scalar
   // subquery counts. --
-  private val q197: Q = (s, dir) => {
+  /** Simulated re-crawl snapshot (q197/q199): docs < 300 verbatim,
+    * docs >= 400 re-crawled with edited text, docs < 50 re-delivered. */
+  private def snapshot(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val snap = d.filter(col("doc_id") < 300)
+    d.filter(col("doc_id") < 300)
       .unionByName(d.filter(col("doc_id") >= 400)
         .withColumn("text", concat(col("text"), lit(" v2"))))
       .unionByName(d.filter(col("doc_id") < 50))
-    graft.operators.CorpusReport.overlap(d, snap, "text")
   }
+  private val q197: Q = (s, dir) =>
+    graft.operators.CorpusReport.overlap(docs(s, dir), snapshot(s, dir), "text")
   private val q197Sql =
     """WITH bsrc AS (
       |  SELECT text FROM documents WHERE doc_id < 300
@@ -3037,7 +3035,48 @@ object TextOps {
        |SELECT c.lang, c.doc_id, c.n_tokens, c.score, c.cum_tokens
        |FROM c JOIN alloc USING (lang) WHERE cum_tokens <= budget""".stripMargin
 
+  // -- q199: near-duplicate cross-corpus overlap (CorpusReport
+  // .nearOverlap) — q197's companion: how many docs of each side have a
+  // banded-MinHash candidate on the other side. On the same simulated
+  // snapshot the edited re-crawls (docs >= 400, text || ' v2') keep
+  // most of their shingles and still collide on most bands, so the
+  // near counts sit strictly ABOVE q197's exact 300 — the gap IS the
+  // edited-re-crawl mass a fingerprint merge would re-ingest.
+  // Membership via semi joins (no pair materialization, no star
+  // guard). Oracle: the q21 sig CTE parameterized per side + DISTINCT
+  // (band, sig) joins + scalar-subquery counts. --
+  private val q199: Q = (s, dir) =>
+    graft.operators.CorpusReport.nearOverlap(
+      docs(s, dir), snapshot(s, dir), "text", "doc_id", "doc_id")
+  private def dSigsFrom(src: String): String =
+    s"""SELECT doc_id, band,
+       |  list_aggregate(list_transform(dg, d -> substring(d, 1 + 8 * (band - 1), 8)), 'min') AS sig
+       |FROM (SELECT doc_id, list_transform(${dShingles(dTok, 5)}, x -> md5(x)) AS dg FROM $src),
+       |     (SELECT unnest([1, 2, 3, 4]) AS band)
+       |WHERE list_aggregate(list_transform(dg, d -> substring(d, 1 + 8 * (band - 1), 8)), 'min') IS NOT NULL""".stripMargin
+  private val q199Sql =
+    s"""WITH bsrc AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+       |  UNION ALL SELECT doc_id, text || ' v2' FROM documents WHERE doc_id >= 400
+       |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 50),
+       |sa AS (${dSigsFrom("documents")}),
+       |sb AS (${dSigsFrom("bsrc")}),
+       |c AS (SELECT
+       |  (SELECT count(DISTINCT doc_id) FROM sa) AS n_a,
+       |  (SELECT count(DISTINCT doc_id) FROM sb) AS n_b,
+       |  (SELECT count(DISTINCT sa.doc_id) FROM sa
+       |     JOIN (SELECT DISTINCT band, sig FROM sb) x USING (band, sig))
+       |    AS n_a_near,
+       |  (SELECT count(DISTINCT sb.doc_id) FROM sb
+       |     JOIN (SELECT DISTINCT band, sig FROM sa) y USING (band, sig))
+       |    AS n_b_near)
+       |SELECT n_a, n_b, n_a_near, n_b_near,
+       |  CAST(n_a_near AS DOUBLE) / CAST(n_a AS DOUBLE) AS frac_a_near,
+       |  CAST(n_b_near AS DOUBLE) / CAST(n_b AS DOUBLE) AS frac_b_near
+       |FROM c""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q199_near_overlap" -> q199,
     "q198_unimax_select" -> q198,
     "q197_corpus_overlap" -> q197,
     "q196_token_budget" -> q196,
@@ -3117,6 +3156,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q199_near_overlap" -> q199Sql,
     "q198_unimax_select" -> q198Sql,
     "q197_corpus_overlap" -> q197Sql,
     "q196_token_budget" -> q196Sql,

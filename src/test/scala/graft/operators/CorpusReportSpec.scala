@@ -94,6 +94,28 @@ class CorpusReportSpec extends SparkSpec {
     assert(z.getLong(2) == 0L && z.getDouble(3) == 0.0)
   }
 
+  test("nearOverlap: semi-join membership, shingle-less docs excluded") {
+    def long(seed: String): String =
+      (1 to 10).map(i => s"${seed}_$i").mkString(" ")
+    val a = Seq(
+      (1L, long("alpha")), (2L, long("gamma")),
+      (3L, "short")                        // < 5 tokens: no signature
+    ).toDF("doc_id", "text")
+    val b = Seq(
+      (10L, long("alpha")),                // verbatim re-crawl: near
+      (11L, long("delta")),                // disjoint shingles
+      (12L, "tiny")                        // no signature
+    ).toDF("doc_id", "text")
+    val r = CorpusReport.nearOverlap(a, b, "text", "doc_id", "doc_id").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L) // sig-bearing docs only
+    assert(r.getLong(2) == 1L && r.getLong(3) == 1L) // alpha matches alpha
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5)
+    // a doc near ANY other-side doc counts once, not per collision
+    val b2 = b.unionByName(Seq((13L, long("alpha"))).toDF("doc_id", "text"))
+    val r2 = CorpusReport.nearOverlap(a, b2, "text", "doc_id", "doc_id").head()
+    assert(r2.getLong(2) == 1L && r2.getLong(3) == 2L)
+  }
+
   test("one row per (section, key); dimensions opt out cleanly") {
     assert(card.groupBy($"section", $"key").count()
       .filter($"count" > 1).isEmpty)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Text
+import graft.functions.{Text, Vectors}
 
 /** One-call corpus DATA CARD — the observability pass a curation run
   * publishes next to its output (docs, token mass, length quantiles,
@@ -90,6 +90,56 @@ object CorpusReport {
     * and the diff answers "what did the change do to the corpus" —
     * e.g. whether a quality gate drops one language disproportionately.
     * Both sides are report-sized, so the join is trivially small. */
+  /** Vector-corpus data card — the embedding-side sibling of [[build]],
+    * same long (section, key, value) shape (so [[diff]] works on it
+    * unchanged): vector count and nullness, DIMENSION consistency
+    * (`dims/min` ≠ `dims/max` means ragged vectors — the malformation
+    * every downstream kernel assumes away), norm quantiles, optional
+    * label composition. Norms round to 6 dp first (the library's shared
+    * cross-engine round, the q56 device). No cell ever SUMS doubles —
+    * counts are exact longs and quantiles interpolate two picked values
+    * ([[Percentiles.quantileContScan]]: norms are continuous, so the
+    * rank scan, not the histogram) — the whole card hash-reproduces
+    * cross-engine. */
+  def vectorCard(df: DataFrame, vecCol: String,
+                 labelCol: Option[String] = None,
+                 quantiles: Seq[(String, Double)] =
+                   Seq("p50" -> 0.5, "p90" -> 0.9)): DataFrame = {
+    val v = col("__v")
+    def row(section: String, key: Column, value: Column): Column =
+      struct(lit(section).as("section"), key.as("key"),
+        value.cast("double").as("value"))
+    val base = df.select(col(vecCol).as("__v"))
+      .withColumn("__n", when(v.isNotNull, size(v)))
+      .withColumn("__norm", when(v.isNotNull, round(Vectors.norm(v), 6)))
+    val scalars = base.agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("__n")).as("dim_min"),
+        max(col("__n")).as("dim_max"))
+      .select(explode(array(
+        row("corpus", lit("n_vecs"), col("n_vecs")),
+        row("corpus", lit("n_null"), col("n_null")),
+        row("dims", lit("min"), col("dim_min")),
+        row("dims", lit("max"), col("dim_max"))
+      )).as("__r"))
+      .select(col("__r.*"))
+    val qrows =
+      if (quantiles.isEmpty) Nil
+      else Seq(Percentiles.quantileContScan(base, "__norm", quantiles)
+        .select(explode(array(quantiles.map { case (name, _) =>
+          row("norm", lit(name), col(name))
+        }: _*)).as("__r"))
+        .select(col("__r.*")))
+    val lab = labelCol.toSeq.map { c =>
+      df.groupBy(coalesce(col(c).cast("string"), lit("null")).as("key"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("label").as("section"), col("key"),
+          col("n").cast("double").as("value"))
+    }
+    (Seq(scalars) ++ qrows ++ lab).reduce(_.unionByName(_))
+  }
+
   /** Cross-corpus exact-overlap report — the merge-planning statistic
     * ("how much of this new snapshot do we already hold"): ONE row of
     * distinct-text counts per side, the shared count, Jaccard, and

@@ -120,11 +120,47 @@ object Percentiles {
     // global window, but over the histogram — bounded by |distinct values|
     val cum = hist.withColumn("__graft_q_cum",
       sum(col("__graft_q_c")).over(Window.orderBy(v)))
+    interpFromCum(cum,
+      broadcast(hist.agg(sum(col("__graft_q_c")).as("__graft_q_n"))), ps)
+  }
+
+  /** Exact GLOBAL `quantile_cont` for CONTINUOUS value columns — the
+    * third member of the global family: [[quantileContHist]] collapses
+    * DISCRETE values to a histogram; for continuous values (prices,
+    * norms, scores) the histogram is itself corpus-sized, so THIS
+    * ranks every row with [[Prefix.cumsum]]'s two-pass range-partition
+    * scan instead — the only unpartitioned window is the per-partition
+    * subtotal frame, never the data. Same `(n-1)·p` interpolation, same
+    * results as the sort path and the built-in (PercentilesSpec).
+    * (The streaming member is [[graft.functions.QuantileSketch]];
+    * grouped exact quantiles stay on [[quantileCont]], whose window
+    * partitions by the group key.) */
+  def quantileContScan(df: DataFrame, valueCol: String,
+                       ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    val v = col("__graft_q_v")
+    val vals = df.select(col(valueCol).as("__graft_q_v"))
+      .where(v.isNotNull)
+      .withColumn("__graft_q_c", lit(1L))
+    // rank in value order == cumulative count; ties get arbitrary
+    // distinct ranks, which picks the same VALUE at every rank anyway
+    val ranked = Prefix.cumsum(vals, "__graft_q_v", "__graft_q_c",
+      "__graft_q_cum")
+    interpFromCum(ranked,
+      broadcast(vals.agg(sum(col("__graft_q_c")).as("__graft_q_n"))), ps)
+  }
+
+  /** Shared interpolation tail of the global exact-quantile paths: a
+    * `(__graft_q_v, __graft_q_cum)` frame (cum = inclusive count of
+    * rows with value ≤ this row's, under any tie layout) + a one-row
+    * total frame → one row with a column per (name, p). v at 0-indexed
+    * rank r = min value whose cum > r; `quantile_cont` interpolates
+    * ranks floor(target) and floor(target)+1 at target = (n−1)·p. */
+  private def interpFromCum(cum: DataFrame, nFrame: DataFrame,
+                            ps: Seq[(String, Double)]): DataFrame = {
+    val v = col("__graft_q_v")
     val n = col("__graft_q_n")
-    val withN = cum.crossJoin(broadcast(
-      hist.agg(sum(col("__graft_q_c")).as("__graft_q_n"))))
-    // v at 0-indexed rank r = min value whose cumulative count > r;
-    // quantile_cont needs ranks floor(target) and floor(target)+1
+    val withN = cum.crossJoin(nFrame)
     val aggs = ps.flatMap { case (name, p) =>
       val target = (n - 1) * lit(p)
       Seq(

@@ -1619,7 +1619,44 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
        |  FROM sc) WHERE rn <= 3""".stripMargin
 
+  // -- q200: vector-corpus data card (CorpusReport.vectorCard) — the
+  // embedding-side sibling of the q194 doc card, same (section, key,
+  // value) shape so the q195 diff works on it unchanged: vector count /
+  // nullness, dimension consistency (dims/min != dims/max = ragged
+  // vectors), norm quantiles on 6-dp-rounded norms (the q56 shared
+  // round; quantiles via the rank SCAN — norms are continuous, a
+  // histogram would be corpus-sized), label composition. No cell sums
+  // doubles, so the card hash-reproduces cross-engine. --
+  private val q200: Q = (s, dir) =>
+    graft.operators.CorpusReport.vectorCard(emb(s, dir), "embedding",
+      labelCol = Some("label"))
+  private val q200Sql =
+    s"""WITH b AS (SELECT embedding,
+       |    CASE WHEN embedding IS NULL THEN NULL
+       |         ELSE len(embedding) END AS n,
+       |    CASE WHEN embedding IS NULL THEN NULL
+       |         ELSE round(sqrt(${dDot("embedding", "embedding")}), 6)
+       |         END AS nrm
+       |  FROM embeddings),
+       |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_vecs,
+       |        CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+       |          AS DOUBLE) AS n_null,
+       |        CAST(min(n) AS DOUBLE) AS dim_min,
+       |        CAST(max(n) AS DOUBLE) AS dim_max
+       |      FROM b),
+       |q AS (SELECT quantile_cont(nrm, 0.5) AS p50,
+       |             quantile_cont(nrm, 0.9) AS p90 FROM b)
+       |SELECT 'corpus' AS section, 'n_vecs' AS key, n_vecs AS value FROM s
+       |UNION ALL SELECT 'corpus', 'n_null', n_null FROM s
+       |UNION ALL SELECT 'dims', 'min', dim_min FROM s
+       |UNION ALL SELECT 'dims', 'max', dim_max FROM s
+       |UNION ALL SELECT 'norm', 'p50', p50 FROM q
+       |UNION ALL SELECT 'norm', 'p90', p90 FROM q
+       |UNION ALL SELECT 'label', coalesce(CAST(label AS VARCHAR), 'null'),
+       |  CAST(count(*) AS DOUBLE) FROM embeddings GROUP BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q200_vector_card" -> q200,
     "q192_centered_embed_knn" -> q192,
     "q191_centered_text_knn" -> q191,
     "q189_lsh_neardup_auto" -> q189,
@@ -1660,6 +1697,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q200_vector_card" -> q200Sql,
     "q192_centered_embed_knn" -> q192Sql,
     "q191_centered_text_knn" -> q191Sql,
     "q189_lsh_neardup_auto" -> q189Sql,

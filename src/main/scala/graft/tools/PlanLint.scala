@@ -59,6 +59,8 @@ object PlanLint {
     ("q195", "global-window", "cumulative counts over two token-count value histograms (rows = distinct token counts)"),
     ("q196", "global-window", "per-partition subtotal frame (rows = partitions) — the q97 two-pass prefix scan"),
     ("q199", "bnlj", "one-row overlap-count frames — near-overlap report assembly"),
+    ("q200", "bnlj", "one-row corpus-total frame — scan-quantile rank arithmetic"),
+    ("q200", "global-window", "per-partition subtotal frame (rows = partitions) — the scan-quantile prefix pass"),
     ("q198", "bnlj", "language-frame-bounded unimax plan (the q148/q153 shape)"),
     ("q198", "global-window", "language-frame-bounded water-filling (the q148/q153 shape); the selection itself has no unpartitioned window"),
     ("q97", "global-window", "two-pass prefix scan: window over one row per partition"),

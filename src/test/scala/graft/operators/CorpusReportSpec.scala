@@ -116,6 +116,28 @@ class CorpusReportSpec extends SparkSpec {
     assert(r2.getLong(2) == 1L && r2.getLong(3) == 2L)
   }
 
+  test("vectorCard: counts, ragged dims surfaced, norm quantiles, labels") {
+    val vecs = Seq(
+      (1L, Some(Seq(3.0f, 4.0f)), Some(0)),        // norm 5
+      (2L, Some(Seq(0.0f, 0.0f)), Some(1)),        // norm 0
+      (3L, Some(Seq(1.0f, 0.0f, 0.0f)), Some(0)),  // RAGGED: dim 3, norm 1
+      (4L, None, None)                             // null vector
+    ).toDF("vec_id", "embedding", "label")
+    val card = CorpusReport.vectorCard(vecs, "embedding",
+      labelCol = Some("label"))
+    def cell(s: String, k: String): Double =
+      card.filter($"section" === s && $"key" === k).head().getDouble(2)
+    assert(cell("corpus", "n_vecs") == 4.0 && cell("corpus", "n_null") == 1.0)
+    assert(cell("dims", "min") == 2.0 && cell("dims", "max") == 3.0)
+    // norms (0, 1, 5): p50 = 1; p90 rank 0.9*2 = 1.8 -> 1 + 0.8*(5-1)
+    assert(cell("norm", "p50") == 1.0)
+    assert(cell("norm", "p90") == 1.0 + 0.8 * 4.0)
+    assert(cell("label", "0") == 2.0 && cell("label", "1") == 1.0 &&
+      cell("label", "null") == 1.0)
+    // same shape as the doc card: diff works across the two cards
+    assert(CorpusReport.diff(card, card).filter($"delta" =!= 0.0).isEmpty)
+  }
+
   test("one row per (section, key); dimensions opt out cleanly") {
     assert(card.groupBy($"section", $"key").count()
       .filter($"count" > 1).isEmpty)

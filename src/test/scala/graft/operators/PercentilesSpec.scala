@@ -115,6 +115,37 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("quantileContScan == sort path == built-in on continuous data") {
+    val li = Tables.load(spark, sf(), "lineitem").repartition(8)
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0)
+    val scan = Percentiles.quantileContScan(li, "l_extendedprice", ps).head()
+    // witness = the library's own sort path: the same lo + frac·(hi−lo)
+    // DuckDB-parity formula, so equality must be BIT-exact (the built-in
+    // interpolates as (1−frac)·lo + frac·hi — a ulp apart on continuous
+    // data, which is exactly why the oracle-parity form exists)
+    val sorted = Percentiles.quantileCont(
+      li.withColumn("__g", lit(1)), Seq("__g"), "l_extendedprice", ps).head()
+    ps.indices.foreach { i =>
+      assert(scan.getDouble(i) == sorted.getDouble(i + 1),
+        s"${ps(i)._1}: scan vs sort path")
+    }
+    // and on exact-arithmetic data all three agree, built-in included
+    val bAggs = ps.map { case (n, p) => percentile($"l_quantity", lit(p)).as(n) }
+    val builtin = li.agg(bAggs.head, bAggs.tail: _*).head()
+    val scanQ = Percentiles.quantileContScan(li, "l_quantity", ps).head()
+    ps.indices.foreach { i =>
+      assert(scanQ.getDouble(i) == builtin.getDouble(i),
+        s"${ps(i)._1}: scan vs builtin on exact data")
+    }
+    // duplicate values across partitions: rank ties pick the same value
+    val dup = Seq(1.0, 2.0, 2.0, 2.0, 9.0).toDF("v").repartition(4)
+    val d = Percentiles.quantileContScan(dup, "v", Seq("p50" -> 0.5)).head()
+    assert(d.getDouble(0) == 2.0)
+    val allNull = Seq[Option[Double]](None).toDF("v")
+    assert(Percentiles.quantileContScan(allNull, "v", Seq("p50" -> 0.5))
+      .head().isNullAt(0))
+  }
+
   test("quantileContHist: interpolation between distinct values, nulls, all-null") {
     val df = Seq(Some(1), Some(2), Some(4), None).toDF("v")
     val out = Percentiles.quantileContHist(df, "v", Seq("p50" -> 0.5)).head()

@@ -183,22 +183,29 @@ object Percentiles {
   /** Column helper matching the built-in's name for spec readability. */
   def builtinPercentile(c: Column, p: Double): Column = percentile(c, lit(p))
 
-  /** One GLOBAL exact interpolated quantile (driver state: one double) —
-    * the shared threshold step behind [[winsorize]] / [[madOutliers]] /
-    * `Quality.scoreBuckets`. */
-  private def globalQuantile(df: DataFrame, valueCol: String, p: Double): Double = {
-    val row = quantileCont(df.withColumn("__g", lit(1)), Seq("__g"),
-      valueCol, Seq("__q" -> p)).collect()
-    require(row.nonEmpty && !row(0).isNullAt(1),
+  /** GLOBAL exact interpolated quantiles (driver state: one double per
+    * p) — the shared threshold step behind [[winsorize]] /
+    * [[madOutliers]] / `Quality.scoreBuckets`. Rides
+    * [[quantileContScan]] (bit-identical to the sort path, which it
+    * replaced here: the constant-group form funneled the corpus
+    * through one window task). */
+  private[operators] def globalQuantiles(df: DataFrame, valueCol: String,
+                                         ps: Seq[Double]): Seq[Double] = {
+    val named = ps.zipWithIndex.map { case (p, i) => (s"__q$i", p) }
+    val row = quantileContScan(df, valueCol, named).collect()
+    require(row.nonEmpty && !row(0).isNullAt(0),
       s"no non-null '$valueCol' values")
-    row(0).getDouble(1)
+    ps.indices.map(row(0).getDouble)
   }
+
+  private def globalQuantile(df: DataFrame, valueCol: String, p: Double): Double =
+    globalQuantiles(df, valueCol, Seq(p)).head
 
   /** Winsorization — clip `valueCol` into its own [lo, hi] exact-quantile
     * band (the tabular data-cleaning step that tames fat tails without
     * dropping rows; the numeric sibling of the text side's Repetition
-    * ceilings). Thresholds come from the exact distributed quantile pass
-    * (spill-safe sort; driver state = two doubles), the clip itself is a
+    * ceilings). Thresholds come from the exact rank-scan quantile pass
+    * ([[quantileContScan]]; driver state = two doubles), the clip itself is a
     * narrow codegen'd least/greatest fold — the corpus never shuffles.
     * Adds `<valueCol>_w`.
     *
@@ -217,8 +224,9 @@ object Percentiles {
       if (roundTo < 0) t
       else BigDecimal(t).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP)
         .toDouble
-    val tLo = r(globalQuantile(df, valueCol, lo))
-    val tHi = r(globalQuantile(df, valueCol, hi))
+    val Seq(tLo0, tHi0) = globalQuantiles(df, valueCol, Seq(lo, hi))
+    val tLo = r(tLo0)
+    val tHi = r(tHi0)
     df.withColumn(s"${valueCol}_w",
       least(greatest(col(valueCol), lit(tLo)), lit(tHi)))
   }

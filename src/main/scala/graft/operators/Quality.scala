@@ -33,8 +33,9 @@ object Quality {
     *
     * Scale shape: NOT a global ntile (a single-partition window over
     * the corpus). Thresholds are the exact (nBuckets−1) interior
-    * quantiles via [[Percentiles.quantileCont]] — one distributed
-    * spill-safe sort, driver state = nBuckets−1 doubles — and the
+    * quantiles via [[Percentiles.quantileContScan]] — the two-pass
+    * rank scan, no single-task window, driver state = nBuckets−1
+    * doubles — and the
     * assignment is a narrow codegen'd comparison fold, so the corpus
     * itself never funnels through one task. Equal-valued scores land in
     * the same bucket (score == threshold stays below it), so bucket
@@ -43,12 +44,8 @@ object Quality {
   def scoreBuckets(df: DataFrame, scoreCol: String,
                    nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 2, s"scoreBuckets: need >= 2 buckets: $nBuckets")
-    val ps = (1 until nBuckets).map(i => (s"__p$i", i.toDouble / nBuckets))
-    val rows = Percentiles.quantileCont(
-      df.withColumn("__g", lit(1)), Seq("__g"), scoreCol, ps).collect()
-    require(rows.nonEmpty && !rows(0).isNullAt(1),
-      s"scoreBuckets: no non-null '$scoreCol' values to bucket")
-    val thresholds = ps.indices.map(i => rows(0).getDouble(i + 1))
+    val thresholds = Percentiles.globalQuantiles(df, scoreCol,
+      (1 until nBuckets).map(_.toDouble / nBuckets))
     assignBuckets(df, scoreCol, thresholds)
   }
 

@@ -48,7 +48,11 @@ object Pipeline {
     *    MANIFEST (a sink, like `write` — put it last).
     *  - `sample` (content-addressed rate sampling) and `balanceSources`
     *    (α=0.5 temperature mixing over `byCol`) cover the mixture side
-    *    of the recipe. */
+    *    of the recipe; `tokenBudget` (q196) cuts the corpus to a global
+    *    token budget in quality order and `unimaxSelect` (q198) does it
+    *    per group under UniMax token allocations.
+    *  - `report` (q194) is a pass-through sink publishing the corpus
+    *    DATA CARD of the frame at that point in the chain. */
   private val Allowed: Map[String, Set[String]] = Map(
     "read" -> Set("table", "idCol", "textCol"),
     "clean" -> Set("form", "lowercase"),
@@ -68,6 +72,7 @@ object Pipeline {
     "sample" -> Set("rate", "salt"),
     "balanceSources" -> Set("byCol"),
     "tokenBudget" -> Set("budget", "scoreCol"),
+    "unimaxSelect" -> Set("byCol", "avgEpochs", "maxEpochs", "scoreCol"),
     "tokenize" -> Set("merges"),
     "decontamIds" -> Set("table", "textCol", "n", "threshold"),
     "split" -> Set("trainPct", "valPct"),
@@ -323,6 +328,36 @@ object Pipeline {
             Seq(idCol))
         case "split" => operators.Splits.assign(df, idCol,
           int(s, "trainPct", 90), int(s, "valPct", 5))
+        case "unimaxSelect" =>
+          // the q198 composition as one stage: token-weighted UniMax
+          // water-fills each group's token allocation (avgEpochs <= 1
+          // is the SELECTION regime), then the grouped budget selection
+          // fills each with the group's best documents
+          val byCol = s.params.getOrElse("byCol", "lang")
+          require(df.columns.contains(byCol),
+            s"pipeline line ${s.line}: unimaxSelect byCol= column " +
+              s"'$byCol' not in the frame (has: ${df.columns.sorted.mkString(", ")})")
+          val avg = dbl(s, "avgEpochs", 0.5)
+          val mx = dbl(s, "maxEpochs", 1.0)
+          val tk = functions.Text.tokens(col(textCol))
+          val withTok = df.withColumn("__ub_n", size(tk).cast("long"))
+          val scored = (s.params.get("scoreCol") match {
+            case Some(c) =>
+              require(df.columns.contains(c),
+                s"pipeline line ${s.line}: unimaxSelect scoreCol= column " +
+                  s"'$c' not in the frame (has: ${df.columns.sorted.mkString(", ")})")
+              withTok.withColumn("__ub_s", col(c))
+            case None => withTok.withColumn("__ub_s",
+              size(array_distinct(tk)).cast("double") / size(tk))
+          }).filter(col("__ub_n") > 0)
+          // unimaxPlanBy keys its output on "lang" whatever the group col
+          val budgets = operators.Mix
+            .unimaxPlanBy(scored, byCol, col("__ub_n"), avg, mx)
+            .select(col("lang").as(byCol),
+              floor(col("alloc")).cast("long").as("__ub_budget"))
+          operators.Mix.selectByTokenBudgetByGroup(scored, byCol, "__ub_s",
+              "__ub_n", idCol, budgets, "__ub_budget")
+            .drop("__ub_n", "__ub_s")
         case "report" =>
           // pass-through observability sink: publish the corpus DATA
           // CARD (CorpusReport.build, q194) of the frame AS IT IS at

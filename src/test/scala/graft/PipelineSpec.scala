@@ -334,6 +334,28 @@ class PipelineSpec extends SparkSpec {
       .contains("must be an integer"))
   }
 
+  test("unimaxSelect stage == the hand-written q198 composition") {
+    val got = Pipeline.run(spark, sf(),
+      "read table=documents\nunimaxSelect byCol=lang avgEpochs=0.5 maxEpochs=1.0")
+    val tk = functions.Text.tokens(col("text"))
+    val scored = Tables.load(spark, sf(), "documents")
+      .withColumn("__ub_n", size(tk).cast("long"))
+      .withColumn("__ub_s", size(array_distinct(tk)).cast("double") / size(tk))
+      .filter(col("__ub_n") > 0)
+    val budgets = operators.Mix
+      .unimaxPlanBy(scored, "lang", col("__ub_n"), 0.5, 1.0)
+      .select(col("lang"), floor(col("alloc")).cast("long").as("__ub_budget"))
+    val hand = operators.Mix.selectByTokenBudgetByGroup(scored, "lang",
+        "__ub_s", "__ub_n", "doc_id", budgets, "__ub_budget")
+      .drop("__ub_n", "__ub_s")
+    assert(got.count() > 0 &&
+      got.count() < Tables.load(spark, sf(), "documents").count())
+    assert(got.exceptAll(hand).isEmpty && hand.exceptAll(got).isEmpty)
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nunimaxSelect byCol=nope")).getMessage
+      .contains("column 'nope' not in the frame"))
+  }
+
   test("report stage publishes the card at its point in the chain, " +
     "passes the frame through, and validates dimension columns") {
     val pre = java.nio.file.Files.createTempDirectory("card_pre").toString

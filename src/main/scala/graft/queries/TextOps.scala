@@ -2935,8 +2935,8 @@ object TextOps {
        |    CAST(len($dTok) AS BIGINT) AS n_tokens,
        |    CAST(len(list_distinct($dTok)) AS DOUBLE) / len($dTok) AS score
        |  FROM documents WHERE len($dTok) > 0),
-       |c AS (SELECT *, sum(n_tokens)
-       |    OVER (ORDER BY score DESC, doc_id) AS cum_tokens FROM b)
+       |c AS (SELECT *, CAST(sum(n_tokens)
+       |    OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS cum_tokens FROM b)
        |SELECT doc_id, n_tokens, score, cum_tokens FROM c
        |WHERE cum_tokens <= 10000""".stripMargin
 
@@ -3029,9 +3029,9 @@ object TextOps {
        |      CASE WHEN level IS NULL THEN cap ELSE least(cap, level) END)
        |    AS BIGINT) AS budget
        |  FROM ord CROSS JOIN lvl),
-       |c AS (SELECT b.*, sum(n_tokens)
+       |c AS (SELECT b.*, CAST(sum(n_tokens)
        |    OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
-       |    AS cum_tokens FROM b)
+       |    AS BIGINT) AS cum_tokens FROM b)
        |SELECT c.lang, c.doc_id, c.n_tokens, c.score, c.cum_tokens
        |FROM c JOIN alloc USING (lang) WHERE cum_tokens <= budget""".stripMargin
 

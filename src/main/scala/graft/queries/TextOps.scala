@@ -3075,7 +3075,42 @@ object TextOps {
        |  CAST(n_b_near AS DOUBLE) / CAST(n_b AS DOUBLE) AS frac_b_near
        |FROM c""".stripMargin
 
+  // -- q201: distinct-count rollup via stored HLL sketches
+  // (DistinctRollup) — sketches as DATA: one per-lang sketch pass over
+  // text fingerprints, then the global answer comes from MERGING the
+  // six stored sketches (register maxes, order-independent), never
+  // re-touching rows. Verified with the q37/q84 order-dependent-state
+  // pattern: exact distinct counts + a within-tolerance boolean (HLL
+  // ~1.6% sigma at lgK 12; 5% gate) that must be literal true — the
+  // oracle emits true on the same exact-count rows, so hash equality
+  // proves the estimates land inside the bound. --
+  private val q201: Q = (s, dir) => {
+    val roll = graft.operators.DistinctRollup
+    val d = docs(s, dir)
+      .select(col("lang"), Text.fingerprint(col("text")).as("fp"))
+    val sk = roll.sketchBy(d, Seq("lang"), "fp")
+    val ests = sk.select(col("lang"), roll.estimate(col("hll")).as("est"))
+      .unionByName(roll.rollup(sk, Nil)
+        .select(lit("ALL").as("lang"), roll.estimate(col("hll")).as("est")))
+    val exact = d.groupBy(col("lang"))
+      .agg(countDistinct(col("fp")).as("n_exact"))
+      .unionByName(d.agg(countDistinct(col("fp")).as("n_exact"))
+        .select(lit("ALL").as("lang"), col("n_exact")))
+    ests.join(exact, Seq("lang"))
+      .select(col("lang"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <=
+          lit(0.05) * col("n_exact")).as("est_ok"))
+  }
+  private val dFp =
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+  private val q201Sql =
+    s"""SELECT lang, count(DISTINCT $dFp) AS n_exact, true AS est_ok
+       |FROM documents GROUP BY lang
+       |UNION ALL
+       |SELECT 'ALL', count(DISTINCT $dFp), true FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q201_distinct_rollup" -> q201,
     "q199_near_overlap" -> q199,
     "q198_unimax_select" -> q198,
     "q197_corpus_overlap" -> q197,
@@ -3156,6 +3191,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q201_distinct_rollup" -> q201Sql,
     "q199_near_overlap" -> q199Sql,
     "q198_unimax_select" -> q198Sql,
     "q197_corpus_overlap" -> q197Sql,

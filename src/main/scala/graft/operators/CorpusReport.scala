@@ -203,8 +203,11 @@ object CorpusReport {
           posexplode(Text.minhashBandsNative(col("__tk"), shingle, bands)))
         .select(col("__id"), col("pos").as("__band"), col("col").as("__sig"))
         .filter(col("__sig").isNotNull)
-    val sa = sigs(a, idColA)
-    val sb = sigs(b, idColB)
+    // each side's signature frame feeds TWO aggregates (its own count
+    // and the semi-join); materialize once so the shingle→md5 kernel
+    // pass runs once per side, not twice (the q188 artifact lesson)
+    val sa = sigs(a, idColA).localCheckpoint()
+    val sb = sigs(b, idColB).localCheckpoint()
     def n(s: DataFrame, name: String) =
       s.agg(countDistinct(col("__id")).as(name))
     def near(s: DataFrame, other: DataFrame, name: String) =

@@ -3109,7 +3109,39 @@ object TextOps {
        |UNION ALL
        |SELECT 'ALL', count(DISTINCT $dFp), true FROM documents""".stripMargin
 
+  // -- q202: domain blocklist gate (UrlOps.dropBlockedDomains) — the
+  // UT1-style crawl filter: hosts explode into dotted suffixes (bounded
+  // by label count) which semi-join the blocklist, blocked ids
+  // anti-join back — cost independent of blocklist size per row, no
+  // LIKE-per-entry scan. URLs synthesized from (source, lang) so both
+  // match modes bite: one exact host entry and one parent-suffix entry
+  // that takes a whole language subtree. Oracle: an INDEPENDENT
+  // algorithm — NOT EXISTS over host = d OR host LIKE '%.' || d —
+  // agreeing with the explode+join makes the hash a strong check. --
+  private val q202: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir).select($"doc_id",
+      concat(lit("https://"), lower($"source"), lit("."), $"lang",
+        lit(".example.org/p/"), $"doc_id".cast("string")).as("url"))
+    val blocked = Seq("de.example.org", "src3.en.example.org", "unused.net")
+      .toDF("domain")
+    graft.operators.UrlOps.dropBlockedDomains(d, "url", "doc_id", blocked)
+  }
+  private val q202Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    'https://' || lower(source) || '.' || lang || '.example.org/p/' ||
+      |      CAST(doc_id AS VARCHAR) AS url,
+      |    lower(source) || '.' || lang || '.example.org' AS host
+      |  FROM documents)
+      |SELECT doc_id, url FROM d
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM (VALUES ('de.example.org'), ('src3.en.example.org'),
+      |                        ('unused.net')) b(dom)
+      |  WHERE d.host = b.dom OR d.host LIKE '%.' || b.dom)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q202_domain_blocklist" -> q202,
     "q201_distinct_rollup" -> q201,
     "q199_near_overlap" -> q199,
     "q198_unimax_select" -> q198,
@@ -3191,6 +3223,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q202_domain_blocklist" -> q202Sql,
     "q201_distinct_rollup" -> q201Sql,
     "q199_near_overlap" -> q199Sql,
     "q198_unimax_select" -> q198Sql,

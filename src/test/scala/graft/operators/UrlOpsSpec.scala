@@ -85,4 +85,24 @@ class UrlOpsSpec extends SparkSpec {
     }
     assert(exchanges.size == 1, s"expected exactly one shuffle:\n$plan")
   }
+
+  test("dropBlockedDomains: exact host, parent suffix, siblings survive") {
+    val df = Seq(
+      (1L, "https://ads.x.example.com/a"),   // parent suffix example.com
+      (2L, "https://example.com/b"),         // exact entry
+      (3L, "https://notexample.com/c"),      // NOT a dotted suffix match
+      (4L, "https://example.org/d"),         // sibling TLD survives
+      (5L, "https://WWW.Example.COM:443/e"), // case/www/port folded first
+      (6L, "https://sub.bad.net/f"),         // second entry, one level up
+      (7L, "no scheme, no host")             // unparseable: passes
+    ).toDF("doc_id", "url")
+    val blocked = Seq("Example.com", "bad.net").toDF("domain") // mixed case
+    val kept = UrlOps.dropBlockedDomains(df, "url", "doc_id", blocked)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(3L, 4L, 7L))
+    assert(intercept[IllegalArgumentException](
+      UrlOps.dropBlockedDomains(df, "url", "doc_id",
+        blocked.withColumnRenamed("domain", "host")))
+      .getMessage.contains("lacks 'domain'"))
+  }
 }

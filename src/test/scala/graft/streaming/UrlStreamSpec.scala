@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 /** Streaming domain cap: admissions respect the per-domain budget across
@@ -12,6 +13,40 @@ class UrlStreamSpec extends SparkSpec {
 
   private val base = java.sql.Timestamp.valueOf("2026-03-01 12:00:00")
   private def ts(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+
+  test("blocklist gate mid-stream == the batch suffix-join gate; " +
+    "over-budget list fails fast naming the batch path") {
+    val src = Files.createTempDirectory("bl_src").toString
+    val out = Files.createTempDirectory("bl_out").toString
+    val ckpt = Files.createTempDirectory("bl_ckpt").toString
+    val rows = Seq(
+      (1L, "https://ads.x.example.com/a"),  // parent suffix
+      (2L, "https://example.com/b"),        // exact
+      (3L, "https://notexample.com/c"),     // lookalike survives
+      (4L, "https://sub.bad.net/d"),
+      (5L, "https://fine.org/e"))
+      .toDF("doc_id", "url")
+    val blocked = Seq("Example.com", "bad.net").toDF("domain")
+    rows.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(rows.schema).parquet(src)
+    val q = BlocklistGate.admitted(stream, "url", blocked).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+    val batch = graft.operators.UrlOps.dropBlockedDomains(
+      rows, "url", "doc_id", blocked)
+    assert(streamed.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 5L))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    val big = spark.range(70000)
+      .select(concat($"id".cast("string"), lit(".example")).as("domain"))
+    val e = intercept[IllegalArgumentException](
+      BlocklistGate.admitted(stream, "url", big))
+    assert(e.getMessage.contains("dropBlockedDomains"))
+  }
 
   test("stream == batch; quota spans micro-batches and never re-admits") {
     val src = Files.createTempDirectory("dc_src").toString

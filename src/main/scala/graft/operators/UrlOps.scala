@@ -81,6 +81,37 @@ object UrlOps {
       .drop("__graft_domain", "__graft_rn")
   }
 
+  /** Domain-level quality gate — FineWeb-style curation at ORIGIN
+    * granularity: a weak domain (link farm, boilerplate mill, thin
+    * content) gets dropped wholesale rather than doc-by-doc. Keeps
+    * rows whose domain has at least `minDocs` documents AND a mean
+    * `valueCol` of at least `minMean`; every doc of a failing domain
+    * goes, including its above-average outliers — that is the point
+    * (per-doc gates already exist; this one judges the origin).
+    *
+    * `valueCol` should be an exact integral per-doc stat (token count,
+    * kept-line count): the mean is then ONE IEEE division of exact
+    * sums — reproducible cross-engine. One shuffle on the domain key
+    * for the stats + a broadcast-or-shuffle semi-join back; the stats
+    * frame is domain-sized. */
+  def keepDomainsByMean(df: DataFrame, urlCol: String, valueCol: String,
+                        minMean: Double, minDocs: Long = 1L): DataFrame = {
+    require(minDocs >= 1, s"keepDomainsByMean: minDocs must be >= 1: $minDocs")
+    val dom = domainOf(col(urlCol))
+    val healthy = df
+      .select(dom.as("__graft_domain"), col(valueCol).as("__graft_v"))
+      .groupBy(col("__graft_domain"))
+      .agg(sum(col("__graft_v")).as("__graft_sum"),
+        count(lit(1)).as("__graft_n"))
+      .filter(col("__graft_n") >= minDocs &&
+        col("__graft_sum").cast("double") / col("__graft_n").cast("double")
+          >= minMean)
+      .select(col("__graft_domain"))
+    df.withColumn("__graft_domain", dom)
+      .join(healthy, Seq("__graft_domain"), "left_semi")
+      .drop("__graft_domain")
+  }
+
   /** Domain blocklist gate — the UT1-style crawl filter: drop rows
     * whose URL host or ANY parent domain appears in `blocked`
     * (`ads.x.example.com` is blocked by `example.com`; the sibling

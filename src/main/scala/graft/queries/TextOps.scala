@@ -3140,7 +3140,39 @@ object TextOps {
       |                        ('unused.net')) b(dom)
       |  WHERE d.host = b.dom OR d.host LIKE '%.' || b.dom)""".stripMargin
 
+  // -- q203: domain-level quality gate (UrlOps.keepDomainsByMean) —
+  // FineWeb-style origin curation: domains averaging under 55 tokens
+  // per doc, or with fewer than 3 docs, drop WHOLESALE — including
+  // their above-average outliers, which is the point (per-doc gates
+  // judge docs; this judges origins). Token counts are exact longs, so
+  // the domain mean is one IEEE division of exact sums — cross-engine
+  // reproducible. Oracle: GROUP BY host HAVING, semi-join replayed as
+  // IN. --
+  private val q203: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir).select($"doc_id",
+      concat(lit("https://"), lower($"source"), lit("."), $"lang",
+        lit(".example.org/p/"), $"doc_id".cast("string")).as("url"),
+      size(Text.tokens($"text")).cast("long").as("n_tokens"))
+    graft.operators.UrlOps.keepDomainsByMean(d, "url", "n_tokens",
+      minMean = 55.0, minDocs = 3L)
+  }
+  private val q203Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'https://' || lower(source) || '.' || lang || '.example.org/p/' ||
+       |      CAST(doc_id AS VARCHAR) AS url,
+       |    lower(source) || '.' || lang || '.example.org' AS host,
+       |    CAST(len($dTok) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |h AS (SELECT host FROM d GROUP BY host
+       |      HAVING count(*) >= 3
+       |         AND CAST(sum(n_tokens) AS DOUBLE) / count(*) >= 55.0)
+       |SELECT doc_id, url, n_tokens FROM d
+       |WHERE host IN (SELECT host FROM h)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q203_domain_quality" -> q203,
     "q202_domain_blocklist" -> q202,
     "q201_distinct_rollup" -> q201,
     "q199_near_overlap" -> q199,
@@ -3223,6 +3255,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q203_domain_quality" -> q203Sql,
     "q202_domain_blocklist" -> q202Sql,
     "q201_distinct_rollup" -> q201Sql,
     "q199_near_overlap" -> q199Sql,

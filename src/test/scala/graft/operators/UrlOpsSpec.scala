@@ -86,6 +86,33 @@ class UrlOpsSpec extends SparkSpec {
     assert(exchanges.size == 1, s"expected exactly one shuffle:\n$plan")
   }
 
+  test("keepDomainsByMean: weak origins drop wholesale, incl. their outliers") {
+    val df = Seq(
+      // good.com: 3 docs, mean 50 — kept whole, incl. the weak doc 3
+      (1L, "https://good.com/a", 80L),
+      (2L, "https://good.com/b", 60L),
+      (3L, "https://good.com/c", 10L),
+      // thin.com: mean 100 but only 2 docs — under minDocs, all drop
+      (4L, "https://thin.com/a", 100L),
+      (5L, "https://thin.com/b", 100L),
+      // mill.com: 3 docs, mean 20 — under minMean, the 90 outlier drops TOO
+      (6L, "https://mill.com/a", 5L),
+      (7L, "https://mill.com/b", 90L),
+      (8L, "https://MILL.com:443/c", -35L) // domain folding applies first
+    ).toDF("doc_id", "url", "n")
+    val kept = UrlOps.keepDomainsByMean(df, "url", "n",
+        minMean = 40.0, minDocs = 3L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+    // boundary: mean == minMean keeps (>=)
+    val b = Seq((1L, "https://x.com/a", 40L), (2L, "https://x.com/b", 40L),
+      (3L, "https://x.com/c", 40L)).toDF("doc_id", "url", "n")
+    assert(UrlOps.keepDomainsByMean(b, "url", "n", 40.0, 3L).count() == 3)
+    assert(intercept[IllegalArgumentException](
+      UrlOps.keepDomainsByMean(b, "url", "n", 1.0, 0L))
+      .getMessage.contains("minDocs"))
+  }
+
   test("dropBlockedDomains: exact host, parent suffix, siblings survive") {
     val df = Seq(
       (1L, "https://ads.x.example.com/a"),   // parent suffix example.com

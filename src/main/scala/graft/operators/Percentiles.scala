@@ -150,6 +150,66 @@ object Percentiles {
       broadcast(vals.agg(sum(col("__graft_q_c")).as("__graft_q_n"))), ps)
   }
 
+  /** Exact PER-GROUP `quantile_cont` WITHOUT the per-group single-task
+    * window — [[quantileCont]]'s documented skew note ("a window
+    * partitioned by a low-cardinality group key funnels each group
+    * through one task — inherent to exact rank semantics") removed:
+    * values rank WITHIN their group via [[Prefix.cumsumByGroup]]'s
+    * range-partition scan, so a giant group spreads across partitions
+    * and the only windows are partition-local or over the group-keyed
+    * subtotal frame. Same `(n−1)·p` interpolation — bit-identical to
+    * [[quantileCont]] (PercentilesSpec pins it). Output contract
+    * matches [[quantileCont]]: one row per distinct group incl. NULL
+    * keys; groups whose values are all null keep a row with null
+    * quantiles. Costs one materialization ([[Prefix.cumsum]]'s pinned
+    * range boundaries) — the price of removing the funnel; prefer
+    * [[quantileCont]] when every group comfortably fits one task's
+    * sort spill. */
+  def quantileContScanGrouped(df: DataFrame, groupCols: Seq[String],
+                              valueCol: String,
+                              ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    require(groupCols.nonEmpty,
+      "quantileContScanGrouped: use quantileContScan for the global form")
+    val v = col("__graft_q_v")
+    val vals = df
+      .select(groupCols.map(col) :+ col(valueCol).as("__graft_q_v"): _*)
+      .where(v.isNotNull)
+      .withColumn("__graft_q_c", lit(1L))
+    val ranked = Prefix.cumsumByGroup(vals, groupCols, "__graft_q_v",
+      "__graft_q_c", "__graft_q_cum")
+    val totals = ranked.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__graft_q_cum")).as("__graft_q_n"))
+    val r = ranked.as("r")
+    val t = totals.as("t")
+    val cond = groupCols.map(c => col(s"r.`$c`") <=> col(s"t.`$c`"))
+      .reduce(_ && _)
+    val withN = r.join(broadcast(t), cond)
+      .select(ranked.columns.map(c => col(s"r.`$c`")) :+
+        col("t.__graft_q_n"): _*)
+    val n = col("__graft_q_n")
+    val aggs = ps.flatMap { case (name, p) =>
+      val target = (n - 1) * lit(p)
+      Seq(
+        min(when(col("__graft_q_cum") >= floor(target) + 1, v))
+          .as(s"__graft_lo_$name"),
+        min(when(col("__graft_q_cum") >= floor(target) + 2, v))
+          .as(s"__graft_hi_$name"))
+    } :+ max(n).as("__graft_q_n2")
+    val agged = withN.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val quantiles = agged.select(groupCols.map(col) ++
+      ps.map { case (name, p) =>
+        val target = (col("__graft_q_n2") - 1) * lit(p)
+        val frac = target - floor(target)
+        val lo = col(s"__graft_lo_$name")
+        val hi = coalesce(col(s"__graft_hi_$name"), lo)
+        (lo + frac * (hi - lo)).as(name)
+      }: _*)
+    joinOnGroups(df.select(groupCols.map(col): _*).distinct(),
+      quantiles, groupCols, ps.map(_._1))
+  }
+
   /** Shared interpolation tail of the global exact-quantile paths: a
     * `(__graft_q_v, __graft_q_cum)` frame (cum = inclusive count of
     * rows with value ≤ this row's, under any tie layout) + a one-row

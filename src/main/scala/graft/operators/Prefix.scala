@@ -63,7 +63,15 @@ object Prefix {
     val wIn = Window.partitionBy(col("__pid") +: gcols: _*)
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    ranged.join(broadcast(offsets), "__pid" +: groupCols)
+    // NULL-SAFE group equality on the offsets join — a NULL group key is
+    // one group (like any GROUP BY); plain USING would orphan its rows
+    val l = ranged.as("l")
+    val o = broadcast(offsets).as("o")
+    val cond = ((col("l.__pid") === col("o.__pid")) +:
+      groupCols.map(c => col(s"l.`$c`") <=> col(s"o.`$c`"))).reduce(_ && _)
+    l.join(o, cond)
+      .select(ranged.columns.map(c => col(s"l.`$c`")) :+
+        col("o.__offset"): _*)
       .withColumn(outCol, col("__offset") + sum(col(valueCol)).over(wIn))
       .drop("__pid", "__offset")
   }

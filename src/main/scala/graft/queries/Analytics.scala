@@ -874,6 +874,23 @@ object Analytics {
       |  round(quantile_cont(l_extendedprice, 0.25), 2) AS p25_price
       |FROM lineitem GROUP BY l_linestatus""".stripMargin
 
+  // -- q204: grouped exact quantiles via the RANK SCAN
+  // (Percentiles.quantileContScanGrouped) — q58's semantics with q58's
+  // documented skew note removed: no per-group single-task window, the
+  // group ranks come from the grouped two-pass prefix scan, so a giant
+  // group spreads across partitions. Same (n−1)·p interpolation,
+  // bit-identical to the sort path (spec-pinned); oracle = the same
+  // quantile_cont GROUP BY as q58. --
+  private val q204: Q = (s, dir) =>
+    graft.operators.Percentiles.quantileContScanGrouped(
+      t(s, dir, "lineitem"), Seq("l_linestatus"), "l_quantity",
+      Seq("med_qty" -> 0.5, "p90_qty" -> 0.9))
+  private val q204Sql =
+    """SELECT l_linestatus,
+      |  quantile_cont(l_quantity, 0.5) AS med_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty
+      |FROM lineitem GROUP BY l_linestatus""".stripMargin
+
   // -- q60: GROUPING SETS — the general form behind q08's rollup and
   // q18's cube, with grouping() flags so all-rows null groups are
   // distinguishable from null group values. SQL on both sides (the
@@ -1031,6 +1048,7 @@ object Analytics {
     "q175_basket_pairs" -> q175,
     "q53_pivot" -> q53,
     "q57_bucketed_join" -> q57,
+    "q204_scan_percentiles" -> q204,
     "q58_sort_percentiles" -> q58,
     "q60_grouping_sets" -> q60,
     "q61_late_shipments" -> q61,
@@ -1077,6 +1095,7 @@ object Analytics {
     "q175_basket_pairs" -> q175Sql,
     "q53_pivot" -> q53Sql,
     "q57_bucketed_join" -> q57Sql,
+    "q204_scan_percentiles" -> q204Sql,
     "q58_sort_percentiles" -> q58Sql,
     "q60_grouping_sets" -> q60Sql,
     "q61_late_shipments" -> q61Sql,

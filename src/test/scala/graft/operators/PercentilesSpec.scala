@@ -146,6 +146,27 @@ class PercentilesSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("quantileContScanGrouped == quantileCont BIT-exact per group; " +
+    "NULL keys and all-null groups keep the contract") {
+    val li = Tables.load(spark, sf(), "lineitem").repartition(8)
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p100" -> 1.0)
+    val scan = Percentiles.quantileContScanGrouped(
+      li, Seq("l_returnflag"), "l_extendedprice", ps)
+    val sorted = Percentiles.quantileCont(
+      li, Seq("l_returnflag"), "l_extendedprice", ps)
+    assert(scan.exceptAll(sorted).isEmpty && sorted.exceptAll(scan).isEmpty)
+    val df = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(3.0)),
+      (None, Some(10.0)), (None, Some(20.0)),  // NULL group WITH values
+      (Some("b"), None), (Some("b"), None))    // group with only nulls
+      .toDF("k", "v")
+    val g = Percentiles.quantileContScanGrouped(df, Seq("k"), "v",
+      Seq("p50" -> 0.5))
+    val w = Percentiles.quantileCont(df, Seq("k"), "v", Seq("p50" -> 0.5))
+    assert(g.count() == 3)
+    assert(g.exceptAll(w).isEmpty && w.exceptAll(g).isEmpty)
+  }
+
   test("quantileContHist: interpolation between distinct values, nulls, all-null") {
     val df = Seq(Some(1), Some(2), Some(4), None).toDF("v")
     val out = Percentiles.quantileContHist(df, "v", Seq("p50" -> 0.5)).head()

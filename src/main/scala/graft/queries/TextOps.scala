@@ -2316,7 +2316,9 @@ object TextOps {
   // normalize chain + aggregate in DuckDB. explode_outer + null filter
   // (the Chunk device) keeps the regexp_extract_all out of an
   // InferFiltersFromGenerate inline. --
-  private val q178: Q = (s, dir) => {
+  /** The q178/q205 link-frontier frame: synthesized pages → extracted
+    * hrefs → (doc_id, url_norm, domain), one row per link. */
+  private def linkFrontierFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val id = $"doc_id".cast("string")
     val raw = docs(s, dir).select($"doc_id",
@@ -2338,11 +2340,14 @@ object TextOps {
     lk.select($"doc_id",
         graft.operators.UrlOps.normalizeUrl($"link").as("url_norm"),
         graft.operators.UrlOps.domainOf($"link").as("domain"))
-      .groupBy($"domain")
-      .agg(count(lit(1)).as("n_links"),
-        countDistinct($"doc_id").as("n_docs"),
-        min($"url_norm").as("sample_url"))
   }
+  /** The frontier aggregation both q178 and q205 end in. */
+  private def frontierAgg(links: DataFrame): DataFrame =
+    links.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("url_norm")).as("sample_url"))
+  private val q178: Q = (s, dir) => frontierAgg(linkFrontierFrame(s, dir))
   private val q178Sql =
     """WITH raw AS (
       |  SELECT doc_id,
@@ -2395,6 +2400,29 @@ object TextOps {
       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
       |  min(url_norm) AS sample_url
       |FROM normed GROUP BY 1""".stripMargin
+
+  // -- q205: BLOCKLISTED crawl frontier — q178's frontier with the
+  // blocklist gate applied at LINK granularity before scheduling:
+  // 'example.net' takes the CDN subdomain via parent-suffix match,
+  // 'example.org' exactly — the remaining frontier is only the
+  // srcN.example.com content domains. The gate is BlocklistGate's
+  // literal-InSet form (valid in batch AND streaming plans — a filter,
+  // so link rows never need ids the way the id-anti-join batch gate
+  // does). Oracle: the q178 CTE chain with the same NOT EXISTS
+  // (suffix LIKE) predicate spliced before the aggregation. --
+  private val q205: Q = (s, dir) => {
+    import s.implicits._
+    val blocked = Seq("example.net", "example.org").toDF("domain")
+    frontierAgg(graft.streaming.BlocklistGate.admitted(
+      linkFrontierFrame(s, dir), "url_norm", blocked))
+  }
+  private val q205Sql = q178Sql.replace(
+    "FROM normed GROUP BY 1",
+    """FROM normed
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM (VALUES ('example.net'), ('example.org')) b(dom)
+      |  WHERE normed.domain = b.dom OR normed.domain LIKE '%.' || b.dom)
+      |GROUP BY 1""".stripMargin)
 
   // -- q179: crawl-pipeline FLAGSHIP — the end-to-end composition the
   // round-12 entry stage exists for: raw HTML (duplicate-injected: a
@@ -3172,6 +3200,7 @@ object TextOps {
        |WHERE host IN (SELECT host FROM h)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q205_blocked_frontier" -> q205,
     "q203_domain_quality" -> q203,
     "q202_domain_blocklist" -> q202,
     "q201_distinct_rollup" -> q201,
@@ -3255,6 +3284,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q205_blocked_frontier" -> q205Sql,
     "q203_domain_quality" -> q203Sql,
     "q202_domain_blocklist" -> q202Sql,
     "q201_distinct_rollup" -> q201Sql,

@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
   *   3. offsets broadcast back; each partition computes its interior
   *      running sum locally.
   *
-  * Cost: one full shuffle + one materialization; every per-row stage is
-  * partition-local. The price of correctness at 100 TB is the
-  * materialization, not a single-task sort.
+  * Cost, honestly itemized (plan-audited): the range shuffle, the
+  * materialization, and ONE MORE narrow hash exchange — the
+  * checkpoint erases outputPartitioning, so Catalyst cannot prove the
+  * interior window's `__pid` clustering is already physically true and
+  * re-shuffles the (order, value, pid) projection back onto the
+  * partition key. Every per-row stage is partition-local; the price of
+  * correctness at 100 TB is a materialization plus a narrow shuffle,
+  * never a single-task sort.
   *
   * The use case this ships for is sequence packing (training shards cut
   * at a token budget): see [[packIntoShards]].

@@ -37,8 +37,12 @@ import org.apache.spark.sql.types._
   * randomness anywhere — same input multiset + same arrival order ⇒
   * bit-identical sketch; any order ⇒ the same guarantee. The budget is
   * also capped deterministically: collapses at level i consume 2k·2^i
-  * raw rows each, so err ≤ (n/k) · (⌈log₂(max(2, n/k))⌉ + 1) whatever
-  * the order — the bound the oracle checks without seeing the sketch.
+  * raw rows each, bounding the budget by a small multiple of n/k times
+  * the level count — q193's oracle checks the
+  * (n/k) · (⌈log₂(max(2, n/k))⌉ + 2) form of that cap, which holds
+  * under any partition/merge order without seeing the sketch (the +2
+  * absorbs the partial top level and the merge-order slack a tighter
+  * +1 constant would have to prove per-order).
   *
   * `graft_quantile_sketch(value double, k int)` (k even, ≥ 2) returns
   * `struct<items: array<struct<v double, w bigint>>, err bigint,

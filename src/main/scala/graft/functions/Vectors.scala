@@ -57,19 +57,6 @@ object Vectors {
     concat((1 to bits).map(i =>
       when(element_at(a, offset + i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
 
-  /** [[signBucketAt]] with the bucketing hyperplanes CENTERED at
-    * `center` (one threshold per coordinate, a plan literal — zero extra
-    * cost): bit i is `x[offset+i] >= center(offset+i)` instead of
-    * `>= 0`. Sign buckets assume each coordinate straddles zero; skewed
-    * embedding families (hashed-BoW projections, where common-token mass
-    * pushes every document the same way) concentrate on few sign
-    * patterns, and centering the comparison at the corpus's own
-    * per-coordinate mean ([[graft.operators.Similarity.corpusCenter]])
-    * re-balances the buckets — the recall/cost alternative to paying for
-    * more bits ([[graft.operators.Similarity.autoBitsSkewAware]]).
-    * A zero center vector reproduces [[signBucketAt]] exactly (floats
-    * widen to double losslessly, so `x.cast(double) >= 0.0` ≡
-    * `x >= 0f`). */
   /** `a − center`, element-wise, as `array<double>` — the embedding
     * half of the centering pair (the "all-but-the-top" recipe, Mu &
     * Viswanath 2018: subtract the corpus mean so the shared component
@@ -87,6 +74,19 @@ object Vectors {
   def centered(a: Column, center: Seq[Double]): Column =
     zip_with(a, typedlit(center), (x, m) => x.cast("double") - m)
 
+  /** [[signBucketAt]] with the bucketing hyperplanes CENTERED at
+    * `center` (one threshold per coordinate, a plan literal — zero extra
+    * cost): bit i is `x[offset+i] >= center(offset+i)` instead of
+    * `>= 0`. Sign buckets assume each coordinate straddles zero; skewed
+    * embedding families (hashed-BoW projections, where common-token mass
+    * pushes every document the same way) concentrate on few sign
+    * patterns, and centering the comparison at the corpus's own
+    * per-coordinate mean ([[graft.operators.Similarity.corpusCenter]])
+    * re-balances the buckets — the recall/cost alternative to paying for
+    * more bits ([[graft.operators.Similarity.autoBitsSkewAware]]).
+    * A zero center vector reproduces [[signBucketAt]] exactly (floats
+    * widen to double losslessly, so `x.cast(double) >= 0.0` ≡
+    * `x >= 0f`). */
   def signBucketCenteredAt(a: Column, bits: Int, offset: Int,
                            center: Seq[Double]): Column = {
     require(center.length >= offset + bits,

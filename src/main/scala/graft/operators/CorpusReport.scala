@@ -81,15 +81,6 @@ object CorpusReport {
       .reduce(_.unionByName(_))
   }
 
-  /** Diff two cards (any (section, key, value) frames from [[build]]):
-    * full-outer join on the key pair → (section, key, before, after,
-    * delta). A cell absent on one side keeps a NULL on that side (and a
-    * NULL delta) — absence is a fact worth seeing (a language that
-    * vanished, a section only the new code emits), not a zero. THE
-    * intended read: build the card before and after a pipeline change
-    * and the diff answers "what did the change do to the corpus" —
-    * e.g. whether a quality gate drops one language disproportionately.
-    * Both sides are report-sized, so the join is trivially small. */
   /** Vector-corpus data card — the embedding-side sibling of [[build]],
     * same long (section, key, value) shape (so [[diff]] works on it
     * unchanged): vector count and nullness, DIMENSION consistency
@@ -223,6 +214,15 @@ object CorpusReport {
           .as("frac_b_near"))
   }
 
+  /** Diff two cards (any (section, key, value) frames from [[build]]):
+    * full-outer join on the key pair → (section, key, before, after,
+    * delta). A cell absent on one side keeps a NULL on that side (and a
+    * NULL delta) — absence is a fact worth seeing (a language that
+    * vanished, a section only the new code emits), not a zero. THE
+    * intended read: build the card before and after a pipeline change
+    * and the diff answers "what did the change do to the corpus" —
+    * e.g. whether a quality gate drops one language disproportionately.
+    * Both sides are report-sized, so the join is trivially small. */
   def diff(before: DataFrame, after: DataFrame): DataFrame =
     before.as("b").join(after.as("a"),
         col("b.section") === col("a.section") && col("b.key") === col("a.key"),

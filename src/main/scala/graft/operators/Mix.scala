@@ -179,6 +179,13 @@ object Mix {
     * trainer would rather under-fill than truncate a document). Adds
     * `cum_tokens`, the inclusive running total in selection order.
     *
+    * Null-score contract: a NULL `scoreCol` means UNSCORED, and an
+    * unscored document is never selected — it is filtered out before
+    * the scan, not ordered. (The ordering struct negates the score, and
+    * a negated NULL would sort nulls-FIRST, silently handing unscored
+    * documents top budget priority — the exact inversion of the
+    * documented descending-quality order.)
+    *
     * Scale shape: ONE range shuffle + materialization
     * ([[Prefix.cumsum]]'s two-pass scan — interior sums are
     * partition-local; the only unpartitioned window is over the
@@ -189,7 +196,7 @@ object Mix {
                           idCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"selectByTokenBudget: budget must be positive: $budget")
     Prefix.cumsum(
-        df.withColumn("__ord",
+        df.filter(col(scoreCol).isNotNull).withColumn("__ord",
           struct((-col(scoreCol)).as("s"), col(idCol).as("i"))),
         "__ord", tokenCol, "cum_tokens")
       .filter(col("cum_tokens") <= budget)
@@ -204,7 +211,9 @@ object Mix {
     * row are dropped — an allocator that wants a language kept whole
     * says so with a budget, it doesn't get it by omission. The running
     * totals restart per group ([[Prefix.cumsumByGroup]]), so with a
-    * group key there is no unpartitioned window anywhere. */
+    * group key there is no unpartitioned window anywhere. NULL scores
+    * are filtered out, not ordered — the [[selectByTokenBudget]]
+    * null-score contract. */
   def selectByTokenBudgetByGroup(df: DataFrame, groupCol: String,
                                  scoreCol: String, tokenCol: String,
                                  idCol: String, budgets: DataFrame,
@@ -214,7 +223,7 @@ object Mix {
     require(budgets.columns.contains(budgetCol),
       s"selectByTokenBudgetByGroup: budgets frame lacks '$budgetCol'")
     Prefix.cumsumByGroup(
-        df.withColumn("__ord",
+        df.filter(col(scoreCol).isNotNull).withColumn("__ord",
           struct((-col(scoreCol)).as("s"), col(idCol).as("i"))),
         Seq(groupCol), "__ord", tokenCol, "cum_tokens")
       .join(broadcast(budgets.select(col(groupCol),

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Distributed prefix sum — a running total in global `orderCol` order
   * WITHOUT the single-task trap.
@@ -19,16 +20,26 @@ import org.apache.spark.sql.functions._
   *      exclusive running offsets on a single-task window over that tiny
   *      frame — bounded by partition COUNT, not data;
   *   3. offsets broadcast back; each partition computes its interior
-  *      running sum locally.
+  *      running sum locally — a partition-local sort plus one
+  *      `mapPartitions` fold, so the checkpoint's range layout is never
+  *      re-shuffled. (The checkpoint erases `outputPartitioning`, so a
+  *      window over (partition, group) here would make Catalyst
+  *      re-shuffle the full data onto a clustering that is already
+  *      physically true — the second exchange rounds 9–12 documented;
+  *      the fold keeps the plan exchange-free past the checkpoint.
+  *      PrefixSpec pins it: every exchange in the plan is
+  *      subtotal-sized.)
   *
-  * Cost, honestly itemized (plan-audited): the range shuffle, the
-  * materialization, and ONE MORE narrow hash exchange — the
-  * checkpoint erases outputPartitioning, so Catalyst cannot prove the
-  * interior window's `__pid` clustering is already physically true and
-  * re-shuffles the (order, value, pid) projection back onto the
-  * partition key. Every per-row stage is partition-local; the price of
-  * correctness at 100 TB is a materialization plus a narrow shuffle,
-  * never a single-task sort.
+  * Cost at 100 TB: ONE corpus shuffle (the range partitioning), the
+  * materialization, and a partition-local sort — never a single-task
+  * sort, never a second corpus move. The fold resets on every
+  * (partition, group) change, so a coalesced or re-split layout stays
+  * correct: each stretch adds its own broadcast offset.
+  *
+  * The fold path covers integral and floating `valueCol` (sum types
+  * LongType/DoubleType — token counts and scores, every shipped
+  * consumer); exotic sum types (decimal) take the legacy window form,
+  * which pays the extra narrow exchange but keeps exact semantics.
   *
   * The use case this ships for is sequence packing (training shards cut
   * at a token budget): see [[packIntoShards]].
@@ -47,9 +58,9 @@ object Prefix {
     * two-pass scan with the group key prepended everywhere: range
     * partitioning on (groups, order) keeps each group's order
     * contiguous, subtotals key on (partition, groups) — still one small
-    * row per partition-group stretch — and the offset window partitions
-    * by group, so with ANY non-empty `groupCols` no unpartitioned
-    * window remains at all. */
+    * row per partition-group stretch — and the interior fold resets per
+    * (partition, group), so no data-sized window (partitioned or not)
+    * exists anywhere in the plan. */
   def cumsumByGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
                     valueCol: String, outCol: String): DataFrame = {
     val gcols = groupCols.map(col)
@@ -65,20 +76,73 @@ object Prefix {
     val offsets = subtotals
       .withColumn("__offset", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
       .select(col("__pid") +: gcols :+ col("__offset"): _*)
-    val wIn = Window.partitionBy(col("__pid") +: gcols: _*)
-      .orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
     // NULL-SAFE group equality on the offsets join — a NULL group key is
     // one group (like any GROUP BY); plain USING would orphan its rows
     val l = ranged.as("l")
     val o = broadcast(offsets).as("o")
     val cond = ((col("l.__pid") === col("o.__pid")) +:
       groupCols.map(c => col(s"l.`$c`") <=> col(s"o.`$c`"))).reduce(_ && _)
-    l.join(o, cond)
+    val joined = l.join(o, cond)
       .select(ranged.columns.map(c => col(s"l.`$c`")) :+
         col("o.__offset"): _*)
-      .withColumn(outCol, col("__offset") + sum(col(valueCol)).over(wIn))
-      .drop("__pid", "__offset")
+    val sumType: DataType =
+      df.select(sum(col(valueCol)).as("__s")).schema.head.dataType
+    val out = sumType match {
+      case LongType | DoubleType => foldInterior(joined, groupCols,
+        orderCol, valueCol, outCol, sumType == LongType)
+      case _ => // decimal etc: legacy window form (extra narrow exchange)
+        val wIn = Window.partitionBy(col("__pid") +: gcols: _*)
+          .orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        joined.withColumn(outCol, col("__offset") + sum(col(valueCol)).over(wIn))
+    }
+    out.drop("__pid", "__offset")
+  }
+
+  /** The exchange-free interior pass: partition-local sort on
+    * (partition, groups, order), then one fold per partition that
+    * resets its accumulator on every (partition-id, group-key) change
+    * and emits `__offset + running-interior-sum`. Matches the window
+    * form bit for bit, nulls included: null values don't advance the
+    * accumulator, and a row before the first non-null value of its
+    * stretch gets a NULL running total (x + NULL = NULL in the window
+    * form, whatever the offset). */
+  private def foldInterior(joined: DataFrame, groupCols: Seq[String],
+                           orderCol: String, valueCol: String,
+                           outCol: String, isLong: Boolean): DataFrame = {
+    val sortKeys = (col("__pid") +: groupCols.map(col)) :+ col(orderCol)
+    val sorted = joined.sortWithinPartitions(sortKeys: _*)
+    val inSchema = sorted.schema
+    val outSchema = inSchema.add(outCol, if (isLong) LongType else DoubleType)
+    val pIdx = inSchema.fieldIndex("__pid")
+    val gIdx = groupCols.map(inSchema.fieldIndex)
+    val vIdx = inSchema.fieldIndex(valueCol)
+    val oIdx = inSchema.fieldIndex("__offset")
+    sorted.mapPartitions { it =>
+      var key: Seq[Any] = null
+      var started = false
+      var seen = false
+      var accL = 0L
+      var accD = 0.0
+      it.map { r =>
+        val k = r.get(pIdx) +: gIdx.map(r.get)
+        if (!started || k != key) {
+          key = k; started = true; seen = false; accL = 0L; accD = 0.0
+        }
+        if (!r.isNullAt(vIdx)) {
+          seen = true
+          val v = r.get(vIdx).asInstanceOf[Number]
+          if (isLong) accL += v.longValue() else accD += v.doubleValue()
+        }
+        val run: Any =
+          if (!seen) null
+          else {
+            val off = r.get(oIdx).asInstanceOf[Number]
+            if (isLong) off.longValue() + accL else off.doubleValue() + accD
+          }
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Sequence packing: assign each row the shard in which its token run

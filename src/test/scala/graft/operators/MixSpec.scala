@@ -51,6 +51,26 @@ class MixSpec extends SparkSpec {
       .getMessage.contains("positive"))
   }
 
+  test("selectByTokenBudget: null scores are unscored — filtered out, " +
+    "never budget-priority") {
+    val docs = Seq(
+      (1L, 40L, Some(0.9)), (2L, 10L, None), (3L, 30L, Some(0.5)),
+      (4L, 20L, None)
+    ).toDF("doc_id", "n_tokens", "score")
+    // a negated NULL would sort nulls-first: docs 2 and 4 would eat 30
+    // tokens of the 70 budget ahead of every scored doc. The contract:
+    // they are not selected at all, and the scored docs fill the budget.
+    val got = Mix.selectByTokenBudget(docs, "score", "n_tokens", "doc_id", 70L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L))
+    // grouped variant: same contract
+    val g = Mix.selectByTokenBudgetByGroup(
+      docs.withColumn("lang", lit("en")), "lang", "score", "n_tokens",
+      "doc_id", Seq(("en", 70L)).toDF("lang", "budget"))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(g == Seq(1L, 3L))
+  }
+
   test("selectByTokenBudget == a single-partition window on real docs") {
     val tk = graft.functions.Text.tokens($"text")
     val scored = Tables.load(spark, sf("sf0.01"), "documents")

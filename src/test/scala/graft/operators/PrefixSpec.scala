@@ -59,6 +59,67 @@ class PrefixSpec extends SparkSpec {
     }
   }
 
+  test("no exchange past the checkpoint: every shuffle in the plan is " +
+    "subtotal-sized (the round-13 interior-fold rewrite)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.load(spark, sf(), "documents")
+      .select($"doc_id", $"lang", $"n_chars").repartition(8)
+    for (groups <- Seq(Nil, Seq("lang"))) {
+      val out = Prefix.cumsumByGroup(docs, groups, "doc_id", "n_chars", "run")
+      out.collect() // finalize AQE stages before reading the plan
+      val plan = out.queryExecution.executedPlan
+      val shuffles = collectPlan(plan) { case e: ShuffleExchangeExec => e }
+      // the range exchange lives behind the eager checkpoint; the only
+      // shuffles in THIS plan must carry the per-partition subtotal
+      // frame — their input is a partial aggregate (one row per
+      // partition-group stretch, map-side combined), never raw rows.
+      // The old interior-window exchange had a bare Project child.
+      shuffles.foreach { e =>
+        val aggBelow = collectPlan(e.child) {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }
+        assert(aggBelow.nonEmpty,
+          s"full-data exchange past the checkpoint (groups=$groups): $e")
+      }
+      // and no data-sized window either: the fold replaced it
+      val windows = collectPlan(plan) { case w: WindowExec => w }
+      windows.foreach { w =>
+        assert(w.toString.contains("__psum"),
+          s"data-sized window survived the rewrite (groups=$groups): $w")
+      }
+    }
+  }
+
+  test("cumsum fold handles null values like the window form " +
+    "(skip, and NULL until the stretch's first non-null)") {
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)), (4L, None))
+      .toDF("id", "v").repartition(2)
+    val got = Prefix.cumsum(df, "id", "v", "run")
+      .select($"id", $"run").as[(Long, Option[Long])].collect().toMap
+    val w = Window.orderBy($"id").rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.withColumn("run", sum($"v").over(w))
+      .select($"id", $"run").as[(Long, Option[Long])].collect().toMap
+    assert(got == want)
+    assert(got == Map(1L -> Some(10L), 2L -> Some(10L), 3L -> Some(15L),
+      4L -> Some(15L)))
+    // all-null leading stretch: the window form yields NULL there
+    val df2 = Seq((1L, None: Option[Long]), (2L, Some(7L))).toDF("id", "v")
+    val got2 = Prefix.cumsum(df2, "id", "v", "run")
+      .select($"id", $"run").as[(Long, Option[Long])].collect().toMap
+    assert(got2 == Map(1L -> None, 2L -> Some(7L)))
+  }
+
+  test("cumsum double path: strict in-order fold equals the window sum") {
+    // halves are binary-exact, so subtotal association (which differs
+    // between the two-pass scan and the global window) cannot drift
+    val docs = Tables.load(spark, sf(), "documents")
+      .select($"doc_id", ($"n_chars" * 0.5).as("v")).repartition(8)
+    val ours = Prefix.cumsum(docs, "doc_id", "v", "run")
+    val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    val global = docs.withColumn("run", sum($"v").over(w))
+    assert(ours.exceptAll(global).isEmpty && global.exceptAll(ours).isEmpty)
+  }
+
   test("packIntoShards cuts greedy first-fit shards at the token budget") {
     val df = Seq((1L, 30L), (2L, 50L), (3L, 40L), (4L, 10L), (5L, 100L))
       .toDF("doc_id", "n_tokens")

@@ -63,7 +63,8 @@ object Pipeline {
     "dropBoilerplate" -> Set("minDf"),
     "exactDedup" -> Set(),
     "nearDedup" -> Set("shingle", "bands", "maxBucket"),
-    "embedDedup" -> Set("minCos", "dim", "outDim", "bits", "maxBucket"),
+    "embedDedup" -> Set("minCos", "dim", "outDim", "bits", "maxBucket",
+      "centered"),
     "dedupSpans" -> Set("w", "minKept"),
     "decontam" -> Set("table", "textCol", "n", "threshold"),
     "minTokens" -> Set("n"),
@@ -305,13 +306,19 @@ object Pipeline {
         case "exactDedup" => operators.Dedup.exactByText(df, textCol, idCol)
         case "nearDedup" => operators.Dedup.pruneNearDups(df, textCol, idCol,
           int(s, "shingle", 5), int(s, "bands", 4), int(s, "maxBucket", 1024))
-        case "embedDedup" => operators.DocEmbed.pruneNearDups(df, textCol,
-          idCol, dbl(s, "minCos", 0.9), int(s, "dim", 128),
-          int(s, "outDim", 64),
-          // default skew-aware: config runs inherit MEASURED geometry
-          // (BoW sign buckets are the known-skewed family)
-          int(s, "bits", operators.Similarity.SkewAwareBits),
-          int(s, "maxBucket", 1024))
+        case "embedDedup" =>
+          // default centered: config runs inherit the measured-dominant
+          // geometry (centered buckets at formula bits, raw-cosine
+          // verification — the DocEmbed.pruneNearDups round-13 default);
+          // centered=false falls back to raw buckets sized by
+          // measurement (SkewAwareBits), the pre-r13 behavior
+          val ctr = s.params.get("centered").forall(_.toBoolean)
+          operators.DocEmbed.pruneNearDups(df, textCol,
+            idCol, dbl(s, "minCos", 0.9), int(s, "dim", 128),
+            int(s, "outDim", 64),
+            int(s, "bits", if (ctr) operators.Similarity.AutoBits
+                           else operators.Similarity.SkewAwareBits),
+            int(s, "maxBucket", 1024), centered = ctr)
         case "minTokens" => df.filter(
           size(functions.Text.tokens(col(textCol))) >= int(s, "n", 10))
         case "langId" =>

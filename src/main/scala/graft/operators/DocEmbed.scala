@@ -61,25 +61,41 @@ object DocEmbed {
     * SemDedup, what each catches at what cost — lives at
     * [[Dedup.pruneNearDups]].
     *
-    * `bits` defaults to [[Similarity.SkewAwareBits]]: hashed-BoW sign
-    * buckets are exactly the skewed family [[Similarity.autoBitsSkewAware]]
-    * exists for (common-word mass concentrates sign patterns — measured
-    * ~12× candidate inflation at formula geometry, SURVEY §6), so this
-    * door sizes by MEASUREMENT: fewer over-cap star buckets (recall)
-    * and bounded candidate mass (cost), clamped to `outDim` — the
-    * projection width IS the bit budget, see [[hashedProjection]].
-    * Explicit bits are for parity pins only. The derived embedding
-    * frame is checkpointed: sizing, bucket stats, and both pairing
-    * branches read it rather than re-running the BoW pack per
-    * consumer. */
+    * CANDIDATE GEOMETRY (round-13 default): buckets are derived in the
+    * CENTERED embedding space — [[Similarity.corpusCenter]]'s sampled
+    * per-coordinate mean re-anchors every bucketing hyperplane — while
+    * the `minCos` verification stays RAW BoW cosine, so thresholds keep
+    * their meaning in both modes. Hashed-BoW sign buckets are the known
+    * skewed family (common-word mass concentrates sign patterns —
+    * measured ~12× candidate inflation at formula geometry, SURVEY §6);
+    * centering removes exactly that shared offset, so the occupancy
+    * settles AT the uniform formula bits ([[Similarity.AutoBits]], the
+    * default here — no measurement pass) with balanced buckets: the
+    * builder's frontier sweep (SURVEY §6.1) measured centered geometry
+    * dominating raw at both scales — more true neighbors at ~40% less
+    * candidate mass. Near-identical pairs (the ≥0.9 dedup regime) land
+    * on the same side of almost every hyperplane wherever it is
+    * anchored, so the dedup recall the star guard bounds is unaffected
+    * (DedupSimilaritySpec measures centered recall ≥ raw against the
+    * exact all-pairs truth; q206 pins the full default path incl. the
+    * replayed sampled center). `centered = false` restores raw-space
+    * buckets — pass [[Similarity.SkewAwareBits]] with it, or the
+    * formula bits under-size the skewed occupancy. Explicit bits are
+    * for parity pins only. The derived embedding frame is checkpointed:
+    * center sampling, sizing, bucket stats, and both pairing branches
+    * read it rather than re-running the BoW pack per consumer. */
   def pruneNearDups(df: DataFrame, textCol: String, idCol: String,
                     minCos: Double = 0.9, dim: Int = 128,
-                    outDim: Int = 64, bits: Int = Similarity.SkewAwareBits,
-                    maxBucket: Int = 1024): DataFrame = {
+                    outDim: Int = 64, bits: Int = Similarity.AutoBits,
+                    maxBucket: Int = 1024, centered: Boolean = true,
+                    sampleK: Int = 65536): DataFrame = {
     val emb = hashedProjection(df, textCol, idCol, dim, outDim)
       .localCheckpoint()
+    val center =
+      if (centered) Similarity.corpusCenter(emb, idCol, "embedding", sampleK)
+      else Nil
     val pairs = Similarity.lshNearDup(emb, idCol, "embedding",
-      bits = bits, minCos = minCos, maxBucket = maxBucket)
+      bits = bits, minCos = minCos, maxBucket = maxBucket, center = center)
     val losers = Dedup.clusters(pairs, s"${idCol}_a", s"${idCol}_b")
       .where(col("cluster") =!= col("node"))
       .select(col("node").as(idCol))

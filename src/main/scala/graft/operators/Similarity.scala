@@ -111,8 +111,12 @@ object Similarity {
     * [[marginMineBucketed]], [[writeMarginStore]]): size the geometry
     * by MEASUREMENT ([[autoBitsSkewAware]]) instead of the
     * uniform-bucket formula — the right choice when the embedding
-    * family is known skewed (hashed-BoW text embeddings;
-    * [[DocEmbed.pruneNearDups]] defaults to this). Stores stamp the
+    * family is known skewed (hashed-BoW text embeddings) AND the
+    * buckets stay in raw space; centering the geometry removes the
+    * skew instead, which is why [[DocEmbed.pruneNearDups]] now
+    * defaults to centered buckets at the plain formula bits
+    * (round 13; this sentinel remains the raw-space answer, e.g.
+    * `centered = false` there). Stores stamp the
     * RESOLVED bits, so appends/probes replay the measured geometry
     * without re-measuring. Costs a few sizing aggregations up front;
     * semantics unchanged (more bits only trade boundary recall for
@@ -984,8 +988,10 @@ object Similarity {
     *
     * `bits` defaults to [[AutoBits]] — ⌈log₂(n / 64)⌉ sized from the
     * corpus (single-table geometry, so the clamp is the full embedding
-    * dimension); pass [[SkewAwareBits]] to size by measurement instead
-    * (known-skewed families — the [[DocEmbed.pruneNearDups]] default).
+    * dimension); pass [[SkewAwareBits]] to size by measurement when the
+    * family is skewed and the buckets stay RAW — a centered `center`
+    * removes the skew, so formula bits suffice (the
+    * [[DocEmbed.pruneNearDups]] round-13 default).
     * Fixture-sized literals here are the exact recall cliff
     * the AutoBits discipline exists to remove: 8 fixed bits = 256
     * buckets, and at 100× the fixture every bucket is over `maxBucket`,

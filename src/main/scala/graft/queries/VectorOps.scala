@@ -1619,6 +1619,71 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
        |  FROM sc) WHERE rn <= 3""".stripMargin
 
+  // -- q206: DERIVED-embedding near-dup pruning at the round-13
+  // DEFAULT (DocEmbed.pruneNearDups) — the whole default path pinned:
+  // hashed-BoW projection at width 64, the md5-sampled corpus center
+  // (sampleK 65536 covers the fixture, but the oracle replays the
+  // sampling CTE verbatim — the q191 discipline), CENTERED sign buckets
+  // at the plain AutoBits formula (centering removes the BoW skew, so
+  // no measurement pass — the q192 result made the default), RAW-cosine
+  // verification at minCos 0.9 (thresholds keep their BoW meaning),
+  // connected components, min-id survivor per cluster. Oracle: the
+  // projection + center + formula-geometry CTEs feeding q62's
+  // recursive-closure clusters and a NOT EXISTS survivor filter — an
+  // independent component algorithm over independently derived
+  // candidates, so the hash match pins geometry, scoring, AND the
+  // cluster algebra of the call every config-driven `embedDedup` run
+  // now makes. Every bucket is far under maxBucket at both SFs
+  // (formula bits keep ~64 expected occupancy; measured max ≈ 3× that)
+  // — the star branch is provably dark here; DedupSimilaritySpec pins
+  // the star and the centered-vs-raw recall dominance. --
+  private val q206: Q = (s, dir) => {
+    import s.implicits._
+    graft.operators.DocEmbed.pruneNearDups(
+        Tables.load(s, dir, "documents"), "text", "doc_id", minCos = 0.9)
+      .select($"doc_id", $"lang", $"source")
+  }
+  private val q206Sql =
+    s"""WITH RECURSIVE ${docEmbCtes(64, "0.125")},
+       |smp AS (SELECT doc_id, pe FROM (
+       |  SELECT doc_id, pe, row_number() OVER (
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':'), doc_id) AS rn
+       |  FROM pr) WHERE rn <= 65536),
+       |mu AS (SELECT j, list_aggregate(list(pe[j] ORDER BY doc_id), 'sum')
+       |         / CAST(count(*) AS DOUBLE) AS m
+       |       FROM smp, (SELECT unnest(range(1, 65)) AS j) GROUP BY 1),
+       |muv AS (SELECT list(m ORDER BY j) AS mv FROM mu),
+       |geo AS (SELECT GREATEST(1, LEAST(
+       |    CAST(ceil(log2(count(*) / 64.0)) AS INT), 64)) AS bits FROM pr),
+       |sigs AS (SELECT doc_id,
+       |    array_to_string(list_transform(range(1, bits + 1),
+       |      i -> CASE WHEN pe[i] >= mv[i] THEN '1' ELSE '0' END), '')
+       |      AS bucket
+       |  FROM pr, geo, muv),
+       |-- MATERIALIZED: DuckDB inlines CTEs into each recursion step of
+       |-- reach, which would re-run the whole projection pipeline per
+       |-- iteration (measured: >9 min at sf0.1 inlined, ~9 s pinned)
+       |pairs AS MATERIALIZED (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM sigs a JOIN sigs b
+       |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  JOIN pr ea ON a.doc_id = ea.doc_id
+       |  JOIN pr eb ON b.doc_id = eb.doc_id
+       |  WHERE ${dCos("ea.pe", "eb.pe")} >= 0.9),
+       |edges AS (SELECT da AS src, db AS dst FROM pairs
+       |          UNION SELECT db, da FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |members AS (
+       |  SELECT src AS node, dst AS m FROM reach
+       |  UNION ALL SELECT src, src FROM edges),
+       |clusters AS (SELECT node, min(m) AS cluster FROM members GROUP BY node)
+       |SELECT d.doc_id, d.lang, d.source FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM clusters c
+       |                  WHERE c.node = d.doc_id AND c.cluster <> c.node)""".stripMargin
+
   // -- q200: vector-corpus data card (CorpusReport.vectorCard) — the
   // embedding-side sibling of the q194 doc card, same (section, key,
   // value) shape so the q195 diff works on it unchanged: vector count /
@@ -1656,6 +1721,7 @@ object VectorOps {
        |  CAST(count(*) AS DOUBLE) FROM embeddings GROUP BY label""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q206_centered_embed_dedup" -> q206,
     "q200_vector_card" -> q200,
     "q192_centered_embed_knn" -> q192,
     "q191_centered_text_knn" -> q191,
@@ -1697,6 +1763,7 @@ object VectorOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q206_centered_embed_dedup" -> q206Sql,
     "q200_vector_card" -> q200Sql,
     "q192_centered_embed_knn" -> q192Sql,
     "q191_centered_text_knn" -> q191Sql,

@@ -560,19 +560,80 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(auto == explicitBits,
       s"auto geometry must resolve to $expected bits and match the " +
         "explicit run bit-for-bit")
-    // and the DERIVED-embedding door sizes by MEASUREMENT (its corpus
-    // family is the skewed one): pruneNearDups at its default keeps a
-    // pruned set identical to the explicitly skew-aware-resolved run
+    // the DERIVED-embedding door's raw-space OPT-OUT still sizes by
+    // measurement: centered=false + SkewAwareBits equals the explicitly
+    // skew-aware-resolved raw run (the pre-r13 default, kept reachable)
     val docs = Tables.load(spark, sf(), "documents").limit(300)
     val proj = DocEmbed.hashedProjection(docs, "text", "doc_id")
       .localCheckpoint()
     val pBits = Similarity.autoBitsSkewAware(proj, "doc_id", "embedding",
       tables = 1)
-    val keptAuto = DocEmbed.pruneNearDups(docs, "text", "doc_id",
-      minCos = 0.95).select($"doc_id").as[Long].collect().toSet
+    val keptRaw = DocEmbed.pruneNearDups(docs, "text", "doc_id",
+      minCos = 0.95, bits = Similarity.SkewAwareBits, centered = false)
+      .select($"doc_id").as[Long].collect().toSet
     val keptExplicit = DocEmbed.pruneNearDups(docs, "text", "doc_id",
-      minCos = 0.95, bits = pBits).select($"doc_id").as[Long].collect().toSet
-    assert(keptAuto == keptExplicit)
+      minCos = 0.95, bits = pBits, centered = false)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptRaw == keptExplicit)
+  }
+
+  test("pruneNearDups centered DEFAULT == the explicit centered recipe, " +
+      "and centered candidate recall >= raw at formula bits vs the " +
+      "exact all-pairs truth") {
+    val docs = Tables.load(spark, sf(), "documents").limit(300)
+    // default == composition: hashedProjection -> corpusCenter ->
+    // centered-bucket lshNearDup at formula bits -> clusters -> anti-join
+    val kept = DocEmbed.pruneNearDups(docs, "text", "doc_id", minCos = 0.9)
+      .select($"doc_id").as[Long].collect().toSet
+    val proj = DocEmbed.hashedProjection(docs, "text", "doc_id")
+      .localCheckpoint()
+    val ctr = Similarity.corpusCenter(proj, "doc_id", "embedding")
+    val pairs = Similarity.lshNearDup(proj, "doc_id", "embedding",
+      minCos = 0.9, center = ctr)
+    val losers = Dedup.clusters(pairs, "doc_id_a", "doc_id_b")
+      .where($"cluster" =!= $"node").select($"node".as("doc_id"))
+    val want = docs.join(losers, Seq("doc_id"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == want, "default must BE the centered recipe")
+    // the frontier differential: true pairs found vs candidate mass
+    // paid, centered vs raw buckets at the same formula bits. Raw BoW
+    // buckets are skewed — at equal bits they compare FAR more pairs
+    // (one hot bucket), so raw recall can exceed centered recall here
+    // by brute force; the measured dominance (SURVEY §6.1) is recall
+    // PER CANDIDATE, and that is what the default must win on.
+    def pairSet(center: Seq[Double]) =
+      Similarity.lshNearDup(proj, "doc_id", "embedding",
+          minCos = 0.9, center = center)
+        .select($"doc_id_a", $"doc_id_b").as[(Long, Long)].collect().toSet
+    val n = docs.count()
+    val dim = proj.select(size($"embedding")).head().getInt(0)
+    val fb = Similarity.autoBits(n, dim, tables = 1)
+    def mass(bucket: org.apache.spark.sql.Column): Long =
+      proj.groupBy(bucket.as("b")).agg(count(lit(1)).as("n"))
+        .agg(sum($"n" * ($"n" - 1)).cast("long")).head().getLong(0) / 2
+    val centeredMass = mass(
+      graft.functions.Vectors.signBucketCenteredAt($"embedding", fb, 0, ctr))
+    val rawMass = mass(graft.functions.Vectors.signBucket($"embedding", fb))
+    val centeredPairs = pairSet(ctr)
+    val rawPairs = pairSet(Nil)
+    val a = proj.toDF("ida", "ea")
+    val b = proj.toDF("idb", "eb")
+    val exact = a.join(b, $"ida" < $"idb")
+      .select($"ida", $"idb",
+        graft.functions.Vectors.cosine($"ea", $"eb").as("cos"))
+      .filter($"cos" >= 0.9)
+      .select($"ida", $"idb").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "threshold must bite on the fixture")
+    assert(centeredPairs.subsetOf(exact) && rawPairs.subsetOf(exact),
+      "bucketing only loses pairs, never invents them")
+    val centeredRpc = centeredPairs.size.toDouble / centeredMass
+    val rawRpc = rawPairs.size.toDouble / rawMass
+    assert(centeredMass < rawMass,
+      s"centering must de-skew the buckets: $centeredMass !< $rawMass")
+    assert(centeredRpc >= rawRpc,
+      f"centered recall-per-candidate $centeredRpc%.5f " +
+        f"(${centeredPairs.size}/$centeredMass) < raw $rawRpc%.5f " +
+        f"(${rawPairs.size}/$rawMass) at $fb formula bits")
   }
 
   test("skew-aware sizing on an IRREDUCIBLE corpus: identical vectors " +

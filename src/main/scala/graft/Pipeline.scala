@@ -52,7 +52,18 @@ object Pipeline {
     *    token budget in quality order and `unimaxSelect` (q198) does it
     *    per group under UniMax token allocations.
     *  - `report` (q194) is a pass-through sink publishing the corpus
-    *    DATA CARD of the frame at that point in the chain. */
+    *    DATA CARD of the frame at that point in the chain.
+    *  - URL curation (q202/q203): `blockDomains` drops rows whose URL
+    *    host or any parent domain is blocklisted (`domains=a.com,b.org`
+    *    literals and/or `table=`+`domainCol=` a fixture-table list —
+    *    the UT1 shape), `domainQuality` drops weak ORIGINS wholesale
+    *    (domains under `minMean` mean `valueCol` — default: the token
+    *    count — or under `minDocs` documents). Both read `urlCol=`
+    *    (default `url`) and FAIL FAST if the column is absent; frames
+    *    without one (the fixtures) first run `deriveUrl`, which
+    *    synthesizes the deterministic per-document URL the q202 oracle
+    *    uses (`https://{source}.{lang}.example.org/p/{id}`) — an
+    *    exercise/test device, not a crawl semantics claim. */
   private val Allowed: Map[String, Set[String]] = Map(
     "read" -> Set("table", "idCol", "textCol"),
     "clean" -> Set("form", "lowercase"),
@@ -70,6 +81,9 @@ object Pipeline {
     "minTokens" -> Set("n"),
     "langId" -> Set("langCol", "langs", "dim", "n", "iterations"),
     "qualityGate" -> Set("labelCol", "labelTrue", "dim", "iterations", "tau"),
+    "deriveUrl" -> Set("outCol"),
+    "blockDomains" -> Set("urlCol", "domains", "table", "domainCol"),
+    "domainQuality" -> Set("urlCol", "valueCol", "minMean", "minDocs"),
     "sample" -> Set("rate", "salt"),
     "balanceSources" -> Set("byCol"),
     "tokenBudget" -> Set("budget", "scoreCol"),
@@ -243,6 +257,73 @@ object Pipeline {
             "__qg_label", idCol, dim, int(s, "iterations", 5))
           operators.Classifier.gate(df, textCol, idCol, model.weights,
             model.bias, dim, dbl(s, "tau", 0.5))
+        case "deriveUrl" =>
+          val out = s.params.getOrElse("outCol", "url")
+          Seq("source", "lang").foreach { c =>
+            require(df.columns.contains(c),
+              s"pipeline line ${s.line}: deriveUrl synthesizes from " +
+                s"(source, lang, $idCol) and the frame lacks '$c' " +
+                s"(has: ${df.columns.sorted.mkString(", ")})")
+          }
+          df.withColumn(out, concat(lit("https://"), lower(col("source")),
+            lit("."), col("lang"), lit(".example.org/p/"),
+            col(idCol).cast("string")))
+        case "blockDomains" =>
+          val urlCol = s.params.getOrElse("urlCol", "url")
+          require(df.columns.contains(urlCol),
+            s"pipeline line ${s.line}: blockDomains urlCol= column " +
+              s"'$urlCol' not in the frame (has: " +
+              s"${df.columns.sorted.mkString(", ")}) — derive one with " +
+              "a deriveUrl stage or point urlCol= at the crawl's own")
+          val lits = s.params.get("domains").toSeq
+            .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+          val fromTable = s.params.get("table").map { t =>
+            val dc = s.params.getOrElse("domainCol", "domain")
+            val b = Tables.load(spark, baseDir, t)
+            require(b.columns.contains(dc),
+              s"pipeline line ${s.line}: blockDomains table '$t' lacks " +
+                s"domainCol '$dc'")
+            b.select(col(dc).as("domain"))
+          }
+          require(lits.nonEmpty || fromTable.nonEmpty,
+            s"pipeline line ${s.line}: blockDomains needs domains= " +
+              "and/or table= (an empty blocklist drops nothing — say so " +
+              "by omitting the stage)")
+          import spark.implicits._
+          val blocked = fromTable match {
+            case Some(t) if lits.isEmpty => t
+            case Some(t) => t.unionByName(lits.toDF("domain"))
+            case None => lits.toDF("domain")
+          }
+          operators.UrlOps.dropBlockedDomains(df, urlCol, idCol, blocked)
+        case "domainQuality" =>
+          val urlCol = s.params.getOrElse("urlCol", "url")
+          require(df.columns.contains(urlCol),
+            s"pipeline line ${s.line}: domainQuality urlCol= column " +
+              s"'$urlCol' not in the frame (has: " +
+              s"${df.columns.sorted.mkString(", ")}) — derive one with " +
+              "a deriveUrl stage or point urlCol= at the crawl's own")
+          val minMean = s.params.get("minMean").map { v =>
+            try v.toDouble catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"pipeline line ${s.line}: minMean must be a number, got '$v'") }
+          }.getOrElse(throw new IllegalArgumentException(
+            s"pipeline line ${s.line}: domainQuality needs minMean= " +
+              "(the FineWeb-style origin cut is an explicit editorial " +
+              "choice, not a default)"))
+          val minDocs = int(s, "minDocs", 1).toLong
+          s.params.get("valueCol") match {
+            case Some(c) =>
+              require(df.columns.contains(c),
+                s"pipeline line ${s.line}: domainQuality valueCol= column " +
+                  s"'$c' not in the frame (has: ${df.columns.sorted.mkString(", ")})")
+              operators.UrlOps.keepDomainsByMean(df, urlCol, c, minMean, minDocs)
+            case None => // default stat: exact token count (q203's shape)
+              operators.UrlOps.keepDomainsByMean(
+                df.withColumn("__dq_n",
+                  size(functions.Text.tokens(col(textCol))).cast("long")),
+                urlCol, "__dq_n", minMean, minDocs).drop("__dq_n")
+          }
         case "sample" =>
           if (!s.params.contains("rate")) throw new IllegalArgumentException(
             s"pipeline line ${s.line}: sample needs rate=")

@@ -394,6 +394,78 @@ class PipelineSpec extends SparkSpec {
       .contains("column 'nope' not in the frame"))
   }
 
+  test("URL-curation stages: deriveUrl + blockDomains + domainQuality == " +
+    "the hand-written q202/q203 recipes, composed ahead of exactDedup") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val url = concat(lit("https://"), lower($"source"), lit("."), $"lang",
+      lit(".example.org/p/"), $"doc_id".cast("string"))
+    // blockDomains == dropBlockedDomains over the derived URL (q202's
+    // blocklist: one exact host, one parent suffix taking a subtree)
+    val gotBlock = Pipeline.run(spark, sf(),
+      "read table=documents\nderiveUrl\n" +
+        "blockDomains domains=de.example.org,src3.en.example.org")
+    val handBlock = operators.UrlOps.dropBlockedDomains(
+      docs.withColumn("url", url), "url", "doc_id",
+      Seq("de.example.org", "src3.en.example.org").toDF("domain"))
+    assert(gotBlock.count() > 0 && gotBlock.count() < docs.count(),
+      "the blocklist must bite")
+    assert(gotBlock.exceptAll(handBlock).isEmpty &&
+      handBlock.exceptAll(gotBlock).isEmpty)
+    // domainQuality == keepDomainsByMean at the q203 stat (token count)
+    val gotQ = Pipeline.run(spark, sf(),
+      "read table=documents\nderiveUrl\ndomainQuality minMean=55 minDocs=3")
+    val handQ = operators.UrlOps.keepDomainsByMean(
+      docs.withColumn("url", url)
+        .withColumn("__dq_n",
+          size(functions.Text.tokens($"text")).cast("long")),
+      "url", "__dq_n", 55.0, 3L).drop("__dq_n")
+    assert(gotQ.count() > 0 && gotQ.count() < docs.count(),
+      "the origin cut must bite")
+    assert(gotQ.exceptAll(handQ).isEmpty && handQ.exceptAll(gotQ).isEmpty)
+    // composed crawl-curation config: gates ahead of exactDedup, with a
+    // table-sourced blocklist unioned into the literals. Tables.load
+    // resolves names under baseDir, so stage docs + blocklist together.
+    val composedDir = java.nio.file.Files.createTempDirectory("urlcur").toString
+    docs.write.mode("overwrite").parquet(s"$composedDir/documents.parquet")
+    Seq("src1.es.example.org").toDF("domain")
+      .write.mode("overwrite").parquet(s"$composedDir/blocklist.parquet")
+    val composed = Pipeline.run(spark, composedDir,
+      """read table=documents
+        |deriveUrl
+        |blockDomains domains=de.example.org table=blocklist
+        |domainQuality minMean=40 minDocs=2
+        |exactDedup
+        |""".stripMargin)
+    val handComposed = {
+      val b = operators.UrlOps.dropBlockedDomains(
+        docs.withColumn("url", url), "url", "doc_id",
+        Seq("src1.es.example.org", "de.example.org").toDF("domain"))
+      val q = operators.UrlOps.keepDomainsByMean(
+        b.withColumn("__dq_n",
+          size(functions.Text.tokens($"text")).cast("long")),
+        "url", "__dq_n", 40.0, 2L).drop("__dq_n")
+      operators.Dedup.exactByText(q, "text", "doc_id")
+    }
+    assert(composed.count() > 0 && composed.count() < docs.count())
+    assert(composed.exceptAll(handComposed).isEmpty &&
+      handComposed.exceptAll(composed).isEmpty)
+    // fail-fast matrix
+    def bad(cfg: String): String =
+      intercept[IllegalArgumentException](
+        Pipeline.run(spark, sf(), cfg)).getMessage
+    assert(bad("read table=documents\nblockDomains domains=a.com")
+      .contains("'url' not in the frame"))
+    assert(bad("read table=documents\nderiveUrl\nblockDomains")
+      .contains("domains= and/or table="))
+    assert(bad("read table=documents\nderiveUrl\ndomainQuality minDocs=2")
+      .contains("needs minMean="))
+    assert(bad("read table=documents\nderiveUrl\ndomainQuality minMean=40 " +
+      "valueCol=nope").contains("column 'nope' not in the frame"))
+    assert(intercept[IllegalArgumentException](Pipeline.parse(
+      "read table=documents\nblockDomains hosts=a.com")).getMessage
+      .contains("unknown blockDomains param"))
+  }
+
   test("write stage materializes files and passes the frame through") {
     val out = java.nio.file.Files.createTempDirectory("pipeline_spec").toString
     val cfg =

@@ -162,5 +162,16 @@ class RankEvalSpec extends SparkSpec {
     assert(got.keySet === Set("q1", "q_empty"))
     val (_, ne, mrre, ndcge) = got("q_empty")
     assert(ne === 1L && mrre === 0.0 && ndcge === 0.0)
+    // same contract on the GRADED path (the q190 surface): evaluation
+    // keys are ranked ∪ judged there too — an empty retrieval scores 0
+    // in AP and graded nDCG instead of vanishing from the average
+    val grel = Seq(("q1", "a", 2), ("q_empty", "b", 3)).toDF("q", "id", "gain")
+    val graded = RankEval.gradedMetrics(ranked, grel, "q", "id", "rank",
+        "gain", k = 5)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(graded.keySet === Set("q1", "q_empty"),
+      "gradedMetrics must key on ranked ∪ judged")
+    val (_, gne, gap, gndcg) = graded("q_empty")
+    assert(gne === 1L && gap === 0.0 && gndcg === 0.0)
   }
 }

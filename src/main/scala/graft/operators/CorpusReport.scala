@@ -214,6 +214,69 @@ object CorpusReport {
           .as("frac_b_near"))
   }
 
+  /** The exact column contract every store entry point validates: a
+    * card is (section string, key string, value double) — the shape
+    * [[build]]/[[vectorCard]] emit and [[diff]] joins on. */
+  private val CardColumns = Seq("section", "key", "value")
+
+  private def checkSnapshot(snapshot: String): Unit =
+    require(snapshot.nonEmpty && snapshot.matches("[A-Za-z0-9._-]+"),
+      s"card store: snapshot label must be path-safe " +
+        s"([A-Za-z0-9._-]+): '$snapshot'")
+
+  /** Persisted CARD STORE — the store discipline applied to the
+    * observability artifacts: snapshots of (section, key, value) cards
+    * land as hive-partitioned parquet under `path/snapshot=<label>/`,
+    * so cross-snapshot diffs ([[diffSnapshots]]) and the streaming
+    * twin ([[graft.streaming.CardStream.asCards]] publishing each
+    * closed window as a snapshot) read the SAME artifact a batch run
+    * published — not an in-session frame that dies with the job.
+    *
+    * Publishing a snapshot OVERWRITES its own partition directory and
+    * nothing else: a re-publish (the crash-retry shape) converges to
+    * the same bytes, and concurrent snapshots never touch each other's
+    * directories. Cards are report-sized by construction, so each
+    * snapshot coalesces to one file — a card store holding years of
+    * snapshots is still tiny. The column contract is validated at the
+    * door (a frame that isn't a card fails fast, not at some later
+    * read), and labels must be path-safe — they become directory
+    * names. */
+  def writeCard(card: DataFrame, path: String, snapshot: String): Unit = {
+    require(card.columns.toSeq == CardColumns,
+      s"writeCard: a card is exactly ${CardColumns.mkString("(", ", ", ")")}" +
+        s", got ${card.columns.mkString("(", ", ", ")")}")
+    checkSnapshot(snapshot)
+    card.select(col("section").cast("string"), col("key").cast("string"),
+        col("value").cast("double"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/snapshot=$snapshot")
+  }
+
+  /** One stored snapshot back as the plain (section, key, value) card
+    * frame — [[diff]]-composable with any other card, stored or
+    * in-session. Fails (AnalysisException) when the snapshot was never
+    * published. */
+  def readCard(spark: org.apache.spark.sql.SparkSession, path: String,
+               snapshot: String): DataFrame = {
+    checkSnapshot(snapshot)
+    spark.read.parquet(s"$path/snapshot=$snapshot")
+  }
+
+  /** The store's snapshot inventory: (snapshot, n_cells), one row per
+    * published label — the "what do we hold" read before a diff. */
+  def snapshots(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("snapshot").cast("string").as("snapshot"))
+      .agg(count(lit(1)).as("n_cells"))
+
+  /** [[diff]] across two STORED snapshots — the cross-run read the
+    * in-session diff can't do: `before`/`after` are labels previously
+    * [[writeCard]]-published at `path`. */
+  def diffSnapshots(spark: org.apache.spark.sql.SparkSession, path: String,
+                    before: String, after: String): DataFrame =
+    diff(readCard(spark, path, before), readCard(spark, path, after))
+
   /** Diff two cards (any (section, key, value) frames from [[build]]):
     * full-outer join on the key pair → (section, key, before, after,
     * delta). A cell absent on one side keeps a NULL on that side (and a

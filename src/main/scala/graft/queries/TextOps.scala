@@ -2941,6 +2941,32 @@ object TextOps {
        |FROM card_b cb FULL OUTER JOIN card_a ca
        |  ON cb.section = ca.section AND cb.key = ca.key""".stripMargin
 
+  // -- q207: persisted card STORE round-trip (CorpusReport.writeCard →
+  // diffSnapshots) — q195's gate diff computed across STORED snapshots
+  // instead of in-session frames: both cards are published into the
+  // hive-partitioned store (overwrite-idempotent per snapshot, the
+  // crash-retry discipline the lifecycle spec pins), then the diff READS
+  // THE ARTIFACT back — so the hash match pins the full
+  // publish→inventory→read→diff cycle, exactly what a cross-run or
+  // batch-vs-stream card comparison exercises. Gate at 50 tokens
+  // (distinct from q195's 30, so the two queries answer under different
+  // cuts). Oracle: q195's double card-CTE chain + FULL OUTER JOIN with
+  // the gate swapped — the oracle never sees the store, which is the
+  // point: stored-and-read-back must equal freshly-computed. --
+  private val q207: Q = (s, dir) => {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/tmp/graft_cardstore_$sfx"
+    val d = docs(s, dir)
+    val gated = d.filter(size(Text.tokens(col("text"))) >= 50)
+    def card(df: DataFrame) = graft.operators.CorpusReport.build(
+      df, "text", "doc_id", langCol = Some("lang"), sourceCol = Some("source"))
+    graft.operators.CorpusReport.writeCard(card(d), path, "full")
+    graft.operators.CorpusReport.writeCard(card(gated), path, "gated")
+    graft.operators.CorpusReport.diffSnapshots(s, path, "full", "gated")
+  }
+  private val q207Sql =
+    q195Sql.replace(s"len($dTok) >= 30", s"len($dTok) >= 50")
+
   // -- q196: token-budget selection (Mix.selectByTokenBudget) — the
   // "assemble the B-token training set from a scored corpus" step:
   // documents ranked by type-token ratio (deterministic ties by id),
@@ -3200,6 +3226,7 @@ object TextOps {
        |WHERE host IN (SELECT host FROM h)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q207_card_store" -> q207,
     "q205_blocked_frontier" -> q205,
     "q203_domain_quality" -> q203,
     "q202_domain_blocklist" -> q202,
@@ -3292,6 +3319,7 @@ object TextOps {
     "q198_unimax_select" -> q198Sql,
     "q197_corpus_overlap" -> q197Sql,
     "q196_token_budget" -> q196Sql,
+    "q207_card_store" -> q207Sql,
     "q195_card_diff" -> q195Sql,
     "q194_corpus_report" -> q194Sql,
     "q190_graded_rank_eval" -> q190Sql,

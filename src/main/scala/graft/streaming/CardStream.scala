@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{QuantileSketch, Text}
@@ -69,5 +69,47 @@ object CardStream {
         QuantileSketch.quantile(col("__sk"), 0.9).as("tok_p90"),
         greatest(col("__n_text") - col("__distinct_est"), lit(0L))
           .as("dup_est"))
+  }
+
+  /** [[perWindow]] telemetry rows re-shaped as CARDS — one
+    * `(snapshot, section, key, value)` row per cell per window, with
+    * the window start as a path-safe snapshot label
+    * (`yyyy-MM-dd_HH.mm.ss`, UTC) — so a stream's `foreachBatch` can
+    * publish each closed window into the same
+    * [[graft.operators.CorpusReport.writeCard]] store a batch run
+    * publishes to, and [[graft.operators.CorpusReport.diffSnapshots]]
+    * reads both without caring which engine wrote which:
+    *
+    * {{{
+    * CardStream.asCards(batchDf).select("snapshot").distinct.collect()
+    *   .foreach { r => CorpusReport.writeCard(
+    *     CardStream.asCards(batchDf).filter($"snapshot" === r.getString(0))
+    *       .drop("snapshot"), storePath, r.getString(0)) }
+    * }}}
+    *
+    * (windows per micro-batch are report-sized, so the driver loop is
+    * bounded). Cells reuse the batch card's (section, key) names so a
+    * batch-vs-stream diff aligns rows; the values of `tokens/p50`,
+    * `tokens/p90`, and `corpus/exact_dup_docs` are the documented
+    * sketch-family estimates of those cells (nearest-rank sketch
+    * quantiles, clamped HLL dup mass — see the object doc), not the
+    * batch card's exact forms. `tokens/mean` over an all-empty window
+    * divides 0 tokens by n_docs — finite, matching the batch card. */
+  def asCards(telemetry: DataFrame): DataFrame = {
+    def cell(section: String, key: String, v: Column): Column =
+      struct(lit(section).as("section"), lit(key).as("key"),
+        v.cast("double").as("value"))
+    telemetry.select(
+        date_format(col("w_start"), "yyyy-MM-dd_HH.mm.ss").as("snapshot"),
+        explode(array(
+          cell("corpus", "n_docs", col("n_docs")),
+          cell("corpus", "n_empty", col("n_empty")),
+          cell("corpus", "exact_dup_docs", col("dup_est")),
+          cell("tokens", "total", col("tok_total")),
+          cell("tokens", "mean", col("tok_mean")),
+          cell("tokens", "p50", col("tok_p50")),
+          cell("tokens", "p90", col("tok_p90"))
+        )).as("__c"))
+      .select(col("snapshot"), col("__c.*"))
   }
 }

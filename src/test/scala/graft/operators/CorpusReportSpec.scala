@@ -145,4 +145,44 @@ class CorpusReportSpec extends SparkSpec {
     assert(bare.filter($"section".isin("lang", "source")).isEmpty)
     assert(bare.count() == 7) // 5 scalars + 2 quantiles
   }
+
+  test("card store lifecycle: write/read/snapshots/diff == in-session; " +
+    "re-publish idempotent; contract validated at the door") {
+    val path = java.nio.file.Files.createTempDirectory("cardstore").toString
+    val gated = docs.filter(length(coalesce($"text", lit(""))) >= 3)
+    val before = card
+    val after = CorpusReport.build(gated, "text", "doc_id",
+      langCol = Some("lang"), sourceCol = Some("source"))
+    CorpusReport.writeCard(before, path, "full")
+    CorpusReport.writeCard(after, path, "gated")
+    // read back == the in-session frames, cell for cell
+    val rb = CorpusReport.readCard(spark, path, "full")
+    val ra = CorpusReport.readCard(spark, path, "gated")
+    assert(rb.exceptAll(before).isEmpty && before.exceptAll(rb).isEmpty)
+    assert(ra.exceptAll(after).isEmpty && after.exceptAll(ra).isEmpty)
+    // inventory: both labels, correct cell counts
+    val inv = CorpusReport.snapshots(spark, path)
+      .as[(String, Long)].collect().toMap
+    assert(inv == Map("full" -> before.count(), "gated" -> after.count()))
+    // stored diff == in-session diff
+    val dStore = CorpusReport.diffSnapshots(spark, path, "full", "gated")
+    val dLive = CorpusReport.diff(before, after)
+    assert(dStore.exceptAll(dLive).isEmpty && dLive.exceptAll(dStore).isEmpty)
+    // re-publish converges (the crash-retry shape): same bytes, same
+    // inventory, other snapshots untouched
+    CorpusReport.writeCard(before, path, "full")
+    assert(CorpusReport.readCard(spark, path, "full")
+      .exceptAll(before).isEmpty)
+    assert(CorpusReport.snapshots(spark, path).count() == 2)
+    // contract: non-card frames and unsafe labels fail fast
+    assert(intercept[IllegalArgumentException](
+      CorpusReport.writeCard(docs, path, "x")).getMessage
+      .contains("a card is exactly"))
+    assert(intercept[IllegalArgumentException](
+      CorpusReport.writeCard(before, path, "a/b")).getMessage
+      .contains("path-safe"))
+    assert(intercept[IllegalArgumentException](
+      CorpusReport.readCard(spark, path, "")).getMessage
+      .contains("path-safe"))
+  }
 }

@@ -72,4 +72,43 @@ class CardStreamSpec extends SparkSpec {
     assert(streamed.exceptAll(expected).isEmpty &&
       expected.exceptAll(streamed).isEmpty)
   }
+
+  test("asCards re-shapes windows as cards and publishes into the same " +
+    "store the batch card uses") {
+    import graft.operators.CorpusReport
+    val telemetry = CardStream.perWindow(fixture, sketchK = 64)
+    val cards = CardStream.asCards(telemetry)
+    // per-window cells survive the reshape exactly (window 1 fixture
+    // arithmetic from the hand-computed test above)
+    val w1 = cards.filter($"snapshot" === "2026-03-01_10.00.00")
+      .select($"section", $"key", $"value")
+      .as[(String, String, Double)].collect()
+      .map { case (s, k, v) => (s, k) -> v }.toMap
+    assert(w1(("corpus", "n_docs")) == 4.0)
+    assert(w1(("corpus", "n_empty")) == 1.0)
+    assert(w1(("corpus", "exact_dup_docs")) == 1.0)
+    assert(w1(("tokens", "total")) == 7.0)
+    assert(w1(("tokens", "mean")) == 7.0 / 4.0)
+    assert(w1(("tokens", "p50")) == 1.0 && w1(("tokens", "p90")) == 3.0)
+    // each window publishes as a snapshot of the SAME store artifact a
+    // batch run writes; the cross-engine diff then aligns on the shared
+    // (section, key) names
+    val path = Files.createTempDirectory("stream_cards").toString
+    cards.select($"snapshot").distinct().as[String].collect().foreach { s =>
+      CorpusReport.writeCard(
+        cards.filter($"snapshot" === s).drop("snapshot"), path, s)
+    }
+    val batchCard = CorpusReport.build(
+      fixture.filter($"ingest_ts" < ts(60)), "text", "doc_id")
+    CorpusReport.writeCard(batchCard, path, "batch_w1")
+    assert(CorpusReport.snapshots(spark, path).count() == 3)
+    val d = CorpusReport.diffSnapshots(spark, path,
+      "batch_w1", "2026-03-01_10.00.00")
+    // exact cells agree batch-vs-stream on this window (the sketch
+    // cells are exact at this cardinality too — the documented regime)
+    assert(d.filter($"section" === "corpus" && $"key" === "n_docs")
+      .head().getDouble(4) == 0.0)
+    assert(d.filter($"delta".isNull).isEmpty,
+      "batch and stream cards must align on every (section, key)")
+  }
 }

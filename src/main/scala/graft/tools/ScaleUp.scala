@@ -25,6 +25,15 @@ import graft.GraftSession
   *    an orthogonal transform, so intra-copy inner products (cluster
   *    geometry) are exactly preserved while cross-copy pairs decorrelate
   *    like random unit vectors.
+  *  - lineitem (round 13, the q204/q58 grouped-quantile scale rows):
+  *    copy c strides l_orderkey by 10^8 (clear of TPC-H key ranges at
+  *    any driver SF) and adds c·10⁻⁶ to l_quantity — the value
+  *    multiset stays quantile-equivalent (quantiles shift by < 10⁻⁴)
+  *    but every copy's values are DISTINCT, so sorts and rank scans do
+  *    k× the comparison work instead of collapsing into duplicate runs,
+  *    and the low-cardinality l_linestatus groups grow into exactly the
+  *    giant-group regime the scan path exists for. Group/label columns
+  *    are untouched.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
@@ -57,9 +66,23 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    if (new java.io.File(s"$in/lineitem.parquet").exists) {
+      val li = spark.read.parquet(s"$in/lineitem.parquet")
+      li.crossJoin(broadcast(copies))
+        .withColumn("l_orderkey", col("l_orderkey") + col("c") * 100000000L)
+        .withColumn("l_quantity",
+          col("l_quantity") + col("c").cast("double") * 1e-6)
+        .drop("c")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
+
     println(s"scaled $in x$k -> $out: " +
       s"documents=${spark.read.parquet(s"$out/documents.parquet").count()} " +
-      s"embeddings=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+      s"embeddings=${spark.read.parquet(s"$out/embeddings.parquet").count()}" +
+      (if (new java.io.File(s"$out/lineitem.parquet").exists)
+        s" lineitem=${spark.read.parquet(s"$out/lineitem.parquet").count()}"
+      else ""))
     spark.stop()
   }
 }

@@ -53,6 +53,11 @@ object Pipeline {
     *    per group under UniMax token allocations.
     *  - `report` (q194) is a pass-through sink publishing the corpus
     *    DATA CARD of the frame at that point in the chain.
+    *  - `checks` (q208) is the data-quality GATE: `spec=` a
+    *    comma-separated constraint list (complete:col:minFrac,
+    *    unique:col:minFrac, between:col:lo:hi, mean:col:lo:hi); the run
+    *    dies naming each failed constraint (Checks.assertAll). Regex
+    *    checks stay Scala-only.
     *  - URL curation (q202/q203): `blockDomains` drops rows whose URL
     *    host or any parent domain is blocklisted (`domains=a.com,b.org`
     *    literals and/or `table=`+`domainCol=` a fixture-table list —
@@ -93,6 +98,7 @@ object Pipeline {
     "split" -> Set("trainPct", "valPct"),
     "shards" -> Set("path", "budget", "chunkTokens", "overlap"),
     "report" -> Set("path", "langCol", "sourceCol"),
+    "checks" -> Set("spec"),
     "write" -> Set("path", "table", "format", "compression"))
 
   def parse(config: String): Seq[Stage] = {
@@ -466,6 +472,43 @@ object Pipeline {
               langCol = dimOpt("langCol"), sourceCol = dimOpt("sourceCol"))
             .coalesce(1).write.mode("overwrite").parquet(path)
           df
+        case "checks" =>
+          // data-quality GATE (Checks.assertAll, q208): the run dies
+          // HERE, naming each failed constraint with its observation,
+          // instead of shipping a corpus that violates its contract.
+          // Entries are comma-separated name:col:args — regex checks
+          // stay Scala-only (patterns don't survive the whitespace/
+          // comma config tokenizer; the "real logic stays Scala"
+          // stance). This stage is an ACTION: it evaluates the plan at
+          // this point once (the one-pass check aggregate), then hands
+          // the frame on unchanged.
+          val specStr = s.params.getOrElse("spec",
+            throw new IllegalArgumentException(
+              s"pipeline line ${s.line}: checks needs spec="))
+          def num(e: String, v: String): Double =
+            try v.toDouble catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"pipeline line ${s.line}: checks entry '$e': " +
+                  s"'$v' is not a number") }
+          val parsed: Seq[operators.Checks.Check] =
+            specStr.split(",").toSeq.map { e =>
+              e.split(":") match {
+                case Array("complete", c, f) =>
+                  operators.Checks.Complete(c, num(e, f))
+                case Array("unique", c, f) =>
+                  operators.Checks.Unique(c, num(e, f))
+                case Array("between", c, lo, hi) =>
+                  operators.Checks.ValuesBetween(c, num(e, lo), num(e, hi))
+                case Array("mean", c, lo, hi) =>
+                  operators.Checks.MeanBetween(c, num(e, lo), num(e, hi))
+                case _ => throw new IllegalArgumentException(
+                  s"pipeline line ${s.line}: malformed checks entry " +
+                    s"'$e' (want complete:col:minFrac | " +
+                    "unique:col:minFrac | between:col:lo:hi | " +
+                    "mean:col:lo:hi)")
+              }
+            }
+          operators.Checks.assertAll(df, parsed)
         case "write" =>
           val path = s.params.getOrElse("path",
             throw new IllegalArgumentException(

@@ -2967,6 +2967,110 @@ object TextOps {
   private val q207Sql =
     q195Sql.replace(s"len($dTok) >= 30", s"len($dTok) >= 50")
 
+  // -- q208: declarative data-quality checks (Checks.run, the
+  // Deequ-style "unit tests for data" gate a corpus runs before
+  // anything trains on it) — nine constraints over documents in ONE
+  // aggregation pass: completeness ratios, exact uniqueness (doc_id a
+  // key; lang deliberately failing — 5 distinct / corpus), range
+  // violations (one failing cut at 40 chars, one passing at 100k), an
+  // exact-integer mean band, and anchored-regex well-formedness. Every
+  // observed value is a count, one IEEE division of exact counts, or an
+  // exact-integer sum divided once — cross-engine bit-reproducible.
+  // Oracle: one aggregate CTE + one UNION ALL row per check. --
+  private val q208: Q = (s, dir) => {
+    import graft.operators.Checks._
+    run(docs(s, dir), Seq(
+      Complete("text", 1.0),
+      Complete("lang", 0.999),
+      Unique("doc_id", 1.0),
+      Unique("lang", 0.5),
+      ValuesBetween("n_chars", 1, 40),
+      ValuesBetween("n_chars", 1, 100000),
+      MeanBetween("n_chars", 100.0, 400.0),
+      MatchesRegex("lang", "[a-z]{2}", 0.999),
+      MatchesRegex("source", "src[0-9]+", 1.0)))
+  }
+  private val q208Sql =
+    """WITH s AS (
+      |  SELECT count(*) AS n,
+      |    count(text) AS nn_text, count(lang) AS nn_lang,
+      |    count(doc_id) AS nn_id, count(source) AS nn_src,
+      |    count(n_chars) AS nn_nc,
+      |    count(DISTINCT doc_id) AS d_id, count(DISTINCT lang) AS d_lang,
+      |    sum(CASE WHEN n_chars IS NOT NULL AND
+      |      (CAST(n_chars AS DOUBLE) < 1 OR CAST(n_chars AS DOUBLE) > 40)
+      |      THEN 1 ELSE 0 END) AS viol_40,
+      |    sum(CASE WHEN n_chars IS NOT NULL AND
+      |      (CAST(n_chars AS DOUBLE) < 1 OR CAST(n_chars AS DOUBLE) > 100000)
+      |      THEN 1 ELSE 0 END) AS viol_big,
+      |    sum(CAST(n_chars AS DOUBLE)) AS sum_nc,
+      |    sum(CASE WHEN lang IS NOT NULL AND
+      |      regexp_matches(lang, '^([a-z]{2})$') THEN 1 ELSE 0 END) AS m_lang,
+      |    sum(CASE WHEN source IS NOT NULL AND
+      |      regexp_matches(source, '^(src[0-9]+)$') THEN 1 ELSE 0 END) AS m_src
+      |  FROM documents)
+      |SELECT 'complete' AS "check", 'text' AS "column",
+      |  CAST(nn_text AS DOUBLE) / n AS observed,
+      |  CAST(nn_text AS DOUBLE) / n >= 1.0 AS passed FROM s
+      |UNION ALL SELECT 'complete', 'lang', CAST(nn_lang AS DOUBLE) / n,
+      |  CAST(nn_lang AS DOUBLE) / n >= 0.999 FROM s
+      |UNION ALL SELECT 'unique', 'doc_id', CAST(d_id AS DOUBLE) / nn_id,
+      |  CAST(d_id AS DOUBLE) / nn_id >= 1.0 FROM s
+      |UNION ALL SELECT 'unique', 'lang', CAST(d_lang AS DOUBLE) / nn_lang,
+      |  CAST(d_lang AS DOUBLE) / nn_lang >= 0.5 FROM s
+      |UNION ALL SELECT 'between', 'n_chars', CAST(viol_40 AS DOUBLE),
+      |  viol_40 = 0 FROM s
+      |UNION ALL SELECT 'between', 'n_chars', CAST(viol_big AS DOUBLE),
+      |  viol_big = 0 FROM s
+      |UNION ALL SELECT 'mean', 'n_chars', sum_nc / nn_nc,
+      |  sum_nc / nn_nc >= 100.0 AND sum_nc / nn_nc <= 400.0 FROM s
+      |UNION ALL SELECT 'regex', 'lang', CAST(m_lang AS DOUBLE) / nn_lang,
+      |  CAST(m_lang AS DOUBLE) / nn_lang >= 0.999 FROM s
+      |UNION ALL SELECT 'regex', 'source', CAST(m_src AS DOUBLE) / nn_src,
+      |  CAST(m_src AS DOUBLE) / nn_src >= 1.0 FROM s""".stripMargin
+
+  // -- q209: card-DRIFT gate (Checks.drift over CorpusReport.diff) —
+  // the alarm half of the card family: q195's 30-token gate diff judged
+  // against per-cell relative tolerances. n_docs moves ~22% (passes at
+  // 0.5), token mass ~8% (passes at 0.2), the en language count moves
+  // ~23% and FAILS its 0.1 budget — the "gate hit one language
+  // disproportionately" alarm firing; n_empty pins the zero-before
+  // rule (0 admits only 0), the 'ghost' tolerance names a cell no card
+  // computes and fails with a NULL observation (a tolerance nobody
+  // checks is a config bug surfaced). Oracle: q195's double card-CTE
+  // chain + a VALUES tolerance list LEFT JOINed onto the diff. --
+  private val q209: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val gated = d.filter(size(Text.tokens(col("text"))) >= 30)
+    def card(df: DataFrame) = graft.operators.CorpusReport.build(
+      df, "text", "doc_id", langCol = Some("lang"), sourceCol = Some("source"))
+    graft.operators.Checks.drift(
+      graft.operators.CorpusReport.diff(card(d), card(gated)), Seq(
+        ("corpus", "n_docs", 0.5), ("corpus", "n_empty", 0.0),
+        ("tokens", "total", 0.2), ("tokens", "mean", 0.3),
+        ("lang", "en", 0.1), ("quality", "ghost", 1.0)))
+  }
+  private val q209Sql =
+    s"""WITH d AS (SELECT * FROM documents),
+       |g AS (SELECT * FROM documents WHERE len($dTok) >= 30),
+       |${dCardCtes("d", "b")},
+       |${dCardCtes("g", "a")},
+       |diff AS (
+       |SELECT coalesce(cb.section, ca.section) AS section,
+       |       coalesce(cb.key, ca.key) AS key,
+       |       cb.value AS bv, ca.value AS av, ca.value - cb.value AS dv
+       |FROM card_b cb FULL OUTER JOIN card_a ca
+       |  ON cb.section = ca.section AND cb.key = ca.key),
+       |tol(section, key, max_rel) AS (VALUES
+       |  ('corpus', 'n_docs', 0.5), ('corpus', 'n_empty', 0.0),
+       |  ('tokens', 'total', 0.2), ('tokens', 'mean', 0.3),
+       |  ('lang', 'en', 0.1), ('quality', 'ghost', 1.0))
+       |SELECT t.section, t.key, f.bv AS "before", f.av AS "after",
+       |  f.dv AS delta,
+       |  coalesce(abs(f.dv) <= t.max_rel * abs(f.bv), false) AS passed
+       |FROM tol t LEFT OUTER JOIN diff f
+       |  ON t.section = f.section AND t.key = f.key""".stripMargin
+
   // -- q196: token-budget selection (Mix.selectByTokenBudget) — the
   // "assemble the B-token training set from a scored corpus" step:
   // documents ranked by type-token ratio (deterministic ties by id),
@@ -3226,6 +3330,8 @@ object TextOps {
        |WHERE host IN (SELECT host FROM h)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q209_card_drift" -> q209,
+    "q208_quality_checks" -> q208,
     "q207_card_store" -> q207,
     "q205_blocked_frontier" -> q205,
     "q203_domain_quality" -> q203,
@@ -3311,6 +3417,8 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q209_card_drift" -> q209Sql,
+    "q208_quality_checks" -> q208Sql,
     "q205_blocked_frontier" -> q205Sql,
     "q203_domain_quality" -> q203Sql,
     "q202_domain_blocklist" -> q202Sql,

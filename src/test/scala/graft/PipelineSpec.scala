@@ -466,6 +466,45 @@ class PipelineSpec extends SparkSpec {
       .contains("unknown blockDomains param"))
   }
 
+  test("checks stage: a green gate passes the frame through untouched, " +
+    "a red one dies naming the constraint, malformed specs fail fast") {
+    val docs = Tables.load(spark, sf(), "documents")
+    // green: == the hand-written assertAll passthrough
+    val got = Pipeline.run(spark, sf(),
+      "read table=documents\n" +
+        "checks spec=complete:text:1.0,unique:doc_id:1.0," +
+        "between:n_chars:1:100000,mean:n_chars:10:10000\n" +
+        "minTokens n=5")
+    val hand = operators.Checks.assertAll(docs, Seq(
+      operators.Checks.Complete("text", 1.0),
+      operators.Checks.Unique("doc_id", 1.0),
+      operators.Checks.ValuesBetween("n_chars", 1, 100000),
+      operators.Checks.MeanBetween("n_chars", 10, 10000)))
+      .filter(size(functions.Text.tokens(col("text"))) >= 5)
+    assert(got.exceptAll(hand).isEmpty && hand.exceptAll(got).isEmpty)
+    // red: the run dies HERE, naming the failed constraint + observation
+    val e = intercept[IllegalStateException](Pipeline.run(spark, sf(),
+      "read table=documents\nchecks spec=unique:lang:0.5"))
+    assert(e.getMessage.contains("unique(lang)"))
+    // fail fast at build time: missing spec, unknown kind, bad arity,
+    // non-number, unknown param
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nchecks")).getMessage
+      .contains("checks needs spec="))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nchecks spec=regex:lang:0.9")).getMessage
+      .contains("malformed checks entry"))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nchecks spec=between:n_chars:1")).getMessage
+      .contains("malformed checks entry"))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nchecks spec=complete:text:high")).getMessage
+      .contains("not a number"))
+    assert(intercept[IllegalArgumentException](Pipeline.parse(
+      "read table=documents\nchecks list=complete:text:1")).getMessage
+      .contains("unknown checks param"))
+  }
+
   test("write stage materializes files and passes the frame through") {
     val out = java.nio.file.Files.createTempDirectory("pipeline_spec").toString
     val cfg =

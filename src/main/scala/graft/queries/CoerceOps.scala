@@ -202,6 +202,51 @@ object CoerceOps {
   private val q48Sql =
     "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
 
+  // -- q210: WARC round-trip — the crawl-archive container end to end:
+  // documents serialized as WARC/1.0 response records (gzip, one record
+  // per gzip member — the Common Crawl framing) by WarcSink, read back
+  // through the graft-warc DSv2 source with the HTTP envelope stripped
+  // in-reader. The oracle sees only the original parquet table and
+  // re-derives the envelope arithmetic (content_length = 78 fixed
+  // header bytes + the digits of the body length + the body bytes), so
+  // a hash match proves serialize → gzip → parse → envelope-strip is
+  // lossless, including the byte accounting. --
+  private val q210: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_warc_$sfx"
+    val d = Tables.load(s, dir, "documents").select(
+      concat(lit("https://"), lower($"source"), lit("."), $"lang",
+        lit(".example.org/p/"), $"doc_id".cast("string")).as("url"),
+      lit("2026-01-01 00:00:00").cast("timestamp").as("warc_date"),
+      concat(lit("<urn:graft:"), $"doc_id".cast("string"), lit(">"))
+        .as("record_id"),
+      lit(200).as("http_status"),
+      encode($"text", "UTF-8").as("body"))
+    graft.sinks.WarcSink.write(d.repartition(4, $"record_id")
+      .sortWithinPartitions($"record_id"), out, gzip = true)
+    s.read.format("graft-warc").load(out)
+      .select($"url", $"warc_type", $"warc_date", $"record_id",
+        $"content_type", $"content_length", $"http_status",
+        decode($"body", "UTF-8").as("text"),
+        length($"body").cast("long").as("n_body_bytes"))
+  }
+  private val q210Sql =
+    """WITH d AS (
+      |  SELECT
+      |    'https://' || lower(source) || '.' || lang || '.example.org/p/' ||
+      |      CAST(doc_id AS VARCHAR) AS url,
+      |    '<urn:graft:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+      |    octet_length(encode(text)) AS n, text
+      |  FROM documents)
+      |SELECT url, 'response' AS warc_type,
+      |  TIMESTAMP '2026-01-01 00:00:00' AS warc_date,
+      |  record_id,
+      |  'application/http; msgtype=response' AS content_type,
+      |  CAST(78 + length(CAST(n AS VARCHAR)) + n AS BIGINT) AS content_length,
+      |  200 AS http_status, text, CAST(n AS BIGINT) AS n_body_bytes
+      |FROM d""".stripMargin
+
   // -- q49: geo_point operations (haversine + bounding box) --
   // Coordinates are derived deterministically from customer columns (no
   // geo fixture exists); the point is the operator surface over the
@@ -614,6 +659,7 @@ object CoerceOps {
     "q46_multimodal_features" -> q46,
     "q47_from_json_schema" -> q47,
     "q48_dsv2_jsonl_scan" -> q48,
+    "q210_warc_roundtrip" -> q210,
     "q49_geo_distance" -> q49,
     "q54_csv_roundtrip" -> q54,
     "q55_ndjson_roundtrip" -> q55,
@@ -635,6 +681,7 @@ object CoerceOps {
     "q46_multimodal_features" -> q46Sql,
     "q47_from_json_schema" -> q47Sql,
     "q48_dsv2_jsonl_scan" -> q48Sql,
+    "q210_warc_roundtrip" -> q210Sql,
     "q49_geo_distance" -> q49Sql,
     "q54_csv_roundtrip" -> q54Sql,
     "q55_ndjson_roundtrip" -> q55Sql,

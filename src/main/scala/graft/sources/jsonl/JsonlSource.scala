@@ -89,10 +89,10 @@ object JsonlSource {
   /** The active session's Hadoop conf (spark.hadoop.*, object-store
     * credentials) — a bare `new Configuration()` would silently ignore
     * all of it. Driver side only. */
-  private[jsonl] def sessionHadoopConf(): Configuration =
+  private[graft] def sessionHadoopConf(): Configuration =
     org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
 
-  private[jsonl] def listStatuses(fs: FileSystem, path: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+  private[graft] def listStatuses(fs: FileSystem, path: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val st = fs.getFileStatus(path)
     if (st.isDirectory)
       fs.listStatus(path).toSeq.filter(_.isFile)
@@ -102,7 +102,7 @@ object JsonlSource {
     else Seq(st)
   }
 
-  private[jsonl] def listFiles(fs: FileSystem, path: Path): Seq[Path] =
+  private[graft] def listFiles(fs: FileSystem, path: Path): Seq[Path] =
     listStatuses(fs, path).map(_.getPath)
 }
 
@@ -232,7 +232,7 @@ private[sources] class JsonlScan(required: StructType, paths: Seq[String],
 
 /** Hadoop Configuration is not java-serializable; ship it by its
   * writable form. */
-private[jsonl] class SerializableHadoopConf(@transient var value: Configuration)
+private[graft] class SerializableHadoopConf(@transient var value: Configuration)
     extends Serializable {
   private def writeObject(out: java.io.ObjectOutputStream): Unit = {
     out.defaultWriteObject()

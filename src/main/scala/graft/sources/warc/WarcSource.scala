@@ -1,0 +1,420 @@
+package graft.sources.warc
+
+import java.io.{EOFException, IOException, InputStream}
+import java.util
+import java.util.zip.GZIPInputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.jsonl.{JsonlSource, SerializableHadoopConf}
+
+/** DSv2 source over WARC crawl archives (ISO 28500 — the Common Crawl /
+  * Internet Archive container a web-scale training pipeline actually
+  * starts from): each input file is one input partition (the Common
+  * Crawl layout is many ~1 GB segment files, so slices scale with the
+  * archive exactly like the jsonl dump reader), records are parsed
+  * STREAMING — header block, then the payload is read or SKIPPED by its
+  * declared Content-Length, never a whole-file materialization — and
+  * `.gz` files read each-record-its-own-gzip-member archives through
+  * Java's multi-member `GZIPInputStream` (the Common Crawl framing;
+  * plain concatenated-record files work identically).
+  *
+  * Fixed envelope schema — WARC is a container, not a document model:
+  * `url, warc_type, warc_date, record_id, content_type, content_length,
+  * http_status, body`. For `application/http` response payloads the
+  * HTTP envelope is parsed off: `http_status` from the status line,
+  * `body` = payload minus the header block (a malformed envelope keeps
+  * the raw payload and a NULL status — log-and-keep, the reference's
+  * "survive problematic data" stance, dump-es-parquet:112-183, applied
+  * to the crawl container). Non-HTTP records (warcinfo, metadata,
+  * resource) keep their raw payload as `body`.
+  *
+  * Pushdown, mirroring the jsonl/ES sources (SURVEY §2.1 P1–P3):
+  *  - column pruning: an un-required `body` is SKIPPED byte-wise, never
+  *    allocated — `select(url)` over 100 TB of archives reads headers
+  *    only (plus decompression, which gzip owes us regardless);
+  *  - `warc_type = 'response'` (and IN-lists) evaluate in-reader BEFORE
+  *    payload work — the classic "responses only" crawl scan skips
+  *    request/metadata payloads entirely; conservative contract: every
+  *    filter is also returned residual, Spark re-checks above the scan;
+  *  - limit pushdown stops each reader after N emitted records;
+  *  - `count(*)` pushes as one partial-count row per file (headers
+  *    parsed, payloads skipped, zero rows materialized);
+  *  - real byte statistics so a small archive broadcasts in joins.
+  *
+  * Framing honesty: a record whose header block is unreadable (no
+  * WARC/ version line, no parseable Content-Length) kills the file read
+  * with the file named — after a framing loss the remaining bytes
+  * cannot be trusted, and silently dropping the tail of a crawl segment
+  * is how corpora lose mass invisibly. Records with intact framing but
+  * missing optional headers emit NULLs.
+  *
+  * Usage: `spark.read.format("graft-warc").load(dirOrFile)`. The sink
+  * half ([[graft.sinks.WarcSink]]) writes the same framing back.
+  */
+class WarcSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-warc"
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val single = Option(options.get("path")).toSeq
+    val multi = Option(options.get("paths")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    (single ++ multi).distinct
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new WarcTable(paths(new CaseInsensitiveStringMap(properties)))
+}
+
+object WarcSource {
+  private[warc] val log = org.slf4j.LoggerFactory.getLogger(classOf[WarcSource])
+
+  /** The fixed envelope schema (WARC is a container format). */
+  val Schema: StructType = StructType(Seq(
+    StructField("url", StringType), // WARC-Target-URI (warcinfo: null)
+    StructField("warc_type", StringType), // response/request/warcinfo/...
+    StructField("warc_date", TimestampType), // WARC-Date, UTC
+    StructField("record_id", StringType), // WARC-Record-ID
+    StructField("content_type", StringType), // the WARC block's type
+    StructField("content_length", LongType), // payload bytes (envelope incl.)
+    StructField("http_status", IntegerType), // application/http only
+    StructField("body", BinaryType))) // HTTP-header-stripped payload
+}
+
+private[warc] class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"graft_warc(${paths.mkString(",")})"
+  override def schema(): StructType = WarcSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(paths)
+}
+
+private[warc] class WarcScanBuilder(paths: Seq[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
+  private var required: StructType = WarcSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+  private var countStar = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  /** In-reader `warc_type` retention — the "responses only" scan: a
+    * non-matching record's payload is SKIPPED, not parsed. Conservative
+    * contract (the jsonl stance): all filters also return residual. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("warc_type", _: String) => true
+      case In("warc_type", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** Partial `count(*)`: one row per file, headers parsed, payloads
+    * skipped — counting a 100 TB archive never allocates a body. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = false
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = pushed.isEmpty && limit.isEmpty &&
+      agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions().head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) {
+      countStar = true
+      required = StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    }
+    ok
+  }
+
+  override def build(): Scan = new WarcScan(required, paths, pushed, limit, countStar)
+}
+
+private[warc] class WarcScan(required: StructType, paths: Seq[String],
+                             pushed: Array[Filter], val pushedLimit: Option[Int],
+                             val pushedCountStar: Boolean)
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-warc PushedFilters=[${pushed.mkString(", ")}]" +
+      pushedLimit.map(l => s" PushedLimit=$l").getOrElse("") +
+      (if (pushedCountStar) " PushedAggregation=[COUNT(*)]" else "")
+
+  private lazy val totalBytes: Long =
+    try {
+      val conf = JsonlSource.sessionHadoopConf()
+      paths.map { p =>
+        val path = new Path(p)
+        JsonlSource.listStatuses(path.getFileSystem(conf), path).map(_.getLen).sum
+      }.sum
+    } catch { case _: Exception => Long.MaxValue }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(totalBytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = JsonlSource.sessionHadoopConf()
+    val sconf = new SerializableHadoopConf(conf)
+    paths.flatMap { p =>
+      val path = new Path(p)
+      JsonlSource.listFiles(path.getFileSystem(conf), path)
+    }.map(f => WarcPartition(f.toString, sconf): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, pushed, pushedLimit, pushedCountStar)
+}
+
+private[warc] case class WarcPartition(file: String,
+                                       conf: SerializableHadoopConf)
+    extends InputPartition
+
+private[warc] class WarcReaderFactory(required: StructType,
+                                      pushed: Array[Filter],
+                                      limit: Option[Int], countStar: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WarcPartition]
+    if (countStar) new WarcCountReader(p.file, p.conf.value)
+    else new WarcPartitionReader(required, p.file, pushed, p.conf.value, limit)
+  }
+}
+
+/** One parsed record header block. `headers` keys are lowercased. */
+private[warc] final case class WarcHeader(headers: Map[String, String],
+                                          contentLength: Long)
+
+/** Streaming WARC framing over a raw InputStream: header lines are read
+  * byte-at-a-time off a buffered stream (a Reader would over-read into
+  * the payload), payloads are consumed by declared Content-Length. */
+private[warc] object WarcParser {
+
+  /** Reads one CRLF-terminated header line as ISO-8859-1 (header bytes
+    * are ASCII by spec); null at EOF before any byte. */
+  def readLine(in: InputStream): String = {
+    val sb = new java.lang.StringBuilder(96)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  /** Parses the next record's header block, skipping any blank
+    * separator lines first. Returns null at clean EOF; throws on a
+    * framing loss (non-WARC version line, missing/bad Content-Length)
+    * — after that the remaining bytes cannot be trusted. */
+  def nextHeader(in: InputStream, file: String): WarcHeader = {
+    var line = readLine(in)
+    while (line != null && line.isEmpty) line = readLine(in)
+    if (line == null) return null
+    if (!line.startsWith("WARC/"))
+      throw new IOException(
+        s"$file: WARC framing lost — expected a WARC/ version line, got " +
+          s"'${line.take(40)}'")
+    val headers = Map.newBuilder[String, String]
+    var last: String = null // header-name of the previous line (folding)
+    var prev = Map.empty[String, String]
+    line = readLine(in)
+    while (line != null && line.nonEmpty) {
+      if ((line.startsWith(" ") || line.startsWith("\t")) && last != null) {
+        // obs-fold continuation: append to the previous header's value
+        prev = prev.updated(last, prev(last) + " " + line.trim)
+      } else {
+        val i = line.indexOf(':')
+        if (i > 0) {
+          last = line.substring(0, i).trim.toLowerCase
+          prev = prev.updated(last, line.substring(i + 1).trim)
+        }
+        // a colon-less non-continuation line is ignored (framing is
+        // still intact: the block ends at the blank line)
+      }
+      line = readLine(in)
+    }
+    if (line == null)
+      throw new EOFException(s"$file: EOF inside a WARC header block")
+    val len = prev.get("content-length").flatMap(_.toLongOption)
+      .getOrElse(throw new IOException(
+        s"$file: WARC record without a parseable Content-Length " +
+          s"(record-id=${prev.getOrElse("warc-record-id", "?")}) — framing unknowable"))
+    headers ++= prev
+    WarcHeader(headers.result(), len)
+  }
+
+  /** Splits an `application/http` payload into (status, body): status
+    * from the first line, body after the first CRLFCRLF. A malformed
+    * envelope returns (None, whole payload) — log-and-keep. */
+  def splitHttp(payload: Array[Byte]): (Option[Int], Array[Byte]) = {
+    var i = 0
+    var split = -1
+    while (split < 0 && i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n') split = i
+      i += 1
+    }
+    if (split < 0) return (None, payload)
+    val head = new String(payload, 0, split, "ISO-8859-1")
+    val statusLine = head.takeWhile(_ != '\r').takeWhile(_ != '\n')
+    val status =
+      if (statusLine.startsWith("HTTP/"))
+        statusLine.split(" ", 3).lift(1).flatMap(_.toIntOption)
+      else None
+    (status, java.util.Arrays.copyOfRange(payload, split + 4, payload.length))
+  }
+
+  def open(file: String, hconf: Configuration): InputStream = {
+    val path = new Path(file)
+    val fs = path.getFileSystem(hconf)
+    val raw = graft.sources.Retry.withBackoff(attempts = 3, backoffMs = 100) {
+      fs.open(path)
+    }
+    val buffered = new java.io.BufferedInputStream(raw, 1 << 16)
+    // multi-member GZIPInputStream: the Common Crawl record-per-member
+    // framing reads as one continuous stream
+    if (file.endsWith(".gz")) new GZIPInputStream(buffered, 1 << 16)
+    else buffered
+  }
+}
+
+/** Pushed-count(*) reader: headers parsed, payloads skipped, one
+  * partial-count row per file. */
+private[warc] class WarcCountReader(file: String, hconf: Configuration)
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    val in = WarcParser.open(file, hconf)
+    var n = 0L
+    try {
+      var h = WarcParser.nextHeader(in, file)
+      while (h != null) {
+        in.skipNBytes(h.contentLength)
+        n += 1
+        h = WarcParser.nextHeader(in, file)
+      }
+    } finally in.close()
+    row = new GenericInternalRow(Array[Any](n))
+    done = true
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
+
+private[warc] class WarcPartitionReader(required: StructType, file: String,
+                                        pushed: Array[Filter],
+                                        hconf: Configuration,
+                                        limit: Option[Int])
+    extends PartitionReader[InternalRow] {
+  private val in = WarcParser.open(file, hconf)
+  private var current: InternalRow = _
+  private var emitted = 0L
+
+  // the in-reader warc_type retention set (None = keep all)
+  private val keepTypes: Option[Set[String]] = {
+    val sets = pushed.collect {
+      case EqualTo("warc_type", v: String) => Set(v)
+      case In("warc_type", vs) => vs.collect { case s: String => s }.toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+  // payload work is skipped entirely unless a payload-derived column is
+  // required — `select(url)` over an archive reads headers only
+  private val needsPayload =
+    required.fieldNames.exists(n => n == "body" || n == "http_status")
+
+  @annotation.tailrec
+  final override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
+    val h = WarcParser.nextHeader(in, file)
+    if (h == null) return false
+    val wtype = h.headers.get("warc-type").orNull
+    if (keepTypes.exists(k => wtype == null || !k.contains(wtype))) {
+      in.skipNBytes(h.contentLength) // filtered: payload never read
+      next()
+    } else {
+      val payload: Array[Byte] =
+        if (needsPayload) {
+          if (h.contentLength > Int.MaxValue - 8)
+            throw new IOException(
+              s"$file: record payload ${h.contentLength} B exceeds a " +
+                "single-array bound — split the archive")
+          in.readNBytes(h.contentLength.toInt)
+        } else { in.skipNBytes(h.contentLength); null }
+      if (payload != null && payload.length < h.contentLength)
+        throw new EOFException(
+          s"$file: truncated payload (${payload.length} of " +
+            s"${h.contentLength} B, record-id=" +
+            s"${h.headers.getOrElse("warc-record-id", "?")})")
+      val ctype = h.headers.get("content-type").orNull
+      val isHttp = ctype != null &&
+        ctype.toLowerCase.startsWith("application/http")
+      lazy val (status, body) =
+        if (payload == null) (None, null)
+        else if (isHttp) WarcParser.splitHttp(payload)
+        else (None, payload)
+      val values = required.fieldNames.map {
+        case "url" => utf8(h.headers.get("warc-target-uri").orNull)
+        case "warc_type" => utf8(wtype)
+        case "warc_date" => h.headers.get("warc-date").flatMap(parseTs).orNull
+        case "record_id" => utf8(h.headers.get("warc-record-id").orNull)
+        case "content_type" => utf8(ctype)
+        case "content_length" => java.lang.Long.valueOf(h.contentLength)
+        case "http_status" => status.map(Integer.valueOf).orNull
+        case "body" => body
+        case other => throw new IllegalStateException(
+          s"graft-warc: unknown required column '$other'")
+      }
+      current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      emitted += 1
+      true
+    }
+  }
+
+  private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  /** WARC-Date (ISO-8601 UTC) → micros; unparseable → NULL (the
+    * envelope survives a sloppy date; framing did not depend on it). */
+  private def parseTs(s: String): Option[java.lang.Long] =
+    try {
+      val inst = java.time.Instant.parse(s)
+      Some(java.lang.Long.valueOf(inst.getEpochSecond * 1000000L +
+        inst.getNano / 1000L))
+    } catch { case _: java.time.format.DateTimeParseException => None }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,211 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import graft.SparkSpec
+import graft.sinks.WarcSink
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+/** graft-warc DSv2: hand-built archives (plain + record-per-gzip-member),
+  * envelope fields, HTTP header stripping incl. the malformed-envelope
+  * keep, pushdowns (columns / warc_type filter / limit / count(*)),
+  * framing fail-fast, and the WarcSink write→read round trip. */
+class WarcSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(headers: Seq[(String, String)],
+                  payload: Array[Byte]): Array[Byte] = {
+    val head = (Seq("WARC/1.0") ++ headers.map { case (k, v) => s"$k: $v" })
+      .mkString("", "\r\n", "\r\n") +
+      s"Content-Length: ${payload.length}\r\n\r\n"
+    head.getBytes(ISO_8859_1) ++ payload ++ "\r\n\r\n".getBytes(ISO_8859_1)
+  }
+
+  private def httpPayload(status: Int, body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 $status OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1) ++ body
+
+  private val bodyHello = "héllo wörld".getBytes(UTF_8)
+  private val records: Seq[Array[Byte]] = Seq(
+    rec(Seq("WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> "<urn:graft:info>",
+      "WARC-Date" -> "2026-02-03T04:05:06Z",
+      "Content-Type" -> "application/warc-fields"),
+      "software: graft\r\n".getBytes(ISO_8859_1)),
+    rec(Seq("WARC-Type" -> "request",
+      "WARC-Record-ID" -> "<urn:graft:req>",
+      "WARC-Date" -> "2026-02-03T04:05:06Z",
+      "WARC-Target-URI" -> "https://a.example/x",
+      "Content-Type" -> "application/http; msgtype=request"),
+      "GET /x HTTP/1.1\r\n\r\n".getBytes(ISO_8859_1)),
+    rec(Seq("WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:graft:resp>",
+      "WARC-Date" -> "2026-02-03T04:05:07Z",
+      "WARC-Target-URI" -> "https://a.example/x",
+      "Content-Type" -> "application/http; msgtype=response"),
+      httpPayload(200, bodyHello)),
+    rec(Seq("WARC-Type" -> "resource",
+      "WARC-Record-ID" -> "<urn:graft:res>",
+      "WARC-Date" -> "not-a-date", // sloppy date: NULL, framing survives
+      "WARC-Target-URI" -> "https://a.example/plain.txt",
+      "Content-Type" -> "text/plain"),
+      "plain".getBytes(ISO_8859_1)),
+    rec(Seq("WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:graft:bad>",
+      "WARC-Date" -> "2026-02-03T04:05:08Z",
+      "WARC-Target-URI" -> "https://a.example/bad",
+      "Content-Type" -> "application/http; msgtype=response"),
+      "HTTP/1.1 200 OKno-separator-here".getBytes(ISO_8859_1)))
+
+  private lazy val plainDir = {
+    val d = Files.createTempDirectory("warc_plain").toString
+    Files.write(Paths.get(s"$d/a.warc"),
+      records.take(3).reduce(_ ++ _))
+    Files.write(Paths.get(s"$d/b.warc"),
+      records.drop(3).reduce(_ ++ _))
+    d
+  }
+  private lazy val gzDir = {
+    val d = Files.createTempDirectory("warc_gz").toString
+    val buf = new ByteArrayOutputStream()
+    records.foreach { r => // one gzip member per record (Common Crawl)
+      val gz = new GZIPOutputStream(buf); gz.write(r); gz.finish(); gz.close()
+    }
+    Files.write(Paths.get(s"$d/a.warc.gz"), buf.toByteArray)
+    d
+  }
+
+  private def readAll(dir: String) =
+    spark.read.format("graft-warc").load(dir)
+
+  test("envelope fields, HTTP stripping, malformed-envelope keep, " +
+      "null url on warcinfo, sloppy date -> null") {
+    val rows = readAll(plainDir).collect()
+      .map(r => r.getAs[String]("record_id") -> r).toMap
+    assert(rows.size === 5)
+    val info = rows("<urn:graft:info>")
+    assert(info.getAs[String]("url") == null &&
+      info.getAs[String]("warc_type") == "warcinfo" &&
+      new String(info.getAs[Array[Byte]]("body"), ISO_8859_1) ==
+        "software: graft\r\n")
+    assert(info.getAs[java.sql.Timestamp]("warc_date").toInstant ==
+      java.time.Instant.parse("2026-02-03T04:05:06Z"))
+    val resp = rows("<urn:graft:resp>")
+    assert(resp.getAs[String]("url") == "https://a.example/x")
+    assert(resp.getAs[Int]("http_status") === 200)
+    assert(new String(resp.getAs[Array[Byte]]("body"), UTF_8) == "héllo wörld")
+    assert(resp.getAs[Long]("content_length") ===
+      httpPayload(200, bodyHello).length.toLong)
+    val req = rows("<urn:graft:req>") // request payload is also http
+    assert(req.getAs[String]("warc_type") == "request")
+    val res = rows("<urn:graft:res>") // non-http: raw payload, no status
+    assert(res.isNullAt(res.fieldIndex("http_status")) &&
+      new String(res.getAs[Array[Byte]]("body"), ISO_8859_1) == "plain")
+    assert(res.isNullAt(res.fieldIndex("warc_date"))) // sloppy date
+    val bad = rows("<urn:graft:bad>") // malformed envelope: keep raw
+    assert(bad.isNullAt(bad.fieldIndex("http_status")) &&
+      new String(bad.getAs[Array[Byte]]("body"), ISO_8859_1)
+        .startsWith("HTTP/1.1 200 OK"))
+  }
+
+  test("record-per-gzip-member archive reads identically to plain") {
+    val a = readAll(plainDir)
+    val b = readAll(gzDir)
+    assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty)
+  }
+
+  test("column pruning reaches the reader; un-required bodies are " +
+      "skipped, not allocated") {
+    val df = readAll(plainDir).select($"url")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty &&
+      scans.head.scan.readSchema().fieldNames.toSeq == Seq("url"))
+    assert(df.collect().length === 5)
+  }
+
+  test("warc_type filter pushes into the reader (responses-only scan)") {
+    val df = readAll(plainDir).filter($"warc_type" === "response")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.head.scan.description()
+      .contains("PushedFilters=[EqualTo(warc_type,response)]"))
+    assert(df.count() === 2) // Spark re-checks residually above the scan
+  }
+
+  test("count(*) pushes as per-file partials; limit stops the reader") {
+    val cnt = readAll(plainDir).count()
+    assert(cnt === 5)
+    val agg = readAll(plainDir).groupBy().count()
+    agg.collect() // materialize AQE stages before walking the plan
+    val scans = collectPlan(agg.queryExecution.executedPlan) {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.head.scan.description()
+      .contains("PushedAggregation=[COUNT(*)]"))
+    val lim = readAll(plainDir).limit(2)
+    val lscans = collectPlan(lim.queryExecution.executedPlan) {
+      case b: BatchScanExec => b
+    }
+    assert(lscans.nonEmpty &&
+      lscans.head.scan.description().contains("PushedLimit=2"))
+    assert(lim.collect().length === 2)
+  }
+
+  test("framing fail-fast: garbage version line, missing Content-Length") {
+    val d1 = Files.createTempDirectory("warc_bad1").toString
+    Files.write(Paths.get(s"$d1/x.warc"),
+      "NOT-A-WARC\r\n\r\n".getBytes(ISO_8859_1))
+    val e1 = intercept[org.apache.spark.SparkException](
+      readAll(d1).collect())
+    assert(String.valueOf(e1.getCause.getMessage).contains("framing"))
+    val d2 = Files.createTempDirectory("warc_bad2").toString
+    Files.write(Paths.get(s"$d2/y.warc"),
+      ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:graft:nolen>\r\n\r\npayload")
+        .getBytes(ISO_8859_1))
+    val e2 = intercept[org.apache.spark.SparkException](
+      readAll(d2).collect())
+    assert(String.valueOf(e2.getCause.getMessage).contains("Content-Length"))
+  }
+
+  test("WarcSink round trip: write (gzip, per-partition files) -> read " +
+      "back bit-exactly; manifest certifies the files") {
+    val out = Files.createTempDirectory("warc_sink").toString + "/arch"
+    val docs = Seq(
+      ("https://x.example/1", "2026-01-01 00:00:00", "<urn:g:1>", 200,
+        "first döc"),
+      ("https://x.example/2", "2026-01-01 00:00:01", "<urn:g:2>", 404,
+        "second"),
+      ("https://x.example/3", "2026-01-01 00:00:02", "<urn:g:3>", 200,
+        "")).toDF("url", "ts", "record_id", "http_status", "text")
+      .select($"url", $"ts".cast("timestamp").as("warc_date"),
+        $"record_id", $"http_status", encode($"text", "UTF-8").as("body"))
+    val manifest = WarcSink.write(docs.repartition(2, $"record_id"),
+      out, gzip = true)
+    assert(manifest.agg(sum($"n_records")).head().getLong(0) === 3L)
+    assert(manifest.select($"file").as[String].collect()
+      .forall(_.endsWith(".warc.gz")))
+    val back = spark.read.format("graft-warc").load(out)
+      .select($"url", $"warc_date", $"record_id", $"http_status",
+        decode($"body", "UTF-8").as("text"), $"warc_type")
+    val expected = docs
+      .select($"url", $"warc_date", $"record_id", $"http_status",
+        decode($"body", "UTF-8").as("text"), lit("response").as("warc_type"))
+    assert(back.exceptAll(expected).isEmpty &&
+      expected.exceptAll(back).isEmpty)
+    // re-write converges (overwrite semantics), no empty segments linger
+    WarcSink.write(docs.repartition(8, $"record_id"), out, gzip = true)
+    assert(spark.read.format("graft-warc").load(out).count() === 3)
+    // fail fast: missing contract column
+    val e = intercept[IllegalArgumentException](
+      WarcSink.write(docs.drop("body"), out))
+    assert(e.getMessage.contains("'body'"))
+  }
+}

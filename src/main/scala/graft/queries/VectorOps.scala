@@ -63,6 +63,65 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
        |  FROM p) WHERE rn <= 5""".stripMargin
 
+  // -- q211: MMR-diversified re-rank (Mmr.rerank) — q30's cosine top-10
+  // candidate pools greedily re-ranked for diversity at λ=0.5 (chosen
+  // because 1−λ is exact in binary, so Spark's lit(0.5)·score −
+  // lit(0.5)·maxsim and the oracle's 0.5*cos − 0.5*maxsim are the SAME
+  // doubles — cosines are already bit-identical per q30, products by a
+  // power of two stay exact, and selection order therefore agrees
+  // bit-for-bit). Oracle: the five greedy steps unrolled as CTE pairs
+  // (the q120/q92 iteration-unroll precedent) — s_i = per-query window
+  // argmax of the objective, r_{i+1} = survivors with the new
+  // selection's cosine folded into a running greatest(). --
+  private val q211: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    val cands = broadcast(q).join(e, $"q_id" =!= $"vec_id")
+      .select($"q_id", $"vec_id",
+        Vectors.cosine($"q_emb", $"embedding").as("cos"), $"embedding")
+      .withColumn("__rn", row_number().over(w))
+      .filter($"__rn" <= 10).drop("__rn")
+    graft.operators.Mmr.rerank(cands, "q_id", "vec_id", "cos", "embedding",
+        k = 5, lambda = 0.5)
+      .select($"q_id", $"vec_id", round($"cos", 6).as("cos"),
+        round($"mmr_score", 6).as("mmr_score"), $"mmr_rank")
+  }
+  private val q211Sql = {
+    def sel(i: Int, from: String) =
+      s"""s$i AS (SELECT q_id, vec_id, cos, emb, mmr FROM (
+         |  SELECT *, 0.5*cos - 0.5*maxsim AS mmr,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY 0.5*cos - 0.5*maxsim DESC, vec_id) AS rn
+         |  FROM $from) WHERE rn = 1)""".stripMargin
+    def rem(i: Int, prevR: String, prevS: String) =
+      s"""r$i AS (SELECT r.q_id, r.vec_id, r.cos, r.emb,
+         |  greatest(r.maxsim, ${dCos("r.emb", "s.emb")}) AS maxsim
+         |  FROM $prevR r JOIN $prevS s
+         |    ON r.q_id = s.q_id AND r.vec_id <> s.vec_id)""".stripMargin
+    val steps = (1 to 5).map { i =>
+      (if (i == 1) "" else rem(i, s"r${i - 1}", s"s${i - 1}") + ",\n") +
+        sel(i, s"r$i")
+    }.mkString(",\n")
+    val out = (1 to 5).map(i =>
+      s"SELECT q_id, vec_id, round(cos, 6) AS cos, " +
+        s"round(mmr, 6) AS mmr_score, $i AS mmr_rank FROM s$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |           FROM embeddings WHERE vec_id < 5),
+       |p AS (SELECT q_id, vec_id, ${dCos("q_emb", "embedding")} AS cos,
+       |        embedding AS emb
+       |      FROM q JOIN embeddings ON q_id <> vec_id),
+       |c AS (SELECT q_id, vec_id, cos, emb FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id) AS rn FROM p) WHERE rn <= 10),
+       |r1 AS (SELECT q_id, vec_id, cos, emb, 0.0 AS maxsim FROM c),
+       |$steps
+       |$out""".stripMargin
+  }
+
   // -- q31: sign-LSH bucket histogram (the ANN pre-partitioner) --
   private val q31: Q = (s, dir) => {
     import s.implicits._
@@ -1722,6 +1781,7 @@ object VectorOps {
 
   val queries: Map[String, Q] = Map(
     "q206_centered_embed_dedup" -> q206,
+    "q211_mmr_rerank" -> q211,
     "q200_vector_card" -> q200,
     "q192_centered_embed_knn" -> q192,
     "q191_centered_text_knn" -> q191,
@@ -1764,6 +1824,7 @@ object VectorOps {
 
   val oracle: Map[String, String] = Map(
     "q206_centered_embed_dedup" -> q206Sql,
+    "q211_mmr_rerank" -> q211Sql,
     "q200_vector_card" -> q200Sql,
     "q192_centered_embed_knn" -> q192Sql,
     "q191_centered_text_knn" -> q191Sql,

@@ -223,7 +223,10 @@ object CoerceOps {
         .as("record_id"),
       lit(200).as("http_status"),
       encode($"text", "UTF-8").as("body"))
-    graft.sinks.WarcSink.write(d.repartition(4, $"record_id")
+    // 32 segments: WARC throughput scales with segment count (gzip is
+    // the cost, one stream per file on both sides), so parallelism is
+    // sized to the bench session; the row SET is segment-count-invariant
+    graft.sinks.WarcSink.write(d.repartition(32, $"record_id")
       .sortWithinPartitions($"record_id"), out, gzip = true)
     s.read.format("graft-warc").load(out)
       .select($"url", $"warc_type", $"warc_date", $"record_id",

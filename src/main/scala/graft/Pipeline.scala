@@ -53,6 +53,12 @@ object Pipeline {
     *    per group under UniMax token allocations.
     *  - `report` (q194) is a pass-through sink publishing the corpus
     *    DATA CARD of the frame at that point in the chain.
+    *  - `readWarc` (first stage, alternative to `read`): curate a
+    *    crawl archive directly — the graft-warc DSv2 scan over `path=`,
+    *    `types=` record types kept (default `response`, pushed into the
+    *    reader so other payloads are skipped), body decoded UTF-8 as
+    *    the text column, record_id as the id, `url` present so the
+    *    URL-curation gates run with their defaults.
     *  - `checks` (q208) is the data-quality GATE: `spec=` a
     *    comma-separated constraint list (complete:col:minFrac,
     *    unique:col:minFrac, between:col:lo:hi, mean:col:lo:hi); the run
@@ -71,6 +77,7 @@ object Pipeline {
     *    exercise/test device, not a crawl semantics claim. */
   private val Allowed: Map[String, Set[String]] = Map(
     "read" -> Set("table", "idCol", "textCol"),
+    "readWarc" -> Set("path", "types", "idCol", "textCol"),
     "clean" -> Set("form", "lowercase"),
     "htmlExtract" -> Set("minWords", "minDensity"),
     "lineFilter" -> Set("minWords", "minLines"),
@@ -130,12 +137,14 @@ object Pipeline {
           s"${allowed.toSeq.sorted.mkString(", ")})")
     }
     require(stages.nonEmpty, "pipeline: empty config")
-    require(stages.head.name == "read",
-      "pipeline: first stage must be 'read'")
-    require(stages.tail.forall(_.name != "read"),
-      "pipeline: 'read' only as the first stage")
+    require(ReadStages.contains(stages.head.name),
+      "pipeline: first stage must be 'read' or 'readWarc'")
+    require(stages.tail.forall(s => !ReadStages.contains(s.name)),
+      "pipeline: 'read'/'readWarc' only as the first stage")
     stages
   }
+
+  private val ReadStages = Set("read", "readWarc")
 
   /** Cross-stage run context: the resolved id/text column names and the
     * one piece of mutable state — tokenize's trained merges, needed by
@@ -153,8 +162,30 @@ object Pipeline {
     val ctx = new Ctx(spark, baseDir,
       head.params.getOrElse("idCol", "doc_id"),
       head.params.getOrElse("textCol", "text"))
-    val source = Tables.load(spark, baseDir,
-      head.params.getOrElse("table", "documents"))
+    val source = head.name match {
+      case "read" => Tables.load(spark, baseDir,
+        head.params.getOrElse("table", "documents"))
+      case "readWarc" =>
+        // curate a crawl archive directly: the graft-warc DSv2 scan,
+        // kept types only (default: responses — the in-reader pushdown
+        // skips the rest's payloads), body decoded as the text column,
+        // record_id as the id, plus url (so blockDomains/domainQuality
+        // work with their urlCol default), warc_date and http_status
+        // for gates
+        val path = head.params.getOrElse("path",
+          throw new IllegalArgumentException(
+            s"pipeline line ${head.line}: readWarc needs path="))
+        val types = head.params.getOrElse("types", "response")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(types.nonEmpty,
+          s"pipeline line ${head.line}: readWarc types= must name " +
+            "at least one record type")
+        spark.read.format("graft-warc").load(path)
+          .filter(col("warc_type").isin(types: _*))
+          .select(col("record_id").as(ctx.idCol),
+            decode(col("body"), "UTF-8").as(ctx.textCol),
+            col("url"), col("warc_date"), col("http_status"))
+    }
     (stages, source, ctx)
   }
 

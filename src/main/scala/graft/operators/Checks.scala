@@ -180,6 +180,42 @@ object Checks {
     df
   }
 
+  /** SCHEMA contract check — the metadata half of the gate (zero data
+    * touched): each `(column, typeName)` expectation passes iff the
+    * frame has that column with exactly that Catalyst `simpleString`
+    * type (`bigint`, `string`, `array<float>`, …). Returns the same
+    * `(check, column, observed, passed)` report shape as [[run]] with
+    * `observed` = the actual type (NULL when the column is absent —
+    * absence fails, same rule as drift's ghost cells). Pair with
+    * [[run]] at an ingest boundary: schema drift (a source re-typing a
+    * column) is the failure mode value checks can't see. Driver-side
+    * only — never triggers a job. */
+  def schema(df: DataFrame,
+             expected: Seq[(String, String)]): Seq[SchemaResult] = {
+    require(expected.nonEmpty, "Checks.schema: no expectations declared")
+    val actual = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    expected.map { case (c, t) =>
+      val obs = actual.get(c)
+      SchemaResult(c, t, obs, obs.contains(t))
+    }
+  }
+
+  /** [[schema]]'s gate form: dies naming every mismatch. Returns `df`
+    * for chaining. */
+  def assertSchema(df: DataFrame,
+                   expected: Seq[(String, String)]): DataFrame = {
+    val failed = schema(df, expected).filterNot(_.passed)
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"schema checks FAILED (${failed.length}/${expected.length}): " +
+          failed.map(f => s"${f.column}: expected ${f.expected}, got " +
+            f.observed.getOrElse("<absent>")).mkString("; "))
+    df
+  }
+
+  final case class SchemaResult(column: String, expected: String,
+                                observed: Option[String], passed: Boolean)
+
   /** Card-DRIFT gate over a [[CorpusReport.diff]] frame — the alarm
     * half of the card family: each `(section, key, maxRel)` tolerance
     * row passes iff the cell moved by at most `maxRel` RELATIVE to its

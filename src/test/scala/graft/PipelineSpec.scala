@@ -505,6 +505,44 @@ class PipelineSpec extends SparkSpec {
       .contains("unknown checks param"))
   }
 
+  test("readWarc first stage: a config curates a crawl archive end to " +
+    "end — responses only, URL gates on the archive's own urls") {
+    val arch = java.nio.file.Files.createTempDirectory("pl_warc").toString +
+      "/segs"
+    val docs = Seq(
+      ("https://good.example/a", "<urn:w:1>", "alpha beta gamma delta"),
+      ("https://good.example/b", "<urn:w:2>", "epsilon zeta eta theta"),
+      ("https://spam.example/x", "<urn:w:3>", "iota kappa lambda mu"),
+      ("https://good.example/c", "<urn:w:4>", "nu xi")
+    ).toDF("url", "record_id", "text")
+      .select($"url", lit("2026-01-01 00:00:00").cast("timestamp")
+        .as("warc_date"), $"record_id", lit(200).as("http_status"),
+        encode($"text", "UTF-8").as("body"))
+    sinks.WarcSink.write(docs.repartition(2), arch, gzip = true)
+    val got = Pipeline.run(spark, sf(),
+      s"readWarc path=$arch\nblockDomains domains=spam.example\nminTokens n=3")
+    // == the hand-written chain over the same archive
+    val hand = operators.UrlOps.dropBlockedDomains(
+      spark.read.format("graft-warc").load(arch)
+        .filter($"warc_type" === "response")
+        .select($"record_id".as("doc_id"), decode($"body", "UTF-8")
+          .as("text"), $"url", $"warc_date", $"http_status"),
+      "url", "doc_id", Seq("spam.example").toDF("domain"))
+      .filter(size(functions.Text.tokens($"text")) >= 3)
+    assert(got.exceptAll(hand).isEmpty && hand.exceptAll(got).isEmpty)
+    assert(got.count() === 2) // spam.example gated, 'nu xi' under 3 tokens
+    assert(got.columns.contains("url") && got.columns.contains("doc_id"))
+    // fail fast: missing path, readWarc not-first, unknown type list
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "readWarc")).getMessage.contains("readWarc needs path="))
+    assert(intercept[IllegalArgumentException](Pipeline.parse(
+      s"read table=documents\nreadWarc path=$arch")).getMessage
+      .contains("only as the first stage"))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      s"readWarc path=$arch types=,")).getMessage
+      .contains("at least one record type"))
+  }
+
   test("write stage materializes files and passes the frame through") {
     val out = java.nio.file.Files.createTempDirectory("pipeline_spec").toString
     val cfg =

@@ -138,6 +138,26 @@ class ChecksSpec extends SparkSpec {
       drift(diff, Seq(("corpus", "n_docs", -0.1))))
   }
 
+  test("schema contract: exact simpleString types, absent column fails " +
+      "with a null observation, assertSchema names every mismatch") {
+    val rep = Checks.schema(df, Seq(
+      ("id", "bigint"), ("name", "string"), ("score", "double"),
+      ("score", "float"), ("ghost", "string")))
+      .map(r => (r.column, r.expected) -> (r.observed, r.passed)).toMap
+    assert(rep(("id", "bigint")) === ((Some("bigint"), true)))
+    assert(rep(("name", "string")) === ((Some("string"), true)))
+    assert(rep(("score", "double")) === ((Some("double"), true)))
+    assert(rep(("score", "float")) === ((Some("double"), false)))
+    assert(rep(("ghost", "string")) === ((None, false)))
+    assert(assertSchema(df, Seq(("id", "bigint"))) eq df)
+    val e = intercept[IllegalStateException](assertSchema(df, Seq(
+      ("id", "bigint"), ("score", "float"), ("ghost", "string"))))
+    assert(e.getMessage.contains("2/3") &&
+      e.getMessage.contains("score: expected float, got double") &&
+      e.getMessage.contains("ghost: expected string, got <absent>"))
+    intercept[IllegalArgumentException](Checks.schema(df, Seq.empty))
+  }
+
   test("tight drift loop against a real card diff: the q209 recipe " +
       "composes CorpusReport.diff with the gate") {
     import spark.implicits._

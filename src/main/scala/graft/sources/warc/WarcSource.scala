@@ -100,12 +100,14 @@ private[warc] class WarcTable(paths: Seq[String]) extends Table with SupportsRea
   override def name(): String = s"graft_warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths)
+    new WarcScanBuilder(paths,
+      Option(options.get("start_after")).getOrElse(""))
 }
 
-private[warc] class WarcScanBuilder(paths: Seq[String])
+private[warc] class WarcScanBuilder(paths: Seq[String], startAfter: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -150,15 +152,20 @@ private[warc] class WarcScanBuilder(paths: Seq[String])
     ok
   }
 
-  override def build(): Scan = new WarcScan(required, paths, pushed, limit, countStar)
+  override def build(): Scan =
+    new WarcScan(required, paths, pushed, limit, countStar, startAfter)
 }
 
 private[warc] class WarcScan(required: StructType, paths: Seq[String],
                              pushed: Array[Filter], val pushedLimit: Option[Int],
-                             val pushedCountStar: Boolean)
+                             val pushedCountStar: Boolean,
+                             startAfter: String = "")
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcTailStream(required, paths, pushed, startAfter)
 
   override def description(): String =
     s"graft-warc PushedFilters=[${pushed.mkString(", ")}]" +

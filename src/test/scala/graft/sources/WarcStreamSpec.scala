@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.sinks.WarcSink
+import org.apache.spark.sql.functions._
+
+/** graft-warc streaming tail: exactly-once per segment file across live
+  * arrivals, idle triggers, start_after resume, the responses-only
+  * pushdown on the streaming path, and offset round-tripping. */
+class WarcStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Writes one single-record response segment file named `name`. */
+  private def segment(dir: String, name: String, id: String,
+                      text: String): Unit = {
+    val one = Seq((s"https://t.example/$id", "2026-01-01 00:00:00",
+      s"<urn:w:$id>", 200, text)).toDF("url", "ts", "record_id",
+      "http_status", "text")
+      .select($"url", $"ts".cast("timestamp").as("warc_date"), $"record_id",
+        $"http_status", encode($"text", "UTF-8").as("body"))
+      .coalesce(1)
+    val tmp = Files.createTempDirectory("warc_seg").toString
+    WarcSink.write(one, tmp, gzip = true)
+    val written = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).head
+    // atomic landing: move into the watched dir under the segment name
+    Files.move(written.toPath, Paths.get(s"$dir/$name"))
+  }
+
+  test("each segment is read in exactly one microbatch; idle triggers " +
+      "add nothing; later arrivals append") {
+    val dir = Files.createTempDirectory("warc_tail").toString
+    segment(dir, "seg-0001.warc.gz", "a", "first")
+    segment(dir, "seg-0002.warc.gz", "b", "second")
+    val df = spark.readStream.format("graft-warc").load(dir)
+      .select($"record_id", decode($"body", "UTF-8").as("text"))
+    val query = df.writeStream.format("memory").queryName("warc_tail").start()
+    try {
+      def got = spark.table("warc_tail").select($"record_id").as[String]
+        .collect().toSeq.sorted
+      query.processAllAvailable()
+      assert(got === Seq("<urn:w:a>", "<urn:w:b>"), s"backfill, got $got")
+      query.processAllAvailable() // idle: watermark unchanged
+      assert(got === Seq("<urn:w:a>", "<urn:w:b>"))
+      segment(dir, "seg-0003.warc.gz", "c", "third")
+      query.processAllAvailable()
+      assert(got === Seq("<urn:w:a>", "<urn:w:b>", "<urn:w:c>"),
+        s"live arrival exactly once, got $got")
+      assert(spark.table("warc_tail").where($"record_id" === "<urn:w:c>")
+        .select($"text").as[String].head() === "third")
+    } finally query.stop()
+  }
+
+  test("start_after skips history; warc_type filter rides the " +
+      "streaming readers") {
+    val dir = Files.createTempDirectory("warc_tail2").toString
+    segment(dir, "seg-0001.warc.gz", "old", "ancient")
+    segment(dir, "seg-0002.warc.gz", "new", "fresh")
+    val df = spark.readStream.format("graft-warc")
+      .option("start_after", "seg-0001.warc.gz").load(dir)
+      .filter($"warc_type" === "response") // pushes into the readers
+      .select($"record_id")
+    val query = df.writeStream.format("memory").queryName("warc_from").start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("warc_from").as[String].collect().toSeq
+      assert(got === Seq("<urn:w:new>"))
+    } finally query.stop()
+  }
+
+  test("offsets round-trip through their JSON form, empty included") {
+    import graft.sources.warc.WarcTailOffset
+    for (n <- Seq("", "seg-0042.warc.gz", "odd\"name\\x"))
+      assert(WarcTailOffset.parse(WarcTailOffset(n).json()) === n)
+    intercept[IllegalArgumentException](WarcTailOffset.parse("notjson"))
+  }
+}

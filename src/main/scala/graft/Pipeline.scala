@@ -58,7 +58,11 @@ object Pipeline {
     *    `types=` record types kept (default `response`, pushed into the
     *    reader so other payloads are skipped), body decoded UTF-8 as
     *    the text column, record_id as the id, `url` present so the
-    *    URL-curation gates run with their defaults.
+    *    URL-curation gates run with their defaults. `writeWarc` is the
+    *    matching pass-through sink: the surviving frame re-serialized
+    *    as response segments — an archive-to-archive curation pass from
+    *    one config. Strict provenance: url/date columns required, no
+    *    fabricated fetch dates.
     *  - `checks` (q208) is the data-quality GATE: `spec=` a
     *    comma-separated constraint list (complete:col:minFrac,
     *    unique:col:minFrac, between:col:lo:hi, mean:col:lo:hi); the run
@@ -106,6 +110,7 @@ object Pipeline {
     "shards" -> Set("path", "budget", "chunkTokens", "overlap"),
     "report" -> Set("path", "langCol", "sourceCol"),
     "checks" -> Set("spec"),
+    "writeWarc" -> Set("path", "urlCol", "dateCol", "gzip"),
     "write" -> Set("path", "table", "format", "compression"))
 
   def parse(config: String): Seq[Stage] = {
@@ -540,6 +545,34 @@ object Pipeline {
               }
             }
           operators.Checks.assertAll(df, parsed)
+        case "writeWarc" =>
+          // archive-to-archive curation: re-serialize the surviving
+          // frame as WARC response segments (WarcSink). Pass-through
+          // sink like `write`. Strict provenance: the url and date
+          // columns must exist (readWarc provides both) — stamping
+          // fabricated fetch dates would forge provenance, so there is
+          // no default.
+          val path = s.params.getOrElse("path",
+            throw new IllegalArgumentException(
+              s"pipeline line ${s.line}: writeWarc needs path="))
+          val urlCol = s.params.getOrElse("urlCol", "url")
+          val dateCol = s.params.getOrElse("dateCol", "warc_date")
+          Seq(urlCol, dateCol).foreach(c => require(df.columns.contains(c),
+            s"pipeline line ${s.line}: writeWarc column '$c' not in the " +
+              s"frame (has: ${df.columns.sorted.mkString(", ")}) — " +
+              "readWarc/deriveUrl provide url; point urlCol=/dateCol= " +
+              "at the crawl's own columns"))
+          val status =
+            if (df.columns.contains("http_status")) col("http_status")
+            else lit(200)
+          sinks.WarcSink.write(
+            df.select(col(urlCol).as("url"),
+              col(dateCol).cast("timestamp").as("warc_date"),
+              col(idCol).cast("string").as("record_id"),
+              status.as("http_status"),
+              encode(col(textCol), "UTF-8").as("body")),
+            path, gzip = s.params.get("gzip").forall(_.toBoolean))
+          df
         case "write" =>
           val path = s.params.getOrElse("path",
             throw new IllegalArgumentException(

@@ -121,13 +121,19 @@ private[warc] class WarcScanBuilder(paths: Seq[String], startAfter: String)
 
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
-  /** In-reader `warc_type` retention — the "responses only" scan: a
-    * non-matching record's payload is SKIPPED, not parsed. Conservative
-    * contract (the jsonl stance): all filters also return residual. */
+  /** In-reader retention on the three header-only columns — a
+    * non-matching record's payload is SKIPPED, not parsed:
+    * `warc_type = 'response'` is the classic responses-only scan;
+    * `url`/`record_id` equality and IN-lists are the REHYDRATION
+    * workload ("fetch these N documents out of the archive" — a curated
+    * id list re-reading its bodies pays header parsing plus the matched
+    * payloads only). Conservative contract (the jsonl stance): all
+    * filters also return residual. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val cols = Set("warc_type", "url", "record_id")
     pushed = filters.filter {
-      case EqualTo("warc_type", _: String) => true
-      case In("warc_type", vs) => vs.forall(_.isInstanceOf[String])
+      case EqualTo(c, _: String) => cols(c)
+      case In(c, vs) => cols(c) && vs.forall(_.isInstanceOf[String])
       case _ => false
     }
     filters
@@ -349,14 +355,17 @@ private[warc] class WarcPartitionReader(required: StructType, file: String,
   private var current: InternalRow = _
   private var emitted = 0L
 
-  // the in-reader warc_type retention set (None = keep all)
-  private val keepTypes: Option[Set[String]] = {
+  // the in-reader retention sets per header column (None = keep all)
+  private def keepSet(column: String): Option[Set[String]] = {
     val sets = pushed.collect {
-      case EqualTo("warc_type", v: String) => Set(v)
-      case In("warc_type", vs) => vs.collect { case s: String => s }.toSet
+      case EqualTo(`column`, v: String) => Set(v)
+      case In(`column`, vs) => vs.collect { case s: String => s }.toSet
     }
     if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
+  private val keepTypes = keepSet("warc_type")
+  private val keepUrls = keepSet("url")
+  private val keepIds = keepSet("record_id")
   // payload work is skipped entirely unless a payload-derived column is
   // required — `select(url)` over an archive reads headers only
   private val needsPayload =
@@ -368,7 +377,14 @@ private[warc] class WarcPartitionReader(required: StructType, file: String,
     val h = WarcParser.nextHeader(in, file)
     if (h == null) return false
     val wtype = h.headers.get("warc-type").orNull
-    if (keepTypes.exists(k => wtype == null || !k.contains(wtype))) {
+    def dropped(keep: Option[Set[String]], header: String): Boolean =
+      keep.exists { k =>
+        val v = h.headers.get(header).orNull
+        v == null || !k.contains(v)
+      }
+    if (dropped(keepTypes, "warc-type") ||
+        dropped(keepUrls, "warc-target-uri") ||
+        dropped(keepIds, "warc-record-id")) {
       in.skipNBytes(h.contentLength) // filtered: payload never read
       next()
     } else {

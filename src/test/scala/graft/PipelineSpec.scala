@@ -541,6 +541,21 @@ class PipelineSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
       s"readWarc path=$arch types=,")).getMessage
       .contains("at least one record type"))
+    // archive-to-archive: writeWarc re-serializes the surviving frame,
+    // and reading the CURATED archive back equals the pipeline output
+    val out = java.nio.file.Files.createTempDirectory("pl_warc_out")
+      .toString + "/curated"
+    val got2 = Pipeline.run(spark, sf(),
+      s"readWarc path=$arch\nblockDomains domains=spam.example\n" +
+        s"minTokens n=3\nwriteWarc path=$out")
+    val back = spark.read.format("graft-warc").load(out)
+      .select($"record_id".as("doc_id"), decode($"body", "UTF-8")
+        .as("text"), $"url", $"warc_date", $"http_status")
+    assert(back.exceptAll(got2).isEmpty && got2.exceptAll(back).isEmpty)
+    // strict provenance: a frame without url/date columns fails fast
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      s"read table=documents\nwriteWarc path=$out")).getMessage
+      .contains("writeWarc column 'url' not in the frame"))
   }
 
   test("write stage materializes files and passes the frame through") {

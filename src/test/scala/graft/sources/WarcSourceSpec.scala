@@ -139,6 +139,26 @@ class WarcSourceSpec extends SparkSpec {
     assert(df.count() === 2) // Spark re-checks residually above the scan
   }
 
+  test("rehydration pushdown: a record_id/url IN-list skips every " +
+      "other record's payload in-reader") {
+    val wanted = Seq("<urn:graft:resp>", "<urn:graft:res>")
+    val df = readAll(plainDir).filter($"record_id".isin(wanted: _*))
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty &&
+      scans.head.scan.description().contains("In(record_id,"))
+    assert(df.collect().map(_.getAs[String]("record_id")).sorted.toSeq ===
+      wanted.sorted)
+    val byUrl = readAll(plainDir).filter($"url" === "https://a.example/x")
+    val uscans = byUrl.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(uscans.nonEmpty && uscans.head.scan.description()
+      .contains("EqualTo(url,https://a.example/x)"))
+    assert(byUrl.count() === 2) // the request and the response record
+  }
+
   test("count(*) pushes as per-file partials; limit stops the reader") {
     val cnt = readAll(plainDir).count()
     assert(cnt === 5)

@@ -48,6 +48,75 @@ object Chunk {
       .drop("__chunks", "__c")
   }
 
+  /** Sentence-boundary chunking — the RAG splitter that respects
+    * meaning units where [[split]] cuts mid-sentence: text splits into
+    * SENTENCES (a terminator `[.!?]` followed by whitespace — kept
+    * inside the RE2-compatible subset both engines share, so the oracle
+    * replays the split), overlong sentences FORCE-SPLIT into runs of at
+    * most `maxSentenceTokens` tokens (real corpora contain
+    * thousand-token "sentences"; an unsplit one would blow every budget
+    * downstream), and consecutive pieces pack GREEDILY into chunks — a
+    * piece starts a new chunk exactly when adding it would push the
+    * running token count past `maxTokens`, so no chunk exceeds the
+    * budget and sentences never split EXCEPT by the force rule. Chunk
+    * text re-joins tokens with single spaces (the fingerprint
+    * normalization stance: original intra-sentence whitespace is not
+    * preserved).
+    *
+    * Scale shape: entirely per-row — sentence split, force-split, and
+    * the greedy fold are one expression chain over arrays
+    * (`functions.aggregate` carries (chunks, run) across the pieces),
+    * then the same in-partition `explode_outer` as [[split]]; nothing
+    * shuffles. The greedy recurrence is sequential BY NATURE (each
+    * boundary depends on the run since the previous one), which is why
+    * it lives inside the per-document fold: documents parallelize, the
+    * fold is bounded by document length.
+    *
+    * Emits (original columns, chunk_idx, chunk_tokens, chunk_text);
+    * token-less documents produce no chunks. */
+  def bySentence(df: DataFrame, textCol: String, maxTokens: Int = 128,
+                 maxSentenceTokens: Int = 64): DataFrame = {
+    require(maxTokens > 0 && maxSentenceTokens > 0 &&
+      maxSentenceTokens <= maxTokens,
+      s"need 0 < maxSentenceTokens <= maxTokens, got " +
+        s"$maxSentenceTokens/$maxTokens")
+    val sep = "\u001F" // unit separator: never in real text, RE2-safe
+    val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1" + sep)
+    val sents = filter(
+      transform(org.apache.spark.sql.functions.split(marked, sep),
+        s => Text.tokens(s)),
+      a => size(a) > 0)
+    val f = maxSentenceTokens
+    val pieces = flatten(transform(sents, a =>
+      transform(sequence(lit(0), ((size(a) - 1) / f).cast("int")),
+        i => slice(a, i * f + 1, lit(f)))))
+    val packed = aggregate(
+      pieces,
+      struct(array().cast("array<array<string>>").as("chunks"),
+        lit(0).as("run")),
+      (st, x) => {
+        val cur = st.getField("chunks")
+        val run = st.getField("run")
+        val startNew = (size(cur) === 0) || (run + size(x) > maxTokens)
+        struct(
+          when(startNew, concat(cur, array(x)))
+            .otherwise(concat(slice(cur, lit(1), size(cur) - 1),
+              array(concat(element_at(cur, -1), x)))).as("chunks"),
+          when(startNew, size(x)).otherwise(run + size(x)).as("run"))
+      },
+      st => st.getField("chunks"))
+    // explode_outer + null filter, NOT plain explode — the
+    // InferFiltersFromGenerate hazard documented on [[split]]
+    df.withColumn("__sc", packed)
+      .select(col("*"),
+        posexplode_outer(col("__sc")).as(Seq("__ci", "__toks")))
+      .filter(col("__toks").isNotNull)
+      .withColumn("chunk_idx", col("__ci").cast("long"))
+      .withColumn("chunk_tokens", size(col("__toks")).cast("long"))
+      .withColumn("chunk_text", array_join(col("__toks"), " "))
+      .drop("__sc", "__ci", "__toks")
+  }
+
   /** [[split]] re-pointed at MODEL tokens: chunks an `array<int>`
     * token-id column (the [[Tokenizer.encode]] output) with the same
     * start/step/overlap algebra, so context windows count what the

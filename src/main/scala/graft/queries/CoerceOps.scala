@@ -250,6 +250,42 @@ object CoerceOps {
       |  200 AS http_status, text, CAST(n AS BIGINT) AS n_body_bytes
       |FROM d""".stripMargin
 
+  // -- q212: WARC rehydration — the "re-read N curated documents out of
+  // the archive" workload: a curated id list (every 8th document up to
+  // 96 — present at every SF) filters the archive scan, the IN-list
+  // pushes into the reader (only matched payloads are allocated; the
+  // q210-family archive is rebuilt here so the query stands alone), and
+  // the oracle re-derives the same 13 documents from the parquet table.
+  // Spark re-checks the filter residually above the scan, so the hash
+  // match pins both the pushdown's and the residual's semantics. --
+  private val q212: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_warc_rehydrate_$sfx"
+    val d = Tables.load(s, dir, "documents").select(
+      concat(lit("https://"), lower($"source"), lit("."), $"lang",
+        lit(".example.org/p/"), $"doc_id".cast("string")).as("url"),
+      lit("2026-01-01 00:00:00").cast("timestamp").as("warc_date"),
+      concat(lit("<urn:graft:"), $"doc_id".cast("string"), lit(">"))
+        .as("record_id"),
+      lit(200).as("http_status"),
+      encode($"text", "UTF-8").as("body"))
+    graft.sinks.WarcSink.write(d.repartition(8, $"record_id")
+      .sortWithinPartitions($"record_id"), out, gzip = true)
+    val wanted = (0 to 96 by 8).map(i => s"<urn:graft:$i>")
+    s.read.format("graft-warc").load(out)
+      .filter($"record_id".isin(wanted: _*))
+      .select($"url", $"record_id", decode($"body", "UTF-8").as("text"))
+  }
+  private val q212Sql =
+    """SELECT
+      |  'https://' || lower(source) || '.' || lang || '.example.org/p/' ||
+      |    CAST(doc_id AS VARCHAR) AS url,
+      |  '<urn:graft:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+      |  text
+      |FROM documents
+      |WHERE doc_id % 8 = 0 AND doc_id <= 96""".stripMargin
+
   // -- q49: geo_point operations (haversine + bounding box) --
   // Coordinates are derived deterministically from customer columns (no
   // geo fixture exists); the point is the operator surface over the
@@ -663,6 +699,7 @@ object CoerceOps {
     "q47_from_json_schema" -> q47,
     "q48_dsv2_jsonl_scan" -> q48,
     "q210_warc_roundtrip" -> q210,
+    "q212_warc_rehydrate" -> q212,
     "q49_geo_distance" -> q49,
     "q54_csv_roundtrip" -> q54,
     "q55_ndjson_roundtrip" -> q55,
@@ -685,6 +722,7 @@ object CoerceOps {
     "q47_from_json_schema" -> q47Sql,
     "q48_dsv2_jsonl_scan" -> q48Sql,
     "q210_warc_roundtrip" -> q210Sql,
+    "q212_warc_rehydrate" -> q212Sql,
     "q49_geo_distance" -> q49Sql,
     "q54_csv_roundtrip" -> q54Sql,
     "q55_ndjson_roundtrip" -> q55Sql,

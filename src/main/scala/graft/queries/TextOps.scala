@@ -3071,6 +3071,63 @@ object TextOps {
        |FROM tol t LEFT OUTER JOIN diff f
        |  ON t.section = f.section AND t.key = f.key""".stripMargin
 
+  // -- q213: sentence-boundary RAG chunking (Chunk.bySentence) — the
+  // meaning-unit splitter: sentences (terminator+whitespace, RE2-shared
+  // regex), overlong sentences force-split at 16 tokens, pieces packed
+  // greedily into ≤48-token chunks. The fixture text carries no
+  // punctuation, so the query first injects deterministic sentence
+  // boundaries (a period after every 'the' — same regexp_replace both
+  // engines); the greedy recurrence is SEQUENTIAL by nature, so the
+  // oracle replays it as a recursive CTE over per-doc piece indexes
+  // (depth = max pieces per doc — the q206 recursion precedent) while
+  // Spark runs it as a per-row aggregate() fold. Chunk text re-joins
+  // tokens with single spaces on both sides. --
+  private val q213: Q = (s, dir) => {
+    val punctuated = docs(s, dir)
+      .withColumn("text", regexp_replace(col("text"), "\\bthe\\b", "the."))
+      .select(col("doc_id"), col("text"))
+    graft.operators.Chunk.bySentence(punctuated, "text",
+        maxTokens = 48, maxSentenceTokens = 16)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+        col("chunk_tokens"))
+  }
+  private val q213Sql = {
+    def dTokOf(e: String) =
+      s"list_filter(string_split_regex($e, '\\s+'), t -> len(t) > 0)"
+    s"""WITH RECURSIVE
+       |d AS (SELECT doc_id,
+       |  regexp_replace(text, '\\bthe\\b', 'the.', 'g') AS t2
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |  regexp_replace(t2, '([.!?])\\s+', '\\1' || chr(31), 'g') AS mk
+       |  FROM d),
+       |s AS (SELECT doc_id, list_filter(
+       |  list_transform(string_split(mk, chr(31)), x -> ${dTokOf("x")}),
+       |  a -> len(a) > 0) AS sents FROM m),
+       |p0 AS (SELECT doc_id, flatten(list_transform(sents,
+       |  a -> list_transform(range(0, ((len(a)-1)//16)+1),
+       |    i -> list_slice(a, CAST(i*16+1 AS INT), CAST(i*16+16 AS INT)))))
+       |  AS pieces FROM s),
+       |px AS (SELECT doc_id, unnest(list_transform(range(1, len(pieces)+1),
+       |  i -> {'pidx': i, 'toks': pieces[CAST(i AS INT)]})) AS u FROM p0),
+       |p AS (SELECT doc_id, u.pidx AS pidx, u.toks AS toks,
+       |  len(u.toks) AS plen FROM px),
+       |rec AS (
+       |  SELECT doc_id, pidx, toks, plen, 0 AS chunk, plen AS run
+       |  FROM p WHERE pidx = 1
+       |  UNION ALL
+       |  SELECT p.doc_id, p.pidx, p.toks, p.plen,
+       |    CASE WHEN r.run + p.plen > 48 THEN r.chunk + 1 ELSE r.chunk END,
+       |    CASE WHEN r.run + p.plen > 48 THEN p.plen
+       |         ELSE r.run + p.plen END
+       |  FROM rec r JOIN p ON p.doc_id = r.doc_id AND p.pidx = r.pidx + 1)
+       |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_idx,
+       |  string_agg(array_to_string(toks, ' '), ' ' ORDER BY pidx)
+       |    AS chunk_text,
+       |  CAST(sum(plen) AS BIGINT) AS chunk_tokens
+       |FROM rec GROUP BY doc_id, chunk""".stripMargin
+  }
+
   // -- q196: token-budget selection (Mix.selectByTokenBudget) — the
   // "assemble the B-token training set from a scored corpus" step:
   // documents ranked by type-token ratio (deterministic ties by id),
@@ -3330,6 +3387,7 @@ object TextOps {
        |WHERE host IN (SELECT host FROM h)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q213_sentence_chunks" -> q213,
     "q209_card_drift" -> q209,
     "q208_quality_checks" -> q208,
     "q207_card_store" -> q207,
@@ -3417,6 +3475,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q213_sentence_chunks" -> q213Sql,
     "q209_card_drift" -> q209Sql,
     "q208_quality_checks" -> q208Sql,
     "q205_blocked_frontier" -> q205Sql,

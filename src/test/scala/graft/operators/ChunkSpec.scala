@@ -97,4 +97,80 @@ class ChunkSpec extends SparkSpec {
     assert(packed.filter($"n_ids" =!= 256).count() <= 1,
       "only the corpus tail may run short")
   }
+
+  test("bySentence: greedy packing at sentence boundaries, hand-computed") {
+    import spark.implicits._
+    // sentence token counts 3, 2, 4, 2 at budget 5: 3+2 fits (5), the
+    // 4 opens a new chunk, 4+2 = 6 > 5 so the 2 opens a third
+    val d = Seq((1L,
+      "One two three. Four five! Six seven eight nine? Ten eleven."))
+      .toDF("doc_id", "text")
+    val got = Chunk.bySentence(d, "text", maxTokens = 5,
+      maxSentenceTokens = 5)
+      .orderBy($"chunk_idx")
+      .select($"chunk_idx", $"chunk_tokens", $"chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      (0L, 5L, "One two three. Four five!"),
+      (1L, 4L, "Six seven eight nine?"),
+      (2L, 2L, "Ten eleven.")))
+  }
+
+  test("bySentence: overlong sentences force-split into " +
+      "maxSentenceTokens runs; no chunk ever exceeds the budget") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f g")).toDF("doc_id", "text") // one 7-token sentence
+    val got = Chunk.bySentence(d, "text", maxTokens = 3,
+      maxSentenceTokens = 3)
+      .orderBy($"chunk_idx").select($"chunk_text").as[String].collect()
+    assert(got.toSeq === Seq("a b c", "d e f", "g"))
+    // budget property over real docs with injected punctuation
+    val docs = graft.Tables.load(spark, sf(), "documents")
+      .withColumn("text", regexp_replace($"text", "\\bthe\\b", "the."))
+    val chunks = Chunk.bySentence(docs, "text", maxTokens = 48,
+      maxSentenceTokens = 16)
+    assert(chunks.filter($"chunk_tokens" > 48).count() === 0)
+    // mass conservation: every token lands in exactly one chunk
+    val total = docs
+      .select(sum(size(graft.functions.Text.tokens($"text")))).head().getLong(0)
+    assert(chunks.agg(sum($"chunk_tokens")).head().getLong(0) === total)
+  }
+
+  test("bySentence: differential vs an independent Scala re-implementation " +
+      "over punctuated fixture docs") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf(), "documents")
+      .withColumn("text", regexp_replace($"text", "\\bthe\\b", "the."))
+      .limit(50)
+    val got = Chunk.bySentence(docs, "text", maxTokens = 48,
+      maxSentenceTokens = 16)
+      .select($"doc_id", $"chunk_idx", $"chunk_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val expected = docs.select($"doc_id", $"text").collect().flatMap { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val sents = text.replaceAll("([.!?])\\s+", "$1\u001f").split('\u001f')
+        .map(_.split("\\s+").filter(_.nonEmpty)).filter(_.nonEmpty)
+      val pieces = sents.flatMap(_.grouped(16))
+      val chunks = pieces.foldLeft(List.empty[Array[String]]) { (acc, p) =>
+        acc match {
+          case h :: t if h.length + p.length <= 48 => (h ++ p) :: t
+          case _ => p :: acc
+        }
+      }.reverse
+      chunks.zipWithIndex.map { case (c, i) =>
+        (id, i.toLong) -> c.mkString(" ") }
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("bySentence: token-less and null docs produce no chunks; " +
+      "fail-fast on bad budgets") {
+    import spark.implicits._
+    val d = Seq((1L, Some("   ")), (2L, Option.empty[String]),
+      (3L, Some("ok fine."))).toDF("doc_id", "text")
+    val got = Chunk.bySentence(d, "text", 8, 8)
+    assert(got.select($"doc_id").as[Long].collect().toSeq === Seq(3L))
+    intercept[IllegalArgumentException](Chunk.bySentence(d, "text", 0, 1))
+    intercept[IllegalArgumentException](Chunk.bySentence(d, "text", 8, 9))
+  }
 }

@@ -73,8 +73,10 @@ class WarcSource extends TableProvider with DataSourceRegister {
     (single ++ multi).distinct
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    WarcSource.parseMaxFiles(options) // malformed options die at load time
     WarcSource.Schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -83,6 +85,17 @@ class WarcSource extends TableProvider with DataSourceRegister {
 
 object WarcSource {
   private[warc] val log = org.slf4j.LoggerFactory.getLogger(classOf[WarcSource])
+
+  private[warc] def parseMaxFiles(
+      options: CaseInsensitiveStringMap): Option[Int] =
+    Option(options.get("max_files_per_trigger")).map { v =>
+      val n = try v.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft-warc: max_files_per_trigger must be an int, got '$v'") }
+      require(n >= 1,
+        s"graft-warc: max_files_per_trigger must be >= 1, got $n")
+      n
+    }
 
   /** The fixed envelope schema (WARC is a container format). */
   val Schema: StructType = StructType(Seq(
@@ -104,10 +117,12 @@ private[warc] class WarcTable(paths: Seq[String]) extends Table with SupportsRea
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths,
-      Option(options.get("start_after")).getOrElse(""))
+      Option(options.get("start_after")).getOrElse(""),
+      WarcSource.parseMaxFiles(options))
 }
 
-private[warc] class WarcScanBuilder(paths: Seq[String], startAfter: String)
+private[warc] class WarcScanBuilder(paths: Seq[String], startAfter: String,
+                                    maxFilesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -159,19 +174,22 @@ private[warc] class WarcScanBuilder(paths: Seq[String], startAfter: String)
   }
 
   override def build(): Scan =
-    new WarcScan(required, paths, pushed, limit, countStar, startAfter)
+    new WarcScan(required, paths, pushed, limit, countStar, startAfter,
+      maxFilesPerTrigger)
 }
 
 private[warc] class WarcScan(required: StructType, paths: Seq[String],
                              pushed: Array[Filter], val pushedLimit: Option[Int],
                              val pushedCountStar: Boolean,
-                             startAfter: String = "")
+                             startAfter: String = "",
+                             maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new WarcTailStream(required, paths, pushed, startAfter)
+    new WarcTailStream(required, paths, pushed, startAfter,
+      maxFilesPerTrigger)
 
   override def description(): String =
     s"graft-warc PushedFilters=[${pushed.mkString(", ")}]" +

@@ -2,7 +2,7 @@ package graft.sources.warc
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
@@ -31,6 +31,11 @@ import graft.sources.jsonl.{JsonlSource, SerializableHadoopConf}
   *
   * `option("start_after", name)` skips everything ≤ `name` (resume
   * into a directory with history already processed elsewhere).
+  * `option("max_files_per_trigger", n)` is ADMISSION CONTROL
+  * ([[SupportsAdmissionControl]]): a stream started against a 10k-file
+  * backlog takes n segments per microbatch instead of the whole history
+  * in one giant batch — progress checkpoints every n files, and a
+  * restart mid-backfill loses at most one batch of work.
   *
   * Usage:
   * {{{
@@ -40,8 +45,9 @@ import graft.sources.jsonl.{JsonlSource, SerializableHadoopConf}
   */
 private[warc] class WarcTailStream(required: StructType, paths: Seq[String],
                                    pushed: Array[Filter],
-                                   startAfter: String)
-    extends MicroBatchStream {
+                                   startAfter: String,
+                                   maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   // driver-side conf, shipped to executors per partition (batch-path
   // discipline); cached listing conf for the per-trigger probe
@@ -57,12 +63,32 @@ private[warc] class WarcTailStream(required: StructType, paths: Seq[String],
 
   override def initialOffset(): Offset = WarcTailOffset(startAfter)
 
+  /** Non-admission path (the engine only calls this when
+    * [[SupportsAdmissionControl]] is absent): everything available. */
   override def latestOffset(): Offset = {
     val names = listNames()
     WarcTailOffset(
       if (names.isEmpty) startAfter
       else Seq(startAfter, names.last._1).max)
   }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  /** Admission-controlled advance: the watermark moves past at most
+    * `maxFiles` new segments per trigger, so a deep backlog drains in
+    * checkpointed steps instead of one giant first batch. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[WarcTailOffset].name
+    val fresh = listNames().map(_._1).filter(_ > s)
+    val taken = limit match {
+      case m: ReadMaxFiles => fresh.take(m.maxFiles())
+      case _ => fresh
+    }
+    WarcTailOffset(if (taken.isEmpty) s else taken.last)
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset =
     WarcTailOffset(WarcTailOffset.parse(json))

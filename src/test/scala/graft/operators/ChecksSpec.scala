@@ -138,6 +138,30 @@ class ChecksSpec extends SparkSpec {
       drift(diff, Seq(("corpus", "n_docs", -0.1))))
   }
 
+  test("one-pass plan pin: every non-unique check folds into a single " +
+      "scan of the source (the object-doc claim, held by the plan)") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val rep = Checks.run(docs, Seq(
+      Complete("text", 1.0), Complete("lang", 0.9),
+      ValuesBetween("n_chars", 1, 100000), MeanBetween("n_chars", 1, 1000),
+      MatchesRegex("lang", "[a-z]{2}", 0.9)))
+    rep.collect()
+    val scans = collectPlan(rep.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.length === 1,
+      s"five checks must share ONE scan, got ${scans.length}")
+    // and the scan is pruned to the checked columns only
+    val read = scans.head match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.requiredSchema.fieldNames.toSet
+      case other => other.schema.fieldNames.toSet
+    }
+    assert(read === Set("text", "lang", "n_chars"),
+      s"scan must prune to checked columns, read $read")
+  }
+
   test("schema contract: exact simpleString types, absent column fails " +
       "with a null observation, assertSchema names every mismatch") {
     val rep = Checks.schema(df, Seq(

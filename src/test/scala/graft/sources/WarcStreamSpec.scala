@@ -70,6 +70,29 @@ class WarcStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("max_files_per_trigger drains a backlog in checkpointed steps, " +
+      "never a giant first batch") {
+    val dir = Files.createTempDirectory("warc_tail3").toString
+    for (i <- 1 to 5)
+      segment(dir, f"seg-$i%04d.warc.gz", s"d$i", s"doc number $i")
+    val df = spark.readStream.format("graft-warc")
+      .option("max_files_per_trigger", "2").load(dir)
+      .select($"record_id")
+    val query = df.writeStream.format("memory").queryName("warc_adm").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("warc_adm").count() === 5)
+      // 5 segments at 2/trigger = 3 microbatches, each its own commit
+      val batches = query.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length === 3, batches.map(_.numInputRows).toSeq)
+      assert(batches.map(_.numInputRows).toSeq === Seq(2, 2, 1))
+    } finally query.stop()
+    // fail fast on a bad limit
+    intercept[IllegalArgumentException](
+      spark.readStream.format("graft-warc")
+        .option("max_files_per_trigger", "zero").load(dir).schema)
+  }
+
   test("offsets round-trip through their JSON form, empty included") {
     import graft.sources.warc.WarcTailOffset
     for (n <- Seq("", "seg-0042.warc.gz", "odd\"name\\x"))

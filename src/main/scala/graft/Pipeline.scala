@@ -108,7 +108,7 @@ object Pipeline {
     "decontamIds" -> Set("table", "textCol", "n", "threshold"),
     "split" -> Set("trainPct", "valPct"),
     "shards" -> Set("path", "budget", "chunkTokens", "overlap"),
-    "report" -> Set("path", "langCol", "sourceCol"),
+    "report" -> Set("path", "langCol", "sourceCol", "urlCol", "domainTopK"),
     "checks" -> Set("spec"),
     "writeWarc" -> Set("path", "urlCol", "dateCol", "gzip"),
     "write" -> Set("path", "table", "format", "compression"))
@@ -505,7 +505,9 @@ object Pipeline {
             c
           }
           operators.CorpusReport.build(df, textCol, idCol,
-              langCol = dimOpt("langCol"), sourceCol = dimOpt("sourceCol"))
+              langCol = dimOpt("langCol"), sourceCol = dimOpt("sourceCol"),
+              urlCol = dimOpt("urlCol"),
+              domainTopK = int(s, "domainTopK", 100))
             .coalesce(1).write.mode("overwrite").parquet(path)
           df
         case "checks" =>

@@ -32,12 +32,27 @@ object CorpusReport {
   /** Null/whitespace-only texts count as 0-token documents (they are
     * still documents — `n_empty` reports them). `exact_dup_docs` =
     * non-null texts minus distinct texts: the mass an exact-dedup pass
-    * would remove. */
+    * would remove.
+    *
+    * `urlCol` adds a `domain` section — the crawl-ops dimension ("which
+    * ORIGINS did the gate hit"): per-domain doc counts for the TOP
+    * `domainTopK` domains (by count desc, domain asc — deterministic at
+    * the boundary), one `__other` row rolling up the rest (always
+    * present, 0 when nothing rolls up — diff rows stay aligned), and
+    * `__n_domains` = the exact distinct domain count. Unlike lang/
+    * source, domain cardinality GROWS with a crawl, so the section is
+    * capped to stay report-sized; the cut is a sort-limit
+    * (TakeOrderedAndProject), never a global window, and the
+    * |domains|-sized group frame is checkpointed once so the corpus is
+    * not re-grouped per cell family. */
   def build(docs: DataFrame, textCol: String, idCol: String,
             langCol: Option[String] = None,
             sourceCol: Option[String] = None,
+            urlCol: Option[String] = None,
             quantiles: Seq[(String, Double)] =
-              Seq("p50" -> 0.5, "p90" -> 0.9)): DataFrame = {
+              Seq("p50" -> 0.5, "p90" -> 0.9),
+            domainTopK: Int = 100): DataFrame = {
+    require(domainTopK >= 1, s"domainTopK must be >= 1, got $domainTopK")
     val spark = docs.sparkSession
     val nTok = when(col(textCol).isNotNull,
       size(Text.tokens(col(textCol)))).otherwise(lit(0))
@@ -76,8 +91,26 @@ object CorpusReport {
           .select(lit(section).as("section"), col("key"),
             col("n").cast("double").as("value"))
     }
+    val domainRows: Seq[DataFrame] = urlCol.toSeq.map { name =>
+      val dom = docs
+        .groupBy(coalesce(UrlOps.domainOf(col(name)), lit("null")).as("key"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // |domains|-sized; reused by cut/rollup/count
+      val top = dom.orderBy(col("n").desc, col("key").asc).limit(domainTopK)
+      val topRows = top.select(lit("domain").as("section"), col("key"),
+        col("n").cast("double").as("value"))
+      val totals = dom.agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"))
+      val topSum = top.agg(coalesce(sum(col("n")), lit(0L)).as("ts"))
+      val summary = totals.crossJoin(broadcast(topSum)) // two one-row frames
+        .select(explode(array(
+          row("domain", lit("__n_domains"), col("nd")),
+          row("domain", lit("__other"), col("tot") - col("ts"))
+        )).as("__r"))
+        .select(col("__r.*"))
+      topRows.unionByName(summary)
+    }
     (Seq(scalars) ++ (if (quantiles.isEmpty) Nil else Seq(qrows)) ++
-      dim("lang", langCol) ++ dim("source", sourceCol))
+      dim("lang", langCol) ++ dim("source", sourceCol) ++ domainRows)
       .reduce(_.unionByName(_))
   }
 

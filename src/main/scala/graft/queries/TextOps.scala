@@ -3071,6 +3071,39 @@ object TextOps {
        |FROM tol t LEFT OUTER JOIN diff f
        |  ON t.section = f.section AND t.key = f.key""".stripMargin
 
+  // -- q214: corpus card with the DOMAIN section (CorpusReport.build
+  // urlCol=) — the crawl-ops dimension: per-domain doc counts for the
+  // top-7 domains (count desc, domain asc at the boundary — 100
+  // (source, lang) domains at every SF, so the cut and the `__other`
+  // rollup are both real), plus `__n_domains` exact and `__other`
+  // always present. Unlike lang/source the domain cardinality grows
+  // with a crawl, so the section caps at top-k — the card stays
+  // report-sized at any corpus. Oracle: q194's card CTEs + the same
+  // group/sort-limit/rollup over the derived host. --
+  private val q214: Q = (s, dir) => {
+    val d = docs(s, dir).withColumn("url",
+      concat(lit("https://"), lower(col("source")), lit("."), col("lang"),
+        lit(".example.org/p/"), col("doc_id").cast("string")))
+    graft.operators.CorpusReport.build(d, "text", "doc_id",
+      langCol = Some("lang"), sourceCol = Some("source"),
+      urlCol = Some("url"), domainTopK = 7)
+  }
+  private val q214Sql =
+    s"""WITH d AS (SELECT * FROM documents),
+       |${dCardCtes("d", "0")},
+       |h AS (SELECT lower(source) || '.' || lang || '.example.org' AS key
+       |      FROM d),
+       |g AS (SELECT key, count(*) AS n FROM h GROUP BY key),
+       |t AS (SELECT key, n FROM g ORDER BY n DESC, key LIMIT 7),
+       |tt AS (SELECT count(*) AS nd, sum(n) AS tot FROM g),
+       |ts AS (SELECT coalesce(sum(n), 0) AS ts FROM t)
+       |SELECT * FROM card_0
+       |UNION ALL SELECT 'domain' AS section, key, CAST(n AS DOUBLE) AS value
+       |  FROM t
+       |UNION ALL SELECT 'domain', '__n_domains', CAST(nd AS DOUBLE) FROM tt
+       |UNION ALL SELECT 'domain', '__other', CAST(tot - ts AS DOUBLE)
+       |  FROM tt, ts""".stripMargin
+
   // -- q213: sentence-boundary RAG chunking (Chunk.bySentence) — the
   // meaning-unit splitter: sentences (terminator+whitespace, RE2-shared
   // regex), overlong sentences force-split at 16 tokens, pieces packed
@@ -3387,6 +3420,7 @@ object TextOps {
        |WHERE host IN (SELECT host FROM h)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q214_domain_card" -> q214,
     "q213_sentence_chunks" -> q213,
     "q209_card_drift" -> q209,
     "q208_quality_checks" -> q208,
@@ -3475,6 +3509,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q214_domain_card" -> q214Sql,
     "q213_sentence_chunks" -> q213Sql,
     "q209_card_drift" -> q209Sql,
     "q208_quality_checks" -> q208Sql,

@@ -59,6 +59,8 @@ object PlanLint {
     ("q195", "global-window", "cumulative counts over two token-count value histograms (rows = distinct token counts)"),
     ("q209", "bnlj", "one-row corpus-total frames — the q195 card pair under the drift gate; the tolerance side is a 6-row literal list"),
     ("q209", "global-window", "cumulative counts over two token-count value histograms (rows = distinct token counts) — the q195 shape"),
+    ("q214", "bnlj", "one-row corpus-total frame (q194 shape) + the domain section's two one-row summary frames crossed"),
+    ("q214", "global-window", "cumulative counts over the token-count value histogram (rows = distinct token counts) — the q194 shape; the domain cut itself is a sort-limit, not a window"),
     ("q196", "global-window", "per-partition subtotal frame (rows = partitions) — the q97 two-pass prefix scan"),
     ("q199", "bnlj", "one-row overlap-count frames — near-overlap report assembly"),
     ("q200", "bnlj", "one-row corpus-total frame — scan-quantile rank arithmetic"),

@@ -185,4 +185,36 @@ class CorpusReportSpec extends SparkSpec {
       CorpusReport.readCard(spark, path, "")).getMessage
       .contains("path-safe"))
   }
+
+  test("domain section: host normalization, top-k cut by (count desc, " +
+      "domain asc), __other rollup always present, exact __n_domains") {
+    val crawl = Seq(
+      (1L, "t", "https://a.example/x"),
+      (2L, "t", "https://www.a.example:443/y#frag"), // same domain as 1
+      (3L, "t", "https://b.example/z"),
+      (4L, "t", "https://c.example/w"),
+      (5L, "t", null.asInstanceOf[String]) // null url -> 'null' key
+    ).toDF("doc_id", "text", "url")
+    val c = CorpusReport.build(crawl, "text", "doc_id",
+      urlCol = Some("url"), domainTopK = 2)
+    def dcell(k: String): Double =
+      c.filter($"section" === "domain" && $"key" === k).head().getDouble(2)
+    assert(dcell("a.example") === 2.0) // www./port/fragment stripped
+    assert(dcell("__n_domains") === 4.0) // a, b, c, null
+    // top-2 = a.example (2), then b.example (tie count 1 with c.example
+    // and 'null' -> domain asc wins); the rest rolls up
+    assert(dcell("b.example") === 1.0)
+    assert(dcell("__other") === 2.0) // c.example + the null-url doc
+    assert(c.filter($"section" === "domain" &&
+      ($"key" === "c.example" || $"key" === "null")).count() === 0)
+    // k covering everything: __other present AND zero (diff alignment)
+    val all = CorpusReport.build(crawl, "text", "doc_id",
+      urlCol = Some("url"), domainTopK = 100)
+    assert(all.filter($"section" === "domain" && $"key" === "__other")
+      .head().getDouble(2) === 0.0)
+    // no urlCol: no domain section (existing cards unchanged)
+    assert(card.filter($"section" === "domain").count() === 0)
+    intercept[IllegalArgumentException](CorpusReport.build(crawl, "text",
+      "doc_id", urlCol = Some("url"), domainTopK = 0))
+  }
 }

@@ -52,6 +52,39 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
+  /** [[exactByText]] with a QUALITY winner policy — the exact-dup
+    * sibling of [[pruneNearDupsBy]]: each duplicate group keeps its
+    * best row by (`scoreCol` desc, id asc) instead of the arbitrary
+    * minimum id. Identical texts can still differ in what RIDES them
+    * (source, fetch date, quality score), and "of the k crawled copies
+    * keep the best-provenance one" is the curation rule; NULL scores
+    * lose to any non-null one (max ignores nulls), an all-null group
+    * falls back to min-id.
+    *
+    * Scale: same shape as [[pruneNearDupsBy]] — two partial-aggregated
+    * groupBys on the fingerprint (max score, then min id among the
+    * maxima) and one semi-join back; NO per-group window sort, so a
+    * boilerplate mega-group costs a reduction, not a single-task sort
+    * (where [[exactByText]]'s row_number window funnels each group
+    * through one task). */
+  def exactByTextBy(df: DataFrame, textCol: String, idCol: String,
+                    scoreCol: String): DataFrame = {
+    require(df.columns.contains(scoreCol),
+      s"exactByTextBy: column '$scoreCol' not in the frame " +
+        s"(has: ${df.columns.sorted.mkString(", ")})")
+    val withFp = df.select(col(idCol), col(scoreCol),
+      Text.fingerprint(col(textCol)).as("__fp"))
+    val best = withFp.groupBy(col("__fp"))
+      .agg(max(col(scoreCol)).as("__ms"))
+    val winners = withFp.join(best, Seq("__fp"))
+      // null-safe: an all-null group has __ms NULL and keeps every row
+      // here, so the min-id fallback below decides it
+      .filter(col(scoreCol) <=> col("__ms"))
+      .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Exact dedup by arbitrary key columns (`dropDuplicates` with a
     * deterministic winner instead of an arbitrary one). */
   def exactByKey(df: DataFrame, keys: Seq[String], orderBy: String): DataFrame = {

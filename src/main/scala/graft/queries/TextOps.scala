@@ -3071,6 +3071,44 @@ object TextOps {
        |FROM tol t LEFT OUTER JOIN diff f
        |  ON t.section = f.section AND t.key = f.key""".stripMargin
 
+  // -- q215: exact dedup with a KEEP-BEST policy (Dedup.exactByTextBy)
+  // — identical texts differ in what rides them, and the curation rule
+  // is "keep the best-provenance copy", not "keep the lowest id": the
+  // corpus is documents plus a simulated RE-CRAWL of docs < 250 (same
+  // text, new id, source 'recrawl', score 1 vs 0), so each re-crawled
+  // group keeps the FRESH copy while min-id dedup would keep the stale
+  // one. Winner algebra = max score per fingerprint, min id among the
+  // maxima — two aggregates + a semi-join, no per-group window funnel
+  // (the pruneNearDupsBy scale shape at the exact-dup layer). --
+  private val q215: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    val re = d.filter($"doc_id" < 250).select(
+      ($"doc_id" + 10000L).as("doc_id"), $"text",
+      lit("recrawl").as("source"))
+    val corpus = d.select($"doc_id", $"text", $"source").unionByName(re)
+      .withColumn("score",
+        when($"source" === "recrawl", 1L).otherwise(0L))
+    graft.operators.Dedup.exactByTextBy(corpus, "text", "doc_id", "score")
+      .select($"doc_id", $"source", $"score")
+  }
+  private val q215Sql =
+    """WITH c AS (
+      |  SELECT doc_id, text, source, CAST(0 AS BIGINT) AS score
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text, 'recrawl', CAST(1 AS BIGINT)
+      |  FROM documents WHERE doc_id < 250),
+      |f AS (SELECT *,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |  FROM c),
+      |b AS (SELECT fp, max(score) AS ms FROM f GROUP BY fp),
+      |w AS (SELECT f.fp, min(f.doc_id) AS wid
+      |      FROM f JOIN b ON f.fp = b.fp AND f.score = b.ms
+      |      GROUP BY f.fp)
+      |SELECT doc_id, source, score FROM f
+      |WHERE doc_id IN (SELECT wid FROM w)""".stripMargin
+
   // -- q214: corpus card with the DOMAIN section (CorpusReport.build
   // urlCol=) — the crawl-ops dimension: per-domain doc counts for the
   // top-7 domains (count desc, domain asc at the boundary — 100
@@ -3420,6 +3458,7 @@ object TextOps {
        |WHERE host IN (SELECT host FROM h)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q215_keep_best_dedup" -> q215,
     "q214_domain_card" -> q214,
     "q213_sentence_chunks" -> q213,
     "q209_card_drift" -> q209,
@@ -3509,6 +3548,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q215_keep_best_dedup" -> q215Sql,
     "q214_domain_card" -> q214Sql,
     "q213_sentence_chunks" -> q213Sql,
     "q209_card_drift" -> q209Sql,

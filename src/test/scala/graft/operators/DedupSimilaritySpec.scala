@@ -16,6 +16,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "text")) // helper columns dropped
   }
 
+  test("Dedup.exactByTextBy: each duplicate group keeps its best-scored " +
+      "row, ties by min id, null scores lose, all-null groups fall " +
+      "back to min id, columns intact, no per-group window in the plan") {
+    val df = Seq(
+      (1L, "Hello  World", Option(0.2)), // dup group A, low score
+      (2L, "hello world", Option(0.9)), // dup group A, WINNER
+      (3L, "hello world", Option(0.9)), // dup group A, tie -> id 2 wins
+      (4L, "other", Option.empty[Double]), // singleton, null score kept
+      (5L, "twin", Option.empty[Double]), // dup group B, all-null ->
+      (6L, "twin", Option.empty[Double]), //   min-id fallback keeps 5
+      (7L, "mixed", Option.empty[Double]), // dup group C: null loses
+      (8L, "mixed", Option(0.1)) //   to ANY non-null -> 8 wins
+    ).toDF("id", "text", "score")
+    val out = Dedup.exactByTextBy(df, "text", "id", "score")
+    assert(out.select($"id").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 4L, 5L, 8L))
+    assert(out.columns.toSeq === Seq("id", "text", "score"))
+    // the scale claim: no window funnel — only aggregates + semi-join
+    val windows = collectPlan(out.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "keep-best must not sort groups in a window")
+    intercept[IllegalArgumentException](
+      Dedup.exactByTextBy(df, "text", "id", "nope"))
+  }
+
   test("Dedup.nearDupCandidates matches the q22 query shape") {
     val viaApi = Dedup.nearDupCandidates(
       Tables.load(spark, sf(), "documents"), "text", "doc_id")

@@ -65,9 +65,17 @@ object Pipeline {
     *    fabricated fetch dates.
     *  - `checks` (q208) is the data-quality GATE: `spec=` a
     *    comma-separated constraint list (complete:col:minFrac,
-    *    unique:col:minFrac, between:col:lo:hi, mean:col:lo:hi); the run
-    *    dies naming each failed constraint (Checks.assertAll). Regex
-    *    checks stay Scala-only.
+    *    unique:col:minFrac, between:col:lo:hi, mean:col:lo:hi) and/or
+    *    `regex=col:minFrac:pattern` (ONE anchored-match constraint per
+    *    stage — patterns carry ':' and ',' freely since the pattern is
+    *    the tail; quote the value for whitespace or '#'). The run dies
+    *    naming each failed constraint (Checks.assertAll).
+    *  - `chunkSentences` (q213's operator) EXPLODES each document into
+    *    sentence-boundary RAG chunks — like `shards` it multiplies
+    *    rows: textCol becomes the chunk text, `chunk_idx` /
+    *    `chunk_tokens` ride along, and idCol stays the DOCUMENT id
+    *    (chunks share it), so run dedup/gates BEFORE this stage and
+    *    sinks after.
     *  - URL curation (q202/q203): `blockDomains` drops rows whose URL
     *    host or any parent domain is blocklisted (`domains=a.com,b.org`
     *    literals and/or `table=`+`domainCol=` a fixture-table list —
@@ -104,23 +112,51 @@ object Pipeline {
     "balanceSources" -> Set("byCol"),
     "tokenBudget" -> Set("budget", "scoreCol"),
     "unimaxSelect" -> Set("byCol", "avgEpochs", "maxEpochs", "scoreCol"),
+    "chunkSentences" -> Set("maxTokens", "maxSentenceTokens"),
     "tokenize" -> Set("merges"),
     "decontamIds" -> Set("table", "textCol", "n", "threshold"),
     "split" -> Set("trainPct", "valPct"),
     "shards" -> Set("path", "budget", "chunkTokens", "overlap"),
     "report" -> Set("path", "langCol", "sourceCol", "urlCol", "domainTopK"),
-    "checks" -> Set("spec"),
+    "checks" -> Set("spec", "regex"),
     "writeWarc" -> Set("path", "urlCol", "dateCol", "gzip"),
     "write" -> Set("path", "table", "format", "compression"))
 
+  /** Tokenizes one config line: whitespace-separated tokens; DOUBLE
+    * QUOTES protect whitespace and '#' inside a value
+    * (`regex="col:1.0:https?://.* more"`) and are stripped; a '#'
+    * starting a token outside quotes comments out the rest of the line
+    * (so `path=/data/run#1` stays data — the original rule, now
+    * quote-aware). */
+  private[graft] def tokenize(line: String, lineNo: Int): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new java.lang.StringBuilder
+    var inQuote = false
+    var started = false
+    def flush(): Unit =
+      if (started) { out += cur.toString; cur.setLength(0); started = false }
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuote) {
+        if (c == '"') inQuote = false else cur.append(c)
+      } else if (c == '"') { inQuote = true; started = true }
+      else if (c.isWhitespace) flush()
+      else if (c == '#' && !started) i = line.length // comment to EOL
+      else { cur.append(c); started = true }
+      i += 1
+    }
+    require(!inQuote,
+      s"pipeline line $lineNo: unterminated quote")
+    flush()
+    out.result()
+  }
+
   def parse(config: String): Seq[Stage] = {
     val stages = config.linesIterator.zipWithIndex
-      // '#' starts a comment only at line start or after whitespace — a
-      // '#' inside a param value (write path=/data/run#1) is data
-      .map { case (raw, i) => (raw.replaceAll("(^|\\s)#.*$", "").trim, i + 1) }
+      .map { case (raw, i) => (tokenize(raw, i + 1), i + 1) }
       .filter(_._1.nonEmpty)
-      .map { case (l, i) =>
-        val parts = l.split("\\s+").toSeq
+      .map { case (parts, i) =>
         val params = parts.tail.map { p =>
           p.split("=", 2) match {
             case Array(k, v) if v.nonEmpty => k -> v
@@ -398,6 +434,13 @@ object Pipeline {
           operators.Mix.selectByTokenBudget(scored.filter(col("__tb_n") > 0),
               "__tb_s", "__tb_n", idCol, budget)
             .drop("__tb_n", "__tb_s")
+        case "chunkSentences" =>
+          // RAG chunking in config land: the frame explodes into one
+          // row per chunk (documented row-multiplying stage, like
+          // `shards`); downstream stages see the chunk as the text
+          val out = operators.Chunk.bySentence(df, textCol,
+            int(s, "maxTokens", 128), int(s, "maxSentenceTokens", 64))
+          out.withColumn(textCol, col("chunk_text")).drop("chunk_text")
         case "tokenize" =>
           val ms = operators.Bpe.train(df, textCol, int(s, "merges", 30))
             ._1.map(m => (m._2, m._3))
@@ -514,22 +557,20 @@ object Pipeline {
           // data-quality GATE (Checks.assertAll, q208): the run dies
           // HERE, naming each failed constraint with its observation,
           // instead of shipping a corpus that violates its contract.
-          // Entries are comma-separated name:col:args — regex checks
-          // stay Scala-only (patterns don't survive the whitespace/
-          // comma config tokenizer; the "real logic stays Scala"
-          // stance). This stage is an ACTION: it evaluates the plan at
-          // this point once (the one-pass check aggregate), then hands
-          // the frame on unchanged.
-          val specStr = s.params.getOrElse("spec",
-            throw new IllegalArgumentException(
-              s"pipeline line ${s.line}: checks needs spec="))
+          // spec= entries are comma-separated name:col:args; regex=
+          // carries ONE anchored-match constraint as col:minFrac:tail
+          // — the PATTERN is the tail, so ':' and ',' inside it are
+          // data, and the quote-aware tokenizer protects whitespace
+          // ('#' included). This stage is an ACTION: it evaluates the
+          // plan at this point once (the one-pass check aggregate),
+          // then hands the frame on unchanged.
           def num(e: String, v: String): Double =
             try v.toDouble catch { case _: NumberFormatException =>
               throw new IllegalArgumentException(
                 s"pipeline line ${s.line}: checks entry '$e': " +
                   s"'$v' is not a number") }
-          val parsed: Seq[operators.Checks.Check] =
-            specStr.split(",").toSeq.map { e =>
+          val fromSpec: Seq[operators.Checks.Check] =
+            s.params.get("spec").toSeq.flatMap(_.split(",").toSeq).map { e =>
               e.split(":") match {
                 case Array("complete", c, f) =>
                   operators.Checks.Complete(c, num(e, f))
@@ -546,7 +587,20 @@ object Pipeline {
                     "mean:col:lo:hi)")
               }
             }
-          operators.Checks.assertAll(df, parsed)
+          val fromRegex: Seq[operators.Checks.Check] =
+            s.params.get("regex").toSeq.map { v =>
+              v.split(":", 3) match {
+                case Array(c, f, re) if re.nonEmpty =>
+                  operators.Checks.MatchesRegex(c, re, num(s"regex=$v", f))
+                case _ => throw new IllegalArgumentException(
+                  s"pipeline line ${s.line}: malformed regex= value " +
+                    s"'$v' (want col:minFrac:pattern — the pattern is " +
+                    "everything after the second ':')")
+              }
+            }
+          require(fromSpec.nonEmpty || fromRegex.nonEmpty,
+            s"pipeline line ${s.line}: checks needs spec= and/or regex=")
+          operators.Checks.assertAll(df, fromSpec ++ fromRegex)
         case "writeWarc" =>
           // archive-to-archive curation: re-serialize the surviving
           // frame as WARC response segments (WarcSink). Pass-through

@@ -122,8 +122,36 @@ object Checks {
           case Unique(_, _) =>
             Seq(countDistinct(v).as(s"__d_$i"), count(v).as(s"__nn_$i"))
           case ValuesBetween(_, lo, hi) =>
-            Seq(sum(when(v.isNotNull &&
-              (v.cast("double") < lo || v.cast("double") > hi), 1L)
+            // integral columns compare in LONG space: casting a bigint
+            // with |v| > 2^53 to double can round it ONTO the boundary
+            // and hide a real violation — the gate failing open, the one
+            // direction it must never fail in. v < lo over the reals is
+            // exactly v < ceil(lo) for integral v (strict: any
+            // fractional lo rounds up past every integer below it), and
+            // v > hi is v > floor(hi); bounds at or beyond the long
+            // range can't be violated from inside it. Floating columns
+            // keep the double comparison (their native space).
+            val isIntegral = df.schema(c.column).dataType match {
+              case org.apache.spark.sql.types.ByteType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.LongType => true
+              case _ => false
+            }
+            val violates =
+              if (isIntegral) {
+                val lv = v.cast("long")
+                val below =
+                  if (math.ceil(lo) <= Long.MinValue.toDouble) lit(false)
+                  else if (math.ceil(lo) >= Long.MaxValue.toDouble) lit(true)
+                  else lv < lit(math.ceil(lo).toLong)
+                val above =
+                  if (math.floor(hi) >= Long.MaxValue.toDouble) lit(false)
+                  else if (math.floor(hi) < Long.MinValue.toDouble) lit(true)
+                  else lv > lit(math.floor(hi).toLong)
+                below || above
+              } else v.cast("double") < lo || v.cast("double") > hi
+            Seq(sum(when(v.isNotNull && violates, 1L)
               .otherwise(0L)).as(s"__viol_$i"))
           case MeanBetween(_, _, _) =>
             Seq(sum(v.cast("double")).as(s"__sum_$i"), count(v).as(s"__nn_$i"))

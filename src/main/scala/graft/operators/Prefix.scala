@@ -38,8 +38,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   *
   * The fold path covers integral and floating `valueCol` (sum types
   * LongType/DoubleType — token counts and scores, every shipped
-  * consumer); exotic sum types (decimal) take the legacy window form,
-  * which pays the extra narrow exchange but keeps exact semantics.
+  * consumer) over atomic non-binary group keys; exotic sum types
+  * (decimal) and binary/nested group keys take the legacy window form,
+  * which pays the extra narrow exchange but keeps exact semantics
+  * (binary keys surface to the fold as Array[Byte] — reference
+  * equality, the one comparison the fold's boundary check can't use).
   *
   * The use case this ships for is sequence packing (training shards cut
   * at a token budget): see [[packIntoShards]].
@@ -87,10 +90,27 @@ object Prefix {
         col("o.__offset"): _*)
     val sumType: DataType =
       df.select(sum(col(valueCol)).as("__s")).schema.head.dataType
+    // the fold detects group-stretch boundaries by comparing raw row
+    // values — structural for atomic types, but BinaryType surfaces as
+    // Array[Byte] (reference equality: every row would "start" a new
+    // stretch and the running total silently degenerate to offset +
+    // own value) and nested types can embed binaries; those keys take
+    // the legacy window form, which keys the window on the values
+    // themselves and stays correct for any comparable type
+    val keysFoldable = groupCols.forall { c =>
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case _: NumericType | StringType | BooleanType | DateType |
+             TimestampType | TimestampNTZType => true
+        case _ => false // binary, array, struct, map, …
+      }
+    }
     val out = sumType match {
-      case LongType | DoubleType => foldInterior(joined, groupCols,
-        orderCol, valueCol, outCol, sumType == LongType)
-      case _ => // decimal etc: legacy window form (extra narrow exchange)
+      case LongType | DoubleType if keysFoldable =>
+        foldInterior(joined, groupCols, orderCol, valueCol, outCol,
+          sumType == LongType)
+      case _ => // decimal sums / non-atomic keys: legacy window form
+        //        (extra narrow exchange)
         val wIn = Window.partitionBy(col("__pid") +: gcols: _*)
           .orderBy(col(orderCol))
           .rowsBetween(Window.unboundedPreceding, 0)

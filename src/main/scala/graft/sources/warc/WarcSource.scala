@@ -2,7 +2,6 @@ package graft.sources.warc
 
 import java.io.{EOFException, IOException, InputStream}
 import java.util
-import java.util.zip.GZIPInputStream
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -330,10 +329,129 @@ private[warc] object WarcParser {
       fs.open(path)
     }
     val buffered = new java.io.BufferedInputStream(raw, 1 << 16)
-    // multi-member GZIPInputStream: the Common Crawl record-per-member
-    // framing reads as one continuous stream
-    if (file.endsWith(".gz")) new GZIPInputStream(buffered, 1 << 16)
+    // multi-member gzip (the Common Crawl record-per-member framing)
+    // through the HONEST reader, not java.util.zip.GZIPInputStream:
+    // that one swallows exceptions while probing for the next member
+    // and reports a corrupt or truncated tail as clean EOF — exactly
+    // the "corpora lose mass invisibly" failure the framing-honesty
+    // contract exists to kill (which the uncompressed path already
+    // enforces). GzipMembersStream throws, naming the file.
+    if (file.endsWith(".gz")) new GzipMembersStream(buffered, file)
     else buffered
+  }
+}
+
+/** Multi-member gzip decoder with FRAMING HONESTY (RFC 1952 headers and
+  * trailers parsed explicitly): concatenated members read as one
+  * continuous stream — the Common Crawl record-per-member layout — and
+  * every deviation is an error naming the file instead of a silent
+  * early EOF: bytes after a member that are not a gzip header (trailing
+  * garbage / bit rot), EOF inside a header, deflate body, or trailer
+  * (truncation), and CRC-32 / ISIZE trailer mismatches (corruption).
+  * Clean EOF exists in exactly one place: the raw stream ends precisely
+  * at a member boundary. Java's `GZIPInputStream` treats all of the
+  * above as clean EOF — a crawl segment losing its tail invisibly.
+  *
+  * One 64 KiB input buffer shared between header/trailer parsing and
+  * the Inflater (positions reconciled via `getRemaining` at member
+  * end); allocation per member is one `Inflater.reset`, so the
+  * per-record-member framing costs no per-member buffers. */
+private[warc] final class GzipMembersStream(raw: InputStream, file: String)
+    extends InputStream {
+  private val inf = new java.util.zip.Inflater(true) // nowrap: we frame
+  private val crc = new java.util.zip.CRC32
+  private val buf = new Array[Byte](1 << 16)
+  private var pos = 0
+  private var limit = 0
+  private var inMember = false
+  private var finished = false
+  private val one = new Array[Byte](1)
+
+  /** Ensures ≥1 buffered byte; false at raw EOF. Never refills while
+    * the inflater still references the window (callers fill only when
+    * `needsInput`, and member end reconciles `pos` first). */
+  private def fill(): Boolean = {
+    if (pos < limit) return true
+    val n = raw.read(buf)
+    if (n < 0) return false
+    pos = 0; limit = n; true
+  }
+  private def u8(): Int = {
+    if (!fill()) throw new EOFException(
+      s"$file: gzip member truncated (EOF inside header or trailer)")
+    val b = buf(pos) & 0xff; pos += 1; b
+  }
+  private def u16(): Int = u8() | (u8() << 8)
+  private def u32(): Long = u16().toLong | (u16().toLong << 16)
+
+  /** Parses the next member's header; false at clean EOF (raw stream
+    * ends exactly at a member boundary). */
+  private def startMember(): Boolean = {
+    if (!fill()) return false
+    if (u8() != 0x1f || u8() != 0x8b)
+      throw new IOException(
+        s"$file: bytes after a gzip member are not a gzip header — " +
+          "trailing garbage or corruption; refusing to drop the tail")
+    if (u8() != 8) throw new IOException(
+      s"$file: unsupported gzip compression method")
+    val flg = u8()
+    var i = 0
+    while (i < 6) { u8(); i += 1 } // MTIME(4) XFL OS
+    if ((flg & 4) != 0) { var n = u16(); while (n > 0) { u8(); n -= 1 } }
+    if ((flg & 8) != 0) while (u8() != 0) () // FNAME
+    if ((flg & 16) != 0) while (u8() != 0) () // FCOMMENT
+    if ((flg & 2) != 0) u16() // FHCRC (header CRC not verified)
+    inf.reset(); crc.reset(); inMember = true
+    true
+  }
+
+  /** Verifies the member trailer (CRC-32 + ISIZE) after the deflate
+    * stream finishes, reclaiming the inflater's unconsumed bytes. */
+  private def endMember(): Unit = {
+    pos = limit - inf.getRemaining
+    val wantCrc = u32()
+    val wantIsize = u32()
+    if (wantCrc != crc.getValue)
+      throw new IOException(s"$file: gzip member CRC mismatch — corrupt")
+    if (wantIsize != (inf.getBytesWritten & 0xffffffffL))
+      throw new IOException(s"$file: gzip member ISIZE mismatch — corrupt")
+    inMember = false
+  }
+
+  override def read(): Int = {
+    val n = read(one, 0, 1)
+    if (n < 0) -1 else one(0) & 0xff
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    if (len == 0) return 0
+    while (!finished) {
+      if (!inMember) {
+        if (!startMember()) { finished = true; return -1 }
+      } else if (inf.finished()) endMember()
+      else {
+        if (inf.needsInput()) {
+          if (!fill()) throw new EOFException(
+            s"$file: gzip member truncated (EOF mid-deflate)")
+          inf.setInput(buf, pos, limit - pos)
+          pos = limit // handed to the inflater; endMember reconciles
+        }
+        val n =
+          try inf.inflate(b, off, len)
+          catch {
+            case e: java.util.zip.DataFormatException => throw new IOException(
+              s"$file: corrupt deflate data in gzip member: ${e.getMessage}")
+          }
+        if (n > 0) { crc.update(b, off, n); return n }
+        if (inf.finished()) endMember()
+      }
+    }
+    -1
+  }
+
+  override def close(): Unit = {
+    inf.end()
+    raw.close()
   }
 }
 

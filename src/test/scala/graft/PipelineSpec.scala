@@ -505,6 +505,75 @@ class PipelineSpec extends SparkSpec {
       .contains("unknown checks param"))
   }
 
+  test("checks regex= door: anchored pattern with ':' in the tail; " +
+    "quoted values carry whitespace; malformed values fail fast") {
+    // the pattern is everything after the second ':' — the 'https://'
+    // colon-slashes are data, not delimiters
+    val got = Pipeline.run(spark, sf(),
+      "read table=documents\nderiveUrl\n" +
+        "checks spec=complete:url:1.0 " +
+        "regex=url:1.0:https://[a-z0-9]+\\.[a-z]+\\.example\\.org/p/[0-9]+\n")
+    assert(got.count() > 0)
+    // == the hand-written constraint
+    val docs = Tables.load(spark, sf(), "documents")
+    val hand = operators.Checks.assertAll(
+      Pipeline.run(spark, sf(), "read table=documents\nderiveUrl"),
+      Seq(operators.Checks.MatchesRegex("url",
+        "https://[a-z0-9]+\\.[a-z]+\\.example\\.org/p/[0-9]+", 1.0)))
+    assert(got.exceptAll(hand).isEmpty && hand.exceptAll(got).isEmpty)
+    // red: the gate dies naming the regex constraint
+    val e = intercept[IllegalStateException](Pipeline.run(spark, sf(),
+      "read table=documents\nderiveUrl\nchecks regex=url:1.0:ftp://.*"))
+    assert(e.getMessage.contains("regex(url)"))
+    // quoted value: whitespace inside the pattern survives tokenizing
+    val st = Pipeline.parse(
+      "read table=documents\nchecks regex=\"text:0.9:[a-z #]+\"").last
+    assert(st.params("regex") === "text:0.9:[a-z #]+")
+    // malformed: no pattern after the second ':', non-numeric fraction
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nchecks regex=text:1.0")).getMessage
+      .contains("malformed regex= value"))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nchecks regex=text:high:x")).getMessage
+      .contains("not a number"))
+    assert(docs.columns.contains("text")) // fixture sanity
+  }
+
+  test("quote-aware tokenizer: quotes strip, '#' inside quotes is data, " +
+    "unterminated quote fails naming the line") {
+    val st = Pipeline.parse(
+      "read table=documents\nwrite path=\"/data/my run#1\" table=out").last
+    assert(st.params("path") === "/data/my run#1")
+    assert(st.params("table") === "out")
+    val e = intercept[IllegalArgumentException](Pipeline.parse(
+      "read table=documents\nwrite path=\"unterminated"))
+    assert(e.getMessage.contains("line 2") &&
+      e.getMessage.contains("unterminated quote"))
+  }
+
+  test("chunkSentences stage == hand-written Chunk.bySentence with the " +
+    "text column rebound; explode semantics multiply rows") {
+    val got = Pipeline.run(spark, sf(),
+      "read table=documents\nminTokens n=8\n" +
+        "chunkSentences maxTokens=48 maxSentenceTokens=16")
+    val d = Tables.load(spark, sf(), "documents")
+      .filter(size(functions.Text.tokens($"text")) >= 8)
+    val want = operators.Chunk.bySentence(d, "text",
+        maxTokens = 48, maxSentenceTokens = 16)
+      .withColumn("text", col("chunk_text")).drop("chunk_text")
+    assert(got.count() > d.count(), "chunking must multiply rows")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.columns.contains("chunk_idx") &&
+      got.columns.contains("chunk_tokens"))
+    // fail fast: non-integer param, unknown key
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nchunkSentences maxTokens=many")).getMessage
+      .contains("must be an integer"))
+    assert(intercept[IllegalArgumentException](Pipeline.parse(
+      "read table=documents\nchunkSentences overlap=2")).getMessage
+      .contains("unknown chunkSentences param"))
+  }
+
   test("readWarc first stage: a config curates a crawl archive end to " +
     "end — responses only, URL gates on the archive's own urls") {
     val arch = java.nio.file.Files.createTempDirectory("pl_warc").toString +

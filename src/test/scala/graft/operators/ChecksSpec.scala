@@ -50,6 +50,29 @@ class ChecksSpec extends SparkSpec {
     assert(byKey.contains(("regex", "name", Some(1.0), true)))
   }
 
+  test("between compares integral columns in LONG space — a bigint " +
+      "beyond 2^53 can't round onto the boundary and fail open") {
+    import spark.implicits._
+    // 2^53 + 1 casts to double as exactly 2^53: the double-space test
+    // would see it AS the boundary and hide the violation
+    val big = Seq(1L << 53, (1L << 53) + 1).toDF("v")
+    val Seq(r) = Checks.run(big,
+      Seq(ValuesBetween("v", 0, (1L << 53).toDouble))).collect().toSeq
+    assert(r.getDouble(2) === 1.0 && !r.getBoolean(3),
+      "the 2^53+1 violation must be counted, not rounded away")
+    // fractional bounds stay strict on integers: v=3 in [2.5, 3.5] ok,
+    // v=2 violates low, v=4 violates high
+    val f = Seq(2L, 3L, 4L).toDF("v")
+    val Seq(r2) = Checks.run(f,
+      Seq(ValuesBetween("v", 2.5, 3.5))).collect().toSeq
+    assert(r2.getDouble(2) === 2.0 && !r2.getBoolean(3))
+    // floating columns keep their native double comparison
+    val d = Seq(2.4, 2.5, 3.5, 3.6).toDF("v")
+    val Seq(r3) = Checks.run(d,
+      Seq(ValuesBetween("v", 2.5, 3.5))).collect().toSeq
+    assert(r3.getDouble(2) === 2.0 && !r3.getBoolean(3))
+  }
+
   test("regex is ANCHORED — a substring hit is not a well-formed value") {
     // unanchored 'a' would hit 'alpha' and 'beta' (2/3); anchored hits 0
     val Seq(r) = report(Seq(MatchesRegex("name", "a", 0.1)))

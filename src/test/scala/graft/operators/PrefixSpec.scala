@@ -90,6 +90,27 @@ class PrefixSpec extends SparkSpec {
     }
   }
 
+  test("binary group keys take the window branch and stay correct — " +
+      "the fold's value comparison can't see through Array[Byte]") {
+    // two binary keys, interleaved in order: on the fold path Array
+    // reference equality would reset the accumulator every row and
+    // degenerate the running total to offset + own value
+    val rows = Seq(
+      (1L, Array[Byte](1), 10L), (2L, Array[Byte](2), 100L),
+      (3L, Array[Byte](1), 20L), (4L, Array[Byte](2), 200L),
+      (5L, Array[Byte](1), 30L)).toDF("ord", "key", "v")
+    val ours = Prefix.cumsumByGroup(rows, Seq("key"), "ord", "v", "run")
+      .select($"ord", $"run")
+    val w = Window.partitionBy($"key").orderBy($"ord")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val expected = rows.withColumn("run", sum($"v").over(w))
+      .select($"ord", $"run")
+    assert(ours.exceptAll(expected).isEmpty &&
+      expected.exceptAll(ours).isEmpty)
+    // the third key-1 row accumulates 10+20+30, not offset + 30
+    assert(ours.filter($"ord" === 5).head().getLong(1) === 60L)
+  }
+
   test("cumsum fold handles null values like the window form " +
     "(skip, and NULL until the stretch's first non-null)") {
     val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)), (4L, None))

@@ -228,4 +228,155 @@ class WarcSourceSpec extends SparkSpec {
       WarcSink.write(docs.drop("body"), out))
     assert(e.getMessage.contains("'body'"))
   }
+
+  test("atomic landing: the finished directory holds ONLY final segment " +
+      "names — no in-progress debris, nothing a listing would hide") {
+    val out = Files.createTempDirectory("warc_atomic").toString + "/arch"
+    val docs = Seq(("https://x.example/1", "2026-01-01 00:00:00",
+      "<urn:g:1>", 200, "one"))
+      .toDF("url", "ts", "record_id", "http_status", "text")
+      .select($"url", $"ts".cast("timestamp").as("warc_date"), $"record_id",
+        $"http_status", encode($"text", "UTF-8").as("body"))
+    // 4 partitions, 3 of them empty: empty partitions must leave neither
+    // a final nor a temp file behind
+    WarcSink.write(docs.repartition(4), out, gzip = true)
+    // (dot-prefixed .crc sidecars are the local filesystem's checksum
+    // artifact — hidden to every listing, not sink debris)
+    val names = new java.io.File(out).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq.sorted
+    assert(names.length === 1 && names.head.matches("part-\\d{4}\\.warc\\.gz"),
+      s"expected exactly one final segment, got $names")
+  }
+
+  test("WARC-Date: sub-second timestamps round-trip bit-exactly " +
+      "(fractional WARC/1.1 form), second-aligned keep the classic form") {
+    val out = Files.createTempDirectory("warc_micros").toString + "/arch"
+    val docs = Seq(
+      ("https://x.example/f", "2026-01-01 00:00:00.123456", "<urn:g:f>"),
+      ("https://x.example/s", "2026-01-01 00:00:01", "<urn:g:s>"))
+      .toDF("url", "ts", "record_id")
+      .select($"url", $"ts".cast("timestamp").as("warc_date"), $"record_id",
+        lit(200).as("http_status"), encode(lit("x"), "UTF-8").as("body"))
+      .coalesce(1)
+    WarcSink.write(docs, out)
+    val raw = new String(Files.readAllBytes(
+      new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".warc")).head.toPath), ISO_8859_1)
+    assert(raw.contains("WARC-Date: 2026-01-01T00:00:00.123456Z"),
+      "fractional seconds must be emitted, not truncated")
+    assert(raw.contains("WARC-Date: 2026-01-01T00:00:01Z"),
+      "second-aligned dates keep the classic form")
+    val back = spark.read.format("graft-warc").load(out)
+      .select($"record_id", $"warc_date").collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap
+    assert(back("<urn:g:f>") ==
+      java.time.Instant.parse("2026-01-01T00:00:00.123456Z"))
+    assert(back("<urn:g:s>") ==
+      java.time.Instant.parse("2026-01-01T00:00:01Z"))
+  }
+
+  test("WARC-Date is the INSTANT, independent of the session timezone") {
+    val out = Files.createTempDirectory("warc_tz").toString + "/arch"
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // timestamp literal parses in session tz: 00:00 New York = 05:00 UTC
+      val docs = Seq(("https://x.example/tz", "2026-01-01 00:00:00",
+        "<urn:g:tz>", 200, "zoned"))
+        .toDF("url", "ts", "record_id", "http_status", "text")
+        .select($"url", $"ts".cast("timestamp").as("warc_date"),
+          $"record_id", $"http_status", encode($"text", "UTF-8").as("body"))
+        .coalesce(1)
+      WarcSink.write(docs, out)
+      val raw = new String(Files.readAllBytes(
+        new java.io.File(out).listFiles()
+          .filter(_.getName.endsWith(".warc")).head.toPath), ISO_8859_1)
+      assert(raw.contains("WARC-Date: 2026-01-01T05:00:00Z"),
+        "the archive must carry the instant in UTC, not local wall-clock " +
+          "labeled Z")
+      val back = spark.read.format("graft-warc").load(out)
+        .select($"warc_date").head().getTimestamp(0).toInstant
+      assert(back == java.time.Instant.parse("2026-01-01T05:00:00Z"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
+  test("warcinfo leader: provenance record opens each segment, dated at " +
+      "the first response; responses-only pushdown skips it; manifest " +
+      "counts responses only") {
+    val out = Files.createTempDirectory("warc_info").toString + "/arch"
+    val docs = Seq(
+      ("https://x.example/1", "2026-01-01 00:00:00", "<urn:g:1>", 200, "a"),
+      ("https://x.example/2", "2026-01-01 00:00:01", "<urn:g:2>", 200, "b"))
+      .toDF("url", "ts", "record_id", "http_status", "text")
+      .select($"url", $"ts".cast("timestamp").as("warc_date"), $"record_id",
+        $"http_status", encode($"text", "UTF-8").as("body"))
+      .coalesce(1).sortWithinPartitions($"record_id")
+    val manifest = WarcSink.write(docs, out, gzip = true, warcinfo = true)
+    assert(manifest.agg(sum($"n_records")).head().getLong(0) === 2L,
+      "the warcinfo leader is framing, not data")
+    val all = spark.read.format("graft-warc").load(out)
+    assert(all.count() === 3)
+    val info = all.filter($"warc_type" === "warcinfo").collect()
+    assert(info.length === 1)
+    val i = info.head
+    assert(i.getAs[String]("record_id")
+      .matches("<urn:graft:warcinfo:part-\\d{4}\\.warc\\.gz>"))
+    assert(i.getAs[String]("content_type") == "application/warc-fields")
+    assert(i.getAs[java.sql.Timestamp]("warc_date").toInstant ==
+      java.time.Instant.parse("2026-01-01T00:00:00Z"),
+      "warcinfo is dated at the segment's first response — no wall clock")
+    val fields = new String(i.getAs[Array[Byte]]("body"), ISO_8859_1)
+    assert(fields.contains("software: graft WarcSink") &&
+      fields.contains("format: WARC File Format 1.0"))
+    assert(all.filter($"warc_type" === "response").count() === 2)
+  }
+
+  test("gzip framing honesty: a truncated .warc.gz kills the read " +
+      "naming the file — never a silent short count") {
+    val d = Files.createTempDirectory("warc_trunc").toString
+    val full = {
+      val buf = new ByteArrayOutputStream()
+      records.take(3).foreach { r =>
+        val gz = new GZIPOutputStream(buf); gz.write(r); gz.finish(); gz.close()
+      }
+      buf.toByteArray
+    }
+    // cut inside the LAST member's deflate stream: Java's
+    // GZIPInputStream would report clean EOF after 2 records
+    Files.write(Paths.get(s"$d/t.warc.gz"),
+      java.util.Arrays.copyOfRange(full, 0, full.length - 6))
+    val e = intercept[org.apache.spark.SparkException](readAll(d).collect())
+    assert(String.valueOf(e.getCause.getMessage).contains("t.warc.gz"),
+      s"got: ${e.getCause}")
+  }
+
+  test("gzip framing honesty: trailing garbage after the last member " +
+      "kills the read — bytes in an archive are never silently dropped") {
+    val d = Files.createTempDirectory("warc_garbage").toString
+    val buf = new ByteArrayOutputStream()
+    records.take(2).foreach { r =>
+      val gz = new GZIPOutputStream(buf); gz.write(r); gz.finish(); gz.close()
+    }
+    buf.write("this is not a gzip member".getBytes(ISO_8859_1))
+    Files.write(Paths.get(s"$d/g.warc.gz"), buf.toByteArray)
+    val e = intercept[org.apache.spark.SparkException](readAll(d).collect())
+    assert(String.valueOf(e.getCause.getMessage).contains("g.warc.gz") &&
+      String.valueOf(e.getCause.getMessage).contains("not a gzip header"),
+      s"got: ${e.getCause}")
+  }
+
+  test("gzip framing honesty: a flipped payload bit fails the member " +
+      "CRC instead of shipping corrupt bytes") {
+    val d = Files.createTempDirectory("warc_crc").toString
+    val buf = new ByteArrayOutputStream()
+    records.take(1).foreach { r =>
+      val gz = new GZIPOutputStream(buf); gz.write(r); gz.finish(); gz.close()
+    }
+    val bytes = buf.toByteArray
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x40).toByte
+    Files.write(Paths.get(s"$d/c.warc.gz"), bytes)
+    val e = intercept[org.apache.spark.SparkException](readAll(d).collect())
+    assert(String.valueOf(e.getCause.getMessage).contains("c.warc.gz"),
+      s"got: ${e.getCause}")
+  }
 }

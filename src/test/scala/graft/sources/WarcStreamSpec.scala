@@ -12,7 +12,11 @@ import org.apache.spark.sql.functions._
 class WarcStreamSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Writes one single-record response segment file named `name`. */
+  /** Writes one single-record response segment file named `name`.
+    * WarcSink lands atomically on its own (hidden temp + rename); the
+    * move here exists only to give each arrival a distinct ascending
+    * NAME (the sink always numbers from part-0000) — the crawler-side
+    * naming discipline the tail's offset contract documents. */
   private def segment(dir: String, name: String, id: String,
                       text: String): Unit = {
     val one = Seq((s"https://t.example/$id", "2026-01-01 00:00:00",
@@ -25,8 +29,42 @@ class WarcStreamSpec extends SparkSpec {
     WarcSink.write(one, tmp, gzip = true)
     val written = new java.io.File(tmp).listFiles()
       .filter(_.getName.endsWith(".warc.gz")).head
-    // atomic landing: move into the watched dir under the segment name
     Files.move(written.toPath, Paths.get(s"$dir/$name"))
+  }
+
+  test("WarcSink feeds the tail it ships beside: a stream tailing the " +
+      "directory WHILE the sink writes into it sees only complete " +
+      "segments — the sink satisfies the tail's own delivery contract") {
+    val dir = Files.createTempDirectory("warc_sink_tail").toString
+    val df = spark.readStream.format("graft-warc").load(dir)
+      .select($"record_id", decode($"body", "UTF-8").as("text"))
+    val query = df.writeStream.format("memory").queryName("warc_st").start()
+    try {
+      query.processAllAvailable() // empty dir: zero rows, stream healthy
+      assert(spark.table("warc_st").count() === 0)
+      // the sink writes a multi-partition archive into the WATCHED dir
+      // while triggers keep firing — atomic temp+rename landing means
+      // no trigger can ever list a half-written segment
+      val docs = Seq(
+        ("https://t.example/a", "2026-01-01 00:00:00", "<urn:st:a>", 200, "aa"),
+        ("https://t.example/b", "2026-01-01 00:00:01", "<urn:st:b>", 200, "bb"),
+        ("https://t.example/c", "2026-01-01 00:00:02", "<urn:st:c>", 200, "cc"))
+        .toDF("url", "ts", "record_id", "http_status", "text")
+        .select($"url", $"ts".cast("timestamp").as("warc_date"), $"record_id",
+          $"http_status", encode($"text", "UTF-8").as("body"))
+      WarcSink.write(docs.repartition(3, $"record_id"), dir, gzip = true)
+      query.processAllAvailable()
+      val got = spark.table("warc_st").select($"record_id").as[String]
+        .collect().toSeq.sorted
+      assert(got === Seq("<urn:st:a>", "<urn:st:b>", "<urn:st:c>"), s"got $got")
+      assert(spark.table("warc_st").where($"record_id" === "<urn:st:b>")
+        .select($"text").as[String].head() === "bb")
+      // the landed directory holds only final segment names (plus the
+      // local filesystem's hidden .crc checksum sidecars)
+      val names = new java.io.File(dir).listFiles().map(_.getName)
+        .filterNot(_.startsWith(".")).toSeq
+      assert(names.forall(_.matches("part-\\d{4}\\.warc\\.gz")), s"$names")
+    } finally query.stop()
   }
 
   test("each segment is read in exactly one microbatch; idle triggers " +

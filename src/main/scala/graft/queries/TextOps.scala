@@ -3162,12 +3162,17 @@ object TextOps {
       .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
         col("chunk_tokens"))
   }
-  private val q213Sql = {
+  private val q213Sql = sentenceChunkSql(
+    "regexp_replace(text, '\\bthe\\b', 'the.', 'g')")
+
+  /** The recursive-CTE replay of Chunk.bySentence (force-split 16, pack
+    * 48) over `textExpr` of documents — shared by q213 (injected
+    * punctuation) and q216 (raw text through the Pipeline stage). */
+  private def sentenceChunkSql(textExpr: String): String = {
     def dTokOf(e: String) =
       s"list_filter(string_split_regex($e, '\\s+'), t -> len(t) > 0)"
     s"""WITH RECURSIVE
-       |d AS (SELECT doc_id,
-       |  regexp_replace(text, '\\bthe\\b', 'the.', 'g') AS t2
+       |d AS (SELECT doc_id, $textExpr AS t2
        |  FROM documents),
        |m AS (SELECT doc_id,
        |  regexp_replace(t2, '([.!?])\\s+', '\\1' || chr(31), 'g') AS mk
@@ -3198,6 +3203,24 @@ object TextOps {
        |  CAST(sum(plen) AS BIGINT) AS chunk_tokens
        |FROM rec GROUP BY doc_id, chunk""".stripMargin
   }
+
+  // -- q216: the chunkSentences PIPELINE stage — the config-level twin
+  // of q213: a two-line config (read → chunkSentences) must be exactly
+  // the operator with the text column rebound to the chunk text. The
+  // fixture text carries no punctuation, so each document is one
+  // sentence force-split at 16 tokens and packed at 48 — the same
+  // recursive-CTE oracle as q213 minus the punctuation injection
+  // (sentenceChunkSql is shared). What this pins beyond q213 is the
+  // STAGE WIRING: tokenizer → registry → Chunk.bySentence call with
+  // config params, the row-multiplying explode semantics included. --
+  private val q216: Q = (s, dir) => {
+    graft.Pipeline.run(s, dir,
+        "read table=documents\n" +
+          "chunkSentences maxTokens=48 maxSentenceTokens=16\n")
+      .select(col("doc_id"), col("chunk_idx"),
+        col("text").as("chunk_text"), col("chunk_tokens"))
+  }
+  private val q216Sql = sentenceChunkSql("text")
 
   // -- q196: token-budget selection (Mix.selectByTokenBudget) — the
   // "assemble the B-token training set from a scored corpus" step:
@@ -3458,6 +3481,7 @@ object TextOps {
        |WHERE host IN (SELECT host FROM h)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q216_pipeline_chunks" -> q216,
     "q215_keep_best_dedup" -> q215,
     "q214_domain_card" -> q214,
     "q213_sentence_chunks" -> q213,
@@ -3550,6 +3574,7 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q215_keep_best_dedup" -> q215Sql,
     "q214_domain_card" -> q214Sql,
+    "q216_pipeline_chunks" -> q216Sql,
     "q213_sentence_chunks" -> q213Sql,
     "q209_card_drift" -> q209Sql,
     "q208_quality_checks" -> q208Sql,

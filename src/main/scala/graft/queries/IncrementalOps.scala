@@ -1089,7 +1089,46 @@ object IncrementalOps {
        |FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin
   }
 
+  // -- q217: takedown propagation through the fingerprint store
+  // (Takedown.retractFingerprints → purge) — the right-to-be-forgotten
+  // cycle: a corpus carrying re-delivered copies of docs < 50 takes
+  // down every ORIGINAL doc_id < 150; candidate fingerprints still
+  // claimed by a surviving copy must STAY (dropping them would re-admit
+  // duplicates of text the corpus still has), the rest tombstone and
+  // then purge physically (staged rewrite, tombstone table dropped).
+  // Set algebra the oracle replays: store − (fps(takedown) −
+  // fps(surviving)) = fps(surviving), whatever texts collide. The
+  // surgical machinery (co-bucketed tombstones, exchange-free live
+  // view, crash contract) is TakedownSpec's; this pins the end state
+  // cross-engine. --
+  private val q217: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val copies = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corpus = d.unionByName(copies)
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_takedown_fp_$sfx"
+    // the cycle IS the query: fresh store + clean tombstones every run
+    s.sql(s"DROP TABLE IF EXISTS " +
+      s"`${graft.operators.Takedown.tombstoneTable(table)}`")
+    Dedup.writeFingerprintStore(corpus, "text", table, buckets = 8)
+    graft.operators.Takedown.retractFingerprints(s, table,
+      takedown = corpus.filter(col("doc_id") < 150), textCol = "text",
+      surviving = corpus.filter(col("doc_id") >= 150),
+      survivingTextCol = "text")
+    graft.operators.Takedown.purge(s, table)
+    s.table(table).select(col("fp"))
+  }
+  private val q217Sql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+       |  WHERE doc_id < 50)
+       |SELECT DISTINCT $dFp AS fp FROM corpus WHERE doc_id >= 150""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q217_takedown_cycle" -> q217,
     "q133_hybrid_rrf" -> q133,
     "q121_phrase_search" -> q121,
     "q122_maxscore_search" -> q122,
@@ -1116,6 +1155,7 @@ object IncrementalOps {
     "q108_ingest_pipeline" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q217_takedown_cycle" -> q217Sql,
     "q133_hybrid_rrf" -> q133Sql,
     "q121_phrase_search" -> q121Sql,
     "q122_maxscore_search" -> q122Sql,

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+/** Takedown propagation: tombstone retract / live view / physical purge
+  * cycle, idempotence, the exchange-free live-probe plan, the
+  * fingerprint still-claimed rule, and the fail-fast matrix. */
+class TakedownSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshFpStore(name: String, buckets: Int = 4): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(name)}`")
+    val d = Tables.load(spark, sf(), "documents").select($"doc_id", $"text")
+    Dedup.writeFingerprintStore(d, "text", name, buckets)
+  }
+
+  test("retract hides keys from live() only; purge makes it physical, " +
+      "drops the tombstones, and the next retraction starts clean") {
+    val t = "tk_cycle"
+    freshFpStore(t)
+    try {
+      val all = spark.table(t).as[String].collect().toSet
+      val victims = all.toSeq.sorted.take(5).toSet
+      Takedown.retract(spark, t, victims.toSeq.toDF("fp"))
+      // merge-on-read: the table still holds the rows, live() does not
+      assert(spark.table(t).as[String].collect().toSet === all)
+      assert(Takedown.live(spark, t).as[String].collect().toSet ===
+        all -- victims)
+      Takedown.purge(spark, t)
+      assert(spark.table(t).as[String].collect().toSet === all -- victims)
+      assert(!spark.catalog.tableExists(Takedown.tombstoneTable(t)),
+        "purge must drop the tombstone table")
+      // live() over a purged store is the table itself
+      assert(Takedown.live(spark, t).as[String].collect().toSet ===
+        all -- victims)
+      // a fresh retraction after purge starts a new tombstone table
+      val more = (all -- victims).toSeq.sorted.take(2).toSet
+      Takedown.retract(spark, t, more.toSeq.toDF("fp"))
+      assert(Takedown.live(spark, t).as[String].collect().toSet ===
+        all -- victims -- more)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(t)}`")
+    }
+  }
+
+  test("retract is idempotent: re-delivering the same takedown appends " +
+      "nothing; purge with no tombstones is a no-op") {
+    val t = "tk_idem"
+    freshFpStore(t)
+    try {
+      val before = spark.table(t).as[String].collect().toSet
+      // no tombstones: purge must leave the table untouched
+      Takedown.purge(spark, t)
+      assert(spark.table(t).as[String].collect().toSet === before)
+      val victims = before.toSeq.sorted.take(3).toDF("fp")
+      Takedown.retract(spark, t, victims)
+      Takedown.retract(spark, t, victims) // crash-retry re-delivery
+      assert(spark.table(Takedown.tombstoneTable(t)).count() === 3,
+        "re-retracting the same keys must not duplicate tombstones")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(t)}`")
+    }
+  }
+
+  test("live() never shuffles: the anti-join rides the co-bucketed " +
+      "layout on both sides") {
+    val t = "tk_plan"
+    freshFpStore(t)
+    try {
+      val victims = spark.table(t).as[String].collect().toSeq.sorted
+        .take(4).toDF("fp")
+      Takedown.retract(spark, t, victims)
+      val lv = Takedown.live(spark, t)
+      lv.collect() // materialize AQE stages before walking the plan
+      val shuffles = collectPlan(lv.queryExecution.executedPlan) {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(shuffles.isEmpty,
+        s"live() must not shuffle either store side: $shuffles")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(t)}`")
+    }
+  }
+
+  test("retractFingerprints: a fingerprint still claimed by a surviving " +
+      "duplicate STAYS; an unclaimed one goes") {
+    val t = "tk_claimed"
+    spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(t)}`")
+    val corpus = Seq(
+      (1L, "shared text body"), // taken down, but id 3 has the same text
+      (2L, "unique doomed text"), // taken down, no surviving claim
+      (3L, "shared text body"),
+      (4L, "innocent bystander")).toDF("doc_id", "text")
+    Dedup.writeFingerprintStore(corpus, "text", t, buckets = 2)
+    try {
+      Takedown.retractFingerprints(spark, t,
+        takedown = corpus.filter($"doc_id" <= 2), textCol = "text",
+        surviving = corpus.filter($"doc_id" >= 3),
+        survivingTextCol = "text")
+      val expected = corpus.filter($"doc_id" >= 3)
+        .select(graft.functions.Text.fingerprint($"text").as("fp"))
+        .distinct().as[String].collect().toSet
+      assert(Takedown.live(spark, t).as[String].collect().toSet === expected,
+        "the shared fp must survive, the doomed one must not")
+      Takedown.purge(spark, t)
+      assert(spark.table(t).as[String].collect().toSet === expected)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(t)}`")
+    }
+  }
+
+  test("fail fast: key columns must match the bucket spec; plain tables " +
+      "are refused") {
+    val t = "tk_fail"
+    freshFpStore(t)
+    try {
+      val e = intercept[IllegalArgumentException](
+        Takedown.retract(spark, t, Seq(1L).toDF("doc_id")))
+      assert(e.getMessage.contains("bucket columns"))
+      spark.sql("DROP TABLE IF EXISTS tk_plain")
+      Seq(("x")).toDF("fp").write.saveAsTable("tk_plain")
+      val e2 = intercept[IllegalArgumentException](
+        Takedown.retract(spark, "tk_plain", Seq("x").toDF("fp")))
+      assert(e2.getMessage.contains("not a bucketed store table"))
+      val e3 = intercept[IllegalArgumentException](
+        Takedown.live(spark, "tk_plain"))
+      assert(e3.getMessage.contains("not a bucketed store table"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(t)}`")
+      spark.sql("DROP TABLE IF EXISTS tk_plain")
+    }
+  }
+}

@@ -76,6 +76,11 @@ object Pipeline {
     *    `chunk_tokens` ride along, and idCol stays the DOCUMENT id
     *    (chunks share it), so run dedup/gates BEFORE this stage and
     *    sinks after.
+    *  - `robotsGate` (q219/q220): retroactive crawl-policy compliance —
+    *    `table=` a fixture table of robots.txt bodies (`hostCol=`
+    *    default `host`, `bodyCol=` default `body`), parsed to
+    *    `User-agent: *` Disallow prefixes (the documented RFC 9309
+    *    subset) and applied to `urlCol=` (default `url`).
     *  - URL curation (q202/q203): `blockDomains` drops rows whose URL
     *    host or any parent domain is blocklisted (`domains=a.com,b.org`
     *    literals and/or `table=`+`domainCol=` a fixture-table list —
@@ -106,6 +111,7 @@ object Pipeline {
     "langId" -> Set("langCol", "langs", "dim", "n", "iterations"),
     "qualityGate" -> Set("labelCol", "labelTrue", "dim", "iterations", "tau"),
     "deriveUrl" -> Set("outCol"),
+    "robotsGate" -> Set("table", "hostCol", "bodyCol", "urlCol"),
     "blockDomains" -> Set("urlCol", "domains", "table", "domainCol"),
     "domainQuality" -> Set("urlCol", "valueCol", "minMean", "minDocs"),
     "sample" -> Set("rate", "salt"),
@@ -346,6 +352,26 @@ object Pipeline {
           df.withColumn(out, concat(lit("https://"), lower(col("source")),
             lit("."), col("lang"), lit(".example.org/p/"),
             col(idCol).cast("string")))
+        case "robotsGate" =>
+          val urlCol = s.params.getOrElse("urlCol", "url")
+          require(df.columns.contains(urlCol),
+            s"pipeline line ${s.line}: robotsGate urlCol= column " +
+              s"'$urlCol' not in the frame (has: " +
+              s"${df.columns.sorted.mkString(", ")}) — derive one with " +
+              "a deriveUrl stage or point urlCol= at the crawl's own")
+          val robotsTable = s.params.getOrElse("table",
+            throw new IllegalArgumentException(
+              s"pipeline line ${s.line}: robotsGate needs table= (the " +
+                "robots.txt bodies fixture table)"))
+          val hostCol = s.params.getOrElse("hostCol", "host")
+          val bodyCol = s.params.getOrElse("bodyCol", "body")
+          val robots = Tables.load(spark, baseDir, robotsTable)
+          Seq(hostCol, bodyCol).foreach(c => require(
+            robots.columns.contains(c),
+            s"pipeline line ${s.line}: robotsGate table '$robotsTable' " +
+              s"lacks column '$c'"))
+          operators.UrlOps.applyRobots(df, urlCol, idCol,
+            operators.UrlOps.parseRobots(robots, hostCol, bodyCol))
         case "blockDomains" =>
           val urlCol = s.params.getOrElse("urlCol", "url")
           require(df.columns.contains(urlCol),

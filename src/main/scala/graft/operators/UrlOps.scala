@@ -143,4 +143,89 @@ object UrlOps {
       .select(col(idCol))
     df.join(hits, Seq(idCol), "left_anti")
   }
+
+  /** robots.txt → `User-agent: *` Disallow PREFIX rules — the
+    * crawl-policy half of URL curation: a retroactive compliance pass
+    * (the C4/CCNet practice: respect today's robots even for yesterday's
+    * crawl) starts from the robots bodies the crawl itself captured and
+    * needs them as a joinable (host, prefix) rule table.
+    *
+    * Parsing is RFC 9309's group model: consecutive `User-agent` lines
+    * STACK onto one group; a rule or blank line ends the stack, so the
+    * next `User-agent` starts a new group; a group applies when any of
+    * its agents is `*`. Comments strip at `#`; `Sitemap:` and other
+    * non-group lines are ignored without ending a stack; an empty
+    * `Disallow:` contributes nothing (allow-all, per spec); rules before
+    * any `User-agent` line belong to no group and drop.
+    *
+    * Documented SUBSET (kept oracle-replayable and deterministic):
+    * literal path prefixes only — no `Allow:` longest-match precedence,
+    * no `*`/`$` wildcards (RFC 9309 §2.2.3's optional extensions), no
+    * per-bot agent matching beyond `*`. A compliance pass that needs
+    * full Allow semantics should treat this as the conservative
+    * over-blocking approximation it is.
+    *
+    * One fold per body (the [[graft.operators.Chunk.bySentence]]
+    * recurrence discipline: entirely per-row, nothing shuffles), then
+    * one explode + distinct. Hosts normalize through the same
+    * lowercase/`www.`/port canonicalization as [[domainOf]], so rules
+    * join against document hosts on the same key. */
+  def parseRobots(df: DataFrame, hostCol: String,
+                  bodyCol: String): DataFrame = {
+    val lines = split(
+      regexp_replace(col(bodyCol), "#[^\n]*", ""), "\r?\n")
+    val st0 = struct(lit(false).as("star"), lit(true).as("boundary"),
+      array().cast("array<string>").as("rules"))
+    val folded = aggregate(lines, st0, (st, raw) => {
+      val l = trim(raw)
+      val low = lower(l)
+      val isUa = low.startsWith("user-agent:")
+      val isDis = low.startsWith("disallow:")
+      val isAllow = low.startsWith("allow:")
+      val value = trim(regexp_replace(l, "^[A-Za-z-]+\\s*:", ""))
+      val star = st.getField("star")
+      val boundary = st.getField("boundary")
+      val rules = st.getField("rules")
+      struct(
+        when(isUa && boundary, value === "*") // new group
+          .when(isUa, star || (value === "*")) // stacked agent line
+          .otherwise(star).as("star"),
+        when(isUa, lit(false))
+          .when(isDis || isAllow || (l === ""), lit(true))
+          .otherwise(boundary).as("boundary"),
+        when(isDis && star && (value =!= ""),
+          concat(rules, array(value))).otherwise(rules).as("rules"))
+    }, st => st.getField("rules"))
+    df.select(bareHost(col(hostCol)).as("host"), folded.as("__rules"))
+      .select(col("host"), explode(col("__rules")).as("prefix"))
+      .distinct()
+  }
+
+  /** Crawl-policy gate over [[parseRobots]] rules: drop rows whose URL
+    * path (query included, fragment not — RFC 9309 §2.2.2) starts with
+    * a disallowed prefix for its host. Rows with no parseable
+    * `scheme://host` PASS (the [[dropBlockedDomains]] convention: a
+    * policy gate drops known-disallowed, it doesn't quarantine
+    * unknown). Scale shape: one host-keyed join (rules broadcast when
+    * small, shuffled when web-scale) fanning each row out to its own
+    * host's rules only, prefix test in the join condition, matched ids
+    * anti-join back — never a rules×corpus cross product. */
+  def applyRobots(df: DataFrame, urlCol: String, idCol: String,
+                  rules: DataFrame): DataFrame = {
+    Seq("host", "prefix").foreach(c => require(rules.columns.contains(c),
+      s"applyRobots: rules frame lacks '$c' (parseRobots emits both)"))
+    val noFrag = dropFragment(col(urlCol))
+    val parseable = noFrag.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
+    val path0 = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+    val path = when(path0 === "", "/").otherwise(path0)
+    val hits = df
+      .filter(parseable)
+      .select(col(idCol), domainOf(col(urlCol)).as("__graft_host"),
+        path.as("__graft_path"))
+      .join(rules.select(col("host").as("__graft_host"),
+        col("prefix").as("__graft_pre")), Seq("__graft_host"))
+      .filter(col("__graft_path").startsWith(col("__graft_pre")))
+      .select(col(idCol))
+    df.join(hits, Seq(idCol), "left_anti")
+  }
 }

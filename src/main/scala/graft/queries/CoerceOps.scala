@@ -354,6 +354,24 @@ object CoerceOps {
   }
   private val q55Sql = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
 
+  // -- q218: ORC dump round-trip — the third columnar ecosystem format
+  // beside parquet (dumps feeding Hive/Trino/Presto estates read ORC
+  // natively). ORC is typed, so unlike q54's CSV there is no coercion
+  // leg: the round trip must preserve longs, strings, doubles, and
+  // DATES bit-exactly through the Sink's rotation+rename pass and the
+  // zstd codec. Oracle: the table itself — dump → orc → read-back is
+  // lossless or the hash says otherwise. --
+  private val q218: Q = (s, dir) => {
+    import graft.DumpJob
+    import graft.sinks.Sink
+    val out = java.nio.file.Files.createTempDirectory("graft_q218").toString
+    DumpJob.run(s, dir, out, DumpJob.Config(
+      pattern = "orders",
+      sink = Sink.Config(format = "orc", compression = Some("zstd"))))
+    s.read.orc(s"$out/orders")
+  }
+  private val q218Sql = "SELECT * FROM orders"
+
   /** Deterministic solid-gray PNG via the JDK encoder (driver-side; a few
     * hundred bytes per fixture). */
   private def pngBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
@@ -703,6 +721,7 @@ object CoerceOps {
     "q49_geo_distance" -> q49,
     "q54_csv_roundtrip" -> q54,
     "q55_ndjson_roundtrip" -> q55,
+    "q218_orc_roundtrip" -> q218,
     "q67_imageio_decode" -> q67,
     "q68_wav_decode" -> q68,
     "q71_gif_frame_sample" -> q71,
@@ -726,6 +745,7 @@ object CoerceOps {
     "q49_geo_distance" -> q49Sql,
     "q54_csv_roundtrip" -> q54Sql,
     "q55_ndjson_roundtrip" -> q55Sql,
+    "q218_orc_roundtrip" -> q218Sql,
     "q67_imageio_decode" -> q67Sql,
     "q68_wav_decode" -> q68Sql,
     "q71_gif_frame_sample" -> q71Sql,

@@ -3418,6 +3418,106 @@ object TextOps {
        |UNION ALL
        |SELECT 'ALL', count(DISTINCT $dFp), true FROM documents""".stripMargin
 
+  /** The robots.txt body both robots queries parse — one Scala constant
+    * spliced into BOTH engines (the Spark frame and the oracle's SQL
+    * literal), so any divergence is the PARSERS', never the fixture's.
+    * Exercises: comments, a non-* group whose `Disallow: /` must not
+    * leak, a stacked `User-agent: * / legacybot` run, an ignored
+    * `Allow:` (the documented subset), an empty `Disallow:` (allow-all,
+    * contributes nothing), a `Sitemap:` line that must not end the
+    * group, and a trailing non-* group. */
+  private val robotsBody =
+    "# graft crawl policy\n" +
+      "User-agent: gptbot\n" +
+      "Disallow: /\n" +
+      "\n" +
+      "User-agent: *\n" +
+      "User-agent: legacybot\n" +
+      "Sitemap: https://example.org/sitemap.xml\n" +
+      "Disallow: /p/1\n" +
+      "Allow: /p/12\n" +
+      "Disallow: /p/3\n" +
+      "Disallow:\n" +
+      "\n" +
+      "User-agent: otherbot\n" +
+      "Disallow: /p\n"
+
+  /** One robots.txt per synthesized (source, lang) host. */
+  private def robotsFrame(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(concat(lower(col("source")), lit("."), col("lang"),
+        lit(".example.org")).as("host"))
+      .distinct()
+      .withColumn("body", lit(robotsBody))
+
+  // -- q219: robots.txt parsing (UrlOps.parseRobots) — the crawl-policy
+  // rule extraction: RFC 9309 group semantics (stacked User-agent runs,
+  // rule/blank lines end a stack, * groups apply) folded per body in
+  // one expression chain. The oracle derives the SAME rules by a
+  // different algorithm — relational, not a fold: boundary-writer
+  // windows find group starts, a correlated max assigns each line its
+  // group, bool_or finds * groups — so agreement pins the group
+  // semantics, not just the arithmetic. --
+  private val q219: Q = (s, dir) =>
+    graft.operators.UrlOps.parseRobots(robotsFrame(s, dir), "host", "body")
+  private val q219Sql =
+    s"""WITH hosts AS (
+       |  SELECT DISTINCT lower(source) || '.' || lang || '.example.org'
+       |    AS host FROM documents),
+       |raw AS (SELECT host, string_split_regex(
+       |    regexp_replace('$robotsBody',
+       |                   '#[^\\n]*', '', 'g'), '\\r?\\n') AS ls
+       |  FROM hosts),
+       |lines AS (SELECT host, u['i'] AS i, trim(u['l']) AS l FROM raw,
+       |  unnest(list_transform(range(1, len(ls) + 1),
+       |    i -> {'i': i, 'l': ls[CAST(i AS INT)]})) AS t(u)),
+       |cls AS (SELECT host, i, l,
+       |    CASE WHEN lower(l) LIKE 'user-agent:%' THEN 'ua'
+       |         WHEN lower(l) LIKE 'disallow:%' THEN 'dis'
+       |         WHEN lower(l) LIKE 'allow:%' THEN 'allow'
+       |         WHEN l = '' THEN 'blank' ELSE 'other' END AS typ,
+       |    trim(regexp_replace(l, '^[A-Za-z-]+\\s*:', '')) AS v
+       |  FROM lines),
+       |bw AS (SELECT *, max(CASE WHEN typ IN ('ua', 'dis', 'allow', 'blank')
+       |      THEN i END) OVER (PARTITION BY host ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pbw
+       |  FROM cls),
+       |bw2 AS (SELECT a.*, b.typ AS pbw_typ FROM bw a
+       |  LEFT JOIN cls b ON b.host = a.host AND b.i = a.pbw),
+       |gs AS (SELECT host, i FROM bw2
+       |  WHERE typ = 'ua' AND (pbw_typ IS NULL OR pbw_typ <> 'ua')),
+       |cur AS (SELECT c.host, c.i, c.typ, c.v,
+       |    (SELECT max(g.i) FROM gs g
+       |     WHERE g.host = c.host AND g.i <= c.i) AS g
+       |  FROM cls c),
+       |stars AS (SELECT host, g, bool_or(v = '*') AS star
+       |  FROM cur WHERE typ = 'ua' GROUP BY host, g)
+       |SELECT DISTINCT c.host, c.v AS prefix
+       |FROM cur c JOIN stars s ON s.host = c.host AND s.g = c.g
+       |WHERE c.typ = 'dis' AND c.v <> '' AND s.star""".stripMargin
+
+  // -- q220: the robots gate (UrlOps.applyRobots) — retroactive
+  // crawl-policy compliance: per-host Disallow prefixes drop every URL
+  // whose path falls under them. The oracle never parses: it applies
+  // the KNOWN literal rules (/p/1, /p/3) directly to the synthesized
+  // paths, so the parse → join → prefix-gate chain must land on the
+  // independently-computed survivor set. --
+  private val q220: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"),
+      concat(lit("https://"), lower(col("source")), lit("."), col("lang"),
+        lit(".example.org/p/"), col("doc_id").cast("string")).as("url"))
+    val rules = graft.operators.UrlOps.parseRobots(
+      robotsFrame(s, dir), "host", "body")
+    graft.operators.UrlOps.applyRobots(d, "url", "doc_id", rules)
+  }
+  private val q220Sql =
+    """SELECT doc_id,
+      |  'https://' || lower(source) || '.' || lang || '.example.org/p/' ||
+      |    CAST(doc_id AS VARCHAR) AS url
+      |FROM documents
+      |WHERE CAST(doc_id AS VARCHAR) NOT LIKE '1%'
+      |  AND CAST(doc_id AS VARCHAR) NOT LIKE '3%'""".stripMargin
+
   // -- q202: domain blocklist gate (UrlOps.dropBlockedDomains) — the
   // UT1-style crawl filter: hosts explode into dotted suffixes (bounded
   // by label count) which semi-join the blocklist, blocked ids
@@ -3481,6 +3581,8 @@ object TextOps {
        |WHERE host IN (SELECT host FROM h)""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q219_robots_rules" -> q219,
+    "q220_robots_gate" -> q220,
     "q216_pipeline_chunks" -> q216,
     "q215_keep_best_dedup" -> q215,
     "q214_domain_card" -> q214,
@@ -3574,6 +3676,8 @@ object TextOps {
   val oracle: Map[String, String] = Map(
     "q215_keep_best_dedup" -> q215Sql,
     "q214_domain_card" -> q214Sql,
+    "q219_robots_rules" -> q219Sql,
+    "q220_robots_gate" -> q220Sql,
     "q216_pipeline_chunks" -> q216Sql,
     "q213_sentence_chunks" -> q213Sql,
     "q209_card_drift" -> q209Sql,

@@ -574,6 +574,38 @@ class PipelineSpec extends SparkSpec {
       .contains("unknown chunkSentences param"))
   }
 
+  test("robotsGate stage == the hand-written parseRobots + applyRobots " +
+    "chain; fail-fast matrix") {
+    val dir = java.nio.file.Files.createTempDirectory("pl_robots").toString
+    val docs = Seq(
+      (1L, "first page words here", "https://h.example/p/1"),
+      (2L, "second page words here", "https://h.example/ok/2"),
+      (3L, "third page words here", "https://other.example/p/1")
+    ).toDF("doc_id", "text", "url")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq(("h.example", "User-agent: *\nDisallow: /p\n"))
+      .toDF("host", "body")
+      .write.mode("overwrite").parquet(s"$dir/robots.parquet")
+    val got = Pipeline.run(spark, dir,
+      "read table=documents\nrobotsGate table=robots")
+    val want = operators.UrlOps.applyRobots(
+      spark.read.parquet(s"$dir/documents.parquet"), "url", "doc_id",
+      operators.UrlOps.parseRobots(
+        spark.read.parquet(s"$dir/robots.parquet"), "host", "body"))
+    assert(got.select($"doc_id").as[Long].collect().toSet === Set(2L, 3L))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // fail fast: missing table=, absent urlCol, robots table lacking cols
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, dir,
+      "read table=documents\nrobotsGate")).getMessage
+      .contains("robotsGate needs table="))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, dir,
+      "read table=documents\nrobotsGate table=robots urlCol=nope"))
+      .getMessage.contains("'nope' not in the frame"))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, dir,
+      "read table=documents\nrobotsGate table=robots hostCol=origin"))
+      .getMessage.contains("lacks column 'origin'"))
+  }
+
   test("readWarc first stage: a config curates a crawl archive end to " +
     "end — responses only, URL gates on the archive's own urls") {
     val arch = java.nio.file.Files.createTempDirectory("pl_warc").toString +

@@ -132,4 +132,67 @@ class UrlOpsSpec extends SparkSpec {
         blocked.withColumnRenamed("domain", "host")))
       .getMessage.contains("lacks 'domain'"))
   }
+
+  private def rules(body: String): Set[String] = {
+    val df = Seq(("h.example", body)).toDF("host", "body")
+    UrlOps.parseRobots(df, "host", "body")
+      .select($"prefix").as[String].collect().toSet
+  }
+
+  test("parseRobots: RFC 9309 group semantics — stacked agents, rule/" +
+      "blank lines end a stack, non-* groups never leak") {
+    // stacked * + named agent: rules belong to both
+    assert(rules("User-agent: a\nUser-agent: *\nDisallow: /x") === Set("/x"))
+    // a rule line ends the stack: the next UA starts a NEW group
+    assert(rules("User-agent: *\nDisallow: /x\nUser-agent: b\nDisallow: /y")
+      === Set("/x"))
+    // a blank line ends the stack the same way
+    assert(rules("User-agent: *\n\nUser-agent: b\nDisallow: /y")
+      === Set.empty)
+    // blank between a * group's UA and its rules does NOT detach them
+    assert(rules("User-agent: *\n\nDisallow: /z") === Set("/z"))
+    // non-* group only: nothing applies
+    assert(rules("User-agent: gptbot\nDisallow: /") === Set.empty)
+    // comments strip; Sitemap lines don't end a UA stack
+    assert(rules("User-agent: x # trailing\nUser-agent: *\n" +
+      "Sitemap: https://h/s.xml\nDisallow: /p") === Set("/p"))
+    // empty Disallow is allow-all; rules before any UA belong to nothing
+    assert(rules("Disallow: /orphan\nUser-agent: *\nDisallow:\n") ===
+      Set.empty)
+    // case-insensitive directives, CRLF bodies, host canonicalization
+    val df = Seq(("WWW.H.example:8080",
+      "USER-AGENT: *\r\nDISALLOW: /a\r\n")).toDF("host", "body")
+    val out = UrlOps.parseRobots(df, "host", "body").collect().head
+    assert(out.getString(0) === "h.example" && out.getString(1) === "/a")
+  }
+
+  test("applyRobots: prefix gate per host; unparseable URLs pass; " +
+      "queries count, fragments don't") {
+    val rules = Seq(("h.example", "/private"), ("h.example", "/p/1"))
+      .toDF("host", "prefix")
+    val docs = Seq(
+      (1L, "https://h.example/private/doc"), // blocked: /private prefix
+      (2L, "https://h.example/public/doc"), // survives
+      (3L, "https://other.example/private/doc"), // other host: survives
+      (4L, "https://h.example/p/10"), // blocked: /p/1 prefix
+      (5L, "https://h.example/p/2?x=/p/1"), // query is part of the path
+      (6L, "https://h.example/p/2#/p/1"), // fragment is NOT
+      (7L, "not a url") // unparseable: passes
+    ).toDF("doc_id", "url")
+    val got = UrlOps.applyRobots(docs, "url", "doc_id", rules)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got === Set(2L, 3L, 5L, 6L, 7L))
+    // doc 5 survives because matching is PREFIX-anchored: its path
+    // "/p/2?x=/p/1" merely CONTAINS /p/1; a query string still counts
+    // when the prefix itself reaches into it:
+    val blockedByQuery = Seq((8L, "https://h.example/p/1?even=with-query"))
+      .toDF("doc_id", "url")
+    assert(UrlOps.applyRobots(blockedByQuery, "url", "doc_id", rules)
+      .isEmpty)
+    // fail fast on a rules frame without the contract columns
+    assert(intercept[IllegalArgumentException](
+      UrlOps.applyRobots(docs, "url", "doc_id",
+        rules.withColumnRenamed("prefix", "pre")))
+      .getMessage.contains("lacks 'prefix'"))
+  }
 }

@@ -122,6 +122,75 @@ object Takedown {
     spark.sql(s"DROP TABLE IF EXISTS `$tomb`")
   }
 
+  /** k-NN-store takedown: tombstones the ids in BOTH halves of the
+    * store — the vectors table (keyed by the id column) and the edges
+    * table (keyed `q_id`, killing the node's own neighbor list). What
+    * tombstones CANNOT express is the third place a forgotten node
+    * lives: as a NEIGHBOR inside other nodes' edge rows — those are
+    * scattered across arbitrary `q_id` buckets; [[liveKnnEdges]] scrubs
+    * them at read time (one more anti-join against the vector
+    * tombstones on the neighbor column) and [[purgeKnnStore]] scrubs
+    * them physically.
+    *
+    * Honesty contract (the FAISS `remove_ids` stance): retraction
+    * removes the forgotten nodes EXACTLY; it does not backfill
+    * replacement neighbors, so survivors that pointed at a removed node
+    * keep < k edges until the store is rebuilt or re-appended — the
+    * exact-k restore is a recompute, not a delete. */
+  def retractFromKnnStore(spark: SparkSession, table: String,
+                          ids: DataFrame): Unit = {
+    val vt = Similarity.knnVectorsTable(table)
+    val et = Similarity.knnEdgesTable(table)
+    val idCol = bucketSpecOf(spark, vt).bucketColumnNames.head
+    require(ids.columns.length == 1,
+      s"Takedown.retractFromKnnStore: ids must be a single-column frame " +
+        s"(got ${ids.columns.mkString(", ")})")
+    retract(spark, vt, ids.toDF(idCol))
+    retract(spark, et, ids.toDF("q_id"))
+  }
+
+  /** The edges half's live view with the NEIGHBOR scrub: tombstoned
+    * `q_id` rows go (plain [[live]]), and so does every row whose
+    * neighbor id is tombstoned in the vectors table — a forgotten
+    * document must stop being SERVED as someone's neighbor, not just
+    * stop querying. The neighbor anti-join shuffles edge rows once on
+    * the neighbor key (those rows live in arbitrary `q_id` buckets —
+    * the irreducible cost of reverse references). */
+  def liveKnnEdges(spark: SparkSession, table: String): DataFrame = {
+    val vt = Similarity.knnVectorsTable(table)
+    val et = Similarity.knnEdgesTable(table)
+    val idCol = bucketSpecOf(spark, vt).bucketColumnNames.head
+    val base = live(spark, et)
+    val tombV = tombstoneTable(vt)
+    if (!spark.catalog.tableExists(tombV)) base
+    else base.join(spark.table(tombV).select(col(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Physical purge of a k-NN store: the edges table rewrites to
+    * [[liveKnnEdges]] (row AND neighbor scrub — this must run while the
+    * vector tombstones still exist, hence edges first), then the
+    * vectors table purges normally. Both rewrites are staged+swapped
+    * and carry the `graft.*` geometry stamp, so appends keep replaying
+    * the stamped geometry afterwards (spec-pinned). A crash between the
+    * two halves re-converges on rerun: the edges rewrite is idempotent
+    * and the remaining vector tombstones still describe the same set. */
+  def purgeKnnStore(spark: SparkSession, table: String): Unit = {
+    val vt = Similarity.knnVectorsTable(table)
+    val et = Similarity.knnEdgesTable(table)
+    val eSpec = bucketSpecOf(spark, et)
+    val tombE = tombstoneTable(et)
+    val tombV = tombstoneTable(vt)
+    if (spark.catalog.tableExists(tombE) ||
+        spark.catalog.tableExists(tombV)) {
+      graft.sinks.Bucketing.overwriteBucketedStaged(
+        liveKnnEdges(spark, table), et,
+        eSpec.bucketColumnNames, eSpec.numBuckets)
+      spark.sql(s"DROP TABLE IF EXISTS `$tombE`")
+      purge(spark, vt)
+    }
+  }
+
   /** Fingerprint-store takedown under the STILL-CLAIMED rule: a
     * candidate fingerprint (a taken-down document's normalized-text
     * md5) is retracted only when NO surviving document carries the same

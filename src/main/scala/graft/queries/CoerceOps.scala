@@ -372,6 +372,31 @@ object CoerceOps {
   }
   private val q218Sql = "SELECT * FROM orders"
 
+  // -- q221: schema-evolution merge read — the multi-year-corpus
+  // reality parquet pipelines hit first: snapshot A was written before
+  // the `lang` column existed, snapshot B after; one read must see the
+  // WIDENED schema with A's missing column as NULL, not fail or
+  // silently drop B's column (the default read takes the first
+  // footer's schema). This is `mergeSchema` — a footer-union at plan
+  // time, zero data cost — pinned here against an oracle that states
+  // the widening explicitly (NULL AS lang for the old snapshot). --
+  private val q221: Q = (s, dir) => {
+    val out = java.nio.file.Files.createTempDirectory("graft_q221").toString
+    val d = graft.Tables.load(s, dir, "documents")
+    d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$out/snap_a")
+    d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$out/snap_b")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$out/snap_a", s"$out/snap_b")
+  }
+  private val q221Sql =
+    """SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 1""".stripMargin
+
   /** Deterministic solid-gray PNG via the JDK encoder (driver-side; a few
     * hundred bytes per fixture). */
   private def pngBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
@@ -722,6 +747,7 @@ object CoerceOps {
     "q54_csv_roundtrip" -> q54,
     "q55_ndjson_roundtrip" -> q55,
     "q218_orc_roundtrip" -> q218,
+    "q221_merge_schema" -> q221,
     "q67_imageio_decode" -> q67,
     "q68_wav_decode" -> q68,
     "q71_gif_frame_sample" -> q71,
@@ -746,6 +772,7 @@ object CoerceOps {
     "q54_csv_roundtrip" -> q54Sql,
     "q55_ndjson_roundtrip" -> q55Sql,
     "q218_orc_roundtrip" -> q218Sql,
+    "q221_merge_schema" -> q221Sql,
     "q67_imageio_decode" -> q67Sql,
     "q68_wav_decode" -> q68Sql,
     "q71_gif_frame_sample" -> q71Sql,

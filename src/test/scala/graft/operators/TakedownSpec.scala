@@ -116,6 +116,48 @@ class TakedownSpec extends SparkSpec {
     }
   }
 
+  test("knn-store takedown: node rows AND reverse-neighbor references " +
+      "go; geometry stamp survives the purge; appends still replay it") {
+    val t = "tk_knn"
+    Seq(Similarity.knnVectorsTable(t), Similarity.knnEdgesTable(t))
+      .foreach { x =>
+        spark.sql(s"DROP TABLE IF EXISTS `$x`")
+        spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(x)}`")
+      }
+    val emb = Tables.load(spark, sf(), "embeddings")
+    Similarity.writeKnnStore(emb.filter($"vec_id" % 4 =!= 0), "vec_id",
+      "embedding", t, k = 5)
+    try {
+      val victims = Seq(1L, 5L, 9L).toDF("vec_id")
+      Takedown.retractFromKnnStore(spark, t, victims)
+      val lv = Takedown.liveKnnEdges(spark, t)
+      assert(lv.filter($"q_id".isin(1L, 5L, 9L)).isEmpty,
+        "forgotten nodes must stop querying")
+      assert(lv.filter($"vec_id".isin(1L, 5L, 9L)).isEmpty,
+        "forgotten nodes must stop being served as neighbors")
+      assert(Takedown.live(spark, Similarity.knnVectorsTable(t))
+        .filter($"vec_id".isin(1L, 5L, 9L)).isEmpty)
+      Takedown.purgeKnnStore(spark, t)
+      val et = spark.table(Similarity.knnEdgesTable(t))
+      assert(et.filter($"q_id".isin(1L, 5L, 9L) ||
+        $"vec_id".isin(1L, 5L, 9L)).isEmpty, "purge must be physical")
+      Seq(Similarity.knnVectorsTable(t), Similarity.knnEdgesTable(t))
+        .foreach(x => assert(
+          !spark.catalog.tableExists(Takedown.tombstoneTable(x))))
+      // the geometry stamp rode through the staged rewrites: an append
+      // must still open the store and replay the stamped geometry
+      Similarity.appendToKnnStore(emb.filter($"vec_id" % 4 === 0),
+        "vec_id", "embedding", t)
+      assert(spark.table(Similarity.knnVectorsTable(t)).count() ===
+        emb.filter($"vec_id" % 4 =!= 0).count() - 3 +
+          emb.filter($"vec_id" % 4 === 0).count())
+    } finally Seq(Similarity.knnVectorsTable(t), Similarity.knnEdgesTable(t))
+      .foreach { x =>
+        spark.sql(s"DROP TABLE IF EXISTS `$x`")
+        spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(x)}`")
+      }
+  }
+
   test("fail fast: key columns must match the bucket spec; plain tables " +
       "are refused") {
     val t = "tk_fail"

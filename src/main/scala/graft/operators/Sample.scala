@@ -37,6 +37,48 @@ object Sample {
       .select(col(idCol), col("pos"))
   }
 
+  /** WEIGHTED sampling without replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): each row draws the
+    * exponential key `-ln(u) / w` from its deterministic uniform
+    * `u = (h + 1) / 2^32` (the md5(id:salt) draw, +1 keeps u in (0, 1]
+    * so the log is finite) and the n SMALLEST keys win — exactly the
+    * distribution of sequential weighted draws without replacement, so
+    * a quality-weighted corpus subsample ("keep 1M documents, prefer
+    * high-scoring ones, but keep diversity") falls out of one
+    * expression plus a top-n. Deterministic across engines (the md5
+    * arithmetic is the [[Splits]] construction; IEEE log/divide
+    * reproduce bit-for-bit), rerun- and layout-stable, and `salt`
+    * redraws independently.
+    *
+    * Scale shape: the key is a narrow codegen'd column; the n smallest
+    * rows come from the heap-aggregate top-k ([[bottomK]]'s machinery,
+    * one global group) — each partition keeps its own n candidates
+    * map-side, ONE reduce task merges heaps of size n, the corpus never
+    * sorts globally and never moves. Rows with NULL, zero, or negative
+    * weight are excluded up front (a weightless row must not win by
+    * numeric accident — the [[graft.operators.Mix]] null contract).
+    * Output: (`idCol`, sample_key), n rows (fewer when the corpus is
+    * smaller); winners re-join the source for their payload. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, n: Int,
+                     salt: String = ""): DataFrame = {
+    require(n >= 1, s"sample size must be positive: $n")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val h = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    val u = (h + 1.0) / 4294967296.0 // (h + 1) / 2^32 ∈ (0, 1]
+    val key = -log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol), col(weightCol), key.as("sample_key"))
+      .groupBy()
+      // negated: the max-heap keeps the smallest exponential keys; ties
+      // are impossible short of a digest collision, so selection is total
+      .agg(graft.functions.TopKByScore.topk(
+        -col("sample_key"), col(idCol), n).as("__s"))
+      .select(explode(col("__s")).as("__e"))
+      .select(col("__e.id").as(idCol), (-col("__e.score")).as("sample_key"))
+  }
+
   /** k-row uniform sample per group (fewer when the group is smaller):
     * (groupCols..., `idCol`). Ties (equal 32-bit hash prefixes) break
     * toward the smaller id — fully deterministic. */

@@ -3222,6 +3222,37 @@ object TextOps {
   }
   private val q216Sql = sentenceChunkSql("text")
 
+  // -- q222: weighted sampling without replacement (Efraimidis &
+  // Spirakis 2006, Sample.weightedSample) — the quality-weighted corpus
+  // subsample: each doc draws the exponential key -ln(u)/w from its
+  // deterministic md5 uniform and its TTR weight, the 50 smallest keys
+  // win. The oracle replays the identical arithmetic (same md5 slice,
+  // same (h+1)/2^32 uniform, structurally identical -ln(u)/w) and takes
+  // the same LIMIT; keys round to 6 decimals on BOTH sides so a ulp of
+  // libm ln divergence can't break the value hash (selection order has
+  // gaps >> ulp). Spark-side cost: one narrow key column + the
+  // heap-aggregate top-n — no global sort, the corpus never moves. --
+  private val q222: Q = (s, dir) => {
+    val tk = Text.tokens(col("text"))
+    val weighted = docs(s, dir)
+      .filter(size(tk) > 0)
+      .select(col("doc_id"),
+        (size(array_distinct(tk)).cast("double") / size(tk)).as("w"))
+    graft.operators.Sample.weightedSample(weighted, "doc_id", "w", n = 50)
+      .select(col("doc_id"), round(col("sample_key"), 6).as("sample_key"))
+  }
+  private val q222Sql =
+    s"""WITH w AS (SELECT doc_id,
+       |    CAST(len(list_distinct($dTok)) AS DOUBLE) / len($dTok) AS wgt
+       |  FROM documents WHERE len($dTok) > 0),
+       |k AS (SELECT doc_id,
+       |    -ln((TRY_CAST('0x' || substring(
+       |        md5(CAST(doc_id AS VARCHAR) || ':'), 1, 8) AS BIGINT)
+       |      + 1.0) / 4294967296.0) / wgt AS key
+       |  FROM w)
+       |SELECT doc_id, round(key, 6) AS sample_key
+       |FROM k ORDER BY key LIMIT 50""".stripMargin
+
   // -- q196: token-budget selection (Mix.selectByTokenBudget) — the
   // "assemble the B-token training set from a scored corpus" step:
   // documents ranked by type-token ratio (deterministic ties by id),
@@ -3583,6 +3614,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "q219_robots_rules" -> q219,
     "q220_robots_gate" -> q220,
+    "q222_weighted_sample" -> q222,
     "q216_pipeline_chunks" -> q216,
     "q215_keep_best_dedup" -> q215,
     "q214_domain_card" -> q214,
@@ -3678,6 +3710,7 @@ object TextOps {
     "q214_domain_card" -> q214Sql,
     "q219_robots_rules" -> q219Sql,
     "q220_robots_gate" -> q220Sql,
+    "q222_weighted_sample" -> q222Sql,
     "q216_pipeline_chunks" -> q216Sql,
     "q213_sentence_chunks" -> q213Sql,
     "q209_card_drift" -> q209Sql,

@@ -48,6 +48,38 @@ class SampleSpec extends SparkSpec {
     assert(s1 != s2, "independent salts must redraw the sample")
   }
 
+  test("weightedSample: == the sort-limit reference algorithm; weights " +
+      "BIAS the draw; null/zero weights never win; salt redraws") {
+    val weighted = docs.select($"doc_id",
+      when($"doc_id" % 10 === 0, 100.0).otherwise(1.0).as("w"))
+    val got = Sample.weightedSample(weighted, "doc_id", "w", n = 40)
+    // reference algorithm: full sort by the same exponential key
+    val h = conv(substring(md5(concat($"doc_id".cast("string"), lit(":"))),
+      1, 8), 16, 10).cast("long").cast("double")
+    val key = -log((h + 1.0) / 4294967296.0) / $"w"
+    val ref = weighted.select($"doc_id", key.as("sample_key"))
+      .orderBy($"sample_key").limit(40)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "heap top-n must equal the sort-limit reference")
+    // bias: 10% of docs carry 100x weight; they must dominate the draw
+    val heavy = got.filter($"doc_id" % 10 === 0).count()
+    assert(heavy > 20, s"100x-weighted docs must dominate, got $heavy/40")
+    // weightless rows are excluded, not accidental winners
+    val withNulls = weighted
+      .withColumn("w", when($"doc_id" < 100, lit(null).cast("double"))
+        .when($"doc_id" < 200, 0.0).otherwise($"w"))
+    val clean = Sample.weightedSample(withNulls, "doc_id", "w", n = 40)
+    assert(clean.filter($"doc_id" < 200).isEmpty)
+    // salt redraws an independent sample
+    val other = Sample.weightedSample(weighted, "doc_id", "w", n = 40,
+      salt = "redraw")
+    assert(got.select($"doc_id").exceptAll(other.select($"doc_id"))
+      .count() > 0)
+    // fail fast
+    intercept[IllegalArgumentException](
+      Sample.weightedSample(weighted, "doc_id", "w", n = 0))
+  }
+
   test("permute: a bijective, rerun-stable position assignment; salt redraws") {
     val base = Tables.load(spark, sf(), "documents")
     val n = base.count()

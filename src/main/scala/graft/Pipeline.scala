@@ -46,9 +46,11 @@ object Pipeline {
     *    merges — it therefore requires a preceding `tokenize`; `shards`
     *    writes size-budgeted shard files under `path` and RETURNS THE
     *    MANIFEST (a sink, like `write` — put it last).
-    *  - `sample` (content-addressed rate sampling) and `balanceSources`
-    *    (α=0.5 temperature mixing over `byCol`) cover the mixture side
-    *    of the recipe; `tokenBudget` (q196) cuts the corpus to a global
+    *  - `sample` (content-addressed rate sampling), `weightedSample`
+    *    (q222's Efraimidis–Spirakis draw: `n=` rows kept, weight =
+    *    `scoreCol=` or the TTR proxy, winners semi-join back), and
+    *    `balanceSources` (α=0.5 temperature mixing over `byCol`) cover
+    *    the mixture side of the recipe; `tokenBudget` (q196) cuts the corpus to a global
     *    token budget in quality order and `unimaxSelect` (q198) does it
     *    per group under UniMax token allocations.
     *  - `report` (q194) is a pass-through sink publishing the corpus
@@ -115,6 +117,7 @@ object Pipeline {
     "blockDomains" -> Set("urlCol", "domains", "table", "domainCol"),
     "domainQuality" -> Set("urlCol", "valueCol", "minMean", "minDocs"),
     "sample" -> Set("rate", "salt"),
+    "weightedSample" -> Set("n", "scoreCol", "salt"),
     "balanceSources" -> Set("byCol"),
     "tokenBudget" -> Set("budget", "scoreCol"),
     "unimaxSelect" -> Set("byCol", "avgEpochs", "maxEpochs", "scoreCol"),
@@ -433,6 +436,30 @@ object Pipeline {
             s"pipeline line ${s.line}: sample needs rate=")
           operators.Mix.sampleByHash(df, idCol, dbl(s, "rate", 0.0),
             s.params.getOrElse("salt", ""))
+        case "weightedSample" =>
+          // quality-weighted subsample (q222): weight = scoreCol= or the
+          // TTR proxy (the tokenBudget default); winners semi-join back
+          // so the frame keeps its columns
+          val n = s.params.get("n").map { v =>
+            try v.toInt catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"pipeline line ${s.line}: n must be an integer, got '$v'") }
+          }.getOrElse(throw new IllegalArgumentException(
+            s"pipeline line ${s.line}: weightedSample needs n= (rows kept)"))
+          val tk = functions.Text.tokens(col(textCol))
+          val weighted = s.params.get("scoreCol") match {
+            case Some(c) =>
+              require(df.columns.contains(c),
+                s"pipeline line ${s.line}: weightedSample scoreCol= column " +
+                  s"'$c' not in the frame (has: ${df.columns.sorted.mkString(", ")})")
+              df.withColumn("__ws_w", col(c))
+            case None => df.withColumn("__ws_w",
+              when(size(tk) > 0,
+                size(array_distinct(tk)).cast("double") / size(tk)))
+          }
+          val winners = operators.Sample.weightedSample(
+            weighted, idCol, "__ws_w", n, s.params.getOrElse("salt", ""))
+          df.join(winners.select(col(idCol)), Seq(idCol), "left_semi")
         case "balanceSources" => operators.Mix.balanceSources(df, idCol,
           s.params.getOrElse("byCol", "source"))
         case "tokenBudget" =>

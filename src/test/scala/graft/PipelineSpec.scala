@@ -574,6 +574,32 @@ class PipelineSpec extends SparkSpec {
       .contains("unknown chunkSentences param"))
   }
 
+  test("weightedSample stage == hand-written TTR-weighted draw + " +
+    "semi-join; scoreCol override; fail-fast") {
+    val got = Pipeline.run(spark, sf(),
+      "read table=documents\nweightedSample n=25")
+    val d = Tables.load(spark, sf(), "documents")
+    val tk = functions.Text.tokens($"text")
+    val weighted = d.withColumn("__w",
+      when(size(tk) > 0, size(array_distinct(tk)).cast("double") / size(tk)))
+    val want = d.join(operators.Sample
+        .weightedSample(weighted, "doc_id", "__w", n = 25)
+        .select($"doc_id"), Seq("doc_id"), "left_semi")
+    assert(got.count() === 25)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // scoreCol override rides an existing column
+    val got2 = Pipeline.run(spark, sf(),
+      "read table=documents\nweightedSample n=10 scoreCol=n_chars")
+    assert(got2.count() === 10)
+    // fail fast: missing n, unknown scoreCol
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nweightedSample")).getMessage
+      .contains("weightedSample needs n="))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nweightedSample n=5 scoreCol=nope"))
+      .getMessage.contains("'nope' not in the frame"))
+  }
+
   test("robotsGate stage == the hand-written parseRobots + applyRobots " +
     "chain; fail-fast matrix") {
     val dir = java.nio.file.Files.createTempDirectory("pl_robots").toString

@@ -304,6 +304,19 @@ class PipelineSpec extends SparkSpec {
       Tables.load(spark, sf(), "documents").count() - out.count())
   }
 
+  test("examples/rag_chunks.cfg stays runnable (the RAG-ingest recipe)") {
+    val cfg = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/rag_chunks.cfg")), "UTF-8")
+    val out = Pipeline.run(spark, sf(), cfg)
+    assert(out.columns.contains("chunk_idx") &&
+      out.columns.contains("chunk_tokens"))
+    // chunking multiplies rows past the 400-doc weighted subsample
+    assert(out.select($"doc_id").distinct().count() <= 400)
+    assert(out.count() > out.select($"doc_id").distinct().count())
+    // every chunk respects the 64-token budget
+    assert(out.filter($"chunk_tokens" > 64).isEmpty)
+  }
+
   test("tokenBudget stage == hand-written q196 recipe; fail-fast params") {
     val got = Pipeline.run(spark, sf(),
       "read table=documents\ntokenBudget budget=10000")

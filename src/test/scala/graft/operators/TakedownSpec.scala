@@ -158,6 +158,42 @@ class TakedownSpec extends SparkSpec {
       }
   }
 
+  test("the user story end to end: a taken-down text becomes ADMITTABLE " +
+      "again through the incremental-dedup probe, without a rebuild") {
+    val t = "tk_readmit"
+    spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(t)}`")
+    val corpus = Seq(
+      (1L, "the retracted licensed article"),
+      (2L, "some other shipped document")).toDF("doc_id", "text")
+    Dedup.writeFingerprintStore(corpus, "text", t, buckets = 2)
+    try {
+      val redelivery = Seq((100L, "the retracted licensed article"))
+        .toDF("doc_id", "text")
+      // before takedown: the store rejects the re-delivery as a dup
+      assert(Dedup.againstCorpus(redelivery, Takedown.live(spark, t),
+        "text", "doc_id", bloomBits = 0).isEmpty)
+      // takedown doc 1 (no surviving claim); probe against live() —
+      // the re-licensed text is admittable WITHOUT any store rewrite
+      Takedown.retractFingerprints(spark, t,
+        takedown = corpus.filter($"doc_id" === 1L), textCol = "text",
+        surviving = corpus.filter($"doc_id" =!= 1L),
+        survivingTextCol = "text")
+      assert(Dedup.againstCorpus(redelivery, Takedown.live(spark, t),
+        "text", "doc_id", bloomBits = 0).count() === 1)
+      // other shipped text still gates
+      assert(Dedup.againstCorpus(
+        Seq((101L, "some other shipped document")).toDF("doc_id", "text"),
+        Takedown.live(spark, t), "text", "doc_id", bloomBits = 0).isEmpty)
+      // and after the physical purge the same probes hold on the table
+      Takedown.purge(spark, t)
+      assert(Dedup.againstCorpus(redelivery, spark.table(t),
+        "text", "doc_id", bloomBits = 0).count() === 1)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(t)}`")
+    }
+  }
+
   test("fail fast: key columns must match the bucket spec; plain tables " +
       "are refused") {
     val t = "tk_fail"

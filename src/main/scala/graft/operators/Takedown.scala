@@ -122,6 +122,37 @@ object Takedown {
     spark.sql(s"DROP TABLE IF EXISTS `$tomb`")
   }
 
+  /** Signature-store takedown — [[retractFingerprints]]'s rule in the
+    * near-dup key space, where the claim screen matters MORE: band
+    * signatures are shared by every document with a similar shingle
+    * profile (boilerplate especially), so dropping a taken-down
+    * document's signatures wholesale would re-open near-dup admission
+    * for shapes the surviving corpus still carries. Candidates = the
+    * takedown's distinct (band, sig) keys; surviving signatures screen
+    * them through one narrow pass (broadcast-sized candidate set,
+    * distinct taken AFTER the semi-join so it is candidate-sized, never
+    * corpus-sized); the unclaimed remainder tombstones via [[retract]].
+    * `shingle`/`bands` must match the store's build parameters. */
+  def retractSignatures(spark: SparkSession, table: String,
+                        takedown: DataFrame, textCol: String,
+                        surviving: DataFrame, survivingTextCol: String,
+                        shingle: Int = 5, bands: Int = 4): Unit = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val candidates =
+      Dedup.signatureStore(takedown, textCol, shingle, bands)
+    val survivingSigs = surviving
+      .select(Text.tokens(col(survivingTextCol)).as("__tk"))
+      .select(posexplode(
+        Text.minhashBandsNative(col("__tk"), shingle, bands)))
+      .select(col("pos").as("band"), col("col").as("sig"))
+      .filter(col("sig").isNotNull)
+    val claimed = survivingSigs
+      .join(broadcast(candidates), Seq("band", "sig"), "left_semi")
+      .distinct()
+    retract(spark, table,
+      candidates.join(claimed, Seq("band", "sig"), "left_anti"))
+  }
+
   /** k-NN-store takedown: tombstones the ids in BOTH halves of the
     * store — the vectors table (keyed by the id column) and the edges
     * table (keyed `q_id`, killing the node's own neighbor list). What

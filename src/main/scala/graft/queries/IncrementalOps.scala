@@ -1127,7 +1127,44 @@ object IncrementalOps {
        |  WHERE doc_id < 50)
        |SELECT DISTINCT $dFp AS fp FROM corpus WHERE doc_id >= 150""".stripMargin
 
+  // -- q223: signature-store takedown (Takedown.retractSignatures →
+  // purge) — q217's still-claimed rule in the NEAR-dup key space, where
+  // it matters more: band signatures are shared by every similarly-
+  // shingled document, so the surviving copies of docs < 50 must keep
+  // every signature they claim while the 50..149 range's unclaimed
+  // signatures tombstone and purge. Same set identity the oracle
+  // replays: store − (sigs(takedown) − sigs(surviving)) =
+  // sigs(surviving); the oracle emits it directly from the surviving
+  // relation (band re-based to the store's 0-origin). --
+  private val q223: Q = (s, dir) => {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val copies = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corpus = d.unionByName(copies)
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val table = s"graft_takedown_sig_$sfx"
+    s.sql(s"DROP TABLE IF EXISTS " +
+      s"`${graft.operators.Takedown.tombstoneTable(table)}`")
+    Dedup.writeSignatureStore(corpus, "text", table, buckets = 8)
+    graft.operators.Takedown.retractSignatures(s, table,
+      takedown = corpus.filter(col("doc_id") < 150), textCol = "text",
+      surviving = corpus.filter(col("doc_id") >= 150),
+      survivingTextCol = "text")
+    graft.operators.Takedown.purge(s, table)
+    s.table(table).select(col("band"), col("sig"))
+  }
+  private val q223Sql =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+       |  WHERE doc_id < 50),
+       |surv AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 150)
+       |SELECT DISTINCT band - 1 AS band, sig
+       |FROM (${dSigsOf("surv")})""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q223_signature_takedown" -> q223,
     "q217_takedown_cycle" -> q217,
     "q133_hybrid_rrf" -> q133,
     "q121_phrase_search" -> q121,
@@ -1155,6 +1192,7 @@ object IncrementalOps {
     "q108_ingest_pipeline" -> q108)
 
   val oracle: Map[String, String] = Map(
+    "q223_signature_takedown" -> q223Sql,
     "q217_takedown_cycle" -> q217Sql,
     "q133_hybrid_rrf" -> q133Sql,
     "q121_phrase_search" -> q121Sql,

@@ -158,6 +158,38 @@ class TakedownSpec extends SparkSpec {
       }
   }
 
+  test("retractSignatures: band signatures claimed by a surviving " +
+      "near-duplicate STAY; unclaimed ones go") {
+    val t = "tk_sigs"
+    spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(t)}`")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // survives as id 3
+      (2L, "unique doomed words nobody else carries anywhere today"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "entirely different surviving text with other tokens")
+    ).toDF("doc_id", "text")
+    Dedup.writeSignatureStore(corpus, "text", t, buckets = 2)
+    try {
+      Takedown.retractSignatures(spark, t,
+        takedown = corpus.filter($"doc_id" <= 2), textCol = "text",
+        surviving = corpus.filter($"doc_id" >= 3),
+        survivingTextCol = "text")
+      val expected = Dedup.signatureStore(
+        corpus.filter($"doc_id" >= 3), "text")
+      val lv = Takedown.live(spark, t)
+      assert(lv.exceptAll(expected).isEmpty &&
+        expected.exceptAll(lv).isEmpty,
+        "live view must equal the surviving corpus's signature store")
+      Takedown.purge(spark, t)
+      val after = spark.table(t)
+      assert(after.exceptAll(expected).isEmpty &&
+        expected.exceptAll(after).isEmpty)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(t)}`")
+    }
+  }
+
   test("the user story end to end: a taken-down text becomes ADMITTABLE " +
       "again through the incremental-dedup probe, without a rebuild") {
     val t = "tk_readmit"

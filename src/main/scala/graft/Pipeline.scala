@@ -128,7 +128,7 @@ object Pipeline {
     "shards" -> Set("path", "budget", "chunkTokens", "overlap"),
     "report" -> Set("path", "langCol", "sourceCol", "urlCol", "domainTopK"),
     "checks" -> Set("spec", "regex"),
-    "writeWarc" -> Set("path", "urlCol", "dateCol", "gzip"),
+    "writeWarc" -> Set("path", "urlCol", "dateCol", "gzip", "warcinfo"),
     "write" -> Set("path", "table", "format", "compression"))
 
   /** Tokenizes one config line: whitespace-separated tokens; DOUBLE
@@ -680,7 +680,11 @@ object Pipeline {
               col(idCol).cast("string").as("record_id"),
               status.as("http_status"),
               encode(col(textCol), "UTF-8").as("body")),
-            path, gzip = s.params.get("gzip").forall(_.toBoolean))
+            path, gzip = s.params.get("gzip").forall(_.toBoolean),
+            // warcinfo=true opens each segment with the provenance
+            // leader (software/format/segment, dated at the segment's
+            // first response — the Common Crawl convention)
+            warcinfo = s.params.get("warcinfo").exists(_.toBoolean))
           df
         case "write" =>
           val path = s.params.getOrElse("path",

@@ -56,6 +56,21 @@ import graft.sinks.Bucketing
   * one pass over the surviving corpus against the broadcast-sized
   * candidate set; q217 pins the whole cycle cross-engine.
   *
+  * Store-key map: fingerprint store → `fp` ([[retractFingerprints]]),
+  * signature store → `(band, sig)` ([[retractSignatures]]), k-NN /
+  * margin stores → the id column ([[retractFromKnnStore]] adds the
+  * reverse-neighbor scrub); any other bucketed store retracts by its
+  * own bucket columns through the generic [[retract]].
+  *
+  * STREAMING freshness caveat: a streaming gate that seeded its state
+  * or plans its static join side from [[live]] sees the tombstones AS
+  * OF QUERY START — Structured Streaming does not re-plan a static
+  * side per microbatch, and already-absorbed state is not retroactively
+  * scrubbed. A retraction therefore reaches continuous ingest on the
+  * next query (re)start, or immediately via a `foreachBatch` sink that
+  * calls [[live]] per batch. Said here so the composition is a known
+  * property, not a surprise.
+  *
   * At 100 TB: [[retract]] writes takedown-sized tombstone files;
   * [[live]] adds an exchange-free anti-join to probes; [[purge]] is the
   * one store-sized rewrite, scheduled, staged, and crash-safe. Nothing

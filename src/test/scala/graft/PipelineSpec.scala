@@ -696,6 +696,15 @@ class PipelineSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
       s"read table=documents\nwriteWarc path=$out")).getMessage
       .contains("writeWarc column 'url' not in the frame"))
+    // warcinfo=true opens each curated segment with the provenance
+    // leader; the responses-only read is unchanged
+    val out3 = java.nio.file.Files.createTempDirectory("pl_warc_info")
+      .toString + "/curated"
+    Pipeline.run(spark, sf(),
+      s"readWarc path=$arch\nwriteWarc path=$out3 warcinfo=true")
+    val re3 = spark.read.format("graft-warc").load(out3)
+    assert(re3.filter($"warc_type" === "warcinfo").count() > 0)
+    assert(re3.filter($"warc_type" === "response").count() === 4)
   }
 
   test("write stage materializes files and passes the frame through") {

@@ -96,7 +96,18 @@ object WarcSource {
       n
     }
 
-  /** The fixed envelope schema (WARC is a container format). */
+  /** The fixed envelope schema (WARC is a container format).
+    * `record_offset` is the record's SEEKABLE position in the file's
+    * raw bytes — the byte offset of the `WARC/` version line for plain
+    * archives, the compressed offset of the gzip MEMBER whose
+    * decompression carries that line for `.gz` ones (= the record's own
+    * member under the record-per-member framing the sink writes and
+    * Common Crawl ships). `record_file` is the containing segment's
+    * path (DSv2 scans don't feed `input_file_name()`, so the envelope
+    * carries it). (url, record_file, record_offset) is therefore a
+    * cc-index-style random-access key: open the file, seek, decode
+    * exactly one record. Both prune away like any other column when not
+    * required. */
   val Schema: StructType = StructType(Seq(
     StructField("url", StringType), // WARC-Target-URI (warcinfo: null)
     StructField("warc_type", StringType), // response/request/warcinfo/...
@@ -105,7 +116,33 @@ object WarcSource {
     StructField("content_type", StringType), // the WARC block's type
     StructField("content_length", LongType), // payload bytes (envelope incl.)
     StructField("http_status", IntegerType), // application/http only
-    StructField("body", BinaryType))) // HTTP-header-stripped payload
+    StructField("body", BinaryType), // HTTP-header-stripped payload
+    StructField("record_offset", LongType), // seekable raw-byte position
+    StructField("record_file", StringType))) // containing segment path
+}
+
+/** Raw-byte position bookkeeping for [[WarcParser]]: what file offset
+  * does the NEXT byte handed to the parser correspond to — the
+  * consumed-byte count for plain streams, the current/next gzip
+  * MEMBER's compressed start for member streams (the seekable unit). */
+private[warc] trait OffsetAware { def nextRecordOffset: Long }
+
+/** Plain-file counting wrapper (single-threaded reader, plain long). */
+private[warc] final class CountingInputStream(under: InputStream)
+    extends InputStream with OffsetAware {
+  private var n = 0L
+  override def nextRecordOffset: Long = n
+  override def read(): Int = {
+    val b = under.read()
+    if (b >= 0) n += 1
+    b
+  }
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    val r = under.read(b, off, len)
+    if (r > 0) n += r
+    r
+  }
+  override def close(): Unit = under.close()
 }
 
 private[warc] class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
@@ -238,9 +275,12 @@ private[warc] class WarcReaderFactory(required: StructType,
   }
 }
 
-/** One parsed record header block. `headers` keys are lowercased. */
+/** One parsed record header block. `headers` keys are lowercased;
+  * `offset` is the record's seekable raw-byte position (see
+  * [[WarcSource.Schema]]'s `record_offset`). */
 private[warc] final case class WarcHeader(headers: Map[String, String],
-                                          contentLength: Long)
+                                          contentLength: Long,
+                                          offset: Long)
 
 /** Streaming WARC framing over a raw InputStream: header lines are read
   * byte-at-a-time off a buffered stream (a Reader would over-read into
@@ -265,8 +305,16 @@ private[warc] object WarcParser {
     * framing loss (non-WARC version line, missing/bad Content-Length)
     * — after that the remaining bytes cannot be trusted. */
   def nextHeader(in: InputStream, file: String): WarcHeader = {
+    // capture the seekable position BEFORE the line that turns out to be
+    // the version line — blank separator bytes belong to the previous
+    // record (and, in member framing, to its member)
+    def offNow: Long = in match {
+      case o: OffsetAware => o.nextRecordOffset
+      case _ => -1L
+    }
+    var off = offNow
     var line = readLine(in)
-    while (line != null && line.isEmpty) line = readLine(in)
+    while (line != null && line.isEmpty) { off = offNow; line = readLine(in) }
     if (line == null) return null
     if (!line.startsWith("WARC/"))
       throw new IOException(
@@ -298,7 +346,7 @@ private[warc] object WarcParser {
         s"$file: WARC record without a parseable Content-Length " +
           s"(record-id=${prev.getOrElse("warc-record-id", "?")}) — framing unknowable"))
     headers ++= prev
-    WarcHeader(headers.result(), len)
+    WarcHeader(headers.result(), len, off)
   }
 
   /** Splits an `application/http` payload into (status, body): status
@@ -328,7 +376,8 @@ private[warc] object WarcParser {
     val raw = graft.sources.Retry.withBackoff(attempts = 3, backoffMs = 100) {
       fs.open(path)
     }
-    val buffered = new java.io.BufferedInputStream(raw, 1 << 16)
+    val buffered: InputStream =
+      new CountingInputStream(new java.io.BufferedInputStream(raw, 1 << 16))
     // multi-member gzip (the Common Crawl record-per-member framing)
     // through the HONEST reader, not java.util.zip.GZIPInputStream:
     // that one swallows exceptions while probing for the next member
@@ -357,7 +406,7 @@ private[warc] object WarcParser {
   * end); allocation per member is one `Inflater.reset`, so the
   * per-record-member framing costs no per-member buffers. */
 private[warc] final class GzipMembersStream(raw: InputStream, file: String)
-    extends InputStream {
+    extends InputStream with OffsetAware {
   private val inf = new java.util.zip.Inflater(true) // nowrap: we frame
   private val crc = new java.util.zip.CRC32
   private val buf = new Array[Byte](1 << 16)
@@ -366,6 +415,24 @@ private[warc] final class GzipMembersStream(raw: InputStream, file: String)
   private var inMember = false
   private var finished = false
   private val one = new Array[Byte](1)
+  private var rawConsumed = 0L // raw bytes pulled off `raw` so far
+  private var memberStart = 0L // current member's compressed offset
+
+  /** Compressed offset of the next unconsumed raw byte. While a member
+    * is being decompressed, bytes handed in from the window may sit in
+    * the inflater — subtract its remaining to stay exact. */
+  private def rawPos: Long =
+    rawConsumed - (limit - pos) - (if (inMember) inf.getRemaining else 0)
+
+  /** The seekable position of the member that will produce the NEXT
+    * decompressed byte: the in-flight member's start, or (at a
+    * boundary) the position where the next member begins. An exhausted
+    * member settles first — its trailer bytes belong to it, the next
+    * byte does not. */
+  override def nextRecordOffset: Long = {
+    if (inMember && inf.finished()) endMember()
+    if (inMember) memberStart else rawPos
+  }
 
   /** Ensures ≥1 buffered byte; false at raw EOF. Never refills while
     * the inflater still references the window (callers fill only when
@@ -374,6 +441,7 @@ private[warc] final class GzipMembersStream(raw: InputStream, file: String)
     if (pos < limit) return true
     val n = raw.read(buf)
     if (n < 0) return false
+    rawConsumed += n
     pos = 0; limit = n; true
   }
   private def u8(): Int = {
@@ -388,6 +456,7 @@ private[warc] final class GzipMembersStream(raw: InputStream, file: String)
     * ends exactly at a member boundary). */
   private def startMember(): Boolean = {
     if (!fill()) return false
+    memberStart = rawPos // the member's seekable compressed offset
     if (u8() != 0x1f || u8() != 0x8b)
       throw new IOException(
         s"$file: bytes after a gzip member are not a gzip header — " +
@@ -488,6 +557,7 @@ private[warc] class WarcPartitionReader(required: StructType, file: String,
                                         limit: Option[Int])
     extends PartitionReader[InternalRow] {
   private val in = WarcParser.open(file, hconf)
+  private val fileUtf8 = UTF8String.fromString(file) // one copy per reader
   private var current: InternalRow = _
   private var emitted = 0L
 
@@ -553,6 +623,9 @@ private[warc] class WarcPartitionReader(required: StructType, file: String,
         case "content_length" => java.lang.Long.valueOf(h.contentLength)
         case "http_status" => status.map(Integer.valueOf).orNull
         case "body" => body
+        case "record_offset" =>
+          if (h.offset < 0) null else java.lang.Long.valueOf(h.offset)
+        case "record_file" => fileUtf8
         case other => throw new IllegalStateException(
           s"graft-warc: unknown required column '$other'")
       }

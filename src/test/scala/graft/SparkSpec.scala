@@ -14,6 +14,12 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SharedSpark.spark
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
 
+  /** `input_file_name()` may or may not carry a `file:` scheme
+    * depending on the source; resolve either form to a local Path. */
+  def localPath(f: String): java.nio.file.Path =
+    if (f.startsWith("file:")) java.nio.file.Paths.get(new java.net.URI(f))
+    else java.nio.file.Paths.get(f)
+
   /** Collect matching nodes from a physical plan, walking THROUGH the
     * wrappers plan-shape assertions keep tripping on: AQE roots hide the
     * (re-)planned tree behind `executedPlan`, and query stages are

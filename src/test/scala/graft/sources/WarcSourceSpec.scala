@@ -112,10 +112,40 @@ class WarcSourceSpec extends SparkSpec {
         .startsWith("HTTP/1.1 200 OK"))
   }
 
-  test("record-per-gzip-member archive reads identically to plain") {
-    val a = readAll(plainDir)
-    val b = readAll(gzDir)
+  test("record-per-gzip-member archive reads identically to plain " +
+      "(record_offset/record_file excepted — physical by design)") {
+    val a = readAll(plainDir).drop("record_offset", "record_file")
+    val b = readAll(gzDir).drop("record_offset", "record_file")
     assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty)
+  }
+
+  test("record_offset is a SEEKABLE position: plain offsets land on the " +
+      "version line, gzip offsets on their record's member — and a " +
+      "seek+decode from the offset retrieves exactly that record") {
+    // plain: every offset points at the 'WARC/' version line
+    val plain = readAll(plainDir)
+      .select($"record_id", $"record_file".as("f"), $"record_offset")
+      .collect()
+    plain.foreach { r =>
+      val bytes = Files.readAllBytes(localPath(r.getAs[String]("f")))
+      val off = r.getAs[Long]("record_offset").toInt
+      assert(new String(bytes, off, 5, ISO_8859_1) == "WARC/",
+        s"${r.getAs[String]("record_id")} @ $off")
+    }
+    // gzip: every offset is a member boundary
+    val gz = readAll(gzDir)
+      .select($"record_id", $"record_file".as("f"), $"record_offset")
+      .collect()
+    assert(gz.map(_.getAs[Long]("record_offset")).distinct.length ===
+      gz.length, "record-per-member framing: offsets must be distinct")
+    gz.foreach { r =>
+      val bytes = Files.readAllBytes(localPath(r.getAs[String]("f")))
+      val off = r.getAs[Long]("record_offset").toInt
+      assert((bytes(off) & 0xff) == 0x1f && (bytes(off + 1) & 0xff) == 0x8b,
+        s"offset $off must sit on a gzip member header")
+    }
+    // the seek+decode half (needs package-private parser access) lives
+    // in graft.sources.warc.WarcOffsetSpec
   }
 
   test("column pruning reaches the reader; un-required bodies are " +

@@ -226,6 +226,59 @@ class TakedownSpec extends SparkSpec {
     }
   }
 
+  test("streaming freshness, the documented pattern EXECUTED: a " +
+      "foreachBatch gate over live() picks up a takedown mid-stream") {
+    val t = "tk_stream"
+    spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(t)}`")
+    val corpus = Seq(
+      (1L, "the licensed article under dispute"),
+      (2L, "unrelated shipped document")).toDF("doc_id", "text")
+    Dedup.writeFingerprintStore(corpus, "text", t, buckets = 2)
+    val dir = java.nio.file.Files.createTempDirectory("tk_stream").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val query = spark.readStream.schema(schema).json(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-batch live() — tombstones written between triggers are
+        // seen by the NEXT batch, the mid-stream freshness the plain
+        // static-join plan cannot give
+        admitted.synchronized {
+          admitted ++= Dedup.againstCorpus(batch,
+              Takedown.live(spark, t), "text", "doc_id", bloomBits = 0)
+            .select($"doc_id").as[Long].collect()
+        }
+        () // foreachBatch wants Unit
+      }
+      .start()
+    try {
+      def drop(n: Int, id: Long): Unit = java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$dir/b$n%02d.json"),
+        s"""{"doc_id": $id, "text": "the licensed article under dispute"}"""
+          .getBytes("UTF-8"))
+      drop(1, 100L)
+      query.processAllAvailable()
+      assert(admitted.synchronized(admitted.toSet) === Set.empty[Long],
+        "pre-takedown: the store must reject the re-delivery")
+      Takedown.retractFingerprints(spark, t,
+        takedown = corpus.filter($"doc_id" === 1L), textCol = "text",
+        surviving = corpus.filter($"doc_id" =!= 1L),
+        survivingTextCol = "text")
+      drop(2, 200L)
+      query.processAllAvailable()
+      assert(admitted.synchronized(admitted.toSet) === Set(200L),
+        "post-takedown: the next batch must admit the re-licensed text")
+    } finally {
+      query.stop()
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      spark.sql(s"DROP TABLE IF EXISTS `${Takedown.tombstoneTable(t)}`")
+    }
+  }
+
   test("fail fast: key columns must match the bucket spec; plain tables " +
       "are refused") {
     val t = "tk_fail"

@@ -144,26 +144,25 @@ object UrlOps {
     df.join(hits, Seq(idCol), "left_anti")
   }
 
-  /** robots.txt → `User-agent: *` Disallow PREFIX rules — the
+  /** robots.txt → `User-agent: *` Allow/Disallow PREFIX rules — the
     * crawl-policy half of URL curation: a retroactive compliance pass
     * (the C4/CCNet practice: respect today's robots even for yesterday's
     * crawl) starts from the robots bodies the crawl itself captured and
-    * needs them as a joinable (host, prefix) rule table.
+    * needs them as a joinable (host, prefix, allow) rule table.
     *
     * Parsing is RFC 9309's group model: consecutive `User-agent` lines
     * STACK onto one group; a rule or blank line ends the stack, so the
     * next `User-agent` starts a new group; a group applies when any of
     * its agents is `*`. Comments strip at `#`; `Sitemap:` and other
     * non-group lines are ignored without ending a stack; an empty
-    * `Disallow:` contributes nothing (allow-all, per spec); rules before
-    * any `User-agent` line belong to no group and drop.
+    * `Disallow:`/`Allow:` contributes nothing (allow-all, per spec);
+    * rules before any `User-agent` line belong to no group and drop.
     *
     * Documented SUBSET (kept oracle-replayable and deterministic):
-    * literal path prefixes only — no `Allow:` longest-match precedence,
-    * no `*`/`$` wildcards (RFC 9309 §2.2.3's optional extensions), no
-    * per-bot agent matching beyond `*`. A compliance pass that needs
-    * full Allow semantics should treat this as the conservative
-    * over-blocking approximation it is.
+    * literal path prefixes with full Allow/Disallow LONGEST-MATCH
+    * precedence ([[applyRobots]]), but no `*`/`$` wildcards (RFC 9309
+    * §2.2.3's optional extensions) and no per-bot agent matching
+    * beyond `*`.
     *
     * One fold per body (the [[graft.operators.Chunk.bySentence]]
     * recurrence discipline: entirely per-row, nothing shuffles), then
@@ -174,8 +173,9 @@ object UrlOps {
                   bodyCol: String): DataFrame = {
     val lines = split(
       regexp_replace(col(bodyCol), "#[^\n]*", ""), "\r?\n")
+    val ruleType = "array<struct<prefix:string,allow:boolean>>"
     val st0 = struct(lit(false).as("star"), lit(true).as("boundary"),
-      array().cast("array<string>").as("rules"))
+      array().cast(ruleType).as("rules"))
     val folded = aggregate(lines, st0, (st, raw) => {
       val l = trim(raw)
       val low = lower(l)
@@ -193,39 +193,53 @@ object UrlOps {
         when(isUa, lit(false))
           .when(isDis || isAllow || (l === ""), lit(true))
           .otherwise(boundary).as("boundary"),
-        when(isDis && star && (value =!= ""),
-          concat(rules, array(value))).otherwise(rules).as("rules"))
+        when((isDis || isAllow) && star && (value =!= ""),
+          concat(rules, array(struct(value.as("prefix"),
+            isAllow.as("allow"))))).otherwise(rules).as("rules"))
     }, st => st.getField("rules"))
     df.select(bareHost(col(hostCol)).as("host"), folded.as("__rules"))
-      .select(col("host"), explode(col("__rules")).as("prefix"))
+      .select(col("host"), explode(col("__rules")).as("__r"))
+      .select(col("host"), col("__r.prefix").as("prefix"),
+        col("__r.allow").as("allow"))
       .distinct()
   }
 
-  /** Crawl-policy gate over [[parseRobots]] rules: drop rows whose URL
-    * path (query included, fragment not — RFC 9309 §2.2.2) starts with
-    * a disallowed prefix for its host. Rows with no parseable
-    * `scheme://host` PASS (the [[dropBlockedDomains]] convention: a
-    * policy gate drops known-disallowed, it doesn't quarantine
-    * unknown). Scale shape: one host-keyed join (rules broadcast when
-    * small, shuffled when web-scale) fanning each row out to its own
-    * host's rules only, prefix test in the join condition, matched ids
-    * anti-join back — never a rules×corpus cross product. */
+  /** Crawl-policy gate over [[parseRobots]] rules with RFC 9309 §2.2.2
+    * LONGEST-MATCH precedence: among the host's rules whose prefix
+    * matches the URL path (query included, fragment not), the longest
+    * prefix decides; an exact length tie goes to `Allow`; no matching
+    * rule means allowed. Rows with no parseable `scheme://host` PASS
+    * (the [[dropBlockedDomains]] convention: a policy gate drops
+    * known-disallowed, it doesn't quarantine unknown). Scale shape: one
+    * host-keyed join (rules broadcast when small, shuffled when
+    * web-scale) fanning each row out to its own host's rules only,
+    * prefix test in the join condition, then an id-keyed max over the
+    * matched rules (state = one struct per id) — never a rules×corpus
+    * cross product, never a window. */
   def applyRobots(df: DataFrame, urlCol: String, idCol: String,
                   rules: DataFrame): DataFrame = {
-    Seq("host", "prefix").foreach(c => require(rules.columns.contains(c),
-      s"applyRobots: rules frame lacks '$c' (parseRobots emits both)"))
+    Seq("host", "prefix", "allow").foreach(c =>
+      require(rules.columns.contains(c),
+        s"applyRobots: rules frame lacks '$c' (parseRobots emits all)"))
     val noFrag = dropFragment(col(urlCol))
     val parseable = noFrag.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
     val path0 = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
     val path = when(path0 === "", "/").otherwise(path0)
-    val hits = df
+    val blocked = df
       .filter(parseable)
       .select(col(idCol), domainOf(col(urlCol)).as("__graft_host"),
         path.as("__graft_path"))
       .join(rules.select(col("host").as("__graft_host"),
-        col("prefix").as("__graft_pre")), Seq("__graft_host"))
+        col("prefix").as("__graft_pre"), col("allow").as("__graft_allow")),
+        Seq("__graft_host"))
       .filter(col("__graft_path").startsWith(col("__graft_pre")))
+      // longest match wins; ties go to allow (allow sorts above
+      // disallow at equal length inside the max struct)
+      .groupBy(col(idCol))
+      .agg(max(struct(length(col("__graft_pre")).as("len"),
+        col("__graft_allow").as("allow"))).as("__w"))
+      .filter(!col("__w.allow"))
       .select(col(idCol))
-    df.join(hits, Seq(idCol), "left_anti")
+    df.join(blocked, Seq(idCol), "left_anti")
   }
 }

@@ -3453,10 +3453,10 @@ object TextOps {
     * spliced into BOTH engines (the Spark frame and the oracle's SQL
     * literal), so any divergence is the PARSERS', never the fixture's.
     * Exercises: comments, a non-* group whose `Disallow: /` must not
-    * leak, a stacked `User-agent: * / legacybot` run, an ignored
-    * `Allow:` (the documented subset), an empty `Disallow:` (allow-all,
-    * contributes nothing), a `Sitemap:` line that must not end the
-    * group, and a trailing non-* group. */
+    * leak, a stacked `User-agent: * / legacybot` run, an `Allow:` that
+    * OUTRANKS a shorter Disallow under longest-match, an empty
+    * `Disallow:` (allow-all, contributes nothing), a `Sitemap:` line
+    * that must not end the group, and a trailing non-* group. */
   private val robotsBody =
     "# graft crawl policy\n" +
       "User-agent: gptbot\n" +
@@ -3483,12 +3483,13 @@ object TextOps {
 
   // -- q219: robots.txt parsing (UrlOps.parseRobots) — the crawl-policy
   // rule extraction: RFC 9309 group semantics (stacked User-agent runs,
-  // rule/blank lines end a stack, * groups apply) folded per body in
-  // one expression chain. The oracle derives the SAME rules by a
-  // different algorithm — relational, not a fold: boundary-writer
-  // windows find group starts, a correlated max assigns each line its
-  // group, bool_or finds * groups — so agreement pins the group
-  // semantics, not just the arithmetic. --
+  // rule/blank lines end a stack, * groups apply; Allow AND Disallow
+  // both emitted with their kind) folded per body in one expression
+  // chain. The oracle derives the SAME rules by a different algorithm —
+  // relational, not a fold: boundary-writer windows find group starts,
+  // a correlated max assigns each line its group, bool_or finds *
+  // groups — so agreement pins the group semantics, not just the
+  // arithmetic. --
   private val q219: Q = (s, dir) =>
     graft.operators.UrlOps.parseRobots(robotsFrame(s, dir), "host", "body")
   private val q219Sql =
@@ -3523,16 +3524,18 @@ object TextOps {
        |  FROM cls c),
        |stars AS (SELECT host, g, bool_or(v = '*') AS star
        |  FROM cur WHERE typ = 'ua' GROUP BY host, g)
-       |SELECT DISTINCT c.host, c.v AS prefix
+       |SELECT DISTINCT c.host, c.v AS prefix, c.typ = 'allow' AS allow
        |FROM cur c JOIN stars s ON s.host = c.host AND s.g = c.g
-       |WHERE c.typ = 'dis' AND c.v <> '' AND s.star""".stripMargin
+       |WHERE c.typ IN ('dis', 'allow') AND c.v <> '' AND s.star""".stripMargin
 
   // -- q220: the robots gate (UrlOps.applyRobots) — retroactive
-  // crawl-policy compliance: per-host Disallow prefixes drop every URL
-  // whose path falls under them. The oracle never parses: it applies
-  // the KNOWN literal rules (/p/1, /p/3) directly to the synthesized
-  // paths, so the parse → join → prefix-gate chain must land on the
-  // independently-computed survivor set. --
+  // crawl-policy compliance with RFC 9309 LONGEST-MATCH precedence: the
+  // fixture's /p/12 Allow (len 5) outranks the /p/1 Disallow (len 4),
+  // so ids printing as 12… survive while other 1… and all 3… block.
+  // The oracle never parses: it applies the KNOWN literal rules
+  // directly to the synthesized paths, so the parse → join →
+  // longest-match chain must land on the independently-computed
+  // survivor set. --
   private val q220: Q = (s, dir) => {
     val d = docs(s, dir).select(col("doc_id"),
       concat(lit("https://"), lower(col("source")), lit("."), col("lang"),
@@ -3546,8 +3549,9 @@ object TextOps {
       |  'https://' || lower(source) || '.' || lang || '.example.org/p/' ||
       |    CAST(doc_id AS VARCHAR) AS url
       |FROM documents
-      |WHERE CAST(doc_id AS VARCHAR) NOT LIKE '1%'
-      |  AND CAST(doc_id AS VARCHAR) NOT LIKE '3%'""".stripMargin
+      |WHERE NOT ((CAST(doc_id AS VARCHAR) LIKE '1%'
+      |            AND CAST(doc_id AS VARCHAR) NOT LIKE '12%')
+      |           OR CAST(doc_id AS VARCHAR) LIKE '3%')""".stripMargin
 
   // -- q202: domain blocklist gate (UrlOps.dropBlockedDomains) — the
   // UT1-style crawl filter: hosts explode into dotted suffixes (bounded

@@ -133,32 +133,37 @@ class UrlOpsSpec extends SparkSpec {
       .getMessage.contains("lacks 'domain'"))
   }
 
-  private def rules(body: String): Set[String] = {
+  private def rules(body: String): Set[(String, Boolean)] = {
     val df = Seq(("h.example", body)).toDF("host", "body")
     UrlOps.parseRobots(df, "host", "body")
-      .select($"prefix").as[String].collect().toSet
+      .select($"prefix", $"allow").as[(String, Boolean)].collect().toSet
   }
 
   test("parseRobots: RFC 9309 group semantics — stacked agents, rule/" +
-      "blank lines end a stack, non-* groups never leak") {
+      "blank lines end a stack, non-* groups never leak, Allow rules " +
+      "carry their kind") {
     // stacked * + named agent: rules belong to both
-    assert(rules("User-agent: a\nUser-agent: *\nDisallow: /x") === Set("/x"))
+    assert(rules("User-agent: a\nUser-agent: *\nDisallow: /x") ===
+      Set("/x" -> false))
     // a rule line ends the stack: the next UA starts a NEW group
     assert(rules("User-agent: *\nDisallow: /x\nUser-agent: b\nDisallow: /y")
-      === Set("/x"))
+      === Set("/x" -> false))
     // a blank line ends the stack the same way
     assert(rules("User-agent: *\n\nUser-agent: b\nDisallow: /y")
       === Set.empty)
     // blank between a * group's UA and its rules does NOT detach them
-    assert(rules("User-agent: *\n\nDisallow: /z") === Set("/z"))
+    assert(rules("User-agent: *\n\nDisallow: /z") === Set("/z" -> false))
     // non-* group only: nothing applies
     assert(rules("User-agent: gptbot\nDisallow: /") === Set.empty)
     // comments strip; Sitemap lines don't end a UA stack
     assert(rules("User-agent: x # trailing\nUser-agent: *\n" +
-      "Sitemap: https://h/s.xml\nDisallow: /p") === Set("/p"))
-    // empty Disallow is allow-all; rules before any UA belong to nothing
-    assert(rules("Disallow: /orphan\nUser-agent: *\nDisallow:\n") ===
-      Set.empty)
+      "Sitemap: https://h/s.xml\nDisallow: /p") === Set("/p" -> false))
+    // Allow rules emit with their kind beside Disallows
+    assert(rules("User-agent: *\nDisallow: /p\nAllow: /p/ok") ===
+      Set("/p" -> false, "/p/ok" -> true))
+    // empty Disallow/Allow are allow-all noise; pre-UA rules drop
+    assert(rules("Disallow: /orphan\nUser-agent: *\nDisallow:\nAllow:\n")
+      === Set.empty)
     // case-insensitive directives, CRLF bodies, host canonicalization
     val df = Seq(("WWW.H.example:8080",
       "USER-AGENT: *\r\nDISALLOW: /a\r\n")).toDF("host", "body")
@@ -166,33 +171,42 @@ class UrlOpsSpec extends SparkSpec {
     assert(out.getString(0) === "h.example" && out.getString(1) === "/a")
   }
 
-  test("applyRobots: prefix gate per host; unparseable URLs pass; " +
-      "queries count, fragments don't") {
-    val rules = Seq(("h.example", "/private"), ("h.example", "/p/1"))
-      .toDF("host", "prefix")
+  test("applyRobots: longest-match precedence per host; Allow wins " +
+      "ties; unparseable URLs pass; queries count, fragments don't") {
+    val rules = Seq(
+      ("h.example", "/private", false),
+      ("h.example", "/private/ok", true), // longer Allow carves a hole
+      ("h.example", "/p/1", false),
+      ("h.example", "/p", true) // SHORTER than /p/1: loses to it
+    ).toDF("host", "prefix", "allow")
     val docs = Seq(
-      (1L, "https://h.example/private/doc"), // blocked: /private prefix
-      (2L, "https://h.example/public/doc"), // survives
+      (1L, "https://h.example/private/doc"), // blocked: /private
+      (2L, "https://h.example/public/doc"), // no rule: survives
       (3L, "https://other.example/private/doc"), // other host: survives
-      (4L, "https://h.example/p/10"), // blocked: /p/1 prefix
-      (5L, "https://h.example/p/2?x=/p/1"), // query is part of the path
-      (6L, "https://h.example/p/2#/p/1"), // fragment is NOT
-      (7L, "not a url") // unparseable: passes
+      (4L, "https://h.example/p/10"), // /p/1 (len 4, dis) beats /p (allow)
+      (5L, "https://h.example/p/2?x=/p/1"), // /p allow wins; query ≠ match
+      (6L, "https://h.example/p/2#/p/1"), // fragment never matches
+      (7L, "not a url"), // unparseable: passes
+      (8L, "https://h.example/private/ok/file") // longer Allow wins
     ).toDF("doc_id", "url")
     val got = UrlOps.applyRobots(docs, "url", "doc_id", rules)
       .select($"doc_id").as[Long].collect().toSet
-    assert(got === Set(2L, 3L, 5L, 6L, 7L))
-    // doc 5 survives because matching is PREFIX-anchored: its path
-    // "/p/2?x=/p/1" merely CONTAINS /p/1; a query string still counts
-    // when the prefix itself reaches into it:
-    val blockedByQuery = Seq((8L, "https://h.example/p/1?even=with-query"))
+    assert(got === Set(2L, 3L, 5L, 6L, 7L, 8L))
+    // a query string still counts when the prefix reaches into it
+    val blockedByQuery = Seq((9L, "https://h.example/p/1?even=with-query"))
       .toDF("doc_id", "url")
     assert(UrlOps.applyRobots(blockedByQuery, "url", "doc_id", rules)
       .isEmpty)
+    // an exact length tie goes to Allow
+    val tie = Seq(("h.example", "/t", false), ("h.example", "/t", true))
+      .toDF("host", "prefix", "allow")
+    assert(UrlOps.applyRobots(
+      Seq((10L, "https://h.example/t/x")).toDF("doc_id", "url"),
+      "url", "doc_id", tie).count() === 1)
     // fail fast on a rules frame without the contract columns
     assert(intercept[IllegalArgumentException](
       UrlOps.applyRobots(docs, "url", "doc_id",
-        rules.withColumnRenamed("prefix", "pre")))
-      .getMessage.contains("lacks 'prefix'"))
+        rules.withColumnRenamed("allow", "a")))
+      .getMessage.contains("lacks 'allow'"))
   }
 }

@@ -47,6 +47,36 @@ class WarcOffsetSpec extends SparkSpec {
     }
   }
 
+  test("offsets stay correct under the responses-only pushdown: skipped " +
+      "records consume the stream, kept records report their own seats") {
+    val dir = Files.createTempDirectory("warc_seek_push").toString + "/arch"
+    val docs = (1 to 6).map(i => (s"https://s.example/$i",
+        "2026-01-01 00:00:00", s"<urn:pf:$i>", 200, s"pushdown body $i"))
+      .toDF("url", "ts", "record_id", "http_status", "text")
+      .select($"url", $"ts".cast("timestamp").as("warc_date"), $"record_id",
+        $"http_status", encode($"text", "UTF-8").as("body"))
+      .coalesce(1).sortWithinPartitions($"record_id")
+    // warcinfo leader makes record 0 a NON-response: the filter skips it
+    WarcSink.write(docs, dir, gzip = true, warcinfo = true)
+    val filtered = spark.read.format("graft-warc").load(dir)
+      .filter($"warc_type" === "response")
+      .select($"record_id", $"record_file", $"record_offset")
+      .collect()
+    assert(filtered.length === 6)
+    filtered.foreach { r =>
+      val bytes = Files.readAllBytes(localPath(r.getAs[String]("record_file")))
+      val off = r.getAs[Long]("record_offset").toInt
+      assert(off > 0, "responses sit after the warcinfo leader")
+      val in = new GzipMembersStream(
+        new ByteArrayInputStream(
+          java.util.Arrays.copyOfRange(bytes, off, bytes.length)),
+        "seekf.gz")
+      try assert(WarcParser.nextHeader(in, "seekf.gz")
+        .headers("warc-record-id") == r.getAs[String]("record_id"))
+      finally in.close()
+    }
+  }
+
   test("plain archives carry byte offsets through the parser too " +
       "(CountingInputStream path), blanks attributed to the PREVIOUS " +
       "record") {

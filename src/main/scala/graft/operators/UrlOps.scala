@@ -158,11 +158,11 @@ object UrlOps {
     * `Disallow:`/`Allow:` contributes nothing (allow-all, per spec);
     * rules before any `User-agent` line belong to no group and drop.
     *
-    * Documented SUBSET (kept oracle-replayable and deterministic):
-    * literal path prefixes with full Allow/Disallow LONGEST-MATCH
-    * precedence ([[applyRobots]]), but no `*`/`$` wildcards (RFC 9309
-    * §2.2.3's optional extensions) and no per-bot agent matching
-    * beyond `*`.
+    * Coverage: Allow/Disallow path patterns with full LONGEST-MATCH
+    * precedence ([[applyRobots]]) including RFC 9309 §2.2.3's `*`
+    * (any-sequence) and trailing `$` (end anchor) extensions — the one
+    * remaining documented subset is agent matching (only `*` groups
+    * apply; no per-bot name/prefix matching).
     *
     * One fold per body (the [[graft.operators.Chunk.bySentence]]
     * recurrence discipline: entirely per-row, nothing shuffles), then
@@ -205,15 +205,20 @@ object UrlOps {
   }
 
   /** Crawl-policy gate over [[parseRobots]] rules with RFC 9309 §2.2.2
-    * LONGEST-MATCH precedence: among the host's rules whose prefix
+    * LONGEST-MATCH precedence: among the host's rules whose pattern
     * matches the URL path (query included, fragment not), the longest
-    * prefix decides; an exact length tie goes to `Allow`; no matching
-    * rule means allowed. Rows with no parseable `scheme://host` PASS
-    * (the [[dropBlockedDomains]] convention: a policy gate drops
+    * pattern decides; an exact length tie goes to `Allow`; no matching
+    * rule means allowed. Patterns support the §2.2.3 extensions — `*`
+    * matches any octet sequence, a trailing `$` anchors the end —
+    * translated per rule into the RE2-compatible subset both engines
+    * share; plain prefixes (the overwhelming majority in real robots
+    * files) stay on the codegen'd `startsWith` fast path and never pay
+    * the regex. Rows with no parseable `scheme://host` PASS (the
+    * [[dropBlockedDomains]] convention: a policy gate drops
     * known-disallowed, it doesn't quarantine unknown). Scale shape: one
     * host-keyed join (rules broadcast when small, shuffled when
-    * web-scale) fanning each row out to its own host's rules only,
-    * prefix test in the join condition, then an id-keyed max over the
+    * web-scale) fanning each row out to its own host's rules only, the
+    * match test in the join condition, then an id-keyed max over the
     * matched rules (state = one struct per id) — never a rules×corpus
     * cross product, never a window. */
   def applyRobots(df: DataFrame, urlCol: String, idCol: String,
@@ -225,6 +230,22 @@ object UrlOps {
     val parseable = noFrag.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
     val path0 = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
     val path = when(path0 === "", "/").otherwise(path0)
+    val pre = col("__graft_pre")
+    val hasWild = pre.contains("*") || pre.endsWith("$")
+    // wildcard translation: strip a trailing '$' (the anchor), escape
+    // every metachar (the '$' escape also covers LITERAL mid-pattern
+    // dollars), then turn the surviving '*'s into '.*'
+    val anchored = pre.endsWith("$")
+    val body = when(anchored, substring(pre, lit(1), length(pre) - 1))
+      .otherwise(pre)
+    val escaped = regexp_replace(body,
+      "([.\\\\+?(){}\\[\\]|^$])", "\\\\$1")
+    val pattern = concat(lit("^"),
+      regexp_replace(escaped, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+    val matches = when(hasWild,
+        regexp_like(col("__graft_path"), pattern))
+      .otherwise(col("__graft_path").startsWith(pre))
     val blocked = df
       .filter(parseable)
       .select(col(idCol), domainOf(col(urlCol)).as("__graft_host"),
@@ -232,7 +253,7 @@ object UrlOps {
       .join(rules.select(col("host").as("__graft_host"),
         col("prefix").as("__graft_pre"), col("allow").as("__graft_allow")),
         Seq("__graft_host"))
-      .filter(col("__graft_path").startsWith(col("__graft_pre")))
+      .filter(matches)
       // longest match wins; ties go to allow (allow sorts above
       // disallow at equal length inside the max struct)
       .groupBy(col(idCol))

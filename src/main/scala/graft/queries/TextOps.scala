@@ -3454,9 +3454,10 @@ object TextOps {
     * literal), so any divergence is the PARSERS', never the fixture's.
     * Exercises: comments, a non-* group whose `Disallow: /` must not
     * leak, a stacked `User-agent: * / legacybot` run, an `Allow:` that
-    * OUTRANKS a shorter Disallow under longest-match, an empty
-    * `Disallow:` (allow-all, contributes nothing), a `Sitemap:` line
-    * that must not end the group, and a trailing non-* group. */
+    * OUTRANKS a shorter Disallow under longest-match, a `*`+`$`
+    * wildcard pattern (`/p/2*9$`: ids starting 2 and ending 9), an
+    * empty `Disallow:` (allow-all, contributes nothing), a `Sitemap:`
+    * line that must not end the group, and a trailing non-* group. */
   private val robotsBody =
     "# graft crawl policy\n" +
       "User-agent: gptbot\n" +
@@ -3468,6 +3469,7 @@ object TextOps {
       "Disallow: /p/1\n" +
       "Allow: /p/12\n" +
       "Disallow: /p/3\n" +
+      "Disallow: /p/2*9$\n" +
       "Disallow:\n" +
       "\n" +
       "User-agent: otherbot\n" +
@@ -3529,13 +3531,14 @@ object TextOps {
        |WHERE c.typ IN ('dis', 'allow') AND c.v <> '' AND s.star""".stripMargin
 
   // -- q220: the robots gate (UrlOps.applyRobots) — retroactive
-  // crawl-policy compliance with RFC 9309 LONGEST-MATCH precedence: the
-  // fixture's /p/12 Allow (len 5) outranks the /p/1 Disallow (len 4),
-  // so ids printing as 12… survive while other 1… and all 3… block.
-  // The oracle never parses: it applies the KNOWN literal rules
-  // directly to the synthesized paths, so the parse → join →
-  // longest-match chain must land on the independently-computed
-  // survivor set. --
+  // crawl-policy compliance with RFC 9309 LONGEST-MATCH precedence and
+  // the §2.2.3 wildcards: the fixture's /p/12 Allow (len 5) outranks
+  // the /p/1 Disallow (len 4), so ids printing as 12… survive while
+  // other 1… and all 3… block, and the /p/2*9$ pattern blocks ids
+  // starting 2 AND ending 9. The oracle never parses: it applies the
+  // KNOWN literal rules directly to the synthesized paths, so the
+  // parse → join → translate → longest-match chain must land on the
+  // independently-computed survivor set. --
   private val q220: Q = (s, dir) => {
     val d = docs(s, dir).select(col("doc_id"),
       concat(lit("https://"), lower(col("source")), lit("."), col("lang"),
@@ -3551,7 +3554,9 @@ object TextOps {
       |FROM documents
       |WHERE NOT ((CAST(doc_id AS VARCHAR) LIKE '1%'
       |            AND CAST(doc_id AS VARCHAR) NOT LIKE '12%')
-      |           OR CAST(doc_id AS VARCHAR) LIKE '3%')""".stripMargin
+      |           OR CAST(doc_id AS VARCHAR) LIKE '3%'
+      |           OR (CAST(doc_id AS VARCHAR) LIKE '2%'
+      |               AND CAST(doc_id AS VARCHAR) LIKE '%9'))""".stripMargin
 
   // -- q202: domain blocklist gate (UrlOps.dropBlockedDomains) — the
   // UT1-style crawl filter: hosts explode into dotted suffixes (bounded

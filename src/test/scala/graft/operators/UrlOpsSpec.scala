@@ -209,4 +209,39 @@ class UrlOpsSpec extends SparkSpec {
         rules.withColumnRenamed("allow", "a")))
       .getMessage.contains("lacks 'allow'"))
   }
+
+  test("applyRobots wildcards: '*' spans octets, trailing '$' anchors, " +
+      "regex metachars in patterns are literals, mid-'$' is a literal") {
+    def survivors(rules: Seq[(String, Boolean)],
+                  urls: Seq[(Long, String)]): Set[Long] = {
+      val r = rules.map { case (p, a) => ("h.example", p, a) }
+        .toDF("host", "prefix", "allow")
+      UrlOps.applyRobots(urls.toDF("doc_id", "url"), "url", "doc_id", r)
+        .select($"doc_id").as[Long].collect().toSet
+    }
+    // * spans any octets, including none
+    assert(survivors(Seq(("/a*z", false)), Seq(
+      (1L, "https://h.example/az"), // zero octets between
+      (2L, "https://h.example/a-middle-z"),
+      (3L, "https://h.example/a-middle-zAndMore"), // prefix semantics
+      (4L, "https://h.example/b-z"))) === Set(4L))
+    // trailing $ anchors: only exact ends block
+    assert(survivors(Seq(("/doc.pdf$", false)), Seq(
+      (1L, "https://h.example/doc.pdf"),
+      (2L, "https://h.example/doc.pdf.html"), // $ means NOT this
+      (3L, "https://h.example/docXpdf"))) === Set(2L, 3L),
+      "the '.' must be a literal dot AND the '$' a real anchor")
+    // combined: *.pdf$ — the classic 'no PDFs' rule
+    assert(survivors(Seq(("/*.pdf$", false)), Seq(
+      (1L, "https://h.example/a/b/c.pdf"),
+      (2L, "https://h.example/a/b/c.pdfx"))) === Set(2L))
+    // a '$' mid-pattern is a literal octet, not an anchor
+    assert(survivors(Seq(("/price$usd", false)), Seq(
+      (1L, "https://h.example/price$usd/x"),
+      (2L, "https://h.example/priceusd/x"))) === Set(2L))
+    // longest-match still governs: a longer wildcard Allow wins
+    assert(survivors(Seq(("/p", false), ("/p/*.html$", true)), Seq(
+      (1L, "https://h.example/p/a.html"),
+      (2L, "https://h.example/p/a.txt"))) === Set(1L))
+  }
 }

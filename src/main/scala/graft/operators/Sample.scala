@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
 
 /** Deterministic uniform sampling — the inspection/eval primitive a
   * curation pipeline needs ("show me k random documents per domain /
@@ -58,7 +59,22 @@ object Sample {
     * weight are excluded up front (a weightless row must not win by
     * numeric accident — the [[graft.operators.Mix]] null contract).
     * Output: (`idCol`, sample_key), n rows (fewer when the corpus is
-    * smaller); winners re-join the source for their payload. */
+    * smaller); winners re-join the source for their payload.
+    *
+    * Id types: the heap carries a LONG id, so an integral `idCol` rides
+    * it directly. Any other type (a `readWarc` record_id string, a UUID)
+    * takes the hashed detour: the heap ranks `xxhash64(id)` stand-ins,
+    * the winning hashes semi-join back to the (id, key) rows — a
+    * broadcast of n hashes, never a corpus shuffle — and an exact
+    * re-selection over that ≤ n + collisions candidate set (bounded, so
+    * the sort-limit is a TakeOrdered over driver-sized data) returns
+    * precisely the n smallest keys even if two ids collide in the
+    * 64-bit stand-in. The draw itself is IDENTICAL either way (the key
+    * hashes the id's STRING form), so the selected set doesn't depend
+    * on which path ran — the cost is one extra narrow pass over
+    * (id, weight), nothing else. Silent wrongness is not on the menu:
+    * before this detour a string id casted to NULL long inside the heap
+    * and the sample came back empty. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, n: Int,
                      salt: String = ""): DataFrame = {
     require(n >= 1, s"sample size must be positive: $n")
@@ -68,24 +84,67 @@ object Sample {
       .cast("long").cast("double")
     val u = (h + 1.0) / 4294967296.0 // (h + 1) / 2^32 ∈ (0, 1]
     val key = -log(u) / col(weightCol).cast("double")
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
-      .select(col(idCol), col(weightCol), key.as("sample_key"))
-      .groupBy()
-      // negated: the max-heap keeps the smallest exponential keys; ties
-      // are impossible short of a digest collision, so selection is total
-      .agg(graft.functions.TopKByScore.topk(
-        -col("sample_key"), col(idCol), n).as("__s"))
-      .select(explode(col("__s")).as("__e"))
-      .select(col("__e.id").as(idCol), (-col("__e.score")).as("sample_key"))
+    val eligible = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    if (integralId(df, idCol)) {
+      eligible
+        .select(col(idCol), col(weightCol), key.as("sample_key"))
+        .groupBy()
+        // negated: the max-heap keeps the smallest exponential keys; ties
+        // are impossible short of a digest collision, so selection is total
+        .agg(graft.functions.TopKByScore.topk(
+          -col("sample_key"), col(idCol), n).as("__s"))
+        .select(explode(col("__s")).as("__e"))
+        .select(col("__e.id").as(idCol), (-col("__e.score")).as("sample_key"))
+    } else {
+      val keyed = eligible
+        .select(col(idCol), key.as("sample_key"),
+          xxhash64(col(idCol).cast("string")).as("__hid"))
+      val winners = keyed
+        .groupBy()
+        .agg(graft.functions.TopKByScore.topk(
+          -col("sample_key"), col("__hid"), n).as("__s"))
+        .select(explode(col("__s")).as("__e"))
+        .select(col("__e.id").as("__hid"))
+        .distinct()
+      keyed.join(broadcast(winners), Seq("__hid"), "left_semi")
+        // candidate set is ≤ n + hash collisions BY CONSTRUCTION, so the
+        // global sort is a bounded TakeOrdered, not a corpus sort; the id
+        // tiebreak only fires on a full 128-bit digest collision
+        .orderBy(col("sample_key"), col(idCol))
+        .limit(n)
+        .select(col(idCol), col("sample_key"))
+    }
   }
+
+  /** Can `idCol` ride [[graft.functions.TopKByScore]]'s long id slot
+    * losslessly? (The heap casts — a string would cast to NULL and
+    * silently vanish.) */
+  private def integralId(df: DataFrame, idCol: String): Boolean =
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
 
   /** k-row uniform sample per group (fewer when the group is smaller):
     * (groupCols..., `idCol`). Ties (equal 32-bit hash prefixes) break
-    * toward the smaller id — fully deterministic. */
+    * toward the smaller id — fully deterministic.
+    *
+    * `idCol` must be integral (it rides the heap's long id slot; a
+    * string would cast to NULL inside the aggregate and the sample
+    * would come back silently empty — so non-integral ids fail fast
+    * here instead; hash or zip a surrogate long id first, or use
+    * [[weightedSample]] with unit weights, which takes the hashed
+    * detour automatically). */
   def bottomK(df: DataFrame, groupCols: Seq[String], idCol: String, k: Int,
               salt: String = ""): DataFrame = {
     require(k >= 1, s"sample size must be positive: $k")
     require(groupCols.nonEmpty, "bottomK needs at least one group column")
+    require(integralId(df, idCol),
+      s"bottomK: idCol '$idCol' must be an integral type (byte/short/int/" +
+        s"long) — got ${df.schema(idCol).dataType.simpleString}; the heap " +
+        "carries long ids, and a lossy cast would silently drop rows. " +
+        "Derive a surrogate long id, or use weightedSample (unit weights) " +
+        "which hashes non-integral ids.")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val h = conv(substring(
         md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8), 16, 10)

@@ -151,12 +151,16 @@ object UrlOps {
     * needs them as a joinable (host, prefix, allow) rule table.
     *
     * Parsing is RFC 9309's group model: consecutive `User-agent` lines
-    * STACK onto one group; a rule or blank line ends the stack, so the
-    * next `User-agent` starts a new group; a group applies when any of
-    * its agents is `*`. Comments strip at `#`; `Sitemap:` and other
-    * non-group lines are ignored without ending a stack; an empty
-    * `Disallow:`/`Allow:` contributes nothing (allow-all, per spec);
-    * rules before any `User-agent` line belong to no group and drop.
+    * STACK onto one group; only a RULE line ends the stack (the group
+    * ABNF is `startgroupline *(startgroupline / emptyline) *(rule /
+    * emptyline)` — blank lines between `User-agent` lines keep
+    * stacking), so the next `User-agent` after a rule starts a new
+    * group; a group applies when any of its agents is `*`. Comments
+    * strip at `#`; `Sitemap:` and other non-group lines are ignored
+    * without ending a stack; an empty `Disallow:`/`Allow:` contributes
+    * nothing (allow-all, per spec) but DOES end the stack like any
+    * rule; rules before any `User-agent` line belong to no group and
+    * drop.
     *
     * Coverage: Allow/Disallow path patterns with full LONGEST-MATCH
     * precedence ([[applyRobots]]) including RFC 9309 §2.2.3's `*`
@@ -191,7 +195,12 @@ object UrlOps {
           .when(isUa, star || (value === "*")) // stacked agent line
           .otherwise(star).as("star"),
         when(isUa, lit(false))
-          .when(isDis || isAllow || (l === ""), lit(true))
+          // ONLY rule lines end a User-agent stack: RFC 9309's group
+          // ABNF admits empty lines BETWEEN startgrouplines, so a blank
+          // must keep stacking (the advisor's fail-open finding — the
+          // old blank-line boundary dropped the rules of
+          // `User-agent: * <blank> User-agent: x <rules>`)
+          .when(isDis || isAllow, lit(true))
           .otherwise(boundary).as("boundary"),
         when((isDis || isAllow) && star && (value =!= ""),
           concat(rules, array(struct(value.as("prefix"),

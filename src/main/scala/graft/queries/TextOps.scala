@@ -3253,6 +3253,35 @@ object TextOps {
        |SELECT doc_id, round(key, 6) AS sample_key
        |FROM k ORDER BY key LIMIT 50""".stripMargin
 
+  // -- q224: weighted sampling with a STRING id (the readWarc shape:
+  // record ids are opaque strings) — the hashed-detour path of
+  // Sample.weightedSample: the heap ranks xxhash64 stand-ins, winning
+  // hashes broadcast-semi-join back, an exact bounded re-selection
+  // returns the true n smallest keys. The draw hashes the id's STRING
+  // form, so the oracle is the SAME arithmetic as q222 over the string
+  // id directly (sort-limit — it never sees the detour); agreement pins
+  // that the stand-in machinery changes nothing observable. Weight =
+  // document length, so long docs dominate the draw. --
+  private val q224: Q = (s, dir) => {
+    val d = docs(s, dir)
+      .select(concat(lit("<urn:doc:"), col("doc_id").cast("string"),
+        lit(">")).as("rid"),
+        length(col("text")).cast("double").as("w"))
+    graft.operators.Sample.weightedSample(d, "rid", "w", n = 50)
+      .select(col("rid"), round(col("sample_key"), 6).as("sample_key"))
+  }
+  private val q224Sql =
+    """WITH w AS (SELECT '<urn:doc:' || CAST(doc_id AS VARCHAR) || '>'
+      |    AS rid, CAST(len(text) AS DOUBLE) AS wgt
+      |  FROM documents WHERE len(text) > 0),
+      |k AS (SELECT rid,
+      |    -ln((TRY_CAST('0x' || substring(
+      |        md5(rid || ':'), 1, 8) AS BIGINT)
+      |      + 1.0) / 4294967296.0) / wgt AS key
+      |  FROM w)
+      |SELECT rid, round(key, 6) AS sample_key
+      |FROM k ORDER BY key LIMIT 50""".stripMargin
+
   // -- q196: token-budget selection (Mix.selectByTokenBudget) — the
   // "assemble the B-token training set from a scored corpus" step:
   // documents ranked by type-token ratio (deterministic ties by id),
@@ -3453,17 +3482,22 @@ object TextOps {
     * spliced into BOTH engines (the Spark frame and the oracle's SQL
     * literal), so any divergence is the PARSERS', never the fixture's.
     * Exercises: comments, a non-* group whose `Disallow: /` must not
-    * leak, a stacked `User-agent: * / legacybot` run, an `Allow:` that
-    * OUTRANKS a shorter Disallow under longest-match, a `*`+`$`
-    * wildcard pattern (`/p/2*9$`: ids starting 2 and ending 9), an
-    * empty `Disallow:` (allow-all, contributes nothing), a `Sitemap:`
-    * line that must not end the group, and a trailing non-* group. */
+    * leak, a stacked `User-agent: * / legacybot` run WITH A BLANK LINE
+    * inside the stack (RFC 9309's group ABNF allows empty lines between
+    * startgrouplines — under the pre-round-17 blank-ends-stack bug the
+    * `*` group would lose all its rules and the gate would fail open),
+    * an `Allow:` that OUTRANKS a shorter Disallow under longest-match,
+    * a `*`+`$` wildcard pattern (`/p/2*9$`: ids starting 2 and ending
+    * 9), an empty `Disallow:` (allow-all, contributes nothing), a
+    * `Sitemap:` line that must not end the group, and a trailing non-*
+    * group. */
   private val robotsBody =
     "# graft crawl policy\n" +
       "User-agent: gptbot\n" +
       "Disallow: /\n" +
       "\n" +
       "User-agent: *\n" +
+      "\n" +
       "User-agent: legacybot\n" +
       "Sitemap: https://example.org/sitemap.xml\n" +
       "Disallow: /p/1\n" +
@@ -3485,12 +3519,14 @@ object TextOps {
 
   // -- q219: robots.txt parsing (UrlOps.parseRobots) — the crawl-policy
   // rule extraction: RFC 9309 group semantics (stacked User-agent runs,
-  // rule/blank lines end a stack, * groups apply; Allow AND Disallow
-  // both emitted with their kind) folded per body in one expression
-  // chain. The oracle derives the SAME rules by a different algorithm —
-  // relational, not a fold: boundary-writer windows find group starts,
-  // a correlated max assigns each line its group, bool_or finds *
-  // groups — so agreement pins the group semantics, not just the
+  // ONLY rule lines end a stack — blank lines between User-agent lines
+  // keep stacking, per the group ABNF; * groups apply; Allow AND
+  // Disallow both emitted with their kind) folded per body in one
+  // expression chain. The oracle derives the SAME rules by a different
+  // algorithm — relational, not a fold: boundary-writer windows (rule
+  // and ua writers only, blanks invisible) find group starts, a
+  // correlated max assigns each line its group, bool_or finds * groups
+  // — so agreement pins the group semantics, not just the
   // arithmetic. --
   private val q219: Q = (s, dir) =>
     graft.operators.UrlOps.parseRobots(robotsFrame(s, dir), "host", "body")
@@ -3512,7 +3548,7 @@ object TextOps {
        |         WHEN l = '' THEN 'blank' ELSE 'other' END AS typ,
        |    trim(regexp_replace(l, '^[A-Za-z-]+\\s*:', '')) AS v
        |  FROM lines),
-       |bw AS (SELECT *, max(CASE WHEN typ IN ('ua', 'dis', 'allow', 'blank')
+       |bw AS (SELECT *, max(CASE WHEN typ IN ('ua', 'dis', 'allow')
        |      THEN i END) OVER (PARTITION BY host ORDER BY i
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pbw
        |  FROM cls),
@@ -3624,6 +3660,7 @@ object TextOps {
     "q219_robots_rules" -> q219,
     "q220_robots_gate" -> q220,
     "q222_weighted_sample" -> q222,
+    "q224_weighted_sample_strid" -> q224,
     "q216_pipeline_chunks" -> q216,
     "q215_keep_best_dedup" -> q215,
     "q214_domain_card" -> q214,
@@ -3720,6 +3757,7 @@ object TextOps {
     "q219_robots_rules" -> q219Sql,
     "q220_robots_gate" -> q220Sql,
     "q222_weighted_sample" -> q222Sql,
+    "q224_weighted_sample_strid" -> q224Sql,
     "q216_pipeline_chunks" -> q216Sql,
     "q213_sentence_chunks" -> q213Sql,
     "q209_card_drift" -> q209Sql,

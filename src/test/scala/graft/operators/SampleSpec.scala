@@ -80,6 +80,40 @@ class SampleSpec extends SparkSpec {
       Sample.weightedSample(weighted, "doc_id", "w", n = 0))
   }
 
+  test("weightedSample: STRING ids take the hashed detour and still equal " +
+      "the sort-limit reference; bottomK fails fast on a string id") {
+    // a readWarc-shaped corpus: the id is an opaque string record_id.
+    // Before the hashed detour this cast to NULL inside the heap and the
+    // sample came back EMPTY (the advisor's silent-wrongness finding).
+    val weighted = docs.select(
+      concat(lit("<urn:rec:"), $"doc_id".cast("string"), lit(">")).as("rid"),
+      when($"doc_id" % 10 === 0, 100.0).otherwise(1.0).as("w"))
+    val got = Sample.weightedSample(weighted, "rid", "w", n = 40)
+    assert(got.count() == 40, "string ids must sample, not silently empty")
+    assert(got.schema("rid").dataType ==
+      org.apache.spark.sql.types.StringType, "id keeps its own type")
+    // reference algorithm: full sort by the same exponential key — the
+    // draw hashes the id's STRING form, so both paths rank identically
+    val h = conv(substring(md5(concat($"rid", lit(":"))), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    val key = -log((h + 1.0) / 4294967296.0) / $"w"
+    val ref = weighted.select($"rid", key.as("sample_key"))
+      .orderBy($"sample_key").limit(40)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "hashed-id heap top-n must equal the sort-limit reference")
+    // rerun-stable, and salt redraws
+    val again = Sample.weightedSample(weighted, "rid", "w", n = 40)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    val other = Sample.weightedSample(weighted, "rid", "w", n = 40,
+      salt = "redraw")
+    assert(got.select($"rid").exceptAll(other.select($"rid")).count() > 0)
+    // bottomK has no detour: a lossy id must fail fast, not drop rows
+    val e = intercept[IllegalArgumentException](
+      Sample.bottomK(weighted.withColumn("grp", lit(1)),
+        Seq("grp"), "rid", k = 5))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("permute: a bijective, rerun-stable position assignment; salt redraws") {
     val base = Tables.load(spark, sf(), "documents")
     val n = base.count()

@@ -139,20 +139,28 @@ class UrlOpsSpec extends SparkSpec {
       .select($"prefix", $"allow").as[(String, Boolean)].collect().toSet
   }
 
-  test("parseRobots: RFC 9309 group semantics — stacked agents, rule/" +
-      "blank lines end a stack, non-* groups never leak, Allow rules " +
-      "carry their kind") {
+  test("parseRobots: RFC 9309 group semantics — stacked agents, ONLY " +
+      "rule lines end a stack (blanks keep stacking), non-* groups " +
+      "never leak, Allow rules carry their kind") {
     // stacked * + named agent: rules belong to both
     assert(rules("User-agent: a\nUser-agent: *\nDisallow: /x") ===
       Set("/x" -> false))
     // a rule line ends the stack: the next UA starts a NEW group
     assert(rules("User-agent: *\nDisallow: /x\nUser-agent: b\nDisallow: /y")
       === Set("/x" -> false))
-    // a blank line ends the stack the same way
+    // a blank line between User-agent lines KEEPS stacking (RFC 9309
+    // group ABNF: emptyline is legal among startgrouplines — the
+    // advisor's fail-open finding; both agents share the /y group)
     assert(rules("User-agent: *\n\nUser-agent: b\nDisallow: /y")
-      === Set.empty)
+      === Set("/y" -> false))
     // blank between a * group's UA and its rules does NOT detach them
     assert(rules("User-agent: *\n\nDisallow: /z") === Set("/z" -> false))
+    // ...and a blank BETWEEN rules doesn't split the group either
+    assert(rules("User-agent: *\nDisallow: /x\n\nAllow: /x/ok") ===
+      Set("/x" -> false, "/x/ok" -> true))
+    // but after a rule, a UA (blank-separated or not) starts a NEW group
+    assert(rules("User-agent: *\nDisallow: /x\n\nUser-agent: b\n" +
+      "Disallow: /y") === Set("/x" -> false))
     // non-* group only: nothing applies
     assert(rules("User-agent: gptbot\nDisallow: /") === Set.empty)
     // comments strip; Sitemap lines don't end a UA stack

@@ -40,9 +40,23 @@ import org.apache.spark.sql.functions._
   * (`DateTimeFormatter.ISO_INSTANT`), independent of
   * `spark.sql.session.timeZone` — a non-UTC session writes the same
   * bytes as a UTC one. Sub-second timestamps emit fractional digits
-  * (the WARC/1.1 form) rather than silently truncating, so any input
-  * round-trips bit-exactly through the source's `Instant.parse`;
-  * second-aligned inputs keep the classic `…T00:00:00Z` form.
+  * rather than silently truncating, so any input round-trips
+  * bit-exactly through the source's `Instant.parse`; second-aligned
+  * inputs keep the classic `…T00:00:00Z` form. The record's VERSION
+  * LINE tracks the date's precision: fractional dates are a WARC/1.1
+  * feature (ISO 28500:2009 mandates whole seconds), so a record
+  * carrying one declares `WARC/1.1` and a second-aligned record stays
+  * `WARC/1.0` — a strict 1.0 validator never sees a 1.0 record it
+  * must reject (the version line is PER RECORD in WARC; mixed-version
+  * files are the format's norm, and the source accepts any `WARC/`).
+  *
+  * Segment names are `part-NNNN…` zero-padded to the JOB'S OWN width
+  * (4 digits up to 10k partitions, wider beyond), so within a commit
+  * the lexicographic order every tail watermarks by IS the partition
+  * order — `part-10000` after `part-09999`, never between `part-1000`
+  * and `part-1001`. The pre-write cleanup matches any width
+  * (`part-\d{4,}`), so a rerun at a narrower width still sweeps a
+  * wider predecessor's segments.
   *
   * Input contract (checked up front): `url` string, `warc_date`
   * timestamp, `record_id` string, `http_status` int, `body` binary.
@@ -96,7 +110,9 @@ object WarcSink {
       if (fs.exists(p)) {
         fs.listStatus(p).foreach { st =>
           val n = st.getPath.getName
-          if (st.isFile && (n.matches("part-\\d{4}\\.warc(\\.gz)?") ||
+          // \d{4,}: a previous run with >=10k partitions wrote wider
+          // names — its stale segments must not survive a narrower rerun
+          if (st.isFile && (n.matches("part-\\d{4,}\\.warc(\\.gz)?") ||
               n.startsWith(".") && n.contains(".inprogress-")))
             fs.delete(st.getPath, false)
         }
@@ -109,13 +125,19 @@ object WarcSink {
       col("http_status").cast("int"),
       col("body").cast("binary"))
     import spark.implicits._
+    // zero-pad width sized to THIS job's partition count (>=4): names
+    // stay uniform-width, so the lexicographic order the tail
+    // watermarks by equals the numeric partition order even past 10k
+    // partitions (f"%04d" alone would sort part-10000 before part-9999
+    // and break the ascending-landing contract)
+    val width = padWidth(rows.rdd.getNumPartitions)
     // tasks stream into HIDDEN attempt-suffixed temps and return the
-    // pending (temp, final) pair — one row per non-empty partition,
-    // bounded driver state like every manifest
+    // pending (pid, temp, final) triple — one row per non-empty
+    // partition, bounded driver state like every manifest
     val pending = rows.mapPartitions { it =>
       val tc = org.apache.spark.TaskContext.get()
       val pid = tc.partitionId()
-      val name = f"part-$pid%04d$ext"
+      val name = s"part-%0${width}d".format(pid) + ext
       // hidden while in flight: the leading dot keeps every graft
       // listing (batch scan, tail, manifest) blind to it until the
       // commit rename; the attempt suffix keeps speculative attempts
@@ -139,7 +161,7 @@ object WarcSink {
         if (!ok || n == 0) fs.delete(tmp, false) // failure/empty: no debris
       }
       if (n == 0) Iterator.empty
-      else Iterator.single((tmp.toString, name, n,
+      else Iterator.single((pid, tmp.toString, name, n,
         fs.getFileStatus(tmp).getLen))
     }.collect()
     // COMMIT POINT — driver-side renames in ASCENDING segment order,
@@ -152,7 +174,10 @@ object WarcSink {
     locally {
       val p = new Path(dir)
       val fs = p.getFileSystem(hconf.value)
-      pending.sortBy(_._2).foreach { case (tmp, name, _, _) =>
+      // ascending by PARTITION ID, not name: uniform-width names make
+      // the two orders identical, but the numeric key can't be broken
+      // by a width surprise
+      pending.sortBy(_._1).foreach { case (_, tmp, name, _, _) =>
         val target = new Path(s"$dir/$name")
         if (fs.exists(target)) fs.delete(target, false) // retried job
         if (!fs.rename(new Path(tmp), target))
@@ -167,7 +192,7 @@ object WarcSink {
       }
     }
     spark.createDataFrame(pending.toSeq
-      .map { case (_, name, n, bytes) => (s"$dir/$name", n, bytes) })
+      .map { case (_, _, name, n, bytes) => (s"$dir/$name", n, bytes) })
       .toDF("file", "n_records", "n_bytes")
   }
 
@@ -195,8 +220,24 @@ object WarcSink {
       s"WarcSink: unexpected warc_date representation ${other.getClass}")
   }
 
-  /** One serialized WARC/1.0 response record (headers ISO-8859-1, CRLF
-    * framing, two CRLFs after the payload per spec). */
+  /** Segment-name pad width for a job of `numPartitions` tasks: 4 up
+    * to 10k partitions (the classic `part-NNNN`), one digit per decade
+    * beyond — uniform within a job, so lexicographic segment order IS
+    * partition order at any scale. */
+  private[sinks] def padWidth(numPartitions: Int): Int =
+    math.max(4, (math.max(numPartitions, 1) - 1).toString.length)
+
+  /** The record's version line for its date: fractional seconds are a
+    * WARC/1.1 feature (ISO 28500:2009 restricts WARC-Date to whole
+    * seconds), so a sub-second date declares 1.1 and anything else
+    * stays 1.0 — a strict 1.0 validator never meets an illegal 1.0
+    * record, and a 1.1-aware reader gets the full precision. */
+  private def versionFor(date: String): String =
+    if (date != null && date.contains('.')) "WARC/1.1" else "WARC/1.0"
+
+  /** One serialized response record (headers ISO-8859-1, CRLF framing,
+    * two CRLFs after the payload per spec; version line per
+    * [[versionFor]]). */
   private def record(r: Row, httpContentType: String): Array[Byte] = {
     val body: Array[Byte] =
       if (r.isNullAt(4)) Array.emptyByteArray else r.getAs[Array[Byte]](4)
@@ -209,10 +250,11 @@ object WarcSink {
       if (v == null) "" else s"$k: $v\r\n"
     def hdr(k: String, i: Int): String =
       if (r.isNullAt(i)) "" else strHdr(k, r.getString(i))
-    val head = ("WARC/1.0\r\n" +
+    val date = formatDate(r.get(1))
+    val head = (s"${versionFor(date)}\r\n" +
       "WARC-Type: response\r\n" +
       hdr("WARC-Record-ID", 2) +
-      strHdr("WARC-Date", formatDate(r.get(1))) +
+      strHdr("WARC-Date", date) +
       hdr("WARC-Target-URI", 0) +
       "Content-Type: application/http; msgtype=response\r\n" +
       s"Content-Length: $payloadLen\r\n\r\n").getBytes(ISO_8859_1)
@@ -225,10 +267,11 @@ object WarcSink {
     * enters the archive). */
   private def warcinfoRecord(segment: String,
                              firstDate: Any): Array[Byte] = {
-    val body = ("software: graft WarcSink\r\n" +
-      "format: WARC File Format 1.0\r\n").getBytes(ISO_8859_1)
     val date = formatDate(firstDate)
-    val head = ("WARC/1.0\r\n" +
+    val fmt = if (versionFor(date) == "WARC/1.1") "1.1" else "1.0"
+    val body = ("software: graft WarcSink\r\n" +
+      s"format: WARC File Format $fmt\r\n").getBytes(ISO_8859_1)
+    val head = (s"${versionFor(date)}\r\n" +
       "WARC-Type: warcinfo\r\n" +
       s"WARC-Record-ID: <urn:graft:warcinfo:$segment>\r\n" +
       (if (date == null) "" else s"WARC-Date: $date\r\n") +

@@ -296,6 +296,17 @@ class WarcSourceSpec extends SparkSpec {
       "fractional seconds must be emitted, not truncated")
     assert(raw.contains("WARC-Date: 2026-01-01T00:00:01Z"),
       "second-aligned dates keep the classic form")
+    // the version line tracks the date's precision PER RECORD:
+    // fractional dates are illegal in WARC/1.0 (ISO 28500:2009 mandates
+    // whole seconds), so the sub-second record must declare 1.1 while
+    // the aligned record stays 1.0 — strict 1.0 validators never meet
+    // an illegal 1.0 record
+    assert(raw.contains("WARC/1.1\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:g:f>"),
+      "sub-second record must carry a WARC/1.1 version line")
+    assert(raw.contains("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:g:s>"),
+      "second-aligned record must stay WARC/1.0")
     val back = spark.read.format("graft-warc").load(out)
       .select($"record_id", $"warc_date").collect()
       .map(r => r.getString(0) -> r.getTimestamp(1).toInstant).toMap

@@ -286,6 +286,48 @@ object CoerceOps {
       |FROM documents
       |WHERE doc_id % 8 = 0 AND doc_id <= 96""".stripMargin
 
+  // -- q225: cc-index build + random-access fetch — the Common Crawl
+  // index workload end to end: a scan materializes the (url, record_id,
+  // record_file, record_offset) index table, a curated slice of it
+  // (every 16th document) feeds WarcFetch, which SEEKS to each offset
+  // and decodes exactly that record — no segment is streamed past. The
+  // oracle re-derives the same slice from the parquet table, so a hash
+  // match proves index offsets + seek + member decode + envelope strip
+  // land on the exact original bytes. (The offsets themselves are
+  // physical and unknowable to the oracle — what's checkable is that
+  // USING them retrieves the right records, which is the index's entire
+  // contract.) --
+  private val q225: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_warc_ccindex_$sfx"
+    val d = Tables.load(s, dir, "documents").select(
+      concat(lit("https://"), lower($"source"), lit("."), $"lang",
+        lit(".example.org/p/"), $"doc_id".cast("string")).as("url"),
+      lit("2026-01-01 00:00:00").cast("timestamp").as("warc_date"),
+      concat(lit("<urn:graft:"), $"doc_id".cast("string"), lit(">"))
+        .as("record_id"),
+      lit(200).as("http_status"),
+      encode($"text", "UTF-8").as("body"))
+    graft.sinks.WarcSink.write(d.repartition(8, $"record_id")
+      .sortWithinPartitions($"record_id"), out, gzip = true)
+    // the cc-index artifact: headers only (body pruned in-reader)
+    val index = s.read.format("graft-warc").load(out)
+      .select($"url", $"record_id", $"record_file", $"record_offset")
+    val wanted = (4 to 100 by 16).map(i => s"<urn:graft:$i>")
+    val curated = index.filter($"record_id".isin(wanted: _*))
+    graft.sources.warc.WarcFetch.fetch(curated)
+      .select($"url", $"record_id", decode($"body", "UTF-8").as("text"))
+  }
+  private val q225Sql =
+    """SELECT
+      |  'https://' || lower(source) || '.' || lang || '.example.org/p/' ||
+      |    CAST(doc_id AS VARCHAR) AS url,
+      |  '<urn:graft:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+      |  text
+      |FROM documents
+      |WHERE doc_id % 16 = 4 AND doc_id <= 100""".stripMargin
+
   // -- q49: geo_point operations (haversine + bounding box) --
   // Coordinates are derived deterministically from customer columns (no
   // geo fixture exists); the point is the operator surface over the
@@ -743,6 +785,7 @@ object CoerceOps {
     "q48_dsv2_jsonl_scan" -> q48,
     "q210_warc_roundtrip" -> q210,
     "q212_warc_rehydrate" -> q212,
+    "q225_ccindex_fetch" -> q225,
     "q49_geo_distance" -> q49,
     "q54_csv_roundtrip" -> q54,
     "q55_ndjson_roundtrip" -> q55,
@@ -768,6 +811,7 @@ object CoerceOps {
     "q48_dsv2_jsonl_scan" -> q48Sql,
     "q210_warc_roundtrip" -> q210Sql,
     "q212_warc_rehydrate" -> q212Sql,
+    "q225_ccindex_fetch" -> q225Sql,
     "q49_geo_distance" -> q49Sql,
     "q54_csv_roundtrip" -> q54Sql,
     "q55_ndjson_roundtrip" -> q55Sql,

@@ -78,11 +78,13 @@ object Pipeline {
     *    `chunk_tokens` ride along, and idCol stays the DOCUMENT id
     *    (chunks share it), so run dedup/gates BEFORE this stage and
     *    sinks after.
-    *  - `robotsGate` (q219/q220): retroactive crawl-policy compliance —
+    *  - `robotsGate` (q219/q220/q226): crawl-policy compliance —
     *    `table=` a fixture table of robots.txt bodies (`hostCol=`
-    *    default `host`, `bodyCol=` default `body`), parsed to
-    *    `User-agent: *` Disallow prefixes (the documented RFC 9309
-    *    subset) and applied to `urlCol=` (default `url`).
+    *    default `host`, `bodyCol=` default `body`), parsed to RFC 9309
+    *    Allow/Disallow rules and applied to `urlCol=` (default `url`)
+    *    with longest-match precedence; `agent=` selects that crawler's
+    *    own groups (§2.2.1 case-insensitive product token, matching
+    *    groups combine, `*` fallback), default = the `*` posture.
     *  - URL curation (q202/q203): `blockDomains` drops rows whose URL
     *    host or any parent domain is blocklisted (`domains=a.com,b.org`
     *    literals and/or `table=`+`domainCol=` a fixture-table list —
@@ -113,7 +115,7 @@ object Pipeline {
     "langId" -> Set("langCol", "langs", "dim", "n", "iterations"),
     "qualityGate" -> Set("labelCol", "labelTrue", "dim", "iterations", "tau"),
     "deriveUrl" -> Set("outCol"),
-    "robotsGate" -> Set("table", "hostCol", "bodyCol", "urlCol"),
+    "robotsGate" -> Set("table", "hostCol", "bodyCol", "urlCol", "agent"),
     "blockDomains" -> Set("urlCol", "domains", "table", "domainCol"),
     "domainQuality" -> Set("urlCol", "valueCol", "minMean", "minDocs"),
     "sample" -> Set("rate", "salt"),
@@ -373,8 +375,12 @@ object Pipeline {
             robots.columns.contains(c),
             s"pipeline line ${s.line}: robotsGate table '$robotsTable' " +
               s"lacks column '$c'"))
+          // agent= selects THIS crawler's groups (RFC 9309 §2.2.1
+          // case-insensitive product token, * fallback); default stays
+          // the retroactive * posture
           operators.UrlOps.applyRobots(df, urlCol, idCol,
-            operators.UrlOps.parseRobots(robots, hostCol, bodyCol))
+            operators.UrlOps.parseRobots(robots, hostCol, bodyCol,
+              s.params.get("agent")))
         case "blockDomains" =>
           val urlCol = s.params.getOrElse("urlCol", "url")
           require(df.columns.contains(urlCol),

@@ -164,22 +164,38 @@ object UrlOps {
     *
     * Coverage: Allow/Disallow path patterns with full LONGEST-MATCH
     * precedence ([[applyRobots]]) including RFC 9309 §2.2.3's `*`
-    * (any-sequence) and trailing `$` (end anchor) extensions — the one
-    * remaining documented subset is agent matching (only `*` groups
-    * apply; no per-bot name/prefix matching).
+    * (any-sequence) and trailing `$` (end anchor) extensions, and
+    * per-crawler AGENT MATCHING (§2.2.1): pass `agent = Some("mybot")`
+    * and the effective group set is the groups whose `User-agent`
+    * product token equals the agent CASE-INSENSITIVELY (the RFC's MUST;
+    * all matching groups COMBINE, §2.2.1's merge rule), falling back to
+    * the `*` groups only when NO group names the agent — a named group
+    * with zero rules means allow-all for that bot, not a fallback. The
+    * default `agent = None` keeps the retroactive-compliance posture:
+    * `*` groups only, the policy every crawler is owed.
     *
     * One fold per body (the [[graft.operators.Chunk.bySentence]]
     * recurrence discipline: entirely per-row, nothing shuffles), then
     * one explode + distinct. Hosts normalize through the same
     * lowercase/`www.`/port canonicalization as [[domainOf]], so rules
     * join against document hosts on the same key. */
-  def parseRobots(df: DataFrame, hostCol: String,
-                  bodyCol: String): DataFrame = {
+  def parseRobots(df: DataFrame, hostCol: String, bodyCol: String,
+                  agent: Option[String] = None): DataFrame = {
+    agent.foreach(a => require(a.trim.nonEmpty && a.trim != "*",
+      "parseRobots: agent must be a concrete product token; " +
+        "agent = None already selects the '*' groups"))
     val lines = split(
       regexp_replace(col(bodyCol), "#[^\n]*", ""), "\r?\n")
     val ruleType = "array<struct<prefix:string,allow:boolean>>"
-    val st0 = struct(lit(false).as("star"), lit(true).as("boundary"),
-      array().cast(ruleType).as("rules"))
+    // the * tracking runs either way; with an agent, the fold ALSO
+    // carries the agent-matching groups' rules plus a saw flag, and the
+    // finish picks per §2.2.1 (matching groups if any exist, else *)
+    val aLow = agent.map(a => lit(a.trim.toLowerCase))
+    val st0Fields = Seq(lit(false).as("star"), lit(true).as("boundary"),
+      array().cast(ruleType).as("rules")) ++ (if (aLow.isDefined)
+      Seq(lit(false).as("agm"), lit(false).as("saw"),
+        array().cast(ruleType).as("arules")) else Nil)
+    val st0 = struct(st0Fields: _*)
     val folded = aggregate(lines, st0, (st, raw) => {
       val l = trim(raw)
       val low = lower(l)
@@ -190,7 +206,8 @@ object UrlOps {
       val star = st.getField("star")
       val boundary = st.getField("boundary")
       val rules = st.getField("rules")
-      struct(
+      val rule = struct(value.as("prefix"), isAllow.as("allow"))
+      val base = Seq(
         when(isUa && boundary, value === "*") // new group
           .when(isUa, star || (value === "*")) // stacked agent line
           .otherwise(star).as("star"),
@@ -203,15 +220,49 @@ object UrlOps {
           .when(isDis || isAllow, lit(true))
           .otherwise(boundary).as("boundary"),
         when((isDis || isAllow) && star && (value =!= ""),
-          concat(rules, array(struct(value.as("prefix"),
-            isAllow.as("allow"))))).otherwise(rules).as("rules"))
-    }, st => st.getField("rules"))
+          concat(rules, array(rule))).otherwise(rules).as("rules"))
+      val extra = aLow.toSeq.flatMap { a =>
+        val isA = lower(value) === a // case-insensitive product token
+        val agm = st.getField("agm")
+        val saw = st.getField("saw")
+        val arules = st.getField("arules")
+        Seq(
+          when(isUa && boundary, isA)
+            .when(isUa, agm || isA)
+            .otherwise(agm).as("agm"),
+          (saw || (isUa && isA)).as("saw"),
+          when((isDis || isAllow) && agm && (value =!= ""),
+            concat(arules, array(rule))).otherwise(arules).as("arules"))
+      }
+      struct(base ++ extra: _*)
+    }, st => if (aLow.isDefined)
+        when(st.getField("saw"), st.getField("arules"))
+          .otherwise(st.getField("rules"))
+      else st.getField("rules"))
     df.select(bareHost(col(hostCol)).as("host"), folded.as("__rules"))
       .select(col("host"), explode(col("__rules")).as("__r"))
       .select(col("host"), col("__r.prefix").as("prefix"),
         col("__r.allow").as("allow"))
       .distinct()
   }
+
+  /** `Sitemap:` extraction from robots bodies — the crawl-frontier
+    * seed: sitemap lines are HOST-WIDE per the sitemaps protocol
+    * (outside any User-agent group, so [[parseRobots]] rightly ignores
+    * them), and a crawler bootstraps its per-host URL frontier from
+    * exactly this (host, sitemap_url) table. Case-insensitive
+    * directive, comments stripped first, one row per DISTINCT (host,
+    * url); hosts canonicalize like [[parseRobots]] so the two tables
+    * join. Zero shuffles before the distinct: a per-row regex
+    * extraction, RE2-compatible so an external engine reproduces it. */
+  def parseSitemaps(df: DataFrame, hostCol: String,
+                    bodyCol: String): DataFrame =
+    df.select(bareHost(col(hostCol)).as("host"),
+      explode(regexp_extract_all(
+        regexp_replace(col(bodyCol), "#[^\n]*", ""),
+        lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)"), lit(1)))
+        .as("sitemap"))
+      .distinct()
 
   /** Crawl-policy gate over [[parseRobots]] rules with RFC 9309 §2.2.2
     * LONGEST-MATCH precedence: among the host's rules whose pattern

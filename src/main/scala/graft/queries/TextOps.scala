@@ -3517,6 +3517,33 @@ object TextOps {
       .distinct()
       .withColumn("body", lit(robotsBody))
 
+  /** The agent-matching fixture (q226/q227): a `graftbot`-specific
+    * policy split across TWO groups (RFC 9309 §2.2.1 merges matching
+    * groups), one in a different CASE (matching is case-insensitive),
+    * with a `*` group that must be OVERRIDDEN for graftbot — plus an
+    * indented lowercase `sitemap:` line for the host-wide extraction. */
+  private val robotsBodyAgents =
+    "# graftbot policy\n" +
+      "User-agent: graftbot\n" +
+      "Disallow: /p/1\n" +
+      "Allow: /p/12\n" +
+      "\n" +
+      "User-agent: *\n" +
+      "Disallow: /\n" +
+      "\n" +
+      "User-Agent: GRAFTBOT\n" +
+      "Disallow: /p/3\n" +
+      "  sitemap: https://example.org/de-sitemap.xml\n"
+
+  /** Hosts with a MIXED policy landscape: `.de.` hosts run the
+    * agent-specific body, everything else the plain q219 body — so one
+    * query exercises agent-group override AND the *-fallback at once. */
+  private def robotsAgentFrame(s: SparkSession, dir: String): DataFrame =
+    robotsFrame(s, dir)
+      .withColumn("body",
+        when(col("host").like("%.de.example.org"), lit(robotsBodyAgents))
+          .otherwise(lit(robotsBody)))
+
   // -- q219: robots.txt parsing (UrlOps.parseRobots) — the crawl-policy
   // rule extraction: RFC 9309 group semantics (stacked User-agent runs,
   // ONLY rule lines end a stack — blank lines between User-agent lines
@@ -3594,6 +3621,86 @@ object TextOps {
       |           OR (CAST(doc_id AS VARCHAR) LIKE '2%'
       |               AND CAST(doc_id AS VARCHAR) LIKE '%9'))""".stripMargin
 
+  // -- q226: per-crawler robots parsing (RFC 9309 §2.2.1 agent
+  // matching) — the "what may MY bot crawl" question, against a mixed
+  // landscape: .de hosts carry a graftbot-specific policy split across
+  // two groups (one in a different case) beside a Disallow-/ * group,
+  // every other host only the plain q219 body. parseRobots(agent =
+  // "GraftBot") must COMBINE both matching groups case-insensitively,
+  // override * on those hosts, and fall back to the * groups elsewhere.
+  // The oracle derives the same selection relationally: per-group
+  // bool_or finds *- and agent-groups, a per-host bool_or decides the
+  // fallback, and the (saw AND agm) OR (NOT saw AND star) cut replays
+  // the RFC's precedence — a different algorithm agreeing on the same
+  // rule table. --
+  private val q226: Q = (s, dir) =>
+    graft.operators.UrlOps.parseRobots(
+      robotsAgentFrame(s, dir), "host", "body", agent = Some("GraftBot"))
+  private val q226Sql =
+    s"""WITH hosts AS (
+       |  SELECT DISTINCT lower(source) || '.' || lang || '.example.org'
+       |    AS host FROM documents),
+       |raw AS (SELECT host, string_split_regex(
+       |    regexp_replace(
+       |      CASE WHEN host LIKE '%.de.example.org'
+       |           THEN '$robotsBodyAgents' ELSE '$robotsBody' END,
+       |      '#[^\\n]*', '', 'g'), '\\r?\\n') AS ls
+       |  FROM hosts),
+       |lines AS (SELECT host, u['i'] AS i, trim(u['l']) AS l FROM raw,
+       |  unnest(list_transform(range(1, len(ls) + 1),
+       |    i -> {'i': i, 'l': ls[CAST(i AS INT)]})) AS t(u)),
+       |cls AS (SELECT host, i, l,
+       |    CASE WHEN lower(l) LIKE 'user-agent:%' THEN 'ua'
+       |         WHEN lower(l) LIKE 'disallow:%' THEN 'dis'
+       |         WHEN lower(l) LIKE 'allow:%' THEN 'allow'
+       |         WHEN l = '' THEN 'blank' ELSE 'other' END AS typ,
+       |    trim(regexp_replace(l, '^[A-Za-z-]+\\s*:', '')) AS v
+       |  FROM lines),
+       |bw AS (SELECT *, max(CASE WHEN typ IN ('ua', 'dis', 'allow')
+       |      THEN i END) OVER (PARTITION BY host ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pbw
+       |  FROM cls),
+       |bw2 AS (SELECT a.*, b.typ AS pbw_typ FROM bw a
+       |  LEFT JOIN cls b ON b.host = a.host AND b.i = a.pbw),
+       |gs AS (SELECT host, i FROM bw2
+       |  WHERE typ = 'ua' AND (pbw_typ IS NULL OR pbw_typ <> 'ua')),
+       |cur AS (SELECT c.host, c.i, c.typ, c.v,
+       |    (SELECT max(g.i) FROM gs g
+       |     WHERE g.host = c.host AND g.i <= c.i) AS g
+       |  FROM cls c),
+       |grp AS (SELECT host, g, bool_or(v = '*') AS star,
+       |    bool_or(lower(v) = 'graftbot') AS agm
+       |  FROM cur WHERE typ = 'ua' GROUP BY host, g),
+       |saw AS (SELECT host, bool_or(agm) AS saw FROM grp GROUP BY host)
+       |SELECT DISTINCT c.host, c.v AS prefix, c.typ = 'allow' AS allow
+       |FROM cur c JOIN grp s ON s.host = c.host AND s.g = c.g
+       |JOIN saw w ON w.host = c.host
+       |WHERE c.typ IN ('dis', 'allow') AND c.v <> ''
+       |  AND ((w.saw AND s.agm) OR (NOT w.saw AND s.star))""".stripMargin
+
+  // -- q227: sitemap extraction (UrlOps.parseSitemaps) — the
+  // crawl-frontier seed table: Sitemap: lines are HOST-WIDE (outside
+  // the group model), matched case-insensitively at any indentation,
+  // after comment stripping, deduplicated. Only the .de hosts' agent
+  // body carries an (indented, lowercase) sitemap line beside the
+  // plain body's Sitemap:, so the query pins both spellings and the
+  // per-host split. Oracle: the same RE2-class regex in DuckDB over
+  // the same spliced bodies — engine-independent extraction. --
+  private val q227: Q = (s, dir) =>
+    graft.operators.UrlOps.parseSitemaps(
+      robotsAgentFrame(s, dir), "host", "body")
+  private val q227Sql =
+    s"""WITH hosts AS (
+       |  SELECT DISTINCT lower(source) || '.' || lang || '.example.org'
+       |    AS host FROM documents),
+       |raw AS (SELECT host, regexp_replace(
+       |    CASE WHEN host LIKE '%.de.example.org'
+       |         THEN '$robotsBodyAgents' ELSE '$robotsBody' END,
+       |    '#[^\\n]*', '', 'g') AS body FROM hosts)
+       |SELECT DISTINCT host, um AS sitemap
+       |FROM raw, unnest(regexp_extract_all(body,
+       |  '(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1)) AS t(um)""".stripMargin
+
   // -- q202: domain blocklist gate (UrlOps.dropBlockedDomains) — the
   // UT1-style crawl filter: hosts explode into dotted suffixes (bounded
   // by label count) which semi-join the blocklist, blocked ids
@@ -3659,6 +3766,8 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "q219_robots_rules" -> q219,
     "q220_robots_gate" -> q220,
+    "q226_robots_agent" -> q226,
+    "q227_sitemaps" -> q227,
     "q222_weighted_sample" -> q222,
     "q224_weighted_sample_strid" -> q224,
     "q216_pipeline_chunks" -> q216,
@@ -3756,6 +3865,8 @@ object TextOps {
     "q214_domain_card" -> q214Sql,
     "q219_robots_rules" -> q219Sql,
     "q220_robots_gate" -> q220Sql,
+    "q226_robots_agent" -> q226Sql,
+    "q227_sitemaps" -> q227Sql,
     "q222_weighted_sample" -> q222Sql,
     "q224_weighted_sample_strid" -> q224Sql,
     "q216_pipeline_chunks" -> q216Sql,

@@ -633,6 +633,21 @@ class PipelineSpec extends SparkSpec {
         spark.read.parquet(s"$dir/robots.parquet"), "host", "body"))
     assert(got.select($"doc_id").as[Long].collect().toSet === Set(2L, 3L))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // agent= selects the crawler's own groups: mybot's policy allows /p
+    // on h.example while * stays blocked — the stage must route the
+    // param through to parseRobots (case-insensitive)
+    Seq(("h.example", "User-agent: *\nDisallow: /p\n\n" +
+      "User-agent: mybot\nDisallow: /private\n"))
+      .toDF("host", "body")
+      .write.mode("overwrite").parquet(s"$dir/robots2.parquet")
+    val asBot = Pipeline.run(spark, dir,
+      "read table=documents\nrobotsGate table=robots2 agent=MyBot")
+    assert(asBot.select($"doc_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L), "the named agent's groups must override *")
+    val asAny = Pipeline.run(spark, dir,
+      "read table=documents\nrobotsGate table=robots2")
+    assert(asAny.select($"doc_id").as[Long].collect().toSet ===
+      Set(2L, 3L), "without agent= the * posture holds")
     // fail fast: missing table=, absent urlCol, robots table lacking cols
     assert(intercept[IllegalArgumentException](Pipeline.run(spark, dir,
       "read table=documents\nrobotsGate")).getMessage

@@ -179,6 +179,53 @@ class UrlOpsSpec extends SparkSpec {
     assert(out.getString(0) === "h.example" && out.getString(1) === "/a")
   }
 
+  private def agentRules(body: String, agent: String): Set[(String, Boolean)] = {
+    val df = Seq(("h.example", body)).toDF("host", "body")
+    UrlOps.parseRobots(df, "host", "body", agent = Some(agent))
+      .select($"prefix", $"allow").as[(String, Boolean)].collect().toSet
+  }
+
+  test("parseRobots agent matching (RFC 9309 §2.2.1): case-insensitive " +
+      "product token, matching groups COMBINE and override *, absent " +
+      "agent falls back to *, an empty named group means allow-all") {
+    val body = "User-agent: graftbot\nDisallow: /g/1\nAllow: /g/12\n\n" +
+      "User-agent: *\nDisallow: /all\n\n" +
+      "User-Agent: GRAFTBOT\nDisallow: /g/3\n"
+    // both graftbot groups combine (case-insensitively); * is OVERRIDDEN
+    assert(agentRules(body, "GraftBot") ===
+      Set("/g/1" -> false, "/g/12" -> true, "/g/3" -> false))
+    // an unnamed bot gets exactly the * policy
+    assert(agentRules(body, "strangerbot") === Set("/all" -> false))
+    // a group naming BOTH the agent and * is the agent's group too
+    assert(agentRules("User-agent: graftbot\nUser-agent: *\nDisallow: /x",
+      "graftbot") === Set("/x" -> false))
+    // a named group with zero rules = allow-all for that bot, NOT a
+    // fallback to * (the group EXISTS; empty Disallow contributes
+    // nothing but ends the stack)
+    assert(agentRules(
+      "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /x",
+      "graftbot") === Set.empty)
+    // agent = None stays the * posture on the same body
+    assert(rules(body) === Set("/all" -> false))
+    // '*' is not a product token — that's what None means
+    assert(intercept[IllegalArgumentException](
+      agentRules(body, "*")).getMessage.contains("product token"))
+  }
+
+  test("parseSitemaps: host-wide extraction, any group position, " +
+      "case-insensitive directive, host canonicalization, distinct") {
+    val body = "# top comment\nSitemap: https://h/s1.xml\n" +
+      "User-agent: *\nDisallow: /x\n" +
+      "  sitemap: https://h/s2.xml\n" + // indented, lowercase, mid-group
+      "User-agent: b\nSITEMAP: https://h/s1.xml\n" // dup collapses
+    val df = Seq(("WWW.H.example:8080", body), ("other.example", "User-agent: *\n"))
+      .toDF("host", "body")
+    val got = UrlOps.parseSitemaps(df, "host", "body")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("h.example", "https://h/s1.xml"),
+      ("h.example", "https://h/s2.xml")))
+  }
+
   test("applyRobots: longest-match precedence per host; Allow wins " +
       "ties; unparseable URLs pass; queries count, fragments don't") {
     val rules = Seq(

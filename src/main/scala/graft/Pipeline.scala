@@ -64,7 +64,11 @@ object Pipeline {
     *    matching pass-through sink: the surviving frame re-serialized
     *    as response segments — an archive-to-archive curation pass from
     *    one config. Strict provenance: url/date columns required, no
-    *    fabricated fetch dates.
+    *    fabricated fetch dates. `fetchWarc` (q225) is the RANDOM-ACCESS
+    *    read: the current frame is a curated cc-index — (record_file,
+    *    record_offset) keys — and the stage replaces it with the
+    *    fetched records in readWarc's shape, one seek + its own bytes
+    *    per record instead of streaming whole segments.
     *  - `checks` (q208) is the data-quality GATE: `spec=` a
     *    comma-separated constraint list (complete:col:minFrac,
     *    unique:col:minFrac, between:col:lo:hi, mean:col:lo:hi) and/or
@@ -99,6 +103,7 @@ object Pipeline {
   private val Allowed: Map[String, Set[String]] = Map(
     "read" -> Set("table", "idCol", "textCol"),
     "readWarc" -> Set("path", "types", "idCol", "textCol"),
+    "fetchWarc" -> Set.empty[String],
     "clean" -> Set("form", "lowercase"),
     "htmlExtract" -> Set("minWords", "minDensity"),
     "lineFilter" -> Set("minWords", "minLines"),
@@ -660,6 +665,23 @@ object Pipeline {
           require(fromSpec.nonEmpty || fromRegex.nonEmpty,
             s"pipeline line ${s.line}: checks needs spec= and/or regex=")
           operators.Checks.assertAll(df, fromSpec ++ fromRegex)
+        case "fetchWarc" =>
+          // cc-index random-access rehydration (q225): the CURRENT
+          // frame is the index — a curated (record_file, record_offset)
+          // key set, e.g. `read table=ccindex` plus filter stages — and
+          // the stage REPLACES it with the fetched records in
+          // readWarc's shape (record_id as the id, body decoded as the
+          // text column, url/date/status for the gates). Each record
+          // pays one seek + its own bytes; no segment is streamed past.
+          Seq("record_file", "record_offset").foreach(c => require(
+            df.columns.contains(c),
+            s"pipeline line ${s.line}: fetchWarc needs column '$c' in " +
+              "the frame (the cc-index key every graft-warc scan " +
+              s"emits; has: ${df.columns.sorted.mkString(", ")})"))
+          graft.sources.warc.WarcFetch.fetch(df)
+            .select(col("record_id").as(idCol),
+              decode(col("body"), "UTF-8").as(textCol),
+              col("url"), col("warc_date"), col("http_status"))
         case "writeWarc" =>
           // archive-to-archive curation: re-serialize the surviving
           // frame as WARC response segments (WarcSink). Pass-through

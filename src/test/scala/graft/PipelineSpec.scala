@@ -722,6 +722,41 @@ class PipelineSpec extends SparkSpec {
     assert(re3.filter($"warc_type" === "response").count() === 4)
   }
 
+  test("fetchWarc stage: a config rehydrates a curated cc-index slice " +
+    "by random access == the hand-written WarcFetch chain") {
+    val base = java.nio.file.Files.createTempDirectory("pl_fetch").toString
+    val arch = s"$base/segs"
+    val docs = (1 to 9).map(i => (s"https://f.example/$i", s"<urn:pf:$i>",
+        s"words for doc $i here"))
+      .toDF("url", "record_id", "text")
+      .select($"url", lit("2026-01-01 00:00:00").cast("timestamp")
+        .as("warc_date"), $"record_id", lit(200).as("http_status"),
+        encode($"text", "UTF-8").as("body"))
+    sinks.WarcSink.write(docs.repartition(2, $"record_id"), arch,
+      gzip = true)
+    // the persisted cc-index fixture a curation run would start from —
+    // curated down to three records
+    spark.read.format("graft-warc").load(arch)
+      .select($"record_id", $"url", $"record_file", $"record_offset")
+      .filter($"record_id".rlike(":(2|5|8)>$"))
+      .write.mode("overwrite").parquet(s"$base/ccindex.parquet")
+    val got = Pipeline.run(spark, base,
+      "read table=ccindex\nfetchWarc\nminTokens n=3")
+    val hand = graft.sources.warc.WarcFetch.fetch(
+      spark.read.parquet(s"$base/ccindex.parquet"))
+      .select($"record_id".as("doc_id"),
+        decode($"body", "UTF-8").as("text"),
+        $"url", $"warc_date", $"http_status")
+      .filter(size(functions.Text.tokens($"text")) >= 3)
+    assert(got.count() === 3)
+    assert(got.exceptAll(hand).isEmpty && hand.exceptAll(got).isEmpty)
+    assert(got.columns.contains("doc_id") && got.columns.contains("text"))
+    // fail fast: a frame without the cc-index key columns
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nfetchWarc")).getMessage
+      .contains("fetchWarc needs column 'record_file'"))
+  }
+
   test("write stage materializes files and passes the frame through") {
     val out = java.nio.file.Files.createTempDirectory("pipeline_spec").toString
     val cfg =

@@ -116,6 +116,46 @@ object Sample {
     }
   }
 
+  /** Per-GROUP weighted sampling without replacement — the stratified
+    * form of [[weightedSample]]: n quality-weighted winners per group
+    * (fewer when the group is smaller), e.g. "keep the best-weighted
+    * 10k documents PER LANGUAGE, diversity included". Same
+    * Efraimidis–Spirakis key, same heap aggregate, now one k-bounded
+    * heap per group key: the shuffle carries groups × n entries, never
+    * the population, and no group ever window-sorts. Output:
+    * (groupCols..., `idCol`, sample_key). Integral ids only (the
+    * [[bottomK]] contract — the heap's long slot; the global
+    * [[weightedSample]] takes the hashed detour for strings because its
+    * single-group re-selection is bounded, a per-group re-selection
+    * would reintroduce the per-group top-k this aggregate exists to
+    * avoid). */
+  def weightedSampleByGroup(df: DataFrame, groupCols: Seq[String],
+                            idCol: String, weightCol: String, n: Int,
+                            salt: String = ""): DataFrame = {
+    require(n >= 1, s"sample size must be positive: $n")
+    require(groupCols.nonEmpty,
+      "weightedSampleByGroup needs at least one group column")
+    require(integralId(df, idCol),
+      s"weightedSampleByGroup: idCol '$idCol' must be an integral type " +
+        s"(got ${df.schema(idCol).dataType.simpleString}); the heap " +
+        "carries long ids — derive a surrogate long id first, or sample " +
+        "globally with weightedSample (which hashes non-integral ids).")
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
+    val h = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long").cast("double")
+    val u = (h + 1.0) / 4294967296.0
+    val key = -log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(groupCols.map(col) :+ col(idCol) :+ key.as("__k"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopKByScore.topk(
+        -col("__k"), col(idCol), n).as("__s"))
+      .select(groupCols.map(col) :+ explode(col("__s")).as("__e"): _*)
+      .select(groupCols.map(col) :+ col("__e.id").as(idCol) :+
+        (-col("__e.score")).as("sample_key"): _*)
+  }
+
   /** Can `idCol` ride [[graft.functions.TopKByScore]]'s long id slot
     * losslessly? (The heap casts — a string would cast to NULL and
     * silently vanish.) */

@@ -246,6 +246,99 @@ object UrlOps {
       .distinct()
   }
 
+  /** `Crawl-delay:` extraction — the politeness schedule a fetch
+    * scheduler throttles by: one (host, crawl_delay seconds) row per
+    * host that states one. Not in RFC 9309 but honored by major
+    * crawlers; it lives INSIDE groups like a rule, so the effective
+    * value follows the same group selection as [[parseRobots]] (same
+    * `agent` semantics: matching groups, `*` fallback). Where the
+    * effective group set states several delays, the MAXIMUM wins — the
+    * conservative read of an ambiguous politeness request. Group-model
+    * consistency: like `Sitemap:` (and like Google's reference parser,
+    * which ignores the directive entirely), a `Crawl-delay` line does
+    * NOT end a User-agent stack — [[parseRobots]] and this function
+    * see identical group boundaries on any body. Unparseable values
+    * are ignored; hosts stating none are absent (the caller owns the
+    * default). */
+  def parseCrawlDelays(df: DataFrame, hostCol: String, bodyCol: String,
+                       agent: Option[String] = None): DataFrame = {
+    agent.foreach(a => require(a.trim.nonEmpty && a.trim != "*",
+      "parseCrawlDelays: agent must be a concrete product token; " +
+        "agent = None already selects the '*' groups"))
+    val lines = split(
+      regexp_replace(col(bodyCol), "#[^\n]*", ""), "\r?\n")
+    val aLow = agent.map(a => lit(a.trim.toLowerCase))
+    // unlike rules, a Crawl-delay line may PRECEDE later stacked
+    // User-agent lines of its own group (it doesn't end the stack), so
+    // values accumulate in a per-group `pend` max and COMMIT against the
+    // group's FINAL agent flags when the group ends (the next
+    // boundary-starting User-agent line, or the fold's finish) — the
+    // attribution is group-wide, exactly what the relational oracle
+    // derives, never "agents seen so far"
+    val st0Fields = Seq(lit(false).as("star"), lit(true).as("boundary"),
+      lit(null).cast("double").as("pend"),
+      lit(null).cast("double").as("d")) ++ (if (aLow.isDefined)
+      Seq(lit(false).as("agm"), lit(false).as("saw"),
+        lit(null).cast("double").as("ad")) else Nil)
+    val st0 = struct(st0Fields: _*)
+    def maxOf(acc: Column, v: Column): Column =
+      when(acc.isNull, v).when(v.isNull, acc).otherwise(greatest(acc, v))
+    val folded = aggregate(lines, st0, (st, raw) => {
+      val l = trim(raw)
+      val low = lower(l)
+      val isUa = low.startsWith("user-agent:")
+      val isDis = low.startsWith("disallow:")
+      val isAllow = low.startsWith("allow:")
+      val isCd = low.startsWith("crawl-delay:")
+      val value = trim(regexp_replace(l, "^[A-Za-z-]+\\s*:", ""))
+      val star = st.getField("star")
+      val boundary = st.getField("boundary")
+      val pend = st.getField("pend")
+      val newGroup = isUa && boundary
+      val base = Seq(
+        when(newGroup, value === "*")
+          .when(isUa, star || (value === "*"))
+          .otherwise(star).as("star"),
+        when(isUa, lit(false))
+          .when(isDis || isAllow, lit(true)) // rules end stacks; cd does not
+          .otherwise(boundary).as("boundary"),
+        when(newGroup, lit(null).cast("double")) // fresh group, fresh pend
+          .when(isCd, maxOf(pend, value.cast("double")))
+          .otherwise(pend).as("pend"),
+        // a new group COMMITS the previous group's pending delays
+        // against its final * flag (pre-group delays never commit:
+        // star is false until a User-agent line set it)
+        when(newGroup && star, maxOf(st.getField("d"), pend))
+          .otherwise(st.getField("d")).as("d"))
+      val extra = aLow.toSeq.flatMap { a =>
+        val isA = lower(value) === a
+        val agm = st.getField("agm")
+        Seq(
+          when(newGroup, isA).when(isUa, agm || isA)
+            .otherwise(agm).as("agm"),
+          (st.getField("saw") || (isUa && isA)).as("saw"),
+          when(newGroup && agm, maxOf(st.getField("ad"), pend))
+            .otherwise(st.getField("ad")).as("ad"))
+      }
+      struct(base ++ extra: _*)
+    }, st => {
+      // finish = the last group's end: commit its pend, then select
+      val d = when(st.getField("star"),
+        maxOf(st.getField("d"), st.getField("pend")))
+        .otherwise(st.getField("d"))
+      if (aLow.isDefined) {
+        val ad = when(st.getField("agm"),
+          maxOf(st.getField("ad"), st.getField("pend")))
+          .otherwise(st.getField("ad"))
+        when(st.getField("saw"), ad).otherwise(d)
+      } else d
+    })
+    df.select(bareHost(col(hostCol)).as("host"),
+        folded.as("crawl_delay"))
+      .filter(col("crawl_delay").isNotNull)
+      .distinct()
+  }
+
   /** `Sitemap:` extraction from robots bodies — the crawl-frontier
     * seed: sitemap lines are HOST-WIDE per the sitemaps protocol
     * (outside any User-agent group, so [[parseRobots]] rightly ignores

@@ -3282,6 +3282,38 @@ object TextOps {
       |SELECT rid, round(key, 6) AS sample_key
       |FROM k ORDER BY key LIMIT 50""".stripMargin
 
+  // -- q228: per-GROUP weighted sampling (Sample.weightedSampleByGroup)
+  // — the stratified quality-weighted draw: 10 TTR-weighted winners PER
+  // LANGUAGE, one k-bounded heap per group so the shuffle carries
+  // groups × n entries, never the population. Oracle: the identical
+  // key arithmetic ranked by a per-language window — the reference
+  // algorithm the heap replaces at scale. Keys round to 6 dp both
+  // sides (the q222 ulp discipline). --
+  private val q228: Q = (s, dir) => {
+    val tk = Text.tokens(col("text"))
+    val weighted = docs(s, dir)
+      .filter(size(tk) > 0)
+      .select(col("lang"), col("doc_id"),
+        (size(array_distinct(tk)).cast("double") / size(tk)).as("w"))
+    graft.operators.Sample.weightedSampleByGroup(
+      weighted, Seq("lang"), "doc_id", "w", n = 10)
+      .select(col("lang"), col("doc_id"),
+        round(col("sample_key"), 6).as("sample_key"))
+  }
+  private val q228Sql =
+    s"""WITH w AS (SELECT lang, doc_id,
+       |    CAST(len(list_distinct($dTok)) AS DOUBLE) / len($dTok) AS wgt
+       |  FROM documents WHERE len($dTok) > 0),
+       |k AS (SELECT lang, doc_id,
+       |    -ln((TRY_CAST('0x' || substring(
+       |        md5(CAST(doc_id AS VARCHAR) || ':'), 1, 8) AS BIGINT)
+       |      + 1.0) / 4294967296.0) / wgt AS key
+       |  FROM w),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+       |    ORDER BY key) AS rn FROM k)
+       |SELECT lang, doc_id, round(key, 6) AS sample_key
+       |FROM r WHERE rn <= 10""".stripMargin
+
   // -- q196: token-budget selection (Mix.selectByTokenBudget) — the
   // "assemble the B-token training set from a scored corpus" step:
   // documents ranked by type-token ratio (deterministic ties by id),
@@ -3517,22 +3549,29 @@ object TextOps {
       .distinct()
       .withColumn("body", lit(robotsBody))
 
-  /** The agent-matching fixture (q226/q227): a `graftbot`-specific
+  /** The agent-matching fixture (q226/q227/q229): a `graftbot`-specific
     * policy split across TWO groups (RFC 9309 §2.2.1 merges matching
     * groups), one in a different CASE (matching is case-insensitive),
     * with a `*` group that must be OVERRIDDEN for graftbot — plus an
-    * indented lowercase `sitemap:` line for the host-wide extraction. */
+    * indented lowercase `sitemap:` line for the host-wide extraction
+    * and per-group `Crawl-delay` values (2.5 and 7 in the graftbot
+    * groups — the conservative MAX must win — beside a `*` 10 that
+    * must not leak; one delay sits AFTER its group's rules, pinning
+    * group-wide attribution). */
   private val robotsBodyAgents =
     "# graftbot policy\n" +
       "User-agent: graftbot\n" +
+      "Crawl-delay: 2.5\n" +
       "Disallow: /p/1\n" +
       "Allow: /p/12\n" +
       "\n" +
       "User-agent: *\n" +
+      "Crawl-delay: 10\n" +
       "Disallow: /\n" +
       "\n" +
       "User-Agent: GRAFTBOT\n" +
       "Disallow: /p/3\n" +
+      "Crawl-delay: 7\n" +
       "  sitemap: https://example.org/de-sitemap.xml\n"
 
   /** Hosts with a MIXED policy landscape: `.de.` hosts run the
@@ -3701,6 +3740,62 @@ object TextOps {
        |FROM raw, unnest(regexp_extract_all(body,
        |  '(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1)) AS t(um)""".stripMargin
 
+  // -- q229: crawl-delay extraction (UrlOps.parseCrawlDelays) — the
+  // politeness schedule, agent-selected like q226: .de hosts state 2.5
+  // and 7 across the two graftbot groups (the conservative MAX must
+  // win; one value sits AFTER its group's rules, so attribution is
+  // group-wide, not stack-positional) beside a * 10 that must NOT
+  // leak; plain-body hosts state none and must be ABSENT, not
+  // defaulted. The oracle re-derives it relationally: typ='cd' rows
+  // joined to their group's flags under the same effective-group cut
+  // as q226, max per host. --
+  private val q229: Q = (s, dir) =>
+    graft.operators.UrlOps.parseCrawlDelays(
+      robotsAgentFrame(s, dir), "host", "body", agent = Some("GraftBot"))
+  private val q229Sql =
+    s"""WITH hosts AS (
+       |  SELECT DISTINCT lower(source) || '.' || lang || '.example.org'
+       |    AS host FROM documents),
+       |raw AS (SELECT host, string_split_regex(
+       |    regexp_replace(
+       |      CASE WHEN host LIKE '%.de.example.org'
+       |           THEN '$robotsBodyAgents' ELSE '$robotsBody' END,
+       |      '#[^\\n]*', '', 'g'), '\\r?\\n') AS ls
+       |  FROM hosts),
+       |lines AS (SELECT host, u['i'] AS i, trim(u['l']) AS l FROM raw,
+       |  unnest(list_transform(range(1, len(ls) + 1),
+       |    i -> {'i': i, 'l': ls[CAST(i AS INT)]})) AS t(u)),
+       |cls AS (SELECT host, i, l,
+       |    CASE WHEN lower(l) LIKE 'user-agent:%' THEN 'ua'
+       |         WHEN lower(l) LIKE 'disallow:%' THEN 'dis'
+       |         WHEN lower(l) LIKE 'allow:%' THEN 'allow'
+       |         WHEN lower(l) LIKE 'crawl-delay:%' THEN 'cd'
+       |         WHEN l = '' THEN 'blank' ELSE 'other' END AS typ,
+       |    trim(regexp_replace(l, '^[A-Za-z-]+\\s*:', '')) AS v
+       |  FROM lines),
+       |bw AS (SELECT *, max(CASE WHEN typ IN ('ua', 'dis', 'allow')
+       |      THEN i END) OVER (PARTITION BY host ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pbw
+       |  FROM cls),
+       |bw2 AS (SELECT a.*, b.typ AS pbw_typ FROM bw a
+       |  LEFT JOIN cls b ON b.host = a.host AND b.i = a.pbw),
+       |gs AS (SELECT host, i FROM bw2
+       |  WHERE typ = 'ua' AND (pbw_typ IS NULL OR pbw_typ <> 'ua')),
+       |cur AS (SELECT c.host, c.i, c.typ, c.v,
+       |    (SELECT max(g.i) FROM gs g
+       |     WHERE g.host = c.host AND g.i <= c.i) AS g
+       |  FROM cls c),
+       |grp AS (SELECT host, g, bool_or(v = '*') AS star,
+       |    bool_or(lower(v) = 'graftbot') AS agm
+       |  FROM cur WHERE typ = 'ua' GROUP BY host, g),
+       |saw AS (SELECT host, bool_or(agm) AS saw FROM grp GROUP BY host)
+       |SELECT c.host, max(TRY_CAST(c.v AS DOUBLE)) AS crawl_delay
+       |FROM cur c JOIN grp s ON s.host = c.host AND s.g = c.g
+       |JOIN saw w ON w.host = c.host
+       |WHERE c.typ = 'cd' AND TRY_CAST(c.v AS DOUBLE) IS NOT NULL
+       |  AND ((w.saw AND s.agm) OR (NOT w.saw AND s.star))
+       |GROUP BY c.host""".stripMargin
+
   // -- q202: domain blocklist gate (UrlOps.dropBlockedDomains) — the
   // UT1-style crawl filter: hosts explode into dotted suffixes (bounded
   // by label count) which semi-join the blocklist, blocked ids
@@ -3768,6 +3863,8 @@ object TextOps {
     "q220_robots_gate" -> q220,
     "q226_robots_agent" -> q226,
     "q227_sitemaps" -> q227,
+    "q228_weighted_sample_grouped" -> q228,
+    "q229_crawl_delays" -> q229,
     "q222_weighted_sample" -> q222,
     "q224_weighted_sample_strid" -> q224,
     "q216_pipeline_chunks" -> q216,
@@ -3867,6 +3964,8 @@ object TextOps {
     "q220_robots_gate" -> q220Sql,
     "q226_robots_agent" -> q226Sql,
     "q227_sitemaps" -> q227Sql,
+    "q228_weighted_sample_grouped" -> q228Sql,
+    "q229_crawl_delays" -> q229Sql,
     "q222_weighted_sample" -> q222Sql,
     "q224_weighted_sample_strid" -> q224Sql,
     "q216_pipeline_chunks" -> q216Sql,

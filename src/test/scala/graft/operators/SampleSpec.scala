@@ -114,6 +114,43 @@ class SampleSpec extends SparkSpec {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("weightedSampleByGroup: == the per-group window-rank reference; " +
+      "weights bias within each group; small groups return whole; " +
+      "string ids fail fast") {
+    val weighted = docs.select($"grp", $"doc_id",
+      when($"doc_id" % 10 === 0, 100.0).otherwise(1.0).as("w"))
+    val got = Sample.weightedSampleByGroup(
+      weighted, Seq("grp"), "doc_id", "w", n = 12)
+    val perGroup = got.groupBy($"grp").count()
+      .select($"count").as[Long].collect()
+    assert(perGroup.length == 4 && perGroup.forall(_ == 12))
+    // reference: the same exponential key ranked by a per-group window
+    val h = conv(substring(md5(concat($"doc_id".cast("string"), lit(":"))),
+      1, 8), 16, 10).cast("long").cast("double")
+    val key = -log((h + 1.0) / 4294967296.0) / $"w"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"grp").orderBy($"__k".asc)
+    val ref = weighted.withColumn("__k", key)
+      .withColumn("__rn", row_number().over(w)).filter($"__rn" <= 12)
+      .select($"grp", $"doc_id", $"__k".as("sample_key"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "per-group heaps must equal the window-rank reference")
+    // heavy docs far exceed their unweighted expectation (10% of the
+    // population → ~5 of 48 under uniform draw; the 100x weight must
+    // multiply that, bounded by each group's own heavy pool)
+    assert(got.filter($"doc_id" % 10 === 0).count() > 12,
+      "100x-weighted docs must dominate each group's draw")
+    // a group smaller than n returns whole
+    val tiny = Sample.weightedSampleByGroup(
+      weighted.filter($"doc_id" < 6), Seq("grp"), "doc_id", "w", n = 10)
+    assert(tiny.count() === 6)
+    // integral ids only — fail fast, like bottomK
+    assert(intercept[IllegalArgumentException](
+      Sample.weightedSampleByGroup(
+        weighted.withColumn("rid", concat(lit("r"), $"doc_id")),
+        Seq("grp"), "rid", "w", n = 3)).getMessage.contains("integral"))
+  }
+
   test("permute: a bijective, rerun-stable position assignment; salt redraws") {
     val base = Tables.load(spark, sf(), "documents")
     val n = base.count()

@@ -212,6 +212,49 @@ class UrlOpsSpec extends SparkSpec {
       agentRules(body, "*")).getMessage.contains("product token"))
   }
 
+  private def delays(body: String, agent: Option[String] = None)
+      : Map[String, Double] = {
+    val df = Seq(("h.example", body)).toDF("host", "body")
+    UrlOps.parseCrawlDelays(df, "host", "body", agent)
+      .as[(String, Double)].collect().toMap
+  }
+
+  test("parseCrawlDelays: group-selected like parseRobots, max-merged, " +
+      "group-wide attribution, unparseable/pre-group values drop") {
+    val body = "User-agent: graftbot\nCrawl-delay: 2.5\nDisallow: /g\n\n" +
+      "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n\n" +
+      "User-Agent: GRAFTBOT\nCrawl-delay: 7\n"
+    // the * posture reads the * group's delay
+    assert(delays(body) === Map("h.example" -> 10.0))
+    // the named agent's groups combine; max(2.5, 7); * never leaks
+    assert(delays(body, Some("GraftBot")) === Map("h.example" -> 7.0))
+    // an unnamed bot falls back to *
+    assert(delays(body, Some("zbot")) === Map("h.example" -> 10.0))
+    // group-wide attribution: a delay BETWEEN stacked User-agent lines
+    // belongs to the whole group (crawl-delay doesn't end the stack —
+    // the shared parseRobots group model)
+    assert(delays("User-agent: a\nCrawl-delay: 3\nUser-agent: *\n" +
+      "Disallow: /x") === Map("h.example" -> 3.0))
+    // ...including for the agent path when its UA line comes AFTER
+    assert(delays("User-agent: a\nCrawl-delay: 3\nUser-agent: b\n" +
+      "Disallow: /x", Some("b")) === Map("h.example" -> 3.0))
+    // the trailing group commits at finish; delays amid rules count
+    assert(delays("User-agent: *\nDisallow: /x\nCrawl-delay: 4\n" +
+      "Disallow: /y\nCrawl-delay: 9") === Map("h.example" -> 9.0))
+    // a named group with no delay: absent, NOT a * fallback value
+    assert(delays("User-agent: graftbot\nDisallow: /g\n\n" +
+      "User-agent: *\nCrawl-delay: 10\nDisallow: /x",
+      Some("graftbot")) === Map.empty[String, Double])
+    // pre-group and unparseable values drop; no-delay hosts are absent
+    assert(delays("Crawl-delay: 9\nUser-agent: *\nCrawl-delay: soon\n" +
+      "Disallow: /x") === Map.empty[String, Double])
+    assert(delays("User-agent: *\nDisallow: /x") === Map.empty[String, Double])
+    // '*' is not a product token here either
+    assert(intercept[IllegalArgumentException](
+      delays("User-agent: *\n", Some("*"))).getMessage
+      .contains("product token"))
+  }
+
   test("parseSitemaps: host-wide extraction, any group position, " +
       "case-insensitive directive, host canonicalization, distinct") {
     val body = "# top comment\nSitemap: https://h/s1.xml\n" +

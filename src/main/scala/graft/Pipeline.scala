@@ -124,7 +124,7 @@ object Pipeline {
     "blockDomains" -> Set("urlCol", "domains", "table", "domainCol"),
     "domainQuality" -> Set("urlCol", "valueCol", "minMean", "minDocs"),
     "sample" -> Set("rate", "salt"),
-    "weightedSample" -> Set("n", "scoreCol", "salt"),
+    "weightedSample" -> Set("n", "scoreCol", "salt", "byCol"),
     "balanceSources" -> Set("byCol"),
     "tokenBudget" -> Set("budget", "scoreCol"),
     "unimaxSelect" -> Set("byCol", "avgEpochs", "maxEpochs", "scoreCol"),
@@ -468,8 +468,20 @@ object Pipeline {
               when(size(tk) > 0,
                 size(array_distinct(tk)).cast("double") / size(tk)))
           }
-          val winners = operators.Sample.weightedSample(
-            weighted, idCol, "__ws_w", n, s.params.getOrElse("salt", ""))
+          // byCol= makes the draw STRATIFIED: n winners per group
+          // (weightedSampleByGroup), e.g. n per language — else global
+          val winners = s.params.get("byCol") match {
+            case Some(g) =>
+              require(weighted.columns.contains(g),
+                s"pipeline line ${s.line}: weightedSample byCol= column " +
+                  s"'$g' not in the frame (has: " +
+                  s"${df.columns.sorted.mkString(", ")})")
+              operators.Sample.weightedSampleByGroup(
+                weighted, Seq(g), idCol, "__ws_w", n,
+                s.params.getOrElse("salt", ""))
+            case None => operators.Sample.weightedSample(
+              weighted, idCol, "__ws_w", n, s.params.getOrElse("salt", ""))
+          }
           df.join(winners.select(col(idCol)), Seq(idCol), "left_semi")
         case "balanceSources" => operators.Mix.balanceSources(df, idCol,
           s.params.getOrElse("byCol", "source"))

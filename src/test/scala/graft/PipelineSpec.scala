@@ -604,13 +604,26 @@ class PipelineSpec extends SparkSpec {
     val got2 = Pipeline.run(spark, sf(),
       "read table=documents\nweightedSample n=10 scoreCol=n_chars")
     assert(got2.count() === 10)
-    // fail fast: missing n, unknown scoreCol
+    // byCol= stratifies: n winners PER GROUP == the hand-written
+    // grouped draw
+    val got3 = Pipeline.run(spark, sf(),
+      "read table=documents\nweightedSample n=5 byCol=lang")
+    val want3 = d.join(operators.Sample
+        .weightedSampleByGroup(weighted, Seq("lang"), "doc_id", "__w", n = 5)
+        .select($"doc_id"), Seq("doc_id"), "left_semi")
+    assert(got3.groupBy($"lang").count().select($"count").as[Long]
+      .collect().forall(_ === 5))
+    assert(got3.exceptAll(want3).isEmpty && want3.exceptAll(got3).isEmpty)
+    // fail fast: missing n, unknown scoreCol, unknown byCol
     assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
       "read table=documents\nweightedSample")).getMessage
       .contains("weightedSample needs n="))
     assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
       "read table=documents\nweightedSample n=5 scoreCol=nope"))
       .getMessage.contains("'nope' not in the frame"))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nweightedSample n=5 byCol=nope"))
+      .getMessage.contains("byCol= column 'nope'"))
   }
 
   test("robotsGate stage == the hand-written parseRobots + applyRobots " +

@@ -55,4 +55,49 @@ object Tokenizer {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     df.withColumn(outCol, tokenIds(col(textCol), merges))
   }
+
+  /** Token ids → text, the LOSSLESS inverse of [[tokenIds]] under the
+    * same merge list — detokenization, the half a data pipeline needs
+    * to render packed/chunked model tokens back into inspectable text
+    * (and the round-trip property `decode(encode(t)) == t` that proves
+    * the tokenizer loses nothing; q230 pins it corpus-wide against the
+    * raw table).
+    *
+    * Reassembly happens at the BYTE layer, because that is where the
+    * encoder bottoms out: ids < 256 ARE bytes, `256 + rank` is the
+    * rank's merge-product string. Each id maps (via one plan-constant
+    * table — the merges-as-typedlit discipline) to its bytes rendered
+    * as an ISO-8859-1 string (one char per byte, lossless), the
+    * per-document array joins flat, and ONE encode/decode pair
+    * re-reads the byte stream as UTF-8 — so a multibyte code point
+    * split across byte-fallback ids re-joins exactly. All codegen'd
+    * built-ins, narrow, zero shuffles.
+    *
+    * An id outside the table (corrupt input, wrong merge list) NULLs
+    * the row — never a silently-garbled document; byte streams that
+    * are not valid UTF-8 decode with replacement chars (the lenient
+    * stance: framing survived, the bytes were honest). */
+  def decodeIds(ids: Column, merges: Seq[(String, String)]): Column = {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val table: Map[Int, String] =
+      (0 until 256).map(b =>
+        b -> new String(Array(b.toByte), iso)).toMap ++
+      merges.zipWithIndex.map { case ((l, r), i) =>
+        (256 + i) -> new String(
+          (l + r).getBytes(java.nio.charset.StandardCharsets.UTF_8), iso)
+      }.toMap
+    val m = typedlit(table)
+    val mapped = transform(ids, i => element_at(m, i))
+    when(ids.isNull, lit(null).cast("string"))
+      .when(exists(mapped, x => x.isNull), lit(null).cast("string"))
+      .otherwise(org.apache.spark.sql.functions.decode(
+        org.apache.spark.sql.functions.encode(
+          array_join(mapped, ""), "ISO-8859-1"), "UTF-8"))
+  }
+
+  /** Appends `outCol` (string) decoded from `idsCol` under `merges`. */
+  def decode(df: DataFrame, idsCol: String,
+             merges: Seq[(String, String)],
+             outCol: String = "text"): DataFrame =
+    df.withColumn(outCol, decodeIds(col(idsCol), merges))
 }

@@ -3314,6 +3314,24 @@ object TextOps {
        |SELECT lang, doc_id, round(key, 6) AS sample_key
        |FROM r WHERE rn <= 10""".stripMargin
 
+  // -- q230: tokenizer round trip (Tokenizer.decode ∘ Tokenizer.encode)
+  // — detokenization, the inverse a pipeline needs to render packed
+  // model tokens back into inspectable text, pinned by the strongest
+  // property there is: decode(encode(text)) must equal the RAW TABLE
+  // on every document, hash-exactly, entirely in-plan (ids < 256 are
+  // bytes, 256+rank the merge products; reassembly at the byte layer
+  // through one plan-constant table). The oracle is simply the table —
+  // any dropped, duplicated, reordered, or mismapped token anywhere in
+  // pretokenize → merge → ids → bytes → UTF-8 breaks the hash. --
+  private val q230: Q = (s, dir) => {
+    val m = graft.queries.IncrementalOps.Merges
+    graft.operators.Tokenizer.decode(
+      graft.operators.Tokenizer.encode(docs(s, dir), "text", m),
+      "token_ids", m, "rt")
+      .select(col("doc_id"), col("rt").as("text"))
+  }
+  private val q230Sql = "SELECT doc_id, text FROM documents"
+
   // -- q196: token-budget selection (Mix.selectByTokenBudget) — the
   // "assemble the B-token training set from a scored corpus" step:
   // documents ranked by type-token ratio (deterministic ties by id),
@@ -3865,6 +3883,7 @@ object TextOps {
     "q227_sitemaps" -> q227,
     "q228_weighted_sample_grouped" -> q228,
     "q229_crawl_delays" -> q229,
+    "q230_tokenizer_roundtrip" -> q230,
     "q222_weighted_sample" -> q222,
     "q224_weighted_sample_strid" -> q224,
     "q216_pipeline_chunks" -> q216,
@@ -3966,6 +3985,7 @@ object TextOps {
     "q227_sitemaps" -> q227Sql,
     "q228_weighted_sample_grouped" -> q228Sql,
     "q229_crawl_delays" -> q229Sql,
+    "q230_tokenizer_roundtrip" -> q230Sql,
     "q222_weighted_sample" -> q222Sql,
     "q224_weighted_sample_strid" -> q224Sql,
     "q216_pipeline_chunks" -> q216Sql,

@@ -59,6 +59,36 @@ class TokenizerSpec extends SparkSpec {
     }
   }
 
+  test("decode (the Column form): in-plan corpus round trip, multibyte " +
+      "code points split across byte ids re-join, unknown ids NULL the " +
+      "row, null ids stay null") {
+    val m = graft.queries.IncrementalOps.Merges
+    val d = graft.Tables.load(spark, sf(), "documents")
+    val rt = Tokenizer.decode(Tokenizer.encode(d, "text", m),
+      "token_ids", m, "rt")
+    assert(rt.filter($"rt".isNull || $"rt" =!= $"text").isEmpty,
+      "decode(encode(text)) must equal text on every document, in-plan")
+    // multibyte split across byte-fallback ids (2-, 3-, 4-byte points)
+    val uni = Tokenizer.decode(
+      Tokenizer.encode(Seq((1L, "naïve café 日本語 🙂 low"))
+        .toDF("id", "text"), "text", merges),
+      "token_ids", merges, "rt")
+    assert(uni.select($"rt").as[String].head()
+      === "naïve café 日本語 🙂 low")
+    // an id outside the vocab NULLs the row — never silent garbling
+    val bad = Seq((1L, Seq(99, 9999)), (2L, Seq(257)), (3L, Seq.empty[Int]))
+      .toDF("id", "token_ids")
+    val out = Tokenizer.decode(bad, "token_ids", merges, "rt")
+      .select($"id", $"rt").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).isEmpty, "unknown id must null, not garble")
+    assert(out(2L).contains("low") && out(3L).contains(""))
+    // null ids -> null text
+    val nulls = Tokenizer.decode(
+      Seq((1L, null.asInstanceOf[Seq[Int]])).toDF("id", "token_ids"),
+      "token_ids", merges, "rt")
+    assert(nulls.select($"rt").head().isNullAt(0))
+  }
+
   test("pretokens reconstruct the input exactly (lossless split)") {
     val d = graft.Tables.load(spark, sf(), "documents")
     val broken = d.select($"doc_id",

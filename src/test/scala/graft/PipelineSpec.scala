@@ -317,6 +317,35 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter($"chunk_tokens" > 64).isEmpty)
   }
 
+  test("examples/crawl_refresh.cfg stays runnable (archive-to-archive " +
+    "curation over string record ids)") {
+    // build the demo archive the config's readWarc path names
+    val arch = "/tmp/graft_example_arch"
+    val docs = (1 to 150).map { i =>
+      val host = if (i % 5 == 0) "spam.example" else "good.example"
+      val text = if (i % 7 == 0) "tiny" // under minTokens
+        else s"document number $i with enough distinct words to pass " +
+          s"gates ${i * 3} ${i * 7}"
+      (s"https://$host/p/$i", s"<urn:ex:$i>", text)
+    }.toDF("url", "record_id", "text")
+      .select($"url", lit("2026-01-01 00:00:00").cast("timestamp")
+        .as("warc_date"), $"record_id", lit(200).as("http_status"),
+        encode($"text", "UTF-8").as("body"))
+    sinks.WarcSink.write(docs.repartition(3, $"record_id"), arch,
+      gzip = true)
+    val cfg = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/crawl_refresh.cfg")), "UTF-8")
+    val out = Pipeline.run(spark, sf(), cfg)
+    // spam domain gated, tiny docs gated, 100-doc weighted subsample
+    assert(out.count() === 100)
+    assert(out.filter($"url".contains("spam.example")).isEmpty)
+    // the curated archive reads back with the provenance leader
+    val back = spark.read.format("graft-warc")
+      .load("/tmp/graft_example_curated")
+    assert(back.filter($"warc_type" === "response").count() === 100)
+    assert(back.filter($"warc_type" === "warcinfo").count() > 0)
+  }
+
   test("tokenBudget stage == hand-written q196 recipe; fail-fast params") {
     val got = Pipeline.run(spark, sf(),
       "read table=documents\ntokenBudget budget=10000")

@@ -18,10 +18,13 @@ import org.apache.spark.sql.functions._
   * crawl indexes exist at all.
   *
   * Scale shape: the index shuffles ONLY its (file, offset) pairs —
-  * narrow rows, never payloads — hash-partitioned by file and sorted by
-  * (file, offset) within each task, so one task's fetches against the
-  * same segment share a single open stream and seek strictly FORWARD
-  * (the spinning-rust-friendly order; object stores equally prefer it).
+  * narrow rows, never payloads — RANGE-partitioned on (file, offset)
+  * and sorted within each task, so one task's fetches against the same
+  * segment share a single open stream and seek strictly FORWARD (the
+  * spinning-rust-friendly order; object stores equally prefer it),
+  * while a HOT segment (a million wanted records in one file) splits
+  * across tasks by offset range instead of hashing onto one — the
+  * skew case hash-by-file would serialize.
   * Each record then pays one seek + its own bytes: headers, payload,
   * and for `.gz` archives exactly its own gzip member (the
   * record-per-member framing the sink writes and Common Crawl ships —
@@ -49,9 +52,10 @@ object WarcFetch {
         col(offsetCol).cast("long").as("off"))
       .filter(col("f").isNotNull && col("off").isNotNull && col("off") >= 0)
       .distinct()
-      // co-locate a segment's fetches on one task, visit in ascending
-      // offset order: one open stream per file, forward seeks only
-      .repartition(col("f"))
+      // contiguous (file, offset) ranges per task, ascending within:
+      // stream reuse + forward seeks, and a hot file splits across
+      // tasks by offset range rather than hashing onto one
+      .repartitionByRange(col("f"), col("off"))
       .sortWithinPartitions(col("f"), col("off"))
     keys.mapPartitions { it =>
       var curFile: String = null

@@ -357,6 +357,44 @@ object UrlOps {
         .as("sitemap"))
       .distinct()
 
+  /** Politeness-aware fetch scheduling — the step that turns a crawl
+    * FRONTIER plus [[parseCrawlDelays]] output into a dispatchable
+    * plan: each URL gets `fetch_at`, the seconds-offset at which its
+    * host's delay budget allows the fetch (k-th URL of a host fetches
+    * at `(k-1) × delay`). Hosts absent from `delays` use
+    * `defaultDelay`; per-host order is the URL's lexicographic order —
+    * deterministic across engines and reruns (URLs within a host must
+    * be distinct for a total order; dedupe the frontier first, which a
+    * frontier build does anyway).
+    *
+    * Scale shape: one host-keyed LEFT join (the delays table is
+    * domain-cardinality — broadcasts when small) and one window
+    * PARTITIONED BY HOST — partitions = hosts, millions of them, so no
+    * task ever sees more than one host's frontier slice; never a
+    * global sort. Output: input columns + `host` + `fetch_at`
+    * (double seconds). */
+  def scheduleFetches(df: DataFrame, urlCol: String, delays: DataFrame,
+                      defaultDelay: Double): DataFrame = {
+    require(defaultDelay >= 0, s"defaultDelay must be >= 0: $defaultDelay")
+    Seq("host", "crawl_delay").foreach(c => require(
+      delays.columns.contains(c),
+      s"scheduleFetches: delays frame lacks '$c' (parseCrawlDelays " +
+        "emits both)"))
+    val host = domainOf(col(urlCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col(urlCol))
+    df.withColumn("host", host)
+      // no broadcast HINT: a curated delays table broadcasts on its own
+      // statistics; a web-scale one (10^8 hosts) must be free to shuffle
+      .join(delays.select(col("host"),
+        col("crawl_delay").cast("double").as("__graft_delay")),
+        Seq("host"), "left")
+      .withColumn("fetch_at",
+        (row_number().over(w).cast("double") - 1.0) *
+          coalesce(col("__graft_delay"), lit(defaultDelay)))
+      .drop("__graft_delay")
+  }
+
   /** Crawl-policy gate over [[parseRobots]] rules with RFC 9309 §2.2.2
     * LONGEST-MATCH precedence: among the host's rules whose pattern
     * matches the URL path (query included, fragment not), the longest

@@ -3814,6 +3814,43 @@ object TextOps {
        |  AND ((w.saw AND s.agm) OR (NOT w.saw AND s.star))
        |GROUP BY c.host""".stripMargin
 
+  // -- q231: politeness-aware fetch scheduling (UrlOps.scheduleFetches)
+  // — the dispatch plan a crawler runs: frontier URLs joined to the
+  // agent-selected q229 delays (.de hosts budget 7 s, every other host
+  // the 1 s default), the k-th URL of a host scheduled at (k-1)×delay
+  // under deterministic per-host lexicographic order. One
+  // host-partitioned window — partitions = hosts, never a global sort.
+  // Oracle: the q220 discipline — it never parses; the KNOWN literal
+  // delays (7.0 on .de hosts, nothing elsewhere) join the same window
+  // arithmetic, so the parse → select → join → schedule chain must
+  // land on the independently-stated plan. --
+  private val q231: Q = (s, dir) => {
+    val frontier = docs(s, dir).select(col("doc_id"),
+      concat(lit("https://"), lower(col("source")), lit("."), col("lang"),
+        lit(".example.org/p/"), col("doc_id").cast("string")).as("url"))
+    val delays = graft.operators.UrlOps.parseCrawlDelays(
+      robotsAgentFrame(s, dir), "host", "body", agent = Some("GraftBot"))
+    graft.operators.UrlOps.scheduleFetches(frontier, "url", delays,
+      defaultDelay = 1.0)
+  }
+  private val q231Sql =
+    s"""WITH hosts AS (
+       |  SELECT DISTINCT lower(source) || '.' || lang || '.example.org'
+       |    AS host FROM documents),
+       |delays AS (
+       |  SELECT host, 7.0 AS crawl_delay FROM hosts
+       |  WHERE host LIKE '%.de.example.org'),
+       |frontier AS (
+       |  SELECT doc_id,
+       |    'https://' || lower(source) || '.' || lang || '.example.org/p/' ||
+       |      CAST(doc_id AS VARCHAR) AS url,
+       |    lower(source) || '.' || lang || '.example.org' AS host
+       |  FROM documents)
+       |SELECT f.host, f.doc_id, f.url,
+       |  (CAST(row_number() OVER (PARTITION BY f.host ORDER BY f.url)
+       |    AS DOUBLE) - 1.0) * coalesce(d.crawl_delay, 1.0) AS fetch_at
+       |FROM frontier f LEFT JOIN delays d ON d.host = f.host""".stripMargin
+
   // -- q202: domain blocklist gate (UrlOps.dropBlockedDomains) — the
   // UT1-style crawl filter: hosts explode into dotted suffixes (bounded
   // by label count) which semi-join the blocklist, blocked ids
@@ -3884,6 +3921,7 @@ object TextOps {
     "q228_weighted_sample_grouped" -> q228,
     "q229_crawl_delays" -> q229,
     "q230_tokenizer_roundtrip" -> q230,
+    "q231_fetch_schedule" -> q231,
     "q222_weighted_sample" -> q222,
     "q224_weighted_sample_strid" -> q224,
     "q216_pipeline_chunks" -> q216,
@@ -3986,6 +4024,7 @@ object TextOps {
     "q228_weighted_sample_grouped" -> q228Sql,
     "q229_crawl_delays" -> q229Sql,
     "q230_tokenizer_roundtrip" -> q230Sql,
+    "q231_fetch_schedule" -> q231Sql,
     "q222_weighted_sample" -> q222Sql,
     "q224_weighted_sample_strid" -> q224Sql,
     "q216_pipeline_chunks" -> q216Sql,

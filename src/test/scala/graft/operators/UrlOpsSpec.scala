@@ -269,6 +269,46 @@ class UrlOpsSpec extends SparkSpec {
       ("h.example", "https://h/s2.xml")))
   }
 
+  test("scheduleFetches: k-th URL of a host fetches at (k-1)*delay, " +
+      "per-host lexicographic order, default for delay-less hosts, " +
+      "rerun-deterministic, fail-fast matrix") {
+    val frontier = Seq(
+      (1L, "https://slow.example/b"),
+      (2L, "https://slow.example/a"),
+      (3L, "https://slow.example/c"),
+      (4L, "https://fast.example/x"),
+      (5L, "https://fast.example/y"),
+      (6L, "https://unknown.example/z")
+    ).toDF("doc_id", "url")
+    val delays = Seq(("slow.example", 10.0), ("fast.example", 0.5))
+      .toDF("host", "crawl_delay")
+    val got = UrlOps.scheduleFetches(frontier, "url", delays,
+      defaultDelay = 1.0)
+    val at = got.select($"doc_id", $"fetch_at").as[(Long, Double)]
+      .collect().toMap
+    // slow.example in url order: /a -> 0, /b -> 10, /c -> 20
+    assert(at(2L) === 0.0 && at(1L) === 10.0 && at(3L) === 20.0)
+    assert(at(4L) === 0.0 && at(5L) === 0.5)
+    // no stated delay: first fetch still at 0 under the default
+    assert(at(6L) === 0.0)
+    val second = Seq((7L, "https://unknown.example/z2"))
+      .toDF("doc_id", "url").unionByName(frontier)
+    assert(UrlOps.scheduleFetches(second, "url", delays, 1.0)
+      .filter($"doc_id" === 7L).select($"fetch_at").as[Double]
+      .head() === 1.0, "second unknown-host URL waits the default delay")
+    // rerun-deterministic
+    val again = UrlOps.scheduleFetches(frontier, "url", delays, 1.0)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    // fail fast: bad default, delays frame missing contract columns
+    assert(intercept[IllegalArgumentException](
+      UrlOps.scheduleFetches(frontier, "url", delays, -1.0))
+      .getMessage.contains(">= 0"))
+    assert(intercept[IllegalArgumentException](
+      UrlOps.scheduleFetches(frontier, "url",
+        delays.withColumnRenamed("crawl_delay", "d"), 1.0))
+      .getMessage.contains("crawl_delay"))
+  }
+
   test("applyRobots: longest-match precedence per host; Allow wins " +
       "ties; unparseable URLs pass; queries count, fragments don't") {
     val rules = Seq(

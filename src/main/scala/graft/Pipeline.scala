@@ -130,6 +130,7 @@ object Pipeline {
     "unimaxSelect" -> Set("byCol", "avgEpochs", "maxEpochs", "scoreCol"),
     "chunkSentences" -> Set("maxTokens", "maxSentenceTokens"),
     "tokenize" -> Set("merges"),
+    "detokenize" -> Set("outCol"),
     "decontamIds" -> Set("table", "textCol", "n", "threshold"),
     "split" -> Set("trainPct", "valPct"),
     "shards" -> Set("path", "budget", "chunkTokens", "overlap"),
@@ -522,6 +523,20 @@ object Pipeline {
             ._1.map(m => (m._2, m._3))
           ctx.trainedMerges = Some(ms)
           operators.Tokenizer.encode(df, textCol, ms)
+        case "detokenize" =>
+          // render token_ids back to text under the run's OWN trained
+          // merges (the q230 round trip at config level) — outCol=
+          // defaults to the text column, the inspection rebind
+          val ms = ctx.trainedMerges.getOrElse(
+            throw new IllegalArgumentException(
+              s"pipeline line ${s.line}: detokenize requires a tokenize " +
+                "stage earlier in the config — ids only decode under " +
+                "the merges that produced them"))
+          require(df.columns.contains("token_ids"),
+            s"pipeline line ${s.line}: detokenize needs the token_ids " +
+              s"column (has: ${df.columns.sorted.mkString(", ")})")
+          operators.Tokenizer.decode(df, "token_ids", ms,
+            s.params.getOrElse("outCol", textCol))
         case "decontamIds" =>
           val ms = ctx.trainedMerges.getOrElse(
             throw new IllegalArgumentException(

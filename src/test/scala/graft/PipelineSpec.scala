@@ -346,6 +346,23 @@ class PipelineSpec extends SparkSpec {
     assert(back.filter($"warc_type" === "warcinfo").count() > 0)
   }
 
+  test("detokenize stage: tokenize -> detokenize renders the ORIGINAL " +
+    "text back under the run's own merges; requires a prior tokenize") {
+    val got = Pipeline.run(spark, sf(),
+      "read table=documents\ntokenize merges=16\ndetokenize outCol=rt")
+    assert(got.filter($"rt".isNull || $"rt" =!= $"text").isEmpty,
+      "the config-level round trip must be lossless on every document")
+    // default outCol rebinds the text column itself
+    val rebound = Pipeline.run(spark, sf(),
+      "read table=documents\ntokenize merges=16\ndetokenize")
+    assert(rebound.columns.contains("text") &&
+      rebound.filter($"text".isNull).isEmpty)
+    // fail fast: no tokenize stage first
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\ndetokenize")).getMessage
+      .contains("requires a tokenize stage"))
+  }
+
   test("tokenBudget stage == hand-written q196 recipe; fail-fast params") {
     val got = Pipeline.run(spark, sf(),
       "read table=documents\ntokenBudget budget=10000")

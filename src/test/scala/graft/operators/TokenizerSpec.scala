@@ -89,6 +89,38 @@ class TokenizerSpec extends SparkSpec {
     assert(nulls.select($"rt").head().isNullAt(0))
   }
 
+  test("seeded property: 300 random-unicode strings round-trip " +
+      "encode -> decode losslessly (the ASCII-only fixture can't reach " +
+      "multibyte paths; this does — Latin-1, kana, CJK, emoji " +
+      "surrogate pairs, mixed whitespace, empty)") {
+    val rnd = new scala.util.Random(20260815L)
+    val pools = Seq(
+      (0x20, 0x7e),      // ASCII
+      (0xa0, 0xff),      // Latin-1 accents (2-byte UTF-8)
+      (0x3041, 0x3096),  // hiragana (3-byte)
+      (0x4e00, 0x4fff),  // CJK (3-byte)
+      (0x1f300, 0x1f64f) // emoji (4-byte, surrogate pairs in UTF-16)
+    )
+    val strings = (1 to 300).map { i =>
+      if (i == 1) "" else {
+        val sb = new java.lang.StringBuilder
+        (0 until rnd.nextInt(120)).foreach { _ =>
+          val (lo, hi) = pools(rnd.nextInt(pools.length))
+          sb.appendCodePoint(lo + rnd.nextInt(hi - lo + 1))
+        }
+        sb.toString
+      }
+    }
+    val m = graft.queries.IncrementalOps.Merges
+    val df = strings.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val broken = Tokenizer.decode(Tokenizer.encode(df, "text", m),
+        "token_ids", m, "rt")
+      .filter($"rt".isNull || $"rt" =!= $"text")
+    assert(broken.isEmpty,
+      s"round trip must hold on arbitrary unicode: ${broken.count()} broke")
+  }
+
   test("pretokens reconstruct the input exactly (lossless split)") {
     val d = graft.Tables.load(spark, sf(), "documents")
     val broken = d.select($"doc_id",

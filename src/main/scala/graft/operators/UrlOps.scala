@@ -412,20 +412,31 @@ object UrlOps {
     * match test in the join condition, then an id-keyed max over the
     * matched rules (state = one struct per id) — never a rules×corpus
     * cross product, never a window. */
-  def applyRobots(df: DataFrame, urlCol: String, idCol: String,
-                  rules: DataFrame): DataFrame = {
-    Seq("host", "prefix", "allow").foreach(c =>
-      require(rules.columns.contains(c),
-        s"applyRobots: rules frame lacks '$c' (parseRobots emits all)"))
-    val noFrag = dropFragment(col(urlCol))
-    val parseable = noFrag.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
-    val path0 = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
-    val path = when(path0 === "", "/").otherwise(path0)
-    val pre = col("__graft_pre")
+  /** Is the URL a parseable `scheme://host` form? (Gates let
+    * unparseable rows PASS — the blocklist convention.) */
+  private[graft] def urlParseable(u: Column): Column =
+    dropFragment(u).rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
+  /** The URL's robots match target: path + query, fragment stripped,
+    * empty path normalized to `/`. */
+  private[graft] def urlPath(u: Column): Column = {
+    val noFrag = dropFragment(u)
+    val path0 = regexp_replace(noFrag,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
+    when(path0 === "", "/").otherwise(path0)
+  }
+
+  /** Does the RFC 9309 pattern `pre` (literal prefix; `*` spans any
+    * octets; trailing `$` anchors the end) match `path`? ONE
+    * translation shared by the batch gate ([[applyRobots]]) and the
+    * streaming gate ([[graft.streaming.RobotsGate]]) — the wildcard
+    * semantics cannot drift between them. Strip a trailing '$' (the
+    * anchor), escape every metachar (the '$' escape also covers
+    * LITERAL mid-pattern dollars), then turn the surviving '*'s into
+    * '.*'; plain prefixes (the real-world majority) never build the
+    * regex and stay on the codegen'd startsWith fast path. */
+  private[graft] def ruleMatches(path: Column, pre: Column): Column = {
     val hasWild = pre.contains("*") || pre.endsWith("$")
-    // wildcard translation: strip a trailing '$' (the anchor), escape
-    // every metachar (the '$' escape also covers LITERAL mid-pattern
-    // dollars), then turn the surviving '*'s into '.*'
     val anchored = pre.endsWith("$")
     val body = when(anchored, substring(pre, lit(1), length(pre) - 1))
       .otherwise(pre)
@@ -434,9 +445,18 @@ object UrlOps {
     val pattern = concat(lit("^"),
       regexp_replace(escaped, "\\*", ".*"),
       when(anchored, lit("$")).otherwise(lit("")))
-    val matches = when(hasWild,
-        regexp_like(col("__graft_path"), pattern))
-      .otherwise(col("__graft_path").startsWith(pre))
+    when(hasWild, regexp_like(path, pattern))
+      .otherwise(path.startsWith(pre))
+  }
+
+  def applyRobots(df: DataFrame, urlCol: String, idCol: String,
+                  rules: DataFrame): DataFrame = {
+    Seq("host", "prefix", "allow").foreach(c =>
+      require(rules.columns.contains(c),
+        s"applyRobots: rules frame lacks '$c' (parseRobots emits all)"))
+    val parseable = urlParseable(col(urlCol))
+    val path = urlPath(col(urlCol))
+    val matches = ruleMatches(col("__graft_path"), col("__graft_pre"))
     val blocked = df
       .filter(parseable)
       .select(col(idCol), domainOf(col(urlCol)).as("__graft_host"),

@@ -48,6 +48,65 @@ class UrlStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("dropBlockedDomains"))
   }
 
+  test("robots gate mid-stream == the batch join+max gate — wildcards, " +
+    "Allow-ties, longest-match, unparseable pass; over-budget fails " +
+    "fast naming the batch path") {
+    val src = Files.createTempDirectory("rg_src").toString
+    val out = Files.createTempDirectory("rg_out").toString
+    val ckpt = Files.createTempDirectory("rg_ckpt").toString
+    val rows = Seq(
+      (1L, "https://h.example/private/doc"),   // blocked: /private
+      (2L, "https://h.example/public/doc"),    // no rule: survives
+      (3L, "https://other.example/private/x"), // other host: survives
+      (4L, "https://h.example/p/10"),          // /p/1 dis beats /p allow
+      (5L, "https://h.example/p/2?x=1"),       // /p allow wins
+      (6L, "https://h.example/private/ok/f"),  // longer Allow carves hole
+      (7L, "not a url"),                       // unparseable: passes
+      (8L, "https://h.example/a-mid-z9"),      // /a*9$ wildcard blocks
+      (9L, "https://h.example/t/x"))           // exact-length tie: Allow
+      .toDF("doc_id", "url")
+    val rules = Seq(
+      ("h.example", "/private", false),
+      ("h.example", "/private/ok", true),
+      ("h.example", "/p/1", false),
+      ("h.example", "/p", true),
+      ("h.example", "/a*9$", false),
+      ("h.example", "/t", false),
+      ("h.example", "/t", true)
+    ).toDF("host", "prefix", "allow")
+    rows.write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(rows.schema).parquet(src)
+    val q = RobotsGate.admitted(stream, "url", rules).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(out)
+    assert(streamed.select($"doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 5L, 6L, 7L, 9L))
+    // == the batch gate, the shared-translation guarantee made visible
+    val batch = graft.operators.UrlOps.applyRobots(
+      rows, "url", "doc_id", rules)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+    // empty rule table: everything flows
+    assert(RobotsGate.admitted(rows, "url", rules.limit(0)).count() === 9)
+    // over-budget literal map fails fast naming the batch join
+    val big = spark.range(70000).select(
+      lit("h.example").as("host"),
+      concat(lit("/p"), $"id".cast("string")).as("prefix"),
+      lit(false).as("allow"))
+    val e = intercept[IllegalArgumentException](
+      RobotsGate.admitted(stream, "url", big))
+    assert(e.getMessage.contains("UrlOps.applyRobots"))
+    // contract columns
+    assert(intercept[IllegalArgumentException](
+      RobotsGate.admitted(stream, "url",
+        rules.withColumnRenamed("allow", "a")))
+      .getMessage.contains("lacks 'allow'"))
+  }
+
   test("stream == batch; quota spans micro-batches and never re-admits") {
     val src = Files.createTempDirectory("dc_src").toString
     val out = Files.createTempDirectory("dc_out").toString

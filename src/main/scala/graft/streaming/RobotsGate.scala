@@ -39,16 +39,20 @@ object RobotsGate {
     Seq("host", "prefix", "allow").foreach(c =>
       require(rules.columns.contains(c),
         s"RobotsGate: rules frame lacks '$c' (parseRobots emits all)"))
-    val collected = rules
+    val distinctRules = rules
       .select(col("host").cast("string"), col("prefix").cast("string"),
         col("allow").cast("boolean"))
-      .na.drop().distinct().collect()
-    if (collected.length > maxRules) throw new IllegalArgumentException(
-      s"RobotsGate: rule table carries ${collected.length} rules, over " +
+      .na.drop().distinct()
+    // budget-check BEFORE collecting (the BlocklistGate order): a
+    // web-scale rule table must fail fast, not OOM the driver first
+    val n = distinctRules.count()
+    if (n > maxRules) throw new IllegalArgumentException(
+      s"RobotsGate: rule table carries $n rules, over " +
         s"the $maxRules literal budget the stateless streaming gate " +
         "requires. Gate a curated host set, or run batch " +
         "UrlOps.applyRobots over the landed corpus, whose host-keyed " +
         "join handles web-scale rule tables")
+    val collected = distinctRules.collect()
     val byHost: Map[String, Seq[(String, Boolean)]] = collected
       .map(r => (r.getString(0), (r.getString(1), r.getBoolean(2))))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap

@@ -1008,7 +1008,77 @@ object Analytics {
       |      FROM p, lineitem l GROUP BY p.p)
       |SELECT p, exact_rank, true AS within_err, true AS err_capped FROM r""".stripMargin
 
+  // -- q232: small-file COMPACTION (sinks.Layout.compact) — the
+  // lakehouse OPTIMIZE half: a 32-way fragmented write (the streaming-
+  // ingest pathology — at 100 TB, 10^6 micro-batch files turn every
+  // scan into an open storm) bin-packed back to ⌈bytes/target⌉ files
+  // by a shuffle-free coalesce + temp-dir/rename swap. The aggregate
+  // reads THROUGH the compacted layout, so a hash match proves the
+  // rewrite lost and duplicated nothing; `n_files` pins that the
+  // rewrite actually landed at the single-bin count. Exact-int cells
+  // only. LayoutSpec pins the swap mechanics (no temp left behind,
+  // hive leaves, idempotence). --
+  private val q232: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_compact_$sfx"
+    t(s, dir, "documents").repartition(32, $"doc_id")
+      .write.mode("overwrite").parquet(out)
+    val stats = graft.sinks.Layout.compact(s, out, 256L * 1024 * 1024)
+    val nAfter = stats.map(_.filesAfter).sum
+    s.read.parquet(out).groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        countDistinct($"doc_id").as("n_ids"))
+      .withColumn("n_files", lit(nAfter))
+  }
+  private val q232Sql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+      |  CAST(1 AS BIGINT) AS n_files
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // -- q233: manifest-driven FILE SKIPPING (statsManifest/prunedRead) —
+  // the Iceberg/Delta metadata-pruning shape without the table format:
+  // events z-ordered on (event_id, user_id) [q127's layout, written
+  // for real], per-file min/max read from parquet FOOTERS ONLY
+  // (distributed, zero data pages), and a user_id range scan that
+  // skips every file whose footer provably excludes it — user_id is
+  // the SECOND z dimension, precisely the column a plain event_id sort
+  // leaves unskippable. The predicate re-applies on the scan, so the
+  // oracle (which sees only the raw table) pins that pruning is a
+  // strict superset — a wrongly-dropped file would break the hash.
+  // Exact-int cells only. --
+  private val q233: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_zlayout_$sfx"
+    val ev = t(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type")
+    graft.sinks.Layout.zorderWrite(ev, "event_id", "user_id", out, 16)
+    val mf = graft.sinks.Layout.statsManifest(s, out, Seq("user_id"))
+    val umax = ev.agg(max($"user_id")).as[Long].head()
+    val (lo, hi) = (umax / 4, umax * 7 / 20)
+    graft.sinks.Layout.prunedRead(s, out, mf, "user_id", lo.toDouble, hi.toDouble)
+      .where($"user_id".between(lo, hi))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        min($"event_id").as("min_ev"), max($"event_id").as("max_ev"))
+  }
+  private val q233Sql =
+    """WITH b AS (SELECT max(user_id) // 4 AS lo, max(user_id) * 7 // 20 AS hi
+      |           FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  min(event_id) AS min_ev, max(event_id) AS max_ev
+      |FROM events, b WHERE user_id BETWEEN b.lo AND b.hi
+      |GROUP BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q232_compaction" -> q232,
+    "q233_manifest_skipping" -> q233,
     "q193_quantile_sketch" -> q193,
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
@@ -1056,6 +1126,8 @@ object Analytics {
   )
 
   val oracle: Map[String, String] = Map(
+    "q232_compaction" -> q232Sql,
+    "q233_manifest_skipping" -> q233Sql,
     "q193_quantile_sketch" -> q193Sql,
     "q01_filter_project" -> q01Sql,
     "q02_sort_topn" -> q02Sql,

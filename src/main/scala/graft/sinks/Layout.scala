@@ -1,7 +1,9 @@
 package graft.sinks
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Multi-dimensional data LAYOUT for file skipping — the write-side
   * optimization that makes selective scans cheap at 100 TB: parquet
@@ -81,5 +83,234 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  // ---------------------------------------------------------------------
+  // Table maintenance: footer-stats manifest, file skipping, compaction
+  // ---------------------------------------------------------------------
+
+  /** Long-form manifest schema: one row per (data file, leaf column).
+    * Numeric columns carry `min_num`/`max_num` (double-widened — int32/
+    * int64/float/double/date/timestamp), UTF-8 binary columns carry
+    * `min_str`/`max_str`; a column whose footer statistics are absent or
+    * untranslatable (boolean, int96, fixed, decimal) keeps NULL bounds,
+    * which [[pruneFiles]] reads as "cannot exclude this file". */
+  val ManifestSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("column", StringType, nullable = false),
+    StructField("min_num", DoubleType, nullable = true),
+    StructField("max_num", DoubleType, nullable = true),
+    StructField("min_str", StringType, nullable = true),
+    StructField("max_str", StringType, nullable = true),
+    StructField("null_count", LongType, nullable = true)))
+
+  /** List the DATA files under `dir` (recursing through hive partition
+    * subdirectories), skipping `_`/`.`-prefixed names the way Spark's
+    * own file index does. */
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[FileStatus] =
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) dataFiles(fs, st.getPath)
+      else Seq(st)
+    }
+
+  /** Per-file min/max/null-count statistics for `columns` (all leaf
+    * columns when empty), read from parquet FOOTERS only — the
+    * Iceberg/Delta metadata-table shape without the table format: no
+    * data page is ever decompressed, so manifest cost is one footer
+    * round-trip per file regardless of file size. The footer reads are
+    * DISTRIBUTED (one task per slice of the file list): at 100 TB a
+    * table is ~10^5-10^6 files and a driver-side loop would serialize
+    * 10^5 object-store round-trips; file NAMES stay driver-sized (the
+    * same contract as Spark's own `InMemoryFileIndex`).
+    *
+    * Caveat (parquet spec): double/float min/max are unreliable in the
+    * presence of NaN — parquet-mr drops stats for such pages — so NaN
+    * columns simply come back unprunable (NULL bounds), never wrongly
+    * pruned. */
+  def statsManifest(spark: SparkSession, path: String,
+                    columns: Seq[String] = Nil): DataFrame = {
+    val sc = spark.sparkContext
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val files = dataFiles(root.getFileSystem(hconf), root)
+      .map(_.getPath.toString).sorted
+    // Configuration is not serializable: ship the entries, rebuild per
+    // task (fs.* / auth settings ride along to object stores).
+    val confEntries = {
+      val it = hconf.iterator(); val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    val bc = sc.broadcast(confEntries)
+    val wanted = columns.toSet
+    val slices = math.max(1, math.min(files.size, sc.defaultParallelism))
+    val rows = sc.parallelize(files, slices).flatMap { f =>
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      bc.value.foreach { case (k, v) => conf.set(k, v) }
+      readFooterStats(f, conf, wanted)
+    }
+    spark.createDataFrame(rows, ManifestSchema)
+  }
+
+  /** Footer → manifest rows for one file. Statistics across row groups
+    * fold with min-of-mins/max-of-maxs; ANY row group without valid
+    * stats for a column nulls that column's bounds (a partial bound
+    * would prune wrongly). */
+  private def readFooterStats(file: String,
+                              conf: org.apache.hadoop.conf.Configuration,
+                              wanted: Set[String]): Seq[Row] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val nRows = blocks.map(_.getRowCount).sum
+      val byCol = blocks.flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString)
+        .filter { case (name, _) => wanted.isEmpty || wanted(name) }
+      byCol.toSeq.sortBy(_._1).map { case (name, chunks) =>
+        val prim = chunks.head.getPrimitiveType
+        val logical = prim.getLogicalTypeAnnotation
+        val isDecimal =
+          logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+        val isString =
+          logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+        val stats = chunks.map(_.getStatistics)
+        val allValid = stats.forall(s =>
+          s != null && !s.isEmpty && s.hasNonNullValue)
+        def nums: Option[(Double, Double)] =
+          if (!allValid || isDecimal) None
+          else prim.getPrimitiveTypeName match {
+            case INT32 => Some(
+              stats.map(_.genericGetMin.asInstanceOf[Integer].doubleValue).min ->
+              stats.map(_.genericGetMax.asInstanceOf[Integer].doubleValue).max)
+            case INT64 => Some(
+              stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].doubleValue).min ->
+              stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].doubleValue).max)
+            case FLOAT => Some(
+              stats.map(_.genericGetMin.asInstanceOf[java.lang.Float].doubleValue).min ->
+              stats.map(_.genericGetMax.asInstanceOf[java.lang.Float].doubleValue).max)
+            case DOUBLE => Some(
+              stats.map(_.genericGetMin.asInstanceOf[java.lang.Double].doubleValue).min ->
+              stats.map(_.genericGetMax.asInstanceOf[java.lang.Double].doubleValue).max)
+            case _ => None
+          }
+        def strs: Option[(String, String)] =
+          if (!allValid || !isString) None
+          else Some(
+            stats.map(_.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8).min ->
+            stats.map(_.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8).max)
+        val nulls: Option[Long] =
+          if (stats.forall(s => s != null && s.isNumNullsSet))
+            Some(stats.map(_.getNumNulls).sum)
+          else None
+        Row(file, nRows, name,
+          nums.map(p => java.lang.Double.valueOf(p._1)).orNull,
+          nums.map(p => java.lang.Double.valueOf(p._2)).orNull,
+          strs.map(_._1).orNull, strs.map(_._2).orNull,
+          nulls.map(java.lang.Long.valueOf).orNull)
+      }
+    } finally reader.close()
+  }
+
+  /** Files that MAY contain rows with `column` in [lo, hi]: a file is
+    * excluded only when its bounds provably miss the range
+    * (`max < lo || min > hi`); missing bounds keep the file. The result
+    * is driver-sized (file names, like any file index) and sorted for
+    * determinism. Correctness does not depend on the stats — callers
+    * re-apply the predicate on the scan (as q233 does), so pruning can
+    * only SAVE work, never change an answer. */
+  def pruneFiles(manifest: DataFrame, column: String,
+                 lo: Double, hi: Double): Seq[String] = {
+    val all = manifest.select(col("file")).distinct()
+    val excluded = manifest
+      .where(col("column") === column &&
+        col("min_num").isNotNull && col("max_num").isNotNull &&
+        (col("max_num") < lit(lo) || col("min_num") > lit(hi)))
+      .select(col("file")).distinct()
+    all.join(excluded, Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Scan only the files [[pruneFiles]] keeps. The caller applies the
+    * real predicate on top (file skipping is a superset guarantee, not
+    * a filter); an all-pruned table returns the empty scan with the
+    * table's own schema. */
+  def prunedRead(spark: SparkSession, path: String, manifest: DataFrame,
+                 column: String, lo: Double, hi: Double): DataFrame = {
+    val files = pruneFiles(manifest, column, lo, hi)
+    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+    else spark.read.parquet(files: _*)
+  }
+
+  final case class CompactStats(dir: String, filesBefore: Long,
+                                bytesBefore: Long, filesAfter: Long)
+
+  /** Bin-pack compaction — the lakehouse `OPTIMIZE` half without the
+    * z-order: rewrite every leaf directory whose file count exceeds
+    * ⌈bytes/targetBytes⌉ into that many right-sized files. The small-
+    * files problem is THE operational failure mode of long-running
+    * ingestion at 100 TB (10^6 streaming micro-batch files turn every
+    * scan into a listing + open storm); compaction here is
+    * `coalesce(n)` — a narrow, shuffle-free merge of existing
+    * partitions — plus an optional `sortWithinPartitions` to restore a
+    * clustering column, never a global sort.
+    *
+    * Hive-partitioned layouts compact leaf-by-leaf (files never cross a
+    * partition boundary, so partition values stay encoded in dir names).
+    *
+    * Landing discipline: new files are written to a `_`-prefixed temp
+    * dir (invisible to readers), renamed in, and only then are the old
+    * files deleted — a concurrent reader during the swap window can see
+    * duplicate rows but never lost ones. True snapshot isolation needs
+    * a table format's commit log (Iceberg/Delta) and is out of scope;
+    * the trade is documented rather than hidden. */
+  def compact(spark: SparkSession, path: String, targetBytes: Long,
+              sortCol: Option[String] = None): Seq[CompactStats] = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf)
+    def leaves(dir: Path): Seq[Path] = {
+      val st = fs.listStatus(dir).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+      val dirs = st.filter(_.isDirectory)
+      val here = if (st.exists(!_.isDirectory)) Seq(dir) else Nil
+      here ++ dirs.flatMap(d => leaves(d.getPath))
+    }
+    leaves(root).map { leaf =>
+      val files = fs.listStatus(leaf).toSeq.filter(s => !s.isDirectory &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      val bytes = files.map(_.getLen).sum
+      val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.size <= n)
+        CompactStats(leaf.toString, files.size, bytes, files.size)
+      else {
+        val df = spark.read.parquet(leaf.toString)
+        val packed = df.coalesce(n)
+        val sorted = sortCol.fold(packed)(c => packed.sortWithinPartitions(col(c)))
+        val tmp = new Path(leaf, "_graft_compact_tmp")
+        sorted.write.mode("overwrite").parquet(tmp.toString)
+        val fresh = fs.listStatus(tmp).toSeq.filter(s => !s.isDirectory &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        val tag = java.util.UUID.randomUUID().toString.take(8)
+        fresh.sortBy(_.getPath.getName).zipWithIndex.foreach { case (s, i) =>
+          val dest = new Path(leaf, f"compacted-$tag-$i%05d.parquet")
+          require(fs.rename(s.getPath, dest), s"rename failed: ${s.getPath}")
+        }
+        files.foreach(s => fs.delete(s.getPath, false))
+        fs.delete(tmp, true)
+        CompactStats(leaf.toString, files.size, bytes, fresh.size)
+      }
+    }
   }
 }

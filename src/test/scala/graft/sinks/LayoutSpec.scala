@@ -102,4 +102,101 @@ class LayoutSpec extends SparkSpec {
       assert(ts <= zr.length * 5 / 8, s"suppkey probe touched $ts/${zr.length} z-files")
     }
   }
+
+  test("statsManifest: footer min/max/null-count match the data, per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mf").toString
+    Tables.load(spark, sf("sf0.001"), "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+      .repartitionByRange(4, $"o_orderkey")
+      .sortWithinPartitions($"o_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    val mf = Layout.statsManifest(spark, dir)
+    // footer-claimed bounds == actual per-file bounds (exact ints)
+    val actual = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"o_orderkey").as("lo"), max($"o_orderkey").as("hi"),
+        min($"o_orderpriority").as("slo"), max($"o_orderpriority").as("shi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => localPath(r.getString(0)).toString ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4), r.getLong(5)))
+      .toMap
+    assert(actual.size == 4)
+    val claimed = mf.collect().map(r => (localPath(r.getString(0)).toString,
+      r.getString(2)) -> r).toMap
+    actual.foreach { case (f, (lo, hi, slo, shi, n)) =>
+      val num = claimed((f, "o_orderkey"))
+      assert(num.getDouble(3) == lo.toDouble && num.getDouble(4) == hi.toDouble)
+      assert(num.getLong(1) == n && num.getLong(7) == 0L)
+      val str = claimed((f, "o_orderpriority"))
+      assert(str.isNullAt(3) && str.isNullAt(4), "string col has no numeric bounds")
+      assert(str.getString(5) == slo && str.getString(6) == shi)
+    }
+  }
+
+  test("pruneFiles: excludes exactly the provably-missing files; prunedRead == full scan under the predicate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr").toString
+    val li = Tables.load(spark, sf("sf0.01"), "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    li.repartitionByRange(8, $"l_orderkey").sortWithinPartitions($"l_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    val mf = Layout.statsManifest(spark, dir, Seq("l_orderkey"))
+    val (lo, hi) = li.agg(min($"l_orderkey"), max($"l_orderkey"))
+      .as[(Long, Long)].head()
+    val mid = (lo + hi) / 2
+    val kept = Layout.pruneFiles(mf, "l_orderkey", lo.toDouble, mid.toDouble)
+    val all = mf.select($"file").distinct().collect().map(_.getString(0))
+    assert(kept.size < all.length, "range predicate must skip files")
+    // exactness: a file survives iff its true range overlaps [lo, mid]
+    val overlapping = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"l_orderkey").as("flo"), max($"l_orderkey").as("fhi"))
+      .where($"fhi" >= lo && $"flo" <= mid)
+      .collect().map(r => localPath(r.getString(0)).toString).toSet
+    assert(kept.map(f => localPath(f).toString).toSet == overlapping)
+    // the skipping read, plus the residual predicate, equals the truth
+    val viaPrune = Layout.prunedRead(spark, dir, mf, "l_orderkey",
+        lo.toDouble, mid.toDouble)
+      .where($"l_orderkey".between(lo, mid))
+    val truth = spark.read.parquet(dir).where($"l_orderkey".between(lo, mid))
+    assert(viaPrune.exceptAll(truth).isEmpty && truth.exceptAll(viaPrune).isEmpty)
+    // an all-pruned range returns the empty scan with the table schema
+    val none = Layout.prunedRead(spark, dir, mf, "l_orderkey",
+      hi.toDouble + 1e6, hi.toDouble + 2e6)
+    assert(none.isEmpty && none.columns.toSeq ==
+      Seq("l_orderkey", "l_partkey", "l_quantity"))
+  }
+
+  test("compact: bin-packs small files, preserves rows exactly, atomic-ish swap leaves no temp") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    docs.repartition(16).write.mode("overwrite").parquet(dir)
+    def files() = new java.io.File(dir).listFiles.toSeq
+      .map(_.getName).filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(files().count(_.endsWith(".parquet")) == 16)
+    val stats = Layout.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(stats.size == 1 && stats.head.filesBefore == 16 &&
+      stats.head.filesAfter == 1)
+    val after = files()
+    assert(after.count(_.endsWith(".parquet")) == 1 &&
+      after.forall(_.startsWith("compacted-")), after.toString)
+    assert(!new java.io.File(dir, "_graft_compact_tmp").exists)
+    val back = spark.read.parquet(dir)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // idempotent: a second pass is a no-op (already at the bin count)
+    val again = Layout.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(again.head.filesBefore == 1 && again.head.filesAfter == 1)
+    assert(files() == after)
+  }
+
+  test("compact: hive-partitioned layout compacts leaf-by-leaf, partition values intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cph").toString
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    docs.repartition(6).write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val stats = Layout.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(stats.nonEmpty && stats.forall(s => s.dir.contains("lang=")))
+    assert(stats.forall(_.filesAfter == 1), stats.toString)
+    val back = spark.read.parquet(dir).select(docs.columns.map(col): _*)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
 }

@@ -125,6 +125,7 @@ object Pipeline {
     "domainQuality" -> Set("urlCol", "valueCol", "minMean", "minDocs"),
     "sample" -> Set("rate", "salt"),
     "weightedSample" -> Set("n", "scoreCol", "salt", "byCol"),
+    "scoreBuckets" -> Set("n", "scoreCol", "byCol"),
     "balanceSources" -> Set("byCol"),
     "tokenBudget" -> Set("budget", "scoreCol"),
     "unimaxSelect" -> Set("byCol", "avgEpochs", "maxEpochs", "scoreCol"),
@@ -484,6 +485,35 @@ object Pipeline {
               weighted, idCol, "__ws_w", n, s.params.getOrElse("salt", ""))
           }
           df.join(winners.select(col(idCol)), Seq(idCol), "left_semi")
+        case "scoreBuckets" =>
+          // CCNet quality cut in config land (q234): ADDS a `bucket`
+          // column in [1, n=] (1 = lowest scores) — an enrichment
+          // stage, no rows dropped; filter on it downstream. Score =
+          // scoreCol= or the TTR proxy; byCol= cuts PER GROUP (the
+          // per-language CCNet contract — thresholds per group, via
+          // the rank scan, never a per-group window).
+          val nb = int(s, "n", 10)
+          val tk = functions.Text.tokens(col(textCol))
+          val scored = s.params.get("scoreCol") match {
+            case Some(c) =>
+              require(df.columns.contains(c),
+                s"pipeline line ${s.line}: scoreBuckets scoreCol= column " +
+                  s"'$c' not in the frame (has: ${df.columns.sorted.mkString(", ")})")
+              df.withColumn("__sb_s", col(c))
+            case None => df.withColumn("__sb_s",
+              when(size(tk) > 0,
+                size(array_distinct(tk)).cast("double") / size(tk)))
+          }
+          val bucketed = s.params.get("byCol") match {
+            case Some(g) =>
+              require(scored.columns.contains(g),
+                s"pipeline line ${s.line}: scoreBuckets byCol= column " +
+                  s"'$g' not in the frame (has: " +
+                  s"${df.columns.sorted.mkString(", ")})")
+              operators.Quality.scoreBucketsBy(scored, "__sb_s", Seq(g), nb)
+            case None => operators.Quality.scoreBuckets(scored, "__sb_s", nb)
+          }
+          bucketed.drop("__sb_s")
         case "balanceSources" => operators.Mix.balanceSources(df, idCol,
           s.params.getOrElse("byCol", "source"))
         case "tokenBudget" =>

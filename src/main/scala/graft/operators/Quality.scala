@@ -73,6 +73,46 @@ object Quality {
     assignBuckets(df, scoreCol, row.getSeq[Double](0))
   }
 
+  /** PER-GROUP [[scoreBuckets]] — the full CCNet contract (Wenzek et
+    * al. 2020 §4.3 cut their LM-score terciles PER LANGUAGE, because a
+    * well-scored Tamil document and a well-scored English document live
+    * on different score scales): thresholds are exact per-group
+    * quantiles, assignment is the same comparison fold, so "head" means
+    * top-of-ITS-language everywhere.
+    *
+    * Scale shape: group keys here are languages/sources — few groups,
+    * each corpus-sized — exactly the funnel case the per-group window
+    * quantile dies on, so thresholds come from
+    * [[Percentiles.quantileContScanGrouped]] (range-partition rank scan,
+    * giant groups spread across partitions, bit-identical interpolation)
+    * and land as a |groups|-row broadcast join; the assignment itself is
+    * a narrow codegen'd fold, so the corpus never funnels through one
+    * task and never shuffles for the bucketing at all.
+    *
+    * Null policy: a null score keeps a null bucket (as [[scoreBuckets]]);
+    * a group whose scores are ALL null gets null buckets rather than
+    * failing the whole corpus (the global form's fail-fast guards a
+    * single degenerate threshold set; per-group, one empty language must
+    * not kill the run — count the nulls downstream with a Checks gate). */
+  def scoreBucketsBy(df: DataFrame, scoreCol: String, byCols: Seq[String],
+                     nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"scoreBucketsBy: need >= 2 buckets: $nBuckets")
+    require(byCols.nonEmpty, "scoreBucketsBy: empty byCols — use scoreBuckets")
+    val names = (1 until nBuckets).map(i => s"__graft_bt_$i")
+    val ps = names.zip((1 until nBuckets).map(_.toDouble / nBuckets))
+    val th = Percentiles.quantileContScanGrouped(df, byCols, scoreCol, ps)
+    val d = df.as("__graft_d")
+    val t = broadcast(th.as("__graft_t"))
+    val cond = byCols.map(c => col(s"__graft_d.`$c`") <=> col(s"__graft_t.`$c`"))
+      .reduce(_ && _)
+    val score = col(s"__graft_d.`$scoreCol`")
+    val b = names.map(n => (score > col(s"__graft_t.`$n`")).cast("int"))
+      .reduceLeft(_ + _)
+    d.join(t, cond)
+      .select(df.columns.map(c => col(s"__graft_d.`$c`")) :+
+        when(score.isNotNull, (b + 1).cast("long")).as("bucket"): _*)
+  }
+
   /** The shared narrow assignment fold: bucket = 1 + |thresholds below
     * the score|; null scores keep a null bucket. */
   private def assignBuckets(df: DataFrame, scoreCol: String,

@@ -3913,7 +3913,38 @@ object TextOps {
        |SELECT doc_id, url, n_tokens FROM d
        |WHERE host IN (SELECT host FROM h)""".stripMargin
 
+  // -- q234: per-language CCNet quality buckets (Quality.scoreBucketsBy)
+  // — Wenzek et al. 2020 §4.3 cut their LM scores into terciles PER
+  // LANGUAGE (head/middle/tail), because score scales aren't comparable
+  // across languages; the global q-bucket form (scoreBuckets) would let
+  // one high-scoring language monopolize "head". Thresholds are exact
+  // per-group quantile_cont via the rank SCAN (no per-language
+  // single-task window — languages are few and corpus-sized, the funnel
+  // case), broadcast back, assignment a narrow fold. Score here is
+  // n_chars (continuous enough to make the interpolated thresholds
+  // land between values; the operator is score-agnostic). Oracle:
+  // DuckDB quantile_cont per lang + the same ties-below comparison. --
+  private val q234: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+      .select($"doc_id", $"lang", $"n_chars".cast("double").as("score"))
+    graft.operators.Quality.scoreBucketsBy(d, "score", Seq("lang"), 3)
+      .select($"doc_id", $"lang", $"bucket")
+  }
+  private val q234Sql =
+    """WITH t AS (
+      |  SELECT lang,
+      |    quantile_cont(CAST(n_chars AS DOUBLE), 1.0/3) AS t1,
+      |    quantile_cont(CAST(n_chars AS DOUBLE), 2.0/3) AS t2
+      |  FROM documents GROUP BY lang)
+      |SELECT d.doc_id, d.lang,
+      |  CAST(CASE WHEN CAST(d.n_chars AS DOUBLE) > t.t2 THEN 3
+      |            WHEN CAST(d.n_chars AS DOUBLE) > t.t1 THEN 2
+      |            ELSE 1 END AS BIGINT) AS bucket
+      |FROM documents d JOIN t ON d.lang = t.lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q234_ccnet_buckets" -> q234,
     "q219_robots_rules" -> q219,
     "q220_robots_gate" -> q220,
     "q226_robots_agent" -> q226,
@@ -4015,6 +4046,7 @@ object TextOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q234_ccnet_buckets" -> q234Sql,
     "q215_keep_best_dedup" -> q215Sql,
     "q214_domain_card" -> q214Sql,
     "q219_robots_rules" -> q219Sql,

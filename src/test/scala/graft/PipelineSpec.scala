@@ -672,6 +672,40 @@ class PipelineSpec extends SparkSpec {
       .getMessage.contains("byCol= column 'nope'"))
   }
 
+  test("scoreBuckets stage == hand-written per-language CCNet cut; " +
+    "enrichment only; fail-fast") {
+    val d = Tables.load(spark, sf(), "documents")
+    // byCol= -> the per-language cut over an existing score column
+    val got = Pipeline.run(spark, sf(),
+      "read table=documents\nscoreBuckets n=3 scoreCol=n_chars byCol=lang")
+    val want = operators.Quality.scoreBucketsBy(
+      d.withColumn("__sb_s", col("n_chars")), "__sb_s", Seq("lang"), 3)
+      .drop("__sb_s")
+    assert(got.count() === d.count(), "enrichment stage drops no rows")
+    assert(got.columns.contains("bucket"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // every language fills every bucket (the per-group contract)
+    assert(got.groupBy($"lang").agg(countDistinct($"bucket").as("nb"))
+      .select($"nb").as[Long].collect().forall(_ === 3L))
+    // default score: the TTR proxy, global cut
+    val got2 = Pipeline.run(spark, sf(),
+      "read table=documents\nscoreBuckets n=4")
+    assert(got2.select(max($"bucket")).as[Long].head() === 4L)
+    // fail fast: bad n, unknown scoreCol/byCol, unknown param
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nscoreBuckets n=lots")).getMessage
+      .contains("must be an integer"))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nscoreBuckets scoreCol=nope")).getMessage
+      .contains("'nope' not in the frame"))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "read table=documents\nscoreBuckets byCol=nope")).getMessage
+      .contains("byCol= column 'nope'"))
+    assert(intercept[IllegalArgumentException](Pipeline.parse(
+      "read table=documents\nscoreBuckets salt=x")).getMessage
+      .contains("unknown scoreBuckets param"))
+  }
+
   test("robotsGate stage == the hand-written parseRobots + applyRobots " +
     "chain; fail-fast matrix") {
     val dir = java.nio.file.Files.createTempDirectory("pl_robots").toString

@@ -69,4 +69,40 @@ class QualityBucketsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sizes == (1 to 10).map(b => b.toLong -> 20L).toMap)
   }
+
+  test("scoreBucketsBy == scoreBuckets applied to each group alone") {
+    // two languages on WILDLY different score scales — the CCNet
+    // motivation: a global cut would put all of 'b' in the top bucket
+    val rows = (1 to 30).map(i => (i.toLong, "a", i.toDouble)) ++
+      (31 to 60).map(i => (i.toLong, "b", 1000.0 + i))
+    val df = rows.toDF("id", "lang", "score")
+    val grouped = Quality.scoreBucketsBy(df, "score", Seq("lang"), nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    Seq("a", "b").foreach { l =>
+      val alone = Quality.scoreBuckets(df.where($"lang" === l), "score", 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      alone.foreach { case (id, b) =>
+        assert(grouped(id) == b, s"id=$id lang=$l") }
+    }
+    // each language fills every bucket (the global cut would not)
+    val globalB = Quality.scoreBuckets(df, "score", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert((31 to 60).forall(i => globalB(i.toLong) >= 2L) &&
+      (1 to 30).forall(i => globalB(i.toLong) <= 2L),
+      "global cut segregates languages by scale instead of by quality")
+    assert((31 to 60).map(i => grouped(i.toLong)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("scoreBucketsBy: null score -> null bucket; an all-null group nulls only itself") {
+    val df = Seq((1L, "a", Some(1.0)), (2L, "a", Some(2.0)),
+      (3L, "a", Option.empty[Double]), (4L, "z", Option.empty[Double]))
+      .toDF("id", "lang", "score")
+    val out = Quality.scoreBucketsBy(df, "score", Seq("lang"), nBuckets = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out.size == 4, "every row survives, including the all-null group")
+    assert(out(1L).contains(1L) && out(2L).contains(2L))
+    assert(out(3L).isEmpty && out(4L).isEmpty)
+  }
 }

@@ -770,7 +770,70 @@ object CoerceOps {
       |  (5, NULL), (6, NULL)
       |) AS t(img_id, dh)""".stripMargin
 
+  // -- q236: snapshot log TIME TRAVEL (sinks.Snapshots) — the minimal
+  // lakehouse commit protocol over plain parquet: v1 overwrites in the
+  // non-German corpus, v2 appends the German docs; both versions then
+  // read back CONCURRENTLY-safely from their immutable file lists and
+  // aggregate side by side. The oracle re-derives both versions from
+  // the raw table, so a hash match proves the log pins exactly the
+  // right file set per version — a leaked v2 file into the v1 read (or
+  // vice versa) breaks the count. Rebuilt from scratch each run (the
+  // q210 standalone discipline). Exact-int cells. --
+  private val q236: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_snap_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val docs = Tables.load(s, dir, "documents")
+    graft.sinks.Snapshots.writeOverwrite(docs.where($"lang" =!= "de"), out)
+    graft.sinks.Snapshots.writeAppend(docs.where($"lang" === "de"), out)
+    def agg(df: DataFrame, v: Int) = df.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .withColumn("version", lit(v))
+    agg(graft.sinks.Snapshots.read(s, out, Some(1)), 1)
+      .unionByName(agg(graft.sinks.Snapshots.read(s, out), 2))
+  }
+  private val q236Sql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, 1 AS version
+      |FROM documents WHERE lang <> 'de' GROUP BY lang
+      |UNION ALL
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars, 2 AS version
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // -- q237: incremental snapshot scan (Snapshots.addedSince) — the
+  // nightly-job shape at 100 TB: remember the last processed version,
+  // read ONLY the files committed since (immutable files ⇒ new rows
+  // live only in new files; never rescan the table). The delta here is
+  // the German append from q236's layout, rebuilt standalone; the
+  // oracle sees the raw table and re-derives the same delta by
+  // predicate, so the hash pins that addedSince returns exactly the
+  // appended rows — no old file re-read, none missed. --
+  private val q237: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_snapinc_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val docs = Tables.load(s, dir, "documents")
+    graft.sinks.Snapshots.writeOverwrite(docs.where($"lang" =!= "de"), out)
+    graft.sinks.Snapshots.writeAppend(docs.where($"lang" === "de"), out)
+    graft.sinks.Snapshots.addedSince(s, out, 1)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_new"), sum($"n_chars").as("new_chars"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+  }
+  private val q237Sql =
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_new,
+      |  CAST(sum(n_chars) AS BIGINT) AS new_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents WHERE lang = 'de' GROUP BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q236_snapshot_time_travel" -> q236,
+    "q237_incremental_scan" -> q237,
     "q162_image_dhash" -> q162,
     "q163_audio_fp" -> q163,
     "q164_frame_dhash" -> q164,
@@ -797,6 +860,8 @@ object CoerceOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q236_snapshot_time_travel" -> q236Sql,
+    "q237_incremental_scan" -> q237Sql,
     "q162_image_dhash" -> q162Sql,
     "q163_audio_fp" -> q163Sql,
     "q164_frame_dhash" -> q164Sql,

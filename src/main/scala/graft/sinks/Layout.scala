@@ -94,7 +94,8 @@ object Layout {
     * int64/float/double/date/timestamp), UTF-8 binary columns carry
     * `min_str`/`max_str`; a column whose footer statistics are absent or
     * untranslatable (boolean, int96, fixed, decimal) keeps NULL bounds,
-    * which [[pruneFiles]] reads as "cannot exclude this file". */
+    * which [[pruneFiles]] reads as "cannot exclude this file"; `bytes`
+    * is the column's compressed on-disk size (the storage-audit cell). */
   val ManifestSchema: StructType = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("rows", LongType, nullable = false),
@@ -103,7 +104,8 @@ object Layout {
     StructField("max_num", DoubleType, nullable = true),
     StructField("min_str", StringType, nullable = true),
     StructField("max_str", StringType, nullable = true),
-    StructField("null_count", LongType, nullable = true)))
+    StructField("null_count", LongType, nullable = true),
+    StructField("bytes", LongType, nullable = false)))
 
   /** List the DATA files under `dir` (recursing through hive partition
     * subdirectories), skipping `_`/`.`-prefixed names the way Spark's
@@ -216,7 +218,10 @@ object Layout {
           nums.map(p => java.lang.Double.valueOf(p._1)).orNull,
           nums.map(p => java.lang.Double.valueOf(p._2)).orNull,
           strs.map(_._1).orNull, strs.map(_._2).orNull,
-          nulls.map(java.lang.Long.valueOf).orNull)
+          nulls.map(java.lang.Long.valueOf).orNull,
+          // compressed on-disk bytes of this column's chunks — the
+          // storage-audit cell ("which column eats the table")
+          chunks.map(_.getTotalSize).sum)
       }
     } finally reader.close()
   }

@@ -1,0 +1,116 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Snapshots: the minimal log — append/overwrite commits, version-pinned
+  * reads (time travel), incremental addedSince, snapshot-isolated
+  * compaction, vacuum retention. */
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    new java.io.File(d).delete()
+    d
+  }
+
+  test("append commits accumulate; read pins a version (time travel)") {
+    val dir = freshDir()
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val first = docs.where($"lang" =!= "de")
+    val second = docs.where($"lang" === "de")
+    assert(Snapshots.writeAppend(first, dir) == 1)
+    assert(Snapshots.writeAppend(second, dir) == 2)
+    val v1 = Snapshots.read(spark, dir, Some(1))
+    val v2 = Snapshots.read(spark, dir)
+    assert(v1.count() == first.count() &&
+      v1.exceptAll(first).isEmpty && first.exceptAll(v1).isEmpty)
+    assert(v2.count() == docs.count() &&
+      v2.exceptAll(docs).isEmpty && docs.exceptAll(v2).isEmpty)
+    assert(Snapshots.versions(spark, dir).map(s => (s.version, s.op)) ==
+      Seq((1, "append"), (2, "append")))
+    // unknown version is an error, not an empty frame
+    intercept[IllegalArgumentException](Snapshots.read(spark, dir, Some(9)))
+  }
+
+  test("overwrite replaces the current table but old versions stay readable") {
+    val dir = freshDir()
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    Snapshots.writeAppend(docs, dir)
+    val small = docs.where($"lang" === "en")
+    assert(Snapshots.writeOverwrite(small, dir) == 2)
+    assert(Snapshots.read(spark, dir).count() == small.count())
+    assert(Snapshots.read(spark, dir, Some(1)).count() == docs.count(),
+      "overwrite must not destroy time travel")
+  }
+
+  test("addedSince reads only files committed after the version") {
+    val dir = freshDir()
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    val first = docs.where($"lang" =!= "de")
+    val second = docs.where($"lang" === "de")
+    Snapshots.writeAppend(first, dir)
+    Snapshots.writeAppend(second, dir)
+    val delta = Snapshots.addedSince(spark, dir, 1)
+    assert(delta.exceptAll(second).isEmpty && second.exceptAll(delta).isEmpty)
+    // no new commits since latest: empty frame, table schema intact
+    val none = Snapshots.addedSince(spark, dir, 2)
+    assert(none.isEmpty && none.columns.sameElements(docs.columns))
+  }
+
+  test("compact flips the pointer without touching old files: snapshot isolation") {
+    val dir = freshDir()
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    Snapshots.writeAppend(docs.repartition(8), dir)
+    Snapshots.writeAppend(docs.repartition(8), dir) // 16 files, docs x2
+    val before = Snapshots.versions(spark, dir).last
+    assert(before.files.size == 16)
+    val v = Snapshots.compact(spark, dir, 512L * 1024 * 1024)
+    assert(v.contains(3))
+    val after = Snapshots.versions(spark, dir).last
+    assert(after.op == "compact" && after.files.size == 1)
+    assert(Snapshots.read(spark, dir).count() == docs.count() * 2)
+    // the pre-compaction snapshot still reads its own 16 files
+    assert(Snapshots.read(spark, dir, Some(2)).count() == docs.count() * 2)
+    assert(before.files.forall(f => new java.io.File(dir, f).exists),
+      "compaction must not delete old files — vacuum does")
+    // already compact: no-op, no new version
+    assert(Snapshots.compact(spark, dir, 512L * 1024 * 1024).isEmpty)
+    assert(Snapshots.versions(spark, dir).last.version == 3)
+  }
+
+  test("vacuum deletes only unreferenced files and expired log entries") {
+    val dir = freshDir()
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    Snapshots.writeAppend(docs.repartition(4), dir)
+    Snapshots.compact(spark, dir, 512L * 1024 * 1024)
+    val preVacuum = Snapshots.versions(spark, dir)
+    assert(preVacuum.map(_.version) == Seq(1, 2))
+    Snapshots.vacuum(spark, dir, keepVersions = 1)
+    val post = Snapshots.versions(spark, dir)
+    assert(post.map(_.version) == Seq(2))
+    assert(Snapshots.read(spark, dir).count() == docs.count())
+    // v1's four fragment files are gone; v2's single file remains
+    val live = post.head.files.toSet
+    preVacuum.head.files.filterNot(live).foreach(f =>
+      assert(!new java.io.File(dir, f).exists, s"$f should be vacuumed"))
+    live.foreach(f => assert(new java.io.File(dir, f).exists))
+    intercept[IllegalArgumentException](
+      Snapshots.read(spark, dir, Some(1))) // history given up explicitly
+  }
+
+  test("commit numbering survives a competing manual commit (optimistic retry)") {
+    val dir = freshDir()
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    Snapshots.writeAppend(docs, dir)
+    // an external committer lands v2 directly in the log
+    val log = new java.io.File(dir, "_graft_log")
+    val v2 = new java.io.File(log, "v00002.json")
+    java.nio.file.Files.writeString(v2.toPath,
+      """{"version":2,"op":"append","files":[]}""")
+    // next writeAppend must observe v2 and land v3, not clobber v2
+    assert(Snapshots.writeAppend(docs.limit(5), dir) == 3)
+    assert(Snapshots.versions(spark, dir).map(_.version) == Seq(1, 2, 3))
+  }
+}

@@ -160,6 +160,27 @@ object Snapshots {
     commit(spark, dir, "append", prev ++ land(df, dir))
   }
 
+  /** IDEMPOTENT append for streaming `foreachBatch` — the exactly-once
+    * device every log-structured streaming sink uses: the batch id is
+    * recorded in the committed entry (`op = "append-batch-N"`), and a
+    * REPLAYED batch (Structured Streaming re-runs the last batch after
+    * a crash, same id) sees its id already in the log and lands
+    * nothing. Visibility is the commit, so a downstream [[addedSince]]
+    * consumer never reads a half-written micro-batch — the parquet
+    * `_spark_metadata` contract, but shared with every batch reader of
+    * the same table. Returns the committed version, or None for a
+    * replay skip. */
+  def writeAppendBatch(df: DataFrame, dir: String,
+                       batchId: Long): Option[Int] = {
+    val spark = df.sparkSession
+    val op = s"append-batch-$batchId"
+    if (versions(spark, dir).exists(_.op == op)) None
+    else {
+      val prev = latest(spark, dir).map(_.files).getOrElse(Seq.empty)
+      Some(commit(spark, dir, op, prev ++ land(df, dir)))
+    }
+  }
+
   /** Replace the table contents: land new files, commit = only them.
     * Old files stay on disk — every prior version remains readable
     * until [[vacuum]]. Returns the committed version. */
@@ -232,6 +253,19 @@ object Snapshots {
       val packed = readFiles(spark, dir, snap.files).coalesce(n)
       Some(commit(spark, dir, "compact", land(packed, dir)))
     }
+  }
+
+  /** The periodic maintenance pass a streaming ingest schedules every N
+    * batches: bin-pack the current snapshot ([[compact]]), then reclaim
+    * space past the retention horizon ([[vacuum]]). Retention must stay
+    * deep enough that no reader pins a vacuumed version — the
+    * documented operational contract (table formats enforce it with
+    * timestamps; here it is the `keepVersions` knob). */
+  def maintain(spark: SparkSession, dir: String, targetBytes: Long,
+               keepVersions: Int = 10): Option[Int] = {
+    val v = compact(spark, dir, targetBytes)
+    vacuum(spark, dir, keepVersions)
+    v
   }
 
   /** Delete data files referenced by NO retained version, then drop the

@@ -100,6 +100,54 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.read(spark, dir, Some(1))) // history given up explicitly
   }
 
+  test("writeAppendBatch: streaming foreachBatch commits are idempotent under replay") {
+    val dir = freshDir()
+    val src = java.nio.file.Files.createTempDirectory("snap_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("snap_ckpt").toString
+    val b1 = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    val b2 = Seq((3L, "gamma")).toDF("id", "text")
+    b1.write.mode("append").parquet(src)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(b1.schema).parquet(src)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], id: Long) =>
+          { Snapshots.writeAppendBatch(df, dir, id); () })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    drain()
+    b2.write.mode("append").parquet(src)
+    drain()
+    val ops = Snapshots.versions(spark, dir).map(_.op)
+    assert(ops == Seq("append-batch-0", "append-batch-1"), ops.toString)
+    assert(Snapshots.read(spark, dir).count() == 3)
+    // a crash-replay of the last batch (same id) lands nothing
+    assert(Snapshots.writeAppendBatch(b2, dir, 1L).isEmpty)
+    assert(Snapshots.read(spark, dir).count() == 3)
+    // the downstream incremental consumer sees exactly batch 1's rows
+    val delta = Snapshots.addedSince(spark, dir, 1)
+    assert(delta.as[(Long, String)].collect().toSeq == Seq(3L -> "gamma"))
+  }
+
+  test("maintain = compact + vacuum in one scheduled pass") {
+    val dir = freshDir()
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    Snapshots.writeAppend(docs.repartition(6), dir)
+    Snapshots.writeAppend(docs.repartition(6), dir)
+    val v = Snapshots.maintain(spark, dir, 512L * 1024 * 1024,
+      keepVersions = 1)
+    assert(v.contains(3))
+    assert(Snapshots.versions(spark, dir).map(_.version) == Seq(3))
+    assert(Snapshots.read(spark, dir).count() == docs.count() * 2)
+    // the twelve fragments are vacuumed; only the compacted file lives
+    val live = Snapshots.versions(spark, dir).head.files.toSet
+    val onDisk = new java.io.File(dir).listFiles.toSeq.map(_.getName)
+      .filter(_.endsWith(".parquet"))
+    assert(onDisk.toSet == live && live.size == 1, onDisk.toString)
+  }
+
   test("commit numbering survives a competing manual commit (optimistic retry)") {
     val dir = freshDir()
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

@@ -70,7 +70,19 @@ object Layout {
     * Per-file min/max of BOTH columns come out narrow — the skipping
     * contract LayoutSpec pins. */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
-                  numFiles: Int, bits: Int = 16): Unit = {
+                  numFiles: Int, bits: Int = 16): Unit =
+    zorderFrame(df, xCol, yCol, numFiles, bits)
+      .write.mode("overwrite").parquet(path)
+
+  /** The layout transform behind [[zorderWrite]], exposed so other
+    * sinks (e.g. [[Snapshots.optimizeZorder]]) can land the same frame
+    * through their own commit protocol: quantize both columns to a
+    * common grid (one min/max agg), range-partition by the interleaved
+    * z-value (one shuffle), sort within partitions, drop the key. Each
+    * output partition becomes one narrow-range file wherever it is
+    * written. */
+  def zorderFrame(df: DataFrame, xCol: String, yCol: String,
+                  numFiles: Int, bits: Int = 16): DataFrame = {
     require(numFiles >= 1, s"numFiles must be positive: $numFiles")
     val row = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
@@ -82,7 +94,6 @@ object Layout {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 
   // ---------------------------------------------------------------------

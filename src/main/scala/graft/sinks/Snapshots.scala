@@ -255,6 +255,29 @@ object Snapshots {
     }
   }
 
+  /** `OPTIMIZE ZORDER BY (xCol, yCol)` — the full lakehouse maintenance
+    * command: rewrite the current snapshot in Z-order
+    * ([[Layout.zorderFrame]]: one min/max agg + one range shuffle) into
+    * `⌈bytes/targetBytes⌉` files and commit the new list. Combines the
+    * two halves this module and [[Layout]] each prove separately:
+    * multi-column file skipping from the layout, reader isolation from
+    * the log — a long scan started before the rewrite still reads its
+    * own snapshot. Runs even when the file count is already at the bin
+    * target (unlike [[compact]]) because the point is the ORDER, not
+    * the count. */
+  def optimizeZorder(spark: SparkSession, dir: String, xCol: String,
+                     yCol: String, targetBytes: Long, bits: Int = 16): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val snap = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots under $dir"))
+    val (fs, root) = fsOf(spark, dir)
+    val bytes = snap.files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val framed = Layout.zorderFrame(readFiles(spark, dir, snap.files),
+      xCol, yCol, n, bits)
+    commit(spark, dir, "zorder", land(framed, dir))
+  }
+
   /** The periodic maintenance pass a streaming ingest schedules every N
     * batches: bin-pack the current snapshot ([[compact]]), then reclaim
     * space past the retention horizon ([[vacuum]]). Retention must stay

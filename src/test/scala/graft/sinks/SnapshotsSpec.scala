@@ -148,6 +148,33 @@ class SnapshotsSpec extends SparkSpec {
     assert(onDisk.toSet == live && live.size == 1, onDisk.toString)
   }
 
+  test("optimizeZorder: committed rewrite has narrow per-file ranges on both columns") {
+    val dir = freshDir()
+    val li = Tables.load(spark, sf("sf0.01"), "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    Snapshots.writeAppend(li.repartition(16), dir) // layout-free fragments
+    val v = Snapshots.optimizeZorder(spark, dir, "l_partkey", "l_suppkey",
+      targetBytes = 24L * 1024)
+    val snap = Snapshots.versions(spark, dir).last
+    assert(snap.version == v && snap.op == "zorder" && snap.files.size >= 10)
+    val opt = Snapshots.read(spark, dir)
+    assert(opt.count() == li.count())
+    assert(opt.exceptAll(li).isEmpty && li.exceptAll(opt).isEmpty)
+    assert(Snapshots.read(spark, dir, Some(1)).count() == li.count(),
+      "pre-rewrite snapshot still readable")
+    // both z columns skip: a point probe touches a minority of files
+    val ranges = opt.groupBy(input_file_name().as("f"))
+      .agg(min($"l_partkey").as("plo"), max($"l_partkey").as("phi"),
+        min($"l_suppkey").as("slo"), max($"l_suppkey").as("shi"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    val (pMax, sMax) = li.agg(max($"l_partkey"), max($"l_suppkey"))
+      .as[(Long, Long)].head()
+    val tp = ranges.count(r => r._2 <= pMax / 2 && pMax / 2 <= r._3)
+    val ts = ranges.count(r => r._4 <= sMax / 2 && sMax / 2 <= r._5)
+    assert(tp <= ranges.length * 5 / 8, s"partkey probe touched $tp/${ranges.length}")
+    assert(ts <= ranges.length * 5 / 8, s"suppkey probe touched $ts/${ranges.length}")
+  }
+
   test("commit numbering survives a competing manual commit (optimistic retry)") {
     val dir = freshDir()
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

@@ -1076,9 +1076,46 @@ object Analytics {
       |FROM events, b WHERE user_id BETWEEN b.lo AND b.hi
       |GROUP BY event_type""".stripMargin
 
+  // -- q238: the FULL lakehouse read path (Snapshots + Layout composed)
+  // — commit fragmented events to the snapshot log, OPTIMIZE ZORDER BY
+  // (event_id, user_id) as a committed rewrite, then scan a user_id
+  // range through the snapshot-pinned footer manifest: log → manifest
+  // → file-skip → scan, the Iceberg/Delta read anatomy end to end.
+  // The oracle sees only the raw table, so the hash pins every link:
+  // a lost/duplicated row in the rewrite, a wrongly-pruned file, or a
+  // manifest bound off by one breaks it. Exact-int cells. --
+  private val q238: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_lake_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val ev = t(s, dir, "events").select($"event_id", $"user_id", $"event_type")
+    graft.sinks.Snapshots.writeAppend(ev.repartition(16), out)
+    graft.sinks.Snapshots.optimizeZorder(s, out, "event_id", "user_id",
+      targetBytes = 32L * 1024)
+    val umax = ev.agg(max($"user_id")).as[Long].head()
+    val (lo, hi) = (umax / 2, umax * 3 / 5)
+    graft.sinks.Snapshots.prunedRead(s, out, "user_id", lo.toDouble, hi.toDouble)
+      .where($"user_id".between(lo, hi))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"event_id").as("sum_ev"))
+  }
+  private val q238Sql =
+    """WITH b AS (SELECT max(user_id) // 2 AS lo, max(user_id) * 3 // 5 AS hi
+      |           FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_ev
+      |FROM events, b WHERE user_id BETWEEN b.lo AND b.hi
+      |GROUP BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q232_compaction" -> q232,
     "q233_manifest_skipping" -> q233,
+    "q238_lakehouse_scan" -> q238,
     "q193_quantile_sketch" -> q193,
     "q01_filter_project" -> q01,
     "q02_sort_topn" -> q02,
@@ -1128,6 +1165,7 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q232_compaction" -> q232Sql,
     "q233_manifest_skipping" -> q233Sql,
+    "q238_lakehouse_scan" -> q238Sql,
     "q193_quantile_sketch" -> q193Sql,
     "q01_filter_project" -> q01Sql,
     "q02_sort_topn" -> q02Sql,

@@ -145,11 +145,21 @@ object Layout {
     * pruned. */
   def statsManifest(spark: SparkSession, path: String,
                     columns: Seq[String] = Nil): DataFrame = {
-    val sc = spark.sparkContext
     val hconf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
-    val files = dataFiles(root.getFileSystem(hconf), root)
-      .map(_.getPath.toString).sorted
+    statsManifestFiles(spark,
+      dataFiles(root.getFileSystem(hconf), root).map(_.getPath.toString).sorted,
+      columns)
+  }
+
+  /** [[statsManifest]] over an EXPLICIT file list — the seam for
+    * snapshot-scoped manifests ([[Snapshots.manifest]]): an Iceberg
+    * scan reads the manifest OF A SNAPSHOT, not of whatever the
+    * directory currently holds. */
+  def statsManifestFiles(spark: SparkSession, files: Seq[String],
+                         columns: Seq[String] = Nil): DataFrame = {
+    val sc = spark.sparkContext
+    val hconf = spark.sessionState.newHadoopConf()
     // Configuration is not serializable: ship the entries, rebuild per
     // task (fs.* / auth settings ride along to object stores).
     val confEntries = {

@@ -194,17 +194,8 @@ object Snapshots {
     * the job runs. An empty table (no snapshots) is an error — there is
     * no schema to synthesize. */
   def read(spark: SparkSession, dir: String,
-           version: Option[Int] = None): DataFrame = {
-    val all = versions(spark, dir)
-    require(all.nonEmpty, s"no snapshots under $dir/$LogDir")
-    val snap = version match {
-      case Some(v) => all.find(_.version == v).getOrElse(
-        throw new IllegalArgumentException(
-          s"version $v not in ${all.map(_.version).mkString(",")}"))
-      case None => all.last
-    }
-    readFiles(spark, dir, snap.files)
-  }
+           version: Option[Int] = None): DataFrame =
+    readFiles(spark, dir, resolve(spark, dir, version).files)
 
   private def readFiles(spark: SparkSession, dir: String,
                         files: Seq[String]): DataFrame = {
@@ -252,6 +243,45 @@ object Snapshots {
     else {
       val packed = readFiles(spark, dir, snap.files).coalesce(n)
       Some(commit(spark, dir, "compact", land(packed, dir)))
+    }
+  }
+
+  /** Footer-stats manifest OF ONE SNAPSHOT ([[Layout.statsManifestFiles]]
+    * over the version's file list) — the Iceberg scan shape: pruning
+    * decisions bind to the immutable snapshot, not to whatever the
+    * directory holds when the scan finally runs. */
+  def manifest(spark: SparkSession, dir: String,
+               columns: Seq[String] = Nil,
+               version: Option[Int] = None): DataFrame = {
+    val snap = resolve(spark, dir, version)
+    Layout.statsManifestFiles(spark, snap.files.map(f => s"$dir/$f"), columns)
+  }
+
+  /** Snapshot-pinned file-skipping scan: only the version's files whose
+    * footer bounds may hold `column ∈ [lo, hi]` are opened
+    * ([[Layout.pruneFiles]] semantics — missing stats keep a file, the
+    * caller re-applies the predicate). After [[optimizeZorder]] this is
+    * the full lakehouse read path: log → manifest → skip → scan. */
+  def prunedRead(spark: SparkSession, dir: String, column: String,
+                 lo: Double, hi: Double,
+                 version: Option[Int] = None): DataFrame = {
+    val snap = resolve(spark, dir, version)
+    val files = Layout.pruneFiles(
+      Layout.statsManifestFiles(spark, snap.files.map(f => s"$dir/$f"),
+        Seq(column)), column, lo, hi)
+    if (files.isEmpty) readFiles(spark, dir, snap.files).where(lit(false))
+    else spark.read.parquet(files: _*)
+  }
+
+  private def resolve(spark: SparkSession, dir: String,
+                      version: Option[Int]): Snapshot = {
+    val all = versions(spark, dir)
+    require(all.nonEmpty, s"no snapshots under $dir/$LogDir")
+    version match {
+      case Some(v) => all.find(_.version == v).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $v not in ${all.map(_.version).mkString(",")}"))
+      case None => all.last
     }
   }
 

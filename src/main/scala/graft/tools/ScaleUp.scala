@@ -34,6 +34,12 @@ import graft.GraftSession
   *    and the low-cardinality l_linestatus groups grow into exactly the
   *    giant-group regime the scan path exists for. Group/label columns
   *    are untouched.
+  *  - events (round 18, the q233 manifest-skipping scale rows): copy c
+  *    strides event_id by 10^9 and user_id by 10^6, so both id DOMAINS
+  *    grow k× (the z-order grid and the per-file bounds must spread
+  *    over k× the key space — striding is what keeps pruning honest; a
+  *    verbatim copy would leave every file's range identical). Type,
+  *    value, ts, props untouched.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
@@ -75,6 +81,16 @@ object ScaleUp {
         .drop("c")
         .repartition(32)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
+
+    if (new java.io.File(s"$in/events.parquet").exists) {
+      val ev = spark.read.parquet(s"$in/events.parquet")
+      ev.crossJoin(broadcast(copies))
+        .withColumn("event_id", col("event_id") + col("c") * 1000000000L)
+        .withColumn("user_id", col("user_id") + col("c") * 1000000L)
+        .drop("c")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
 
     println(s"scaled $in x$k -> $out: " +

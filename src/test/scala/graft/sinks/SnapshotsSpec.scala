@@ -175,6 +175,30 @@ class SnapshotsSpec extends SparkSpec {
     assert(ts <= ranges.length * 5 / 8, s"suppkey probe touched $ts/${ranges.length}")
   }
 
+  test("prunedRead binds to its snapshot: an overwrite after the pin is invisible") {
+    val dir = freshDir()
+    val li = Tables.load(spark, sf("sf0.001"), "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    Snapshots.writeAppend(li.repartition(4), dir)
+    val (lo, hi) = li.agg(min($"l_orderkey"), max($"l_orderkey"))
+      .as[(Long, Long)].head()
+    // pin version 1, then let a writer replace the table
+    Snapshots.writeOverwrite(li.limit(10), dir)
+    val pinned = Snapshots.prunedRead(spark, dir, "l_orderkey",
+        lo.toDouble, (lo + (hi - lo) / 4).toDouble, version = Some(1))
+      .where($"l_orderkey" <= lo + (hi - lo) / 4)
+    val truth = li.where($"l_orderkey" <= lo + (hi - lo) / 4)
+    assert(pinned.exceptAll(truth).isEmpty && truth.exceptAll(pinned).isEmpty)
+    // manifest rows cover exactly the snapshot's files
+    val mf = Snapshots.manifest(spark, dir, Seq("l_orderkey"), Some(1))
+    assert(mf.select($"file").distinct().count() == 4)
+    // all-pruned: empty frame, schema intact
+    val none = Snapshots.prunedRead(spark, dir, "l_orderkey",
+      hi.toDouble + 1e7, hi.toDouble + 2e7, version = Some(1))
+    assert(none.isEmpty &&
+      none.columns.sameElements(Array("l_orderkey", "l_partkey")))
+  }
+
   test("commit numbering survives a competing manual commit (optimistic retry)") {
     val dir = freshDir()
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

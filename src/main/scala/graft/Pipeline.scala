@@ -55,6 +55,17 @@ object Pipeline {
     *    per group under UniMax token allocations.
     *  - `report` (q194) is a pass-through sink publishing the corpus
     *    DATA CARD of the frame at that point in the chain.
+    *  - `scoreBuckets` (q234): the CCNet quality cut — ADDS `bucket`
+    *    in [1, n=] from exact quantile thresholds of `scoreCol=` (or
+    *    the TTR proxy), `byCol=` per group (per-language, the CCNet
+    *    contract); enrichment only, filter downstream.
+    *  - `readSnapshot` (first stage) / `writeSnapshot` (sink): the
+    *    versioned-table doors (sinks.Snapshots, q236-q238) — read pins
+    *    one immutable version (`version=` time-travels), write COMMITS
+    *    the surviving frame (`mode=append|overwrite`), so chained
+    *    curation runs hand off through the log instead of raw
+    *    directories: concurrent readers never see a half-written
+    *    handoff, and every run's input remains reproducible by number.
     *  - `readWarc` (first stage, alternative to `read`): curate a
     *    crawl archive directly — the graft-warc DSv2 scan over `path=`,
     *    `types=` record types kept (default `response`, pushed into the
@@ -102,6 +113,8 @@ object Pipeline {
     *    exercise/test device, not a crawl semantics claim. */
   private val Allowed: Map[String, Set[String]] = Map(
     "read" -> Set("table", "idCol", "textCol"),
+    "readSnapshot" -> Set("path", "version", "idCol", "textCol"),
+    "writeSnapshot" -> Set("path", "mode"),
     "readWarc" -> Set("path", "types", "idCol", "textCol"),
     "fetchWarc" -> Set.empty[String],
     "clean" -> Set("form", "lowercase"),
@@ -203,7 +216,7 @@ object Pipeline {
     stages
   }
 
-  private val ReadStages = Set("read", "readWarc")
+  private val ReadStages = Set("read", "readWarc", "readSnapshot")
 
   /** Cross-stage run context: the resolved id/text column names and the
     * one piece of mutable state — tokenize's trained merges, needed by
@@ -224,6 +237,20 @@ object Pipeline {
     val source = head.name match {
       case "read" => Tables.load(spark, baseDir,
         head.params.getOrElse("table", "documents"))
+      case "readSnapshot" =>
+        // curate FROM a versioned table (sinks.Snapshots): the file
+        // list is pinned at read time, so the run is stable against
+        // concurrent commits; version= time-travels
+        val path = head.params.getOrElse("path",
+          throw new IllegalArgumentException(
+            s"pipeline line ${head.line}: readSnapshot needs path="))
+        val version = head.params.get("version").map { v =>
+          try v.toInt catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"pipeline line ${head.line}: version must be an integer, " +
+                s"got '$v'") }
+        }
+        sinks.Snapshots.read(spark, path, version)
       case "readWarc" =>
         // curate a crawl archive directly: the graft-warc DSv2 scan,
         // kept types only (default: responses — the in-reader pushdown
@@ -770,6 +797,22 @@ object Pipeline {
             // leader (software/format/segment, dated at the segment's
             // first response — the Common Crawl convention)
             warcinfo = s.params.get("warcinfo").exists(_.toBoolean))
+          df
+        case "writeSnapshot" =>
+          // land the surviving frame as a COMMIT on the versioned
+          // table: mode=append (default) adds to it, mode=overwrite
+          // replaces it — either way readers see the old version until
+          // the commit flips, and time travel keeps it afterwards
+          val path = s.params.getOrElse("path",
+            throw new IllegalArgumentException(
+              s"pipeline line ${s.line}: writeSnapshot needs path="))
+          s.params.getOrElse("mode", "append") match {
+            case "append" => sinks.Snapshots.writeAppend(df, path)
+            case "overwrite" => sinks.Snapshots.writeOverwrite(df, path)
+            case other => throw new IllegalArgumentException(
+              s"pipeline line ${s.line}: writeSnapshot mode= must be " +
+                s"append or overwrite, got '$other'")
+          }
           df
         case "write" =>
           val path = s.params.getOrElse("path",

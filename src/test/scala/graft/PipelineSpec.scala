@@ -317,6 +317,23 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter($"chunk_tokens" > 64).isEmpty)
   }
 
+  test("examples/versioned_curation.cfg stays runnable (the snapshot " +
+    "hand-off recipe)") {
+    val table = "/tmp/graft_curated_table"
+    val root = new org.apache.hadoop.fs.Path(table)
+    root.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(root, true)
+    val cfg = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("examples/versioned_curation.cfg")), "UTF-8")
+    val out = Pipeline.run(spark, sf(), cfg)
+    assert(out.count() > 0 && out.columns.contains("bucket"))
+    // the commit landed, and a readSnapshot run starts from it
+    val snaps = graft.sinks.Snapshots.versions(spark, table)
+    assert(snaps.map(_.op) == Seq("overwrite"))
+    val reread = Pipeline.run(spark, sf(), s"readSnapshot path=$table")
+    assert(reread.count() == out.count())
+  }
+
   test("examples/crawl_refresh.cfg stays runnable (archive-to-archive " +
     "curation over string record ids)") {
     // build the demo archive the config's readWarc path names
@@ -670,6 +687,40 @@ class PipelineSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
       "read table=documents\nweightedSample n=5 byCol=nope"))
       .getMessage.contains("byCol= column 'nope'"))
+  }
+
+  test("writeSnapshot/readSnapshot stages: config runs commit to and " +
+    "curate from the versioned table") {
+    val dir = java.nio.file.Files.createTempDirectory("pl_snap").toString
+    new java.io.File(dir).delete()
+    val d = Tables.load(spark, sf(), "documents")
+    // run 1: the raw table committed as v1; run 2: a curated subset
+    // appended as v2
+    Pipeline.run(spark, sf(),
+      s"read table=documents\nwriteSnapshot path=$dir mode=overwrite")
+    Pipeline.run(spark, sf(),
+      s"read table=documents\nminTokens n=40\nwriteSnapshot path=$dir")
+    val snaps = graft.sinks.Snapshots.versions(spark, dir)
+    assert(snaps.map(_.op) == Seq("overwrite", "append"))
+    val curated = d.filter(size(functions.Text.tokens($"text")) >= 40)
+    assert(graft.sinks.Snapshots.read(spark, dir).count() ==
+      d.count() + curated.count())
+    // readSnapshot: curate FROM the table; version= time-travels to
+    // the raw commit
+    val got = Pipeline.run(spark, sf(), s"readSnapshot path=$dir version=1")
+      .select(d.columns.map(col): _*)
+    assert(got.exceptAll(d).isEmpty && d.exceptAll(got).isEmpty)
+    assert(Pipeline.run(spark, sf(), s"readSnapshot path=$dir").count() ==
+      d.count() + curated.count())
+    // fail-fast: missing path, bad version, bad mode
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      "readSnapshot version=1")).getMessage.contains("needs path="))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      s"readSnapshot path=$dir version=latest")).getMessage
+      .contains("must be an integer"))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      s"read table=documents\nwriteSnapshot path=$dir mode=replace"))
+      .getMessage.contains("append or overwrite"))
   }
 
   test("scoreBuckets stage == hand-written per-language CCNet cut; " +

@@ -277,6 +277,27 @@ object Layout {
     else spark.read.parquet(files: _*)
   }
 
+  /** Storage audit from the footer manifest — "which column eats the
+    * table": per-column compressed bytes, share of the table, bytes per
+    * row, null fraction. Pure manifest algebra (one footer pass, zero
+    * data); sizes are codec/engine-specific so this is an operational
+    * report, not an oracle surface. At 100 TB this is the first question
+    * of every storage review — a body/embedding column at 90% of the
+    * bytes is what decides "split that column into its own table". */
+  def storageReport(spark: SparkSession, path: String): DataFrame = {
+    val mf = statsManifest(spark, path)
+    val perCol = mf.groupBy(col("column"))
+      .agg(sum(col("bytes")).as("bytes"), sum(col("rows")).as("rows"),
+        sum(col("null_count")).as("nulls"))
+    val total = perCol.agg(sum(col("bytes")).as("__t"))
+    perCol.crossJoin(broadcast(total)) // one-row frame
+      .select(col("column"), col("bytes"),
+        (col("bytes").cast("double") / col("__t")).as("share"),
+        (col("bytes").cast("double") / col("rows")).as("bytes_per_row"),
+        (col("nulls").cast("double") / col("rows")).as("null_frac"))
+      .orderBy(col("bytes").desc, col("column").asc)
+  }
+
   final case class CompactStats(dir: String, filesBefore: Long,
                                 bytesBefore: Long, filesAfter: Long)
 

@@ -197,10 +197,18 @@ object Snapshots {
            version: Option[Int] = None): DataFrame =
     readFiles(spark, dir, resolve(spark, dir, version).files)
 
+  /** Snapshot scans read with `mergeSchema` — a version whose appends
+    * widened the schema (the q221 multi-year-corpus reality) comes back
+    * as the footer UNION with NULLs in pre-widening files. Cost is one
+    * distributed footer pass at plan time (the statsManifest price,
+    * zero data pages); a table format that must avoid even that keeps
+    * the schema in its log, which is the documented line this minimal
+    * log does not cross. */
   private def readFiles(spark: SparkSession, dir: String,
                         files: Seq[String]): DataFrame = {
     require(files.nonEmpty, s"snapshot under $dir has no files")
-    spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$dir/$f"): _*)
   }
 
   /** Rows in files COMMITTED AFTER `sinceVersion` — the incremental-

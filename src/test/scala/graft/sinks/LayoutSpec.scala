@@ -189,6 +189,20 @@ class LayoutSpec extends SparkSpec {
     assert(files() == after)
   }
 
+  test("storageReport: per-column shares from footers alone; text dominates documents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sr").toString
+    Tables.load(spark, sf("sf0.01"), "documents")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val rep = Layout.storageReport(spark, dir).collect()
+    assert(rep.map(_.getString(0)).toSet ==
+      Set("doc_id", "text", "lang", "source", "n_chars"))
+    // shares are a probability vector and text is the heavy column
+    assert(math.abs(rep.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    assert(rep.head.getString(0) == "text" && rep.head.getDouble(2) > 0.5,
+      rep.map(r => (r.getString(0), r.getDouble(2))).mkString(", "))
+    assert(rep.forall(r => r.getDouble(3) > 0 && r.getDouble(4) == 0.0))
+  }
+
   test("compact: hive-partitioned layout compacts leaf-by-leaf, partition values intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cph").toString
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

@@ -175,6 +175,20 @@ class SnapshotsSpec extends SparkSpec {
     assert(ts <= ranges.length * 5 / 8, s"suppkey probe touched $ts/${ranges.length}")
   }
 
+  test("schema widening across appends: latest reads the footer union, pinned versions keep theirs") {
+    val dir = freshDir()
+    Snapshots.writeAppend(Seq((1L, "a")).toDF("id", "text"), dir)
+    Snapshots.writeAppend(Seq((2L, "b", "en")).toDF("id", "text", "lang"), dir)
+    val latest = Snapshots.read(spark, dir)
+    assert(latest.columns.sorted.sameElements(Array("id", "lang", "text")))
+    val byId = latest.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(latest.columns.indexOf("lang")),
+      "pre-widening rows read back with NULL in the new column")
+    assert(byId(2L).getString(latest.columns.indexOf("lang")) == "en")
+    assert(Snapshots.read(spark, dir, Some(1)).columns.sorted
+      .sameElements(Array("id", "text")), "the pinned version keeps its schema")
+  }
+
   test("prunedRead binds to its snapshot: an overwrite after the pin is invisible") {
     val dir = freshDir()
     val li = Tables.load(spark, sf("sf0.001"), "lineitem")

@@ -831,9 +831,62 @@ object CoerceOps {
       |  min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM documents WHERE lang = 'de' GROUP BY source""".stripMargin
 
+  // -- q239: copy-on-write DELETE (Snapshots.deleteWhere) — the
+  // right-to-be-forgotten pass on the versioned corpus: only files
+  // CONTAINING German docs rewrite (file-granularity pinned in
+  // SnapshotsSpec; here the fragments are id-partitioned so every file
+  // holds every language and all rewrite — the honest worst case), one
+  // commit flips the table. Oracle = the raw table minus the predicate;
+  // a row lost from an untouched file or surviving a rewrite breaks
+  // the hash. --
+  private val q239: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_snapdel_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val docs = Tables.load(s, dir, "documents")
+    graft.sinks.Snapshots.writeOverwrite(docs.repartition(8, $"doc_id"), out)
+    graft.sinks.Snapshots.deleteWhere(s, out, col("lang") === "de")
+    graft.sinks.Snapshots.read(s, out)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+  }
+  private val q239Sql =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents WHERE lang <> 'de'""".stripMargin
+
+  // -- q240: copy-on-write UPSERT (Snapshots.upsert) — the re-crawl
+  // merge: every German doc re-arrives with one more character of
+  // text; files holding a matched key rewrite without the stale copy,
+  // the fresh rows land beside, one commit. Row count is unchanged and
+  // exactly the de rows carry the +1 — the oracle replays that as a
+  // CASE over the raw table, so both halves (stale removal AND fresh
+  // insert) live in the hash. --
+  private val q240: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_snapup_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val docs = Tables.load(s, dir, "documents")
+    graft.sinks.Snapshots.writeOverwrite(docs.repartition(8, $"doc_id"), out)
+    val recrawl = docs.where($"lang" === "de")
+      .withColumn("text", concat($"text", lit("!")))
+      .withColumn("n_chars", $"n_chars" + 1)
+    graft.sinks.Snapshots.upsert(recrawl, out, "doc_id")
+    graft.sinks.Snapshots.read(s, out)
+      .select($"doc_id", $"lang", $"n_chars")
+  }
+  private val q240Sql =
+    """SELECT doc_id, lang,
+      |  CASE WHEN lang = 'de' THEN n_chars + 1 ELSE n_chars END AS n_chars
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q236_snapshot_time_travel" -> q236,
     "q237_incremental_scan" -> q237,
+    "q239_snapshot_delete" -> q239,
+    "q240_snapshot_upsert" -> q240,
     "q162_image_dhash" -> q162,
     "q163_audio_fp" -> q163,
     "q164_frame_dhash" -> q164,
@@ -862,6 +915,8 @@ object CoerceOps {
   val oracle: Map[String, String] = Map(
     "q236_snapshot_time_travel" -> q236Sql,
     "q237_incremental_scan" -> q237Sql,
+    "q239_snapshot_delete" -> q239Sql,
+    "q240_snapshot_upsert" -> q240Sql,
     "q162_image_dhash" -> q162Sql,
     "q163_audio_fp" -> q163Sql,
     "q164_frame_dhash" -> q164Sql,

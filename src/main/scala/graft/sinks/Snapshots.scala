@@ -38,8 +38,11 @@ import org.apache.spark.sql.functions._
   *  - [[vacuum]] deletes files no retained version references — space
   *    reclamation is decoupled from correctness.
   *
-  * NOT implemented (and documented rather than faked): schema evolution,
-  * row-level deletes, and cross-table transactions — the full table
+  * Row-level writes are COPY-ON-WRITE ([[deleteWhere]], [[upsert]]):
+  * only files containing affected rows rewrite, the commit splices the
+  * rest through by name. NOT implemented (and documented rather than
+  * faked): merge-on-read deletion vectors, schema enforcement beyond
+  * the footer union, and cross-table transactions — the full table
   * formats exist for those.
   */
 object Snapshots {
@@ -252,6 +255,69 @@ object Snapshots {
       val packed = readFiles(spark, dir, snap.files).coalesce(n)
       Some(commit(spark, dir, "compact", land(packed, dir)))
     }
+  }
+
+  /** Copy-on-write `DELETE WHERE` — the Delta/Iceberg CoW shape: find
+    * the files that CONTAIN matching rows (one predicate scan collecting
+    * `input_file_name`, driver state = file names), rewrite ONLY those
+    * files without the matches, commit = untouched files + rewrites.
+    * A predicate touching 1% of files rewrites 1% of the table; the
+    * rest of the commit is pointer arithmetic. NULL predicate rows are
+    * KEPT (`DELETE WHERE cond` removes rows where cond is TRUE — SQL
+    * semantics). Returns None when nothing matches (no empty commit).
+    *
+    * Right-to-be-forgotten note: prior VERSIONS still hold the rows
+    * until [[vacuum]] passes the retention horizon — physical removal
+    * is `deleteWhere` + `vacuum`, and the two-step is deliberate
+    * (readers pinned to old versions must not lose files mid-scan). */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  cond: org.apache.spark.sql.Column): Option[Int] = {
+    val snap = resolve(spark, dir, None)
+    val cur = readFiles(spark, dir, snap.files)
+    val touchedAbs = cur.where(cond)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touchedAbs.isEmpty) None
+    else {
+      val touched = snap.files.filter(f =>
+        touchedAbs.exists(a => a.endsWith("/" + f)))
+      val untouched = snap.files.filterNot(touched.toSet)
+      val rewritten = readFiles(spark, dir, touched)
+        .where(!coalesce(cond, lit(false)))
+      Some(commit(spark, dir, "delete", untouched ++ land(rewritten, dir)))
+    }
+  }
+
+  /** Copy-on-write UPSERT by key — the MERGE "update or insert" case:
+    * files holding a matching key are rewritten without those rows (the
+    * [[deleteWhere]] mechanics, keyed by a semi-join instead of a
+    * predicate), then the updates land as fresh files; one commit flips
+    * both. Update batches are usually small, so Spark's own broadcast
+    * threshold handles the join side; the table never shuffles — only
+    * touched files are re-read. Duplicate keys in `updates` land as-is
+    * (the caller owns key uniqueness); NULL keys never match an
+    * existing row and simply insert. */
+  def upsert(updates: DataFrame, dir: String, keyCol: String): Int = {
+    val spark = updates.sparkSession
+    require(updates.columns.contains(keyCol),
+      s"upsert: key column '$keyCol' not in updates " +
+        s"(has: ${updates.columns.sorted.mkString(", ")})")
+    val snap = resolve(spark, dir, None)
+    val cur = readFiles(spark, dir, snap.files)
+    val keys = updates.select(col(keyCol)).distinct()
+    // input_file_name binds to ONE source: project it below the join
+    val touchedAbs = cur.select(col(keyCol), input_file_name().as("__f"))
+      .join(keys, Seq(keyCol), "left_semi")
+      .select(col("__f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = snap.files.filter(f =>
+      touchedAbs.exists(a => a.endsWith("/" + f)))
+    val untouched = snap.files.filterNot(touched.toSet)
+    val survivors =
+      if (touched.isEmpty) Seq.empty
+      else land(readFiles(spark, dir, touched)
+        .join(keys, Seq(keyCol), "left_anti"), dir)
+    commit(spark, dir, "upsert", untouched ++ survivors ++ land(updates, dir))
   }
 
   /** Footer-stats manifest OF ONE SNAPSHOT ([[Layout.statsManifestFiles]]

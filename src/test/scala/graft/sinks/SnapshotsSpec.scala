@@ -213,6 +213,55 @@ class SnapshotsSpec extends SparkSpec {
       none.columns.sameElements(Array("l_orderkey", "l_partkey")))
   }
 
+  test("deleteWhere rewrites ONLY files containing matches; null predicate rows kept") {
+    val dir = freshDir()
+    // two range-partitioned files: ids 1-50 and 51-100; delete hits
+    // only the low file
+    val rows = (1 to 100).map(i =>
+      (i.toLong, if (i <= 3) None else Some(s"doc $i"))).toDF("id", "text")
+    Snapshots.writeAppend(rows.repartitionByRange(2, $"id"), dir)
+    val before = Snapshots.versions(spark, dir).last.files
+    assert(before.size == 2)
+    val v = Snapshots.deleteWhere(spark, dir, $"id" <= 10 && length($"text") > 0)
+    assert(v.contains(2))
+    val after = Snapshots.versions(spark, dir).last.files
+    // the high file rides through by NAME — no rewrite
+    assert(before.count(after.contains) == 1,
+      s"exactly one original file must survive untouched: $before -> $after")
+    val left = Snapshots.read(spark, dir)
+    // ids 4..10 deleted; 1..3 have NULL predicate (length(null)) -> KEPT
+    assert(left.count() == 93)
+    assert(left.where($"id" <= 3).count() == 3, "NULL-predicate rows are kept")
+    assert(left.where($"id".between(4, 10)).isEmpty)
+    // nothing matches -> None, no new version
+    assert(Snapshots.deleteWhere(spark, dir, $"id" > 1000).isEmpty)
+    assert(Snapshots.versions(spark, dir).last.version == 2)
+  }
+
+  test("upsert: matched keys replaced in-place, new keys inserted, untouched files spliced") {
+    val dir = freshDir()
+    val rows = (1 to 100).map(i => (i.toLong, s"old $i")).toDF("id", "text")
+    Snapshots.writeAppend(rows.repartitionByRange(2, $"id"), dir)
+    val before = Snapshots.versions(spark, dir).last.files
+    val updates = Seq((5L, "new 5"), (7L, "new 7"), (200L, "new 200"))
+      .toDF("id", "text")
+    Snapshots.upsert(updates, dir, "id")
+    val after = Snapshots.versions(spark, dir).last
+    assert(after.op == "upsert")
+    assert(before.count(after.files.contains) == 1,
+      "the high file holds no matched key and must splice through")
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 101)
+    val byId = t.as[(Long, String)].collect().toMap
+    assert(byId(5L) == "new 5" && byId(7L) == "new 7" && byId(200L) == "new 200")
+    assert(byId(6L) == "old 6" && byId(100L) == "old 100")
+    // no key matches -> pure insert, still one commit
+    Snapshots.upsert(Seq((300L, "new 300")).toDF("id", "text"), dir, "id")
+    assert(Snapshots.read(spark, dir).count() == 102)
+    intercept[IllegalArgumentException](
+      Snapshots.upsert(updates, dir, "nope"))
+  }
+
   test("commit numbering survives a competing manual commit (optimistic retry)") {
     val dir = freshDir()
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

@@ -882,7 +882,46 @@ object CoerceOps {
       |  CASE WHEN lang = 'de' THEN n_chars + 1 ELSE n_chars END AS n_chars
       |FROM documents""".stripMargin
 
+  // -- q241: CHANGE DATA FEED (Snapshots.changes) — the sync feed a
+  // downstream index/card/replica consumes instead of rescanning: v1
+  // commits the corpus, v2 upserts a German re-crawl (+1 char), v3
+  // copy-on-write-deletes French, v4 compacts. changes(since=1) must
+  // be EXACTLY delete(old de) + insert(new de) at version 2 and
+  // delete(fr) at version 3 — unchanged rows rewritten by the CoW
+  // passes cancel in the exceptAll algebra, and the compact commit
+  // contributes NOTHING (layout ops are logical no-ops; its absence
+  // from the feed is pinned by the hash). --
+  private val q241: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_snapcdc_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val docs = Tables.load(s, dir, "documents")
+    graft.sinks.Snapshots.writeOverwrite(docs.repartition(8, $"doc_id"), out)
+    val recrawl = docs.where($"lang" === "de")
+      .withColumn("text", concat($"text", lit("!")))
+      .withColumn("n_chars", $"n_chars" + 1)
+    graft.sinks.Snapshots.upsert(recrawl, out, "doc_id")
+    graft.sinks.Snapshots.deleteWhere(s, out, col("lang") === "fr")
+    graft.sinks.Snapshots.compact(s, out, 512L * 1024 * 1024)
+    graft.sinks.Snapshots.changes(s, out, sinceVersion = 1)
+      .select($"doc_id", $"lang", $"n_chars",
+        $"_change_type", $"_commit_version")
+  }
+  private val q241Sql =
+    """SELECT doc_id, lang, n_chars, 'delete' AS _change_type,
+      |  2 AS _commit_version
+      |FROM documents WHERE lang = 'de'
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars + 1, 'insert', 2
+      |FROM documents WHERE lang = 'de'
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars, 'delete', 3
+      |FROM documents WHERE lang = 'fr'""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q241_snapshot_changes" -> q241,
     "q236_snapshot_time_travel" -> q236,
     "q237_incremental_scan" -> q237,
     "q239_snapshot_delete" -> q239,
@@ -913,6 +952,7 @@ object CoerceOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q241_snapshot_changes" -> q241Sql,
     "q236_snapshot_time_travel" -> q236Sql,
     "q237_incremental_scan" -> q237Sql,
     "q239_snapshot_delete" -> q239Sql,

@@ -82,15 +82,26 @@ object Layout {
     * output partition becomes one narrow-range file wherever it is
     * written. */
   def zorderFrame(df: DataFrame, xCol: String, yCol: String,
-                  numFiles: Int, bits: Int = 16): DataFrame = {
+                  numFiles: Int, bits: Int = 16): DataFrame =
+    zorderFrameN(df, Seq(xCol, yCol), numFiles, bits)
+
+  /** N-column form of [[zorderFrame]] (n · bits ≤ 63 — 2×16, 3×16,
+    * 4×15…): one min/max agg for all domains, one range shuffle on the
+    * interleaved key. More columns buy skipping on more predicates at
+    * the price of wider per-file ranges per column — 2-3 z columns is
+    * the practical lakehouse guidance, and the math caps at what a
+    * positive long holds. */
+  def zorderFrameN(df: DataFrame, cols: Seq[String],
+                   numFiles: Int, bits: Int = 16): DataFrame = {
     require(numFiles >= 1, s"numFiles must be positive: $numFiles")
-    val row = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
-      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
-    val (xLo, xHi, yLo, yHi) =
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
-    df.withColumn("__z", zValue2(
-        quantize(col(xCol), xLo, xHi, bits),
-        quantize(col(yCol), yLo, yHi, bits), bits))
+    require(cols.size >= 2, s"z-order needs >= 2 columns: $cols")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val quantized = cols.zipWithIndex.map { case (c, i) =>
+      quantize(col(c), row.getLong(2 * i), row.getLong(2 * i + 1), bits)
+    }
+    df.withColumn("__z", zValue(quantized, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -257,6 +257,67 @@ object Snapshots {
     }
   }
 
+  /** CHANGE DATA FEED between versions — what a downstream index,
+    * card, or replica needs to stay in sync without rescanning the
+    * table: every commit in `(sinceVersion, latest]` contributes its
+    * logical row changes, tagged `_change_type` (insert | delete) and
+    * `_commit_version`. Op-aware and bounded to TOUCHED files:
+    *
+    *  - `append` / `append-batch-*`: the added files' rows are inserts
+    *    — no comparison at all;
+    *  - `delete` / `upsert` / `overwrite`: deletes = removed-files rows
+    *    `exceptAll` added-files rows, inserts = the reverse — an
+    *    updated row shows as delete(old) + insert(new), unchanged rows
+    *    rewritten into new files cancel exactly. The exceptAll shuffles
+    *    only the touched files' rows — the honest cost of row-level CDC
+    *    without per-row tracking (Delta writes CDF sidecars to avoid
+    *    it; documented line, not crossed);
+    *  - `compact` / `zorder`: skipped — layout rewrites change no rows,
+    *    and skipping saves the provably-cancelling comparison.
+    *
+    * Order within one commit's change set is not meaningful (it is a
+    * set); commits are distinguished by `_commit_version`. */
+  def changes(spark: SparkSession, dir: String,
+              sinceVersion: Int): DataFrame = {
+    val all = versions(spark, dir)
+    require(sinceVersion == 0 || all.exists(_.version == sinceVersion),
+      s"version $sinceVersion not in ${all.map(_.version).mkString(",")} " +
+        "(0 = from the beginning)")
+    // a virtual empty predecessor makes the first commit a plain insert
+    val chain = Snapshot(0, "append", Seq.empty) +: all
+    val pairs = chain.sliding(2).collect {
+      case Seq(prev, cur) if cur.version > sinceVersion => (prev, cur)
+    }.toSeq
+    val schema = read(spark, dir)
+    val none = schema.where(lit(false))
+      .withColumn("_change_type", lit(""))
+      .withColumn("_commit_version", lit(0))
+    val parts = pairs.flatMap { case (prev, cur) =>
+      def tag(df: DataFrame, t: String) = df
+        .withColumn("_change_type", lit(t))
+        .withColumn("_commit_version", lit(cur.version))
+      val added = cur.files.filterNot(prev.files.toSet)
+      val removed = prev.files.filterNot(cur.files.toSet)
+      cur.op match {
+        case op if op.startsWith("append") =>
+          if (added.isEmpty) Nil
+          else Seq(tag(readFiles(spark, dir, added), "insert"))
+        case "compact" | "zorder" => Nil
+        case _ => // delete / upsert / overwrite: the exceptAll algebra
+          val a = if (added.isEmpty) schema.where(lit(false))
+            else readFiles(spark, dir, added)
+          val r = if (removed.isEmpty) schema.where(lit(false))
+            else readFiles(spark, dir, removed)
+          Seq(tag(r.exceptAll(a), "delete"), tag(a.exceptAll(r), "insert"))
+      }
+    }
+    // allowMissingColumns: commits before a schema widening union with
+    // NULLs in the late columns (within ONE delete/upsert/overwrite
+    // commit the exceptAll still needs both sides on one schema — CDC
+    // across a widening rewrite is the caller's planning problem)
+    parts.foldLeft(none)(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Copy-on-write `DELETE WHERE` — the Delta/Iceberg CoW shape: find
     * the files that CONTAIN matching rows (one predicate scan collecting
     * `input_file_name`, driver state = file names), rewrite ONLY those
@@ -370,15 +431,21 @@ object Snapshots {
     * target (unlike [[compact]]) because the point is the ORDER, not
     * the count. */
   def optimizeZorder(spark: SparkSession, dir: String, xCol: String,
-                     yCol: String, targetBytes: Long, bits: Int = 16): Int = {
+                     yCol: String, targetBytes: Long, bits: Int = 16): Int =
+    optimizeZorderN(spark, dir, Seq(xCol, yCol), targetBytes, bits)
+
+  /** N-column [[optimizeZorder]] ([[Layout.zorderFrameN]]: n · bits ≤
+    * 63; 2-3 columns is the practical guidance). */
+  def optimizeZorderN(spark: SparkSession, dir: String, cols: Seq[String],
+                      targetBytes: Long, bits: Int = 16): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val snap = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no snapshots under $dir"))
     val (fs, root) = fsOf(spark, dir)
     val bytes = snap.files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val framed = Layout.zorderFrame(readFiles(spark, dir, snap.files),
-      xCol, yCol, n, bits)
+    val framed = Layout.zorderFrameN(readFiles(spark, dir, snap.files),
+      cols, n, bits)
     commit(spark, dir, "zorder", land(framed, dir))
   }
 

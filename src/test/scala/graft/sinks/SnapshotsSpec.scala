@@ -262,6 +262,45 @@ class SnapshotsSpec extends SparkSpec {
       Snapshots.upsert(updates, dir, "nope"))
   }
 
+  test("changes: op-aware CDC — appends insert, CoW pairs delete+insert, layout ops silent") {
+    val dir = freshDir()
+    Snapshots.writeAppend(Seq((1L, "one"), (2L, "two")).toDF("id", "text")
+      .repartitionByRange(2, $"id"), dir)                      // v1
+    Snapshots.writeAppend(Seq((3L, "three")).toDF("id", "text"), dir) // v2
+    Snapshots.upsert(Seq((2L, "TWO")).toDF("id", "text"), dir, "id")  // v3
+    Snapshots.deleteWhere(spark, dir, $"id" === 1)                    // v4
+    Snapshots.compact(spark, dir, 512L * 1024 * 1024)                 // v5
+    assert(Snapshots.versions(spark, dir).last.op == "compact")
+    val feed = Snapshots.changes(spark, dir, 0)
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(feed == Set(
+      (1L, "one", "insert", 1), (2L, "two", "insert", 1),
+      (3L, "three", "insert", 2),
+      (2L, "two", "delete", 3), (2L, "TWO", "insert", 3),
+      (1L, "one", "delete", 4)), feed.toString)
+    // incremental consumption: only commits after the cursor
+    val tail = Snapshots.changes(spark, dir, 3)
+      .as[(Long, String, String, Int)].collect().toSet
+    assert(tail == Set((1L, "one", "delete", 4)))
+    // a fully-caught-up cursor yields an empty feed with the schema
+    assert(Snapshots.changes(spark, dir, 5).isEmpty)
+    intercept[IllegalArgumentException](Snapshots.changes(spark, dir, 9))
+  }
+
+  test("optimizeZorderN: three-column committed rewrite keeps rows and caps bits") {
+    val dir = freshDir()
+    val li = Tables.load(spark, sf("sf0.001"), "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    Snapshots.writeAppend(li.repartition(4), dir)
+    Snapshots.optimizeZorderN(spark, dir,
+      Seq("l_orderkey", "l_partkey", "l_suppkey"), 32L * 1024)
+    val opt = Snapshots.read(spark, dir)
+    assert(opt.exceptAll(li).isEmpty && li.exceptAll(opt).isEmpty)
+    // 4 x 16 bits would overflow a positive long: rejected upstream
+    intercept[IllegalArgumentException](Layout.zorderFrameN(li,
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_orderkey"), 4, 16))
+  }
+
   test("commit numbering survives a competing manual commit (optimistic retry)") {
     val dir = freshDir()
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

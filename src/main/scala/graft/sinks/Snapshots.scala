@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
   *
   * A snapshot is the complete RELATIVE file list of one table version;
   * the newest `vNNNNN.json` is the current table. Commits write a temp
-  * file and `rename` it to the next version name — rename-without-
-  * overwrite is the atomicity primitive (HDFS and local fs reject a
-  * rename onto an existing name), so two concurrent committers cannot
-  * both land the same version: the loser re-reads and retries against
-  * the next number (optimistic concurrency, the Delta protocol's shape).
+  * file and publish it under the next version name through an
+  * ATOMIC-EXCLUSIVE primitive — rename-without-overwrite where the
+  * filesystem refuses an existing destination (HDFS, object stores),
+  * hard-link creation on POSIX `file:` schemes (where rename would
+  * silently REPLACE a concurrent winner's commit; link(2) is the
+  * exclusive publication POSIX actually offers) — so two concurrent
+  * committers cannot both land the same version: the loser re-reads
+  * and retries against the next number (optimistic concurrency, the
+  * Delta protocol's shape).
   *
   * What this buys at 100 TB:
   *  - readers pin a VERSION: a long analytics job reads one immutable
@@ -121,10 +125,26 @@ object Snapshots {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val dest = new Path(log, f"v$v%05d.json")
-      // rename-without-overwrite IS the commit: exactly one writer wins
-      // a given version; the loser's temp is removed and it re-reads
-      if (!fs.exists(dest) && fs.rename(tmp, dest)) return v
-      fs.delete(tmp, false)
+      // exclusive publication IS the commit: exactly one writer wins a
+      // given version; the loser's temp is removed and it re-reads.
+      // HDFS/object-store rename refuses an existing destination, but
+      // POSIX rename REPLACES it — so on file: schemes the exclusivity
+      // primitive is link(2) (hard-link creation is atomic-exclusive),
+      // not rename. Without this, two local processes could both
+      // "win" one version and silently clobber a commit.
+      val won =
+        if ("file" == fs.getScheme) {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dest.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        } else !fs.exists(dest) && fs.rename(tmp, dest)
+      fs.delete(tmp, false) // the link published a second name; drop ours
+      if (won) return v
       attempt += 1
     }
     throw new IllegalStateException(
@@ -276,7 +296,10 @@ object Snapshots {
     *    and skipping saves the provably-cancelling comparison.
     *
     * Order within one commit's change set is not meaningful (it is a
-    * set); commits are distinguished by `_commit_version`. */
+    * set); commits are distinguished by `_commit_version`. Retention:
+    * the feed reads the REMOVED files of CoW commits, so the cursor
+    * must stay within the [[vacuum]] horizon — the same contract as
+    * pinned readers. */
   def changes(spark: SparkSession, dir: String,
               sinceVersion: Int): DataFrame = {
     val all = versions(spark, dir)

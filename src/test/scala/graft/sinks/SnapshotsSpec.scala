@@ -287,6 +287,18 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshots.changes(spark, dir, 9))
   }
 
+  test("deleteWhere everything: the empty table commits and reads back with schema") {
+    val dir = freshDir()
+    Snapshots.writeAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "text"), dir)
+    val v = Snapshots.deleteWhere(spark, dir, lit(true))
+    assert(v.contains(2))
+    val empty = Snapshots.read(spark, dir)
+    assert(empty.isEmpty && empty.columns.sameElements(Array("id", "text")))
+    // and the table remains appendable after the wipe
+    Snapshots.writeAppend(Seq((3L, "c")).toDF("id", "text"), dir)
+    assert(Snapshots.read(spark, dir).count() == 1)
+  }
+
   test("optimizeZorderN: three-column committed rewrite keeps rows and caps bits") {
     val dir = freshDir()
     val li = Tables.load(spark, sf("sf0.001"), "lineitem")

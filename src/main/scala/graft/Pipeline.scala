@@ -66,6 +66,10 @@ object Pipeline {
     *    curation runs hand off through the log instead of raw
     *    directories: concurrent readers never see a half-written
     *    handoff, and every run's input remains reproducible by number.
+    *    `readChanges path= since= [types=]` (first stage) consumes the
+    *    CHANGE FEED instead of the table — the nightly incremental run
+    *    curates only what landed since its recorded cursor (q241's
+    *    operator; default types=insert).
     *  - `readWarc` (first stage, alternative to `read`): curate a
     *    crawl archive directly — the graft-warc DSv2 scan over `path=`,
     *    `types=` record types kept (default `response`, pushed into the
@@ -114,6 +118,7 @@ object Pipeline {
   private val Allowed: Map[String, Set[String]] = Map(
     "read" -> Set("table", "idCol", "textCol"),
     "readSnapshot" -> Set("path", "version", "idCol", "textCol"),
+    "readChanges" -> Set("path", "since", "types", "idCol", "textCol"),
     "writeSnapshot" -> Set("path", "mode"),
     "readWarc" -> Set("path", "types", "idCol", "textCol"),
     "fetchWarc" -> Set.empty[String],
@@ -216,7 +221,8 @@ object Pipeline {
     stages
   }
 
-  private val ReadStages = Set("read", "readWarc", "readSnapshot")
+  private val ReadStages = Set("read", "readWarc", "readSnapshot",
+    "readChanges")
 
   /** Cross-stage run context: the resolved id/text column names and the
     * one piece of mutable state — tokenize's trained merges, needed by
@@ -251,6 +257,30 @@ object Pipeline {
                 s"got '$v'") }
         }
         sinks.Snapshots.read(spark, path, version)
+      case "readChanges" =>
+        // the nightly incremental run: curate ONLY what changed on the
+        // upstream versioned table since the cursor the last run
+        // recorded. types= filters _change_type (default insert — the
+        // usual consumption; deletes matter to index maintainers, who
+        // ask for types=insert,delete or types=delete)
+        val path = head.params.getOrElse("path",
+          throw new IllegalArgumentException(
+            s"pipeline line ${head.line}: readChanges needs path="))
+        val since = head.params.get("since").map { v =>
+          try v.toInt catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"pipeline line ${head.line}: since must be an integer, " +
+                s"got '$v'") }
+        }.getOrElse(throw new IllegalArgumentException(
+          s"pipeline line ${head.line}: readChanges needs since= " +
+            "(0 = from the beginning)"))
+        val types = head.params.getOrElse("types", "insert")
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(types.nonEmpty && types.forall(Set("insert", "delete")),
+          s"pipeline line ${head.line}: readChanges types= must name " +
+            s"insert and/or delete, got '${types.mkString(",")}'")
+        sinks.Snapshots.changes(spark, path, since)
+          .where(col("_change_type").isin(types: _*))
       case "readWarc" =>
         // curate a crawl archive directly: the graft-warc DSv2 scan,
         // kept types only (default: responses — the in-reader pushdown

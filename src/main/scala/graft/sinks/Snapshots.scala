@@ -44,10 +44,21 @@ import org.apache.spark.sql.functions._
   *
   * Row-level writes are COPY-ON-WRITE ([[deleteWhere]], [[upsert]]):
   * only files containing affected rows rewrite, the commit splices the
-  * rest through by name. NOT implemented (and documented rather than
-  * faked): merge-on-read deletion vectors, schema enforcement beyond
-  * the footer union, and cross-table transactions — the full table
-  * formats exist for those.
+  * rest through by name.
+  *
+  * Hive-style partition directories are DELIBERATELY absent from this
+  * log: clustering the data ([[optimizeZorder]]) plus footer-manifest
+  * file skipping ([[prunedRead]]) subsumes what partitioning buys —
+  * selective scans — without its failure modes (cardinality cliffs,
+  * small files per partition, unskippable non-partition predicates,
+  * repartitioning migrations). This is the direction the table formats
+  * themselves are moving (clustering over partitioning); a workload
+  * that truly needs physical partition boundaries uses the plain
+  * [[Layout.compact]]/hive path outside the log.
+  *
+  * NOT implemented (and documented rather than faked): merge-on-read
+  * deletion vectors, schema enforcement beyond the footer union, and
+  * cross-table transactions — the full table formats exist for those.
   */
 object Snapshots {
 

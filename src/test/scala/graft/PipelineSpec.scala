@@ -723,6 +723,33 @@ class PipelineSpec extends SparkSpec {
       .getMessage.contains("append or overwrite"))
   }
 
+  test("readChanges stage: the nightly incremental run sees only the delta") {
+    val dir = java.nio.file.Files.createTempDirectory("pl_cdc").toString
+    new java.io.File(dir).delete()
+    val d = Tables.load(spark, sf(), "documents")
+    graft.sinks.Snapshots.writeOverwrite(d.where($"lang" =!= "de"), dir)
+    graft.sinks.Snapshots.writeAppend(d.where($"lang" === "de"), dir)
+    // cursor at v1: only the German append flows into the run
+    val got = Pipeline.run(spark, sf(),
+      s"readChanges path=$dir since=1\nminTokens n=8")
+    val want = d.where($"lang" === "de")
+      .filter(size(functions.Text.tokens($"text")) >= 8)
+    assert(got.select(d.columns.map(col): _*).exceptAll(want).isEmpty &&
+      want.exceptAll(got.select(d.columns.map(col): _*)).isEmpty)
+    assert(got.columns.contains("_change_type") &&
+      got.select($"_commit_version").distinct().as[Int].collect()
+        .sameElements(Array(2)))
+    // caught-up cursor: empty run, no failure
+    assert(Pipeline.run(spark, sf(),
+      s"readChanges path=$dir since=2").isEmpty)
+    // fail-fast: missing since, bad types
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      s"readChanges path=$dir")).getMessage.contains("needs since="))
+    assert(intercept[IllegalArgumentException](Pipeline.run(spark, sf(),
+      s"readChanges path=$dir since=1 types=upsert")).getMessage
+      .contains("insert and/or delete"))
+  }
+
   test("scoreBuckets stage == hand-written per-language CCNet cut; " +
     "enrichment only; fail-fast") {
     val d = Tables.load(spark, sf(), "documents")

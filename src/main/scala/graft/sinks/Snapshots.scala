@@ -115,8 +115,34 @@ object Snapshots {
       .sortBy(_.version)
   }
 
-  private def latest(spark: SparkSession, dir: String): Option[Snapshot] =
-    versions(spark, dir).lastOption
+  /** The newest snapshot WITHOUT parsing history: version numbers live
+    * in the file NAMES, so this is one directory listing + one entry
+    * read. Commit cost therefore stays flat as the log grows — a
+    * streaming ingest at 10^5 micro-batch commits would otherwise go
+    * quadratic re-parsing every entry per commit (the reason Delta
+    * checkpoints its log; at that scale a checkpoint entry is the next
+    * step, documented not faked). Full-history parses ([[versions]])
+    * remain where history is the point: time travel, changes, vacuum. */
+  private def latest(spark: SparkSession, dir: String): Option[Snapshot] = {
+    val (fs, root) = fsOf(spark, dir)
+    val log = new Path(root, LogDir)
+    if (!fs.exists(log)) None
+    else {
+      val named = fs.listStatus(log).toSeq.flatMap(st =>
+        st.getPath.getName match {
+          case VersionRe(n) => Some(n.toInt -> st.getPath)
+          case _ => None
+        })
+      if (named.isEmpty) None
+      else {
+        val (_, p) = named.maxBy(_._1)
+        val in = fs.open(p)
+        try Some(parseEntry(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)))
+        finally in.close()
+      }
+    }
+  }
 
   /** Commit `files` (relative names) as the next version. Retries the
     * version number on rename collision — the optimistic-concurrency
@@ -208,7 +234,23 @@ object Snapshots {
                        batchId: Long): Option[Int] = {
     val spark = df.sparkSession
     val op = s"append-batch-$batchId"
-    if (versions(spark, dir).exists(_.op == op)) None
+    // replay check without a full history parse: Structured Streaming
+    // replays the LATEST uncommitted batch, so the newest entry decides
+    // the common case in O(1); only a batch id at-or-below the newest
+    // committed one (recovery from an old checkpoint) pays the full
+    // scan to confirm
+    val newestBatch = latest(spark, dir).map(_.op).collect {
+      case o if o.startsWith("append-batch-") =>
+        o.stripPrefix("append-batch-").toLong
+    }
+    // careful: a maintenance commit (compact/zorder) may sit on top of
+    // the replayed batch — only a NEWER batch id on the newest entry
+    // proves non-replay; anything else confirms against full history
+    val replayed = newestBatch match {
+      case Some(n) if batchId > n => false
+      case _ => versions(spark, dir).exists(_.op == op)
+    }
+    if (replayed) None
     else {
       val prev = latest(spark, dir).map(_.files).getOrElse(Seq.empty)
       Some(commit(spark, dir, op, prev ++ land(df, dir)))
@@ -501,7 +543,8 @@ object Snapshots {
     * the newest `keepVersions` snapshots (≥ 1). Time travel reaches
     * only retained versions afterwards — vacuum is the explicit point
     * where history is given up for space. */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1): Unit = {
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1,
+             strandedStagingMs: Long = 24L * 3600 * 1000): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     val all = versions(spark, dir)
     if (all.isEmpty) return
@@ -514,8 +557,15 @@ object Snapshots {
       fs.delete(new Path(new Path(root, LogDir), f"v${s.version}%05d.json"),
         false)
     }
+    // sweep only staging dirs OLD enough to be crash debris — a
+    // concurrent writer's seconds-old staging dir must not be yanked
+    // out from under its landing renames (the age guard is the same
+    // device every table format's orphan-file cleanup uses)
+    val cutoff = System.currentTimeMillis() - strandedStagingMs
     fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_staging_"))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("_staging_") &&
+        st.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, true))
   }
 }

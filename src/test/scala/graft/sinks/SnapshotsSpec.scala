@@ -313,6 +313,34 @@ class SnapshotsSpec extends SparkSpec {
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_orderkey"), 4, 16))
   }
 
+  test("batch replay is detected even under a maintenance commit on top") {
+    val dir = freshDir()
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+    assert(Snapshots.writeAppendBatch(b0.repartition(4), dir, 0L).contains(1))
+    Snapshots.compact(spark, dir, 512L * 1024 * 1024) // maintenance lands on top
+    assert(Snapshots.versions(spark, dir).last.op == "compact")
+    // crash-recovery replays batch 0 with the compact newest: must skip
+    assert(Snapshots.writeAppendBatch(b0, dir, 0L).isEmpty)
+    assert(Snapshots.read(spark, dir).count() == 2)
+    // the next real batch still lands
+    assert(Snapshots.writeAppendBatch(
+      Seq((3L, "c")).toDF("id", "text"), dir, 1L).isDefined)
+    assert(Snapshots.read(spark, dir).count() == 3)
+  }
+
+  test("vacuum spares young staging dirs (concurrent writers), sweeps stranded ones") {
+    val dir = freshDir()
+    Snapshots.writeAppend(Seq((1L, "a")).toDF("id", "text")
+      .repartition(2), dir)
+    Snapshots.compact(spark, dir, 512L * 1024 * 1024)
+    val fresh = new java.io.File(dir, "_staging_live")
+    fresh.mkdirs()
+    Snapshots.vacuum(spark, dir, keepVersions = 1) // default 24h age guard
+    assert(fresh.exists, "a seconds-old staging dir must survive vacuum")
+    Snapshots.vacuum(spark, dir, keepVersions = 1, strandedStagingMs = 0)
+    assert(!fresh.exists, "aged-out staging debris is swept")
+  }
+
   test("commit numbering survives a competing manual commit (optimistic retry)") {
     val dir = freshDir()
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

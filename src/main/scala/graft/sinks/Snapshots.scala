@@ -212,6 +212,49 @@ object Snapshots {
     names
   }
 
+  /** ADOPT an existing plain-parquet directory as version 1 — the
+    * migration path onto the log: no byte is rewritten, the commit just
+    * names the data files already there (hive subdir layouts adopt
+    * recursively by relative path). Fails if the table already has a
+    * log (adoption is a bootstrap, not a merge). After adoption every
+    * reader/writer goes through the log; the one caveat is inherited
+    * names — adopted files were not uuid-landed, so the PRE-ADOPTION
+    * writer must stop before the import (its next overwrite would
+    * collide with names the log now owns). */
+  def importDir(spark: SparkSession, dir: String): Int = {
+    val (fs, root) = fsOf(spark, dir)
+    require(versions(spark, dir).isEmpty,
+      s"importDir: $dir already has a snapshot log")
+    val rel = listDataFiles(fs, root, root)
+    require(rel.nonEmpty, s"importDir: no data files under $dir")
+    commit(spark, dir, "import", rel)
+  }
+
+  private def listDataFiles(fs: FileSystem, root: Path,
+                            dir: Path): Seq[String] = {
+    // listStatus returns scheme-qualified paths; relativize against the
+    // equally-qualified root or the prefix never strips
+    val base = fs.makeQualified(root).toString
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) listDataFiles(fs, root, st.getPath)
+      else Seq(fs.makeQualified(st.getPath).toString.stripPrefix(base)
+        .stripPrefix("/"))
+    }
+  }
+
+  /** RESTORE the table to `version` — undo without losing history: a
+    * NEW commit whose file list is the old version's, so the rollback
+    * is itself versioned (re-restore to un-restore), pinned readers are
+    * untouched, and [[changes]] reports it as the delete+insert diff it
+    * logically is (the default exceptAll branch — restore introduces no
+    * special case). Files must still be within the [[vacuum]] horizon. */
+  def restore(spark: SparkSession, dir: String, version: Int): Int = {
+    val target = resolve(spark, dir, Some(version))
+    commit(spark, dir, "restore", target.files)
+  }
+
   /** Append `df` to the table: land new files, commit = previous file
     * list + the new ones. Returns the committed version. */
   def writeAppend(df: DataFrame, dir: String): Int = {
@@ -375,7 +418,8 @@ object Snapshots {
       val added = cur.files.filterNot(prev.files.toSet)
       val removed = prev.files.filterNot(cur.files.toSet)
       cur.op match {
-        case op if op.startsWith("append") =>
+        // import bootstraps v1: pure inserts, no comparison to pay
+        case op if op.startsWith("append") || op == "import" =>
           if (added.isEmpty) Nil
           else Seq(tag(readFiles(spark, dir, added), "insert"))
         case "compact" | "zorder" => Nil

@@ -313,6 +313,35 @@ class SnapshotsSpec extends SparkSpec {
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_orderkey"), 4, 16))
   }
 
+  test("importDir adopts a plain parquet dir without rewriting; restore is a versioned undo") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_import").toString
+    val docs = Tables.load(spark, sf("sf0.001"), "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val names = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.endsWith(".parquet")).sorted
+    assert(Snapshots.importDir(spark, dir) == 1)
+    val snap = Snapshots.versions(spark, dir).head
+    assert(snap.op == "import" && snap.files.sorted.sameElements(names),
+      "adoption names the existing files; no byte rewritten")
+    assert(Snapshots.read(spark, dir).count() == docs.count())
+    // a second import is refused; the log now owns the table
+    intercept[IllegalArgumentException](Snapshots.importDir(spark, dir))
+    // post-adoption lifecycle works: CoW delete, then restore undoes it
+    Snapshots.deleteWhere(spark, dir, col("lang") === "de")
+    val afterDelete = Snapshots.read(spark, dir).count()
+    assert(afterDelete < docs.count())
+    val v3 = Snapshots.restore(spark, dir, 1)
+    assert(v3 == 3 && Snapshots.versions(spark, dir).last.op == "restore")
+    assert(Snapshots.read(spark, dir).count() == docs.count())
+    // the rollback is itself history: the delete state is still pinned
+    assert(Snapshots.read(spark, dir, Some(2)).count() == afterDelete)
+    // and the CDC feed reports the restore as its logical re-insertion
+    val feed = Snapshots.changes(spark, dir, 2)
+    assert(feed.where(col("_change_type") === "insert").count() ==
+      docs.count() - afterDelete)
+    assert(feed.where(col("_change_type") === "delete").isEmpty)
+  }
+
   test("batch replay is detected even under a maintenance commit on top") {
     val dir = freshDir()
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "text")

@@ -3,44 +3,88 @@ package graft.sinks
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
 /** A minimal SNAPSHOT LOG over a plain parquet directory — the one
   * piece of the lakehouse table formats (Iceberg/Delta) this library
-  * actually needs, built from two primitives every filesystem has:
-  * atomic single-file rename and immutable data files.
+  * actually needs, built from two primitives: atomic single-file
+  * exclusive publication and immutable data files.
   *
   * Layout:
   * {{{
   *   dir/<uuid>-NNNNN.parquet        immutable data files (never reused)
-  *   dir/_graft_log/v00001.json      snapshot 1: file list + op
+  *   dir/_graft_log/v00001.json      snapshot 1: file list + op + schema
   *   dir/_graft_log/v00002.json      snapshot 2: ...
   * }}}
   *
-  * A snapshot is the complete RELATIVE file list of one table version;
-  * the newest `vNNNNN.json` is the current table. Commits write a temp
-  * file and publish it under the next version name through an
-  * ATOMIC-EXCLUSIVE primitive — rename-without-overwrite where the
-  * filesystem refuses an existing destination (HDFS, object stores),
-  * hard-link creation on POSIX `file:` schemes (where rename would
-  * silently REPLACE a concurrent winner's commit; link(2) is the
-  * exclusive publication POSIX actually offers) — so two concurrent
-  * committers cannot both land the same version: the loser re-reads
-  * and retries against the next number (optimistic concurrency, the
-  * Delta protocol's shape).
+  * Every entry is a CHECKPOINT: it carries the complete relative file
+  * list and the table schema of its version, not a delta. That is the
+  * deliberate inverse of Delta's delta-entries-plus-periodic-checkpoint
+  * layout: here any version is reconstructed from ONE entry read, so
+  * [[read]]/[[addedSince]]/[[changes]] address entries DIRECTLY by name
+  * (version numbers are dense and live in the file names) and never
+  * parse history they don't touch — a streaming ingest at 10^5
+  * micro-batch commits pays O(1) entry reads per [[addedSince]] poll,
+  * flat in total commit count. The trade is entry size: O(live files)
+  * per commit instead of O(delta), bounded in practice by [[compact]]
+  * (which shrinks the live list) and [[vacuum]] (which drops expired
+  * entries). Full-history parses ([[versions]]) remain only where
+  * history IS the answer: vacuum and operator-facing listings.
+  *
+  * Concurrency — the commit protocol. A commit publishes the next
+  * `vNNNNN.json` through an ATOMIC-EXCLUSIVE primitive (hard-link
+  * creation on POSIX `file:` schemes, rename-without-overwrite on
+  * HDFS-like filesystems; see below for object stores), so exactly one
+  * writer wins a given version. The loser retries WITH ITS INTENT, the
+  * Delta conflict rules:
+  *
+  *  - an APPEND ([[writeAppend]], [[writeAppendBatch]]) carries only
+  *    its DELTA (the files it landed) and REBASES on retry: the new
+  *    file list is recomputed as the fresh latest's list plus the
+  *    delta, so two concurrent appenders both land and the final
+  *    version contains BOTH deltas — never a lost update;
+  *  - a REWRITE ([[deleteWhere]], [[upsert]], [[compact]],
+  *    [[optimizeZorder]], [[writeOverwrite]], [[restore]]) derives its
+  *    file list from a pinned base version; if the base is no longer
+  *    latest at publish time the result would silently drop the
+  *    concurrent winner's rows, so it FAILS with
+  *    `java.util.ConcurrentModificationException` naming both versions
+  *    — the caller re-reads and re-applies (the Delta shape: appends
+  *    always rebase, rewrites conflict).
+  *
+  * Filesystem scope: exclusive publication requires an atomic
+  * refuse-existing-destination primitive. POSIX `file:` (link(2)) and
+  * HDFS/viewfs (rename refuses an existing destination) have one;
+  * S3A-style object stores do NOT — rename there is copy+delete with
+  * no exclusivity guarantee (the reason Delta requires a
+  * conditional-write LogStore on S3). Commits on other schemes fail
+  * fast unless `spark.graft.snapshots.allowNonAtomicPublish=true`
+  * explicitly accepts single-writer-only operation.
+  *
+  * Schema — validated at COMMIT, carried in the log. An append/upsert
+  * whose schema TYPE-conflicts with the table (same column, different
+  * type) fails at write time naming the column and both types — not at
+  * some later read with a parquet merge error naming neither (the
+  * Delta/Iceberg rationale). Pure WIDENING (new columns) commits fine
+  * and the entry logs the merged schema; readers take the schema from
+  * the entry, so a snapshot scan plans WITHOUT the distributed footer
+  * pass `mergeSchema` costs — at 100 TB the schema-from-log read is
+  * the entire point of a table format's metadata layer. Entries
+  * written before schemas were logged fall back to footer-union reads.
   *
   * What this buys at 100 TB:
   *  - readers pin a VERSION: a long analytics job reads one immutable
   *    file set while writers keep committing — no torn reads, ever;
-  *  - [[compact]] becomes SAFE under concurrency: new bin-packed files
-  *    land beside the old ones and a commit flips the pointer — the
-  *    [[Layout.compact]] swap window (duplicates visible mid-swap,
-  *    documented there) disappears because visibility is the log, not
-  *    the directory listing;
+  *  - [[compact]] is SAFE under concurrency: new bin-packed files land
+  *    beside the old ones and a commit flips the pointer — and a
+  *    concurrent row-level write makes the compact CONFLICT rather
+  *    than resurrect deleted rows;
   *  - time travel ([[read]] at an old version) and incremental
   *    processing ([[addedSince]]: only files NEW since a version) fall
   *    out for free;
   *  - [[vacuum]] deletes files no retained version references — space
-  *    reclamation is decoupled from correctness.
+  *    reclamation is decoupled from correctness, and reads/cursors
+  *    behind the horizon fail AT PLAN TIME naming the retained range.
   *
   * Row-level writes are COPY-ON-WRITE ([[deleteWhere]], [[upsert]]):
   * only files containing affected rows rewrite, the commit splices the
@@ -57,15 +101,30 @@ import org.apache.spark.sql.functions._
   * [[Layout.compact]]/hive path outside the log.
   *
   * NOT implemented (and documented rather than faked): merge-on-read
-  * deletion vectors, schema enforcement beyond the footer union, and
-  * cross-table transactions — the full table formats exist for those.
+  * deletion vectors, type-changing schema evolution, and cross-table
+  * transactions — the full table formats exist for those.
   */
 object Snapshots {
 
   private val LogDir = "_graft_log"
   private val VersionRe = "v(\\d{5})\\.json".r
 
-  final case class Snapshot(version: Int, op: String, files: Seq[String])
+  final case class Snapshot(version: Int, op: String, files: Seq[String],
+                            schema: Option[StructType] = None)
+
+  /** Commit intent — what a loser of the optimistic race does decides
+    * correctness: appends rebase their delta, rewrites conflict. */
+  private sealed trait Intent
+  private final case class Append(delta: Seq[String], incoming: StructType)
+    extends Intent
+  private final case class Rewrite(files: Seq[String], baseVersion: Int,
+                                   schema: Option[StructType]) extends Intent
+
+  /** Test seam: invoked between writing the temp entry and attempting
+    * exclusive publication, with the attempt number. Lets a spec land a
+    * competing commit deterministically INSIDE the race window — the
+    * only way to pin the rebase/conflict semantics without sleeps. */
+  private[sinks] var racePoint: Int => Unit = _ => ()
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -73,8 +132,10 @@ object Snapshots {
   }
 
   /** Parse one log entry. Hand-rolled JSON (the library's Verify.scala
-    * discipline — no json dep): fields are a version int, an op token,
-    * and a file array of uuid-safe names we wrote ourselves. */
+    * discipline — no json dep): version/op/files are uuid-safe tokens
+    * we wrote ourselves and appear BEFORE the schema blob, so first-
+    * occurrence scans are unambiguous; the schema rides as a trailing
+    * `"schema":{...}` object handed to [[DataType.fromJson]]. */
   private def parseEntry(s: String): Snapshot = {
     def field(name: String): String = {
       val i = s.indexOf("\"" + name + "\"")
@@ -89,14 +150,26 @@ object Snapshots {
     val body = arr.slice(arr.indexOf('[') + 1, arr.indexOf(']'))
     val files = body.split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
-    Snapshot(v, op, files)
+    val schema = {
+      val i = s.indexOf("\"schema\":")
+      if (i < 0) None
+      else DataType.fromJson(s.substring(i + 9, s.lastIndexOf('}')))
+        match {
+          case st: StructType => Some(st)
+          case other => throw new IllegalArgumentException(
+            s"snapshot log entry schema is not a struct: $other")
+        }
+    }
+    Snapshot(v, op, files, schema)
   }
 
   private def render(s: Snapshot): String =
     s"""{"version":${s.version},"op":"${s.op}","files":[""" +
-      s.files.map(f => "\"" + f + "\"").mkString(",") + "]}"
+      s.files.map(f => "\"" + f + "\"").mkString(",") + "]" +
+      s.schema.map(st => s""","schema":${st.json}""").getOrElse("") + "}"
 
-  /** All committed snapshots, ascending. */
+  /** All committed snapshots, ascending. Full-history parse — vacuum
+    * and operator listings; the read paths address entries directly. */
   def versions(spark: SparkSession, dir: String): Seq[Snapshot] = {
     val (fs, root) = fsOf(spark, dir)
     val log = new Path(root, LogDir)
@@ -106,71 +179,173 @@ object Snapshots {
         case VersionRe(_) => Some(st.getPath)
         case _ => None
       })
-      .map { p =>
-        val in = fs.open(p)
-        try parseEntry(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally in.close()
-      }
+      .map(readEntry(fs, _))
       .sortBy(_.version)
   }
 
-  /** The newest snapshot WITHOUT parsing history: version numbers live
-    * in the file NAMES, so this is one directory listing + one entry
-    * read. Commit cost therefore stays flat as the log grows — a
-    * streaming ingest at 10^5 micro-batch commits would otherwise go
-    * quadratic re-parsing every entry per commit (the reason Delta
-    * checkpoints its log; at that scale a checkpoint entry is the next
-    * step, documented not faked). Full-history parses ([[versions]])
-    * remain where history is the point: time travel, changes, vacuum. */
-  private def latest(spark: SparkSession, dir: String): Option[Snapshot] = {
+  private def readEntry(fs: FileSystem, p: Path): Snapshot = {
+    val in = fs.open(p)
+    try parseEntry(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** One entry by DIRECT name — version numbers are dense and live in
+    * the file names, so any version is one open, no history parse. */
+  private def entryAt(spark: SparkSession, dir: String,
+                      version: Int): Option[Snapshot] = {
+    val (fs, root) = fsOf(spark, dir)
+    val p = new Path(new Path(root, LogDir), f"v$version%05d.json")
+    if (fs.exists(p)) Some(readEntry(fs, p)) else None
+  }
+
+  /** (oldest retained, newest) version numbers from ONE listing, no
+    * entry parse — the vacuum-horizon bounds for fail-loud errors. */
+  private def retainedRange(spark: SparkSession,
+                            dir: String): Option[(Int, Int)] = {
     val (fs, root) = fsOf(spark, dir)
     val log = new Path(root, LogDir)
     if (!fs.exists(log)) None
     else {
-      val named = fs.listStatus(log).toSeq.flatMap(st =>
+      val ns = fs.listStatus(log).toSeq.flatMap(st =>
         st.getPath.getName match {
-          case VersionRe(n) => Some(n.toInt -> st.getPath)
+          case VersionRe(n) => Some(n.toInt)
           case _ => None
         })
-      if (named.isEmpty) None
-      else {
-        val (_, p) = named.maxBy(_._1)
-        val in = fs.open(p)
-        try Some(parseEntry(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)))
-        finally in.close()
-      }
+      if (ns.isEmpty) None else Some(ns.min -> ns.max)
     }
   }
 
-  /** Commit `files` (relative names) as the next version. Retries the
-    * version number on rename collision — the optimistic-concurrency
-    * loop. Returns the committed version. */
+  /** Newest committed version number, or None for an empty table. One
+    * directory listing — the streaming CDC source polls this. */
+  def latestVersion(spark: SparkSession, dir: String): Option[Int] =
+    retainedRange(spark, dir).map(_._2)
+
+  /** The newest snapshot: one listing + one direct entry read. */
+  private def latest(spark: SparkSession, dir: String): Option[Snapshot] =
+    latestVersion(spark, dir).flatMap(entryAt(spark, dir, _))
+
+  // ---------------------------------------------------------------- schema
+
+  /** Everything nullable, recursively: files that predate a widening
+    * lack the new columns entirely, so the logged schema must admit
+    * NULL everywhere (the parquet read fills them). */
+  private def asNullable(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(f.name, asNullable(f.dataType), nullable = true, f.metadata)))
+    case at: ArrayType => ArrayType(asNullable(at.elementType), containsNull = true)
+    case mt: MapType =>
+      MapType(asNullable(mt.keyType), asNullable(mt.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Merge an incoming write's schema onto the table's: same-name
+    * columns must have the SAME type (recursively; nullability
+    * ignored), new columns append — pure widening passes, a type
+    * conflict fails naming the column path and both types. Stricter
+    * than parquet's own footer merge on purpose: a type change commits
+    * once and then poisons every later read far from the fault. */
+  private[sinks] def mergeSchemas(table: StructType, incoming: StructType,
+                                  where: String, path: String = ""): StructType = {
+    def conflict(p: String, a: DataType, b: DataType): Nothing =
+      throw new IllegalArgumentException(
+        s"snapshot commit to $where: column '$p' type conflicts with the " +
+          s"table: table=${a.catalogString}, write=${b.catalogString} " +
+          "(widening by NEW columns is allowed; type changes are not — " +
+          "writeOverwrite replaces the table schema)")
+    def mergeType(p: String, a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (x: StructType, y: StructType) => mergeSchemas(x, y, where, p + ".")
+      case (x: ArrayType, y: ArrayType) =>
+        ArrayType(mergeType(p + ".element", x.elementType, y.elementType), containsNull = true)
+      case (x: MapType, y: MapType) =>
+        MapType(mergeType(p + ".key", x.keyType, y.keyType),
+          mergeType(p + ".value", x.valueType, y.valueType), valueContainsNull = true)
+      case (x, y) => conflict(p.stripSuffix("."), x, y)
+    }
+    val byName = table.fields.map(f => f.name -> f).toMap
+    val merged = table.fields.map { f =>
+      incoming.fields.find(_.name == f.name) match {
+        case Some(g) =>
+          StructField(f.name, mergeType(path + f.name, f.dataType, g.dataType),
+            nullable = true, f.metadata)
+        case None => StructField(f.name, f.dataType, nullable = true, f.metadata)
+      }
+    }
+    val added = incoming.fields.filterNot(g => byName.contains(g.name))
+      .map(g => StructField(g.name, g.dataType, nullable = true, g.metadata))
+    asNullable(StructType(merged ++ added)).asInstanceOf[StructType]
+  }
+
+  /** A snapshot's table schema: from its entry, or (legacy entries
+    * written before schemas were logged) one footer-union read. */
+  private def schemaOf(spark: SparkSession, dir: String,
+                       snap: Snapshot): Option[StructType] =
+    snap.schema.orElse {
+      if (snap.files.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(snap.files.map(f => s"$dir/$f"): _*).schema)
+    }
+
+  // ---------------------------------------------------------------- commit
+
+  /** Publish the next version under optimistic concurrency. Appends
+    * REBASE: the file list is recomputed from the fresh latest inside
+    * the retry loop, so losing a race never drops the winner's files.
+    * Rewrites CONFLICT: if the pinned base version is no longer latest,
+    * the rewrite's output is stale and committing it would be a silent
+    * lost update — fail with the versions named. Returns the committed
+    * version. */
   private def commit(spark: SparkSession, dir: String, op: String,
-                     files: Seq[String]): Int = {
+                     intent: Intent): Int = {
     val (fs, root) = fsOf(spark, dir)
     val log = new Path(root, LogDir)
     fs.mkdirs(log)
     var attempt = 0
     while (attempt < 50) {
-      val v = latest(spark, dir).map(_.version).getOrElse(0) + 1
+      val cur = latest(spark, dir)
+      val v = cur.map(_.version).getOrElse(0) + 1
+      val (files, schema) = intent match {
+        case Append(delta, incoming) =>
+          // REBASE: base files and schema re-read every attempt
+          val tableSchema = cur.flatMap(schemaOf(spark, dir, _))
+          val merged = tableSchema match {
+            case Some(t) => mergeSchemas(t, incoming, dir)
+            case None => asNullable(incoming).asInstanceOf[StructType]
+          }
+          (cur.map(_.files).getOrElse(Seq.empty) ++ delta, Some(merged))
+        case Rewrite(fl, base, sch) =>
+          val curV = cur.map(_.version).getOrElse(0)
+          if (curV != base) throw new java.util.ConcurrentModificationException(
+            s"snapshot $op on $dir: base version $base is no longer " +
+              s"latest (now $curV) — a concurrent commit landed; re-read " +
+              "and re-apply (appends rebase automatically; rewrites must " +
+              "recompute from the new state)")
+          (fl, sch)
+      }
       val tmp = new Path(log,
         s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, false)
-      try out.write(render(Snapshot(v, op, files.sorted))
+      try out.write(render(Snapshot(v, op, files.sorted, schema))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val dest = new Path(log, f"v$v%05d.json")
+      racePoint(attempt)
       // exclusive publication IS the commit: exactly one writer wins a
-      // given version; the loser's temp is removed and it re-reads.
-      // HDFS/object-store rename refuses an existing destination, but
-      // POSIX rename REPLACES it — so on file: schemes the exclusivity
-      // primitive is link(2) (hard-link creation is atomic-exclusive),
-      // not rename. Without this, two local processes could both
-      // "win" one version and silently clobber a commit.
-      val won =
-        if ("file" == fs.getScheme) {
+      // given version; the loser's temp is removed and it re-enters the
+      // loop (where Append rebases and Rewrite detects the conflict).
+      //  - file:  POSIX rename REPLACES an existing destination, so the
+      //    exclusivity primitive is link(2) — hard-link creation is
+      //    atomic-exclusive;
+      //  - hdfs/viewfs: rename refuses an existing destination;
+      //  - anything else (S3A-style object stores): rename is a
+      //    non-atomic copy+delete with NO exclusive-destination
+      //    guarantee — two committers could both "win" one version, the
+      //    exact hole Delta plugs with a conditional-write LogStore.
+      //    Fail fast unless the caller explicitly accepts
+      //    single-writer-only operation.
+      val won = fs.getScheme match {
+        case "file" =>
           try {
             java.nio.file.Files.createLink(
               java.nio.file.Paths.get(dest.toUri.getPath),
@@ -179,13 +354,25 @@ object Snapshots {
           } catch {
             case _: java.nio.file.FileAlreadyExistsException => false
           }
-        } else !fs.exists(dest) && fs.rename(tmp, dest)
+        case "hdfs" | "viewfs" =>
+          !fs.exists(dest) && fs.rename(tmp, dest)
+        case other =>
+          require(spark.conf.getOption(
+            "spark.graft.snapshots.allowNonAtomicPublish").contains("true"),
+            s"snapshot commit on scheme '$other' has no atomic-exclusive " +
+              "publish primitive (object-store rename is copy+delete, two " +
+              "committers can both win one version). Supported: file, " +
+              "hdfs, viewfs. Set " +
+              "spark.graft.snapshots.allowNonAtomicPublish=true to accept " +
+              "SINGLE-WRITER-ONLY operation on this store.")
+          !fs.exists(dest) && fs.rename(tmp, dest)
+      }
       fs.delete(tmp, false) // the link published a second name; drop ours
       if (won) return v
       attempt += 1
     }
     throw new IllegalStateException(
-      s"snapshot commit lost ${50} optimistic races under $dir$LogDir")
+      s"snapshot commit lost ${50} optimistic races under $dir/$LogDir")
   }
 
   /** Land `df` as immutable data files beside the existing ones (no
@@ -215,19 +402,22 @@ object Snapshots {
   /** ADOPT an existing plain-parquet directory as version 1 — the
     * migration path onto the log: no byte is rewritten, the commit just
     * names the data files already there (hive subdir layouts adopt
-    * recursively by relative path). Fails if the table already has a
-    * log (adoption is a bootstrap, not a merge). After adoption every
-    * reader/writer goes through the log; the one caveat is inherited
-    * names — adopted files were not uuid-landed, so the PRE-ADOPTION
-    * writer must stop before the import (its next overwrite would
-    * collide with names the log now owns). */
+    * recursively by relative path) and logs their footer-union schema.
+    * Fails if the table already has a log (adoption is a bootstrap, not
+    * a merge). After adoption every reader/writer goes through the log;
+    * the one caveat is inherited names — adopted files were not
+    * uuid-landed, so the PRE-ADOPTION writer must stop before the
+    * import (its next overwrite would collide with names the log now
+    * owns). */
   def importDir(spark: SparkSession, dir: String): Int = {
     val (fs, root) = fsOf(spark, dir)
     require(versions(spark, dir).isEmpty,
       s"importDir: $dir already has a snapshot log")
     val rel = listDataFiles(fs, root, root)
     require(rel.nonEmpty, s"importDir: no data files under $dir")
-    commit(spark, dir, "import", rel)
+    val schema = asNullable(spark.read.option("mergeSchema", "true")
+      .parquet(rel.map(f => s"$dir/$f"): _*).schema).asInstanceOf[StructType]
+    commit(spark, dir, "import", Rewrite(rel, 0, Some(schema)))
   }
 
   private def listDataFiles(fs: FileSystem, root: Path,
@@ -249,18 +439,30 @@ object Snapshots {
     * is itself versioned (re-restore to un-restore), pinned readers are
     * untouched, and [[changes]] reports it as the delete+insert diff it
     * logically is (the default exceptAll branch — restore introduces no
-    * special case). Files must still be within the [[vacuum]] horizon. */
+    * special case). Files must still be within the [[vacuum]] horizon.
+    * Conflicts if a concurrent commit lands first (the state being
+    * undone would not be the state the caller inspected). */
   def restore(spark: SparkSession, dir: String, version: Int): Int = {
+    val base = latest(spark, dir).map(_.version).getOrElse(0)
     val target = resolve(spark, dir, Some(version))
-    commit(spark, dir, "restore", target.files)
+    commit(spark, dir, "restore",
+      Rewrite(target.files, base, target.schema))
   }
 
-  /** Append `df` to the table: land new files, commit = previous file
-    * list + the new ones. Returns the committed version. */
+  /** Append `df` to the table: land new files, commit the DELTA — the
+    * file list unions onto whatever latest holds at publish time, so
+    * concurrent appenders all land (see the class doc's commit
+    * protocol). Schema-validated at commit: a type conflict with the
+    * table fails here, naming the column; new columns widen and the
+    * merged schema is logged. Returns the committed version. */
   def writeAppend(df: DataFrame, dir: String): Int = {
     val spark = df.sparkSession
-    val prev = latest(spark, dir).map(_.files).getOrElse(Seq.empty)
-    commit(spark, dir, "append", prev ++ land(df, dir))
+    // fail fast BEFORE landing data: a type conflict should cost zero
+    // writes (the in-loop validation still guards the rebase path)
+    latest(spark, dir).flatMap(schemaOf(spark, dir, _))
+      .foreach(t => mergeSchemas(t, df.schema, dir))
+    commit(spark, dir, "append",
+      Append(land(df, dir), df.schema))
   }
 
   /** IDEMPOTENT append for streaming `foreachBatch` — the exactly-once
@@ -295,60 +497,88 @@ object Snapshots {
     }
     if (replayed) None
     else {
-      val prev = latest(spark, dir).map(_.files).getOrElse(Seq.empty)
-      Some(commit(spark, dir, op, prev ++ land(df, dir)))
+      latest(spark, dir).flatMap(schemaOf(spark, dir, _))
+        .foreach(t => mergeSchemas(t, df.schema, dir))
+      Some(commit(spark, dir, op, Append(land(df, dir), df.schema)))
     }
   }
 
   /** Replace the table contents: land new files, commit = only them.
     * Old files stay on disk — every prior version remains readable
-    * until [[vacuum]]. Returns the committed version. */
+    * until [[vacuum]]. The table schema RESETS to the frame's (the one
+    * sanctioned type-change path). Conflicts with concurrent commits —
+    * a blind overwrite racing an append would silently drop the
+    * appended rows otherwise. Returns the committed version. */
   def writeOverwrite(df: DataFrame, dir: String): Int = {
     val spark = df.sparkSession
-    commit(spark, dir, "overwrite", land(df, dir))
+    val base = latest(spark, dir).map(_.version).getOrElse(0)
+    commit(spark, dir, "overwrite",
+      Rewrite(land(df, dir), base,
+        Some(asNullable(df.schema).asInstanceOf[StructType])))
   }
 
   /** Read the table at `version` (default: latest). The file list is
     * immutable, so the scan is stable no matter what commits land while
     * the job runs. An empty table (no snapshots) is an error — there is
-    * no schema to synthesize. */
+    * no schema to synthesize; a vacuumed version fails AT PLAN TIME
+    * naming the retained range. */
   def read(spark: SparkSession, dir: String,
-           version: Option[Int] = None): DataFrame =
-    readFiles(spark, dir, resolve(spark, dir, version).files)
+           version: Option[Int] = None): DataFrame = {
+    val snap = resolve(spark, dir, version)
+    readFiles(spark, dir, snap.files, snap.schema)
+  }
 
-  /** Snapshot scans read with `mergeSchema` — a version whose appends
-    * widened the schema (the q221 multi-year-corpus reality) comes back
-    * as the footer UNION with NULLs in pre-widening files. Cost is one
-    * distributed footer pass at plan time (the statsManifest price,
-    * zero data pages); a table format that must avoid even that keeps
-    * the schema in its log, which is the documented line this minimal
-    * log does not cross. */
+  /** Snapshot scans take the schema FROM THE LOG ENTRY — no footer
+    * pass, no `mergeSchema` cost: the scan plans from one entry read
+    * no matter how many thousand files the version holds, and files
+    * that predate a widening fill the late columns with NULL (the
+    * q221 multi-year-corpus reality). Entries written before schemas
+    * were logged fall back to the distributed footer union. */
   private def readFiles(spark: SparkSession, dir: String,
-                        files: Seq[String]): DataFrame = {
+                        files: Seq[String],
+                        schema: Option[StructType]): DataFrame = {
     require(files.nonEmpty, s"snapshot under $dir has no files")
-    spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$dir/$f"): _*)
+    val paths = files.map(f => s"$dir/$f")
+    schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
   }
 
   /** Rows in files COMMITTED AFTER `sinceVersion` — the incremental-
     * processing scan: a nightly job remembers the version it processed
-    * and reads only what landed since, never rescanning the table.
-    * Exact for append-only tables (files are immutable, so new rows
-    * live only in new files); after an overwrite the added files are
-    * rewritten history, not deltas — callers gate on [[versions]]' ops
-    * when that distinction matters. Empty delta → empty frame with the
-    * table schema. */
+    * and reads only what landed since, never rescanning the table. TWO
+    * direct entry reads (the cursor's and the latest's), flat in total
+    * commit count — the 10^5-micro-batch poll stays O(1). Exact for
+    * append-only tables (files are immutable, so new rows live only in
+    * new files); after an overwrite the added files are rewritten
+    * history, not deltas — callers gate on [[versions]]' ops when that
+    * distinction matters. Empty delta → empty frame with the table
+    * schema. A cursor behind the [[vacuum]] horizon fails naming the
+    * retained range. */
   def addedSince(spark: SparkSession, dir: String,
                  sinceVersion: Int): DataFrame = {
-    val all = versions(spark, dir)
-    require(all.nonEmpty, s"no snapshots under $dir/$LogDir")
-    val base: Set[String] = all.find(_.version == sinceVersion)
-      .getOrElse(throw new IllegalArgumentException(
-        s"version $sinceVersion not in ${all.map(_.version).mkString(",")}"))
-      .files.toSet
-    val fresh = all.last.files.filterNot(base)
-    if (fresh.isEmpty) read(spark, dir).where(lit(false))
-    else readFiles(spark, dir, fresh)
+    val lat = latest(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots under $dir/$LogDir"))
+    val base: Set[String] =
+      if (sinceVersion == lat.version) lat.files.toSet
+      else entryAt(spark, dir, sinceVersion).getOrElse(
+        horizonError(spark, dir, sinceVersion)).files.toSet
+    val fresh = lat.files.filterNot(base)
+    if (fresh.isEmpty)
+      readFiles(spark, dir, lat.files, lat.schema).where(lit(false))
+    else readFiles(spark, dir, fresh, lat.schema)
+  }
+
+  private def horizonError(spark: SparkSession, dir: String,
+                           version: Int): Nothing = {
+    val range = retainedRange(spark, dir)
+      .map { case (lo, hi) => s"retained versions: $lo..$hi" }
+      .getOrElse("no versions retained")
+    throw new IllegalArgumentException(
+      s"version $version is not retained under $dir ($range) — " +
+        "either it never existed or vacuum passed it; the earliest " +
+        "safe cursor/read is the low end of the retained range")
   }
 
   /** Snapshot-isolated compaction: bin-pack the CURRENT snapshot into
@@ -356,8 +586,10 @@ object Snapshots {
     * math) and commit the new list. No old file is touched, so readers
     * of any version — including one scanning mid-compaction — see
     * exactly their snapshot; the directory-swap duplicate window
-    * documented on [[Layout.compact]] does not exist here. No-op
-    * (returns None) when already at the bin count. */
+    * documented on [[Layout.compact]] does not exist here. Conflicts if
+    * a row-level commit lands concurrently (committing the pre-race
+    * pack would resurrect its rows). No-op (returns None) when already
+    * at the bin count. */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long): Option[Int] = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
@@ -368,16 +600,18 @@ object Snapshots {
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     if (snap.files.size <= n) None
     else {
-      val packed = readFiles(spark, dir, snap.files).coalesce(n)
-      Some(commit(spark, dir, "compact", land(packed, dir)))
+      val packed = readFiles(spark, dir, snap.files, snap.schema).coalesce(n)
+      Some(commit(spark, dir, "compact",
+        Rewrite(land(packed, dir), snap.version, snap.schema)))
     }
   }
 
   /** CHANGE DATA FEED between versions — what a downstream index,
     * card, or replica needs to stay in sync without rescanning the
-    * table: every commit in `(sinceVersion, latest]` contributes its
-    * logical row changes, tagged `_change_type` (insert | delete) and
-    * `_commit_version`. Op-aware and bounded to TOUCHED files:
+    * table: every commit in `(sinceVersion, upToVersion]` (default: to
+    * latest) contributes its logical row changes, tagged `_change_type`
+    * (insert | delete) and `_commit_version`. Op-aware and bounded to
+    * TOUCHED files:
     *
     *  - `append` / `append-batch-*`: the added files' rows are inserts
     *    — no comparison at all;
@@ -391,19 +625,28 @@ object Snapshots {
     *  - `compact` / `zorder`: skipped — layout rewrites change no rows,
     *    and skipping saves the provably-cancelling comparison.
     *
-    * Order within one commit's change set is not meaningful (it is a
-    * set); commits are distinguished by `_commit_version`. Retention:
-    * the feed reads the REMOVED files of CoW commits, so the cursor
-    * must stay within the [[vacuum]] horizon — the same contract as
-    * pinned readers. */
-  def changes(spark: SparkSession, dir: String,
-              sinceVersion: Int): DataFrame = {
-    val all = versions(spark, dir)
-    require(sinceVersion == 0 || all.exists(_.version == sinceVersion),
-      s"version $sinceVersion not in ${all.map(_.version).mkString(",")} " +
-        "(0 = from the beginning)")
+    * Entry reads are DIRECT: cost is O(upTo − since) opens, not a full
+    * history parse. Order within one commit's change set is not
+    * meaningful (it is a set); commits are distinguished by
+    * `_commit_version`. Retention: the feed reads the REMOVED files of
+    * CoW commits, so the cursor must stay within the [[vacuum]] horizon
+    * — CHECKED at plan time: a pre-horizon cursor fails naming the
+    * retained range, not at scan time with a missing file. */
+  def changes(spark: SparkSession, dir: String, sinceVersion: Int,
+              upToVersion: Option[Int] = None): DataFrame = {
+    val (lo, hi) = retainedRange(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots under $dir/$LogDir"))
+    val upTo = upToVersion.getOrElse(hi)
+    require(upTo <= hi, s"upToVersion $upTo exceeds latest $hi under $dir")
+    if (sinceVersion != 0 && (sinceVersion < lo || sinceVersion > hi))
+      horizonError(spark, dir, sinceVersion)
+    if (sinceVersion == 0 && lo != 1) horizonError(spark, dir, 1)
+    val entries = (math.max(sinceVersion, 1) to upTo).map(v =>
+      entryAt(spark, dir, v).getOrElse(horizonError(spark, dir, v)))
     // a virtual empty predecessor makes the first commit a plain insert
-    val chain = Snapshot(0, "append", Seq.empty) +: all
+    val chain =
+      if (sinceVersion == 0) Snapshot(0, "append", Seq.empty) +: entries
+      else entries
     val pairs = chain.sliding(2).collect {
       case Seq(prev, cur) if cur.version > sinceVersion => (prev, cur)
     }.toSeq
@@ -417,17 +660,25 @@ object Snapshots {
         .withColumn("_commit_version", lit(cur.version))
       val added = cur.files.filterNot(prev.files.toSet)
       val removed = prev.files.filterNot(cur.files.toSet)
+      // within ONE CoW pair both sides must sit on one schema for the
+      // exceptAll: the pair's merged schema (None → legacy footer merge)
+      val pairSchema = (prev.schema, cur.schema) match {
+        case (Some(p), Some(c)) =>
+          try Some(mergeSchemas(p, c, dir)) catch { case _: Exception => None }
+        case (None, Some(c)) if prev.version == 0 => Some(c)
+        case _ => None
+      }
       cur.op match {
         // import bootstraps v1: pure inserts, no comparison to pay
         case op if op.startsWith("append") || op == "import" =>
           if (added.isEmpty) Nil
-          else Seq(tag(readFiles(spark, dir, added), "insert"))
+          else Seq(tag(readFiles(spark, dir, added, cur.schema), "insert"))
         case "compact" | "zorder" => Nil
         case _ => // delete / upsert / overwrite: the exceptAll algebra
           val a = if (added.isEmpty) schema.where(lit(false))
-            else readFiles(spark, dir, added)
+            else readFiles(spark, dir, added, pairSchema)
           val r = if (removed.isEmpty) schema.where(lit(false))
-            else readFiles(spark, dir, removed)
+            else readFiles(spark, dir, removed, pairSchema)
           Seq(tag(r.exceptAll(a), "delete"), tag(a.exceptAll(r), "insert"))
       }
     }
@@ -438,6 +689,23 @@ object Snapshots {
     parts.foldLeft(none)(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** `input_file_name()` output → the snapshot's relative names.
+    * input_file_name returns URI-ENCODED strings (a space is `%20`), so
+    * the match decodes both sides to plain absolute paths — raw
+    * suffix matching would silently MISS adopted files with encodable
+    * characters (a deleteWhere that "succeeds" while the rows survive)
+    * and can false-positive when one adopted relative path suffixes
+    * another. */
+  private def matchTouched(fs: FileSystem, root: Path, snapFiles: Seq[String],
+                           touchedAbs: Set[String]): Seq[String] = {
+    def decode(u: String): String =
+      try new Path(new java.net.URI(u)).toUri.getPath
+      catch { case _: Exception => new Path(u).toUri.getPath }
+    val touched = touchedAbs.map(decode)
+    snapFiles.filter(f => touched.contains(
+      fs.makeQualified(new Path(root, f)).toUri.getPath))
+  }
+
   /** Copy-on-write `DELETE WHERE` — the Delta/Iceberg CoW shape: find
     * the files that CONTAIN matching rows (one predicate scan collecting
     * `input_file_name`, driver state = file names), rewrite ONLY those
@@ -446,6 +714,8 @@ object Snapshots {
     * rest of the commit is pointer arithmetic. NULL predicate rows are
     * KEPT (`DELETE WHERE cond` removes rows where cond is TRUE — SQL
     * semantics). Returns None when nothing matches (no empty commit).
+    * Conflicts if a concurrent commit lands between the scan and the
+    * publish (rewriting a stale base would drop the winner's rows).
     *
     * Right-to-be-forgotten note: prior VERSIONS still hold the rows
     * until [[vacuum]] passes the retention horizon — physical removal
@@ -454,18 +724,19 @@ object Snapshots {
   def deleteWhere(spark: SparkSession, dir: String,
                   cond: org.apache.spark.sql.Column): Option[Int] = {
     val snap = resolve(spark, dir, None)
-    val cur = readFiles(spark, dir, snap.files)
+    val (fs, root) = fsOf(spark, dir)
+    val cur = readFiles(spark, dir, snap.files, snap.schema)
     val touchedAbs = cur.where(cond)
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touchedAbs.isEmpty) None
     else {
-      val touched = snap.files.filter(f =>
-        touchedAbs.exists(a => a.endsWith("/" + f)))
+      val touched = matchTouched(fs, root, snap.files, touchedAbs)
       val untouched = snap.files.filterNot(touched.toSet)
-      val rewritten = readFiles(spark, dir, touched)
+      val rewritten = readFiles(spark, dir, touched, snap.schema)
         .where(!coalesce(cond, lit(false)))
-      Some(commit(spark, dir, "delete", untouched ++ land(rewritten, dir)))
+      Some(commit(spark, dir, "delete",
+        Rewrite(untouched ++ land(rewritten, dir), snap.version, snap.schema)))
     }
   }
 
@@ -477,28 +748,37 @@ object Snapshots {
     * threshold handles the join side; the table never shuffles — only
     * touched files are re-read. Duplicate keys in `updates` land as-is
     * (the caller owns key uniqueness); NULL keys never match an
-    * existing row and simply insert. */
+    * existing row and simply insert. An EMPTY updates frame is a no-op
+    * returning the current version — no empty file, no log/CDC noise
+    * (mirrors [[deleteWhere]]'s no-match None). Schema-validated like
+    * [[writeAppend]]; conflicts like [[deleteWhere]]. */
   def upsert(updates: DataFrame, dir: String, keyCol: String): Int = {
     val spark = updates.sparkSession
     require(updates.columns.contains(keyCol),
       s"upsert: key column '$keyCol' not in updates " +
         s"(has: ${updates.columns.sorted.mkString(", ")})")
     val snap = resolve(spark, dir, None)
-    val cur = readFiles(spark, dir, snap.files)
+    val (fs, root) = fsOf(spark, dir)
+    if (updates.isEmpty) return snap.version
+    val schema = schemaOf(spark, dir, snap)
+      .map(t => mergeSchemas(t, updates.schema, dir))
+      .orElse(Some(asNullable(updates.schema).asInstanceOf[StructType]))
+    val cur = readFiles(spark, dir, snap.files, snap.schema)
     val keys = updates.select(col(keyCol)).distinct()
     // input_file_name binds to ONE source: project it below the join
     val touchedAbs = cur.select(col(keyCol), input_file_name().as("__f"))
       .join(keys, Seq(keyCol), "left_semi")
       .select(col("__f")).distinct()
       .collect().map(_.getString(0)).toSet
-    val touched = snap.files.filter(f =>
-      touchedAbs.exists(a => a.endsWith("/" + f)))
+    val touched = matchTouched(fs, root, snap.files, touchedAbs)
     val untouched = snap.files.filterNot(touched.toSet)
     val survivors =
       if (touched.isEmpty) Seq.empty
-      else land(readFiles(spark, dir, touched)
+      else land(readFiles(spark, dir, touched, snap.schema)
         .join(keys, Seq(keyCol), "left_anti"), dir)
-    commit(spark, dir, "upsert", untouched ++ survivors ++ land(updates, dir))
+    commit(spark, dir, "upsert",
+      Rewrite(untouched ++ survivors ++ land(updates, dir),
+        snap.version, schema))
   }
 
   /** Footer-stats manifest OF ONE SNAPSHOT ([[Layout.statsManifestFiles]]
@@ -515,8 +795,11 @@ object Snapshots {
   /** Snapshot-pinned file-skipping scan: only the version's files whose
     * footer bounds may hold `column ∈ [lo, hi]` are opened
     * ([[Layout.pruneFiles]] semantics — missing stats keep a file, the
-    * caller re-applies the predicate). After [[optimizeZorder]] this is
-    * the full lakehouse read path: log → manifest → skip → scan. */
+    * caller re-applies the predicate). The kept files read under the
+    * SNAPSHOT's schema, so a schema-widened table returns the same
+    * columns pruned or not (late-added columns NULL-fill rather than
+    * silently vanish). After [[optimizeZorder]] this is the full
+    * lakehouse read path: log → manifest → skip → scan. */
   def prunedRead(spark: SparkSession, dir: String, column: String,
                  lo: Double, hi: Double,
                  version: Option[Int] = None): DataFrame = {
@@ -524,21 +807,23 @@ object Snapshots {
     val files = Layout.pruneFiles(
       Layout.statsManifestFiles(spark, snap.files.map(f => s"$dir/$f"),
         Seq(column)), column, lo, hi)
-    if (files.isEmpty) readFiles(spark, dir, snap.files).where(lit(false))
-    else spark.read.parquet(files: _*)
+    if (files.isEmpty)
+      readFiles(spark, dir, snap.files, snap.schema).where(lit(false))
+    else readFiles(spark, dir, files.map(_.stripPrefix(s"$dir/")),
+      snap.schema.orElse(schemaOf(spark, dir, snap)))
   }
 
   private def resolve(spark: SparkSession, dir: String,
-                      version: Option[Int]): Snapshot = {
-    val all = versions(spark, dir)
-    require(all.nonEmpty, s"no snapshots under $dir/$LogDir")
+                      version: Option[Int]): Snapshot =
     version match {
-      case Some(v) => all.find(_.version == v).getOrElse(
-        throw new IllegalArgumentException(
-          s"version $v not in ${all.map(_.version).mkString(",")}"))
-      case None => all.last
+      case Some(v) => entryAt(spark, dir, v).getOrElse {
+        if (retainedRange(spark, dir).isEmpty) throw new IllegalArgumentException(
+          s"no snapshots under $dir/$LogDir")
+        else horizonError(spark, dir, v)
+      }
+      case None => latest(spark, dir).getOrElse(
+        throw new IllegalArgumentException(s"no snapshots under $dir/$LogDir"))
     }
-  }
 
   /** `OPTIMIZE ZORDER BY (xCol, yCol)` — the full lakehouse maintenance
     * command: rewrite the current snapshot in Z-order
@@ -549,7 +834,7 @@ object Snapshots {
     * the log — a long scan started before the rewrite still reads its
     * own snapshot. Runs even when the file count is already at the bin
     * target (unlike [[compact]]) because the point is the ORDER, not
-    * the count. */
+    * the count. Conflicts like [[compact]]. */
   def optimizeZorder(spark: SparkSession, dir: String, xCol: String,
                      yCol: String, targetBytes: Long, bits: Int = 16): Int =
     optimizeZorderN(spark, dir, Seq(xCol, yCol), targetBytes, bits)
@@ -564,9 +849,10 @@ object Snapshots {
     val (fs, root) = fsOf(spark, dir)
     val bytes = snap.files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val framed = Layout.zorderFrameN(readFiles(spark, dir, snap.files),
-      cols, n, bits)
-    commit(spark, dir, "zorder", land(framed, dir))
+    val framed = Layout.zorderFrameN(
+      readFiles(spark, dir, snap.files, snap.schema), cols, n, bits)
+    commit(spark, dir, "zorder",
+      Rewrite(land(framed, dir), snap.version, snap.schema))
   }
 
   /** The periodic maintenance pass a streaming ingest schedules every N
@@ -586,7 +872,8 @@ object Snapshots {
     * expired log entries; also sweeps stranded `_staging_*` dirs. Keeps
     * the newest `keepVersions` snapshots (≥ 1). Time travel reaches
     * only retained versions afterwards — vacuum is the explicit point
-    * where history is given up for space. */
+    * where history is given up for space, and post-vacuum reads/cursors
+    * behind the horizon fail at plan time naming the retained range. */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 1,
              strandedStagingMs: Long = 24L * 3600 * 1000): Unit = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")

@@ -689,6 +689,25 @@ object Snapshots {
     parts.foldLeft(none)(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** STREAMING [[changes]] — subscribe to the table instead of
+    * poll-and-cursoring by hand: a Structured Streaming source
+    * (format `graft-cdc`, [[graft.sources.cdc.CdcSource]]) whose
+    * offset is the log version; each micro-batch runs the batch
+    * [[changes]] algebra over its version range, with
+    * `maxVersionsPerTrigger` admission control and Trigger.AvailableNow
+    * support for catch-up-and-stop runs. The batch door for pipeline
+    * configs stays `readChanges` (graft.Pipeline); this is its
+    * always-on sibling, completing the tail-source family
+    * (EsTailStream, WarcTailStream, and now the versioned table). */
+  def readChangesStream(spark: SparkSession, dir: String,
+                        startingVersion: Int = 0,
+                        maxVersionsPerTrigger: Int = Int.MaxValue): DataFrame =
+    spark.readStream.format("graft-cdc")
+      .option("path", dir)
+      .option("startingVersion", startingVersion.toString)
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger.toString)
+      .load()
+
   /** `input_file_name()` output → the snapshot's relative names.
     * input_file_name returns URI-ENCODED strings (a space is `%20`), so
     * the match decodes both sides to plain absolute paths — raw

@@ -920,7 +920,134 @@ object CoerceOps {
       |SELECT doc_id, lang, n_chars, 'delete', 3
       |FROM documents WHERE lang = 'fr'""".stripMargin
 
+  // -- q242: CONCURRENT APPENDS under the r16 commit protocol — two
+  // writers land their deltas on racing threads; the rebase loop means
+  // the final version must contain BOTH, whatever the interleaving
+  // (the lost-update hole r15's verdict named, now oracle-pinned: a
+  // dropped delta breaks the per-language counts). The base overwrite
+  // holds the non-de/fr corpus so each appender's files are disjoint
+  // from the base and from each other. --
+  private val q242: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_snapconc_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val docs = Tables.load(s, dir, "documents")
+    graft.sinks.Snapshots.writeOverwrite(
+      docs.where($"lang" =!= "de" && $"lang" =!= "fr"), out)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Throwable]())
+    val writers = Seq("de", "fr").map { l =>
+      val delta = docs.where($"lang" === l)
+      new Thread(() => {
+        try { barrier.await(); graft.sinks.Snapshots.writeAppend(delta, out) }
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join(300000))
+    if (!errs.isEmpty) throw new IllegalStateException(errs.toString)
+    graft.sinks.Snapshots.read(s, out).groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+  }
+  private val q242Sql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
+  // -- q243: STREAMING change-data-feed (format graft-cdc) — the q241
+  // table history consumed through the streaming source instead of the
+  // batch call: AvailableNow drains the log in metered micro-batches
+  // (two versions per trigger, so admission control is in the executed
+  // path) into a parquet sink, and the collected feed must equal the
+  // batch oracle exactly — batch==stream is the family's differential
+  // discipline, here under the DuckDB hash. --
+  private val q243: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_snapcdcs_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val docs = Tables.load(s, dir, "documents")
+    graft.sinks.Snapshots.writeOverwrite(docs.repartition(8, $"doc_id"), out)
+    val recrawl = docs.where($"lang" === "de")
+      .withColumn("text", concat($"text", lit("!")))
+      .withColumn("n_chars", $"n_chars" + 1)
+    graft.sinks.Snapshots.upsert(recrawl, out, "doc_id")
+    graft.sinks.Snapshots.deleteWhere(s, out, col("lang") === "fr")
+    graft.sinks.Snapshots.compact(s, out, 512L * 1024 * 1024)
+    val sink = java.nio.file.Files.createTempDirectory("graft_cdc_sink").toString
+    val q = graft.sinks.Snapshots.readChangesStream(s, out,
+        startingVersion = 1, maxVersionsPerTrigger = 2)
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(600000)
+    s.read.parquet(sink)
+      .select($"doc_id", $"lang", $"n_chars",
+        $"_change_type", $"_commit_version")
+  }
+  private val q243Sql = q241Sql
+
+  // -- q244: schema EVOLUTION on the versioned table — v1 commits a
+  // narrow projection, v2 appends the same shape WIDENED by lang; the
+  // commit-time schema gate admits the widening (a type conflict would
+  // have failed at write), logs the merged schema, and the latest read
+  // plans from the LOG (no footer-merge pass): pre-widening rows
+  // NULL-fill the late column. The oracle replays that as a CASE. --
+  private val q244: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_snapevo_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val docs = Tables.load(s, dir, "documents")
+    graft.sinks.Snapshots.writeOverwrite(
+      docs.where($"lang" =!= "de").select($"doc_id", $"source", $"n_chars"), out)
+    graft.sinks.Snapshots.writeAppend(
+      docs.where($"lang" === "de")
+        .select($"doc_id", $"source", $"n_chars", $"lang"), out)
+    graft.sinks.Snapshots.read(s, out)
+  }
+  private val q244Sql =
+    """SELECT doc_id, source, n_chars,
+      |  CASE WHEN lang = 'de' THEN lang END AS lang
+      |FROM documents""".stripMargin
+
+  // -- q245: CLUSTERED upsert — the scale-safe alternative the q240
+  // worst case names (SURVEY §6.1): after OPTIMIZE ZORDER on the
+  // upsert key, a contiguous-key update batch touches only the files
+  // whose key range it hits, so the copy-on-write rewrite is BOUNDED
+  // instead of corpus-wide. Values are oracle-pinned here; the
+  // bounded-rewrite exponent is measured in the §6.1 TimeQ row. --
+  private val q245: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_snapclup_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val docs = Tables.load(s, dir, "documents")
+    graft.sinks.Snapshots.writeOverwrite(docs.repartition(8, $"doc_id"), out)
+    graft.sinks.Snapshots.optimizeZorderN(s, out, Seq("doc_id"), 256L * 1024)
+    val updates = docs.where($"doc_id" < 100)
+      .withColumn("n_chars", $"n_chars" + 1)
+    graft.sinks.Snapshots.upsert(updates, out, "doc_id")
+    graft.sinks.Snapshots.read(s, out)
+      .select($"doc_id", $"lang", $"n_chars")
+  }
+  private val q245Sql =
+    """SELECT doc_id, lang,
+      |  CASE WHEN doc_id < 100 THEN n_chars + 1 ELSE n_chars END AS n_chars
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q242_concurrent_appends" -> q242,
+    "q243_cdc_stream" -> q243,
+    "q244_snapshot_schema_evolution" -> q244,
+    "q245_clustered_upsert" -> q245,
     "q241_snapshot_changes" -> q241,
     "q236_snapshot_time_travel" -> q236,
     "q237_incremental_scan" -> q237,
@@ -957,6 +1084,10 @@ object CoerceOps {
     "q237_incremental_scan" -> q237Sql,
     "q239_snapshot_delete" -> q239Sql,
     "q240_snapshot_upsert" -> q240Sql,
+    "q242_concurrent_appends" -> q242Sql,
+    "q243_cdc_stream" -> q243Sql,
+    "q244_snapshot_schema_evolution" -> q244Sql,
+    "q245_clustered_upsert" -> q245Sql,
     "q162_image_dhash" -> q162Sql,
     "q163_audio_fp" -> q163Sql,
     "q164_frame_dhash" -> q164Sql,

@@ -859,17 +859,26 @@ object Snapshots {
     optimizeZorderN(spark, dir, Seq(xCol, yCol), targetBytes, bits)
 
   /** N-column [[optimizeZorder]] ([[Layout.zorderFrameN]]: n · bits ≤
-    * 63; 2-3 columns is the practical guidance). */
+    * 63; 2-3 columns is the practical guidance). ONE column is the
+    * degenerate-but-useful case: bit interleaving over a single key is
+    * the identity, so the layout is plain range clustering (one range
+    * shuffle + in-partition sort) — what bounds a key-batched [[upsert]]
+    * to the files its key range hits (the q245 shape). */
   def optimizeZorderN(spark: SparkSession, dir: String, cols: Seq[String],
                       targetBytes: Long, bits: Int = 16): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    require(cols.nonEmpty, "optimizeZorderN needs at least one column")
     val snap = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no snapshots under $dir"))
     val (fs, root) = fsOf(spark, dir)
     val bytes = snap.files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val framed = Layout.zorderFrameN(
-      readFiles(spark, dir, snap.files, snap.schema), cols, n, bits)
+    val cur = readFiles(spark, dir, snap.files, snap.schema)
+    val framed =
+      if (cols.size == 1)
+        cur.repartitionByRange(n, col(cols.head))
+          .sortWithinPartitions(col(cols.head))
+      else Layout.zorderFrameN(cur, cols, n, bits)
     commit(spark, dir, "zorder",
       Rewrite(land(framed, dir), snap.version, snap.schema))
   }

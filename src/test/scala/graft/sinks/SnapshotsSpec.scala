@@ -567,6 +567,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.versions(spark, dir).last.schema.isDefined)
   }
 
+  test("single-column optimizeZorder range-clusters; a key-batched upsert then rewrites only matched files") {
+    val dir = freshDir()
+    val rows = (1 to 1000).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    Snapshots.writeAppend(rows.repartition(8, $"id"), dir) // hash-spread
+    Snapshots.optimizeZorderN(spark, dir, Seq("id"), targetBytes = 2048)
+    val clustered = Snapshots.versions(spark, dir).last
+    assert(clustered.op == "zorder" && clustered.files.size >= 4,
+      s"expected several range-clustered files: ${clustered.files.size}")
+    // a contiguous key batch must touch only the file(s) its range hits
+    val updates = (1 to 50).map(i => (i.toLong, s"new $i")).toDF("id", "text")
+    Snapshots.upsert(updates, dir, "id")
+    val after = Snapshots.versions(spark, dir).last
+    val untouched = clustered.files.count(after.files.contains)
+    assert(untouched >= clustered.files.size - 2,
+      s"clustered upsert must splice most files through: " +
+        s"$untouched/${clustered.files.size} untouched")
+    val t = Snapshots.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(t.size == 1000 && t(1L) == "new 1" && t(50L) == "new 50" &&
+      t(51L) == "doc 51" && t(1000L) == "doc 1000")
+  }
+
   test("commit numbering survives a competing manual commit (optimistic retry)") {
     val dir = freshDir()
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

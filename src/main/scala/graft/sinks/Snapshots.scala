@@ -770,7 +770,17 @@ object Snapshots {
     * existing row and simply insert. An EMPTY updates frame is a no-op
     * returning the current version — no empty file, no log/CDC noise
     * (mirrors [[deleteWhere]]'s no-match None). Schema-validated like
-    * [[writeAppend]]; conflicts like [[deleteWhere]]. */
+    * [[writeAppend]]; conflicts like [[deleteWhere]].
+    *
+    * Scale path: for a NUMERIC key the touched-file search first prunes
+    * candidates through the footer-stats manifest on the updates' key
+    * range (one footer pass, zero data pages), so on a key-clustered
+    * table ([[optimizeZorderN]] on the key) a contiguous update batch
+    * SCANS only the files its range hits — without it the semi-join
+    * scan alone is O(corpus) per upsert and the clustering only bounds
+    * the rewrite, not the search. Files without key stats are kept
+    * (prune is a superset guarantee); non-numeric keys fall back to the
+    * full-table search. */
   def upsert(updates: DataFrame, dir: String, keyCol: String): Int = {
     val spark = updates.sparkSession
     require(updates.columns.contains(keyCol),
@@ -782,13 +792,29 @@ object Snapshots {
     val schema = schemaOf(spark, dir, snap)
       .map(t => mergeSchemas(t, updates.schema, dir))
       .orElse(Some(asNullable(updates.schema).asInstanceOf[StructType]))
-    val cur = readFiles(spark, dir, snap.files, snap.schema)
+    val keyIsNumeric = updates.schema(keyCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val candidates: Seq[String] =
+      if (!keyIsNumeric) snap.files
+      else {
+        val mm = updates.agg(min(col(keyCol)).cast("double"),
+          max(col(keyCol)).cast("double")).head()
+        if (mm.isNullAt(0)) Seq.empty // all-NULL keys match no existing row
+        else Layout.pruneFiles(
+          Layout.statsManifestFiles(spark,
+            snap.files.map(f => s"$dir/$f"), Seq(keyCol)),
+          keyCol, mm.getDouble(0), mm.getDouble(1))
+          .map(_.stripPrefix(s"$dir/"))
+      }
     val keys = updates.select(col(keyCol)).distinct()
     // input_file_name binds to ONE source: project it below the join
-    val touchedAbs = cur.select(col(keyCol), input_file_name().as("__f"))
-      .join(keys, Seq(keyCol), "left_semi")
-      .select(col("__f")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val touchedAbs =
+      if (candidates.isEmpty) Set.empty[String]
+      else readFiles(spark, dir, candidates, snap.schema)
+        .select(col(keyCol), input_file_name().as("__f"))
+        .join(keys, Seq(keyCol), "left_semi")
+        .select(col("__f")).distinct()
+        .collect().map(_.getString(0)).toSet
     val touched = matchTouched(fs, root, snap.files, touchedAbs)
     val untouched = snap.files.filterNot(touched.toSet)
     val survivors =

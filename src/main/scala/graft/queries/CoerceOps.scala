@@ -1043,8 +1043,52 @@ object CoerceOps {
       |  CASE WHEN doc_id < 100 THEN n_chars + 1 ELSE n_chars END AS n_chars
       |FROM documents""".stripMargin
 
+  // -- q246: table-to-table REPLICATION — the CDC family closed
+  // end-to-end: the q243 history (upsert de, delete fr, compact) is
+  // consumed through the graft-cdc stream in MULTI-COMMIT micro-batches
+  // (2 versions/trigger) and applied to a replica table with
+  // Snapshots.applyChanges (net-effect per key: last version wins,
+  // delete-without-insert removes, insert upserts). The replica's final
+  // state must equal the source's latest — which the oracle re-derives
+  // from the raw table, so a mis-applied delete, a lost upsert, or a
+  // leaked compact all break the hash. --
+  private val q246: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_snaprepl_src_$sfx"
+    val rep = s"/tmp/graft_snaprepl_rep_$sfx"
+    Seq(out, rep).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    }
+    val docs = Tables.load(s, dir, "documents")
+    graft.sinks.Snapshots.writeOverwrite(docs.repartition(8, $"doc_id"), out)
+    val recrawl = docs.where($"lang" === "de")
+      .withColumn("text", concat($"text", lit("!")))
+      .withColumn("n_chars", $"n_chars" + 1)
+    graft.sinks.Snapshots.upsert(recrawl, out, "doc_id")
+    graft.sinks.Snapshots.deleteWhere(s, out, col("lang") === "fr")
+    graft.sinks.Snapshots.compact(s, out, 512L * 1024 * 1024)
+    val q = graft.sinks.Snapshots.readChangesStream(s, out,
+        maxVersionsPerTrigger = 2)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     _: Long) => graft.sinks.Snapshots.applyChanges(df, rep, "doc_id"))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_repl_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(600000)
+    graft.sinks.Snapshots.read(s, rep)
+      .select($"doc_id", $"lang", $"n_chars")
+  }
+  private val q246Sql =
+    """SELECT doc_id, lang,
+      |  CASE WHEN lang = 'de' THEN n_chars + 1 ELSE n_chars END AS n_chars
+      |FROM documents WHERE lang <> 'fr'""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q242_concurrent_appends" -> q242,
+    "q246_cdc_replication" -> q246,
     "q243_cdc_stream" -> q243,
     "q244_snapshot_schema_evolution" -> q244,
     "q245_clustered_upsert" -> q245,
@@ -1088,6 +1132,7 @@ object CoerceOps {
     "q243_cdc_stream" -> q243Sql,
     "q244_snapshot_schema_evolution" -> q244Sql,
     "q245_clustered_upsert" -> q245Sql,
+    "q246_cdc_replication" -> q246Sql,
     "q162_image_dhash" -> q162Sql,
     "q163_audio_fp" -> q163Sql,
     "q164_frame_dhash" -> q164Sql,

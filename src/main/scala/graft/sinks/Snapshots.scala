@@ -759,6 +759,146 @@ object Snapshots {
     }
   }
 
+  /** Copy-on-write DELETE BY KEY FRAME — the right-to-be-forgotten
+    * shape at scale ("remove these 10^6 user ids"): [[deleteWhere]]'s
+    * mechanics keyed by a SEMI-JOIN against `keys` instead of a
+    * predicate, because a million-key list can neither ride in an
+    * `isin` literal nor collect to the driver. Numeric keys prune
+    * candidate files through the footer-stats manifest first (the
+    * [[upsert]] scale path: on a key-clustered table the scan AND the
+    * rewrite are bounded by the keys' range). NULL keys match nothing;
+    * an empty/no-match frame is a no-op returning None. Conflicts like
+    * every rewrite. Physical removal from history is this + [[vacuum]],
+    * as on [[deleteWhere]]. */
+  def deleteKeys(spark: SparkSession, dir: String, keyCol: String,
+                 keys: DataFrame): Option[Int] = {
+    require(keys.columns.contains(keyCol),
+      s"deleteKeys: key column '$keyCol' not in keys frame " +
+        s"(has: ${keys.columns.sorted.mkString(", ")})")
+    val snap = resolve(spark, dir, None)
+    val (fs, root) = fsOf(spark, dir)
+    val k = keys.select(col(keyCol)).distinct()
+    val touched = matchTouched(fs, root, snap.files,
+      touchedByKeys(spark, dir, snap, keyCol, k))
+    if (touched.isEmpty) None
+    else {
+      val untouched = snap.files.filterNot(touched.toSet)
+      val rewritten = readFiles(spark, dir, touched, snap.schema)
+        .join(k, Seq(keyCol), "left_anti")
+      Some(commit(spark, dir, "delete",
+        Rewrite(untouched ++ land(rewritten, dir), snap.version, snap.schema)))
+    }
+  }
+
+  /** Copy-on-write DELETE of a numeric RANGE — the TTL/retention pass
+    * ("drop everything with ts past the horizon") as a first-class op:
+    * candidate files prune through the footer-stats manifest on
+    * `[lo, hi]` BEFORE any data page is read, so on a time-clustered
+    * table (ingest order usually is) the scan touches only the files
+    * whose bounds overlap the horizon — [[deleteWhere]] with the same
+    * predicate is correct but scans the corpus. NULL values are KEPT
+    * (SQL DELETE semantics via the BETWEEN predicate). */
+  def deleteRange(spark: SparkSession, dir: String, column: String,
+                  lo: Double, hi: Double): Option[Int] = {
+    val snap = resolve(spark, dir, None)
+    val (fs, root) = fsOf(spark, dir)
+    val candidates = Layout.pruneFiles(
+      Layout.statsManifestFiles(spark, snap.files.map(f => s"$dir/$f"),
+        Seq(column)), column, lo, hi)
+      .map(_.stripPrefix(s"$dir/"))
+    if (candidates.isEmpty) return None
+    val cond = col(column) >= lit(lo) && col(column) <= lit(hi)
+    val touchedAbs = readFiles(spark, dir, candidates, snap.schema)
+      .where(cond).select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touchedAbs.isEmpty) None
+    else {
+      val touched = matchTouched(fs, root, snap.files, touchedAbs)
+      val untouched = snap.files.filterNot(touched.toSet)
+      val rewritten = readFiles(spark, dir, touched, snap.schema)
+        .where(!coalesce(cond, lit(false)))
+      Some(commit(spark, dir, "delete",
+        Rewrite(untouched ++ land(rewritten, dir), snap.version, snap.schema)))
+    }
+  }
+
+  /** Touched-file search shared by [[upsert]]/[[deleteKeys]]: which of
+    * the snapshot's files hold a row whose `keyCol` appears in `keys`.
+    * Numeric keys manifest-prune the candidate set to the keys' min/max
+    * range first (one footer pass, zero data); the scan then semi-joins
+    * only the candidates. Returns `input_file_name` URIs. */
+  private def touchedByKeys(spark: SparkSession, dir: String, snap: Snapshot,
+                            keyCol: String, keys: DataFrame): Set[String] = {
+    val keyIsNumeric = keys.schema(keyCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val candidates: Seq[String] =
+      if (!keyIsNumeric) snap.files
+      else {
+        val mm = keys.agg(min(col(keyCol)).cast("double"),
+          max(col(keyCol)).cast("double")).head()
+        if (mm.isNullAt(0)) Seq.empty // all-NULL keys match no existing row
+        else Layout.pruneFiles(
+          Layout.statsManifestFiles(spark,
+            snap.files.map(f => s"$dir/$f"), Seq(keyCol)),
+          keyCol, mm.getDouble(0), mm.getDouble(1))
+          .map(_.stripPrefix(s"$dir/"))
+      }
+    if (candidates.isEmpty) Set.empty
+    else readFiles(spark, dir, candidates, snap.schema)
+      .select(col(keyCol), input_file_name().as("__f"))
+      .join(keys, Seq(keyCol), "left_semi")
+      .select(col("__f")).distinct()
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** Apply one CHANGE-DATA-FEED batch (the [[changes]]/graft-cdc shape:
+    * table columns + `_change_type` + `_commit_version`) to a REPLICA
+    * table keyed by `keyCol` — the downstream half of table-to-table
+    * replication: subscribe with [[readChangesStream]], apply each
+    * micro-batch here via `foreachBatch`, and the replica converges to
+    * the source at every consumed version.
+    *
+    * A batch may span several commits, so application is by NET EFFECT
+    * per key (the last version wins): for each key only the rows of its
+    * newest `_commit_version` in the batch count — an insert there is
+    * the key's final value (upserted), a delete with no insert beside
+    * it means the key is gone ([[deleteKeys]]). Within one version an
+    * updated key carries delete(old)+insert(new); the insert wins by
+    * construction. Replayed batches (streaming crash recovery)
+    * re-apply to the same state — delete-by-key and upsert-by-key are
+    * value-idempotent. Contract: the table is key-unique (the
+    * [[upsert]] contract); multi-row keys need a bespoke applier. */
+  def applyChanges(batch: DataFrame, dir: String, keyCol: String): Unit = {
+    val cols = batch.columns
+    require(cols.contains("_change_type") && cols.contains("_commit_version"),
+      "applyChanges expects the changes()/graft-cdc shape " +
+        s"(_change_type, _commit_version); got: ${cols.mkString(", ")}")
+    require(cols.contains(keyCol), s"applyChanges: key column '$keyCol' " +
+      s"not in batch (has: ${cols.sorted.mkString(", ")})")
+    // alias both sides: `last` derives from `batch`, so unqualified
+    // columns would trip the ambiguous-self-join check
+    val b = batch.as("__cdc_b")
+    val last = batch.groupBy(col(keyCol))
+      .agg(max(col("_commit_version")).as("__v")).as("__cdc_l")
+    val net = b.join(last,
+      col(s"__cdc_b.`$keyCol`") <=> col(s"__cdc_l.`$keyCol`") &&
+        col("__cdc_b._commit_version") === col("__cdc_l.__v"))
+      .select(batch.columns.map(c => col(s"__cdc_b.`$c`")): _*)
+    val inserts = net.where(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version")
+    // replica bootstrap: the first applied batch CREATES the table —
+    // there is nothing to delete from, net inserts are the whole state
+    if (latest(batch.sparkSession, dir).isEmpty) {
+      if (!inserts.isEmpty) { writeAppend(inserts, dir); () }
+      return
+    }
+    val gone = net.where(col("_change_type") === "delete")
+      .select(col(keyCol)).distinct()
+      .join(inserts.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    deleteKeys(batch.sparkSession, dir, keyCol, gone)
+    if (!inserts.isEmpty) { upsert(inserts, dir, keyCol); () }
+  }
+
   /** Copy-on-write UPSERT by key — the MERGE "update or insert" case:
     * files holding a matching key are rewritten without those rows (the
     * [[deleteWhere]] mechanics, keyed by a semi-join instead of a
@@ -792,30 +932,9 @@ object Snapshots {
     val schema = schemaOf(spark, dir, snap)
       .map(t => mergeSchemas(t, updates.schema, dir))
       .orElse(Some(asNullable(updates.schema).asInstanceOf[StructType]))
-    val keyIsNumeric = updates.schema(keyCol).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val candidates: Seq[String] =
-      if (!keyIsNumeric) snap.files
-      else {
-        val mm = updates.agg(min(col(keyCol)).cast("double"),
-          max(col(keyCol)).cast("double")).head()
-        if (mm.isNullAt(0)) Seq.empty // all-NULL keys match no existing row
-        else Layout.pruneFiles(
-          Layout.statsManifestFiles(spark,
-            snap.files.map(f => s"$dir/$f"), Seq(keyCol)),
-          keyCol, mm.getDouble(0), mm.getDouble(1))
-          .map(_.stripPrefix(s"$dir/"))
-      }
     val keys = updates.select(col(keyCol)).distinct()
-    // input_file_name binds to ONE source: project it below the join
-    val touchedAbs =
-      if (candidates.isEmpty) Set.empty[String]
-      else readFiles(spark, dir, candidates, snap.schema)
-        .select(col(keyCol), input_file_name().as("__f"))
-        .join(keys, Seq(keyCol), "left_semi")
-        .select(col("__f")).distinct()
-        .collect().map(_.getString(0)).toSet
-    val touched = matchTouched(fs, root, snap.files, touchedAbs)
+    val touched = matchTouched(fs, root, snap.files,
+      touchedByKeys(spark, dir, snap, keyCol, keys))
     val untouched = snap.files.filterNot(touched.toSet)
     val survivors =
       if (touched.isEmpty) Seq.empty

@@ -588,6 +588,67 @@ class SnapshotsSpec extends SparkSpec {
       t(51L) == "doc 51" && t(1000L) == "doc 1000")
   }
 
+  test("deleteKeys: CoW delete by key FRAME, manifest-pruned — untouched key ranges splice through") {
+    val dir = freshDir()
+    val rows = (1 to 1000).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    Snapshots.writeAppend(rows.repartitionByRange(4, $"id"), dir)
+    val before = Snapshots.versions(spark, dir).last.files
+    assert(before.size == 4)
+    val keys = Seq(5L, 7L, 999L, 2000L).toDF("id") // 2000 matches nothing
+    val v = Snapshots.deleteKeys(spark, dir, "id", keys)
+    assert(v.contains(2))
+    val after = Snapshots.versions(spark, dir).last.files
+    assert(before.count(after.contains) == 2,
+      s"the two key-range-free files must survive by name: $before -> $after")
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 997)
+    assert(t.where($"id".isin(5L, 7L, 999L)).isEmpty)
+    // no-match and empty frames are no-ops returning None
+    assert(Snapshots.deleteKeys(spark, dir, "id", Seq(5000L).toDF("id")).isEmpty)
+    assert(Snapshots.deleteKeys(spark, dir, "id",
+      Seq.empty[Long].toDF("id")).isEmpty)
+    assert(Snapshots.versions(spark, dir).last.version == 2)
+    intercept[IllegalArgumentException](
+      Snapshots.deleteKeys(spark, dir, "nope", keys))
+  }
+
+  test("deleteRange: TTL delete prunes candidates by footer bounds; NULLs and out-of-range kept") {
+    val dir = freshDir()
+    val rows = (1 to 100).map(i =>
+      (i.toLong, if (i % 10 == 0) None else Some(i.toLong * 100))).toDF("id", "ts")
+    Snapshots.writeAppend(rows.repartitionByRange(4, $"id"), dir)
+    val before = Snapshots.versions(spark, dir).last.files
+    // horizon: ts <= 2500 (ids 1..25 except the NULL-ts ones)
+    val v = Snapshots.deleteRange(spark, dir, "ts", 0.0, 2500.0)
+    assert(v.contains(2))
+    val after = Snapshots.versions(spark, dir).last.files
+    assert(before.count(after.contains) >= 2,
+      s"files whose ts bounds miss the horizon must splice through: $after")
+    val t = Snapshots.read(spark, dir)
+    // deleted: ids 1..25 minus {10,20} (NULL ts kept) = 23 rows gone
+    assert(t.count() == 77, s"count: ${t.count()}")
+    assert(t.where($"ts".isNull).count() == 10, "NULL-ts rows are kept")
+    assert(t.where($"ts" <= 2500).isEmpty)
+    // a horizon past the data is a no-op
+    assert(Snapshots.deleteRange(spark, dir, "ts", 1e9, 2e9).isEmpty)
+  }
+
+  test("applyChanges nets multi-commit batches: insert-then-delete lands absent, last version wins") {
+    val src = freshDir(); val rep = freshDir()
+    Snapshots.writeAppend(Seq((1L, "one"), (2L, "two")).toDF("id", "text"), src) // v1
+    Snapshots.writeAppend(Seq((3L, "three")).toDF("id", "text"), src)            // v2
+    Snapshots.upsert(Seq((2L, "TWO")).toDF("id", "text"), src, "id")             // v3
+    Snapshots.deleteWhere(spark, src, $"id" === 3)                               // v4
+    // ONE batch spanning v1..v4: 3 was inserted then deleted -> absent;
+    // 2 was inserted then updated -> the v3 value
+    Snapshots.applyChanges(Snapshots.changes(spark, src, 0), rep, "id")
+    val got = Snapshots.read(spark, rep).as[(Long, String)].collect().toSet
+    assert(got == Set(1L -> "one", 2L -> "TWO"), got.toString)
+    // replays are value-idempotent
+    Snapshots.applyChanges(Snapshots.changes(spark, src, 0), rep, "id")
+    assert(Snapshots.read(spark, rep).as[(Long, String)].collect().toSet == got)
+  }
+
   test("commit numbering survives a competing manual commit (optimistic retry)") {
     val dir = freshDir()
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

@@ -262,7 +262,11 @@ object Pipeline {
         // upstream versioned table since the cursor the last run
         // recorded. types= filters _change_type (default insert — the
         // usual consumption; deletes matter to index maintainers, who
-        // ask for types=insert,delete or types=delete)
+        // ask for types=insert,delete or types=delete). The always-on
+        // sibling is the graft-cdc STREAMING source
+        // (Snapshots.readChangesStream): same feed, offset = the log
+        // version, no hand-rolled cursor — pipelines are batch, so the
+        // door here stays the cursor form.
         val path = head.params.getOrElse("path",
           throw new IllegalArgumentException(
             s"pipeline line ${head.line}: readChanges needs path="))

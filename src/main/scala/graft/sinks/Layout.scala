@@ -284,8 +284,13 @@ object Layout {
   def prunedRead(spark: SparkSession, path: String, manifest: DataFrame,
                  column: String, lo: Double, hi: Double): DataFrame = {
     val files = pruneFiles(manifest, column, lo, hi)
-    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
-    else spark.read.parquet(files: _*)
+    // mergeSchema matches the unpruned read of a schema-widened dir: a
+    // sampled-file schema would silently drop late-added columns from
+    // the pruned scan only (the log-backed Snapshots.prunedRead gets
+    // the same guarantee from its entry's schema instead)
+    if (files.isEmpty)
+      spark.read.option("mergeSchema", "true").parquet(path).where(lit(false))
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** Storage audit from the footer manifest — "which column eats the

@@ -15,4 +15,15 @@ object StreamingFrame {
     df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(
         df.queryExecution.toRdd, schema, isStreaming = true)
+
+  /** The inverse door, for a V1 streaming SINK's `addBatch`: the frame
+    * the engine hands in carries the trigger's incremental plan and
+    * must not be re-executed as-is by batch writers — re-plan its rows
+    * as a plain batch frame (rows copied out of the unsafe-row reuse
+    * buffer), Spark's own ForeachBatchSink device. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, df.schema, isStreaming = false)
+  }
 }

@@ -1086,9 +1086,60 @@ object CoerceOps {
       |  CASE WHEN lang = 'de' THEN n_chars + 1 ELSE n_chars END AS n_chars
       |FROM documents WHERE lang <> 'fr'""".stripMargin
 
+  // -- q247: TTL RETENTION delete (Snapshots.deleteRange) — the
+  // horizon pass every event estate schedules: the table lands
+  // range-clustered on event_id (the monotone-ingest layout), the
+  // horizon delete prunes candidate files through footer stats (only
+  // files whose id bounds overlap [0, 4999] are even scanned — at 100
+  // TB the point is the untouched tail never reads), rows at-or-below
+  // the horizon rewrite away, one commit. Oracle = the raw table past
+  // the horizon; a row leaked from a pruned file or lost from a kept
+  // one breaks the hash. --
+  private val q247: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_snapttl_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val events = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    graft.sinks.Snapshots.writeOverwrite(
+      events.repartitionByRange(8, $"event_id"), out)
+    graft.sinks.Snapshots.deleteRange(s, out, "event_id", 0.0, 4999.0)
+    graft.sinks.Snapshots.read(s, out)
+  }
+  private val q247Sql =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events WHERE event_id >= 5000""".stripMargin
+
+  // -- q248: TAKEDOWN by key FRAME (Snapshots.deleteKeys) — the bulk
+  // right-to-be-forgotten shape: the key list (every French doc's id)
+  // is a FRAME, not an isin literal — it semi-joins against the table
+  // with manifest-pruned candidates, so a million-id takedown neither
+  // collects to the driver nor scans files outside the keys' range.
+  // Oracle = the raw table minus the keyed rows. --
+  private val q248: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_snaptkd_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val docs = Tables.load(s, dir, "documents")
+    graft.sinks.Snapshots.writeOverwrite(docs.repartition(8, $"doc_id"), out)
+    val takedown = docs.where($"lang" === "fr").select($"doc_id")
+    graft.sinks.Snapshots.deleteKeys(s, out, "doc_id", takedown)
+    graft.sinks.Snapshots.read(s, out)
+      .select($"doc_id", $"source", $"n_chars")
+  }
+  private val q248Sql =
+    """SELECT doc_id, source, n_chars
+      |FROM documents WHERE lang <> 'fr'""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q242_concurrent_appends" -> q242,
     "q246_cdc_replication" -> q246,
+    "q247_ttl_delete" -> q247,
+    "q248_takedown_keys" -> q248,
     "q243_cdc_stream" -> q243,
     "q244_snapshot_schema_evolution" -> q244,
     "q245_clustered_upsert" -> q245,
@@ -1133,6 +1184,8 @@ object CoerceOps {
     "q244_snapshot_schema_evolution" -> q244Sql,
     "q245_clustered_upsert" -> q245Sql,
     "q246_cdc_replication" -> q246Sql,
+    "q247_ttl_delete" -> q247Sql,
+    "q248_takedown_keys" -> q248Sql,
     "q162_image_dhash" -> q162Sql,
     "q163_audio_fp" -> q163Sql,
     "q164_frame_dhash" -> q164Sql,

@@ -323,6 +323,16 @@ object Snapshots {
               "recompute from the new state)")
           (fl, sch)
       }
+      // entry JSON hardening: landed names are uuid-safe by
+      // construction, but importDir adopts ARBITRARY names — a quote,
+      // comma, bracket, or control char would corrupt the hand-rolled
+      // entry format, so such names are refused at the door (rename
+      // before adopting), never half-written
+      files.find(f => f.exists(c => c < ' ' || "\",[]".contains(c)))
+        .foreach(f => throw new IllegalArgumentException(
+          s"snapshot commit to $dir: file name not representable in the " +
+            s"log (quote/comma/bracket/control char): '$f' — rename it " +
+            "before importDir"))
       val tmp = new Path(log,
         s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, false)

@@ -1051,6 +1051,49 @@ object Snapshots {
     v
   }
 
+  /** `DESCRIBE HISTORY` — the operator's view of the log as a frame:
+    * one row per retained version with its op, file count, total bytes,
+    * and commit-file modification time (the only timestamp the log
+    * keeps; ordering truth is the VERSION, the mtime is operational
+    * context). Driver-sized like the log itself. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val (fs, root) = fsOf(spark, dir)
+    val log = new Path(root, LogDir)
+    val rows = versions(spark, dir).map { s =>
+      val bytes = s.files.map { f =>
+        try fs.getFileStatus(new Path(root, f)).getLen
+        catch { case _: java.io.FileNotFoundException => 0L }
+      }.sum
+      val mtime = fs.getFileStatus(
+        new Path(log, f"v${s.version}%05d.json")).getModificationTime
+      (s.version, s.op, s.files.size, bytes,
+        new java.sql.Timestamp(mtime))
+    }
+    import spark.implicits._
+    rows.toDF("version", "op", "n_files", "bytes", "committed_at")
+  }
+
+  /** [[vacuum]] DRY RUN: the data files and log entries a vacuum with
+    * this retention WOULD delete, as a frame — the look-before-you-leap
+    * step for the one operation that gives up history. Pure metadata
+    * (no file touched). */
+  def vacuumPreview(spark: SparkSession, dir: String,
+                    keepVersions: Int = 1): DataFrame = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    val all = versions(spark, dir)
+    val live = all.takeRight(keepVersions).flatMap(_.files).toSet
+    val expired = all.dropRight(keepVersions)
+    // each doomed data file once, attributed to its first reference
+    val firstRef = expired.flatMap(s => s.files.map(_ -> s.version))
+      .groupMapReduce(_._1)(_._2)(math.min)
+    val rows = firstRef.collect {
+        case (f, v) if !live(f) => (v, "data", f)
+      }.toSeq.sorted ++
+      expired.map(s => (s.version, "log", f"v${s.version}%05d.json"))
+    import spark.implicits._
+    rows.toDF("version", "kind", "file")
+  }
+
   /** Delete data files referenced by NO retained version, then drop the
     * expired log entries; also sweeps stranded `_staging_*` dirs. Keeps
     * the newest `keepVersions` snapshots (≥ 1). Time travel reaches

@@ -649,6 +649,32 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, rep).as[(Long, String)].collect().toSet == got)
   }
 
+  test("history + vacuumPreview: the operator surface tells the truth before vacuum acts") {
+    val dir = freshDir()
+    Snapshots.writeAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "text")
+      .repartition(2), dir)                                   // v1: 2 files
+    Snapshots.compact(spark, dir, 512L * 1024 * 1024)         // v2: 1 file
+    Snapshots.writeAppend(Seq((3L, "c")).toDF("id", "text"), dir) // v3
+    val h = Snapshots.history(spark, dir)
+      .as[(Int, String, Int, Long, java.sql.Timestamp)].collect()
+    assert(h.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1, "append", 2), (2, "compact", 1), (3, "append", 2)), h.toSeq)
+    assert(h.forall(_._4 > 0), "bytes accounted")
+    // preview names exactly what vacuum then deletes — and nothing is
+    // touched by the preview itself
+    val pv = Snapshots.vacuumPreview(spark, dir, keepVersions = 1)
+      .as[(Int, String, String)].collect().toSet
+    val doomedData = pv.collect { case (_, "data", f) => f }
+    assert(doomedData.size == 2 && pv.count(_._2 == "log") == 2, pv.toString)
+    doomedData.foreach(f => assert(new java.io.File(dir, f).exists,
+      "preview must not delete"))
+    Snapshots.vacuum(spark, dir, keepVersions = 1)
+    doomedData.foreach(f => assert(!new java.io.File(dir, f).exists,
+      s"$f: preview promised deletion"))
+    assert(Snapshots.versions(spark, dir).map(_.version) == Seq(3))
+    assert(Snapshots.read(spark, dir).count() == 3)
+  }
+
   test("commit numbering survives a competing manual commit (optimistic retry)") {
     val dir = freshDir()
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

@@ -1124,5 +1124,15 @@ object Snapshots {
         st.getPath.getName.startsWith("_staging_") &&
         st.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, true))
+    // same guard for commit temp entries: a committer killed between
+    // writing `.tmp-*` and publishing strands an unparsed file in the
+    // log dir (losers of live races delete their own temp; only a
+    // crash leaves one) — age-swept here so the log dir stays a clean
+    // inventory of versions
+    fs.listStatus(new Path(root, LogDir)).toSeq
+      .filter(st => !st.isDirectory &&
+        st.getPath.getName.startsWith(".tmp-") &&
+        st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, false))
   }
 }

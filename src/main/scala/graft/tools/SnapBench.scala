@@ -45,6 +45,7 @@ object SnapBench {
       case "writers" => writers(spark)
       case "polls" => polls(spark)
       case "clusup" => clusup(spark, args(1))
+      case "schemaread" => schemaread(spark)
       case other => System.err.println(s"unknown mode: $other")
     }
     spark.stop()
@@ -81,6 +82,44 @@ object SnapBench {
     val (cSec, cRew, cTot) = run(cluster = true)
     val (sSec, sRew, sTot) = run(cluster = false)
     println(f"""{"metric":"clustered_upsert","sf_dir":"$sfDir","clustered_sec":$cSec%.2f,"clustered_files_rewritten":$cRew,"clustered_files_total":$cTot,"spread_sec":$sSec%.2f,"spread_files_rewritten":$sRew,"spread_files_total":$sTot}""")
+  }
+
+  /** `schemaread`: what logging the schema buys at PLAN time — a
+    * 256-file table read through the logged schema (r19 reads) vs the
+    * legacy footer-union path (schema stripped from the entry, the
+    * pre-r19 `mergeSchema` read). The gap is the distributed
+    * footer-merge job the log eliminates; it grows with file count, so
+    * at 10^5-file estates it is the difference between a metadata read
+    * and a cluster job per plan. */
+  private def schemaread(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val dir = freshDir()
+    val rows = (1 to 4096).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    Snapshots.writeAppend(rows.repartition(256), dir)
+    // time PLAN construction only — `spark.read.parquet` resolves the
+    // schema eagerly, so this isolates exactly the metadata cost the
+    // logged schema removes (the scan itself is identical both ways)
+    def timePlan(): Double = {
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        require(Snapshots.read(spark, dir).schema.fieldNames.length == 2)
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(2)
+    }
+    Snapshots.read(spark, dir).count() // warm
+    val logged = timePlan()
+    // strip the schema: the same entry minus its schema field → the
+    // read falls back to the footer union (the pre-r19 path)
+    val entry = Snapshots.versions(spark, dir).head
+    val log = new java.io.File(dir, "_graft_log")
+    java.nio.file.Files.writeString(
+      new java.io.File(log, "v00001.json").toPath,
+      s"""{"version":1,"op":"append","files":[""" +
+        entry.files.map(f => "\"" + f + "\"").mkString(",") + "]}")
+    Snapshots.read(spark, dir).count() // warm
+    val merged = timePlan()
+    println(f"""{"metric":"schema_from_log_plan","files":256,"logged_schema_sec":$logged%.3f,"footer_union_sec":$merged%.3f,"speedup":${merged / logged}%.2f}""")
   }
 
   private def writers(spark: SparkSession): Unit = {

@@ -364,10 +364,17 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.compact(spark, dir, 512L * 1024 * 1024)
     val fresh = new java.io.File(dir, "_staging_live")
     fresh.mkdirs()
+    // a crash between temp-write and publish strands a .tmp- entry in
+    // the log dir: same age-guarded sweep
+    val tmpEntry = new java.io.File(new java.io.File(dir, "_graft_log"),
+      ".tmp-deadbeef")
+    java.nio.file.Files.writeString(tmpEntry.toPath, "{}")
     Snapshots.vacuum(spark, dir, keepVersions = 1) // default 24h age guard
     assert(fresh.exists, "a seconds-old staging dir must survive vacuum")
+    assert(tmpEntry.exists, "a seconds-old commit temp must survive vacuum")
     Snapshots.vacuum(spark, dir, keepVersions = 1, strandedStagingMs = 0)
     assert(!fresh.exists, "aged-out staging debris is swept")
+    assert(!tmpEntry.exists, "aged-out commit temps are swept")
   }
 
   // ---- round 16: commit intents (rebase/conflict), schema gate, horizon ----

@@ -109,15 +109,27 @@ object Snapshots {
   private val LogDir = "_graft_log"
   private val VersionRe = "v(\\d{5})\\.json".r
 
+  /** One data file as the log knows it. `size` -1 = unknown (an entry
+    * written before sizes were logged, or a hand-authored one). */
+  final case class DataFile(name: String, size: Long = -1L)
+
   final case class Snapshot(version: Int, op: String, files: Seq[String],
-                            schema: Option[StructType] = None)
+                            schema: Option[StructType] = None,
+                            sizes: Option[Seq[Long]] = None) {
+    /** files with their logged sizes (−1 where unknown). */
+    def dataFiles: Seq[DataFile] = sizes match {
+      case Some(sz) if sz.size == files.size =>
+        files.zip(sz).map { case (f, s) => DataFile(f, s) }
+      case _ => files.map(DataFile(_))
+    }
+  }
 
   /** Commit intent — what a loser of the optimistic race does decides
     * correctness: appends rebase their delta, rewrites conflict. */
   private sealed trait Intent
-  private final case class Append(delta: Seq[String], incoming: StructType)
+  private final case class Append(delta: Seq[DataFile], incoming: StructType)
     extends Intent
-  private final case class Rewrite(files: Seq[String], baseVersion: Int,
+  private final case class Rewrite(files: Seq[DataFile], baseVersion: Int,
                                    schema: Option[StructType]) extends Intent
 
   /** Test seam: invoked between writing the temp entry and attempting
@@ -150,6 +162,18 @@ object Snapshots {
     val body = arr.slice(arr.indexOf('[') + 1, arr.indexOf(']'))
     val files = body.split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
+    val sizes = {
+      // ours (if present) sits between files and schema; a schema
+      // COLUMN named "sizes" appears later and fails the numeric/count
+      // guards below rather than corrupting the entry
+      val i = s.indexOf("\"sizes\"")
+      if (i < 0) None
+      else scala.util.Try {
+        val arr = s.drop(i + 8)
+        val b = arr.slice(arr.indexOf('[') + 1, arr.indexOf(']'))
+        b.split(',').map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      }.toOption.filter(_.size == files.size)
+    }
     val schema = {
       val i = s.indexOf("\"schema\":")
       if (i < 0) None
@@ -160,12 +184,13 @@ object Snapshots {
             s"snapshot log entry schema is not a struct: $other")
         }
     }
-    Snapshot(v, op, files, schema)
+    Snapshot(v, op, files, schema, sizes)
   }
 
   private def render(s: Snapshot): String =
     s"""{"version":${s.version},"op":"${s.op}","files":[""" +
       s.files.map(f => "\"" + f + "\"").mkString(",") + "]" +
+      s.sizes.map(sz => s""","sizes":[${sz.mkString(",")}]""").getOrElse("") +
       s.schema.map(st => s""","schema":${st.json}""").getOrElse("") + "}"
 
   /** All committed snapshots, ascending. Full-history parse — vacuum
@@ -313,7 +338,7 @@ object Snapshots {
             case Some(t) => mergeSchemas(t, incoming, dir)
             case None => asNullable(incoming).asInstanceOf[StructType]
           }
-          (cur.map(_.files).getOrElse(Seq.empty) ++ delta, Some(merged))
+          (cur.map(_.dataFiles).getOrElse(Seq.empty) ++ delta, Some(merged))
         case Rewrite(fl, base, sch) =>
           val curV = cur.map(_.version).getOrElse(0)
           if (curV != base) throw new java.util.ConcurrentModificationException(
@@ -328,15 +353,20 @@ object Snapshots {
       // comma, bracket, or control char would corrupt the hand-rolled
       // entry format, so such names are refused at the door (rename
       // before adopting), never half-written
-      files.find(f => f.exists(c => c < ' ' || "\",[]".contains(c)))
+      files.map(_.name).find(f => f.exists(c => c < ' ' || "\",[]".contains(c)))
         .foreach(f => throw new IllegalArgumentException(
           s"snapshot commit to $dir: file name not representable in the " +
             s"log (quote/comma/bracket/control char): '$f' — rename it " +
             "before importDir"))
       val tmp = new Path(log,
         s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val sorted = files.sortBy(_.name)
+      // sizes are logged all-or-nothing: one unknown (-1, a legacy base
+      // rebased onto) drops the whole vector rather than lying
+      val sizes = Option(sorted.map(_.size)).filter(sz =>
+        sz.nonEmpty && sz.forall(_ >= 0))
       val out = fs.create(tmp, false)
-      try out.write(render(Snapshot(v, op, files.sorted, schema))
+      try out.write(render(Snapshot(v, op, sorted.map(_.name), schema, sizes))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val dest = new Path(log, f"v$v%05d.json")
@@ -390,7 +420,7 @@ object Snapshots {
     * a `_`-prefixed staging dir and rename in under fresh uuid names,
     * so a crash strands invisible garbage, never a half-landed file
     * ([[vacuum]] sweeps strays). */
-  private def land(df: DataFrame, dir: String): Seq[String] = {
+  private def land(df: DataFrame, dir: String): Seq[DataFile] = {
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, dir)
     val tag = java.util.UUID.randomUUID().toString.take(8)
@@ -403,7 +433,7 @@ object Snapshots {
         val name = f"$tag-$i%05d.parquet"
         require(fs.rename(st.getPath, new Path(root, name)),
           s"rename failed: ${st.getPath}")
-        name
+        DataFile(name, st.getLen) // sizes ride into the log: zero-stat reads
     }
     fs.delete(staging, true)
     names
@@ -426,12 +456,13 @@ object Snapshots {
     val rel = listDataFiles(fs, root, root)
     require(rel.nonEmpty, s"importDir: no data files under $dir")
     val schema = asNullable(spark.read.option("mergeSchema", "true")
-      .parquet(rel.map(f => s"$dir/$f"): _*).schema).asInstanceOf[StructType]
+      .parquet(rel.map(f => s"$dir/${f.name}"): _*).schema)
+      .asInstanceOf[StructType]
     commit(spark, dir, "import", Rewrite(rel, 0, Some(schema)))
   }
 
   private def listDataFiles(fs: FileSystem, root: Path,
-                            dir: Path): Seq[String] = {
+                            dir: Path): Seq[DataFile] = {
     // listStatus returns scheme-qualified paths; relativize against the
     // equally-qualified root or the prefix never strips
     val base = fs.makeQualified(root).toString
@@ -439,8 +470,8 @@ object Snapshots {
       val n = st.getPath.getName
       if (n.startsWith("_") || n.startsWith(".")) Nil
       else if (st.isDirectory) listDataFiles(fs, root, st.getPath)
-      else Seq(fs.makeQualified(st.getPath).toString.stripPrefix(base)
-        .stripPrefix("/"))
+      else Seq(DataFile(fs.makeQualified(st.getPath).toString
+        .stripPrefix(base).stripPrefix("/"), st.getLen))
     }
   }
 
@@ -456,7 +487,7 @@ object Snapshots {
     val base = latest(spark, dir).map(_.version).getOrElse(0)
     val target = resolve(spark, dir, Some(version))
     commit(spark, dir, "restore",
-      Rewrite(target.files, base, target.schema))
+      Rewrite(target.dataFiles, base, target.schema))
   }
 
   /** Append `df` to the table: land new files, commit the DELTA — the
@@ -535,7 +566,28 @@ object Snapshots {
   def read(spark: SparkSession, dir: String,
            version: Option[Int] = None): DataFrame = {
     val snap = resolve(spark, dir, version)
-    readFiles(spark, dir, snap.files, snap.schema)
+    scan(spark, dir, snap, snap.files)
+  }
+
+  /** Scan `names` (a subset of `snap`'s files) with ZERO filesystem
+    * calls at plan time when the entry carries both the schema and the
+    * file sizes (every r19+ commit does): the log IS the file index —
+    * no listing, no per-file getFileStatus, no footer read; the plan
+    * goes through the stock parquet FileFormat path (pushdown, column
+    * pruning, codegen, maxPartitionBytes splitting off the logged
+    * sizes). Entries missing either fall back to the standard read. */
+  private def scan(spark: SparkSession, dir: String, snap: Snapshot,
+                   names: Seq[String],
+                   schemaOverride: Option[StructType] = None): DataFrame = {
+    require(names.nonEmpty, s"snapshot under $dir has no files")
+    val schema = schemaOverride.orElse(snap.schema)
+    val bySize = snap.dataFiles.map(f => f.name -> f.size).toMap
+    val sized = names.map(n => n -> bySize.getOrElse(n, -1L))
+    schema match {
+      case Some(sc) if sized.forall(_._2 >= 0) =>
+        org.apache.spark.sql.graftshim.LogFileIndex.frame(dir, sized, sc, spark)
+      case _ => readFiles(spark, dir, names, schema)
+    }
   }
 
   /** Snapshot scans take the schema FROM THE LOG ENTRY — no footer
@@ -576,8 +628,8 @@ object Snapshots {
         horizonError(spark, dir, sinceVersion)).files.toSet
     val fresh = lat.files.filterNot(base)
     if (fresh.isEmpty)
-      readFiles(spark, dir, lat.files, lat.schema).where(lit(false))
-    else readFiles(spark, dir, fresh, lat.schema)
+      scan(spark, dir, lat, lat.files).where(lit(false))
+    else scan(spark, dir, lat, fresh)
   }
 
   private def horizonError(spark: SparkSession, dir: String,
@@ -610,7 +662,7 @@ object Snapshots {
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     if (snap.files.size <= n) None
     else {
-      val packed = readFiles(spark, dir, snap.files, snap.schema).coalesce(n)
+      val packed = scan(spark, dir, snap, snap.files).coalesce(n)
       Some(commit(spark, dir, "compact",
         Rewrite(land(packed, dir), snap.version, snap.schema)))
     }
@@ -682,13 +734,22 @@ object Snapshots {
         // import bootstraps v1: pure inserts, no comparison to pay
         case op if op.startsWith("append") || op == "import" =>
           if (added.isEmpty) Nil
-          else Seq(tag(readFiles(spark, dir, added, cur.schema), "insert"))
+          else Seq(tag(scan(spark, dir, cur, added), "insert"))
         case "compact" | "zorder" => Nil
         case _ => // delete / upsert / overwrite: the exceptAll algebra
+          // pairSchema absent (legacy entry / unmergeable pair): BOTH
+          // sides must come off the same footer union, not each
+          // version's own schema — exceptAll needs one row shape
+          def side(of: Snapshot, names: Seq[String]): DataFrame =
+            pairSchema match {
+              case Some(ps) => scan(spark, dir, of, names,
+                schemaOverride = Some(ps))
+              case None => readFiles(spark, dir, names, None)
+            }
           val a = if (added.isEmpty) schema.where(lit(false))
-            else readFiles(spark, dir, added, pairSchema)
+            else side(cur, added)
           val r = if (removed.isEmpty) schema.where(lit(false))
-            else readFiles(spark, dir, removed, pairSchema)
+            else side(prev, removed)
           Seq(tag(r.exceptAll(a), "delete"), tag(a.exceptAll(r), "insert"))
       }
     }
@@ -754,15 +815,15 @@ object Snapshots {
                   cond: org.apache.spark.sql.Column): Option[Int] = {
     val snap = resolve(spark, dir, None)
     val (fs, root) = fsOf(spark, dir)
-    val cur = readFiles(spark, dir, snap.files, snap.schema)
+    val cur = scan(spark, dir, snap, snap.files)
     val touchedAbs = cur.where(cond)
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touchedAbs.isEmpty) None
     else {
       val touched = matchTouched(fs, root, snap.files, touchedAbs)
-      val untouched = snap.files.filterNot(touched.toSet)
-      val rewritten = readFiles(spark, dir, touched, snap.schema)
+      val untouched = snap.dataFiles.filterNot(f => touched.contains(f.name))
+      val rewritten = scan(spark, dir, snap, touched)
         .where(!coalesce(cond, lit(false)))
       Some(commit(spark, dir, "delete",
         Rewrite(untouched ++ land(rewritten, dir), snap.version, snap.schema)))
@@ -792,8 +853,8 @@ object Snapshots {
       touchedByKeys(spark, dir, snap, keyCol, k))
     if (touched.isEmpty) None
     else {
-      val untouched = snap.files.filterNot(touched.toSet)
-      val rewritten = readFiles(spark, dir, touched, snap.schema)
+      val untouched = snap.dataFiles.filterNot(f => touched.contains(f.name))
+      val rewritten = scan(spark, dir, snap, touched)
         .join(k, Seq(keyCol), "left_anti")
       Some(commit(spark, dir, "delete",
         Rewrite(untouched ++ land(rewritten, dir), snap.version, snap.schema)))
@@ -818,14 +879,14 @@ object Snapshots {
       .map(_.stripPrefix(s"$dir/"))
     if (candidates.isEmpty) return None
     val cond = col(column) >= lit(lo) && col(column) <= lit(hi)
-    val touchedAbs = readFiles(spark, dir, candidates, snap.schema)
+    val touchedAbs = scan(spark, dir, snap, candidates)
       .where(cond).select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet
     if (touchedAbs.isEmpty) None
     else {
       val touched = matchTouched(fs, root, snap.files, touchedAbs)
-      val untouched = snap.files.filterNot(touched.toSet)
-      val rewritten = readFiles(spark, dir, touched, snap.schema)
+      val untouched = snap.dataFiles.filterNot(f => touched.contains(f.name))
+      val rewritten = scan(spark, dir, snap, touched)
         .where(!coalesce(cond, lit(false)))
       Some(commit(spark, dir, "delete",
         Rewrite(untouched ++ land(rewritten, dir), snap.version, snap.schema)))
@@ -854,7 +915,7 @@ object Snapshots {
           .map(_.stripPrefix(s"$dir/"))
       }
     if (candidates.isEmpty) Set.empty
-    else readFiles(spark, dir, candidates, snap.schema)
+    else scan(spark, dir, snap, candidates)
       .select(col(keyCol), input_file_name().as("__f"))
       .join(keys, Seq(keyCol), "left_semi")
       .select(col("__f")).distinct()
@@ -945,10 +1006,10 @@ object Snapshots {
     val keys = updates.select(col(keyCol)).distinct()
     val touched = matchTouched(fs, root, snap.files,
       touchedByKeys(spark, dir, snap, keyCol, keys))
-    val untouched = snap.files.filterNot(touched.toSet)
+    val untouched = snap.dataFiles.filterNot(f => touched.contains(f.name))
     val survivors =
       if (touched.isEmpty) Seq.empty
-      else land(readFiles(spark, dir, touched, snap.schema)
+      else land(scan(spark, dir, snap, touched)
         .join(keys, Seq(keyCol), "left_anti"), dir)
     commit(spark, dir, "upsert",
       Rewrite(untouched ++ survivors ++ land(updates, dir),
@@ -982,9 +1043,9 @@ object Snapshots {
       Layout.statsManifestFiles(spark, snap.files.map(f => s"$dir/$f"),
         Seq(column)), column, lo, hi)
     if (files.isEmpty)
-      readFiles(spark, dir, snap.files, snap.schema).where(lit(false))
-    else readFiles(spark, dir, files.map(_.stripPrefix(s"$dir/")),
-      snap.schema.orElse(schemaOf(spark, dir, snap)))
+      scan(spark, dir, snap, snap.files).where(lit(false))
+    else scan(spark, dir, snap, files.map(_.stripPrefix(s"$dir/")),
+      schemaOverride = snap.schema.orElse(schemaOf(spark, dir, snap)))
   }
 
   private def resolve(spark: SparkSession, dir: String,
@@ -1028,7 +1089,7 @@ object Snapshots {
     val (fs, root) = fsOf(spark, dir)
     val bytes = snap.files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val cur = readFiles(spark, dir, snap.files, snap.schema)
+    val cur = scan(spark, dir, snap, snap.files)
     val framed =
       if (cols.size == 1)
         cur.repartitionByRange(n, col(cols.head))

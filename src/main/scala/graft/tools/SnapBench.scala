@@ -108,18 +108,27 @@ object SnapBench {
       times.sorted.apply(2)
     }
     Snapshots.read(spark, dir).count() // warm
-    val logged = timePlan()
-    // strip the schema: the same entry minus its schema field → the
-    // read falls back to the footer union (the pre-r19 path)
+    val zeroStat = timePlan() // schema + sizes logged: no FS call at all
     val entry = Snapshots.versions(spark, dir).head
     val log = new java.io.File(dir, "_graft_log")
-    java.nio.file.Files.writeString(
-      new java.io.File(log, "v00001.json").toPath,
-      s"""{"version":1,"op":"append","files":[""" +
-        entry.files.map(f => "\"" + f + "\"").mkString(",") + "]}")
+    def rewrite(keepSchema: Boolean): Unit = {
+      val schemaPart =
+        if (keepSchema) s""","schema":${entry.schema.get.json}""" else ""
+      java.nio.file.Files.writeString(
+        new java.io.File(log, "v00001.json").toPath,
+        s"""{"version":1,"op":"append","files":[""" +
+          entry.files.map(f => "\"" + f + "\"").mkString(",") +
+          "]" + schemaPart + "}")
+    }
+    // strip sizes only: explicit-schema read, one getFileStatus per file
+    rewrite(keepSchema = true)
+    Snapshots.read(spark, dir).count() // warm
+    val statted = timePlan()
+    // strip both: the pre-r19 footer-union path
+    rewrite(keepSchema = false)
     Snapshots.read(spark, dir).count() // warm
     val merged = timePlan()
-    println(f"""{"metric":"schema_from_log_plan","files":256,"logged_schema_sec":$logged%.3f,"footer_union_sec":$merged%.3f,"speedup":${merged / logged}%.2f}""")
+    println(f"""{"metric":"schema_from_log_plan","files":256,"zero_stat_sec":$zeroStat%.3f,"per_file_stat_sec":$statted%.3f,"footer_union_sec":$merged%.3f,"speedup_vs_footer":${merged / zeroStat}%.2f,"speedup_vs_stat":${statted / zeroStat}%.2f}""")
   }
 
   private def writers(spark: SparkSession): Unit = {

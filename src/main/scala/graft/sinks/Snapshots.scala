@@ -590,6 +590,16 @@ object Snapshots {
     }
   }
 
+  /** Total bytes of a snapshot: from the LOGGED sizes when the entry
+    * carries them (zero filesystem calls — the compact/zorder sizing
+    * decision is then pure metadata), one getFileStatus per file
+    * otherwise. */
+  private def bytesOf(fs: FileSystem, root: Path, snap: Snapshot): Long =
+    snap.dataFiles.map { f =>
+      if (f.size >= 0) f.size
+      else fs.getFileStatus(new Path(root, f.name)).getLen
+    }.sum
+
   /** Snapshot scans take the schema FROM THE LOG ENTRY — no footer
     * pass, no `mergeSchema` cost: the scan plans from one entry read
     * no matter how many thousand files the version holds, and files
@@ -658,7 +668,7 @@ object Snapshots {
     val snap = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no snapshots under $dir"))
     val (fs, root) = fsOf(spark, dir)
-    val bytes = snap.files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
+    val bytes = bytesOf(fs, root, snap)
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     if (snap.files.size <= n) None
     else {
@@ -1087,7 +1097,7 @@ object Snapshots {
     val snap = latest(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no snapshots under $dir"))
     val (fs, root) = fsOf(spark, dir)
-    val bytes = snap.files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
+    val bytes = bytesOf(fs, root, snap)
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val cur = scan(spark, dir, snap, snap.files)
     val framed =
@@ -1121,8 +1131,9 @@ object Snapshots {
     val (fs, root) = fsOf(spark, dir)
     val log = new Path(root, LogDir)
     val rows = versions(spark, dir).map { s =>
-      val bytes = s.files.map { f =>
-        try fs.getFileStatus(new Path(root, f)).getLen
+      val bytes = s.dataFiles.map { f =>
+        if (f.size >= 0) f.size
+        else try fs.getFileStatus(new Path(root, f.name)).getLen
         catch { case _: java.io.FileNotFoundException => 0L }
       }.sum
       val mtime = fs.getFileStatus(

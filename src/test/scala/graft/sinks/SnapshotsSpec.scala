@@ -682,6 +682,27 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == 3)
   }
 
+  test("zero-stat scan is a stock parquet scan: filters pushed, columns pruned, sizes logged") {
+    val dir = freshDir()
+    val rows = (1 to 1000).map(i => (i.toLong, s"doc $i", i % 7))
+      .toDF("id", "text", "grp")
+    Snapshots.writeAppend(rows.repartition(4), dir)
+    val snap = Snapshots.versions(spark, dir).last
+    assert(snap.sizes.isDefined && snap.sizes.get.forall(_ > 0),
+      "every commit logs real file sizes")
+    snap.dataFiles.foreach(f =>
+      assert(new java.io.File(dir, f.name).length == f.size,
+        s"${f.name}: logged ${f.size}"))
+    val df = Snapshots.read(spark, dir).where($"id" === 5L)
+      .select($"id", $"grp")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(id,5)"),
+      s"predicate must reach the parquet scan:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("text"),
+      s"projection must prune the unselected column:\n$plan")
+    assert(df.as[(Long, Int)].collect().toSeq == Seq(5L -> (5 % 7)))
+  }
+
   test("commit numbering survives a competing manual commit (optimistic retry)") {
     val dir = freshDir()
     val docs = Tables.load(spark, sf("sf0.001"), "documents")

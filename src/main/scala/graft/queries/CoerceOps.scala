@@ -1073,7 +1073,9 @@ object CoerceOps {
         maxVersionsPerTrigger = 2)
       .writeStream
       .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                     _: Long) => graft.sinks.Snapshots.applyChanges(df, rep, "doc_id"))
+                     _: Long) => {
+        graft.sinks.Snapshots.applyChanges(df, rep, "doc_id"); ()
+      })
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_repl_ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()

@@ -280,17 +280,25 @@ object Layout {
   /** Scan only the files [[pruneFiles]] keeps. The caller applies the
     * real predicate on top (file skipping is a superset guarantee, not
     * a filter); an all-pruned table returns the empty scan with the
-    * table's own schema. */
+    * table's own schema.
+    *
+    * `schema`: when the caller already KNOWS the table schema (a
+    * snapshot entry, a catalog) the pruned scan plans with it directly
+    * — zero footer reads at plan time. Only the schemaless call pays
+    * the distributed `mergeSchema` footer union, which is what keeps a
+    * schema-WIDENED directory honest there: a sampled-file schema
+    * would silently drop late-added columns from the pruned scan only
+    * (the log-backed Snapshots.prunedRead passes its entry's schema). */
   def prunedRead(spark: SparkSession, path: String, manifest: DataFrame,
-                 column: String, lo: Double, hi: Double): DataFrame = {
+                 column: String, lo: Double, hi: Double,
+                 schema: Option[StructType] = None): DataFrame = {
     val files = pruneFiles(manifest, column, lo, hi)
-    // mergeSchema matches the unpruned read of a schema-widened dir: a
-    // sampled-file schema would silently drop late-added columns from
-    // the pruned scan only (the log-backed Snapshots.prunedRead gets
-    // the same guarantee from its entry's schema instead)
-    if (files.isEmpty)
-      spark.read.option("mergeSchema", "true").parquet(path).where(lit(false))
-    else spark.read.option("mergeSchema", "true").parquet(files: _*)
+    def reader = schema match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read.option("mergeSchema", "true")
+    }
+    if (files.isEmpty) reader.parquet(path).where(lit(false))
+    else reader.parquet(files: _*)
   }
 
   /** Storage audit from the footer manifest — "which column eats the

@@ -55,17 +55,32 @@ class SnapshotSink extends StreamSinkProvider with DataSourceRegister {
     require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
       s"graft-snapshot supports Append (ingest) and Update (keyCol " +
         s"apply) output modes, got $outputMode")
-    new SnapshotBatchSink(dir, parameters.get("keyCol"))
+    // queryId: REQUIRED for multi-stream ingest into one table — it
+    // namespaces the exactly-once batch-id token per query (see
+    // Snapshots.writeAppendBatch's contract); without it the table
+    // admits exactly one batch-id-writing stream, ever
+    new SnapshotBatchSink(dir, parameters.get("keyCol"),
+      parameters.get("queryId"))
   }
 }
 
-private[sinks] class SnapshotBatchSink(dir: String, keyCol: Option[String])
+private[sinks] class SnapshotBatchSink(dir: String, keyCol: Option[String],
+                                       queryId: Option[String] = None)
     extends SinkV1 {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = org.apache.spark.sql.graftshim.StreamingFrame.asBatch(data)
     keyCol match {
-      case Some(k) => Snapshots.applyChanges(batch, dir, k)
-      case None => Snapshots.writeAppendBatch(batch, dir, batchId); ()
+      case Some(k) =>
+        // applyChanges runs SEVERAL actions over the batch (net-effect
+        // join, touched-file scans, landing) — persist so the trigger's
+        // incremental source plan executes once, not once per action
+        // (the documented foreachBatch discipline; correctness would
+        // otherwise also lean on every upstream source re-reading
+        // deterministically)
+        batch.persist()
+        try Snapshots.applyChanges(batch, dir, k, batchId = Some(batchId))
+        finally { batch.unpersist(); () }
+      case None => Snapshots.writeAppendBatch(batch, dir, batchId, queryId); ()
     }
   }
   override def toString: String = s"SnapshotSink[$dir]"

@@ -53,13 +53,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   *    always rebase, rewrites conflict).
   *
   * Filesystem scope: exclusive publication requires an atomic
-  * refuse-existing-destination primitive. POSIX `file:` (link(2)) and
-  * HDFS/viewfs (rename refuses an existing destination) have one;
-  * S3A-style object stores do NOT — rename there is copy+delete with
-  * no exclusivity guarantee (the reason Delta requires a
-  * conditional-write LogStore on S3). Commits on other schemes fail
-  * fast unless `spark.graft.snapshots.allowNonAtomicPublish=true`
-  * explicitly accepts single-writer-only operation.
+  * refuse-existing-destination primitive, abstracted behind the
+  * [[LogPublisher]] seam (the Delta LogStore idea). POSIX `file:`
+  * (link(2)) and HDFS/viewfs (rename refuses an existing destination)
+  * have built-ins; S3A-style object stores do NOT have one behind the
+  * rename API — a deployment supplies a conditional-write publisher
+  * (`spark.graft.snapshots.logPublisher=<class>` over S3
+  * If-None-Match / GCS ifGenerationMatch=0 / ABFS ETag) for full
+  * multi-writer safety, or accepts single-writer-only operation with
+  * `spark.graft.snapshots.allowNonAtomicPublish=true`; with neither,
+  * commits fail fast naming both options.
   *
   * Schema — validated at COMMIT, carried in the log. An append/upsert
   * whose schema TYPE-conflicts with the table (same column, different
@@ -269,7 +272,18 @@ object Snapshots {
     * ignored), new columns append — pure widening passes, a type
     * conflict fails naming the column path and both types. Stricter
     * than parquet's own footer merge on purpose: a type change commits
-    * once and then poisons every later read far from the fault. */
+    * once and then poisons every later read far from the fault.
+    *
+    * Name resolution is CASE-INSENSITIVE, matching Spark's default
+    * (`spark.sql.caseSensitive=false`) analyzer resolution: an append
+    * carrying `ID` onto a table with `id` is the SAME column (the
+    * table's casing wins in the merged schema; the parquet reader's
+    * own case-insensitive field matching then fills it from either
+    * physical spelling). Treating the variant as a new column would
+    * commit a merged schema with two same-name-modulo-case fields —
+    * a duplicate-column error on every later read, the exact
+    * poison-at-read failure this gate exists to prevent (Delta merges
+    * case-insensitively for the same reason). */
   private[sinks] def mergeSchemas(table: StructType, incoming: StructType,
                                   where: String, path: String = ""): StructType = {
     def conflict(p: String, a: DataType, b: DataType): Nothing =
@@ -288,19 +302,38 @@ object Snapshots {
           mergeType(p + ".value", x.valueType, y.valueType), valueContainsNull = true)
       case (x, y) => conflict(p.stripSuffix("."), x, y)
     }
-    val byName = table.fields.map(f => f.name -> f).toMap
+    def key(n: String): String = n.toLowerCase(java.util.Locale.ROOT)
+    // an incoming frame carrying BOTH spellings ('id' and 'ID') can
+    // never read back under case-insensitive resolution — refuse it
+    // here, where the write is, not at the eventual read
+    incoming.fields.groupBy(f => key(f.name)).find(_._2.length > 1)
+      .foreach { case (_, fs) =>
+        throw new IllegalArgumentException(
+          s"snapshot commit to $where: incoming schema has case-duplicate " +
+            s"columns ${fs.map(f => s"'$path${f.name}'").mkString(", ")} — " +
+            "unreadable under Spark's default case-insensitive resolution")
+      }
+    val byName = table.fields.map(f => key(f.name) -> f).toMap
     val merged = table.fields.map { f =>
-      incoming.fields.find(_.name == f.name) match {
+      incoming.fields.find(g => key(g.name) == key(f.name)) match {
         case Some(g) =>
           StructField(f.name, mergeType(path + f.name, f.dataType, g.dataType),
             nullable = true, f.metadata)
         case None => StructField(f.name, f.dataType, nullable = true, f.metadata)
       }
     }
-    val added = incoming.fields.filterNot(g => byName.contains(g.name))
+    val added = incoming.fields.filterNot(g => byName.contains(key(g.name)))
       .map(g => StructField(g.name, g.dataType, nullable = true, g.metadata))
     asNullable(StructType(merged ++ added)).asInstanceOf[StructType]
   }
+
+  /** Bootstrap schema for a table's FIRST write (and overwrite's
+    * schema reset): the degenerate merge onto an empty table —
+    * all-nullable like every logged schema, and the case-duplicate
+    * guard fires here too (a first write carrying both 'id' and 'ID'
+    * must be refused at the write, same as a later one). */
+  private def freshSchema(incoming: StructType, where: String): StructType =
+    mergeSchemas(StructType(Nil), incoming, where)
 
   /** A snapshot's table schema: from its entry, or (legacy entries
     * written before schemas were logged) one footer-union read. */
@@ -313,6 +346,37 @@ object Snapshots {
     }
 
   // ---------------------------------------------------------------- commit
+
+  /** Resolve the [[LogPublisher]] for this commit — the LogStore seam:
+    * an explicitly configured publisher wins on EVERY scheme (a
+    * deployment with a conditional-write store, or a spec injecting a
+    * race), then the built-in scheme defaults, then the documented
+    * single-writer escape, then fail-fast NAMING the config key — the
+    * realistic 100 TB substrate is an object store, and "supply a
+    * conditional-write publisher" is a deployment choice, not a dead
+    * end. */
+  private def publisherFor(spark: SparkSession, fs: FileSystem): LogPublisher =
+    spark.conf.getOption("spark.graft.snapshots.logPublisher") match {
+      case Some(cls) => LogPublisher.forName(cls)
+      case None => fs.getScheme match {
+        case "file" => LogPublisher.PosixLink
+        case "hdfs" | "viewfs" => LogPublisher.ExclusiveRename
+        case other =>
+          require(spark.conf.getOption(
+            "spark.graft.snapshots.allowNonAtomicPublish").contains("true"),
+            s"snapshot commit on scheme '$other' has no built-in " +
+              "atomic-exclusive publish primitive (object-store rename is " +
+              "copy+delete, two committers can both win one version — the " +
+              "hole Delta plugs with a conditional-write LogStore). Either " +
+              "set spark.graft.snapshots.logPublisher=<class implementing " +
+              "graft.sinks.LogPublisher> over this store's conditional " +
+              "write (S3 If-None-Match, GCS ifGenerationMatch=0, ABFS " +
+              "ETag) for full multi-writer safety, or set " +
+              "spark.graft.snapshots.allowNonAtomicPublish=true to accept " +
+              "SINGLE-WRITER-ONLY operation.")
+          LogPublisher.NonAtomic
+      }
+    }
 
   /** Publish the next version under optimistic concurrency. Appends
     * REBASE: the file list is recomputed from the fresh latest inside
@@ -336,7 +400,7 @@ object Snapshots {
           val tableSchema = cur.flatMap(schemaOf(spark, dir, _))
           val merged = tableSchema match {
             case Some(t) => mergeSchemas(t, incoming, dir)
-            case None => asNullable(incoming).asInstanceOf[StructType]
+            case None => freshSchema(incoming, dir)
           }
           (cur.map(_.dataFiles).getOrElse(Seq.empty) ++ delta, Some(merged))
         case Rewrite(fl, base, sch) =>
@@ -374,39 +438,10 @@ object Snapshots {
       // exclusive publication IS the commit: exactly one writer wins a
       // given version; the loser's temp is removed and it re-enters the
       // loop (where Append rebases and Rewrite detects the conflict).
-      //  - file:  POSIX rename REPLACES an existing destination, so the
-      //    exclusivity primitive is link(2) — hard-link creation is
-      //    atomic-exclusive;
-      //  - hdfs/viewfs: rename refuses an existing destination;
-      //  - anything else (S3A-style object stores): rename is a
-      //    non-atomic copy+delete with NO exclusive-destination
-      //    guarantee — two committers could both "win" one version, the
-      //    exact hole Delta plugs with a conditional-write LogStore.
-      //    Fail fast unless the caller explicitly accepts
-      //    single-writer-only operation.
-      val won = fs.getScheme match {
-        case "file" =>
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(dest.toUri.getPath),
-              java.nio.file.Paths.get(tmp.toUri.getPath))
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-          }
-        case "hdfs" | "viewfs" =>
-          !fs.exists(dest) && fs.rename(tmp, dest)
-        case other =>
-          require(spark.conf.getOption(
-            "spark.graft.snapshots.allowNonAtomicPublish").contains("true"),
-            s"snapshot commit on scheme '$other' has no atomic-exclusive " +
-              "publish primitive (object-store rename is copy+delete, two " +
-              "committers can both win one version). Supported: file, " +
-              "hdfs, viewfs. Set " +
-              "spark.graft.snapshots.allowNonAtomicPublish=true to accept " +
-              "SINGLE-WRITER-ONLY operation on this store.")
-          !fs.exists(dest) && fs.rename(tmp, dest)
-      }
+      // The primitive is the [[LogPublisher]] seam — built-ins for
+      // file:/HDFS, a configured conditional-write implementation for
+      // object stores, fail-fast otherwise.
+      val won = publisherFor(spark, fs).publishExclusive(fs, tmp, dest)
       fs.delete(tmp, false) // the link published a second name; drop ours
       if (won) return v
       attempt += 1
@@ -515,19 +550,38 @@ object Snapshots {
     * consumer never reads a half-written micro-batch — the parquet
     * `_spark_metadata` contract, but shared with every batch reader of
     * the same table. Returns the committed version, or None for a
-    * replay skip. */
-  def writeAppendBatch(df: DataFrame, dir: String,
-                       batchId: Long): Option[Int] = {
+    * replay skip.
+    *
+    * CONTRACT — the idempotency token is `(queryId, batchId)`, and the
+    * default `queryId = None` scopes it to the bare batch id, GLOBAL to
+    * the table: without a queryId, one table admits exactly ONE
+    * batch-id-writing stream, ever. A second stream (or the same query
+    * restarted with a FRESH checkpoint dir, which resets batch ids to
+    * 0) would collide on ids already committed and have its batches
+    * silently skipped as replays — silent data loss. Multi-stream
+    * ingest into one table MUST pass a distinct stable `queryId` per
+    * query (the `graft-snapshot` sink's `queryId` option; Delta scopes
+    * its streaming txn the same way, per-writer `(appId, version)`). */
+  def writeAppendBatch(df: DataFrame, dir: String, batchId: Long,
+                       queryId: Option[String] = None): Option[Int] = {
     val spark = df.sparkSession
-    val op = s"append-batch-$batchId"
+    queryId.foreach(q => require(q.nonEmpty && !q.exists(c =>
+      c < ' ' || "\",[]".contains(c)),
+      s"writeAppendBatch: queryId not representable in the log: '$q'"))
+    val prefix = queryId.fold("append-batch-")(q => s"append-batch-$q-")
+    val op = s"$prefix$batchId"
     // replay check without a full history parse: Structured Streaming
     // replays the LATEST uncommitted batch, so the newest entry decides
     // the common case in O(1); only a batch id at-or-below the newest
     // committed one (recovery from an old checkpoint) pays the full
-    // scan to confirm
+    // scan to confirm. The numeric-suffix guard keeps OTHER queries'
+    // namespaced ops (or ours seen without the namespace) out of the
+    // fast path — they fall through to the exact full-history check.
     val newestBatch = latest(spark, dir).map(_.op).collect {
-      case o if o.startsWith("append-batch-") =>
-        o.stripPrefix("append-batch-").toLong
+      case o if o.startsWith(prefix) &&
+        o.stripPrefix(prefix).nonEmpty &&
+        o.stripPrefix(prefix).forall(_.isDigit) =>
+        o.stripPrefix(prefix).toLong
     }
     // careful: a maintenance commit (compact/zorder) may sit on top of
     // the replayed batch — only a NEWER batch id on the newest entry
@@ -555,7 +609,7 @@ object Snapshots {
     val base = latest(spark, dir).map(_.version).getOrElse(0)
     commit(spark, dir, "overwrite",
       Rewrite(land(df, dir), base,
-        Some(asNullable(df.schema).asInstanceOf[StructType])))
+        Some(freshSchema(df.schema, dir))))
   }
 
   /** Read the table at `version` (default: latest). The file list is
@@ -943,19 +997,50 @@ object Snapshots {
     * per key (the last version wins): for each key only the rows of its
     * newest `_commit_version` in the batch count — an insert there is
     * the key's final value (upserted), a delete with no insert beside
-    * it means the key is gone ([[deleteKeys]]). Within one version an
-    * updated key carries delete(old)+insert(new); the insert wins by
-    * construction. Replayed batches (streaming crash recovery)
-    * re-apply to the same state — delete-by-key and upsert-by-key are
+    * it means the key is gone. Within one version an updated key
+    * carries delete(old)+insert(new); the insert wins by construction.
+    *
+    * Application is ONE commit (`op = apply-batch-N` when `batchId` is
+    * given, else `apply-changes`): files holding any affected key are
+    * rewritten without those keys, the net inserts land beside, and a
+    * single Rewrite flips the pointer — so every replica version
+    * corresponds to SOME source version (a reader pinning any replica
+    * version never sees a deletes-applied-upserts-pending intermediate
+    * state), and the replica's own CDC feed emits exactly one entry
+    * per applied batch. Replay safety is layered: with `batchId`
+    * (the `graft-snapshot` sink passes the streaming batch id) a
+    * replayed batch finds its op already committed and lands NOTHING —
+    * batch-id-exact like [[writeAppendBatch]]; without it, replays
+    * still converge because delete-by-key and upsert-by-key are
     * value-idempotent. Contract: the table is key-unique (the
-    * [[upsert]] contract); multi-row keys need a bespoke applier. */
-  def applyChanges(batch: DataFrame, dir: String, keyCol: String): Unit = {
+    * [[upsert]] contract); multi-row keys need a bespoke applier.
+    * Returns the committed version, None for a replay skip or an
+    * effect-free batch. */
+  def applyChanges(batch: DataFrame, dir: String, keyCol: String,
+                   batchId: Option[Long] = None): Option[Int] = {
+    val spark = batch.sparkSession
     val cols = batch.columns
     require(cols.contains("_change_type") && cols.contains("_commit_version"),
       "applyChanges expects the changes()/graft-cdc shape " +
         s"(_change_type, _commit_version); got: ${cols.mkString(", ")}")
     require(cols.contains(keyCol), s"applyChanges: key column '$keyCol' " +
       s"not in batch (has: ${cols.sorted.mkString(", ")})")
+    val op = batchId.fold("apply-changes")(id => s"apply-batch-$id")
+    // batch-id replay check, the writeAppendBatch shape: the newest
+    // entry decides the common crash-replay case in O(1); only an id
+    // at-or-below the newest applied one confirms against full history
+    if (batchId.isDefined) {
+      val newestApplied = latest(spark, dir).map(_.op).collect {
+        case o if o.startsWith("apply-batch-") &&
+          o.stripPrefix("apply-batch-").forall(_.isDigit) =>
+          o.stripPrefix("apply-batch-").toLong
+      }
+      val replayed = newestApplied match {
+        case Some(n) if batchId.get > n => false
+        case _ => versions(spark, dir).exists(_.op == op)
+      }
+      if (replayed) return None
+    }
     // alias both sides: `last` derives from `batch`, so unqualified
     // columns would trip the ambiguous-self-join check
     val b = batch.as("__cdc_b")
@@ -969,15 +1054,33 @@ object Snapshots {
       .drop("_change_type", "_commit_version")
     // replica bootstrap: the first applied batch CREATES the table —
     // there is nothing to delete from, net inserts are the whole state
-    if (latest(batch.sparkSession, dir).isEmpty) {
-      if (!inserts.isEmpty) { writeAppend(inserts, dir); () }
-      return
+    if (latest(spark, dir).isEmpty) {
+      return if (inserts.isEmpty) None
+      else Some(commit(spark, dir, op,
+        Append(land(inserts, dir), inserts.schema)))
     }
-    val gone = net.where(col("_change_type") === "delete")
-      .select(col(keyCol)).distinct()
-      .join(inserts.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    deleteKeys(batch.sparkSession, dir, keyCol, gone)
-    if (!inserts.isEmpty) { upsert(inserts, dir, keyCol); () }
+    val snap = resolve(spark, dir, None)
+    val (fs, root) = fsOf(spark, dir)
+    val hasInserts = !inserts.isEmpty
+    val schema =
+      if (!hasInserts) snap.schema
+      else schemaOf(spark, dir, snap)
+        .map(t => mergeSchemas(t, inserts.schema, dir))
+        .orElse(Some(freshSchema(inserts.schema, dir)))
+    // ALL affected keys in one touched-file search: a deleted key's
+    // file and an upserted key's file rewrite in the same pass
+    val keys = net.select(col(keyCol)).distinct()
+    val touched = matchTouched(fs, root, snap.files,
+      touchedByKeys(spark, dir, snap, keyCol, keys))
+    if (touched.isEmpty && !hasInserts) return None
+    val untouched = snap.dataFiles.filterNot(f => touched.contains(f.name))
+    val survivors =
+      if (touched.isEmpty) Seq.empty
+      else land(scan(spark, dir, snap, touched)
+        .join(keys, Seq(keyCol), "left_anti"), dir)
+    val landed = if (hasInserts) land(inserts, dir) else Seq.empty
+    Some(commit(spark, dir, op,
+      Rewrite(untouched ++ survivors ++ landed, snap.version, schema)))
   }
 
   /** Copy-on-write UPSERT by key — the MERGE "update or insert" case:
@@ -1012,7 +1115,7 @@ object Snapshots {
     if (updates.isEmpty) return snap.version
     val schema = schemaOf(spark, dir, snap)
       .map(t => mergeSchemas(t, updates.schema, dir))
-      .orElse(Some(asNullable(updates.schema).asInstanceOf[StructType]))
+      .orElse(Some(freshSchema(updates.schema, dir)))
     val keys = updates.select(col(keyCol)).distinct()
     val touched = matchTouched(fs, root, snap.files,
       touchedByKeys(spark, dir, snap, keyCol, keys))
@@ -1196,6 +1299,23 @@ object Snapshots {
         st.getPath.getName.startsWith("_staging_") &&
         st.getModificationTime < cutoff)
       .foreach(st => fs.delete(st.getPath, true))
+    // ORPHAN data files: landed by land() but never committed — every
+    // rewrite that loses its optimistic race (deleteWhere/upsert/
+    // compact throw ConcurrentModificationException AFTER landing
+    // their output) and every crash between land and commit leaves
+    // uuid-landed files referenced by NO log entry. Swept here under
+    // the same age guard (a concurrent writer's seconds-old landed
+    // files are mid-commit, not debris). Matches are restricted to
+    // land()'s own `tag-NNNNN.parquet` name shape, so adopted
+    // (importDir) files with foreign names are never touched.
+    val landedName = "[0-9a-f]{8}-\\d{5}\\.parquet".r
+    fs.listStatus(root).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        !st.isDirectory && landedName.pattern.matcher(n).matches() &&
+          !live(n) && st.getModificationTime < cutoff
+      }
+      .foreach(st => fs.delete(st.getPath, false))
     // same guard for commit temp entries: a committer killed between
     // writing `.tmp-*` and publishing strands an unparsed file in the
     // log dir (losers of live races delete their own temp; only a

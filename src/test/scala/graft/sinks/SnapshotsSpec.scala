@@ -716,4 +716,117 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.writeAppend(docs.limit(5), dir) == 3)
     assert(Snapshots.versions(spark, dir).map(_.version) == Seq(1, 2, 3))
   }
+
+  // ---- round 17: case-insensitive schema gate, queryId namespacing,
+  //      atomic applyChanges, orphan-file vacuum ----
+
+  test("schema gate resolves case-insensitively: 'ID' onto 'id' is the same column") {
+    val dir = freshDir()
+    Snapshots.writeAppend(Seq((1L, "a")).toDF("id", "text"), dir)
+    Snapshots.writeAppend(Seq((2L, "b")).toDF("ID", "text"), dir)
+    // the merged schema has ONE column, the table's casing — a
+    // case-variant duplicate would poison every later read
+    val sch = Snapshots.versions(spark, dir).last.schema.get
+    assert(sch.fieldNames.toSeq == Seq("id", "text"), sch.treeString)
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 2)
+    // the late file's physical 'ID' fills 'id' (Spark's own
+    // case-insensitive parquet field resolution)
+    assert(t.where($"id" === 2).as[(Long, String)].collect().toSeq ==
+      Seq(2L -> "b"))
+    // a case-variant TYPE conflict is still a commit-time conflict
+    val e = intercept[IllegalArgumentException](
+      Snapshots.writeAppend(Seq(("x", "c")).toDF("ID", "text"), dir))
+    assert(e.getMessage.contains("type conflicts"), e.getMessage)
+    // one frame carrying BOTH spellings can never read back — refused
+    // at the write, even as a table's FIRST write
+    val dup = Seq((1L, 2L, "x")).toDF("id", "ID", "text")
+    val e2 = intercept[IllegalArgumentException](Snapshots.writeAppend(dup, dir))
+    assert(e2.getMessage.contains("case-duplicate"), e2.getMessage)
+    // a FIRST write is refused too — by Spark's own parquet writer
+    // (COLUMN_ALREADY_EXISTS) before our commit-time gate even runs;
+    // either door closing is fine, it must not commit
+    val e3 = intercept[Exception](Snapshots.writeAppend(dup, freshDir()))
+    assert(e3.getMessage.contains("case-duplicate") ||
+      e3.getMessage.toLowerCase.contains("already exists"), e3.getMessage)
+  }
+
+  test("writeAppendBatch: queryId namespaces the exactly-once token per stream") {
+    val dir = freshDir()
+    val b = Seq((1L, "a")).toDF("id", "text")
+    // two streams, each starting at batch 0, share one table: without
+    // the namespace the second stream's batch 0 would be silently
+    // skipped as a replay — data loss
+    assert(Snapshots.writeAppendBatch(b, dir, 0L, Some("qA")).contains(1))
+    assert(Snapshots.writeAppendBatch(b, dir, 0L, Some("qB")).contains(2))
+    // replay within ONE stream still skips (id-exact)
+    assert(Snapshots.writeAppendBatch(b, dir, 0L, Some("qA")).isEmpty)
+    assert(Snapshots.writeAppendBatch(b, dir, 1L, Some("qA")).contains(3))
+    // the un-namespaced token is not confused by namespaced ops
+    assert(Snapshots.writeAppendBatch(b, dir, 0L).contains(4))
+    assert(Snapshots.writeAppendBatch(b, dir, 0L).isEmpty)
+    assert(Snapshots.read(spark, dir).count() == 4)
+    assert(Snapshots.versions(spark, dir).map(_.op) == Seq(
+      "append-batch-qA-0", "append-batch-qB-0", "append-batch-qA-1",
+      "append-batch-0"))
+  }
+
+  test("applyChanges is ONE commit per batch; every replica version equals SOME source version") {
+    val src = freshDir(); val rep = freshDir()
+    Snapshots.writeAppend(Seq((1L, "one"), (2L, "two")).toDF("id", "text"), src) // s1
+    Snapshots.upsert(Seq((2L, "TWO")).toDF("id", "text"), src, "id")             // s2
+    Snapshots.deleteWhere(spark, src, $"id" === 1)                               // s3
+    Snapshots.writeAppend(Seq((4L, "four")).toDF("id", "text"), src)             // s4
+    // two multi-commit batches: (0,2] then (2,4]
+    assert(Snapshots.applyChanges(
+      Snapshots.changes(spark, src, 0, Some(2)), rep, "id",
+      batchId = Some(0L)).contains(1))
+    assert(Snapshots.applyChanges(
+      Snapshots.changes(spark, src, 2, Some(4)), rep, "id",
+      batchId = Some(1L)).contains(2))
+    val repVs = Snapshots.versions(spark, rep)
+    // exactly ONE replica version per applied batch — the old
+    // deleteKeys+upsert pair produced intermediate states matching no
+    // source version and two CDC entries per batch
+    assert(repVs.map(_.op) == Seq("apply-batch-0", "apply-batch-1"),
+      repVs.map(_.op).toString)
+    def state(dir: String, v: Int) = Snapshots.read(spark, dir, Some(v))
+      .as[(Long, String)].collect().toSet
+    val srcStates = (1 to 4).map(v => state(src, v)).toSet
+    repVs.foreach(rv => assert(srcStates.contains(state(rep, rv.version)),
+      s"replica v${rv.version} = ${state(rep, rv.version)} matches no " +
+        s"source version"))
+    assert(state(rep, 2) == Set(2L -> "TWO", 4L -> "four"))
+    // batch-id-exact replay: the replayed batch lands NOTHING
+    assert(Snapshots.applyChanges(
+      Snapshots.changes(spark, src, 2, Some(4)), rep, "id",
+      batchId = Some(1L)).isEmpty)
+    assert(Snapshots.versions(spark, rep).size == 2)
+  }
+
+  test("vacuum sweeps aged ORPHAN data files (landed, never committed) and spares the rest") {
+    val dir = freshDir()
+    Snapshots.writeAppend(Seq((1L, "a")).toDF("id", "text"), dir)
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000
+    // an aged uuid-landed orphan — the lost-race / crash-between-land-
+    // and-commit debris class
+    val orphan = new java.io.File(dir, "deadbeef-00001.parquet")
+    java.nio.file.Files.writeString(orphan.toPath, "junk")
+    assert(orphan.setLastModified(old))
+    // a YOUNG uuid-landed file: a concurrent writer mid-commit — spared
+    val young = new java.io.File(dir, "cafebabe-00001.parquet")
+    java.nio.file.Files.writeString(young.toPath, "junk")
+    // an aged file with a FOREIGN name (adopted/imported shape) — never
+    // touched by the orphan sweep
+    val foreign = new java.io.File(dir, "part-woah.parquet")
+    java.nio.file.Files.writeString(foreign.toPath, "junk")
+    assert(foreign.setLastModified(old))
+    Snapshots.vacuum(spark, dir, keepVersions = 1,
+      strandedStagingMs = 3600 * 1000)
+    assert(!orphan.exists, "aged orphan must be swept")
+    assert(young.exists, "young landed file is a live commit in flight")
+    assert(foreign.exists, "foreign names are not ours to sweep")
+    // committed files are untouched
+    assert(Snapshots.read(spark, dir).count() == 1)
+  }
 }

@@ -125,7 +125,7 @@ class CdcStreamSpec extends SparkSpec {
       val q = Snapshots.readChangesStream(spark, src, maxVersionsPerTrigger = 2)
         .writeStream
         .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) => Snapshots.applyChanges(df, rep, "id"))
+                       _: Long) => { Snapshots.applyChanges(df, rep, "id"); () })
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(180000)

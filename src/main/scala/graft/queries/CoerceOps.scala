@@ -1137,7 +1137,39 @@ object CoerceOps {
     """SELECT doc_id, source, n_chars
       |FROM documents WHERE lang <> 'fr'""".stripMargin
 
+  // -- q249: clustered upsert on a STRING key — q245's scale shape
+  // reaching the most common real key (doc ids/UUIDs/URLs): the table
+  // lands range-clustered on a derived string key, the update batch's
+  // key range bounds the touched-file search through LOG-RESIDENT
+  // string bounds (r17: zero footer reads at op time), and only the
+  // hit files rewrite. Values oracle-pinned as a CASE replay; the
+  // bounded-rewrite behavior is pinned in SnapshotStatsSpec and
+  // measured in the SnapBench clusupstr row. --
+  private val q249: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_snapclupstr_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("doc_key",
+        concat(lit("doc-"), lpad($"doc_id".cast("string"), 8, "0")))
+    graft.sinks.Snapshots.writeOverwrite(
+      docs.repartitionByRange(8, $"doc_key"), out)
+    val updates = docs.where($"doc_id" < 100)
+      .withColumn("n_chars", $"n_chars" + 1)
+    graft.sinks.Snapshots.upsert(updates, out, "doc_key")
+    graft.sinks.Snapshots.read(s, out)
+      .select($"doc_key", $"lang", $"n_chars")
+  }
+  private val q249Sql =
+    """SELECT concat('doc-', lpad(CAST(doc_id AS VARCHAR), 8, '0')) AS doc_key,
+      |  lang,
+      |  CASE WHEN doc_id < 100 THEN n_chars + 1 ELSE n_chars END AS n_chars
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q249_string_key_clustered_upsert" -> q249,
     "q242_concurrent_appends" -> q242,
     "q246_cdc_replication" -> q246,
     "q247_ttl_delete" -> q247,
@@ -1176,6 +1208,7 @@ object CoerceOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q249_string_key_clustered_upsert" -> q249Sql,
     "q241_snapshot_changes" -> q241Sql,
     "q236_snapshot_time_travel" -> q236Sql,
     "q237_incremental_scan" -> q237Sql,

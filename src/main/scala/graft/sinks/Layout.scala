@@ -192,8 +192,10 @@ object Layout {
   /** Footer → manifest rows for one file. Statistics across row groups
     * fold with min-of-mins/max-of-maxs; ANY row group without valid
     * stats for a column nulls that column's bounds (a partial bound
-    * would prune wrongly). */
-  private def readFooterStats(file: String,
+    * would prune wrongly). `private[sinks]` so [[Snapshots]]' land-time
+    * stats can read a HANDFUL of fresh footers on the driver without a
+    * Spark job (the distributed path stays the rule for real manifests). */
+  private[sinks] def readFooterStats(file: String,
                               conf: org.apache.hadoop.conf.Configuration,
                               wanted: Set[String]): Seq[Row] = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -272,6 +274,29 @@ object Layout {
       .where(col("column") === column &&
         col("min_num").isNotNull && col("max_num").isNotNull &&
         (col("max_num") < lit(lo) || col("min_num") > lit(hi)))
+      .select(col("file")).distinct()
+    all.join(excluded, Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** [[pruneFiles]] for a STRING column — the doc-id/UUID/URL key
+    * shape: a file is excluded only when its UTF-8-ordered footer
+    * bounds provably miss `[lo, hi]`. Parquet string min/max are
+    * unsigned-byte-ordered (UTF-8 binary); JVM `String` comparison is
+    * UTF-16-code-unit-ordered — the two agree on every BMP code point
+    * and disagree only past it, so bounds CONTAINING SURROGATES are
+    * treated as absent (file kept), never compared wrongly. Same
+    * superset guarantee as the numeric form: callers re-apply the
+    * predicate. */
+  def pruneFilesStr(manifest: DataFrame, column: String,
+                    lo: String, hi: String): Seq[String] = {
+    val all = manifest.select(col("file")).distinct()
+    val noSurrogate = (c: Column) => !c.rlike("[\\ud800-\\udfff]")
+    val excluded = manifest
+      .where(col("column") === column &&
+        col("min_str").isNotNull && col("max_str").isNotNull &&
+        noSurrogate(col("min_str")) && noSurrogate(col("max_str")) &&
+        (col("max_str") < lit(lo) || col("min_str") > lit(hi)))
       .select(col("file")).distinct()
     all.join(excluded, Seq("file"), "left_anti")
       .collect().map(_.getString(0)).toSeq.sorted

@@ -26,10 +26,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   * parse history they don't touch — a streaming ingest at 10^5
   * micro-batch commits pays O(1) entry reads per [[addedSince]] poll,
   * flat in total commit count. The trade is entry size: O(live files)
-  * per commit instead of O(delta), bounded in practice by [[compact]]
-  * (which shrinks the live list) and [[vacuum]] (which drops expired
-  * entries). Full-history parses ([[versions]]) remain only where
-  * history IS the answer: vacuum and operator-facing listings.
+  * per commit instead of O(delta) — MEASURED (SnapBench `entrycost`,
+  * one-row append onto fabricated bases, sizes + 2-col bounds logged):
+  * ~98 bytes/file — 9.7 KB entry / 0.23 s commit at 10^2 files,
+  * 96 KB / 0.26 s at 10^3, 978 KB / 0.33 s at 10^4 — so "flat-cost
+  * commits" holds in COMMIT COUNT and degrades gently in FILE count
+  * (+0.1 s and ~1 MB of log IO per commit at 10^4 files). Bounded in
+  * practice by [[compact]] (which shrinks the live list) and [[vacuum]]
+  * (which drops expired entries); a 10^5+-file estate that cannot
+  * compact is where Delta's delta-entries-plus-checkpoint layout
+  * becomes the right trade, and adopting it (keeping direct addressing
+  * for checkpoint entries) is the documented next step, not a silent
+  * cliff. Full-history parses ([[versions]]) remain only where history
+  * IS the answer: vacuum and operator-facing listings.
   *
   * Concurrency — the commit protocol. A commit publishes the next
   * `vNNNNN.json` through an ATOMIC-EXCLUSIVE primitive (hard-link
@@ -112,18 +121,37 @@ object Snapshots {
   private val LogDir = "_graft_log"
   private val VersionRe = "v(\\d{5})\\.json".r
 
+  /** Per-file column bounds AS LOGGED — what moves pruning from
+    * O(files) footer round-trips per operation to zero IO (the Delta
+    * per-file `stats` JSON idea, the sizes-in-the-log precedent
+    * extended). Bounds are always VALID bounds, never exact values:
+    * a [[StrStat]] max of a truncated string is the truncation
+    * prefix with its last code point incremented (the Iceberg
+    * `truncate`-transform upper-bound trick), so `max < lo` remains a
+    * sound exclusion test. */
+  sealed trait ColStat
+  final case class NumStat(min: Double, max: Double) extends ColStat
+  final case class StrStat(min: String, max: String) extends ColStat
+
   /** One data file as the log knows it. `size` -1 = unknown (an entry
-    * written before sizes were logged, or a hand-authored one). */
-  final case class DataFile(name: String, size: Long = -1L)
+    * written before sizes were logged, or a hand-authored one);
+    * `stats` empty = no bounds logged (pre-r17 entry, ineligible
+    * columns, or a stats-disabled writer) — pruning keeps the file. */
+  final case class DataFile(name: String, size: Long = -1L,
+                            stats: Map[String, ColStat] = Map.empty)
 
   final case class Snapshot(version: Int, op: String, files: Seq[String],
                             schema: Option[StructType] = None,
-                            sizes: Option[Seq[Long]] = None) {
-    /** files with their logged sizes (−1 where unknown). */
-    def dataFiles: Seq[DataFile] = sizes match {
-      case Some(sz) if sz.size == files.size =>
-        files.zip(sz).map { case (f, s) => DataFile(f, s) }
-      case _ => files.map(DataFile(_))
+                            sizes: Option[Seq[Long]] = None,
+                            stats: Option[Seq[Map[String, ColStat]]] = None) {
+    /** files with their logged sizes (−1 where unknown) and bounds
+      * (empty where unknown). */
+    def dataFiles: Seq[DataFile] = {
+      val sz = sizes.filter(_.size == files.size)
+        .getOrElse(files.map(_ => -1L))
+      val st = stats.filter(_.size == files.size)
+        .getOrElse(files.map(_ => Map.empty[String, ColStat]))
+      files.lazyZip(sz).lazyZip(st).map(DataFile(_, _, _))
     }
   }
 
@@ -187,13 +215,80 @@ object Snapshots {
             s"snapshot log entry schema is not a struct: $other")
         }
     }
-    Snapshot(v, op, files, schema, sizes)
+    Snapshot(v, op, files, schema, sizes, parseStatsBlock(s, files.size))
+  }
+
+  /** Locate and parse the entry's `"stats":[...]` block: one object
+    * per file, aligned with `files`. Defensive like the sizes parse —
+    * the literal `"stats":[` can in principle also appear inside the
+    * trailing schema json (a field's metadata map), so the parse
+    * validates shape (balanced region, object per file, exact file
+    * count, known stat kinds) and an invalid block degrades to None
+    * (no bounds logged → pruning keeps every file), never to a wrong
+    * bound. */
+  private def parseStatsBlock(s: String,
+                              nFiles: Int): Option[Seq[Map[String, ColStat]]] = {
+    val i = s.indexOf("\"stats\":[")
+    if (i < 0) None
+    else scala.util.Try {
+      val start = i + 8 // at '['
+      var depth = 0
+      var j = start
+      var inStr = false
+      var end = -1
+      while (end < 0 && j < s.length) {
+        val c = s.charAt(j)
+        if (inStr) { if (c == '"') inStr = false }
+        else c match {
+          case '"' => inStr = true
+          case '[' | '{' => depth += 1
+          case ']' | '}' =>
+            depth -= 1; if (depth == 0) end = j
+          case _ =>
+        }
+        j += 1
+      }
+      require(end > start, "unbalanced stats block")
+      val parsed = JsonLite.parse(s.substring(start, end + 1))
+      val arr = parsed.asInstanceOf[Seq[Any]]
+      require(arr.size == nFiles, s"stats count ${arr.size} != $nFiles files")
+      arr.map { o =>
+        o.asInstanceOf[Map[String, Any]].map { case (colName, v) =>
+          val kinds = v.asInstanceOf[Map[String, Any]]
+          val stat: ColStat =
+            if (kinds.contains("n")) {
+              val Seq(lo, hi) = kinds("n").asInstanceOf[Seq[Any]]
+                .map(_.asInstanceOf[Double])
+              NumStat(lo, hi)
+            } else {
+              val Seq(lo, hi) = kinds("s").asInstanceOf[Seq[Any]]
+                .map(x => new String(
+                  java.util.Base64.getDecoder.decode(x.asInstanceOf[String]),
+                  java.nio.charset.StandardCharsets.UTF_8))
+              StrStat(lo, hi)
+            }
+          colName -> stat
+        }
+      }
+    }.toOption
+  }
+
+  private def renderStat(st: ColStat): String = st match {
+    case NumStat(lo, hi) => s"""{"n":[$lo,$hi]}"""
+    case StrStat(lo, hi) =>
+      def b64(x: String) = java.util.Base64.getEncoder.encodeToString(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"""{"s":["${b64(lo)}","${b64(hi)}"]}"""
   }
 
   private def render(s: Snapshot): String =
     s"""{"version":${s.version},"op":"${s.op}","files":[""" +
       s.files.map(f => "\"" + f + "\"").mkString(",") + "]" +
       s.sizes.map(sz => s""","sizes":[${sz.mkString(",")}]""").getOrElse("") +
+      s.stats.map(st => s""","stats":[""" + st.map(m =>
+        "{" + m.toSeq.sortBy(_._1).map { case (c, v) =>
+          s""""$c":${renderStat(v)}"""
+        }.mkString(",") + "}").mkString(",") + "]").getOrElse("") +
       s.schema.map(st => s""","schema":${st.json}""").getOrElse("") + "}"
 
   /** All committed snapshots, ascending. Full-history parse — vacuum
@@ -426,12 +521,16 @@ object Snapshots {
         s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       val sorted = files.sortBy(_.name)
       // sizes are logged all-or-nothing: one unknown (-1, a legacy base
-      // rebased onto) drops the whole vector rather than lying
+      // rebased onto) drops the whole vector rather than lying.
+      // stats are PER-FILE optional (a stat-less file is simply
+      // unprunable), so a mixed legacy+fresh list logs what it has.
       val sizes = Option(sorted.map(_.size)).filter(sz =>
         sz.nonEmpty && sz.forall(_ >= 0))
+      val stats = Option(sorted.map(_.stats)).filter(_.exists(_.nonEmpty))
       val out = fs.create(tmp, false)
-      try out.write(render(Snapshot(v, op, sorted.map(_.name), schema, sizes))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(
+        render(Snapshot(v, op, sorted.map(_.name), schema, sizes, stats))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val dest = new Path(log, f"v$v%05d.json")
       racePoint(attempt)
@@ -451,10 +550,10 @@ object Snapshots {
   }
 
   /** Land `df` as immutable data files beside the existing ones (no
-    * commit yet); returns the new files' relative names. Files write to
-    * a `_`-prefixed staging dir and rename in under fresh uuid names,
-    * so a crash strands invisible garbage, never a half-landed file
-    * ([[vacuum]] sweeps strays). */
+    * commit yet); returns the new files' relative names, sizes, and
+    * per-file column bounds. Files write to a `_`-prefixed staging dir
+    * and rename in under fresh uuid names, so a crash strands invisible
+    * garbage, never a half-landed file ([[vacuum]] sweeps strays). */
   private def land(df: DataFrame, dir: String): Seq[DataFile] = {
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, dir)
@@ -471,7 +570,173 @@ object Snapshots {
         DataFile(name, st.getLen) // sizes ride into the log: zero-stat reads
     }
     fs.delete(staging, true)
-    names
+    attachStats(spark, dir, df.schema, names)
+  }
+
+  // --------------------------------------------------------- file stats
+
+  /** Cap on logged string bounds: longer values truncate (min: plain
+    * prefix — a valid lower bound; max: prefix with the last code
+    * point incremented — a valid upper bound, the Iceberg truncate
+    * transform). Bounds entry size without giving up pruning on the
+    * id/UUID/URL key shapes that matter. */
+  private val StatStrCap = 64
+
+  /** How many columns ride bounds into each entry by default —
+    * first-N in schema order, the Delta `dataSkippingNumIndexedCols`
+    * idea at a size-conscious default (entry bytes are O(files ×
+    * statted columns); `spark.graft.snapshots.statsColumns` pins the
+    * exact set when the defaults miss the clustered key). */
+  private val StatsColsCap = 16
+
+  private val ReservedStatNames =
+    Set("version", "op", "files", "sizes", "stats", "schema")
+
+  /** Columns whose per-file bounds are logged: the configured list
+    * (`spark.graft.snapshots.statsColumns`, comma-separated; empty
+    * string disables stats entirely), else the first [[StatsColsCap]]
+    * top-level numeric/string columns. Eligibility is structural:
+    * token-safe ASCII names only (the hand-rolled entry format's
+    * terms), no collision with the entry's own field names, no
+    * timestamps/dates (their footer stats are in physical units —
+    * micros/days — while the key-range prune compares logical casts;
+    * refusing them is how a unit mismatch never mis-prunes). */
+  private def statColumns(spark: SparkSession,
+                          schema: StructType): Seq[String] = {
+    def eligible(f: StructField): Boolean =
+      (f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        f.dataType == org.apache.spark.sql.types.StringType) &&
+        f.name.nonEmpty &&
+        f.name.forall(c => (c.isLetterOrDigit && c < 128) || c == '_') &&
+        !ReservedStatNames(f.name)
+    spark.conf.getOption("spark.graft.snapshots.statsColumns") match {
+      case Some(csv) =>
+        val want = csv.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        schema.fields.filter(f => want(f.name) && eligible(f))
+          .map(_.name).toSeq
+      case None =>
+        schema.fields.filter(eligible).take(StatsColsCap).map(_.name).toSeq
+    }
+  }
+
+  /** Per-file column bounds for freshly landed files — ONE distributed
+    * footer pass over the NEW files only, at write time (the Delta
+    * stats-on-write shape): each file pays its footer read once in its
+    * lifetime, and every later pruning op ([[upsert]]/[[deleteKeys]]/
+    * [[deleteRange]]/[[prunedRead]]) reads bounds from the entry with
+    * ZERO filesystem calls — vs the per-OPERATION O(table-files)
+    * footer manifest the legacy path pays. */
+  private def attachStats(spark: SparkSession, dir: String,
+                          schema: StructType,
+                          files: Seq[DataFile]): Seq[DataFile] = {
+    val cols = statColumns(spark, schema)
+    if (cols.isEmpty || files.isEmpty) files
+    else {
+      // a handful of fresh footers read on the driver (no job-launch
+      // overhead per micro-commit); bulk landings (compact/zorder of a
+      // big table) go through the distributed manifest pass
+      val rows: Seq[org.apache.spark.sql.Row] =
+        if (files.size <= 16) {
+          val hconf = spark.sessionState.newHadoopConf()
+          files.flatMap(f =>
+            Layout.readFooterStats(s"$dir/${f.name}", hconf, cols.toSet))
+        } else Layout.statsManifestFiles(spark,
+          files.map(f => s"$dir/${f.name}"), cols).collect().toSeq
+      val byFile = rows.groupBy(_.getString(0))
+      files.map { f =>
+        val sts = byFile.getOrElse(s"$dir/${f.name}",
+          Seq.empty[org.apache.spark.sql.Row]).flatMap { r =>
+          val stat: Option[ColStat] =
+            if (!r.isNullAt(3) && !r.isNullAt(4)) {
+              val (lo, hi) = (r.getDouble(3), r.getDouble(4))
+              if (lo.isNaN || hi.isNaN) None else Some(NumStat(lo, hi))
+            } else if (!r.isNullAt(5) && !r.isNullAt(6))
+              strStat(r.getString(5), r.getString(6))
+            else None
+          stat.map(r.getString(2) -> _)
+        }.toMap
+        f.copy(stats = sts)
+      }
+    }
+  }
+
+  /** String bounds for the log, if representable: BMP-only (parquet
+    * orders strings by UTF-8 bytes, the JVM by UTF-16 code units —
+    * the two agree on every BMP code point and diverge only past it,
+    * so supplementary-plane bounds are dropped rather than compared
+    * wrongly), capped at [[StatStrCap]] with a sound truncated upper
+    * bound. None = this file-column is unprunable; never a lie. */
+  private def strStat(lo: String, hi: String): Option[ColStat] = {
+    def bmp(x: String) = x.forall(c => c < '\ud800' || c > '\udfff')
+    if (!bmp(lo) || !bmp(hi)) None
+    else truncatedUpper(hi).map(h => StrStat(lo.take(StatStrCap), h))
+  }
+
+  /** A valid UPPER bound for `s` within [[StatStrCap]] chars: `s`
+    * itself when short enough, else the truncation prefix with its
+    * rightmost incrementable char bumped (skipping increments that
+    * would land in the surrogate range). None when no char can bump —
+    * the caller drops the stat. */
+  private def truncatedUpper(s: String): Option[String] =
+    if (s.length <= StatStrCap) Some(s)
+    else {
+      val p = s.substring(0, StatStrCap).toCharArray
+      var i = p.length - 1
+      var out: Option[String] = None
+      while (out.isEmpty && i >= 0) {
+        val n = p(i) + 1
+        if (n <= 0xFFFF && (n < 0xD800 || n > 0xDFFF)) {
+          p(i) = n.toChar
+          out = Some(new String(p, 0, i + 1))
+        }
+        i -= 1
+      }
+      out
+    }
+
+  /** Files of `snap` that MAY hold `column` ∈ [lo, hi] — the pruning
+    * router: bounds from the LOG entry when it carries any (zero IO —
+    * stats attached at land time), the distributed footer manifest
+    * otherwise (legacy/imported entries). Keep-if-unknown superset
+    * semantics throughout: a file without a logged bound for the
+    * column stays a candidate, so pruning can only save work, never
+    * change an answer. */
+  private def pruneCandidatesNum(spark: SparkSession, dir: String,
+                                 snap: Snapshot, column: String,
+                                 lo: Double, hi: Double): Seq[String] = {
+    val dfs = snap.dataFiles
+    if (dfs.exists(_.stats.nonEmpty))
+      dfs.filter(f => f.stats.get(column) match {
+        case Some(NumStat(mn, mx)) => !(mx < lo || mn > hi)
+        case _ => true
+      }).map(_.name)
+    else Layout.pruneFiles(
+      Layout.statsManifestFiles(spark, snap.files.map(f => s"$dir/$f"),
+        Seq(column)), column, lo, hi)
+      .map(_.stripPrefix(s"$dir/"))
+  }
+
+  /** [[pruneCandidatesNum]] for STRING columns — what lets a takedown
+    * or upsert keyed by doc ids/UUIDs/URLs (the most common key shape)
+    * bound its touched-file search. Non-BMP query bounds keep every
+    * file (the order-regime guard, same as [[strStat]]). */
+  private def pruneCandidatesStr(spark: SparkSession, dir: String,
+                                 snap: Snapshot, column: String,
+                                 lo: String, hi: String): Seq[String] = {
+    def bmp(x: String) = x.forall(c => c < '\ud800' || c > '\udfff')
+    if (!bmp(lo) || !bmp(hi)) snap.files
+    else {
+      val dfs = snap.dataFiles
+      if (dfs.exists(_.stats.nonEmpty))
+        dfs.filter(f => f.stats.get(column) match {
+          case Some(StrStat(mn, mx)) => !(mx < lo || mn > hi)
+          case _ => true
+        }).map(_.name)
+      else Layout.pruneFilesStr(
+        Layout.statsManifestFiles(spark, snap.files.map(f => s"$dir/$f"),
+          Seq(column)), column, lo, hi)
+        .map(_.stripPrefix(s"$dir/"))
+    }
   }
 
   /** ADOPT an existing plain-parquet directory as version 1 — the
@@ -937,10 +1202,7 @@ object Snapshots {
                   lo: Double, hi: Double): Option[Int] = {
     val snap = resolve(spark, dir, None)
     val (fs, root) = fsOf(spark, dir)
-    val candidates = Layout.pruneFiles(
-      Layout.statsManifestFiles(spark, snap.files.map(f => s"$dir/$f"),
-        Seq(column)), column, lo, hi)
-      .map(_.stripPrefix(s"$dir/"))
+    val candidates = pruneCandidatesNum(spark, dir, snap, column, lo, hi)
     if (candidates.isEmpty) return None
     val cond = col(column) >= lit(lo) && col(column) <= lit(hi)
     val touchedAbs = scan(spark, dir, snap, candidates)
@@ -957,27 +1219,32 @@ object Snapshots {
     }
   }
 
-  /** Touched-file search shared by [[upsert]]/[[deleteKeys]]: which of
-    * the snapshot's files hold a row whose `keyCol` appears in `keys`.
-    * Numeric keys manifest-prune the candidate set to the keys' min/max
-    * range first (one footer pass, zero data); the scan then semi-joins
-    * only the candidates. Returns `input_file_name` URIs. */
+  /** Touched-file search shared by [[upsert]]/[[deleteKeys]]/
+    * [[applyChanges]]: which of the snapshot's files hold a row whose
+    * `keyCol` appears in `keys`. NUMERIC and STRING keys both prune
+    * the candidate set to the keys' min/max range first — from the
+    * log entry's per-file bounds when present (zero IO), the footer
+    * manifest otherwise; the scan then semi-joins only the candidates.
+    * On a key-clustered table a contiguous key batch therefore scans
+    * only the files its range hits, whatever the key's type. Returns
+    * `input_file_name` URIs. */
   private def touchedByKeys(spark: SparkSession, dir: String, snap: Snapshot,
                             keyCol: String, keys: DataFrame): Set[String] = {
-    val keyIsNumeric = keys.schema(keyCol).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val candidates: Seq[String] =
-      if (!keyIsNumeric) snap.files
-      else {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    val candidates: Seq[String] = keys.schema(keyCol).dataType match {
+      case _: NumericType =>
         val mm = keys.agg(min(col(keyCol)).cast("double"),
           max(col(keyCol)).cast("double")).head()
         if (mm.isNullAt(0)) Seq.empty // all-NULL keys match no existing row
-        else Layout.pruneFiles(
-          Layout.statsManifestFiles(spark,
-            snap.files.map(f => s"$dir/$f"), Seq(keyCol)),
-          keyCol, mm.getDouble(0), mm.getDouble(1))
-          .map(_.stripPrefix(s"$dir/"))
-      }
+        else pruneCandidatesNum(spark, dir, snap, keyCol,
+          mm.getDouble(0), mm.getDouble(1))
+      case StringType =>
+        val mm = keys.agg(min(col(keyCol)), max(col(keyCol))).head()
+        if (mm.isNullAt(0)) Seq.empty
+        else pruneCandidatesStr(spark, dir, snap, keyCol,
+          mm.getString(0), mm.getString(1))
+      case _ => snap.files
+    }
     if (candidates.isEmpty) Set.empty
     else scan(spark, dir, snap, candidates)
       .select(col(keyCol), input_file_name().as("__f"))
@@ -1141,23 +1408,38 @@ object Snapshots {
   }
 
   /** Snapshot-pinned file-skipping scan: only the version's files whose
-    * footer bounds may hold `column ∈ [lo, hi]` are opened
-    * ([[Layout.pruneFiles]] semantics — missing stats keep a file, the
-    * caller re-applies the predicate). The kept files read under the
-    * SNAPSHOT's schema, so a schema-widened table returns the same
-    * columns pruned or not (late-added columns NULL-fill rather than
-    * silently vanish). After [[optimizeZorder]] this is the full
-    * lakehouse read path: log → manifest → skip → scan. */
+    * bounds may hold `column ∈ [lo, hi]` are opened — bounds from the
+    * LOG ENTRY when it carries them (plan cost = one entry read, zero
+    * further IO; every r17+ commit logs them at land time), the footer
+    * manifest otherwise ([[Layout.pruneFiles]] semantics either way —
+    * missing stats keep a file, the caller re-applies the predicate).
+    * The kept files read under the SNAPSHOT's schema, so a
+    * schema-widened table returns the same columns pruned or not
+    * (late-added columns NULL-fill rather than silently vanish). After
+    * [[optimizeZorder]] this is the full lakehouse read path:
+    * log → bounds → skip → scan. */
   def prunedRead(spark: SparkSession, dir: String, column: String,
                  lo: Double, hi: Double,
                  version: Option[Int] = None): DataFrame = {
     val snap = resolve(spark, dir, version)
-    val files = Layout.pruneFiles(
-      Layout.statsManifestFiles(spark, snap.files.map(f => s"$dir/$f"),
-        Seq(column)), column, lo, hi)
+    val files = pruneCandidatesNum(spark, dir, snap, column, lo, hi)
     if (files.isEmpty)
       scan(spark, dir, snap, snap.files).where(lit(false))
-    else scan(spark, dir, snap, files.map(_.stripPrefix(s"$dir/")),
+    else scan(spark, dir, snap, files,
+      schemaOverride = snap.schema.orElse(schemaOf(spark, dir, snap)))
+  }
+
+  /** [[prunedRead]] for a STRING column — the id/UUID/URL range scan
+    * (e.g. "all docs of one crawl prefix") with the same
+    * log-bounds-first, footer-fallback, superset-guarantee contract. */
+  def prunedReadStr(spark: SparkSession, dir: String, column: String,
+                    lo: String, hi: String,
+                    version: Option[Int] = None): DataFrame = {
+    val snap = resolve(spark, dir, version)
+    val files = pruneCandidatesStr(spark, dir, snap, column, lo, hi)
+    if (files.isEmpty)
+      scan(spark, dir, snap, snap.files).where(lit(false))
+    else scan(spark, dir, snap, files,
       schemaOverride = snap.schema.orElse(schemaOf(spark, dir, snap)))
   }
 

@@ -44,35 +44,129 @@ object SnapBench {
     mode match {
       case "writers" => writers(spark)
       case "polls" => polls(spark)
-      case "clusup" => clusup(spark, args(1))
+      case "clusup" => clusup(spark, args(1), stringKey = false)
+      case "clusupstr" => clusup(spark, args(1), stringKey = true)
       case "schemaread" => schemaread(spark)
+      case "statsearch" => statsearch(spark)
+      case "entrycost" => entrycost(spark)
       case other => System.err.println(s"unknown mode: $other")
     }
     spark.stop()
   }
 
+  /** `statsearch`: what log-resident bounds buy a PRUNING OP at 256
+    * files — the r17 sibling of the `schemaread` row. The same
+    * key-range prune (the [[Snapshots.upsert]]/deleteKeys touched-file
+    * SEARCH) runs once against the entry's logged bounds (zero
+    * filesystem calls) and once with the stats stripped from the entry
+    * (the legacy per-op footer-manifest pass: one footer round trip
+    * per candidate file — on an object store, one NETWORK round trip
+    * per file per operation). */
+  private def statsearch(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = freshDir()
+    val rows = (0 until 65536).map(i => (i.toLong, s"row $i")).toDF("id", "text")
+    Snapshots.writeAppend(rows.repartitionByRange(256, col("id")), dir)
+    val files = Snapshots.versions(spark, dir).head.files.size
+    def timePrune(): Double = {
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        val kept = Snapshots.prunedRead(spark, dir, "id", 1000, 1999)
+          .inputFiles.length
+        require(kept <= 8, s"prune failed: $kept files kept")
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(2)
+    }
+    Snapshots.read(spark, dir).count() // warm
+    timePrune() // warm the prune path itself
+    val logSec = timePrune()
+    // strip the stats block: the SAME question now pays the footer pass
+    val entry = new java.io.File(new java.io.File(dir, "_graft_log"),
+      "v00001.json")
+    val s = java.nio.file.Files.readString(entry.toPath)
+    val stripped = s.replaceAll(""","stats":\[.*?\](?=,"schema")""", "")
+    require(stripped != s, "entry had no stats block")
+    java.nio.file.Files.writeString(entry.toPath, stripped)
+    timePrune() // warm
+    val footerSec = timePrune()
+    println(f"""{"metric":"prune_search_sec","files":$files,"log_stats_sec":$logSec%.3f,"footer_stats_sec":$footerSec%.3f,"speedup":${footerSec / logSec}%.1f}""")
+  }
+
+  /** `entrycost`: the judged question behind "flat-cost commits" —
+    * every entry is a FULL-STATE checkpoint, so one one-row append to
+    * a table of N files writes an entry of O(N) bytes and parses one
+    * O(N) predecessor. This measures exactly that commit path at
+    * N = 10^2/10^3/10^4 by fabricating the predecessor entry (file
+    * NAMES, sizes, and per-file bounds — the commit never opens base
+    * data files, so the fabrication measures the true metadata cost)
+    * and timing a real `writeAppend` of one row on top. */
+  private def entrycost(spark: SparkSession): Unit = {
+    import spark.implicits._
+    def run(n: Int): (Long, Double) = {
+      val dir = freshDir()
+      new java.io.File(dir, "_graft_log").mkdirs()
+      val schema = Seq((0L, "x")).toDF("id", "text").schema
+      val files = (0 until n).map(i => f"fab$i%08x-00000.parquet")
+      val sizes = files.indices.map(_ => 1048576L)
+      val stats = files.indices.map(i =>
+        s"""{"id":{"n":[${i * 100}.0,${i * 100 + 99}.0]},""" +
+          s""""text":{"s":["cm93","cm95"]}}""")
+      val entry = s"""{"version":1,"op":"append","files":[""" +
+        files.map(f => "\"" + f + "\"").mkString(",") +
+        s"""],"sizes":[${sizes.mkString(",")}],"stats":[""" +
+        stats.mkString(",") + s"""],"schema":${schema.json}}"""
+      java.nio.file.Files.writeString(
+        new java.io.File(new java.io.File(dir, "_graft_log"),
+          "v00001.json").toPath, entry)
+      val t0 = System.nanoTime()
+      require(Snapshots.writeAppend(Seq((1L, "row")).toDF("id", "text"),
+        dir) == 2)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val bytes = new java.io.File(new java.io.File(dir, "_graft_log"),
+        "v00002.json").length
+      (bytes, sec)
+    }
+    run(100) // warm codegen + parquet write path once
+    val out = Seq(100, 1000, 10000).map { n =>
+      val (bytes, sec) = run(n)
+      s""""files_$n":{"entry_bytes":$bytes,"commit_sec":${f"$sec%.3f"}}"""
+    }
+    println(s"""{"metric":"entry_cost_vs_file_count",${out.mkString(",")}}""")
+  }
+
   /** `clusup <sfDir>`: the SAME fixed 100-key update batch upserted
     * into the documents corpus twice — once key-CLUSTERED
-    * (optimizeZorderN on doc_id), once hash-spread — at whatever scale
+    * (optimizeZorderN on the key), once hash-spread — at whatever scale
     * `sfDir` holds (sf0.1, /tmp/scale_x10, /tmp/scale_x100). With
-    * manifest-pruned touched-file search + range clustering, the
-    * clustered upsert's scan AND rewrite are bounded by the key range
-    * (flat across scales); the spread layout pays the corpus-wide
-    * worst case q240 documents. Prints seconds + files rewritten. */
-  private def clusup(spark: SparkSession, sfDir: String): Unit = {
+    * range-pruned touched-file search (log-resident bounds since r17)
+    * + range clustering, the clustered upsert's scan AND rewrite are
+    * bounded by the key range (flat across scales); the spread layout
+    * pays the corpus-wide worst case q240 documents. Prints seconds +
+    * files rewritten. `clusupstr` runs the identical shape on a
+    * DERIVED STRING key (`doc-%08d`) — the doc-id/UUID key shape the
+    * r16 numeric-only prune could not bound. */
+  private def clusup(spark: SparkSession, sfDir: String,
+                     stringKey: Boolean): Unit = {
     import org.apache.spark.sql.functions._
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val lo = docs.agg(min(col("doc_id"))).head().getLong(0)
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (docs, key) =
+      if (stringKey)
+        (raw.withColumn("doc_key", concat(lit("doc-"),
+          lpad(col("doc_id").cast("string"), 12, "0"))), "doc_key")
+      else (raw, "doc_id")
+    val lo = raw.agg(min(col("doc_id"))).head().getLong(0)
     val updates = docs.where(col("doc_id") < lo + 100)
       .withColumn("n_chars", col("n_chars") + 1)
     def run(cluster: Boolean): (Double, Int, Int) = {
       val dir = freshDir()
-      Snapshots.writeOverwrite(docs.repartition(32, col("doc_id")), dir)
+      Snapshots.writeOverwrite(docs.repartition(32, col(key)), dir)
       if (cluster)
-        Snapshots.optimizeZorderN(spark, dir, Seq("doc_id"), 4L * 1024 * 1024)
+        Snapshots.optimizeZorderN(spark, dir, Seq(key), 4L * 1024 * 1024)
       val before = Snapshots.versions(spark, dir).last
       val t0 = System.nanoTime()
-      Snapshots.upsert(updates, dir, "doc_id")
+      Snapshots.upsert(updates, dir, key)
       val sec = (System.nanoTime() - t0) / 1e9
       val after = Snapshots.versions(spark, dir).last
       val rewritten = before.files.count(f => !after.files.contains(f))
@@ -81,7 +175,9 @@ object SnapBench {
     run(cluster = true); run(cluster = false) // discard: codegen/IO warmup
     val (cSec, cRew, cTot) = run(cluster = true)
     val (sSec, sRew, sTot) = run(cluster = false)
-    println(f"""{"metric":"clustered_upsert","sf_dir":"$sfDir","clustered_sec":$cSec%.2f,"clustered_files_rewritten":$cRew,"clustered_files_total":$cTot,"spread_sec":$sSec%.2f,"spread_files_rewritten":$sRew,"spread_files_total":$sTot}""")
+    val metric = if (stringKey) "clustered_upsert_string_key"
+      else "clustered_upsert"
+    println(f"""{"metric":"$metric%s","sf_dir":"$sfDir","clustered_sec":$cSec%.2f,"clustered_files_rewritten":$cRew,"clustered_files_total":$cTot,"spread_sec":$sSec%.2f,"spread_files_rewritten":$sRew,"spread_files_total":$sTot}""")
   }
 
   /** `schemaread`: what logging the schema buys at PLAN time — a

@@ -1168,8 +1168,68 @@ object CoerceOps {
       |  CASE WHEN doc_id < 100 THEN n_chars + 1 ELSE n_chars END AS n_chars
       |FROM documents""".stripMargin
 
+  // -- q250: SQL over a snapshot table (graft.sql.SnapshotCatalog) —
+  // the stock-Spark door the storage layer gained in r17: the query
+  // path is PURE spark.sql against a DSv2 catalog; plan = logged file
+  // list + logged schema through the stock parquet scan (pushdown,
+  // pruning, vectorized). Oracle re-derives the aggregate from the
+  // raw table, so the hash pins that the catalog resolves exactly the
+  // committed snapshot. --
+  private val q250: Q = (s, dir) => {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_sqlcat_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    s.conf.set("spark.sql.catalog.graft", "graft.sql.SnapshotCatalog")
+    val docs = Tables.load(s, dir, "documents")
+    graft.sinks.Snapshots.writeOverwrite(docs, out)
+    s.sql(
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM graft.`$out`
+         |WHERE n_chars > 100
+         |GROUP BY lang""".stripMargin)
+  }
+  private val q250Sql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE n_chars > 100 GROUP BY lang""".stripMargin
+
+  // -- q251: SQL TIME TRAVEL (VERSION AS OF) — q236's two-version
+  // read expressed with zero Scala in the query path: v1 commits the
+  // non-German corpus, v2 appends German, and one SQL statement
+  // unions `VERSION AS OF 1` with the latest. The oracle re-derives
+  // both versions from the raw table, so a leaked v2 file into the
+  // pinned v1 read breaks the hash — the catalog's version pinning
+  // under the same proof as the Scala API's. --
+  private val q251: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_sqltt_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    s.conf.set("spark.sql.catalog.graft", "graft.sql.SnapshotCatalog")
+    val docs = Tables.load(s, dir, "documents")
+    graft.sinks.Snapshots.writeOverwrite(docs.where($"lang" =!= "de"), out)
+    graft.sinks.Snapshots.writeAppend(docs.where($"lang" === "de"), out)
+    s.sql(
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, 1 AS version
+         |FROM graft.`$out` VERSION AS OF 1 GROUP BY lang
+         |UNION ALL
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, 2 AS version
+         |FROM graft.`$out` GROUP BY lang""".stripMargin)
+  }
+  private val q251Sql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, 1 AS version
+      |FROM documents WHERE lang <> 'de' GROUP BY lang
+      |UNION ALL
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, 2 AS version
+      |FROM documents GROUP BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q249_string_key_clustered_upsert" -> q249,
+    "q250_sql_snapshot_read" -> q250,
+    "q251_sql_time_travel" -> q251,
     "q242_concurrent_appends" -> q242,
     "q246_cdc_replication" -> q246,
     "q247_ttl_delete" -> q247,
@@ -1209,6 +1269,8 @@ object CoerceOps {
 
   val oracle: Map[String, String] = Map(
     "q249_string_key_clustered_upsert" -> q249Sql,
+    "q250_sql_snapshot_read" -> q250Sql,
+    "q251_sql_time_travel" -> q251Sql,
     "q241_snapshot_changes" -> q241Sql,
     "q236_snapshot_time_travel" -> q236Sql,
     "q237_incremental_scan" -> q237Sql,

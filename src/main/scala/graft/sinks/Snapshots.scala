@@ -1443,6 +1443,41 @@ object Snapshots {
       schemaOverride = snap.schema.orElse(schemaOf(spark, dir, snap)))
   }
 
+  /** Public resolution door for integrations (the SQL catalog, ops
+    * tooling): the pinned [[Snapshot]] at `version` (default latest) —
+    * same direct-addressed read and same fail-loud horizon errors as
+    * every internal consumer. */
+  def snapshotAt(spark: SparkSession, dir: String,
+                 version: Option[Int] = None): Snapshot =
+    resolve(spark, dir, version)
+
+  /** `TIMESTAMP AS OF` resolution: the newest version whose commit
+    * file's modification time is at or before `tsMillis` — the log's
+    * only timestamp (ordering truth remains the VERSION; the mtime is
+    * operational context, same caveat as [[history]]). One directory
+    * listing, no entry parse. Fails naming the retained range when
+    * nothing that old is retained. */
+  def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Int = {
+    val (fs, root) = fsOf(spark, dir)
+    val log = new Path(root, LogDir)
+    val cands =
+      if (!fs.exists(log)) Seq.empty
+      else fs.listStatus(log).toSeq.flatMap(st => st.getPath.getName match {
+        case VersionRe(n) if st.getModificationTime <= tsMillis =>
+          Some(n.toInt)
+        case _ => None
+      })
+    if (cands.isEmpty) {
+      val range = retainedRange(spark, dir)
+        .map { case (lo, hi) => s"retained versions: $lo..$hi" }
+        .getOrElse("no versions retained")
+      throw new IllegalArgumentException(
+        s"no snapshot under $dir committed at or before " +
+          s"${new java.sql.Timestamp(tsMillis)} ($range)")
+    }
+    cands.max
+  }
+
   private def resolve(spark: SparkSession, dir: String,
                       version: Option[Int]): Snapshot =
     version match {

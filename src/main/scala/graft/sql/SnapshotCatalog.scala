@@ -1,0 +1,198 @@
+package graft.sql
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sinks.Snapshots
+
+/** The SQL surface over [[graft.sinks.Snapshots]] tables — a DSv2
+  * `TableCatalog` so the one stock Spark door the storage layer was
+  * missing exists: `spark.sql`, BI tools, and time travel all work
+  * with ZERO Scala in the query path.
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sql.SnapshotCatalog")
+  *   // optional name resolution root:
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/tables")
+  *
+  *   spark.sql("SELECT * FROM graft.`/data/tables/docs`")          // latest
+  *   spark.sql("SELECT * FROM graft.docs VERSION AS OF 3")         // time travel
+  *   spark.sql("SELECT * FROM graft.docs TIMESTAMP AS OF '2026-01-01'")
+  * }}}
+  *
+  * Identifier resolution: a name that looks like a path (leading `/`
+  * or a `scheme://`) IS the table directory — the `delta.\`/path\``
+  * idiom; otherwise the name resolves under the configured
+  * `warehouse` root (namespaces become subdirectories).
+  *
+  * Loading PINS a snapshot: the returned table is one immutable file
+  * set, so a SQL query planned against it never sees a torn read no
+  * matter what commits land while it runs — exactly the
+  * [[Snapshots.read]] guarantee, now holding for SQL. The scan itself
+  * goes through [[org.apache.spark.sql.graftshim.SnapshotScanShim]]:
+  * file names, sizes, and schema come from the LOG ENTRY (zero
+  * filesystem calls at plan time for r19+ entries), and execution is
+  * Spark's own DSv2 parquet scan — pushdown, pruning, vectorized
+  * reading, split math off the logged sizes.
+  *
+  * READ-ONLY by design: every write is a versioned commit with
+  * rebase/conflict semantics that SQL `INSERT` cannot express — the
+  * write surface is the [[Snapshots]] API (and the `graft-snapshot`
+  * streaming sink); the mutation DDL here fails fast saying so. */
+class SnapshotCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: Option[String] = None
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def isPath(n: String): Boolean =
+    n.startsWith("/") || n.contains("://")
+
+  private def dirFor(ident: Identifier): String = {
+    val n = ident.name()
+    if (isPath(n)) {
+      require(ident.namespace().isEmpty,
+        s"path identifiers take no namespace: ${ident.namespace().mkString(".")}.$n")
+      n
+    } else warehouse match {
+      case Some(w) => (w +: ident.namespace().toSeq :+ n).mkString("/")
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  private def load(ident: Identifier, version: Option[Int],
+                   asOfMillis: Option[Long]): Table = {
+    val dir = dirFor(ident)
+    try {
+      val v = asOfMillis.map(ts => Snapshots.versionAsOf(spark, dir, ts))
+        .orElse(version)
+      new SnapshotTable(s"$catalogName.${ident.name()}", dir,
+        Snapshots.snapshotAt(spark, dir, v), spark)
+    } catch {
+      case e: IllegalArgumentException =>
+        // no log under the dir, vacuumed/unknown version, or nothing
+        // old enough for the timestamp — NoSuchTable with the cause
+        throw new NoSuchTableException(
+          errorClass = "TABLE_OR_VIEW_NOT_FOUND",
+          messageParameters = Map("relationName" ->
+            s"`$catalogName`.`${ident.name()}` (${e.getMessage})"),
+        cause = Some(e))
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None, None)
+
+  /** `VERSION AS OF n` — the version is the log's own number. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    require(version.nonEmpty && version.forall(_.isDigit),
+      s"VERSION AS OF on a snapshot table takes the integer log " +
+        s"version, got '$version'")
+    load(ident, Some(version.toInt), None)
+  }
+
+  /** `TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident, None, Some(timestamp / 1000L))
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { load(ident, None, None); true }
+    catch { case _: NoSuchTableException => false }
+
+  /** Tables = subdirectories of the warehouse namespace dir that have
+    * a snapshot log. Path-identified tables are unlisted by nature. */
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    warehouse match {
+      case None => Array.empty
+      case Some(w) =>
+        val dir = new Path((w +: namespace.toSeq).mkString("/"))
+        val fs = dir.getFileSystem(
+          spark.sessionState.newHadoopConf())
+        if (!fs.exists(dir)) Array.empty
+        else fs.listStatus(dir).toSeq
+          .filter(st => st.isDirectory &&
+            fs.exists(new Path(st.getPath, "_graft_log")))
+          .map(st => Identifier.of(namespace, st.getPath.getName))
+          .toArray
+    }
+
+  private def readOnly(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$catalogName is a READ surface over snapshot tables; $what goes " +
+        "through the versioned commit API (graft.sinks.Snapshots: " +
+        "writeAppend/writeOverwrite/upsert/deleteWhere/...) or the " +
+        "graft-snapshot streaming sink")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean =
+    readOnly("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+}
+
+/** One PINNED snapshot as a DSv2 table: schema from the log entry
+  * (footer-union fallback for legacy entries), scans through the
+  * zero-filesystem-call [[org.apache.spark.sql.graftshim.SnapshotScanShim]]
+  * path. */
+private[sql] class SnapshotTable(tableName: String, dir: String,
+                                 snap: Snapshots.Snapshot,
+                                 spark: SparkSession)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+
+  override lazy val schema: StructType = snap.schema.getOrElse(
+    spark.read.option("mergeSchema", "true")
+      .parquet(snap.files.map(f => s"$dir/$f"): _*).schema)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put(TableCatalog.PROP_LOCATION, dir)
+    m.put("snapshot.version", snap.version.toString)
+    m.put("snapshot.op", snap.op)
+    m
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // sizes from the entry when logged (zero-stat planning); one
+    // getFileStatus per file only for legacy entries
+    val fs = new Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val sized = snap.dataFiles.map { f =>
+      val len = if (f.size >= 0) f.size
+        else fs.getFileStatus(new Path(new Path(dir), f.name)).getLen
+      f.name -> len
+    }
+    org.apache.spark.sql.graftshim.SnapshotScanShim.scanBuilder(
+      spark, dir, sized, schema, options)
+  }
+}

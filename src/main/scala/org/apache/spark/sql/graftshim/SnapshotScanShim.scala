@@ -1,0 +1,55 @@
+package org.apache.spark.sql.graftshim
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, PartitionSpec, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The DSv2 read path for snapshot tables — what lets
+  * `spark.sql("SELECT … FROM graft.\`/path\` VERSION AS OF 3")` plan
+  * exactly like the Scala-API [[LogFileIndex]] scan: the log entry
+  * already knows every file's NAME and SIZE, so the index is built
+  * from those pairs (no listing, no per-file getFileStatus, no footer
+  * read when the schema is logged) and handed to Spark's own
+  * `ParquetScanBuilder` — everything downstream is the stock DSv2
+  * parquet scan: filter pushdown, column pruning, vectorized reading,
+  * `maxPartitionBytes` split math off the logged sizes.
+  *
+  * Lives beside [[LogFileIndex]] in the `org.apache.spark.sql`
+  * namespace because `ParquetScanBuilder`/`PartitioningAwareFileIndex`
+  * are `sql`-internal — the same conventional connector seam. */
+object SnapshotScanShim {
+
+  def scanBuilder(spark: SparkSession, root: String,
+                  files: Seq[(String, Long)], dataSchema: StructType,
+                  options: CaseInsensitiveStringMap): ScanBuilder = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(cs.sessionState.newHadoopConf())
+    val qualRoot = fs.makeQualified(rootPath)
+    val statuses = files.map { case (name, len) =>
+      // mtime/blocksize fabricated (0 / 128 MB) as in LogFileIndex:
+      // nothing in the parquet read path consults them; length drives
+      // the split math, which is why logged sizes must be real
+      new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
+        fs.makeQualified(new Path(rootPath, name)))
+    }
+    val index = new PartitioningAwareFileIndex(
+      cs, Map.empty, Some(dataSchema), FileStatusCache.getOrCreate(cs)) {
+      override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+      override val leafFiles: mutable.LinkedHashMap[Path, FileStatus] =
+        mutable.LinkedHashMap(statuses.map(s => s.getPath -> s): _*)
+      override val leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+        statuses.groupBy(_.getPath.getParent)
+          .map { case (d, fss) => d -> fss.toArray }
+      override def rootPaths: Seq[Path] = Seq(qualRoot)
+      override def refresh(): Unit = ()
+    }
+    ParquetScanBuilder(cs, index, dataSchema, dataSchema, options)
+  }
+}

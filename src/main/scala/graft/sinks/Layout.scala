@@ -95,6 +95,13 @@ object Layout {
                    numFiles: Int, bits: Int = 16): DataFrame = {
     require(numFiles >= 1, s"numFiles must be positive: $numFiles")
     require(cols.size >= 2, s"z-order needs >= 2 columns: $cols")
+    cols.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[NumericType],
+        s"z-order bit interleaving needs NUMERIC columns, '$c' is " +
+          s"${df.schema(c).dataType.catalogString} — for a single key of " +
+          "any ordered type (strings included) use one-column range " +
+          "clustering (Snapshots.optimizeZorderN(Seq(key)))")
+    }
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()

@@ -28,10 +28,15 @@ import org.apache.spark.sql.streaming.OutputMode
   * [[Snapshots.writeAppendBatch]] (op = `append-batch-N`), so the
   * exactly-once story is the log's own: replayed ids commit nothing,
   * and downstream [[Snapshots.addedSince]]/`graft-cdc` consumers see
-  * whole micro-batches or nothing. With `keyCol` every batch routes
-  * through [[Snapshots.applyChanges]] — the CDC-apply contract
-  * (net-effect per key, value-idempotent under replay, first batch
-  * bootstraps the replica).
+  * whole micro-batches or nothing. The idempotency token is the batch
+  * id — GLOBAL to the table unless a `queryId` option namespaces it:
+  * multi-stream ingest into one table MUST set a distinct stable
+  * `queryId` per query (else the second stream's batch 0 collides
+  * with the first's and is silently skipped — the
+  * [[Snapshots.writeAppendBatch]] contract). With `keyCol` every
+  * batch routes through [[Snapshots.applyChanges]] — the CDC-apply
+  * contract (ONE commit per batch, net-effect per key,
+  * batch-id-exact replay skip, first batch bootstraps the replica).
   *
   * V1 `StreamSinkProvider` deliberately, matching the `graft-cdc`
   * source: `addBatch` receives a DataFrame and hands it to the same

@@ -758,7 +758,11 @@ object Snapshots {
     val schema = asNullable(spark.read.option("mergeSchema", "true")
       .parquet(rel.map(f => s"$dir/${f.name}"): _*).schema)
       .asInstanceOf[StructType]
-    commit(spark, dir, "import", Rewrite(rel, 0, Some(schema)))
+    // adoption is the ONE footer pass this table ever pays: bounds ride
+    // into v1 beside the names/sizes, so pruning ops are zero-IO from
+    // the first post-import operation on
+    commit(spark, dir, "import",
+      Rewrite(attachStats(spark, dir, schema, rel), 0, Some(schema)))
   }
 
   private def listDataFiles(fs: FileSystem, root: Path,
@@ -900,11 +904,14 @@ object Snapshots {
                    schemaOverride: Option[StructType] = None): DataFrame = {
     require(names.nonEmpty, s"snapshot under $dir has no files")
     val schema = schemaOverride.orElse(snap.schema)
-    val bySize = snap.dataFiles.map(f => f.name -> f.size).toMap
-    val sized = names.map(n => n -> bySize.getOrElse(n, -1L))
+    val byName = snap.dataFiles.map(f => f.name -> f).toMap
+    val entries = names.map { n =>
+      val f = byName.getOrElse(n, DataFile(n))
+      (n, f.size, f.stats) // stats feed predicate-driven file skipping
+    }
     schema match {
-      case Some(sc) if sized.forall(_._2 >= 0) =>
-        org.apache.spark.sql.graftshim.LogFileIndex.frame(dir, sized, sc, spark)
+      case Some(sc) if entries.forall(_._2 >= 0) =>
+        org.apache.spark.sql.graftshim.LogFileIndex.frame(dir, entries, sc, spark)
       case _ => readFiles(spark, dir, names, schema)
     }
   }

@@ -183,16 +183,17 @@ private[sql] class SnapshotTable(tableName: String, dir: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    // sizes from the entry when logged (zero-stat planning); one
-    // getFileStatus per file only for legacy entries
+    // sizes + bounds from the entry when logged (zero-stat planning,
+    // predicate-driven file skipping); one getFileStatus per file only
+    // for legacy entries
     val fs = new Path(dir).getFileSystem(
       spark.sessionState.newHadoopConf())
-    val sized = snap.dataFiles.map { f =>
+    val entries = snap.dataFiles.map { f =>
       val len = if (f.size >= 0) f.size
         else fs.getFileStatus(new Path(new Path(dir), f.name)).getLen
-      f.name -> len
+      (f.name, len, f.stats)
     }
     org.apache.spark.sql.graftshim.SnapshotScanShim.scanBuilder(
-      spark, dir, sized, schema, options)
+      spark, dir, entries, schema, options)
   }
 }

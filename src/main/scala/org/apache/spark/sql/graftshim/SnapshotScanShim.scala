@@ -26,19 +26,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object SnapshotScanShim {
 
   def scanBuilder(spark: SparkSession, root: String,
-                  files: Seq[(String, Long)], dataSchema: StructType,
+                  files: Seq[(String, Long, Map[String, graft.sinks.Snapshots.ColStat])],
+                  dataSchema: StructType,
                   options: CaseInsensitiveStringMap): ScanBuilder = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(cs.sessionState.newHadoopConf())
     val qualRoot = fs.makeQualified(rootPath)
-    val statuses = files.map { case (name, len) =>
+    val entries = files.map { case (name, len, stats) =>
       // mtime/blocksize fabricated (0 / 128 MB) as in LogFileIndex:
       // nothing in the parquet read path consults them; length drives
       // the split math, which is why logged sizes must be real
-      new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
-        fs.makeQualified(new Path(rootPath, name)))
+      (new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
+        fs.makeQualified(new Path(rootPath, name))), stats)
     }
+    val statuses = entries.map(_._1)
     val index = new PartitioningAwareFileIndex(
       cs, Map.empty, Some(dataSchema), FileStatusCache.getOrCreate(cs)) {
       override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
@@ -49,6 +51,23 @@ object SnapshotScanShim {
           .map { case (d, fss) => d -> fss.toArray }
       override def rootPaths: Seq[Path] = Seq(qualRoot)
       override def refresh(): Unit = ()
+      // DATA SKIPPING for the SQL path: FileScan hands the pushed data
+      // filters here; files whose logged bounds provably exclude them
+      // are dropped (sound keep-if-unknown — the scan re-applies the
+      // predicate), so a filtered SQL query over a clustered snapshot
+      // table reads only the files its range hits
+      override def listFiles(partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                             dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+        val kept =
+          if (dataFilters.isEmpty) statuses.toArray
+          else entries.collect {
+            case (st, stats) if dataFilters.forall(f =>
+              graft.sinks.StatsPruning.mayMatch(stats, f)) => st
+          }.toArray
+        Seq(org.apache.spark.sql.execution.datasources.PartitionDirectory(
+          org.apache.spark.sql.catalyst.InternalRow.empty, kept))
+      }
     }
     ParquetScanBuilder(cs, index, dataSchema, dataSchema, options)
   }

@@ -128,29 +128,47 @@ object Snapshots {
     * a [[StrStat]] max of a truncated string is the truncation
     * prefix with its last code point incremented (the Iceberg
     * `truncate`-transform upper-bound trick), so `max < lo` remains a
-    * sound exclusion test. */
-  sealed trait ColStat
-  final case class NumStat(min: Double, max: Double) extends ColStat
-  final case class StrStat(min: String, max: String) extends ColStat
+    * sound exclusion test. `nulls` is the column's null count when
+    * the footer states one (None = unknown, never 0-by-default);
+    * [[NullStat]] carries a null count for columns with no usable
+    * bounds (all-NULL, unprunable type) — with the file's row count
+    * it still prunes `IS NULL` / `IS NOT NULL` / comparisons. */
+  sealed trait ColStat { def nulls: Option[Long] }
+  final case class NumStat(min: Double, max: Double,
+                           nulls: Option[Long] = None) extends ColStat
+  final case class StrStat(min: String, max: String,
+                           nulls: Option[Long] = None) extends ColStat
+  final case class NullStat(count: Long) extends ColStat {
+    def nulls: Option[Long] = Some(count)
+  }
+
+  /** Everything the log knows about one file's contents: row count
+    * (−1 = unlogged) and per-column stats. The Delta per-file stats
+    * quartet — numRecords, min, max, nullCount. */
+  final case class FileStats(rows: Long = -1L,
+                             cols: Map[String, ColStat] = Map.empty) {
+    def isEmpty: Boolean = rows < 0 && cols.isEmpty
+  }
+  object FileStats { val empty: FileStats = FileStats() }
 
   /** One data file as the log knows it. `size` -1 = unknown (an entry
     * written before sizes were logged, or a hand-authored one);
-    * `stats` empty = no bounds logged (pre-r17 entry, ineligible
+    * `stats` empty = nothing logged (pre-r17 entry, ineligible
     * columns, or a stats-disabled writer) — pruning keeps the file. */
   final case class DataFile(name: String, size: Long = -1L,
-                            stats: Map[String, ColStat] = Map.empty)
+                            stats: FileStats = FileStats.empty)
 
   final case class Snapshot(version: Int, op: String, files: Seq[String],
                             schema: Option[StructType] = None,
                             sizes: Option[Seq[Long]] = None,
-                            stats: Option[Seq[Map[String, ColStat]]] = None) {
-    /** files with their logged sizes (−1 where unknown) and bounds
+                            stats: Option[Seq[FileStats]] = None) {
+    /** files with their logged sizes (−1 where unknown) and stats
       * (empty where unknown). */
     def dataFiles: Seq[DataFile] = {
       val sz = sizes.filter(_.size == files.size)
         .getOrElse(files.map(_ => -1L))
       val st = stats.filter(_.size == files.size)
-        .getOrElse(files.map(_ => Map.empty[String, ColStat]))
+        .getOrElse(files.map(_ => FileStats.empty))
       files.lazyZip(sz).lazyZip(st).map(DataFile(_, _, _))
     }
   }
@@ -227,7 +245,7 @@ object Snapshots {
     * (no bounds logged → pruning keeps every file), never to a wrong
     * bound. */
   private def parseStatsBlock(s: String,
-                              nFiles: Int): Option[Seq[Map[String, ColStat]]] = {
+                              nFiles: Int): Option[Seq[FileStats]] = {
     val i = s.indexOf("\"stats\":[")
     if (i < 0) None
     else scala.util.Try {
@@ -253,42 +271,59 @@ object Snapshots {
       val arr = parsed.asInstanceOf[Seq[Any]]
       require(arr.size == nFiles, s"stats count ${arr.size} != $nFiles files")
       arr.map { o =>
-        o.asInstanceOf[Map[String, Any]].map { case (colName, v) =>
+        val m = o.asInstanceOf[Map[String, Any]]
+        // "#" = the file's row count (not a legal column name — the
+        // token-safe eligibility rule keeps the namespaces disjoint)
+        val rows = m.get("#").map(_.asInstanceOf[Double].toLong).getOrElse(-1L)
+        val cols = (m - "#").map { case (colName, v) =>
           val kinds = v.asInstanceOf[Map[String, Any]]
+          val nulls = kinds.get("z").map(_.asInstanceOf[Double].toLong)
           val stat: ColStat =
             if (kinds.contains("n")) {
               val Seq(lo, hi) = kinds("n").asInstanceOf[Seq[Any]]
                 .map(_.asInstanceOf[Double])
-              NumStat(lo, hi)
-            } else {
+              NumStat(lo, hi, nulls)
+            } else if (kinds.contains("s")) {
               val Seq(lo, hi) = kinds("s").asInstanceOf[Seq[Any]]
                 .map(x => new String(
                   java.util.Base64.getDecoder.decode(x.asInstanceOf[String]),
                   java.nio.charset.StandardCharsets.UTF_8))
-              StrStat(lo, hi)
-            }
+              StrStat(lo, hi, nulls)
+            } else NullStat(nulls.getOrElse(
+              throw new IllegalArgumentException("empty stat object")))
           colName -> stat
         }
+        FileStats(rows, cols)
       }
     }.toOption
   }
 
-  private def renderStat(st: ColStat): String = st match {
-    case NumStat(lo, hi) => s"""{"n":[$lo,$hi]}"""
-    case StrStat(lo, hi) =>
-      def b64(x: String) = java.util.Base64.getEncoder.encodeToString(
-        x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      s"""{"s":["${b64(lo)}","${b64(hi)}"]}"""
+  private def renderStat(st: ColStat): String = {
+    def z = st.nulls.map(n => s""","z":$n""").getOrElse("")
+    st match {
+      case NumStat(lo, hi, _) => s"""{"n":[$lo,$hi]$z}"""
+      case StrStat(lo, hi, _) =>
+        def b64(x: String) = java.util.Base64.getEncoder.encodeToString(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s"""{"s":["${b64(lo)}","${b64(hi)}"]$z}"""
+      case NullStat(n) => s"""{"z":$n}"""
+    }
+  }
+
+  private def renderFileStats(fs: FileStats): String = {
+    val rows = if (fs.rows >= 0) Seq(s""""#":${fs.rows}""") else Seq.empty
+    val cols = fs.cols.toSeq.sortBy(_._1).map { case (c, v) =>
+      s""""$c":${renderStat(v)}"""
+    }
+    (rows ++ cols).mkString("{", ",", "}")
   }
 
   private def render(s: Snapshot): String =
     s"""{"version":${s.version},"op":"${s.op}","files":[""" +
       s.files.map(f => "\"" + f + "\"").mkString(",") + "]" +
       s.sizes.map(sz => s""","sizes":[${sz.mkString(",")}]""").getOrElse("") +
-      s.stats.map(st => s""","stats":[""" + st.map(m =>
-        "{" + m.toSeq.sortBy(_._1).map { case (c, v) =>
-          s""""$c":${renderStat(v)}"""
-        }.mkString(",") + "}").mkString(",") + "]").getOrElse("") +
+      s.stats.map(st => s""","stats":[""" +
+        st.map(renderFileStats).mkString(",") + "]").getOrElse("") +
       s.schema.map(st => s""","schema":${st.json}""").getOrElse("") + "}"
 
   /** All committed snapshots, ascending. Full-history parse — vacuum
@@ -526,7 +561,7 @@ object Snapshots {
       // unprunable), so a mixed legacy+fresh list logs what it has.
       val sizes = Option(sorted.map(_.size)).filter(sz =>
         sz.nonEmpty && sz.forall(_ >= 0))
-      val stats = Option(sorted.map(_.stats)).filter(_.exists(_.nonEmpty))
+      val stats = Option(sorted.map(_.stats)).filter(_.exists(!_.isEmpty))
       val out = fs.create(tmp, false)
       try out.write(
         render(Snapshot(v, op, sorted.map(_.name), schema, sizes, stats))
@@ -644,18 +679,22 @@ object Snapshots {
           files.map(f => s"$dir/${f.name}"), cols).collect().toSeq
       val byFile = rows.groupBy(_.getString(0))
       files.map { f =>
-        val sts = byFile.getOrElse(s"$dir/${f.name}",
-          Seq.empty[org.apache.spark.sql.Row]).flatMap { r =>
+        val fileRows = byFile.getOrElse(s"$dir/${f.name}",
+          Seq.empty[org.apache.spark.sql.Row])
+        val cols = fileRows.flatMap { r =>
+          val nulls = if (r.isNullAt(7)) None else Some(r.getLong(7))
           val stat: Option[ColStat] =
             if (!r.isNullAt(3) && !r.isNullAt(4)) {
               val (lo, hi) = (r.getDouble(3), r.getDouble(4))
-              if (lo.isNaN || hi.isNaN) None else Some(NumStat(lo, hi))
+              if (lo.isNaN || hi.isNaN) None else Some(NumStat(lo, hi, nulls))
             } else if (!r.isNullAt(5) && !r.isNullAt(6))
-              strStat(r.getString(5), r.getString(6))
-            else None
+              strStat(r.getString(5), r.getString(6), nulls)
+            else nulls.map(NullStat(_)) // no bounds, known null count:
+              // still prunes IS (NOT) NULL and, when all-null, ranges
           stat.map(r.getString(2) -> _)
         }.toMap
-        f.copy(stats = sts)
+        val nRows = fileRows.headOption.map(_.getLong(1)).getOrElse(-1L)
+        f.copy(stats = FileStats(nRows, cols))
       }
     }
   }
@@ -666,10 +705,12 @@ object Snapshots {
     * so supplementary-plane bounds are dropped rather than compared
     * wrongly), capped at [[StatStrCap]] with a sound truncated upper
     * bound. None = this file-column is unprunable; never a lie. */
-  private def strStat(lo: String, hi: String): Option[ColStat] = {
+  private def strStat(lo: String, hi: String,
+                      nulls: Option[Long]): Option[ColStat] = {
     def bmp(x: String) = x.forall(c => c < '\ud800' || c > '\udfff')
-    if (!bmp(lo) || !bmp(hi)) None
-    else truncatedUpper(hi).map(h => StrStat(lo.take(StatStrCap), h))
+    if (!bmp(lo) || !bmp(hi)) nulls.map(NullStat(_))
+    else truncatedUpper(hi).map(h => StrStat(lo.take(StatStrCap), h, nulls))
+      .orElse(nulls.map(NullStat(_)))
   }
 
   /** A valid UPPER bound for `s` within [[StatStrCap]] chars: `s`
@@ -705,9 +746,10 @@ object Snapshots {
                                  snap: Snapshot, column: String,
                                  lo: Double, hi: Double): Seq[String] = {
     val dfs = snap.dataFiles
-    if (dfs.exists(_.stats.nonEmpty))
-      dfs.filter(f => f.stats.get(column) match {
-        case Some(NumStat(mn, mx)) => !(mx < lo || mn > hi)
+    if (dfs.exists(!_.stats.isEmpty))
+      dfs.filter(f => f.stats.cols.get(column) match {
+        case Some(NumStat(mn, mx, _)) => !(mx < lo || mn > hi)
+        case Some(NullStat(n)) => !(f.stats.rows >= 0 && n == f.stats.rows)
         case _ => true
       }).map(_.name)
     else Layout.pruneFiles(
@@ -727,9 +769,10 @@ object Snapshots {
     if (!bmp(lo) || !bmp(hi)) snap.files
     else {
       val dfs = snap.dataFiles
-      if (dfs.exists(_.stats.nonEmpty))
-        dfs.filter(f => f.stats.get(column) match {
-          case Some(StrStat(mn, mx)) => !(mx < lo || mn > hi)
+      if (dfs.exists(!_.stats.isEmpty))
+        dfs.filter(f => f.stats.cols.get(column) match {
+          case Some(StrStat(mn, mx, _)) => !(mx < lo || mn > hi)
+          case Some(NullStat(n)) => !(f.stats.rows >= 0 && n == f.stats.rows)
           case _ => true
         }).map(_.name)
       else Layout.pruneFilesStr(

@@ -3,7 +3,7 @@ package graft.sinks
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sinks.Snapshots.{ColStat, NumStat, StrStat}
+import graft.sinks.Snapshots.{ColStat, FileStats, NullStat, NumStat, StrStat}
 
 /** DATA SKIPPING from the log — the evaluator that lets EVERY filtered
   * snapshot scan (not just an explicit [[Snapshots.prunedRead]] call)
@@ -23,20 +23,27 @@ import graft.sinks.Snapshots.{ColStat, NumStat, StrStat}
   * kept files, so skipping can only save IO, never change an answer.
   * NULL semantics make this sound for comparisons: a row with a NULL
   * operand never satisfies `<`/`=`/`>`-family predicates, and logged
-  * bounds describe exactly the non-NULL values — which is also why
-  * `IsNull`/`IsNotNull`/`Not` are left unpruned (bounds carry no null
-  * counts). String comparisons follow the [[Snapshots]] BMP guard:
+  * bounds describe exactly the non-NULL values. Logged NULL COUNTS
+  * (r17) add three more pruning classes — `IS NULL` on a zero-null
+  * column, `IS NOT NULL` on an all-null column, comparisons on an
+  * all-null column — while `Not` stays unpruned (negation over
+  * bounds is not sound in general). String comparisons follow the
+  * [[Snapshots]] BMP guard:
   * bounds are BMP-only by construction, and a non-BMP literal keeps
   * the file rather than comparing across the UTF-8/UTF-16 order
   * divide. */
 object StatsPruning {
 
-  /** May a file with these per-column bounds contain a row satisfying
+  /** May a file with these per-column stats contain a row satisfying
     * `expr`? Column lookup is case-insensitive (Spark's default
-    * resolution; stats are logged under the table's casing). */
-  def mayMatch(stats: Map[String, ColStat], expr: Expression): Boolean = {
+    * resolution; stats are logged under the table's casing). Null
+    * counts add three pruning classes beyond bounds: `IS NULL` on a
+    * zero-null column, `IS NOT NULL` on an all-null column, and any
+    * comparison on an all-null column (no non-NULL value exists to
+    * satisfy it). */
+  def mayMatch(stats: FileStats, expr: Expression): Boolean = {
     if (stats.isEmpty) return true
-    val byLower = stats.map { case (k, v) =>
+    val byLower = stats.cols.map { case (k, v) =>
       k.toLowerCase(java.util.Locale.ROOT) -> v
     }
     def statOf(a: Attribute): Option[ColStat] =
@@ -63,19 +70,33 @@ object StatsPruning {
     def cmp(st: ColStat, v: Any)(numTest: (Double, Double, Double) => Boolean)
            (strTest: (String, String, String) => Boolean): Boolean =
       st match {
-        case NumStat(mn, mx) => asNum(v) match {
+        case NumStat(mn, mx, _) => asNum(v) match {
           case Some(d) if !d.isNaN => numTest(mn, mx, d)
           case _ => true
         }
-        case StrStat(mn, mx) => asStr(v) match {
+        case StrStat(mn, mx, _) => asStr(v) match {
           case Some(s) if bmp(s) => strTest(mn, mx, s)
           case _ => true
         }
+        case NullStat(_) => true // no bounds; allNull handled by callers
       }
+
+    /** the column provably holds ONLY nulls in this file. */
+    def allNull(st: ColStat): Boolean =
+      stats.rows >= 0 && st.nulls.contains(stats.rows)
 
     def may(e: Expression): Boolean = e match {
       case And(l, r) => may(l) && may(r)
       case Or(l, r) => may(l) || may(r)
+      // IS NULL: prune when the footer states zero nulls
+      case IsNull(a: Attribute) =>
+        statOf(a).forall(st => !st.nulls.contains(0L))
+      case EqualNullSafe(a: Attribute, Literal(null, _)) =>
+        statOf(a).forall(st => !st.nulls.contains(0L))
+      case EqualNullSafe(Literal(null, _), a: Attribute) =>
+        statOf(a).forall(st => !st.nulls.contains(0L))
+      // IS NOT NULL: prune when every row of the file is null here
+      case IsNotNull(a: Attribute) => statOf(a).forall(st => !allNull(st))
       // a = v: some value in [mn, mx] can equal v
       case EqualTo(a: Attribute, Literal(v, _)) => eqMay(a, v)
       case EqualTo(Literal(v, _), a: Attribute) => eqMay(a, v)
@@ -99,7 +120,8 @@ object StatsPruning {
       // mn < upper(prefix)
       case StartsWith(a: Attribute, Literal(v, _)) =>
         (statOf(a), asStr(v)) match {
-          case (Some(StrStat(mn, mx)), Some(p)) if bmp(p) && p.nonEmpty =>
+          case (Some(st), _) if allNull(st) => false
+          case (Some(StrStat(mn, mx, _)), Some(p)) if bmp(p) && p.nonEmpty =>
             mx >= p && incrementLast(p).forall(up => mn < up)
           case _ => true
         }
@@ -108,6 +130,7 @@ object StatsPruning {
 
     def eqMay(a: Attribute, v: Any): Boolean = statOf(a) match {
       case None => true
+      case Some(st) if allNull(st) => false // no non-NULL value to equal
       case Some(st) =>
         cmp(st, v)((mn, mx, d) => d >= mn && d <= mx)(
           (mn, mx, s) => s >= mn && s <= mx)
@@ -115,6 +138,7 @@ object StatsPruning {
     def ltMay(a: Attribute, v: Any, strict: Boolean): Boolean =
       statOf(a) match {
         case None => true
+        case Some(st) if allNull(st) => false
         case Some(st) =>
           cmp(st, v)((mn, _, d) => if (strict) mn < d else mn <= d)(
             (mn, _, s) => if (strict) mn < s else mn <= s)
@@ -122,6 +146,7 @@ object StatsPruning {
     def gtMay(a: Attribute, v: Any, strict: Boolean): Boolean =
       statOf(a) match {
         case None => true
+        case Some(st) if allNull(st) => false
         case Some(st) =>
           cmp(st, v)((_, mx, d) => if (strict) mx > d else mx >= d)(
             (_, mx, s) => if (strict) mx > s else mx >= s)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, 
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
-import graft.sinks.Snapshots.ColStat
+import graft.sinks.Snapshots.FileStats
 import graft.sinks.StatsPruning
 
 /** The zero-filesystem-call scan a snapshot log makes possible — the
@@ -35,7 +35,7 @@ import graft.sinks.StatsPruning
   * (`HadoopFsRelation`, `PartitionDirectory`) is `private[sql]`-scoped
   * internals — the same conventional connector seam. */
 object LogFileIndex {
-  def frame(root: String, files: Seq[(String, Long, Map[String, ColStat])],
+  def frame(root: String, files: Seq[(String, Long, FileStats)],
             dataSchema: StructType,
             spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

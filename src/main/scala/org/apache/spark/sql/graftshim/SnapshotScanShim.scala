@@ -26,7 +26,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object SnapshotScanShim {
 
   def scanBuilder(spark: SparkSession, root: String,
-                  files: Seq[(String, Long, Map[String, graft.sinks.Snapshots.ColStat])],
+                  files: Seq[(String, Long, graft.sinks.Snapshots.FileStats)],
                   dataSchema: StructType,
                   options: CaseInsensitiveStringMap): ScanBuilder = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

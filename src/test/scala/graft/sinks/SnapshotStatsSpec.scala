@@ -49,12 +49,12 @@ class SnapshotStatsSpec extends SparkSpec {
       frame(400).repartitionByRange(8, $"id"), dir)
     val snap = Snapshots.versions(spark, dir).last
     val dfs = snap.dataFiles
-    assert(dfs.nonEmpty && dfs.forall(_.stats.nonEmpty), "bounds logged per file")
+    assert(dfs.nonEmpty && dfs.forall(!_.stats.isEmpty), "bounds logged per file")
     dfs.foreach { f =>
-      assert(f.stats.get("id").exists(_.isInstanceOf[Snapshots.NumStat]),
+      assert(f.stats.cols.get("id").exists(_.isInstanceOf[Snapshots.NumStat]),
         s"${f.name}: ${f.stats}")
-      assert(f.stats.get("key").exists(_.isInstanceOf[Snapshots.StrStat]))
-      assert(f.stats.get("text").isDefined)
+      assert(f.stats.cols.get("key").exists(_.isInstanceOf[Snapshots.StrStat]))
+      assert(f.stats.cols.get("text").isDefined)
     }
     // log-stats prune vs footer prune: SAME files kept, numeric + string
     def kept(df: org.apache.spark.sql.DataFrame) =
@@ -140,7 +140,7 @@ class SnapshotStatsSpec extends SparkSpec {
       .toDF("id", "key")
     Snapshots.writeOverwrite(df, dir)
     val st = Snapshots.versions(spark, dir).last.dataFiles.head
-      .stats("key").asInstanceOf[Snapshots.StrStat]
+      .stats.cols("key").asInstanceOf[Snapshots.StrStat]
     assert(st.min == "a" * 64, "min is the plain truncation prefix")
     assert(st.max == "a" * 63 + "b",
       s"max is the prefix with the last char bumped: '${st.max}'")
@@ -160,9 +160,12 @@ class SnapshotStatsSpec extends SparkSpec {
     val df = Seq((1L, "emoji 😀 key"), (2L, "plain key"))
       .toDF("id", "key")
     Snapshots.writeOverwrite(df.coalesce(1), dir)
-    val st = Snapshots.versions(spark, dir).last.dataFiles.head.stats
-    assert(st.get("key").isEmpty,
-      s"supplementary-plane bounds must not be logged: $st")
+    val st = Snapshots.versions(spark, dir).last.dataFiles.head.stats.cols
+    assert(!st.get("key").exists(_.isInstanceOf[Snapshots.StrStat]),
+      s"supplementary-plane BOUNDS must not be logged: $st")
+    // the null count still rides (r17: a bound-less NullStat) — it
+    // prunes IS (NOT) NULL without ever comparing across order regimes
+    assert(st.get("key").forall(_.nulls.contains(0L)), st.toString)
     assert(st.get("id").isDefined, "the numeric column still logs")
     // the file is kept for ANY string range — correctness over pruning
     assert(Snapshots.prunedReadStr(spark, dir, "key", "a", "b")
@@ -176,13 +179,13 @@ class SnapshotStatsSpec extends SparkSpec {
       (100 until 200).map(i => (i.toLong, f"doc-$i%05d", s"body $i"))
         .toDF("id", "key", "text"), dir)
     val v2 = Snapshots.versions(spark, dir).last
-    assert(v2.dataFiles.forall(_.stats.nonEmpty),
+    assert(v2.dataFiles.forall(!_.stats.isEmpty),
       "both appends' bounds present after the rebase-shaped union")
     // a CoW delete touching one end: untouched files keep their logged
     // bounds verbatim, the rewritten file gets fresh ones
     Snapshots.deleteWhere(spark, dir, $"id" === 150)
     val v3 = Snapshots.versions(spark, dir).last
-    assert(v3.dataFiles.forall(_.stats.nonEmpty))
+    assert(v3.dataFiles.forall(!_.stats.isEmpty))
     val untouchedNames = v2.dataFiles.map(f => f.name -> f.stats).toMap
     v3.dataFiles.filter(f => untouchedNames.contains(f.name)).foreach(f =>
       assert(f.stats == untouchedNames(f.name), s"${f.name} bounds drifted"))
@@ -193,7 +196,7 @@ class SnapshotStatsSpec extends SparkSpec {
     spark.conf.set("spark.graft.snapshots.statsColumns", "id")
     try {
       Snapshots.writeAppend(frame(10), dir1)
-      val st = Snapshots.versions(spark, dir1).last.dataFiles.head.stats
+      val st = Snapshots.versions(spark, dir1).last.dataFiles.head.stats.cols
       assert(st.keySet == Set("id"), st.toString)
     } finally spark.conf.unset("spark.graft.snapshots.statsColumns")
     spark.conf.set("spark.graft.snapshots.statsColumns", "")

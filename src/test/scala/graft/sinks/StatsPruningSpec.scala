@@ -20,8 +20,9 @@ class StatsPruningSpec extends SparkSpec {
   private val id = AttributeReference("id", LongType)()
   private val key = AttributeReference("key", StringType)()
   private def s(v: String) = Literal(UTF8String.fromString(v), StringType)
-  private val st = Map[String, Snapshots.ColStat](
-    "id" -> NumStat(100, 199), "key" -> StrStat("doc-100", "doc-199"))
+  private val st = Snapshots.FileStats(rows = 100, cols = Map(
+    "id" -> NumStat(100, 199, nulls = Some(0)),
+    "key" -> StrStat("doc-100", "doc-199", nulls = Some(3))))
 
   test("mayMatch: the pruning truth table, numeric + string + prefix") {
     def may(e: Expression) = StatsPruning.mayMatch(st, e)
@@ -46,14 +47,29 @@ class StatsPruningSpec extends SparkSpec {
     assert(may(StartsWith(key, s("doc-1"))))
     assert(!may(StartsWith(key, s("doc-2"))))
     assert(!may(StartsWith(key, s("a"))))
+    // null-count pruning (r17): zero-null column can't be IS NULL;
+    // a column WITH nulls keeps both
+    assert(!may(IsNull(id)) && may(IsNotNull(id)))
+    assert(may(IsNull(key)) && may(IsNotNull(key)))
+    // all-NULL column: IS NOT NULL and every comparison prune,
+    // IS NULL keeps
+    val allNull = Snapshots.FileStats(rows = 10, cols = Map(
+      "id" -> Snapshots.NullStat(10)))
+    def mayAN(e: Expression) = StatsPruning.mayMatch(allNull, e)
+    assert(mayAN(IsNull(id)) && !mayAN(IsNotNull(id)))
+    assert(!mayAN(EqualTo(id, Literal(5L))) && !mayAN(LessThan(id, Literal(5L))))
+    // unknown null counts / unknown rows keep (never 0-by-default)
+    val noNulls = Snapshots.FileStats(rows = -1, cols = Map(
+      "id" -> NumStat(0, 9)))
+    assert(StatsPruning.mayMatch(noNulls, IsNull(id)) &&
+      StatsPruning.mayMatch(noNulls, IsNotNull(id)))
     // soundness: unknown shapes/columns/kinds KEEP
-    assert(may(IsNull(id)) && may(IsNotNull(id)))
     assert(may(Not(EqualTo(id, Literal(150L)))))
     assert(may(EqualTo(AttributeReference("other", LongType)(), Literal(1L))))
     assert(may(EqualTo(id, s("xyz")))) // kind mismatch: keep
     assert(may(EqualTo(key, s("emoji 😀")))) // non-BMP literal: keep
     assert(may(EqualTo(id, Literal(Double.NaN)))) // NaN ordering: keep
-    assert(StatsPruning.mayMatch(Map.empty, EqualTo(id, Literal(1L))))
+    assert(StatsPruning.mayMatch(Snapshots.FileStats.empty, EqualTo(id, Literal(1L))))
     // case-insensitive column resolution (Spark default)
     assert(!StatsPruning.mayMatch(st,
       EqualTo(AttributeReference("ID", LongType)(), Literal(5L))))
@@ -87,7 +103,7 @@ class StatsPruningSpec extends SparkSpec {
     val snap = Snapshots.versions(spark, dir).last
     // which files may hold id < 50? (their logged bounds say)
     val mayHold = snap.dataFiles.filter(f =>
-      f.stats("id").asInstanceOf[NumStat].min < 50).map(_.name).toSet
+      f.stats.cols("id").asInstanceOf[NumStat].min < 50).map(_.name).toSet
     assert(mayHold.size < snap.files.size, "the range must be selective")
     withOnly(dir, mayHold) {
       assert(Snapshots.read(spark, dir).where($"id" < 50).count() == 50)
@@ -112,11 +128,36 @@ class StatsPruningSpec extends SparkSpec {
         .repartitionByRange(8, $"id"), dir)
     val snap = Snapshots.versions(spark, dir).last
     val mayHold = snap.dataFiles.filter(f =>
-      f.stats("id").asInstanceOf[NumStat].min < 50).map(_.name).toSet
+      f.stats.cols("id").asInstanceOf[NumStat].min < 50).map(_.name).toSet
     withOnly(dir, mayHold) {
       assert(spark.sql(
         s"SELECT count(*) AS n FROM graft.`$dir` WHERE id < 50")
         .as[Long].head() == 50)
+    }
+  }
+
+  test("IS NULL / IS NOT NULL skip files by logged null counts") {
+    val dir = freshDir()
+    Snapshots.writeAppend(
+      (0 until 100).map(i => (i.toLong, s"t $i")).toDF("id", "text")
+        .coalesce(1), dir)
+    Snapshots.writeAppend(
+      (100 until 200).map(i => (i.toLong, null: String)).toDF("id", "text")
+        .coalesce(1), dir)
+    val dfs = Snapshots.versions(spark, dir).last.dataFiles
+    val allNullFile = dfs.find(f =>
+      f.stats.cols.get("text").exists(_.nulls.contains(f.stats.rows))).get
+    val noNullFile = dfs.find(f =>
+      f.stats.cols.get("text").exists(_.nulls.contains(0L))).get
+    // IS NULL never touches the zero-null file...
+    withOnly(dir, Set(allNullFile.name)) {
+      assert(Snapshots.read(spark, dir).where($"text".isNull).count() == 100)
+    }
+    // ...IS NOT NULL never touches the all-null file — and neither
+    // does a plain comparison on the all-null column
+    withOnly(dir, Set(noNullFile.name)) {
+      assert(Snapshots.read(spark, dir).where($"text".isNotNull).count() == 100)
+      assert(Snapshots.read(spark, dir).where($"text" === "t 5").count() == 1)
     }
   }
 

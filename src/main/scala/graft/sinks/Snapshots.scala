@@ -27,11 +27,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   * micro-batch commits pays O(1) entry reads per [[addedSince]] poll,
   * flat in total commit count. The trade is entry size: O(live files)
   * per commit instead of O(delta) — MEASURED (SnapBench `entrycost`,
-  * one-row append onto fabricated bases, sizes + 2-col bounds logged):
-  * ~98 bytes/file — 9.7 KB entry / 0.23 s commit at 10^2 files,
-  * 96 KB / 0.26 s at 10^3, 978 KB / 0.33 s at 10^4 — so "flat-cost
-  * commits" holds in COMMIT COUNT and degrades gently in FILE count
-  * (+0.1 s and ~1 MB of log IO per commit at 10^4 files). Bounded in
+  * one-row append onto fabricated bases; sizes + 2-col bounds +
+  * row/null counts logged): ~118 bytes/file — 11.7 KB entry / 0.22 s
+  * commit at 10^2 files, 116 KB / 0.22 s at 10^3, 1.18 MB / 0.36 s at
+  * 10^4 — so "flat-cost commits" holds in COMMIT COUNT and degrades
+  * gently in FILE count (+0.14 s and ~1.2 MB of log IO per commit at
+  * 10^4 files). Bounded in
   * practice by [[compact]] (which shrinks the live list) and [[vacuum]]
   * (which drops expired entries); a 10^5+-file estate that cannot
   * compact is where Delta's delta-entries-plus-checkpoint layout
@@ -693,7 +694,11 @@ object Snapshots {
               // still prunes IS (NOT) NULL and, when all-null, ranges
           stat.map(r.getString(2) -> _)
         }.toMap
-        val nRows = fileRows.headOption.map(_.getLong(1)).getOrElse(-1L)
+        // a parquet file ALWAYS carries chunks for every wanted column
+        // in every row group, so "no manifest rows" ⇔ "no row groups"
+        // ⇔ an EMPTY file (the delete-everything / empty-partition
+        // shape) — record rows = 0, which pruning may then skip freely
+        val nRows = fileRows.headOption.map(_.getLong(1)).getOrElse(0L)
         f.copy(stats = FileStats(nRows, cols))
       }
     }
@@ -747,11 +752,14 @@ object Snapshots {
                                  lo: Double, hi: Double): Seq[String] = {
     val dfs = snap.dataFiles
     if (dfs.exists(!_.stats.isEmpty))
-      dfs.filter(f => f.stats.cols.get(column) match {
-        case Some(NumStat(mn, mx, _)) => !(mx < lo || mn > hi)
-        case Some(NullStat(n)) => !(f.stats.rows >= 0 && n == f.stats.rows)
-        case _ => true
-      }).map(_.name)
+      dfs.filter { f =>
+        if (f.stats.rows == 0) false // empty file: nothing to match
+        else f.stats.cols.get(column) match {
+          case Some(NumStat(mn, mx, _)) => !(mx < lo || mn > hi)
+          case Some(NullStat(n)) => !(f.stats.rows >= 0 && n == f.stats.rows)
+          case _ => true
+        }
+      }.map(_.name)
     else Layout.pruneFiles(
       Layout.statsManifestFiles(spark, snap.files.map(f => s"$dir/$f"),
         Seq(column)), column, lo, hi)
@@ -770,11 +778,14 @@ object Snapshots {
     else {
       val dfs = snap.dataFiles
       if (dfs.exists(!_.stats.isEmpty))
-        dfs.filter(f => f.stats.cols.get(column) match {
-          case Some(StrStat(mn, mx, _)) => !(mx < lo || mn > hi)
-          case Some(NullStat(n)) => !(f.stats.rows >= 0 && n == f.stats.rows)
-          case _ => true
-        }).map(_.name)
+        dfs.filter { f =>
+          if (f.stats.rows == 0) false // empty file: nothing to match
+          else f.stats.cols.get(column) match {
+            case Some(StrStat(mn, mx, _)) => !(mx < lo || mn > hi)
+            case Some(NullStat(n)) => !(f.stats.rows >= 0 && n == f.stats.rows)
+            case _ => true
+          }
+        }.map(_.name)
       else Layout.pruneFilesStr(
         Layout.statsManifestFiles(spark, snap.files.map(f => s"$dir/$f"),
           Seq(column)), column, lo, hi)
@@ -1592,27 +1603,44 @@ object Snapshots {
     v
   }
 
+  /** `count(*)` as PURE METADATA when every file's row count is
+    * logged (every r17+ commit does): the sum of per-file numRecords
+    * from ONE entry read — zero data IO, zero footer reads, any
+    * retained version. None when a file predates row logging; callers
+    * fall back to a scan count (which the stock parquet aggregate
+    * pushdown already answers from footers). */
+  def countRows(spark: SparkSession, dir: String,
+                version: Option[Int] = None): Option[Long] = {
+    val dfs = resolve(spark, dir, version).dataFiles
+    if (dfs.forall(_.stats.rows >= 0)) Some(dfs.map(_.stats.rows).sum)
+    else None
+  }
+
   /** `DESCRIBE HISTORY` — the operator's view of the log as a frame:
-    * one row per retained version with its op, file count, total bytes,
-    * and commit-file modification time (the only timestamp the log
-    * keeps; ordering truth is the VERSION, the mtime is operational
+    * one row per retained version with its op, file count, total
+    * bytes, row count (−1 when the version predates row logging), and
+    * commit-file modification time (the only timestamp the log keeps;
+    * ordering truth is the VERSION, the mtime is operational
     * context). Driver-sized like the log itself. */
   def history(spark: SparkSession, dir: String): DataFrame = {
     val (fs, root) = fsOf(spark, dir)
     val log = new Path(root, LogDir)
     val rows = versions(spark, dir).map { s =>
-      val bytes = s.dataFiles.map { f =>
+      val dfs = s.dataFiles
+      val bytes = dfs.map { f =>
         if (f.size >= 0) f.size
         else try fs.getFileStatus(new Path(root, f.name)).getLen
         catch { case _: java.io.FileNotFoundException => 0L }
       }.sum
+      val nRows =
+        if (dfs.forall(_.stats.rows >= 0)) dfs.map(_.stats.rows).sum else -1L
       val mtime = fs.getFileStatus(
         new Path(log, f"v${s.version}%05d.json")).getModificationTime
-      (s.version, s.op, s.files.size, bytes,
+      (s.version, s.op, s.files.size, bytes, nRows,
         new java.sql.Timestamp(mtime))
     }
     import spark.implicits._
-    rows.toDF("version", "op", "n_files", "bytes", "committed_at")
+    rows.toDF("version", "op", "n_files", "bytes", "n_rows", "committed_at")
   }
 
   /** [[vacuum]] DRY RUN: the data files and log entries a vacuum with

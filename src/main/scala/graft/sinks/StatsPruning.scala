@@ -43,6 +43,7 @@ object StatsPruning {
     * satisfy it). */
   def mayMatch(stats: FileStats, expr: Expression): Boolean = {
     if (stats.isEmpty) return true
+    if (stats.rows == 0) return false // a logged-empty file matches nothing
     val byLower = stats.cols.map { case (k, v) =>
       k.toLowerCase(java.util.Locale.ROOT) -> v
     }

@@ -48,6 +48,7 @@ object SnapBench {
       case "clusupstr" => clusup(spark, args(1), stringKey = true)
       case "schemaread" => schemaread(spark)
       case "statsearch" => statsearch(spark)
+      case "skipscan" => skipscan(spark)
       case "entrycost" => entrycost(spark)
       case other => System.err.println(s"unknown mode: $other")
     }
@@ -94,6 +95,41 @@ object SnapBench {
     println(f"""{"metric":"prune_search_sec","files":$files,"log_stats_sec":$logSec%.3f,"footer_stats_sec":$footerSec%.3f,"speedup":${footerSec / logSec}%.1f}""")
   }
 
+  /** `skipscan`: END-TO-END filtered query latency with data skipping
+    * (the r17 listFiles bound pruning) vs without (stats stripped —
+    * every file opens, parquet row-group pruning only): the same
+    * selective count over a 256-file clustered table. `statsearch`
+    * measures the PRUNE decision; this measures what the decision
+    * saves the whole query. */
+  private def skipscan(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = freshDir()
+    val rows = (0 until 65536).map(i => (i.toLong, s"row $i")).toDF("id", "text")
+    Snapshots.writeAppend(rows.repartitionByRange(256, col("id")), dir)
+    def timeQ(): Double = {
+      val times = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        val n = Snapshots.read(spark, dir)
+          .where(col("id") >= 1000 && col("id") <= 1999).count()
+        require(n == 1000, s"wrong count: $n")
+        (System.nanoTime() - t0) / 1e9
+      }
+      times.sorted.apply(2)
+    }
+    timeQ() // warm
+    val skipSec = timeQ()
+    val entry = new java.io.File(new java.io.File(dir, "_graft_log"),
+      "v00001.json")
+    val s = java.nio.file.Files.readString(entry.toPath)
+    val stripped = s.replaceAll(""","stats":\[.*?\](?=,"schema")""", "")
+    require(stripped != s, "entry had no stats block")
+    java.nio.file.Files.writeString(entry.toPath, stripped)
+    timeQ() // warm
+    val fullSec = timeQ()
+    println(f"""{"metric":"skip_scan_sec","files":256,"with_skipping_sec":$skipSec%.3f,"without_sec":$fullSec%.3f,"speedup":${fullSec / skipSec}%.1f}""")
+  }
+
   /** `entrycost`: the judged question behind "flat-cost commits" —
     * every entry is a FULL-STATE checkpoint, so one one-row append to
     * a table of N files writes an entry of O(N) bytes and parses one
@@ -111,8 +147,8 @@ object SnapBench {
       val files = (0 until n).map(i => f"fab$i%08x-00000.parquet")
       val sizes = files.indices.map(_ => 1048576L)
       val stats = files.indices.map(i =>
-        s"""{"id":{"n":[${i * 100}.0,${i * 100 + 99}.0]},""" +
-          s""""text":{"s":["cm93","cm95"]}}""")
+        s"""{"#":100,"id":{"n":[${i * 100}.0,${i * 100 + 99}.0],"z":0},""" +
+          s""""text":{"s":["cm93","cm95"],"z":0}}""")
       val entry = s"""{"version":1,"op":"append","files":[""" +
         files.map(f => "\"" + f + "\"").mkString(",") +
         s"""],"sizes":[${sizes.mkString(",")}],"stats":[""" +

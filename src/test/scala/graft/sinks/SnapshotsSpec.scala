@@ -663,10 +663,15 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.compact(spark, dir, 512L * 1024 * 1024)         // v2: 1 file
     Snapshots.writeAppend(Seq((3L, "c")).toDF("id", "text"), dir) // v3
     val h = Snapshots.history(spark, dir)
-      .as[(Int, String, Int, Long, java.sql.Timestamp)].collect()
+      .as[(Int, String, Int, Long, Long, java.sql.Timestamp)].collect()
     assert(h.map(r => (r._1, r._2, r._3)).toSeq ==
       Seq((1, "append", 2), (2, "compact", 1), (3, "append", 2)), h.toSeq)
     assert(h.forall(_._4 > 0), "bytes accounted")
+    // row counts from the logged per-file numRecords (r17): 2, 2, 3
+    assert(h.map(_._5).toSeq == Seq(2L, 2L, 3L), h.toSeq)
+    // and count(*) is pure metadata at every version
+    assert(Snapshots.countRows(spark, dir, Some(1)).contains(2L))
+    assert(Snapshots.countRows(spark, dir).contains(3L))
     // preview names exactly what vacuum then deletes — and nothing is
     // touched by the preview itself
     val pv = Snapshots.vacuumPreview(spark, dir, keepVersions = 1)

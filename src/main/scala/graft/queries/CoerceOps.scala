@@ -1226,10 +1226,42 @@ object CoerceOps {
       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, 2 AS version
       |FROM documents GROUP BY lang""".stripMargin
 
+  // -- q252: DATA SKIPPING under the oracle hash — a range aggregate
+  // over a key-clustered snapshot table: the r17 listFiles bound
+  // pruning drops every file whose logged bounds miss [2000, 3999]
+  // (the scan itself re-applies the predicate — skipping is a superset
+  // guarantee), and the oracle re-derives the aggregate from the raw
+  // table, so a wrongly-skipped file (lost rows) or a leaked one
+  // breaks the hash. The isolated skip cost is the SnapBench skipscan
+  // row; the q245-family clustering makes the skip selective. --
+  private val q252: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_snapskip_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val events = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    graft.sinks.Snapshots.writeOverwrite(
+      events.repartitionByRange(8, $"event_id"), out)
+    graft.sinks.Snapshots.read(s, out)
+      .where($"event_id" >= 2000 && $"event_id" <= 3999)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("sum_id"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+  }
+  private val q252Sql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events WHERE event_id BETWEEN 2000 AND 3999
+      |GROUP BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q249_string_key_clustered_upsert" -> q249,
     "q250_sql_snapshot_read" -> q250,
     "q251_sql_time_travel" -> q251,
+    "q252_data_skipping_scan" -> q252,
     "q242_concurrent_appends" -> q242,
     "q246_cdc_replication" -> q246,
     "q247_ttl_delete" -> q247,
@@ -1271,6 +1303,7 @@ object CoerceOps {
     "q249_string_key_clustered_upsert" -> q249Sql,
     "q250_sql_snapshot_read" -> q250Sql,
     "q251_sql_time_travel" -> q251Sql,
+    "q252_data_skipping_scan" -> q252Sql,
     "q241_snapshot_changes" -> q241Sql,
     "q236_snapshot_time_travel" -> q236Sql,
     "q237_incremental_scan" -> q237Sql,

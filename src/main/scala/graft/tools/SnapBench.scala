@@ -4,11 +4,17 @@ import graft.GraftSession
 import graft.sinks.Snapshots
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: measured evidence for the snapshot log's two operational
+/** Dev tool: measured evidence for the snapshot log's operational
   * claims (SURVEY §6.1 rows; re-run to reproduce).
   *
-  *   sbt "runMain graft.tools.SnapBench writers"   # concurrent commit throughput
-  *   sbt "runMain graft.tools.SnapBench polls"     # addedSince vs log length
+  *   sbt "runMain graft.tools.SnapBench writers"    # concurrent commit throughput
+  *   sbt "runMain graft.tools.SnapBench polls"      # addedSince vs log length
+  *   sbt "runMain graft.tools.SnapBench clusup <sfDir>"    # clustered vs spread upsert
+  *   sbt "runMain graft.tools.SnapBench clusupstr <sfDir>" # …on a STRING key
+  *   sbt "runMain graft.tools.SnapBench schemaread" # plan cost: logged schema+sizes
+  *   sbt "runMain graft.tools.SnapBench statsearch" # prune cost: log bounds vs footers
+  *   sbt "runMain graft.tools.SnapBench skipscan"   # end-to-end data-skipping latency
+  *   sbt "runMain graft.tools.SnapBench entrycost"  # entry bytes/commit wall vs file count
   *
   * `writers`: the same append workload (16 one-row commits) run by ONE
   * thread, then by FOUR concurrent threads (4 × 4), on fresh tables.

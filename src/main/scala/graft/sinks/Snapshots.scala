@@ -913,6 +913,12 @@ object Snapshots {
       case Some(n) if batchId > n => false
       case _ => versions(spark, dir).exists(_.op == op)
     }
+    // the replay check runs BEFORE the commit loop: two writers racing
+    // on the SAME (queryId, batchId) could both pass it and both
+    // append — a DUPLICATE, never a loss (appends rebase). Structured
+    // Streaming never runs two instances of one checkpoint, so this
+    // needs operator error (two queries sharing a queryId) to trigger;
+    // the token's uniqueness is the caller's side of the contract.
     if (replayed) None
     else {
       latest(spark, dir).flatMap(schemaOf(spark, dir, _))

@@ -83,7 +83,8 @@ private[sinks] class SnapshotBatchSink(dir: String, keyCol: Option[String],
         // otherwise also lean on every upstream source re-reading
         // deterministically)
         batch.persist()
-        try Snapshots.applyChanges(batch, dir, k, batchId = Some(batchId))
+        try Snapshots.applyChanges(batch, dir, k, batchId = Some(batchId),
+          queryId = queryId)
         finally { batch.unpersist(); () }
       case None => Snapshots.writeAppendBatch(batch, dir, batchId, queryId); ()
     }

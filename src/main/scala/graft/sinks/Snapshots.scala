@@ -662,9 +662,18 @@ object Snapshots {
     * [[deleteRange]]/[[prunedRead]]) reads bounds from the entry with
     * ZERO filesystem calls — vs the per-OPERATION O(table-files)
     * footer manifest the legacy path pays. */
+  /** `uniformSchema`: true only when every file is KNOWN to carry
+    * every statted column (land() wrote them all from one frame) —
+    * that is what licenses reading "no manifest rows" as "zero row
+    * groups, an empty file". Adopted files ([[importDir]]) are
+    * heterogeneous (a legacy file may predate a statted column
+    * entirely), so there absence means UNKNOWN, never empty —
+    * inferring rows=0 there would let pruning silently skip real
+    * rows. */
   private def attachStats(spark: SparkSession, dir: String,
                           schema: StructType,
-                          files: Seq[DataFile]): Seq[DataFile] = {
+                          files: Seq[DataFile],
+                          uniformSchema: Boolean = true): Seq[DataFile] = {
     val cols = statColumns(spark, schema)
     if (cols.isEmpty || files.isEmpty) files
     else {
@@ -687,18 +696,28 @@ object Snapshots {
           val stat: Option[ColStat] =
             if (!r.isNullAt(3) && !r.isNullAt(4)) {
               val (lo, hi) = (r.getDouble(3), r.getDouble(4))
-              if (lo.isNaN || hi.isNaN) None else Some(NumStat(lo, hi, nulls))
+              // NaN: parquet's documented unreliable-stats case;
+              // Infinity: a bare Infinity token would make the whole
+              // stats block unparseable JSON — both degrade to a
+              // bound-less null count, never a wrong (or poisonous)
+              // bound
+              if (lo.isNaN || hi.isNaN || lo.isInfinite || hi.isInfinite)
+                nulls.map(NullStat(_))
+              else Some(NumStat(lo, hi, nulls))
             } else if (!r.isNullAt(5) && !r.isNullAt(6))
               strStat(r.getString(5), r.getString(6), nulls)
             else nulls.map(NullStat(_)) // no bounds, known null count:
               // still prunes IS (NOT) NULL and, when all-null, ranges
           stat.map(r.getString(2) -> _)
         }.toMap
-        // a parquet file ALWAYS carries chunks for every wanted column
-        // in every row group, so "no manifest rows" ⇔ "no row groups"
-        // ⇔ an EMPTY file (the delete-everything / empty-partition
-        // shape) — record rows = 0, which pruning may then skip freely
-        val nRows = fileRows.headOption.map(_.getLong(1)).getOrElse(0L)
+        // under a uniform schema a parquet file ALWAYS carries chunks
+        // for every wanted column in every row group, so "no manifest
+        // rows" ⇔ "no row groups" ⇔ an EMPTY file (the
+        // delete-everything / empty-partition shape) — record rows = 0,
+        // which pruning may then skip freely; for heterogeneous
+        // adopted files absence means UNKNOWN (-1), never empty
+        val nRows = fileRows.headOption.map(_.getLong(1))
+          .getOrElse(if (uniformSchema) 0L else -1L)
         f.copy(stats = FileStats(nRows, cols))
       }
     }
@@ -741,30 +760,51 @@ object Snapshots {
     }
 
   /** Files of `snap` that MAY hold `column` ∈ [lo, hi] — the pruning
-    * router: bounds from the LOG entry when it carries any (zero IO —
-    * stats attached at land time), the distributed footer manifest
-    * otherwise (legacy/imported entries). Keep-if-unknown superset
-    * semantics throughout: a file without a logged bound for the
-    * column stays a candidate, so pruning can only save work, never
-    * change an answer. */
+    * router: LOGGED stats prune with zero IO (attached at land time);
+    * files WITHOUT logged stats (legacy entries, pre-r17 commits mixed
+    * under newer ones) prune through the distributed footer manifest —
+    * over exactly that subset, so one fresh commit on an old table
+    * never disables the footer pruning the old files had, and the
+    * footer cost shrinks as rewrites refresh stats. Keep-if-unknown
+    * superset semantics throughout: a file without a usable bound for
+    * the column stays a candidate, so pruning can only save work,
+    * never change an answer. Stats columns resolve case-insensitively
+    * (Spark's resolution — a frame written as 'ID' onto an 'id' table
+    * logs its bounds under its own casing). */
+  private def pruneCandidates(spark: SparkSession, dir: String,
+                              snap: Snapshot, column: String)
+                             (logTest: ColStat => Boolean)
+                             (footer: Seq[String] => Seq[String]): Seq[String] = {
+    val key = column.toLowerCase(java.util.Locale.ROOT)
+    val (statted, statless) = snap.dataFiles.partition(!_.stats.isEmpty)
+    val keptLogged = statted.filter { f =>
+      if (f.stats.rows == 0) false // logged-empty file: nothing to match
+      else f.stats.cols.collectFirst {
+        case (c, st) if c.toLowerCase(java.util.Locale.ROOT) == key => st
+      } match {
+        case Some(NullStat(n)) => !(f.stats.rows >= 0 && n == f.stats.rows)
+        case Some(st) => logTest(st)
+        case None => true
+      }
+    }.map(_.name)
+    val keptLegacy =
+      if (statless.isEmpty) Seq.empty
+      else footer(statless.map(_.name))
+    keptLogged ++ keptLegacy
+  }
+
   private def pruneCandidatesNum(spark: SparkSession, dir: String,
                                  snap: Snapshot, column: String,
-                                 lo: Double, hi: Double): Seq[String] = {
-    val dfs = snap.dataFiles
-    if (dfs.exists(!_.stats.isEmpty))
-      dfs.filter { f =>
-        if (f.stats.rows == 0) false // empty file: nothing to match
-        else f.stats.cols.get(column) match {
-          case Some(NumStat(mn, mx, _)) => !(mx < lo || mn > hi)
-          case Some(NullStat(n)) => !(f.stats.rows >= 0 && n == f.stats.rows)
-          case _ => true
-        }
-      }.map(_.name)
-    else Layout.pruneFiles(
-      Layout.statsManifestFiles(spark, snap.files.map(f => s"$dir/$f"),
-        Seq(column)), column, lo, hi)
-      .map(_.stripPrefix(s"$dir/"))
-  }
+                                 lo: Double, hi: Double): Seq[String] =
+    pruneCandidates(spark, dir, snap, column) {
+      case NumStat(mn, mx, _) => !(mx < lo || mn > hi)
+      case _ => true
+    } { names =>
+      Layout.pruneFiles(
+        Layout.statsManifestFiles(spark, names.map(f => s"$dir/$f"),
+          Seq(column)), column, lo, hi)
+        .map(_.stripPrefix(s"$dir/"))
+    }
 
   /** [[pruneCandidatesNum]] for STRING columns — what lets a takedown
     * or upsert keyed by doc ids/UUIDs/URLs (the most common key shape)
@@ -775,19 +815,12 @@ object Snapshots {
                                  lo: String, hi: String): Seq[String] = {
     def bmp(x: String) = x.forall(c => c < '\ud800' || c > '\udfff')
     if (!bmp(lo) || !bmp(hi)) snap.files
-    else {
-      val dfs = snap.dataFiles
-      if (dfs.exists(!_.stats.isEmpty))
-        dfs.filter { f =>
-          if (f.stats.rows == 0) false // empty file: nothing to match
-          else f.stats.cols.get(column) match {
-            case Some(StrStat(mn, mx, _)) => !(mx < lo || mn > hi)
-            case Some(NullStat(n)) => !(f.stats.rows >= 0 && n == f.stats.rows)
-            case _ => true
-          }
-        }.map(_.name)
-      else Layout.pruneFilesStr(
-        Layout.statsManifestFiles(spark, snap.files.map(f => s"$dir/$f"),
+    else pruneCandidates(spark, dir, snap, column) {
+      case StrStat(mn, mx, _) => !(mx < lo || mn > hi)
+      case _ => true
+    } { names =>
+      Layout.pruneFilesStr(
+        Layout.statsManifestFiles(spark, names.map(f => s"$dir/$f"),
           Seq(column)), column, lo, hi)
         .map(_.stripPrefix(s"$dir/"))
     }
@@ -816,7 +849,8 @@ object Snapshots {
     // into v1 beside the names/sizes, so pruning ops are zero-IO from
     // the first post-import operation on
     commit(spark, dir, "import",
-      Rewrite(attachStats(spark, dir, schema, rel), 0, Some(schema)))
+      Rewrite(attachStats(spark, dir, schema, rel, uniformSchema = false),
+        0, Some(schema)))
   }
 
   private def listDataFiles(fs: FileSystem, root: Path,
@@ -1303,8 +1337,12 @@ object Snapshots {
         val mm = keys.agg(min(col(keyCol)).cast("double"),
           max(col(keyCol)).cast("double")).head()
         if (mm.isNullAt(0)) Seq.empty // all-NULL keys match no existing row
+        // widen by one ulp: the cast rounds int64 keys past 2^53 to
+        // the nearest double, which can round the true min UP (or max
+        // DOWN) — the widened range keeps the boundary file instead of
+        // wrongly pruning it
         else pruneCandidatesNum(spark, dir, snap, keyCol,
-          mm.getDouble(0), mm.getDouble(1))
+          Math.nextDown(mm.getDouble(0)), Math.nextUp(mm.getDouble(1)))
       case StringType =>
         val mm = keys.agg(min(col(keyCol)), max(col(keyCol))).head()
         if (mm.isNullAt(0)) Seq.empty
@@ -1346,12 +1384,17 @@ object Snapshots {
     * replayed batch finds its op already committed and lands NOTHING —
     * batch-id-exact like [[writeAppendBatch]]; without it, replays
     * still converge because delete-by-key and upsert-by-key are
-    * value-idempotent. Contract: the table is key-unique (the
-    * [[upsert]] contract); multi-row keys need a bespoke applier.
-    * Returns the committed version, None for a replay skip or an
-    * effect-free batch. */
+    * value-idempotent. Like [[writeAppendBatch]], the batch-id token
+    * is GLOBAL to the table unless `queryId` namespaces it — a keyCol
+    * stream restarted with a FRESH checkpoint dir (batch ids reset to
+    * 0) or a second stream on one replica MUST set a distinct stable
+    * queryId or its batches are silently skipped as replays. Contract:
+    * the table is key-unique (the [[upsert]] contract); multi-row keys
+    * need a bespoke applier. Returns the committed version, None for a
+    * replay skip or an effect-free batch. */
   def applyChanges(batch: DataFrame, dir: String, keyCol: String,
-                   batchId: Option[Long] = None): Option[Int] = {
+                   batchId: Option[Long] = None,
+                   queryId: Option[String] = None): Option[Int] = {
     val spark = batch.sparkSession
     val cols = batch.columns
     require(cols.contains("_change_type") && cols.contains("_commit_version"),
@@ -1359,15 +1402,20 @@ object Snapshots {
         s"(_change_type, _commit_version); got: ${cols.mkString(", ")}")
     require(cols.contains(keyCol), s"applyChanges: key column '$keyCol' " +
       s"not in batch (has: ${cols.sorted.mkString(", ")})")
-    val op = batchId.fold("apply-changes")(id => s"apply-batch-$id")
+    queryId.foreach(q => require(q.nonEmpty && !q.exists(c =>
+      c < ' ' || "\",[]".contains(c)),
+      s"applyChanges: queryId not representable in the log: '$q'"))
+    val prefix = queryId.fold("apply-batch-")(q => s"apply-batch-$q-")
+    val op = batchId.fold("apply-changes")(id => s"$prefix$id")
     // batch-id replay check, the writeAppendBatch shape: the newest
     // entry decides the common crash-replay case in O(1); only an id
     // at-or-below the newest applied one confirms against full history
     if (batchId.isDefined) {
       val newestApplied = latest(spark, dir).map(_.op).collect {
-        case o if o.startsWith("apply-batch-") &&
-          o.stripPrefix("apply-batch-").forall(_.isDigit) =>
-          o.stripPrefix("apply-batch-").toLong
+        case o if o.startsWith(prefix) &&
+          o.stripPrefix(prefix).nonEmpty &&
+          o.stripPrefix(prefix).forall(_.isDigit) =>
+          o.stripPrefix(prefix).toLong
       }
       val replayed = newestApplied match {
         case Some(n) if batchId.get > n => false

@@ -41,7 +41,14 @@ object StatsPruning {
     * zero-null column, `IS NOT NULL` on an all-null column, and any
     * comparison on an all-null column (no non-NULL value exists to
     * satisfy it). */
-  def mayMatch(stats: FileStats, expr: Expression): Boolean = {
+  def mayMatch(stats: FileStats, expr: Expression): Boolean =
+    mayMatchAll(stats, Seq(expr))
+
+  /** [[mayMatch]] over a filter CONJUNCTION — the listFiles shape: one
+    * lowercased column map per file, however many filters the query
+    * pushed (the per-(file, filter) map rebuild would be O(files ×
+    * filters × columns) driver allocations per plan at estate scale). */
+  def mayMatchAll(stats: FileStats, filters: Seq[Expression]): Boolean = {
     if (stats.isEmpty) return true
     if (stats.rows == 0) return false // a logged-empty file matches nothing
     val byLower = stats.cols.map { case (k, v) =>
@@ -136,12 +143,19 @@ object StatsPruning {
         cmp(st, v)((mn, mx, d) => d >= mn && d <= mx)(
           (mn, mx, s) => s >= mn && s <= mx)
     }
+    // NUMERIC strict tests are deliberately relaxed to NON-strict:
+    // literals compare in double space while the real predicate may be
+    // exact int64 — a literal past 2^53 rounds, and `mn < d` could
+    // wrongly drop a file whose min equals the rounded literal but
+    // satisfies the exact `<`. Keeping the boundary file costs one
+    // file occasionally; dropping it loses rows. STRING tests are
+    // exact (no rounding), so strictness stands there.
     def ltMay(a: Attribute, v: Any, strict: Boolean): Boolean =
       statOf(a) match {
         case None => true
         case Some(st) if allNull(st) => false
         case Some(st) =>
-          cmp(st, v)((mn, _, d) => if (strict) mn < d else mn <= d)(
+          cmp(st, v)((mn, _, d) => mn <= d)(
             (mn, _, s) => if (strict) mn < s else mn <= s)
       }
     def gtMay(a: Attribute, v: Any, strict: Boolean): Boolean =
@@ -149,11 +163,11 @@ object StatsPruning {
         case None => true
         case Some(st) if allNull(st) => false
         case Some(st) =>
-          cmp(st, v)((_, mx, d) => if (strict) mx > d else mx >= d)(
+          cmp(st, v)((_, mx, d) => mx >= d)(
             (_, mx, s) => if (strict) mx > s else mx >= s)
       }
 
-    may(expr)
+    filters.forall(may)
   }
 
   /** The exclusive upper bound of the `startsWith(p)` value range:

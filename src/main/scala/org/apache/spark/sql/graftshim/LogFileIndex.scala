@@ -55,8 +55,8 @@ object LogFileIndex {
         val kept =
           if (dataFilters.isEmpty) statuses
           else entries.collect {
-            case (st, stats) if dataFilters.forall(f =>
-              StatsPruning.mayMatch(stats, f)) => st
+            case (st, stats) if StatsPruning.mayMatchAll(stats, dataFilters) =>
+              st
           }.toArray
         Seq(PartitionDirectory(InternalRow.empty, kept))
       }

@@ -62,8 +62,8 @@ object SnapshotScanShim {
         val kept =
           if (dataFilters.isEmpty) statuses.toArray
           else entries.collect {
-            case (st, stats) if dataFilters.forall(f =>
-              graft.sinks.StatsPruning.mayMatch(stats, f)) => st
+            case (st, stats) if graft.sinks.StatsPruning.mayMatchAll(
+              stats, dataFilters) => st
           }.toArray
         Seq(org.apache.spark.sql.execution.datasources.PartitionDirectory(
           org.apache.spark.sql.catalyst.InternalRow.empty, kept))

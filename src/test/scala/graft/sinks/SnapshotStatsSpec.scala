@@ -191,6 +191,82 @@ class SnapshotStatsSpec extends SparkSpec {
       assert(f.stats == untouchedNames(f.name), s"${f.name} bounds drifted"))
   }
 
+  test("importDir adoption is heterogeneous-safe: a file lacking a statted column is UNKNOWN, never empty") {
+    val dir = freshDir()
+    // two adopted files: one predates the 'id' column entirely — the
+    // multi-year-corpus shape; pin stats to 'id' so the old file has
+    // NO manifest rows at all
+    (0 until 50).map(i => (i.toLong, s"d $i")).toDF("id", "text")
+      .coalesce(1).write.parquet(dir)
+    Seq("old doc").toDF("text").coalesce(1)
+      .write.mode("append").parquet(dir)
+    spark.conf.set("spark.graft.snapshots.statsColumns", "id")
+    try Snapshots.importDir(spark, dir)
+    finally spark.conf.unset("spark.graft.snapshots.statsColumns")
+    val dfs = Snapshots.versions(spark, dir).last.dataFiles
+    val legacy = dfs.find(_.stats.cols.isEmpty).get
+    assert(legacy.stats.rows == -1L,
+      s"absence of statted columns must read as UNKNOWN, not empty: $legacy")
+    // the legacy file's row survives EVERY filtered read — rows=0
+    // inference here would have silently dropped it
+    assert(Snapshots.read(spark, dir).where($"text" === "old doc").count() == 1)
+    assert(Snapshots.read(spark, dir).count() == 51)
+    assert(Snapshots.countRows(spark, dir).isEmpty,
+      "metadata count must refuse while any file's rows are unknown")
+  }
+
+  test("Infinity bounds degrade to a null-count stat — the entry stays parseable") {
+    val dir2 = freshDir()
+    Snapshots.writeAppend(
+      Seq((1L, 1.5), (2L, Double.PositiveInfinity)).toDF("id", "score")
+        .coalesce(1), dir2)
+    val snap = Snapshots.versions(spark, dir2).last
+    assert(snap.stats.isDefined, "stats block must survive the render")
+    val st = snap.dataFiles.head.stats
+    assert(!st.cols.get("score").exists(_.isInstanceOf[Snapshots.NumStat]),
+      s"an infinite bound would poison the hand-rolled JSON: $st")
+    assert(st.cols.get("id").isDefined && st.rows == 2,
+      "the finite column and the row count still log")
+  }
+
+  test("case-variant stats resolve: bounds logged as 'ID' prune a search on 'id'") {
+    val dir = freshDir()
+    Snapshots.writeAppend(
+      (0 until 50).map(i => (i.toLong, s"a $i")).toDF("id", "text")
+        .coalesce(1), dir)
+    // a second writer spells the key 'ID' — same column under Spark's
+    // case-insensitive resolution; its bounds log under its casing
+    Snapshots.writeAppend(
+      (100 until 150).map(i => (i.toLong, s"b $i")).toDF("ID", "text")
+        .coalesce(1), dir)
+    val kept = Snapshots.prunedRead(spark, dir, "id", 0, 49).inputFiles
+    assert(kept.length == 1,
+      s"the 'ID'-statted file must prune out of an 'id' range search: " +
+        s"${kept.length} kept")
+    assert(Snapshots.read(spark, dir).where($"id" >= 100).count() == 50)
+  }
+
+  test("mixed legacy+fresh: stat-less files still footer-prune (subset manifest)") {
+    val dir = freshDir()
+    // v1: a pre-r17 writer (stats disabled) lands CLUSTERED files
+    spark.conf.set("spark.graft.snapshots.statsColumns", "")
+    try Snapshots.writeAppend(
+      (0 until 400).map(i => (i.toLong, s"d $i")).toDF("id", "text")
+        .repartitionByRange(8, $"id"), dir)
+    finally spark.conf.unset("spark.graft.snapshots.statsColumns")
+    // v2: one fresh statted append — must NOT disable the footer
+    // pruning the legacy files had
+    Snapshots.writeAppend(
+      Seq((1000L, "fresh")).toDF("id", "text"), dir)
+    val total = Snapshots.versions(spark, dir).last.files.size
+    val kept = Snapshots.prunedRead(spark, dir, "id", 0, 49).inputFiles.length
+    assert(kept < total - 1,
+      s"legacy files must footer-prune in a mixed table: $kept of $total kept")
+    // and correctness holds
+    assert(Snapshots.prunedRead(spark, dir, "id", 0, 49)
+      .where($"id" <= 49).count() == 50)
+  }
+
   test("statsColumns config pins the set; empty string disables stats") {
     val dir1 = freshDir(); val dir2 = freshDir()
     spark.conf.set("spark.graft.snapshots.statsColumns", "id")

@@ -809,6 +809,26 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.versions(spark, rep).size == 2)
   }
 
+  test("applyChanges queryId namespaces the batch token: a fresh-checkpoint restart still applies") {
+    val src = freshDir(); val rep = freshDir()
+    Snapshots.writeAppend(Seq((1L, "one")).toDF("id", "text"), src)
+    Snapshots.writeAppend(Seq((2L, "two")).toDF("id", "text"), src)
+    // incarnation A applies batch 0 (source v1)
+    assert(Snapshots.applyChanges(Snapshots.changes(spark, src, 0, Some(1)),
+      rep, "id", batchId = Some(0L), queryId = Some("incA")).isDefined)
+    // the stream restarts with a FRESH checkpoint: batch ids reset to
+    // 0 under a NEW queryId — the batch must APPLY, not silently skip
+    // as incarnation A's replay (the regression the bare batch id had)
+    assert(Snapshots.applyChanges(Snapshots.changes(spark, src, 1, Some(2)),
+      rep, "id", batchId = Some(0L), queryId = Some("incB")).isDefined)
+    assert(Snapshots.read(spark, rep).count() == 2)
+    // replay within ONE incarnation still skips, id-exact
+    assert(Snapshots.applyChanges(Snapshots.changes(spark, src, 1, Some(2)),
+      rep, "id", batchId = Some(0L), queryId = Some("incB")).isEmpty)
+    assert(Snapshots.versions(spark, rep).map(_.op) ==
+      Seq("apply-batch-incA-0", "apply-batch-incB-0"))
+  }
+
   test("vacuum sweeps aged ORPHAN data files (landed, never committed) and spares the rest") {
     val dir = freshDir()
     Snapshots.writeAppend(Seq((1L, "a")).toDF("id", "text"), dir)

@@ -31,11 +31,20 @@ class StatsPruningSpec extends SparkSpec {
     assert(!may(EqualTo(id, Literal(50L))))
     assert(!may(EqualTo(Literal(250L), id)))
     assert(may(EqualTo(key, s("doc-150"))) && !may(EqualTo(key, s("doc-250"))))
-    // ranges, both orientations, strict and non-strict at the bounds
-    assert(!may(LessThan(id, Literal(100L))) && may(LessThanOrEqual(id, Literal(100L))))
-    assert(!may(GreaterThan(id, Literal(199L))) && may(GreaterThanOrEqual(id, Literal(199L))))
-    assert(!may(GreaterThan(Literal(100L), id))) // 100 > id == id < 100
-    assert(may(LessThan(Literal(150L), id)))     // 150 < id == id > 150
+    // ranges, both orientations. NUMERIC strict tests deliberately
+    // keep the boundary file (double-rounding soundness past 2^53):
+    // id < 100 KEEPS a min=100 file, id < 99 prunes it
+    assert(may(LessThan(id, Literal(100L))) && !may(LessThan(id, Literal(99L))))
+    assert(may(LessThanOrEqual(id, Literal(100L))) &&
+      !may(LessThanOrEqual(id, Literal(99L))))
+    assert(may(GreaterThan(id, Literal(199L))) && !may(GreaterThan(id, Literal(200L))))
+    assert(may(GreaterThanOrEqual(id, Literal(199L))) &&
+      !may(GreaterThanOrEqual(id, Literal(200L))))
+    assert(!may(GreaterThan(Literal(99L), id))) // 99 > id == id < 99
+    assert(may(LessThan(Literal(150L), id)))    // 150 < id == id > 150
+    // STRING strict tests stay exact (no rounding regime)
+    assert(!may(LessThan(key, s("doc-100"))) &&
+      may(LessThanOrEqual(key, s("doc-100"))))
     // boolean algebra: And prunes on either side, Or needs both
     assert(!may(And(EqualTo(id, Literal(150L)), EqualTo(id, Literal(50L)))))
     assert(may(Or(EqualTo(id, Literal(50L)), EqualTo(id, Literal(150L)))))
@@ -63,6 +72,15 @@ class StatsPruningSpec extends SparkSpec {
       "id" -> NumStat(0, 9)))
     assert(StatsPruning.mayMatch(noNulls, IsNull(id)) &&
       StatsPruning.mayMatch(noNulls, IsNotNull(id)))
+    // double-rounding soundness past 2^53: the exact long predicate
+    // id < 2^53+1 is satisfied by id=2^53, but the literal rounds to
+    // 2^53.0 — the relaxed strict test must KEEP the file
+    val big = Snapshots.FileStats(rows = 10, cols = Map(
+      "id" -> NumStat(9007199254740992.0, 9007199254740992.0)))
+    assert(StatsPruning.mayMatch(big,
+      LessThan(id, Literal(9007199254740993L))))
+    assert(StatsPruning.mayMatch(big,
+      GreaterThan(id, Literal(9007199254740991L))))
     // soundness: unknown shapes/columns/kinds KEEP
     assert(may(Not(EqualTo(id, Literal(150L)))))
     assert(may(EqualTo(AttributeReference("other", LongType)(), Literal(1L))))
@@ -101,13 +119,14 @@ class StatsPruningSpec extends SparkSpec {
       (0 until 400).map(i => (i.toLong, f"doc-$i%05d", s"body $i"))
         .toDF("id", "key", "text").repartitionByRange(8, $"id"), dir)
     val snap = Snapshots.versions(spark, dir).last
-    // which files may hold id < 50? (their logged bounds say)
+    // which files may hold id <= 49? (their logged bounds, under the
+    // boundary-conservative numeric rule: min <= probe keeps)
     val mayHold = snap.dataFiles.filter(f =>
-      f.stats.cols("id").asInstanceOf[NumStat].min < 50).map(_.name).toSet
+      f.stats.cols("id").asInstanceOf[NumStat].min <= 49).map(_.name).toSet
     assert(mayHold.size < snap.files.size, "the range must be selective")
     withOnly(dir, mayHold) {
-      assert(Snapshots.read(spark, dir).where($"id" < 50).count() == 50)
-      // string + prefix predicates skip too
+      assert(Snapshots.read(spark, dir).where($"id" <= 49).count() == 50)
+      // string + prefix predicates skip too (string bounds test exact)
       assert(Snapshots.read(spark, dir)
         .where($"key" < "doc-00050").count() == 50)
       // prefix scan: doc-0000* covers ids 0..9, inside the kept range
@@ -115,7 +134,7 @@ class StatsPruningSpec extends SparkSpec {
         .where($"key".startsWith("doc-0000")).count() == 10)
     }
     // and the answers equal the unskipped truth
-    assert(Snapshots.read(spark, dir).where($"id" < 50)
+    assert(Snapshots.read(spark, dir).where($"id" <= 49)
       .agg(sum($"id")).head.getLong(0) == (0 until 50).sum)
   }
 
@@ -128,10 +147,10 @@ class StatsPruningSpec extends SparkSpec {
         .repartitionByRange(8, $"id"), dir)
     val snap = Snapshots.versions(spark, dir).last
     val mayHold = snap.dataFiles.filter(f =>
-      f.stats.cols("id").asInstanceOf[NumStat].min < 50).map(_.name).toSet
+      f.stats.cols("id").asInstanceOf[NumStat].min <= 49).map(_.name).toSet
     withOnly(dir, mayHold) {
       assert(spark.sql(
-        s"SELECT count(*) AS n FROM graft.`$dir` WHERE id < 50")
+        s"SELECT count(*) AS n FROM graft.`$dir` WHERE id <= 49")
         .as[Long].head() == 50)
     }
   }

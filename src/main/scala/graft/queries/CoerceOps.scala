@@ -1069,13 +1069,14 @@ object CoerceOps {
     graft.sinks.Snapshots.upsert(recrawl, out, "doc_id")
     graft.sinks.Snapshots.deleteWhere(s, out, col("lang") === "fr")
     graft.sinks.Snapshots.compact(s, out, 512L * 1024 * 1024)
+    // the graft-snapshot keyCol sink, not a raw foreachBatch: the sink
+    // persists each micro-batch before applyChanges' several actions
+    // (net-effect join, touched-file scan, landing), so the trigger's
+    // incremental CDC plan executes once per batch, not once per action
     val q = graft.sinks.Snapshots.readChangesStream(s, out,
         maxVersionsPerTrigger = 2)
-      .writeStream
-      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                     _: Long) => {
-        graft.sinks.Snapshots.applyChanges(df, rep, "doc_id"); ()
-      })
+      .writeStream.format("graft-snapshot")
+      .option("path", rep).option("keyCol", "doc_id")
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_repl_ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()

@@ -298,15 +298,24 @@ object Layout {
   def pruneFilesStr(manifest: DataFrame, column: String,
                     lo: String, hi: String): Seq[String] = {
     val all = manifest.select(col("file")).distinct()
-    val noSurrogate = (c: Column) => !c.rlike("[\\ud800-\\udfff]")
+      .collect().map(_.getString(0))
+    // surrogate detection is CHAR-WISE on the driver (the strStat
+    // discipline): Spark regexes match code POINTS, so a character-
+    // class range over the surrogate block never matches a properly
+    // paired surrogate — a supplementary-plane bound would sail past an
+    // rlike guard and be compared in the wrong order regime. The bound
+    // rows are driver-sized metadata (one per file), same as the final
+    // file list.
+    def bmp(s: String) = !s.exists(Character.isSurrogate)
     val excluded = manifest
       .where(col("column") === column &&
-        col("min_str").isNotNull && col("max_str").isNotNull &&
-        noSurrogate(col("min_str")) && noSurrogate(col("max_str")) &&
-        (col("max_str") < lit(lo) || col("min_str") > lit(hi)))
-      .select(col("file")).distinct()
-    all.join(excluded, Seq("file"), "left_anti")
-      .collect().map(_.getString(0)).toSeq.sorted
+        col("min_str").isNotNull && col("max_str").isNotNull)
+      .select(col("file"), col("min_str"), col("max_str"))
+      .collect()
+      .filter(r => bmp(r.getString(1)) && bmp(r.getString(2)) &&
+        (r.getString(2) < lo || r.getString(1) > hi))
+      .map(_.getString(0)).toSet
+    all.filterNot(excluded).toSeq.sorted
   }
 
   /** Scan only the files [[pruneFiles]] keeps. The caller applies the

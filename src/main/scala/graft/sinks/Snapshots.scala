@@ -647,8 +647,16 @@ object Snapshots {
         !ReservedStatNames(f.name)
     spark.conf.getOption("spark.graft.snapshots.statsColumns") match {
       case Some(csv) =>
-        val want = csv.split(',').map(_.trim).filter(_.nonEmpty).toSet
-        schema.fields.filter(f => want(f.name) && eligible(f))
+        // case-INSENSITIVE like every other resolution in the stats
+        // system (schema gate, pruneCandidates, StatsPruning): a config
+        // naming 'ID' on a table written as 'id' must select the
+        // column, not silently log nothing and degrade every prune to
+        // a full scan
+        val want = csv.split(',')
+          .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+          .filter(_.nonEmpty).toSet
+        schema.fields.filter(f =>
+            want(f.name.toLowerCase(java.util.Locale.ROOT)) && eligible(f))
           .map(_.name).toSeq
       case None =>
         schema.fields.filter(eligible).take(StatsColsCap).map(_.name).toSeq
@@ -1569,19 +1577,29 @@ object Snapshots {
   /** `TIMESTAMP AS OF` resolution: the newest version whose commit
     * file's modification time is at or before `tsMillis` — the log's
     * only timestamp (ordering truth remains the VERSION; the mtime is
-    * operational context, same caveat as [[history]]). One directory
+    * operational context, same caveat as [[history]]). Mtimes are
+    * MONOTONIZED before the comparison (walk versions ascending, carry
+    * the running max mtime as each version's effective timestamp — the
+    * Delta commit-timestamp rule): clock skew or log entries restored
+    * with fresh mtimes can otherwise stamp version N later than N+1,
+    * and raw max-over-mtime would then resolve a timestamp to a LATER
+    * version than the timeline it claims to pick. One directory
     * listing, no entry parse. Fails naming the retained range when
     * nothing that old is retained. */
   def versionAsOf(spark: SparkSession, dir: String, tsMillis: Long): Int = {
     val (fs, root) = fsOf(spark, dir)
     val log = new Path(root, LogDir)
-    val cands =
+    val stamped =
       if (!fs.exists(log)) Seq.empty
       else fs.listStatus(log).toSeq.flatMap(st => st.getPath.getName match {
-        case VersionRe(n) if st.getModificationTime <= tsMillis =>
-          Some(n.toInt)
+        case VersionRe(n) => Some(n.toInt -> st.getModificationTime)
         case _ => None
-      })
+      }).sortBy(_._1)
+    val cands = stamped.foldLeft((Long.MinValue, List.empty[Int])) {
+      case ((eff0, keep), (v, mt)) =>
+        val eff = math.max(eff0, mt)
+        (eff, if (eff <= tsMillis) v :: keep else keep)
+    }._2
     if (cands.isEmpty) {
       val range = retainedRange(spark, dir)
         .map { case (lo, hi) => s"retained versions: $lo..$hi" }

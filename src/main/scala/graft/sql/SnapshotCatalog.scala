@@ -99,11 +99,19 @@ class SnapshotCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = load(ident, None, None)
 
-  /** `VERSION AS OF n` — the version is the log's own number. */
+  /** `VERSION AS OF n` — the version is the log's own number. A
+    * non-numeric version surfaces through the same wrapped
+    * NoSuchTableException path as every other load failure (not a raw
+    * IllegalArgumentException from a require — DDL like `DROP TABLE IF
+    * EXISTS t VERSION AS OF 'x'` probes through here). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    require(version.nonEmpty && version.forall(_.isDigit),
-      s"VERSION AS OF on a snapshot table takes the integer log " +
-        s"version, got '$version'")
+    if (!(version.nonEmpty && version.forall(_.isDigit)))
+      throw new NoSuchTableException(
+        errorClass = "TABLE_OR_VIEW_NOT_FOUND",
+        messageParameters = Map("relationName" ->
+          (s"`$catalogName`.`${ident.name()}` (VERSION AS OF on a " +
+            s"snapshot table takes the integer log version, got '$version')")),
+        cause = None)
     load(ident, Some(version.toInt), None)
   }
 
@@ -113,7 +121,13 @@ class SnapshotCatalog extends TableCatalog {
 
   override def tableExists(ident: Identifier): Boolean =
     try { load(ident, None, None); true }
-    catch { case _: NoSuchTableException => false }
+    catch {
+      case _: NoSuchTableException => false
+      // dirFor's path-identifier shape check throws raw
+      // IllegalArgumentException before load's wrapping — an existence
+      // probe on a malformed identifier is "no", not an internal error
+      case _: IllegalArgumentException => false
+    }
 
   /** Tables = subdirectories of the warehouse namespace dir that have
     * a snapshot log. Path-identified tables are unlisted by nature. */

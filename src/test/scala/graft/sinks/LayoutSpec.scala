@@ -213,4 +213,28 @@ class LayoutSpec extends SparkSpec {
     val back = spark.read.parquet(dir).select(docs.columns.map(col): _*)
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
+
+  test("pruneFilesStr: bounds containing surrogates — including PAIRED emoji — are treated as absent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_prstr").toString
+    // one file keyed entirely in the supplementary plane (paired
+    // surrogates in UTF-16), one in plain ASCII
+    Seq("🙂 a", "🙂 b").toDF("k")
+      .coalesce(1).write.parquet(s"$dir/emoji")
+    Seq("aa", "ab").toDF("k").coalesce(1).write.parquet(s"$dir/plain")
+    def parts(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    val manifest = Layout.statsManifestFiles(spark,
+      parts("emoji") ++ parts("plain"), Seq("k"))
+    // probe range in U+FFFD..U+FFFF: ABOVE the emoji bounds in UTF-16
+    // code-unit order (\ud83d < �) but BELOW them in the footer's
+    // UTF-8 byte order — the exact regime divergence the guard exists
+    // for. A regex-class guard never fires on paired surrogates (Java
+    // regexes match code POINTS), so only a char-wise check keeps the
+    // emoji file.
+    val kept = Layout.pruneFilesStr(manifest, "k", "\ufffd", "\uffff")
+    assert(kept.exists(_.contains("emoji")),
+      s"surrogate-bearing bounds must be treated as absent (file kept): $kept")
+    assert(!kept.exists(_.contains("plain")),
+      s"the ASCII file is provably out of range and must prune: $kept")
+  }
 }

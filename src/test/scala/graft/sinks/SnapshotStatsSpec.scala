@@ -282,4 +282,19 @@ class SnapshotStatsSpec extends SparkSpec {
         "empty config must disable the stats block entirely")
     } finally spark.conf.unset("spark.graft.snapshots.statsColumns")
   }
+
+  test("statsColumns config resolves case-insensitively, like the rest of the stats system") {
+    val dir = freshDir()
+    // the config says 'ID'; the table spells it 'id' — same column
+    // under Spark's resolution, so its bounds must still log (a
+    // case-SENSITIVE match would silently log nothing and every prune
+    // would degrade to a full scan)
+    spark.conf.set("spark.graft.snapshots.statsColumns", "ID")
+    try {
+      Snapshots.writeAppend(frame(10), dir)
+      val st = Snapshots.versions(spark, dir).last.dataFiles.head.stats.cols
+      assert(st.keySet == Set("id"),
+        s"'ID' config must select the 'id' column: $st")
+    } finally spark.conf.unset("spark.graft.snapshots.statsColumns")
+  }
 }

@@ -854,4 +854,23 @@ class SnapshotsSpec extends SparkSpec {
     // committed files are untouched
     assert(Snapshots.read(spark, dir).count() == 1)
   }
+
+  test("versionAsOf monotonizes mtimes: a restored entry with a fresh mtime cannot resolve a LATER version early") {
+    val dir = freshDir()
+    Snapshots.writeAppend(Seq((1L, "a")).toDF("id", "t"), dir) // v1
+    Snapshots.writeAppend(Seq((2L, "b")).toDF("id", "t"), dir) // v2
+    Snapshots.writeAppend(Seq((3L, "c")).toDF("id", "t"), dir) // v3
+    val log = new java.io.File(dir, "_graft_log")
+    val now = new java.io.File(log, "v00003.json").lastModified
+    // v2's entry restored from backup: its mtime jumps into the future
+    assert(new java.io.File(log, "v00002.json")
+      .setLastModified(now + 3600 * 1000L))
+    // a probe after v3's real commit time: under raw mtimes v2 is
+    // "future" so max-over-qualifying would return 3 — but a
+    // monotonized timeline says nothing past v1 is provably at-or-
+    // before the probe (v2's effective stamp shadows v3's)
+    assert(Snapshots.versionAsOf(spark, dir, now + 1000) == 1)
+    // and a probe past the restored mtime sees the full timeline
+    assert(Snapshots.versionAsOf(spark, dir, now + 2 * 3600 * 1000L) == 3)
+  }
 }

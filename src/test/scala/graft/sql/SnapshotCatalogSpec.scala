@@ -99,6 +99,24 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(listed == Set("docs"), listed.toString)
   }
 
+  test("existence probes on malformed identifiers answer false, not an internal error") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val cat = new SnapshotCatalog
+    cat.initialize("graft",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    // a path identifier with a namespace trips dirFor's shape require —
+    // an existence CHECK must swallow that as "no such table"
+    assert(!cat.tableExists(Identifier.of(Array("ns"), "/no/such/path")))
+    // and a non-numeric VERSION AS OF surfaces as the wrapped
+    // no-such-table path, not a raw IllegalArgumentException
+    val dir = freshDir(); build(dir)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.`$dir` VERSION AS OF 'x'").collect())
+    assert(e.isInstanceOf[org.apache.spark.sql.AnalysisException],
+      s"must surface as the analyzer's not-found path, got: $e")
+  }
+
   test("mutation DDL fails fast naming the commit API") {
     val dir = freshDir(); build(dir)
     val e = intercept[Exception](

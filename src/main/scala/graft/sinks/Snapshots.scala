@@ -17,29 +17,33 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   *   dir/_graft_log/v00002.json      snapshot 2: ...
   * }}}
   *
-  * Every entry is a CHECKPOINT: it carries the complete relative file
-  * list and the table schema of its version, not a delta. That is the
-  * deliberate inverse of Delta's delta-entries-plus-periodic-checkpoint
-  * layout: here any version is reconstructed from ONE entry read, so
-  * [[read]]/[[addedSince]]/[[changes]] address entries DIRECTLY by name
-  * (version numbers are dense and live in the file names) and never
-  * parse history they don't touch — a streaming ingest at 10^5
-  * micro-batch commits pays O(1) entry reads per [[addedSince]] poll,
-  * flat in total commit count. The trade is entry size: O(live files)
-  * per commit instead of O(delta) — MEASURED (SnapBench `entrycost`,
-  * one-row append onto fabricated bases; sizes + 2-col bounds +
-  * row/null counts logged): ~118 bytes/file — 11.7 KB entry / 0.22 s
-  * commit at 10^2 files, 116 KB / 0.22 s at 10^3, 1.18 MB / 0.36 s at
-  * 10^4 — so "flat-cost commits" holds in COMMIT COUNT and degrades
-  * gently in FILE count (+0.14 s and ~1.2 MB of log IO per commit at
-  * 10^4 files). Bounded in
-  * practice by [[compact]] (which shrinks the live list) and [[vacuum]]
-  * (which drops expired entries); a 10^5+-file estate that cannot
-  * compact is where Delta's delta-entries-plus-checkpoint layout
-  * becomes the right trade, and adopting it (keeping direct addressing
-  * for checkpoint entries) is the documented next step, not a silent
-  * cliff. Full-history parses ([[versions]]) remain only where history
-  * IS the answer: vacuum and operator-facing listings.
+  * Entries are DELTAS with periodic CHECKPOINTS (r18 — the Delta
+  * log's shape, built from scratch): each commit writes only its
+  * add/remove lists plus the merged table schema — O(batch) bytes
+  * whatever the table file count (MEASURED, SnapBench `entrycost`:
+  * one-row-append entry bytes flat at ~0.6 KB from 10^2 through 10^4
+  * base files, vs ~118 bytes/file — 1.18 MB at 10^4 — for the pre-r18
+  * full-state entries). Every `checkpointInterval` commits (default
+  * 10) the winning committer also publishes the full state as a
+  * `vNNNNN.ckpt.json` SIDECAR, so reconstructing any version costs
+  * one checkpoint read + ≤ interval small delta reads — flat in both
+  * total commit count and (between checkpoints) in file count. There
+  * is deliberately NO `_last_checkpoint` pointer file: every reader
+  * already pays exactly one log-dir listing to learn the newest
+  * version, and the same listing names the nearest checkpoint for
+  * free — one less file to race on. Checkpoint publication is
+  * best-effort (the commit already succeeded; a missed checkpoint
+  * costs the next reader a longer walk-back, never correctness) and
+  * idempotent (racing writers produce identical content; the
+  * exclusive-publish loser just drops its temp). Entries written
+  * before r18 carry the complete file list and still read: a
+  * full-state entry is its own base, terminating the walk-back —
+  * migration is automatic and per-table. [[vacuum]] publishes a
+  * checkpoint at the oldest retained version before dropping older
+  * entries, so the horizon is always reconstructable. At a 100 TB
+  * estate (10^5–10^6 files) this is the difference between every
+  * one-row commit writing 12–118 MB of JSON and writing ~1 KB with an
+  * O(table)/interval amortized checkpoint.
   *
   * Concurrency — the commit protocol. A commit publishes the next
   * `vNNNNN.json` through an ATOMIC-EXCLUSIVE primitive (hard-link
@@ -182,6 +186,34 @@ object Snapshots {
   private final case class Rewrite(files: Seq[DataFile], baseVersion: Int,
                                    schema: Option[StructType]) extends Intent
 
+  /** One log entry AS WRITTEN — the Delta-shaped log (r18): commit
+    * entries are DELTAS (the files this commit added and the names it
+    * removed, plus the merged schema), so commit bytes are O(batch),
+    * not O(table); the full state at a version is reconstructed from
+    * the nearest BASE at or below it — a `vNNNNN.ckpt.json` checkpoint
+    * sidecar (written every [[checkpointInterval]] commits) or a
+    * legacy full-state entry — plus the deltas above it (≤ interval
+    * small reads). Entries written before r18 carry the complete file
+    * list (no `"kind":"delta"` marker) and parse as [[FullEntry]]:
+    * they are their own base, so old logs read unchanged and a legacy
+    * entry mid-chain simply terminates the walk-back early. */
+  private[sinks] sealed trait RawEntry {
+    def version: Int; def op: String; def schema: Option[StructType]
+  }
+  private[sinks] final case class FullEntry(snap: Snapshot) extends RawEntry {
+    def version: Int = snap.version
+    def op: String = snap.op
+    def schema: Option[StructType] = snap.schema
+  }
+  private[sinks] final case class DeltaEntry(version: Int, op: String,
+      add: Seq[DataFile], remove: Seq[String],
+      schema: Option[StructType]) extends RawEntry
+
+  /** The state reconstructed at a version, plus how many delta entries
+    * sit between it and its base — the commit loop's checkpoint-due
+    * meter. */
+  private final case class Resolved(snap: Snapshot, deltasSinceBase: Int)
+
   /** Test seam: invoked between writing the temp entry and attempting
     * exclusive publication, with the attempt number. Lets a spec land a
     * competing commit deterministically INSIDE the race window — the
@@ -197,8 +229,13 @@ object Snapshots {
     * discipline — no json dep): version/op/files are uuid-safe tokens
     * we wrote ourselves and appear BEFORE the schema blob, so first-
     * occurrence scans are unambiguous; the schema rides as a trailing
-    * `"schema":{...}` object handed to [[DataType.fromJson]]. */
-  private def parseEntry(s: String): Snapshot = {
+    * `"schema":{...}` object handed to [[DataType.fromJson]]. A
+    * `"kind":"delta"` marker before `"op"` makes the entry a
+    * [[DeltaEntry]]: its files/sizes/stats arrays are the ADDED files
+    * and a `"remove":[...]` array (rendered before the schema) names
+    * the dropped ones; without the marker the entry is full-state
+    * ([[FullEntry]] — every pre-r18 entry, every checkpoint). */
+  private def parseEntry(s: String): RawEntry = {
     def field(name: String): String = {
       val i = s.indexOf("\"" + name + "\"")
       require(i >= 0, s"snapshot log entry missing '$name': $s")
@@ -234,7 +271,39 @@ object Snapshots {
             s"snapshot log entry schema is not a struct: $other")
         }
     }
-    Snapshot(v, op, files, schema, sizes, parseStatsBlock(s, files.size))
+    val core = Snapshot(v, op, files, schema, sizes,
+      parseStatsBlock(s, files.size))
+    val kindIdx = s.indexOf("\"kind\":\"delta\"")
+    if (kindIdx >= 0 && kindIdx < s.indexOf("\"op\"")) {
+      // the delta's removed names: rendered between stats and schema,
+      // so the first occurrence is ours (a schema field named 'remove'
+      // renders as "name":"remove", never as a "remove":[ key)
+      val i = s.indexOf("\"remove\":[")
+      require(i >= 0, s"delta log entry missing 'remove': $s")
+      val rArr = s.drop(i + 9)
+      val rBody = rArr.slice(rArr.indexOf('[') + 1, rArr.indexOf(']'))
+      val remove = rBody.split(',')
+        .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+      DeltaEntry(v, op, core.dataFiles, remove, schema)
+    } else FullEntry(core)
+  }
+
+  /** Apply one delta on top of a base file list. */
+  private def applyDelta(base: Seq[DataFile], d: DeltaEntry): Seq[DataFile] = {
+    val rm = d.remove.toSet
+    base.filterNot(f => rm(f.name)) ++ d.add
+  }
+
+  /** A [[Snapshot]] from a reconstructed file list — same
+    * all-or-nothing sizes rule and per-file-optional stats rule the
+    * commit render uses. */
+  private def snapFrom(version: Int, op: String, dfs: Seq[DataFile],
+                       schema: Option[StructType]): Snapshot = {
+    val sorted = dfs.sortBy(_.name)
+    Snapshot(version, op, sorted.map(_.name), schema,
+      Option(sorted.map(_.size)).filter(sz => sz.nonEmpty && sz.forall(_ >= 0)),
+      Option(sorted.map(_.stats)).filter(_.exists(!_.isEmpty)))
   }
 
   /** Locate and parse the entry's `"stats":[...]` block: one object
@@ -327,35 +396,141 @@ object Snapshots {
         st.map(renderFileStats).mkString(",") + "]").getOrElse("") +
       s.schema.map(st => s""","schema":${st.json}""").getOrElse("") + "}"
 
-  /** All committed snapshots, ascending. Full-history parse — vacuum
-    * and operator listings; the read paths address entries directly. */
-  def versions(spark: SparkSession, dir: String): Seq[Snapshot] = {
-    val (fs, root) = fsOf(spark, dir)
-    val log = new Path(root, LogDir)
-    if (!fs.exists(log)) Seq.empty
-    else fs.listStatus(log).toSeq
-      .flatMap(st => st.getPath.getName match {
-        case VersionRe(_) => Some(st.getPath)
-        case _ => None
-      })
-      .map(readEntry(fs, _))
-      .sortBy(_.version)
+  /** Render a DELTA commit entry: the added files (with their sizes
+    * and stats, same machinery as the full form), the removed names,
+    * and the merged table schema. O(batch) bytes — the whole point of
+    * the r18 log shape. */
+  private def renderDelta(version: Int, op: String, add: Seq[DataFile],
+                          remove: Seq[String],
+                          schema: Option[StructType]): String = {
+    val sorted = add.sortBy(_.name)
+    val sizes = Option(sorted.map(_.size))
+      .filter(sz => sz.nonEmpty && sz.forall(_ >= 0))
+    val stats = Option(sorted.map(_.stats)).filter(_.exists(!_.isEmpty))
+    s"""{"version":$version,"kind":"delta","op":"$op","files":[""" +
+      sorted.map(f => "\"" + f.name + "\"").mkString(",") + "]" +
+      sizes.map(sz => s""","sizes":[${sz.mkString(",")}]""").getOrElse("") +
+      stats.map(st => s""","stats":[""" +
+        st.map(renderFileStats).mkString(",") + "]").getOrElse("") +
+      s""","remove":[""" +
+      remove.sorted.map(f => "\"" + f + "\"").mkString(",") + "]" +
+      schema.map(st => s""","schema":${st.json}""").getOrElse("") + "}"
   }
 
-  private def readEntry(fs: FileSystem, p: Path): Snapshot = {
+  private val CkptRe = "v(\\d{5})\\.ckpt\\.json".r
+  private def entryPath(log: Path, v: Int) = new Path(log, f"v$v%05d.json")
+  private def ckptPath(log: Path, v: Int) =
+    new Path(log, f"v$v%05d.ckpt.json")
+
+  /** One listing of the log dir: which commit entries and which
+    * checkpoint sidecars exist. The listing IS the `_last_checkpoint`
+    * pointer: every reader already pays exactly one listing (to learn
+    * the newest version), and the same listing names the nearest
+    * checkpoint for free — no extra pointer file to read or to race
+    * on. */
+  private final case class LogListing(entries: Set[Int], ckpts: Set[Int]) {
+    def range: Option[(Int, Int)] =
+      if (entries.isEmpty) None else Some(entries.min -> entries.max)
+  }
+
+  private def listLog(fs: FileSystem, log: Path): LogListing =
+    if (!fs.exists(log)) LogListing(Set.empty, Set.empty)
+    else {
+      val names = fs.listStatus(log).map(_.getPath.getName)
+      LogListing(
+        names.collect { case VersionRe(n) => n.toInt }.toSet,
+        names.collect { case CkptRe(n) => n.toInt }.toSet)
+    }
+
+  private def readRaw(fs: FileSystem, p: Path): RawEntry = {
     val in = fs.open(p)
     try parseEntry(new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8))
     finally in.close()
   }
 
-  /** One entry by DIRECT name — version numbers are dense and live in
-    * the file names, so any version is one open, no history parse. */
-  private def entryAt(spark: SparkSession, dir: String,
+  private def readCkpt(fs: FileSystem, p: Path): Snapshot =
+    readRaw(fs, p) match {
+      case f: FullEntry => f.snap
+      case _: DeltaEntry => throw new IllegalStateException(
+        s"checkpoint $p is not a full-state entry — was the log dir " +
+          "manually edited?")
+    }
+
+  /** Reconstruct the full state at `version`: walk back to the nearest
+    * BASE (checkpoint sidecar, or a legacy/imported full-state entry),
+    * then fold the deltas above it forward. Cost: one listing (the
+    * caller's, passed in) + ≤ [[checkpointInterval]] small entry reads
+    * + one base read — flat in both total commit count AND table file
+    * count between checkpoints. None = `version` is not a retained
+    * entry (caller horizon-errors); a gap BELOW a retained version is
+    * log corruption and fails loudly (vacuum always leaves a base at
+    * the oldest retained version). */
+  private def resolveState(fs: FileSystem, log: Path, listing: LogListing,
+                           version: Int): Option[Resolved] = {
+    if (!listing.entries.contains(version)) return None
+    val deltas = scala.collection.mutable.ListBuffer.empty[DeltaEntry]
+    var base: Option[Snapshot] = None
+    var v0 = version
+    while (base.isEmpty && v0 >= 1) {
+      if (listing.ckpts.contains(v0)) base = Some(readCkpt(fs, ckptPath(log, v0)))
+      else if (!listing.entries.contains(v0))
+        throw new IllegalStateException(
+          s"snapshot log $log is missing entry v$v0 needed to " +
+            s"reconstruct v$version and has no checkpoint above it — " +
+            "was the log dir manually edited? (vacuum leaves a " +
+            "checkpoint at the oldest retained version)")
+      else readRaw(fs, entryPath(log, v0)) match {
+        case f: FullEntry => base = Some(f.snap)
+        case d: DeltaEntry => d +=: deltas; v0 -= 1
+      }
+    }
+    val b = base.getOrElse(Snapshot(0, "none", Seq.empty))
+    val snap = deltas.foldLeft(b)((s, d) =>
+      snapFrom(d.version, d.op, applyDelta(s.dataFiles, d), d.schema))
+    Some(Resolved(snap, version - v0))
+  }
+
+  /** All committed snapshots, ascending: reconstruct the oldest
+    * retained version, then fold each entry forward — O(retained)
+    * entry reads, one state application each. Vacuum and
+    * operator-facing listings; the point reads address versions
+    * directly through [[resolveState]]. */
+  def versions(spark: SparkSession, dir: String): Seq[Snapshot] = {
+    val (fs, root) = fsOf(spark, dir)
+    val log = new Path(root, LogDir)
+    val listing = listLog(fs, log)
+    listing.range match {
+      case None => Seq.empty
+      case Some((lo, hi)) =>
+        var cur = resolveState(fs, log, listing, lo).get.snap
+        cur +: (lo + 1 to hi).map { v =>
+          cur = readRaw(fs, entryPath(log, v)) match {
+            case f: FullEntry => f.snap
+            case d: DeltaEntry =>
+              snapFrom(v, d.op, applyDelta(cur.dataFiles, d), d.schema)
+          }
+          cur
+        }
+    }
+  }
+
+  /** Every committed op string — the replay-token scan
+    * ([[writeAppendBatch]]/[[applyChanges]]): raw entry reads only, no
+    * state reconstruction. */
+  private def committedOps(spark: SparkSession, dir: String): Set[String] = {
+    val (fs, root) = fsOf(spark, dir)
+    val log = new Path(root, LogDir)
+    val listing = listLog(fs, log)
+    listing.entries.map(v => readRaw(fs, entryPath(log, v)).op)
+  }
+
+  /** The full state at one version — one listing + the walk-back. */
+  private def stateAt(spark: SparkSession, dir: String,
                       version: Int): Option[Snapshot] = {
     val (fs, root) = fsOf(spark, dir)
-    val p = new Path(new Path(root, LogDir), f"v$version%05d.json")
-    if (fs.exists(p)) Some(readEntry(fs, p)) else None
+    val log = new Path(root, LogDir)
+    resolveState(fs, log, listLog(fs, log), version).map(_.snap)
   }
 
   /** (oldest retained, newest) version numbers from ONE listing, no
@@ -363,16 +538,7 @@ object Snapshots {
   private def retainedRange(spark: SparkSession,
                             dir: String): Option[(Int, Int)] = {
     val (fs, root) = fsOf(spark, dir)
-    val log = new Path(root, LogDir)
-    if (!fs.exists(log)) None
-    else {
-      val ns = fs.listStatus(log).toSeq.flatMap(st =>
-        st.getPath.getName match {
-          case VersionRe(n) => Some(n.toInt)
-          case _ => None
-        })
-      if (ns.isEmpty) None else Some(ns.min -> ns.max)
-    }
+    listLog(fs, new Path(root, LogDir)).range
   }
 
   /** Newest committed version number, or None for an empty table. One
@@ -380,9 +546,20 @@ object Snapshots {
   def latestVersion(spark: SparkSession, dir: String): Option[Int] =
     retainedRange(spark, dir).map(_._2)
 
-  /** The newest snapshot: one listing + one direct entry read. */
+  /** The newest snapshot: one listing + one base read + ≤ interval
+    * delta reads. */
   private def latest(spark: SparkSession, dir: String): Option[Snapshot] =
-    latestVersion(spark, dir).flatMap(entryAt(spark, dir, _))
+    latestResolved(spark, dir).map(_.snap)
+
+  private def latestResolved(spark: SparkSession,
+                             dir: String): Option[Resolved] = {
+    val (fs, root) = fsOf(spark, dir)
+    val log = new Path(root, LogDir)
+    val listing = listLog(fs, log)
+    listing.range.flatMap { case (_, hi) =>
+      resolveState(fs, log, listing, hi)
+    }
+  }
 
   // ---------------------------------------------------------------- schema
 
@@ -516,6 +693,42 @@ object Snapshots {
     * the rewrite's output is stale and committing it would be a silent
     * lost update — fail with the versions named. Returns the committed
     * version. */
+  /** Commits between checkpoints, `spark.graft.snapshots
+    * .checkpointInterval` (≥ 1; default 10 — the Delta default): every
+    * Nth commit ALSO publishes its full state as a `vNNNNN.ckpt.json`
+    * sidecar, bounding every reader's walk-back. Smaller = cheaper
+    * reads, more frequent O(table-files) checkpoint writes; the
+    * amortized write cost per commit is O(table/N + batch). */
+  private def checkpointInterval(spark: SparkSession): Int = {
+    val n = spark.conf.getOption("spark.graft.snapshots.checkpointInterval")
+      .map(_.trim.toInt).getOrElse(10)
+    require(n >= 1, s"spark.graft.snapshots.checkpointInterval must be >= 1: $n")
+    n
+  }
+
+  /** Publish the full state at `v` as a checkpoint sidecar — through
+    * the same exclusive seam as commits (a torn checkpoint must never
+    * be visible; two writers racing the same version's checkpoint
+    * write identical content, so the loser just drops its temp).
+    * Best-effort by design, Delta's stance: the COMMIT already
+    * succeeded, and a missed checkpoint costs the next reader a longer
+    * walk-back, never correctness — so failures are swallowed after
+    * cleanup rather than failing a committed write. */
+  private def writeCheckpoint(spark: SparkSession, fs: FileSystem, log: Path,
+                              snap: Snapshot): Unit = {
+    val tmp = new Path(log,
+      s".tmp-ckpt-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val out = fs.create(tmp, false)
+      try out.write(render(snap)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      publisherFor(spark, fs).publishExclusive(fs, tmp, ckptPath(log, snap.version))
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    finally scala.util.Try(fs.delete(tmp, false))
+  }
+
   private def commit(spark: SparkSession, dir: String, op: String,
                      intent: Intent): Int = {
     val (fs, root) = fsOf(spark, dir)
@@ -523,9 +736,16 @@ object Snapshots {
     fs.mkdirs(log)
     var attempt = 0
     while (attempt < 50) {
-      val cur = latest(spark, dir)
+      val listing = listLog(fs, log)
+      val resolved = listing.range.flatMap { case (_, hi) =>
+        resolveState(fs, log, listing, hi)
+      }
+      val cur = resolved.map(_.snap)
       val v = cur.map(_.version).getOrElse(0) + 1
-      val (files, schema) = intent match {
+      // the entry is a DELTA: add + remove relative to cur; the full
+      // list is still computed — the rewrite conflict check, the
+      // checkpoint, and the returned state all need it
+      val (files, schema, add, remove) = intent match {
         case Append(delta, incoming) =>
           // REBASE: base files and schema re-read every attempt
           val tableSchema = cur.flatMap(schemaOf(spark, dir, _))
@@ -533,7 +753,8 @@ object Snapshots {
             case Some(t) => mergeSchemas(t, incoming, dir)
             case None => freshSchema(incoming, dir)
           }
-          (cur.map(_.dataFiles).getOrElse(Seq.empty) ++ delta, Some(merged))
+          (cur.map(_.dataFiles).getOrElse(Seq.empty) ++ delta,
+            Some(merged), delta, Seq.empty[String])
         case Rewrite(fl, base, sch) =>
           val curV = cur.map(_.version).getOrElse(0)
           if (curV != base) throw new java.util.ConcurrentModificationException(
@@ -541,7 +762,11 @@ object Snapshots {
               s"latest (now $curV) — a concurrent commit landed; re-read " +
               "and re-apply (appends rebase automatically; rewrites must " +
               "recompute from the new state)")
-          (fl, sch)
+          val prev = cur.map(_.dataFiles).getOrElse(Seq.empty)
+          val flNames = fl.map(_.name).toSet
+          val prevNames = prev.map(_.name).toSet
+          (fl, sch, fl.filterNot(f => prevNames(f.name)),
+            prev.map(_.name).filterNot(flNames))
       }
       // entry JSON hardening: landed names are uuid-safe by
       // construction, but importDir adopts ARBITRARY names — a quote,
@@ -555,20 +780,11 @@ object Snapshots {
             "before importDir"))
       val tmp = new Path(log,
         s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      val sorted = files.sortBy(_.name)
-      // sizes are logged all-or-nothing: one unknown (-1, a legacy base
-      // rebased onto) drops the whole vector rather than lying.
-      // stats are PER-FILE optional (a stat-less file is simply
-      // unprunable), so a mixed legacy+fresh list logs what it has.
-      val sizes = Option(sorted.map(_.size)).filter(sz =>
-        sz.nonEmpty && sz.forall(_ >= 0))
-      val stats = Option(sorted.map(_.stats)).filter(_.exists(!_.isEmpty))
       val out = fs.create(tmp, false)
-      try out.write(
-        render(Snapshot(v, op, sorted.map(_.name), schema, sizes, stats))
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(renderDelta(v, op, add, remove, schema)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      val dest = new Path(log, f"v$v%05d.json")
+      val dest = entryPath(log, v)
       racePoint(attempt)
       // exclusive publication IS the commit: exactly one writer wins a
       // given version; the loser's temp is removed and it re-enters the
@@ -578,7 +794,15 @@ object Snapshots {
       // object stores, fail-fast otherwise.
       val won = publisherFor(spark, fs).publishExclusive(fs, tmp, dest)
       fs.delete(tmp, false) // the link published a second name; drop ours
-      if (won) return v
+      if (won) {
+        // checkpoint due? the walk-back we just did measured the
+        // distance to the nearest base; our entry adds one more delta
+        val distance = resolved.map(_.deltasSinceBase).getOrElse(0) + 1
+        if (distance >= checkpointInterval(spark))
+          writeCheckpoint(spark, fs, log,
+            snapFrom(v, op, files, schema))
+        return v
+      }
       attempt += 1
     }
     throw new IllegalStateException(
@@ -953,7 +1177,7 @@ object Snapshots {
     // proves non-replay; anything else confirms against full history
     val replayed = newestBatch match {
       case Some(n) if batchId > n => false
-      case _ => versions(spark, dir).exists(_.op == op)
+      case _ => committedOps(spark, dir).contains(op)
     }
     // the replay check runs BEFORE the commit loop: two writers racing
     // on the SAME (queryId, batchId) could both pass it and both
@@ -983,16 +1207,41 @@ object Snapshots {
         Some(freshSchema(df.schema, dir))))
   }
 
+  /** CREATE an empty table: version 1 carries the schema and no files
+    * — the SQL catalog's `CREATE TABLE`/CTAS bootstrap (r18). Reads
+    * return an empty frame with the logged schema; the first append is
+    * simply commit 2. Refuses a directory that already has a log. */
+  def createEmpty(spark: SparkSession, dir: String,
+                  schema: StructType): Int = {
+    require(latestVersion(spark, dir).isEmpty,
+      s"createEmpty: $dir already has a snapshot log")
+    commit(spark, dir, "create",
+      Rewrite(Seq.empty, 0, Some(freshSchema(schema, dir))))
+  }
+
   /** Read the table at `version` (default: latest). The file list is
     * immutable, so the scan is stable no matter what commits land while
-    * the job runs. An empty table (no snapshots) is an error — there is
-    * no schema to synthesize; a vacuumed version fails AT PLAN TIME
+    * the job runs. A table with no snapshots at all is an error — there
+    * is no schema to synthesize; a zero-FILE version (a [[createEmpty]]
+    * bootstrap, a delete-everything commit) reads as an empty frame
+    * with the logged schema; a vacuumed version fails AT PLAN TIME
     * naming the retained range. */
   def read(spark: SparkSession, dir: String,
            version: Option[Int] = None): DataFrame = {
     val snap = resolve(spark, dir, version)
-    scan(spark, dir, snap, snap.files)
+    scanOrEmpty(spark, dir, snap, snap.files)
   }
+
+  /** [[scan]], with the zero-file case answered as an empty frame on
+    * the snapshot's schema instead of a plan-time error. */
+  private def scanOrEmpty(spark: SparkSession, dir: String, snap: Snapshot,
+                          names: Seq[String]): DataFrame =
+    if (names.nonEmpty) scan(spark, dir, snap, names)
+    else snap.schema.orElse(schemaOf(spark, dir, snap))
+      .map(s => spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), s))
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot under $dir has no files and no logged schema"))
 
   /** Scan `names` (a subset of `snap`'s files) with ZERO filesystem
     * calls at plan time when the entry carries both the schema and the
@@ -1062,11 +1311,11 @@ object Snapshots {
       throw new IllegalArgumentException(s"no snapshots under $dir/$LogDir"))
     val base: Set[String] =
       if (sinceVersion == lat.version) lat.files.toSet
-      else entryAt(spark, dir, sinceVersion).getOrElse(
+      else stateAt(spark, dir, sinceVersion).getOrElse(
         horizonError(spark, dir, sinceVersion)).files.toSet
     val fresh = lat.files.filterNot(base)
     if (fresh.isEmpty)
-      scan(spark, dir, lat, lat.files).where(lit(false))
+      scanOrEmpty(spark, dir, lat, lat.files).where(lit(false))
     else scan(spark, dir, lat, fresh)
   }
 
@@ -1141,8 +1390,26 @@ object Snapshots {
     if (sinceVersion != 0 && (sinceVersion < lo || sinceVersion > hi))
       horizonError(spark, dir, sinceVersion)
     if (sinceVersion == 0 && lo != 1) horizonError(spark, dir, 1)
-    val entries = (math.max(sinceVersion, 1) to upTo).map(v =>
-      entryAt(spark, dir, v).getOrElse(horizonError(spark, dir, v)))
+    // reconstruct the range's states in ONE forward fold: the base
+    // walk-back once (≤ interval reads), then one delta apply per
+    // version in the range — O(range) entry reads, same as before the
+    // delta-log shape (entries are just smaller now)
+    val entries = {
+      val (fs2, root2) = fsOf(spark, dir)
+      val log2 = new Path(root2, LogDir)
+      val listing = listLog(fs2, log2)
+      val first = math.max(sinceVersion, 1)
+      var cur = resolveState(fs2, log2, listing, first)
+        .getOrElse(horizonError(spark, dir, first)).snap
+      cur +: (first + 1 to upTo).map { v =>
+        cur = readRaw(fs2, entryPath(log2, v)) match {
+          case f: FullEntry => f.snap
+          case d: DeltaEntry =>
+            snapFrom(v, d.op, applyDelta(cur.dataFiles, d), d.schema)
+        }
+        cur
+      }
+    }
     // a virtual empty predecessor makes the first commit a plain insert
     val chain =
       if (sinceVersion == 0) Snapshot(0, "append", Seq.empty) +: entries
@@ -1253,6 +1520,7 @@ object Snapshots {
                   cond: org.apache.spark.sql.Column): Option[Int] = {
     val snap = resolve(spark, dir, None)
     val (fs, root) = fsOf(spark, dir)
+    if (snap.files.isEmpty) return None // zero-file version: no-op
     val cur = scan(spark, dir, snap, snap.files)
     val touchedAbs = cur.where(cond)
       .select(input_file_name().as("f")).distinct()
@@ -1427,7 +1695,7 @@ object Snapshots {
       }
       val replayed = newestApplied match {
         case Some(n) if batchId.get > n => false
-        case _ => versions(spark, dir).exists(_.op == op)
+        case _ => committedOps(spark, dir).contains(op)
       }
       if (replayed) return None
     }
@@ -1547,7 +1815,7 @@ object Snapshots {
     val snap = resolve(spark, dir, version)
     val files = pruneCandidatesNum(spark, dir, snap, column, lo, hi)
     if (files.isEmpty)
-      scan(spark, dir, snap, snap.files).where(lit(false))
+      scanOrEmpty(spark, dir, snap, snap.files).where(lit(false))
     else scan(spark, dir, snap, files,
       schemaOverride = snap.schema.orElse(schemaOf(spark, dir, snap)))
   }
@@ -1561,7 +1829,7 @@ object Snapshots {
     val snap = resolve(spark, dir, version)
     val files = pruneCandidatesStr(spark, dir, snap, column, lo, hi)
     if (files.isEmpty)
-      scan(spark, dir, snap, snap.files).where(lit(false))
+      scanOrEmpty(spark, dir, snap, snap.files).where(lit(false))
     else scan(spark, dir, snap, files,
       schemaOverride = snap.schema.orElse(schemaOf(spark, dir, snap)))
   }
@@ -1614,7 +1882,7 @@ object Snapshots {
   private def resolve(spark: SparkSession, dir: String,
                       version: Option[Int]): Snapshot =
     version match {
-      case Some(v) => entryAt(spark, dir, v).getOrElse {
+      case Some(v) => stateAt(spark, dir, v).getOrElse {
         if (retainedRange(spark, dir).isEmpty) throw new IllegalArgumentException(
           s"no snapshots under $dir/$LogDir")
         else horizonError(spark, dir, v)
@@ -1652,7 +1920,7 @@ object Snapshots {
     val (fs, root) = fsOf(spark, dir)
     val bytes = bytesOf(fs, root, snap)
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    val cur = scan(spark, dir, snap, snap.files)
+    val cur = scanOrEmpty(spark, dir, snap, snap.files)
     val framed =
       if (cols.size == 1)
         cur.repartitionByRange(n, col(cols.head))
@@ -1728,10 +1996,15 @@ object Snapshots {
     // each doomed data file once, attributed to its first reference
     val firstRef = expired.flatMap(s => s.files.map(_ -> s.version))
       .groupMapReduce(_._1)(_._2)(math.min)
+    val horizon = all.takeRight(keepVersions).headOption.map(_.version)
+    val (fs, root) = fsOf(spark, dir)
+    val doomedCkpts = listLog(fs, new Path(root, LogDir)).ckpts
+      .filter(v => horizon.exists(v < _)).toSeq.sorted
     val rows = firstRef.collect {
         case (f, v) if !live(f) => (v, "data", f)
       }.toSeq.sorted ++
-      expired.map(s => (s.version, "log", f"v${s.version}%05d.json"))
+      expired.map(s => (s.version, "log", f"v${s.version}%05d.json")) ++
+      doomedCkpts.map(v => (v, "log", f"v$v%05d.ckpt.json"))
     import spark.implicits._
     rows.toDF("version", "kind", "file")
   }
@@ -1748,13 +2021,35 @@ object Snapshots {
     val all = versions(spark, dir)
     if (all.isEmpty) return
     val (fs, root) = fsOf(spark, dir)
+    val log = new Path(root, LogDir)
     val keep = all.takeRight(keepVersions)
     val live = keep.flatMap(_.files).toSet
+    // the oldest retained version must reconstruct WITHOUT the entries
+    // about to be dropped: if its entry is a delta and no checkpoint
+    // sits at its version yet, publish its full state first (we hold
+    // it — the fold above computed every retained state). Only then is
+    // deleting the older entries safe.
+    if (all.size > keepVersions) {
+      val oldest = keep.head
+      val listing = listLog(fs, log)
+      val needsBase = !listing.ckpts.contains(oldest.version) &&
+        (readRaw(fs, entryPath(log, oldest.version)) match {
+          case _: DeltaEntry => true
+          case _: FullEntry => false
+        })
+      if (needsBase) writeCheckpoint(spark, fs, log, oldest)
+      require(listLog(fs, log).ckpts.contains(oldest.version) || !needsBase,
+        s"vacuum: could not publish the horizon checkpoint at " +
+          s"v${oldest.version} under $log — aborting before any entry " +
+          "is dropped (nothing deleted)")
+      // checkpoints below the horizon serve no retained version
+      listing.ckpts.filter(_ < oldest.version)
+        .foreach(v => fs.delete(ckptPath(log, v), false))
+    }
     all.dropRight(keepVersions).foreach { s =>
       s.files.filterNot(live).foreach(f =>
         fs.delete(new Path(root, f), false))
-      fs.delete(new Path(new Path(root, LogDir), f"v${s.version}%05d.json"),
-        false)
+      fs.delete(entryPath(log, s.version), false)
     }
     // sweep only staging dirs OLD enough to be crash debris — a
     // concurrent writer's seconds-old staging dir must not be yanked

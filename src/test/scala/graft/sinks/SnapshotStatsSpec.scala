@@ -36,7 +36,9 @@ class SnapshotStatsSpec extends SparkSpec {
     val f = new java.io.File(new java.io.File(dir, "_graft_log"),
       f"v$version%05d.json")
     val s = java.nio.file.Files.readString(f.toPath)
-    val stripped = s.replaceAll(""","stats":\[.*?\](?=,"schema")""", "")
+    // stop at the NEXT entry key — delta entries carry a "remove"
+    // block between stats and schema that must survive the strip
+    val stripped = s.replaceAll(""","stats":\[.*?\](?=,"(remove|schema)")""", "")
     assert(stripped != s, "entry had no stats block to strip")
     java.nio.file.Files.writeString(f.toPath, stripped)
     val snap = Snapshots.versions(spark, dir).find(_.version == version).get

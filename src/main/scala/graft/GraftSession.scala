@@ -16,8 +16,13 @@ object GraftSession {
     * pins as library-created sessions. */
   def tune(b: SparkSession.Builder): SparkSession.Builder = b
     // Custom codegen'd expressions (VecDot, SimHash32, MinHashBands)
-    // register through the documented extensions hook.
+    // register through the documented extensions hook; the streaming
+    // rule routes readStream.table over snapshot-catalog tables to the
+    // graft-cdc source (foreign sessions: spark.sql.extensions=
+    // graft.sql.GraftExtensions).
     .withExtensions(graft.functions.GraftFunctions.inject)
+    .withExtensions(_.injectResolutionRule(
+      new graft.sql.SnapshotStreamRule(_)))
     .config("spark.sql.session.timeZone", "UTC")
     // Lenient coercions (graft.functions.Lenient) require null-on-failure
     // casts and element_at(empty)->null; Spark 4 defaults ANSI on.

@@ -1258,7 +1258,57 @@ object CoerceOps {
       |FROM events WHERE event_id BETWEEN 2000 AND 3999
       |GROUP BY event_type""".stripMargin
 
+  // -- q253: the SQL WRITE path (r18) — CTAS creates the table
+  // (create + append commits), INSERT INTO appends the rest, and the
+  // read-back goes through the same catalog scan: zero Scala in the
+  // WRITE path now too. The oracle re-derives the final state from
+  // the raw table, so a lost insert, a double-applied CTAS, or a
+  // schema drift between the SQL and API writers breaks the hash. --
+  private val q253: Q = (s, dir) => {
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_sqlins_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    s.conf.set("spark.sql.catalog.graft", "graft.sql.SnapshotCatalog")
+    Tables.load(s, dir, "documents").createOrReplaceTempView("q253_docs")
+    s.sql(s"""CREATE TABLE graft.`$out` AS
+             |SELECT doc_id, lang, n_chars FROM q253_docs
+             |WHERE lang <> 'de'""".stripMargin)
+    s.sql(s"""INSERT INTO graft.`$out`
+             |SELECT doc_id, lang, n_chars FROM q253_docs
+             |WHERE lang = 'de'""".stripMargin)
+    s.sql(s"SELECT doc_id, lang, n_chars FROM graft.`$out`")
+  }
+  private val q253Sql =
+    "SELECT doc_id, lang, n_chars FROM documents"
+
+  // -- q254: SQL `DELETE FROM ... WHERE` — the q247 TTL/retention
+  // shape with zero Scala in the write path: the pushed range
+  // predicate translates back to the copy-on-write deleteWhere (one
+  // versioned commit; files outside the range splice through by
+  // name). Oracle = the raw table past the horizon; a row leaked from
+  // a rewritten file or lost from an untouched one breaks the hash. --
+  private val q254: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_sqldel_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    s.conf.set("spark.sql.catalog.graft", "graft.sql.SnapshotCatalog")
+    val events = Tables.load(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    graft.sinks.Snapshots.writeOverwrite(
+      events.repartitionByRange(8, $"event_id"), out)
+    s.sql(s"DELETE FROM graft.`$out` WHERE event_id <= 499")
+    s.sql(s"SELECT event_id, user_id, event_type, value FROM graft.`$out`")
+  }
+  private val q254Sql =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events WHERE event_id > 499""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q253_sql_insert" -> q253,
+    "q254_sql_delete" -> q254,
     "q249_string_key_clustered_upsert" -> q249,
     "q250_sql_snapshot_read" -> q250,
     "q251_sql_time_travel" -> q251,
@@ -1301,6 +1351,8 @@ object CoerceOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q253_sql_insert" -> q253Sql,
+    "q254_sql_delete" -> q254Sql,
     "q249_string_key_clustered_upsert" -> q249Sql,
     "q250_sql_snapshot_read" -> q250Sql,
     "q251_sql_time_travel" -> q251Sql,

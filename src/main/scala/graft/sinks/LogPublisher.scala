@@ -79,12 +79,16 @@ object LogPublisher {
     new java.util.concurrent.ConcurrentHashMap[String, LogPublisher]()
 
   /** Instantiate a configured publisher: a Scala `object` (by its
-    * `MODULE$` field) or a class with a no-arg constructor. Cached by
-    * name — publishers are contractually stateless-or-self-managed. */
+    * `MODULE$` field) or a class with a no-arg constructor. A module
+    * hit must itself BE a LogPublisher — a publisher CLASS with an
+    * unrelated companion object (config-key constants, a shared
+    * client) must not be shadowed by that companion. Cached by name —
+    * publishers are contractually stateless-or-self-managed. */
   private[sinks] def forName(name: String): LogPublisher =
     cache.computeIfAbsent(name, { cls =>
       def module(n: String) = scala.util.Try(
         Class.forName(n).getField("MODULE$").get(null))
+        .toOption.filter(_.isInstanceOf[LogPublisher])
       val inst = module(cls).orElse(module(cls + "$"))
         .getOrElse(Class.forName(cls).getDeclaredConstructor().newInstance())
       inst match {

@@ -3,11 +3,15 @@ package graft.sql
 import java.util
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -148,22 +152,59 @@ class SnapshotCatalog extends TableCatalog {
 
   private def readOnly(what: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$catalogName is a READ surface over snapshot tables; $what goes " +
-        "through the versioned commit API (graft.sinks.Snapshots: " +
-        "writeAppend/writeOverwrite/upsert/deleteWhere/...) or the " +
-        "graft-snapshot streaming sink")
+      s"$catalogName: $what is not supported on snapshot tables; richer " +
+        "mutations go through the versioned commit API " +
+        "(graft.sinks.Snapshots: upsert/deleteKeys/optimizeZorder/...) " +
+        "or the graft-snapshot streaming sink")
 
+  /** `CREATE TABLE` / the create half of CTAS (r18): commit version 1
+    * with the schema and an EMPTY file list — the table exists, reads
+    * empty, and the first INSERT is just the next commit. Partition
+    * transforms are refused: the log replaces hive partitioning with
+    * clustering + file skipping (the [[Snapshots]] design stance). */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"$catalogName: PARTITIONED BY is not supported — snapshot tables " +
+        "replace hive partitioning with clustering (optimizeZorder) + " +
+        "file skipping")
+    val dir = dirFor(ident)
+    if (Snapshots.latestVersion(spark, dir).isDefined)
+      throw new TableAlreadyExistsException(ident)
+    Snapshots.createEmpty(spark, dir, schema)
+    load(ident, None, None)
+  }
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
     readOnly("ALTER TABLE")
 
-  override def dropTable(ident: Identifier): Boolean =
-    readOnly("DROP TABLE")
+  /** `DROP TABLE`: a WAREHOUSE-resolved (managed) table drops its
+    * directory — log and data both, the managed-table contract. A
+    * path identifier is EXTERNAL by nature (the `delta.\`/path\``
+    * idiom): the catalog never owns that directory, so dropping it
+    * through SQL is refused — delete the path through the filesystem
+    * if that is really what you mean. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val n = ident.name()
+    if (isPath(n))
+      throw new UnsupportedOperationException(
+        s"$catalogName: DROP TABLE on a path identifier would delete " +
+          s"data the catalog does not own ($n) — path tables are " +
+          "external; remove the directory through the filesystem instead")
+    try {
+      val dir = dirFor(ident)
+      if (Snapshots.latestVersion(spark, dir).isEmpty) false
+      else {
+        val p = new Path(dir)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+    } catch {
+      case _: NoSuchTableException => false
+      case _: IllegalArgumentException => false
+    }
+  }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =
@@ -173,11 +214,23 @@ class SnapshotCatalog extends TableCatalog {
 /** One PINNED snapshot as a DSv2 table: schema from the log entry
   * (footer-union fallback for legacy entries), scans through the
   * zero-filesystem-call [[org.apache.spark.sql.graftshim.SnapshotScanShim]]
-  * path. */
-private[sql] class SnapshotTable(tableName: String, dir: String,
+  * path.
+  *
+  * WRITABLE since r18: `INSERT INTO` / `INSERT OVERWRITE` / the write
+  * half of CTAS route through a [[V1Write]] handing the materialized
+  * frame to the SAME versioned commit paths every Scala writer uses
+  * ([[Snapshots.writeAppend]]/[[Snapshots.writeOverwrite]]) — one
+  * commit protocol to trust, full rebase/conflict semantics, schema
+  * gate included; `DELETE FROM ... WHERE` translates its pushed
+  * filters back to a Column and runs the copy-on-write
+  * [[Snapshots.deleteWhere]]. A predicate the translation cannot
+  * express is refused at ANALYSIS time (`canDeleteWhere` false), never
+  * half-applied. */
+private[sql] class SnapshotTable(tableName: String,
+                                 private[sql] val dir: String,
                                  snap: Snapshots.Snapshot,
                                  spark: SparkSession)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = tableName
 
@@ -186,7 +239,36 @@ private[sql] class SnapshotTable(tableName: String, dir: String,
       .parquet(snap.files.map(f => s"$dir/$f"): _*).schema)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                overwriteFlag: Boolean): Unit = {
+              if (overwrite || overwriteFlag)
+                Snapshots.writeOverwrite(data, dir)
+              else Snapshots.writeAppend(data, dir)
+              ()
+            }
+          }
+      }
+    }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => SnapshotTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val cond = filters.flatMap(SnapshotTable.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Snapshots.deleteWhere(spark, dir, cond)
+    ()
+  }
 
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
@@ -210,4 +292,40 @@ private[sql] class SnapshotTable(tableName: String, dir: String,
     org.apache.spark.sql.graftshim.SnapshotScanShim.scanBuilder(
       spark, dir, entries, schema, options)
   }
+}
+
+private[sql] object SnapshotTable {
+
+  /** Pushed-filter → Column translation for `DELETE WHERE` — the
+    * inverse of Spark's own predicate translation, covering every
+    * filter shape the engine pushes to [[SupportsDelete]]; None =
+    * untranslatable, which [[SnapshotTable.canDeleteWhere]] surfaces
+    * as an analysis error rather than a partial delete. Column names
+    * are backtick-quoted so dotted names stay one attribute. */
+  private def quoted(attr: String): Column =
+    col("`" + attr.replace("`", "``") + "`")
+
+  private[sql] def filterToColumn(f: sources.Filter): Option[Column] =
+    f match {
+      case sources.EqualTo(a, v) => Some(quoted(a) === lit(v))
+      case sources.EqualNullSafe(a, v) => Some(quoted(a) <=> lit(v))
+      case sources.GreaterThan(a, v) => Some(quoted(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(quoted(a) >= lit(v))
+      case sources.LessThan(a, v) => Some(quoted(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) => Some(quoted(a) <= lit(v))
+      case sources.In(a, vs) => Some(quoted(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => Some(quoted(a).isNull)
+      case sources.IsNotNull(a) => Some(quoted(a).isNotNull)
+      case sources.StringStartsWith(a, v) => Some(quoted(a).startsWith(v))
+      case sources.StringEndsWith(a, v) => Some(quoted(a).endsWith(v))
+      case sources.StringContains(a, v) => Some(quoted(a).contains(v))
+      case sources.And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case sources.Not(c) => filterToColumn(c).map(!_)
+      case _: sources.AlwaysTrue => Some(lit(true))
+      case _: sources.AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
 }

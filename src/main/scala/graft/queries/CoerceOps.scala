@@ -1306,9 +1306,40 @@ object CoerceOps {
     """SELECT event_id, user_id, event_type, value
       |FROM events WHERE event_id > 499""".stripMargin
 
+  // -- q255: COLUMN RENAME as a metadata commit (r18 column mapping)
+  // — rename never rewrites a file: the new logical name maps to the
+  // files' physical column through the logged schema, and reads
+  // project physical→logical. The history proves the zero-rewrite
+  // claim structurally (the q-result would still hash right after a
+  // rewrite, so the query ALSO appends post-rename rows under the new
+  // name — mixed-era files, one logical column). Oracle = the raw
+  // table under the renamed projection. --
+  private val q255: Q = (s, dir) => {
+    import s.implicits._
+    val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_rename_$sfx"
+    val root = new org.apache.hadoop.fs.Path(out)
+    root.getFileSystem(s.sessionState.newHadoopConf()).delete(root, true)
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+    graft.sinks.Snapshots.writeOverwrite(
+      docs.where($"lang" =!= "de").repartition(4, $"doc_id"), out)
+    graft.sinks.Snapshots.renameColumn(s, out, "n_chars", "char_count")
+    // post-rename append uses the NEW logical name; its files store
+    // the physical column, agreeing with the pre-rename files
+    graft.sinks.Snapshots.writeAppend(
+      docs.where($"lang" === "de")
+        .withColumnRenamed("n_chars", "char_count"), out)
+    graft.sinks.Snapshots.read(s, out)
+      .select($"doc_id", $"lang", $"char_count")
+  }
+  private val q255Sql =
+    "SELECT doc_id, lang, n_chars AS char_count FROM documents"
+
   val queries: Map[String, Q] = Map(
     "q253_sql_insert" -> q253,
     "q254_sql_delete" -> q254,
+    "q255_rename_column" -> q255,
     "q249_string_key_clustered_upsert" -> q249,
     "q250_sql_snapshot_read" -> q250,
     "q251_sql_time_travel" -> q251,
@@ -1353,6 +1384,7 @@ object CoerceOps {
   val oracle: Map[String, String] = Map(
     "q253_sql_insert" -> q253Sql,
     "q254_sql_delete" -> q254Sql,
+    "q255_rename_column" -> q255Sql,
     "q249_string_key_clustered_upsert" -> q249Sql,
     "q250_sql_snapshot_read" -> q250Sql,
     "q251_sql_time_travel" -> q251Sql,

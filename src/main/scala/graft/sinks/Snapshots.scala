@@ -575,6 +575,66 @@ object Snapshots {
     case other => other
   }
 
+  // ------------------------------------------------- column mapping
+
+  /** Logical→physical name indirection (r18, the Delta columnMapping
+    * idea in its name-based form): a renamed column keeps its files'
+    * PHYSICAL name in `graft.physical` field metadata of the logged
+    * schema, so [[renameColumn]] is a METADATA commit — zero files
+    * rewrite — and every read maps physical→logical with one
+    * projection. Top-level columns only (nested renames still mean a
+    * rewrite); a later widening may not reuse a physical name that is
+    * still mapped (refused at the write, the poison-at-read gate); the
+    * SQL catalog refuses mapped tables loudly (the stock parquet DSv2
+    * scan has no alias hook) — the Scala read/write surface is the
+    * supported door after a rename. */
+  private[sinks] val PhysicalKey = "graft.physical"
+
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  /** logical → physical, only where they differ. */
+  private def physicalRenames(schema: StructType): Map[String, String] =
+    schema.fields.iterator
+      .filter(f => physicalName(f) != f.name)
+      .map(f => f.name -> physicalName(f)).toMap
+
+  private def toPhysicalSchema(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      StructField(physicalName(f), f.dataType, f.nullable, f.metadata)))
+
+  /** RENAME a top-level column — one metadata commit (`op = rename`),
+    * no data file touched: the new logical name carries the old
+    * physical name in the logged schema, and reads of every snapshot
+    * (old and new) stay correct — old snapshots read under their own
+    * logged schema, the new one maps the physical column back to the
+    * new name. Type changes remain rejected ([[mergeSchemas]]);
+    * conflicts like every rewrite. */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+                   to: String): Int = {
+    require(to.nonEmpty && !to.exists(c => c < ' ' || "\",[]".contains(c)),
+      s"renameColumn: target name not representable in the log: '$to'")
+    val snap = resolve(spark, dir, None)
+    val schema = snap.schema.getOrElse(throw new IllegalArgumentException(
+      s"renameColumn on $dir: the current entry logs no schema (legacy " +
+        "log) — commit any write first, then rename"))
+    def key(n: String) = n.toLowerCase(java.util.Locale.ROOT)
+    val idx = schema.fields.indexWhere(f => key(f.name) == key(from))
+    require(idx >= 0, s"renameColumn on $dir: no column '$from' " +
+      s"(has: ${schema.fieldNames.sorted.mkString(", ")})")
+    require(!schema.fields.exists(f => key(f.name) == key(to)),
+      s"renameColumn on $dir: target '$to' already exists")
+    val old = schema.fields(idx)
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(old.metadata)
+      .putString(PhysicalKey, physicalName(old)).build()
+    val renamed = StructType(schema.fields.updated(idx,
+      StructField(to, old.dataType, old.nullable, md)))
+    commit(spark, dir, "rename",
+      Rewrite(snap.dataFiles, snap.version, Some(renamed)))
+  }
+
   /** Merge an incoming write's schema onto the table's: same-name
     * columns must have the SAME type (recursively; nullability
     * ignored), new columns append — pure widening passes, a type
@@ -630,9 +690,36 @@ object Snapshots {
         case None => StructField(f.name, f.dataType, nullable = true, f.metadata)
       }
     }
+    // NEW columns never inherit a physical mapping from the incoming
+    // frame's metadata (a frame read off a mapped table carries
+    // graft.physical along through selects/aliases): a fresh column's
+    // physical name IS its logical name — only [[renameColumn]] mints
+    // mappings. This is also what makes writeOverwrite drop the
+    // mapping: its freshSchema merge lands every field here.
+    def stripPhysical(md: org.apache.spark.sql.types.Metadata) =
+      if (!md.contains(PhysicalKey)) md
+      else new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(md).remove(PhysicalKey).build()
     val added = incoming.fields.filterNot(g => byName.contains(key(g.name)))
-      .map(g => StructField(g.name, g.dataType, nullable = true, g.metadata))
-    asNullable(StructType(merged ++ added)).asInstanceOf[StructType]
+      .map(g => StructField(g.name, g.dataType, nullable = true,
+        stripPhysical(g.metadata)))
+    val out = asNullable(StructType(merged ++ added)).asInstanceOf[StructType]
+    // column-mapping guard (top-level merge only): a NEW column may
+    // not take a physical name an existing mapped column still owns —
+    // files written after would carry one physical column claimed by
+    // two logical ones, the exact poison-at-read this gate exists for
+    if (path.isEmpty)
+      out.fields.groupBy(f => key(physicalName(f)))
+        .find(_._2.length > 1).foreach { case (_, fs) =>
+          throw new IllegalArgumentException(
+            s"snapshot commit to $where: columns " +
+              fs.map(f => s"'${f.name}'").mkString(", ") +
+              s" would share the physical column '${physicalName(fs.head)}'" +
+              " — a renamed column's ORIGINAL name stays reserved; pick " +
+              "another name or rewrite the table (writeOverwrite) to " +
+              "drop the mapping")
+        }
+    out
   }
 
   /** Bootstrap schema for a table's FIRST write (and overwrite's
@@ -814,12 +901,29 @@ object Snapshots {
     * per-file column bounds. Files write to a `_`-prefixed staging dir
     * and rename in under fresh uuid names, so a crash strands invisible
     * garbage, never a half-landed file ([[vacuum]] sweeps strays). */
-  private def land(df: DataFrame, dir: String): Seq[DataFile] = {
-    val spark = df.sparkSession
+  /** `phys`: the table's logical→physical renames ([[physicalRenames]]
+    * of the schema the commit will log) — landed files always store
+    * PHYSICAL column names, so every file of a mapped table agrees
+    * with every other regardless of when its column was renamed.
+    * Stats are consequently logged under physical names too, which is
+    * what the pruning lookups resolve against. */
+  private def land(df: DataFrame, dir: String,
+                   phys: Map[String, String] = Map.empty): Seq[DataFile] = {
+    val framed =
+      if (phys.isEmpty) df
+      else {
+        val lower = phys.map { case (k, v) =>
+          k.toLowerCase(java.util.Locale.ROOT) -> v }
+        df.select(df.columns.map { c =>
+          val p = lower.getOrElse(c.toLowerCase(java.util.Locale.ROOT), c)
+          col("`" + c.replace("`", "``") + "`").as(p)
+        }: _*)
+      }
+    val spark = framed.sparkSession
     val (fs, root) = fsOf(spark, dir)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(root, s"_staging_$tag")
-    df.write.mode("overwrite").parquet(staging.toString)
+    framed.write.mode("overwrite").parquet(staging.toString)
     val parts = fs.listStatus(staging).toSeq.filter(s => !s.isDirectory &&
       !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
     val names = parts.sortBy(_.getPath.getName).zipWithIndex.map {
@@ -830,8 +934,13 @@ object Snapshots {
         DataFile(name, st.getLen) // sizes ride into the log: zero-stat reads
     }
     fs.delete(staging, true)
-    attachStats(spark, dir, df.schema, names)
+    attachStats(spark, dir, framed.schema, names)
   }
+
+  /** The current renames of an optional logged schema — what every
+    * land() call site passes through. */
+  private def renamesOf(schema: Option[StructType]): Map[String, String] =
+    schema.map(physicalRenames).getOrElse(Map.empty)
 
   // --------------------------------------------------------- file stats
 
@@ -1025,9 +1134,18 @@ object Snapshots {
     keptLogged ++ keptLegacy
   }
 
+  /** Resolve a LOGICAL column to the PHYSICAL name files and logged
+    * stats use — identity on unmapped tables. */
+  private def physicalOf(snap: Snapshot, column: String): String =
+    snap.schema.flatMap(_.fields.find(f =>
+        f.name.toLowerCase(java.util.Locale.ROOT) ==
+          column.toLowerCase(java.util.Locale.ROOT))
+      .map(physicalName)).getOrElse(column)
+
   private def pruneCandidatesNum(spark: SparkSession, dir: String,
-                                 snap: Snapshot, column: String,
-                                 lo: Double, hi: Double): Seq[String] =
+                                 snap: Snapshot, logicalCol: String,
+                                 lo: Double, hi: Double): Seq[String] = {
+    val column = physicalOf(snap, logicalCol)
     pruneCandidates(spark, dir, snap, column) {
       case NumStat(mn, mx, _) => !(mx < lo || mn > hi)
       case _ => true
@@ -1037,14 +1155,16 @@ object Snapshots {
           Seq(column)), column, lo, hi)
         .map(_.stripPrefix(s"$dir/"))
     }
+  }
 
   /** [[pruneCandidatesNum]] for STRING columns — what lets a takedown
     * or upsert keyed by doc ids/UUIDs/URLs (the most common key shape)
     * bound its touched-file search. Non-BMP query bounds keep every
     * file (the order-regime guard, same as [[strStat]]). */
   private def pruneCandidatesStr(spark: SparkSession, dir: String,
-                                 snap: Snapshot, column: String,
+                                 snap: Snapshot, logicalCol: String,
                                  lo: String, hi: String): Seq[String] = {
+    val column = physicalOf(snap, logicalCol)
     def bmp(x: String) = x.forall(c => c < '\ud800' || c > '\udfff')
     if (!bmp(lo) || !bmp(hi)) snap.files
     else pruneCandidates(spark, dir, snap, column) {
@@ -1124,10 +1244,10 @@ object Snapshots {
     val spark = df.sparkSession
     // fail fast BEFORE landing data: a type conflict should cost zero
     // writes (the in-loop validation still guards the rebase path)
-    latest(spark, dir).flatMap(schemaOf(spark, dir, _))
-      .foreach(t => mergeSchemas(t, df.schema, dir))
+    val tableSchema = latest(spark, dir).flatMap(schemaOf(spark, dir, _))
+    tableSchema.foreach(t => mergeSchemas(t, df.schema, dir))
     commit(spark, dir, "append",
-      Append(land(df, dir), df.schema))
+      Append(land(df, dir, renamesOf(tableSchema)), df.schema))
   }
 
   /** IDEMPOTENT append for streaming `foreachBatch` — the exactly-once
@@ -1187,9 +1307,10 @@ object Snapshots {
     // the token's uniqueness is the caller's side of the contract.
     if (replayed) None
     else {
-      latest(spark, dir).flatMap(schemaOf(spark, dir, _))
-        .foreach(t => mergeSchemas(t, df.schema, dir))
-      Some(commit(spark, dir, op, Append(land(df, dir), df.schema)))
+      val tableSchema = latest(spark, dir).flatMap(schemaOf(spark, dir, _))
+      tableSchema.foreach(t => mergeSchemas(t, df.schema, dir))
+      Some(commit(spark, dir, op,
+        Append(land(df, dir, renamesOf(tableSchema)), df.schema)))
     }
   }
 
@@ -1260,11 +1381,21 @@ object Snapshots {
       val f = byName.getOrElse(n, DataFile(n))
       (n, f.size, f.stats) // stats feed predicate-driven file skipping
     }
-    schema match {
+    // column mapping (rename support): files store PHYSICAL names;
+    // the parquet read plans on the physical schema and a projection
+    // restores the logical names — filters and pruning push through
+    // the aliases, so the mapped read keeps the stock scan shape
+    val mapping = schema.map(physicalRenames).getOrElse(Map.empty)
+    val readSchema = schema.map(s =>
+      if (mapping.isEmpty) s else toPhysicalSchema(s))
+    val frame = readSchema match {
       case Some(sc) if entries.forall(_._2 >= 0) =>
         org.apache.spark.sql.graftshim.LogFileIndex.frame(dir, entries, sc, spark)
-      case _ => readFiles(spark, dir, names, schema)
+      case _ => readFiles(spark, dir, names, readSchema)
     }
+    if (mapping.isEmpty) frame
+    else frame.select(schema.get.fields.map(f =>
+      col("`" + physicalName(f).replace("`", "``") + "`").as(f.name)): _*)
   }
 
   /** Total bytes of a snapshot: from the LOGGED sizes when the entry
@@ -1351,7 +1482,8 @@ object Snapshots {
     else {
       val packed = scan(spark, dir, snap, snap.files).coalesce(n)
       Some(commit(spark, dir, "compact",
-        Rewrite(land(packed, dir), snap.version, snap.schema)))
+        Rewrite(land(packed, dir, renamesOf(snap.schema)),
+          snap.version, snap.schema)))
     }
   }
 
@@ -1440,7 +1572,7 @@ object Snapshots {
         case op if op.startsWith("append") || op == "import" =>
           if (added.isEmpty) Nil
           else Seq(tag(scan(spark, dir, cur, added), "insert"))
-        case "compact" | "zorder" => Nil
+        case "compact" | "zorder" | "rename" => Nil
         case _ => // delete / upsert / overwrite: the exceptAll algebra
           // pairSchema absent (legacy entry / unmergeable pair): BOTH
           // sides must come off the same footer union, not each
@@ -1532,7 +1664,8 @@ object Snapshots {
       val rewritten = scan(spark, dir, snap, touched)
         .where(!coalesce(cond, lit(false)))
       Some(commit(spark, dir, "delete",
-        Rewrite(untouched ++ land(rewritten, dir), snap.version, snap.schema)))
+        Rewrite(untouched ++ land(rewritten, dir, renamesOf(snap.schema)),
+          snap.version, snap.schema)))
     }
   }
 
@@ -1563,7 +1696,8 @@ object Snapshots {
       val rewritten = scan(spark, dir, snap, touched)
         .join(k, Seq(keyCol), "left_anti")
       Some(commit(spark, dir, "delete",
-        Rewrite(untouched ++ land(rewritten, dir), snap.version, snap.schema)))
+        Rewrite(untouched ++ land(rewritten, dir, renamesOf(snap.schema)),
+          snap.version, snap.schema)))
     }
   }
 
@@ -1592,7 +1726,8 @@ object Snapshots {
       val rewritten = scan(spark, dir, snap, touched)
         .where(!coalesce(cond, lit(false)))
       Some(commit(spark, dir, "delete",
-        Rewrite(untouched ++ land(rewritten, dir), snap.version, snap.schema)))
+        Rewrite(untouched ++ land(rewritten, dir, renamesOf(snap.schema)),
+          snap.version, snap.schema)))
     }
   }
 
@@ -1735,8 +1870,9 @@ object Snapshots {
     val survivors =
       if (touched.isEmpty) Seq.empty
       else land(scan(spark, dir, snap, touched)
-        .join(keys, Seq(keyCol), "left_anti"), dir)
-    val landed = if (hasInserts) land(inserts, dir) else Seq.empty
+        .join(keys, Seq(keyCol), "left_anti"), dir, renamesOf(schema))
+    val landed =
+      if (hasInserts) land(inserts, dir, renamesOf(schema)) else Seq.empty
     Some(commit(spark, dir, op,
       Rewrite(untouched ++ survivors ++ landed, snap.version, schema)))
   }
@@ -1781,9 +1917,9 @@ object Snapshots {
     val survivors =
       if (touched.isEmpty) Seq.empty
       else land(scan(spark, dir, snap, touched)
-        .join(keys, Seq(keyCol), "left_anti"), dir)
+        .join(keys, Seq(keyCol), "left_anti"), dir, renamesOf(schema))
     commit(spark, dir, "upsert",
-      Rewrite(untouched ++ survivors ++ land(updates, dir),
+      Rewrite(untouched ++ survivors ++ land(updates, dir, renamesOf(schema)),
         snap.version, schema))
   }
 
@@ -1927,7 +2063,8 @@ object Snapshots {
           .sortWithinPartitions(col(cols.head))
       else Layout.zorderFrameN(cur, cols, n, bits)
     commit(spark, dir, "zorder",
-      Rewrite(land(framed, dir), snap.version, snap.schema))
+      Rewrite(land(framed, dir, renamesOf(snap.schema)),
+        snap.version, snap.schema))
   }
 
   /** The periodic maintenance pass a streaming ingest schedules every N

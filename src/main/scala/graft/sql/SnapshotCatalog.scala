@@ -87,8 +87,22 @@ class SnapshotCatalog extends TableCatalog {
     try {
       val v = asOfMillis.map(ts => Snapshots.versionAsOf(spark, dir, ts))
         .orElse(version)
-      new SnapshotTable(s"$catalogName.${ident.name()}", dir,
-        Snapshots.snapshotAt(spark, dir, v), spark)
+      val snap = Snapshots.snapshotAt(spark, dir, v)
+      // column-mapped (renamed) tables need the physical→logical
+      // projection only the Scala scan path applies; the stock DSv2
+      // parquet scan here has no alias hook — refuse loudly rather
+      // than return NULLs for every renamed column
+      snap.schema.flatMap(_.fields.find(f =>
+          f.metadata.contains("graft.physical") &&
+            f.metadata.getString("graft.physical") != f.name))
+        .foreach(f => throw new UnsupportedOperationException(
+          s"$catalogName: table at $dir has renamed (column-mapped) " +
+            s"columns ('${f.name}' stored as " +
+            s"'${f.metadata.getString("graft.physical")}') — SQL reads " +
+            "of mapped tables are not supported yet; read through " +
+            "graft.sinks.Snapshots.read, or rewrite the table " +
+            "(writeOverwrite) to drop the mapping"))
+      new SnapshotTable(s"$catalogName.${ident.name()}", dir, snap, spark)
     } catch {
       case e: IllegalArgumentException =>
         // no log under the dir, vacuumed/unknown version, or nothing

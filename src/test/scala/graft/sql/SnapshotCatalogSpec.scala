@@ -117,10 +117,15 @@ class SnapshotCatalogSpec extends SparkSpec {
       s"must surface as the analyzer's not-found path, got: $e")
   }
 
-  test("mutation DDL fails fast naming the commit API") {
+  test("unsupported DDL fails fast naming the richer commit API (writes themselves are SQL-native since r18)") {
     val dir = freshDir(); build(dir)
+    // ALTER/RENAME stay unsupported and say where the richer ops live
     val e = intercept[Exception](
-      spark.sql(s"DROP TABLE graft.`$dir`"))
+      spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES ('a'='b')"))
     assert(e.getMessage.contains("graft.sinks.Snapshots"), e.getMessage)
+    // DROP of a PATH table refuses for a different reason: external data
+    val e2 = intercept[Exception](
+      spark.sql(s"DROP TABLE graft.`$dir`"))
+    assert(e2.getMessage.contains("external"), e2.getMessage)
   }
 }

@@ -23,6 +23,8 @@ object GraftSession {
     .withExtensions(graft.functions.GraftFunctions.inject)
     .withExtensions(_.injectResolutionRule(
       new graft.sql.SnapshotStreamRule(_)))
+    .withExtensions(_.injectResolutionRule(
+      new graft.sql.SnapshotMappedReadRule(_)))
     .config("spark.sql.session.timeZone", "UTC")
     // Lenient coercions (graft.functions.Lenient) require null-on-failure
     // casts and element_at(empty)->null; Spark 4 defaults ANSI on.

@@ -635,6 +635,25 @@ object Snapshots {
       Rewrite(snap.dataFiles, snap.version, Some(renamed)))
   }
 
+  /** ADD COLUMNS as a metadata commit (`op = add-columns`) — pure
+    * widening without landing a byte: the merged schema logs, existing
+    * files NULL-fill the new columns at read (exactly as a widening
+    * append would, minus the append). Type conflicts and reserved
+    * physical names fail like any write. */
+  def addColumns(spark: SparkSession, dir: String,
+                 cols: StructType): Int = {
+    require(cols.nonEmpty, "addColumns: no columns given")
+    val snap = resolve(spark, dir, None)
+    val table = schemaOf(spark, dir, snap).getOrElse(StructType(Nil))
+    cols.fieldNames.foreach { n =>
+      require(table.fields.forall(f => !f.name.equalsIgnoreCase(n)),
+        s"addColumns on $dir: column '$n' already exists")
+    }
+    commit(spark, dir, "add-columns",
+      Rewrite(snap.dataFiles, snap.version,
+        Some(mergeSchemas(table, cols, dir))))
+  }
+
   /** Merge an incoming write's schema onto the table's: same-name
     * columns must have the SAME type (recursively; nullability
     * ignored), new columns append — pure widening passes, a type
@@ -1572,7 +1591,7 @@ object Snapshots {
         case op if op.startsWith("append") || op == "import" =>
           if (added.isEmpty) Nil
           else Seq(tag(scan(spark, dir, cur, added), "insert"))
-        case "compact" | "zorder" | "rename" => Nil
+        case "compact" | "zorder" | "rename" | "add-columns" => Nil
         case _ => // delete / upsert / overwrite: the exceptAll algebra
           // pairSchema absent (legacy entry / unmergeable pair): BOTH
           // sides must come off the same footer union, not each

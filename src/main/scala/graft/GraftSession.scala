@@ -40,6 +40,15 @@ object GraftSession {
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // AQE coalescing sizes partitions by BYTES, which under-parallelizes
+    // CPU-dense kernel stages (text/vector math: MBs of data, seconds of
+    // compute per MB) — measured: the q206 scoring stage collapsed to 1-8
+    // partitions and serialized 20s of CPU on a 32-core host. Lowering the
+    // coalesce floor keeps such stages wide; it is scale-neutral because
+    // at production shuffle sizes the advisory target (64 MB default)
+    // governs and no partition ever approaches the floor.
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     // Dim tables (region/nation/customer/supplier/part at these SFs) must
     // broadcast; 64 MB leaves headroom at 100x fixture scale for the

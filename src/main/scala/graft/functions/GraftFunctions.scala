@@ -14,7 +14,7 @@ object GraftFunctions {
       SimHash32.description, SimHash64.description,
       MinHashBands.description, WeightedMinhashExpr.description,
       CharBowExpr.description,
-      TopKByScore.description, VecMeanAgg.description,
+      TopKByScore.description, VecMeanAgg.description, OrderedSum.description,
       RepStats.description, GramOverlap.description, CharStats.description,
       BpeMergeExpr.description, BpeEncodeExpr.description, BpeIdsExpr.description,
       UnigramSegExpr.description,

@@ -202,9 +202,8 @@ object Classifier {
       val scored = feats.withColumn("__r",
         sigmoid(zCol(weights, bias)) - col("__y"))
       val biasGrad = scored
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("__id"), col("__r")))),
-          lit(0.0), (acc, s) => acc + s.getField("__r")))
+        .agg(graft.functions.OrderedSum.orderedSumBy(col("__id"), col("__r"),
+          feats.schema("__id").dataType))
         .head.getDouble(0) / m
       val grad = scored
         .select(col("__id"), col("__r"),
@@ -212,9 +211,8 @@ object Classifier {
         .select(col("__e.__bs").as("__b"), col("__id"),
           (col("__r") * col("__e.__xs")).as("__g"))
         .groupBy(col("__b"))
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("__id"), col("__g")))),
-          lit(0.0), (acc, s) => acc + s.getField("__g")).as("__gs"))
+        .agg(graft.functions.OrderedSum.orderedSumBy(col("__id"), col("__g"),
+          feats.schema("__id").dataType).as("__gs"))
         .collect()
         .map(r => r.getInt(0) -> r.getDouble(1) / m).toMap
       weights = (weights.keySet ++ grad.keySet).iterator.map { b =>

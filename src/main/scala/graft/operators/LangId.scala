@@ -70,9 +70,8 @@ object LangId {
     val idx = langs.indices
     var weights = langs.map(_ -> Map.empty[Int, Double]).toMap
     var biases = langs.map(_ -> 0.0).toMap
-    def orderedFold(gCol: String) = aggregate(
-      array_sort(collect_list(struct(col("__id"), col(gCol).as("__g")))),
-      lit(0.0), (acc, s) => acc + s.getField("__g"))
+    def orderedFold(gCol: String) = graft.functions.OrderedSum.orderedSumBy(
+      col("__id"), col(gCol), feats.schema("__id").dataType)
     (1 to iterations).foreach { _ =>
       val scored = feats.select(
         Seq(col("__id"), col("__bs"), col("__xs")) ++ idx.map { i =>

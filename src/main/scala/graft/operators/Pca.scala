@@ -4,6 +4,7 @@ import scala.util.chaining._
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
 
 /** In-engine PCA (top principal components) via distributed power
   * iteration with deflation — the dimension-reduction member of the
@@ -45,9 +46,8 @@ object Pca {
     * feed [[projectK]]. */
   case class MultiModel(mean: Seq[Double], components: Seq[Seq[Double]])
 
-  private def orderedSum(id: Column, v: Column): Column =
-    aggregate(array_sort(collect_list(struct(id.as("__o"), v.as("__s")))),
-      lit(0.0), (acc, s) => acc + s.getField("__s"))
+  private def orderedSum(id: Column, v: Column, idType: DataType): Column =
+    graft.functions.OrderedSum.orderedSumBy(id, v, idType)
 
   /** Per-row dot of the `__x` array against a literal vector — a left
     * fold in dimension order (the reproducibility contract). */
@@ -93,7 +93,7 @@ object Pca {
       .select(col("__id"), posexplode_outer(col("__x")).as(Seq("__j", "__v")))
       .filter(col("__v").isNotNull)
     val mean: Seq[Double] = pos.groupBy(col("__j"))
-      .agg(orderedSum(col("__id"), col("__v")).as("__s"))
+      .agg(orderedSum(col("__id"), col("__v"), xs.schema("__id").dataType).as("__s"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1) / n).toMap
       .pipe(m => (0 until d).map(m(_)))
 
@@ -115,7 +115,8 @@ object Pca {
             posexplode(col("__x")).as(Seq("__j", "__xj")))
         val u: Seq[Double] = contrib
           .groupBy(col("__j"))
-          .agg(orderedSum(col("__id"), col("__c") * col("__xj")).as("__s"))
+          .agg(orderedSum(col("__id"), col("__c") * col("__xj"),
+            xs.schema("__id").dataType).as("__s"))
           .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
           .pipe(m => (0 until d).map(m(_)))
         val norm = math.sqrt(u.foldLeft(0.0)((acc, x) => acc + x * x))

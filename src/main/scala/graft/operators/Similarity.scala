@@ -677,10 +677,8 @@ object Similarity {
       .select(col("__id"), posexplode(col("__x")).as(Seq("__j", "__v")))
     val sums = pos.groupBy(col("__j"))
       .agg(
-        aggregate(
-          array_sort(collect_list(struct(col("__id").as("__o"),
-            col("__v").as("__s")))),
-          lit(0.0), (acc, s) => acc + s.getField("__s")).as("__sum"),
+        graft.functions.OrderedSum.orderedSumBy(col("__id"), col("__v"),
+          smp.schema("__id").dataType).as("__sum"),
         count(lit(1)).as("__n"))
       .collect()
     require(sums.nonEmpty, "corpusCenter: empty corpus")
@@ -725,11 +723,18 @@ object Similarity {
       .otherwise(raise_error(concat(
         lit(s"lshSigs: bits*tables = $need exceeds embedding dim "),
         size(col(embCol)).cast("string"))))
-    def bucketAt(t: Int): Column =
-      if (center.isEmpty) Vectors.signBucketAt(emb, bits, t * bits)
-      else Vectors.signBucketCenteredAt(emb, bits, t * bits, center)
+    def bucketAt(e: Column)(t: Int): Column =
+      if (center.isEmpty) Vectors.signBucketAt(e, bits, t * bits)
+      else Vectors.signBucketCenteredAt(e, bits, t * bits, center)
+    // Bind the guarded embedding ONCE via a single-element transform:
+    // every element_at of every bit otherwise re-inlines the whole
+    // size-guard CASE/raise_error chain (bits*tables copies in the
+    // plan — codegen CSE does not cross the per-bit `when`s), the
+    // q205 mechanism. Values identical: the lambda variable is the
+    // same guarded array, the guard still raises per undersized row.
     corpus.select(col(idCol).as("__id"),
-      posexplode(array((0 until tables).map(bucketAt): _*))
+      posexplode(element_at(transform(array(emb), e =>
+        array((0 until tables).map(bucketAt(e)): _*)), 1))
         .as(Seq("__tbl", "__bucket")))
   }
 
@@ -743,15 +748,24 @@ object Similarity {
       .distinct()
 
   /** Exact cosine for candidate pairs: embeddings re-attached by two
-    * id-keyed joins (never carried through the pair blow-up). */
+    * id-keyed joins (never carried through the pair blow-up). Norms are
+    * precomputed per corpus ROW before the join, so each pair pays one
+    * dot product instead of three (`dot(a,b)/(‖a‖·‖b‖)` with the norms
+    * hoisted is the identical IEEE expression tree — `sqrt(dot(a,a))`
+    * per vector, then the same multiply/divide — measured 3× less pair
+    * math on the knnGraph scoring stage, guide §1.2 per-task work). */
   private def scoreCandidates(cand: DataFrame, corpus: DataFrame,
                               idCol: String, embCol: String): DataFrame = {
-    val emb = corpus.select(col(idCol), col(embCol))
+    val emb = corpus.select(col(idCol), col(embCol),
+      Vectors.norm(col(embCol)).as("__nrm"))
     cand
-      .join(emb.select(col(idCol).as("q_id"), col(embCol).as("__emb_a")), Seq("q_id"))
-      .join(emb.select(col(idCol).as("__dst"), col(embCol).as("__emb_b")), Seq("__dst"))
+      .join(emb.select(col(idCol).as("q_id"), col(embCol).as("__emb_a"),
+        col("__nrm").as("__na")), Seq("q_id"))
+      .join(emb.select(col(idCol).as("__dst"), col(embCol).as("__emb_b"),
+        col("__nrm").as("__nb")), Seq("__dst"))
       .select(col("q_id"), col("__dst").as(idCol),
-        Vectors.cosine(col("__emb_a"), col("__emb_b")).as("cos"))
+        (Vectors.dot(col("__emb_a"), col("__emb_b")) /
+          (col("__na") * col("__nb"))).as("cos"))
   }
 
   /** Brute-force cosine top-k: every (query, corpus) pair scored map-side
@@ -1022,16 +1036,30 @@ object Similarity {
       .filter(col("__n") > maxBucket && col(idCol) =!= col("__mn").getField(idCol))
       .select(col("__mn").getField(idCol).as(a), col(idCol).as(b),
         Vectors.cosine(col("__mn").getField(embCol), col(embCol)).as("cos"))
-    val smallPairs = sized
+    // In-bucket pairs via a bucket-keyed self-join (id_a < id_b) instead
+    // of collect_list + nested-HOF explosion: the pair set is identical
+    // (all unordered member pairs ordered by id), but pair generation
+    // runs inside whole-stage codegen instead of interpreted
+    // higher-order functions that materialize every pair's BOTH
+    // embeddings as fresh structs (measured: 20 s of single-digit-task
+    // CPU on the q206 scoring stage, >2× the whole query — guide §1.2).
+    // Both join children are the same subplan partitioned the same way,
+    // so ReuseExchange computes the corpus shuffle once; norms are
+    // hoisted per ROW (n sqrt·dot, not |pairs|) — cos is the identical
+    // IEEE tree, just with `sqrt(dot(x,x))` evaluated once per member.
+    val small = sized
       .filter(col("__n") <= maxBucket && col("__n") > 1)
-      .groupBy(col("__bucket"))
-      .agg(sort_array(collect_list(struct(col(idCol), col(embCol)))).as("__xs"))
-      .select(explode(flatten(transform(col("__xs"), (x, i) =>
-        transform(slice(col("__xs"), i + 2, size(col("__xs"))),
-          y => struct(x.getField(idCol).as(a), y.getField(idCol).as(b),
-            x.getField(embCol).as("__ea"), y.getField(embCol).as("__eb")))))).as("__p"))
-      .select(col(s"__p.$a"), col(s"__p.$b"),
-        Vectors.cosine(col("__p.__ea"), col("__p.__eb")).as("cos"))
+      .select(col("__bucket"), col(idCol), col(embCol),
+        Vectors.norm(col(embCol)).as("__nrm"))
+    val smallPairs = small
+      .select(col("__bucket"), col(idCol).as(a), col(embCol).as("__ea"),
+        col("__nrm").as("__na"))
+      .join(small.select(col("__bucket"), col(idCol).as(b),
+        col(embCol).as("__eb"), col("__nrm").as("__nb")), Seq("__bucket"))
+      .filter(col(a) < col(b))
+      .select(col(a), col(b),
+        (Vectors.dot(col("__ea"), col("__eb")) /
+          (col("__na") * col("__nb"))).as("cos"))
     smallPairs.union(star).filter(col("cos") >= minCos)
   }
 

@@ -1540,9 +1540,8 @@ object TextOps {
         // ordered fold, not avg(): a bare mean sums in partition order
         // and the sf0.01 bucket 2 lands EXACTLY on a 6-dp rounding
         // boundary (measured: ...0425 vs ...0435 across sum orders)
-        round(aggregate(
-          array_sort(collect_list(struct(col("doc_id"), col("avg_lp")))),
-          lit(0.0), (acc, s) => acc + s.getField("avg_lp"))
+        round(graft.functions.OrderedSum.orderedSumBy(
+          col("doc_id"), col("avg_lp"), scored.schema("doc_id").dataType)
           / count(lit(1)), 6).as("mean_lp"))
   }
   private val q135Sql = {

@@ -15,6 +15,7 @@ object GraftFunctions {
       MinHashBands.description, WeightedMinhashExpr.description,
       CharBowExpr.description,
       TopKByScore.description, VecMeanAgg.description, OrderedSum.description,
+      Once.description,
       RepStats.description, GramOverlap.description, CharStats.description,
       BpeMergeExpr.description, BpeEncodeExpr.description, BpeIdsExpr.description,
       UnigramSegExpr.description,

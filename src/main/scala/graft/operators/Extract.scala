@@ -122,17 +122,29 @@ object Extract {
     val passthrough = df.columns.filter(_ != htmlCol).map(col).toSeq
     val blocks = split(dropNonContent(col(htmlCol)), BlockTagRe)
     val staged = df.select(passthrough :+ blocks.as("__blocks"): _*)
-    // one struct per block, computed once: (clean text, raw length)
-    val bt = staged.select(passthrough :+ transform(col("__blocks"), b =>
-      struct(blockText(b).as("txt"), length(b).as("raw"))).as("__bt"): _*)
-    val nonEmpty = filter(col("__bt"), e => e.getField("txt") =!= "")
-    val kept = filter(nonEmpty, e =>
-      size(split(e.getField("txt"), " ")) >= minWords &&
-        length(e.getField("txt")).cast("double") /
-          greatest(e.getField("raw"), lit(1)).cast("double") >= minDensity)
-    bt.select(passthrough ++ Seq(
-      array_join(transform(kept, _.getField("txt")), "\n").as("text"),
-      size(nonEmpty).as("n_blocks"),
-      size(kept).as("n_blocks_kept")): _*)
+    // one struct per block, computed once: (clean text, raw length).
+    // graft_once guards the expensive tag-strip/regexp chain: without
+    // it, a downstream gate on the extracted text (cleanDocs' doc
+    // blocklist in q179) pushes below these projections and re-inlines
+    // the whole chain into a Filter — measured 3x the per-row work.
+    val bt = staged.select(passthrough :+
+      graft.functions.Once.once(transform(col("__blocks"), b =>
+        struct(blockText(b).as("txt"), length(b).as("raw")))).as("__bt"): _*)
+    // each derived array is staged as its OWN column so later
+    // references are attribute reads — referencing the filter() trees
+    // directly re-evaluates the interpreted HOF per reference
+    // (CollapseProject keeps multi-referenced non-cheap aliases staged)
+    val withNe = bt.select(passthrough :+
+      filter(col("__bt"), e => e.getField("txt") =!= "").as("__ne"): _*)
+    val withKept = withNe.select(passthrough ++ Seq(col("__ne"),
+      filter(col("__ne"), e =>
+        size(split(e.getField("txt"), " ")) >= minWords &&
+          length(e.getField("txt")).cast("double") /
+            greatest(e.getField("raw"), lit(1)).cast("double") >= minDensity)
+        .as("__kept")): _*)
+    withKept.select(passthrough ++ Seq(
+      array_join(transform(col("__kept"), _.getField("txt")), "\n").as("text"),
+      size(col("__ne")).as("n_blocks"),
+      size(col("__kept")).as("n_blocks_kept")): _*)
   }
 }

@@ -91,7 +91,12 @@ object LineFilter {
                 docBlock: Seq[String] = DefaultDocBlock): DataFrame = {
     val docOk = docBlock.map(t => !contains(lower(col(textCol)), lit(t)))
       .reduceOption(_ && _).getOrElse(lit(true))
-    df.withColumn("__lines", keptLines(col(textCol), minWords, lineBlock))
+    // graft_once: without the barrier, the minLines gate pushes below
+    // this projection and re-inlines the whole keptLines chain into the
+    // Filter (and docOk inlines it AGAIN when textCol is itself a
+    // rewrite) — every row paid the line scan 2-3x (q143/q179 measured)
+    df.withColumn("__lines",
+        graft.functions.Once.once(keptLines(col(textCol), minWords, lineBlock)))
       .withColumn("n_lines_kept", size(col("__lines")).cast("long"))
       .where(col("n_lines_kept") >= minLines && docOk)
       .withColumn(textCol, array_join(col("__lines"), "\n"))

@@ -17,7 +17,9 @@ object Quality {
     * and a type-token ratio of at least `minTtr`; adds `n_tokens`. */
   def filter(df: DataFrame, textCol: String,
              minTokens: Int = 10, minTtr: Double = 0.2): DataFrame =
-    df.withColumn("__tk", Text.tokens(col(textCol))) // staged: 3 refs below
+    // staged + graft_once: 3 refs below, and the gate otherwise pushes
+    // below this projection re-inlining the tokenizer per predicate
+    df.withColumn("__tk", graft.functions.Once.once(Text.tokens(col(textCol))))
       .withColumn("n_tokens", size(col("__tk")).cast("long"))
       .withColumn("__ttr",
         size(array_distinct(col("__tk"))).cast("double") / size(col("__tk")))

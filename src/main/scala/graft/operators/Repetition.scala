@@ -34,7 +34,12 @@ object Repetition {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     // the kernel shingles internally; null text scores as a gram-less doc
     val toks = coalesce(Text.tokens(col(textCol)), array().cast("array<string>"))
-    df.withColumn("__st", call_function(graft.functions.RepStats.name, toks, lit(n)))
+    // graft_once: [[filter]]'s ceilings otherwise push below this
+    // projection and re-inline the kernel call once per predicate
+    // (2x per row on the gate path, before the surviving row pays it
+    // again here)
+    df.withColumn("__st", graft.functions.Once.once(
+        call_function(graft.functions.RepStats.name, toks, lit(n))))
       .withColumn("__total", col("__st.total_grams"))
       .withColumn("total_grams", col("__total"))
       .withColumn("distinct_grams", col("__st.distinct_grams"))

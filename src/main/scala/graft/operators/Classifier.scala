@@ -95,7 +95,9 @@ object Classifier {
                                        tok: Column => Column = Text.tokens)
       : DataFrame = {
     val toks = coalesce(tok(col(textCol)), array().cast("array<string>"))
-    val base = df.select(col(idCol).as("__id"), toks.as("__toks"))
+    // kernel floor (Par.widen): tokenization + hashing run inside the
+    // input's scan stage; a one-file input serializes them on one core
+    val base = Par.widen(df).select(col(idCol).as("__id"), toks.as("__toks"))
     val packed = base
       .select(col("__id"), size(col("__toks")).as("__n"),
         explode(col("__toks")).as("__t"))
@@ -130,7 +132,9 @@ object Classifier {
                                               idCol: String, dim: Int,
                                               n: Int): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    df.select(col(idCol).as("__id"),
+    // kernel floor: the fused char-BoW kernel is the heaviest per-row
+    // call in the trainer path — don't let it ride a one-task scan
+    Par.widen(df).select(col(idCol).as("__id"),
         call_function(graft.functions.CharBowExpr.name,
           col(textCol), lit(n), lit(dim)).as("__bow"))
       .select(col("__id"),

@@ -112,7 +112,9 @@ object Dedup {
   def segmentDedup(df: DataFrame, textCol: String, idCol: String,
                    segTokens: Int = 10): DataFrame = {
     require(segTokens >= 1, s"segTokens must be positive: $segTokens")
-    val segs = Chunk.split(df.select(col(idCol), col(textCol)), textCol,
+    // kernel floor (Par.widen): segment slicing + md5 run in the scan
+    // stage; a one-file corpus serializes them on one core
+    val segs = Chunk.split(Par.widen(df).select(col(idCol), col(textCol)), textCol,
         chunkTokens = segTokens, overlap = 0)
       .select(col(idCol).as("__id"), col("chunk_idx"), col("chunk_text"),
         md5(col("chunk_text")).as("__k"))
@@ -259,7 +261,9 @@ object Dedup {
   def signatureStore(corpus: DataFrame, textCol: String,
                      shingle: Int = 5, bands: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    corpus.select(Text.tokens(col(textCol)).as("__tk"))
+    // kernel floor (Par.widen): shingling + the MinHash band kernel are
+    // the cost of this pass — don't serialize them on a one-task scan
+    Par.widen(corpus).select(Text.tokens(col(textCol)).as("__tk"))
       .select(posexplode(Text.minhashBandsNative(col("__tk"), shingle, bands)))
       .select(col("pos").as("band"), col("col").as("sig"))
       .filter(col("sig").isNotNull)
@@ -324,7 +328,7 @@ object Dedup {
     // posexplode_OUTER + null filter, not plain posexplode: the
     // InferFiltersFromGenerate rewrite would inline the kernel into a
     // pre-Generate Filter and run it twice per row (the Chunk device).
-    df.select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
+    Par.widen(df).select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
       .select(col(idCol), call_function(
         graft.functions.WeightedMinhashExpr.name,
         col("__tk"), lit(bands), lit(rows)).as("__sigs"))
@@ -474,7 +478,7 @@ object Dedup {
       textCol: String, idCol: String, shingle: Int = 5,
       bands: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(batch.sparkSession)
-    batch
+    Par.widen(batch)
       .select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
       .select(col(idCol),
         posexplode(Text.minhashBandsNative(col("__tk"), shingle, bands)))
@@ -507,7 +511,7 @@ object Dedup {
                         shingle: Int = 5, bands: Int = 4,
                         maxBucket: Int = 1024): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val sigs = df.select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
+    val sigs = Par.widen(df).select(col(idCol), Text.tokens(col(textCol)).as("__tk"))
       .select(col(idCol), posexplode(Text.minhashBandsNative(col("__tk"), shingle, bands)))
       .select(col(idCol), col("pos").as("band"), col("col").as("sig"))
     candidatesFromSigs(sigs, idCol, maxBucket, metricPrefix = "graft_minhash_star")

@@ -121,7 +121,9 @@ object Extract {
       s"minDensity must be in [0, 1]: $minDensity")
     val passthrough = df.columns.filter(_ != htmlCol).map(col).toSeq
     val blocks = split(dropNonContent(col(htmlCol)), BlockTagRe)
-    val staged = df.select(passthrough :+ blocks.as("__blocks"): _*)
+    // kernel floor (Par.widen, streaming-safe no-op): the 7-regexp
+    // dropNonContent + per-block clean chain rides the scan stage
+    val staged = Par.widen(df).select(passthrough :+ blocks.as("__blocks"): _*)
     // one struct per block, computed once: (clean text, raw length).
     // graft_once guards the expensive tag-strip/regexp chain: without
     // it, a downstream gate on the extracted text (cleanDocs' doc

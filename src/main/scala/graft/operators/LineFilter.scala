@@ -91,11 +91,15 @@ object LineFilter {
                 docBlock: Seq[String] = DefaultDocBlock): DataFrame = {
     val docOk = docBlock.map(t => !contains(lower(col(textCol)), lit(t)))
       .reduceOption(_ && _).getOrElse(lit(true))
+    // kernel floor (Par.widen, streaming-safe no-op): the line scan is
+    // the per-row cost of this operator — don't serialize it on a
+    // one-task scan
+    val df0 = Par.widen(df)
     // graft_once: without the barrier, the minLines gate pushes below
     // this projection and re-inlines the whole keptLines chain into the
     // Filter (and docOk inlines it AGAIN when textCol is itself a
     // rewrite) — every row paid the line scan 2-3x (q143/q179 measured)
-    df.withColumn("__lines",
+    df0.withColumn("__lines",
         graft.functions.Once.once(keptLines(col(textCol), minWords, lineBlock)))
       .withColumn("n_lines_kept", size(col("__lines")).cast("long"))
       .where(col("n_lines_kept") >= minLines && docOk)

@@ -732,7 +732,9 @@ object Similarity {
     // plan — codegen CSE does not cross the per-bit `when`s), the
     // q205 mechanism. Values identical: the lambda variable is the
     // same guarded array, the guard still raises per undersized row.
-    corpus.select(col(idCol).as("__id"),
+    // kernel floor (Par.widen): bits×tables sign-dots per row ride the
+    // scan stage — re-deal a one-task input before paying them
+    Par.widen(corpus).select(col(idCol).as("__id"),
       posexplode(element_at(transform(array(emb), e =>
         array((0 until tables).map(bucketAt(e)): _*)), 1))
         .as(Seq("__tbl", "__bucket")))
@@ -756,7 +758,10 @@ object Similarity {
     * math on the knnGraph scoring stage, guide §1.2 per-task work). */
   private def scoreCandidates(cand: DataFrame, corpus: DataFrame,
                               idCol: String, embCol: String): DataFrame = {
-    val emb = corpus.select(col(idCol), col(embCol),
+    // Par.widen: `corpus` is often itself a per-row vectorization (the
+    // text-knn path) — both re-attach scans pay that kernel, so floor
+    // their parallelism like lshSigs does
+    val emb = Par.widen(corpus).select(col(idCol), col(embCol),
       Vectors.norm(col(embCol)).as("__nrm"))
     cand
       .join(emb.select(col(idCol).as("q_id"), col(embCol).as("__emb_a"),

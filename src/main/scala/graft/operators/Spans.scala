@@ -33,7 +33,8 @@ object Spans {
                    w: Int = 10): DataFrame = {
     require(w >= 1, s"span width must be positive: $w")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val grams = df.select(col(idCol),
+    // kernel floor (Par.widen): shingling + md5 ride the scan stage
+    val grams = Par.widen(df).select(col(idCol),
       explode(Text.shinglesNative(Text.tokens(col(textCol)), w)).as("__gram"))
       .select(col(idCol), md5(col("__gram")).as("__fp"))
     val dupFps = grams.groupBy(col("__fp"))
@@ -81,7 +82,7 @@ object Spans {
                      w: Int = 10): DataFrame = {
     require(w >= 1, s"span width must be positive: $w")
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    val grams = df.select(col(idCol),
+    val grams = Par.widen(df).select(col(idCol),
         posexplode(Text.shinglesNative(Text.tokens(col(textCol)), w)))
       .select(col(idCol), col("pos").as("__j"), md5(col("col")).as("__fp"))
     // canonical occurrence = rank 1 by (doc, offset) within each
@@ -126,7 +127,7 @@ object Spans {
   def spanStore(corpus: DataFrame, textCol: String, w: Int = 10): DataFrame = {
     require(w >= 1, s"span width must be positive: $w")
     graft.functions.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    corpus
+    Par.widen(corpus)
       .select(explode(Text.shinglesNative(Text.tokens(col(textCol)), w))
         .as("__gram"))
       .select(md5(col("__gram")).as("fp"))

@@ -53,7 +53,9 @@ object Tokenizer {
              merges: Seq[(String, String)],
              outCol: String = "token_ids"): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    df.withColumn(outCol, tokenIds(col(textCol), merges))
+    // kernel floor (Par.widen): BPE encoding is the most CPU-dense
+    // per-row kernel in the library — never let it ride a one-task scan
+    Par.widen(df).withColumn(outCol, tokenIds(col(textCol), merges))
   }
 
   /** Token ids → text, the LOSSLESS inverse of [[tokenIds]] under the

@@ -33,7 +33,9 @@ object Winnow {
     * Documents with fewer than w k-grams emit nothing. */
   def fingerprints(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 4, w: Int = 4): DataFrame = {
-    val sel = selected(df, textCol, idCol, k, w)
+    // kernel floor (Par.widen): the O(m·w) window-min selection runs in
+    // the scan stage — re-deal a one-task input before paying it
+    val sel = selected(Par.widen(df), textCol, idCol, k, w)
       // explode_OUTER + null filter, not plain explode: the
       // InferFiltersFromGenerate rewrite would otherwise push a
       // size(__sel) > 0 filter BELOW the staging projection, inlining

@@ -347,7 +347,9 @@ object TextOps {
     val base = docs(s, dir).filter($"doc_id" < 200)
       .select($"doc_id", Text.tokens($"text").as("tk")) // staged for the shingle slicer
       .select($"doc_id", array_distinct(Text.shingles($"tk", 3)).as("sh"))
-    val a = base.toDF("doc_a", "sh_a")
+    // kernel floor (Par.widen) on the BNLJ stream side: the per-pair
+    // intersect/union math runs there, single-task off a one-file scan
+    val a = graft.operators.Par.widen(base).toDF("doc_a", "sh_a")
     val b = base.toDF("doc_b", "sh_b")
     a.join(b, $"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b",

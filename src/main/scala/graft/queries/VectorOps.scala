@@ -998,7 +998,11 @@ object VectorOps {
       .semanticOverlap(corpus, bench, "doc_id", "embedding", tau = 0.9)
       .filter(!col("contaminated")).select(col("doc_id"))
     val clean = corpus.join(keep, Seq("doc_id"), "left_semi")
-    val deduped = Dedup.exactByText(clean, "text", "doc_id")
+    // stage boundary (the q108 discipline): PCA training, the bucket
+    // quantile pass and the final sample each drive their own action —
+    // pin the dedup survivors once so the decontam+dedup chain computes
+    // once, not once per downstream action
+    val deduped = Dedup.exactByText(clean, "text", "doc_id").localCheckpoint()
     val model = Pca.topComponent(deduped, "embedding", "doc_id",
       iterations = 3)
     val proj = Pca.project(deduped, "embedding", "doc_id", model)

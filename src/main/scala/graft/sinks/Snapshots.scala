@@ -1043,8 +1043,15 @@ object Snapshots {
       val rows: Seq[org.apache.spark.sql.Row] =
         if (files.size <= 16) {
           val hconf = spark.sessionState.newHadoopConf()
-          files.flatMap(f =>
-            Layout.readFooterStats(s"$dir/${f.name}", hconf, cols.toSet))
+          // footer reads are independent IO — overlap them instead of
+          // paying files × latency sequentially on the driver (the
+          // Configuration is shared read-only, the documented-safe use)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(
+            Future.sequence(files.map(f => Future(
+              Layout.readFooterStats(s"$dir/${f.name}", hconf, cols.toSet)))),
+            scala.concurrent.duration.Duration(600, "s")).flatten
         } else Layout.statsManifestFiles(spark,
           files.map(f => s"$dir/${f.name}"), cols).collect().toSeq
       val byFile = rows.groupBy(_.getString(0))

@@ -39,7 +39,9 @@ object Scrub {
   /** Replaces `textCol` with its scrubbed form and appends the audit
     * counts. */
   def scrubPii(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("__pii", piiCounts(col(textCol)))
+    // kernel floor (Par.widen, streaming-safe no-op): three regexp
+    // families over the full text ride the scan stage
+    Par.widen(df).withColumn("__pii", piiCounts(col(textCol)))
       .withColumn(textCol, scrubbed(col(textCol)))
       .withColumn("n_emails", col("__pii.n_emails"))
       .withColumn("n_ips", col("__pii.n_ips"))

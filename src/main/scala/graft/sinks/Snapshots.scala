@@ -1613,7 +1613,31 @@ object Snapshots {
             else side(cur, added)
           val r = if (removed.isEmpty) schema.where(lit(false))
             else side(prev, removed)
-          Seq(tag(r.exceptAll(a), "delete"), tag(a.exceptAll(r), "insert"))
+          // ONE union + count aggregate instead of the two exceptAll
+          // passes (r18): Spark plans EACH exceptAll as union +
+          // count-agg over BOTH sides, so the pair's files were read
+          // and shuffled ~4x. Multiset semantics are identical —
+          // r.exceptAll(a) keeps a row max(#r − #a, 0) times and
+          // a.exceptAll(r) max(#a − #r, 0) times; the signed count
+          // yields exactly those multiplicities, null-safe on every
+          // column exactly as exceptAll compares (GROUP BY and set-op
+          // equality share null handling). Output row ORDER within
+          // the pair may differ (delete/insert interleave) — no read
+          // path depends on it: the CDC consumers key on
+          // (_change_type, _commit_version), never on row order.
+          val cols = r.columns.toSeq
+          val signed = r.withColumn("__d", lit(1L))
+            .unionByName(a.withColumn("__d", lit(-1L)))
+          val counted = signed.groupBy(cols.map(col): _*)
+            .agg(sum(col("__d")).as("__n"))
+            .where(col("__n") =!= 0L)
+          Seq(counted
+            .withColumn("_change_type",
+              when(col("__n") > 0, "delete").otherwise("insert"))
+            .withColumn("_commit_version", lit(cur.version))
+            .withColumn("__rep",
+              explode(sequence(lit(1L), abs(col("__n")))))
+            .drop("__n", "__rep"))
       }
     }
     // allowMissingColumns: commits before a schema widening union with

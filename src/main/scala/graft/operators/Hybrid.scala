@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reciprocal-rank fusion — the standard way to combine heterogeneous
@@ -56,10 +55,10 @@ object Hybrid {
       .select(col("id"), round(score, 6).as("rrf"), nSys.as("n_systems"))
       .orderBy(col("rrf").desc, col("id").asc) // TakeOrdered heap, k rows
       .limit(k)
-    // rank runs over k already-collected rows — the empty-partition
-    // window is fine here and never sees more than k rows
-    top.withColumn("rank",
-      row_number().over(Window.orderBy(col("rrf").desc, col("id").asc))
-        .cast("long"))
+    // rank runs over the k already-collected rows — via the
+    // collect/sort/posexplode form, so the plan carries no
+    // empty-partition-spec Window (Ranks.byScoreDesc: identical
+    // row_number values and output order over the same total order)
+    Ranks.byScoreDesc(top, "rrf", "id")
   }
 }

@@ -146,16 +146,37 @@ object Mix {
     val langs = df.groupBy(col(langCol).as("lang"))
       .agg(sum(weight.cast("long")).as("n_docs"))
       .withColumn("cap", col("n_docs") * lit(maxEpochs))
-    val byCap = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cap"), col("lang"))
-    val full = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    val ord = langs
-      .withColumn("__budget", sum(col("n_docs")).over(full) * lit(avgEpochs))
-      .withColumn("__r", row_number().over(byCap))
-      .withColumn("__cum", sum(col("cap")).over(byCap))
-      .withColumn("__nl", count(lit(1)).over(full))
-      .withColumn("__prev_cap", lag(col("cap"), 1).over(byCap))
+    // the whole water-filling runs over ONE packed language array —
+    // bounded by the language inventory, never the corpus — instead of
+    // unpartitioned windows over the language frame (same serial state,
+    // but the plan carries no empty-partition-spec WindowExec, r19's
+    // zero-global-windows contract). array_sort on (cap, lang, …)
+    // structs is exactly the old ORDER BY cap, lang; the cumulative cap
+    // is a left-to-right double fold over the same sorted prefix, so
+    // every value is bit-identical to the window form.
+    val sorted = langs
+      .agg(collect_list(struct(col("cap"), col("lang"), col("n_docs")))
+        .as("__a"))
+      .select(array_sort(col("__a")).as("__s"))
+    val ord = sorted
+      .withColumn("__budget",
+        aggregate(col("__s"), lit(0L),
+          (a, x) => a + x.getField("n_docs")) * lit(avgEpochs))
+      .withColumn("__nl", size(col("__s")))
+      .select(col("__s"), col("__budget"), col("__nl"),
+        posexplode(col("__s")).as(Seq("__i", "__x")))
+      .select(
+        col("__x.lang").as("lang"),
+        col("__x.n_docs").as("n_docs"),
+        col("__x.cap").as("cap"),
+        col("__budget"),
+        (col("__i") + 1).as("__r"),
+        aggregate(slice(col("__s"), lit(1), col("__i") + 1), lit(0.0),
+          (a, x) => a + x.getField("cap")).as("__cum"),
+        col("__nl"),
+        when(col("__i") >= 1,
+          element_at(col("__s"), col("__i")).getField("cap"))
+          .as("__prev_cap"))
     // candidate level assuming the first __r - 1 languages saturate
     val lvl = ord
       .withColumn("__c", (col("__budget") - (col("__cum") - col("cap")))

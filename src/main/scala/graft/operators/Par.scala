@@ -71,8 +71,17 @@ object Par {
     case u: Union =>
       val parts = u.children.map(scanSplits)
       if (parts.forall(_.isDefined)) Some(parts.flatten.sum) else None
-    case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
-         _: Deduplicate =>
+    case _: Project | _: Filter | _: Generate | _: SubqueryAlias =>
+      scanSplits(p.children.head)
+    case _: Deduplicate =>
+      // Deduplicate plans as an aggregate with its own exchange, so a
+      // widen above it re-deals an AQE-coalesced frame rather than the
+      // raw scan. INTENTIONAL: the kernels downstream of
+      // dropDuplicates (segment/signature dedup) are exactly the
+      // CPU-dense case the floor exists for, the post-dedup frame is
+      // no larger than the scan the estimate came from, and the r18
+      // full-bench pair that adopted this design measured it with
+      // Deduplicate included (q136 1.70→1.06 s).
       scanSplits(p.children.head)
     case _ => None
   }

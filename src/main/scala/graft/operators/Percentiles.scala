@@ -117,9 +117,15 @@ object Percentiles {
     val hist = df.select(col(valueCol).as("__graft_q_v"))
       .where(v.isNotNull)
       .groupBy(v).agg(count(lit(1)).as("__graft_q_c"))
-    // global window, but over the histogram — bounded by |distinct values|
-    val cum = hist.withColumn("__graft_q_cum",
-      sum(col("__graft_q_c")).over(Window.orderBy(v)))
+    // cumulative count over the histogram via the two-pass range scan —
+    // the histogram is bounded by |distinct values| but can still be
+    // large for wide discrete domains, and the old
+    // `sum(c) over (order by v)` form funneled it through ONE window
+    // task (the empty-partition-spec WindowExec). Histogram values are
+    // distinct, so the scan's arbitrary tie-break never applies and the
+    // inclusive running count is identical.
+    val cum = Prefix.cumsum(hist, "__graft_q_v", "__graft_q_c",
+      "__graft_q_cum")
     interpFromCum(cum,
       broadcast(hist.agg(sum(col("__graft_q_c")).as("__graft_q_n"))), ps)
   }

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Distributed prefix sum — a running total in global `orderCol` order
   * WITHOUT the single-task trap.
@@ -74,11 +74,18 @@ object Prefix {
       .agg(sum(col(valueCol)).as("__psum"))
     // one row per partition-group stretch — bounded by partition count
     // plus group count (ranges are contiguous), never by data
-    val wOff = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = subtotals
-      .withColumn("__offset", coalesce(sum(col("__psum")).over(wOff), lit(0L)))
-      .select(col("__pid") +: gcols :+ col("__offset"): _*)
+    val offsets =
+      if (gcols.nonEmpty) {
+        // per-group exclusive running subtotal: the window partitions by
+        // the group key, so its spec is never empty (no single-partition
+        // WindowExec warning) and each group's stretch list is tiny
+        val wOff = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        subtotals
+          .withColumn("__offset",
+            coalesce(sum(col("__psum")).over(wOff), lit(0L)))
+          .select(col("__pid") +: gcols :+ col("__offset"): _*)
+      } else driverPrefix(df.sparkSession, subtotals)
     // NULL-SAFE group equality on the offsets join — a NULL group key is
     // one group (like any GROUP BY); plain USING would orphan its rows
     val l = ranged.as("l")
@@ -117,6 +124,42 @@ object Prefix {
         joined.withColumn(outCol, col("__offset") + sum(col(valueCol)).over(wIn))
     }
     out.drop("__pid", "__offset")
+  }
+
+  /** Global (no-group) exclusive prefix of the per-partition subtotals,
+    * computed on the DRIVER: the subtotal frame is one row per range
+    * partition — bounded by partition COUNT, never by data — so a
+    * collect + left fold is the honest shape for it (the window
+    * alternative has an empty partition spec, i.e. the exact
+    * "WindowExec: No Partition Defined" plan node this operator exists
+    * to avoid, even though the frame here is tiny). The fold adds in
+    * ascending `__pid` order with the same skip-nulls semantics and the
+    * same left-to-right `+` chain as the window form, so long offsets
+    * are exact and double offsets are bit-identical. */
+  private def driverPrefix(spark: SparkSession,
+                           subtotals: DataFrame): DataFrame = {
+    val sumType = subtotals.schema("__psum").dataType
+    val rows = subtotals.collect().sortBy(_.getInt(0))
+    var accL = 0L
+    var accD = 0.0
+    var accB: java.math.BigDecimal = java.math.BigDecimal.ZERO
+    val out: Seq[Row] = rows.toSeq.map { r =>
+      val off: Any = sumType match {
+        case LongType   => accL
+        case DoubleType => accD
+        case _          => accB
+      }
+      if (!r.isNullAt(1)) sumType match {
+        case LongType   => accL += r.getLong(1)
+        case DoubleType => accD += r.getDouble(1)
+        case _          => accB = accB.add(r.getDecimal(1))
+      }
+      Row(r.getInt(0), off)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(StructField("__pid", IntegerType, nullable = false),
+        StructField("__offset", sumType))))
   }
 
   /** The exchange-free interior pass: partition-local sort on

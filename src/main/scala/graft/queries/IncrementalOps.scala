@@ -1025,24 +1025,25 @@ object IncrementalOps {
   // fused score is bit-identical too. Oracle: both system rankings as
   // CTEs (the q119 + q30 algebra), FULL JOIN fusion. --
   private val q133: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir).select(col("doc_id"), col("text"))
     val terms = d.select(explode(Text.tokens(col("text"))).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("t")).limit(5)
       .collect().map(_.getString(0)).toSeq
     val ops = graft.operators.SearchStore
-    val sparse = ops.searchFrames(
+    // ranks over the two k=20-bounded system outputs via the
+    // collect/sort/posexplode form — no empty-partition-spec Window
+    val sparse = graft.operators.Ranks.byScoreDesc(
+      ops.searchFrames(
         ops.postings(d, "text", "doc_id"),
-        ops.docLengths(d, "text", "doc_id"), terms, k = 20)
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+        ops.docLengths(d, "text", "doc_id"), terms, k = 20),
+      "score", "id")
     val e = Tables.load(s, dir, "embeddings")
-    val dense = graft.operators.Similarity.cosineTopK(
-        e, e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
-      .withColumnRenamed("vec_id", "id")
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("cos").desc, col("id"))).cast("long"))
+    val dense = graft.operators.Ranks.byScoreDesc(
+      graft.operators.Similarity.cosineTopK(
+          e, e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+        .withColumnRenamed("vec_id", "id"),
+      "cos", "id")
     graft.operators.Hybrid.rrf(Seq(sparse, dense), k0 = 60, k = 20)
       .select(col("id").as("doc_id"), col("rrf"), col("n_systems"),
         col("rank"))

@@ -124,6 +124,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
 object Snapshots {
 
   private val LogDir = "_graft_log"
+
+  /** Cap on the per-row expansion array in the CDC multiplicity
+    * rebuild — bounds memory per generated array; multiplicities above
+    * it expand across multiple chunk rows instead. */
+  private val RepChunk = 1L << 20
   private val VersionRe = "v(\\d{5})\\.json".r
 
   /** Per-file column bounds AS LOGGED — what moves pruning from
@@ -1046,11 +1051,14 @@ object Snapshots {
           // footer reads are independent IO — overlap them instead of
           // paying files × latency sequentially on the driver (the
           // Configuration is shared read-only, the documented-safe use)
-          import scala.concurrent.{Await, Future}
+          import scala.concurrent.{Await, Future, blocking}
           import scala.concurrent.ExecutionContext.Implicits.global
+          // blocking{}: these are filesystem reads on the shared
+          // fork-join pool — mark them so the pool grows instead of
+          // starving other driver tasks behind ≤16 blocked workers
           Await.result(
-            Future.sequence(files.map(f => Future(
-              Layout.readFooterStats(s"$dir/${f.name}", hconf, cols.toSet)))),
+            Future.sequence(files.map(f => Future(blocking(
+              Layout.readFooterStats(s"$dir/${f.name}", hconf, cols.toSet))))),
             scala.concurrent.duration.Duration(600, "s")).flatten
         } else Layout.statsManifestFiles(spark,
           files.map(f => s"$dir/${f.name}"), cols).collect().toSeq
@@ -1626,18 +1634,33 @@ object Snapshots {
           // path depends on it: the CDC consumers key on
           // (_change_type, _commit_version), never on row order.
           val cols = r.columns.toSeq
-          val signed = r.withColumn("__d", lit(1L))
-            .unionByName(a.withColumn("__d", lit(-1L)))
+          // scratch names must not collide with user columns — a user
+          // column literally named "__d" would be silently replaced by
+          // withColumn and corrupt the group keys (ADVICE r18)
+          def fresh(base: String): String =
+            Iterator.iterate(base)(_ + "_").dropWhile(cols.contains).next()
+          val dC = fresh("__d")
+          val nC = fresh("__n")
+          val chunkC = fresh("__chunk")
+          val repC = fresh("__rep")
+          val signed = r.withColumn(dC, lit(1L))
+            .unionByName(a.withColumn(dC, lit(-1L)))
           val counted = signed.groupBy(cols.map(col): _*)
-            .agg(sum(col("__d")).as("__n"))
-            .where(col("__n") =!= 0L)
+            .agg(sum(col(dC)).as(nC))
+            .where(col(nC) =!= 0L)
+          // two-level expansion: sequence() materializes an
+          // O(multiplicity) array per duplicated row, so a degenerate
+          // commit (one row duplicated millions of times) is expanded
+          // in ≤ RepChunk-sized chunks — Σ chunk lengths = |n| exactly
           Seq(counted
             .withColumn("_change_type",
-              when(col("__n") > 0, "delete").otherwise("insert"))
+              when(col(nC) > 0, "delete").otherwise("insert"))
             .withColumn("_commit_version", lit(cur.version))
-            .withColumn("__rep",
-              explode(sequence(lit(1L), abs(col("__n")))))
-            .drop("__n", "__rep"))
+            .withColumn(chunkC, explode(sequence(lit(0L),
+              floor((abs(col(nC)) - 1) / RepChunk).cast("long"))))
+            .withColumn(repC, explode(sequence(lit(1L),
+              least(lit(RepChunk), abs(col(nC)) - col(chunkC) * RepChunk))))
+            .drop(nC, chunkC, repC))
       }
     }
     // allowMissingColumns: commits before a schema widening union with

@@ -54,29 +54,16 @@ object PlanLint {
     ("q187", "bnlj", "bounded query set (doc_id < 10) broadcast — cosineTopK contract"),
     ("q82", "bnlj", "one-row (N, avgdl) stats frame — BM25"),
     ("q194", "bnlj", "one-row corpus-total frame — histogram-quantile rank arithmetic"),
-    ("q194", "global-window", "cumulative counts over the token-count value histogram (rows = distinct token counts)"),
     ("q195", "bnlj", "one-row corpus-total frames — two cards' histogram-quantile rank arithmetic"),
-    ("q195", "global-window", "cumulative counts over two token-count value histograms (rows = distinct token counts)"),
     ("q209", "bnlj", "one-row corpus-total frames — the q195 card pair under the drift gate; the tolerance side is a 6-row literal list"),
-    ("q209", "global-window", "cumulative counts over two token-count value histograms (rows = distinct token counts) — the q195 shape"),
     ("q214", "bnlj", "one-row corpus-total frame (q194 shape) + the domain section's two one-row summary frames crossed"),
-    ("q214", "global-window", "cumulative counts over the token-count value histogram (rows = distinct token counts) — the q194 shape; the domain cut itself is a sort-limit, not a window"),
-    ("q196", "global-window", "per-partition subtotal frame (rows = partitions) — the q97 two-pass prefix scan"),
     ("q199", "bnlj", "one-row overlap-count frames — near-overlap report assembly"),
     ("q200", "bnlj", "one-row corpus-total frame — scan-quantile rank arithmetic"),
-    ("q200", "global-window", "per-partition subtotal frame (rows = partitions) — the scan-quantile prefix pass"),
-    ("q198", "bnlj", "language-frame-bounded unimax plan (the q148/q153 shape)"),
-    ("q198", "global-window", "language-frame-bounded water-filling (the q148/q153 shape); the selection itself has no unpartitioned window"),
-    ("q97", "global-window", "two-pass prefix scan: window over one row per partition"),
-    ("q65", "global-window", "per-partition subtotal frame (rows = partitions)"),
-    ("q107", "global-window", "per-partition subtotal frame — shard packing"),
-    ("q108", "global-window", "per-partition subtotal frame — packing inside the ingest composition"),
-    ("q113", "global-window", "per-partition subtotal frame — packing"),
-    ("q117", "global-window", "per-partition subtotal frame — packing"),
-    ("q174", "global-window", "per-partition subtotal frame — curriculum order"),
-    ("q148", "global-window", "language-frame-bounded water-filling"),
-    ("q153", "global-window", "language-frame-bounded water-filling"),
-    ("q133", "global-window", "k-bounded fused ranking frame"))
+    ("q198", "bnlj", "language-frame-bounded unimax plan (the q148/q153 shape)"))
+  // NOTE r19: no "global-window" entry is allowed any more — every
+  // unpartitioned window (histogram quantiles, prefix-scan subtotals,
+  // unimax water-filling, k-bounded rank frames) was rewritten to a
+  // window-free form, and the lint now fails on any reintroduction.
 
   /** One lint finding: `allowed` iff the (query, flag) pair is named in
     * [[Allowed]] with its bound, or the query failed to build (ERROR

@@ -47,16 +47,14 @@ class PrefixSpec extends SparkSpec {
     val docs = Tables.load(spark, sf(), "documents").select($"doc_id", $"n_chars")
     val plan = Prefix.cumsum(docs, "doc_id", "n_chars", "run")
       .queryExecution.executedPlan
+    // the global form carries NO window at all any more: the
+    // per-partition subtotal prefix is folded on the driver (one row
+    // per partition) instead of through an empty-partition-spec
+    // WindowExec, so nothing in the plan can warn "No Partition
+    // Defined" — r19's zero-unpartitioned-windows contract
     val windows = collectPlan(plan) { case w: WindowExec => w }
-    assert(windows.nonEmpty)
-    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
-    // the only empty-partition-spec window runs over the per-partition
-    // subtotal frame (one row per partition), never over the data: its
-    // input must be an aggregate, not the checkpointed rows
-    unpartitioned.foreach { w =>
-      assert(w.toString.contains("__psum"),
-        s"global window over data-sized input: $w")
-    }
+    assert(windows.isEmpty,
+      s"global cumsum must be window-free, found: $windows")
   }
 
   test("no exchange past the checkpoint: every shuffle in the plan is " +

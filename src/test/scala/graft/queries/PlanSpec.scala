@@ -124,8 +124,9 @@ class PlanSpec extends SparkSpec {
     // fixture scan (r18 kernel floor — a no-op on any multi-file
     // corpus) is allowed; any hash/range partitioning is not.
     val keyed = collectAll(p) { case e: ShuffleExchangeLike
-        if !e.toString.contains("roundrobin") &&
-           !e.toString.contains("RoundRobin") => e }
+        if !e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning]
+        => e }
     assert(keyed.isEmpty,
       "token ids for a petabyte corpus must be a map over the scan")
     val kernels = collectAll(p) {

@@ -858,11 +858,21 @@ object Dedup {
     // self-loops carry each node's own label through the propagation join,
     // so a round is join+groupBy with no per-round Union (a Union over a
     // checkpointed self-join trips Catalyst's constraint rewriting —
-    // LogicalRDD constraints can reference pruned attributes)
-    val directed = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-    val edges = directed
-      .union(directed.select(col("src"), col("src").as("dst")))
+    // LogicalRDD constraints can reference pruned attributes).
+    // The four directions (a,b), (b,a), (a,a), (b,b) come from ONE
+    // explode over the pair frame, NOT a union of four selects: the
+    // union form inlined the whole upstream pair subtree four times
+    // into the checkpoint evaluation (q172's fuzzy join — plus its
+    // broadcast builds — ran ~4x inside "compute the pair scan once";
+    // r19 JobProf showed 11 separate 7 MB levenshtein scans). Same
+    // edge multiset, one upstream evaluation.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")),
+        struct(col(aCol).as("src"), col(aCol).as("dst")),
+        struct(col(bCol).as("src"), col(bCol).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .localCheckpoint() // probed every round; compute the pair scan once
     // initial labels fall out of the (distinct) self-loops for free —

@@ -373,10 +373,19 @@ object SearchStore {
                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     require(k >= 1, s"k must be positive: $k")
+    // the search runs THREE driver actions (ceiling collect, seed-k
+    // collect, final top-k), and `probed`/`stats`/`dft` are referenced
+    // from every phase — un-pinned, each action re-ran the whole
+    // posting build / doc-length scan per reference (the r18 plan dump
+    // was 1475 lines of the same subtree inlined; guide §3.3:
+    // materialize the intermediate to truncate the plan). `probed` is
+    // terms-bounded, `stats` one row, `dft` |terms| rows.
     val probed = postings.filter(col("token").isin(terms: _*))
+      .localCheckpoint()
     val stats = docLens.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+      avg(col("dl")).as("avgdl")).localCheckpoint()
     val dft = probed.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
     val unpruned = scoreDocs(probed, dft, stats, k1, b)
       .orderBy(col("score").desc, col("id")).limit(k)
     // per-term ceilings (terms-bounded driver state); append-only stats

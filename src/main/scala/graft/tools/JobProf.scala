@@ -20,7 +20,13 @@ object JobProf {
     val spark = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
     val rows = mutable.ArrayBuffer[(Double, String)]()
+    val stageJob = mutable.Map[Int, (Int, String)]()
     val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+        js.stageIds.foreach(id => stageJob(id) = (js.jobId, site))
+      }
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -30,12 +36,13 @@ object JobProf {
         val frame = si.details.linesIterator
           .find(l => l.contains("graft.") && !l.contains("JobProf"))
           .map(_.trim).getOrElse(si.name.takeWhile(_ != '\n'))
-        val io = f"in=${m.inputMetrics.bytesRead / 1e6}%.0fMB " +
+        val (jid, jsite) = stageJob.getOrElse(si.stageId, (-1, ""))
+        val io = f"job=$jid%-3d in=${m.inputMetrics.bytesRead / 1e6}%.0fMB " +
           f"sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%.1fMB " +
           f"sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.1fMB " +
           f"cpu=${m.executorRunTime / 1e3}%.1fs gc=${m.jvmGCTime / 1e3}%.1fs " +
           f"tasks=${si.numTasks}"
-        rows += ((wall, f"$io  $frame"))
+        rows += ((wall, f"$io  $jsite  $frame"))
       }
     }
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()

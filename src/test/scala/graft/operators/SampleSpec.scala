@@ -173,19 +173,17 @@ class SampleSpec extends SparkSpec {
   test("permute plan: no unpartitioned window over the data (only the per-partition offsets)") {
     val plan = Sample.permute(Tables.load(spark, sf(), "documents"), "doc_id")
       .queryExecution.executedPlan
-    // the Prefix.cumsum contract: any WindowExec either partitions by
-    // __pid (per-range-partition rank) or runs over the partition-count-
-    // bounded offsets frame — never an unpartitioned window over rows
+    // the Prefix.cumsum contract, tightened r19: the global (no-group)
+    // long-sum form has NO WindowExec at all — the per-partition
+    // subtotal prefix folds on the driver and the interior rank is a
+    // partition-local mapPartitions fold. Any window that does appear
+    // (future layouts) must not be an unpartitioned window over rows.
     val windows = collectPlan(plan) {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(windows.nonEmpty)
     windows.foreach { w =>
-      val overData = w.partitionSpec.isEmpty &&
-        w.child.collectFirst {
-          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-        }.isDefined
-      assert(!overData, s"unpartitioned window directly over the scan:\n$w")
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window reintroduced into permute:\n$w")
     }
   }
 

@@ -124,10 +124,15 @@ object Percentiles {
     // task (the empty-partition-spec WindowExec). Histogram values are
     // distinct, so the scan's arbitrary tie-break never applies and the
     // inclusive running count is identical.
-    val cum = Prefix.cumsum(hist, "__graft_q_v", "__graft_q_c",
-      "__graft_q_cum")
-    interpFromCum(cum,
-      broadcast(hist.agg(sum(col("__graft_q_c")).as("__graft_q_n"))), ps)
+    // total n rides out of the SAME per-partition subtotal collect the
+    // prefix scan folds on — a fresh `hist.agg(sum)` would re-evaluate
+    // the whole upstream plan (for LM-scored corpora that is the full
+    // scoring pipeline), and an aggregate over the folded frame re-runs
+    // the mapPartitions fold's row ser/de. Driver total == sum of
+    // counts; None (no rows) keeps the null-quantiles contract.
+    val (cum, n) = Prefix.cumsumWithTotal(hist, "__graft_q_v",
+      "__graft_q_c", "__graft_q_cum")
+    interpFromCum(cum, n, ps)
   }
 
   /** Exact GLOBAL `quantile_cont` for CONTINUOUS value columns — the
@@ -150,10 +155,15 @@ object Percentiles {
       .withColumn("__graft_q_c", lit(1L))
     // rank in value order == cumulative count; ties get arbitrary
     // distinct ranks, which picks the same VALUE at every rank anyway
-    val ranked = Prefix.cumsum(vals, "__graft_q_v", "__graft_q_c",
-      "__graft_q_cum")
-    interpFromCum(ranked,
-      broadcast(vals.agg(sum(col("__graft_q_c")).as("__graft_q_n"))), ps)
+    // n rides out of the SAME subtotal collect the prefix scan folds on
+    // — a fresh count over `vals` would re-evaluate the whole upstream
+    // plan per quantile call (the thresholds step of scoreBuckets/
+    // winsorize/madOutliers pays it on the full scoring pipeline), and
+    // an aggregate over the ranked frame re-runs the fold's row ser/de.
+    // Driver total == row count; None keeps the null-quantiles contract.
+    val (ranked, n) = Prefix.cumsumWithTotal(vals, "__graft_q_v",
+      "__graft_q_c", "__graft_q_cum")
+    interpFromCum(ranked, n, ps)
   }
 
   /** Exact PER-GROUP `quantile_cont` WITHOUT the per-group single-task
@@ -218,15 +228,18 @@ object Percentiles {
 
   /** Shared interpolation tail of the global exact-quantile paths: a
     * `(__graft_q_v, __graft_q_cum)` frame (cum = inclusive count of
-    * rows with value ≤ this row's, under any tie layout) + a one-row
-    * total frame → one row with a column per (name, p). v at 0-indexed
+    * rows with value ≤ this row's, under any tie layout) + the
+    * driver-known total row count (None ⇒ empty input, which keeps the
+    * all-null-quantiles contract because the aggregate below runs over
+    * zero rows) → one row with a column per (name, p). v at 0-indexed
     * rank r = min value whose cum > r; `quantile_cont` interpolates
     * ranks floor(target) and floor(target)+1 at target = (n−1)·p. */
-  private def interpFromCum(cum: DataFrame, nFrame: DataFrame,
+  private def interpFromCum(cum: DataFrame, total: Option[Any],
                             ps: Seq[(String, Double)]): DataFrame = {
     val v = col("__graft_q_v")
     val n = col("__graft_q_n")
-    val withN = cum.crossJoin(nFrame)
+    val withN = cum.withColumn("__graft_q_n",
+      total.map(lit).getOrElse(lit(null).cast("long")))
     val aggs = ps.flatMap { case (name, p) =>
       val target = (n - 1) * lit(p)
       Seq(

@@ -57,6 +57,21 @@ object Prefix {
              outCol: String): DataFrame =
     cumsumByGroup(df, Nil, orderCol, valueCol, outCol)
 
+  /** Global [[cumsum]] that ALSO returns the exact grand total of
+    * `valueCol` (what `df.agg(sum(valueCol))` would), read off the SAME
+    * per-partition subtotal collect the offsets fold on — `None` when
+    * every subtotal is null (no rows / all-null values). Callers that
+    * need the total alongside the running sum (quantile rank targets)
+    * would otherwise pay a second full evaluation of the source
+    * subtree, or of the folded frame, for one number the driver
+    * already held. Long subtotals add exactly in any order; double
+    * subtotals add in ascending-partition order — the same
+    * left-to-right chain `sum()` uses over the sorted range layout. */
+  private[operators] def cumsumWithTotal(
+      df: DataFrame, orderCol: String, valueCol: String,
+      outCol: String): (DataFrame, Option[Any]) =
+    cumsumImpl(df, Nil, orderCol, valueCol, outCol)
+
   /** [[cumsum]] restarting at zero per `groupCols` group — the same
     * two-pass scan with the group key prepended everywhere: range
     * partitioning on (groups, order) keeps each group's order
@@ -65,7 +80,11 @@ object Prefix {
     * (partition, group), so no data-sized window (partitioned or not)
     * exists anywhere in the plan. */
   def cumsumByGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
-                    valueCol: String, outCol: String): DataFrame = {
+                    valueCol: String, outCol: String): DataFrame =
+    cumsumImpl(df, groupCols, orderCol, valueCol, outCol)._1
+
+  private def cumsumImpl(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                         valueCol: String, outCol: String): (DataFrame, Option[Any]) = {
     val gcols = groupCols.map(col)
     val ranged = df.repartitionByRange(gcols :+ col(orderCol): _*)
       .withColumn("__pid", spark_partition_id())
@@ -74,17 +93,17 @@ object Prefix {
       .agg(sum(col(valueCol)).as("__psum"))
     // one row per partition-group stretch — bounded by partition count
     // plus group count (ranges are contiguous), never by data
-    val offsets =
+    val (offsets, total) =
       if (gcols.nonEmpty) {
         // per-group exclusive running subtotal: the window partitions by
         // the group key, so its spec is never empty (no single-partition
         // WindowExec warning) and each group's stretch list is tiny
         val wOff = Window.partitionBy(gcols: _*).orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        subtotals
+        (subtotals
           .withColumn("__offset",
             coalesce(sum(col("__psum")).over(wOff), lit(0L)))
-          .select(col("__pid") +: gcols :+ col("__offset"): _*)
+          .select(col("__pid") +: gcols :+ col("__offset"): _*), None)
       } else driverPrefix(df.sparkSession, subtotals)
     // NULL-SAFE group equality on the offsets join — a NULL group key is
     // one group (like any GROUP BY); plain USING would orphan its rows
@@ -123,7 +142,7 @@ object Prefix {
           .rowsBetween(Window.unboundedPreceding, 0)
         joined.withColumn(outCol, col("__offset") + sum(col(valueCol)).over(wIn))
     }
-    out.drop("__pid", "__offset")
+    (out.drop("__pid", "__offset"), total)
   }
 
   /** Global (no-group) exclusive prefix of the per-partition subtotals,
@@ -137,29 +156,40 @@ object Prefix {
     * same left-to-right `+` chain as the window form, so long offsets
     * are exact and double offsets are bit-identical. */
   private def driverPrefix(spark: SparkSession,
-                           subtotals: DataFrame): DataFrame = {
+                           subtotals: DataFrame): (DataFrame, Option[Any]) = {
     val sumType = subtotals.schema("__psum").dataType
     val rows = subtotals.collect().sortBy(_.getInt(0))
     var accL = 0L
     var accD = 0.0
     var accB: java.math.BigDecimal = java.math.BigDecimal.ZERO
+    var seen = false
     val out: Seq[Row] = rows.toSeq.map { r =>
       val off: Any = sumType match {
         case LongType   => accL
         case DoubleType => accD
         case _          => accB
       }
-      if (!r.isNullAt(1)) sumType match {
-        case LongType   => accL += r.getLong(1)
-        case DoubleType => accD += r.getDouble(1)
-        case _          => accB = accB.add(r.getDecimal(1))
+      if (!r.isNullAt(1)) {
+        seen = true
+        sumType match {
+          case LongType   => accL += r.getLong(1)
+          case DoubleType => accD += r.getDouble(1)
+          case _          => accB = accB.add(r.getDecimal(1))
+        }
       }
       Row(r.getInt(0), off)
     }
-    spark.createDataFrame(
+    val total: Option[Any] =
+      if (!seen) None // sum() over no rows / all nulls is null
+      else Some(sumType match {
+        case LongType   => accL
+        case DoubleType => accD
+        case _          => accB
+      })
+    (spark.createDataFrame(
       java.util.Arrays.asList(out: _*),
       StructType(Seq(StructField("__pid", IntegerType, nullable = false),
-        StructField("__offset", sumType))))
+        StructField("__offset", sumType)))), total)
   }
 
   /** The exchange-free interior pass: partition-local sort on

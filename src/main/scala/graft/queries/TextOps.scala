@@ -1530,9 +1530,16 @@ object TextOps {
   // 6-dp-rounded q87 values, so thresholds (interpolated between two
   // identical doubles) and assignments are bit-identical. --
   private val q135: Q = (s, dir) => {
+    // stage boundary (the q108/q142 discipline): the LM scoring
+    // pipeline feeds BOTH the threshold pass (scoreBuckets' quantile
+    // scan) and the bucket-assignment/report aggregation — un-pinned it
+    // evaluated once per action (r19 JobProf: 40 stages, the bigram
+    // chain repeated). The pinned frame is 3 narrow columns
+    // (id, n_bigrams, avg_lp) — per-doc scores, never corpus text.
     val scored = graft.operators.LangModel
       .bigramLogProb(docs(s, dir), "text", "doc_id")
       .filter(col("n_bigrams") > 0)
+      .localCheckpoint()
     graft.operators.Quality.scoreBuckets(scored, "avg_lp", nBuckets = 10)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),

@@ -72,6 +72,11 @@ object Pca {
                     maxDim: Int = 4096): MultiModel = {
     require(nComponents >= 1, s"Pca: nComponents must be positive: $nComponents")
     require(iterations >= 1, s"Pca: iterations must be positive: $iterations")
+    // NO kernel floor here (measured r19): widening this frame to
+    // session parallelism regressed q137 1.04 -> 1.5 s steady — the
+    // training loop is many tiny sequential jobs, so per-job task
+    // scheduling dominates and extra tasks make it worse; the per-task
+    // CPU is milliseconds, not the seconds/MB the floor exists for.
     val xs = df.select(col(idCol).as("__id"),
       col(embCol).cast("array<double>").as("__x"))
     // size(null) = -1 with ANSI off, so one min/max pass catches nulls,

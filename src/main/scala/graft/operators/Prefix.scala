@@ -86,9 +86,16 @@ object Prefix {
   private def cumsumImpl(df: DataFrame, groupCols: Seq[String], orderCol: String,
                          valueCol: String, outCol: String): (DataFrame, Option[Any]) = {
     val gcols = groupCols.map(col)
+    // pin sampled range boundaries + partition ids. LAZY: the pin
+    // materializes inside the first action over it (the subtotal
+    // aggregate / driver collect just below) instead of paying its own
+    // job — measured r19: each global-quantile call is a chain of tiny
+    // sequential jobs and the eager pin was one of them; semantics are
+    // identical (cache-backed either way), the second pass still reads
+    // the pinned blocks.
     val ranged = df.repartitionByRange(gcols :+ col(orderCol): _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // pin sampled range boundaries + partition ids
+      .localCheckpoint(false)
     val subtotals = ranged.groupBy(col("__pid") +: gcols: _*)
       .agg(sum(col(valueCol)).as("__psum"))
     // one row per partition-group stretch — bounded by partition count

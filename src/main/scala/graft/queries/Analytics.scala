@@ -760,7 +760,12 @@ object Analytics {
   private val q175: Q = (s, dir) => {
     import s.implicits._
     val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_partkey")
-    val pairs = li.toDF("o", "pa")
+    // kernel floor (Par.widen) on the PROBE side only: the pair
+    // blow-up (≈ lines²/order rows out per row in) is CPU-dense and
+    // otherwise runs on the scan's few row-group splits (measured: 3
+    // tasks carrying the whole 1.1 s pair stage) while the build side
+    // broadcasts; identical pair set under any partitioning.
+    val pairs = graft.operators.Par.widen(li).toDF("o", "pa")
       .join(li.toDF("o", "pb"), Seq("o"))
       .filter($"pa" < $"pb")
     pairs.groupBy($"pa", $"pb")

@@ -70,6 +70,29 @@ object PlanLint {
     * flags are surfaced as not-allowed so CI reports them). */
   case class Finding(query: String, flag: String, allowed: Boolean)
 
+  /** The `graft_once` barrier's documented cost turned into a lint:
+    * a filter stuck directly above a Once-wrapped projection whose
+    * predicate references ONLY pass-through columns — i.e. a predicate
+    * that WOULD have pushed toward the scan (pruning file reads) were
+    * the barrier absent. Filters on the wrapped (rewritten) column are
+    * the intended use and never flag; a mixed predicate could not push
+    * whole either way. Public so PlanLintSpec can pin both polarities
+    * on synthetic plans. */
+  private[tools] def stuckAboveOnce(
+      f: org.apache.spark.sql.execution.FilterExec): Boolean =
+    f.child match {
+      case pr: org.apache.spark.sql.execution.ProjectExec
+          if pr.projectList.exists(_.exists(
+            _.isInstanceOf[graft.functions.Once])) =>
+        val passThrough = pr.projectList.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.exprId
+        }.toSet
+        val refs = f.condition.references.toSeq
+        refs.nonEmpty && refs.forall(r => passThrough.contains(r.exprId))
+      case _ => false
+    }
+
   /** Builds every registered query against `dir` and collects
     * cartesian/BNLJ/global-window nodes from the executed plan (walking
     * through AQE wrappers — the SparkSpec.collectPlan device:
@@ -99,6 +122,8 @@ object PlanLint {
                 if w.partitionSpec.isEmpty => "global-window"
             case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
                 if w.partitionSpec.isEmpty => "global-window"
+            case f: org.apache.spark.sql.execution.FilterExec
+                if stuckAboveOnce(f) => "once-stuck-filter"
           }).distinct
         } catch {
           case e: Throwable => Seq(s"ERROR: ${String.valueOf(e.getMessage).take(80)}")

@@ -46,7 +46,13 @@ case class Audited(survivors: DataFrame, drops: DataFrame, idCol: String) {
   def stage(name: String, materialize: Boolean = true)(
       f: DataFrame => DataFrame): Audited = {
     val next0 = f(survivors)
-    val next = if (materialize) next0.localCheckpoint() else next0
+    // LAZY pin: each stage still runs exactly once (cache-backed), but
+    // materialization happens inside the first action over it — either
+    // the next stage's internal actions or the fates/survivors run —
+    // instead of paying one eager job per stage() call at construction
+    // (measured r19: the audit chain is a sequence of tiny jobs and the
+    // per-stage launch was a visible slice of q114)
+    val next = if (materialize) next0.localCheckpoint(false) else next0
     val lost = survivors.select(col(idCol))
       .join(next.select(col(idCol)), Seq(idCol), "left_anti")
       .withColumn("dropped_by", lit(name))

@@ -186,7 +186,11 @@ object Classifier {
             dim: Int, iterations: Int = 10, lr: Double = 0.5,
             tok: Column => Column = Text.tokens): Trained = {
     require(dim >= 1, s"dim must be positive: $dim")
-    val feats = features(df, textCol, labelCol, idCol, dim, tok).localCheckpoint()
+    // lazy pin: materializes inside trainOnFeatures' first action (the
+    // count) instead of paying its own job — each iteration still reads
+    // the cached frame
+    val feats = features(df, textCol, labelCol, idCol, dim, tok)
+      .localCheckpoint(false)
     trainOnFeatures(feats, iterations, lr)
   }
 
@@ -237,9 +241,30 @@ object Classifier {
   def predict(df: DataFrame, textCol: String, labelCol: String,
               idCol: String, model: Trained, dim: Int,
               tok: Column => Column = Text.tokens): DataFrame =
-    features(df, textCol, labelCol, idCol, dim, tok)
-      .select(col("__id").as(idCol), col("__y").cast("long").as("label"),
-        (zCol(model.weights, model.bias) >= 0).cast("long").as("predicted"))
+    predictOnFeatures(features(df, textCol, labelCol, idCol, dim, tok),
+      idCol, model)
+
+  private def predictOnFeatures(feats: DataFrame, idCol: String,
+                                model: Trained): DataFrame =
+    feats.select(col("__id").as(idCol), col("__y").cast("long").as("label"),
+      (zCol(model.weights, model.bias) >= 0).cast("long").as("predicted"))
+
+  /** [[train]] followed by [[predict]] over the SAME labeled frame,
+    * deriving (and pinning) the hashed feature frame ONCE — the
+    * train-then-score-the-training-set evaluation loop otherwise pays
+    * the CPU-dense tokenize+hash kernel twice (measured q120: two
+    * identical ~8 s-CPU feature stages per run). Identical output to
+    * `predict(df, …, train(df, …), …)` by construction: same feature
+    * rows, same weight trajectory, same margin arithmetic. */
+  def trainPredict(df: DataFrame, textCol: String, labelCol: String,
+                   idCol: String, dim: Int, iterations: Int = 10,
+                   lr: Double = 0.5,
+                   tok: Column => Column = Text.tokens): DataFrame = {
+    require(dim >= 1, s"dim must be positive: $dim")
+    val feats = features(df, textCol, labelCol, idCol, dim, tok)
+      .localCheckpoint(false)
+    predictOnFeatures(feats, idCol, trainOnFeatures(feats, iterations, lr))
+  }
 
   /** The margin of a trained model over [[featureArrays]] columns —
     * exposed for multi-model consumers ([[LangId]]'s per-language

@@ -1236,10 +1236,11 @@ object TextOps {
     import s.implicits._
     val labeled = docs(s, dir).select($"doc_id", $"text",
       array_contains(Text.tokens($"text"), "spark").cast("double").as("y"))
-    val model = graft.operators.Classifier.train(labeled, "text", "y",
+    // one pinned feature frame for both the GD loop and the prediction
+    // projection (train-then-predict paid the tokenize+hash kernel
+    // twice — identical output by construction)
+    graft.operators.Classifier.trainPredict(labeled, "text", "y",
       "doc_id", dim = 64, iterations = 3, lr = 0.5)
-    graft.operators.Classifier.predict(labeled, "text", "y", "doc_id",
-      model, dim = 64)
   }
   private val q120Sql = {
     def gradCte(r: String, n: Int): String =

@@ -77,13 +77,20 @@ class AuditSpec extends SparkSpec {
     val audited = Audit.start(d, "doc_id")
       .stage("s1")(s1).stage("s2")(s2).stage("s3")(s3)
     val n1 = d.filter($"doc_id" % 2 === 0).count()
-    assert(acc.value == n1,
-      s"stage 1 must have executed exactly once while building: ${acc.value} != $n1")
+    // the pins are LAZY (r19): building the audited chain launches no
+    // jobs at all — stage 1 has not run yet
+    assert(acc.value == 0,
+      s"building must be free — no stage may execute yet: ${acc.value} != 0")
 
     val fates = audited.fates.collect()
     assert(acc.value == n1,
-      s"fates must read the stage pins, not re-execute: ${acc.value} != $n1")
+      s"the fates action must execute stage 1 exactly once: ${acc.value} != $n1")
     assert(fates.length == d.count(), "one fate per input row")
+
+    // a SECOND action over the chain reads the pins — still no re-run
+    audited.fates.collect()
+    assert(acc.value == n1,
+      s"fates must read the stage pins, not re-execute: ${acc.value} != $n1")
 
     // survivors still equal the raw composition under the default
     val surv = audited.survivors.select($"doc_id").as[Long].collect().toSet

@@ -192,10 +192,15 @@ object Percentiles {
       .select(groupCols.map(col) :+ col(valueCol).as("__graft_q_v"): _*)
       .where(v.isNotNull)
       .withColumn("__graft_q_c", lit(1L))
-    val ranked = Prefix.cumsumByGroup(vals, groupCols, "__graft_q_v",
-      "__graft_q_c", "__graft_q_cum")
-    val totals = ranked.groupBy(groupCols.map(col): _*)
-      .agg(max(col("__graft_q_cum")).as("__graft_q_n"))
+    // per-group n from the tiny (partition, group) SUBTOTAL frame, not
+    // a max over the folded data — the latter re-ran the whole
+    // partition-local sort+fold a second time (measured r19 q204 at
+    // x10: a duplicate 26 s-CPU pass). Exact same long counts: ranges
+    // keep groups contiguous, so the last running value == the group's
+    // count == the sum of its stretch subtotals.
+    val (ranked, totals0) = Prefix.cumsumByGroupWithTotals(vals, groupCols,
+      "__graft_q_v", "__graft_q_c", "__graft_q_cum", "__graft_q_n")
+    val totals = totals0
     val r = ranked.as("r")
     val t = totals.as("t")
     val cond = groupCols.map(c => col(s"r.`$c`") <=> col(s"t.`$c`"))

@@ -83,8 +83,36 @@ object Prefix {
                     valueCol: String, outCol: String): DataFrame =
     cumsumImpl(df, groupCols, orderCol, valueCol, outCol)._1
 
+  /** [[cumsumByGroup]] that ALSO returns the exact per-group grand
+    * totals of `valueCol` (`groupCols :+ totalCol`, one row per group
+    * present in the scan — what `out.groupBy(groups).agg(max(outCol))`
+    * would give, since ranges keep each group contiguous and the last
+    * running value IS the group sum), derived from the tiny
+    * per-(partition, group) SUBTOTAL frame instead of a second full
+    * sort+fold pass over the data (measured r19 q204 at x10: the
+    * totals pass was a duplicate 26 s-CPU fold). Long subtotals add
+    * exactly in any order — the integral-sum contract every shipped
+    * grouped-quantile caller satisfies (valueCol = lit(1L)); callers
+    * needing double group totals should aggregate the folded frame. */
+  private[operators] def cumsumByGroupWithTotals(
+      df: DataFrame, groupCols: Seq[String], orderCol: String,
+      valueCol: String, outCol: String,
+      totalCol: String): (DataFrame, DataFrame) = {
+    val (out, _, subtotals) =
+      cumsumImpl3(df, groupCols, orderCol, valueCol, outCol)
+    (out, subtotals.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__psum")).as(totalCol)))
+  }
+
   private def cumsumImpl(df: DataFrame, groupCols: Seq[String], orderCol: String,
                          valueCol: String, outCol: String): (DataFrame, Option[Any]) = {
+    val r = cumsumImpl3(df, groupCols, orderCol, valueCol, outCol)
+    (r._1, r._2)
+  }
+
+  private def cumsumImpl3(df: DataFrame, groupCols: Seq[String], orderCol: String,
+                          valueCol: String, outCol: String)
+      : (DataFrame, Option[Any], DataFrame) = {
     val gcols = groupCols.map(col)
     // pin sampled range boundaries + partition ids. LAZY: the pin
     // materializes inside the first action over it (the subtotal
@@ -149,7 +177,7 @@ object Prefix {
           .rowsBetween(Window.unboundedPreceding, 0)
         joined.withColumn(outCol, col("__offset") + sum(col(valueCol)).over(wIn))
     }
-    (out.drop("__pid", "__offset"), total)
+    (out.drop("__pid", "__offset"), total, subtotals)
   }
 
   /** Global (no-group) exclusive prefix of the per-partition subtotals,
@@ -206,43 +234,71 @@ object Prefix {
     * form bit for bit, nulls included: null values don't advance the
     * accumulator, and a row before the first non-null value of its
     * stretch gets a NULL running total (x + NULL = NULL in the window
-    * form, whatever the offset). */
+    * form, whatever the offset).
+    *
+    * Runs over INTERNAL rows ([[org.apache.spark.sql.graftshim
+    * .InternalRows]]): the Dataset `mapPartitions[Row]` form paid a
+    * full RowEncoder round-trip per row — measured r19 at 60 M rows,
+    * a third of the fold stage's CPU was collecting boxed Row garbage
+    * (12.6 s GC / 37.5 s CPU). Here each output row is a reused
+    * JoinedRow view (input row + one-slot run row) that the re-entry
+    * scan re-projects; per-row allocation is one boxed run value. */
   private def foldInterior(joined: DataFrame, groupCols: Seq[String],
                            orderCol: String, valueCol: String,
                            outCol: String, isLong: Boolean): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.unsafe.types.UTF8String
     val sortKeys = (col("__pid") +: groupCols.map(col)) :+ col(orderCol)
     val sorted = joined.sortWithinPartitions(sortKeys: _*)
     val inSchema = sorted.schema
     val outSchema = inSchema.add(outCol, if (isLong) LongType else DoubleType)
     val pIdx = inSchema.fieldIndex("__pid")
-    val gIdx = groupCols.map(inSchema.fieldIndex)
+    val gIdx = groupCols.map(inSchema.fieldIndex).toArray
+    val gTypes = gIdx.map(inSchema(_).dataType)
     val vIdx = inSchema.fieldIndex(valueCol)
+    val vType = inSchema(vIdx).dataType
     val oIdx = inSchema.fieldIndex("__offset")
-    sorted.mapPartitions { it =>
-      var key: Seq[Any] = null
-      var started = false
-      var seen = false
-      var accL = 0L
-      var accD = 0.0
-      it.map { r =>
-        val k = r.get(pIdx) +: gIdx.map(r.get)
-        if (!started || k != key) {
-          key = k; started = true; seen = false; accL = 0L; accD = 0.0
-        }
-        if (!r.isNullAt(vIdx)) {
-          seen = true
-          val v = r.get(vIdx).asInstanceOf[Number]
-          if (isLong) accL += v.longValue() else accD += v.doubleValue()
-        }
-        val run: Any =
-          if (!seen) null
-          else {
-            val off = r.get(oIdx).asInstanceOf[Number]
-            if (isLong) off.longValue() + accL else off.doubleValue() + accD
+    org.apache.spark.sql.graftshim.InternalRows
+      .mapPartitions(sorted, outSchema) { it =>
+        // group-key values may point into the reused row buffer
+        // (UTF8String) — copy on capture so the boundary compare
+        // against the NEXT row reads stable bytes
+        def keyOf(r: org.apache.spark.sql.catalyst.InternalRow): Array[Any] = {
+          val k = new Array[Any](gIdx.length + 1)
+          k(0) = r.getInt(pIdx)
+          var i = 0
+          while (i < gIdx.length) {
+            val v = r.get(gIdx(i), gTypes(i))
+            k(i + 1) = v match {
+              case s: UTF8String => s.copy()
+              case other => other
+            }
+            i += 1
           }
-        Row.fromSeq(r.toSeq :+ run)
+          k
+        }
+        var key: Array[Any] = null
+        var seen = false
+        var accL = 0L
+        var accD = 0.0
+        val runRow = new GenericInternalRow(1)
+        val out = new JoinedRow
+        it.map { r =>
+          val k = keyOf(r)
+          if (key == null || !java.util.Arrays.equals(key, k)) {
+            key = k; seen = false; accL = 0L; accD = 0.0
+          }
+          if (!r.isNullAt(vIdx)) {
+            seen = true
+            val v = r.get(vIdx, vType).asInstanceOf[Number]
+            if (isLong) accL += v.longValue() else accD += v.doubleValue()
+          }
+          if (!seen) runRow.update(0, null)
+          else if (isLong) runRow.update(0, r.getLong(oIdx) + accL)
+          else runRow.update(0, r.getDouble(oIdx) + accD)
+          out(r, runRow)
+        }
       }
-    }(Encoders.row(outSchema))
   }
 
   /** Sequence packing: assign each row the shard in which its token run

@@ -17,7 +17,9 @@ object TimeQ {
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "3").toInt
     val names = if (args.length > 1) args.drop(1).toSeq
                 else SparkEntry.queries.keys.toSeq.sorted
-    val spark = GraftSession.local(32)
+    // SPARK_GRAFT_PROFILE_CPUS: core-scaling spot checks (SURVEY §6)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_PROFILE_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     Tables.names.foreach { t =>

@@ -665,7 +665,12 @@ object Dedup {
     * near-dup candidates at one shuffle via groupBy(simhash). */
   def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    df.select(col(idCol), Text.simhashNative(Text.tokens(col(textCol))).as("simhash"))
+    // kernel floor (Par.widen): tokenize + the simhash majority vote
+    // run inside the scan stage — a small single-row-group corpus
+    // otherwise serializes the whole fingerprint pass on 1-2 tasks
+    // (measured q78: a 0.7 s two-task kernel stage)
+    Par.widen(df)
+      .select(col(idCol), Text.simhashNative(Text.tokens(col(textCol))).as("simhash"))
   }
 
   /** Per-document 64-bit SimHash fingerprints (native codegen'd) — the
@@ -674,7 +679,8 @@ object Dedup {
     * per band at the same band count. */
   def simhashes64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
-    df.select(col(idCol), Text.simhash64Native(Text.tokens(col(textCol))).as("simhash"))
+    Par.widen(df) // the simhashes kernel floor, 64-bit path
+      .select(col(idCol), Text.simhash64Native(Text.tokens(col(textCol))).as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxHamming`,

@@ -119,6 +119,26 @@ class ClassifierSpec extends SparkSpec {
       "20 GD iterations must separate an obviously separable fixture")
   }
 
+  test("trainPredict == train-then-predict, row for row (one shared " +
+      "feature frame must not change anything)") {
+    val df = Seq(
+      (1L, "good solid prose with substance and depth", 1.0),
+      (2L, "good writing clear and thorough", 1.0),
+      (3L, "solid good analysis with depth", 1.0),
+      (4L, "bad spam junk noise", 0.0),
+      (5L, "junk bad spam spam", 0.0),
+      (6L, "noise junk bad garbage", 0.0))
+      .toDF("doc_id", "text", "y")
+    val twoPass = Classifier.predict(df, "text", "y", "doc_id",
+      Classifier.train(df, "text", "y", "doc_id", dim = dim,
+        iterations = 5, lr = 0.5), dim)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val onePass = Classifier.trainPredict(df, "text", "y", "doc_id",
+      dim = dim, iterations = 5, lr = 0.5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(onePass.toSeq == twoPass.toSeq)
+  }
+
   test("train rejects non-binary labels with a clear error") {
     val df = Seq((1L, "some text", 0.5)).toDF("doc_id", "text", "y")
     val e = intercept[Exception] {

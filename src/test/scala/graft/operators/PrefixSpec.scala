@@ -139,6 +139,24 @@ class PrefixSpec extends SparkSpec {
     assert(ours.exceptAll(global).isEmpty && global.exceptAll(ours).isEmpty)
   }
 
+  test("cumsumByGroupWithTotals: subtotal-derived group totals equal " +
+      "max(run) per group (incl. a NULL group key)") {
+    val docs = Tables.load(spark, sf(), "documents")
+      .select($"doc_id", when($"doc_id" % 7 === 0, lit(null))
+        .otherwise($"lang").as("lang"), lit(1L).as("c"))
+      .repartition(8)
+    val (out, totals) = Prefix.cumsumByGroupWithTotals(
+      docs, Seq("lang"), "doc_id", "c", "run", "n")
+    val fromRun = out.groupBy($"lang").agg(max($"run").as("n2"))
+    val joined = totals.join(fromRun, totals("lang") <=> fromRun("lang"))
+      .select(totals("lang"), $"n", $"n2").collect()
+    assert(joined.nonEmpty && joined.length == totals.count())
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"group ${r.get(0)}: subtotal total ${r.getLong(1)} != max run ${r.getLong(2)}")
+    }
+  }
+
   test("packIntoShards cuts greedy first-fit shards at the token budget") {
     val df = Seq((1L, 30L), (2L, 50L), (3L, 40L), (4L, 10L), (5L, 100L))
       .toDF("doc_id", "n_tokens")
